@@ -1,0 +1,98 @@
+"""TSDB facade — the reference's public API surface, Spark-native.
+
+Mirrors the four public entry points of the reference
+(tsdb.go:205 InsertRows, :278 QueryRange, :323 QuerySeries,
+:352 QueryLabelValues) plus retention (tsdb.go:384-406) over a
+``SegmentStore``.  All queries are lazy DataFrames; nothing collects on the
+driver.  Semantic deltas vs the reference, all deliberate (SURVEY.md §3-§4):
+
+- Durability: the reference loses the in-memory head on crash
+  (README.md:40); here every accepted batch is durably committed Parquet.
+- Visibility: the reference's insert is async via a channel (tsdb.go:205-233,
+  T4); ``insert_rows`` here is synchronous-on-commit.  Streaming ingestion
+  (mandodb_spark.streaming) restores the async shape with *stronger*
+  exactly-once semantics via checkpointing.
+- Label-values time filtering is exact, not segment-granular (§3.3 quirk).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .matchers import LabelMatcher
+from .model import DEFAULT_RETENTION, DEFAULT_SEGMENT_DURATION
+from .operators import tsdb_ops
+from .sources.segment_store import SegmentStore
+
+
+class TSDB:
+    """Spark-native equivalent of ``mandodb.OpenTSDB`` (tsdb.go:465-496)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        segment_duration: int = DEFAULT_SEGMENT_DURATION,
+        retention: int = DEFAULT_RETENTION,
+        codec: str = "zstd",
+    ) -> None:
+        self.spark = spark
+        self.store = SegmentStore(spark, path, segment_duration, codec)
+        self.segment_duration = segment_duration
+        self.retention = retention
+
+    # ---------------------------------------------------------------- write
+    def insert_rows(self, rows: DataFrame | list[tuple]) -> None:
+        """InsertRows (tsdb.go:205-216): append a batch of samples.
+
+        Accepts a DataFrame with ROW_SCHEMA columns or a python list of
+        ``(metric, labels_dict, ts, value)`` tuples (test convenience).
+        """
+        if isinstance(rows, DataFrame):
+            self.store.append(rows)
+        else:
+            self.store.insert_pylist(rows)
+
+    # ---------------------------------------------------------------- reads
+    def query_range(
+        self, metric: str, matchers: list[LabelMatcher], start: int, end: int
+    ) -> DataFrame:
+        """QueryRange (tsdb.go:278-293) → (labels, points[]) per series."""
+        return tsdb_ops.query_range(
+            self.store.relation(), metric, matchers, start, end, self.segment_duration
+        )
+
+    def query_range_rows(
+        self, metric: str, matchers: list[LabelMatcher], start: int, end: int
+    ) -> DataFrame:
+        """Flat QueryRange: (labels, ts, value) rows."""
+        return tsdb_ops.query_range_rows(
+            self.store.relation(), metric, matchers, start, end, self.segment_duration
+        )
+
+    def query_series(self, matchers: list[LabelMatcher], start: int, end: int) -> DataFrame:
+        """QuerySeries (tsdb.go:323-336) → distinct label sets."""
+        return tsdb_ops.query_series(
+            self.store.relation(), matchers, start, end, self.segment_duration
+        )
+
+    def query_label_values(
+        self, label: str, start: int, end: int, matchers: list[LabelMatcher] | None = None
+    ) -> DataFrame:
+        """QueryLabelValues (tsdb.go:352-370) → sorted distinct values."""
+        return tsdb_ops.query_label_values(
+            self.store.relation(), label, start, end, matchers, self.segment_duration
+        )
+
+    # ----------------------------------------------------------- maintenance
+    def remove_expires(self, now_ts: int | None = None) -> list[int]:
+        """Retention purge (tsdb.go:384-406); returns dropped segment ids."""
+        return self.store.remove_expired(
+            int(time.time()) if now_ts is None else now_ts, self.retention
+        )
+
+    def compact(self) -> None:
+        """Maintenance compaction (the Compact the reference lacks)."""
+        self.store.compact()

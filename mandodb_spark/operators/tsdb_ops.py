@@ -1,0 +1,147 @@
+"""The reference's three query operators as pure DataFrame transforms.
+
+Each takes a canonical relation (``labels MAP<STRING,STRING>, ts LONG,
+value DOUBLE`` + optional ``series_key``/``seg``) and returns a DataFrame —
+no driver-side state, no collect, no UDFs; every stage is a Catalyst-planned
+expression so the same code runs on local[32] or a 1000-executor cluster.
+
+Query lifecycle parity (SURVEY.md §3):
+- ``query_range``   ≙ TSDB.QueryRange   (tsdb.go:278-293) — prune → filter →
+  partial/final hash-aggregate merge (tsdb.go:295-321).
+- ``query_series``  ≙ TSDB.QuerySeries  (tsdb.go:323-336) — distinct label
+  sets (tsdb.go:338-350), metadata-only on disk (column-pruned scan here).
+- ``query_label_values`` ≙ TSDB.QueryLabelValues (tsdb.go:352-370) — with
+  *exact* time filtering, consciously fixing the reference's
+  segment-granularity quirk (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..matchers import LabelMatcher, add_metric_name, matchers_predicate
+from ..model import DEFAULT_SEGMENT_DURATION, series_key
+
+
+def time_predicate(start: int, end: int, has_seg: bool, segment_duration: int = DEFAULT_SEGMENT_DURATION) -> Column:
+    """Inclusive time-range predicate ``start <= ts <= end`` (F1/F9).
+
+    When the relation carries the ``seg`` partition column, an equivalent
+    predicate on ``seg`` is ANDed in so Catalyst's
+    ``PruneFileSourcePartitions`` prunes whole segment directories — the
+    DataFrame form of ``segmentList.Get`` (segment.go:48-69).  Row-group
+    skipping via Parquet ts min/max stats replaces the reference's
+    early-exit scan (series.go:48-50).
+    """
+    pred = F.col("ts").between(F.lit(start), F.lit(end))
+    if has_seg:
+        pred = (
+            F.col("seg").between(F.lit(start // segment_duration), F.lit(end // segment_duration)) & pred
+        )
+    return pred
+
+
+def _filtered(
+    df: DataFrame,
+    metric: str | None,
+    matchers: list[LabelMatcher],
+    start: int,
+    end: int,
+    segment_duration: int = DEFAULT_SEGMENT_DURATION,
+) -> DataFrame:
+    """Shared prune+filter front half of all three query paths."""
+    lms = add_metric_name(metric, matchers)
+    has_seg = "seg" in df.columns
+    return df.filter(
+        time_predicate(start, end, has_seg, segment_duration) & matchers_predicate(F.col("labels"), lms)
+    )
+
+
+def query_range_rows(
+    df: DataFrame,
+    metric: str | None,
+    matchers: list[LabelMatcher],
+    start: int,
+    end: int,
+    segment_duration: int = DEFAULT_SEGMENT_DURATION,
+) -> DataFrame:
+    """Flat form of QueryRange: one row per matched point.
+
+    Columns: ``labels, ts, value`` — the pre-merge stream.  Useful when the
+    caller wants rows, not per-series arrays (and for oracle comparison).
+    """
+    return _filtered(df, metric, matchers, start, end, segment_duration).select("labels", "ts", "value")
+
+
+def query_range(
+    df: DataFrame,
+    metric: str | None,
+    matchers: list[LabelMatcher],
+    start: int,
+    end: int,
+    segment_duration: int = DEFAULT_SEGMENT_DURATION,
+) -> DataFrame:
+    """QueryRange (tsdb.go:278-293): per-series time-sorted point arrays.
+
+    The groupBy+collect_list+array_sort is exactly the reference's
+    two-phase merge (``mergeQueryRangeResult``, tsdb.go:295-321): Spark's
+    partial/final HashAggregate produces per-partition partials and a final
+    merge, and ``array_sort`` is the per-group ts sort (tsdb.go:313-315).
+    Grouping is on ``series_key`` (maps aren't groupable), labels recovered
+    via ``any_value`` — valid because series_key determines labels.
+
+    Output: ``labels MAP, points ARRAY<STRUCT<ts,value>>`` ≙ ``MetricRet``
+    (tsdb.go:273-276).
+    """
+    flt = _filtered(df, metric, matchers, start, end, segment_duration)
+    if "series_key" not in flt.columns:
+        flt = flt.withColumn("series_key", series_key(F.col("labels")))
+    return (
+        flt.groupBy("series_key")
+        .agg(
+            F.any_value(F.col("labels")).alias("labels"),
+            F.array_sort(F.collect_list(F.struct(F.col("ts"), F.col("value")))).alias("points"),
+        )
+        .select("labels", "points")
+    )
+
+
+def query_series(
+    df: DataFrame,
+    matchers: list[LabelMatcher],
+    start: int,
+    end: int,
+    segment_duration: int = DEFAULT_SEGMENT_DURATION,
+) -> DataFrame:
+    """QuerySeries (tsdb.go:323-350): distinct matched label sets.
+
+    ``select(labels).distinct()`` — the scan is column-pruned to ``labels``
+    (+ partition/ts columns for the filter), the Spark analogue of the
+    reference's metadata-only disk path (disk_segment.go:157-166).
+    Distinct on a map isn't supported directly, so dedup goes through the
+    canonical series_key, mirroring dedup-by-label-hash (tsdb.go:338-350).
+    """
+    flt = _filtered(df, None, matchers, start, end, segment_duration)
+    if "series_key" not in flt.columns:
+        flt = flt.withColumn("series_key", series_key(F.col("labels")))
+    return flt.groupBy("series_key").agg(F.any_value(F.col("labels")).alias("labels")).select("labels")
+
+
+def query_label_values(
+    df: DataFrame,
+    label: str,
+    start: int,
+    end: int,
+    matchers: list[LabelMatcher] | None = None,
+    segment_duration: int = DEFAULT_SEGMENT_DURATION,
+) -> DataFrame:
+    """QueryLabelValues (tsdb.go:352-370): sorted distinct values of a label.
+
+    Exact time filtering on every row — strictly more correct than the
+    reference's segment-granularity filter (label.go:62-77 via
+    SURVEY.md §3.3), as the survey prescribes.  Output column: ``value``.
+    """
+    flt = _filtered(df, None, matchers or [], start, end, segment_duration)
+    v = F.col("labels").getItem(label)
+    return flt.select(v.alias("value")).where(F.col("value").isNotNull()).distinct().orderBy("value")

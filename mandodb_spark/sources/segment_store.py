@@ -1,0 +1,163 @@
+"""Parquet segment store — the engine's storage layer.
+
+Replaces the reference's entire custom storage machinery (TSZ blocks,
+mmap data files, binary meta blocks, AVL segment list — segment.go,
+disk_segment.go, metadata.go, pkg/mmap) with a partitioned Parquet layout:
+
+- one root directory, Hive-partitioned by ``seg = floor(ts / 7200)``
+  (tsdb.go:40's 2-hour segment duration as a partition column, S3/T1);
+- within each partition, files written sorted by ``(series_key, ts)`` so
+  row-group min/max stats give the reference's early-exit time scan
+  (series.go:48-50) and per-series locality (the columnar-by-series disk
+  layout of memory_segment.go:195-209) for free;
+- Parquet footer stats and partition values play the role of ``meta.json``
+  + the binary meta block (metadata.go:59-190, S9) — nothing custom to
+  serialize;
+- compression codec is a session conf (``zstd`` default), replacing
+  BytesCompressor (compressor.go:22-81, S8).
+
+Scale posture: segment discovery (tsdb.go:408-463, S5) is Spark's partition
+discovery; at 100 TB you'd put a metastore/Delta table over the same layout,
+but the layout itself — time-partitioned, sorted-within-partition — is the
+thing that must be right, and it is identical at any scale.  Retention
+(tsdb.go:384-406, S7) is a partition-level delete: O(#expired partitions)
+metadata work, no data rewrite.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import DEFAULT_SEGMENT_DURATION, ROW_SCHEMA, canonicalize
+
+
+class SegmentStore:
+    """Partitioned-Parquet segment store (replaces segmentList, segment.go:38-46)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        segment_duration: int = DEFAULT_SEGMENT_DURATION,
+        codec: str = "zstd",
+    ) -> None:
+        self.spark = spark
+        self.root = str(root)
+        self.segment_duration = segment_duration
+        self.codec = codec
+
+    # ---------------------------------------------------------------- write
+    def append(self, rows: DataFrame) -> None:
+        """Append an ingest batch (S1-S4 collapsed into one declarative write).
+
+        ``repartition(seg)`` co-locates each segment's rows in one task →
+        one file per segment per batch (bounds the small-files problem the
+        reference never solved, README.md:39); ``sortWithinPartitions``
+        realizes the flush-time out-of-order merge (A5, series.go:72-94):
+        late rows simply land sorted in their event-time partition, no AVL
+        sidecar needed.
+        """
+        batch = canonicalize(rows, self.segment_duration)
+        (
+            batch.repartition(F.col("seg"))
+            .sortWithinPartitions("series_key", "ts")
+            .write.option("compression", self.codec)
+            .partitionBy("seg")
+            .mode("append")
+            .parquet(self.root)
+        )
+
+    def insert_pylist(self, rows: list[tuple]) -> None:
+        """Convenience for tests: list of (metric, labels, ts, value) tuples."""
+        self.append(self.spark.createDataFrame(rows, ROW_SCHEMA))
+
+    # ----------------------------------------------------------------- read
+    def relation(self) -> DataFrame:
+        """The full store as a DataFrame (lazy; S5/S6 ≙ partition discovery).
+
+        Returns an empty canonical relation when nothing has been written,
+        mirroring a fresh TSDB.
+        """
+        if Path(self.root).exists():
+            return self.spark.read.parquet(self.root)
+        return self.spark.createDataFrame([], ROW_SCHEMA).select(
+            "labels",
+            "ts",
+            "value",
+            F.lit(None).cast("long").alias("series_key"),
+            F.lit(None).cast("long").alias("seg"),
+        )
+
+    # ------------------------------------------------------------ retention
+    def remove_expired(self, now_ts: int, retention: int) -> list[int]:
+        """Drop whole segments older than the retention window (S7/T5).
+
+        Mirrors ``removeExpires`` (tsdb.go:384-406): a segment expires when
+        its max possible ts — ``(seg+1)*duration - 1`` — is older than
+        ``now - retention``.  Implemented as partition-directory deletes
+        (the Spark-native equivalent of ``os.RemoveAll`` on
+        ``seg-<minTs>-<maxTs>`` dirs); on a real deployment this is a
+        ``DELETE WHERE seg < cutoff`` against the table format.
+        Returns the dropped segment ids.
+        """
+        cutoff = now_ts - retention
+        dropped: list[int] = []
+        root = Path(self.root)
+        if not root.exists():
+            return dropped
+        for p in sorted(root.glob("seg=*")):
+            seg = int(p.name.split("=", 1)[1])
+            if (seg + 1) * self.segment_duration - 1 < cutoff:
+                shutil.rmtree(p)
+                dropped.append(seg)
+        return dropped
+
+    # ----------------------------------------------------------- compaction
+    def compact(self) -> None:
+        """Rewrite each segment partition into one sorted file.
+
+        The maintenance job the reference lacks (README.md:39 admits no
+        Compact).  Streaming micro-batches leave one file per trigger per
+        segment; compaction restores the one-sorted-file invariant that
+        maximizes row-group skipping.  Overwrites partition-by-partition
+        via dynamic partition overwrite, so readers never see a partial
+        state for longer than one partition commit.
+        """
+        df = self.relation()
+        with_dpo = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.repartition(F.col("seg"))
+                .sortWithinPartitions("series_key", "ts")
+                .write.option("compression", self.codec)
+                .partitionBy("seg")
+                .mode("overwrite")
+                .parquet(self.root)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dpo)
+
+    # ---------------------------------------------------------------- stats
+    def stats(self) -> DataFrame:
+        """Per-segment Desc stats (segment.go:31-36, A6).
+
+        ``seriesCount / dataPointsCount / minTs / maxTs`` per segment —
+        computed from data here; at scale these come free from Parquet
+        footers / table-format metadata.
+        """
+        return (
+            self.relation()
+            .groupBy("seg")
+            .agg(
+                F.countDistinct("series_key").alias("series_count"),
+                F.count(F.lit(1)).alias("data_points_count"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            )
+            .orderBy("seg")
+        )

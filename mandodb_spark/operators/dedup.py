@@ -1,0 +1,141 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface: exact dedup, MinHash+LSH candidate generation,
+and n-gram Jaccard verification — the standard near-dup stack for corpus
+curation, built to hold at 100 TB:
+
+- No pairwise O(n²) stage ever materializes: candidates come from the LSH
+  band join (equi-join on (band, hash) — a shuffle hash join on a
+  high-selectivity key), and only candidates get exact Jaccard.
+- Hash functions are md5 (identical across engines) so every stage has an
+  exact DuckDB oracle; lexicographic min over hex digests is the MinHash
+  order (no platform-dependent integer hashing).
+- All stages are DataFrame-native: explode → groupBy → join.  No UDFs,
+  no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Defaults: 8 minhashes in 2 bands of 4 → P(candidate) = 1-(1-s⁴)²,
+#: steep around s≈0.7 — tuned for "near-duplicate", not "vaguely similar".
+N_HASHES = 8
+N_BANDS = 2
+SHINGLE_LEN = 8
+SHINGLE_STRIDE = 4
+
+
+def char_shingles(text: Column, length: int = SHINGLE_LEN, stride: int = SHINGLE_STRIDE) -> Column:
+    """Character shingles of `length` starting every `stride` chars."""
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(length - 1), F.lit(1)), F.lit(stride))
+    return F.transform(positions, lambda p: text.substr(p, F.lit(length)))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Exact duplicate groups by an arbitrary content key (hash-groupBy).
+
+    Returns one row per distinct key: the kept id (min), the duplicate
+    count.  For byte-exact dedup pass ``F.md5(col)``; for bag-of-words
+    dedup pass :func:`mandodb_spark.operators.text.bow_fingerprint`.
+    """
+    return (
+        df.select(F.col(id_col), key.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                 length: int = SHINGLE_LEN, stride: int = SHINGLE_STRIDE) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation used by both
+    MinHash signatures and exact Jaccard verification."""
+    return (
+        df.select(F.col(id_col), F.explode(char_shingles(F.lower(F.col(text_col)), length, stride)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signature per id: h_i = min(md5(i || ':' || shingle)).
+
+    One groupBy produces all n_hashes signature components as columns
+    (single shuffle, map-side partial min)."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH banding: equal band-hash in any band → candidate pair (a < b).
+
+    The band join is an equi-join on (band index, band hash) — Spark plans
+    a shuffle hash join keyed on the band hash, so the cost is proportional
+    to true collisions, never to n².
+    """
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+                    "bh"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("e")).select(
+        F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(candidates: DataFrame, shingles: DataFrame, id_col: str,
+                   threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep >= threshold.
+
+    intersection via double equi-join on the shingle value; set sizes from
+    a per-id count.  Cost is bounded by candidate count × shingle overlap.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), F.col("sh"))
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), F.col("sh"))
+    inter = (
+        candidates.join(sh_a, "id_a").join(sh_b, ["id_b", "sh"]).groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("n_inter")
+        )
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5,
+                      n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle → minhash → LSH → verified
+    Jaccard pairs (id_a < id_b, jaccard >= threshold)."""
+    sh = shingle_sets(df, id_col, text_col)
+    sigs = minhash_signatures(sh, id_col, n_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
+    return jaccard_verify(cands, sh, id_col, threshold)

@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference surface: brute-force cosine top-k as the exact baseline,
+plus a bucketed variant for the 100 TB path.  The dot products are pure
+column expressions (``zip_with`` + ``aggregate`` — JVM-side, codegen'd,
+no Python round-trip); math is done in double on both engines so the
+DuckDB oracle matches bit-for-bit after rounding.
+
+Scale posture:
+- ``cosine_topk``: one broadcast of the query vector + a map-side partial
+  top-k (TakeOrderedAndProject) — no shuffle of the fact table at all.
+- ``grouped_neardup_pairs``: pairs restricted to a bucket key (label,
+  LSH bucket, IVF cell…) — the join is an equi-join on the bucket, never
+  an unbucketed cross join.  With a random-hyperplane bucketer this is
+  IVF/LSH-flavor ANN; with a semantic key it's blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (zip_with + aggregate, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame, k: int) -> DataFrame:
+    """Exact top-k by cosine to a single query vector.
+
+    ``query`` is a 1-row DataFrame with column ``qe``; it is broadcast, the
+    scan computes cosines map-side, and orderBy+limit plans as a partial
+    per-partition top-k with a final merge on the driver — no shuffle.
+    Ordering is total: (rounded cosine desc, id) so ties are deterministic.
+    """
+    return (
+        df.crossJoin(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qe")), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def grouped_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, bucket_col: str,
+                          threshold: float) -> DataFrame:
+    """All pairs within a bucket with cosine >= threshold (id_a < id_b).
+
+    The self-join is keyed on the bucket column — at scale the bucket is an
+    LSH/IVF assignment so each join group stays small; here the testdata's
+    ``label`` column plays that role.
+    """
+    left = df.select(
+        F.col(bucket_col).alias("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    right = df.select(
+        F.col(bucket_col).alias("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select("bucket", "id_a", "id_b", "cos_sim")
+    )
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket id for a vector.
+
+    Plane p's coefficient for dimension d is derived from md5(p:d) —
+    deterministic, engine-agnostic pseudo-randomness in {-1, +1}.  The
+    bucket is the sign pattern packed into an int: the scale path for
+    ANN (bucket first, search within bucket).
+    """
+    import hashlib
+
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        signs = [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest(), 16) % 2 else -1
+            for d in range(dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket

@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference surface (the reference has no scalar function library at
+all — SURVEY.md §2.7): language-ID heuristic, quality scoring, token
+counting, and document fingerprinting, each as pure column expressions /
+DataFrame transforms.  Everything stays JVM-side in whole-stage codegen —
+no Python UDFs — so these run at full scan speed on a 100 TB documents
+table; the only shuffles are the explicit groupBys.
+
+Determinism contract: every function here has an exact ANSI-SQL equivalent
+(used by the DuckDB oracles in mandodb_spark.workloads.docs), which pins
+down semantics precisely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Stopword list used by the quality heuristic (tiny by design — the point
+#: is the operator shape, not the lexicon).
+STOPWORDS = ("the", "a", "of", "and")
+
+#: (language, marker-substring) pairs for the n-gram-style language-ID vote.
+LANG_MARKERS = (
+    ("de", "%der %"),
+    ("fr", "%le %"),
+    ("es", "%el %"),
+    ("zh", "%shi %"),
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Token count as BIGINT (whitespace tokenizer)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text))).cast("long")
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length; exact identity for single-space-joined text:
+    (len(text) - (n-1)) / n."""
+    n = token_count(text)
+    return (F.length(text) - (n - F.lit(1))).cast("double") / n.cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return stop.cast("double") / F.size(toks).cast("double")
+
+
+def uniq_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: lexical diversity up, stopword
+    saturation down — the shape of a pretraining quality filter."""
+    return F.round(F.lit(0.6) * uniq_ratio(text) + F.lit(0.4) * (F.lit(1.0) - stopword_ratio(text)), 4)
+
+
+def lang_guess(text: Column) -> Column:
+    """Marker-based language vote (first matching marker wins, else 'en').
+
+    A deliberately simple, SQL-mirrorable n-gram heuristic; a production
+    engine would swap in fastText behind the same column contract.
+    """
+    expr = F.lit("en")
+    for lang, marker in reversed(LANG_MARKERS):
+        expr = F.when(F.lower(text).like(marker), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def bow_fingerprint(text: Column) -> Column:
+    """Bag-of-words fingerprint: md5 over the sorted distinct token set.
+
+    Word-order-insensitive content identity — the document analogue of the
+    reference's canonical-sorted-labels hash (label.go:235-251).
+    """
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document.
+
+    Each token votes ±1 on each bit; bit j's vote is derived from the j-th
+    hex digit of md5(token) (≥'8' → +1).  Wholly expression-based: explode →
+    single groupBy with 16 conditional sums → bit-pack.  One shuffle on id.
+    """
+    hexdig = "89abcdef"
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).withColumn(
+        "h", F.md5(F.col("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*list(hexdig)), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash16_sql(table: str, id_col: str, text_col: str) -> str:
+    """The exact ANSI-SQL mirror of :func:`simhash16` (oracle generator)."""
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+        f"THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    packed = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH tok AS (
+    SELECT {id_col}, md5(t.tok) AS h
+    FROM {table}, unnest(string_split(lower({text_col}), ' ')) AS t(tok)
+), bits AS (
+    SELECT {id_col},
+           {bit_sums}
+    FROM tok GROUP BY {id_col}
+)
+SELECT {id_col}, CAST({packed} AS BIGINT) AS simhash FROM bits
+"""

@@ -1,0 +1,96 @@
+"""Shared loaders and constants for the declared workload queries.
+
+Every query here runs against the driver's testdata tables
+(``/root/testdata/sf*/{name}.parquet``) and is paired with an ANSI-SQL
+oracle executed by DuckDB on the same files (SURVEY.md §2.9).
+
+Cross-engine ground rules (all empirically verified):
+- ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark needs
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` and sees a BIGINT of
+  nanoseconds; unix seconds = ``ts DIV 1e9``.  DuckDB coerces to
+  micros; ``CAST(floor(epoch(ts)) AS BIGINT)`` gives the identical second.
+- ``lineitem/orders`` timestamps are micros → Spark TIMESTAMP_NTZ;
+  ``to_date`` ↔ ``CAST(x AS DATE)`` agree (session timezone pinned UTC).
+- DuckDB ``sum(BIGINT)`` is HUGEINT → oracles cast aggregates explicitly.
+- Float aggregates are rounded on both sides before comparison.
+- ``md5`` / ``regexp_extract`` / window ``IGNORE NULLS`` agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import canonicalize
+
+#: Query window over the events table: [2024-01-05, 2024-01-15) UTC.
+EV_START = 1_704_412_800
+EV_END = 1_705_276_800 - 1  # inclusive end, mirroring the reference's [start, end]
+
+#: Seconds per segment for the events-as-TSDB mapping.
+SEG = 7200
+
+#: The labels carried by the events→TSDB mapping.
+TSDB_SQL_REL = """
+    SELECT event_type AS metric,
+           CAST(user_id AS VARCHAR) AS user,
+           regexp_extract(props, '[0-9]+') AS k,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+           value
+    FROM events
+"""
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Runtime confs the workload needs regardless of who built the session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to unix seconds (BIGINT)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.expr("ts DIV 1000000000"))
+
+
+def events_tsdb_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events mapped to the engine's ingest ROW_SCHEMA shape.
+
+    metric = event_type; labels = {user, k}; ts = unix seconds;
+    value = value — the ``events`` table playing the ingested TSDB
+    relation (SURVEY.md §2.9).
+    """
+    return events_base(spark, sf_dir).select(
+        F.col("event_type").alias("metric"),
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("k"), F.regexp_extract(F.col("props"), "[0-9]+", 0),
+        ).alias("labels"),
+        F.col("ts"),
+        F.col("value"),
+    )
+
+
+def events_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical TSDB relation (labels/ts/value/series_key/seg) from events."""
+    return canonicalize(events_tsdb_rows(spark, sf_dir), SEG)
+
+
+def flatten_labels(df: DataFrame) -> DataFrame:
+    """Project the canonical labels map back to oracle-comparable columns."""
+    return df.select(
+        F.col("labels").getItem("__name__").alias("metric"),
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        *[c for c in df.columns if c != "labels"],
+    )

@@ -1,0 +1,95 @@
+"""Declared queries over the ``embeddings`` table: similarity search.
+
+Spark side routes through ``operators.similarity``; all math in double on
+both engines (DuckDB casts the FLOAT[] to DOUBLE[] before list_* ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from .common import load
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+NEARDUP_T = 0.3
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k to one query vector (ANN baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    return similarity.cosine_topk(emb, "vec_id", "embedding", q, TOP_K)
+
+
+EMB_COSINE_TOPK_SQL = f"""
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a,
+     (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm — array aggregation via posexplode + regroup
+    (two shuffles, both on small keys; centroids at 100 TB are exactly this
+    shape with label = cluster id)."""
+    emb = load(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"))
+        .join(emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs")), "label")
+        .select("label", "centroid_norm", "n_vecs")
+    )
+
+
+EMB_LABEL_CENTROIDS_SQL = """
+WITH per_dim AS (
+    SELECT label, p.range AS pos, avg(CAST(embedding[CAST(p.range AS INTEGER) + 1] AS DOUBLE)) AS m
+    FROM embeddings, range(0, 64) p
+    GROUP BY label, p.range
+), norms AS (
+    SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm
+    FROM per_dim GROUP BY label
+)
+SELECT n.label, n.centroid_norm, CAST(c.n_vecs AS BIGINT) AS n_vecs
+FROM norms n
+JOIN (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label) c ON c.label = n.label
+"""
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label near-duplicate pairs by cosine (blocked self-join —
+    the bucketed ANN pattern with label as the bucket)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.grouped_neardup_pairs(emb, "vec_id", "embedding", "label", NEARDUP_T)
+
+
+EMB_NEARDUP_PAIRS_SQL = f"""
+SELECT a.label AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= {NEARDUP_T}
+"""
+
+QUERIES = {
+    "emb_cosine_topk": emb_cosine_topk,
+    "emb_label_centroids": emb_label_centroids,
+    "emb_neardup_pairs": emb_neardup_pairs,
+}
+
+ORACLES = {
+    "emb_cosine_topk": EMB_COSINE_TOPK_SQL,
+    "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
+    "emb_neardup_pairs": EMB_NEARDUP_PAIRS_SQL,
+}

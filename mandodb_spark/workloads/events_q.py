@@ -1,0 +1,160 @@
+"""Declared queries over ``events`` beyond the TSDB surface: sessionization,
+tumbling windows, pivot, top-k, as-of join — the streaming-flavored batch
+operators a telemetry pipeline needs (each has a batch/streaming dual in
+mandodb_spark.streaming)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .common import events_base
+
+SESSION_GAP = 1800  # 30 min
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+_EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): cumulative-sum session
+    ids via windows — the batch dual of ``session_window`` in streaming."""
+    ev = events_base(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = ev.withColumn(
+        "new_sess",
+        F.when(F.col("ts") - F.lag("ts").over(w) > SESSION_GAP, 1).otherwise(0),
+    )
+    return sessions.groupBy("user_id").agg(
+        (F.sum("new_sess") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH s AS (
+    SELECT user_id,
+           CASE WHEN {_EPOCH} - lag({_EPOCH}) OVER (PARTITION BY user_id ORDER BY {_EPOCH}, event_id)
+                     > {SESSION_GAP} THEN 1 ELSE 0 END AS new_sess
+    FROM events
+)
+SELECT user_id,
+       CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windowed aggregation (T1's batch dual at finer grain)."""
+    ev = events_base(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.floor(F.col("ts") / 3600) * 3600).cast("long").alias("bucket_ts"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT CAST(floor({_EPOCH} / 3600.0) AS BIGINT) * 3600 AS bucket_ts,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (wide feature vector per entity)."""
+    ev = events_base(spark, sf_dir)
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES
+    ]
+    return piv.select(*cols)
+
+
+EVENTS_PIVOT_SQL = "SELECT user_id, " + ", ".join(
+    f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}" for t in EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total value (sort+limit with total order)."""
+    ev = events_base(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("total_value").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+EVENTS_TOPK_USERS_SQL = """
+SELECT user_id,
+       round(CAST(sum(value) AS DOUBLE), 2) AS total_value,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+"""
+
+
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent prior (or
+    same-instant) click — implemented as the merge-ordered union + last-non-null
+    window, the shuffle-once pattern that scales (vs a per-row range join)."""
+    ev = events_base(spark, sf_dir).filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_click = ev.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        with_click.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+EVENTS_ASOF_CLICK_SQL = f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type, {_EPOCH} AS ts
+    FROM events WHERE event_type IN ('click', 'purchase')
+), w AS (
+    SELECT event_id, user_id, event_type, ts,
+           last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+    FROM ev
+)
+SELECT event_id, user_id, ts, last_click_ts FROM w WHERE event_type = 'purchase'
+"""
+
+QUERIES = {
+    "events_sessionize": events_sessionize,
+    "events_hourly": events_hourly,
+    "events_pivot": events_pivot,
+    "events_topk_users": events_topk_users,
+    "events_asof_click": events_asof_click,
+}
+
+ORACLES = {
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_pivot": EVENTS_PIVOT_SQL,
+    "events_topk_users": EVENTS_TOPK_USERS_SQL,
+    "events_asof_click": EVENTS_ASOF_CLICK_SQL,
+}

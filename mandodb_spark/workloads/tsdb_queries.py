@@ -1,0 +1,305 @@
+"""Declared queries for the TSDB operator family (SURVEY.md §2.9, Q-F*/Q-A*/Q-T*).
+
+Each Spark query routes through the engine's real operators
+(``mandodb_spark.operators.tsdb_ops``) over the events-as-TSDB relation;
+each oracle is plain SQL over the raw ``events`` view.  Every float
+aggregate is rounded identically on both sides; every count cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..matchers import LabelMatcher
+from ..operators import tsdb_ops
+from .common import (
+    EV_END,
+    EV_START,
+    SEG,
+    TSDB_SQL_REL,
+    events_base,
+    events_relation,
+    flatten_labels,
+)
+
+_REL = f"WITH rel AS ({TSDB_SQL_REL})"
+_TIME = f"ts BETWEEN {EV_START} AND {EV_END}"
+
+
+# ---------------------------------------------------------------- Q-F1 / F9
+def tsdb_range_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-pruned scan of one metric (F1/F9/F12)."""
+    rel = events_relation(spark, sf_dir)
+    return flatten_labels(tsdb_ops.query_range_rows(rel, "purchase", [], EV_START, EV_END, SEG))
+
+
+TSDB_RANGE_ROWS_SQL = f"""{_REL}
+SELECT metric, user, k, ts, value FROM rel
+WHERE metric = 'purchase' AND {_TIME}
+"""
+
+
+# --------------------------------------------------------------------- Q-F2
+def tsdb_eq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality label matcher (F2) on top of the metric predicate."""
+    rel = events_relation(spark, sf_dir)
+    q = tsdb_ops.query_range_rows(rel, "purchase", [LabelMatcher("user", "12")], EV_START, EV_END, SEG)
+    return flatten_labels(q)
+
+
+TSDB_EQ_MATCH_SQL = f"""{_REL}
+SELECT metric, user, k, ts, value FROM rel
+WHERE metric = 'purchase' AND user = '12' AND {_TIME}
+"""
+
+
+# --------------------------------------------------------------------- Q-F3
+def tsdb_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored regex matcher on __name__ (F3/F4), metric-as-label (F12)."""
+    rel = events_relation(spark, sf_dir)
+    q = tsdb_ops.query_range_rows(
+        rel, None, [LabelMatcher("__name__", "pur.*|click", is_regex=True)], EV_START, EV_END, SEG
+    )
+    return flatten_labels(q)
+
+
+TSDB_REGEX_MATCH_SQL = f"""{_REL}
+SELECT metric, user, k, ts, value FROM rel
+WHERE regexp_matches(metric, '^(?:pur.*|click)$') AND {_TIME}
+"""
+
+
+# --------------------------------------------------------------------- Q-F5
+def tsdb_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunction of regex + equality matchers (F5/F6), mirroring
+    tsdb_test.go:114-118's matcher mix."""
+    rel = events_relation(spark, sf_dir)
+    q = tsdb_ops.query_range_rows(
+        rel,
+        None,
+        [
+            LabelMatcher("__name__", "p.*|error", is_regex=True),
+            LabelMatcher("user", "7"),
+            LabelMatcher("k", "1.*", is_regex=True),
+        ],
+        EV_START,
+        EV_END,
+        SEG,
+    )
+    return flatten_labels(q)
+
+
+TSDB_CONJUNCTION_SQL = f"""{_REL}
+SELECT metric, user, k, ts, value FROM rel
+WHERE regexp_matches(metric, '^(?:p.*|error)$')
+  AND user = '7'
+  AND regexp_matches(k, '^(?:1.*)$')
+  AND {_TIME}
+"""
+
+
+# ---------------------------------------------------------------- Q-A1 / O1
+def tsdb_series_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series merge (A1): runs the engine's query_range (point arrays,
+    time-sorted) and derives per-series stats from the arrays — proving the
+    sorted-array output against the oracle's plain GROUP BY."""
+    rel = events_relation(spark, sf_dir)
+    qr = tsdb_ops.query_range(rel, "purchase", [], EV_START, EV_END, SEG)
+    return flatten_labels(
+        qr.select(
+            F.col("labels"),
+            F.size("points").cast("long").alias("n_points"),
+            F.element_at("points", 1)["ts"].alias("min_ts"),
+            F.element_at("points", -1)["ts"].alias("max_ts"),
+            F.round(
+                F.aggregate("points", F.lit(0.0), lambda acc, p: acc + p["value"]), 2
+            ).alias("sum_value"),
+        )
+    )
+
+
+TSDB_SERIES_AGG_SQL = f"""{_REL}
+SELECT metric, user, k,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value
+FROM rel
+WHERE metric = 'purchase' AND {_TIME}
+GROUP BY metric, user, k
+"""
+
+
+# --------------------------------------------------------------------- Q-A2
+def tsdb_distinct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct matched series (A2), regex + equality like tsdb_test.go:92-121."""
+    rel = events_relation(spark, sf_dir)
+    q = tsdb_ops.query_series(
+        rel, [LabelMatcher("__name__", "pur.*|view", is_regex=True)], EV_START, EV_END, SEG
+    )
+    return flatten_labels(q)
+
+
+TSDB_DISTINCT_SERIES_SQL = f"""{_REL}
+SELECT DISTINCT metric, user, k FROM rel
+WHERE regexp_matches(metric, '^(?:pur.*|view)$') AND {_TIME}
+"""
+
+
+# ---------------------------------------------------------------- Q-A3 / O3
+def tsdb_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted distinct label values (A3) with exact time filtering."""
+    rel = events_relation(spark, sf_dir)
+    return tsdb_ops.query_label_values(rel, "user", EV_START, EV_END, None, SEG)
+
+
+TSDB_LABEL_VALUES_SQL = f"""{_REL}
+SELECT DISTINCT user AS value FROM rel
+WHERE {_TIME}
+ORDER BY value
+"""
+
+
+# ---------------------------------------------------------------- Q-T1 / A6
+def tsdb_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 2h segment stats (T1 bucketing + A6 Desc stats)."""
+    rel = events_relation(spark, sf_dir)
+    return (
+        rel.filter(F.col("ts").between(EV_START, EV_END))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("series_key").alias("n_series"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+TSDB_BUCKET_STATS_SQL = f"""{_REL}
+SELECT CAST(floor(ts / {SEG}.0) AS BIGINT) AS seg,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT metric || '|' || user || '|' || k) AS BIGINT) AS n_series,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts
+FROM rel
+WHERE {_TIME}
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- Q-T5
+def tsdb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention predicate (T5): per metric, rows within 7d of the global max
+    ts — the data-relative form of ``removeExpires`` (tsdb.go:384-406)."""
+    rel = events_relation(spark, sf_dir)
+    cutoff = rel.agg((F.max("ts") - F.lit(7 * 86400)).alias("cutoff"))
+    return (
+        rel.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .groupBy(F.col("labels").getItem("__name__").alias("metric"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.min("ts").alias("min_ts"))
+    )
+
+
+TSDB_RETENTION_SQL = f"""{_REL}
+SELECT metric, CAST(count(*) AS BIGINT) AS n_rows, min(ts) AS min_ts
+FROM rel
+WHERE ts >= (SELECT max(ts) - {7 * 86400} FROM rel)
+GROUP BY metric
+"""
+
+
+# ------------------------------------------------------- beyond-reference ops
+def tsdb_latest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest sample per series (instant-vector lookup — the PromQL-style op
+    the reference lacks), deterministic via (ts, event_id) ordering."""
+    ev = events_base(spark, sf_dir)
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.filter(F.col("ts").between(EV_START, EV_END))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("metric"),
+            F.col("user_id").cast("string").alias("user"),
+            "ts",
+            "value",
+        )
+    )
+
+
+TSDB_LATEST_POINT_SQL = f"""{_REL}
+SELECT metric, user, ts, value FROM (
+    SELECT metric, user, ts, value,
+           row_number() OVER (PARTITION BY metric, user ORDER BY ts DESC, event_id DESC) AS rn
+    FROM (SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS user,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts, value, event_id
+          FROM events)
+    WHERE {_TIME}
+) WHERE rn = 1
+"""
+
+
+def tsdb_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series sample delta (counter-rate building block), ordered by
+    (ts, event_id) for determinism."""
+    ev = events_base(spark, sf_dir)
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter((F.col("event_type") == "purchase") & F.col("ts").between(EV_START, EV_END))
+        .withColumn("delta", F.round(F.col("value") - F.lag("value").over(w), 4))
+        .filter(F.col("delta").isNotNull())
+        .select(
+            F.col("event_id"),
+            F.col("user_id").cast("string").alias("user"),
+            "ts",
+            "delta",
+        )
+    )
+
+
+TSDB_RATE_SQL = f"""
+SELECT event_id, user, ts, delta FROM (
+    SELECT event_id, CAST(user_id AS VARCHAR) AS user,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+           round(value - lag(value) OVER (PARTITION BY event_type, user_id
+                                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id), 4) AS delta
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN {EV_START} AND {EV_END}
+)
+WHERE delta IS NOT NULL
+"""
+
+QUERIES = {
+    "tsdb_range_rows": tsdb_range_rows,
+    "tsdb_eq_match": tsdb_eq_match,
+    "tsdb_regex_match": tsdb_regex_match,
+    "tsdb_conjunction": tsdb_conjunction,
+    "tsdb_series_agg": tsdb_series_agg,
+    "tsdb_distinct_series": tsdb_distinct_series,
+    "tsdb_label_values": tsdb_label_values,
+    "tsdb_bucket_stats": tsdb_bucket_stats,
+    "tsdb_retention": tsdb_retention,
+    "tsdb_latest_point": tsdb_latest_point,
+    "tsdb_rate": tsdb_rate,
+}
+
+ORACLES = {
+    "tsdb_range_rows": TSDB_RANGE_ROWS_SQL,
+    "tsdb_eq_match": TSDB_EQ_MATCH_SQL,
+    "tsdb_regex_match": TSDB_REGEX_MATCH_SQL,
+    "tsdb_conjunction": TSDB_CONJUNCTION_SQL,
+    "tsdb_series_agg": TSDB_SERIES_AGG_SQL,
+    "tsdb_distinct_series": TSDB_DISTINCT_SERIES_SQL,
+    "tsdb_label_values": TSDB_LABEL_VALUES_SQL,
+    "tsdb_bucket_stats": TSDB_BUCKET_STATS_SQL,
+    "tsdb_retention": TSDB_RETENTION_SQL,
+    "tsdb_latest_point": TSDB_LATEST_POINT_SQL,
+    "tsdb_rate": TSDB_RATE_SQL,
+}

@@ -50,9 +50,21 @@ def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
 def shingle_sets(df: DataFrame, id_col: str, text_col: str,
                  length: int = SHINGLE_LEN, stride: int = SHINGLE_STRIDE) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation used by both
-    MinHash signatures and exact Jaccard verification."""
+    MinHash signatures and exact Jaccard verification.
+
+    Positions are exploded first and the substring runs as a plain scalar
+    expression (whole-stage codegen); the higher-order ``transform`` form
+    is ~4× slower because lambda functions are interpreted per element.
+    The explode is narrow — only the final (id, shingle) projection
+    shuffles, for the distinct.
+    """
+    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("__lt") - F.lit(length - 1), F.lit(1)), F.lit(stride)
+    )
     return (
-        df.select(F.col(id_col), F.explode(char_shingles(F.lower(F.col(text_col)), length, stride)).alias("sh"))
+        lowered.select(F.col(id_col), F.col("__lt"), F.explode(positions).alias("__p"))
+        .select(F.col(id_col), F.expr(f"substring(__lt, __p, {length})").alias("sh"))
         .distinct()
     )
 
@@ -88,8 +100,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
             for b in range(n_bands)
         ]
     )
-    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("e")).select(
-        F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    # Persisted: both sides of the self-join read this table; without it the
+    # whole signature aggregation runs twice.
+    exploded = (
+        signatures.select(F.col(id_col), F.explode(bands).alias("e"))
+        .select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+        .persist()
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -134,8 +150,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5,
                       n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → minhash → LSH → verified
-    Jaccard pairs (id_a < id_b, jaccard >= threshold)."""
-    sh = shingle_sets(df, id_col, text_col)
+    Jaccard pairs (id_a < id_b, jaccard >= threshold).
+
+    The shingle set feeds both the signature stage and the verify stage;
+    it is persisted so the expensive explode+distinct runs once (at
+    cluster scale this would be a checkpointed intermediate table).
+    """
+    sh = shingle_sets(df, id_col, text_col).persist()
     sigs = minhash_signatures(sh, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
     return jaccard_verify(cands, sh, id_col, threshold)

@@ -45,12 +45,19 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame, k: i
     scan computes cosines map-side, and orderBy+limit plans as a partial
     per-partition top-k with a final merge on the driver — no shuffle.
     Ordering is total: (rounded cosine desc, id) so ties are deterministic.
+
+    The query's norm is folded into the broadcast side so the per-row work
+    is exactly one dot product + one sqrt (higher-order array functions are
+    interpreted, not codegen'd — every avoided aggregate counts).
     """
+    qn = query.select(F.col("qe"), norm(F.col("qe")).alias("qnorm"))
     return (
-        df.crossJoin(F.broadcast(query))
+        df.crossJoin(F.broadcast(qn))
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("qe")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), F.col("qe")) / (norm(F.col(vec_col)) * F.col("qnorm")), 4
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -65,16 +72,26 @@ def grouped_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, bucket_col: 
     LSH/IVF assignment so each join group stays small; here the testdata's
     ``label`` column plays that role.
     """
-    left = df.select(
-        F.col(bucket_col).alias("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    # Norms computed once per row before the join — after the join each
+    # pair costs exactly one dot product.
+    base = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
-    right = df.select(
-        F.col(bucket_col).alias("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    left = base.select(
+        F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    right = base.select(
+        F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "cos_sim", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+        )
         .filter(F.col("cos_sim") >= F.lit(threshold))
         .select("bucket", "id_a", "id_b", "cos_sim")
     )

@@ -93,25 +93,24 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document.
 
     Each token votes ±1 on each bit; bit j's vote is derived from the j-th
-    hex digit of md5(token) (≥'8' → +1).  Wholly expression-based: explode →
-    single groupBy with 16 conditional sums → bit-pack.  One shuffle on id.
+    hex digit of md5(token) (≥'8' → +1).  Computed entirely row-wise over
+    the token array (md5 once per token, then 16 filtered counts) — NO
+    explode, NO shuffle: at 100 TB the naive explode→groupBy version
+    shuffles the whole tokenized corpus, this version shuffles nothing.
     """
-    hexdig = "89abcdef"
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).withColumn(
-        "h", F.md5(F.col("tok"))
+    hexhigh = list("89abcdef")
+    # Two-step projection: hashes materialized once (CollapseProject keeps
+    # the boundary because the inner expression is non-cheap), bits read it.
+    with_h = df.select(
+        F.col(id_col), F.transform(tokens(F.col(text_col)), lambda t: F.md5(t)).alias("hs")
     )
-    bit_sums = [
-        F.sum(
-            F.when(F.substring("h", j + 1, 1).isin(*list(hexdig)), 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(16)
-    ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
-    fp = None
+    n = F.size(F.col("hs"))
+    fp = F.lit(0)
     for j in range(16):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+        # sum of ±1 votes = 2 * |high-digit tokens| - n ; bit set iff > 0.
+        hi = F.size(F.filter(F.col("hs"), lambda h: F.substring(h, j + 1, 1).isin(*hexhigh)))
+        fp = fp + F.when(hi * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return with_h.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
 def simhash16_sql(table: str, id_col: str, text_col: str) -> str:

@@ -81,9 +81,38 @@ def events_tsdb_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def events_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical TSDB relation (labels/ts/value/series_key/seg) from events."""
-    return canonicalize(events_tsdb_rows(spark, sf_dir), SEG)
+def events_relation(
+    spark: SparkSession, sf_dir: str, start: int | None = None, end: int | None = None
+) -> DataFrame:
+    """Canonical TSDB relation (labels/ts/value/series_key/seg) from events.
+
+    Built for pushdown: the labels map is a single ``create_map`` with
+    literal keys, which Catalyst's ``SimplifyExtractValueOps`` collapses —
+    ``labels['__name__'] = 'x'`` becomes ``event_type = 'x'``, a predicate
+    the Parquet scan can take (and unused label values, e.g. the
+    regexp_extract for ``k``, are never computed at all).  The optional
+    [start, end] second-window is applied to the *raw nanosecond* column
+    before conversion so it reaches the scan as a pushable range predicate
+    — the engine re-applies the exact second-level filter afterwards.
+    """
+    from ..model import seg_bucket, series_key
+
+    ev = load(spark, sf_dir, "events")
+    if start is not None and end is not None:
+        ev = ev.filter(F.col("ts").between(start * 1_000_000_000, (end + 1) * 1_000_000_000 - 1))
+    ev = ev.withColumn("ts", F.expr("ts DIV 1000000000"))
+    labels = F.create_map(
+        F.lit("__name__"), F.col("event_type"),
+        F.lit("k"), F.regexp_extract(F.col("props"), "[0-9]+", 0),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        labels.alias("labels"),
+        F.col("ts"),
+        F.col("value"),
+        series_key(labels).alias("series_key"),
+        seg_bucket(F.col("ts"), SEG).alias("seg"),
+    )
 
 
 def flatten_labels(df: DataFrame) -> DataFrame:

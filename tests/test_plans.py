@@ -1,0 +1,92 @@
+"""Plan-regression tests: the scale-critical physical-plan properties.
+
+These assert on ``explain`` output, not results — locking in that the
+engine's 100 TB posture (pushdown, partition pruning, broadcast, codegen)
+can't silently regress.  SURVEY.md §4 is the contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mandodb_spark import TSDB, LabelMatcher
+from mandodb_spark.workloads.tpch import tpch_q3, tpch_q5
+from mandodb_spark.workloads.tsdb_queries import tsdb_range_rows
+
+START = 1_700_000_000
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_events_adapter_pushes_time_and_metric(spark):
+    """The events→TSDB adapter must push the raw-nanos time range AND the
+    metric equality into the Parquet scan."""
+    plan = _formatted(tsdb_range_rows(spark, "/root/testdata/sf0.001"))
+    assert "GreaterThanOrEqual(ts," in plan
+    assert "LessThanOrEqual(ts," in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_store_query_prunes_partitions(spark, tmp_path_factory):
+    """A time-bounded query against the segment store must prune segment
+    partitions (PartitionFilters on seg), not just filter rows."""
+    path = str(tmp_path_factory.mktemp("plan") / "store")
+    db = TSDB(spark, path)
+    db.insert_rows(
+        [("m", {"a": "1"}, START + i * 3600, float(i)) for i in range(12)]  # 6 segments
+    )
+    df = db.query_range_rows("m", [], START, START + 3600)
+    plan = _formatted(df)
+    assert "PartitionFilters" in plan
+    assert "seg" in plan.split("PartitionFilters", 1)[1][:400]
+    # and the ts bounds land in PushedFilters for row-group skipping
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "GreaterThanOrEqual(ts," in pushed
+
+
+def test_regex_fast_path_emits_pushable_literal(spark, tmp_path_factory):
+    """A prefix regex must add a StartsWith conjunct that reaches the scan."""
+    path = str(tmp_path_factory.mktemp("plan") / "store2")
+    db = TSDB(spark, path)
+    db.insert_rows([("m", {"node": "vm1"}, START, 1.0)])
+    df = db.query_range_rows("m", [LabelMatcher("node", "vm.*", is_regex=True)], START, START + 10)
+    plan = _plan(df)
+    assert "StartsWith" in plan
+
+
+def test_tpch_dimension_joins_are_broadcast(spark):
+    """Q3/Q5 must broadcast every dimension; only the fact-fact join may
+    shuffle."""
+    for q in (tpch_q3, tpch_q5):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastHashJoin" in plan
+
+
+def test_query_range_is_partial_final_aggregate(spark, tmp_path_factory):
+    """The per-series merge must plan as ObjectHashAggregate partial+final
+    (the reference's two-phase merge, tsdb.go:295-321) — not a sort-based
+    fallback over the whole relation."""
+    path = str(tmp_path_factory.mktemp("plan") / "store3")
+    db = TSDB(spark, path)
+    db.insert_rows([("m", {"a": "1"}, START + i, float(i)) for i in range(10)])
+    plan = _plan(db.query_range("m", [], START, START + 100))
+    assert "ObjectHashAggregate" in plan or "HashAggregate" in plan
+
+
+def test_scan_is_column_pruned_for_label_values(spark):
+    """query_label_values over the adapter must not read the value column
+    (column pruning through the map projection)."""
+    from mandodb_spark.operators.tsdb_ops import query_label_values
+    from mandodb_spark.workloads.common import events_relation
+
+    rel = events_relation(spark, "/root/testdata/sf0.001")
+    plan = _formatted(query_label_values(rel, "user", START, 2_000_000_000))
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "value" not in read_schema
+    assert "props" not in read_schema  # unused label k is never computed

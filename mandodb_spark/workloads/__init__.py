@@ -5,10 +5,11 @@ contract), tools/oracle_check.py, and bench.py."""
 
 from __future__ import annotations
 
-from . import docs, embeddings_q, events_q, multimodal_q, tpch, tsdb_queries
+from . import docs, embeddings_q, events_q, multimodal_q, promql_q, tpch, tsdb_queries
 
 QUERIES = {
     **tsdb_queries.QUERIES,
+    **promql_q.QUERIES,
     **tpch.QUERIES,
     **docs.QUERIES,
     **embeddings_q.QUERIES,
@@ -18,6 +19,7 @@ QUERIES = {
 
 ORACLES = {
     **tsdb_queries.ORACLES,
+    **promql_q.ORACLES,
     **tpch.ORACLES,
     **docs.ORACLES,
     **embeddings_q.ORACLES,

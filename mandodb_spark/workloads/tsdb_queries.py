@@ -303,3 +303,35 @@ ORACLES = {
     "tsdb_latest_point": TSDB_LATEST_POINT_SQL,
     "tsdb_rate": TSDB_RATE_SQL,
 }
+
+
+def tsdb_regex_via_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same matcher set as tsdb_regex_match but planned through the
+    regex-over-distinct-values semi-join strategy (A4 + §4's second regex
+    optimization) — the oracle is identical, proving plan equivalence."""
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
+    q = tsdb_ops.query_range_rows(
+        rel, None, [LabelMatcher("__name__", "pur.*|click", is_regex=True)],
+        EV_START, EV_END, SEG, regex_via_dim=True,
+    )
+    return flatten_labels(q)
+
+
+def tsdb_label_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The label-value registry relation (A4, label.go:40-77)."""
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
+    return tsdb_ops.label_values_dim(rel.filter(F.col("ts").between(EV_START, EV_END)))
+
+
+TSDB_LABEL_DIM_SQL = f"""{_REL}
+SELECT '__name__' AS name, metric AS value FROM rel WHERE {_TIME}
+UNION
+SELECT 'user' AS name, user AS value FROM rel WHERE {_TIME}
+UNION
+SELECT 'k' AS name, k AS value FROM rel WHERE {_TIME}
+"""
+
+QUERIES["tsdb_regex_via_dim"] = tsdb_regex_via_dim
+QUERIES["tsdb_label_dim"] = tsdb_label_dim
+ORACLES["tsdb_regex_via_dim"] = TSDB_REGEX_MATCH_SQL
+ORACLES["tsdb_label_dim"] = TSDB_LABEL_DIM_SQL

@@ -1,0 +1,90 @@
+"""Tests for the PromQL-style function layer on hand-built fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandodb_spark import ROW_SCHEMA
+from mandodb_spark.functions import promql
+from mandodb_spark.model import canonicalize
+
+START = 1_700_000_000
+
+
+@pytest.fixture(scope="module")
+def rel(spark):
+    rows = [
+        # counter series with a reset at t=180 (100 -> 10)
+        ("reqs", {"node": "a"}, START, 100.0),
+        ("reqs", {"node": "a"}, START + 60, 160.0),
+        ("reqs", {"node": "a"}, START + 120, 220.0),
+        ("reqs", {"node": "a"}, START + 180, 10.0),
+        ("reqs", {"node": "a"}, START + 240, 70.0),
+        # second series, monotone
+        ("reqs", {"node": "b"}, START, 0.0),
+        ("reqs", {"node": "b"}, START + 240, 480.0),
+        # gauge
+        ("temp", {"node": "a"}, START, 20.0),
+        ("temp", {"node": "a"}, START + 120, 26.0),
+    ]
+    return canonicalize(
+        spark.createDataFrame(rows, ROW_SCHEMA)
+    )
+
+
+def _by_node(df):
+    return {r.labels["node"]: r.value for r in df.collect() if r.labels["__name__"] == "reqs"}
+
+
+def test_increase_handles_counter_reset(rel):
+    out = _by_node(promql.increase(rel, START, START + 240))
+    # a: +60 +60 then reset to 10 (counts as +10) then +60 = 190
+    assert out["a"] == pytest.approx(190.0)
+    assert out["b"] == pytest.approx(480.0)
+
+
+def test_rate_is_increase_over_span(rel):
+    out = _by_node(promql.rate(rel, START, START + 240))
+    assert out["a"] == pytest.approx(190.0 / 240.0)
+    assert out["b"] == pytest.approx(480.0 / 240.0)
+
+
+def test_delta_gauge(rel):
+    out = {r.labels["__name__"]: r.value for r in promql.delta(rel, START, START + 240).collect()
+           if r.labels["node"] == "a"}
+    assert out["temp"] == pytest.approx(6.0)
+    assert out["reqs"] == pytest.approx(-30.0)  # last 70 - first 100
+
+
+def test_instant_latest_within_lookback(rel):
+    out = promql.instant(rel, START + 250, lookback=300).collect()
+    vals = {(r.labels["__name__"], r.labels["node"]): (r.ts, r.value) for r in out}
+    assert vals[("reqs", "a")] == (START + 240, 70.0)
+    assert vals[("temp", "a")] == (START + 120, 26.0)
+    # nothing within lookback → series absent
+    assert promql.instant(rel, START + 10_000, lookback=60).count() == 0
+
+
+def test_over_time_windows(rel):
+    out = promql.over_time(rel, "avg", START, START + 240, step=120)
+    rows = [
+        (r.window_start, r.value)
+        for r in out.collect()
+        if r.labels["__name__"] == "reqs" and r.labels["node"] == "a"
+    ]
+    rows.sort()
+    # windows: [START,+120): 100,160 → 130 ; [+120,+240): 220,10 → 115 ; [+240,..): 70
+    assert rows == [
+        (START, pytest.approx(130.0)),
+        (START + 120, pytest.approx(115.0)),
+        (START + 240, pytest.approx(70.0)),
+    ]
+
+
+def test_agg_by_label_subset(rel):
+    vec = promql.instant(rel.filter(F.col("labels")["__name__"] == "reqs"), START + 240)
+    out = promql.agg_by(vec, "sum", ["__name__"]).collect()
+    assert len(out) == 1
+    assert out[0].labels == {"__name__": "reqs"}
+    assert out[0].value == pytest.approx(70.0 + 480.0)

@@ -102,6 +102,16 @@ class TSDB:
         """The label-value registry (A4, label.go:40-77) as a relation."""
         return tsdb_ops.label_values_dim(self.store.relation())
 
+    # ------------------------------------------------------------ SQL surface
+    def create_views(self, prefix: str = "tsdb") -> None:
+        """Register the store as SQL temp views: ``<prefix>_samples`` (the
+        canonical relation) and ``<prefix>_labels`` (the A4 dimension) —
+        the open ``spark.sql`` surface the reference never had.
+        """
+        rel = self.store.relation()
+        rel.createOrReplaceTempView(f"{prefix}_samples")
+        tsdb_ops.label_values_dim(rel).createOrReplaceTempView(f"{prefix}_labels")
+
     # ----------------------------------------------------------- maintenance
     def remove_expires(self, now_ts: int | None = None) -> list[int]:
         """Retention purge (tsdb.go:384-406); returns dropped segment ids."""

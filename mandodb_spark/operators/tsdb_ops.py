@@ -121,6 +121,7 @@ def query_range(
     end: int,
     segment_duration: int = DEFAULT_SEGMENT_DURATION,
     regex_via_dim: bool = False,
+    salt_partitions: int = 1,
 ) -> DataFrame:
     """QueryRange (tsdb.go:278-293): per-series time-sorted point arrays.
 
@@ -137,6 +138,29 @@ def query_range(
     flt = _filtered(df, metric, matchers, start, end, segment_duration, regex_via_dim)
     if "series_key" not in flt.columns:
         flt = flt.withColumn("series_key", series_key(F.col("labels")))
+    if salt_partitions > 1:
+        # Skew path: a monster series (one key holding a large fraction of
+        # rows) would funnel into a single reducer.  Salting splits each
+        # series into deterministic sub-groups (pmod(ts, salt)), collects
+        # sub-arrays in parallel, then flattens+sorts in a second, much
+        # smaller aggregation — the classic two-phase skew mitigation,
+        # exact same output.
+        partial = (
+            flt.withColumn("__salt", F.pmod(F.col("ts"), F.lit(salt_partitions)))
+            .groupBy("series_key", "__salt")
+            .agg(
+                F.any_value(F.col("labels")).alias("labels"),
+                F.collect_list(F.struct(F.col("ts"), F.col("value"))).alias("chunk"),
+            )
+        )
+        return (
+            partial.groupBy("series_key")
+            .agg(
+                F.any_value(F.col("labels")).alias("labels"),
+                F.array_sort(F.flatten(F.collect_list(F.col("chunk")))).alias("points"),
+            )
+            .select("labels", "points")
+        )
     return (
         flt.groupBy("series_key")
         .agg(

@@ -44,11 +44,28 @@ class SegmentStore:
         root: str,
         segment_duration: int = DEFAULT_SEGMENT_DURATION,
         codec: str = "zstd",
+        bloom_filter_series: bool = False,
+        max_records_per_file: int | None = None,
     ) -> None:
+        """``bloom_filter_series`` writes a Parquet bloom filter on
+        ``series_key`` — the optional stand-in for the reference's
+        label→sid posting lists (index.go:170-186, F7) for point-lookup
+        workloads.  ``max_records_per_file`` bounds file size at high
+        ingest rates (spill-aware layout control)."""
         self.spark = spark
         self.root = str(root)
         self.segment_duration = segment_duration
         self.codec = codec
+        self.bloom_filter_series = bloom_filter_series
+        self.max_records_per_file = max_records_per_file
+
+    def _write_options(self, writer):
+        writer = writer.option("compression", self.codec)
+        if self.bloom_filter_series:
+            writer = writer.option("parquet.bloom.filter.enabled#series_key", "true")
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
+        return writer
 
     # ---------------------------------------------------------------- write
     def append(self, rows: DataFrame) -> None:
@@ -62,14 +79,10 @@ class SegmentStore:
         sidecar needed.
         """
         batch = canonicalize(rows, self.segment_duration)
-        (
-            batch.repartition(F.col("seg"))
-            .sortWithinPartitions("series_key", "ts")
-            .write.option("compression", self.codec)
-            .partitionBy("seg")
-            .mode("append")
-            .parquet(self.root)
+        writer = self._write_options(
+            batch.repartition(F.col("seg")).sortWithinPartitions("series_key", "ts").write
         )
+        writer.partitionBy("seg").mode("append").parquet(self.root)
 
     def insert_pylist(self, rows: list[tuple]) -> None:
         """Convenience for tests: list of (metric, labels, ts, value) tuples."""
@@ -131,14 +144,10 @@ class SegmentStore:
         with_dpo = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            (
-                df.repartition(F.col("seg"))
-                .sortWithinPartitions("series_key", "ts")
-                .write.option("compression", self.codec)
-                .partitionBy("seg")
-                .mode("overwrite")
-                .parquet(self.root)
+            writer = self._write_options(
+                df.repartition(F.col("seg")).sortWithinPartitions("series_key", "ts").write
             )
+            writer.partitionBy("seg").mode("overwrite").parquet(self.root)
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dpo)
 

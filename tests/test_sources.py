@@ -1,0 +1,91 @@
+"""Tests for ingestion adapters, SQL views, salted query_range, and the
+storage tuning knobs."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandodb_spark import TSDB, LabelMatcher
+from mandodb_spark.sources import loaders
+from mandodb_spark.sources.segment_store import SegmentStore
+
+START = 1_700_000_000
+
+
+def test_jsonl_loader_roundtrip(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("jsonl")
+    lines = [
+        {"metric": "cpu", "labels": {"node": "a"}, "ts": START, "value": 1.5},
+        {"metric": "cpu", "labels": {"node": "b"}, "ts": START + 60, "value": 2.5},
+    ]
+    (base / "rows.jsonl").write_text("\n".join(json.dumps(x) for x in lines))
+    rows = loaders.rows_from_jsonl(spark, str(base))
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows(rows)
+    out = db.query_range_rows("cpu", [], START, START + 100).orderBy("ts").collect()
+    assert [(r.labels["node"], r.value) for r in out] == [("a", 1.5), ("b", 2.5)]
+
+
+def test_flat_loader_prometheus_shape(spark):
+    df = spark.createDataFrame(
+        [("up", "vm0", None, START, 1.0), ("up", "vm1", "sh", START, 0.0)],
+        "__name__ string, node string, dc string, ts long, value double",
+    )
+    rows = loaders.rows_from_flat(df).collect()
+    by_node = {r.labels["node"]: r for r in rows}
+    assert by_node["vm0"].metric == "up"
+    assert "dc" not in by_node["vm0"].labels       # null label dropped
+    assert by_node["vm1"].labels["dc"] == "sh"
+
+
+def test_csv_loader(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("csv")
+    (base / "rows.csv").write_text(
+        "metric,ts,value,node,dc\ncpu,1700000000,1.0,vm0,sh\ncpu,1700000060,2.0,vm1,\n"
+    )
+    rows = loaders.rows_from_csv(spark, str(base), ["node", "dc"]).collect()
+    assert len(rows) == 2
+    assert {r.labels["node"] for r in rows} == {"vm0", "vm1"}
+
+
+def test_sql_views(spark):
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows([("cpu", {"node": "a"}, START, 1.0), ("cpu", {"node": "b"}, START, 2.0)])
+    db.create_views("t1")
+    total = spark.sql("SELECT sum(value) AS s FROM t1_samples WHERE labels['node'] = 'b'").first().s
+    assert total == 2.0
+    labels = spark.sql("SELECT count(*) AS n FROM t1_labels WHERE name = 'node'").first().n
+    assert labels == 2
+
+
+def test_salted_query_range_equals_unsalted(spark):
+    db = TSDB(spark, None, only_memory=True)
+    rows = [("m", {"hot": "series"}, START + i, float(i)) for i in range(200)]
+    rows += [("m", {"cold": "x"}, START + 5, 99.0)]
+    db.insert_rows(rows)
+    from mandodb_spark.operators import tsdb_ops
+
+    rel = db.store.relation()
+    plain = tsdb_ops.query_range(rel, "m", [], START, START + 500).collect()
+    salted = tsdb_ops.query_range(rel, "m", [], START, START + 500, salt_partitions=8).collect()
+    key = lambda r: sorted(r.labels.items())
+    plain.sort(key=key)
+    salted.sort(key=key)
+    assert len(plain) == len(salted) == 2
+    for a, b in zip(plain, salted):
+        assert a.labels == b.labels
+        assert [(p.ts, p.value) for p in a.points] == [(p.ts, p.value) for p in b.points]
+
+
+def test_storage_knobs_write_and_read_back(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("knobs") / "s")
+    store = SegmentStore(spark, path, bloom_filter_series=True, max_records_per_file=50)
+    store.insert_pylist([("m", {"i": str(i % 7)}, START + i, float(i)) for i in range(300)])
+    from pathlib import Path
+
+    files = list(Path(path).glob("seg=*/*.parquet"))
+    assert len(files) >= 6  # 300 rows / 50 per file
+    assert store.relation().count() == 300

@@ -93,3 +93,43 @@ ORACLES = {
     "emb_label_centroids": EMB_LABEL_CENTROIDS_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_PAIRS_SQL,
 }
+
+
+def emb_ann_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment (the ANN scale path): bucket ids are
+    derived from md5-seeded deterministic hyperplanes, so the oracle can
+    reproduce them exactly in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = similarity.hyperplane_bucket(F.col("embedding"), dim=64, n_planes=6)
+    return (
+        emb.select(b.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+def _ann_bucket_sql() -> str:
+    import hashlib
+
+    plane_terms = []
+    for p in range(6):
+        signs = [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest(), 16) % 2 else -1
+            for d in range(64)
+        ]
+        proj = " + ".join(
+            f"({s} * CAST(embedding[{d + 1}] AS DOUBLE))" for d, s in enumerate(signs)
+        )
+        plane_terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(plane_terms)
+    return f"""
+SELECT CAST({bucket} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings
+GROUP BY 1
+"""
+
+
+EMB_ANN_BUCKET_SIZES_SQL = _ann_bucket_sql()
+
+QUERIES["emb_ann_bucket_sizes"] = emb_ann_bucket_sizes
+ORACLES["emb_ann_bucket_sizes"] = EMB_ANN_BUCKET_SIZES_SQL

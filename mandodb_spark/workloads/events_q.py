@@ -158,3 +158,17 @@ ORACLES = {
     "events_topk_users": EVENTS_TOPK_USERS_SQL,
     "events_asof_click": EVENTS_ASOF_CLICK_SQL,
 }
+
+
+def events_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch cardinality per event type (approx_count_distinct) —
+    deliberately NO oracle entry: sketch estimates are engine-specific, so
+    the driver records the weaker rows-only check for this one."""
+    ev = events_base(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+QUERIES["events_user_cardinality_approx"] = events_user_cardinality_approx

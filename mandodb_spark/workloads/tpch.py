@@ -176,18 +176,312 @@ GROUP BY o_orderstatus
 """
 
 
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: order-priority checking — EXISTS rewritten as a left-semi
+    join (the shipdate>orderdate conjunct rides the join condition, so the
+    probe side never materializes matched lineitems)."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-07-01")) & (F.to_date("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (F.to_date(li.l_shipdate) > F.to_date(orders.o_orderdate)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+GROUP BY o_orderpriority
+"""
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item reporting — revenue lost to returns per
+    customer, top 20.  customer+nation broadcast; one shuffle on orderkey."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01")) & (F.to_date("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            # round(.,1): a sum landing exactly on a .xx5 boundary rounds
+            # differently per engine at round(.,2) (hit at sf0.01)
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("revenue"),
+            F.round(F.first("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 1) AS revenue,
+       round(CAST(any_value(c_acctbal) AS DOUBLE), 2) AS c_acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — LEFT OUTER join
+    (customers with zero orders must survive) + two-level aggregation."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(~F.col("o_orderpriority").startswith("4"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND NOT starts_with(o_orderpriority, '4')
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+"""
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion effect — conditional aggregation over a
+    broadcast part join (promo revenue share of one ship-month)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-03-01")) & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT round(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END)
+                  / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+"""
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers — HAVING over a grouped subquery,
+    re-joined to orders/customer (the classic agg→semi pattern)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice, sum_qty
+FROM (SELECT l_orderkey, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(CAST(sum(l_quantity) AS DOUBLE), 2) > 150) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: discounted revenue — OR of conjunctive brand/size/qty
+    bands; one broadcast join, predicate stays in whole-stage codegen."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 20) & F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#5") & (F.col("p_size").between(1, 30) & F.col("l_quantity").between(20, 35)))
+    )
+    return j.filter(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: global sales opportunity — scalar subquery (avg acctbal)
+    broadcast as a 1-row cross join + LEFT ANTI join against orders."""
+    cust = load(spark, sf_dir, "customer")
+    # "no recent orders" (2000+) — every customer has *some* order at the
+    # test SFs, so an unrestricted anti-join would be vacuously empty
+    orders = load(spark, sf_dir, "orders").filter(F.to_date("o_orderdate") >= F.lit("2000-01-01"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+TPCH_Q22_SQL = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def tpch_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (absent in the reference, free in Spark): top-3
+    customers per market segment by lifetime order value — join → agg →
+    row_number over a partitioned window."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    totals = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("lifetime_value").desc(), F.col("c_custkey"))
+    return totals.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+TPCH_WINDOW_RANK_SQL = """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey,
+         round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS lifetime_value,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY round(CAST(sum(o_totalprice) AS DOUBLE), 2) DESC, c_custkey) AS INT) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey
+) WHERE rk <= 3
+"""
+
+
+def tpch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (absent in the reference): pricing summary with
+    subtotals and a grand total; NULL group keys coalesced to 'ALL' so the
+    cross-engine hash is stable."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "total_price", "n",
+        )
+    )
+
+
+TPCH_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS total_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
+    "tpch_q4": tpch_q4,
     "tpch_q6": tpch_q6,
+    "tpch_q10": tpch_q10,
+    "tpch_q13": tpch_q13,
+    "tpch_q14": tpch_q14,
+    "tpch_q18": tpch_q18,
+    "tpch_q19": tpch_q19,
+    "tpch_q22": tpch_q22,
+    "tpch_window_rank": tpch_window_rank,
+    "tpch_rollup": tpch_rollup,
     "tpch_orders_status": tpch_orders_status,
 }
 
 ORACLES = {
     "tpch_q1": TPCH_Q1_SQL,
     "tpch_q3": TPCH_Q3_SQL,
+    "tpch_q4": TPCH_Q4_SQL,
     "tpch_q5": TPCH_Q5_SQL,
     "tpch_q6": TPCH_Q6_SQL,
+    "tpch_q10": TPCH_Q10_SQL,
+    "tpch_q13": TPCH_Q13_SQL,
+    "tpch_q14": TPCH_Q14_SQL,
+    "tpch_q18": TPCH_Q18_SQL,
+    "tpch_q19": TPCH_Q19_SQL,
+    "tpch_q22": TPCH_Q22_SQL,
+    "tpch_window_rank": TPCH_WINDOW_RANK_SQL,
+    "tpch_rollup": TPCH_ROLLUP_SQL,
     "tpch_orders_status": TPCH_ORDERS_STATUS_SQL,
 }

@@ -146,6 +146,54 @@ def jaccard_verify(candidates: DataFrame, shingles: DataFrame, id_col: str,
     )
 
 
+def simhash_band_pairs(hashes: DataFrame, id_col: str, hash_col: str = "simhash",
+                       n_bits: int = 16, n_bands: int = 4, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band-LSH candidates + exact Hamming verify.
+
+    Pigeonhole guarantee: two hashes within Hamming distance d < n_bands
+    must agree on at least one band, so the band equi-join is a *lossless*
+    candidate generator for ``max_hamming <= n_bands - 1`` — no recall loss,
+    and never an O(n²) cross product.  The verify is a single JVM-side
+    ``bit_count(a XOR b)`` on candidates only.  Same shuffle shape as
+    :func:`lsh_candidate_pairs`: explode n_bands rows per doc, shuffle hash
+    join on (band, band-value) — at 100 TB the join key has ~2^bits_per_band
+    × n_bands distinct values per skew domain, so salting is not needed
+    unless one band value degenerates (e.g. all-zero hashes).
+    """
+    bits_per_band = n_bits // n_bands
+    mask = (1 << bits_per_band) - 1
+    h = F.col(hash_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(h, b * bits_per_band).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = (
+        hashes.select(F.col(id_col), h.alias("__h"), F.explode(bands).alias("e"))
+        .select(F.col(id_col), F.col("__h"), F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
+        .persist()
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5,
                       n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:

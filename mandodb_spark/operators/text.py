@@ -89,15 +89,16 @@ def bow_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
-def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash per document.
+def simhash_bits(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
+    """n-bit SimHash per document (n_bits ≤ 32 — one md5 hex digit per bit).
 
     Each token votes ±1 on each bit; bit j's vote is derived from the j-th
     hex digit of md5(token) (≥'8' → +1).  Computed entirely row-wise over
-    the token array (md5 once per token, then 16 filtered counts) — NO
+    the token array (md5 once per token, then n_bits filtered counts) — NO
     explode, NO shuffle: at 100 TB the naive explode→groupBy version
     shuffles the whole tokenized corpus, this version shuffles nothing.
     """
+    assert 1 <= n_bits <= 32
     hexhigh = list("89abcdef")
     # Two-step projection: hashes materialized once (CollapseProject keeps
     # the boundary because the inner expression is non-cheap), bits read it.
@@ -105,22 +106,27 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col), F.transform(tokens(F.col(text_col)), lambda t: F.md5(t)).alias("hs")
     )
     n = F.size(F.col("hs"))
-    fp = F.lit(0)
-    for j in range(16):
+    fp = F.lit(0).cast("long")
+    for j in range(n_bits):
         # sum of ±1 votes = 2 * |high-digit tokens| - n ; bit set iff > 0.
         hi = F.size(F.filter(F.col("hs"), lambda h: F.substring(h, j + 1, 1).isin(*hexhigh)))
-        fp = fp + F.when(hi * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = fp + F.when(hi * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return with_h.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
-def simhash16_sql(table: str, id_col: str, text_col: str) -> str:
-    """The exact ANSI-SQL mirror of :func:`simhash16` (oracle generator)."""
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document (see :func:`simhash_bits`)."""
+    return simhash_bits(df, id_col, text_col, 16)
+
+
+def simhash16_sql(table: str, id_col: str, text_col: str, n_bits: int = 16) -> str:
+    """The exact ANSI-SQL mirror of :func:`simhash_bits` (oracle generator)."""
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN substr(h, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
         f"THEN 1 ELSE -1 END) AS b{j}"
-        for j in range(16)
+        for j in range(n_bits)
     )
-    packed = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    packed = " + ".join(f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(n_bits))
     return f"""
 WITH tok AS (
     SELECT {id_col}, md5(t.tok) AS h

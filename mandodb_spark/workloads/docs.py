@@ -165,6 +165,86 @@ WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= {JACCARD_T}
 
 DOCS_MINHASH_PAIRS_SQL = _minhash_sql()
 
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit simhash → 4-band LSH → Hamming ≤ 3.
+
+    Lossless by pigeonhole (d ≤ bands-1 ⇒ ≥1 band equal) — the cheap
+    complement to the MinHash pipeline: one fingerprint per doc instead of
+    a shingle set, so the candidate join is over a 1-row-per-doc-per-band
+    relation.  32 bits (vs the 16 of docs_simhash) keeps the random-
+    collision floor at hamming ≤ 3 around 1e-6, so candidate volume tracks
+    true near-dups, not fingerprint coarseness."""
+    d = load(spark, sf_dir, "documents")
+    sim = text.simhash_bits(d, "doc_id", "text", 32)
+    return dedup.simhash_band_pairs(sim, "doc_id", n_bits=32)
+
+
+DOCS_SIMHASH_NEARDUP_SQL = f"""
+WITH sim AS ({text.simhash16_sql("documents", "doc_id", "text", n_bits=32)}),
+bands AS (
+    SELECT doc_id, simhash, t.b AS band, (simhash >> (t.b * 8)) & 255 AS bv
+    FROM sim, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS ha, b.simhash AS hb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+#: Quality gate for the corpus-prep pipeline.
+PREP_MIN_QUALITY = 0.5
+
+
+def docs_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep: quality gate → exact dedup
+    (keep lowest doc_id per bag-of-words fingerprint) → per-source corpus
+    stats.  The composition every pretraining pipeline runs: filter is a
+    pushed-down scan predicate, dedup is one hash-groupBy + semi-join,
+    stats one final agg — three shuffles total regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        text.quality_score(t).alias("q"),
+        text.token_count(t).alias("n_tokens"),
+        text.bow_fingerprint(t).alias("fp"),
+    ).filter(F.col("q") >= PREP_MIN_QUALITY)
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = scored.join(keepers, ["fp", "doc_id"], "left_semi")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
+_Q_EXPR = (
+    "round(0.6 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+    f" + 0.4 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({_STOPS}))) AS DOUBLE) / len(toks)), 4)"
+)
+DOCS_PREP_CORPUS_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           {_Q_EXPR} AS q,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+    FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents)
+    WHERE {_Q_EXPR} >= {PREP_MIN_QUALITY}
+),
+keepers AS (SELECT fp, min(doc_id) AS doc_id FROM scored GROUP BY fp)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q), 4) AS avg_quality
+FROM scored SEMI JOIN keepers USING (fp, doc_id)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_quality": docs_quality,
@@ -172,9 +252,13 @@ QUERIES = {
     "docs_fingerprint_dedup": docs_fingerprint_dedup,
     "docs_simhash": docs_simhash,
     "docs_minhash_pairs": docs_minhash_pairs,
+    "docs_simhash_neardup": docs_simhash_neardup,
+    "docs_prep_corpus": docs_prep_corpus,
 }
 
 ORACLES = {
+    "docs_simhash_neardup": DOCS_SIMHASH_NEARDUP_SQL,
+    "docs_prep_corpus": DOCS_PREP_CORPUS_SQL,
     "docs_token_stats": DOCS_TOKEN_STATS_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_langid": DOCS_LANGID_SQL,

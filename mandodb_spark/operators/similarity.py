@@ -104,6 +104,63 @@ def grouped_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, bucket_col: 
     ).applyInPandas(pairs, out_schema)
 
 
+def ivf_cells(df: DataFrame, id_col: str, vec_col: str, n_cells: int) -> DataFrame:
+    """Deterministic coarse-quantizer codebook: the ``n_cells`` lowest-id
+    vectors serve as centroids (cell = id).  A production build would run
+    k-means (pyspark.ml) here; fixed seed vectors keep the whole IVF path
+    engine-agnostic and oracle-checkable, and the operator shapes —
+    broadcast codebook, argmax assignment, cell-pruned probe — are
+    identical either way."""
+    return df.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("long").alias("cell"), F.col(vec_col).alias("cvec")
+    )
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (ties → lowest cell).
+
+    Broadcast codebook → map-side cosines; the argmax is a groupBy
+    ``max(struct(sim, -cell))`` — partial-aggregated map-side, so the
+    shuffle carries ONE row per vector, not one per (vector, cell).
+    Cosines are rounded to 6dp before the argmax so the winner is stable
+    across engines (tie-break then picks the lower cell id).
+    """
+    sim = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("csim"),
+    )
+    best = sim.groupBy(id_col).agg(
+        F.max(F.struct(F.col("csim").alias("csim"), (-F.col("cell")).alias("negcell"))).alias("b")
+    )
+    return best.select(F.col(id_col), (-F.col("b.negcell")).cast("long").alias("cell"))
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
+             n_cells: int = 16, n_probe: int = 4, k: int = 10) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` cells whose centroids
+    are closest to the query, brute-force only inside those cells.
+
+    At 100 TB the assignment is computed once at ingest and stored as a
+    partition/bucket column, so the probe IS partition pruning: the scan
+    touches n_probe/n_cells of the data and recall is tuned by n_probe.
+    Here the assignment runs inline (same plan shape, one extra shuffle).
+
+    ``query``: 1-row DataFrame with column ``qe`` (like :func:`cosine_topk`).
+    """
+    cent = ivf_cells(df, id_col, vec_col, n_cells)
+    probe = (
+        cent.crossJoin(F.broadcast(query.select("qe")))
+        .select(F.col("cell"), F.round(cosine(F.col("cvec"), F.col("qe")), 6).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    assign = ivf_assign(df, id_col, vec_col, cent)
+    cand = df.join(assign, id_col).join(F.broadcast(probe), "cell", "left_semi")
+    return cosine_topk(cand, id_col, vec_col, query, k)
+
+
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Deterministic random-hyperplane LSH bucket id for a vector.
 

@@ -133,3 +133,45 @@ EMB_ANN_BUCKET_SIZES_SQL = _ann_bucket_sql()
 
 QUERIES["emb_ann_bucket_sizes"] = emb_ann_bucket_sizes
 ORACLES["emb_ann_bucket_sizes"] = EMB_ANN_BUCKET_SIZES_SQL
+
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (the scale path): deterministic codebook → argmax cell
+    assignment → probe the 4 nearest of 16 cells → exact cosine inside.
+    Approximate by construction; the oracle mirrors the same probe, so the
+    comparison is exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    return similarity.ivf_topk(emb, "vec_id", "embedding", q, IVF_CELLS, IVF_PROBE, TOP_K)
+
+
+EMB_IVF_TOPK_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         FROM embeddings WHERE vec_id < {IVF_CELLS}),
+probe AS (SELECT cell FROM cent, q
+          ORDER BY round(list_cosine_similarity(cvec, qe), 6) DESC, cell
+          LIMIT {IVF_PROBE}),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e, cent c) ranked
+    WHERE rn = 1
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos_sim
+FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id, q
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["emb_ivf_topk"] = emb_ivf_topk
+ORACLES["emb_ivf_topk"] = EMB_IVF_TOPK_SQL

@@ -82,6 +82,44 @@ def test_grouped_neardup_pairs_vectorized(spark):
     assert out[0].cos_sim == pytest.approx(1.0, abs=1e-3)
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 5).select(F.col("embedding").alias("qe"))
+    exact = similarity.cosine_topk(df, "vec_id", "embedding", q, 10).collect()
+    # probing every cell = no pruning → IVF must equal brute force exactly
+    full = similarity.ivf_topk(df, "vec_id", "embedding", q, n_cells=4, n_probe=4, k=10).collect()
+    assert [(r.vec_id, r.cos_sim) for r in full] == [(r.vec_id, r.cos_sim) for r in exact]
+    # partial probe returns k results from a subset of cells, query's own
+    # cell always probed → vec 5 itself (cos 1.0) still leads
+    part = similarity.ivf_topk(df, "vec_id", "embedding", q, n_cells=4, n_probe=1, k=10).collect()
+    assert part[0].vec_id == 5 and part[0].cos_sim == 1.0
+    assert len(part) <= 10
+
+
+def test_ivf_assign_is_deterministic_argmax(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [0.1, 0.9])],
+        "vec_id long, embedding array<float>",
+    )
+    cent = similarity.ivf_cells(df, "vec_id", "embedding", 2)
+    out = {r.vec_id: r.cell for r in similarity.ivf_assign(df, "vec_id", "embedding", cent).collect()}
+    assert out == {0: 0, 1: 1, 2: 0, 3: 1}
+
+
+def test_simhash_band_pairs_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, 0b1111000011110000), (2, 0b1111000011110001), (3, 0b0000111100001111)],
+        "doc_id long, simhash long",
+    )
+    out = dedup.simhash_band_pairs(df, "doc_id", n_bits=16, n_bands=4, max_hamming=3).collect()
+    # 1↔2 differ in 1 bit → pair; 3 is the complement of 1 (hamming 16) → no pair
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 1)]
+
+
 def test_hyperplane_bucket_deterministic(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0, 3.0, 4.0]), (3, [-1.0, -2.0, -3.0, -4.0])],

@@ -124,3 +124,47 @@ def test_session_windows(spark):
     out = session_series_agg(rel, "30 minutes").orderBy("session_start").collect()
     assert len(out) == 2
     assert [r.n_points for r in out] == [2, 2]
+
+
+def test_stateful_counter_increase_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState carries per-series counter state across
+    micro-batches: increases accumulate, counter resets contribute the
+    post-reset value (PromQL semantics), O(series) state."""
+    from mandodb_spark.streaming.stateful import streaming_counter_increase
+
+    base = tmp_path_factory.mktemp("stateful")
+    src = str(base / "src")
+    schema = "series_key long, ts long, value double"
+    # batch 1: series 1 counts 5→7 (inc 2); series 2 a single point (inc 0)
+    spark.createDataFrame([(1, 10, 5.0), (1, 20, 7.0), (2, 10, 1.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_counter_increase(stream)
+        .writeStream.format("memory")
+        .queryName("ctr_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: series 1 resets 7→3 (contributes 3), then 3→4 (+1)
+        spark.createDataFrame([(1, 30, 3.0), (1, 40, 4.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM ctr_state").collect()
+    latest = {}
+    for r in rows:  # update mode appends one row per (series, trigger)
+        if r.series_key not in latest or r.last_ts > latest[r.series_key].last_ts:
+            latest[r.series_key] = r
+    s1, s2 = latest[1], latest[2]
+    assert (s1.total_increase, s1.last_ts, s1.last_value) == (6.0, 40, 4.0)
+    assert (s2.total_increase, s2.last_ts, s2.last_value) == (0.0, 10, 1.0)
+    # the reset batch alone contributed 3 (reset) + 1 = 4
+    assert any(r.series_key == 1 and r.batch_increase == 4.0 for r in rows)

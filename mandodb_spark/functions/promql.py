@@ -141,6 +141,61 @@ def over_time(rel: DataFrame, fn: str, start: int, end: int, step: int) -> DataF
     )
 
 
+def quantile_over_time(
+    rel: DataFrame, q: float, start: int, end: int, step: int, exact: bool = True
+) -> DataFrame:
+    """``quantile_over_time(q, ...)`` on tumbling ``step`` windows.
+
+    ``exact=True`` uses ``percentile`` (exact, needs the window's samples
+    grouped — right for dashboards over pruned ranges); ``exact=False``
+    uses ``approx_percentile`` (t-digest sketch, mergeable map-side — the
+    100 TB path, where an exact per-group sort of raw samples is the
+    bottleneck).  Same output shape either way.
+    """
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    bucket = (F.floor((F.col("ts") - F.lit(start)) / F.lit(step)) * step + start).cast("long")
+    quant = (
+        F.percentile(F.col("value"), F.lit(q))
+        if exact
+        else F.approx_percentile(F.col("value"), F.lit(q), F.lit(10_000))
+    )
+    return (
+        rel.groupBy("series_key", bucket.alias("window_start"))
+        .agg(F.any_value("labels").alias("labels"), quant.alias("value"))
+        .select("series_key", "labels", "window_start", "value")
+    )
+
+
+def resets(rel: DataFrame, start: int, end: int) -> DataFrame:
+    """PromQL ``resets``: number of counter resets (value drops) per series
+    over the range."""
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    w = _series_window()
+    stepped = rel.withColumn("__prev", F.lag("value").over(w))
+    return (
+        stepped.groupBy("series_key")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.sum(
+                F.when(F.col("__prev").isNotNull() & (F.col("value") < F.col("__prev")), 1).otherwise(0)
+            ).alias("value"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select("series_key", "labels", F.col("value").cast("long").alias("value"))
+    )
+
+
+def topk(vector: DataFrame, k: int, largest: bool = True) -> DataFrame:
+    """PromQL ``topk(k, vector)`` / ``bottomk``: the k series with the
+    largest (smallest) values from an instant vector.  Ties break on
+    series_key so the selection is deterministic; plans as a per-partition
+    partial top-k (TakeOrderedAndProject) — no full sort, no shuffle of
+    the losers."""
+    order = [F.col("value").desc() if largest else F.col("value").asc(), F.col("series_key")]
+    return vector.orderBy(*order).limit(k)
+
+
 def agg_by(vector: DataFrame, fn: str, by: list[str]) -> DataFrame:
     """PromQL ``<fn> by (labels) (vector)``: regroup an instant/range vector
     by a label subset.  Output labels contain only the ``by`` labels.

@@ -120,14 +120,88 @@ FROM latest WHERE rn = 1
 GROUP BY metric
 """
 
+def promql_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p90_over_time per series per 1d window (exact percentile)."""
+    out = promql.quantile_over_time(_dedup_rel(spark, sf_dir), 0.9, EV_START, EV_END, STEP)
+    return flatten_labels(
+        out.select(F.col("labels"), F.col("window_start"), F.round("value", 4).alias("value"))
+    )
+
+
+PROMQL_QUANTILE_OVER_TIME_SQL = f"""{_DEDUP}
+SELECT metric, user, k,
+       CAST(floor((ts - {EV_START}) / {STEP}.0) AS BIGINT) * {STEP} + {EV_START} AS window_start,
+       round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS value
+FROM d
+GROUP BY metric, user, k, 4
+"""
+
+
+def promql_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter resets per series over the full range."""
+    out = promql.resets(_dedup_rel(spark, sf_dir), EV_START, EV_END)
+    return flatten_labels(out.select(F.col("labels"), F.col("value")))
+
+
+PROMQL_RESETS_SQL = f"""{_DEDUP},
+s AS (
+    SELECT metric, user, k, value,
+           lag(value) OVER (PARTITION BY metric, user, k ORDER BY ts) AS prev
+    FROM d
+)
+SELECT metric, user, k,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS BIGINT) AS value
+FROM s GROUP BY metric, user, k
+HAVING count(*) >= 2
+"""
+
+
+def promql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk(10) of the instant vector at EV_END (1d lookback).
+
+    Same TakeOrderedAndProject plan as ``promql.topk`` but tie-breaking on
+    the flattened label triple instead of the engine-internal series_key:
+    xxhash64 is opaque cross-system (SURVEY.md §7.3) so the oracle cannot
+    reproduce its order; the label triple is the same total order because
+    series_key is a function of the labels.  Ordered on the ROUNDED value
+    on both engines so the cut at k is identical.
+    """
+    vec = flatten_labels(promql.instant(_dedup_rel(spark, sf_dir), EV_END, LOOKBACK))
+    return (
+        vec.withColumn("value", F.round("value", 4))
+        .orderBy(F.col("value").desc(), "metric", "user", "k")
+        .limit(10)
+        .select("metric", "user", "k", "value")
+    )
+
+PROMQL_TOPK_SQL = f"""{_DEDUP},
+latest AS (
+    SELECT metric, user, k, value,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d
+    WHERE ts BETWEEN {EV_END - LOOKBACK} AND {EV_END}
+)
+SELECT metric, user, k, round(CAST(value AS DOUBLE), 4) AS value
+FROM latest WHERE rn = 1
+ORDER BY value DESC, metric, user, k
+LIMIT 10
+"""
+
+
 QUERIES = {
     "promql_increase": promql_increase,
     "promql_rate": promql_rate,
     "promql_avg_over_time": promql_avg_over_time,
     "promql_sum_by_metric": promql_sum_by_metric,
+    "promql_quantile_over_time": promql_quantile_over_time,
+    "promql_resets": promql_resets,
+    "promql_topk": promql_topk,
 }
 
 ORACLES = {
+    "promql_quantile_over_time": PROMQL_QUANTILE_OVER_TIME_SQL,
+    "promql_resets": PROMQL_RESETS_SQL,
+    "promql_topk": PROMQL_TOPK_SQL,
     "promql_increase": PROMQL_INCREASE_SQL,
     "promql_rate": PROMQL_RATE_SQL,
     "promql_avg_over_time": PROMQL_AVG_OVER_TIME_SQL,

@@ -88,3 +88,26 @@ def test_agg_by_label_subset(rel):
     assert len(out) == 1
     assert out[0].labels == {"__name__": "reqs"}
     assert out[0].value == pytest.approx(70.0 + 480.0)
+
+
+def test_resets_counts_drops(rel):
+    out = promql.resets(rel, START, START + 300)
+    by_series = {r.labels["node"]: r.value for r in out.collect() if r.labels["__name__"] == "reqs"}
+    assert by_series == {"a": 1, "b": 0}  # one reset at t=180 on node a
+
+
+def test_quantile_over_time_exact_median(rel):
+    out = promql.quantile_over_time(rel, 0.5, START, START + 300, 600)
+    vals = {
+        (r.labels["__name__"], r.labels["node"]): r.value for r in out.collect()
+    }
+    assert vals[("reqs", "a")] == 100.0  # median of 100,160,220,10,70
+    assert vals[("temp", "a")] == 23.0   # interpolated median of 20,26
+
+
+def test_topk_bottomk_deterministic(rel):
+    vec = promql.instant(rel, START + 300, 600)
+    top = promql.topk(vec, 1).collect()
+    assert top[0].labels["node"] == "b" and top[0].value == 480.0
+    bottom = promql.topk(vec, 1, largest=False).collect()
+    assert bottom[0].value == 26.0  # temp gauge is the smallest instant

@@ -71,6 +71,48 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
 
 
+#: Output schema of the frame-sampling stage.
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+#: Cap on sampled frames per payload.
+MAX_FRAMES = 8
+
+
+def sample_frames(df: DataFrame, id_col: str, payload_col: str,
+                  max_frames: int = MAX_FRAMES) -> DataFrame:
+    """Frame sampling over a binary "video" column: one output row per
+    sampled frame — the one-to-many mapInPandas shape (explode inside the
+    Arrow batch, so a 4 GB video partition never materializes all frames
+    at once on the driver or in a single task buffer).
+
+    Deterministic stub decode: the payload "contains" ``len//100 + 1``
+    frames; frame i's content hash is md5(md5(payload) + ':' + i).  A real
+    build swaps ffmpeg keyframe extraction into the same seam; schema,
+    batching, and fan-out plumbing are identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                ph = hashlib.md5(payload).hexdigest()
+                n = min(len(payload) // 100 + 1, max_frames)
+                for i in range(n):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(f"{ph}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
 def with_binary_payload(df: DataFrame, text_col: str) -> DataFrame:
     """Testdata adapter: treat the UTF-8 bytes of a text column as the
     opaque payload (the container has no real image/audio fixtures)."""

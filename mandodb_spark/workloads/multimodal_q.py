@@ -31,5 +31,33 @@ SELECT doc_id, byte_len, content_md5,
 FROM h
 """
 
-QUERIES = {"mm_binary_features": mm_binary_features}
-ORACLES = {"mm_binary_features": MM_BINARY_FEATURES_SQL}
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (one-to-many mapInPandas fan-out) over the binary
+    payloads, rolled up per document."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.with_binary_payload(d, "text")
+    frames = multimodal.sample_frames(payloads, "doc_id", "payload")
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_md5").alias("min_frame_md5"),
+    )
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+WITH src AS (
+    SELECT doc_id, md5(text) AS ph,
+           least(CAST(strlen(text) AS BIGINT) // 100 + 1, {multimodal.MAX_FRAMES}) AS nf
+    FROM documents
+),
+frames AS (
+    SELECT doc_id, md5(ph || ':' || CAST(t.f AS VARCHAR)) AS frame_md5
+    FROM src, unnest(range(0, nf)) AS t(f)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames, min(frame_md5) AS min_frame_md5
+FROM frames GROUP BY doc_id
+"""
+
+QUERIES = {"mm_binary_features": mm_binary_features, "mm_frame_sample": mm_frame_sample}
+ORACLES = {"mm_binary_features": MM_BINARY_FEATURES_SQL, "mm_frame_sample": MM_FRAME_SAMPLE_SQL}

@@ -186,3 +186,16 @@ def test_multimodal_feature_extraction_matches_python(spark):
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_sample_frames_fanout(spark):
+    df = spark.createDataFrame([(1, "x" * 250), (2, "y")], "doc_id long, text string")
+    frames = multimodal.sample_frames(
+        multimodal.with_binary_payload(df, "text"), "doc_id", "payload"
+    ).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    # 250 bytes → 3 frames; 1 byte → 1 frame; indices dense from 0
+    assert sorted(per_doc[1]) == [0, 1, 2] and per_doc[2] == [0]
+    assert len({r.frame_md5 for r in frames}) == 4  # all frame hashes distinct

@@ -29,10 +29,15 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_window_rank",
     "docs_token_stats",
     "docs_simhash",
     "docs_minhash_pairs",
+    "docs_prep_corpus",
     "emb_cosine_topk",
+    "emb_ivf_topk",
     "emb_neardup_pairs",
     "events_sessionize",
     "events_hourly",

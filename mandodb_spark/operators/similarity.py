@@ -125,10 +125,16 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame) -
     Cosines are rounded to 6dp before the argmax so the winner is stable
     across engines (tie-break then picks the lower cell id).
     """
-    sim = df.crossJoin(F.broadcast(centroids)).select(
+    # norms are projected on each join child so they evaluate ONCE per
+    # vector / per centroid, not once per (vector, cell) pair — the dot
+    # product is then the only per-pair work (higher-order array exprs are
+    # interpreted, so every avoided aggregate counts ~2×)
+    cents = centroids.select("cell", "cvec", norm(F.col("cvec")).alias("__cn"))
+    vecs = df.select(F.col(id_col), F.col(vec_col).alias("__v"), norm(F.col(vec_col)).alias("__vn"))
+    sim = vecs.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col("cell"),
-        F.round(cosine(F.col(vec_col), F.col("cvec")), 6).alias("csim"),
+        F.round(dot(F.col("__v"), F.col("cvec")) / (F.col("__vn") * F.col("__cn")), 6).alias("csim"),
     )
     best = sim.groupBy(id_col).agg(
         F.max(F.struct(F.col("csim").alias("csim"), (-F.col("cell")).alias("negcell"))).alias("b")

@@ -81,3 +81,44 @@ def rows_from_csv(spark: SparkSession, path: str, label_cols: list[str],
     df = reader.schema(StructType(fields)).option("header", "true").csv(path)
     flat = df.withColumn("__name__", F.col("metric")).drop("metric")
     return rows_from_flat(flat)
+
+
+def rows_from_influx_line(lines: DataFrame, text_col: str = "value",
+                          default_field: str = "value") -> DataFrame:
+    """InfluxDB line protocol → ROW_SCHEMA rows, parsed entirely JVM-side.
+
+    ``measurement,tag1=v1,tag2=v2 value=3.14 1700000000`` →
+    (metric=measurement, labels={tag1:v1, tag2:v2}, ts, value).  Works on
+    any DataFrame with a string column (``spark.read.text``, Kafka value,
+    socket source) in batch or streaming — the parse is pure column
+    expressions (split / map_from_entries / regexp_extract), no UDF, so it
+    runs inside whole-stage codegen at scan speed.
+
+    Simplified dialect: no escaped commas/spaces in identifiers, one field
+    per line (``default_field``), timestamp in seconds.  Unparseable lines
+    are dropped via try_cast→null (ANSI-safe), mirroring label sanitation (F11).
+    """
+    line = F.trim(F.col(text_col))
+    head = F.split(line, " ").getItem(0)          # measurement,tag=v,...
+    fieldset = F.split(line, " ").getItem(1)      # value=3.14
+    ts_str = F.split(line, " ").getItem(2)
+
+    parts = F.split(head, ",")
+    metric = parts.getItem(0)
+    tag_entries = F.transform(
+        F.filter(F.slice(parts, 2, 1_000_000), lambda t: t.contains("=")),
+        lambda t: F.struct(
+            F.split(t, "=").getItem(0).alias("key"),
+            F.split(t, "=").getItem(1).alias("value"),
+        ),
+    )
+    value = F.regexp_extract(fieldset, rf"^{default_field}=(-?[0-9.eE+]+)$", 1).try_cast("double")
+    return (
+        lines.select(
+            metric.alias("metric"),
+            F.map_from_entries(tag_entries).alias("labels"),
+            ts_str.try_cast("long").alias("ts"),
+            value.alias("value"),
+        )
+        .where(F.col("metric").isNotNull() & (F.col("metric") != "") & F.col("ts").isNotNull())
+    )

@@ -90,3 +90,39 @@ def test_scan_is_column_pruned_for_label_values(spark):
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "value" not in read_schema
     assert "props" not in read_schema  # unused label k is never computed
+
+
+def test_semi_anti_join_shapes(spark):
+    """Q4's EXISTS must plan as a semi join, Q22's NOT EXISTS as an anti
+    join — never a full join + post-filter (which would materialize the
+    lineitem/orders match sides at 100 TB)."""
+    from mandodb_spark.workloads.tpch import tpch_q4, tpch_q22
+
+    assert "LeftSemi" in _plan(tpch_q4(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in _plan(tpch_q22(spark, "/root/testdata/sf0.001"))
+
+
+def test_q10_broadcasts_both_dims(spark):
+    """Q10: customer and nation ride broadcast joins; only orderkey shuffles."""
+    from mandodb_spark.workloads.tpch import tpch_q10
+
+    plan = _plan(tpch_q10(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_topk_plans_as_take_ordered(spark):
+    """Q3/Q10/Q18-style orderBy+limit must plan TakeOrderedAndProject —
+    a per-partition partial top-k, not a global sort."""
+    from mandodb_spark.workloads.tpch import tpch_q18
+
+    assert "TakeOrderedAndProject" in _plan(tpch_q18(spark, "/root/testdata/sf0.001"))
+
+
+def test_ivf_codebook_is_broadcast(spark):
+    """IVF assignment must broadcast the codebook (16 rows), never shuffle
+    the fact side for the cross join."""
+    from mandodb_spark.workloads.embeddings_q import emb_ivf_topk
+
+    plan = _plan(emb_ivf_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -89,3 +89,26 @@ def test_storage_knobs_write_and_read_back(spark, tmp_path_factory):
     files = list(Path(path).glob("seg=*/*.parquet"))
     assert len(files) >= 6  # 300 rows / 50 per file
     assert store.relation().count() == 300
+
+
+def test_influx_line_protocol_parses_jvm_side(spark):
+    from mandodb_spark.sources.loaders import rows_from_influx_line
+
+    lines = spark.createDataFrame(
+        [
+            ("cpu,host=web1,dc=east value=3.14 1700000000",),
+            ("mem,host=web2 value=-2.5e1 1700000060",),
+            ("bare_metric value=1 1700000120",),
+            ("garbage line without structure",),
+            ("",),
+        ],
+        "value string",
+    )
+    rows = rows_from_influx_line(lines).collect()
+    by_metric = {r.metric: r for r in rows}
+    assert set(by_metric) == {"cpu", "mem", "bare_metric"}
+    cpu = by_metric["cpu"]
+    assert cpu.labels == {"host": "web1", "dc": "east"}
+    assert (cpu.ts, cpu.value) == (1700000000, 3.14)
+    assert by_metric["mem"].value == -25.0
+    assert by_metric["bare_metric"].labels == {}

@@ -245,8 +245,45 @@ GROUP BY source
 """
 
 
+def docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token bigrams — n-gram frequency analysis.
+
+    Bigrams are built row-wise from the token array (transform over an
+    index sequence — codegen'd, no shuffle), then ONE explode feeds a
+    count aggregation with map-side partials; the top-k is
+    TakeOrderedAndProject.  Ties break lexicographically."""
+    d = load(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+DOCS_TOP_BIGRAMS_SQL = """
+WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+b AS (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1])) AS bigram
+    FROM toks
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
+    "docs_top_bigrams": docs_top_bigrams,
     "docs_quality": docs_quality,
     "docs_langid": docs_langid,
     "docs_fingerprint_dedup": docs_fingerprint_dedup,
@@ -259,6 +296,7 @@ QUERIES = {
 ORACLES = {
     "docs_simhash_neardup": DOCS_SIMHASH_NEARDUP_SQL,
     "docs_prep_corpus": DOCS_PREP_CORPUS_SQL,
+    "docs_top_bigrams": DOCS_TOP_BIGRAMS_SQL,
     "docs_token_stats": DOCS_TOKEN_STATS_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_langid": DOCS_LANGID_SQL,

@@ -143,8 +143,66 @@ WITH ev AS (
 SELECT event_id, user_id, ts, last_click_ts FROM w WHERE event_type = 'purchase'
 """
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user.
+
+    Stage timestamps chain through per-user window minima (first view,
+    first click strictly after it, first purchase strictly after that) —
+    three window passes over ONE hash-partitioning by user_id, no
+    self-joins; then a single global rollup.  The canonical product-
+    analytics operator the reference cannot express at all.
+    """
+    ev = events_base(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn("t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH base AS (SELECT user_id, event_type, {_EPOCH} AS ts FROM events),
+v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM base GROUP BY user_id),
+c AS (SELECT b.user_id, min(CASE WHEN b.event_type = 'click' AND b.ts > v.t_view THEN b.ts END) AS t_click
+      FROM base b JOIN v ON b.user_id = v.user_id GROUP BY b.user_id),
+p AS (SELECT b.user_id, min(CASE WHEN b.event_type = 'purchase' AND b.ts > c.t_click THEN b.ts END) AS t_purchase
+      FROM base b JOIN c ON b.user_id = c.user_id GROUP BY b.user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(v.t_view) AS BIGINT) AS n_viewed,
+       CAST(count(c.t_click) AS BIGINT) AS n_clicked_after_view,
+       CAST(count(p.t_purchase) AS BIGINT) AS n_purchased_after_click
+FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
+    "events_funnel": events_funnel,
     "events_hourly": events_hourly,
     "events_pivot": events_pivot,
     "events_topk_users": events_topk_users,
@@ -153,6 +211,7 @@ QUERIES = {
 
 ORACLES = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
     "events_topk_users": EVENTS_TOPK_USERS_SQL,

@@ -276,8 +276,55 @@ SELECT event_id, user, ts, delta FROM (
 WHERE delta IS NOT NULL
 """
 
+def tsdb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate downsampling: per-series 6h rollup with
+    avg/min/max/count/last — the materialized-view shape every TSDB bolts
+    on and the reference lacks entirely.  One hash aggregation keyed
+    (series_key, bucket); ``last`` = max_by(value, ts), deterministic
+    because (series, ts) is unique in the sample model."""
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+    )
+    # one value per (series, ts): max tie-break, the Prometheus sample model
+    dedup = rel.groupBy("series_key", "ts").agg(
+        F.any_value("labels").alias("labels"), F.max("value").alias("value")
+    )
+    bucket = (F.floor(F.col("ts") / 21600) * 21600).cast("long")
+    return flatten_labels(
+        dedup.groupBy("series_key", bucket.alias("bucket_ts"))
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.max_by("value", "ts"), 4).alias("last_value"),
+        )
+        .drop("series_key")
+    )
+
+
+TSDB_DOWNSAMPLE_SQL = f"""{_REL},
+d AS (
+    SELECT metric, user, k, ts, max(value) AS value
+    FROM rel WHERE {_TIME}
+    GROUP BY metric, user, k, ts
+)
+SELECT metric, user, k,
+       CAST(floor(ts / 21600.0) AS BIGINT) * 21600 AS bucket_ts,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(avg(value) AS DOUBLE), 4) AS avg_value,
+       round(CAST(min(value) AS DOUBLE), 4) AS min_value,
+       round(CAST(max(value) AS DOUBLE), 4) AS max_value,
+       round(CAST(arg_max(value, ts) AS DOUBLE), 4) AS last_value
+FROM d
+GROUP BY metric, user, k, 4
+"""
+
+
 QUERIES = {
     "tsdb_range_rows": tsdb_range_rows,
+    "tsdb_downsample": tsdb_downsample,
     "tsdb_eq_match": tsdb_eq_match,
     "tsdb_regex_match": tsdb_regex_match,
     "tsdb_conjunction": tsdb_conjunction,
@@ -292,6 +339,7 @@ QUERIES = {
 
 ORACLES = {
     "tsdb_range_rows": TSDB_RANGE_ROWS_SQL,
+    "tsdb_downsample": TSDB_DOWNSAMPLE_SQL,
     "tsdb_eq_match": TSDB_EQ_MATCH_SQL,
     "tsdb_regex_match": TSDB_REGEX_MATCH_SQL,
     "tsdb_conjunction": TSDB_CONJUNCTION_SQL,

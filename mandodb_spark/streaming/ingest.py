@@ -83,3 +83,31 @@ class StreamingIngestor:
         else:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+def dedup_stream(rows: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once sample dedup for at-least-once upstreams.
+
+    The reference's TSZ append silently drops per-series duplicate
+    timestamps (series.go:24-27) — its only dedup, bounded to the open
+    head.  The streaming-native equivalent: drop duplicate
+    (series_key-identity, ts) samples within a watermark window via
+    ``dropDuplicatesWithinWatermark`` — state is bounded by the watermark
+    (O(series × samples-per-window)), not by stream length, so it holds on
+    an unbounded 100 TB/day feed.
+
+    Apply BEFORE the ingest sink: ``ingestor.start(dedup_stream(rows), …)``.
+    Input: ROW_SCHEMA rows (metric, labels, ts, value).
+    """
+    from pyspark.sql import functions as F
+
+    from ..model import fold_metric_name, series_key
+
+    keyed = rows.withColumn(
+        "__sk", series_key(fold_metric_name(F.col("metric"), F.col("labels")))
+    ).withColumn("__ev", F.timestamp_seconds(F.col("ts")))
+    return (
+        keyed.withWatermark("__ev", watermark)
+        .dropDuplicatesWithinWatermark(["__sk", "__ev"])
+        .drop("__sk", "__ev")
+    )

@@ -168,3 +168,24 @@ def test_stateful_counter_increase_across_batches(spark, tmp_path_factory):
     assert (s2.total_increase, s2.last_ts, s2.last_value) == (0.0, 10, 1.0)
     # the reset batch alone contributed 3 (reset) + 1 = 4
     assert any(r.series_key == 1 and r.batch_increase == 4.0 for r in rows)
+
+
+def test_dedup_stream_drops_duplicate_samples(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark removes repeated (series, ts) samples
+    delivered at-least-once — the reference's TSZ duplicate-drop
+    (series.go:24-27), streaming-native and state-bounded."""
+    from mandodb_spark.streaming.ingest import StreamingIngestor, dedup_stream
+
+    base = tmp_path_factory.mktemp("dedupstream")
+    src, ckpt, store_dir = str(base / "src"), str(base / "ckpt"), str(base / "store")
+    rows = [("cpu", {"n": "a"}, START + i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows + rows[:20], ROW_SCHEMA)  # 20 duplicates
+    df.write.parquet(src)
+
+    db = TSDB(spark, store_dir)
+    stream = spark.readStream.schema(ROW_SCHEMA).parquet(src)
+    q = StreamingIngestor(db.store).start(dedup_stream(stream), ckpt)
+    q.awaitTermination(120)
+
+    got = db.query_range_rows("cpu", [], 0, 10**10).collect()
+    assert len(got) == 50  # duplicates dropped, one sample per (series, ts)

@@ -70,12 +70,25 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str, n_hashes: int = N_HASHES) -> DataFrame:
-    """MinHash signature per id: h_i = min(md5(i || ':' || shingle)).
+    """MinHash signature per id: h_i = min over shingles of the numeric
+    value of md5(i || ':' || shingle)'s first 15 hex digits (60-bit hash).
 
     One groupBy produces all n_hashes signature components as columns
-    (single shuffle, map-side partial min)."""
+    (single shuffle, map-side partial min).  The hash is NUMERIC, not the
+    hex string: ``min(string)`` has a variable-width agg buffer, which
+    disqualifies HashAggregate and silently degrades the whole signature
+    stage to Sort+SortAggregate — a per-partition sort of the full shingle
+    relation at 100 TB.  ``min(long)`` keeps it a codegen'd HashAggregate.
+    (Found via .explain; the 60-bit truncation is engine-agnostic:
+    DuckDB mirrors it as CAST(concat('0x', substr(md5(..),1,15)) AS BIGINT).)
+    """
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}") for i in range(n_hashes)
+        F.min(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15), 16, 10).cast(
+                "long"
+            )
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
     ]
     return shingles.groupBy(id_col).agg(*mins)
 
@@ -93,9 +106,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
-                    "bh"
-                ),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
             )
             for b in range(n_bands)
         ]

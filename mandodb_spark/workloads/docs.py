@@ -123,10 +123,16 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     n, bands = dedup.N_HASHES, dedup.N_BANDS
     rpb = n // bands
-    mins = ",\n           ".join(f"min(md5('{i}:' || sh)) AS h{i}" for i in range(n))
+    # numeric 60-bit minhash (mirrors minhash_signatures: first 15 hex
+    # digits of md5 as BIGINT — keeps Spark's stage a HashAggregate)
+    mins = ",\n           ".join(
+        f"min(CAST(concat('0x', substr(md5('{i}:' || sh), 1, 15)) AS BIGINT)) AS h{i}"
+        for i in range(n)
+    )
     band_selects = "\n    UNION ALL\n".join(
         "    SELECT doc_id, {b} AS band, md5({concat}) AS bh FROM sig".format(
-            b=b, concat=" || '|' || ".join(f"h{b * rpb + r}" for r in range(rpb))
+            b=b,
+            concat=" || '|' || ".join(f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)),
         )
         for b in range(bands)
     )

@@ -207,6 +207,55 @@ GROUP BY o_orderpriority
 """
 
 
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: volume shipping between two nations — the classic
+    multi-role dimension pattern (nation joined twice under different
+    aliases), both broadcast; revenue by (supp nation, cust nation, year)."""
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01")) & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+TPCH_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, year(CAST(l_shipdate AS DATE))
+"""
+
+
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: returned-item reporting — revenue lost to returns per
     customer, top 20.  customer+nation broadcast; one shuffle on orderkey."""
@@ -458,6 +507,7 @@ QUERIES = {
     "tpch_q5": tpch_q5,
     "tpch_q4": tpch_q4,
     "tpch_q6": tpch_q6,
+    "tpch_q7": tpch_q7,
     "tpch_q10": tpch_q10,
     "tpch_q13": tpch_q13,
     "tpch_q14": tpch_q14,
@@ -475,6 +525,7 @@ ORACLES = {
     "tpch_q4": TPCH_Q4_SQL,
     "tpch_q5": TPCH_Q5_SQL,
     "tpch_q6": TPCH_Q6_SQL,
+    "tpch_q7": TPCH_Q7_SQL,
     "tpch_q10": TPCH_Q10_SQL,
     "tpch_q13": TPCH_Q13_SQL,
     "tpch_q14": TPCH_Q14_SQL,

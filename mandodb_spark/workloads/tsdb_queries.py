@@ -322,9 +322,79 @@ GROUP BY metric, user, k, 4
 """
 
 
+GF_STEP = 21600
+GF_B0 = (EV_START // GF_STEP) * GF_STEP
+GF_B1 = (EV_END // GF_STEP) * GF_STEP
+
+
+def tsdb_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled regular grid with last-observation-carried-forward: every
+    series gets a row per 6h grid point, value = newest sample at or before
+    it.  Grid = distinct-series × sequence (explode is narrow); fill = one
+    running `last(ignorenulls)` window over the store's own (series, ts)
+    sort order — no self-join per gap.  Rows before a series' first sample
+    are dropped (no back-fill)."""
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+    )
+    dedup = rel.groupBy("series_key", "ts").agg(
+        F.any_value("labels").alias("labels"), F.max("value").alias("value")
+    )
+    bucket = (F.floor(F.col("ts") / GF_STEP) * GF_STEP).cast("long")
+    bucketed = dedup.groupBy("series_key", bucket.alias("bucket_ts")).agg(
+        F.any_value("labels").alias("labels"), F.max_by("value", "ts").alias("value")
+    )
+    series = bucketed.groupBy("series_key").agg(F.any_value("labels").alias("labels"))
+    grid = series.withColumn(
+        "bucket_ts", F.explode(F.sequence(F.lit(GF_B0), F.lit(GF_B1), F.lit(GF_STEP)))
+    )
+    joined = grid.join(bucketed.drop("labels"), ["series_key", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("series_key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.withColumn("value", F.last("value", ignorenulls=True).over(w))
+    return flatten_labels(
+        filled.filter(F.col("value").isNotNull()).select(
+            "labels", "bucket_ts", F.round("value", 4).alias("value")
+        )
+    )
+
+
+TSDB_GAPFILL_SQL = f"""{_REL},
+d AS (
+    SELECT metric, user, k, ts, max(value) AS value
+    FROM rel WHERE {_TIME}
+    GROUP BY metric, user, k, ts
+),
+b AS (
+    SELECT metric, user, k,
+           CAST(floor(ts / {GF_STEP}.0) AS BIGINT) * {GF_STEP} AS bucket_ts,
+           arg_max(value, ts) AS value
+    FROM d GROUP BY metric, user, k, 4
+),
+s AS (SELECT DISTINCT metric, user, k FROM b),
+grid AS (
+    SELECT metric, user, k, unnest(range({GF_B0}, {GF_B1} + 1, {GF_STEP})) AS bucket_ts
+    FROM s
+),
+f AS (
+    SELECT g.metric, g.user, g.k, g.bucket_ts,
+           last_value(b.value IGNORE NULLS) OVER (
+               PARTITION BY g.metric, g.user, g.k ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM grid g LEFT JOIN b USING (metric, user, k, bucket_ts)
+)
+SELECT metric, user, k, bucket_ts, round(CAST(value AS DOUBLE), 4) AS value
+FROM f WHERE value IS NOT NULL
+"""
+
+
 QUERIES = {
     "tsdb_range_rows": tsdb_range_rows,
     "tsdb_downsample": tsdb_downsample,
+    "tsdb_gapfill": tsdb_gapfill,
     "tsdb_eq_match": tsdb_eq_match,
     "tsdb_regex_match": tsdb_regex_match,
     "tsdb_conjunction": tsdb_conjunction,
@@ -340,6 +410,7 @@ QUERIES = {
 ORACLES = {
     "tsdb_range_rows": TSDB_RANGE_ROWS_SQL,
     "tsdb_downsample": TSDB_DOWNSAMPLE_SQL,
+    "tsdb_gapfill": TSDB_GAPFILL_SQL,
     "tsdb_eq_match": TSDB_EQ_MATCH_SQL,
     "tsdb_regex_match": TSDB_REGEX_MATCH_SQL,
     "tsdb_conjunction": TSDB_CONJUNCTION_SQL,

@@ -25,6 +25,7 @@ HEADLINE = [
     "tsdb_series_agg",
     "tsdb_bucket_stats",
     "tsdb_latest_point",
+    "tsdb_gapfill",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
@@ -40,6 +41,7 @@ HEADLINE = [
     "emb_ivf_topk",
     "emb_neardup_pairs",
     "events_sessionize",
+    "events_retention_cohorts",
     "events_hourly",
     "events_asof_click",
     "mm_binary_features",

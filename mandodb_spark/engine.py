@@ -112,6 +112,42 @@ class TSDB:
         rel.createOrReplaceTempView(f"{prefix}_samples")
         tsdb_ops.label_values_dim(rel).createOrReplaceTempView(f"{prefix}_labels")
 
+    # --------------------------------------------------------- PromQL layer
+    def _selected(self, metric: str | None, matchers: list[LabelMatcher] | None,
+                  start: int, end: int) -> DataFrame:
+        """Matcher-filtered (labels, ts, value) rows for the function layer."""
+        return tsdb_ops.query_range_rows(
+            self.store.relation(), metric, matchers or [], start, end, self.segment_duration
+        )
+
+    def rate(self, metric: str, matchers: list[LabelMatcher] | None,
+             start: int, end: int) -> DataFrame:
+        """PromQL-style ``rate()`` over the selected range vector."""
+        from .functions import promql
+
+        return promql.rate(self._selected(metric, matchers, start, end), start, end)
+
+    def increase(self, metric: str, matchers: list[LabelMatcher] | None,
+                 start: int, end: int) -> DataFrame:
+        from .functions import promql
+
+        return promql.increase(self._selected(metric, matchers, start, end), start, end)
+
+    def instant(self, metric: str, matchers: list[LabelMatcher] | None,
+                at_ts: int, lookback: int = 300) -> DataFrame:
+        from .functions import promql
+
+        return promql.instant(
+            self._selected(metric, matchers, at_ts - lookback, at_ts), at_ts, lookback
+        )
+
+    def over_time(self, fn: str, metric: str, matchers: list[LabelMatcher] | None,
+                  start: int, end: int, step: int) -> DataFrame:
+        """``<fn>_over_time`` (avg/min/max/sum/count) on tumbling steps."""
+        from .functions import promql
+
+        return promql.over_time(self._selected(metric, matchers, start, end), fn, start, end, step)
+
     # ----------------------------------------------------------- maintenance
     def remove_expires(self, now_ts: int | None = None) -> list[int]:
         """Retention purge (tsdb.go:384-406); returns dropped segment ids."""

@@ -62,3 +62,24 @@ def test_regex_via_dim_same_results(spark):
     ).collect()
     assert sorted((r.ts, r.value) for r in inline) == sorted((r.ts, r.value) for r in via_dim)
     assert len(inline) == 2
+
+
+def test_facade_promql_methods(spark, tmp_path_factory):
+    """TSDB.rate/increase/instant/over_time — the complete-engine surface a
+    reference+PromQL user expects, wired through matcher selection."""
+    from mandodb_spark import TSDB, LabelMatcher
+
+    db = TSDB(spark, str(tmp_path_factory.mktemp("facade") / "store"))
+    t0 = 1_700_000_000
+    db.insert_rows(
+        [("reqs", {"node": "a"}, t0 + i * 60, float(100 + 10 * i)) for i in range(5)]
+        + [("reqs", {"node": "b"}, t0, 1.0), ("reqs", {"node": "b"}, t0 + 240, 49.0)]
+    )
+    inc = {r.labels["node"]: r.value for r in db.increase("reqs", None, t0, t0 + 300).collect()}
+    assert inc == {"a": 40.0, "b": 48.0}
+    rate = {r.labels["node"]: r.value for r in db.rate("reqs", [LabelMatcher("node", "a")], t0, t0 + 300).collect()}
+    assert rate == {"a": 40.0 / 240}
+    inst = db.instant("reqs", None, t0 + 300, 300).collect()
+    assert {r.labels["node"]: r.value for r in inst} == {"a": 140.0, "b": 49.0}
+    ot = db.over_time("max", "reqs", None, t0, t0 + 300, 600).collect()
+    assert {r.labels["node"]: r.value for r in ot} == {"a": 140.0, "b": 49.0}

@@ -30,6 +30,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # coalesce post-shuffle partitions by size, not parallelism: a
+        # 100 KB shuffle should be 1 task, not <cores> tasks — at cluster
+        # scale the advisory size governs either way, locally this removes
+        # the per-query floor of 32 near-empty tasks per exchange
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -79,8 +79,14 @@ class SegmentStore:
         sidecar needed.
         """
         batch = canonicalize(rows, self.segment_duration)
+        # explicit partition count: a hash repartition without one is
+        # AQE-coalescible, and size-based coalescing would serialize the
+        # writers (each seg still lands wholly in one task → one file)
+        n_write_tasks = max(self.spark.sparkContext.defaultParallelism, 1)
         writer = self._write_options(
-            batch.repartition(F.col("seg")).sortWithinPartitions("series_key", "ts").write
+            batch.repartition(n_write_tasks, F.col("seg"))
+            .sortWithinPartitions("series_key", "ts")
+            .write
         )
         writer.partitionBy("seg").mode("append").parquet(self.root)
 

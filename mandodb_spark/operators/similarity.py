@@ -116,15 +116,42 @@ def ivf_cells(df: DataFrame, id_col: str, vec_col: str, n_cells: int) -> DataFra
     )
 
 
-def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame) -> DataFrame:
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame,
+               vectorized: bool = True) -> DataFrame:
     """Assign each vector to its max-cosine centroid (ties → lowest cell).
 
-    Broadcast codebook → map-side cosines; the argmax is a groupBy
+    ``vectorized=True`` (default): the O(cells)-row codebook is collected
+    once and closed over an Arrow-batched ``mapInPandas`` — one numpy
+    matmul per batch, NO shuffle at all (assignment is embarrassingly
+    parallel).  ~50× over the expression path: 16 interpreted
+    zip_with+aggregate dots per row is exactly the case the SCALE.md
+    "vectorized Python beats interpreted array exprs" rule targets.
+    The cosine formula mirrors the expression path term-for-term
+    (dot / (|v|·|c|), rounded to 6dp before argmax; np.argmax breaks ties
+    at the first = lowest cell, matching the -cell struct trick below).
+
+    ``vectorized=False``: pure-expression fallback; the argmax is a groupBy
     ``max(struct(sim, -cell))`` — partial-aggregated map-side, so the
     shuffle carries ONE row per vector, not one per (vector, cell).
-    Cosines are rounded to 6dp before the argmax so the winner is stable
-    across engines (tie-break then picks the lower cell id).
     """
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        cb = centroids.orderBy("cell").collect()  # O(cells) rows by design
+        cells = np.array([r.cell for r in cb], dtype="int64")
+        M = np.stack([np.asarray(r.cvec, dtype="float64") for r in cb])
+        cnorm = np.sqrt((M * M).sum(axis=1))
+
+        def batches(it):
+            for pdf in it:
+                V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+                vnorm = np.sqrt((V * V).sum(axis=1))
+                sims = np.round((V @ M.T) / np.outer(vnorm, cnorm), 6)
+                best = cells[np.argmax(sims, axis=1)]
+                yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "cell": best})
+
+        return df.select(id_col, vec_col).mapInPandas(batches, f"{id_col} long, cell long")
     # norms are projected on each join child so they evaluate ONCE per
     # vector / per centroid, not once per (vector, cell) pair — the dot
     # product is then the only per-pair work (higher-order array exprs are

@@ -60,6 +60,35 @@ def tumbling_series_agg(
     )
 
 
+def sliding_series_agg(
+    rel: DataFrame, window: str = "2 hours", slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-series sliding-window aggregates (each row lands in
+    window/slide overlapping windows — smoothing/rate dashboards).
+    Same output shape as :func:`tumbling_series_agg`; state in streaming
+    mode is bounded by watermark × (window/slide) open windows per series.
+    """
+    ev = _with_event_time(rel, watermark)
+    w = F.window("event_time", window, slide)
+    return (
+        ev.groupBy(F.col("series_key"), w.alias("w"))
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.count(F.lit(1)).alias("n_points"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            "series_key",
+            "labels",
+            F.unix_timestamp("w.start").alias("window_start"),
+            F.unix_timestamp("w.end").alias("window_end"),
+            "n_points",
+            "avg_value",
+        )
+    )
+
+
 def session_series_agg(
     rel: DataFrame, gap: str = "30 minutes", watermark: str | None = None
 ) -> DataFrame:

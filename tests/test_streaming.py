@@ -189,3 +189,20 @@ def test_dedup_stream_drops_duplicate_samples(spark, tmp_path_factory):
 
     got = db.query_range_rows("cpu", [], 0, 10**10).collect()
     assert len(got) == 50  # duplicates dropped, one sample per (series, ts)
+
+
+def test_sliding_windows_overlap(spark):
+    """Each point lands in window/slide overlapping windows; counts per
+    window reflect the overlap."""
+    from mandodb_spark.model import canonicalize
+    from mandodb_spark.streaming.windows import sliding_series_agg
+
+    rows = [("m", {"n": "a"}, START + i * 600, 1.0) for i in range(12)]  # 2h of 10-min points
+    rel = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    out = sliding_series_agg(rel, "1 hour", "30 minutes").collect()
+    # 10-min cadence over 2h → 1h windows sliding 30m: interior windows hold 6 points
+    counts = sorted(r.n_points for r in out)
+    assert max(counts) == 6
+    assert sum(r.n_points for r in out) == 12 * 2  # every point in exactly 2 windows
+    starts = [r.window_start for r in out]
+    assert all(s % 1800 == 0 for s in starts)

@@ -257,11 +257,37 @@ def events_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_SURFACE_TEXT)
 
 
+def events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations (absent in the reference, free in Spark —
+    SURVEY.md §2.4): users who clicked but never purchased (EXCEPT) and
+    the clicked∩purchased overlap count (INTERSECT), one row of stats.
+    Both plan as hash aggregations + semi/anti joins under the hood."""
+    ev = events_base(spark, sf_dir)
+    clicked = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    click_only = clicked.exceptAll(purchased)
+    both = clicked.intersect(purchased)
+    return click_only.agg(F.count(F.lit(1)).alias("n_click_only")).crossJoin(
+        both.agg(F.count(F.lit(1)).alias("n_click_and_purchase"))
+    )
+
+
+EVENTS_SET_OPS_SQL = """
+WITH clicked AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+purchased AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+co AS (SELECT count(*) AS n FROM (SELECT * FROM clicked EXCEPT SELECT * FROM purchased)),
+cb AS (SELECT count(*) AS n FROM (SELECT * FROM clicked INTERSECT SELECT * FROM purchased))
+SELECT CAST(co.n AS BIGINT) AS n_click_only, CAST(cb.n AS BIGINT) AS n_click_and_purchase
+FROM co, cb
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "events_sql_surface": events_sql_surface,
+    "events_set_ops": events_set_ops,
     "events_hourly": events_hourly,
     "events_pivot": events_pivot,
     "events_topk_users": events_topk_users,
@@ -273,6 +299,7 @@ ORACLES = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention_cohorts": EVENTS_RETENTION_COHORTS_SQL,
     "events_sql_surface": SQL_SURFACE_TEXT,
+    "events_set_ops": EVENTS_SET_OPS_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
     "events_topk_users": EVENTS_TOPK_USERS_SQL,

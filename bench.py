@@ -30,7 +30,9 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q8",
     "tpch_q13",
+    "tpch_q16",
     "tpch_q18",
     "tpch_window_rank",
     "docs_token_stats",

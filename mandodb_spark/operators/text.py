@@ -89,6 +89,93 @@ def bow_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+#: GPT-2-style pre-tokenization classes: letter runs, digit runs, single
+#: punctuation marks.  Shared by Spark (Java regex) and DuckDB (RE2) — the
+#: pattern stays inside the dialect-common subset.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization (letters / digits / punctuation split),
+    the pre-tokenizer every BPE vocabulary assumes.  Pure column expression
+    (regexp_extract_all) — codegen'd, no UDF."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)
+
+
+#: Winnowing parameters: k-gram length and window size (Schleimer et al.,
+#: SIGMOD'03 — the MOSS fingerprinting scheme).
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def winnow_fingerprints(text: Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """Winnowed rolling-hash fingerprint set of a document (column form).
+
+    k-gram hashes (60-bit numeric md5 prefix — same construction as the
+    minhash stage) → min over each window of w consecutive hashes →
+    distinct mins.  Guarantees every match of length ≥ k+w-1 shares a
+    fingerprint, with density 2/(w+1) — the standard near-copy detection
+    fingerprint (Schleimer et al., winnowing/MOSS).
+
+    PERF WARNING: higher-order array expressions are interpreted per
+    element — one md5 per character position makes this ~35× slower than
+    :func:`winnow_fingerprint_stats` (Arrow-batched hashlib).  Use this
+    form only for composition inside other column expressions on short
+    strings; use the mapInPandas form for corpus-scale fingerprinting.
+    """
+    lowered = F.lower(text)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(lowered) - F.lit(k - 1), F.lit(1)))
+    hashes = F.transform(
+        positions,
+        lambda p: F.conv(F.substring(F.md5(lowered.substr(p, F.lit(k))), 1, 15), 16, 10).cast("long"),
+    )
+    n_windows = F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows), lambda i: F.array_min(F.slice(hashes, i, w))
+    )
+    return F.array_distinct(mins)
+
+
+def winnow_fingerprint_stats(df: DataFrame, id_col: str, text_col: str,
+                             k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Winnowed rolling-hash fingerprints, Arrow-batched (the scale path).
+
+    Same scheme and EXACT same values as :func:`winnow_fingerprints`
+    (md5-prefix k-gram hashes, window mins, distinct) but computed in
+    Python's C md5 via mapInPandas: one md5 per character position is
+    exactly the workload where interpreted Catalyst lambdas lose 35× to an
+    Arrow batch (measured; see SCALE.md).  Embarrassingly parallel — no
+    shuffle, output one stats row per document.
+    """
+    import hashlib as _hl
+
+    def batches(it):
+        import pandas as _pd
+
+        for pdf in it:
+            ids, nfps, mins, maxs = [], [], [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                lt = str(txt).lower()
+                n = max(len(lt) - k + 1, 1)
+                hs = [
+                    int(_hl.md5(lt[p : p + k].encode()).hexdigest()[:15], 16)
+                    for p in range(n)
+                ]
+                nw = max(len(hs) - w + 1, 1)
+                fps = {min(hs[i : i + w]) for i in range(nw)}
+                ids.append(int(doc_id))
+                nfps.append(len(fps))
+                mins.append(min(fps))
+                maxs.append(max(fps))
+            yield _pd.DataFrame(
+                {"doc_id": ids, "n_fps": nfps, "min_fp": mins, "max_fp": maxs}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} long, n_fps long, min_fp long, max_fp long"
+    )
+
+
 def simhash_bits(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
     """n-bit SimHash per document (n_bits ≤ 32 — one md5 hex digit per bit).
 

@@ -287,9 +287,59 @@ LIMIT 20
 """
 
 
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letters / digits / punct split) — the
+    pre-tokenizer count every BPE vocab assumes; whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    toks = text.bpe_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_bpe"),
+    )
+
+
+DOCS_BPE_TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{text.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '{text.BPE_PATTERN}'))) AS BIGINT) AS n_uniq_bpe
+FROM documents
+"""
+
+
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (MOSS scheme) — per-doc stats of
+    the fingerprint set, Arrow-batched (one md5 per char position is the
+    interpreted-lambda worst case; see winnow_fingerprint_stats)."""
+    d = load(spark, sf_dir, "documents")
+    return text.winnow_fingerprint_stats(d, "doc_id", "text")
+
+
+DOCS_WINNOW_SQL = f"""
+WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+h AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(lt) - {text.WINNOW_K - 1}, 1) + 1),
+               p -> CAST(concat('0x', substr(md5(substr(lt, CAST(p AS INTEGER), {text.WINNOW_K})), 1, 15)) AS BIGINT)) AS hs
+    FROM t
+),
+m AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(hs) - {text.WINNOW_W - 1}, 1) + 1),
+               i -> list_min(hs[CAST(i AS INTEGER):CAST(i + {text.WINNOW_W - 1} AS INTEGER)]))) AS fps
+    FROM h
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM m
+"""
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_top_bigrams": docs_top_bigrams,
+    "docs_bpe_token_stats": docs_bpe_token_stats,
+    "docs_winnow_fingerprints": docs_winnow_fingerprints,
     "docs_quality": docs_quality,
     "docs_langid": docs_langid,
     "docs_fingerprint_dedup": docs_fingerprint_dedup,
@@ -303,6 +353,8 @@ ORACLES = {
     "docs_simhash_neardup": DOCS_SIMHASH_NEARDUP_SQL,
     "docs_prep_corpus": DOCS_PREP_CORPUS_SQL,
     "docs_top_bigrams": DOCS_TOP_BIGRAMS_SQL,
+    "docs_bpe_token_stats": DOCS_BPE_TOKEN_STATS_SQL,
+    "docs_winnow_fingerprints": DOCS_WINNOW_SQL,
     "docs_token_stats": DOCS_TOKEN_STATS_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_langid": DOCS_LANGID_SQL,

@@ -199,3 +199,25 @@ def test_sample_frames_fanout(spark):
     # 250 bytes → 3 frames; 1 byte → 1 frame; indices dense from 0
     assert sorted(per_doc[1]) == [0, 1, 2] and per_doc[2] == [0]
     assert len({r.frame_md5 for r in frames}) == 4  # all frame hashes distinct
+
+
+def test_winnow_forms_agree_and_detect_overlap(spark):
+    """Column-expression and Arrow-batched winnowing produce identical
+    fingerprint sets; overlapping docs share fingerprints (the winnowing
+    guarantee: any match of length >= k+w-1 shares one)."""
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [(1, shared + " alpha beta"), (2, "prefix words here " + shared), (3, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll")],
+        "doc_id long, text string",
+    )
+    expr = df.select(
+        "doc_id", text.winnow_fingerprints(F.col("text")).alias("fps")
+    ).collect()
+    fast = text.winnow_fingerprint_stats(df, "doc_id", "text").collect()
+    by_expr = {r.doc_id: set(r.fps) for r in expr}
+    for r in fast:
+        assert (r.n_fps, r.min_fp, r.max_fp) == (
+            len(by_expr[r.doc_id]), min(by_expr[r.doc_id]), max(by_expr[r.doc_id])
+        )
+    assert by_expr[1] & by_expr[2]          # shared substring → shared fingerprints
+    assert not (by_expr[1] & by_expr[3])    # disjoint content → disjoint (whp)

@@ -71,6 +71,21 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
 
 
+#: Resize target (long edge) for the resize stage.
+RESIZE_TARGET = 256
+
+
+def resize_dims(width: int, height: int, target: int = RESIZE_TARGET) -> tuple[int, int]:
+    """Aspect-preserving resize arithmetic (the metadata half of a resize
+    stage; the pixel half plugs into :func:`decode_image`'s seam).  Long
+    edge → ``target``, short edge scaled and floored, never upscaled."""
+    long_edge = max(width, height, 1)
+    if long_edge <= target:
+        return width, height
+    scale = target / long_edge
+    return max(int(width * scale), 1), max(int(height * scale), 1)
+
+
 #: Output schema of the frame-sampling stage.
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
 

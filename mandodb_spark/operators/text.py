@@ -57,6 +57,14 @@ def stopword_ratio(text: Column) -> Column:
     return stop.cast("double") / F.size(toks).cast("double")
 
 
+def punct_ratio(text: Column) -> Column:
+    """Share of characters that are not alphanumeric/space — the
+    punctuation-saturation signal of a quality filter."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, "[a-z0-9 ]", "")
+    return F.length(stripped).cast("double") / F.length(lowered).cast("double")
+
+
 def uniq_ratio(text: Column) -> Column:
     toks = tokens(text)
     return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")

@@ -47,6 +47,7 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(t).cast("long").alias("n_chars"),
         F.round(text.stopword_ratio(t), 4).alias("stop_ratio"),
+        F.round(text.punct_ratio(t), 4).alias("punct_ratio"),
         F.round(text.uniq_ratio(t), 4).alias("uniq_ratio"),
         text.quality_score(t).alias("quality"),
     )
@@ -55,12 +56,13 @@ def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPS = ", ".join(f"'{s}'" for s in text.STOPWORDS)
 DOCS_QUALITY_SQL = f"""
 WITH t AS (
-    SELECT doc_id, length(text) AS n_chars, string_split(lower(text), ' ') AS toks
+    SELECT doc_id, text AS raw, length(text) AS n_chars, string_split(lower(text), ' ') AS toks
     FROM documents
 )
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS n_chars,
        round(CAST(len(list_filter(toks, x -> x IN ({_STOPS}))) AS DOUBLE) / len(toks), 4) AS stop_ratio,
+       round(CAST(length(regexp_replace(lower(raw), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(raw), 4) AS punct_ratio,
        round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio,
        round(0.6 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
            + 0.4 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({_STOPS}))) AS DOUBLE) / len(toks)), 4) AS quality

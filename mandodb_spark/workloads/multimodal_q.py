@@ -59,5 +59,49 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames, min(frame_md5) AS min_frame
 FROM frames GROUP BY doc_id
 """
 
-QUERIES = {"mm_binary_features": mm_binary_features, "mm_frame_sample": mm_frame_sample}
-ORACLES = {"mm_binary_features": MM_BINARY_FEATURES_SQL, "mm_frame_sample": MM_FRAME_SAMPLE_SQL}
+def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize metadata over the decoded (stub) dims —
+    pure column arithmetic on top of the feature extractor, grouped into a
+    size histogram."""
+    from pyspark.sql import functions as F
+
+    t = multimodal.RESIZE_TARGET
+    feats = mm_binary_features(spark, sf_dir)
+    long_edge = F.greatest("fake_width", "fake_height", F.lit(1))
+    scale = F.when(long_edge <= t, F.lit(1.0)).otherwise(F.lit(float(t)) / long_edge)
+    new_w = F.greatest(F.floor(F.col("fake_width") * scale), F.lit(1)).cast("int")
+    new_h = F.greatest(F.floor(F.col("fake_height") * scale), F.lit(1)).cast("int")
+    return (
+        feats.select(new_w.alias("out_w"), new_h.alias("out_h"))
+        .groupBy("out_w", "out_h")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+MM_RESIZE_DIMS_SQL = f"""
+WITH feats AS ({MM_BINARY_FEATURES_SQL}),
+scaled AS (
+    SELECT CASE WHEN greatest(fake_width, fake_height, 1) <= {multimodal.RESIZE_TARGET}
+                THEN fake_width
+                ELSE greatest(CAST(floor(fake_width * ({multimodal.RESIZE_TARGET}.0 / greatest(fake_width, fake_height, 1))) AS INTEGER), 1)
+           END AS out_w,
+           CASE WHEN greatest(fake_width, fake_height, 1) <= {multimodal.RESIZE_TARGET}
+                THEN fake_height
+                ELSE greatest(CAST(floor(fake_height * ({multimodal.RESIZE_TARGET}.0 / greatest(fake_width, fake_height, 1))) AS INTEGER), 1)
+           END AS out_h
+    FROM feats
+)
+SELECT out_w, out_h, CAST(count(*) AS BIGINT) AS n_images
+FROM scaled GROUP BY out_w, out_h
+"""
+
+QUERIES = {
+    "mm_binary_features": mm_binary_features,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_resize_dims": mm_resize_dims,
+}
+ORACLES = {
+    "mm_binary_features": MM_BINARY_FEATURES_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_resize_dims": MM_RESIZE_DIMS_SQL,
+}

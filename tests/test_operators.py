@@ -221,3 +221,10 @@ def test_winnow_forms_agree_and_detect_overlap(spark):
         )
     assert by_expr[1] & by_expr[2]          # shared substring → shared fingerprints
     assert not (by_expr[1] & by_expr[3])    # disjoint content → disjoint (whp)
+
+
+def test_resize_dims_arithmetic():
+    assert multimodal.resize_dims(500, 200) == (256, 102)   # downscale long edge
+    assert multimodal.resize_dims(200, 100) == (200, 100)   # never upscale
+    assert multimodal.resize_dims(0, 0) == (0, 0)           # degenerate guarded
+    assert multimodal.resize_dims(10000, 1) == (256, 1)     # floor never hits 0

@@ -158,3 +158,45 @@ class TSDB:
     def compact(self) -> None:
         """Maintenance compaction (the Compact the reference lacks)."""
         self.store.compact()
+
+    def materialize_rollup(self, dest: str, step: int = 21600) -> None:
+        """Hypertable-style continuous aggregate: materialize the per-series
+        ``step``-second rollup (count/avg/min/max/sum + last point) as a
+        Parquet table partitioned by segment bucket.
+
+        The rollup is itself time-partitioned, so dashboard queries over
+        months hit the (tiny) rollup with full partition pruning instead of
+        raw samples — the standard TSDB downsampling story the reference
+        lacks.  Maintenance = re-run for recent segments (idempotent
+        overwrite per partition would be the incremental form; full rewrite
+        here keeps the API minimal).
+        """
+        from pyspark.sql import functions as F
+
+        rel = self.store.relation()
+        bucket = (F.floor(F.col("ts") / step) * step).cast("long")
+        rollup = (
+            rel.groupBy(F.col("series_key"), bucket.alias("bucket_ts"))
+            .agg(
+                F.any_value("labels").alias("labels"),
+                F.count(F.lit(1)).alias("n"),
+                F.avg("value").alias("avg_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+                F.sum("value").alias("sum_value"),
+                F.max_by("value", "ts").alias("last_value"),
+            )
+            .withColumn("seg", (F.col("bucket_ts") / self.segment_duration).cast("long"))
+        )
+        (
+            rollup.repartition(F.col("seg"))
+            .sortWithinPartitions("series_key", "bucket_ts")
+            .write.option("compression", "zstd")
+            .partitionBy("seg")
+            .mode("overwrite")
+            .parquet(dest)
+        )
+
+    def rollup_relation(self, dest: str) -> DataFrame:
+        """Read back a materialized rollup (partition-pruned on seg)."""
+        return self.spark.read.parquet(dest)

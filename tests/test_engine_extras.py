@@ -83,3 +83,34 @@ def test_facade_promql_methods(spark, tmp_path_factory):
     assert {r.labels["node"]: r.value for r in inst} == {"a": 140.0, "b": 49.0}
     ot = db.over_time("max", "reqs", None, t0, t0 + 300, 600).collect()
     assert {r.labels["node"]: r.value for r in ot} == {"a": 140.0, "b": 49.0}
+
+
+def test_materialize_rollup_roundtrip(spark, tmp_path_factory):
+    """The materialized continuous aggregate equals the on-the-fly rollup
+    and is partitioned by seg (prunable)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from mandodb_spark import TSDB
+
+    base = tmp_path_factory.mktemp("rollup")
+    db = TSDB(spark, str(base / "store"))
+    t0 = 1_700_000_000
+    db.insert_rows(
+        [("m", {"n": f"v{i % 3}"}, t0 + i * 600, float(i)) for i in range(50)]
+    )
+    dest = str(base / "rollup")
+    db.materialize_rollup(dest, step=3600)
+    back = db.rollup_relation(dest)
+
+    live = (
+        db.store.relation()
+        .groupBy("series_key", (F.floor(F.col("ts") / 3600) * 3600).cast("long").alias("bucket_ts"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s"))
+    )
+    got = {(r.series_key, r.bucket_ts): (r.n, round(r.sum_value, 6)) for r in back.collect()}
+    want = {(r.series_key, r.bucket_ts): (r.n, r.s) for r in live.collect()}
+    assert got == want and len(got) > 3
+    # physically partitioned by seg → partition pruning applies
+    assert any(p.name.startswith("seg=") for p in Path(dest).iterdir() if p.is_dir())

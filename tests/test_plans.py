@@ -16,12 +16,9 @@ from mandodb_spark.workloads.tsdb_queries import tsdb_range_rows
 START = 1_700_000_000
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+from mandodb_spark.plans import formatted_plan as _formatted
+from mandodb_spark.plans import physical_plan as _plan
+from mandodb_spark.plans import pushed_filters, shuffle_count
 
 
 def test_events_adapter_pushes_time_and_metric(spark):
@@ -126,3 +123,14 @@ def test_ivf_codebook_is_broadcast(spark):
     plan = _plan(emb_ivf_topk(spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_query_range_single_shuffle(spark, tmp_path_factory):
+    """The flagship path is scan → filter → ONE shuffle → final agg
+    (SCALE.md's shuffle inventory)."""
+    path = str(tmp_path_factory.mktemp("plan1s") / "store")
+    db = TSDB(spark, path)
+    db.insert_rows([("m", {"a": "1"}, START + i, float(i)) for i in range(10)])
+    df = db.query_range("m", [], START, START + 100)
+    assert shuffle_count(df) == 1
+    assert pushed_filters(df)  # time/seg predicates reached the scan

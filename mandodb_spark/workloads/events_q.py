@@ -282,12 +282,51 @@ FROM co, cb
 """
 
 
+#: Half-width of the error blast window (seconds).
+ERR_W = 1800
+
+
+def events_error_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join, bucketed (operators.temporal): which events fall
+    within ±30 min of any error event, counted per type.
+
+    A naive `ts BETWEEN err-1800 AND err+1800` join is a
+    BroadcastNestedLoopJoin (O(n·m)); the bucketed form shuffles on the
+    time bucket — the only interval-join shape that holds at 100 TB."""
+    from ..operators.temporal import bucketed_interval_join
+
+    ev = events_base(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        (F.col("ts") - ERR_W).alias("ws"), (F.col("ts") + ERR_W).alias("we")
+    )
+    others = ev.filter(F.col("event_type") != "error").select("event_id", "event_type", "ts")
+    hits = bucketed_interval_join(errors, others, "ws", "we", "ts", bucket_width=2 * ERR_W)
+    return (
+        hits.select("event_id", "event_type")
+        .distinct()  # an event near several errors counts once
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_near_error"))
+    )
+
+
+EVENTS_ERROR_WINDOW_JOIN_SQL = f"""
+WITH base AS (SELECT event_id, event_type, {_EPOCH} AS ts FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_near_error
+FROM base e
+WHERE e.event_type <> 'error'
+  AND EXISTS (SELECT 1 FROM base x WHERE x.event_type = 'error'
+              AND e.ts BETWEEN x.ts - {ERR_W} AND x.ts + {ERR_W})
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_sessionize": events_sessionize,
     "events_funnel": events_funnel,
     "events_retention_cohorts": events_retention_cohorts,
     "events_sql_surface": events_sql_surface,
     "events_set_ops": events_set_ops,
+    "events_error_window_join": events_error_window_join,
     "events_hourly": events_hourly,
     "events_pivot": events_pivot,
     "events_topk_users": events_topk_users,
@@ -300,6 +339,7 @@ ORACLES = {
     "events_retention_cohorts": EVENTS_RETENTION_COHORTS_SQL,
     "events_sql_surface": SQL_SURFACE_TEXT,
     "events_set_ops": EVENTS_SET_OPS_SQL,
+    "events_error_window_join": EVENTS_ERROR_WINDOW_JOIN_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_pivot": EVENTS_PIVOT_SQL,
     "events_topk_users": EVENTS_TOPK_USERS_SQL,

@@ -228,3 +228,24 @@ def test_resize_dims_arithmetic():
     assert multimodal.resize_dims(200, 100) == (200, 100)   # never upscale
     assert multimodal.resize_dims(0, 0) == (0, 0)           # degenerate guarded
     assert multimodal.resize_dims(10000, 1) == (256, 1)     # floor never hits 0
+
+
+def test_bucketed_interval_join_equals_naive(spark):
+    from mandodb_spark.operators.temporal import bucketed_interval_join
+
+    iv = spark.createDataFrame(
+        [(1, 100, 200), (2, 150, 160), (3, 900, 1000)], "iv_id long, ws long, we long"
+    )
+    pts = spark.createDataFrame(
+        [(10, 99), (11, 100), (12, 155), (13, 200), (14, 201), (15, 950)],
+        "pt_id long, ts long",
+    )
+    got = sorted(
+        (r.iv_id, r.pt_id)
+        for r in bucketed_interval_join(iv, pts, "ws", "we", "ts", bucket_width=64).collect()
+    )
+    naive = sorted(
+        (r.iv_id, r.pt_id)
+        for r in iv.join(pts, F.col("ts").between(F.col("ws"), F.col("we"))).collect()
+    )
+    assert got == naive == [(1, 11), (1, 12), (1, 13), (2, 12), (3, 15)]

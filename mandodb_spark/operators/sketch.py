@@ -1,0 +1,80 @@
+"""Frequency sketches: Count-Min over a key column.
+
+Beyond-reference surface (the reference has no sketches at all; Spark
+ships HLL++ and t-digest but no CMS).  The sketch is built as a plain
+DataFrame — (row, bucket, count) with d·w cells — so it merges across
+partitions/batches by summation (map-side partial agg), exactly the
+property that makes CMS the streaming/distributed frequency structure.
+
+Hashing is md5-derived (engine-agnostic, like the minhash/winnowing
+stages) so estimates are bit-identical across Spark and the DuckDB
+oracle: row i's bucket for key k = int(md5('i:'+k)[:8], 16) mod width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default geometry: 4 rows × 1024 buckets → ε ≈ 2e/w, δ ≈ e^-4.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_bucket(key: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Row ``row``'s bucket for ``key`` (32-bit md5 prefix mod width)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}:"), key)), 1, 8), 16, 10).cast("long"),
+        F.lit(width),
+    )
+
+
+def cms_build(keys: DataFrame, key_col: str,
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Build the sketch table (row, bucket, n) from a relation of keys.
+
+    One explode (×depth) + one hash aggregation; the result has at most
+    d·w rows regardless of input size — THE reduction that lets a 100 TB
+    key stream summarize into kilobytes.  Sketches built on different
+    data slices union+re-aggregate into the combined sketch.
+    """
+    rows = F.array(
+        *[
+            F.struct(F.lit(r).alias("row"), cms_bucket(F.col(key_col), r, width).alias("bucket"))
+            for r in range(depth)
+        ]
+    )
+    return (
+        keys.select(F.explode(rows).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, queries: DataFrame, key_col: str,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Point-estimate each query key's frequency: min over rows of its
+    bucket count (the CMS upper-bound estimate, never an undercount).
+
+    ``queries`` is expected small (broadcast side); the sketch join is an
+    equi-join on (row, bucket).
+    """
+    probes = queries.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), cms_bucket(F.col(key_col), r, width).alias("bucket")
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        sketch.join(F.broadcast(probes), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("n").alias("est_count"))
+    )

@@ -337,11 +337,72 @@ FROM m
 """
 
 
+def docs_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimates vs exact counts for the top-10
+    tokens.  The sketch compresses the whole token stream into d·w cells
+    (mergeable by summation — the distributed/streaming frequency
+    structure); estimates are provable upper bounds, asserted per row."""
+    from ..operators import sketch
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokens(F.col("text"))).alias("tok"))
+    exact_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok"))
+        .limit(10)
+    )
+    cms = sketch.cms_build(toks, "tok")
+    est = sketch.cms_estimate(cms, exact_top.select("tok"), "tok")
+    return exact_top.join(est, "tok").select(
+        "tok",
+        "n_exact",
+        F.col("est_count").cast("long").alias("est_count"),
+        (F.col("est_count") >= F.col("n_exact")).alias("is_upper_bound"),
+    )
+
+
+def _cms_sql() -> str:
+    from ..operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    rows = ", ".join(str(r) for r in range(CMS_DEPTH))
+    bucket = (
+        "CAST(CAST(concat('0x', substr(md5(CAST({r} AS VARCHAR) || ':' || {k}), 1, 8)) AS BIGINT) "
+        f"% {CMS_WIDTH} AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+exact_top AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+    FROM toks GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 10
+),
+cells AS (
+    SELECT r.r AS row, {bucket.format(r="r.r", k="tok")} AS bucket, count(*) AS n
+    FROM toks CROSS JOIN unnest([{rows}]) r(r)
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT t.tok, min(c.n) AS est_count
+    FROM exact_top t
+    CROSS JOIN unnest([{rows}]) r(r)
+    JOIN cells c ON c.row = r.r AND c.bucket = {bucket.format(r="r.r", k="t.tok")}
+    GROUP BY t.tok
+)
+SELECT t.tok, t.n_exact, CAST(e.est_count AS BIGINT) AS est_count,
+       e.est_count >= t.n_exact AS is_upper_bound
+FROM exact_top t JOIN est e ON e.tok = t.tok
+"""
+
+
+DOCS_CMS_SQL = _cms_sql()
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_top_bigrams": docs_top_bigrams,
     "docs_bpe_token_stats": docs_bpe_token_stats,
     "docs_winnow_fingerprints": docs_winnow_fingerprints,
+    "docs_cms_token_freq": docs_cms_token_freq,
     "docs_quality": docs_quality,
     "docs_langid": docs_langid,
     "docs_fingerprint_dedup": docs_fingerprint_dedup,
@@ -357,6 +418,7 @@ ORACLES = {
     "docs_top_bigrams": DOCS_TOP_BIGRAMS_SQL,
     "docs_bpe_token_stats": DOCS_BPE_TOKEN_STATS_SQL,
     "docs_winnow_fingerprints": DOCS_WINNOW_SQL,
+    "docs_cms_token_freq": DOCS_CMS_SQL,
     "docs_token_stats": DOCS_TOKEN_STATS_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_langid": DOCS_LANGID_SQL,

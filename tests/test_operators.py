@@ -249,3 +249,18 @@ def test_bucketed_interval_join_equals_naive(spark):
         for r in iv.join(pts, F.col("ts").between(F.col("ws"), F.col("we"))).collect()
     )
     assert got == naive == [(1, 11), (1, 12), (1, 13), (2, 12), (3, 15)]
+
+
+def test_cms_estimates_are_upper_bounds(spark):
+    from mandodb_spark.operators import sketch
+
+    keys = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 10 + [("c",)] * 1, "k string"
+    )
+    cms = sketch.cms_build(keys, "k", depth=4, width=64)
+    qs = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    est = {r.k: r.est_count for r in sketch.cms_estimate(cms, qs, "k", depth=4, width=64).collect()}
+    assert est["a"] >= 50 and est["b"] >= 10 and est["c"] >= 1  # never undercounts
+    assert est["a"] <= 61  # bounded by total stream length
+    # sketch size is bounded by d*w cells regardless of stream size
+    assert cms.count() <= 4 * 64

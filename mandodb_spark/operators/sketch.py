@@ -73,8 +73,13 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, key_col: str,
             )
         ).alias("rb"),
     ).select(key_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    # LEFT join from the probes: a (row, bucket) cell with no sketch row has
+    # count 0, and the CMS estimate is min over ALL d cells — an inner join
+    # would drop empty cells from the min, inflating estimates for unseen
+    # keys (violating est <= true + eps*N) and losing keys entirely when all
+    # d cells are empty.
     return (
-        sketch.join(F.broadcast(probes), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("n").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
     )

@@ -176,7 +176,7 @@ def winnow_fingerprint_stats(df: DataFrame, id_col: str, text_col: str,
                 mins.append(min(fps))
                 maxs.append(max(fps))
             yield _pd.DataFrame(
-                {"doc_id": ids, "n_fps": nfps, "min_fp": mins, "max_fp": maxs}
+                {id_col: ids, "n_fps": nfps, "min_fp": mins, "max_fp": maxs}
             )
 
     return df.select(id_col, text_col).mapInPandas(
@@ -212,6 +212,60 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) ->
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash per document (see :func:`simhash_bits`)."""
     return simhash_bits(df, id_col, text_col, 16)
+
+
+def simhash_arrow(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
+    """SimHash, Arrow-batched (the corpus-scale path).
+
+    EXACT same values as :func:`simhash_bits` (md5 hex-digit votes over the
+    whitespace token stream) but computed in C md5 via mapInPandas with a
+    per-batch token→vote cache — the 16 interpreted array passes of the
+    expression form are the measured hot spot of docs_simhash (VERDICT r1),
+    and this is the same Arrow trade that won 35× for winnowing.
+    Embarrassingly parallel: no explode, no shuffle, one row out per doc.
+    """
+    assert 1 <= n_bits <= 32
+    import hashlib as _hl
+
+    def batches(it):
+        import numpy as _np
+        import pandas as _pd
+
+        cache: dict[str, _np.ndarray] = {}
+        # hex digit j (0-based, left to right) of the md5 string is "high"
+        # iff its top bit is set; in v = int(h[:n_bits], 16) that digit's
+        # top bit sits at position 4*(n_bits-1-j)+3.
+        shifts = [4 * (n_bits - 1 - j) + 3 for j in range(n_bits)]
+
+        def votes_of(tok: str) -> _np.ndarray:
+            m = cache.get(tok)
+            if m is None:
+                # v is a plain Python int: up to 128 bits at n_bits=32,
+                # beyond int64 — shift per bit, then vectorize the array.
+                v = int(_hl.md5(tok.encode()).hexdigest()[:n_bits], 16)
+                m = _np.array([(v >> s) & 1 for s in shifts], dtype=_np.int64)
+                cache[tok] = m
+            return m
+
+        from collections import Counter
+
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = str(txt).lower().split(" ")
+                n = len(toks)
+                acc = _np.zeros(n_bits, dtype=_np.int64)
+                for tok, c in Counter(toks).items():
+                    acc += c * votes_of(tok)
+                fp = 0
+                for j in range(n_bits):
+                    if 2 * int(acc[j]) > n:
+                        fp |= 1 << j
+                ids.append(int(doc_id))
+                fps.append(fp)
+            yield _pd.DataFrame({id_col: ids, "simhash": _pd.Series(fps, dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(batches, f"{id_col} long, simhash long")
 
 
 def simhash16_sql(table: str, id_col: str, text_col: str, n_bits: int = 16) -> str:

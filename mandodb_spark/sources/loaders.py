@@ -112,7 +112,11 @@ def rows_from_influx_line(lines: DataFrame, text_col: str = "value",
             F.split(t, "=").getItem(1).alias("value"),
         ),
     )
-    value = F.regexp_extract(fieldset, rf"^{default_field}=(-?[0-9.eE+]+)$", 1).try_cast("double")
+    # Proper float literal (sign, fraction, signed exponent) — a bare char
+    # class like [0-9.eE+] can't match a negative exponent (1.5e-3) and the
+    # sample would silently ingest with a null value.
+    float_re = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+    value = F.regexp_extract(fieldset, rf"^{default_field}=({float_re})$", 1).try_cast("double")
     return (
         lines.select(
             metric.alias("metric"),
@@ -120,5 +124,10 @@ def rows_from_influx_line(lines: DataFrame, text_col: str = "value",
             ts_str.try_cast("long").alias("ts"),
             value.alias("value"),
         )
-        .where(F.col("metric").isNotNull() & (F.col("metric") != "") & F.col("ts").isNotNull())
+        .where(
+            F.col("metric").isNotNull()
+            & (F.col("metric") != "")
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
     )

@@ -101,10 +101,19 @@ def dedup_stream(rows: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ..model import fold_metric_name, series_key
+    from ..model import clean_labels, fold_metric_name, series_key
 
+    # Key exactly like canonicalize(): NULL labels must coalesce to an empty
+    # map BEFORE hashing — map_concat(NULL, …) is NULL and xxhash64(NULL)
+    # collapses every null-labeled metric onto one constant key, silently
+    # dropping samples from different metrics at the same timestamp.
     keyed = rows.withColumn(
-        "__sk", series_key(fold_metric_name(F.col("metric"), F.col("labels")))
+        "__sk",
+        series_key(
+            fold_metric_name(
+                F.col("metric"), clean_labels(F.coalesce(F.col("labels"), F.create_map()))
+            )
+        ),
     ).withColumn("__ev", F.timestamp_seconds(F.col("ts")))
     return (
         keyed.withWatermark("__ev", watermark)

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from . import docs, embeddings_q, events_q, multimodal_q, promql_q, tpch, tsdb_queries
 
-QUERIES = {
+_ALL_QUERIES = {
     **tsdb_queries.QUERIES,
     **promql_q.QUERIES,
     **tpch.QUERIES,
@@ -17,7 +17,7 @@ QUERIES = {
     **multimodal_q.QUERIES,
 }
 
-ORACLES = {
+_ALL_ORACLES = {
     **tsdb_queries.ORACLES,
     **promql_q.ORACLES,
     **tpch.ORACLES,
@@ -26,5 +26,74 @@ ORACLES = {
     **events_q.ORACLES,
     **multimodal_q.ORACLES,
 }
+
+# Registry order matters: the correctness driver verifies the first N entries
+# (N=50 in round 1), so entries that have never received a driver CORRECTNESS
+# row come first, followed by a representative core of every query family.
+# Round 1 verified 50/50 in the old order; this rotation puts the remaining 22
+# (LLM-pipeline surface: events_*, emb_*, mm_*, three docs_*) inside the window
+# while keeping one-of-each proven tsdb/promql/tpch/docs shape in it too.
+_PRIORITY = [
+    # -- never driver-verified (round 1 window cutoff) --
+    "docs_minhash_pairs",
+    "docs_simhash_neardup",
+    "docs_prep_corpus",
+    "emb_cosine_topk",
+    "emb_label_centroids",
+    "emb_neardup_pairs",
+    "emb_ann_bucket_sizes",
+    "emb_ivf_topk",
+    "events_sessionize",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sql_surface",
+    "events_set_ops",
+    "events_error_window_join",
+    "events_hourly",
+    "events_pivot",
+    "events_topk_users",
+    "events_asof_click",
+    "events_user_cardinality_approx",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_resize_dims",
+    # -- representative proven core (green in CORRECTNESS_r01) --
+    "tsdb_range_rows",
+    "tsdb_series_agg",
+    "tsdb_distinct_series",
+    "tsdb_label_values",
+    "tsdb_bucket_stats",
+    "tsdb_retention",
+    "tsdb_gapfill",
+    "tsdb_rate",
+    "tsdb_eq_match",
+    "tsdb_regex_match",
+    "tsdb_conjunction",
+    "tsdb_latest_point",
+    "promql_rate",
+    "promql_increase",
+    "promql_topk",
+    "promql_quantile_over_time",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q8",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_window_rank",
+    "docs_simhash",
+    "docs_winnow_fingerprints",
+    "docs_cms_token_freq",
+    "docs_fingerprint_dedup",
+]
+
+assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))
+
+QUERIES = {name: _ALL_QUERIES[name] for name in _PRIORITY}
+QUERIES.update({n: q for n, q in _ALL_QUERIES.items() if n not in QUERIES})
+
+ORACLES = {name: _ALL_ORACLES[name] for name in _PRIORITY if name in _ALL_ORACLES}
+ORACLES.update({n: q for n, q in _ALL_ORACLES.items() if n not in ORACLES})
 
 __all__ = ["QUERIES", "ORACLES"]

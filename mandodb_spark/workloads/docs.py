@@ -108,9 +108,10 @@ GROUP BY 1
 
 
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document."""
+    """16-bit SimHash fingerprint per document (Arrow-batched scale path;
+    bit-identical to the expression form — see test_simhash_arrow_parity)."""
     d = load(spark, sf_dir, "documents")
-    return text.simhash16(d, "doc_id", "text")
+    return text.simhash_arrow(d, "doc_id", "text", 16)
 
 
 DOCS_SIMHASH_SQL = text.simhash16_sql("documents", "doc_id", "text")
@@ -183,7 +184,7 @@ def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision floor at hamming ≤ 3 around 1e-6, so candidate volume tracks
     true near-dups, not fingerprint coarseness."""
     d = load(spark, sf_dir, "documents")
-    sim = text.simhash_bits(d, "doc_id", "text", 32)
+    sim = text.simhash_arrow(d, "doc_id", "text", 32)
     return dedup.simhash_band_pairs(sim, "doc_id", n_bits=32)
 
 
@@ -382,10 +383,10 @@ cells AS (
     GROUP BY 1, 2
 ),
 est AS (
-    SELECT t.tok, min(c.n) AS est_count
+    SELECT t.tok, min(coalesce(c.n, 0)) AS est_count
     FROM exact_top t
     CROSS JOIN unnest([{rows}]) r(r)
-    JOIN cells c ON c.row = r.r AND c.bucket = {bucket.format(r="r.r", k="t.tok")}
+    LEFT JOIN cells c ON c.row = r.r AND c.bucket = {bucket.format(r="r.r", k="t.tok")}
     GROUP BY t.tok
 )
 SELECT t.tok, t.n_exact, CAST(e.est_count AS BIGINT) AS est_count,

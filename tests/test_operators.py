@@ -43,6 +43,19 @@ def test_minhash_near_duplicates_found(spark):
     assert len(pairs) == 1 and pairs[0].jaccard >= 0.5
 
 
+def test_lsh_pipelines_leave_no_persisted_rdds(spark):
+    """The LSH pipelines must not leak cached tables into executor storage
+    memory across invocations in a long-lived session (ADVICE r1)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon eta")],
+        "doc_id long, text string",
+    )
+    dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5).collect()
+    sim = text.simhash_arrow(df, "doc_id", "text", 32)
+    dedup.simhash_band_pairs(sim, "doc_id", n_bits=32, n_bands=4).collect()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
 def test_shingle_sets_are_distinct_positional_shingles(spark):
     df = spark.createDataFrame([(1, "abcdefghijkl")], "doc_id long, text string")
     got = sorted(r.sh for r in dedup.shingle_sets(df, "doc_id", "text", length=8, stride=4).collect())
@@ -158,6 +171,24 @@ def test_simhash_properties(spark):
     assert out[1] != out[3]                  # (overwhelmingly likely)
 
 
+def test_simhash_arrow_parity(spark):
+    # The Arrow-batched scale path must be bit-identical to the column-
+    # expression form (same md5 hex-digit votes) at both 16 and 32 bits.
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "zz yy xx ww vv uu"),
+        (4, "repeated repeated repeated word"),
+        (5, "Mixed CASE and   multiple  spaces"),
+        (6, "punctuation, everywhere! truly; everywhere?"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    for n_bits in (16, 32):
+        expr = {r.id: r.simhash for r in text.simhash_bits(df, "id", "text", n_bits).collect()}
+        arrow = {r.id: r.simhash for r in text.simhash_arrow(df, "id", "text", n_bits).collect()}
+        assert expr == arrow, f"n_bits={n_bits}"
+
+
 def test_lang_guess_markers(spark):
     df = spark.createDataFrame(
         [(1, "der hund ist da"), (2, "le chat est la"), (3, "just english words")],
@@ -264,3 +295,20 @@ def test_cms_estimates_are_upper_bounds(spark):
     assert est["a"] <= 61  # bounded by total stream length
     # sketch size is bounded by d*w cells regardless of stream size
     assert cms.count() <= 4 * 64
+
+
+def test_cms_unseen_key_estimates_zero_not_inflated(spark):
+    """A key absent from the build data must report the true CMS minimum —
+    0 when any of its d cells is empty — and must always yield a row.
+    (ADVICE r1: the old inner join excluded empty cells from the min.)"""
+    from mandodb_spark.operators import sketch
+
+    keys = spark.createDataFrame([("a",)] * 5, "k string")
+    # width large enough that 'never_seen_key_xyz' almost surely misses
+    # every occupied cell in at least one of the 4 rows
+    cms = sketch.cms_build(keys, "k", depth=4, width=4096)
+    qs = spark.createDataFrame([("a",), ("never_seen_key_xyz",)], "k string")
+    est = {r.k: r.est_count for r in sketch.cms_estimate(cms, qs, "k", depth=4, width=4096).collect()}
+    assert set(est) == {"a", "never_seen_key_xyz"}  # every probe yields a row
+    assert est["a"] == 5
+    assert est["never_seen_key_xyz"] == 0

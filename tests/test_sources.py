@@ -98,7 +98,9 @@ def test_influx_line_protocol_parses_jvm_side(spark):
         [
             ("cpu,host=web1,dc=east value=3.14 1700000000",),
             ("mem,host=web2 value=-2.5e1 1700000060",),
+            ("tiny,host=web3 value=1.5e-3 1700000090",),
             ("bare_metric value=1 1700000120",),
+            ("badval,host=web4 value=not_a_number 1700000150",),
             ("garbage line without structure",),
             ("",),
         ],
@@ -106,7 +108,9 @@ def test_influx_line_protocol_parses_jvm_side(spark):
     )
     rows = rows_from_influx_line(lines).collect()
     by_metric = {r.metric: r for r in rows}
-    assert set(by_metric) == {"cpu", "mem", "bare_metric"}
+    # badval parses metric+ts but its value is unparseable → dropped, not null
+    assert set(by_metric) == {"cpu", "mem", "tiny", "bare_metric"}
+    assert by_metric["tiny"].value == 1.5e-3
     cpu = by_metric["cpu"]
     assert cpu.labels == {"host": "web1", "dc": "east"}
     assert (cpu.ts, cpu.value) == (1700000000, 3.14)

@@ -191,6 +191,30 @@ def test_dedup_stream_drops_duplicate_samples(spark, tmp_path_factory):
     assert len(got) == 50  # duplicates dropped, one sample per (series, ts)
 
 
+def test_dedup_stream_null_labels_keeps_distinct_metrics(spark, tmp_path_factory):
+    """NULL labels must canonicalize to an empty map before keying:
+    map_concat(NULL, …) is NULL and xxhash64(NULL) is a constant, so two
+    different metrics at the same ts would collapse onto one dedup key and
+    one would be silently dropped (ADVICE r1 — data loss)."""
+    from mandodb_spark.streaming.ingest import StreamingIngestor, dedup_stream
+
+    base = tmp_path_factory.mktemp("dedupnull")
+    src, ckpt, store_dir = str(base / "src"), str(base / "ckpt"), str(base / "store")
+    # same ts, labels=NULL, different metrics — both must survive
+    df = spark.createDataFrame(
+        [("cpu", None, START, 1.0), ("mem", None, START, 2.0)], ROW_SCHEMA
+    )
+    df.write.parquet(src)
+
+    db = TSDB(spark, store_dir)
+    stream = spark.readStream.schema(ROW_SCHEMA).parquet(src)
+    q = StreamingIngestor(db.store).start(dedup_stream(stream), ckpt)
+    q.awaitTermination(120)
+
+    assert len(db.query_range_rows("cpu", [], 0, 10**10).collect()) == 1
+    assert len(db.query_range_rows("mem", [], 0, 10**10).collect()) == 1
+
+
 def test_sliding_windows_overlap(spark):
     """Each point lands in window/slide overlapping windows; counts per
     window reflect the overlap."""

@@ -17,8 +17,10 @@ The Spark shape replaces all of it with one construct:
   and reads sort on (series_key, ts); the AVL sidecar and flush-time merge
   (series.go:72-94) have no equivalent because nothing needs merging.
   An optional watermark bounds state when window aggregations are used.
-- T3 (30s enqueue timeout) → backpressure is trigger pacing
-  (maxOffsetsPerTrigger etc.); ingestion lags rather than erroring.
+- T3 (30s enqueue timeout) → backpressure is per-trigger admission
+  bounding (:func:`bounded_source` wires maxFilesPerTrigger /
+  maxOffsetsPerTrigger / maxBytesPerTrigger); ingestion lags rather
+  than erroring.
 - T4 (async, lossy)        → checkpointing upgrades this to exactly-once
   into the store (strictly stronger than the reference).
 - T6 (memory mode)         → format("memory") sink for tests.
@@ -30,10 +32,48 @@ one-sorted-file-per-segment invariant periodically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.segment_store import SegmentStore
+
+
+def bounded_source(
+    spark: SparkSession,
+    fmt: str,
+    path: str | None = None,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    max_offsets_per_trigger: int | None = None,
+    max_bytes_per_trigger: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """readStream with per-trigger admission bounds — the T3 backpressure
+    knob (tsdb.go:205-216,42: the reference bounds ingest with a fixed-
+    capacity channel and a 30s enqueue timeout; Spark's equivalent is
+    bounding what each micro-batch ADMITS, so a hot source lags instead of
+    producing unbounded batches that blow executor memory).
+
+    - ``max_files_per_trigger``  → file sources (parquet/json/csv/text)
+    - ``max_offsets_per_trigger`` → Kafka
+    - ``max_bytes_per_trigger``  → file sources, e.g. "512m" (Spark 4)
+
+    The bounds hold under ``Trigger.AvailableNow`` too: a backlog drains in
+    several bounded batches rather than one giant one (asserted by
+    test_bounded_source_drains_in_multiple_batches).
+    """
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path) if path is not None else reader.load()
 
 
 class StreamingIngestor:

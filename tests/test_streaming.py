@@ -53,6 +53,39 @@ def test_stream_ingest_equals_batch(spark, tmp_path_factory):
     assert [(r.ts, r.value) for r in a] == [(r.ts, r.value) for r in b]
 
 
+def test_bounded_source_drains_in_multiple_batches(spark, tmp_path_factory):
+    """T3 backpressure: with maxFilesPerTrigger=2, a 6-file backlog must
+    drain in >= 3 micro-batches, each admitting at most 2 files' worth of
+    rows — the Spark-native form of the reference's bounded enqueue channel
+    (tsdb.go:205-216); a hot source lags instead of producing an unbounded
+    batch."""
+    from mandodb_spark.streaming.ingest import bounded_source
+
+    base = tmp_path_factory.mktemp("bounded")
+    src, ckpt, store_dir = str(base / "src"), str(base / "ckpt"), str(base / "store")
+    rows_per_file = 10
+    for f in range(6):
+        rows = [("m", {"n": "a"}, START + (f * rows_per_file + i) * 60, 1.0)
+                for i in range(rows_per_file)]
+        spark.createDataFrame(rows, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    db = TSDB(spark, store_dir)
+    stream = bounded_source(
+        spark, "parquet", src, schema=ROW_SCHEMA, max_files_per_trigger=2
+    )
+    q = StreamingIngestor(db.store).start(stream, ckpt)
+    q.awaitTermination(120)
+
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 3                                   # several bounded batches
+    # numInputRows counts SCANNED rows: foreachBatch runs two actions
+    # (isEmpty + append) over the admitted files, so each 2-file batch
+    # reports ≤ 2 × (2 × rows_per_file) — still far below the 60-row
+    # backlog a single unbounded batch would admit.
+    assert all(p["numInputRows"] <= 4 * rows_per_file < 60 for p in progress)
+    assert db.query_range_rows("m", [], 0, 10**10).count() == 60  # nothing lost
+
+
 def test_stream_restart_is_idempotent(spark, tmp_path_factory):
     """Restarting from the same checkpoint re-delivers nothing (exactly-once
     into the store) — strictly stronger than the reference's lossy async

@@ -38,14 +38,30 @@ class TSDB:
         retention: int = DEFAULT_RETENTION,
         codec: str = "zstd",
         only_memory: bool = False,
+        bucket_by_series: int | None = None,
+        table: str | None = None,
     ) -> None:
         """``only_memory=True`` (or ``path=None``) mirrors the reference's
-        onlyMemoryMode (tsdb.go:30, T6): nothing touches disk."""
+        onlyMemoryMode (tsdb.go:30, T6): nothing touches disk.
+
+        ``bucket_by_series=N`` stores the data bucketed by ``series_key``
+        into N buckets (catalog table ``table``, default derived from the
+        path) — removes query_range's one shuffle entirely at the cost of
+        N files per segment per batch (see BucketedSegmentStore)."""
         self.spark = spark
         if only_memory or path is None:
             from .sources.memory_store import MemoryStore
 
             self.store: SegmentStore | "MemoryStore" = MemoryStore(spark, segment_duration)
+        elif bucket_by_series:
+            from .sources.segment_store import BucketedSegmentStore
+
+            tname = table or "tsdb_" + "".join(
+                c if c.isalnum() else "_" for c in str(path)
+            ).strip("_")
+            self.store = BucketedSegmentStore(
+                spark, path, tname, bucket_by_series, segment_duration, codec
+            )
         else:
             self.store = SegmentStore(spark, path, segment_duration, codec)
         self.segment_duration = segment_duration
@@ -101,6 +117,23 @@ class TSDB:
     def label_dim(self) -> DataFrame:
         """The label-value registry (A4, label.go:40-77) as a relation."""
         return tsdb_ops.label_values_dim(self.store.relation())
+
+    def refresh_label_dim(self, dest: str, batch: DataFrame | None = None) -> None:
+        """Maintain a materialized label-value dim at ``dest`` (A4,
+        incremental form).  With ``batch`` (e.g. from foreachBatch) the
+        refresh is O(batch + dim); without, it bootstraps/rebuilds from the
+        whole store."""
+        from .model import canonicalize
+
+        if batch is None:
+            src = self.store.relation()
+        else:
+            src = canonicalize(batch, self.segment_duration)
+        tsdb_ops.refresh_label_dim(dest, src)
+
+    def label_dim_relation(self, dest: str) -> DataFrame:
+        """Read back a materialized label dim."""
+        return self.spark.read.parquet(dest)
 
     # ------------------------------------------------------------ SQL surface
     def create_views(self, prefix: str = "tsdb") -> None:
@@ -159,7 +192,9 @@ class TSDB:
         """Maintenance compaction (the Compact the reference lacks)."""
         self.store.compact()
 
-    def materialize_rollup(self, dest: str, step: int = 21600) -> None:
+    def materialize_rollup(self, dest: str, step: int = 21600,
+                           incremental: bool = False,
+                           since_seg: int | None = None) -> None:
         """Hypertable-style continuous aggregate: materialize the per-series
         ``step``-second rollup (count/avg/min/max/sum + last point) as a
         Parquet table partitioned by segment bucket.
@@ -167,13 +202,40 @@ class TSDB:
         The rollup is itself time-partitioned, so dashboard queries over
         months hit the (tiny) rollup with full partition pruning instead of
         raw samples — the standard TSDB downsampling story the reference
-        lacks.  Maintenance = re-run for recent segments (idempotent
-        overwrite per partition would be the incremental form; full rewrite
-        here keeps the API minimal).
+        lacks.
+
+        ``incremental=True`` is the maintenance form: recompute only from
+        the high-watermark (the max ``seg`` already materialized — that
+        partition may be partial because its source segment was open at the
+        last refresh) and rewrite only the affected ``seg=`` partitions via
+        dynamic partition overwrite.  At 100 TB this is the difference
+        between a refresh that reads hours and one that rewrites months.
+        ``since_seg`` overrides the watermark (e.g. after late backfill
+        into older segments).  Bucket/partition alignment: a rollup bucket
+        b lands in partition floor(b/segment_duration), so refreshing
+        partitions ≥ W requires exactly the buckets with b ≥ W·duration,
+        i.e. source rows with ts ≥ ceil(W·duration/step)·step — there is no
+        step-multiple strictly between W·duration and that ceiling, so no
+        partially-regenerated bucket can clobber a partition.
         """
         from pyspark.sql import functions as F
 
         rel = self.store.relation()
+        use_dynamic = False
+        if incremental or since_seg is not None:
+            w = since_seg
+            if w is None:
+                try:
+                    w = self.spark.read.parquet(dest).agg(F.max("seg")).first()[0]
+                except Exception:
+                    w = None  # no existing rollup → full build
+            if w is not None:
+                refresh_ts = -(-(w * self.segment_duration) // step) * step
+                rel = rel.filter(
+                    (F.col("ts") >= refresh_ts)
+                    & (F.col("seg") >= refresh_ts // self.segment_duration)
+                )
+                use_dynamic = True
         bucket = (F.floor(F.col("ts") / step) * step).cast("long")
         rollup = (
             rel.groupBy(F.col("series_key"), bucket.alias("bucket_ts"))
@@ -188,14 +250,20 @@ class TSDB:
             )
             .withColumn("seg", (F.col("bucket_ts") / self.segment_duration).cast("long"))
         )
-        (
-            rollup.repartition(F.col("seg"))
-            .sortWithinPartitions("series_key", "bucket_ts")
-            .write.option("compression", "zstd")
-            .partitionBy("seg")
-            .mode("overwrite")
-            .parquet(dest)
-        )
+        dpo = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        if use_dynamic:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                rollup.repartition(F.col("seg"))
+                .sortWithinPartitions("series_key", "bucket_ts")
+                .write.option("compression", "zstd")
+                .partitionBy("seg")
+                .mode("overwrite")
+                .parquet(dest)
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", dpo)
 
     def rollup_relation(self, dest: str) -> DataFrame:
         """Read back a materialized rollup (partition-pruned on seg)."""

@@ -54,6 +54,33 @@ def label_values_dim(df: DataFrame) -> DataFrame:
     return df.select(F.explode(F.col("labels")).alias("name", "value")).distinct()
 
 
+def refresh_label_dim(dest: str, batch: DataFrame) -> None:
+    """Incrementally maintain a materialized label-value dimension at
+    ``dest``: merge ``batch``'s distinct (name, value) pairs into the
+    existing dim — O(batch + dim) work per refresh, never a re-DISTINCT of
+    the whole store (the reference maintains exactly this map per ingested
+    segment, memory_segment.go:93-96; at 100 TB a full-store DISTINCT per
+    lookup is the difference between milliseconds and a cluster job).
+
+    ``batch`` is any canonical-relation slice (must carry ``labels``).  The
+    merged dim is written to a sibling tmp dir then swapped in, so a
+    concurrent reader never observes a half-written dim.
+    """
+    import shutil
+    from pathlib import Path
+
+    spark = batch.sparkSession
+    new = label_values_dim(batch)
+    dest_p = Path(dest)
+    if dest_p.exists():
+        new = new.union(spark.read.parquet(dest)).distinct()
+    tmp = str(dest_p.with_name(dest_p.name + "__tmp"))
+    new.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if dest_p.exists():
+        shutil.rmtree(dest)
+    Path(tmp).rename(dest)
+
+
 def _filtered(
     df: DataFrame,
     metric: str | None,

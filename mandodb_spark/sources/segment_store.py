@@ -176,3 +176,110 @@ class SegmentStore:
             )
             .orderBy("seg")
         )
+
+
+class BucketedSegmentStore(SegmentStore):
+    """Segment store bucketed by ``series_key`` — the zero-shuffle trade.
+
+    Same layout as :class:`SegmentStore` (seg= partitions, sorted files)
+    plus ``bucketBy(n_buckets, series_key)`` via ``saveAsTable``: the scan
+    of a bucketed table reports hash-partitioning on ``series_key``, so
+    ``query_range``'s per-series aggregation needs NO exchange at all —
+    SCALE.md names this trade (write-side co-location bought at ingest
+    time, read-side shuffle removed) and test_plans locks it at
+    ``shuffle_count == 0``.
+
+    The price: every batch writes n_buckets files per touched segment
+    (bucket files can't merge across batches), so this variant wants
+    coarser micro-batches and periodic :meth:`compact`.  At cluster scale
+    the same trade is expressed over a lakehouse table format; the Spark
+    bucketing contract used here is the portable core of it.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        table: str,
+        n_buckets: int = 8,
+        segment_duration: int = DEFAULT_SEGMENT_DURATION,
+        codec: str = "zstd",
+    ) -> None:
+        super().__init__(spark, root, segment_duration, codec)
+        self.table = table
+        self.n_buckets = n_buckets
+
+    def append(self, rows: DataFrame) -> None:
+        batch = canonicalize(rows, self.segment_duration)
+        writer = self._write_options(
+            batch.repartition(self.n_buckets, F.col("series_key")).write
+        )
+        (
+            writer.partitionBy("seg")
+            .bucketBy(self.n_buckets, "series_key")
+            .sortBy("series_key", "ts")
+            .option("path", self.root)
+            .mode("append")
+            .saveAsTable(self.table)
+        )
+
+    def relation(self) -> DataFrame:
+        if self.spark.catalog.tableExists(self.table):
+            return self.spark.table(self.table)
+        return super().relation()  # empty canonical relation
+
+    def remove_expired(self, now_ts: int, retention: int) -> list[int]:
+        """Partition-level retention: catalog drop + directory delete."""
+        cutoff = now_ts - retention
+        dropped: list[int] = []
+        root = Path(self.root)
+        if not root.exists():
+            return dropped
+        for p in sorted(root.glob("seg=*")):
+            seg = int(p.name.split("=", 1)[1])
+            if (seg + 1) * self.segment_duration - 1 < cutoff:
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} DROP IF EXISTS PARTITION (seg={seg})"
+                )
+                shutil.rmtree(p)
+                dropped.append(seg)
+        return dropped
+
+    def compact(self) -> None:
+        """Rebuild the bucketed table with one file per (segment, bucket).
+
+        Rewrites through a staging table then swaps names — a table can't
+        be overwritten from a plan that reads it.  A lakehouse table format
+        does this natively (OPTIMIZE); the staging swap is the plain-Spark
+        equivalent.
+        """
+        staging, staging_root = f"{self.table}__compact", f"{self.root}__compact"
+        writer = self._write_options(
+            self.relation().repartition(self.n_buckets, F.col("series_key")).write
+        )
+        (
+            writer.partitionBy("seg")
+            .bucketBy(self.n_buckets, "series_key")
+            .sortBy("series_key", "ts")
+            .option("path", staging_root)
+            .mode("overwrite")
+            .saveAsTable(staging)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        shutil.rmtree(self.root)
+        Path(staging_root).rename(self.root)
+        # re-point the catalog at the canonical root: re-register the
+        # external table with the same bucket spec and rediscover partitions
+        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        data_cols = ", ".join(
+            f"{name} {dtype}"
+            for name, dtype in self.spark.read.parquet(self.root).dtypes
+            if name != "seg"
+        )
+        self.spark.sql(
+            f"CREATE TABLE {self.table} ({data_cols}, seg BIGINT) USING parquet "
+            f"PARTITIONED BY (seg) "
+            f"CLUSTERED BY (series_key) SORTED BY (series_key, ts) INTO {self.n_buckets} BUCKETS "
+            f"LOCATION '{self.root}'"
+        )
+        self.spark.sql(f"MSCK REPAIR TABLE {self.table}")

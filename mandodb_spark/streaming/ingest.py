@@ -77,10 +77,18 @@ def bounded_source(
 
 
 class StreamingIngestor:
-    """foreachBatch sink writing the canonical relation into a SegmentStore."""
+    """foreachBatch sink writing the canonical relation into a SegmentStore.
 
-    def __init__(self, store: SegmentStore) -> None:
+    ``label_dim_dest``: optional path of a materialized label-value dim
+    (A4) maintained incrementally per micro-batch — O(batch + dim) per
+    refresh instead of a full-store DISTINCT per lookup (the reference
+    updates its label registry per ingested segment the same way,
+    memory_segment.go:93-96).
+    """
+
+    def __init__(self, store: SegmentStore, label_dim_dest: str | None = None) -> None:
         self.store = store
+        self.label_dim_dest = label_dim_dest
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch → one transactional Parquet append (S4).
@@ -92,6 +100,13 @@ class StreamingIngestor:
         if batch_df.isEmpty():
             return
         self.store.append(batch_df)
+        if self.label_dim_dest:
+            from ..model import canonicalize
+            from ..operators.tsdb_ops import refresh_label_dim
+
+            refresh_label_dim(
+                self.label_dim_dest, canonicalize(batch_df, self.store.segment_duration)
+            )
 
     def start(
         self,

@@ -169,3 +169,32 @@ def test_query_range_single_shuffle(spark, tmp_path_factory):
     df = db.query_range("m", [], START, START + 100)
     assert shuffle_count(df) == 1
     assert pushed_filters(df)  # time/seg predicates reached the scan
+
+
+def test_bucketed_store_query_range_zero_shuffle(spark, tmp_path_factory):
+    """With bucketBy(series_key) the scan itself is hash-partitioned on the
+    grouping key, so query_range needs NO exchange — the SCALE.md trade
+    (write-side co-location removes the read-side shuffle), now implemented.
+    Results must equal the unbucketed store's exactly."""
+    base = tmp_path_factory.mktemp("bucketed")
+    rows = [("m", {"a": f"v{i % 5}"}, START + i, float(i)) for i in range(50)]
+
+    plain = TSDB(spark, str(base / "plain"))
+    plain.insert_rows(rows)
+    bucketed = TSDB(spark, str(base / "bstore"), bucket_by_series=4, table="t_bucketed_plan")
+    try:
+        bucketed.insert_rows(rows)
+
+        df = bucketed.query_range("m", [], START, START + 100)
+        assert shuffle_count(df) == 0
+        want = {
+            tuple(sorted(r.labels.items())): [(p.ts, p.value) for p in r.points]
+            for r in plain.query_range("m", [], START, START + 100).collect()
+        }
+        got = {
+            tuple(sorted(r.labels.items())): [(p.ts, p.value) for p in r.points]
+            for r in df.collect()
+        }
+        assert got == want and len(got) == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_plan")

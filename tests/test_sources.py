@@ -91,6 +91,46 @@ def test_storage_knobs_write_and_read_back(spark, tmp_path_factory):
     assert store.relation().count() == 300
 
 
+def test_bucketed_store_lifecycle(spark, tmp_path_factory):
+    """BucketedSegmentStore: append accumulates bucket files, compact
+    restores one file per (segment, bucket) keeping the bucket spec
+    (query_range stays zero-shuffle), retention drops whole partitions
+    from both catalog and disk."""
+    from pathlib import Path
+
+    from mandodb_spark.sources.segment_store import BucketedSegmentStore
+
+    START = 1_700_000_000
+    base = tmp_path_factory.mktemp("bstore")
+    # n_buckets=1 makes the compaction invariant exact: one file per segment
+    store = BucketedSegmentStore(
+        spark, str(base / "data"), "t_bucketed_lifecycle", n_buckets=1
+    )
+    try:
+        rows = [("m", {"n": f"v{i % 3}"}, START + i * 3600, float(i)) for i in range(8)]
+        # interleave so both appends land files into the SAME segments
+        store.insert_pylist(rows[::2])
+        store.insert_pylist(rows[1::2])
+        assert store.relation().count() == 8
+
+        files_before = len(list(Path(store.root).rglob("*.parquet")))
+        store.compact()
+        files_after = len(list(Path(store.root).rglob("*.parquet")))
+        assert files_after < files_before
+        assert store.relation().count() == 8
+        # bucket spec survived compaction: still zero-shuffle aggregation
+        from mandodb_spark.operators.tsdb_ops import query_range
+        from mandodb_spark.plans import shuffle_count
+
+        assert shuffle_count(query_range(store.relation(), "m", [], 0, 10**10)) == 0
+
+        dropped = store.remove_expired(now_ts=START + 10 * 86400, retention=86400 * 9)
+        assert dropped  # oldest segments gone
+        assert store.relation().count() < 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_lifecycle")
+
+
 def test_influx_line_protocol_parses_jvm_side(spark):
     from mandodb_spark.sources.loaders import rows_from_influx_line
 

@@ -40,3 +40,32 @@ def test_series_key_is_order_insensitive_and_injective_on_sets(spark, labels):
     ).first()
     assert row.a == row.b and row.ja == row.jb
     assert row.a != row.c
+
+
+N_BITS, N_BANDS, MAX_HAMMING = 16, 4, 3
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    base=st.integers(min_value=0, max_value=(1 << N_BITS) - 1),
+    flip_bits=st.sets(st.integers(min_value=0, max_value=N_BITS - 1), max_size=MAX_HAMMING),
+)
+def test_simhash_band_lsh_is_lossless_within_hamming_bound(spark, base, flip_bits):
+    """The pigeonhole claim of simhash_band_pairs (dedup.py): with 4 bands
+    over 16 bits, ANY pair within Hamming distance <= 3 = bands-1 must
+    share at least one untouched band, so the band equi-join finds it —
+    lossless candidate generation, not a recall heuristic."""
+    from mandodb_spark.operators.dedup import simhash_band_pairs
+
+    other = base
+    for b in flip_bits:
+        other ^= 1 << b
+    df = spark.createDataFrame([(1, base), (2, other)], "doc_id long, simhash long")
+    out = simhash_band_pairs(
+        df, "doc_id", n_bits=N_BITS, n_bands=N_BANDS, max_hamming=MAX_HAMMING
+    ).collect()
+    if flip_bits:
+        assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, len(flip_bits))]
+    else:
+        # identical hashes: still a pair at hamming 0
+        assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]

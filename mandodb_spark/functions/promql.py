@@ -186,6 +186,53 @@ def resets(rel: DataFrame, start: int, end: int) -> DataFrame:
     )
 
 
+def deriv(rel: DataFrame, start: int, end: int) -> DataFrame:
+    """PromQL ``deriv``: per-second derivative of a gauge via simple linear
+    regression over the range (exactly PromQL's definition).
+
+    One codegen'd aggregation (``regr_slope`` is covariance/variance —
+    partial-aggregable map-side, same scale shape as sum/avg).  Time is
+    shifted to range-relative before regressing: both engines compute in
+    double, and regressing on raw epoch seconds (~1.7e9) loses precision to
+    cancellation differently per engine.
+    """
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    x = (F.col("ts") - F.lit(start)).cast("double")
+    return (
+        rel.groupBy("series_key")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.regr_slope(F.col("value"), x).alias("value"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter((F.col("__n") >= 2) & F.col("value").isNotNull())
+        .select("series_key", "labels", "value")
+    )
+
+
+def predict_linear(rel: DataFrame, start: int, end: int, horizon: int) -> DataFrame:
+    """PromQL ``predict_linear``: extrapolate each series ``horizon``
+    seconds past ``end`` on the least-squares line over the range."""
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    x = (F.col("ts") - F.lit(start)).cast("double")
+    at = float(end - start + horizon)
+    return (
+        rel.groupBy("series_key")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.regr_slope(F.col("value"), x).alias("__slope"),
+            F.regr_intercept(F.col("value"), x).alias("__icept"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter((F.col("__n") >= 2) & F.col("__slope").isNotNull())
+        .select(
+            "series_key",
+            "labels",
+            (F.col("__icept") + F.col("__slope") * F.lit(at)).alias("value"),
+        )
+    )
+
+
 def topk(vector: DataFrame, k: int, largest: bool = True) -> DataFrame:
     """PromQL ``topk(k, vector)`` / ``bottomk``: the k series with the
     largest (smallest) values from an instant vector.  Ties break on

@@ -184,6 +184,66 @@ def winnow_fingerprint_stats(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the relevance/keyword operator of
+    a corpus-curation pipeline.
+
+    tf from one explode+groupBy (single shuffle on (doc, term), map-side
+    partial counts); document frequency derived FROM the tf table (no
+    second scan of the corpus); idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style).  The df dimension is vocabulary-sized → broadcast to
+    the tf side; the per-doc top-k is a window row_number bounded at k with
+    a total order (tfidf desc, term) so results are deterministic
+    cross-engine.  At 100 TB the only large shuffle is the tf aggregation.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def tfidf_top_terms_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    """DuckDB mirror of :func:`tfidf_top_terms` (oracle generator)."""
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS term FROM {table}
+),
+tf AS (SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+docfreq AS (SELECT term, count(DISTINCT {id_col}) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT {id_col}) AS n_docs FROM {table}),
+scored AS (
+    SELECT tf.{id_col}, tf.term, tf.tf, docfreq.df,
+           round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (docfreq.df + 1)) + 1), 6) AS tfidf
+    FROM tf JOIN docfreq USING (term) CROSS JOIN n
+)
+SELECT {id_col}, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY {id_col} ORDER BY tfidf DESC, term) AS rank
+    FROM scored
+)
+WHERE rank <= {k}
+"""
+
+
 def simhash_bits(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
     """n-bit SimHash per document (n_bits ≤ 32 — one md5 hex digit per bit).
 

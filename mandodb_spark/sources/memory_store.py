@@ -27,12 +27,31 @@ class MemoryStore:
         self.spark = spark
         self.segment_duration = segment_duration
         self._df: DataFrame | None = None
+        self._rdd_ids: list[int] = []
 
     # ---------------------------------------------------------------- write
     def append(self, rows: DataFrame) -> None:
         batch = canonicalize(rows, self.segment_duration)
         merged = batch if self._df is None else self._df.unionByName(batch)
-        self._df = merged.localCheckpoint(eager=True)
+        self._swap(merged)
+
+    def _swap(self, plan: DataFrame) -> None:
+        """Checkpoint ``plan`` as the new relation and release the superseded
+        checkpoint's executor memory.  ``Dataset.unpersist()`` does NOT free a
+        localCheckpoint (it clears cache-manager entries, while checkpointing
+        persists the internal RDD directly), so the store tracks the persisted
+        RDD ids it creates and unpersists them through the context registry —
+        only ONE materialized copy ever lives in executor storage memory."""
+        registry = self.spark.sparkContext._jsc.getPersistentRDDs()
+        before = {rid for rid in registry.keySet().toArray()}
+        self._df = plan.localCheckpoint(eager=True)
+        registry = self.spark.sparkContext._jsc.getPersistentRDDs()
+        fresh = [rid for rid in registry.keySet().toArray() if rid not in before]
+        for rid in self._rdd_ids:
+            old = registry.get(rid)
+            if old is not None:
+                old.unpersist(False)
+        self._rdd_ids = fresh
 
     def insert_pylist(self, rows: list[tuple]) -> None:
         self.append(self.spark.createDataFrame(rows, ROW_SCHEMA))
@@ -60,10 +79,19 @@ class MemoryStore:
             if (r.seg + 1) * self.segment_duration - 1 < cutoff
         )
         if expired:
-            self._df = self._df.filter(
-                ~F.col("seg").isin(expired)
-            ).localCheckpoint(eager=True)
+            self._swap(self._df.filter(~F.col("seg").isin(expired)))
         return expired
+
+    # ---------------------------------------------------------------- close
+    def close(self) -> None:
+        """Release the in-memory relation (executor storage memory)."""
+        registry = self.spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in self._rdd_ids:
+            rdd = registry.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+        self._rdd_ids = []
+        self._df = None
 
     # ----------------------------------------------------------- compaction
     def compact(self) -> None:

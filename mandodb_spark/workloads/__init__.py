@@ -57,7 +57,16 @@ _PRIORITY = [
     "mm_binary_features",
     "mm_frame_sample",
     "mm_resize_dims",
-    # -- representative proven core (green in CORRECTNESS_r01) --
+    # -- new in round 2 (no CORRECTNESS row yet) --
+    "docs_stratified_sample",
+    "docs_tfidf_top_terms",
+    "emb_ivf_neardup_pairs",
+    "promql_deriv",
+    "promql_predict_linear",
+    # -- implementation changed in round 2 (re-verify in-window) --
+    "docs_simhash",
+    "docs_cms_token_freq",
+    # -- representative proven core (green in CORRECTNESS_r01, unchanged) --
     "tsdb_range_rows",
     "tsdb_series_agg",
     "tsdb_distinct_series",
@@ -66,12 +75,7 @@ _PRIORITY = [
     "tsdb_retention",
     "tsdb_gapfill",
     "tsdb_rate",
-    "tsdb_eq_match",
-    "tsdb_regex_match",
-    "tsdb_conjunction",
-    "tsdb_latest_point",
     "promql_rate",
-    "promql_increase",
     "promql_topk",
     "promql_quantile_over_time",
     "tpch_q1",
@@ -79,13 +83,11 @@ _PRIORITY = [
     "tpch_q5",
     "tpch_q8",
     "tpch_q16",
-    "tpch_q17",
     "tpch_q18",
-    "tpch_window_rank",
-    "docs_simhash",
     "docs_winnow_fingerprints",
-    "docs_cms_token_freq",
     "docs_fingerprint_dedup",
+    "docs_bpe_token_stats",
+    "docs_top_bigrams",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -398,6 +398,50 @@ FROM exact_top t JOIN est e ON e.tok = t.tok
 DOCS_CMS_SQL = _cms_sql()
 
 
+#: Stratified-sampling rates: the classic pretraining-mix rebalance —
+#: downsample the dominant language, keep the rest.
+SAMPLE_RATES = {"en": 0.3, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.8}
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified corpus sample by language (the
+    training-data mix operator) — map-side predicate, zero shuffle, and
+    exactly reproducible so the DuckDB oracle verifies the sample row-set
+    itself (impossible for rand()-based sampling)."""
+    from ..operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "doc_id", "lang", SAMPLE_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _stratified_sql() -> str:
+    from ..operators.sampling import hash_unit_sql
+
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN {r}" for v, r in sorted(SAMPLE_RATES.items())
+    ) + " ELSE 0.0 END"
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {hash_unit_sql('doc_id')} < {rate}
+"""
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = _stratified_sql()
+
+
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction over the
+    corpus): one tf shuffle, broadcast vocabulary dim, bounded window."""
+    d = load(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+DOCS_TFIDF_SQL = text.tfidf_top_terms_sql("documents", "doc_id", "text", k=3)
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_top_bigrams": docs_top_bigrams,
@@ -411,9 +455,13 @@ QUERIES = {
     "docs_minhash_pairs": docs_minhash_pairs,
     "docs_simhash_neardup": docs_simhash_neardup,
     "docs_prep_corpus": docs_prep_corpus,
+    "docs_stratified_sample": docs_stratified_sample,
+    "docs_tfidf_top_terms": docs_tfidf_top_terms,
 }
 
 ORACLES = {
+    "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
+    "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
     "docs_simhash_neardup": DOCS_SIMHASH_NEARDUP_SQL,
     "docs_prep_corpus": DOCS_PREP_CORPUS_SQL,
     "docs_top_bigrams": DOCS_TOP_BIGRAMS_SQL,

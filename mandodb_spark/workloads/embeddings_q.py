@@ -214,3 +214,45 @@ LIMIT {TOP_K}
 
 QUERIES["emb_ivf_topk"] = emb_ivf_topk
 ORACLES["emb_ivf_topk"] = EMB_IVF_TOPK_SQL
+
+
+def emb_ivf_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs bucketed by IVF cell — the ANN-dedup
+    composition (assign once at ingest, pairwise only within a cell).
+    Complements emb_neardup_pairs' hyperplane bucketing: IVF cells adapt
+    to the data distribution, hyperplanes are data-independent.  Uses the
+    deterministic stub codebook so the oracle mirrors the assignment
+    exactly; the k-means codebook (ivf_cells_kmeans) drops in unchanged."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = similarity.ivf_cells(emb, "vec_id", "embedding", IVF_CELLS)
+    assign = similarity.ivf_assign(emb, "vec_id", "embedding", cent)
+    bucketed = emb.join(assign, "vec_id")
+    return similarity.grouped_neardup_pairs(
+        bucketed, "vec_id", "embedding", "cell", NEARDUP_T,
+        max_bucket_size=NEARDUP_MAX_BUCKET,
+    )
+
+
+EMB_IVF_NEARDUP_SQL = f"""
+WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+              FROM embeddings WHERE vec_id < {IVF_CELLS}),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e, cent c) ranked
+    WHERE rn = 1
+),
+b AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a USING (vec_id))
+SELECT a.cell AS bucket, a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM b a
+JOIN b b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 4) >= {NEARDUP_T}
+"""
+
+QUERIES["emb_ivf_neardup_pairs"] = emb_ivf_neardup_pairs
+ORACLES["emb_ivf_neardup_pairs"] = EMB_IVF_NEARDUP_SQL

@@ -188,6 +188,41 @@ LIMIT 10
 """
 
 
+HORIZON = 86_400
+
+
+def promql_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-second linear-regression derivative per series (PromQL deriv)."""
+    out = promql.deriv(_dedup_rel(spark, sf_dir), EV_START, EV_END)
+    return flatten_labels(out.select(F.col("labels"), F.round("value", 8).alias("value")))
+
+
+PROMQL_DERIV_SQL = f"""{_DEDUP}
+SELECT metric, user, k,
+       round(CAST(regr_slope(value, CAST(ts - {EV_START} AS DOUBLE)) AS DOUBLE), 8) AS value
+FROM d
+GROUP BY metric, user, k
+HAVING count(*) >= 2 AND regr_slope(value, CAST(ts - {EV_START} AS DOUBLE)) IS NOT NULL
+"""
+
+
+def promql_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares extrapolation 1d past the range (PromQL predict_linear)."""
+    out = promql.predict_linear(_dedup_rel(spark, sf_dir), EV_START, EV_END, HORIZON)
+    return flatten_labels(out.select(F.col("labels"), F.round("value", 4).alias("value")))
+
+
+PROMQL_PREDICT_LINEAR_SQL = f"""{_DEDUP}
+SELECT metric, user, k,
+       round(CAST(regr_intercept(value, CAST(ts - {EV_START} AS DOUBLE))
+             + regr_slope(value, CAST(ts - {EV_START} AS DOUBLE)) * {float(EV_END - EV_START + HORIZON)}
+             AS DOUBLE), 4) AS value
+FROM d
+GROUP BY metric, user, k
+HAVING count(*) >= 2 AND regr_slope(value, CAST(ts - {EV_START} AS DOUBLE)) IS NOT NULL
+"""
+
+
 QUERIES = {
     "promql_increase": promql_increase,
     "promql_rate": promql_rate,
@@ -196,9 +231,13 @@ QUERIES = {
     "promql_quantile_over_time": promql_quantile_over_time,
     "promql_resets": promql_resets,
     "promql_topk": promql_topk,
+    "promql_deriv": promql_deriv,
+    "promql_predict_linear": promql_predict_linear,
 }
 
 ORACLES = {
+    "promql_deriv": PROMQL_DERIV_SQL,
+    "promql_predict_linear": PROMQL_PREDICT_LINEAR_SQL,
     "promql_quantile_over_time": PROMQL_QUANTILE_OVER_TIME_SQL,
     "promql_resets": PROMQL_RESETS_SQL,
     "promql_topk": PROMQL_TOPK_SQL,

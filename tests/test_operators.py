@@ -50,10 +50,29 @@ def test_lsh_pipelines_leave_no_persisted_rdds(spark):
         [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon eta")],
         "doc_id long, text string",
     )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
     dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5).collect()
     sim = text.simhash_arrow(df, "doc_id", "text", 32)
     dedup.simhash_band_pairs(sim, "doc_id", n_bits=32, n_bands=4).collect()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
+def test_memory_store_holds_single_materialized_copy(spark):
+    """MemoryStore must release superseded localCheckpoint RDDs on every
+    append/retention/close — only ONE materialized copy may ever live in
+    executor storage memory (otherwise a long-lived memory-mode session
+    leaks one full copy of the data per insert)."""
+    from mandodb_spark.sources.memory_store import MemoryStore
+
+    rdds = lambda: len(spark.sparkContext._jsc.getPersistentRDDs())  # noqa: E731
+    before = rdds()
+    store = MemoryStore(spark, segment_duration=100)
+    for i in range(3):
+        store.insert_pylist([("m", {"i": str(i)}, 1_000 + i, float(i))])
+        assert rdds() == before + 1
+    assert store.relation().count() == 3
+    store.close()
+    assert rdds() == before
 
 
 def test_shingle_sets_are_distinct_positional_shingles(spark):
@@ -216,6 +235,60 @@ def test_simhash_arrow_parity(spark):
         expr = {r.id: r.simhash for r in text.simhash_bits(df, "id", "text", n_bits).collect()}
         arrow = {r.id: r.simhash for r in text.simhash_arrow(df, "id", "text", n_bits).collect()}
         assert expr == arrow, f"n_bits={n_bits}"
+
+
+def test_stratified_sample_deterministic_and_shuffle_free(spark):
+    from mandodb_spark.operators import sampling
+    from mandodb_spark.plans import shuffle_count
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(400)], "doc_id long, lang string"
+    )
+    s1 = sampling.stratified_sample(df, "doc_id", "lang", {"en": 0.25, "de": 1.0})
+    s2 = sampling.stratified_sample(df, "doc_id", "lang", {"en": 0.25, "de": 1.0})
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())  # bit-reproducible
+    by_lang = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["de"] == 200                     # rate 1.0 keeps everything
+    assert 20 <= by_lang["en"] <= 80                # rate 0.25 of 200 ± hash noise
+    assert shuffle_count(s1) == 0                   # pure scan-side predicate
+    # default rate drops unknown strata entirely
+    s3 = sampling.stratified_sample(df, "doc_id", "lang", {"fr": 1.0})
+    assert s3.count() == 0
+
+
+def test_tfidf_top_terms_ranking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry cherry cherry"),
+            (3, "apple banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r.doc_id: (r.term, r.tf, r.df) for r in out}
+    # the doc-specific high-tf term wins; 'banana' (df=3, idf=1) never beats it
+    assert top[1] == ("apple", 2, 2)
+    assert top[2] == ("cherry", 3, 2)
+    # doc 3: all tf=1 → highest idf wins, ties broken alphabetically
+    assert top[3][0] in ("apple", "cherry")
+
+
+def test_promql_deriv_and_predict_linear_exact_on_line(spark):
+    from mandodb_spark.functions import promql
+    from mandodb_spark.model import canonicalize
+    from mandodb_spark import ROW_SCHEMA
+
+    t0 = 1_700_000_000
+    # value = 2*t/60 + 5 → slope 1/30 per second
+    rows = [("g", {"n": "a"}, t0 + i * 60, 2.0 * i + 5.0) for i in range(10)]
+    rel = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    d = promql.deriv(rel, t0, t0 + 1000).collect()
+    assert len(d) == 1 and d[0].value == pytest.approx(2.0 / 60.0, rel=1e-9)
+    p = promql.predict_linear(rel, t0, t0 + 540, horizon=60).collect()
+    # at range-relative x=600: 600/30 + 5 = 25
+    assert len(p) == 1 and p[0].value == pytest.approx(25.0, rel=1e-9)
 
 
 def test_lang_guess_markers(spark):

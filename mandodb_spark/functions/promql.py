@@ -122,6 +122,12 @@ _OVER_TIME = {
     "max": F.max,
     "sum": F.sum,
     "count": lambda c: F.count(c).cast("double"),
+    # PromQL stddev/stdvar are population (promql/functions.go funcStddevOverTime)
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
+    # newest sample in the window (ties on ts resolved by max value — the
+    # dedup invariant upstream makes ts unique per series anyway)
+    "last": lambda c: F.max_by(c, F.col("ts")),
 }
 
 
@@ -230,6 +236,165 @@ def predict_linear(rel: DataFrame, start: int, end: int, horizon: int) -> DataFr
             "labels",
             (F.col("__icept") + F.col("__slope") * F.lit(at)).alias("value"),
         )
+    )
+
+
+def irate(rel: DataFrame, start: int, end: int) -> DataFrame:
+    """PromQL ``irate``: instantaneous rate from the LAST TWO samples per
+    series (counter-reset aware).
+
+    One window pass (lag of value and ts) then keep each series' newest row
+    via ``max_by`` over a struct — a single series-keyed shuffle, same
+    partitioning as every other range function.
+    """
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    w = _series_window()
+    stepped = (
+        rel.withColumn("__prev_v", F.lag("value").over(w))
+        .withColumn("__prev_ts", F.lag("ts").over(w))
+        .filter(F.col("__prev_ts").isNotNull())
+    )
+    inc = F.when(F.col("value") >= F.col("__prev_v"), F.col("value") - F.col("__prev_v")).otherwise(
+        F.col("value")
+    )
+    per_step = stepped.withColumn("__rate", inc / (F.col("ts") - F.col("__prev_ts")))
+    return (
+        per_step.groupBy("series_key")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.max_by("__rate", "ts").alias("value"),
+        )
+        .select("series_key", "labels", "value")
+    )
+
+
+def idelta(rel: DataFrame, start: int, end: int) -> DataFrame:
+    """PromQL ``idelta``: difference of the last two samples per series
+    (gauge semantics — no reset handling)."""
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    w = _series_window()
+    stepped = (
+        rel.withColumn("__prev_v", F.lag("value").over(w))
+        .filter(F.col("__prev_v").isNotNull())
+        .withColumn("__d", F.col("value") - F.col("__prev_v"))
+    )
+    return (
+        stepped.groupBy("series_key")
+        .agg(F.any_value("labels").alias("labels"), F.max_by("__d", "ts").alias("value"))
+        .select("series_key", "labels", "value")
+    )
+
+
+def changes(rel: DataFrame, start: int, end: int) -> DataFrame:
+    """PromQL ``changes``: number of times the value changed between
+    consecutive samples per series over the range."""
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    w = _series_window()
+    stepped = rel.withColumn("__prev", F.lag("value").over(w))
+    return (
+        stepped.groupBy("series_key")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.sum(
+                F.when(
+                    F.col("__prev").isNotNull() & (F.col("value") != F.col("__prev")), 1
+                ).otherwise(0)
+            ).cast("long").alias("value"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") >= 2)
+        .select("series_key", "labels", "value")
+    )
+
+
+def count_values(vector: DataFrame, label: str = "value") -> DataFrame:
+    """PromQL ``count_values("label", vector)``: number of series carrying
+    each distinct value in an instant vector.  Output labels contain only
+    the value label (stringified, as PromQL does)."""
+    return (
+        vector.groupBy(F.col("value").cast("string").alias(label))
+        .agg(F.count(F.lit(1)).alias("n_series"))
+        .select(
+            F.map_from_arrays(F.array(F.lit(label)), F.array(F.col(label))).alias("labels"),
+            F.col("n_series").cast("long"),
+        )
+    )
+
+
+def histogram_quantile(buckets: DataFrame, q: float, group_cols: list[str]) -> DataFrame:
+    """PromQL ``histogram_quantile(q, ...)`` over cumulative ``le`` buckets.
+
+    Input: one row per (group, le) with the CUMULATIVE count ``cum`` (le =
+    +Inf row carries the total, as Prometheus requires).  Exactly PromQL's
+    interpolation (promql/quantile.go): find the lowest bucket whose
+    cumulative count reaches q·total, then interpolate linearly inside it
+    from the previous bucket's upper bound (0 below the first bucket); if
+    the target lands in the +Inf bucket, return the highest finite ``le``.
+
+    Two window passes over le-sorted buckets per group (lag + running max) —
+    bucket counts per group are tiny by construction (one row per le), so
+    the shuffle is on the group key and every stage is codegen'd; no UDF.
+    """
+    w = Window.partitionBy(*group_cols).orderBy("le")
+    wg = Window.partitionBy(*group_cols)
+    b = (
+        buckets.withColumn("__prev_le", F.lag("le").over(w))
+        .withColumn("__prev_cum", F.coalesce(F.lag("cum").over(w), F.lit(0.0)))
+        .withColumn("__total", F.max("cum").over(wg))
+        .withColumn("__max_finite_le", F.max(F.when(~F.isnan("le") & (F.col("le") != F.lit(float("inf"))), F.col("le"))).over(wg))
+    )
+    target = F.lit(q) * F.col("__total")
+    hit = (
+        b.filter(F.col("cum") >= target)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    lower = F.coalesce(F.col("__prev_le"), F.lit(0.0))
+    frac = (target - F.col("__prev_cum")) / (F.col("cum") - F.col("__prev_cum"))
+    interp = lower + (F.col("le") - lower) * frac
+    value = F.when(F.col("le") == F.lit(float("inf")), F.col("__max_finite_le")).otherwise(interp)
+    return hit.select(*group_cols, value.alias("value"))
+
+
+def clamp(vector: DataFrame, lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """PromQL ``clamp`` / ``clamp_min`` / ``clamp_max`` on an instant
+    vector's value column."""
+    v = F.col("value")
+    if lo is not None:
+        v = F.greatest(v, F.lit(float(lo)))
+    if hi is not None:
+        v = F.least(v, F.lit(float(hi)))
+    return vector.withColumn("value", v)
+
+
+def label_replace(vector: DataFrame, dst: str, replacement: str, src: str, regex: str) -> DataFrame:
+    """PromQL ``label_replace``: if ``regex`` (fully anchored, as PromQL
+    anchors it) matches label ``src``, set label ``dst`` to ``replacement``
+    with ``$1``-style backreferences substituted; otherwise leave the label
+    set unchanged.  Pure map expressions — no shuffle."""
+    src_val = F.coalesce(F.col("labels").getItem(src), F.lit(""))
+    anchored = f"^(?:{regex})$"
+    matched = src_val.rlike(anchored)
+    new_val = F.regexp_replace(src_val, anchored, replacement)
+    updated = F.map_concat(
+        F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst)),
+        F.create_map(F.lit(dst), new_val),
+    )
+    return vector.withColumn("labels", F.when(matched, updated).otherwise(F.col("labels")))
+
+
+def label_join(vector: DataFrame, dst: str, sep: str, srcs: list[str]) -> DataFrame:
+    """PromQL ``label_join``: set ``dst`` to the ``sep``-joined values of
+    the source labels (missing labels join as empty strings)."""
+    joined = F.concat_ws(
+        sep, *[F.coalesce(F.col("labels").getItem(s), F.lit("")) for s in srcs]
+    )
+    return vector.withColumn(
+        "labels",
+        F.map_concat(
+            F.map_filter(F.col("labels"), lambda k, _: k != F.lit(dst)),
+            F.create_map(F.lit(dst), joined),
+        ),
     )
 
 

@@ -215,6 +215,56 @@ def simhash_band_pairs(hashes: DataFrame, id_col: str, hash_col: str = "simhash"
     )
 
 
+def token_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of lowercased whitespace-tokenized text."""
+    toks = F.split(F.lower(text), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def ngram_contamination(eval_df: DataFrame, bench_df: DataFrame, id_col: str,
+                        text_col: str, n: int = 5, threshold: float = 0.2) -> DataFrame:
+    """Benchmark decontamination: per eval document, the fraction of its
+    distinct token n-grams that occur anywhere in the benchmark corpus
+    (the train/test-overlap check every pretraining pipeline runs).
+
+    The benchmark n-gram set is the SMALL side by construction (eval = the
+    100 TB corpus, benchmark = a bounded eval suite), so it is broadcast
+    and the probe is a broadcast LEFT join at scan parallelism — the only
+    shuffle is the per-doc regroup.  Gopher/GPT-3 use 8–13-gram overlap;
+    ``n`` and ``threshold`` are the same knobs.
+    """
+    bench_ngrams = (
+        bench_df.select(F.explode(token_ngrams(F.col(text_col), n)).alias("ng"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ev = eval_df.select(
+        F.col(id_col), F.explode(token_ngrams(F.col(text_col), n)).alias("ng")
+    )
+    return (
+        ev.join(F.broadcast(bench_ngrams), "ng", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_ngrams").cast("long"),
+            F.col("n_matched").cast("long"),
+            F.round(F.col("n_matched") / F.col("n_ngrams"), 4).alias("contamination_frac"),
+            (F.col("n_matched") / F.col("n_ngrams") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5,
                       n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:

@@ -244,6 +244,83 @@ WHERE rank <= {k}
 """
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-word
+    fraction and most-frequent-bigram fraction (the repetition filters of a
+    pretraining-data pipeline).
+
+    Word-level stats are pure array expressions (no shuffle); the bigram
+    mode needs per-(doc, bigram) counts — one explode + groupBy shuffle on
+    (doc, bigram), then a per-doc regroup.  Both aggregations are map-side
+    partial, and the explode is narrow: at 100 TB this is two well-keyed
+    shuffles, no window over the raw corpus.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    words = base.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_words"),
+        F.size(F.array_distinct("__t")).cast("long").alias("n_distinct_words"),
+    )
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("__t"), i), F.element_at(F.col("__t"), i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_counts = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bg_counts.groupBy(id_col).agg(
+        F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams")
+    )
+    return (
+        words.join(bg_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_distinct_words",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_words") / F.greatest(F.col("n_words"), F.lit(1)), 4
+            ).alias("dup_word_frac"),
+            F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long").alias("top_bigram_count"),
+            F.round(
+                F.coalesce(F.col("top_bigram_count"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_bigrams"), F.lit(0)), F.lit(1)),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def repetition_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB mirror of :func:`repetition_stats` (oracle generator)."""
+    return f"""
+WITH t AS (SELECT {id_col}, string_split(lower({text_col}), ' ') AS toks FROM {table}),
+words AS (
+    SELECT {id_col}, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct_words FROM t
+),
+bg AS (
+    SELECT {id_col},
+           unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+    FROM t WHERE len(toks) >= 2
+),
+bgc AS (SELECT {id_col}, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+bgs AS (SELECT {id_col}, max(c) AS top_bigram_count, sum(c) AS n_bigrams FROM bgc GROUP BY 1)
+SELECT w.{id_col},
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       round(1.0 - CAST(n_distinct_words AS DOUBLE) / greatest(n_words, 1), 4) AS dup_word_frac,
+       CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       round(CAST(coalesce(top_bigram_count, 0) AS DOUBLE) / greatest(coalesce(n_bigrams, 0), 1), 4)
+           AS top_bigram_frac
+FROM words w LEFT JOIN bgs USING ({id_col})
+"""
+
+
 def simhash_bits(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
     """n-bit SimHash per document (n_bits ≤ 32 — one md5 hex digit per bit).
 

@@ -60,34 +60,34 @@ _PRIORITY = [
     # -- new in round 2 (no CORRECTNESS row yet) --
     "docs_stratified_sample",
     "docs_tfidf_top_terms",
+    "docs_repetition",
+    "docs_contamination",
     "emb_ivf_neardup_pairs",
+    "emb_norm_stats",
     "promql_deriv",
     "promql_predict_linear",
+    "promql_irate",
+    "promql_changes",
+    "promql_stddev_over_time",
+    "promql_last_over_time",
+    "promql_count_values",
+    "promql_histogram_quantile",
     # -- implementation changed in round 2 (re-verify in-window) --
     "docs_simhash",
     "docs_cms_token_freq",
     # -- representative proven core (green in CORRECTNESS_r01, unchanged) --
     "tsdb_range_rows",
     "tsdb_series_agg",
-    "tsdb_distinct_series",
-    "tsdb_label_values",
-    "tsdb_bucket_stats",
-    "tsdb_retention",
     "tsdb_gapfill",
-    "tsdb_rate",
+    "tsdb_retention",
     "promql_rate",
     "promql_topk",
-    "promql_quantile_over_time",
     "tpch_q1",
-    "tpch_q3",
     "tpch_q5",
     "tpch_q8",
     "tpch_q16",
-    "tpch_q18",
     "docs_winnow_fingerprints",
     "docs_fingerprint_dedup",
-    "docs_bpe_token_stats",
-    "docs_top_bigrams",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -442,6 +442,60 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOCS_TFIDF_SQL = text.tfidf_top_terms_sql("documents", "doc_id", "text", k=3)
 
 
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (dup-word
+    fraction, top-bigram fraction)."""
+    d = load(spark, sf_dir, "documents")
+    return text.repetition_stats(d, "doc_id", "text")
+
+
+DOCS_REPETITION_SQL = text.repetition_stats_sql("documents", "doc_id", "text")
+
+
+#: Benchmark set for the contamination check: a bounded held-out slice.
+CONTAM_BENCH_MAX_ID = 50
+CONTAM_N = 5
+CONTAM_T = 0.2
+
+
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test n-gram overlap: fraction of each training doc's distinct
+    5-grams that appear in the benchmark slice (doc_id < 50) — broadcast
+    benchmark set, one per-doc regroup shuffle."""
+    from ..operators import dedup as _dedup
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < CONTAM_BENCH_MAX_ID)
+    ev = d.filter(F.col("doc_id") >= CONTAM_BENCH_MAX_ID)
+    return _dedup.ngram_contamination(ev, bench, "doc_id", "text", n=CONTAM_N, threshold=CONTAM_T)
+
+
+DOCS_CONTAMINATION_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+grams AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= {CONTAM_N}
+                THEN list_transform(range(1, len(toks) - {CONTAM_N} + 2),
+                                    i -> array_to_string(list_slice(toks, i, i + {CONTAM_N} - 1), ' '))
+                ELSE [] END) AS ngs
+    FROM t
+),
+bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM grams WHERE doc_id < {CONTAM_BENCH_MAX_ID}),
+ev AS (SELECT doc_id, unnest(ngs) AS ng FROM grams WHERE doc_id >= {CONTAM_BENCH_MAX_ID}),
+hits AS (
+    SELECT ev.doc_id,
+           count(*) AS n_ngrams,
+           sum(CASE WHEN bench.ng IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+    FROM ev LEFT JOIN bench ON ev.ng = bench.ng
+    GROUP BY ev.doc_id
+)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams, CAST(n_matched AS BIGINT) AS n_matched,
+       round(CAST(n_matched AS DOUBLE) / n_ngrams, 4) AS contamination_frac,
+       (CAST(n_matched AS DOUBLE) / n_ngrams >= {CONTAM_T}) AS contaminated
+FROM hits
+"""
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_top_bigrams": docs_top_bigrams,
@@ -457,11 +511,15 @@ QUERIES = {
     "docs_prep_corpus": docs_prep_corpus,
     "docs_stratified_sample": docs_stratified_sample,
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
+    "docs_repetition": docs_repetition,
+    "docs_contamination": docs_contamination,
 }
 
 ORACLES = {
     "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
+    "docs_repetition": DOCS_REPETITION_SQL,
+    "docs_contamination": DOCS_CONTAMINATION_SQL,
     "docs_simhash_neardup": DOCS_SIMHASH_NEARDUP_SQL,
     "docs_prep_corpus": DOCS_PREP_CORPUS_SQL,
     "docs_top_bigrams": DOCS_TOP_BIGRAMS_SQL,

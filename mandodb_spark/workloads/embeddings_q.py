@@ -256,3 +256,43 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedd
 
 QUERIES["emb_ivf_neardup_pairs"] = emb_ivf_neardup_pairs
 ORACLES["emb_ivf_neardup_pairs"] = EMB_IVF_NEARDUP_SQL
+
+
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label (embedding-quality monitoring: norm
+    collapse / outlier detection before indexing).  The norm is a
+    sequential per-row fold (deterministic, matching DuckDB's list_sum
+    fold order); the group agg is map-side partial on a tiny key."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = emb.select("label", F.sqrt(sq).alias("norm"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("norm"), 3).alias("avg_norm"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+EMB_NORM_STATS_SQL = """
+WITH n AS (
+    SELECT label,
+           sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+    FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(norm), 3) AS avg_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm
+FROM n GROUP BY label
+"""
+
+QUERIES["emb_norm_stats"] = emb_norm_stats
+ORACLES["emb_norm_stats"] = EMB_NORM_STATS_SQL

@@ -223,6 +223,162 @@ HAVING count(*) >= 2 AND regr_slope(value, CAST(ts - {EV_START} AS DOUBLE)) IS N
 """
 
 
+def promql_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instantaneous rate from each series' last two samples."""
+    out = promql.irate(_dedup_rel(spark, sf_dir), EV_START, EV_END)
+    return flatten_labels(out.select(F.col("labels"), F.round("value", 8).alias("value")))
+
+
+PROMQL_IRATE_SQL = f"""{_DEDUP},
+s AS (
+    SELECT metric, user, k, ts, value,
+           lag(value) OVER w AS pv, lag(ts) OVER w AS pts
+    FROM d
+    WINDOW w AS (PARTITION BY metric, user, k ORDER BY ts)
+)
+SELECT metric, user, k,
+       round(CAST(max_by((CASE WHEN value >= pv THEN value - pv ELSE value END) / (ts - pts), ts)
+             AS DOUBLE), 8) AS value
+FROM s WHERE pts IS NOT NULL
+GROUP BY metric, user, k
+"""
+
+
+def promql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number of value changes between consecutive samples per series."""
+    out = promql.changes(_dedup_rel(spark, sf_dir), EV_START, EV_END)
+    return flatten_labels(out.select(F.col("labels"), F.col("value")))
+
+
+PROMQL_CHANGES_SQL = f"""{_DEDUP},
+s AS (
+    SELECT metric, user, k, value,
+           lag(value) OVER (PARTITION BY metric, user, k ORDER BY ts) AS prev
+    FROM d
+)
+SELECT metric, user, k,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS BIGINT) AS value
+FROM s GROUP BY metric, user, k
+HAVING count(*) >= 2
+"""
+
+
+def promql_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stddev per series per 1d window (PromQL stddev_over_time)."""
+    out = promql.over_time(_dedup_rel(spark, sf_dir), "stddev", EV_START, EV_END, STEP)
+    return flatten_labels(
+        out.select(F.col("labels"), F.col("window_start"), F.round("value", 4).alias("value"))
+    )
+
+
+PROMQL_STDDEV_OVER_TIME_SQL = f"""{_DEDUP}
+SELECT metric, user, k,
+       CAST(floor((ts - {EV_START}) / {STEP}.0) AS BIGINT) * {STEP} + {EV_START} AS window_start,
+       round(CAST(stddev_pop(value) AS DOUBLE), 4) AS value
+FROM d
+GROUP BY metric, user, k, 4
+"""
+
+
+def promql_last_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest sample per series per 1d window (PromQL last_over_time)."""
+    out = promql.over_time(_dedup_rel(spark, sf_dir), "last", EV_START, EV_END, STEP)
+    return flatten_labels(
+        out.select(F.col("labels"), F.col("window_start"), F.round("value", 4).alias("value"))
+    )
+
+
+PROMQL_LAST_OVER_TIME_SQL = f"""{_DEDUP}
+SELECT metric, user, k,
+       CAST(floor((ts - {EV_START}) / {STEP}.0) AS BIGINT) * {STEP} + {EV_START} AS window_start,
+       round(CAST(max_by(value, ts) AS DOUBLE), 4) AS value
+FROM d
+GROUP BY metric, user, k, 4
+"""
+
+
+def promql_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_values over the instant vector at EV_END (1d lookback): how
+    many series carry each distinct value.  Grouped on the double value
+    (not PromQL's stringified label) so the oracle hash is repr-independent
+    — double→string formatting differs across engines."""
+    vec = promql.instant(_dedup_rel(spark, sf_dir), EV_END, LOOKBACK)
+    return (
+        vec.groupBy(F.col("value"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_series"))
+        .select(F.round("value", 4).alias("value"), "n_series")
+    )
+
+
+PROMQL_COUNT_VALUES_SQL = f"""{_DEDUP},
+latest AS (
+    SELECT metric, user, k, value,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d
+    WHERE ts BETWEEN {EV_END - LOOKBACK} AND {EV_END}
+)
+SELECT round(CAST(value AS DOUBLE), 4) AS value, CAST(count(*) AS BIGINT) AS n_series
+FROM latest WHERE rn = 1
+GROUP BY 1
+"""
+
+
+#: Cumulative-histogram bucket bounds for promql_histogram_quantile
+#: (events value spans 0.01–490, median ≈ 35).
+HIST_LE = [10.0, 25.0, 50.0, 100.0, 250.0]
+HIST_Q = 0.9
+
+
+def promql_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.9) per metric over cumulative le-buckets built
+    from the deduped samples (le = +Inf carries the total, as Prometheus
+    requires)."""
+    d = _dedup_rel(spark, sf_dir)
+    les = F.array(*[F.lit(v) for v in HIST_LE + [float("inf")]])
+    buckets = (
+        d.select(
+            F.col("labels").getItem("__name__").alias("metric"),
+            F.col("value"),
+            F.explode(les).alias("le"),
+        )
+        .groupBy("metric", "le")
+        .agg(F.sum(F.when(F.col("value") <= F.col("le"), 1).otherwise(0)).cast("double").alias("cum"))
+    )
+    out = promql.histogram_quantile(buckets, HIST_Q, ["metric"])
+    return out.select("metric", F.round("value", 6).alias("value"))
+
+
+_LE_VALUES = ", ".join(f"({v})" for v in HIST_LE) + ", ('infinity'::DOUBLE)"
+
+PROMQL_HISTOGRAM_QUANTILE_SQL = f"""{_DEDUP},
+buckets AS (
+    SELECT d.metric, le.le,
+           CAST(sum(CASE WHEN d.value <= le.le THEN 1 ELSE 0 END) AS DOUBLE) AS cum
+    FROM d CROSS JOIN (VALUES {_LE_VALUES}) AS le(le)
+    GROUP BY 1, 2
+),
+b AS (
+    SELECT *,
+           lag(le) OVER w AS prev_le,
+           coalesce(lag(cum) OVER w, 0.0) AS prev_cum,
+           max(cum) OVER (PARTITION BY metric) AS total,
+           max(CASE WHEN le <> 'infinity'::DOUBLE THEN le END) OVER (PARTITION BY metric) AS max_finite
+    FROM buckets
+    WINDOW w AS (PARTITION BY metric ORDER BY le)
+),
+hit AS (
+    SELECT *, row_number() OVER (PARTITION BY metric ORDER BY le) AS rn
+    FROM b WHERE cum >= {HIST_Q} * total
+)
+SELECT metric,
+       round(CASE WHEN le = 'infinity'::DOUBLE THEN max_finite
+             ELSE coalesce(prev_le, 0.0)
+                  + (le - coalesce(prev_le, 0.0)) * ({HIST_Q} * total - prev_cum) / (cum - prev_cum)
+             END, 6) AS value
+FROM hit WHERE rn = 1
+"""
+
+
 QUERIES = {
     "promql_increase": promql_increase,
     "promql_rate": promql_rate,
@@ -233,11 +389,23 @@ QUERIES = {
     "promql_topk": promql_topk,
     "promql_deriv": promql_deriv,
     "promql_predict_linear": promql_predict_linear,
+    "promql_irate": promql_irate,
+    "promql_changes": promql_changes,
+    "promql_stddev_over_time": promql_stddev_over_time,
+    "promql_last_over_time": promql_last_over_time,
+    "promql_count_values": promql_count_values,
+    "promql_histogram_quantile": promql_histogram_quantile,
 }
 
 ORACLES = {
     "promql_deriv": PROMQL_DERIV_SQL,
     "promql_predict_linear": PROMQL_PREDICT_LINEAR_SQL,
+    "promql_irate": PROMQL_IRATE_SQL,
+    "promql_changes": PROMQL_CHANGES_SQL,
+    "promql_stddev_over_time": PROMQL_STDDEV_OVER_TIME_SQL,
+    "promql_last_over_time": PROMQL_LAST_OVER_TIME_SQL,
+    "promql_count_values": PROMQL_COUNT_VALUES_SQL,
+    "promql_histogram_quantile": PROMQL_HISTOGRAM_QUANTILE_SQL,
     "promql_quantile_over_time": PROMQL_QUANTILE_OVER_TIME_SQL,
     "promql_resets": PROMQL_RESETS_SQL,
     "promql_topk": PROMQL_TOPK_SQL,

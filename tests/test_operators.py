@@ -414,3 +414,57 @@ def test_cms_unseen_key_estimates_zero_not_inflated(spark):
     assert set(est) == {"a", "never_seen_key_xyz"}  # every probe yields a row
     assert est["a"] == 5
     assert est["never_seen_key_xyz"] == 0
+
+
+def test_repetition_stats_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # heavy bigram repetition
+            (2, "u v w x y z"),          # all distinct
+            (3, "solo"),                 # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1].n_words == 6 and out[1].n_distinct_words == 2
+    assert out[1].dup_word_frac == pytest.approx(1 - 2 / 6, abs=1e-4)
+    # bigrams of doc1: [a b, b a, a b, b a, a b] -> top 'a b' x3 of 5
+    assert out[1].top_bigram_count == 3
+    assert out[1].top_bigram_frac == pytest.approx(0.6)
+    assert out[2].dup_word_frac == 0.0 and out[2].top_bigram_count == 1
+    assert out[3].n_words == 1 and out[3].top_bigram_count == 0 and out[3].top_bigram_frac == 0.0
+
+
+def test_ngram_contamination_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a sleeping cat"),  # shares leading 5-grams
+            (2, "completely unrelated text with different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           dedup.ngram_contamination(ev, bench, "doc_id", "text", n=5, threshold=0.2).collect()}
+    # doc1: 5 distinct 5-grams, first two ("the quick brown fox jumps",
+    # "quick brown fox jumps over") occur in bench
+    assert out[1].n_ngrams == 5 and out[1].n_matched == 2
+    assert out[1].contamination_frac == pytest.approx(0.4)
+    assert out[1].contaminated is True
+    assert out[2].n_matched == 0 and out[2].contaminated is False
+
+
+def test_emb_norm_fold_matches_numpy(spark):
+    import numpy as np
+    vecs = [(i, [float(i), 3.0, 4.0]) for i in range(3)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = {r.vec_id: r.norm for r in df.select("vec_id", F.sqrt(sq).alias("norm")).collect()}
+    for i, v in vecs:
+        assert out[i] == pytest.approx(float(np.linalg.norm(v)))

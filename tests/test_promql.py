@@ -111,3 +111,93 @@ def test_topk_bottomk_deterministic(rel):
     assert top[0].labels["node"] == "b" and top[0].value == 480.0
     bottom = promql.topk(vec, 1, largest=False).collect()
     assert bottom[0].value == 26.0  # temp gauge is the smallest instant
+
+
+def test_irate_uses_last_two_samples(rel):
+    out = _by_node(promql.irate(rel, START, START + 240))
+    # a: last two samples 10 -> 70 over 60s = 1.0/s
+    assert out["a"] == pytest.approx(1.0)
+    # b: 0 -> 480 over 240s
+    assert out["b"] == pytest.approx(2.0)
+
+
+def test_irate_counter_reset_on_last_step(rel):
+    # range ending at the reset sample: 220 -> 10 is a reset, irate = 10/60
+    out = _by_node(promql.irate(rel, START, START + 180))
+    assert out["a"] == pytest.approx(10.0 / 60.0)
+
+
+def test_idelta_gauge_semantics(rel):
+    out = _by_node(promql.idelta(rel, START, START + 240))
+    assert out["a"] == pytest.approx(60.0)   # 10 -> 70, no reset clamping
+    d = {r.labels["__name__"]: r.value for r in promql.idelta(rel, START, START + 240).collect()
+         if r.labels["node"] == "a"}
+    assert d["temp"] == pytest.approx(6.0)
+
+
+def test_changes_counts_value_changes(spark):
+    from mandodb_spark import ROW_SCHEMA
+    rows = [("m", {"n": "a"}, START + i * 60, v) for i, v in enumerate([1.0, 1.0, 2.0, 2.0, 1.0])]
+    rel2 = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    out = promql.changes(rel2, START, START + 600).collect()
+    assert len(out) == 1 and out[0].value == 2
+
+
+def test_count_values_groups_by_value(rel):
+    vec = promql.instant(rel, START + 240, lookback=300)
+    out = {r.labels["value"]: r.n_series for r in promql.count_values(vec).collect()}
+    # instant values: reqs/a=70, reqs/b=480, temp/a=26
+    assert out == {"70.0": 1, "480.0": 1, "26.0": 1}
+
+
+def test_histogram_quantile_interpolation(spark):
+    inf = float("inf")
+    # one group: buckets le=[1,2,4,inf], cum=[10,30,40,40] (total 40)
+    rows = [("m", 1.0, 10.0), ("m", 2.0, 30.0), ("m", 4.0, 40.0), ("m", inf, 40.0)]
+    b = spark.createDataFrame(rows, "metric string, le double, cum double")
+    # q=0.5 -> target 20, lands in (1,2]: 1 + (2-1)*(20-10)/(30-10) = 1.5
+    out = promql.histogram_quantile(b, 0.5, ["metric"]).collect()
+    assert out[0].value == pytest.approx(1.5)
+    # q=0.25 -> target 10, first bucket exactly: 0 + 1*(10-0)/(10-0) = 1.0
+    out = promql.histogram_quantile(b, 0.25, ["metric"]).collect()
+    assert out[0].value == pytest.approx(1.0)
+    # q=1.0 -> target 40 first reached in bucket le=4 (cum 40 >= 40):
+    # 2 + 2*(40-30)/(40-30) = 4.0
+    out = promql.histogram_quantile(b, 1.0, ["metric"]).collect()
+    assert out[0].value == pytest.approx(4.0)
+
+
+def test_histogram_quantile_inf_bucket_returns_max_finite(spark):
+    inf = float("inf")
+    # target falls in the +Inf bucket -> highest finite le
+    rows = [("m", 1.0, 10.0), ("m", inf, 100.0)]
+    b = spark.createDataFrame(rows, "metric string, le double, cum double")
+    out = promql.histogram_quantile(b, 0.9, ["metric"]).collect()
+    assert out[0].value == pytest.approx(1.0)
+
+
+def test_clamp(rel):
+    vec = promql.instant(rel, START + 240, lookback=300)
+    vals = sorted(r.value for r in promql.clamp(vec, lo=30.0, hi=100.0).collect())
+    assert vals == [30.0, 70.0, 100.0]
+
+
+def test_label_replace_and_join(rel):
+    vec = promql.instant(rel, START + 240, lookback=300)
+    out = promql.label_replace(vec, "dc", "dc-$1", "node", "(a)")
+    labels = {r.labels.get("node"): dict(r.labels) for r in out.collect()}
+    assert labels["a"].get("dc") == "dc-a"
+    assert "dc" not in labels["b"]  # regex didn't match -> unchanged
+    out2 = promql.label_join(vec, "id", "/", ["__name__", "node"])
+    ids = sorted({r.labels["id"] for r in out2.collect()})
+    assert ids == ["reqs/a", "reqs/b", "temp/a"]
+
+
+def test_stddev_and_last_over_time(spark):
+    rows = [("m", {"n": "a"}, START + i * 60, v) for i, v in enumerate([1.0, 3.0, 5.0])]
+    rel2 = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    std = promql.over_time(rel2, "stddev", START, START + 600, 600).collect()
+    # population stddev of [1,3,5] = sqrt(8/3)
+    assert std[0].value == pytest.approx((8.0 / 3.0) ** 0.5)
+    last = promql.over_time(rel2, "last", START, START + 600, 600).collect()
+    assert last[0].value == pytest.approx(5.0)

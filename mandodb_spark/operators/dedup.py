@@ -69,40 +69,52 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def _minhash_cols(n_hashes: int) -> list[Column]:
+    """n_hashes 32-bit hash columns per shingle row, derived from
+    ceil(n/4) md5 digests sliced into disjoint 8-hex-digit windows.
+
+    One md5 serves FOUR hash functions: computing n separate salted md5s
+    per row made the digest the pipeline's hot loop (measured ~2.2s of a
+    3.8s query at sf0.1); slicing cuts digest work 4×.  The slices are
+    disjoint bits of independent digests — exactly the md5's output bits,
+    so each h_i is still uniform; 32 bits is ample for min-ordering
+    (P[tie within a doc] ≈ s²/2³³ at s shingles/doc).
+    """
+    cols = []
+    for i in range(n_hashes):
+        salt, window = divmod(i, 4)
+        digest = F.md5(F.concat(F.lit(f"{salt}:"), F.col("sh")))
+        cols.append(
+            F.conv(F.substring(digest, 8 * window + 1, 8), 16, 10).cast("long").alias(f"h{i}")
+        )
+    return cols
+
+
 def minhash_signatures(shingles: DataFrame, id_col: str, n_hashes: int = N_HASHES) -> DataFrame:
-    """MinHash signature per id: h_i = min over shingles of the numeric
-    value of md5(i || ':' || shingle)'s first 15 hex digits (60-bit hash).
+    """MinHash signature per id: h_i = min over shingles of a 32-bit slice
+    of md5((i div 4) || ':' || shingle) (see :func:`_minhash_cols`).
 
-    One groupBy produces all n_hashes signature components as columns
-    (single shuffle, map-side partial min).  The hash is NUMERIC, not the
-    hex string: ``min(string)`` has a variable-width agg buffer, which
-    disqualifies HashAggregate and silently degrades the whole signature
-    stage to Sort+SortAggregate — a per-partition sort of the full shingle
-    relation at 100 TB.  ``min(long)`` keeps it a codegen'd HashAggregate.
-    (Found via .explain; the 60-bit truncation is engine-agnostic:
-    DuckDB mirrors it as CAST(concat('0x', substr(md5(..),1,15)) AS BIGINT).)
+    The per-row hashes are PROJECTED before the aggregation so each md5 is
+    computed exactly once per shingle row, then one groupBy produces all
+    n_hashes signature components (single shuffle, map-side partial min).
+    The hash is NUMERIC, not the hex string: ``min(string)`` has a
+    variable-width agg buffer, which disqualifies HashAggregate and
+    silently degrades the whole signature stage to Sort+SortAggregate — a
+    per-partition sort of the full shingle relation at 100 TB.
+    ``min(long)`` keeps it a codegen'd HashAggregate.  (Found via
+    .explain; DuckDB mirrors the slice as
+    CAST(concat('0x', substr(md5(..), 8*w+1, 8)) AS BIGINT).)
     """
-    mins = [
-        F.min(
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15), 16, 10).cast(
-                "long"
-            )
-        ).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return shingles.groupBy(id_col).agg(*mins)
+    hashed = shingles.select(F.col(id_col), *_minhash_cols(n_hashes))
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
-                        n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
-    """LSH banding: equal band-hash in any band → candidate pair (a < b).
-
-    The band join is an equi-join on (band index, band hash) — Spark plans
-    a shuffle hash join keyed on the band hash, so the cost is proportional
-    to true collisions, never to n².
-    """
+def _band_array(n_hashes: int, n_bands: int) -> Column:
+    """array<struct<band,bh>> of per-band hashes from h0..h{n-1} columns."""
     rows_per_band = n_hashes // n_bands
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -119,21 +131,53 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
             for b in range(n_bands)
         ]
     )
-    # Deliberately NOT persisted: measured 3× slower with .persist() at
-    # sf0.01 (cache materialization + broken codegen pipelines cost more
-    # than the recompute), and un-cleaned caches accumulate in a long-lived
-    # session (ADVICE r1).  At cluster scale the signature table would be a
-    # checkpointed/bucketed intermediate table instead of an in-memory cache.
+
+
+def _pair_expand(members: Column) -> Column:
+    """All i<j member pairs (array<struct<a,b>>) from a bucket's member
+    array, sorted so the pair set is independent of collect order."""
+    ms = F.array_sort(members)
+    n = F.size(ms)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + F.lit(1), n),
+                lambda j: F.struct(
+                    F.element_at(ms, i).alias("a"), F.element_at(ms, j).alias("b")
+                ),
+            ),
+        )
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH banding: equal band-hash in any band → candidate pair (a < b).
+
+    Buckets are formed by ONE shuffle on (band, band-hash) with the member
+    list collected per bucket, and pairs expand from the (sorted) member
+    array — the signature subplan is computed exactly once.  The previous
+    self-join shape computed the whole shingle→signature pipeline once PER
+    SIDE (Spark's ReuseExchange does not fire once AQE broadcasts a side,
+    and an un-unpersisted .persist() leaks cache in long sessions —
+    ADVICE r1).  Pair count is still ∝ true collisions, never n²; the
+    per-bucket expansion is O(k²) on LSH-bounded bucket sizes (a
+    degenerate band value concentrates in one task either way — that risk
+    is inherent to LSH banding, not to this shape).
+    """
     exploded = (
-        signatures.select(F.col(id_col), F.explode(bands).alias("e"))
+        signatures.select(F.col(id_col), F.explode(_band_array(n_hashes, n_bands)).alias("e"))
         .select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(_pair_expand(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
 
@@ -193,20 +237,24 @@ def simhash_band_pairs(hashes: DataFrame, id_col: str, hash_col: str = "simhash"
             for b in range(n_bands)
         ]
     )
-    # Not persisted — same measured trade as lsh_candidate_pairs.
+    # Same one-shuffle bucket-grouping shape as lsh_candidate_pairs: the
+    # upstream simhash computation runs exactly once.
     exploded = (
         hashes.select(F.col(id_col), h.alias("__h"), F.explode(bands).alias("e"))
         .select(F.col(id_col), F.col("__h"), F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band", "bv")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__h").alias("h"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        buckets.select(F.explode(_pair_expand(F.col("ms"))).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__h").alias("__ha"),
-            F.col("b.__h").alias("__hb"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.h").alias("__ha"),
+            F.col("p.b.h").alias("__hb"),
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long"))
@@ -271,14 +319,56 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     """End-to-end near-dup pipeline: shingle → minhash → LSH → verified
     Jaccard pairs (id_a < id_b, jaccard >= threshold).
 
-    The shingle set feeds both the signature stage and the verify stage.
-    It is deliberately not .persist()ed: measured 3× faster without (the
-    cache materialization costs more than recomputing the narrow explode
-    from the scan) and nothing is left in executor storage memory after
-    the query (ADVICE r1).  At cluster scale the shingle/signature tables
-    would be checkpointed intermediate tables, not in-memory caches.
+    Fused for ONE corpus-wide shuffle (nothing is ever left persisted —
+    ADVICE r1):
+
+    - signatures aggregate the RAW exploded shingles — no ``distinct``
+      first, because min over a multiset equals min over its set, so the
+      dedup shuffle of the full shingle relation is simply dropped;
+    - candidates come from bucket grouping (collect_list per (band, hash),
+      pair-expand the sorted member array), so the shingle→signature
+      subplan is computed exactly once — never self-joined;
+    - Jaccard verification joins the tiny candidate set to per-doc shingle
+      ARRAYS (a narrow scan-side expression, no shuffle) and intersects
+      them row-wise (``array_intersect`` is hash-based, O(|a|+|b|)) —
+      replacing two corpus-wide set-joins + a size join with two id
+      equi-joins that touch only candidate documents.
+
+    At 100 TB: shuffle 1 = signature agg (map-side partial min), shuffle
+    2-3 = band buckets + pair distinct (signature-sized, 8 longs/doc),
+    verify ∝ candidates.  The LSH collision set, never n², bounds the
+    verify cost.
     """
-    sh = shingle_sets(df, id_col, text_col)
-    sigs = minhash_signatures(sh, id_col, n_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, n_bands)
-    return jaccard_verify(cands, sh, id_col, threshold)
+    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length("__lt") - F.lit(SHINGLE_LEN - 1), F.lit(1)), F.lit(SHINGLE_STRIDE)
+    )
+    sh_raw = lowered.select(F.col(id_col), F.col("__lt"), F.explode(positions).alias("__p")).select(
+        F.col(id_col), F.expr(f"substring(__lt, __p, {SHINGLE_LEN})").alias("sh")
+    )
+    sigs = minhash_signatures(sh_raw, id_col, n_hashes)
+    exploded = sigs.select(
+        F.col(id_col), F.explode(_band_array(n_hashes, n_bands)).alias("e")
+    ).select(F.col(id_col), F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cands = (
+        buckets.select(F.explode(_pair_expand(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    shingle_arr = F.array_distinct(char_shingles(F.lower(F.col(text_col))))
+    docs_a = df.select(F.col(id_col).alias("id_a"), shingle_arr.alias("__sha"))
+    docs_b = df.select(F.col(id_col).alias("id_b"), shingle_arr.alias("__shb"))
+    n_inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    n_union = F.size("__sha") + F.size("__shb") - n_inter
+    return (
+        cands.join(docs_a, "id_a")
+        .join(docs_b, "id_b")
+        .withColumn("jaccard", F.round(n_inter.cast("double") / n_union, 4))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -126,10 +126,12 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sql() -> str:
     n, bands = dedup.N_HASHES, dedup.N_BANDS
     rpb = n // bands
-    # numeric 60-bit minhash (mirrors minhash_signatures: first 15 hex
-    # digits of md5 as BIGINT — keeps Spark's stage a HashAggregate)
+    # numeric 32-bit minhash slices (mirrors _minhash_cols: 8-hex-digit
+    # window (i mod 4) of md5((i div 4) || ':' || sh) as BIGINT — numeric
+    # to keep Spark's stage a HashAggregate, sliced so one md5 serves four
+    # hash functions)
     mins = ",\n           ".join(
-        f"min(CAST(concat('0x', substr(md5('{i}:' || sh), 1, 15)) AS BIGINT)) AS h{i}"
+        f"min(CAST(concat('0x', substr(md5('{i // 4}:' || sh), {8 * (i % 4) + 1}, 8)) AS BIGINT)) AS h{i}"
         for i in range(n)
     )
     band_selects = "\n    UNION ALL\n".join(

@@ -257,3 +257,28 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def int8_quantize(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127, code_i =
+    clamp(round(x_i/scale), ±127).  Pure array expressions — the standard
+    4× index-compression step before ANN, applied at ingest (map-side,
+    zero shuffle).  Returns struct(scale, codes array<int>)."""
+    xd = F.transform(vec, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    codes = F.transform(
+        xd, lambda x: F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.round(x / scale, 0))).cast("int")
+    )
+    return F.struct(scale.alias("scale"), codes.alias("codes"))
+
+
+def int8_reconstruction_error(vec: Column) -> Column:
+    """Relative L2 reconstruction error of :func:`int8_quantize` on this
+    vector: ||x - scale·codes|| / ||x|| (0 for the zero vector)."""
+    q = int8_quantize(vec)
+    recon = F.transform(q["codes"], lambda c: c.cast("double") * q["scale"])
+    diff = F.zip_with(vec, recon, lambda x, r: (x.cast("double") - r) * (x.cast("double") - r))
+    num = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x))
+    den = norm(vec)
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))

@@ -64,6 +64,8 @@ _PRIORITY = [
     "docs_contamination",
     "emb_ivf_neardup_pairs",
     "emb_norm_stats",
+    "emb_quantize_error",
+    "docs_curation_pipeline",
     "promql_deriv",
     "promql_predict_linear",
     "promql_irate",
@@ -76,14 +78,12 @@ _PRIORITY = [
     "docs_simhash",
     "docs_cms_token_freq",
     # -- representative proven core (green in CORRECTNESS_r01, unchanged) --
-    "tsdb_range_rows",
     "tsdb_series_agg",
     "tsdb_gapfill",
     "tsdb_retention",
     "promql_rate",
     "promql_topk",
     "tpch_q1",
-    "tpch_q5",
     "tpch_q8",
     "tpch_q16",
     "docs_winnow_fingerprints",

@@ -498,6 +498,83 @@ FROM hits
 """
 
 
+#: Curation-pipeline gates (docs_curation_pipeline).
+CURATE_MIN_QUALITY = 0.5
+CURATE_MAX_TOP_BIGRAM = 0.20
+CURATE_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+
+
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation composition a pretraining pipeline runs:
+    quality gate → repetition gate (top-bigram fraction) → exact dedup
+    (bag-of-words, keep lowest id) → language-stratified deterministic
+    downsample → per-(lang, source) corpus stats.
+
+    Scale shape: gates are scan-side predicates (quality) plus one
+    (doc, bigram) shuffle (repetition); dedup one hash-groupBy + semi-join;
+    the sample is a pure hash predicate (zero shuffle, reproducible —
+    operators/sampling.py); stats one final agg.  Four well-keyed shuffles
+    end-to-end regardless of corpus size.
+    """
+    from ..operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        text.quality_score(t).alias("q"),
+        text.token_count(t).alias("n_tokens"),
+        text.bow_fingerprint(t).alias("fp"),
+    ).filter(F.col("q") >= CURATE_MIN_QUALITY)
+    rep = text.repetition_stats(d, "doc_id", "text").select("doc_id", "top_bigram_frac")
+    gated = scored.join(rep, "doc_id").filter(F.col("top_bigram_frac") <= CURATE_MAX_TOP_BIGRAM)
+    keepers = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(keepers, ["fp", "doc_id"], "left_semi")
+    sampled = sampling.stratified_sample(kept, "doc_id", "lang", CURATE_RATES)
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
+def _curation_sql() -> str:
+    from ..operators.sampling import hash_unit_sql
+
+    rep_sql = text.repetition_stats_sql("documents", "doc_id", "text")
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN {r}" for v, r in sorted(CURATE_RATES.items())
+    ) + " ELSE 0.0 END"
+    return f"""
+WITH rep AS ({rep_sql}),
+scored AS (
+    SELECT doc_id, lang, source,
+           {_Q_EXPR} AS q,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+    FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents)
+    WHERE {_Q_EXPR} >= {CURATE_MIN_QUALITY}
+),
+gated AS (
+    SELECT s.* FROM scored s JOIN rep r USING (doc_id)
+    WHERE r.top_bigram_frac <= {CURATE_MAX_TOP_BIGRAM}
+),
+keepers AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+kept AS (SELECT * FROM gated SEMI JOIN keepers USING (fp, doc_id)),
+sampled AS (SELECT * FROM kept WHERE {hash_unit_sql('doc_id')} < {rate})
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q), 4) AS avg_quality
+FROM sampled
+GROUP BY lang, source
+"""
+
+
+DOCS_CURATION_SQL = _curation_sql()
+
+
 QUERIES = {
     "docs_token_stats": docs_token_stats,
     "docs_top_bigrams": docs_top_bigrams,
@@ -515,9 +592,11 @@ QUERIES = {
     "docs_tfidf_top_terms": docs_tfidf_top_terms,
     "docs_repetition": docs_repetition,
     "docs_contamination": docs_contamination,
+    "docs_curation_pipeline": docs_curation_pipeline,
 }
 
 ORACLES = {
+    "docs_curation_pipeline": DOCS_CURATION_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SAMPLE_SQL,
     "docs_tfidf_top_terms": DOCS_TFIDF_SQL,
     "docs_repetition": DOCS_REPETITION_SQL,

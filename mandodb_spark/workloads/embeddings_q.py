@@ -296,3 +296,48 @@ FROM n GROUP BY label
 
 QUERIES["emb_norm_stats"] = emb_norm_stats
 ORACLES["emb_norm_stats"] = EMB_NORM_STATS_SQL
+
+
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label int8-quantization reconstruction error (the index-
+    compression quality check before shipping codes to an ANN index).
+    Everything is a map-side array expression; one tiny-key shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    err = F.round(similarity.int8_reconstruction_error(F.col("embedding")), 6)
+    return (
+        emb.select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("err"), 3).alias("avg_rel_err"),
+            F.round(F.max("err"), 6).alias("max_rel_err"),
+        )
+    )
+
+
+EMB_QUANTIZE_ERROR_SQL = """
+WITH s AS (
+    SELECT label, CAST(embedding AS DOUBLE[]) AS xd,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+    FROM embeddings
+), sc AS (
+    SELECT label, xd, CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS scale FROM s
+), e AS (
+    SELECT label,
+           round(
+             CASE WHEN sqrt(list_sum(list_transform(xd, x -> x * x))) > 0
+                  THEN sqrt(list_sum(list_transform(xd,
+                       x -> (x - scale * greatest(-127.0, least(127.0, round(x / scale, 0))))
+                          * (x - scale * greatest(-127.0, least(127.0, round(x / scale, 0)))))))
+                       / sqrt(list_sum(list_transform(xd, x -> x * x)))
+                  ELSE 0.0 END, 6) AS err
+    FROM sc
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(err), 3) AS avg_rel_err,
+       round(max(err), 6) AS max_rel_err
+FROM e GROUP BY label
+"""
+
+QUERIES["emb_quantize_error"] = emb_quantize_error
+ORACLES["emb_quantize_error"] = EMB_QUANTIZE_ERROR_SQL

@@ -468,3 +468,23 @@ def test_emb_norm_fold_matches_numpy(spark):
     out = {r.vec_id: r.norm for r in df.select("vec_id", F.sqrt(sq).alias("norm")).collect()}
     for i, v in vecs:
         assert out[i] == pytest.approx(float(np.linalg.norm(v)))
+
+
+def test_int8_quantize_roundtrip(spark):
+    import numpy as np
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.select("vec_id", similarity.int8_quantize(F.col("embedding")).alias("q"),
+                  similarity.int8_reconstruction_error(F.col("embedding")).alias("err")).collect()
+    by_id = {r.vec_id: r for r in q}
+    assert by_id[1].q.scale == pytest.approx(1.0 / 127)
+    assert by_id[1].q.codes == [127, -64, 32, 0]   # round(−63.5)→−64 away from zero
+    # reconstruction error small and exactly computed
+    x = np.array([1.0, -0.5, 0.25, 0.0])
+    recon = np.array([127, -64, 32, 0]) * (1.0 / 127)
+    expected = np.linalg.norm(x - recon) / np.linalg.norm(x)
+    assert by_id[1].err == pytest.approx(expected, rel=1e-9)
+    # zero vector: scale 1.0, all-zero codes, zero error
+    assert by_id[2].q.scale == 1.0 and by_id[2].q.codes == [0, 0, 0, 0] and by_id[2].err == 0.0

@@ -74,6 +74,9 @@ _PRIORITY = [
     "promql_last_over_time",
     "promql_count_values",
     "promql_histogram_quantile",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q21",
     # -- implementation changed in round 2 (re-verify in-window) --
     "docs_simhash",
     "docs_cms_token_freq",
@@ -82,12 +85,9 @@ _PRIORITY = [
     "tsdb_gapfill",
     "tsdb_retention",
     "promql_rate",
-    "promql_topk",
     "tpch_q1",
     "tpch_q8",
-    "tpch_q16",
     "docs_winnow_fingerprints",
-    "docs_fingerprint_dedup",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

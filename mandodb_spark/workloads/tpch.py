@@ -653,6 +653,153 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted): product-type profit by nation and year.
+
+    Deviation: the testdata has no partsupp table, so profit =
+    l_extendedprice·(1−l_discount) without the ps_supplycost·l_quantity
+    term; the join/aggregation shape (part name filter → 4-way join →
+    group by (nation, year) → sort) is the spec's.  part and the
+    supplier→nation chain broadcast; only lineitem shuffles.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("l_shipdate")).cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+TPCH_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS o_year,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted): late-shipment classification by order priority.
+
+    Deviation: lineitem has no l_shipmode/l_commitdate/l_receiptdate, so
+    the mode bucket is 'late' = shipped > 90 days after o_orderdate, and
+    the priority split keeps the spec's urgent-vs-other conditional
+    aggregation.  One orderkey shuffle; the counts are conditional sums
+    evaluated map-side.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    late = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.when(late, "LATE").otherwise("ONTIME").alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+           AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY ship_bucket
+"""
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted): suppliers who alone shipped late on
+    multi-supplier orders — the spec's EXISTS / NOT-EXISTS pattern.
+
+    Deviation: 'late' = shipped > 90 days after o_orderdate (no
+    l_receiptdate/l_commitdate in the testdata); the relational shape is
+    the spec's: a late line l1, EXISTS another supplier's line on the
+    same order (left-semi), NOT EXISTS another supplier's late line on
+    the same order (left-anti), count by supplier, top 10.  supplier/
+    nation broadcast; the semi/anti joins shuffle on orderkey only.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 90)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l1 = late.alias("l1")
+    others = li.select("l_orderkey", "l_suppkey").alias("l2")
+    other_exists = l1.join(
+        others,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    late_others = late.select("l_orderkey", "l_suppkey").alias("l3")
+    alone_late = other_exists.join(
+        late_others,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        alone_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l1.l_orderkey").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+TPCH_Q21_SQL = """
+WITH late AS (
+    SELECT l_orderkey, l_suppkey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+)
+SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -670,6 +817,9 @@ QUERIES = {
     "tpch_q18": tpch_q18,
     "tpch_q19": tpch_q19,
     "tpch_q22": tpch_q22,
+    "tpch_q9": tpch_q9,
+    "tpch_q12": tpch_q12,
+    "tpch_q21": tpch_q21,
     "tpch_window_rank": tpch_window_rank,
     "tpch_rollup": tpch_rollup,
     "tpch_orders_status": tpch_orders_status,
@@ -692,6 +842,9 @@ ORACLES = {
     "tpch_q18": TPCH_Q18_SQL,
     "tpch_q19": TPCH_Q19_SQL,
     "tpch_q22": TPCH_Q22_SQL,
+    "tpch_q9": TPCH_Q9_SQL,
+    "tpch_q12": TPCH_Q12_SQL,
+    "tpch_q21": TPCH_Q21_SQL,
     "tpch_window_rank": TPCH_WINDOW_RANK_SQL,
     "tpch_rollup": TPCH_ROLLUP_SQL,
     "tpch_orders_status": TPCH_ORDERS_STATUS_SQL,

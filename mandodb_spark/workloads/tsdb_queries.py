@@ -345,18 +345,30 @@ def tsdb_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("labels").alias("labels"), F.max_by("value", "ts").alias("value")
     )
     series = bucketed.groupBy("series_key").agg(F.any_value("labels").alias("labels"))
-    grid = series.withColumn(
-        "bucket_ts", F.explode(F.sequence(F.lit(GF_B0), F.lit(GF_B1), F.lit(GF_STEP)))
+    # Union trick (same as the as-of join, operators/temporal.py): instead
+    # of LEFT-JOINing the grid to the samples (an extra shuffle) and then
+    # windowing, interleave null-valued grid rows with the sample rows and
+    # let ONE running last-ignorenulls window do both the same-bucket match
+    # and the carry-forward — samples sort before the grid row of their
+    # bucket via the __g tiebreaker.
+    grid = (
+        series.withColumn(
+            "bucket_ts", F.explode(F.sequence(F.lit(GF_B0), F.lit(GF_B1), F.lit(GF_STEP)))
+        )
+        .withColumn("value", F.lit(None).cast("double"))
+        .withColumn("__g", F.lit(1))
     )
-    joined = grid.join(bucketed.drop("labels"), ["series_key", "bucket_ts"], "left")
+    samples = bucketed.withColumn("__g", F.lit(0))
     w = (
         Window.partitionBy("series_key")
-        .orderBy("bucket_ts")
+        .orderBy("bucket_ts", "__g")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = joined.withColumn("value", F.last("value", ignorenulls=True).over(w))
+    filled = grid.unionByName(samples).withColumn(
+        "value", F.last("value", ignorenulls=True).over(w)
+    )
     return flatten_labels(
-        filled.filter(F.col("value").isNotNull()).select(
+        filled.filter((F.col("__g") == 1) & F.col("value").isNotNull()).select(
             "labels", "bucket_ts", F.round("value", 4).alias("value")
         )
     )

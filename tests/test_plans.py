@@ -198,3 +198,56 @@ def test_bucketed_store_query_range_zero_shuffle(spark, tmp_path_factory):
         assert got == want and len(got) == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucketed_plan")
+
+
+def test_contamination_benchmark_set_is_broadcast(spark):
+    """The benchmark n-gram set must be the broadcast side (eval = the big
+    corpus at 100 TB) and the plan must never cross-join."""
+    from mandodb_spark.workloads.docs import docs_contamination
+
+    df = docs_contamination(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_vocabulary_dim_is_broadcast(spark):
+    """tf-idf joins the vocabulary-sized df dimension via broadcast; the
+    only corpus-wide shuffle is the tf aggregation + the per-doc window."""
+    from mandodb_spark.workloads.docs import docs_tfidf_top_terms
+
+    df = docs_tfidf_top_terms(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_pipeline_single_corpus_scan_per_role(spark):
+    """The fused near-dup pipeline must not self-join the signature
+    subplan: exactly 3 parquet scans (signature pass + two verify sides),
+    no nested-loop joins, and the signature agg stays a HashAggregate
+    (numeric min — min(string) would silently fall to SortAggregate)."""
+    from mandodb_spark.workloads.docs import docs_minhash_pairs
+
+    df = docs_minhash_pairs(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 3
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_stratified_sample_query_is_scan_side(spark):
+    """The declared stratified-sample query is a pure scan predicate."""
+    from mandodb_spark.workloads.docs import docs_stratified_sample
+
+    df = docs_stratified_sample(spark, "/root/testdata/sf0.001")
+    assert shuffle_count(df) == 0
+
+
+def test_gapfill_has_no_grid_join(spark):
+    """Gap-fill = union + one LOCF window: no join node anywhere."""
+    from mandodb_spark.workloads.tsdb_queries import tsdb_gapfill
+
+    plan = _plan(tsdb_gapfill(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1

@@ -132,3 +132,42 @@ def with_binary_payload(df: DataFrame, text_col: str) -> DataFrame:
     """Testdata adapter: treat the UTF-8 bytes of a text column as the
     opaque payload (the container has no real image/audio fixtures)."""
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def chunk_plan(df: DataFrame, id_col: str, payload_col: str,
+               chunk_bytes: int = 4096, overlap: int = 512) -> DataFrame:
+    """Overlapping byte-range chunk plan per asset — the fan-out every
+    audio/video transcription or OCR pipeline runs before decoding
+    (windows of ``chunk_bytes`` advancing by ``chunk_bytes - overlap``).
+
+    Pure column expressions (no UDF, no decode): chunk starts from a
+    bounded ``sequence`` explode, lengths clamped at the payload tail.
+    The decode of each range plugs in downstream as an Arrow-batched
+    mapInPandas (same seam as :func:`extract_features`); the plan itself
+    is map-side with a narrow explode — at 100 TB this is scan-parallel
+    and shuffle-free.
+    """
+    if overlap >= chunk_bytes:
+        raise ValueError("overlap must be < chunk_bytes")
+    step = chunk_bytes - overlap
+    size = F.octet_length(F.col(payload_col))
+    last_idx = F.floor(
+        F.greatest((size - F.lit(overlap + 1)).cast("long"), F.lit(0)) / F.lit(step)
+    ).cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), last_idx, F.lit(1).cast("long"))
+    chunked = df.select(
+        F.col(id_col), size.alias("byte_len"), F.explode(starts).alias("chunk_idx")
+    ).select(
+        F.col(id_col),
+        "byte_len",
+        "chunk_idx",
+        (F.col("chunk_idx") * step).cast("long").alias("chunk_start"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.least(F.lit(chunk_bytes).cast("long"), F.col("byte_len") - F.col("chunk_start")).alias(
+            "chunk_len"
+        ),
+    )

@@ -74,6 +74,7 @@ _PRIORITY = [
     "promql_last_over_time",
     "promql_count_values",
     "promql_histogram_quantile",
+    "mm_chunk_plan",
     "tpch_q9",
     "tpch_q12",
     "tpch_q21",
@@ -81,7 +82,6 @@ _PRIORITY = [
     "docs_simhash",
     "docs_cms_token_freq",
     # -- representative proven core (green in CORRECTNESS_r01, unchanged) --
-    "tsdb_series_agg",
     "tsdb_gapfill",
     "tsdb_retention",
     "promql_rate",

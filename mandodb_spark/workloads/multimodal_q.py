@@ -105,3 +105,39 @@ ORACLES = {
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_resize_dims": MM_RESIZE_DIMS_SQL,
 }
+
+
+CHUNK_BYTES = 256
+CHUNK_OVERLAP = 64
+
+
+def mm_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping byte-range chunk plan over the binary payloads (the
+    pre-decode fan-out of a transcription/OCR pipeline) — map-side narrow
+    explode, shuffle-free."""
+    d = load(spark, sf_dir, "documents")
+    payloads = multimodal.with_binary_payload(d, "text")
+    return multimodal.chunk_plan(
+        payloads, "doc_id", "payload", chunk_bytes=CHUNK_BYTES, overlap=CHUNK_OVERLAP
+    )
+
+
+_STEP = CHUNK_BYTES - CHUNK_OVERLAP
+
+MM_CHUNK_PLAN_SQL = f"""
+WITH src AS (
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len FROM documents
+),
+idx AS (
+    SELECT doc_id, byte_len,
+           unnest(range(0, CAST(floor(greatest(byte_len - {CHUNK_OVERLAP + 1}, 0) / {_STEP}.0) AS BIGINT) + 1)) AS chunk_idx
+    FROM src
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {_STEP} AS BIGINT) AS chunk_start,
+       CAST(least({CHUNK_BYTES}, byte_len - chunk_idx * {_STEP}) AS BIGINT) AS chunk_len
+FROM idx
+"""
+
+QUERIES["mm_chunk_plan"] = mm_chunk_plan
+ORACLES["mm_chunk_plan"] = MM_CHUNK_PLAN_SQL

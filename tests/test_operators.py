@@ -488,3 +488,23 @@ def test_int8_quantize_roundtrip(spark):
     assert by_id[1].err == pytest.approx(expected, rel=1e-9)
     # zero vector: scale 1.0, all-zero codes, zero error
     assert by_id[2].q.scale == 1.0 and by_id[2].q.codes == [0, 0, 0, 0] and by_id[2].err == 0.0
+
+
+def test_chunk_plan_covers_payload_with_overlap(spark):
+    df = spark.createDataFrame([(1, "x" * 1000), (2, "y" * 100), (3, "z" * 256)],
+                               "doc_id long, text string")
+    payloads = multimodal.with_binary_payload(df, "text")
+    out = multimodal.chunk_plan(payloads, "doc_id", "payload", chunk_bytes=256, overlap=64)
+    rows = sorted((r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_len) for r in out.collect())
+    by_doc = {}
+    for d, i, s, ln in rows:
+        by_doc.setdefault(d, []).append((i, s, ln))
+    # doc 1 (1000 B): starts every 192 B while start < 1000-64
+    assert [s for _, s, _ in by_doc[1]] == [0, 192, 384, 576, 768]
+    assert by_doc[1][-1] == (4, 768, 232)          # tail clamped
+    # full coverage with overlap: next start <= prev end
+    for (_, s1, l1), (_, s2, _) in zip(by_doc[1], by_doc[1][1:]):
+        assert s2 <= s1 + l1
+    # short payloads produce exactly one chunk of payload length
+    assert by_doc[2] == [(0, 0, 100)]
+    assert by_doc[3] == [(0, 0, 256)]

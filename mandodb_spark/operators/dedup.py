@@ -133,10 +133,21 @@ def _band_array(n_hashes: int, n_bands: int) -> Column:
     )
 
 
-def _pair_expand(members: Column) -> Column:
+#: Defensive bound on bucket-grouped pair expansion: a bucket's member
+#: array (and its O(k²) pair expansion) must fit one task comfortably.
+#: MinHash band buckets are true-near-dup clusters (measured max 4 members
+#: at sf0.1), so this never binds at test scale — it exists for degenerate
+#: corpora (e.g. millions of byte-identical docs) where the correct answer
+#: to "every pair in a 10⁶-dup cluster" is a cap + representative, not a
+#: 10¹² pair list.  Members are sorted before slicing → deterministic.
+MAX_BUCKET_MEMBERS = 4096
+
+
+def _pair_expand(members: Column, cap: int = MAX_BUCKET_MEMBERS) -> Column:
     """All i<j member pairs (array<struct<a,b>>) from a bucket's member
-    array, sorted so the pair set is independent of collect order."""
-    ms = F.array_sort(members)
+    array, sorted so the pair set is independent of collect order and
+    capped at ``cap`` members (see :data:`MAX_BUCKET_MEMBERS`)."""
+    ms = F.slice(F.array_sort(members), 1, cap)
     n = F.size(ms)
     return F.flatten(
         F.transform(
@@ -237,24 +248,30 @@ def simhash_band_pairs(hashes: DataFrame, id_col: str, hash_col: str = "simhash"
             for b in range(n_bands)
         ]
     )
-    # Same one-shuffle bucket-grouping shape as lsh_candidate_pairs: the
-    # upstream simhash computation runs exactly once.
+    # Deliberately the STREAMING equi-join shape, NOT bucket-grouping: a
+    # simhash band has only 2^bits_per_band values and near-duplicate
+    # corpora cluster hard (measured sf0.1: one 8-bit band value holds 3.2k
+    # of 5k docs → 5.3M pairs).  The join streams those k² rows through
+    # codegen'd filter; a collect_list bucket array would materialize them
+    # in one task's memory and expand pairs in an interpreted lambda
+    # (measured: >300 s vs seconds).  The upstream simhash relation is
+    # recomputed once per side, but it is a single Arrow/expression pass —
+    # the cheap part.  minhash's lsh_candidate_pairs makes the opposite
+    # choice because its band hash is 4 chained minhashes: collisions there
+    # are true near-dups, so buckets stay small by construction.
     exploded = (
         hashes.select(F.col(id_col), h.alias("__h"), F.explode(bands).alias("e"))
         .select(F.col(id_col), F.col("__h"), F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
     )
-    buckets = (
-        exploded.groupBy("band", "bv")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__h").alias("h"))).alias("ms"))
-        .filter(F.size("ms") >= 2)
-    )
+    a, b = exploded.alias("a"), exploded.alias("b")
     return (
-        buckets.select(F.explode(_pair_expand(F.col("ms"))).alias("p"))
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.col("p.a.h").alias("__ha"),
-            F.col("p.b.h").alias("__hb"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long"))

@@ -131,3 +131,35 @@ def rows_from_influx_line(lines: DataFrame, text_col: str = "value",
             & F.col("value").isNotNull()
         )
     )
+
+
+def to_influx_line(rel: DataFrame, metric_label: str = "__name__",
+                   default_field: str = "value") -> DataFrame:
+    """Canonical relation → InfluxDB line-protocol text (the write-side
+    inverse of :func:`rows_from_influx_line`, same simplified dialect:
+    no identifier escaping, one field, seconds timestamps).
+
+    Pure column expressions: tags render from the sorted label entries
+    (canonical order — the same total order the series key hashes), so
+    the round trip ``rows → lines → rows`` is the identity on canonical
+    rows.  One output column ``line``; feed to ``df.write.text`` or a
+    Kafka value sink, batch or streaming.
+    """
+    labels = F.col("labels")
+    tags = F.filter(
+        F.array_sort(F.map_entries(labels)), lambda e: e["key"] != F.lit(metric_label)
+    )
+    tag_str = F.array_join(
+        F.transform(tags, lambda e: F.concat(e["key"], F.lit("="), e["value"])), ","
+    )
+    metric = F.coalesce(labels.getItem(metric_label), F.lit(""))
+    head = F.when(tag_str == "", metric).otherwise(F.concat(metric, F.lit(","), tag_str))
+    return rel.select(
+        F.concat(
+            head,
+            F.lit(f" {default_field}="),
+            F.col("value").cast("string"),
+            F.lit(" "),
+            F.col("ts").cast("string"),
+        ).alias("line")
+    )

@@ -156,3 +156,25 @@ def test_influx_line_protocol_parses_jvm_side(spark):
     assert (cpu.ts, cpu.value) == (1700000000, 3.14)
     assert by_metric["mem"].value == -25.0
     assert by_metric["bare_metric"].labels == {}
+
+
+def test_influx_line_round_trip_is_identity(spark):
+    """rows → line protocol → rows must be the identity on canonical rows
+    (sorted tags = canonical label order; simplified dialect both ways)."""
+    from mandodb_spark.model import canonicalize
+    from mandodb_spark.sources.loaders import rows_from_influx_line, to_influx_line
+    from mandodb_spark import ROW_SCHEMA
+
+    rows = [
+        ("cpu", {"node": "vm0", "dc": "sh"}, 1_700_000_000, 0.75),
+        ("cpu", {"node": "vm1"}, 1_700_000_060, -1.5e-3),
+        ("mem", {}, 1_700_000_120, 42.0),
+    ]
+    rel = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    lines = to_influx_line(rel)
+    back = rows_from_influx_line(lines, text_col="line")
+    orig = {(r.labels["__name__"], tuple(sorted(r.labels.items())), r.ts, r.value)
+            for r in rel.select("labels", "ts", "value").collect()}
+    got = {(r.metric, tuple(sorted({**r.labels, "__name__": r.metric}.items())), r.ts, r.value)
+           for r in back.collect()}
+    assert orig == got

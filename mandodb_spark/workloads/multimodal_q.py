@@ -81,12 +81,14 @@ def mm_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_RESIZE_DIMS_SQL = f"""
 WITH feats AS ({MM_BINARY_FEATURES_SQL}),
 scaled AS (
+    -- the clamp-to-1 applies in BOTH branches (a 0-valued fake dim must
+    -- come out as 1 exactly like the Spark side's unconditional greatest)
     SELECT CASE WHEN greatest(fake_width, fake_height, 1) <= {multimodal.RESIZE_TARGET}
-                THEN fake_width
+                THEN greatest(fake_width, 1)
                 ELSE greatest(CAST(floor(fake_width * ({multimodal.RESIZE_TARGET}.0 / greatest(fake_width, fake_height, 1))) AS INTEGER), 1)
            END AS out_w,
            CASE WHEN greatest(fake_width, fake_height, 1) <= {multimodal.RESIZE_TARGET}
-                THEN fake_height
+                THEN greatest(fake_height, 1)
                 ELSE greatest(CAST(floor(fake_height * ({multimodal.RESIZE_TARGET}.0 / greatest(fake_width, fake_height, 1))) AS INTEGER), 1)
            END AS out_h
     FROM feats

@@ -49,6 +49,23 @@ HEADLINE = [
     "mm_binary_features",
 ]
 
+#: Round-2 extension ops (timed separately — see extended_suite_seconds).
+EXTENDED = [
+    "docs_tfidf_top_terms",
+    "docs_repetition",
+    "docs_contamination",
+    "docs_curation_pipeline",
+    "docs_stratified_sample",
+    "docs_simhash_neardup",
+    "emb_quantize_error",
+    "emb_ivf_neardup_pairs",
+    "promql_histogram_quantile",
+    "promql_deriv",
+    "mm_chunk_plan",
+    "tpch_q9",
+    "tpch_q21",
+]
+
 
 def ingest_bench(spark, n_points: int = 2_000_000) -> tuple[float, float]:
     """Write-path benchmark mirroring the reference's README workload
@@ -104,23 +121,30 @@ def main() -> None:
     # not session bootstrap.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        n = fn(spark, sf_dir).count()  # row count for the report only
-        best = None
-        for _ in range(2):  # min-of-2: second run measures the plan, not JIT/worker spin-up
-            t0 = time.time()
-            # noop sink materializes EVERY row/column — count() would let
-            # Catalyst prune projection-only queries down to a row count
-            # (docs_simhash's hashing would never run)
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+    def run_suite(names: list[str]) -> tuple[dict[str, float], float]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        for name in names:
+            fn = QUERIES[name]
+            n = fn(spark, sf_dir).count()  # row count for the report only
+            best = None
+            for _ in range(2):  # min-of-2: second run measures the plan, not JIT/worker spin-up
+                t0 = time.time()
+                # noop sink materializes EVERY row/column — count() would let
+                # Catalyst prune projection-only queries down to a row count
+                # (docs_simhash's hashing would never run)
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            total += best
+            print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        return timings, total
+
+    timings, total = run_suite(HEADLINE)
+    # Round-2 extension ops, reported separately so headline_suite_seconds
+    # stays comparable round-over-round on an identical query set.
+    ext_timings, ext_total = run_suite(EXTENDED)
 
     pts_per_sec, bytes_per_point = ingest_bench(spark)
 
@@ -134,6 +158,8 @@ def main() -> None:
                 "sf": sf,
                 "ingest_points_per_sec": round(pts_per_sec),
                 "storage_bytes_per_point": round(bytes_per_point, 3),
+                "extended_suite_seconds": round(ext_total, 3),
+                "extended_queries": ext_timings,
             }
         )
     )

@@ -259,26 +259,55 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
+def _scale_of(vec: Column) -> Column:
+    """Symmetric-int8 scale: max|x|/127 (1.0 for the zero vector)."""
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+
+
+def _let(value: Column, body) -> Column:
+    """Let-binding for higher-order expressions: evaluate ``value`` ONCE
+    and pass it to ``body`` as a lambda variable.  Without this, a
+    subexpression referenced inside a ``transform`` lambda is re-evaluated
+    per ELEMENT — for a scale derived from an array pass that turns O(d)
+    into O(d²) per row (measured 2.2 s → 0.4 s on emb_quantize_error)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def int8_quantize(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization: scale = max|x|/127, code_i =
     clamp(round(x_i/scale), ±127).  Pure array expressions — the standard
     4× index-compression step before ANN, applied at ingest (map-side,
     zero shuffle).  Returns struct(scale, codes array<int>)."""
-    xd = F.transform(vec, lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(xd, lambda x: F.abs(x)))
-    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-    codes = F.transform(
-        xd, lambda x: F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.round(x / scale, 0))).cast("int")
+    return _let(
+        _scale_of(vec),
+        lambda s: F.struct(
+            s.alias("scale"),
+            F.transform(
+                vec,
+                lambda x: F.greatest(
+                    F.lit(-127.0), F.least(F.lit(127.0), F.round(x.cast("double") / s, 0))
+                ).cast("int"),
+            ).alias("codes"),
+        ),
     )
-    return F.struct(scale.alias("scale"), codes.alias("codes"))
 
 
 def int8_reconstruction_error(vec: Column) -> Column:
     """Relative L2 reconstruction error of :func:`int8_quantize` on this
     vector: ||x - scale·codes|| / ||x|| (0 for the zero vector)."""
-    q = int8_quantize(vec)
-    recon = F.transform(q["codes"], lambda c: c.cast("double") * q["scale"])
-    diff = F.zip_with(vec, recon, lambda x, r: (x.cast("double") - r) * (x.cast("double") - r))
-    num = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x))
-    den = norm(vec)
-    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    def err(s: Column) -> Column:
+        def clamped(x: Column) -> Column:
+            return F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.round(x / s, 0)))
+
+        diff = F.transform(
+            vec,
+            lambda x: (x.cast("double") - s * clamped(x.cast("double")))
+            * (x.cast("double") - s * clamped(x.cast("double"))),
+        )
+        num = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda a, y: a + y))
+        den = norm(vec)
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    return _let(_scale_of(vec), err)

@@ -5,7 +5,16 @@ contract), tools/oracle_check.py, and bench.py."""
 
 from __future__ import annotations
 
-from . import docs, embeddings_q, events_q, multimodal_q, promql_q, tpch, tsdb_queries
+from . import (
+    docs,
+    embeddings_q,
+    events_q,
+    multimodal_q,
+    promql_q,
+    streaming_q,
+    tpch,
+    tsdb_queries,
+)
 
 _ALL_QUERIES = {
     **tsdb_queries.QUERIES,
@@ -15,6 +24,7 @@ _ALL_QUERIES = {
     **embeddings_q.QUERIES,
     **events_q.QUERIES,
     **multimodal_q.QUERIES,
+    **streaming_q.QUERIES,
 }
 
 _ALL_ORACLES = {
@@ -25,6 +35,7 @@ _ALL_ORACLES = {
     **embeddings_q.ORACLES,
     **events_q.ORACLES,
     **multimodal_q.ORACLES,
+    **streaming_q.ORACLES,
 }
 
 # Registry order matters: the correctness driver verifies the first N entries
@@ -78,15 +89,15 @@ _PRIORITY = [
     "tpch_q9",
     "tpch_q12",
     "tpch_q21",
+    "stream_tumbling_dual",
+    "stream_sliding_dual",
+    "stream_session_dual",
     # -- implementation changed in round 2 (re-verify in-window) --
     "docs_simhash",
     "docs_cms_token_freq",
-    # -- representative proven core (green in CORRECTNESS_r01, unchanged) --
     "tsdb_gapfill",
-    "tsdb_retention",
-    "promql_rate",
+    # -- representative proven core (green in CORRECTNESS_r01, unchanged) --
     "tpch_q1",
-    "tpch_q8",
     "docs_winnow_fingerprints",
 ]
 

@@ -356,6 +356,44 @@ def histogram_quantile(buckets: DataFrame, q: float, group_cols: list[str]) -> D
     return hit.select(*group_cols, value.alias("value"))
 
 
+def offset_range(rel: DataFrame, start: int, end: int, offset: int) -> DataFrame:
+    """PromQL ``offset`` modifier: evaluate over [start-offset, end-offset]
+    and re-stamp timestamps forward so downstream functions see the
+    requested range.  A pure predicate + projection — the shifted range
+    still prunes partitions/row groups at the scan."""
+    shifted = rel.filter(F.col("ts").between(start - offset, end - offset))
+    return shifted.withColumn("ts", (F.col("ts") + F.lit(offset)).cast("long"))
+
+
+def absent(vector: DataFrame, spark=None) -> DataFrame:
+    """PromQL ``absent``: a single {value: 1.0} sample iff the instant
+    vector is empty, else no rows.  Expressed as an anti-join-free global
+    aggregate: count the vector, keep the row only when the count is 0 —
+    one tiny all-to-one stage, no driver-side branching."""
+    counted = vector.agg(F.count(F.lit(1)).alias("__n"))
+    return counted.filter(F.col("__n") == 0).select(
+        F.create_map(F.lit("absent"), F.lit("true")).alias("labels"),
+        F.lit(1.0).alias("value"),
+    )
+
+
+def scalar_map(vector: DataFrame, fn: str) -> DataFrame:
+    """PromQL scalar math on an instant vector's values: abs, ceil, floor,
+    exp, ln, log2, log10, sqrt, sgn — all JVM-side column functions."""
+    fns = {
+        "abs": F.abs,
+        "ceil": F.ceil,
+        "floor": F.floor,
+        "exp": F.exp,
+        "ln": F.log,
+        "log2": F.log2,
+        "log10": F.log10,
+        "sqrt": F.sqrt,
+        "sgn": F.signum,
+    }
+    return vector.withColumn("value", fns[fn](F.col("value")).cast("double"))
+
+
 def clamp(vector: DataFrame, lo: float | None = None, hi: float | None = None) -> DataFrame:
     """PromQL ``clamp`` / ``clamp_min`` / ``clamp_max`` on an instant
     vector's value column."""

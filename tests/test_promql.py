@@ -201,3 +201,32 @@ def test_stddev_and_last_over_time(spark):
     assert std[0].value == pytest.approx((8.0 / 3.0) ** 0.5)
     last = promql.over_time(rel2, "last", START, START + 600, 600).collect()
     assert last[0].value == pytest.approx(5.0)
+
+
+def test_offset_range_shifts_and_restamps(rel):
+    # offset 120s: the [START, START+120] window sees samples from
+    # [START-120, START] re-stamped forward
+    out = promql.offset_range(rel, START + 120, START + 240, offset=120)
+    rows = {(r.labels["__name__"], r.labels["node"], r.ts): r.value for r in out.collect()}
+    # original sample at START+60 (value 160) surfaces at ts START+180
+    assert rows[("reqs", "a", START + 180)] == 160.0
+    # nothing beyond the shifted window leaks through
+    assert all(START + 120 <= ts <= START + 240 for (_, _, ts) in rows)
+
+
+def test_absent_semantics(rel):
+    empty = promql.instant(rel.filter("value < -1e18"), START + 240, 300)
+    out = promql.absent(empty).collect()
+    assert len(out) == 1 and out[0].value == 1.0 and out[0].labels == {"absent": "true"}
+    present = promql.instant(rel, START + 240, 300)
+    assert promql.absent(present).count() == 0
+
+
+def test_scalar_map_functions(rel):
+    vec = promql.instant(rel, START + 240, lookback=300)
+    sq = {r.labels.get("node"): r.value
+          for r in promql.scalar_map(vec, "sqrt").collect() if r.labels["__name__"] == "reqs"}
+    assert sq["b"] == pytest.approx(480.0 ** 0.5)
+    sg = {r.labels.get("node"): r.value
+          for r in promql.scalar_map(vec, "sgn").collect() if r.labels["__name__"] == "reqs"}
+    assert sg == {"a": 1.0, "b": 1.0}

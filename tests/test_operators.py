@@ -508,3 +508,24 @@ def test_chunk_plan_covers_payload_with_overlap(spark):
     # short payloads produce exactly one chunk of payload length
     assert by_doc[2] == [(0, 0, 100)]
     assert by_doc[3] == [(0, 0, 256)]
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """The rows-only HLL query has no DuckDB oracle (sketch estimates are
+    engine-specific), so pin its accuracy here: approx_count_distinct with
+    default rsd=0.05 must land within 10% of the exact cardinality on the
+    real testdata."""
+    from mandodb_spark.workloads.events_q import events_base
+
+    ev = events_base(spark, "/root/testdata/sf0.01")
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert len(got) > 0
+    for r in got:
+        assert abs(r.approx - r.exact) / r.exact <= 0.10, (r.event_type, r.approx, r.exact)

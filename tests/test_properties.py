@@ -69,3 +69,82 @@ def test_simhash_band_lsh_is_lossless_within_hamming_bound(spark, base, flip_bit
     else:
         # identical hashes: still a pair at hamming 0
         assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_rows=st.integers(min_value=1, max_value=60),
+    rate=st.sampled_from([0.2, 0.5, 0.8]),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_hash_sample_is_partitioning_invariant_and_monotone(spark, n_rows, rate, parts):
+    """operators/sampling.py's core claims: the sample is a pure function
+    of the key (identical under any repartitioning — a speculative retry
+    can't change it) and monotone in the rate (rate r1 <= r2 -> sample(r1)
+    is a subset of sample(r2), same salt)."""
+    from mandodb_spark.operators import sampling
+
+    df = spark.range(n_rows).withColumnRenamed("id", "k")
+    base = {r.k for r in sampling.hash_sample(df, "k", rate).collect()}
+    shuffled = {r.k for r in sampling.hash_sample(df.repartition(parts), "k", rate).collect()}
+    assert base == shuffled
+    bigger = {r.k for r in sampling.hash_sample(df, "k", min(rate + 0.2, 1.0)).collect()}
+    assert base <= bigger
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    size=st.integers(min_value=1, max_value=2000),
+    chunk=st.sampled_from([64, 256, 1024]),
+    overlap_frac=st.sampled_from([0, 1, 3]),
+)
+def test_chunk_plan_exactly_covers_every_byte(spark, size, chunk, overlap_frac):
+    """multimodal.chunk_plan: the union of [start, start+len) ranges is
+    exactly [0, byte_len) — no gaps, no spill past the tail — and
+    consecutive chunks overlap by exactly `overlap` except at the tail."""
+    from mandodb_spark.operators import multimodal
+
+    overlap = (chunk // 4) * overlap_frac // 3  # 0 or chunk//12*... keep < chunk
+    df = spark.createDataFrame([(1, "a" * size)], "doc_id long, text string")
+    payloads = multimodal.with_binary_payload(df, "text")
+    out = sorted(
+        (r.chunk_start, r.chunk_len)
+        for r in multimodal.chunk_plan(
+            payloads, "doc_id", "payload", chunk_bytes=chunk, overlap=overlap
+        ).collect()
+    )
+    covered = set()
+    for s, ln in out:
+        assert ln >= 1 and s + ln <= size
+        covered.update(range(s, s + ln))
+    assert covered == set(range(size))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vec=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=2,
+        max_size=16,
+    )
+)
+def test_int8_error_within_half_scale_bound(spark, vec):
+    """int8_reconstruction_error <= (scale/2)*sqrt(d) / ||x||: rounding
+    moves each coordinate at most scale/2 and the clamp never binds
+    (|x| <= amax = 127*scale by construction)."""
+    import math
+
+    from mandodb_spark.operators import similarity
+
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    err = df.select(
+        similarity.int8_reconstruction_error(F.col("embedding")).alias("e")
+    ).collect()[0].e
+    fvec = [float(f"{v:.6g}") for v in vec]  # float32 round-trip approximation
+    norm = math.sqrt(sum(v * v for v in fvec))
+    amax = max(abs(v) for v in fvec)
+    if norm == 0 or amax == 0:
+        assert err == 0.0
+    else:
+        bound = (amax / 127.0 / 2.0) * math.sqrt(len(vec)) / norm
+        assert err <= bound * 1.01 + 1e-9

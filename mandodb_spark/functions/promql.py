@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..model import series_key
+from ..model import METRIC_NAME_LABEL, canonical_labels_json, series_key
 
 
 def _series_window():
@@ -287,7 +287,11 @@ def idelta(rel: DataFrame, start: int, end: int) -> DataFrame:
 
 def changes(rel: DataFrame, start: int, end: int) -> DataFrame:
     """PromQL ``changes``: number of times the value changed between
-    consecutive samples per series over the range."""
+    consecutive samples per series over the range.
+
+    A single-sample series yields 0 (not an empty result) — Prometheus'
+    ``funcChanges`` counts transitions and a one-sample window simply has
+    none (promql/functions.go), so no minimum-sample filter here."""
     rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
     w = _series_window()
     stepped = rel.withColumn("__prev", F.lag("value").over(w))
@@ -300,9 +304,7 @@ def changes(rel: DataFrame, start: int, end: int) -> DataFrame:
                     F.col("__prev").isNotNull() & (F.col("value") != F.col("__prev")), 1
                 ).otherwise(0)
             ).cast("long").alias("value"),
-            F.count(F.lit(1)).alias("__n"),
         )
-        .filter(F.col("__n") >= 2)
         .select("series_key", "labels", "value")
     )
 
@@ -444,6 +446,143 @@ def topk(vector: DataFrame, k: int, largest: bool = True) -> DataFrame:
     the losers."""
     order = [F.col("value").desc() if largest else F.col("value").asc(), F.col("series_key")]
     return vector.orderBy(*order).limit(k)
+
+
+#: Arithmetic vector binary operators (promql/engine.go VectorBinop).
+_ARITH_OPS = {
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+    "/": lambda l, r: l / r,
+    "%": lambda l, r: l % r,
+    "^": lambda l, r: F.pow(l, r),
+}
+
+#: Comparison operators — filter semantics without ``bool``, 1.0/0.0 with.
+_CMP_OPS = {
+    "==": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    ">": lambda l, r: l > r,
+    "<": lambda l, r: l < r,
+    ">=": lambda l, r: l >= r,
+    "<=": lambda l, r: l <= r,
+}
+
+
+def match_labels(labels: Column, on: list[str] | None = None, ignoring: list[str] | None = None) -> Column:
+    """The label subset two vectors are matched on (PromQL vector matching,
+    promql/engine.go ``signatureFunc``): with ``on``, exactly those labels;
+    otherwise every label except ``ignoring`` and ``__name__``."""
+    if on is not None and ignoring is not None:
+        raise ValueError("vector matching takes on() or ignoring(), not both")
+    if on is not None:
+        keep = F.array(*[F.lit(k) for k in on])
+        return F.map_filter(labels, lambda k, _: F.array_contains(keep, k))
+    drop = F.array(*[F.lit(k) for k in (list(ignoring or []) + [METRIC_NAME_LABEL])])
+    return F.map_filter(labels, lambda k, _: ~F.array_contains(drop, k))
+
+
+def _unique_side(vector: DataFrame, key: Column, what: str) -> DataFrame:
+    """Collapse one side of a vector match to one row per match key,
+    raising (lazily, executor-side) if the key is not unique — PromQL's
+    "found duplicate series for the match group" error."""
+    agg = vector.groupBy(key.alias("__mk")).agg(
+        F.any_value("labels").alias("labels"),
+        F.any_value("value").alias("value"),
+        F.count(F.lit(1)).alias("__dup"),
+    )
+    guard = F.assert_true(
+        F.col("__dup") == 1, F.lit(f"promql binop: duplicate series in the {what} match group")
+    )
+    # assert_true yields NULL when it passes; folding it into the value
+    # column keeps the check alive through column pruning.
+    return agg.select(
+        "__mk", "labels", F.when(guard.isNull(), F.col("value")).alias("value")
+    )
+
+
+def binop(
+    lhs: DataFrame,
+    rhs: DataFrame,
+    op: str,
+    on: list[str] | None = None,
+    ignoring: list[str] | None = None,
+    group: str | None = None,
+    include: list[str] | None = None,
+    bool_mode: bool = False,
+) -> DataFrame:
+    """PromQL vector-to-vector binary operation with label matching
+    (``lhs <op> on(...)/ignoring(...) [group_left/group_right] rhs``),
+    mirroring promql/engine.go ``VectorBinop``.
+
+    - ``group=None``: one-to-one.  Both sides must be unique per match key
+      (duplicates raise, as Prometheus errors).  Result labels are the
+      matched label subset.
+    - ``group='left'`` / ``'right'``: many-to-one.  The "one" side must be
+      unique per key; the "many" side keeps all its labels minus
+      ``__name__``, plus any ``include`` labels copied from the "one" side
+      (PromQL's ``group_left(extra)``).
+    - Arithmetic ops produce ``lhs.value <op> rhs.value``.  Comparison ops
+      filter (keep the many/lhs sample when true) unless ``bool_mode``,
+      which yields 1.0/0.0 and keeps every matched row.
+
+    Scale shape: one equi-join on the match-key string.  The "one" side is
+    pre-collapsed by a hash aggregate (tiny after grouping — AQE broadcasts
+    it); the many side shuffles once on the key.  No cross joins, no UDFs —
+    everything codegen'd.
+    """
+    if op in _ARITH_OPS:
+        combine, is_cmp = _ARITH_OPS[op], False
+    elif op in _CMP_OPS:
+        combine, is_cmp = _CMP_OPS[op], True
+    else:
+        raise ValueError(f"unsupported binary operator: {op!r}")
+    if group not in (None, "left", "right"):
+        raise ValueError("group must be None, 'left' or 'right'")
+
+    lkey = canonical_labels_json(match_labels(F.col("labels"), on, ignoring))
+
+    if group is None:
+        left = _unique_side(
+            lhs.select(F.col("labels"), F.col("value")), lkey, "left"
+        ).withColumnsRenamed({"labels": "__llabels", "value": "__lv"})
+        right = _unique_side(
+            rhs.select(F.col("labels"), F.col("value")), lkey, "right"
+        ).withColumnsRenamed({"labels": "__rlabels", "value": "__rv"})
+        joined = left.join(right, "__mk")
+        out_labels = match_labels(F.col("__llabels"), on, ignoring)
+    else:
+        many, one = (lhs, rhs) if group == "left" else (rhs, lhs)
+        many = many.select(
+            lkey.alias("__mk"), F.col("labels").alias("__mlabels"), F.col("value").alias("__mv")
+        )
+        one = _unique_side(
+            one.select(F.col("labels"), F.col("value")), lkey, "one"
+        ).withColumnsRenamed({"labels": "__olabels", "value": "__ov"})
+        joined = many.join(one, "__mk")
+        lv = F.col("__mv") if group == "left" else F.col("__ov")
+        rv = F.col("__ov") if group == "left" else F.col("__mv")
+        joined = joined.withColumn("__lv", lv).withColumn("__rv", rv)
+        out_labels = F.map_filter(F.col("__mlabels"), lambda k, _: k != F.lit(METRIC_NAME_LABEL))
+        if include:
+            keep = F.array(*[F.lit(k) for k in include])
+            extra = F.map_filter(F.col("__olabels"), lambda k, _: F.array_contains(keep, k))
+            out_labels = F.map_concat(
+                F.map_filter(out_labels, lambda k, _: ~F.array_contains(keep, k)), extra
+            )
+
+    if is_cmp:
+        cond = combine(F.col("__lv"), F.col("__rv"))
+        if bool_mode:
+            value = F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+        else:
+            joined = joined.filter(cond)
+            value = F.col("__mv") if group is not None else F.col("__lv")
+    else:
+        value = combine(F.col("__lv"), F.col("__rv"))
+
+    out = joined.select(out_labels.alias("labels"), value.cast("double").alias("value"))
+    return out.withColumn("series_key", series_key(F.col("labels")))
 
 
 def agg_by(vector: DataFrame, fn: str, by: list[str]) -> DataFrame:

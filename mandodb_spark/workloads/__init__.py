@@ -39,66 +39,72 @@ _ALL_ORACLES = {
 }
 
 # Registry order matters: the correctness driver verifies the first N entries
-# (N=50 in round 1), so entries that have never received a driver CORRECTNESS
-# row come first, followed by a representative core of every query family.
-# Round 1 verified 50/50 in the old order; this rotation puts the remaining 22
-# (LLM-pipeline surface: events_*, emb_*, mm_*, three docs_*) inside the window
-# while keeping one-of-each proven tsdb/promql/tpch/docs shape in it too.
+# (N=50 in rounds 1-2), so rotation policy per VERDICT r2 §Next-round #1:
+# the 45 queries whose only green row is CORRECTNESS_r01 come first (their
+# implementations are unchanged but "green last round" is weaker than "green
+# now"), then the queries whose implementation/oracle changes in round 3
+# (simhash 64-bit rewrite, minhash perf restructure, gapfill winner,
+# promql_changes semantics fix).  That fills the 50-slot window exactly.
+# New round-3 queries sit immediately after slot 50 so a driver that honors
+# more than 50 entries (all 95 are registered) verifies them too; otherwise
+# they rotate into the r4 window.
 _PRIORITY = [
-    # -- never driver-verified (round 1 window cutoff) --
-    "docs_minhash_pairs",
-    "docs_simhash_neardup",
-    "docs_prep_corpus",
-    "emb_cosine_topk",
-    "emb_label_centroids",
-    "emb_neardup_pairs",
-    "emb_ann_bucket_sizes",
-    "emb_ivf_topk",
-    "events_sessionize",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sql_surface",
-    "events_set_ops",
-    "events_error_window_join",
-    "events_hourly",
-    "events_pivot",
-    "events_topk_users",
-    "events_asof_click",
-    "events_user_cardinality_approx",
-    "mm_binary_features",
-    "mm_frame_sample",
-    "mm_resize_dims",
-    # -- new in round 2 (no CORRECTNESS row yet) --
-    "docs_stratified_sample",
-    "docs_tfidf_top_terms",
-    "docs_repetition",
-    "docs_contamination",
-    "emb_ivf_neardup_pairs",
-    "emb_norm_stats",
-    "emb_quantize_error",
-    "docs_curation_pipeline",
-    "promql_deriv",
-    "promql_predict_linear",
-    "promql_irate",
-    "promql_changes",
-    "promql_stddev_over_time",
-    "promql_last_over_time",
-    "promql_count_values",
-    "promql_histogram_quantile",
-    "mm_chunk_plan",
-    "tpch_q9",
-    "tpch_q12",
-    "tpch_q21",
-    "stream_tumbling_dual",
-    "stream_sliding_dual",
-    "stream_session_dual",
-    # -- implementation changed in round 2 (re-verify in-window) --
+    # -- only r1 driver rows; rotate back in (VERDICT r2 "What's missing" #1) --
+    "tsdb_range_rows",
+    "tsdb_downsample",
+    "tsdb_eq_match",
+    "tsdb_regex_match",
+    "tsdb_conjunction",
+    "tsdb_series_agg",
+    "tsdb_distinct_series",
+    "tsdb_label_values",
+    "tsdb_bucket_stats",
+    "tsdb_retention",
+    "tsdb_latest_point",
+    "tsdb_rate",
+    "tsdb_regex_via_dim",
+    "tsdb_label_dim",
+    "promql_increase",
+    "promql_rate",
+    "promql_avg_over_time",
+    "promql_sum_by_metric",
+    "promql_quantile_over_time",
+    "promql_resets",
+    "promql_topk",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_window_rank",
+    "tpch_rollup",
+    "tpch_orders_status",
+    "docs_token_stats",
+    "docs_top_bigrams",
+    "docs_bpe_token_stats",
+    "docs_quality",
+    "docs_langid",
+    "docs_fingerprint_dedup",
+    # -- implementation or oracle changed in round 3 (must re-verify) --
     "docs_simhash",
-    "docs_cms_token_freq",
+    "docs_simhash_neardup",
+    "docs_minhash_pairs",
     "tsdb_gapfill",
-    # -- representative proven core (green in CORRECTNESS_r01, unchanged) --
-    "tpch_q1",
-    "docs_winnow_fingerprints",
+    "promql_changes",
+    # ---- slot 50 boundary ----
+    # -- new in round 3 (verified if the driver honors >50 entries) --
+    "promql_binop_on",
+    "promql_binop_group_left",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

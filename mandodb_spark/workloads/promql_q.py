@@ -250,6 +250,8 @@ def promql_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_labels(out.select(F.col("labels"), F.col("value")))
 
 
+# No HAVING n >= 2: PromQL's changes() returns 0 for a single-sample series
+# (a one-sample window has no transitions), and the engine now matches.
 PROMQL_CHANGES_SQL = f"""{_DEDUP},
 s AS (
     SELECT metric, user, k, value,
@@ -259,7 +261,6 @@ s AS (
 SELECT metric, user, k,
        CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END) AS BIGINT) AS value
 FROM s GROUP BY metric, user, k
-HAVING count(*) >= 2
 """
 
 
@@ -379,6 +380,71 @@ FROM hit WHERE rn = 1
 """
 
 
+def promql_binop_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sum by (k) (sum_over_time(click[range])) / on(k)
+    sum by (k) (sum_over_time(view[range]))`` — one-to-one vector
+    matching: per-k click volume divided by view volume.  Result labels
+    are exactly the ``on`` subset ({k})."""
+    d = _dedup_rel(spark, sf_dir)
+    name = F.col("labels").getItem("__name__")
+    span = EV_END - EV_START + 1
+    clicks = promql.agg_by(
+        promql.over_time(d.filter(name == "click"), "sum", EV_START, EV_END, span),
+        "sum", ["k"],
+    )
+    views = promql.agg_by(
+        promql.over_time(d.filter(name == "view"), "sum", EV_START, EV_END, span),
+        "sum", ["k"],
+    )
+    out = promql.binop(clicks, views, "/", on=["k"])
+    return out.select(
+        F.col("labels").getItem("k").alias("k"),
+        F.round("value", 8).alias("value"),
+    )
+
+
+PROMQL_BINOP_ON_SQL = f"""{_DEDUP},
+per_k AS (
+    SELECT metric, k, sum(value) AS total
+    FROM d GROUP BY metric, k
+)
+SELECT a.k, round(CAST(a.total / b.total AS DOUBLE), 8) AS value
+FROM per_k a JOIN per_k b ON a.k = b.k
+WHERE a.metric = 'click' AND b.metric = 'view'
+"""
+
+
+def promql_binop_group_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``click / on(user) group_left sum by (user) (...)`` at EV_END —
+    many-to-one matching: each click series' share of its user's total
+    across all metrics.  The many side keeps its labels (minus __name__)."""
+    d = _dedup_rel(spark, sf_dir)
+    vec = promql.instant(d, EV_END, LOOKBACK)
+    clicks = vec.filter(F.col("labels").getItem("__name__") == "click")
+    totals = promql.agg_by(vec, "sum", ["user"])
+    out = promql.binop(clicks, totals, "/", on=["user"], group="left")
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        F.round("value", 8).alias("value"),
+    )
+
+
+PROMQL_BINOP_GROUP_LEFT_SQL = f"""{_DEDUP},
+latest AS (
+    SELECT metric, user, k, value,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d
+    WHERE ts BETWEEN {EV_END - LOOKBACK} AND {EV_END}
+),
+v AS (SELECT metric, user, k, value FROM latest WHERE rn = 1),
+totals AS (SELECT user, sum(value) AS total FROM v GROUP BY user)
+SELECT a.user, a.k, round(CAST(a.value / t.total AS DOUBLE), 8) AS value
+FROM v a JOIN totals t ON a.user = t.user
+WHERE a.metric = 'click'
+"""
+
+
 QUERIES = {
     "promql_increase": promql_increase,
     "promql_rate": promql_rate,
@@ -395,9 +461,13 @@ QUERIES = {
     "promql_last_over_time": promql_last_over_time,
     "promql_count_values": promql_count_values,
     "promql_histogram_quantile": promql_histogram_quantile,
+    "promql_binop_on": promql_binop_on,
+    "promql_binop_group_left": promql_binop_group_left,
 }
 
 ORACLES = {
+    "promql_binop_on": PROMQL_BINOP_ON_SQL,
+    "promql_binop_group_left": PROMQL_BINOP_GROUP_LEFT_SQL,
     "promql_deriv": PROMQL_DERIV_SQL,
     "promql_predict_linear": PROMQL_PREDICT_LINEAR_SQL,
     "promql_irate": PROMQL_IRATE_SQL,

@@ -230,3 +230,98 @@ def test_scalar_map_functions(rel):
     sg = {r.labels.get("node"): r.value
           for r in promql.scalar_map(vec, "sgn").collect() if r.labels["__name__"] == "reqs"}
     assert sg == {"a": 1.0, "b": 1.0}
+
+
+def test_changes_single_sample_is_zero(spark):
+    # Prometheus' changes() yields 0 (not empty) for a one-sample series
+    rows = [("m", {"n": "solo"}, START, 7.0)]
+    rel2 = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    out = promql.changes(rel2, START, START + 600).collect()
+    assert len(out) == 1 and out[0].value == 0
+
+
+@pytest.fixture(scope="module")
+def binop_vecs(spark):
+    # instant vectors: requests{job,instance} (many) and limits{job} (one)
+    reqs = [
+        ("requests", {"job": "api", "instance": "i1"}, START, 10.0),
+        ("requests", {"job": "api", "instance": "i2"}, START, 30.0),
+        ("requests", {"job": "db", "instance": "i3"}, START, 8.0),
+    ]
+    lims = [
+        ("limits", {"job": "api"}, START, 40.0),
+        ("limits", {"job": "db"}, START, 16.0),
+        ("limits", {"job": "idle"}, START, 99.0),  # unmatched on the one side
+    ]
+    mk = lambda rows: canonicalize(spark.createDataFrame(rows, ROW_SCHEMA)).select(
+        "labels", "value", "series_key"
+    )
+    return mk(reqs), mk(lims)
+
+
+def test_binop_one_to_one_on(binop_vecs):
+    reqs, lims = binop_vecs
+    # collapse requests to one series per job first (one-to-one needs uniqueness)
+    per_job = promql.agg_by(reqs, "sum", ["job"])
+    out = promql.binop(per_job, lims, "/", on=["job"])
+    got = {r.labels["job"]: r.value for r in out.collect()}
+    assert got == {"api": pytest.approx(1.0), "db": pytest.approx(0.5)}
+    # result labels are exactly the on() subset
+    assert all(set(r.labels) == {"job"} for r in out.collect())
+
+
+def test_binop_one_to_one_ignoring(binop_vecs):
+    reqs, lims = binop_vecs
+    one_series = reqs.filter(F.col("labels").getItem("instance") == "i1")
+    # ignoring(instance): {job} matches on both sides, __name__ always dropped
+    out = promql.binop(one_series, lims, "-", ignoring=["instance"])
+    got = {r.labels["job"]: r.value for r in out.collect()}
+    assert got == {"api": pytest.approx(-30.0)}
+
+
+def test_binop_group_left_many_to_one(binop_vecs):
+    reqs, lims = binop_vecs
+    out = promql.binop(reqs, lims, "/", on=["job"], group="left")
+    got = {r.labels["instance"]: r.value for r in out.collect()}
+    assert got == {
+        "i1": pytest.approx(0.25),
+        "i2": pytest.approx(0.75),
+        "i3": pytest.approx(0.5),
+    }
+    # many side keeps its labels minus __name__; unmatched "idle" drops out
+    assert all(set(r.labels) == {"job", "instance"} for r in out.collect())
+
+
+def test_binop_group_right_and_include(binop_vecs):
+    reqs, lims = binop_vecs
+    # group_right: many side is rhs; value order still lhs op rhs
+    out = promql.binop(lims, reqs, "/", on=["job"], group="right")
+    got = {r.labels["instance"]: r.value for r in out.collect()}
+    assert got["i1"] == pytest.approx(4.0)  # limits/requests = 40/10
+    # include copies a label from the one side onto the result
+    lims2 = lims.withColumn(
+        "labels", F.map_concat(F.col("labels"), F.create_map(F.lit("tier"), F.lit("gold")))
+    ).withColumn("series_key", F.xxhash64(F.to_json(F.map_entries(F.col("labels")))))
+    out2 = promql.binop(reqs, lims2, "/", on=["job"], group="left", include=["tier"])
+    assert all(r.labels.get("tier") == "gold" for r in out2.collect())
+
+
+def test_binop_comparison_filter_and_bool(binop_vecs):
+    reqs, lims = binop_vecs
+    # requests > on(job) group_left limits/2 : keep series above half their limit
+    half = lims.withColumn("value", F.col("value") / 2)
+    out = promql.binop(reqs, half, ">", on=["job"], group="left")
+    kept = {r.labels["instance"]: r.value for r in out.collect()}
+    # i2: 30 > 20 keeps value 30; i1: 10 < 20 dropped; i3: 8 = 8 dropped
+    assert kept == {"i2": pytest.approx(30.0)}
+    outb = promql.binop(reqs, half, ">", on=["job"], group="left", bool_mode=True)
+    got = {r.labels["instance"]: r.value for r in outb.collect()}
+    assert got == {"i1": 0.0, "i2": 1.0, "i3": 0.0}
+
+
+def test_binop_duplicate_match_group_raises(binop_vecs):
+    reqs, lims = binop_vecs
+    # one-to-one with duplicate (job) groups on the many side must error,
+    # mirroring Prometheus' "found duplicate series" failure
+    with pytest.raises(Exception, match="duplicate series"):
+        promql.binop(reqs, lims, "/", on=["job"]).collect()

@@ -322,27 +322,40 @@ FROM words w LEFT JOIN bgs USING ({id_col})
 
 
 def simhash_bits(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
-    """n-bit SimHash per document (n_bits ≤ 32 — one md5 hex digit per bit).
+    """n-bit SimHash per document (n_bits ≤ 64 — one hex digit per bit).
 
     Each token votes ±1 on each bit; bit j's vote is derived from the j-th
-    hex digit of md5(token) (≥'8' → +1).  Computed entirely row-wise over
-    the token array (md5 once per token, then n_bits filtered counts) — NO
+    hex digit of the token's hash string (≥'8' → +1).  Digits 0-31 come
+    from md5(token); digits 32-63 from md5('1:' || token) — 64 production
+    bits (Manku et al., WWW'07 uses 64-bit fingerprints) from two codegen'd
+    md5 calls.  Computed entirely row-wise over the token array — NO
     explode, NO shuffle: at 100 TB the naive explode→groupBy version
     shuffles the whole tokenized corpus, this version shuffles nothing.
+
+    Bit 63 packs as the two's-complement sign contribution (shiftleft wraps
+    to LongType.MinValue), so the 64-bit fingerprint lands in a plain
+    signed BIGINT on both engines.
     """
-    assert 1 <= n_bits <= 32
+    assert 1 <= n_bits <= 64
     hexhigh = list("89abcdef")
+    hash_of = (
+        (lambda t: F.md5(t))
+        if n_bits <= 32
+        else (lambda t: F.concat(F.md5(t), F.md5(F.concat(F.lit("1:"), t))))
+    )
     # Two-step projection: hashes materialized once (CollapseProject keeps
     # the boundary because the inner expression is non-cheap), bits read it.
     with_h = df.select(
-        F.col(id_col), F.transform(tokens(F.col(text_col)), lambda t: F.md5(t)).alias("hs")
+        F.col(id_col), F.transform(tokens(F.col(text_col)), hash_of).alias("hs")
     )
     n = F.size(F.col("hs"))
     fp = F.lit(0).cast("long")
     for j in range(n_bits):
         # sum of ±1 votes = 2 * |high-digit tokens| - n ; bit set iff > 0.
         hi = F.size(F.filter(F.col("hs"), lambda h: F.substring(h, j + 1, 1).isin(*hexhigh)))
-        fp = fp + F.when(hi * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = fp + F.when(
+            hi * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
     return with_h.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
@@ -354,32 +367,47 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_arrow(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -> DataFrame:
     """SimHash, Arrow-batched (the corpus-scale path).
 
-    EXACT same values as :func:`simhash_bits` (md5 hex-digit votes over the
-    whitespace token stream) but computed in C md5 via mapInPandas with a
-    per-batch token→vote cache — the 16 interpreted array passes of the
-    expression form are the measured hot spot of docs_simhash (VERDICT r1),
-    and this is the same Arrow trade that won 35× for winnowing.
-    Embarrassingly parallel: no explode, no shuffle, one row out per doc.
+    EXACT same values as :func:`simhash_bits` (hex-digit votes over the
+    whitespace token stream; two chained md5s per token above 32 bits) but
+    computed in C md5 via mapInPandas with a per-batch token→vote cache —
+    the n interpreted array passes of the expression form are the measured
+    hot spot of docs_simhash (VERDICT r1), and this is the same Arrow trade
+    that won 35× for winnowing.  Embarrassingly parallel: no explode, no
+    shuffle, one row out per doc.
+
+    Drop-in replacement for :func:`simhash_bits`: ids pass through with
+    their incoming type, and null/NaN text yields fingerprint 0 — the same
+    value the expression form produces (its NULL vote conditions all fall
+    to the otherwise(0) branch).
     """
-    assert 1 <= n_bits <= 32
+    assert 1 <= n_bits <= 64
     import hashlib as _hl
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col], StructField("simhash", LongType())]
+    )
 
     def batches(it):
         import numpy as _np
         import pandas as _pd
 
         cache: dict[str, _np.ndarray] = {}
-        # hex digit j (0-based, left to right) of the md5 string is "high"
-        # iff its top bit is set; in v = int(h[:n_bits], 16) that digit's
+        # hex digit j (0-based, left to right) of the hash string is "high"
+        # iff its top bit is set; in v = int(hx[:n_bits], 16) that digit's
         # top bit sits at position 4*(n_bits-1-j)+3.
         shifts = [4 * (n_bits - 1 - j) + 3 for j in range(n_bits)]
 
         def votes_of(tok: str) -> _np.ndarray:
             m = cache.get(tok)
             if m is None:
-                # v is a plain Python int: up to 128 bits at n_bits=32,
-                # beyond int64 — shift per bit, then vectorize the array.
-                v = int(_hl.md5(tok.encode()).hexdigest()[:n_bits], 16)
+                hx = _hl.md5(tok.encode()).hexdigest()
+                if n_bits > 32:
+                    hx += _hl.md5(("1:" + tok).encode()).hexdigest()
+                # v is a plain Python int (beyond int64 at 64 bits) —
+                # shift per bit, then vectorize the array.
+                v = int(hx[:n_bits], 16)
                 m = _np.array([(v >> s) & 1 for s in shifts], dtype=_np.int64)
                 cache[tok] = m
             return m
@@ -387,8 +415,11 @@ def simhash_arrow(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -
         from collections import Counter
 
         for pdf in it:
-            ids, fps = [], []
-            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+            fps = []
+            for txt in pdf[text_col]:
+                if txt is None or (isinstance(txt, float) and txt != txt):
+                    fps.append(0)
+                    continue
                 toks = str(txt).lower().split(" ")
                 n = len(toks)
                 acc = _np.zeros(n_bits, dtype=_np.int64)
@@ -398,24 +429,37 @@ def simhash_arrow(df: DataFrame, id_col: str, text_col: str, n_bits: int = 16) -
                 for j in range(n_bits):
                     if 2 * int(acc[j]) > n:
                         fp |= 1 << j
-                ids.append(int(doc_id))
+                if fp >= 1 << 63:  # two's-complement wrap into signed int64
+                    fp -= 1 << 64
                 fps.append(fp)
-            yield _pd.DataFrame({id_col: ids, "simhash": _pd.Series(fps, dtype="int64")})
+            yield _pd.DataFrame(
+                {id_col: pdf[id_col], "simhash": _pd.Series(fps, dtype="int64")}
+            )
 
-    return df.select(id_col, text_col).mapInPandas(batches, f"{id_col} long, simhash long")
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
 def simhash16_sql(table: str, id_col: str, text_col: str, n_bits: int = 16) -> str:
-    """The exact ANSI-SQL mirror of :func:`simhash_bits` (oracle generator)."""
+    """The exact ANSI-SQL mirror of :func:`simhash_bits` (oracle generator).
+
+    Above 32 bits the per-token hash string is md5(tok) || md5('1:'||tok),
+    and bit 63's contribution is the signed-BIGINT minimum (two's
+    complement) so the packed value never overflows BIGINT.
+    """
+    assert 1 <= n_bits <= 64
+    h_expr = "md5(t.tok)" if n_bits <= 32 else "md5(t.tok) || md5('1:' || t.tok)"
     bit_sums = ",\n           ".join(
         f"sum(CASE WHEN substr(h, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
         f"THEN 1 ELSE -1 END) AS b{j}"
         for j in range(n_bits)
     )
-    packed = " + ".join(f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(n_bits))
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({-(1 << 63) if j == 63 else (1 << j)} AS BIGINT) ELSE 0 END)"
+        for j in range(n_bits)
+    )
     return f"""
 WITH tok AS (
-    SELECT {id_col}, md5(t.tok) AS h
+    SELECT {id_col}, {h_expr} AS h
     FROM {table}, unnest(string_split(lower({text_col}), ' ')) AS t(tok)
 ), bits AS (
     SELECT {id_col},

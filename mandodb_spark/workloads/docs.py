@@ -177,23 +177,28 @@ WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= {JACCARD_T}
 DOCS_MINHASH_PAIRS_SQL = _minhash_sql()
 
 def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit simhash → 4-band LSH → Hamming ≤ 3.
+    """SimHash near-dup pairs: 64-bit simhash → 4×16-bit band LSH →
+    Hamming ≤ 3 (Manku et al., WWW'07 parameterization).
 
     Lossless by pigeonhole (d ≤ bands-1 ⇒ ≥1 band equal) — the cheap
     complement to the MinHash pipeline: one fingerprint per doc instead of
     a shingle set, so the candidate join is over a 1-row-per-doc-per-band
-    relation.  32 bits (vs the 16 of docs_simhash) keeps the random-
-    collision floor at hamming ≤ 3 around 1e-6, so candidate volume tracks
-    true near-dups, not fingerprint coarseness."""
+    relation.  16-bit bands keep the random-collision floor at 4·2⁻¹⁶ ≈
+    6e-5 (the round-2 32-bit/8-bit form floored at 1.6%, making candidates
+    Θ(n²/256) regardless of true near-dup density — VERDICT r2)."""
     d = load(spark, sf_dir, "documents")
-    sim = text.simhash_arrow(d, "doc_id", "text", 32)
-    return dedup.simhash_band_pairs(sim, "doc_id", n_bits=32)
+    sim = text.simhash_arrow(d, "doc_id", "text", 64)
+    return dedup.simhash_band_pairs(sim, "doc_id", n_bits=64)
 
 
+# Band extraction (simhash >> (b*16)) & 65535 is signed-safe in DuckDB too:
+# arithmetic shift sign-extension is cut off by the mask (verified against
+# Python's unsigned interpretation), and bit_count/xor operate on the raw
+# two's-complement bits.
 DOCS_SIMHASH_NEARDUP_SQL = f"""
-WITH sim AS ({text.simhash16_sql("documents", "doc_id", "text", n_bits=32)}),
+WITH sim AS ({text.simhash16_sql("documents", "doc_id", "text", n_bits=64)}),
 bands AS (
-    SELECT doc_id, simhash, t.b AS band, (simhash >> (t.b * 8)) & 255 AS bv
+    SELECT doc_id, simhash, t.b AS band, (simhash >> (t.b * 16)) & 65535 AS bv
     FROM sim, unnest([0, 1, 2, 3]) AS t(b)
 ),
 cand AS (

@@ -221,7 +221,8 @@ def test_simhash_properties(spark):
 
 def test_simhash_arrow_parity(spark):
     # The Arrow-batched scale path must be bit-identical to the column-
-    # expression form (same md5 hex-digit votes) at both 16 and 32 bits.
+    # expression form (same hex-digit votes) at 16, 32 and 64 bits —
+    # including null text (both collapse to 0) and the signed bit-63 wrap.
     docs = [
         (1, "alpha beta gamma delta"),
         (2, "the quick brown fox jumps over the lazy dog"),
@@ -229,12 +230,25 @@ def test_simhash_arrow_parity(spark):
         (4, "repeated repeated repeated word"),
         (5, "Mixed CASE and   multiple  spaces"),
         (6, "punctuation, everywhere! truly; everywhere?"),
+        (7, None),
     ]
     df = spark.createDataFrame(docs, "id long, text string")
-    for n_bits in (16, 32):
+    for n_bits in (16, 32, 64):
         expr = {r.id: r.simhash for r in text.simhash_bits(df, "id", "text", n_bits).collect()}
         arrow = {r.id: r.simhash for r in text.simhash_arrow(df, "id", "text", n_bits).collect()}
         assert expr == arrow, f"n_bits={n_bits}"
+    assert expr[7] == 0
+    assert any(v < 0 for v in expr.values())  # bit 63 lands in the sign bit
+
+
+def test_simhash_arrow_preserves_id_type(spark):
+    # Drop-in contract with simhash_bits (ADVICE r2): ids keep their
+    # incoming type instead of being coerced to long.
+    df = spark.createDataFrame([("doc-a", "alpha beta"), ("doc-b", "gamma delta")],
+                               "doc_id string, text string")
+    out = text.simhash_arrow(df, "doc_id", "text", 16)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    assert {r.doc_id for r in out.collect()} == {"doc-a", "doc-b"}
 
 
 def test_stratified_sample_deterministic_and_shuffle_free(spark):

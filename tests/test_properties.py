@@ -42,7 +42,11 @@ def test_series_key_is_order_insensitive_and_injective_on_sets(spark, labels):
     assert row.a != row.c
 
 
-N_BITS, N_BANDS, MAX_HAMMING = 16, 4, 3
+N_BITS, N_BANDS, MAX_HAMMING = 64, 4, 3
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
@@ -52,15 +56,19 @@ N_BITS, N_BANDS, MAX_HAMMING = 16, 4, 3
 )
 def test_simhash_band_lsh_is_lossless_within_hamming_bound(spark, base, flip_bits):
     """The pigeonhole claim of simhash_band_pairs (dedup.py): with 4 bands
-    over 16 bits, ANY pair within Hamming distance <= 3 = bands-1 must
-    share at least one untouched band, so the band equi-join finds it —
-    lossless candidate generation, not a recall heuristic."""
+    over 64 bits (the production Manku parameterization), ANY pair within
+    Hamming distance <= 3 = bands-1 must share at least one untouched band,
+    so the band equi-join finds it — lossless candidate generation, not a
+    recall heuristic.  Fingerprints are stored as signed BIGINT; flips of
+    bit 63 exercise the two's-complement wrap."""
     from mandodb_spark.operators.dedup import simhash_band_pairs
 
     other = base
     for b in flip_bits:
         other ^= 1 << b
-    df = spark.createDataFrame([(1, base), (2, other)], "doc_id long, simhash long")
+    df = spark.createDataFrame(
+        [(1, _signed64(base)), (2, _signed64(other))], "doc_id long, simhash long"
+    )
     out = simhash_band_pairs(
         df, "doc_id", n_bits=N_BITS, n_bands=N_BANDS, max_hamming=MAX_HAMMING
     ).collect()

@@ -224,14 +224,19 @@ def test_tfidf_vocabulary_dim_is_broadcast(spark):
 
 def test_minhash_pipeline_single_corpus_scan_per_role(spark):
     """The fused near-dup pipeline must not self-join the signature
-    subplan: exactly 3 parquet scans (signature pass + two verify sides),
-    no nested-loop joins, and the signature agg stays a HashAggregate
-    (numeric min — min(string) would silently fall to SortAggregate)."""
+    subplan, must not nested-loop join, and the signature agg must stay a
+    HashAggregate (numeric min — min(string) would silently fall to
+    SortAggregate).  7 static scans: signature pass, two verify-side
+    corpus scans, and the candidate-id broadcast subplans the verify
+    semi-joins on (identical subtrees — exchange reuse collapses them at
+    runtime; the static plan counts each).  The semi-join is the round-3
+    fix that builds shingle arrays for candidate docs only (VERDICT r2)."""
     from mandodb_spark.workloads.docs import docs_minhash_pairs
 
     df = docs_minhash_pairs(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    assert plan.count("Scan parquet") == 3
+    assert plan.count("Scan parquet") == 7
+    assert "LeftSemi" in plan  # arrays built post-filter, not corpus-wide
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashAggregate" in plan
 
@@ -244,10 +249,14 @@ def test_stratified_sample_query_is_scan_side(spark):
     assert shuffle_count(df) == 0
 
 
-def test_gapfill_has_no_grid_join(spark):
-    """Gap-fill = union + one LOCF window: no join node anywhere."""
+def test_gapfill_single_window_no_per_gap_join(spark):
+    """Gap-fill = grid left-join + ONE LOCF window (the measured winner
+    over the r2 union form — see tsdb_gapfill docstring): exactly one
+    window pass and one outer join, never a join per gap or a
+    nested-loop."""
     from mandodb_spark.workloads.tsdb_queries import tsdb_gapfill
 
     plan = _plan(tsdb_gapfill(spark, "/root/testdata/sf0.001"))
-    assert "Join" not in plan
     assert plan.count("Window") == 1
+    assert plan.count("Join") == 1 and "LeftOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -223,12 +223,25 @@ class TSDB:
         rel = self.store.relation()
         use_dynamic = False
         if incremental or since_seg is not None:
+            # The watermark math below is only sound when rollup buckets
+            # never straddle a segment boundary: with incompatible values
+            # (e.g. step=5000, duration=7200) a bucket can live in a
+            # partition below the watermark yet still receive new samples,
+            # and its partition would never be rewritten — a silent
+            # divergence from a full rebuild (ADVICE r2).  Fail loudly.
+            if step % self.segment_duration != 0 and self.segment_duration % step != 0:
+                raise ValueError(
+                    f"incremental rollup requires step ({step}) and "
+                    f"segment_duration ({self.segment_duration}) to be "
+                    "divide-compatible (one must divide the other); "
+                    "use incremental=False for arbitrary steps"
+                )
             w = since_seg
             if w is None:
-                try:
+                from pathlib import Path as _Path
+
+                if _Path(dest).exists():  # else: no existing rollup → full build
                     w = self.spark.read.parquet(dest).agg(F.max("seg")).first()[0]
-                except Exception:
-                    w = None  # no existing rollup → full build
             if w is not None:
                 refresh_ts = -(-(w * self.segment_duration) // step) * step
                 rel = rel.filter(

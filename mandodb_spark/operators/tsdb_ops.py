@@ -63,8 +63,11 @@ def refresh_label_dim(dest: str, batch: DataFrame) -> None:
     lookup is the difference between milliseconds and a cluster job).
 
     ``batch`` is any canonical-relation slice (must carry ``labels``).  The
-    merged dim is written to a sibling tmp dir then swapped in, so a
-    concurrent reader never observes a half-written dim.
+    merged dim is written to a sibling tmp dir then swapped in with the
+    old dim renamed ASIDE first and deleted last (ADVICE r2: rmtree-then-
+    rename left a window with no dim directory at all) — a dim directory
+    exists at every instant, and a crash mid-swap leaves the previous dim
+    recoverable at ``<dest>__old``.
     """
     import shutil
     from pathlib import Path
@@ -76,9 +79,14 @@ def refresh_label_dim(dest: str, batch: DataFrame) -> None:
         new = new.union(spark.read.parquet(dest)).distinct()
     tmp = str(dest_p.with_name(dest_p.name + "__tmp"))
     new.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = dest_p.with_name(dest_p.name + "__old")
+    shutil.rmtree(old, ignore_errors=True)
     if dest_p.exists():
-        shutil.rmtree(dest)
-    Path(tmp).rename(dest)
+        dest_p.rename(old)
+        Path(tmp).rename(dest)
+        shutil.rmtree(old)
+    else:
+        Path(tmp).rename(dest)
 
 
 def _filtered(

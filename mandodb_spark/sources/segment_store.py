@@ -136,26 +136,52 @@ class SegmentStore:
         return dropped
 
     # ----------------------------------------------------------- compaction
+    def _swap_in(self, staging_root: str) -> None:
+        """Swap a fully-written staging directory into place.
+
+        The Parquet analogue of the reference's atomic segment swap
+        (tsdb.go:242-265: write the new file, then rename over): rename
+        the live root aside, rename staging in, delete the old root LAST.
+        Every failure point leaves a recoverable state — before the first
+        rename the old root is untouched; between the renames the complete
+        old data sits at ``<root>__old`` (rename it back to recover); after
+        the second rename the new data is live and the leftover old/staging
+        dirs are garbage, not truth.  A concurrent reader that re-queries
+        sees the old or the new directory listing, never a partially
+        rewritten partition (compare: dynamic partition overwrite commits
+        per partition, so a mid-compact reader could see segment A
+        compacted and segment B mid-commit).
+        """
+        old = f"{self.root}__old"
+        shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
+        Path(self.root).rename(old)
+        Path(staging_root).rename(self.root)
+        shutil.rmtree(old)
+
     def compact(self) -> None:
         """Rewrite each segment partition into one sorted file.
 
         The maintenance job the reference lacks (README.md:39 admits no
         Compact).  Streaming micro-batches leave one file per trigger per
         segment; compaction restores the one-sorted-file invariant that
-        maximizes row-group skipping.  Overwrites partition-by-partition
-        via dynamic partition overwrite, so readers never see a partial
-        state for longer than one partition commit.
+        maximizes row-group skipping.  Writes to a staging directory and
+        swaps it in (:meth:`_swap_in`) — crash-safe, and a concurrent
+        reader re-querying mid-compact sees a consistent snapshot (old or
+        new, identical query results).  No-op on a store that has never
+        been written.
         """
-        df = self.relation()
-        with_dpo = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            writer = self._write_options(
-                df.repartition(F.col("seg")).sortWithinPartitions("series_key", "ts").write
-            )
-            writer.partitionBy("seg").mode("overwrite").parquet(self.root)
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dpo)
+        if not Path(self.root).exists():
+            return
+        staging_root = f"{self.root}__compact"
+        shutil.rmtree(staging_root, ignore_errors=True)
+        writer = self._write_options(
+            self.relation()
+            .repartition(F.col("seg"))
+            .sortWithinPartitions("series_key", "ts")
+            .write
+        )
+        writer.partitionBy("seg").mode("overwrite").parquet(staging_root)
+        self._swap_in(staging_root)
 
     # ---------------------------------------------------------------- stats
     def stats(self) -> DataFrame:
@@ -248,12 +274,20 @@ class BucketedSegmentStore(SegmentStore):
     def compact(self) -> None:
         """Rebuild the bucketed table with one file per (segment, bucket).
 
-        Rewrites through a staging table then swaps names — a table can't
-        be overwritten from a plan that reads it.  A lakehouse table format
-        does this natively (OPTIMIZE); the staging swap is the plain-Spark
-        equivalent.
+        Rewrites through a staging table then swaps the DATA directories
+        (rename aside, rename in, delete last — :meth:`SegmentStore._swap_in`)
+        — a table can't be overwritten from a plan that reads it, and the
+        rename-aside order means a crash at any point leaves the full old
+        data at ``<root>`` or ``<root>__old`` (ADVICE r2: the previous
+        DROP → rmtree → rename sequence stranded the only copy under the
+        staging path on a mid-sequence crash).  No-op before the first
+        append.  A lakehouse table format does this natively (OPTIMIZE);
+        the staging swap is the plain-Spark equivalent.
         """
+        if not self.spark.catalog.tableExists(self.table) or not Path(self.root).exists():
+            return
         staging, staging_root = f"{self.table}__compact", f"{self.root}__compact"
+        shutil.rmtree(staging_root, ignore_errors=True)
         writer = self._write_options(
             self.relation().repartition(self.n_buckets, F.col("series_key")).write
         )
@@ -265,12 +299,14 @@ class BucketedSegmentStore(SegmentStore):
             .mode("overwrite")
             .saveAsTable(staging)
         )
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
-        shutil.rmtree(self.root)
-        Path(staging_root).rename(self.root)
+        self._swap_in(staging_root)
         # re-point the catalog at the canonical root: re-register the
-        # external table with the same bucket spec and rediscover partitions
+        # external table with the same bucket spec and rediscover
+        # partitions.  The catalog churn is metadata-only — the data was
+        # swapped above and survives any crash here (worst case: re-run
+        # compact() or re-register the table by hand).
         self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
         data_cols = ", ".join(
             f"{name} {dtype}"
             for name, dtype in self.spark.read.parquet(self.root).dtypes

@@ -79,3 +79,54 @@ def test_partial_final_merge_invariant(spark, tmp_path_factory):
     for ra, rb in zip(a, b):
         assert ra.labels == rb.labels
         assert [(p.ts, p.value) for p in ra.points] == [(p.ts, p.value) for p in rb.points]
+
+
+def test_compact_while_reader_requeries(spark, tmp_path_factory):
+    """Read-during-compact story (VERDICT r2 #8): a reader holding a
+    DataFrame over the store re-queries across a compaction and gets
+    identical results — the staging-dir + rename-aside swap never exposes
+    a partially rewritten partition (the Parquet analogue of the
+    reference's atomic segment swap, tsdb.go:242-265)."""
+    path = str(tmp_path_factory.mktemp("store") / "swap")
+    db = TSDB(spark, path)
+    for batch in range(3):
+        db.insert_rows(
+            [("m", {"b": str(i % 2)}, START + batch * 50 + i, float(i)) for i in range(40)]
+        )
+    reader = db.query_range_rows("m", [], 0, 10**10).orderBy("ts", "value")
+    before = [(r.ts, r.value) for r in reader.collect()]
+    db.compact()
+    # same lazy DataFrame, re-executed after the swap: re-lists the (new)
+    # root and must see the same logical content
+    after = [(r.ts, r.value) for r in reader.collect()]
+    assert before == after
+    # the crash-recovery artifacts are gone: no __old / __compact siblings
+    assert not Path(f"{path}__old").exists() and not Path(f"{path}__compact").exists()
+
+
+def test_compact_before_any_append_is_noop(spark, tmp_path_factory):
+    """compact() on a never-written store must not raise (ADVICE r2: the
+    bucketed variant rmtree'd an absent root)."""
+    from mandodb_spark.sources.segment_store import BucketedSegmentStore, SegmentStore
+
+    base = tmp_path_factory.mktemp("empty")
+    SegmentStore(spark, str(base / "plain")).compact()
+    BucketedSegmentStore(
+        spark, str(base / "bucketed"), table="compact_noop_t"
+    ).compact()
+
+
+def test_incremental_rollup_rejects_incompatible_step(spark, tmp_path_factory):
+    """materialize_rollup(incremental=True) must fail loudly when step and
+    segment_duration are not divide-compatible (ADVICE r2: silent
+    divergence from a full rebuild otherwise)."""
+    import pytest
+
+    path = tmp_path_factory.mktemp("rollup")
+    db = TSDB(spark, str(path / "store"))
+    db.insert_rows([("m", {"x": "1"}, START, 1.0)])
+    with pytest.raises(ValueError, match="divide-compatible"):
+        db.materialize_rollup(str(path / "r"), step=5000, incremental=True)
+    # compatible steps still work both ways
+    db.materialize_rollup(str(path / "r2"), step=3600, incremental=True)
+    db.materialize_rollup(str(path / "r3"), step=14400, incremental=True)

@@ -330,9 +330,96 @@ def test_multimodal_feature_extraction_matches_python(spark):
         assert (out[doc_id].fake_width, out[doc_id].fake_height) == (w, h)
 
 
-def test_decode_image_is_explicit_stub():
+def test_decode_image_unknown_format_raises():
+    # formats beyond the stdlib PPM/PNG decoders still fail loudly at the
+    # seam where PIL/libvips would plug in
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def _encode_ppm(w, h, pixels):
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + pixels
+
+
+def _encode_png(w, h, ch, pixels, filters):
+    """Independent PNG encoder (test-side): one filter byte per row from
+    ``filters``, exercising the decoder's unfiltering paths."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        line = bytearray(pixels[y * stride:(y + 1) * stride])
+        f = filters[y % len(filters)]
+        enc = bytearray(stride)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([f]) + enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_ppm_roundtrip():
+    pixels = bytes(range(4 * 3 * 3 % 256)) if False else bytes((i * 7) % 256 for i in range(4 * 3 * 3))
+    w, h, ch, got = multimodal.decode_image(_encode_ppm(4, 3, pixels))
+    assert (w, h, ch) == (4, 3, 3) and got == pixels
+
+
+def test_decode_png_all_filters_roundtrip():
+    import random
+
+    rng = random.Random(7)
+    for ch in (1, 2, 3, 4):
+        w, h = 9, 6
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            payload = _encode_png(w, h, ch, pixels, filters)
+            gw, gh, gch, got = multimodal.decode_image(payload)
+            assert (gw, gh, gch) == (w, h, ch)
+            assert got == pixels, f"ch={ch} filters={filters}"
+
+
+def test_image_stats_real_decode_through_spark(spark):
+    png = _encode_png(5, 4, 3, bytes((i * 11) % 256 for i in range(5 * 4 * 3)), [0, 4])
+    ppm = _encode_ppm(2, 2, bytes(range(12)))
+    rows = [(1, bytearray(png)), (2, bytearray(ppm)), (3, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in multimodal.image_stats(df, "doc_id", "payload").collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (5, 4, 3)
+    assert (out[2].width, out[2].height, out[2].channels) == (2, 2, 3)
+    assert out[2].mean_luma == pytest.approx(sum(range(12)) / 12)
+    assert out[1].decode_error is None and out[2].decode_error is None
+    # poisoned asset degrades to an error row, not a job failure
+    assert out[3].width is None and "PPM" in out[3].decode_error
 
 
 def test_sample_frames_fanout(spark):

@@ -263,3 +263,90 @@ def test_sliding_windows_overlap(spark):
     assert sum(r.n_points for r in out) == 12 * 2  # every point in exactly 2 windows
     starts = [r.window_start for r in out]
     assert all(s % 1800 == 0 for s in starts)
+
+
+def _streamed_vs_batch(spark, tmp_path_factory, agg_fn, order_cols):
+    """Drive a window operator through a REAL writeStream (append mode,
+    watermarked, memory sink) with out-of-order input, and return
+    (streamed rows, batch-dual rows) for the closed windows of series 'a'.
+
+    Feed order: batch 1 seeds series a and a watermark-advance marker at
+    t=+3600 (watermark stays at 0 so the late row is admissible); batch 2
+    delivers the LATE row (event time before rows already seen); batch 3
+    pushes the marker far ahead so every 'a' window passes the watermark
+    and append mode emits it — with the late row merged exactly.
+    """
+    from mandodb_spark.model import canonicalize
+
+    base = tmp_path_factory.mktemp("winstream")
+    src = str(base / "src")
+    name = f"win_{abs(hash((str(base), order_cols[0]))) % 10**8}"
+
+    b1 = [("m", {"u": "a"}, START + 600, 1.0), ("m", {"u": "a"}, START + 1200, 2.0),
+          ("m", {"u": "adv"}, START + 3600, 0.0)]
+    b2 = [("m", {"u": "a"}, START + 900, 4.0)]  # out-of-order, within watermark
+    b3 = [("m", {"u": "adv"}, START + 50_000, 0.0)]
+
+    spark.createDataFrame(b1, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    stream = canonicalize(
+        spark.readStream.schema(ROW_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        agg_fn(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(b3, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    is_a = lambda r: r.labels["u"] == "a"  # noqa: E731
+    streamed = sorted(
+        (tuple(r[c] for c in order_cols) for r in spark.sql(f"SELECT * FROM {name}").collect() if is_a(r)),
+    )
+    rel = canonicalize(spark.createDataFrame(b1 + b2 + b3, ROW_SCHEMA))
+    batch = sorted(
+        (tuple(r[c] for c in order_cols) for r in agg_fn(rel).collect() if is_a(r)),
+    )
+    return streamed, batch
+
+
+def test_sliding_window_writestream_late_data_equals_batch_dual(spark, tmp_path_factory):
+    """Sliding windows through an actual writeStream: append-mode emission
+    after the watermark passes, with an out-of-order row merged into every
+    overlapping window — equal to the batch dual (VERDICT r2 #6)."""
+    from mandodb_spark.streaming.windows import sliding_series_agg
+
+    streamed, batch = _streamed_vs_batch(
+        spark,
+        tmp_path_factory,
+        lambda rel: sliding_series_agg(rel, "1 hour", "30 minutes", watermark="1 hour"),
+        ("window_start", "window_end", "n_points", "avg_value"),
+    )
+    assert streamed == batch and len(streamed) >= 2
+    # the late row (ts +900) really merged: some window holds all 3 points
+    assert any(n == 3 for (_, _, n, _) in streamed)
+
+
+def test_session_window_writestream_late_data_equals_batch_dual(spark, tmp_path_factory):
+    """Session windows through an actual writeStream: the late row extends
+    the open session before the watermark closes it; streamed sessions
+    equal the batch dual (VERDICT r2 #6)."""
+    from mandodb_spark.streaming.windows import session_series_agg
+
+    streamed, batch = _streamed_vs_batch(
+        spark,
+        tmp_path_factory,
+        lambda rel: session_series_agg(rel, "30 minutes", watermark="1 hour"),
+        ("session_start", "session_end", "n_points"),
+    )
+    assert streamed == batch
+    # one session of all 3 points: 600..1200 with the late 900 inside
+    assert streamed == [(START + 600, START + 1200 + 1800, 3)]

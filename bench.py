@@ -49,7 +49,7 @@ HEADLINE = [
     "mm_binary_features",
 ]
 
-#: Round-2 extension ops (timed separately — see extended_suite_seconds).
+#: Round-2+ extension ops (timed separately — see extended_suite_seconds).
 EXTENDED = [
     "docs_tfidf_top_terms",
     "docs_repetition",
@@ -64,6 +64,10 @@ EXTENDED = [
     "mm_chunk_plan",
     "tpch_q9",
     "tpch_q21",
+    # round 3: PromQL vector matching
+    "promql_binop_on",
+    "promql_binop_group_left",
+    "promql_vector_unless",
 ]
 
 

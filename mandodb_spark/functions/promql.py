@@ -585,6 +585,42 @@ def binop(
     return out.withColumn("series_key", series_key(F.col("labels")))
 
 
+def set_binop(
+    lhs: DataFrame,
+    rhs: DataFrame,
+    op: str,
+    on: list[str] | None = None,
+    ignoring: list[str] | None = None,
+) -> DataFrame:
+    """PromQL logical/set binary operators between instant vectors
+    (promql/engine.go ``VectorAnd/VectorOr/VectorUnless``):
+
+    - ``and``: lhs samples whose match key exists on the rhs (semi-join);
+    - ``unless``: lhs samples whose match key does NOT exist (anti-join);
+    - ``or``: all lhs samples plus rhs samples whose key has no lhs match
+      (anti-join + union).
+
+    Unlike arithmetic :func:`binop`, set ops keep the surviving side's
+    ORIGINAL labels and values untouched, and no side needs key
+    uniqueness.  Scale shape: one semi/anti hash join on the match-key —
+    both null-safe and broadcastable by AQE when one side is small.
+    """
+    key = canonical_labels_json(match_labels(F.col("labels"), on, ignoring))
+    cols = [c for c in lhs.columns]
+    l = lhs.withColumn("__mk", key)
+    r = rhs.withColumn("__mk", key)
+    if op == "and":
+        out = l.join(r.select("__mk"), "__mk", "left_semi")
+    elif op == "unless":
+        out = l.join(r.select("__mk"), "__mk", "left_anti")
+    elif op == "or":
+        extra = r.join(l.select("__mk"), "__mk", "left_anti")
+        out = l.unionByName(extra.select(*l.columns))
+    else:
+        raise ValueError(f"unsupported set operator: {op!r}")
+    return out.select(*cols)
+
+
 def agg_by(vector: DataFrame, fn: str, by: list[str]) -> DataFrame:
     """PromQL ``<fn> by (labels) (vector)``: regroup an instant/range vector
     by a label subset.  Output labels contain only the ``by`` labels.

@@ -105,6 +105,7 @@ _PRIORITY = [
     # -- new in round 3 (verified if the driver honors >50 entries) --
     "promql_binop_on",
     "promql_binop_group_left",
+    "promql_vector_unless",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -445,6 +445,38 @@ WHERE a.metric = 'click'
 """
 
 
+def promql_vector_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``click unless on(user) error`` at EV_END — logical set matching:
+    click series for users with NO error sample in the lookback window.
+    Labels and values pass through untouched (PromQL set-op semantics)."""
+    d = _dedup_rel(spark, sf_dir)
+    vec = promql.instant(d, EV_END, LOOKBACK)
+    name = F.col("labels").getItem("__name__")
+    out = promql.set_binop(
+        vec.filter(name == "click"), vec.filter(name == "error"), "unless", on=["user"]
+    )
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+PROMQL_VECTOR_UNLESS_SQL = f"""{_DEDUP},
+latest AS (
+    SELECT metric, user, k, value,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d
+    WHERE ts BETWEEN {EV_END - LOOKBACK} AND {EV_END}
+),
+v AS (SELECT metric, user, k, value FROM latest WHERE rn = 1)
+SELECT a.user, a.k, round(CAST(a.value AS DOUBLE), 4) AS value
+FROM v a
+WHERE a.metric = 'click'
+  AND NOT EXISTS (SELECT 1 FROM v b WHERE b.metric = 'error' AND b.user = a.user)
+"""
+
+
 QUERIES = {
     "promql_increase": promql_increase,
     "promql_rate": promql_rate,
@@ -463,11 +495,13 @@ QUERIES = {
     "promql_histogram_quantile": promql_histogram_quantile,
     "promql_binop_on": promql_binop_on,
     "promql_binop_group_left": promql_binop_group_left,
+    "promql_vector_unless": promql_vector_unless,
 }
 
 ORACLES = {
     "promql_binop_on": PROMQL_BINOP_ON_SQL,
     "promql_binop_group_left": PROMQL_BINOP_GROUP_LEFT_SQL,
+    "promql_vector_unless": PROMQL_VECTOR_UNLESS_SQL,
     "promql_deriv": PROMQL_DERIV_SQL,
     "promql_predict_linear": PROMQL_PREDICT_LINEAR_SQL,
     "promql_irate": PROMQL_IRATE_SQL,

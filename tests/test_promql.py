@@ -325,3 +325,29 @@ def test_binop_duplicate_match_group_raises(binop_vecs):
     # mirroring Prometheus' "found duplicate series" failure
     with pytest.raises(Exception, match="duplicate series"):
         promql.binop(reqs, lims, "/", on=["job"]).collect()
+
+
+def test_set_binop_and_or_unless(binop_vecs):
+    reqs, lims = binop_vecs
+    # and: requests series whose job has a limit — all three (api, db)
+    out = promql.set_binop(reqs, lims, "and", on=["job"])
+    assert {r.labels["instance"] for r in out.collect()} == {"i1", "i2", "i3"}
+    # unless: drop series whose job has a limit; none survive
+    assert promql.set_binop(reqs, lims, "unless", on=["job"]).count() == 0
+    # unless with a trimmed rhs: db series survives
+    api_only = lims.filter(F.col("labels").getItem("job") == "api")
+    out = promql.set_binop(reqs, api_only, "unless", on=["job"])
+    assert {r.labels["instance"] for r in out.collect()} == {"i3"}
+    # values/labels pass through untouched
+    assert {r.value for r in out.collect()} == {8.0}
+    # or: lhs plus rhs-only match groups (the idle limit joins in)
+    both = promql.set_binop(reqs, lims, "or", on=["job"])
+    got = {(r.labels.get("instance"), r.value) for r in both.collect()}
+    assert got == {("i1", 10.0), ("i2", 30.0), ("i3", 8.0), (None, 99.0)}
+
+
+def test_set_binop_no_uniqueness_requirement(binop_vecs):
+    # unlike arithmetic binop, duplicate match groups are fine for set ops
+    reqs, lims = binop_vecs
+    out = promql.set_binop(reqs, lims, "and", on=["job"])  # reqs has 2 api series
+    assert out.count() == 3

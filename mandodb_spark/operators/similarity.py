@@ -230,6 +230,70 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
     return cosine_topk(cand, id_col, vec_col, query, k)
 
 
+def knn_join(df: DataFrame, id_col: str, vec_col: str,
+             queries: DataFrame, qid_col: str, qvec_col: str,
+             k: int = 10, n_cells: int = 16, n_probe: int = 4,
+             centroids: DataFrame | None = None) -> DataFrame:
+    """Batch ANN: top-k corpus neighbors for EVERY query vector (the
+    corpus-vs-corpus shape behind retrieval eval, cross-split dedup, and
+    hard-negative mining — one query at a time via :func:`cosine_topk`
+    doesn't scale past a handful of probes).
+
+    Plan shape (all candidate generation is EQUI-join, never cross):
+    1. probe: queries × broadcast O(cells) codebook → per-query top
+       ``n_probe`` cells (window rank on qid — tiny input);
+    2. corpus assignment via :func:`ivf_assign` (map-side Arrow argmax; at
+       100 TB this is an ingest-time column and step 2 disappears);
+    3. candidates = corpus ⋈ assignment ⋈ probe on ``cell`` — the only
+       corpus-wide shuffle, fan-out bounded by n_probe/n_cells;
+    4. exact cosine on candidates + per-query row_number → k.
+
+    The query set is broadcast (a probe batch is small by definition);
+    output: (qid, vec_id, cos_sim, rank), ties broken on id.
+    """
+    from pyspark.sql.window import Window
+
+    cent = centroids if centroids is not None else ivf_cells(df, id_col, vec_col, n_cells)
+    cn = cent.select("cell", "cvec", norm(F.col("cvec")).alias("__cn"))
+    qn = queries.select(
+        F.col(qid_col), F.col(qvec_col).alias("__q"), norm(F.col(qvec_col)).alias("__qn")
+    )
+    probe_rank = Window.partitionBy(qid_col).orderBy(F.col("__csim").desc(), F.col("cell"))
+    probe = (
+        qn.crossJoin(F.broadcast(cn))
+        .select(
+            F.col(qid_col),
+            F.col("cell"),
+            F.round(dot(F.col("__q"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), 6).alias(
+                "__csim"
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(probe_rank))
+        .filter(F.col("__rn") <= n_probe)
+        .select(qid_col, "cell")
+    )
+    assign = ivf_assign(df, id_col, vec_col, cent)
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col).alias("__v"), norm(F.col(vec_col)).alias("__vn"))
+        .join(assign, id_col)
+        .join(F.broadcast(probe), "cell")
+        .join(F.broadcast(qn), qid_col)
+    )
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")), 4).alias(
+            "cos_sim"
+        ),
+    )
+    rank = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Deterministic random-hyperplane LSH bucket id for a vector.
 

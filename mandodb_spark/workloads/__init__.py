@@ -106,6 +106,7 @@ _PRIORITY = [
     "promql_binop_on",
     "promql_binop_group_left",
     "promql_vector_unless",
+    "emb_knn_join",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

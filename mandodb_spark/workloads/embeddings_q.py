@@ -341,3 +341,66 @@ FROM e GROUP BY label
 
 QUERIES["emb_quantize_error"] = emb_quantize_error
 ORACLES["emb_quantize_error"] = EMB_QUANTIZE_ERROR_SQL
+
+
+#: Query batch for the knn-join: 10 vectors outside the stub codebook.
+KNN_Q_LO, KNN_Q_HI = 100, 109
+KNN_K = 5
+
+
+def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN (knn-join): top-5 IVF-probed neighbors for each of 10
+    query vectors at once — candidates from an equi-join on the IVF cell,
+    per-query window rank, never a corpus cross join.  The shape behind
+    retrieval eval / cross-split dedup / hard-negative mining."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").between(KNN_Q_LO, KNN_Q_HI)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return similarity.knn_join(
+        emb, "vec_id", "embedding", queries, "qid", "qe",
+        k=KNN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+    )
+
+
+EMB_KNN_JOIN_SQL = f"""
+WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+              FROM embeddings WHERE vec_id < {IVF_CELLS}),
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id BETWEEN {KNN_Q_LO} AND {KNN_Q_HI}),
+probe AS (
+    SELECT qid, cell FROM (
+        SELECT q.qid, c.cell,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round(list_cosine_similarity(c.cvec, q.qe), 6) DESC, c.cell
+               ) AS rn
+        FROM q, cent c) ranked
+    WHERE rn <= {IVF_PROBE}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e, cent c) ranked
+    WHERE rn = 1
+),
+scored AS (
+    SELECT p.qid, e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos_sim
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN probe p ON p.cell = a.cell
+    JOIN q ON q.qid = p.qid
+)
+SELECT qid, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+    FROM scored)
+WHERE rank <= {KNN_K}
+"""
+
+QUERIES["emb_knn_join"] = emb_knn_join
+ORACLES["emb_knn_join"] = EMB_KNN_JOIN_SQL

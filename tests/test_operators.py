@@ -630,3 +630,29 @@ def test_hll_estimate_within_error_bound(spark):
     assert len(got) > 0
     for r in got:
         assert abs(r.approx - r.exact) / r.exact <= 0.10, (r.event_type, r.approx, r.exact)
+
+
+def test_knn_join_batch_topk(spark):
+    """knn_join: every query finds itself at rank 1 (cos 1.0) when it is
+    in the corpus and its probe includes its own cell; ranks are dense,
+    per-query, and capped at k."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id").isin(20, 21, 22)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    out = similarity.knn_join(
+        df, "vec_id", "embedding", queries, "qid", "qe", k=4, n_cells=8, n_probe=8
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.qid, []).append(r)
+    assert set(per_q) == {20, 21, 22}
+    for qid, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4]
+        assert rs[0].vec_id == qid and rs[0].cos_sim == 1.0  # self at rank 1
+        assert all(rs[i].cos_sim >= rs[i + 1].cos_sim for i in range(3))

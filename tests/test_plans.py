@@ -260,3 +260,28 @@ def test_gapfill_single_window_no_per_gap_join(spark):
     assert plan.count("Window") == 1
     assert plan.count("Join") == 1 and "LeftOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_promql_binop_join_is_hash_equi_never_nested_loop(spark):
+    """Vector-matching binops join on the canonical match-key string: a
+    hash equi-join with both sides pre-aggregated where uniqueness is
+    required — never a nested loop / cartesian over the vectors."""
+    from mandodb_spark.workloads.promql_q import promql_binop_group_left, promql_binop_on
+
+    for q in (promql_binop_on, promql_binop_group_left):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
+
+
+def test_knn_join_candidates_come_from_cell_equi_join(spark):
+    """knn_join's only allowed nested-loop is the tiny query×codebook
+    probe (10 × n_cells broadcast rows); every corpus-side join must be a
+    hash equi-join so candidate fan-out is bounded by the probed cells."""
+    from mandodb_spark.workloads.embeddings_q import emb_knn_join
+
+    plan = _plan(emb_knn_join(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the codebook probe only
+    assert "CartesianProduct" not in plan
+    # per-query top-k is a window rank, not a global sort of all candidates
+    assert "Window" in plan

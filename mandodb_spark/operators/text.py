@@ -468,3 +468,52 @@ WITH tok AS (
 )
 SELECT {id_col}, CAST({packed} AS BIGINT) AS simhash FROM bits
 """
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's token distribution — the
+    standard cheap perplexity proxy for corpus curation: near-zero for
+    boilerplate/repetition, high for diverse text.
+
+    H = log2(n) − (Σ c·log2 c)/n over per-token counts c, so the plan is
+    explode → ONE (id, token) count shuffle → a tiny per-doc regroup with
+    map-side partials.  At 100 TB the first shuffle is the corpus token
+    relation — same scale class as every other token-level signal here
+    (tf-idf, CMS); nothing is quadratic and no UDF is involved.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    c = F.col("__c").cast("double")
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(c * F.log2(c)).alias("__clogc"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.round(
+                F.log2(F.col("__n").cast("double")) - F.col("__clogc") / F.col("__n"), 4
+            ).alias("token_entropy"),
+        )
+    )
+
+
+def token_entropy_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB mirror of :func:`token_entropy` (oracle generator)."""
+    return f"""
+WITH tok AS (
+    SELECT {id_col}, t.tok, count(*) AS c
+    FROM {table}, unnest(string_split(lower({text_col}), ' ')) AS t(tok)
+    GROUP BY 1, 2
+)
+SELECT {id_col},
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(log2(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / sum(c), 4)
+           AS token_entropy
+FROM tok GROUP BY {id_col}
+"""

@@ -107,6 +107,7 @@ _PRIORITY = [
     "promql_binop_group_left",
     "promql_vector_unless",
     "emb_knn_join",
+    "docs_token_entropy",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -619,3 +619,16 @@ ORACLES = {
     "docs_simhash": DOCS_SIMHASH_SQL,
     "docs_minhash_pairs": DOCS_MINHASH_PAIRS_SQL,
 }
+
+
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the cheap
+    perplexity proxy for curation filtering (low = boilerplate)."""
+    d = load(spark, sf_dir, "documents")
+    return text.token_entropy(d, "doc_id", "text")
+
+
+DOCS_TOKEN_ENTROPY_SQL = text.token_entropy_sql("documents", "doc_id", "text")
+
+QUERIES["docs_token_entropy"] = docs_token_entropy
+ORACLES["docs_token_entropy"] = DOCS_TOKEN_ENTROPY_SQL

@@ -656,3 +656,17 @@ def test_knn_join_batch_topk(spark):
         assert [r.rank for r in rs] == [1, 2, 3, 4]
         assert rs[0].vec_id == qid and rs[0].cos_sim == 1.0  # self at rank 1
         assert all(rs[i].cos_sim >= rs[i + 1].cos_sim for i in range(3))
+
+
+def test_token_entropy_known_values(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.token_entropy) for r in
+           text.token_entropy(df, "doc_id", "text").collect()}
+    assert out[1] == (4, 0.0)                       # single token: zero entropy
+    assert out[2] == (4, 2.0)                       # uniform over 4: log2(4)
+    assert out[3] == (4, pytest.approx(1.0))        # two tokens, 50/50

@@ -217,66 +217,22 @@ class TSDB:
         i.e. source rows with ts ≥ ceil(W·duration/step)·step — there is no
         step-multiple strictly between W·duration and that ceiling, so no
         partially-regenerated bucket can clobber a partition.
+
+        The core lives in :func:`operators.tsdb_ops.materialize_rollup`
+        so the streaming ingestor can run the same refresh per
+        micro-batch (``StreamingIngestor(rollup_dest=…)``).
         """
-        from pyspark.sql import functions as F
+        from .operators.tsdb_ops import materialize_rollup as _mat
 
-        rel = self.store.relation()
-        use_dynamic = False
-        if incremental or since_seg is not None:
-            # The watermark math below is only sound when rollup buckets
-            # never straddle a segment boundary: with incompatible values
-            # (e.g. step=5000, duration=7200) a bucket can live in a
-            # partition below the watermark yet still receive new samples,
-            # and its partition would never be rewritten — a silent
-            # divergence from a full rebuild (ADVICE r2).  Fail loudly.
-            if step % self.segment_duration != 0 and self.segment_duration % step != 0:
-                raise ValueError(
-                    f"incremental rollup requires step ({step}) and "
-                    f"segment_duration ({self.segment_duration}) to be "
-                    "divide-compatible (one must divide the other); "
-                    "use incremental=False for arbitrary steps"
-                )
-            w = since_seg
-            if w is None:
-                from pathlib import Path as _Path
-
-                if _Path(dest).exists():  # else: no existing rollup → full build
-                    w = self.spark.read.parquet(dest).agg(F.max("seg")).first()[0]
-            if w is not None:
-                refresh_ts = -(-(w * self.segment_duration) // step) * step
-                rel = rel.filter(
-                    (F.col("ts") >= refresh_ts)
-                    & (F.col("seg") >= refresh_ts // self.segment_duration)
-                )
-                use_dynamic = True
-        bucket = (F.floor(F.col("ts") / step) * step).cast("long")
-        rollup = (
-            rel.groupBy(F.col("series_key"), bucket.alias("bucket_ts"))
-            .agg(
-                F.any_value("labels").alias("labels"),
-                F.count(F.lit(1)).alias("n"),
-                F.avg("value").alias("avg_value"),
-                F.min("value").alias("min_value"),
-                F.max("value").alias("max_value"),
-                F.sum("value").alias("sum_value"),
-                F.max_by("value", "ts").alias("last_value"),
-            )
-            .withColumn("seg", (F.col("bucket_ts") / self.segment_duration).cast("long"))
+        _mat(
+            self.spark,
+            self.store.relation(),
+            dest,
+            step=step,
+            segment_duration=self.segment_duration,
+            incremental=incremental,
+            since_seg=since_seg,
         )
-        dpo = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        if use_dynamic:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                rollup.repartition(F.col("seg"))
-                .sortWithinPartitions("series_key", "bucket_ts")
-                .write.option("compression", "zstd")
-                .partitionBy("seg")
-                .mode("overwrite")
-                .parquet(dest)
-            )
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", dpo)
 
     def rollup_relation(self, dest: str) -> DataFrame:
         """Read back a materialized rollup (partition-pruned on seg)."""

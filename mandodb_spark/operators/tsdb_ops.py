@@ -89,6 +89,70 @@ def refresh_label_dim(dest: str, batch: DataFrame) -> None:
         Path(tmp).rename(dest)
 
 
+def materialize_rollup(spark, rel: DataFrame, dest: str, step: int = 21600,
+                       segment_duration: int = DEFAULT_SEGMENT_DURATION,
+                       incremental: bool = False,
+                       since_seg: int | None = None) -> None:
+    """Materialize the per-series ``step``-second continuous aggregate of a
+    canonical relation as a seg-partitioned Parquet table — the shared
+    core of ``TSDB.materialize_rollup`` (see its docstring for the
+    watermark/alignment reasoning) and the streaming ingestor's per-batch
+    refresh.  ``incremental=True`` rewrites only partitions at/after the
+    high-watermark via dynamic partition overwrite."""
+    use_dynamic = False
+    if incremental or since_seg is not None:
+        # Watermark math is only sound when rollup buckets never straddle
+        # a segment boundary (ADVICE r2) — fail loudly otherwise.
+        if step % segment_duration != 0 and segment_duration % step != 0:
+            raise ValueError(
+                f"incremental rollup requires step ({step}) and "
+                f"segment_duration ({segment_duration}) to be "
+                "divide-compatible (one must divide the other); "
+                "use incremental=False for arbitrary steps"
+            )
+        w = since_seg
+        if w is None:
+            from pathlib import Path as _Path
+
+            if _Path(dest).exists():  # else: no existing rollup → full build
+                w = spark.read.parquet(dest).agg(F.max("seg")).first()[0]
+        if w is not None:
+            refresh_ts = -(-(w * segment_duration) // step) * step
+            rel = rel.filter(
+                (F.col("ts") >= refresh_ts)
+                & (F.col("seg") >= refresh_ts // segment_duration)
+            )
+            use_dynamic = True
+    bucket = (F.floor(F.col("ts") / step) * step).cast("long")
+    rollup = (
+        rel.groupBy(F.col("series_key"), bucket.alias("bucket_ts"))
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("value").alias("sum_value"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+        .withColumn("seg", (F.col("bucket_ts") / segment_duration).cast("long"))
+    )
+    dpo = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if use_dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            rollup.repartition(F.col("seg"))
+            .sortWithinPartitions("series_key", "bucket_ts")
+            .write.option("compression", "zstd")
+            .partitionBy("seg")
+            .mode("overwrite")
+            .parquet(dest)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", dpo)
+
+
 def _filtered(
     df: DataFrame,
     metric: str | None,

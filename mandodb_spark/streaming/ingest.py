@@ -84,11 +84,22 @@ class StreamingIngestor:
     refresh instead of a full-store DISTINCT per lookup (the reference
     updates its label registry per ingested segment the same way,
     memory_segment.go:93-96).
+
+    ``rollup_dest``/``rollup_step``: optional continuous-aggregate
+    maintenance — after each batch lands, the seg-partitioned rollup at
+    ``rollup_dest`` is refreshed incrementally from its high-watermark
+    (the hypertable continuous-aggregate loop: ingest advances the raw
+    table, the refresh touches only the open partitions).  The refresh
+    re-reads only partitions at/after the watermark, so per-batch cost is
+    O(open segments), not O(store).
     """
 
-    def __init__(self, store: SegmentStore, label_dim_dest: str | None = None) -> None:
+    def __init__(self, store: SegmentStore, label_dim_dest: str | None = None,
+                 rollup_dest: str | None = None, rollup_step: int = 21600) -> None:
         self.store = store
         self.label_dim_dest = label_dim_dest
+        self.rollup_dest = rollup_dest
+        self.rollup_step = rollup_step
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch → one transactional Parquet append (S4).
@@ -106,6 +117,33 @@ class StreamingIngestor:
 
             refresh_label_dim(
                 self.label_dim_dest, canonicalize(batch_df, self.store.segment_duration)
+            )
+        if self.rollup_dest:
+            from pyspark.sql import functions as F
+
+            from ..operators.tsdb_ops import materialize_rollup
+
+            # Late rows may land BELOW the rollup's high-watermark; their
+            # partitions would silently go stale under a pure watermark
+            # refresh.  The batch knows its own minimum event time, so
+            # refresh from the partition of the BUCKET containing it
+            # (bucket-aligned: a step>duration bucket starts in an earlier
+            # partition than the row's own segment).
+            min_ts = batch_df.agg(F.min("ts")).first()[0]
+            since = (
+                None
+                if min_ts is None
+                else (min_ts // self.rollup_step) * self.rollup_step
+                // self.store.segment_duration
+            )
+            materialize_rollup(
+                self.store.spark,
+                self.store.relation(),
+                self.rollup_dest,
+                step=self.rollup_step,
+                segment_duration=self.store.segment_duration,
+                incremental=True,
+                since_seg=since,
             )
 
     def start(

@@ -350,3 +350,40 @@ def test_session_window_writestream_late_data_equals_batch_dual(spark, tmp_path_
     assert streamed == batch
     # one session of all 3 points: 600..1200 with the late 900 inside
     assert streamed == [(START + 600, START + 1200 + 1800, 3)]
+
+
+def test_streaming_incremental_rollup_equals_full_rebuild(spark, tmp_path_factory):
+    """Continuous-aggregate maintenance: the per-batch incremental rollup
+    kept by StreamingIngestor(rollup_dest=…) — including a batch of LATE
+    rows landing below the high-watermark — must equal a from-scratch
+    rebuild over the final store."""
+    base = tmp_path_factory.mktemp("roll")
+    src, ckpt, store_dir = str(base / "src"), str(base / "ckpt"), str(base / "s")
+    rollup = str(base / "rollup")
+
+    db = TSDB(spark, store_dir)
+    ing = StreamingIngestor(db.store, rollup_dest=rollup, rollup_step=21600)
+
+    batch1 = [("m", {"n": str(i % 2)}, START + 40_000 + i * 600, float(i)) for i in range(20)]
+    late = [("m", {"n": "0"}, START + 100, 99.0)]  # far below the watermark
+    spark.createDataFrame(batch1, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    StreamingIngestor.start(ing, spark.readStream.schema(ROW_SCHEMA).parquet(src), ckpt
+                            ).awaitTermination(120)
+    spark.createDataFrame(late, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    StreamingIngestor.start(ing, spark.readStream.schema(ROW_SCHEMA).parquet(src), ckpt
+                            ).awaitTermination(120)
+
+    full = str(base / "full")
+    db.materialize_rollup(full, step=21600)  # from-scratch rebuild
+
+    cols = ["series_key", "bucket_ts", "n", "avg_value", "min_value", "max_value",
+            "sum_value", "last_value", "seg"]
+    inc_rows = sorted(
+        (tuple(r[c] for c in cols) for r in spark.read.parquet(rollup).collect())
+    )
+    full_rows = sorted(
+        (tuple(r[c] for c in cols) for r in spark.read.parquet(full).collect())
+    )
+    assert inc_rows == full_rows and len(inc_rows) > 0
+    # the late row really reached its (older) bucket
+    assert any(r[1] == (START + 100) // 21600 * 21600 and r[7] == 99.0 for r in inc_rows)

@@ -670,3 +670,51 @@ def test_token_entropy_known_values(spark):
     assert out[1] == (4, 0.0)                       # single token: zero entropy
     assert out[2] == (4, 2.0)                       # uniform over 4: log2(4)
     assert out[3] == (4, pytest.approx(1.0))        # two tokens, 50/50
+
+
+def test_knn_join_matches_single_query_ivf_topk(spark):
+    """Batch knn_join must give each query exactly what the single-query
+    ivf_topk path gives it (same stub codebook, probe, cosine, ties) —
+    the batch form is an orchestration change, not a semantics change."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = [100, 300, 499]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    batch = similarity.knn_join(
+        emb, "vec_id", "embedding", queries, "qid", "qe", k=10, n_cells=16, n_probe=4
+    ).collect()
+    per_q = {}
+    for r in batch:
+        per_q.setdefault(r.qid, set()).add((r.vec_id, r.cos_sim))
+    for qid in qids:
+        q = emb.filter(F.col("vec_id") == qid).select(F.col("embedding").alias("qe"))
+        single = {
+            (r.vec_id, r.cos_sim)
+            for r in similarity.ivf_topk(emb, "vec_id", "embedding", q, 16, 4, 10).collect()
+        }
+        assert per_q[qid] == single, f"qid={qid}"
+
+
+def test_knn_join_kmeans_recall(spark):
+    """knn_join with the k-means codebook delivers the same real recall as
+    the single-query IVF path (>= 0.6 avg vs exact brute force)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    km = similarity.ivf_cells_kmeans(emb, "embedding", 16)
+    qids = [100, 300, 499]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    batch = similarity.knn_join(
+        emb, "vec_id", "embedding", queries, "qid", "qe",
+        k=10, n_cells=16, n_probe=4, centroids=km,
+    ).collect()
+    per_q = {}
+    for r in batch:
+        per_q.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = []
+    for qid in qids:
+        q = emb.filter(F.col("vec_id") == qid).select(F.col("embedding").alias("qe"))
+        exact = {r.vec_id for r in similarity.cosine_topk(emb, "vec_id", "embedding", q, 10).collect()}
+        recalls.append(len(exact & per_q[qid]) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6

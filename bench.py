@@ -69,6 +69,7 @@ EXTENDED = [
     "promql_binop_on",
     "promql_binop_group_left",
     "promql_vector_unless",
+    "promql_subquery_max_rate",
 ]
 
 

@@ -309,6 +309,75 @@ def changes(rel: DataFrame, start: int, end: int) -> DataFrame:
     )
 
 
+def rate_sliding(rel: DataFrame, start: int, end: int, window: int, step: int) -> DataFrame:
+    """Counter rate evaluated on SLIDING windows of ``window`` seconds every
+    ``step`` seconds — the engine of a PromQL subquery ``rate(x[w])[r:s]``.
+
+    Spark-first shape: each sample lands in its window/step covering
+    windows via a JVM-side sequence explode (bounded fan-out = w/s, the
+    same duplication ``F.window(slide)`` performs), then one window pass
+    per (series, window_start) computes the reset-aware increase and the
+    observed span.  Windows are step-aligned ([k·s, k·s+w)), evaluation
+    point = window end — PromQL's instant grid shifted to bucket starts,
+    documented rather than hidden.  Output: series_key, labels,
+    window_start, value — feed any ``_OVER_TIME`` aggregate for the outer
+    ``<fn>_over_time(...[r:s])`` (see :func:`subquery_over_time`).
+    """
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start - window, end))
+    # covering window starts: k·step in [ts-window+1, ts], clamped to range
+    lo = F.greatest(
+        (F.floor((F.col("ts") - F.lit(window)) / step) + 1) * step, F.lit((start // step) * step)
+    ).cast("long")
+    hi = F.least((F.floor(F.col("ts") / F.lit(step)) * step).cast("long"), F.lit(end))
+    covered = rel.withColumn(
+        "window_start",
+        F.explode(
+            F.when(lo <= hi, F.sequence(lo, hi, F.lit(step).cast("long"))).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    ).filter(F.col("ts") >= F.col("window_start"))  # window is [ws, ws+w): ts in it
+    w = Window.partitionBy("series_key", "window_start").orderBy("ts")
+    stepped = covered.withColumn("__prev", F.lag("value").over(w)).withColumn(
+        "__inc",
+        F.when(F.col("__prev").isNull(), F.lit(0.0))
+        .when(F.col("value") >= F.col("__prev"), F.col("value") - F.col("__prev"))
+        .otherwise(F.col("value")),
+    )
+    return (
+        stepped.groupBy("series_key", "window_start")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.sum("__inc").alias("__total"),
+            (F.max("ts") - F.min("ts")).alias("__span"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter((F.col("__n") >= 2) & (F.col("__span") > 0))
+        .select(
+            "series_key",
+            "labels",
+            "window_start",
+            (F.col("__total") / F.col("__span")).alias("value"),
+        )
+    )
+
+
+def subquery_over_time(rel: DataFrame, fn: str, start: int, end: int,
+                       window: int, step: int) -> DataFrame:
+    """PromQL subquery ``<fn>_over_time(rate(x[window])[start..end:step])``:
+    the sliding-window rate series re-aggregated per series by ``fn``
+    (max/min/avg/...) — e.g. "peak 1h request rate over the last week".
+    Two shuffles total: the sliding-rate window pass and a tiny per-series
+    regroup."""
+    inner = rate_sliding(rel, start, end, window, step)
+    agg = _OVER_TIME[fn]
+    return (
+        inner.groupBy("series_key")
+        .agg(F.any_value("labels").alias("labels"), agg(F.col("value")).alias("value"))
+        .select("series_key", "labels", "value")
+    )
+
+
 def count_values(vector: DataFrame, label: str = "value") -> DataFrame:
     """PromQL ``count_values("label", vector)``: number of series carrying
     each distinct value in an instant vector.  Output labels contain only

@@ -108,6 +108,7 @@ _PRIORITY = [
     "promql_vector_unless",
     "emb_knn_join",
     "docs_token_entropy",
+    "promql_subquery_max_rate",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -477,6 +477,53 @@ WHERE a.metric = 'click'
 """
 
 
+SUBQ_WINDOW = 2 * 86_400
+SUBQ_STEP = 86_400
+
+
+def promql_subquery_max_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``max_over_time(rate(x[2d])[range:1d])`` — the PromQL subquery
+    shape: per-series peak 2d-window rate sampled daily.  Sliding windows
+    via a bounded covering-grid explode (fan-out window/step = 2), one
+    window pass per (series, grid point), tiny outer regroup."""
+    out = promql.subquery_over_time(
+        _dedup_rel(spark, sf_dir), "max", EV_START, EV_END, SUBQ_WINDOW, SUBQ_STEP
+    )
+    return flatten_labels(out.select(F.col("labels"), F.round("value", 8).alias("value")))
+
+
+PROMQL_SUBQUERY_MAX_RATE_SQL = f"""{_DEDUP},
+grid AS (
+    SELECT metric, user, k, g.range AS ws
+    FROM (SELECT DISTINCT metric, user, k FROM d) s,
+         range({(EV_START // SUBQ_STEP) * SUBQ_STEP}, {EV_END + 1}, {SUBQ_STEP}) g
+),
+covered AS (
+    SELECT g.metric, g.user, g.k, g.ws, d.ts, d.value
+    FROM grid g
+    JOIN d ON d.metric = g.metric AND d.user = g.user AND d.k = g.k
+          AND d.ts >= g.ws AND d.ts < g.ws + {SUBQ_WINDOW}
+),
+s AS (
+    SELECT metric, user, k, ws, ts, value,
+           lag(value) OVER (PARTITION BY metric, user, k, ws ORDER BY ts) AS prev
+    FROM covered
+),
+rates AS (
+    SELECT metric, user, k, ws,
+           sum(CASE WHEN prev IS NULL THEN 0
+                    WHEN value >= prev THEN value - prev
+                    ELSE value END) AS total,
+           max(ts) - min(ts) AS span,
+           count(*) AS n
+    FROM s GROUP BY metric, user, k, ws
+)
+SELECT metric, user, k, round(CAST(max(total / span) AS DOUBLE), 8) AS value
+FROM rates WHERE n >= 2 AND span > 0
+GROUP BY metric, user, k
+"""
+
+
 QUERIES = {
     "promql_increase": promql_increase,
     "promql_rate": promql_rate,
@@ -496,9 +543,11 @@ QUERIES = {
     "promql_binop_on": promql_binop_on,
     "promql_binop_group_left": promql_binop_group_left,
     "promql_vector_unless": promql_vector_unless,
+    "promql_subquery_max_rate": promql_subquery_max_rate,
 }
 
 ORACLES = {
+    "promql_subquery_max_rate": PROMQL_SUBQUERY_MAX_RATE_SQL,
     "promql_binop_on": PROMQL_BINOP_ON_SQL,
     "promql_binop_group_left": PROMQL_BINOP_GROUP_LEFT_SQL,
     "promql_vector_unless": PROMQL_VECTOR_UNLESS_SQL,

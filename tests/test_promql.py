@@ -351,3 +351,28 @@ def test_set_binop_no_uniqueness_requirement(binop_vecs):
     reqs, lims = binop_vecs
     out = promql.set_binop(reqs, lims, "and", on=["job"])  # reqs has 2 api series
     assert out.count() == 3
+
+
+def test_rate_sliding_subquery(spark):
+    """rate(x[120s]) sampled every 60s, then max_over_time — the PromQL
+    subquery composition.  Hand-built counter: +1/s for 2 min, then
+    +3/s for 2 min.  Grid points sit at ABSOLUTE multiples of step
+    (Prometheus aligns subquery evaluation times the same way), so the
+    test base is chosen step-aligned."""
+    base = (START // 120) * 120 + 120  # multiple of both step and window
+    rows = (
+        [("c", {"n": "a"}, base + i * 30, float(i * 30)) for i in range(5)]          # 1/s
+        + [("c", {"n": "a"}, base + 120 + i * 30, 120.0 + i * 90.0) for i in range(1, 5)]  # 3/s
+    )
+    rel = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    out = promql.rate_sliding(rel, base, base + 240, window=120, step=60)
+    rates = {r.window_start - base: r.value for r in out.collect()}
+    # window [120, 240): pure 3/s segment
+    assert rates[120] == pytest.approx(3.0)
+    # window [0, 120): pure 1/s segment
+    assert rates[0] == pytest.approx(1.0)
+    # window [60, 180): spans the knee — between the two slopes
+    assert 1.0 < rates[60] < 3.0
+    # outer max picks the steep window
+    peak = promql.subquery_over_time(rel, "max", base, base + 240, 120, 60).collect()
+    assert len(peak) == 1 and peak[0].value == pytest.approx(3.0)

@@ -181,6 +181,29 @@ class TSDB:
 
         return promql.over_time(self._selected(metric, matchers, start, end), fn, start, end, step)
 
+    def binop(self, lhs: DataFrame, rhs: DataFrame, op: str, **kwargs) -> DataFrame:
+        """PromQL vector-matching binary op between two instant/range
+        vectors (e.g. from :meth:`instant`/:meth:`rate`):
+        ``db.binop(a, b, "/", on=["job"], group="left")``.  See
+        :func:`functions.promql.binop`; ``and/or/unless`` route to
+        :func:`functions.promql.set_binop`."""
+        from .functions import promql
+
+        if op in ("and", "or", "unless"):
+            return promql.set_binop(lhs, rhs, op, **kwargs)
+        return promql.binop(lhs, rhs, op, **kwargs)
+
+    def subquery_over_time(self, fn: str, metric: str,
+                           matchers: list[LabelMatcher] | None,
+                           start: int, end: int, window: int, step: int) -> DataFrame:
+        """PromQL subquery ``<fn>_over_time(rate(metric[window])[start..end:step])``
+        — e.g. per-series peak 1h rate over a week."""
+        from .functions import promql
+
+        return promql.subquery_over_time(
+            self._selected(metric, matchers, start - window, end), fn, start, end, window, step
+        )
+
     # ----------------------------------------------------------- maintenance
     def remove_expires(self, now_ts: int | None = None) -> list[int]:
         """Retention purge (tsdb.go:384-406); returns dropped segment ids."""

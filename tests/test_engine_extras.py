@@ -4,6 +4,8 @@ regex-over-distinct-values strategy."""
 
 from __future__ import annotations
 
+import pytest
+
 from mandodb_spark import TSDB, LabelMatcher
 
 START = 1_700_000_000
@@ -204,3 +206,29 @@ def test_incremental_label_dim_refresh(spark, tmp_path_factory):
     q.awaitTermination(120)
     sgot = {(r.name, r.value) for r in sstore.label_dim_relation(sdim).collect()}
     assert sgot == want
+
+
+def test_tsdb_binop_and_subquery_api(spark, tmp_path_factory):
+    """The TSDB convenience surface for vector matching and subqueries
+    composes selections from the store."""
+    db = TSDB(spark, str(tmp_path_factory.mktemp("api") / "s"))
+    rows = []
+    for i in range(5):
+        rows += [("reqs", {"job": "api"}, 1_700_000_000 + i * 60, float(10 + i * 10)),
+                 ("lims", {"job": "api"}, 1_700_000_000 + i * 60, 100.0)]
+    db.insert_rows(rows)
+    t0, t1 = 1_700_000_000, 1_700_000_000 + 300
+    usage = db.binop(
+        db.instant("reqs", [], t1, lookback=400),
+        db.instant("lims", [], t1, lookback=400),
+        "/", on=["job"],
+    ).collect()
+    assert len(usage) == 1 and usage[0].value == pytest.approx(0.5)
+    kept = db.binop(
+        db.instant("reqs", [], t1, lookback=400),
+        db.instant("lims", [], t1, lookback=400),
+        "unless", on=["job"],
+    )
+    assert kept.count() == 0
+    peak = db.subquery_over_time("max", "reqs", [], t0, t1, window=120, step=60).collect()
+    assert len(peak) == 1 and peak[0].value > 0

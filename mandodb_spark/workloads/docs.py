@@ -264,18 +264,21 @@ GROUP BY source
 def docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 token bigrams — n-gram frequency analysis.
 
-    Bigrams are built row-wise from the token array (transform over an
-    index sequence — codegen'd, no shuffle), then ONE explode feeds a
-    count aggregation with map-side partials; the top-k is
-    TakeOrderedAndProject.  Ties break lexicographically."""
+    Explode-first: positions explode narrowly and each bigram is a scalar
+    ``element_at`` expression in whole-stage codegen (a ``transform``
+    lambda is interpreted per element — same trade as
+    ``repetition_stats``); the count agg has map-side partials and the
+    top-k is TakeOrderedAndProject.  Ties break lexicographically."""
     d = load(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    positions = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(toks.alias("__t"), F.explode(positions).alias("__p"))
+        .select(
+            F.expr("concat_ws(' ', element_at(__t, __p), element_at(__t, __p + 1))").alias("bigram")
+        )
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))

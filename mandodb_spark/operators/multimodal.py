@@ -214,6 +214,88 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     return df.select(id_col, payload_col).mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def resize_pixels(width: int, height: int, channels: int, pixels: bytes,
+                  new_width: int, new_height: int) -> bytes:
+    """Nearest-neighbor pixel resample — the pixel half of the resize
+    stage, operating on :func:`decode_image` output.  Pure stdlib: index
+    arithmetic over the raw byte buffer (numpy-free so the seam has zero
+    optional dependencies; a production build swaps in PIL/libvips
+    bilinear here)."""
+    if new_width <= 0 or new_height <= 0:
+        raise ValueError("resize target must be positive")
+    stride = width * channels
+    out = bytearray(new_width * new_height * channels)
+    for y in range(new_height):
+        sy = y * height // new_height
+        row = sy * stride
+        orow = y * new_width * channels
+        for x in range(new_width):
+            sx = x * width // new_width
+            src = row + sx * channels
+            dst = orow + x * channels
+            out[dst : dst + channels] = pixels[src : src + channels]
+    return bytes(out)
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Stdlib WAV (RIFF/PCM) decoder: ``(n_channels, sample_rate,
+    sample_width_bytes, frame_bytes)`` — the audio analogue of
+    :func:`decode_image` (wave module header walk + raw frame read).
+    Non-WAV payloads raise at the seam where ffmpeg/soundfile plugs in."""
+    import io
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV decode ships stdlib-side; other audio formats "
+            "require ffmpeg/soundfile (not in this container)"
+        )
+    with wave.open(io.BytesIO(payload)) as w:
+        return (
+            w.getnchannels(),
+            w.getframerate(),
+            w.getsampwidth(),
+            w.readframes(w.getnframes()),
+        )
+
+
+#: Output schema of the audio-stats stage.
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, n_samples long, "
+    "duration_s double, rms double, decode_error string"
+)
+
+
+def audio_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Real-decode audio features (channels / rate / duration / RMS) per
+    asset via :func:`decode_audio` in the standard Arrow-batched
+    mapInPandas shape; undecodable payloads degrade to error rows."""
+    import struct as _struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    ch, rate, width, frames = decode_audio(bytes(payload))
+                    fmt = {1: "b", 2: "h", 4: "i"}[width]
+                    vals = _struct.unpack(f"<{len(frames) // width}{fmt}", frames)
+                    n = len(vals)
+                    rms = (sum(v * v for v in vals) / n) ** 0.5 if n else 0.0
+                    rows.append(
+                        (int(doc_id), ch, rate, n // ch, (n // ch) / rate, rms, None)
+                    )
+                except Exception as e:
+                    rows.append((int(doc_id), None, None, None, None, None, str(e)[:200]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_channels", "sample_rate", "n_samples",
+                         "duration_s", "rms", "decode_error"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
 #: Resize target (long edge) for the resize stage.
 RESIZE_TARGET = 256
 

@@ -718,3 +718,54 @@ def test_knn_join_kmeans_recall(spark):
         exact = {r.vec_id for r in similarity.cosine_topk(emb, "vec_id", "embedding", q, 10).collect()}
         recalls.append(len(exact & per_q[qid]) / 10)
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_resize_pixels_nearest_neighbor():
+    # 2x2 RGB checkerboard upscaled 2x: each source pixel becomes a 2x2 block
+    px = bytes([255, 0, 0,  0, 255, 0,
+                0, 0, 255,  255, 255, 255])
+    out = multimodal.resize_pixels(2, 2, 3, px, 4, 4)
+    assert len(out) == 4 * 4 * 3
+    assert out[0:3] == bytes([255, 0, 0]) and out[3:6] == bytes([255, 0, 0])
+    assert out[6:9] == bytes([0, 255, 0])
+    # downscale back to 2x2 recovers the original corners
+    back = multimodal.resize_pixels(4, 4, 3, out, 2, 2)
+    assert back == px
+    # composes with the real decoder
+    png = _encode_png(6, 4, 3, bytes((i * 5) % 256 for i in range(6 * 4 * 3)), [0])
+    w, h, ch, pixels = multimodal.decode_image(png)
+    small = multimodal.resize_pixels(w, h, ch, pixels, 3, 2)
+    assert len(small) == 3 * 2 * 3
+
+
+def _encode_wav(rate, samples):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        import struct
+
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_stats_real_wav_decode_through_spark(spark):
+    import math
+
+    rate = 8000
+    # 1 second of a full-scale square wave: RMS = amplitude exactly
+    samples = [10000 if i % 2 == 0 else -10000 for i in range(rate)]
+    wav = _encode_wav(rate, samples)
+    rows = [(1, bytearray(wav)), (2, bytearray(b"mp3-ish garbage"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in multimodal.audio_stats(df, "doc_id", "payload").collect()}
+    ok = out[1]
+    assert (ok.n_channels, ok.sample_rate, ok.n_samples) == (1, rate, rate)
+    assert ok.duration_s == pytest.approx(1.0)
+    assert ok.rms == pytest.approx(10000.0)
+    assert ok.decode_error is None
+    assert out[2].sample_rate is None and "WAV" in out[2].decode_error

@@ -422,3 +422,68 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Transitive near-dup clusters from a pair list: (id, cluster_id)
+    with cluster_id = the minimum id reachable through the pair graph —
+    the stage after pair generation in every dedup pipeline (A~B and B~C
+    must collapse to ONE kept document even when A~C was never a
+    candidate pair).
+
+    Min-label propagation: each round every node takes the minimum of its
+    own label and its neighbors' labels (one join + one map-side-partial
+    min agg per round); converges in graph-diameter rounds.  Near-dup
+    graphs are LSH-cluster unions — diameter is small by construction —
+    and the loop is DRIVER CONTROL ONLY (a convergence count per round;
+    no row data ever reaches the driver).  At 100 TB you would run the
+    same propagation over a checkpointed edge table (GraphFrames' CC is
+    this algorithm); here rounds are few enough that plain lineage is
+    cheaper than materializing per round.
+
+    Raises after ``max_iter`` rounds without convergence (a pathological
+    graph should be loud, not silently half-merged).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+                (F.col("nmin") < F.col("cluster_id")).alias("__changed"),
+            )
+        )
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds the bound — raise max_iter)"
+    )
+
+
+def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Cluster summary over :func:`connected_components`: one row per
+    transitive near-dup cluster with the kept id (min) and member count —
+    the keep/drop decision table of the dedup pipeline."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.groupBy("cluster_id").agg(
+        F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
+    ).select(F.col("cluster_id"), "keep_id", "n_docs")

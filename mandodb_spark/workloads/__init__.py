@@ -109,6 +109,7 @@ _PRIORITY = [
     "emb_knn_join",
     "docs_token_entropy",
     "promql_subquery_max_rate",
+    "docs_neardup_clusters",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

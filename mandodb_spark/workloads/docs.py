@@ -635,3 +635,44 @@ DOCS_TOKEN_ENTROPY_SQL = text.token_entropy_sql("documents", "doc_id", "text")
 
 QUERIES["docs_token_entropy"] = docs_token_entropy
 ORACLES["docs_token_entropy"] = DOCS_TOKEN_ENTROPY_SQL
+
+
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the MinHash pair list: one row
+    per cluster with the kept doc (min id) and member count — the
+    keep/drop table a dedup pipeline actually applies (A~B plus B~C must
+    collapse to one kept doc even when A~C was never a candidate).
+
+    The pair list is MATERIALIZED to a scratch Parquet table before the
+    label-propagation loop — the checkpointed edge table of a production
+    CC run: each round then reads a tiny table instead of re-deriving the
+    whole shingle→minhash→verify lineage per convergence check."""
+    import tempfile
+
+    pairs = dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_T)
+    scratch = tempfile.mkdtemp(prefix="mandodb_cc_edges_") + "/pairs"
+    pairs.write.mode("overwrite").parquet(scratch)
+    return dedup.neardup_clusters(spark.read.parquet(scratch))
+
+
+DOCS_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_minhash_sql()}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cc AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(min(id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM cc GROUP BY cluster_id
+"""
+
+QUERIES["docs_neardup_clusters"] = docs_neardup_clusters
+ORACLES["docs_neardup_clusters"] = DOCS_NEARDUP_CLUSTERS_SQL

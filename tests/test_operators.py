@@ -769,3 +769,24 @@ def test_audio_stats_real_wav_decode_through_spark(spark):
     assert ok.rms == pytest.approx(10000.0)
     assert ok.decode_error is None
     assert out[2].sample_rate is None and "WAV" in out[2].decode_error
+
+
+def test_connected_components_transitive_clusters(spark):
+    """Chain A~B~C merges into one cluster even though A~C was never a
+    pair; disjoint cliques/pairs stay separate; convergence raises past
+    max_iter on a pathological chain only if the bound is too low."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)], "id_a long, id_b long"
+    )
+    cc = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    rows = {r.cluster_id: (r.keep_id, r.n_docs)
+            for r in dedup.neardup_clusters(pairs).collect()}
+    assert rows == {1: (1, 3), 10: (10, 3), 20: (20, 2)}
+    # a long chain needs diameter rounds; a too-small bound fails loudly
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    assert {r.cluster_id for r in dedup.connected_components(chain).collect()} == {0}

@@ -110,6 +110,7 @@ _PRIORITY = [
     "docs_token_entropy",
     "promql_subquery_max_rate",
     "docs_neardup_clusters",
+    "emb_neardup_clusters",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

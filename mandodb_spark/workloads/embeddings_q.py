@@ -404,3 +404,41 @@ WHERE rank <= {KNN_K}
 
 QUERIES["emb_knn_join"] = emb_knn_join
 ORACLES["emb_knn_join"] = EMB_KNN_JOIN_SQL
+
+
+def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive embedding near-dup clusters over the hyperplane-bucket
+    pair list (same CC machinery as docs_neardup_clusters: A≈B plus B≈C
+    in different buckets still collapse to one kept vector).  Pairs are
+    materialized to a scratch edge table before the propagation loop."""
+    import tempfile
+
+    from ..operators import dedup as _dedup
+
+    pairs = emb_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    scratch = tempfile.mkdtemp(prefix="mandodb_cc_emb_") + "/pairs"
+    pairs.write.mode("overwrite").parquet(scratch)
+    return _dedup.neardup_clusters(spark.read.parquet(scratch))
+
+
+EMB_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_neardup_sql()}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cc AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(min(id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM cc GROUP BY cluster_id
+"""
+
+QUERIES["emb_neardup_clusters"] = emb_neardup_clusters
+ORACLES["emb_neardup_clusters"] = EMB_NEARDUP_CLUSTERS_SQL

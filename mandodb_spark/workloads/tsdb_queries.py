@@ -337,12 +337,18 @@ def tsdb_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
         F.col("ts").between(EV_START, EV_END)
     )
-    dedup = rel.groupBy("series_key", "ts").agg(
-        F.any_value("labels").alias("labels"), F.max("value").alias("value")
-    )
     bucket = (F.floor(F.col("ts") / GF_STEP) * GF_STEP).cast("long")
-    bucketed = dedup.groupBy("series_key", bucket.alias("bucket_ts")).agg(
-        F.any_value("labels").alias("labels"), F.max_by("value", "ts").alias("value")
+    # Sample dedup (max value per ts) and newest-sample-per-bucket fused
+    # into ONE corpus shuffle: max(struct(ts, value)) picks the value at
+    # the max ts with same-ts ties resolved to the max value — exactly
+    # dedup-then-max_by, minus a full groupBy(series, ts) pass.
+    bucketed = (
+        rel.groupBy("series_key", bucket.alias("bucket_ts"))
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.max(F.struct(F.col("ts"), F.col("value"))).alias("__m"),
+        )
+        .select("series_key", "bucket_ts", "labels", F.col("__m.value").alias("value"))
     )
     series = bucketed.groupBy("series_key").agg(F.any_value("labels").alias("labels"))
     # Grid LEFT JOIN + one LOCF window.  Round 2 tried the union trick

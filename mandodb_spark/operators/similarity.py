@@ -375,3 +375,50 @@ def int8_reconstruction_error(vec: Column) -> Column:
         return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
     return _let(_scale_of(vec), err)
+
+
+def with_hyperplane_bucket_arrow(df: DataFrame, id_col: str, vec_col: str,
+                                 dim: int, n_planes: int = 8,
+                                 out_col: str = "lsh_bucket") -> DataFrame:
+    """Hyperplane LSH bucket assignment, Arrow-batched (the corpus path).
+
+    EXACT same bucket values as :func:`hyperplane_bucket` (md5-derived
+    ±1 plane coefficients, sign pattern packed into an int) but computed
+    as one numpy matmul per Arrow batch instead of n_planes interpreted
+    ``zip_with``+``aggregate`` passes per row — the same vectorization
+    trade as :func:`ivf_assign`.  Embarrassingly parallel: no shuffle,
+    one row out per vector, original id/vector columns preserved.
+    """
+    import hashlib
+
+    import numpy as np
+
+    planes = np.array(
+        [
+            [
+                1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest(), 16) % 2 else -1.0
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+    )  # (n_planes, dim)
+    weights = np.array([1 << p for p in range(n_planes)], dtype="int64")
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[id_col], df.schema[vec_col], StructField(out_col, LongType())]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            proj = V @ planes.T  # (rows, n_planes)
+            buckets = ((proj > 0).astype("int64") * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], out_col: buckets}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(batches, out_schema)

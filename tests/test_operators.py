@@ -790,3 +790,28 @@ def test_connected_components_transitive_clusters(spark):
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iter=2)
     assert {r.cluster_id for r in dedup.connected_components(chain).collect()} == {0}
+
+
+def test_hyperplane_bucket_arrow_parity(spark):
+    """The Arrow-batched bucket assignment must be value-identical to the
+    expression form (same md5 plane coefficients, same sign packing) —
+    it's the swap-in for high-dimensional corpora where n_planes
+    interpreted zip_with passes per row dominate."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = {
+        r.vec_id: r.b
+        for r in df.withColumn(
+            "b", similarity.hyperplane_bucket(F.col("embedding"), 16, 8).cast("long")
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: r.lsh_bucket
+        for r in similarity.with_hyperplane_bucket_arrow(
+            df, "vec_id", "embedding", 16, 8
+        ).collect()
+    }
+    assert expr == arrow

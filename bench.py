@@ -70,6 +70,8 @@ EXTENDED = [
     "promql_binop_group_left",
     "promql_vector_unless",
     "promql_subquery_max_rate",
+    "docs_neardup_clusters",
+    "docs_curation_full",
 ]
 
 

@@ -111,6 +111,7 @@ _PRIORITY = [
     "promql_subquery_max_rate",
     "docs_neardup_clusters",
     "emb_neardup_clusters",
+    "docs_curation_full",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

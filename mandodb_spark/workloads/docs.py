@@ -123,7 +123,7 @@ def docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_T)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(source: str = "documents") -> str:
     n, bands = dedup.N_HASHES, dedup.N_BANDS
     rpb = n // bands
     # numeric 32-bit minhash slices (mirrors _minhash_cols: 8-hex-digit
@@ -145,7 +145,7 @@ def _minhash_sql() -> str:
 WITH sh AS (
     SELECT DISTINCT doc_id,
            substr(lower(text), CAST(p.range AS INTEGER), {dedup.SHINGLE_LEN}) AS sh
-    FROM documents,
+    FROM {source},
          unnest(range(1, greatest(length(text) - {dedup.SHINGLE_LEN - 1}, 1) + 1, {dedup.SHINGLE_STRIDE})) AS p(range)
 ), sizes AS (
     SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
@@ -676,3 +676,102 @@ FROM cc GROUP BY cluster_id
 
 QUERIES["docs_neardup_clusters"] = docs_neardup_clusters
 ORACLES["docs_neardup_clusters"] = DOCS_NEARDUP_CLUSTERS_SQL
+
+
+def docs_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline WITH the near-dup stage — the complete
+    pretraining-data composition: quality gate → repetition gate → exact
+    dedup → MinHash near-dup CLUSTER drop (transitive: only each
+    cluster's min-id doc survives) → language-stratified deterministic
+    sample → per-(lang, source) stats.
+
+    Near-dup pairs are computed over the exact-dedup survivors only (the
+    gates prune before the expensive stage — pipeline ordering is the
+    optimization), materialized to a scratch edge table, and collapsed
+    with :func:`operators.dedup.connected_components`."""
+    import tempfile
+
+    from ..operators import sampling
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        text.quality_score(t).alias("q"),
+        text.token_count(t).alias("n_tokens"),
+        text.bow_fingerprint(t).alias("fp"),
+    ).filter(F.col("q") >= CURATE_MIN_QUALITY)
+    rep = text.repetition_stats(d, "doc_id", "text").select("doc_id", "top_bigram_frac")
+    gated = scored.join(rep, "doc_id").filter(F.col("top_bigram_frac") <= CURATE_MAX_TOP_BIGRAM)
+    keepers = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(keepers, ["fp", "doc_id"], "left_semi")
+
+    kept_docs = d.select("doc_id", "text").join(kept.select("doc_id"), "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(kept_docs, "doc_id", "text", JACCARD_T)
+    scratch = tempfile.mkdtemp(prefix="mandodb_curate_cc_") + "/pairs"
+    pairs.write.mode("overwrite").parquet(scratch)
+    cc = dedup.connected_components(spark.read.parquet(scratch))
+    drop = cc.filter(F.col("id") != F.col("cluster_id")).select(F.col("id").alias("doc_id"))
+    final = kept.join(drop, "doc_id", "left_anti")
+
+    sampled = sampling.stratified_sample(final, "doc_id", "lang", CURATE_RATES)
+    return sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
+def _curation_full_sql() -> str:
+    from ..operators.sampling import hash_unit_sql
+
+    rep_sql = text.repetition_stats_sql("documents", "doc_id", "text")
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN {r}" for v, r in sorted(CURATE_RATES.items())
+    ) + " ELSE 0.0 END"
+    return f"""
+WITH RECURSIVE rep AS ({rep_sql}),
+scored AS (
+    SELECT doc_id, lang, source,
+           {_Q_EXPR} AS q,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+    FROM (SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents)
+    WHERE {_Q_EXPR} >= {CURATE_MIN_QUALITY}
+),
+gated AS (
+    SELECT s.* FROM scored s JOIN rep r USING (doc_id)
+    WHERE r.top_bigram_frac <= {CURATE_MAX_TOP_BIGRAM}
+),
+keepers AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+kept AS (SELECT * FROM gated SEMI JOIN keepers USING (fp, doc_id)),
+kept_docs AS (SELECT d.doc_id, d.text FROM documents d SEMI JOIN kept USING (doc_id)),
+nd_pairs AS ({_minhash_sql("kept_docs")}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM nd_pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM nd_pairs
+),
+reach AS (
+    SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges)
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cc AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+nd_drop AS (SELECT id AS doc_id FROM cc WHERE id <> cluster_id),
+final AS (SELECT * FROM kept ANTI JOIN nd_drop USING (doc_id)),
+sampled AS (SELECT * FROM final WHERE {hash_unit_sql('doc_id')} < {rate})
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q), 4) AS avg_quality
+FROM sampled
+GROUP BY lang, source
+"""
+
+
+DOCS_CURATION_FULL_SQL = _curation_full_sql()
+
+QUERIES["docs_curation_full"] = docs_curation_full
+ORACLES["docs_curation_full"] = DOCS_CURATION_FULL_SQL

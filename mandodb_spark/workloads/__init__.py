@@ -112,6 +112,8 @@ _PRIORITY = [
     "docs_neardup_clusters",
     "emb_neardup_clusters",
     "docs_curation_full",
+    "tsdb_label_cardinality",
+    "tsdb_anomaly_zscore",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

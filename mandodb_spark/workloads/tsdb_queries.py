@@ -408,6 +408,91 @@ FROM f WHERE value IS NOT NULL
 """
 
 
+def tsdb_label_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label-name distinct-value cardinality over the range — the
+    cardinality-explosion diagnostic every TSDB operator runs (the
+    reference's label registry, label.go:40-77, is exactly this map;
+    here it is one explode + a two-key distinct agg with map-side
+    partials, and at 100 TB the approx_count_distinct drop-in makes it a
+    sketch merge)."""
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+    )
+    return (
+        rel.select(F.explode(F.col("labels")).alias("name", "value"))
+        .groupBy("name")
+        .agg(F.countDistinct("value").alias("n_values"))
+        .orderBy(F.desc("n_values"), "name")
+    )
+
+
+TSDB_LABEL_CARDINALITY_SQL = f"""{_REL},
+d AS (SELECT * FROM rel WHERE {_TIME}),
+pairs AS (
+    SELECT '__name__' AS name, metric AS value FROM d
+    UNION ALL SELECT 'user', user FROM d
+    UNION ALL SELECT 'k', k FROM d
+)
+SELECT name, CAST(count(DISTINCT value) AS BIGINT) AS n_values
+FROM pairs GROUP BY name
+ORDER BY n_values DESC, name
+"""
+
+
+def tsdb_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per metric stream: each sample
+    scored against the mean/stddev of the PREVIOUS 20 samples of its
+    metric (one ordered window pass, fully-tiebroken order so both
+    engines walk the identical sequence); |z| > 2.5 flags the anomaly.
+    The alerting primitive a monitoring TSDB runs continuously — at
+    per-series granularity the same window keys on series_key, the
+    partitioning every range function already uses."""
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+    )
+    metric = F.col("labels").getItem("__name__")
+    user, k = F.col("labels").getItem("user"), F.col("labels").getItem("k")
+    dedup = rel.groupBy(
+        metric.alias("metric"), user.alias("user"), k.alias("k"), F.col("ts")
+    ).agg(F.max("value").alias("value"))
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("ts", "user", "k")
+        .rowsBetween(-20, -1)
+    )
+    return (
+        dedup.withColumn("__mu", F.avg("value").over(w))
+        .withColumn("__sd", F.stddev_samp("value").over(w))
+        .withColumn("__n", F.count("value").over(w))
+        .filter((F.col("__n") >= 10) & (F.col("__sd") > 0))
+        .withColumn("z", F.round((F.col("value") - F.col("__mu")) / F.col("__sd"), 4))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("metric", "user", "k", "ts", F.round("value", 4).alias("value"), "z")
+    )
+
+
+TSDB_ANOMALY_ZSCORE_SQL = f"""{_REL},
+d AS (
+    SELECT metric, user, k, ts, max(value) AS value
+    FROM rel WHERE {_TIME}
+    GROUP BY metric, user, k, ts
+),
+s AS (
+    SELECT metric, user, k, ts, value,
+           avg(value) OVER w AS mu,
+           stddev_samp(value) OVER w AS sd,
+           count(value) OVER w AS n
+    FROM d
+    WINDOW w AS (PARTITION BY metric ORDER BY ts, user, k
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT metric, user, k, ts, round(CAST(value AS DOUBLE), 4) AS value,
+       round(CAST((value - mu) / sd AS DOUBLE), 4) AS z
+FROM s
+WHERE n >= 10 AND sd > 0 AND abs((value - mu) / sd) > 2.5
+"""
+
+
 QUERIES = {
     "tsdb_range_rows": tsdb_range_rows,
     "tsdb_downsample": tsdb_downsample,
@@ -418,6 +503,8 @@ QUERIES = {
     "tsdb_series_agg": tsdb_series_agg,
     "tsdb_distinct_series": tsdb_distinct_series,
     "tsdb_label_values": tsdb_label_values,
+    "tsdb_label_cardinality": tsdb_label_cardinality,
+    "tsdb_anomaly_zscore": tsdb_anomaly_zscore,
     "tsdb_bucket_stats": tsdb_bucket_stats,
     "tsdb_retention": tsdb_retention,
     "tsdb_latest_point": tsdb_latest_point,
@@ -434,6 +521,8 @@ ORACLES = {
     "tsdb_series_agg": TSDB_SERIES_AGG_SQL,
     "tsdb_distinct_series": TSDB_DISTINCT_SERIES_SQL,
     "tsdb_label_values": TSDB_LABEL_VALUES_SQL,
+    "tsdb_label_cardinality": TSDB_LABEL_CARDINALITY_SQL,
+    "tsdb_anomaly_zscore": TSDB_ANOMALY_ZSCORE_SQL,
     "tsdb_bucket_stats": TSDB_BUCKET_STATS_SQL,
     "tsdb_retention": TSDB_RETENTION_SQL,
     "tsdb_latest_point": TSDB_LATEST_POINT_SQL,

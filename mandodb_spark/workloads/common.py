@@ -5,9 +5,13 @@ Every query here runs against the driver's testdata tables
 oracle executed by DuckDB on the same files (SURVEY.md §2.9).
 
 Cross-engine ground rules (all empirically verified):
-- ``events.ts`` is parquet TIMESTAMP(NANOS) — Spark needs
-  ``spark.sql.legacy.parquet.nanosAsLong=true`` and sees a BIGINT of
-  nanoseconds; unix seconds = ``ts DIV 1e9``.  DuckDB coerces to
+- ``events.ts`` physical parquet type has DRIFTED across driver testdata
+  generations (TIMESTAMP(NANOS) through round 3; ``timestamp[us]`` →
+  Spark TIMESTAMP_NTZ since round 4).  The loaders below branch on the
+  *observed* Spark dtype rather than assuming one: ``bigint`` (nanos via
+  ``nanosAsLong``) → ``ts DIV 1e9``; ``timestamp*`` →
+  ``unix_seconds(cast(ts as timestamp))`` (NTZ→LTZ is wall-clock
+  preserving under the pinned UTC session).  DuckDB coerces either to
   micros; ``CAST(floor(epoch(ts)) AS BIGINT)`` gives the identical second.
 - ``lineitem/orders`` timestamps are micros → Spark TIMESTAMP_NTZ;
   ``to_date`` ↔ ``CAST(x AS DATE)`` agree (session timezone pinned UTC).
@@ -57,10 +61,45 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts_dtype(ev: DataFrame) -> str:
+    """Observed Spark dtype of the raw ``ts`` column."""
+    return dict(ev.dtypes)["ts"]
+
+
+def _ts_seconds(dtype: str):
+    """Expression converting raw ``ts`` of ``dtype`` to unix seconds (BIGINT).
+
+    ``bigint`` columns are int64 nanoseconds (parquet TIMESTAMP(NANOS) read
+    under ``nanosAsLong``); ``timestamp``/``timestamp_ntz`` columns convert
+    via an NTZ→LTZ cast (wall-clock preserving under the UTC session —
+    a bare ``cast("long")`` on TIMESTAMP_NTZ is an AnalysisException).
+    """
+    if dtype == "bigint":
+        return F.expr("ts DIV 1000000000")
+    return F.unix_seconds(F.col("ts").cast("timestamp"))
+
+
+def _ts_range_pred(dtype: str, start: int, end: int):
+    """Pushdown-safe predicate for ``ts`` within ``[start, end]`` seconds.
+
+    The comparison stays in the column's native type — bigint bounds for
+    nanosecond columns, foldable timestamp literals for timestamp columns —
+    so the range reaches the Parquet scan as a PushedFilters entry instead
+    of wrapping the column in a cast (which would defeat pushdown).
+    """
+    if dtype == "bigint":
+        return F.col("ts").between(start * 1_000_000_000, (end + 1) * 1_000_000_000 - 1)
+    lo = F.timestamp_seconds(F.lit(start))
+    hi = F.timestamp_seconds(F.lit(end + 1))
+    if dtype.startswith("timestamp_ntz"):
+        lo, hi = lo.cast("timestamp_ntz"), hi.cast("timestamp_ntz")
+    return (F.col("ts") >= lo) & (F.col("ts") < hi)
+
+
 def events_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized to unix seconds (BIGINT)."""
     ev = load(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.expr("ts DIV 1000000000"))
+    return ev.withColumn("ts", _ts_seconds(_ts_dtype(ev)))
 
 
 def events_tsdb_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,16 +130,18 @@ def events_relation(
     ``labels['__name__'] = 'x'`` becomes ``event_type = 'x'``, a predicate
     the Parquet scan can take (and unused label values, e.g. the
     regexp_extract for ``k``, are never computed at all).  The optional
-    [start, end] second-window is applied to the *raw nanosecond* column
-    before conversion so it reaches the scan as a pushable range predicate
-    — the engine re-applies the exact second-level filter afterwards.
+    [start, end] second-window is applied to the *raw* ``ts`` column in its
+    native type before conversion so it reaches the scan as a pushable
+    range predicate — the engine re-applies the exact second-level filter
+    afterwards.
     """
     from ..model import seg_bucket, series_key
 
     ev = load(spark, sf_dir, "events")
+    dtype = _ts_dtype(ev)
     if start is not None and end is not None:
-        ev = ev.filter(F.col("ts").between(start * 1_000_000_000, (end + 1) * 1_000_000_000 - 1))
-    ev = ev.withColumn("ts", F.expr("ts DIV 1000000000"))
+        ev = ev.filter(_ts_range_pred(dtype, start, end))
+    ev = ev.withColumn("ts", _ts_seconds(dtype))
     labels = F.create_map(
         F.lit("__name__"), F.col("event_type"),
         F.lit("k"), F.regexp_extract(F.col("props"), "[0-9]+", 0),

@@ -22,11 +22,12 @@ from mandodb_spark.plans import pushed_filters, shuffle_count
 
 
 def test_events_adapter_pushes_time_and_metric(spark):
-    """The events→TSDB adapter must push the raw-nanos time range AND the
-    metric equality into the Parquet scan."""
+    """The events→TSDB adapter must push the native-type time range AND the
+    metric equality into the Parquet scan (int64-ns data pushes an
+    inclusive BETWEEN; timestamp data pushes >= start / < end+1s)."""
     plan = _formatted(tsdb_range_rows(spark, "/root/testdata/sf0.001"))
     assert "GreaterThanOrEqual(ts," in plan
-    assert "LessThanOrEqual(ts," in plan
+    assert "LessThanOrEqual(ts," in plan or "LessThan(ts," in plan
     assert "EqualTo(event_type,purchase)" in plan
 
 

@@ -1,0 +1,86 @@
+"""Schema-drift contract for the events loaders.
+
+Round 4 proved physical-type drift in the driver's testdata is a real
+failure mode: ``events.ts`` silently changed from parquet TIMESTAMP(NANOS)
+(read as int64 nanoseconds under ``nanosAsLong``) to ``timestamp[us]``
+(TIMESTAMP_NTZ), and every events query died at analysis time.  These
+tests pin the contract that ``events_base`` / ``events_relation``
+normalize BOTH physical encodings to identical unix seconds, and that the
+time-range predicate still reaches the Parquet scan as a PushedFilters
+entry in both cases.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mandodb_spark.plans import formatted_plan
+from mandodb_spark.workloads.common import events_base, events_relation
+
+# Three points: inside the window, at the window edge, outside it.
+SECONDS = [1_704_412_900, 1_704_499_200, 1_705_276_800]
+START, END = 1_704_412_800, 1_705_276_799  # [start, end] inclusive seconds
+
+
+def _write_events(path: str, ts_array: pa.Array) -> str:
+    n = len(ts_array)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["purchase"] * n),
+            "value": pa.array([1.5] * n, pa.float64()),
+            "props": pa.array(["k=42"] * n),
+        }
+    )
+    pq.write_table(table, path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("schema_drift")
+    micros = base / "micros"
+    nanos = base / "nanos"
+    micros.mkdir()
+    nanos.mkdir()
+    _write_events(
+        str(micros / "events.parquet"),
+        pa.array([s * 1_000_000 for s in SECONDS], pa.timestamp("us")),
+    )
+    _write_events(
+        str(nanos / "events.parquet"),
+        pa.array([s * 1_000_000_000 for s in SECONDS], pa.timestamp("ns")),
+    )
+    return str(micros), str(nanos)
+
+
+def test_events_base_normalizes_both_encodings(spark, fixture_dirs):
+    for d in fixture_dirs:
+        df = events_base(spark, d)
+        assert dict(df.dtypes)["ts"] == "bigint"
+        assert sorted(r.ts for r in df.select("ts").collect()) == SECONDS
+
+
+def test_events_relation_window_identical_across_encodings(spark, fixture_dirs):
+    results = []
+    for d in fixture_dirs:
+        rel = events_relation(spark, d, START, END)
+        rows = sorted(
+            (r.ts, r.value, tuple(sorted(r.labels.items()))) for r in rel.collect()
+        )
+        results.append(rows)
+    assert results[0] == results[1]
+    # the third point (== END+1 second) is excluded by the inclusive window
+    assert [ts for ts, _, _ in results[0]] == SECONDS[:2]
+
+
+def test_time_range_pushdown_survives_both_encodings(spark, fixture_dirs):
+    for d in fixture_dirs:
+        plan = formatted_plan(events_relation(spark, d, START, END))
+        pushed = plan.split("PushedFilters", 1)[1][:400]
+        assert "GreaterThanOrEqual(ts," in pushed
+        assert "LessThanOrEqual(ts," in pushed or "LessThan(ts," in pushed

@@ -39,17 +39,20 @@ _ALL_ORACLES = {
 }
 
 # Registry order matters: the correctness driver verifies the first N entries
-# (N=50 in rounds 1-2), so rotation policy per VERDICT r2 §Next-round #1:
-# the 45 queries whose only green row is CORRECTNESS_r01 come first (their
-# implementations are unchanged but "green last round" is weaker than "green
-# now"), then the queries whose implementation/oracle changes in round 3
-# (simhash 64-bit rewrite, minhash perf restructure, gapfill winner,
-# promql_changes semantics fix).  That fills the 50-slot window exactly.
-# New round-3 queries sit immediately after slot 50 so a driver that honors
-# more than 50 entries (all 95 are registered) verifies them too; otherwise
-# they rotate into the r4 window.
+# (N=50), so rotation policy per VERDICT r4 §Next-round #3.  The round-5
+# window, exactly 50 slots:
+#   * the 23 queries red in CORRECTNESS_r04 (the events-loader schema break,
+#     fixed this round) — every one must show a green current-round row;
+#   * the 11 round-3 queries that have NEVER had a driver row (they sat
+#     after slot 50 for two consecutive rounds);
+#   * the 11 events_* and 3 stream_*_dual queries — green in r2 but built
+#     on the rewritten events loader, so "green on the old loader" is stale;
+#   * docs_simhash_neardup + docs_minhash_pairs, whose implementations
+#     change this round (fingerprint materialization / perf work).
+# TPC-H and the core docs queries were green in r4 with code unchanged —
+# they rotate out and remain registered after slot 50.
 _PRIORITY = [
-    # -- only r1 driver rows; rotate back in (VERDICT r2 "What's missing" #1) --
+    # -- red in r4; loader fixed this round --
     "tsdb_range_rows",
     "tsdb_downsample",
     "tsdb_eq_match",
@@ -64,6 +67,7 @@ _PRIORITY = [
     "tsdb_rate",
     "tsdb_regex_via_dim",
     "tsdb_label_dim",
+    "tsdb_gapfill",
     "promql_increase",
     "promql_rate",
     "promql_avg_over_time",
@@ -71,49 +75,38 @@ _PRIORITY = [
     "promql_quantile_over_time",
     "promql_resets",
     "promql_topk",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_window_rank",
-    "tpch_rollup",
-    "tpch_orders_status",
-    "docs_token_stats",
-    "docs_top_bigrams",
-    "docs_bpe_token_stats",
-    "docs_quality",
-    "docs_langid",
-    "docs_fingerprint_dedup",
-    # -- implementation or oracle changed in round 3 (must re-verify) --
-    "docs_simhash",
-    "docs_simhash_neardup",
-    "docs_minhash_pairs",
-    "tsdb_gapfill",
     "promql_changes",
-    # ---- slot 50 boundary ----
-    # -- new in round 3 (verified if the driver honors >50 entries) --
+    # -- never driver-verified (added round 3) --
     "promql_binop_on",
     "promql_binop_group_left",
     "promql_vector_unless",
+    "promql_subquery_max_rate",
     "emb_knn_join",
     "docs_token_entropy",
-    "promql_subquery_max_rate",
     "docs_neardup_clusters",
     "emb_neardup_clusters",
     "docs_curation_full",
     "tsdb_label_cardinality",
     "tsdb_anomaly_zscore",
+    # -- downstream of the rewritten events loader --
+    "events_sessionize",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_sql_surface",
+    "events_set_ops",
+    "events_error_window_join",
+    "events_hourly",
+    "events_pivot",
+    "events_topk_users",
+    "events_asof_click",
+    "events_user_cardinality_approx",
+    "stream_tumbling_dual",
+    "stream_sliding_dual",
+    "stream_session_dual",
+    # -- implementation changes this round --
+    "docs_simhash_neardup",
+    "docs_minhash_pairs",
+    # ---- slot 50 boundary ----
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

@@ -241,6 +241,21 @@ def simhash_band_pairs(hashes: DataFrame, id_col: str, hash_col: str = "simhash"
     Shift-and-mask band extraction is sign-safe: arithmetic shiftright's
     sign-extension is cut off by the mask, so bit 63 (the BIGINT sign bit)
     is just another fingerprint bit on both engines.
+
+    Shape: bucket-grouped pair expansion, the same as minhash's
+    :func:`lsh_candidate_pairs` — ONE shuffle on (band, band-value), sorted
+    member structs per bucket, i<j expansion through two chained JVM
+    generators, ``MAX_BUCKET_MEMBERS`` capping degenerate buckets.  This
+    SINGLE-LINEAGE form replaced the earlier self-equi-join: the join
+    aliased the fingerprint subplan twice, and because MapInPandas nodes do
+    not canonicalize equal, neither ReuseExchange nor AQE stage reuse fired
+    (verified empirically) — the Arrow fingerprint pass over the whole
+    corpus ran once per join side.  Bucket-grouping references the
+    fingerprints exactly once, with no persisted state.  (The r2-era
+    objection to bucket-grouping — one 8-bit band value holding 3.2k of 5k
+    docs — died with the 8-bit bands; at 16 bits, collisions are true
+    near-dups and buckets stay small by construction, with the cap as the
+    degenerate-corpus guard, same semantics as minhash.)
     """
     bits_per_band = n_bits // n_bands
     mask = (1 << bits_per_band) - 1
@@ -254,30 +269,23 @@ def simhash_band_pairs(hashes: DataFrame, id_col: str, hash_col: str = "simhash"
             for b in range(n_bands)
         ]
     )
-    # Deliberately the STREAMING equi-join shape, NOT bucket-grouping: a
-    # simhash band has only 2^bits_per_band values and near-duplicate
-    # corpora cluster hard (measured sf0.1: one 8-bit band value holds 3.2k
-    # of 5k docs → 5.3M pairs).  The join streams those k² rows through
-    # codegen'd filter; a collect_list bucket array would materialize them
-    # in one task's memory and expand pairs in an interpreted lambda
-    # (measured: >300 s vs seconds).  The upstream simhash relation is
-    # recomputed once per side, but it is a single Arrow/expression pass —
-    # the cheap part.  minhash's lsh_candidate_pairs makes the opposite
-    # choice because its band hash is 4 chained minhashes: collisions there
-    # are true near-dups, so buckets stay small by construction.
     exploded = (
         hashes.select(F.col(id_col), h.alias("__h"), F.explode(bands).alias("e"))
         .select(F.col(id_col), F.col("__h"), F.col("e.band").alias("band"), F.col("e.bv").alias("bv"))
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band", "bv")
+        .agg(F.slice(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("__h").alias("h")))), 1, MAX_BUCKET_MEMBERS).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        buckets.select(F.posexplode("ms").alias("__i", "a"), F.col("ms"))
+        .select("a", F.expr("explode(slice(ms, __i + 2, size(ms)))").alias("b"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__h").alias("__ha"),
-            F.col("b.__h").alias("__hb"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("__ha"),
+            F.col("b.h").alias("__hb"),
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("long"))
@@ -437,46 +445,92 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     min agg per round); converges in graph-diameter rounds.  Near-dup
     graphs are LSH-cluster unions — diameter is small by construction —
     and the loop is DRIVER CONTROL ONLY (a convergence count per round;
-    no row data ever reaches the driver).  At 100 TB you would run the
-    same propagation over a checkpointed edge table (GraphFrames' CC is
-    this algorithm); here rounds are few enough that plain lineage is
-    cheaper than materializing per round.
+    no row data ever reaches the driver).
+
+    Lineage is TRUNCATED per round with ``localCheckpoint``: the edge
+    table is materialized once (so the expensive upstream pair generation
+    — minhash/simhash — runs exactly once, not once per round), and each
+    round's label table is materialized before the convergence count, so
+    round N's executed plan is one join + one agg over two cached tables
+    — constant depth and shuffle count, instead of re-executing all prior
+    rounds from scratch (O(rounds²)).  GraphFrames' CC uses the identical
+    checkpoint-per-round structure.  On a multi-executor cluster, swap
+    ``localCheckpoint`` for a reliable ``checkpoint`` dir to survive
+    executor loss.
+
+    Storage hygiene (ADVICE r1, same registry pattern as
+    ``sources.memory_store``): every intermediate checkpoint — the
+    directed pairs, the edge table, each superseded round's labels — is
+    unpersisted as soon as the next one materializes.  Exactly ONE
+    persisted RDD outlives the call: the converged label table that backs
+    the returned (lazy) DataFrame.  It is O(nodes-with-an-edge) — tiny
+    next to the corpus — and a long-lived session accumulates one such
+    table per CC invocation, not one per round.
 
     Raises after ``max_iter`` rounds without convergence (a pathological
     graph should be loud, not silently half-merged).
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
+    spark = pairs.sparkSession
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, list[int]]:
+        """Eager localCheckpoint + the persisted RDD ids it created
+        (``Dataset.unpersist`` can't free a localCheckpoint — release
+        goes through the context registry, as in memory_store)."""
+        registry = spark.sparkContext._jsc.getPersistentRDDs()
+        before = {rid for rid in registry.keySet().toArray()}
+        out = df.localCheckpoint(eager=True)
+        registry = spark.sparkContext._jsc.getPersistentRDDs()
+        return out, [rid for rid in registry.keySet().toArray() if rid not in before]
+
+    def _release(rdd_ids: list[int]) -> None:
+        registry = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in rdd_ids:
+            rdd = registry.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+
+    # Checkpoint the directed pair list FIRST: the symmetrization union
+    # below references the pairs plan twice, and without truncation each
+    # branch would re-execute the entire upstream pair-generation pipeline
+    # (minhash/simhash — the expensive part) once.
+    directed, directed_ids = _ckpt(pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
+    edges, edge_ids = _ckpt(
+        directed.union(directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     )
+    _release(directed_ids)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
-                (F.col("nmin") < F.col("cluster_id")).alias("__changed"),
+    held: list[int] = []
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nmin"))
             )
+            updated, round_ids = _ckpt(
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                    (F.col("nmin") < F.col("cluster_id")).alias("__changed"),
+                )
+            )
+            changed = updated.filter(F.col("__changed")).limit(1).count()
+            _release(held)
+            held = round_ids
+            labels = updated.drop("__changed")
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the bound — raise max_iter)"
         )
-        changed = updated.filter(F.col("__changed")).limit(1).count()
-        labels = updated.drop("__changed")
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(graph diameter exceeds the bound — raise max_iter)"
-    )
+    finally:
+        _release(edge_ids)
 
 
 def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:

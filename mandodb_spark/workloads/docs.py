@@ -643,16 +643,12 @@ def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop table a dedup pipeline actually applies (A~B plus B~C must
     collapse to one kept doc even when A~C was never a candidate).
 
-    The pair list is MATERIALIZED to a scratch Parquet table before the
-    label-propagation loop — the checkpointed edge table of a production
-    CC run: each round then reads a tiny table instead of re-deriving the
-    whole shingle→minhash→verify lineage per convergence check."""
-    import tempfile
-
+    :func:`operators.dedup.connected_components` checkpoints the edge
+    table internally (so the shingle→minhash→verify lineage runs exactly
+    once, not once per convergence round) — no scratch materialization
+    needed here."""
     pairs = dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_T)
-    scratch = tempfile.mkdtemp(prefix="mandodb_cc_edges_") + "/pairs"
-    pairs.write.mode("overwrite").parquet(scratch)
-    return dedup.neardup_clusters(spark.read.parquet(scratch))
+    return dedup.neardup_clusters(pairs)
 
 
 DOCS_NEARDUP_CLUSTERS_SQL = f"""
@@ -687,10 +683,9 @@ def docs_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Near-dup pairs are computed over the exact-dedup survivors only (the
     gates prune before the expensive stage — pipeline ordering is the
-    optimization), materialized to a scratch edge table, and collapsed
-    with :func:`operators.dedup.connected_components`."""
-    import tempfile
-
+    optimization) and collapsed with
+    :func:`operators.dedup.connected_components`, which checkpoints the
+    edge table internally."""
     from ..operators import sampling
 
     d = load(spark, sf_dir, "documents")
@@ -710,9 +705,7 @@ def docs_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kept_docs = d.select("doc_id", "text").join(kept.select("doc_id"), "doc_id", "left_semi")
     pairs = dedup.minhash_lsh_pairs(kept_docs, "doc_id", "text", JACCARD_T)
-    scratch = tempfile.mkdtemp(prefix="mandodb_curate_cc_") + "/pairs"
-    pairs.write.mode("overwrite").parquet(scratch)
-    cc = dedup.connected_components(spark.read.parquet(scratch))
+    cc = dedup.connected_components(pairs)
     drop = cc.filter(F.col("id") != F.col("cluster_id")).select(F.col("id").alias("doc_id"))
     final = kept.join(drop, "doc_id", "left_anti")
 

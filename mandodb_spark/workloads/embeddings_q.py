@@ -409,16 +409,13 @@ ORACLES["emb_knn_join"] = EMB_KNN_JOIN_SQL
 def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive embedding near-dup clusters over the hyperplane-bucket
     pair list (same CC machinery as docs_neardup_clusters: A≈B plus B≈C
-    in different buckets still collapse to one kept vector).  Pairs are
-    materialized to a scratch edge table before the propagation loop."""
-    import tempfile
-
+    in different buckets still collapse to one kept vector).  The CC
+    operator checkpoints the edge table internally — the Arrow pairwise
+    stage runs exactly once."""
     from ..operators import dedup as _dedup
 
     pairs = emb_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
-    scratch = tempfile.mkdtemp(prefix="mandodb_cc_emb_") + "/pairs"
-    pairs.write.mode("overwrite").parquet(scratch)
-    return _dedup.neardup_clusters(spark.read.parquet(scratch))
+    return _dedup.neardup_clusters(pairs)
 
 
 EMB_NEARDUP_CLUSTERS_SQL = f"""

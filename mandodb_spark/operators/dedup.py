@@ -386,12 +386,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
       intersects them row-wise (``array_intersect`` is hash-based,
       O(|a|+|b|)).  Round 2 built the arrays for the whole corpus on both
       join roles — two extra full-corpus shingle passes that the bench
-      caught as a 71% regression (VERDICT r2).
+      caught as a 71% regression (VERDICT r2);
+    - every expensive subplan is SINGLE-REFERENCE (round-5 profile): the
+      candidate id set comes from ``explode(array(id_a, id_b))`` (one
+      reference to the candidate subplan, where the old two-branch union
+      re-executed it), and the verify joins the candidate-doc arrays ONCE
+      — pairs explode into (role, id) rows, join the arrays on id, and a
+      groupBy (id_a, id_b) folds the two roles back into one row.  That
+      replaced a per-role double join which re-scanned the corpus and
+      re-ran the signature pipeline once per role: executed plan went
+      from 7 parquet scans / 15 exchanges to 3 scans / 7 exchanges, with
+      the new cost being one candidate-bounded shuffle of shingle arrays
+      (pairs ≪ corpus by LSH construction, so that trade wins at scale).
 
-    At 100 TB: shuffle 1 = signature agg (map-side partial min), shuffle
-    2-3 = band buckets + pair distinct (signature-sized, 8 longs/doc),
-    verify ∝ candidates.  The LSH collision set, never n², bounds the
-    verify cost.
+    At 100 TB: 2 signature-pipeline executions (one feeding candidates,
+    one feeding the broadcast id set — the un-persisted floor), 1 corpus
+    scan for candidate arrays, verify ∝ candidates.  The LSH collision
+    set, never n², bounds the verify cost.  Remaining local-mode cost is
+    per-stage scheduling, not compute — see SCALE.md's minhash profile.
     """
     lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
     positions = F.sequence(
@@ -411,22 +423,40 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     cands = _bucket_pairs(buckets)
     # No distinct: duplicate ids in a broadcast semi-join's build set are
-    # free, and dropping it removes a whole shuffle stage.
-    cand_ids = cands.select(F.col("id_a").alias(id_col)).union(
-        cands.select(F.col("id_b"))
-    )
+    # free, and dropping it removes a whole shuffle stage.  explode(array)
+    # references the candidate subplan ONCE; a two-branch union would
+    # execute it once per branch (MapInPandas-free, but exchange reuse
+    # still doesn't fire across the union — measured).
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
     shingle_arr = F.array_distinct(char_shingles(F.lower(F.col(text_col))))
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-        F.col(id_col), shingle_arr.alias("__sh")
+        F.col(id_col).alias("__cid"), shingle_arr.alias("__sh")
     )
-    docs_a = cand_docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
-    docs_b = cand_docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    # One join, not one per role: pairs explode to (role, id), pick up the
+    # array, and fold back per pair.  first(when(...), ignorenulls) is
+    # exactly one non-null per (pair, role) by construction.
+    tagged = cands.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("role"), F.col("id_a").alias("__cid")),
+                F.struct(F.lit("b").alias("role"), F.col("id_b").alias("__cid")),
+            )
+        ).alias("r"),
+    ).select("id_a", "id_b", F.col("r.role").alias("role"), F.col("r.__cid").alias("__cid"))
+    per_pair = (
+        tagged.join(cand_docs, "__cid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("role") == "a", F.col("__sh")), ignorenulls=True).alias("__sha"),
+            F.first(F.when(F.col("role") == "b", F.col("__sh")), ignorenulls=True).alias("__shb"),
+        )
+    )
     n_inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     n_union = F.size("__sha") + F.size("__shb") - n_inter
     return (
-        cands.join(docs_a, "id_a")
-        .join(docs_b, "id_b")
-        .withColumn("jaccard", F.round(n_inter.cast("double") / n_union, 4))
+        per_pair.withColumn("jaccard", F.round(n_inter.cast("double") / n_union, 4))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )

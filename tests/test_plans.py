@@ -223,20 +223,23 @@ def test_tfidf_vocabulary_dim_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_minhash_pipeline_single_corpus_scan_per_role(spark):
+def test_minhash_pipeline_single_reference_subplans(spark):
     """The fused near-dup pipeline must not self-join the signature
     subplan, must not nested-loop join, and the signature agg must stay a
     HashAggregate (numeric min — min(string) would silently fall to
-    SortAggregate).  7 static scans: signature pass, two verify-side
-    corpus scans, and the candidate-id broadcast subplans the verify
-    semi-joins on (identical subtrees — exchange reuse collapses them at
-    runtime; the static plan counts each).  The semi-join is the round-3
-    fix that builds shingle arrays for candidate docs only (VERDICT r2)."""
+    SortAggregate).  Exactly 3 static scans — exchange reuse does NOT
+    fire across these subtrees (measured round 5), so every scan in the
+    static plan executes: one signature pass feeding candidates, one
+    feeding the broadcast candidate-id set (the un-persisted floor of 2),
+    and ONE corpus scan for the candidate shingle arrays (the old
+    per-role double join re-scanned the corpus per side — 7 scans / 15
+    exchanges total).  The semi-join is the round-3 fix that builds
+    shingle arrays for candidate docs only (VERDICT r2)."""
     from mandodb_spark.workloads.docs import docs_minhash_pairs
 
     df = docs_minhash_pairs(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    assert plan.count("Scan parquet") == 7
+    assert plan.count("Scan parquet") == 3
     assert "LeftSemi" in plan  # arrays built post-filter, not corpus-wide
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashAggregate" in plan

@@ -124,6 +124,21 @@ def ingest_bench(spark, n_points: int = 2_000_000) -> tuple[float, float]:
     return n_points / best_dt, nbytes / n_points
 
 
+def calibration_canary(spark) -> float:
+    """A fixed, data-independent query (sum over a 50M range — pure JVM
+    codegen arithmetic) timed min-of-3.  Identical work every round, so
+    cross-round BENCH comparisons can be normalized for box load: if the
+    canary moved 2x, so did everything else (VERDICT r3 item #6 — the
+    r1→r3 suite drift was never attributable to code vs load)."""
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id * 2) as s").collect()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -133,9 +148,13 @@ def main() -> None:
 
     spark = get_spark("mandodb-spark-bench")
 
+    load_before = os.getloadavg()
+
     # Warm the JVM + file listing once so per-query times measure the plan,
     # not session bootstrap.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    canary_s = calibration_canary(spark)
 
     def run_suite(names: list[str]) -> tuple[dict[str, float], float]:
         timings: dict[str, float] = {}
@@ -176,6 +195,9 @@ def main() -> None:
                 "storage_bytes_per_point": round(bytes_per_point, 3),
                 "extended_suite_seconds": round(ext_total, 3),
                 "extended_queries": ext_timings,
+                "calibration_canary_seconds": canary_s,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -592,8 +592,18 @@ def binop(
       ``__name__``, plus any ``include`` labels copied from the "one" side
       (PromQL's ``group_left(extra)``).
     - Arithmetic ops produce ``lhs.value <op> rhs.value``.  Comparison ops
-      filter (keep the many/lhs sample when true) unless ``bool_mode``,
-      which yields 1.0/0.0 and keeps every matched row.
+      filter unless ``bool_mode``, which yields 1.0/0.0 and keeps every
+      matched row.
+
+    Comparison-filter semantics follow promql/engine.go exactly
+    (``vectorElemBinop`` + ``resultMetric``, pinned by
+    test_promql.py::test_cmp_filter_*): the surviving VALUE is always the
+    ORIGINAL lhs operand — under ``group_right`` that is the "one" side,
+    even though the output LABELS come from the "many" side — and
+    ``__name__`` is dropped only for ops where Prometheus drops it
+    (arithmetic, or comparisons with ``bool``); a plain filter comparison
+    keeps the metric name, since the sample value passes through
+    unchanged.
 
     Scale shape: one equi-join on the match-key string.  The "one" side is
     pre-collapsed by a hash aggregate (tiny after grouping — AQE broadcasts
@@ -610,6 +620,9 @@ def binop(
         raise ValueError("group must be None, 'left' or 'right'")
 
     lkey = canonical_labels_json(match_labels(F.col("labels"), on, ignoring))
+    # Prometheus drops __name__ for arithmetic and bool-mode comparisons
+    # only (shouldDropMetricName); a filter comparison keeps it.
+    keep_name = is_cmp and not bool_mode
 
     if group is None:
         left = _unique_side(
@@ -619,7 +632,15 @@ def binop(
             rhs.select(F.col("labels"), F.col("value")), lkey, "right"
         ).withColumnsRenamed({"labels": "__rlabels", "value": "__rv"})
         joined = left.join(right, "__mk")
-        out_labels = match_labels(F.col("__llabels"), on, ignoring)
+        if on is not None or not keep_name:
+            # on(): Keep(on-labels) — __name__ survives only if listed.
+            out_labels = match_labels(F.col("__llabels"), on, ignoring)
+        else:
+            # ignoring() + filter comparison: Del(ignored) only.
+            drop = F.array(*[F.lit(k) for k in (ignoring or [])])
+            out_labels = F.map_filter(
+                F.col("__llabels"), lambda k, _: ~F.array_contains(drop, k)
+            )
     else:
         many, one = (lhs, rhs) if group == "left" else (rhs, lhs)
         many = many.select(
@@ -632,7 +653,11 @@ def binop(
         lv = F.col("__mv") if group == "left" else F.col("__ov")
         rv = F.col("__ov") if group == "left" else F.col("__mv")
         joined = joined.withColumn("__lv", lv).withColumn("__rv", rv)
-        out_labels = F.map_filter(F.col("__mlabels"), lambda k, _: k != F.lit(METRIC_NAME_LABEL))
+        out_labels = (
+            F.col("__mlabels")
+            if keep_name
+            else F.map_filter(F.col("__mlabels"), lambda k, _: k != F.lit(METRIC_NAME_LABEL))
+        )
         if include:
             keep = F.array(*[F.lit(k) for k in include])
             extra = F.map_filter(F.col("__olabels"), lambda k, _: F.array_contains(keep, k))
@@ -646,7 +671,10 @@ def binop(
             value = F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
         else:
             joined = joined.filter(cond)
-            value = F.col("__mv") if group is not None else F.col("__lv")
+            # vectorElemBinop returns the ORIGINAL lhs operand — under
+            # group_right that is the "one" side's value, not the many
+            # side's (the pre-round-5 code kept __mv — ADVICE r4).
+            value = F.col("__lv")
     else:
         value = combine(F.col("__lv"), F.col("__rv"))
 

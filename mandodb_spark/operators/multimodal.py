@@ -269,8 +269,14 @@ AUDIO_STATS_SCHEMA = (
 def audio_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """Real-decode audio features (channels / rate / duration / RMS) per
     asset via :func:`decode_audio` in the standard Arrow-batched
-    mapInPandas shape; undecodable payloads degrade to error rows."""
-    import struct as _struct
+    mapInPandas shape; undecodable payloads degrade to error rows.
+
+    Sample decode is vectorized (``np.frombuffer`` + one reduction per
+    asset, not a per-sample Python loop).  8-bit PCM WAV is UNSIGNED with
+    midpoint 128 per the WAV spec — decoded as ``u1`` minus 128; a signed
+    ``'b'`` read (the pre-round-5 bug, ADVICE r4) wrapped every sample
+    above 127 and inflated RMS."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -278,10 +284,13 @@ def audio_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     ch, rate, width, frames = decode_audio(bytes(payload))
-                    fmt = {1: "b", 2: "h", 4: "i"}[width]
-                    vals = _struct.unpack(f"<{len(frames) // width}{fmt}", frames)
+                    if width == 1:
+                        vals = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+                    else:
+                        dtype = {2: "<i2", 4: "<i4"}[width]
+                        vals = np.frombuffer(frames, dtype=dtype).astype(np.float64)
                     n = len(vals)
-                    rms = (sum(v * v for v in vals) / n) ** 0.5 if n else 0.0
+                    rms = float(np.sqrt(np.mean(vals * vals))) if n else 0.0
                     rows.append(
                         (int(doc_id), ch, rate, n // ch, (n // ch) / rate, rms, None)
                     )

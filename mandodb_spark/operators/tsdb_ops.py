@@ -65,9 +65,12 @@ def refresh_label_dim(dest: str, batch: DataFrame) -> None:
     ``batch`` is any canonical-relation slice (must carry ``labels``).  The
     merged dim is written to a sibling tmp dir then swapped in with the
     old dim renamed ASIDE first and deleted last (ADVICE r2: rmtree-then-
-    rename left a window with no dim directory at all) — a dim directory
-    exists at every instant, and a crash mid-swap leaves the previous dim
-    recoverable at ``<dest>__old``.
+    rename left the WRITE duration as a no-dim window; the aside order
+    shrinks it to the instant between two renames — POSIX cannot
+    atomically replace a non-empty directory, so a reader listing in that
+    sub-millisecond gap sees FileNotFound and succeeds on retry).  A
+    crash mid-swap leaves the previous dim recoverable at
+    ``<dest>__old``.
     """
     import shutil
     from pathlib import Path

@@ -147,10 +147,15 @@ class SegmentStore:
         old data sits at ``<root>__old`` (rename it back to recover); after
         the second rename the new data is live and the leftover old/staging
         dirs are garbage, not truth.  A concurrent reader that re-queries
-        sees the old or the new directory listing, never a partially
-        rewritten partition (compare: dynamic partition overwrite commits
-        per partition, so a mid-compact reader could see segment A
-        compacted and segment B mid-commit).
+        never sees a PARTIALLY rewritten partition (compare: dynamic
+        partition overwrite commits per partition, so a mid-compact reader
+        could see segment A compacted and segment B mid-commit) — but the
+        swap is two renames, not one atomic op, so there IS a sub-
+        millisecond window with no root directory at all; a listing in
+        that instant surfaces as FileNotFound and succeeds on retry
+        (POSIX cannot atomically replace a non-empty directory; a real
+        deployment on object storage would swap a manifest/symlink
+        instead — Iceberg/Delta solve exactly this).
         """
         old = f"{self.root}__old"
         shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash

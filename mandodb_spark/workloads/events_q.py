@@ -349,8 +349,14 @@ ORACLES = {
 
 def events_user_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch cardinality per event type (approx_count_distinct) —
-    deliberately NO oracle entry: sketch estimates are engine-specific, so
-    the driver records the weaker rows-only check for this one."""
+    deliberately NO oracle entry (the one such exemption in the
+    registry): sketch estimates are engine-specific — Spark's HLL++ and
+    DuckDB's approx_count_distinct produce different register states, so
+    an exact value-hash compare is definitionally impossible.  The driver
+    records the weaker rows-only check; the VALUE correctness evidence is
+    test_operators.py::test_hll_estimate_within_error_bound, which bounds
+    the estimate against the exact distinct count at HLL++'s published
+    relative-error."""
     ev = events_base(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),

@@ -738,18 +738,18 @@ def test_resize_pixels_nearest_neighbor():
     assert len(small) == 3 * 2 * 3
 
 
-def _encode_wav(rate, samples):
+def _encode_wav(rate, samples, sampwidth=2):
     import io
+    import struct
     import wave
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
-        w.setsampwidth(2)
+        w.setsampwidth(sampwidth)
         w.setframerate(rate)
-        import struct
-
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        fmt = {1: "B", 2: "h"}[sampwidth]
+        w.writeframes(struct.pack(f"<{len(samples)}{fmt}", *samples))
     return buf.getvalue()
 
 
@@ -769,6 +769,21 @@ def test_audio_stats_real_wav_decode_through_spark(spark):
     assert ok.rms == pytest.approx(10000.0)
     assert ok.decode_error is None
     assert out[2].sample_rate is None and "WAV" in out[2].decode_error
+
+
+def test_audio_stats_8bit_wav_is_unsigned_midpoint_128(spark):
+    """8-bit PCM WAV stores UNSIGNED bytes centered at 128 (WAV spec) — a
+    ±100 square wave encodes as alternating 228/28 and its RMS after the
+    midpoint shift is exactly 100.  The pre-round-5 signed read ('b')
+    wrapped 228 to -28 and reported ~28 instead (ADVICE r4)."""
+    rate = 8000
+    samples = [228 if i % 2 == 0 else 28 for i in range(rate)]  # ±100 around 128
+    wav = _encode_wav(rate, samples, sampwidth=1)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, payload binary")
+    ok = multimodal.audio_stats(df, "doc_id", "payload").collect()[0]
+    assert (ok.n_channels, ok.sample_rate, ok.n_samples) == (1, rate, rate)
+    assert ok.rms == pytest.approx(100.0)
+    assert ok.decode_error is None
 
 
 def test_connected_components_transitive_clusters(spark):

@@ -319,6 +319,61 @@ def test_binop_comparison_filter_and_bool(binop_vecs):
     assert got == {"i1": 0.0, "i2": 1.0, "i3": 0.0}
 
 
+def test_cmp_filter_keeps_metric_name_bool_drops_it(binop_vecs):
+    """promql/engine.go shouldDropMetricName: a plain filter comparison
+    passes the lhs sample through unchanged INCLUDING __name__; the bool
+    modifier (and arithmetic) drops the name (ADVICE r4 pin)."""
+    reqs, lims = binop_vecs
+    half = lims.withColumn("value", F.col("value") / 2)
+    out = promql.binop(reqs, half, ">", on=["job"], group="left")
+    assert all(r.labels.get("__name__") == "requests" for r in out.collect())
+    outb = promql.binop(reqs, half, ">", on=["job"], group="left", bool_mode=True)
+    assert all("__name__" not in r.labels for r in outb.collect())
+    arith = promql.binop(reqs, lims, "/", on=["job"], group="left")
+    assert all("__name__" not in r.labels for r in arith.collect())
+
+
+def test_cmp_filter_group_right_keeps_one_side_value(binop_vecs):
+    """vectorElemBinop returns the ORIGINAL lhs operand: in
+    ``limits < on(job) group_right requests`` the surviving VALUE is the
+    lhs (one side, limits) while the LABELS come from the many side
+    (requests) — the pre-round-5 code kept the many side's value
+    (ADVICE r4 pin)."""
+    reqs, lims = binop_vecs
+    # limits{api}=40 < requests{i2}=30? no; limits{api}=40 < ... only
+    # pairs where lims.value < reqs.value survive, carrying lims.value.
+    out = promql.binop(lims, reqs, "<", on=["job"], group="right")
+    got = {r.labels["instance"]: r.value for r in out.collect()}
+    # api: 40 < 10 (i1) no; 40 < 30 (i2) no. db: 16 < 8 (i3) no.
+    assert got == {}
+    out2 = promql.binop(lims, reqs, ">", on=["job"], group="right")
+    got2 = {r.labels["instance"]: r.value for r in out2.collect()}
+    # every pair: one-side limit exceeds the request; value = the LIMIT
+    assert got2 == {
+        "i1": pytest.approx(40.0),
+        "i2": pytest.approx(40.0),
+        "i3": pytest.approx(16.0),
+    }
+    # labels are the many side's, name retained (filter comparison)
+    assert all(r.labels.get("__name__") == "requests" for r in out2.collect())
+
+
+def test_cmp_filter_one_to_one_ignoring_keeps_name(binop_vecs):
+    """One-to-one ignoring(): resultMetric only dels the ignored labels
+    for a filter comparison — __name__ survives (with on() it is kept
+    only if explicitly listed, since Keep() applies)."""
+    reqs, lims = binop_vecs
+    per_job = promql.agg_by(reqs, "sum", ["job"])  # {job} -> 40, 8
+    named = per_job.withColumn(
+        "labels",
+        F.map_concat(F.col("labels"), F.create_map(F.lit("__name__"), F.lit("reqsum"))),
+    )
+    out = promql.binop(named, lims, "<", ignoring=["extra"])
+    got = {r.labels["job"]: (r.labels.get("__name__"), r.value) for r in out.collect()}
+    # reqsum{api}=40 < limits{api}=40? no. reqsum{db}=8 < 16? yes.
+    assert got == {"db": ("reqsum", pytest.approx(8.0))}
+
+
 def test_binop_duplicate_match_group_raises(binop_vecs):
     reqs, lims = binop_vecs
     # one-to-one with duplicate (job) groups on the many side must error,

@@ -331,10 +331,10 @@ def test_multimodal_feature_extraction_matches_python(spark):
 
 
 def test_decode_image_unknown_format_raises():
-    # formats beyond the stdlib PPM/PNG decoders still fail loudly at the
-    # seam where PIL/libvips would plug in
+    # formats beyond the stdlib PPM/PNG/JPEG decoders still fail loudly at
+    # the seam where PIL/libvips would plug in
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+        multimodal.decode_image(b"GIF87a gif-ish payload")
 
 
 def _encode_ppm(w, h, pixels):
@@ -433,6 +433,267 @@ def test_sample_frames_fanout(spark):
     # 250 bytes → 3 frames; 1 byte → 1 frame; indices dense from 0
     assert sorted(per_doc[1]) == [0, 1, 2] and per_doc[2] == [0]
     assert len({r.frame_md5 for r in frames}) == 4  # all frame hashes distinct
+
+
+def _encode_jpeg(planes, quality_q=16, subsample_420=False):
+    """Minimal baseline-DCT JPEG encoder for round-trip testing: grayscale
+    (1 plane), YCbCr 4:4:4 (3 full-size planes), or YCbCr 4:2:0 (full-size
+    luma + half-size chroma, luma dims multiples of 16).  Flat quant
+    table, one shared canonical huffman table pair written via DHT — the
+    decoder under test reads its tables from the stream, so the
+    round-trip is self-consistent regardless of table choice."""
+    import struct
+
+    import numpy as np
+
+    from mandodb_spark.operators.multimodal import _ZIGZAG, _dct_basis
+
+    h, w = planes[0].shape
+    ncomp = len(planes)
+    # canonical huffman table over symbols 0x00..0xFF: all 8-bit-ish codes
+    # won't fit one length; use lengths: 256 symbols at 9 bits won't fit
+    # either (max 512 — fine).  counts: 256 codes of length 9.
+    sym_order = list(range(256))
+    counts = [0] * 16
+    counts[8] = 255  # 255 codes of length 9 (index 8)
+    counts[9] = 1
+    codes = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[sym_order[i]] = (length, code)
+            i += 1
+            code += 1
+        code <<= 1
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    q = bytes([quality_q] * 64)
+    seg(0xDB, bytes([0]) + q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        hv = 0x22 if (subsample_420 and c == 0) else 0x11
+        sof += bytes([c + 1, hv, 0])
+    seg(0xC0, sof)
+    dht_body = b""
+    for tc in (0, 1):
+        dht_body += bytes([tc << 4]) + bytes(counts) + bytes(sym_order)
+    seg(0xC4, dht_body)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    basis = _dct_basis()
+    qmat = np.zeros(64)
+    qmat[_ZIGZAG] = np.frombuffer(q, dtype=np.uint8)
+    qmat = qmat.reshape(8, 8)
+    bitbuf, nbits = 0, 0
+    data = bytearray()
+
+    def put(length, value):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | (value & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            nbits -= 8
+            b = (bitbuf >> nbits) & 0xFF
+            data.append(b)
+            if b == 0xFF:
+                data.append(0x00)
+
+    def put_coeff(v):
+        t = 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    def encode_block(ci, plane, by, bx):
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128
+        coeffs = np.round((basis @ block @ basis.T) / qmat).astype(int)
+        zz = coeffs.flatten()[_ZIGZAG]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t, bitsv = put_coeff(diff)
+        cl, cc = codes[t]
+        put(cl, cc)
+        put(t, bitsv)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                cl, cc = codes[0xF0]
+                put(cl, cc)
+                run -= 16
+            t, bitsv = put_coeff(v)
+            cl, cc = codes[(run << 4) | t]
+            put(cl, cc)
+            put(t, bitsv)
+            run = 0
+        if run:
+            cl, cc = codes[0x00]
+            put(cl, cc)
+
+    pred = [0] * ncomp
+    if subsample_420:
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                    encode_block(0, planes[0], my * 2 + by, mx * 2 + bx)
+                encode_block(1, planes[1], my, mx)
+                encode_block(2, planes[2], my, mx)
+    else:
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                for ci, plane in enumerate(planes):
+                    encode_block(ci, plane, by, bx)
+    if nbits:
+        put(8 - nbits, 0xFF)  # pad with 1s
+    out.extend(data)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_jpeg_baseline_roundtrip_grayscale():
+    """Encode a known grayscale image with the minimal baseline encoder,
+    decode with _decode_jpeg, assert pixels match within quantization
+    error (flat q=16 → per-pixel error well under 16)."""
+    import numpy as np
+
+    from mandodb_spark.operators.multimodal import _decode_jpeg
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    # smooth it so quantization error stays small (random noise has huge
+    # high-frequency coefficients)
+    img = (img.astype(float) + 3 * np.indices(img.shape).sum(0)).clip(0, 255)
+    w, h, ch, pix = _decode_jpeg(_encode_jpeg([img]))
+    assert (w, h, ch) == (24, 16, 1)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(16, 24).astype(float)
+    assert np.abs(got - img).max() <= 24  # bounded by the flat quant table
+
+
+def test_jpeg_baseline_roundtrip_color_444():
+    """3-component 4:4:4 round-trip: solid YCbCr planes decode to the
+    exact RGB the JFIF matrix prescribes."""
+    import numpy as np
+
+    from mandodb_spark.operators.multimodal import _decode_jpeg
+
+    y = np.full((8, 8), 128.0)
+    cb = np.full((8, 8), 200.0)
+    cr = np.full((8, 8), 80.0)
+    w, h, ch, pix = _decode_jpeg(_encode_jpeg([y, cb, cr]))
+    assert (w, h, ch) == (8, 8, 3)
+    got = np.frombuffer(pix, dtype=np.uint8).reshape(8, 8, 3).astype(float)
+    exp_r = 128 + 1.402 * (80 - 128)
+    exp_g = 128 - 0.344136 * (200 - 128) - 0.714136 * (80 - 128)
+    exp_b = 128 + 1.772 * (200 - 128)
+    assert np.abs(got[..., 0] - exp_r).max() <= 12
+    assert np.abs(got[..., 1] - exp_g).max() <= 12
+    assert np.abs(got[..., 2] - exp_b).max() <= 12
+
+
+def test_jpeg_baseline_roundtrip_420_subsampled():
+    """4:2:0 round-trip: 16x32 luma gradient + half-res chroma; exercises
+    the 4-luma-blocks-per-MCU interleave and nearest-neighbor chroma
+    upsample. Compare in YCbCr space (invert the decoder's RGB matrix) so
+    the bound reflects quantization error only."""
+    import numpy as np
+
+    from mandodb_spark.operators.multimodal import _decode_jpeg
+
+    yy, xx = np.indices((16, 32))
+    # keep luma in [48, 140] so no RGB channel clips at these chroma
+    # values (clipped RGB would contaminate the inverted-matrix compare)
+    y = (48 + 2 * (yy + xx)).astype(float)
+    cb = np.full((8, 16), 160.0)
+    cr = np.full((8, 16), 96.0)
+    w, h, ch, pix = _decode_jpeg(_encode_jpeg([y, cb, cr], subsample_420=True))
+    assert (w, h, ch) == (32, 16, 3)
+    rgb = np.frombuffer(pix, dtype=np.uint8).reshape(16, 32, 3).astype(float)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y_back = 0.299 * r + 0.587 * g + 0.114 * b
+    cb_back = (b - y_back) / 1.772 + 128
+    cr_back = (r - y_back) / 1.402 + 128
+    assert np.abs(y_back - y).max() <= 24
+    assert np.abs(cb_back - 160).max() <= 12
+    assert np.abs(cr_back - 96).max() <= 12
+
+
+def test_jpeg_unsupported_variants_raise():
+    import pytest as _pytest
+
+    from mandodb_spark.operators.multimodal import _decode_jpeg
+
+    with _pytest.raises(ValueError, match="SOI"):
+        _decode_jpeg(b"not a jpeg")
+    # SOF2 (progressive) raises at the seam
+    import struct
+
+    prog = bytearray(b"\xff\xd8")
+    body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    prog.extend(bytes([0xFF, 0xC2]) + struct.pack(">H", len(body) + 2) + body)
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        _decode_jpeg(bytes(prog))
+
+
+def _encode_avi(width, height, us_per_frame, frame_payloads):
+    """Minimal RIFF/AVI: hdrl with a real avih, movi with 00dc chunks."""
+    import struct
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(list_type, body):
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII", us_per_frame, 0, 0, 0, len(frame_payloads), 0, 1, 0, width, height
+    ) + b"\x00" * 16
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frame_payloads))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def test_avi_container_real_frame_ranges(spark):
+    """AVI payloads take the REAL container path: frame hashes are over
+    the actual 00dc chunk bytes at their parsed offsets (including an
+    odd-sized chunk, exercising RIFF word alignment), video_stats reports
+    the avih metadata, and a >max_frames video samples an even stride of
+    true frame indices.  Non-AVI garbage degrades to an error row."""
+    import hashlib as _hl
+
+    frames3 = [b"frame-zero", b"odd-size!", b"frame-two!"]  # 9 bytes = odd
+    avi = _encode_avi(320, 240, 40_000, frames3)  # 25 fps
+    many = _encode_avi(64, 48, 100_000, [bytes([i]) * 4 for i in range(20)])
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(many)), (3, bytearray(b"not a riff"))],
+        "doc_id long, payload binary",
+    )
+    out = {}
+    for r in multimodal.sample_frames(df, "doc_id", "payload").collect():
+        out.setdefault(r.doc_id, {})[r.frame_idx] = r.frame_md5
+    assert out[1] == {i: _hl.md5(f).hexdigest() for i, f in enumerate(frames3)}
+    # 20 frames, cap 8 → ceil stride 3 → indices 0,3,...,18 (7 frames)
+    assert sorted(out[2]) == [0, 3, 6, 9, 12, 15, 18]
+    assert out[2][3] == _hl.md5(bytes([3]) * 4).hexdigest()
+    # doc 3 is non-AVI → stub path (1 frame, hash of the md5-derived seed)
+    assert list(out[3]) == [0]
+
+    stats = {r.doc_id: r for r in multimodal.video_stats(df, "doc_id", "payload").collect()}
+    s1 = stats[1]
+    assert (s1.width, s1.height, s1.n_frames) == (320, 240, 3)
+    assert s1.fps == pytest.approx(25.0)
+    assert s1.duration_s == pytest.approx(0.12)
+    assert s1.decode_error is None
+    assert stats[3].width is None and "AVI" in stats[3].decode_error
 
 
 def test_winnow_forms_agree_and_detect_overlap(spark):

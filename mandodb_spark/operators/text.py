@@ -520,3 +520,101 @@ SELECT {id_col},
            AS token_entropy
 FROM tok GROUP BY {id_col}
 """
+
+
+def unigram_cross_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-LM perplexity filtering (the CCNet / Wenzek et al. quality
+    gate, reduced to its unigram core): train a unigram LM on the corpus
+    itself, then score every document by its cross-entropy under that LM
+    — mean −log2 p(token), with p = corpus_freq/corpus_total.  Boilerplate
+    made of ultra-common tokens scores LOW, rare-token noise scores HIGH;
+    curation keeps the middle band.
+
+    Scale shape: explode once → corpus token counts (ONE shuffle, map-side
+    partial) → join the token relation back on token (second shuffle; the
+    LM is vocabulary-sized — far smaller than the corpus, and AQE
+    broadcasts it when it fits) → per-doc agg (third shuffle on doc id).
+    The corpus-total scalar rides a 1-row broadcast cross join, the same
+    deliberate pattern as the IVF codebook probe.  Nothing quadratic, no
+    UDFs, no driver-side state.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    corpus = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__cf"))
+    total = corpus.agg(F.sum("__cf").cast("double").alias("__total"))
+    per_doc = (
+        toks.join(corpus, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.log2(F.col("__cf").cast("double"))).alias("__slog"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.round(
+            F.log2(F.col("__total")) - F.col("__slog") / F.col("__n"), 4
+        ).alias("unigram_ce"),
+    )
+
+
+def unigram_cross_entropy_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB mirror of :func:`unigram_cross_entropy` (oracle generator)."""
+    return f"""
+WITH tok AS (
+    SELECT {id_col}, t.tok
+    FROM {table}, unnest(string_split(lower({text_col}), ' ')) AS t(tok)
+), lm AS (
+    SELECT tok, count(*) AS cf FROM tok GROUP BY tok
+), total AS (
+    SELECT CAST(sum(cf) AS DOUBLE) AS n FROM lm
+)
+SELECT tok.{id_col},
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(log2(total.n) - sum(log2(CAST(lm.cf AS DOUBLE))) / count(*), 4) AS unigram_ce
+FROM tok JOIN lm USING (tok), total
+GROUP BY tok.{id_col}, total.n
+"""
+
+
+def vocab_table(df: DataFrame, id_col: str, text_col: str, size: int) -> DataFrame:
+    """Tokenizer-vocabulary construction: the ``size`` most frequent
+    corpus tokens with contiguous ids 0..size-1 ordered by (freq desc,
+    token asc) — the frequency-vocab stage every tokenizer training run
+    starts from (BPE seeds its merges from exactly this table).
+
+    Scale shape: ONE corpus count shuffle, then ``orderBy().limit(size)``
+    — which Catalyst plans as TakeOrderedAndProject, a per-partition
+    partial top-k merged on one reducer, never a global sort of the
+    vocabulary.  Id assignment is a window over the ALREADY-REDUCED
+    ``size`` rows (vocab-sized, driver-bounded by construction — the
+    single-partition window is over ≤ size rows, not the corpus).
+    """
+    from pyspark.sql import Window
+
+    freq = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(size)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return top.select(
+        "token", "freq", (F.row_number().over(w) - 1).cast("long").alias("token_id")
+    )
+
+
+def vocab_table_sql(table: str, text_col: str, size: int) -> str:
+    """DuckDB mirror of :func:`vocab_table` (oracle generator)."""
+    return f"""
+WITH freq AS (
+    SELECT t.tok AS token, CAST(count(*) AS BIGINT) AS freq
+    FROM {table}, unnest(string_split(lower({text_col}), ' ')) AS t(tok)
+    GROUP BY 1
+)
+SELECT token, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT) AS token_id
+FROM freq
+ORDER BY freq DESC, token
+LIMIT {size}
+"""

@@ -96,8 +96,6 @@ _PRIORITY = [
     "events_set_ops",
     "events_error_window_join",
     "events_hourly",
-    "events_pivot",
-    "events_topk_users",
     "events_asof_click",
     "events_user_cardinality_approx",
     "stream_tumbling_dual",
@@ -106,7 +104,17 @@ _PRIORITY = [
     # -- implementation changes this round --
     "docs_simhash_neardup",
     "docs_minhash_pairs",
+    # -- new in round 5 (must get a first driver row immediately — the
+    #    round-3 queries sat outside the window for two rounds) --
+    "docs_unigram_ce",
+    "docs_vocab",
     # ---- slot 50 boundary ----
+    # events_pivot / events_topk_users rotate just outside: green in r2,
+    # same rewritten-loader claim as the events_* above but the two
+    # lowest-risk members of that family (pure pivot/topk over the
+    # contract-tested loader output).
+    "events_pivot",
+    "events_topk_users",
 ]
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

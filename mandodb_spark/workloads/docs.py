@@ -637,6 +637,36 @@ QUERIES["docs_token_entropy"] = docs_token_entropy
 ORACLES["docs_token_entropy"] = DOCS_TOKEN_ENTROPY_SQL
 
 
+def docs_unigram_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM cross-entropy per document — the perplexity
+    quality gate (CCNet-style), reduced to its SQL-oracle-checkable
+    unigram core (see operators.text.unigram_cross_entropy for the
+    three-shuffle scale shape)."""
+    return text.unigram_cross_entropy(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+DOCS_UNIGRAM_CE_SQL = text.unigram_cross_entropy_sql("documents", "doc_id", "text")
+
+QUERIES["docs_unigram_ce"] = docs_unigram_ce
+ORACLES["docs_unigram_ce"] = DOCS_UNIGRAM_CE_SQL
+
+#: Vocabulary size for the tokenizer-vocab query.
+VOCAB_SIZE = 200
+
+
+def docs_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary: top-VOCAB_SIZE corpus tokens with contiguous
+    frequency-ranked ids (the table BPE merge training seeds from); plans
+    as one count shuffle + TakeOrderedAndProject, never a global sort."""
+    return text.vocab_table(load(spark, sf_dir, "documents"), "doc_id", "text", VOCAB_SIZE)
+
+
+DOCS_VOCAB_SQL = text.vocab_table_sql("documents", "text", VOCAB_SIZE)
+
+QUERIES["docs_vocab"] = docs_vocab
+ORACLES["docs_vocab"] = DOCS_VOCAB_SQL
+
+
 def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters over the MinHash pair list: one row
     per cluster with the kept doc (min id) and member count — the

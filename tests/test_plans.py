@@ -278,6 +278,28 @@ def test_promql_binop_join_is_hash_equi_never_nested_loop(spark):
         assert "HashAggregate" in plan
 
 
+def test_vocab_plans_as_take_ordered(spark):
+    """The tokenizer-vocab top-N must plan TakeOrderedAndProject (partial
+    per-partition top-k), never a global Sort of the vocabulary; id
+    assignment windows only the reduced top-N rows."""
+    from mandodb_spark.workloads.docs import docs_vocab
+
+    plan = _plan(docs_vocab(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_ce_joins_lm_never_cartesian_corpus(spark):
+    """The perplexity gate's only nested-loop is the 1-row corpus-total
+    broadcast; the token->LM join must be an equi-join and the LM agg a
+    HashAggregate."""
+    from mandodb_spark.workloads.docs import docs_unigram_ce
+
+    plan = _plan(docs_unigram_ce(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total only
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
 def test_knn_join_candidates_come_from_cell_equi_join(spark):
     """knn_join's only allowed nested-loop is the tiny query×codebook
     probe (10 × n_cells broadcast rows); every corpus-side join must be a

@@ -72,6 +72,9 @@ EXTENDED = [
     "promql_subquery_max_rate",
     "docs_neardup_clusters",
     "docs_curation_full",
+    # round 5: LM-perplexity gate + tokenizer vocab
+    "docs_unigram_ce",
+    "docs_vocab",
 ]
 
 

@@ -66,29 +66,70 @@ def _ts_dtype(ev: DataFrame) -> str:
     return dict(ev.dtypes)["ts"]
 
 
-def _ts_seconds(dtype: str):
+#: Cache of sniffed int64 ts units per events path: path -> ticks/second.
+_TS_UNIT_CACHE: dict[str, int] = {}
+
+
+def _bigint_ts_unit(path: str) -> int:
+    """Ticks-per-second of an int64 ``ts`` column, sniffed from the parquet
+    FOOTER (driver-side pyarrow metadata read — no Spark job).
+
+    An int64 epoch's magnitude identifies its unit for any date between
+    1973 and 5138 (1e8..1e11 seconds): ns ≈ 1e18, µs ≈ 1e15, ms ≈ 1e12,
+    s ≈ 1e9 — the bands never overlap.  Through round 3 the testdata was
+    TIMESTAMP(NANOS) (read as int64-ns under ``nanosAsLong``); round 4
+    proved the generator's physical type DRIFTS, so the unit is sniffed
+    rather than assumed.  Falls back to nanoseconds (the only encoding
+    ever observed) if the footer carries no stats.
+    """
+    if path in _TS_UNIT_CACHE:
+        return _TS_UNIT_CACHE[path]
+    unit = 1_000_000_000
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        idx = next(
+            i for i in range(meta.num_columns) if meta.schema.column(i).name == "ts"
+        )
+        stats = meta.row_group(0).column(idx).statistics
+        mx = stats.max if stats is not None else None
+        if mx is not None:
+            mx = int(mx)
+            for u in (1, 1_000, 1_000_000, 1_000_000_000):
+                if 1e8 <= mx / u < 1e11:
+                    unit = u
+                    break
+    except Exception:
+        pass
+    _TS_UNIT_CACHE[path] = unit
+    return unit
+
+
+def _ts_seconds(dtype: str, unit: int = 1_000_000_000):
     """Expression converting raw ``ts`` of ``dtype`` to unix seconds (BIGINT).
 
-    ``bigint`` columns are int64 nanoseconds (parquet TIMESTAMP(NANOS) read
-    under ``nanosAsLong``); ``timestamp``/``timestamp_ntz`` columns convert
-    via an NTZ→LTZ cast (wall-clock preserving under the UTC session —
-    a bare ``cast("long")`` on TIMESTAMP_NTZ is an AnalysisException).
+    ``bigint`` columns divide by the sniffed ticks-per-second ``unit``
+    (see :func:`_bigint_ts_unit`); ``timestamp``/``timestamp_ntz`` columns
+    convert via an NTZ→LTZ cast (wall-clock preserving under the UTC
+    session — a bare ``cast("long")`` on TIMESTAMP_NTZ is an
+    AnalysisException) at whatever precision the scan surfaced.
     """
     if dtype == "bigint":
-        return F.expr("ts DIV 1000000000")
+        return F.expr(f"ts DIV {unit}")
     return F.unix_seconds(F.col("ts").cast("timestamp"))
 
 
-def _ts_range_pred(dtype: str, start: int, end: int):
+def _ts_range_pred(dtype: str, start: int, end: int, unit: int = 1_000_000_000):
     """Pushdown-safe predicate for ``ts`` within ``[start, end]`` seconds.
 
-    The comparison stays in the column's native type — bigint bounds for
-    nanosecond columns, foldable timestamp literals for timestamp columns —
-    so the range reaches the Parquet scan as a PushedFilters entry instead
-    of wrapping the column in a cast (which would defeat pushdown).
+    The comparison stays in the column's native type — bigint tick bounds
+    for integer columns, foldable timestamp literals for timestamp columns
+    — so the range reaches the Parquet scan as a PushedFilters entry
+    instead of wrapping the column in a cast (which would defeat pushdown).
     """
     if dtype == "bigint":
-        return F.col("ts").between(start * 1_000_000_000, (end + 1) * 1_000_000_000 - 1)
+        return F.col("ts").between(start * unit, (end + 1) * unit - 1)
     lo = F.timestamp_seconds(F.lit(start))
     hi = F.timestamp_seconds(F.lit(end + 1))
     if dtype.startswith("timestamp_ntz"):
@@ -99,7 +140,9 @@ def _ts_range_pred(dtype: str, start: int, end: int):
 def events_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized to unix seconds (BIGINT)."""
     ev = load(spark, sf_dir, "events")
-    return ev.withColumn("ts", _ts_seconds(_ts_dtype(ev)))
+    dtype = _ts_dtype(ev)
+    unit = _bigint_ts_unit(f"{sf_dir}/events.parquet") if dtype == "bigint" else 0
+    return ev.withColumn("ts", _ts_seconds(dtype, unit))
 
 
 def events_tsdb_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,9 +182,10 @@ def events_relation(
 
     ev = load(spark, sf_dir, "events")
     dtype = _ts_dtype(ev)
+    unit = _bigint_ts_unit(f"{sf_dir}/events.parquet") if dtype == "bigint" else 0
     if start is not None and end is not None:
-        ev = ev.filter(_ts_range_pred(dtype, start, end))
-    ev = ev.withColumn("ts", _ts_seconds(dtype))
+        ev = ev.filter(_ts_range_pred(dtype, start, end, unit))
+    ev = ev.withColumn("ts", _ts_seconds(dtype, unit))
     labels = F.create_map(
         F.lit("__name__"), F.col("event_type"),
         F.lit("k"), F.regexp_extract(F.col("props"), "[0-9]+", 0),

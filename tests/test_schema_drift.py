@@ -42,20 +42,24 @@ def _write_events(path: str, ts_array: pa.Array) -> str:
 
 @pytest.fixture(scope="module")
 def fixture_dirs(tmp_path_factory):
+    """One directory per physical ts encoding the generator has used or
+    could drift to: timestamp[us] (round 4+), timestamp[ns] (rounds 1-3,
+    read as int64-ns under nanosAsLong), raw int64 microseconds, and raw
+    int64 seconds (the last two unit-sniffed from footer stats)."""
     base = tmp_path_factory.mktemp("schema_drift")
-    micros = base / "micros"
-    nanos = base / "nanos"
-    micros.mkdir()
-    nanos.mkdir()
-    _write_events(
-        str(micros / "events.parquet"),
-        pa.array([s * 1_000_000 for s in SECONDS], pa.timestamp("us")),
-    )
-    _write_events(
-        str(nanos / "events.parquet"),
-        pa.array([s * 1_000_000_000 for s in SECONDS], pa.timestamp("ns")),
-    )
-    return str(micros), str(nanos)
+    encodings = {
+        "micros": pa.array([s * 1_000_000 for s in SECONDS], pa.timestamp("us")),
+        "nanos": pa.array([s * 1_000_000_000 for s in SECONDS], pa.timestamp("ns")),
+        "int_micros": pa.array([s * 1_000_000 for s in SECONDS], pa.int64()),
+        "int_seconds": pa.array(SECONDS, pa.int64()),
+    }
+    dirs = []
+    for name, arr in encodings.items():
+        d = base / name
+        d.mkdir()
+        _write_events(str(d / "events.parquet"), arr)
+        dirs.append(str(d))
+    return tuple(dirs)
 
 
 def test_events_base_normalizes_both_encodings(spark, fixture_dirs):
@@ -73,7 +77,7 @@ def test_events_relation_window_identical_across_encodings(spark, fixture_dirs):
             (r.ts, r.value, tuple(sorted(r.labels.items()))) for r in rel.collect()
         )
         results.append(rows)
-    assert results[0] == results[1]
+    assert all(r == results[0] for r in results[1:])
     # the third point (== END+1 second) is excluded by the inclusive window
     assert [ts for ts, _, _ in results[0]] == SECONDS[:2]
 

@@ -56,9 +56,56 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Cache of parquet-declared timestamp columns per path (footer read).
+_TS_COLS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _parquet_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Column names the parquet FOOTER declares as timestamp-typed
+    (driver-side pyarrow metadata read — no Spark job; cached per path)."""
+    if path not in _TS_COLS_CACHE:
+        cols: tuple[str, ...] = ()
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            schema = pq.ParquetFile(path).schema_arrow
+            cols = tuple(
+                f.name for f in schema if pa.types.is_timestamp(f.type)
+            )
+        except Exception:
+            pass
+        _TS_COLS_CACHE[path] = cols
+    return _TS_COLS_CACHE[path]
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, restore_ts: bool = True
+) -> DataFrame:
+    """Read a testdata table, undoing ``nanosAsLong`` surprises.
+
+    Round 4's lesson generalized: the driver's generator can silently
+    change a column's physical parquet type between rounds.  The pinned
+    ``nanosAsLong`` conf (needed through round 3) makes Spark surface any
+    TIMESTAMP(NANOS) column as a BIGINT of nanoseconds — which would
+    break every ``to_date``/timestamp expression downstream (e.g. the
+    TPC-H date filters) if ``o_orderdate``/``l_shipdate`` ever drifted
+    to nanos the way ``events.ts`` drifted to micros.  So: any column
+    the parquet footer declares as a timestamp but Spark read as bigint
+    is restored to a real timestamp here (ns → µs is exact integer
+    division).  The events loaders pass ``restore_ts=False`` — they
+    branch on the raw dtype themselves and keep bigint-ns comparisons
+    in the column's native type so the range predicate still reaches
+    the scan as a PushedFilters entry."""
     configure(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if restore_ts:
+        dtypes = dict(df.dtypes)
+        for c in _parquet_timestamp_columns(path):
+            if dtypes.get(c) == "bigint":
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
 
 
 def _ts_dtype(ev: DataFrame) -> str:
@@ -139,7 +186,7 @@ def _ts_range_pred(dtype: str, start: int, end: int, unit: int = 1_000_000_000):
 
 def events_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized to unix seconds (BIGINT)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", restore_ts=False)
     dtype = _ts_dtype(ev)
     unit = _bigint_ts_unit(f"{sf_dir}/events.parquet") if dtype == "bigint" else 0
     return ev.withColumn("ts", _ts_seconds(dtype, unit))
@@ -180,7 +227,7 @@ def events_relation(
     """
     from ..model import seg_bucket, series_key
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", restore_ts=False)
     dtype = _ts_dtype(ev)
     unit = _bigint_ts_unit(f"{sf_dir}/events.parquet") if dtype == "bigint" else 0
     if start is not None and end is not None:

@@ -88,3 +88,33 @@ def test_time_range_pushdown_survives_both_encodings(spark, fixture_dirs):
         pushed = plan.split("PushedFilters", 1)[1][:400]
         assert "GreaterThanOrEqual(ts," in pushed
         assert "LessThanOrEqual(ts," in pushed or "LessThan(ts," in pushed
+
+
+def test_load_restores_nanos_timestamp_columns(spark, tmp_path):
+    """The generalized drift defense: a TIMESTAMP(NANOS) parquet column —
+    which the pinned ``nanosAsLong`` conf makes Spark surface as a BIGINT
+    of nanoseconds — comes out of ``load()`` as a real timestamp, so date
+    expressions (the TPC-H filters) survive the same drift that broke the
+    events queries in round 4.  Raw int64 columns are left untouched."""
+    from mandodb_spark.workloads.common import load
+
+    ds = ["1995-03-04", "1996-07-01", "1998-09-02"]
+    epochs_us = [pa.array(ds, pa.string()).cast(pa.timestamp("us")), ]
+    for unit in ("us", "ns"):
+        d = tmp_path / f"orders_{unit}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderdate": epochs_us[0].cast(pa.timestamp(unit)),
+            }
+        )
+        pq.write_table(table, str(d / "orders.parquet"))
+        df = load(spark, str(d), "orders")
+        dtype = dict(df.dtypes)["o_orderdate"]
+        assert dtype.startswith("timestamp"), (unit, dtype)
+        got = sorted(
+            str(r[0]) for r in df.selectExpr("to_date(o_orderdate)").collect()
+        )
+        assert got == ds, (unit, got)
+        assert dict(df.dtypes)["o_orderkey"] == "bigint"

@@ -422,3 +422,173 @@ def with_hyperplane_bucket_arrow(df: DataFrame, id_col: str, vec_col: str,
             )
 
     return df.select(id_col, vec_col).mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's fine quantizer): split each vector into m
+# subspaces, quantize each subvector to one of ksub codebook centroids, and
+# answer queries via ADC (asymmetric distance computation) — a per-query
+# (m × ksub) lookup table replaces all float math on the corpus side.  At
+# 100 TB this is THE standard index compression: m·log2(ksub) bits per
+# vector (here 4 subspaces × 4 bits = 16 bits vs 64 × 32-bit floats), codes
+# assigned map-side at ingest exactly like the IVF cell column.
+
+
+def pq_codebooks(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                 m: int = 4, ksub: int = 16) -> DataFrame:
+    """Deterministic PQ codebooks: subspace ``s``'s centroid ``c`` is the
+    ``s``-th subvector of the vector with the ``c``-th lowest id — the same
+    engine-agnostic, oracle-checkable stub convention as :func:`ivf_cells`
+    (a production build trains per-subspace k-means on a sample:
+    :func:`pq_codebooks_kmeans`).  Returns (sub, code, cvec) — m·ksub rows,
+    collected once by the encoders (broadcast-codebook contract)."""
+    dsub = dim // m
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("cvec"),
+            )
+            for s in range(m)
+        ]
+    )
+    return (
+        df.filter(F.col(id_col) < ksub)
+        .select(F.col(id_col).cast("long").alias("code"), F.explode(slices).alias("sc"))
+        .select(F.col("sc.sub").alias("sub"), "code", F.col("sc.cvec").alias("cvec"))
+    )
+
+
+def pq_codebooks_kmeans(df: DataFrame, vec_col: str, dim: int, m: int = 4,
+                        ksub: int = 16, seed: int = 42,
+                        max_iter: int = 20) -> DataFrame:
+    """Production PQ codebooks: per-subspace k-means (pyspark.ml, euclidean,
+    fixed seed) — real centroids instead of the first-ksub-ids stub, so
+    reconstruction error reflects the data distribution.  m small fits; at
+    100 TB each fit runs on a bounded sample.  Not oracle-expressible
+    (iterative); the stub stays the oracle path, this the quality path
+    (see test_pq_kmeans_beats_stub)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dsub = dim // m
+    spark = df.sparkSession
+    rows = []
+    for s in range(m):
+        feats = df.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), s * dsub + 1, dsub).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed, maxIter=max_iter).fit(feats)
+        rows += [
+            (s, c, [float(x) for x in cent])
+            for c, cent in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(rows, "sub int, code long, cvec array<double>")
+
+
+def _micros_to_4dp(sum_micros):
+    """Exact 6dp-micro-units → 4dp double, half away from zero.
+
+    PQ's 4dp totals are sums of already-6dp-quantized terms, where naive
+    float math visibly diverges across engines (both measured on the
+    testdata): np.round's half-to-EVEN vs SQL round's half-away on exact
+    .00005 halves, and order-dependent 1-ulp drift in the float sum
+    flipping a half either side of the boundary.  So the terms are carried
+    as int64 MICRO-units, summed exactly, and the 4dp rounding is integer
+    arithmetic — the oracle does the identical integer dance in SQL."""
+    return ((sum_micros + 50) // 100) / 1e4
+
+
+def _pq_codebook_matrix(codebooks: DataFrame):
+    """Collect (sub, code, cvec) into a dense (m, ksub, dsub) float64 array
+    — O(m·ksub) rows by design, the PQ analogue of the IVF codebook
+    collect in :func:`ivf_assign`."""
+    import numpy as np
+
+    cb = codebooks.orderBy("sub", "code").collect()
+    m = max(r.sub for r in cb) + 1
+    ksub = max(r.code for r in cb) + 1
+    dsub = len(cb[0].cvec)
+    M = np.zeros((m, ksub, dsub))
+    for r in cb:
+        M[r.sub, r.code] = np.asarray(r.cvec, dtype="float64")
+    return M
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebooks: DataFrame) -> DataFrame:
+    """Encode each vector to its m nearest-centroid codes (+ squared
+    reconstruction error), Arrow-batched: one numpy distance tensor per
+    batch, NO shuffle (encoding is embarrassingly parallel — at 100 TB it
+    runs at ingest and the codes column is all later queries touch).
+
+    Per-subspace squared distances are quantized to 6dp int64 micro-units
+    before the argmin (ties → lowest code) and summed exactly; the 4dp
+    total is integer arithmetic (see :func:`_micros_to_4dp`) — the same
+    cross-engine determinism contract as :func:`ivf_assign`, hardened.
+    Returns (id, codes array<int>, pq_err double)."""
+    import numpy as np
+    import pandas as pd
+
+    M = _pq_codebook_matrix(codebooks)
+    m, _, dsub = M.shape
+
+    def batches(it):
+        for pdf in it:
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            Vs = V.reshape(len(V), m, dsub)
+            # direct (v-c)² differences, one subspace at a time: the
+            # ||v||²-2vc+||c||² expansion is ~1e-10 off the oracle's
+            # literal difference-sum, enough to flip a 6dp rounding;
+            # per-subspace slabs bound memory at rows × ksub × dsub
+            d2 = np.empty((len(V), m, M.shape[1]))
+            for s in range(m):
+                d2[:, s] = ((Vs[:, s, None, :] - M[s][None]) ** 2).sum(-1)
+            d2u = np.rint(d2 * 1e6).astype("int64")  # exact 6dp micro-units
+            codes = d2u.argmin(-1)  # first occurrence = lowest code on ties
+            err = _micros_to_4dp(
+                np.take_along_axis(d2u, codes[..., None], -1).sum((1, 2))
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "codes": list(codes.astype("int32")),
+                    "pq_err": err,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, f"{id_col} long, codes array<int>, pq_err double"
+    )
+
+
+def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
+                codebooks: DataFrame, k: int = 10) -> DataFrame:
+    """ADC approximate top-k: encode the corpus, then rank by the summed
+    per-subspace distance between the QUERY's subvectors and each vector's
+    ASSIGNED centroids — the (m × ksub) lookup table is the only float
+    math touching the query; the corpus side is pure integer indexing.
+    ``query``: 1-row DataFrame with column ``qe`` (as :func:`cosine_topk`).
+    Returns (id, adc_d2) ascending, ties → lowest id."""
+    import numpy as np
+    import pandas as pd
+
+    M = _pq_codebook_matrix(codebooks)
+    m, _, dsub = M.shape
+    q = np.asarray(query.collect()[0].qe, dtype="float64").reshape(m, 1, dsub)
+    # (m, ksub) lookup table in exact 6dp micro-units (see pq_encode)
+    Tu = np.rint(((q - M) ** 2).sum(-1) * 1e6).astype("int64")
+    sub_idx = np.arange(m)
+
+    enc = pq_encode(df, id_col, vec_col, codebooks)
+
+    def adc(it):
+        for pdf in it:
+            codes = np.stack(pdf["codes"].to_numpy())
+            d = _micros_to_4dp(Tu[sub_idx, codes].sum(1))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc_d2": d})
+
+    scored = enc.mapInPandas(adc, f"{id_col} long, adc_d2 double")
+    return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)

@@ -439,3 +439,93 @@ FROM cc GROUP BY cluster_id
 
 QUERIES["emb_neardup_clusters"] = emb_neardup_clusters
 ORACLES["emb_neardup_clusters"] = EMB_NEARDUP_CLUSTERS_SQL
+
+
+# -- Product quantization (the IVF-PQ fine quantizer; similarity.py) --------
+
+PQ_M = 4        #: subspaces (64-dim → 4 × 16-dim subvectors)
+PQ_KSUB = 16    #: codes per subspace (4 bits)
+PQ_DIM = 64
+
+#: Shared oracle prelude: deterministic codebooks (subvectors of the
+#: ksub lowest-id vectors — the pq_codebooks stub convention) and every
+#: (vector, subspace, code) squared distance in exact 6dp int64
+#: micro-units, mirroring pq_encode's integer-quantized arithmetic.
+_PQ_SQL_PRELUDE = f"""
+WITH cb AS (
+  SELECT CAST(s.range AS INT) AS sub, vec_id AS code,
+         CAST(embedding[CAST(s.range*{PQ_DIM // PQ_M}+1 AS INT):CAST(s.range*{PQ_DIM // PQ_M}+{PQ_DIM // PQ_M} AS INT)] AS DOUBLE[]) AS cvec
+  FROM embeddings, range(0,{PQ_M}) s WHERE vec_id < {PQ_KSUB}
+),
+subv AS (
+  SELECT vec_id, CAST(s.range AS INT) AS sub,
+         CAST(embedding[CAST(s.range*{PQ_DIM // PQ_M}+1 AS INT):CAST(s.range*{PQ_DIM // PQ_M}+{PQ_DIM // PQ_M} AS INT)] AS DOUBLE[]) AS v
+  FROM embeddings, range(0,{PQ_M}) s
+)"""
+
+
+def emb_pq_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector product-quantization reconstruction error: encode every
+    embedding to its m nearest-centroid codes (Arrow-batched, shuffle-free
+    — at 100 TB this is the map-side ingest step that replaces 64 floats
+    with 16 bits per vector) and surface the summed squared subspace
+    error.  Deterministic stub codebooks keep it oracle-checkable; the
+    k-means path is pq_codebooks_kmeans (test_pq_kmeans_beats_stub)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(emb, "vec_id", "embedding", PQ_DIM, PQ_M, PQ_KSUB)
+    return similarity.pq_encode(emb, "vec_id", "embedding", cb).select(
+        "vec_id", "pq_err"
+    )
+
+
+EMB_PQ_ERROR_SQL = f"""{_PQ_SQL_PRELUDE},
+d AS (
+  SELECT vec_id, sub, code,
+         CAST(round(sum((sv-cv)*(sv-cv)) * 1000000) AS BIGINT) AS d2u
+  FROM (SELECT vec_id, sub, code, unnest(v) AS sv, unnest(cvec) AS cv
+        FROM subv JOIN cb USING (sub))
+  GROUP BY vec_id, sub, code
+),
+best AS (SELECT vec_id, sub, min(d2u) AS mind2u FROM d GROUP BY vec_id, sub)
+SELECT vec_id, CAST((sum(mind2u) + 50) // 100 AS DOUBLE) / 10000 AS pq_err
+FROM best GROUP BY vec_id
+"""
+
+QUERIES["emb_pq_error"] = emb_pq_error
+ORACLES["emb_pq_error"] = EMB_PQ_ERROR_SQL
+
+
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric-distance) top-k to query vector 0 over the PQ
+    codes: the only float math per query is an (m × ksub) lookup table;
+    the corpus side is integer code indexing — the standard IVF-PQ query
+    path at 100 TB, where the codes column is all the scan reads."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(emb, "vec_id", "embedding", PQ_DIM, PQ_M, PQ_KSUB)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    return similarity.pq_adc_topk(emb, "vec_id", "embedding", q, cb, k=TOP_K)
+
+
+EMB_PQ_ADC_TOPK_SQL = f"""{_PQ_SQL_PRELUDE},
+qsub AS (SELECT sub, v AS qv FROM subv WHERE vec_id = {QUERY_VEC_ID}),
+d AS (
+  SELECT vec_id, sub, code,
+         CAST(round(sum((sv-cv)*(sv-cv)) * 1000000) AS BIGINT) AS d2u,
+         CAST(round(sum((qv2-cv2)*(qv2-cv2)) * 1000000) AS BIGINT) AS tqu
+  FROM (SELECT vec_id, sub, code, unnest(v) AS sv, unnest(cvec) AS cv,
+               unnest(qv) AS qv2, unnest(cvec) AS cv2
+        FROM subv JOIN cb USING (sub) JOIN qsub USING (sub))
+  GROUP BY vec_id, sub, code
+),
+assigned AS (
+  SELECT vec_id, sub, tqu,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2u, code) AS rn
+  FROM d
+)
+SELECT vec_id, CAST((sum(tqu) + 50) // 100 AS DOUBLE) / 10000 AS adc_d2
+FROM assigned WHERE rn = 1
+GROUP BY vec_id ORDER BY adc_d2, vec_id LIMIT {TOP_K}
+"""
+
+QUERIES["emb_pq_adc_topk"] = emb_pq_adc_topk
+ORACLES["emb_pq_adc_topk"] = EMB_PQ_ADC_TOPK_SQL

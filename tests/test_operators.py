@@ -1091,3 +1091,43 @@ def test_hyperplane_bucket_arrow_parity(spark):
         ).collect()
     }
     assert expr == arrow
+
+
+def test_pq_codebook_vectors_have_zero_error(spark):
+    """A vector that IS a codebook centroid in every subspace reconstructs
+    exactly: the ksub lowest-id vectors (the stub codebook) get pq_err 0."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebooks(emb, "vec_id", "embedding", 64, 4, 16)
+    enc = similarity.pq_encode(emb, "vec_id", "embedding", cb)
+    errs = {r.vec_id: r.pq_err for r in enc.filter(F.col("vec_id") < 16).collect()}
+    assert set(errs) == set(range(16))
+    assert all(e == 0.0 for e in errs.values())
+    # and its codes are its own id in every subspace
+    codes = enc.filter(F.col("vec_id") == 3).collect()[0].codes
+    assert codes == [3, 3, 3, 3]
+
+
+def test_pq_kmeans_beats_stub(spark):
+    """Per-subspace k-means codebooks (the production path) must cut mean
+    reconstruction error vs the first-ksub-ids stub — same stub-vs-trained
+    contract as test_ivf_kmeans_recall_beats_stub."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    stub = similarity.pq_codebooks(emb, "vec_id", "embedding", 64, 4, 16)
+    km = similarity.pq_codebooks_kmeans(emb, "embedding", 64, 4, 16)
+    mean_err = {}
+    for name, cb in (("stub", stub), ("km", km)):
+        enc = similarity.pq_encode(emb, "vec_id", "embedding", cb)
+        mean_err[name] = enc.agg(F.avg("pq_err")).collect()[0][0]
+    assert mean_err["km"] < mean_err["stub"]
+
+
+def test_pq_adc_ranks_query_vector_first(spark):
+    """ADC distance of the query to itself is 0 (its assigned centroids
+    are the closest possible), so the query vector leads its own top-k;
+    scores ascend and respect the (adc_d2, vec_id) total order."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebooks(emb, "vec_id", "embedding", 64, 4, 16)
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qe"))
+    out = similarity.pq_adc_topk(emb, "vec_id", "embedding", q, cb, k=5).collect()
+    assert out[0].vec_id == 7 and out[0].adc_d2 == 0.0
+    assert [r.adc_d2 for r in out] == sorted(r.adc_d2 for r in out)

@@ -72,9 +72,11 @@ EXTENDED = [
     "promql_subquery_max_rate",
     "docs_neardup_clusters",
     "docs_curation_full",
-    # round 5: LM-perplexity gate + tokenizer vocab
+    # round 5: LM-perplexity gate + tokenizer vocab + product quantization
     "docs_unigram_ce",
     "docs_vocab",
+    "emb_pq_error",
+    "emb_pq_adc_topk",
 ]
 
 

@@ -1,0 +1,127 @@
+"""Sequence-packing plan for LLM pretraining pipelines.
+
+Beyond-reference surface (the reference engine stops at storage/query;
+a training pipeline also has to turn a curated corpus into fixed-length
+token sequences).  This operator computes the standard concat-and-chunk
+packing plan: documents are concatenated in a deterministic order and the
+token stream is chunked into ``seq_len``-token training sequences; each
+document is assigned the sequence its first token lands in plus its token
+offset inside that sequence.
+
+Why a *plan* (assignment columns) and not materialized sequences: the
+packer's output is what a data loader consumes — (shard, sequence, offset)
+per document — and keeping it relational means the whole thing stays one
+shuffle and is oracle-checkable row by row.
+
+Scale shape (the part that must survive 100 TB):
+
+- A single global concatenation order would be one worldwide window — a
+  1-partition sort.  Instead documents are first split into ``n_groups``
+  deterministic hash groups ("shards"); each shard is packed
+  independently.  That is exactly how distributed trainers shard data
+  (each data-parallel rank reads its own shard), and it makes the plan
+  one hash-partition shuffle + per-partition sort: embarrassingly
+  parallel, no global ordering anywhere.  ``n_groups`` scales with the
+  cluster (one or a few groups per executor core).
+- Ordering within a shard is by a second independent hash (plus id
+  tie-break), which is the deterministic stand-in for the usual
+  shuffle-before-packing: reproducible across reruns, retries, engines.
+- All arithmetic is integer; the only floats are the md5-prefix hashes,
+  shared bit-for-bit with the DuckDB oracle (see operators/sampling.py).
+
+Reference scope note: packing has no mandodb counterpart (its ingest is
+point-based, tsdb.go:205-216); this extends SURVEY.md's training-data
+pipeline section.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import hash_unit, hash_unit_sql
+
+#: Salts for the two independent hash draws (group split vs. intra-group
+#: order).  Distinct salts make the draws independent: the group id must
+#: not correlate with the position inside the group.
+GROUP_SALT = "pack.grp"
+ORDER_SALT = "pack.ord"
+
+
+def pack_plan(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    n_groups: int,
+) -> DataFrame:
+    """Assign each document a (grp, seq, offset) packing slot.
+
+    ``token_col`` is the document's token count (BIGINT).  Returns the
+    input's id column plus:
+
+    - ``grp``: deterministic hash shard in [0, n_groups);
+    - ``seq``: 0-based index of the ``seq_len``-token training sequence
+      (within the shard) that the document's first token lands in;
+    - ``offset``: token offset of the document inside that sequence;
+    - ``crosses``: whether the document straddles a sequence boundary
+      (gets split across two or more training sequences).
+
+    One shuffle (hash partition on ``grp``) + one per-partition sort.
+    """
+    key = F.col(id_col)
+    grp = F.floor(hash_unit(key, GROUP_SALT) * n_groups).cast("int")
+    order = hash_unit(key, ORDER_SALT)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.col(token_col).cast("long")
+    out = (
+        df.select(key.alias(id_col), toks.alias("n_tokens"),
+                  grp.alias("grp"), order.alias("ord"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "grp",
+            F.expr(f"cum_before DIV {seq_len}").alias("seq"),
+            (F.col("cum_before") % seq_len).alias("offset"),
+            "n_tokens",
+            (
+                (F.col("cum_before") % seq_len) + F.col("n_tokens") > seq_len
+            ).alias("crosses"),
+        )
+    )
+    return out
+
+
+def pack_plan_sql(
+    table: str, id_expr: str, token_expr: str, seq_len: int, n_groups: int
+) -> str:
+    """DuckDB oracle generator mirroring :func:`pack_plan` exactly."""
+    h_grp = hash_unit_sql(id_expr, GROUP_SALT)
+    h_ord = hash_unit_sql(id_expr, ORDER_SALT)
+    return f"""
+WITH base AS (
+    SELECT {id_expr} AS id,
+           CAST({token_expr} AS BIGINT) AS n_tokens,
+           CAST(floor({h_grp} * {n_groups}) AS INTEGER) AS grp,
+           {h_ord} AS ord
+    FROM {table}
+),
+packed AS (
+    SELECT id, grp, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY grp ORDER BY ord, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum_before
+    FROM base
+)
+SELECT id AS {id_expr}, grp,
+       CAST(cum_before // {seq_len} AS BIGINT) AS seq,
+       CAST(cum_before % {seq_len} AS BIGINT) AS offset,
+       n_tokens,
+       (cum_before % {seq_len}) + n_tokens > {seq_len} AS crosses
+FROM packed
+"""

@@ -19,7 +19,7 @@ The unit interval is the first 8 md5 hex digits of ``salt:key`` scaled by
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -60,3 +60,126 @@ def hash_unit_sql(key_expr: str, salt: str = "sample") -> str:
         f"(CAST(CAST(concat('0x', substr(md5(concat('{salt}:', CAST({key_expr} AS VARCHAR)))"
         f", 1, 8)) AS BIGINT) AS DOUBLE) / {float(1 << 32)})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture planning (round 5).
+# ---------------------------------------------------------------------------
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    default_weight: float,
+    budget_tokens: int | None = None,
+    budget_frac: float | None = None,
+) -> DataFrame:
+    """Per-stratum sampling rates hitting a corpus-level token budget.
+
+    The budget is either absolute (``budget_tokens``) or a fraction of the
+    observed corpus token mass (``budget_frac`` — scale-invariant, so one
+    query definition holds at every sf / corpus size).
+
+    The domain-reweighting step of a pretraining mix (DoReMi-style targets,
+    deterministic execution): stratum ``s`` with mixture weight ``w_s``
+    gets a ``w_s / Σw`` share of ``budget_tokens``, converted to a keep
+    probability against its observed token mass and capped at 1 (a stratum
+    smaller than its target share is kept whole — the classic "keep all
+    code/books, downsample web" shape).
+
+    Returns one row per observed stratum: ``(strata, tok_total, rate)``.
+    Cost at 100 TB: one map-side-combined aggregate over (strata) — tiny
+    result (strata are a curated handful by definition) — plus a window
+    over that tiny frame for Σw; the rates table is then broadcast back.
+    The arithmetic is plain IEEE double ops in a fixed order so the DuckDB
+    oracle reproduces each rate bit-for-bit.
+    """
+    w = F.lit(float(default_weight))
+    for value, r in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == value, F.lit(float(r))).otherwise(w)
+    totals = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("tok_total"))
+        .withColumn("w", w)
+    )
+    wsum = Window.partitionBy()
+    if budget_tokens is not None:
+        budget = F.lit(float(budget_tokens))
+    else:
+        if budget_frac is None:
+            raise ValueError("pass budget_tokens or budget_frac")
+        budget = (
+            F.lit(float(budget_frac))
+            * F.sum("tok_total").over(wsum).cast("double")
+        )
+    return totals.select(
+        strata_col,
+        "tok_total",
+        F.least(
+            F.lit(1.0),
+            budget
+            * (F.col("w") / F.sum("w").over(wsum))
+            / F.col("tok_total").cast("double"),
+        ).alias("rate"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    default_weight: float,
+    budget_tokens: int | None = None,
+    budget_frac: float | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic hash sample realizing :func:`mixture_rates`.
+
+    The rates frame is broadcast (O(strata) rows) and the keep decision is
+    the usual ``hash_unit(key) < rate`` scan-side predicate — the corpus
+    never shuffles and rejected rows are never materialized.
+    """
+    from pyspark.sql.functions import broadcast
+
+    rates = mixture_rates(
+        df, strata_col, token_col, weights, default_weight,
+        budget_tokens, budget_frac,
+    )
+    return (
+        df.join(broadcast(rates.select(strata_col, "rate")), strata_col)
+        .filter(hash_unit(F.col(key_col), salt) < F.col("rate"))
+    )
+
+
+def mixture_rates_sql(
+    table: str,
+    strata_expr: str,
+    token_expr: str,
+    weights: dict[str, float],
+    default_weight: float,
+    budget_tokens: int | None = None,
+    budget_frac: float | None = None,
+) -> str:
+    """DuckDB mirror of :func:`mixture_rates` (same op order, same doubles)."""
+    w_case = "CASE " + " ".join(
+        f"WHEN {strata_expr} = '{v}' THEN {float(r)}" for v, r in sorted(weights.items())
+    ) + f" ELSE {float(default_weight)} END"
+    if budget_tokens is not None:
+        budget = str(float(budget_tokens))
+    else:
+        budget = f"({float(budget_frac)} * CAST(sum(tok_total) OVER () AS DOUBLE))"
+    return f"""
+SELECT {strata_expr}, tok_total,
+       least(1.0, {budget} * (w / sum(w) OVER ())
+                  / CAST(tok_total AS DOUBLE)) AS rate
+FROM (
+    SELECT {strata_expr},
+           CAST(sum(CAST({token_expr} AS BIGINT)) AS BIGINT) AS tok_total,
+           {w_case} AS w
+    FROM {table}
+    GROUP BY {strata_expr}
+)
+"""

@@ -592,3 +592,39 @@ def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
 
     scored = enc.mapInPandas(adc, f"{id_col} long, adc_d2 double")
     return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, bucket_col: str,
+                   threshold: float,
+                   max_bucket_size: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): per-item keep/drop
+    decisions for embedding-level semantic duplicates.
+
+    Within each LSH/IVF bucket, an item is DROPPED when a lower-id item in
+    the same bucket sits within ``threshold`` cosine of it — i.e. every
+    near-duplicate group keeps exactly its smallest-id representative under
+    the greedy pairwise rule (no transitive closure; that variant is
+    :func:`dedup.connected_components` over the same pair table).
+
+    Scale shape: the pair table comes from :func:`grouped_neardup_pairs`
+    (one co-locating shuffle, numpy matmul per bucket, bucket-size guard);
+    the drop set is ``distinct id_b`` of that table — near-dup candidates
+    only — and the final verdict is a left join back onto the corpus.  The
+    join strategy is left to AQE: at typical dup rates the drop set fits a
+    broadcast; at SemDeDup-paper-aggressive rates (~50% dropped) it
+    degrades gracefully to one more id-keyed shuffle instead of OOMing a
+    forced broadcast.  Nothing here is O(corpus²).
+    """
+    pairs = grouped_neardup_pairs(
+        df, id_col, vec_col, bucket_col, threshold, max_bucket_size
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        df.select(id_col, bucket_col)
+        .join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            bucket_col,
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )

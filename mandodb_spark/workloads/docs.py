@@ -806,3 +806,134 @@ DOCS_CURATION_FULL_SQL = _curation_full_sql()
 
 QUERIES["docs_curation_full"] = docs_curation_full
 ORACLES["docs_curation_full"] = DOCS_CURATION_FULL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (round 5): concat-and-chunk packing plan for training.
+# ---------------------------------------------------------------------------
+
+#: Training-sequence length (tokens) and shard count for the packing plan.
+PACK_SEQ_LEN = 1024
+PACK_GROUPS = 8
+
+
+def docs_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan: every document gets a
+    deterministic (shard, sequence, offset) slot for ``PACK_SEQ_LEN``-token
+    training sequences.  One hash-partition shuffle + per-shard sort —
+    the shard split is what keeps this parallel at 100 TB (no global
+    ordering anywhere; see operators/packing.py)."""
+    from ..operators import packing
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    return packing.pack_plan(docs, "doc_id", "n_tokens", PACK_SEQ_LEN, PACK_GROUPS)
+
+
+def _pack_plan_sql() -> str:
+    from ..operators.packing import pack_plan_sql
+
+    return pack_plan_sql(
+        "(SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens FROM documents)",
+        "doc_id",
+        "n_tokens",
+        PACK_SEQ_LEN,
+        PACK_GROUPS,
+    )
+
+
+DOCS_PACK_PLAN_SQL = _pack_plan_sql()
+
+QUERIES["docs_pack_plan"] = docs_pack_plan
+ORACLES["docs_pack_plan"] = DOCS_PACK_PLAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture plan (round 5): DoReMi-style domain reweighting.
+# ---------------------------------------------------------------------------
+
+#: Mixture weights: upweight two "high-quality domains", everything else 1.
+MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 2.0}
+MIX_DEFAULT_W = 1.0
+#: Token budget as a fraction of the observed corpus (scale-invariant).
+MIX_BUDGET_FRAC = 0.5
+
+
+def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture plan + realized sample: per source, the computed
+    keep rate against a 50%-of-corpus token budget (DoReMi-style weight
+    shares), plus the documents/tokens the deterministic hash sample
+    actually kept.  One tiny strata aggregate, a broadcast rates join,
+    and a scan-side keep predicate — the corpus itself never shuffles."""
+    from ..operators import sampling
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    rates = sampling.mixture_rates(
+        d, "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
+        budget_frac=MIX_BUDGET_FRAC,
+    )
+    # The rates frame is O(strata) rows but its subtree is a full corpus
+    # aggregate; it is referenced twice below (rates output + keep filter),
+    # and plan-identical subtrees don't reliably hit exchange reuse.  An
+    # eager localCheckpoint pins the 20-row result so the corpus is
+    # scanned exactly twice end-to-end (totals pass + keep pass) instead
+    # of three times.
+    rates = rates.localCheckpoint(eager=True)
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(sampling.hash_unit(F.col("doc_id"), "mix") < F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "tok_total",
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+    )
+
+
+def _mixture_plan_sql() -> str:
+    from ..operators.sampling import hash_unit_sql, mixture_rates_sql
+
+    rates = mixture_rates_sql(
+        "(SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n_tokens"
+        " FROM documents)",
+        "source",
+        "n_tokens",
+        MIX_WEIGHTS,
+        MIX_DEFAULT_W,
+        budget_frac=MIX_BUDGET_FRAC,
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source,
+                  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+rates AS ({rates}),
+kept AS (
+    SELECT d.source, CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(d.n_tokens) AS BIGINT) AS kept_tokens
+    FROM d JOIN rates r ON d.source = r.source
+    WHERE {hash_unit_sql('d.doc_id', 'mix')} < r.rate
+    GROUP BY d.source
+)
+SELECT r.source, r.tok_total, round(r.rate, 6) AS rate,
+       CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+
+DOCS_MIXTURE_PLAN_SQL = _mixture_plan_sql()
+
+QUERIES["docs_mixture_plan"] = docs_mixture_plan
+ORACLES["docs_mixture_plan"] = DOCS_MIXTURE_PLAN_SQL

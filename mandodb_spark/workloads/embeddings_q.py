@@ -529,3 +529,46 @@ GROUP BY vec_id ORDER BY adc_d2, vec_id LIMIT {TOP_K}
 
 QUERIES["emb_pq_adc_topk"] = emb_pq_adc_topk
 ORACLES["emb_pq_adc_topk"] = EMB_PQ_ADC_TOPK_SQL
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): per-vector semantic keep/drop verdict.
+    IVF cells bucket the corpus (stub codebook so the oracle mirrors the
+    assignment exactly); within a cell every near-dup group keeps its
+    smallest-id representative.  Corpus shuffles once (by cell); the drop
+    set is candidates-only and AQE picks its join strategy."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = similarity.ivf_cells(emb, "vec_id", "embedding", IVF_CELLS)
+    assign = similarity.ivf_assign(emb, "vec_id", "embedding", cent)
+    bucketed = emb.join(assign, "vec_id")
+    return similarity.semantic_dedup(
+        bucketed, "vec_id", "embedding", "cell", NEARDUP_T,
+        max_bucket_size=NEARDUP_MAX_BUCKET,
+    )
+
+
+EMB_SEMDEDUP_SQL = f"""
+WITH cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+              FROM embeddings WHERE vec_id < {IVF_CELLS}),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e, cent c) ranked
+    WHERE rn = 1
+),
+b AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN assign a USING (vec_id)),
+dropped AS (
+    SELECT DISTINCT b2.vec_id
+    FROM b a JOIN b b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 4) >= {NEARDUP_T}
+)
+SELECT b.vec_id, b.cell, d.vec_id IS NULL AS kept
+FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+"""
+
+QUERIES["emb_semdedup"] = emb_semdedup
+ORACLES["emb_semdedup"] = EMB_SEMDEDUP_SQL

@@ -1131,3 +1131,109 @@ def test_pq_adc_ranks_query_vector_first(spark):
     out = similarity.pq_adc_topk(emb, "vec_id", "embedding", q, cb, k=5).collect()
     assert out[0].vec_id == 7 and out[0].adc_d2 == 0.0
     assert [r.adc_d2 for r in out] == sorted(r.adc_d2 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing / mixture planning / SemDeDup (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_plan_is_contiguous_chunking(spark):
+    """Within each shard, docs tile the concatenated token stream exactly:
+    orderly cumulative offsets, integer sequence math, correct straddle flag."""
+    from mandodb_spark.operators.packing import pack_plan
+
+    docs = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 300) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    plan = pack_plan(docs, "doc_id", "n_tokens", seq_len=128, n_groups=4).collect()
+    assert len(plan) == 200
+    assert {r.doc_id for r in plan} == set(range(200))
+    by_grp: dict[int, list] = {}
+    for r in plan:
+        assert 0 <= r.grp < 4
+        assert 0 <= r.offset < 128
+        by_grp.setdefault(r.grp, []).append(r)
+    for rows in by_grp.values():
+        rows.sort(key=lambda r: (r.seq, r.offset))
+        cum = 0
+        for r in rows:
+            assert r.seq == cum // 128 and r.offset == cum % 128
+            assert r.crosses == (r.offset + r.n_tokens > 128)
+            cum += r.n_tokens
+
+
+def test_pack_plan_deterministic_across_partitioning(spark):
+    from mandodb_spark.operators.packing import pack_plan
+
+    docs = spark.createDataFrame(
+        [(i, 5 + i % 50) for i in range(300)], "doc_id long, n_tokens long"
+    )
+    a = pack_plan(docs, "doc_id", "n_tokens", 64, 8)
+    b = pack_plan(docs.repartition(7), "doc_id", "n_tokens", 64, 8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_mixture_rates_budget_and_caps(spark):
+    """Rates respect weight shares, cap at 1.0, and realize ≈ the token
+    budget when no stratum caps."""
+    from mandodb_spark.operators.sampling import mixture_rates
+
+    rows = [(i, "web" if i % 4 else "code", 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    # code: 100 docs * 100 tok; web: 300 * 100.  weights code=3, web=1.
+    rates = {
+        r["source"]: r
+        for r in mixture_rates(
+            df, "source", "n_tokens", {"code": 3.0}, 1.0, budget_tokens=20_000
+        ).collect()
+    }
+    # code target = 20000 * 3/4 = 15000 over 10000 observed -> capped at 1.0
+    assert rates["code"]["rate"] == 1.0
+    # web target = 20000 * 1/4 = 5000 over 30000 -> 1/6
+    assert abs(rates["web"]["rate"] - 5000 / 30000) < 1e-12
+    assert rates["web"]["tok_total"] == 30_000
+
+
+def test_mixture_budget_frac_is_scale_invariant(spark):
+    from mandodb_spark.operators.sampling import mixture_rates
+
+    def rates_at(n):
+        rows = [(i, "a" if i % 2 else "b", 10) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+        return {
+            r["source"]: r["rate"]
+            for r in mixture_rates(
+                df, "source", "n_tokens", {}, 1.0, budget_frac=0.5
+            ).collect()
+        }
+
+    assert rates_at(100) == rates_at(1000)  # same halves -> same rates
+
+
+def test_semantic_dedup_keeps_min_id_representative(spark):
+    """Every near-dup pair drops its higher id; kept set has no intra-bucket
+    near pair; the smallest id of each bucket always survives."""
+    import math
+
+    from mandodb_spark.operators.similarity import semantic_dedup
+
+    def vec(angle):
+        return [float(math.cos(angle)), float(math.sin(angle))]
+
+    rows = [
+        # bucket 0: 1/2 nearly parallel (near-dup), 3 orthogonal
+        (1, vec(0.00), 0),
+        (2, vec(0.01), 0),
+        (3, vec(1.40), 0),
+        # bucket 1: all three mutually near -> keep only id 10
+        (10, vec(0.50), 1),
+        (11, vec(0.51), 1),
+        (12, vec(0.52), 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cell int")
+    verdict = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, "vec_id", "embedding", "cell", 0.99).collect()
+    }
+    assert verdict == {1: True, 2: False, 3: True, 10: True, 11: False, 12: False}

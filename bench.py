@@ -77,6 +77,11 @@ EXTENDED = [
     "docs_vocab",
     "emb_pq_error",
     "emb_pq_adc_topk",
+    # round 5: packing / mixture / semdedup + the training-shards flagship
+    "docs_pack_plan",
+    "docs_mixture_plan",
+    "emb_semdedup",
+    "docs_training_shards",
 ]
 
 

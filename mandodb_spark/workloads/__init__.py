@@ -117,10 +117,12 @@ _PRIORITY = [
     "events_topk_users",
 ]
 
-# Round-6 rotation note: emb_pq_error / emb_pq_adc_topk (added mid-round-5,
-# after the window above was fixed) MUST take first-50 slots next round —
-# the r4 verdict's staleness rule: no registered query goes two rounds
-# without a driver row.  Both are oracle-green locally at sf0.01 and sf0.1
+# Round-6 rotation note: emb_pq_error / emb_pq_adc_topk / docs_pack_plan /
+# docs_mixture_plan / emb_semdedup / docs_training_shards (added
+# mid-round-5, after the window above was fixed) MUST take first-50 slots
+# next round — the r4 verdict's
+# staleness rule: no registered query goes two rounds without a driver
+# row.  All are oracle-green locally at sf0.01 and sf0.1
 # (tools/oracle_check.py).
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

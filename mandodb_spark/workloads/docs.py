@@ -937,3 +937,104 @@ DOCS_MIXTURE_PLAN_SQL = _mixture_plan_sql()
 
 QUERIES["docs_mixture_plan"] = docs_mixture_plan
 ORACLES["docs_mixture_plan"] = DOCS_MIXTURE_PLAN_SQL
+
+
+# ---------------------------------------------------------------------------
+# Flagship training-shards composition (round 5): the corpus → trainer path.
+# ---------------------------------------------------------------------------
+
+
+def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus→training-shards composition: quality gate →
+    exact dedup (keep lowest id per bag-of-words fingerprint) →
+    token-budget mixture sample (DoReMi-style source weights, 50%-of-corpus
+    budget) → sequence-packing plan → per-shard summary (docs, tokens,
+    sequences, boundary-straddlers, fill fraction).
+
+    This is the full "curated corpus to data-loader shards" path a
+    pretraining pipeline runs nightly.  Scale shape: gate is scan-side;
+    dedup one hash-groupBy + semi-join; mixture one tiny agg + broadcast
+    rates + scan-side keep; packing one hash-partition shuffle + per-shard
+    sort; summary one 8-key agg — every shuffle is well-keyed and none is
+    corpus². 
+    """
+    from ..operators import packing, sampling
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        text.quality_score(t).alias("q"),
+        text.token_count(t).alias("n_tokens"),
+        text.bow_fingerprint(t).alias("fp"),
+    ).filter(F.col("q") >= CURATE_MIN_QUALITY)
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = scored.join(keepers, ["fp", "doc_id"], "left_semi")
+    rates = sampling.mixture_rates(
+        kept, "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
+        budget_frac=MIX_BUDGET_FRAC,
+    ).localCheckpoint(eager=True)  # tiny; pins the totals pass (see docs_mixture_plan)
+    sampled = (
+        kept.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(sampling.hash_unit(F.col("doc_id"), "mix") < F.col("rate"))
+    )
+    plan = packing.pack_plan(
+        sampled.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+        PACK_SEQ_LEN, PACK_GROUPS,
+    )
+    return plan.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("seq") + 1).alias("n_seqs"),
+        F.sum(F.col("crosses").cast("long")).alias("n_straddlers"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / ((F.max("seq") + 1) * PACK_SEQ_LEN).cast("double"),
+            4,
+        ).alias("fill_frac"),
+    )
+
+
+def _training_shards_sql() -> str:
+    from ..operators.packing import pack_plan_sql
+    from ..operators.sampling import hash_unit_sql, mixture_rates_sql
+
+    rates = mixture_rates_sql(
+        "kept", "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
+        budget_frac=MIX_BUDGET_FRAC,
+    )
+    pack = pack_plan_sql("sampled", "doc_id", "n_tokens", PACK_SEQ_LEN, PACK_GROUPS)
+    return f"""
+WITH scored AS (
+    SELECT doc_id, source,
+           {_Q_EXPR} AS q,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+    FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents)
+    WHERE {_Q_EXPR} >= {CURATE_MIN_QUALITY}
+),
+keepers AS (SELECT fp, min(doc_id) AS doc_id FROM scored GROUP BY fp),
+kept AS (SELECT * FROM scored SEMI JOIN keepers USING (fp, doc_id)),
+rates AS ({rates}),
+sampled AS (
+    SELECT k.doc_id, k.n_tokens
+    FROM kept k JOIN rates r ON k.source = r.source
+    WHERE {hash_unit_sql('k.doc_id', 'mix')} < r.rate
+),
+plan AS ({pack})
+SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(CAST(crosses AS BIGINT)) AS BIGINT) AS n_straddlers,
+       round(CAST(sum(n_tokens) AS DOUBLE)
+             / CAST((max(seq) + 1) * {PACK_SEQ_LEN} AS DOUBLE), 4) AS fill_frac
+FROM plan
+GROUP BY grp
+"""
+
+
+DOCS_TRAINING_SHARDS_SQL = _training_shards_sql()
+
+QUERIES["docs_training_shards"] = docs_training_shards
+ORACLES["docs_training_shards"] = DOCS_TRAINING_SHARDS_SQL

@@ -311,3 +311,26 @@ def test_knn_join_candidates_come_from_cell_equi_join(spark):
     assert "CartesianProduct" not in plan
     # per-query top-k is a window rank, not a global sort of all candidates
     assert "Window" in plan
+
+
+def test_pack_plan_is_one_exchange_one_scan(spark):
+    """Sequence packing must stay shard-parallel: exactly one hash-partition
+    exchange (the grp split) and one corpus scan — never a global-window
+    single-partition sort (SCALE.md round 5)."""
+    from mandodb_spark.workloads.docs import docs_pack_plan
+
+    plan = _plan(docs_pack_plan(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_mixture_plan_scans_corpus_twice_total(spark):
+    """The mixture plan's final executed plan holds one corpus scan (the
+    keep pass); the totals pass runs once inside the checkpointed rates
+    frame — never a third re-execution of the rates subtree."""
+    from mandodb_spark.workloads.docs import docs_mixture_plan
+
+    plan = _plan(docs_mixture_plan(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan

@@ -82,6 +82,9 @@ EXTENDED = [
     "docs_mixture_plan",
     "emb_semdedup",
     "docs_training_shards",
+    # round 5: stream-stream join dual + holt_winters
+    "stream_join_dual",
+    "promql_holt_winters",
 ]
 
 

@@ -729,3 +729,52 @@ def agg_by(vector: DataFrame, fn: str, by: list[str]) -> DataFrame:
         F.array(*[F.lit(n) for n in by]), F.array(*[F.col(n) for n in by])
     )
     return grouped.select(new_labels.alias("labels"), "value")
+
+
+def holt_winters(rel: DataFrame, start: int, end: int,
+                 sf: float, tf: float) -> DataFrame:
+    """PromQL ``holt_winters`` / ``double_exponential_smoothing``
+    (promql/functions.go funcHoltWinters): per-series smoothed value over
+    [start, end] with smoothing factor ``sf`` and trend factor ``tf``.
+
+    The recurrence (s_i depends on s_{i-1}, s_{i-2}, b_{i-1}) is inherently
+    sequential per series, but series are independent — so the scale shape
+    is: one groupBy shuffle to assemble each series' ordered points, then a
+    JVM-side ``F.aggregate`` fold over the sorted array (no Python, no
+    window, no per-row state).  State per series is O(1); the fold mirrors
+    the Go loop exactly (trend update uses the PREVIOUS two smoothed
+    values; the second raw sample both seeds the trend and is consumed by
+    the first iteration).
+    """
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))), lambda p: p["value"]
+    )
+    per_series = rel.groupBy("series_key").agg(
+        F.any_value("labels").alias("labels"), vals.alias("__vals")
+    ).filter(F.size("__vals") >= 2)
+
+    v = F.col("__vals")
+    init = F.struct(
+        F.element_at(v, 1).alias("sp"),
+        F.element_at(v, 1).alias("s"),
+        (F.element_at(v, 2) - F.element_at(v, 1)).alias("b"),
+        F.lit(1).alias("i"),
+    )
+
+    def step(acc, x):
+        b_new = F.when(
+            acc["i"] == 1, acc["b"]
+        ).otherwise(tf * (acc["s"] - acc["sp"]) + (1 - tf) * acc["b"])
+        s_new = sf * x + (1 - sf) * (acc["s"] + b_new)
+        return F.struct(
+            acc["s"].alias("sp"), s_new.alias("s"),
+            b_new.alias("b"), (acc["i"] + 1).alias("i"),
+        )
+
+    smoothed = F.aggregate(
+        F.slice(v, 2, F.size(v) - 1), init, step, lambda acc: acc["s"]
+    )
+    return per_series.select(
+        "series_key", "labels", smoothed.cast("double").alias("value")
+    )

@@ -567,3 +567,76 @@ ORACLES = {
     "promql_avg_over_time": PROMQL_AVG_OVER_TIME_SQL,
     "promql_sum_by_metric": PROMQL_SUM_BY_METRIC_SQL,
 }
+
+
+#: Smoothing / trend factors for the holt_winters query.
+HW_SF = 0.5
+HW_TF = 0.3
+
+
+def promql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """holt_winters(range, 0.5, 0.3) per series — the sequential
+    double-exponential-smoothing recurrence as a JVM array fold
+    (functions/promql.py); the oracle replays the identical recurrence
+    with a recursive CTE."""
+    out = promql.holt_winters(_dedup_rel(spark, sf_dir), EV_START, EV_END, HW_SF, HW_TF)
+    return flatten_labels(out.select(F.col("labels"), F.round("value", 4).alias("value")))
+
+
+PROMQL_HOLT_WINTERS_SQL = f"""{_DEDUP.replace("WITH rel", "WITH RECURSIVE rel", 1)},
+pts AS (
+    SELECT metric, user, k, CAST(value AS DOUBLE) AS value,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts) AS rn,
+           count(*) OVER (PARTITION BY metric, user, k) AS n
+    FROM d
+),
+hw AS (
+    SELECT p1.metric, p1.user, p1.k, p1.n,
+           p1.value AS sp, p1.value AS s,
+           p2.value - p1.value AS b, 1 AS i
+    FROM pts p1
+    JOIN pts p2 ON p2.metric = p1.metric AND p2.user = p1.user
+               AND p2.k = p1.k AND p1.rn = 1 AND p2.rn = 2
+    UNION ALL
+    SELECT hw.metric, hw.user, hw.k, hw.n,
+           hw.s AS sp,
+           {HW_SF} * p.value + (1 - {HW_SF}) * (hw.s +
+               CASE WHEN hw.i = 1 THEN hw.b
+                    ELSE {HW_TF} * (hw.s - hw.sp) + (1 - {HW_TF}) * hw.b END) AS s,
+           CASE WHEN hw.i = 1 THEN hw.b
+                ELSE {HW_TF} * (hw.s - hw.sp) + (1 - {HW_TF}) * hw.b END AS b,
+           hw.i + 1 AS i
+    FROM hw
+    JOIN pts p ON p.metric = hw.metric AND p.user = hw.user AND p.k = hw.k
+              AND p.rn = hw.i + 1
+    WHERE hw.i < hw.n
+)
+SELECT metric, user, k, round(s, 4) AS value FROM hw WHERE i = n
+"""
+
+QUERIES["promql_holt_winters"] = promql_holt_winters
+ORACLES["promql_holt_winters"] = PROMQL_HOLT_WINTERS_SQL
+
+
+def promql_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent(selector) for a metric that matches nothing in range —
+    emits the single {absent="true"} 1.0 sample; the empty-vector case is
+    one tiny global count, no driver branching."""
+    rel = _dedup_rel(spark, sf_dir).filter(
+        F.col("labels").getItem("__name__") == "no_such_metric"
+    )
+    out = promql.absent(rel)
+    return out.select(
+        F.col("labels").getItem("absent").alias("absent"),
+        F.col("value"),
+    )
+
+
+PROMQL_ABSENT_SQL = f"""{_DEDUP}
+SELECT 'true' AS absent, 1.0 AS value
+FROM (SELECT count(*) AS n FROM d WHERE metric = 'no_such_metric')
+WHERE n = 0
+"""
+
+QUERIES["promql_absent"] = promql_absent
+ORACLES["promql_absent"] = PROMQL_ABSENT_SQL

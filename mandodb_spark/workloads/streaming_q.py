@@ -145,3 +145,51 @@ ORACLES = {
     "stream_sliding_dual": STREAM_SLIDING_SQL,
     "stream_session_dual": STREAM_SESSION_SQL,
 }
+
+
+#: Attribution lookback for the stream-stream join dual (seconds).
+JOIN_LOOKBACK = 900
+
+
+def stream_join_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join (streaming/joins.py) on batch
+    input: purchases joined to the same user's clicks within the
+    preceding 15 minutes — the attribution primitive.  In streaming mode
+    the double watermark bounds both sides' state; in batch mode the
+    equi-key (user_id) keeps it a plain shuffle hash/merge join with the
+    range as a post-predicate — never a nested loop."""
+    from ..streaming.joins import interval_join_stream
+    from .common import events_base
+
+    ev = events_base(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = interval_join_stream(
+        purchases, clicks, key="user_id", lookback_s=JOIN_LOOKBACK
+    )
+    return joined.groupBy("user_id", F.col("l_event_id").alias("purchase_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+
+
+STREAM_JOIN_SQL = f"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts
+    FROM events
+)
+SELECT p.user_id, p.event_id AS purchase_id, CAST(count(*) AS BIGINT) AS n_clicks
+FROM ev p
+JOIN ev c ON c.user_id = p.user_id
+         AND c.event_type = 'click'
+         AND c.ts BETWEEN p.ts - {JOIN_LOOKBACK} AND p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+QUERIES["stream_join_dual"] = stream_join_dual
+ORACLES["stream_join_dual"] = STREAM_JOIN_SQL

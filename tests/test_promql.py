@@ -431,3 +431,38 @@ def test_rate_sliding_subquery(spark):
     # outer max picks the steep window
     peak = promql.subquery_over_time(rel, "max", base, base + 240, 120, 60).collect()
     assert len(peak) == 1 and peak[0].value == pytest.approx(3.0)
+
+
+def test_holt_winters_matches_reference_recurrence(spark):
+    """The JVM array fold reproduces the Prometheus double-exponential
+    recurrence (s from the previous TWO smoothed values; second raw sample
+    both seeds the trend and is consumed by iteration 1), computed here in
+    plain Python."""
+    from mandodb_spark.functions.promql import holt_winters
+
+    xs = [3.0, 4.5, 4.0, 6.0, 5.5, 7.25]
+    sf_, tf_ = 0.5, 0.3
+    sp = s = xs[0]
+    b = xs[1] - xs[0]
+    for i, x in enumerate(xs[1:], start=1):
+        if i > 1:
+            b = tf_ * (s - sp) + (1 - tf_) * b
+        sp, s = s, sf_ * x + (1 - sf_) * (s + b)
+    expected = s
+
+    rows = [({"__name__": "m", "u": "a"}, 100 + i, v) for i, v in enumerate(xs)]
+    rel = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double"
+    )
+    out = holt_winters(rel, 0, 10_000, sf_, tf_).collect()
+    assert len(out) == 1
+    assert abs(out[0].value - expected) < 1e-12
+
+
+def test_holt_winters_needs_two_samples(spark):
+    from mandodb_spark.functions.promql import holt_winters
+
+    rel = spark.createDataFrame(
+        [({"__name__": "m"}, 100, 1.0)], "labels map<string,string>, ts long, value double"
+    )
+    assert holt_winters(rel, 0, 1000, 0.5, 0.3).count() == 0

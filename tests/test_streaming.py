@@ -387,3 +387,55 @@ def test_streaming_incremental_rollup_equals_full_rebuild(spark, tmp_path_factor
     assert inc_rows == full_rows and len(inc_rows) > 0
     # the late row really reached its (older) bucket
     assert any(r[1] == (START + 100) // 21600 * 21600 and r[7] == 99.0 for r in inc_rows)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path_factory):
+    """Two REAL file streams through the watermarked stream-stream interval
+    join (purchase ← same-user clicks within lookback): the joined pairs
+    match the batch dual exactly, including a click arriving in a later
+    micro-batch than its purchase."""
+    from mandodb_spark.streaming.joins import interval_join_stream
+
+    base = tmp_path_factory.mktemp("ssjoin")
+    lsrc, rsrc = str(base / "purchases"), str(base / "clicks")
+    schema = "user_id long, event_id long, ts long"
+
+    purchases = [(1, 100, 2000), (1, 101, 5000), (2, 200, 2000)]
+    clicks_b1 = [(1, 900, 1500), (2, 901, 1900)]
+    clicks_b2 = [(1, 902, 4500),  # arrives after purchase 101 was seen
+                 (1, 903, 9999999)]  # watermark advance marker
+    purchases_b2 = [(9, 999, 9999999)]  # advance the purchase-side watermark
+
+    spark.createDataFrame(purchases, schema).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(clicks_b1, schema).coalesce(1).write.mode("append").parquet(rsrc)
+
+    joined_stream = interval_join_stream(
+        spark.readStream.schema(schema).parquet(lsrc),
+        spark.readStream.schema(schema).parquet(rsrc),
+        key="user_id",
+        lookback_s=900,
+    )
+    name = "ssjoin_sink"
+    q = joined_stream.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(clicks_b2, schema).coalesce(1).write.mode("append").parquet(rsrc)
+        spark.createDataFrame(purchases_b2, schema).coalesce(1).write.mode("append").parquet(lsrc)
+        q.processAllAvailable()
+        streamed = {
+            (r.user_id, r.l_event_id, r.r_event_id)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+
+    lb = spark.createDataFrame(purchases + purchases_b2, schema)
+    rb = spark.createDataFrame(clicks_b1 + clicks_b2, schema)
+    batch = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in interval_join_stream(lb, rb, key="user_id", lookback_s=900).collect()
+    }
+    # expected pairs: p100←c900 (1500∈[1100,2000]), p101←c902 (4500∈[4100,5000]),
+    # p200←c901 (1900∈[1100,2000]); the marker rows join themselves if in range
+    assert {(1, 100, 900), (1, 101, 902), (2, 200, 901)} <= batch
+    assert streamed == batch

@@ -606,25 +606,47 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, bucket_col: str,
     the greedy pairwise rule (no transitive closure; that variant is
     :func:`dedup.connected_components` over the same pair table).
 
-    Scale shape: the pair table comes from :func:`grouped_neardup_pairs`
-    (one co-locating shuffle, numpy matmul per bucket, bucket-size guard);
-    the drop set is ``distinct id_b`` of that table — near-dup candidates
-    only — and the final verdict is a left join back onto the corpus.  The
-    join strategy is left to AQE: at typical dup rates the drop set fits a
-    broadcast; at SemDeDup-paper-aggressive rates (~50% dropped) it
-    degrades gracefully to one more id-keyed shuffle instead of OOMing a
-    forced broadcast.  Nothing here is O(corpus²).
+    Scale shape: verdicts are computed directly inside ONE
+    ``applyInPandas`` stage per bucket (same numpy cosine matmul as
+    :func:`grouped_neardup_pairs`, same ``max_bucket_size`` guard) — one
+    co-locating shuffle, one Arrow pass, and crucially NO pair table and
+    NO join back onto the corpus.  A pairs-then-join formulation reads
+    nicer but references the bucketed corpus twice, and MapInPandas
+    subtrees don't canonicalize for exchange reuse, so the (possibly
+    Arrow-expensive) bucketing input would execute once per reference —
+    the exact trap the simhash band join hit in round 5.  Nothing here is
+    O(corpus²).
     """
-    pairs = grouped_neardup_pairs(
-        df, id_col, vec_col, bucket_col, threshold, max_bucket_size
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, {bucket_col} {dict(df.dtypes)[bucket_col]}, kept boolean"
     )
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return (
-        df.select(id_col, bucket_col)
-        .join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
-        .select(
-            id_col,
-            bucket_col,
-            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+
+    def verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket_size is not None and len(pdf) > max_bucket_size:
+            raise ValueError(
+                f"bucket {pdf[bucket_col].iloc[0]!r} has {len(pdf)} vectors "
+                f"(max_bucket_size={max_bucket_size}); use a finer LSH/IVF "
+                "bucketing — pairwise work is O(bucket_size^2)"
+            )
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf[vec_col].to_numpy()[order]).astype("float64")
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((m @ m.T) / np.outer(norms, norms), 4)
+        near = np.triu(cos >= threshold, k=1)  # [a, b]: a < b and near
+        kept = ~near.any(axis=0)  # b dropped iff any lower-id a is near
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                bucket_col: pdf[bucket_col].iloc[0],
+                "kept": kept,
+            }
         )
-    )
+
+    return df.select(F.col(bucket_col), F.col(id_col), F.col(vec_col)).groupBy(
+        bucket_col
+    ).applyInPandas(verdicts, out_schema)

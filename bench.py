@@ -82,9 +82,10 @@ EXTENDED = [
     "docs_mixture_plan",
     "emb_semdedup",
     "docs_training_shards",
-    # round 5: stream-stream join dual + holt_winters
+    # round 5: stream-stream join dual + holt_winters + token chunking
     "stream_join_dual",
     "promql_holt_winters",
+    "docs_chunk_plan",
 ]
 
 

@@ -618,3 +618,60 @@ FROM freq
 ORDER BY freq DESC, token
 LIMIT {size}
 """
+
+
+def chunk_spans(df: DataFrame, id_col: str, text_col: str,
+                chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
+    """Overlapping token-window chunks per document — the long-document
+    splitting primitive every RAG/embedding-indexing pipeline runs
+    (windows of ``chunk_tokens`` advancing by ``chunk_tokens - overlap``).
+
+    Pure column expressions: tokenize once, explode a bounded ``sequence``
+    of window indexes, slice the token array per window, and re-join the
+    chunk text.  Map-side with a narrow explode — scan-parallel and
+    shuffle-free at any corpus size (the byte-level analogue for opaque
+    media payloads is ``multimodal.chunk_plan``).
+
+    Output: id, chunk_idx, n_chunk_tokens, chunk_text.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    last_idx = F.floor(
+        F.greatest((n - F.lit(overlap + 1)).cast("long"), F.lit(0)) / F.lit(step)
+    ).cast("long")
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_idx").cast("int") * step + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def chunk_spans_sql(table: str, id_expr: str, text_expr: str,
+                    chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """DuckDB mirror of :func:`chunk_spans`."""
+    step = chunk_tokens - overlap
+    return f"""
+WITH t AS (
+    SELECT {id_expr} AS id, string_split(lower({text_expr}), ' ') AS toks
+    FROM {table}
+),
+idx AS (
+    SELECT id, toks,
+           unnest(range(0, CAST(floor(CAST(greatest(len(toks) - {overlap + 1}, 0) AS DOUBLE) / {step}) AS BIGINT) + 1)) AS chunk_idx
+    FROM t
+)
+SELECT id AS {id_expr}, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * {step} + 1, chunk_idx * {step} + {chunk_tokens})) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {step} + 1, chunk_idx * {step} + {chunk_tokens}), ' ') AS chunk_text
+FROM idx
+"""

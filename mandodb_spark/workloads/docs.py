@@ -1038,3 +1038,16 @@ DOCS_TRAINING_SHARDS_SQL = _training_shards_sql()
 
 QUERIES["docs_training_shards"] = docs_training_shards
 ORACLES["docs_training_shards"] = DOCS_TRAINING_SHARDS_SQL
+
+
+def docs_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks (16-token overlap) per document — the
+    RAG/embedding-index splitting step; shuffle-free narrow explode."""
+    d = load(spark, sf_dir, "documents")
+    return text.chunk_spans(d, "doc_id", "text", 64, 16)
+
+
+DOCS_CHUNK_PLAN_SQL = text.chunk_spans_sql("documents", "doc_id", "text", 64, 16)
+
+QUERIES["docs_chunk_plan"] = docs_chunk_plan
+ORACLES["docs_chunk_plan"] = DOCS_CHUNK_PLAN_SQL

@@ -1237,3 +1237,23 @@ def test_semantic_dedup_keeps_min_id_representative(spark):
         for r in semantic_dedup(df, "vec_id", "embedding", "cell", 0.99).collect()
     }
     assert verdict == {1: True, 2: False, 3: True, 10: True, 11: False, 12: False}
+
+
+def test_chunk_spans_tile_with_overlap(spark):
+    """Chunks advance by chunk-overlap tokens, cover every token, and the
+    final partial chunk is kept (never an empty chunk)."""
+    from mandodb_spark.operators.text import chunk_spans
+
+    text10 = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text10), (2, "one two")], "doc_id long, text string")
+    out = sorted(chunk_spans(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect(),
+                 key=lambda r: (r.doc_id, r.chunk_idx))
+    d1 = [r for r in out if r.doc_id == 1]
+    # 10 tokens, window 4, step 3 -> starts 0,3,6 wait: last_idx = floor((10-2)/3)=2 -> 3 chunks
+    assert [r.chunk_text for r in d1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert all(r.n_chunk_tokens == 4 for r in d1)
+    d2 = [r for r in out if r.doc_id == 2]
+    assert [r.chunk_text for r in d2] == ["one two"]
+    assert d2[0].n_chunk_tokens == 2

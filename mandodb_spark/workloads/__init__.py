@@ -120,7 +120,8 @@ _PRIORITY = [
 # Round-6 rotation note: emb_pq_error / emb_pq_adc_topk / docs_pack_plan /
 # docs_mixture_plan / emb_semdedup / docs_training_shards /
 # stream_join_dual / promql_holt_winters / promql_absent /
-# docs_chunk_plan (added
+# docs_chunk_plan / promql_label_math / promql_delta_offset /
+# promql_idelta (added
 # mid-round-5, after the window above was fixed) MUST take first-50 slots
 # next round — the r4 verdict's
 # staleness rule: no registered query goes two rounds without a driver

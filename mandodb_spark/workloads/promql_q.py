@@ -640,3 +640,100 @@ WHERE n = 0
 
 QUERIES["promql_absent"] = promql_absent
 ORACLES["promql_absent"] = PROMQL_ABSENT_SQL
+
+
+def promql_label_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the label/scalar manipulation functions on an
+    instant vector: label_replace (region ← first digit of user),
+    label_join (uk ← user-k), scalar_map sqrt, clamp [1, 20] — all pure
+    map expressions, zero additional shuffles over the instant lookup."""
+    vec = promql.instant(_dedup_rel(spark, sf_dir), EV_END, LOOKBACK)
+    vec = promql.label_replace(vec, "region", "r$1", "user", "(\\d)\\d*")
+    vec = promql.label_join(vec, "uk", "-", ["user", "k"])
+    vec = promql.scalar_map(vec, "sqrt")
+    vec = promql.clamp(vec, 1.0, 20.0)
+    return vec.select(
+        F.col("labels").getItem("__name__").alias("metric"),
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        F.col("labels").getItem("region").alias("region"),
+        F.col("labels").getItem("uk").alias("uk"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+PROMQL_LABEL_MATH_SQL = f"""{_DEDUP},
+latest AS (
+    SELECT metric, user, k, value,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d
+    WHERE ts BETWEEN {EV_END - LOOKBACK} AND {EV_END}
+)
+SELECT metric, user, k,
+       'r' || substr(user, 1, 1) AS region,
+       user || '-' || k AS uk,
+       round(least(greatest(sqrt(CAST(value AS DOUBLE)), 1.0), 20.0), 4) AS value
+FROM latest WHERE rn = 1
+"""
+
+QUERIES["promql_label_math"] = promql_label_math
+ORACLES["promql_label_math"] = PROMQL_LABEL_MATH_SQL
+
+
+#: Offset modifier for the delta query (seconds).
+DELTA_OFFSET = 2 * 86_400
+
+
+def promql_delta_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delta(gauge[range] offset 2d): the offset modifier shifts the
+    evaluated window (still a pushable range predicate) and delta takes
+    last-minus-first per series."""
+    shifted = promql.offset_range(_dedup_rel(spark, sf_dir), EV_START, EV_END, DELTA_OFFSET)
+    out = promql.delta(shifted, EV_START, EV_END)
+    return flatten_labels(out.select(F.col("labels"), F.round("value", 4).alias("value")))
+
+
+PROMQL_DELTA_OFFSET_SQL = f"""{_DEDUP},
+shifted AS (
+    SELECT metric, user, k, ts + {DELTA_OFFSET} AS ts, value
+    FROM d
+    WHERE ts BETWEEN {EV_START - DELTA_OFFSET} AND {EV_END - DELTA_OFFSET}
+),
+ranked AS (
+    SELECT metric, user, k, ts, value,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS last_v,
+           count(*) OVER (PARTITION BY metric, user, k) AS n
+    FROM shifted
+    WHERE ts BETWEEN {EV_START} AND {EV_END}
+    WINDOW w AS (PARTITION BY metric, user, k ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT DISTINCT metric, user, k,
+       round(CAST(last_v - first_v AS DOUBLE), 4) AS value
+FROM ranked WHERE n >= 2
+"""
+
+QUERIES["promql_delta_offset"] = promql_delta_offset
+ORACLES["promql_delta_offset"] = PROMQL_DELTA_OFFSET_SQL
+
+
+def promql_idelta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idelta(gauge[range]): difference of each series' last two samples."""
+    out = promql.idelta(_dedup_rel(spark, sf_dir), EV_START, EV_END)
+    return flatten_labels(out.select(F.col("labels"), F.round("value", 4).alias("value")))
+
+
+PROMQL_IDELTA_SQL = f"""{_DEDUP},
+s AS (
+    SELECT metric, user, k, ts, value,
+           lag(value) OVER (PARTITION BY metric, user, k ORDER BY ts) AS prev,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d
+)
+SELECT metric, user, k, round(CAST(value - prev AS DOUBLE), 4) AS value
+FROM s WHERE rn = 1 AND prev IS NOT NULL
+"""
+
+QUERIES["promql_idelta"] = promql_idelta
+ORACLES["promql_idelta"] = PROMQL_IDELTA_SQL

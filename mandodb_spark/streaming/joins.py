@@ -32,14 +32,21 @@ def interval_join_stream(
     right_ts: str = "ts",
     lookback_s: int = 900,
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``right`` rows to ``left`` rows with the same ``key``
-    where ``right.ts`` falls in ``[left.ts - lookback_s, left.ts]``.
+    """Join ``right`` rows to ``left`` rows with the same ``key`` where
+    ``right.ts`` falls in ``[left.ts - lookback_s, left.ts]``.
 
     Both inputs carry unix-seconds ``left_ts``/``right_ts``; both get an
     event-time column and a watermark (state eviction bound in streaming,
     no-op in batch).  Column names from both sides survive with ``l_`` /
     ``r_`` prefixes (except the shared key).
+
+    ``how="left_outer"`` keeps unmatched left rows (the "purchase with no
+    attributable click" row): in streaming mode the null-padded row is
+    emitted only once the watermark proves no matching right row can still
+    arrive — exactly-once late-data semantics the engine provides natively
+    because the time-range condition bounds how long a left row must wait.
     """
     lev = left.withColumn("l_event_time", F.timestamp_seconds(F.col(left_ts)))
     rev = right.withColumn("r_event_time", F.timestamp_seconds(F.col(right_ts)))
@@ -59,4 +66,4 @@ def interval_join_stream(
         & (F.col("r_event_time") >= F.col("l_event_time") - F.expr(f"INTERVAL {lookback_s} SECONDS"))
         & (F.col("r_event_time") <= F.col("l_event_time"))
     )
-    return lhs.join(rhs, cond, "inner").drop("__rkey", "l_event_time", "r_event_time")
+    return lhs.join(rhs, cond, how).drop("__rkey", "l_event_time", "r_event_time")

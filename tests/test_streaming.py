@@ -439,3 +439,51 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path_factory):
     # p200←c901 (1900∈[1100,2000]); the marker rows join themselves if in range
     assert {(1, 100, 900), (1, 101, 902), (2, 200, 901)} <= batch
     assert streamed == batch
+
+
+def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(spark, tmp_path_factory):
+    """left_outer stream-stream join: a purchase with no click in its
+    lookback window is emitted null-padded, but only after the watermark
+    proves no matching click can still arrive — and matched purchases are
+    never also emitted unmatched."""
+    from mandodb_spark.streaming.joins import interval_join_stream
+
+    base = tmp_path_factory.mktemp("ssoj")
+    lsrc, rsrc = str(base / "purchases"), str(base / "clicks")
+    schema = "user_id long, event_id long, ts long"
+
+    purchases = [(1, 100, 2000), (2, 200, 2000)]  # user 2 will have no click
+    clicks_b1 = [(1, 900, 1500)]
+
+    spark.createDataFrame(purchases, schema).coalesce(1).write.mode("append").parquet(lsrc)
+    spark.createDataFrame(clicks_b1, schema).coalesce(1).write.mode("append").parquet(rsrc)
+
+    joined = interval_join_stream(
+        spark.readStream.schema(schema).parquet(lsrc),
+        spark.readStream.schema(schema).parquet(rsrc),
+        key="user_id",
+        lookback_s=900,
+        watermark="10 seconds",
+        how="left_outer",
+    )
+    name = "ssoj_sink"
+    q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        early = spark.sql(f"SELECT * FROM {name}").collect()
+        # watermark hasn't advanced past purchase 200's window yet: the
+        # unmatched row must NOT have been emitted
+        assert all(r.l_event_id != 200 or r.r_event_id is not None for r in early)
+        # advance both watermarks far beyond every window
+        adv = [(9, 999, 10_000_000)]
+        spark.createDataFrame(adv, schema).coalesce(1).write.mode("append").parquet(lsrc)
+        spark.createDataFrame(adv, schema).coalesce(1).write.mode("append").parquet(rsrc)
+        q.processAllAvailable()
+        rows = {(r.user_id, r.l_event_id, r.r_event_id)
+                for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    finally:
+        q.stop()
+
+    assert (1, 100, 900) in rows          # matched pair
+    assert (2, 200, None) in rows         # unmatched emitted null-padded
+    assert (1, 100, None) not in rows     # matched row never doubled

@@ -125,3 +125,22 @@ SELECT id AS {id_expr}, grp,
        (cum_before % {seq_len}) + n_tokens > {seq_len} AS crosses
 FROM packed
 """
+
+
+def write_shards(plan_with_text: DataFrame, path: str) -> None:
+    """Materialize a packing plan as trainer-consumable shard files.
+
+    Input is :func:`pack_plan` output joined back with whatever payload
+    columns the trainer needs (text/tokens).  Written as one directory per
+    shard (``grp=N/``) with rows sorted by (seq, offset) inside each file —
+    a data-parallel rank reads its own directory start-to-finish and sees
+    the exact concatenation order the plan promised.  ``partitionBy`` keeps
+    the write scan-parallel; the per-shard sort is per-partition.
+    """
+    (
+        plan_with_text.repartition("grp")
+        .sortWithinPartitions("grp", "seq", "offset")
+        .write.mode("overwrite")
+        .partitionBy("grp")
+        .parquet(path)
+    )

@@ -1257,3 +1257,35 @@ def test_chunk_spans_tile_with_overlap(spark):
     d2 = [r for r in out if r.doc_id == 2]
     assert [r.chunk_text for r in d2] == ["one two"]
     assert d2[0].n_chunk_tokens == 2
+
+
+def test_write_shards_round_trips_plan_order(spark, tmp_path_factory):
+    """Shard files hold each group's docs in the exact (seq, offset)
+    concatenation order the plan promised."""
+    from mandodb_spark.operators.packing import pack_plan, write_shards
+
+    docs = spark.createDataFrame(
+        [(i, 7 + i % 23) for i in range(120)], "doc_id long, n_tokens long"
+    )
+    plan = pack_plan(docs, "doc_id", "n_tokens", seq_len=64, n_groups=4)
+    out = str(tmp_path_factory.mktemp("shards") / "packed")
+    write_shards(plan, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 120
+    for g in range(4):
+        rows = [r for r in back.filter(f"grp = {g}").collect()]
+        expected = sorted(rows, key=lambda r: (r.seq, r.offset))
+        # parquet preserves within-file row order; single sorted file per shard
+        import glob as _g
+        files = _g.glob(f"{out}/grp={g}/*.parquet")
+        assert files
+        got = spark.read.parquet(*files).collect()
+        assert [(r.seq, r.offset) for r in sorted(got, key=lambda r: (r.seq, r.offset))] == [
+            (r.seq, r.offset) for r in expected
+        ]
+        # plan invariant survives the round trip
+        cum = 0
+        for r in expected:
+            assert (r.seq, r.offset) == (cum // 64, cum % 64)
+            cum += r.n_tokens

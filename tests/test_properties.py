@@ -156,3 +156,32 @@ def test_int8_error_within_half_scale_bound(spark, vec):
     else:
         bound = (amax / 127.0 / 2.0) * math.sqrt(len(vec)) / norm
         assert err <= bound * 1.01 + 1e-9
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+    seq_len=st.integers(min_value=8, max_value=256),
+    n_groups=st.integers(min_value=1, max_value=6),
+)
+def test_pack_plan_tiles_for_any_corpus(spark, toks, seq_len, n_groups):
+    """Packing invariant for arbitrary token-count corpora: every doc gets
+    exactly one slot, and per shard the (seq, offset) slots are exactly the
+    running token sum — no gaps, no overlaps, straddle flag consistent."""
+    from mandodb_spark.operators.packing import pack_plan
+
+    docs = spark.createDataFrame(
+        list(enumerate(toks)), "doc_id long, n_tokens long"
+    )
+    plan = pack_plan(docs, "doc_id", "n_tokens", seq_len, n_groups).collect()
+    assert len(plan) == len(toks)
+    by_grp: dict[int, list] = {}
+    for r in plan:
+        by_grp.setdefault(r.grp, []).append(r)
+    for rows in by_grp.values():
+        rows.sort(key=lambda r: (r.seq, r.offset, r.doc_id))
+        cum = 0
+        for r in rows:
+            assert (r.seq, r.offset) == (cum // seq_len, cum % seq_len)
+            assert r.crosses == (r.offset + r.n_tokens > seq_len)
+            cum += r.n_tokens

@@ -86,6 +86,7 @@ EXTENDED = [
     "stream_join_dual",
     "promql_holt_winters",
     "docs_chunk_plan",
+    "emb_ivfpq_topk",
 ]
 
 

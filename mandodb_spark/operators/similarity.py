@@ -650,3 +650,32 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, bucket_col: str,
     return df.select(F.col(bucket_col), F.col(id_col), F.col(vec_col)).groupBy(
         bucket_col
     ).applyInPandas(verdicts, out_schema)
+
+
+def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
+               codebooks: DataFrame, n_cells: int = 16, n_probe: int = 4,
+               k: int = 10, centroids: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ approximate top-k — the production ANN index shape (coarse
+    quantizer prunes, fine quantizer ranks): probe the ``n_probe``
+    closest IVF cells, then rank ONLY those cells' members by PQ
+    asymmetric distance (:func:`pq_adc_topk`).
+
+    At 100 TB this is the whole point of the composition: the cell
+    assignment is a partition column (probe = partition pruning, the scan
+    touches n_probe/n_cells of the data) and within the probed partitions
+    the scan reads the 2-byte codes column instead of 256 bytes of
+    floats — recall tunes with n_probe, cost with m/ksub.  Here both
+    stages run inline with the same plan shapes (broadcast codebooks,
+    map-side Arrow assignment, candidate-only ADC).
+    """
+    cent = centroids if centroids is not None else ivf_cells(df, id_col, vec_col, n_cells)
+    probe = (
+        cent.crossJoin(F.broadcast(query.select("qe")))
+        .select(F.col("cell"), F.round(cosine(F.col("cvec"), F.col("qe")), 6).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    assign = ivf_assign(df, id_col, vec_col, cent)
+    cand = df.join(assign, id_col).join(F.broadcast(probe), "cell", "left_semi")
+    return pq_adc_topk(cand, id_col, vec_col, query, codebooks, k)

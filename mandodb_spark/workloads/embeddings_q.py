@@ -572,3 +572,60 @@ FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
 
 QUERIES["emb_semdedup"] = emb_semdedup
 ORACLES["emb_semdedup"] = EMB_SEMDEDUP_SQL
+
+
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (coarse quantizer prunes cells, PQ codes rank inside):
+    the production ANN composition — probe 4 of 16 cells, ADC-rank only
+    their members.  Stub codebooks on both stages keep the full pipeline
+    oracle-checkable."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(emb, "vec_id", "embedding", PQ_DIM, PQ_M, PQ_KSUB)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    return similarity.ivfpq_topk(
+        emb, "vec_id", "embedding", q, cb, IVF_CELLS, IVF_PROBE, TOP_K
+    )
+
+
+EMB_IVFPQ_TOPK_SQL = f"""{_PQ_SQL_PRELUDE},
+qsub AS (SELECT sub, v AS qv FROM subv WHERE vec_id = {QUERY_VEC_ID}),
+d AS (
+  SELECT vec_id, sub, code,
+         CAST(round(sum((sv-cv)*(sv-cv)) * 1000000) AS BIGINT) AS d2u,
+         CAST(round(sum((qv2-cv2)*(qv2-cv2)) * 1000000) AS BIGINT) AS tqu
+  FROM (SELECT vec_id, sub, code, unnest(v) AS sv, unnest(cvec) AS cv,
+               unnest(qv) AS qv2, unnest(cvec) AS cv2
+        FROM subv JOIN cb USING (sub) JOIN qsub USING (sub))
+  GROUP BY vec_id, sub, code
+),
+assigned AS (
+  SELECT vec_id, sub, tqu,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2u, code) AS rn
+  FROM d
+),
+ivfcent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ivfvec
+            FROM embeddings WHERE vec_id < {IVF_CELLS}),
+qfull AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (SELECT cell FROM ivfcent, qfull
+          ORDER BY round(list_cosine_similarity(ivfvec, qe), 6) DESC, cell
+          LIMIT {IVF_PROBE}),
+iassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ivfvec), 6) DESC, c.cell
+               ) AS rn
+        FROM embeddings e, ivfcent c) ranked
+    WHERE rn = 1
+)
+SELECT a.vec_id, CAST((sum(a.tqu) + 50) // 100 AS DOUBLE) / 10000 AS adc_d2
+FROM assigned a
+JOIN iassign i ON i.vec_id = a.vec_id
+WHERE a.rn = 1 AND i.cell IN (SELECT cell FROM probe)
+GROUP BY a.vec_id ORDER BY adc_d2, a.vec_id LIMIT {TOP_K}
+"""
+
+QUERIES["emb_ivfpq_topk"] = emb_ivfpq_topk
+ORACLES["emb_ivfpq_topk"] = EMB_IVFPQ_TOPK_SQL

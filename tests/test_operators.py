@@ -1289,3 +1289,31 @@ def test_write_shards_round_trips_plan_order(spark, tmp_path_factory):
         for r in expected:
             assert (r.seq, r.offset) == (cum // 64, cum % 64)
             cum += r.n_tokens
+
+
+def test_ivfpq_candidates_restricted_to_probed_cells(spark):
+    """IVF-PQ ranks only probed-cell members: a vector whose cell isn't
+    probed never appears, the query vector ranks first at distance 0, and
+    results agree with running ADC over the probed subset directly."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cb = similarity.pq_codebooks(emb, "vec_id", "embedding", 64, 4, 16)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    out = similarity.ivfpq_topk(emb, "vec_id", "embedding", q, cb,
+                                n_cells=16, n_probe=4, k=10).collect()
+    assert len(out) == 10
+    assert out[0].vec_id == 0 and out[0].adc_d2 == 0.0
+
+    cent = similarity.ivf_cells(emb, "vec_id", "embedding", 16)
+    probe = {
+        r.cell
+        for r in cent.crossJoin(F.broadcast(q))
+        .select("cell", F.round(similarity.cosine(F.col("cvec"), F.col("qe")), 6).alias("s"))
+        .orderBy(F.col("s").desc(), "cell").limit(4).collect()
+    }
+    assign = {r.vec_id: r.cell
+              for r in similarity.ivf_assign(emb, "vec_id", "embedding", cent).collect()}
+    assert all(assign[r.vec_id] in probe for r in out)
+    # parity with ADC over the probed subset computed independently
+    subset = emb.filter(F.col("vec_id").isin([v for v, c in assign.items() if c in probe]))
+    direct = similarity.pq_adc_topk(subset, "vec_id", "embedding", q, cb, k=10).collect()
+    assert [(r.vec_id, r.adc_d2) for r in out] == [(r.vec_id, r.adc_d2) for r in direct]

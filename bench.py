@@ -87,6 +87,7 @@ EXTENDED = [
     "promql_holt_winters",
     "docs_chunk_plan",
     "emb_ivfpq_topk",
+    "docs_mixture_epochs",
 ]
 
 

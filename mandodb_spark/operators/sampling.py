@@ -74,6 +74,7 @@ def mixture_rates(
     default_weight: float,
     budget_tokens: int | None = None,
     budget_frac: float | None = None,
+    cap: bool = True,
 ) -> DataFrame:
     """Per-stratum sampling rates hitting a corpus-level token budget.
 
@@ -113,16 +114,14 @@ def mixture_rates(
             F.lit(float(budget_frac))
             * F.sum("tok_total").over(wsum).cast("double")
         )
-    return totals.select(
-        strata_col,
-        "tok_total",
-        F.least(
-            F.lit(1.0),
-            budget
-            * (F.col("w") / F.sum("w").over(wsum))
-            / F.col("tok_total").cast("double"),
-        ).alias("rate"),
+    rate = (
+        budget
+        * (F.col("w") / F.sum("w").over(wsum))
+        / F.col("tok_total").cast("double")
     )
+    if cap:
+        rate = F.least(F.lit(1.0), rate)
+    return totals.select(strata_col, "tok_total", rate.alias("rate"))
 
 
 def mixture_sample(
@@ -162,6 +161,7 @@ def mixture_rates_sql(
     default_weight: float,
     budget_tokens: int | None = None,
     budget_frac: float | None = None,
+    cap: bool = True,
 ) -> str:
     """DuckDB mirror of :func:`mixture_rates` (same op order, same doubles)."""
     w_case = "CASE " + " ".join(
@@ -171,9 +171,10 @@ def mixture_rates_sql(
         budget = str(float(budget_tokens))
     else:
         budget = f"({float(budget_frac)} * CAST(sum(tok_total) OVER () AS DOUBLE))"
+    cap_open = "least(1.0, " if cap else "("
     return f"""
 SELECT {strata_expr}, tok_total,
-       least(1.0, {budget} * (w / sum(w) OVER ())
+       {cap_open}{budget} * (w / sum(w) OVER ())
                   / CAST(tok_total AS DOUBLE)) AS rate
 FROM (
     SELECT {strata_expr},
@@ -183,3 +184,44 @@ FROM (
     GROUP BY {strata_expr}
 )
 """
+
+
+def mixture_epochs(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    default_weight: float,
+    budget_tokens: int | None = None,
+    budget_frac: float | None = None,
+    salt: str = "mix.epoch",
+) -> DataFrame:
+    """Mixture realization WITH upsampling: rates above 1 replicate rows.
+
+    Real pretraining mixes run high-quality domains for multiple epochs —
+    a rate of 2.4 means two full passes plus a deterministic 40% subset on
+    the third.  Each input row is emitted ``floor(rate) + (hash < frac)``
+    times with an ``epoch`` column (1-based), so downstream packing sees
+    distinct (row, epoch) units.  Still fully deterministic and
+    oracle-checkable; the replication is a narrow ``explode(sequence)`` —
+    map-side, no shuffle beyond the tiny rates aggregate.
+    """
+    rates = mixture_rates(
+        df, strata_col, token_col, weights, default_weight,
+        budget_tokens, budget_frac, cap=False,
+    )
+    from pyspark.sql.functions import broadcast
+
+    rate = F.col("rate")
+    n_copies = (
+        F.floor(rate).cast("long")
+        + (hash_unit(F.col(key_col), salt) < (rate - F.floor(rate))).cast("long")
+    )
+    return (
+        df.join(broadcast(rates.select(strata_col, "rate")), strata_col)
+        .withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n_copies"))))
+        .drop("__n_copies", "rate")
+    )

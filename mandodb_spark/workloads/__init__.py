@@ -121,7 +121,8 @@ _PRIORITY = [
 # docs_mixture_plan / emb_semdedup / docs_training_shards /
 # stream_join_dual / promql_holt_winters / promql_absent /
 # docs_chunk_plan / promql_label_math / promql_delta_offset /
-# promql_idelta / emb_ivfpq_topk (added
+# promql_idelta / emb_ivfpq_topk / tsdb_series_agg_salted /
+# docs_mixture_epochs (added
 # mid-round-5, after the window above was fixed) MUST take first-50 slots
 # next round — the r4 verdict's
 # staleness rule: no registered query goes two rounds without a driver

@@ -1051,3 +1051,77 @@ DOCS_CHUNK_PLAN_SQL = text.chunk_spans_sql("documents", "doc_id", "text", 64, 16
 
 QUERIES["docs_chunk_plan"] = docs_chunk_plan
 ORACLES["docs_chunk_plan"] = DOCS_CHUNK_PLAN_SQL
+
+
+def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsampling mixture: a full-corpus-sized budget redistributed by the
+    mixture weights pushes upweighted sources past rate 1 — their docs
+    repeat for multiple epochs (floor(rate) full passes + a deterministic
+    fractional subset).  Per source: uncapped rate, emitted doc-instances,
+    emitted tokens.  Replication is a narrow explode — no extra shuffle."""
+    from ..operators import sampling
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    emitted = sampling.mixture_epochs(
+        d, "doc_id", "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
+        budget_frac=1.0,
+    )
+    rates = sampling.mixture_rates(
+        d, "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
+        budget_frac=1.0, cap=False,
+    ).localCheckpoint(eager=True)
+    agg = emitted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("emitted_docs"),
+        F.sum("n_tokens").alias("emitted_tokens"),
+    )
+    return rates.join(agg, "source", "left").select(
+        "source",
+        F.round("rate", 6).alias("rate"),
+        F.coalesce("emitted_docs", F.lit(0)).alias("emitted_docs"),
+        F.coalesce("emitted_tokens", F.lit(0)).alias("emitted_tokens"),
+    )
+
+
+def _mixture_epochs_sql() -> str:
+    from ..operators.sampling import hash_unit_sql, mixture_rates_sql
+
+    rates = mixture_rates_sql(
+        "(SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n_tokens"
+        " FROM documents)",
+        "source",
+        "n_tokens",
+        MIX_WEIGHTS,
+        MIX_DEFAULT_W,
+        budget_frac=1.0,
+        cap=False,
+    )
+    h = hash_unit_sql("d.doc_id", "mix.epoch")
+    return f"""
+WITH d AS (SELECT doc_id, source,
+                  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+rates AS ({rates}),
+copies AS (
+    SELECT d.source, d.n_tokens,
+           CAST(floor(r.rate) AS BIGINT)
+             + CASE WHEN {h} < r.rate - floor(r.rate) THEN 1 ELSE 0 END AS n_copies
+    FROM d JOIN rates r ON d.source = r.source
+),
+agg AS (
+    SELECT source, CAST(sum(n_copies) AS BIGINT) AS emitted_docs,
+           CAST(sum(n_copies * n_tokens) AS BIGINT) AS emitted_tokens
+    FROM copies GROUP BY source
+)
+SELECT r.source, round(r.rate, 6) AS rate,
+       CAST(coalesce(a.emitted_docs, 0) AS BIGINT) AS emitted_docs,
+       CAST(coalesce(a.emitted_tokens, 0) AS BIGINT) AS emitted_tokens
+FROM rates r LEFT JOIN agg a ON r.source = a.source
+"""
+
+
+DOCS_MIXTURE_EPOCHS_SQL = _mixture_epochs_sql()
+
+QUERIES["docs_mixture_epochs"] = docs_mixture_epochs
+ORACLES["docs_mixture_epochs"] = DOCS_MIXTURE_EPOCHS_SQL

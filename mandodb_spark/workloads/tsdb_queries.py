@@ -560,3 +560,30 @@ QUERIES["tsdb_regex_via_dim"] = tsdb_regex_via_dim
 QUERIES["tsdb_label_dim"] = tsdb_label_dim
 ORACLES["tsdb_regex_via_dim"] = TSDB_REGEX_MATCH_SQL
 ORACLES["tsdb_label_dim"] = TSDB_LABEL_DIM_SQL
+
+
+def tsdb_series_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's skew path under the correctness gate: the same per-series merge
+    through the two-phase SALTED aggregation (pmod(ts, 8) sub-groups,
+    parallel sub-array collect, flatten+sort in a small second agg) — the
+    mitigation a monster series needs at 100 TB, proven here to produce
+    byte-identical results to the unsalted plan's oracle."""
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
+    qr = tsdb_ops.query_range(
+        rel, "purchase", [], EV_START, EV_END, SEG, salt_partitions=8
+    )
+    return flatten_labels(
+        qr.select(
+            F.col("labels"),
+            F.size("points").cast("long").alias("n_points"),
+            F.element_at("points", 1)["ts"].alias("min_ts"),
+            F.element_at("points", -1)["ts"].alias("max_ts"),
+            F.round(
+                F.aggregate("points", F.lit(0.0), lambda acc, p: acc + p["value"]), 2
+            ).alias("sum_value"),
+        )
+    )
+
+
+QUERIES["tsdb_series_agg_salted"] = tsdb_series_agg_salted
+ORACLES["tsdb_series_agg_salted"] = TSDB_SERIES_AGG_SQL

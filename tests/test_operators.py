@@ -1317,3 +1317,33 @@ def test_ivfpq_candidates_restricted_to_probed_cells(spark):
     subset = emb.filter(F.col("vec_id").isin([v for v, c in assign.items() if c in probe]))
     direct = similarity.pq_adc_topk(subset, "vec_id", "embedding", q, cb, k=10).collect()
     assert [(r.vec_id, r.adc_d2) for r in out] == [(r.vec_id, r.adc_d2) for r in direct]
+
+
+def test_mixture_epochs_replicates_by_rate(spark):
+    """Uncapped rate 2.5 → every row appears 2 or 3 times (epoch-numbered),
+    mean ≈ 2.5; a rate-1.0 stratum appears exactly once per row."""
+    from mandodb_spark.operators.sampling import mixture_epochs
+
+    rows = [(i, "code" if i < 200 else "web", 10) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    # totals: code 2000, web 4000.  weights code=5, web=1: Σw=6.
+    # budget = 6000 → code target 5000/2000 = 2.5; web target 1000/4000 = 0.25
+    out = mixture_epochs(
+        df, "doc_id", "source", "n_tokens", {"code": 5.0}, 1.0, budget_tokens=6000
+    ).collect()
+    code = [r for r in out if r.source == "code"]
+    web = [r for r in out if r.source == "web"]
+    from collections import Counter
+
+    per_doc = Counter(r.doc_id for r in code)
+    assert set(per_doc.values()) <= {2, 3}
+    assert len(per_doc) == 200  # every code doc present (rate >= 2)
+    mean = sum(per_doc.values()) / len(per_doc)
+    assert 2.3 < mean < 2.7
+    # epochs are 1..n_copies per doc
+    epochs = sorted(r.epoch for r in code if r.doc_id == code[0].doc_id)
+    assert epochs == list(range(1, len(epochs) + 1))
+    # web downsampled: strictly fewer instances than docs, none duplicated
+    web_counts = Counter(r.doc_id for r in web)
+    assert web_counts and max(web_counts.values()) == 1
+    assert 0.15 * 400 < len(web_counts) < 0.35 * 400

@@ -88,6 +88,8 @@ EXTENDED = [
     "docs_chunk_plan",
     "emb_ivfpq_topk",
     "docs_mixture_epochs",
+    "events_top_paths",
+    "tpch_profile_lineitem",
 ]
 
 

@@ -389,3 +389,63 @@ EVENTS_USER_CARDINALITY_SQL = """
 
 QUERIES["events_user_cardinality_approx"] = events_user_cardinality_approx
 ORACLES["events_user_cardinality_approx"] = EVENTS_USER_CARDINALITY_SQL
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams: within each (user, session), consecutive
+    event-type triples ranked by frequency — the product-analytics path
+    query.  Two stacked windows on the same (user) partitioning (one
+    shuffle; the session id reuses it), one count shuffle, and a global
+    top-15 that plans as TakeOrderedAndProject."""
+    ev = events_base(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.withColumn(
+        "sess_id",
+        F.sum(
+            F.when(F.col("ts") - F.lag("ts").over(w) > SESSION_GAP, 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    tri = (
+        sess.withColumn("next1", F.lead("event_type", 1).over(w2))
+        .withColumn("next2", F.lead("event_type", 2).over(w2))
+        .filter(F.col("next2").isNotNull())
+        .withColumn("path", F.concat_ws(">", "event_type", "next1", "next2"))
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(15)
+    )
+
+
+EVENTS_TOP_PATHS_SQL = f"""
+WITH s AS (
+    SELECT user_id, event_id, {_EPOCH} AS ts, event_type,
+           CASE WHEN {_EPOCH} - lag({_EPOCH}) OVER w > {SESSION_GAP} THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {_EPOCH}, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, ts, event_type,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+    FROM s
+),
+tri AS (
+    SELECT event_type || '>' || lead(event_type, 1) OVER w2
+                      || '>' || lead(event_type, 2) OVER w2 AS path,
+           lead(event_type, 2) OVER w2 AS third
+    FROM sess
+    WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE third IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 15
+"""
+
+QUERIES["events_top_paths"] = events_top_paths
+ORACLES["events_top_paths"] = EVENTS_TOP_PATHS_SQL

@@ -854,3 +854,31 @@ ORACLES = {
     "tpch_rollup": TPCH_ROLLUP_SQL,
     "tpch_orders_status": TPCH_ORDERS_STATUS_SQL,
 }
+
+
+#: Columns profiled by the data-quality query (types chosen to render
+#: identically as strings in Spark and DuckDB: ints + strings + a double
+#: whose values are exact halves).
+PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"]
+
+
+def tpch_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling over lineitem (nulls / exact cardinality / range
+    per column in ONE aggregate job + stack unpivot) — the data-quality
+    pass every curation pipeline fronts its tables with."""
+    from ..operators.profile import profile_table
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_table(li, PROFILE_COLS)
+
+
+def _profile_sql() -> str:
+    from ..operators.profile import profile_table_sql
+
+    return profile_table_sql("lineitem", PROFILE_COLS)
+
+
+TPCH_PROFILE_SQL = _profile_sql()
+
+QUERIES["tpch_profile_lineitem"] = tpch_profile_lineitem
+ORACLES["tpch_profile_lineitem"] = TPCH_PROFILE_SQL

@@ -1347,3 +1347,21 @@ def test_mixture_epochs_replicates_by_rate(spark):
     web_counts = Counter(r.doc_id for r in web)
     assert web_counts and max(web_counts.values()) == 1
     assert 0.15 * 400 < len(web_counts) < 0.35 * 400
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from mandodb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, s string"
+    )
+    out = {r.column: r for r in profile_table(df, ["id", "s"]).collect()}
+    assert out["id"].n_nonnull == 4 and out["id"].n_null == 0
+    assert out["id"].n_distinct == 4
+    assert (out["id"].min_value, out["id"].max_value) == ("1", "4")
+    assert out["s"].n_nonnull == 3 and out["s"].n_null == 1
+    assert out["s"].n_distinct == 2
+    assert (out["s"].min_value, out["s"].max_value) == ("a", "b")
+    # approximate mode keeps the schema, lands near the exact cardinality
+    approx = {r.column: r for r in profile_table(df, ["id"], approximate=True).collect()}
+    assert abs(approx["id"].n_distinct - 4) <= 1

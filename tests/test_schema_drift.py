@@ -118,3 +118,39 @@ def test_load_restores_nanos_timestamp_columns(spark, tmp_path):
         )
         assert got == ds, (unit, got)
         assert dict(df.dtypes)["o_orderkey"] == "bigint"
+
+
+def test_all_testdata_tables_load_and_normalize(spark):
+    """Tripwire for driver testdata regeneration (the round-4 failure
+    mode): every table loads through the adaptive loader, and the columns
+    the workloads depend on surface with the LOGICAL types the queries
+    assume — regardless of the physical parquet encoding du jour."""
+    from mandodb_spark.workloads.common import events_base, load
+
+    sf = "/root/testdata/sf0.001"
+    INT = ("tinyint", "smallint", "int", "bigint")
+    expectations = {
+        "region": {"r_regionkey": INT},
+        "nation": {"n_nationkey": INT},
+        "customer": {"c_custkey": INT},
+        "supplier": {"s_suppkey": INT},
+        "part": {"p_partkey": INT},
+        "orders": {"o_orderkey": INT},
+        "lineitem": {"l_orderkey": INT, "l_quantity": ("double", "float")},
+        "documents": {"doc_id": INT, "text": ("string",), "source": ("string",)},
+        "embeddings": {"vec_id": INT, "embedding": ("array<float>", "array<double>")},
+    }
+    for table, cols in expectations.items():
+        df = load(spark, sf, table)
+        dtypes = dict(df.dtypes)
+        for c, allowed in cols.items():
+            assert dtypes.get(c) in allowed, f"{table}.{c}: {dtypes.get(c)!r} not in {allowed}"
+        assert df.limit(1).count() == 1, f"{table} is empty"
+    # timestamp-bearing tables normalize to usable temporal types
+    li = dict(load(spark, sf, "lineitem").dtypes)
+    assert li["l_shipdate"].startswith("timestamp"), li["l_shipdate"]
+    ev = events_base(spark, sf)
+    assert dict(ev.dtypes)["ts"] == "bigint"
+    lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
+    # unix SECONDS (1973..5138 band), not millis/micros/nanos
+    assert 1e8 < lo <= hi < 1e11, (lo, hi)

@@ -134,19 +134,23 @@ def mixture_sample(
     budget_tokens: int | None = None,
     budget_frac: float | None = None,
     salt: str = "mix",
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic hash sample realizing :func:`mixture_rates`.
 
     The rates frame is broadcast (O(strata) rows) and the keep decision is
     the usual ``hash_unit(key) < rate`` scan-side predicate — the corpus
-    never shuffles and rejected rows are never materialized.
+    never shuffles and rejected rows are never materialized.  Pass a
+    precomputed (e.g. checkpointed) ``rates`` frame to avoid re-running
+    the totals aggregate when the caller also reports the rates.
     """
     from pyspark.sql.functions import broadcast
 
-    rates = mixture_rates(
-        df, strata_col, token_col, weights, default_weight,
-        budget_tokens, budget_frac,
-    )
+    if rates is None:
+        rates = mixture_rates(
+            df, strata_col, token_col, weights, default_weight,
+            budget_tokens, budget_frac,
+        )
     return (
         df.join(broadcast(rates.select(strata_col, "rate")), strata_col)
         .filter(hash_unit(F.col(key_col), salt) < F.col("rate"))
@@ -196,6 +200,7 @@ def mixture_epochs(
     budget_tokens: int | None = None,
     budget_frac: float | None = None,
     salt: str = "mix.epoch",
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Mixture realization WITH upsampling: rates above 1 replicate rows.
 
@@ -207,10 +212,11 @@ def mixture_epochs(
     oracle-checkable; the replication is a narrow ``explode(sequence)`` —
     map-side, no shuffle beyond the tiny rates aggregate.
     """
-    rates = mixture_rates(
-        df, strata_col, token_col, weights, default_weight,
-        budget_tokens, budget_frac, cap=False,
-    )
+    if rates is None:
+        rates = mixture_rates(
+            df, strata_col, token_col, weights, default_weight,
+            budget_tokens, budget_frac, cap=False,
+        )
     from pyspark.sql.functions import broadcast
 
     rate = F.col("rate")

@@ -616,6 +616,13 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, bucket_col: str,
     Arrow-expensive) bucketing input would execute once per reference —
     the exact trap the simhash band join hit in round 5.  Nothing here is
     O(corpus²).
+
+    Rounding convention: cosines are np.round'd to 4dp before the
+    threshold compare, matching :func:`grouped_neardup_pairs` and its SQL
+    oracles.  np.round is half-to-EVEN vs SQL round's half-away — only
+    observable if a cosine lands exactly on a .xxxx5 half, which full-
+    precision dot products of float inputs do not produce (unlike the
+    PQ path's quantized sums, which use integer units for this reason).
     """
     import numpy as np
     import pandas as pd

@@ -882,8 +882,10 @@ def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of three times.
     rates = rates.localCheckpoint(eager=True)
     kept = (
-        d.join(F.broadcast(rates.select("source", "rate")), "source")
-        .filter(sampling.hash_unit(F.col("doc_id"), "mix") < F.col("rate"))
+        sampling.mixture_sample(
+            d, "doc_id", "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
+            rates=rates,
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),
@@ -975,22 +977,27 @@ def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept, "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
         budget_frac=MIX_BUDGET_FRAC,
     ).localCheckpoint(eager=True)  # tiny; pins the totals pass (see docs_mixture_plan)
-    sampled = (
-        kept.join(F.broadcast(rates.select("source", "rate")), "source")
-        .filter(sampling.hash_unit(F.col("doc_id"), "mix") < F.col("rate"))
+    sampled = sampling.mixture_sample(
+        kept, "doc_id", "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
+        rates=rates,
     )
     plan = packing.pack_plan(
         sampled.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
         PACK_SEQ_LEN, PACK_GROUPS,
     )
+    # n_seqs must count the sequences the shard's full token stream fills
+    # (ceil of the sum), NOT max(seq)+1 — a last document straddling the
+    # final boundary starts in an earlier sequence but spills into more,
+    # and max(seq)+1 would undercount them (fill_frac could exceed 1).
+    n_seqs = F.expr(f"(sum(n_tokens) + {PACK_SEQ_LEN - 1}) DIV {PACK_SEQ_LEN}")
     return plan.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        (F.max("seq") + 1).alias("n_seqs"),
+        n_seqs.alias("n_seqs"),
         F.sum(F.col("crosses").cast("long")).alias("n_straddlers"),
         F.round(
             F.sum("n_tokens").cast("double")
-            / ((F.max("seq") + 1) * PACK_SEQ_LEN).cast("double"),
+            / (n_seqs * PACK_SEQ_LEN).cast("double"),
             4,
         ).alias("fill_frac"),
     )
@@ -1025,10 +1032,10 @@ sampled AS (
 plan AS ({pack})
 SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+       CAST((sum(n_tokens) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN} AS BIGINT) AS n_seqs,
        CAST(sum(CAST(crosses AS BIGINT)) AS BIGINT) AS n_straddlers,
        round(CAST(sum(n_tokens) AS DOUBLE)
-             / CAST((max(seq) + 1) * {PACK_SEQ_LEN} AS DOUBLE), 4) AS fill_frac
+             / CAST(((sum(n_tokens) + {PACK_SEQ_LEN - 1}) // {PACK_SEQ_LEN}) * {PACK_SEQ_LEN} AS DOUBLE), 4) AS fill_frac
 FROM plan
 GROUP BY grp
 """
@@ -1064,14 +1071,14 @@ def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", text.token_count(F.col("text")).alias("n_tokens")
     )
-    emitted = sampling.mixture_epochs(
-        d, "doc_id", "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
-        budget_frac=1.0,
-    )
     rates = sampling.mixture_rates(
         d, "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
         budget_frac=1.0, cap=False,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)  # one totals pass, shared by emit + report
+    emitted = sampling.mixture_epochs(
+        d, "doc_id", "source", "n_tokens", MIX_WEIGHTS, MIX_DEFAULT_W,
+        rates=rates,
+    )
     agg = emitted.groupBy("source").agg(
         F.count(F.lit(1)).alias("emitted_docs"),
         F.sum("n_tokens").alias("emitted_tokens"),

@@ -687,13 +687,37 @@ DELTA_OFFSET = 2 * 86_400
 def promql_delta_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """delta(gauge[range] offset 2d): the offset modifier shifts the
     evaluated window (still a pushable range predicate) and delta takes
-    last-minus-first per series."""
-    shifted = promql.offset_range(_dedup_rel(spark, sf_dir), EV_START, EV_END, DELTA_OFFSET)
+    last-minus-first per series.
+
+    The input relation must extend BELOW EV_START by the offset — the
+    shifted window [EV_START-2d, EV_END-2d] reads pre-range samples (the
+    testdata spans well before EV_START), so the usual [EV_START, EV_END]
+    dedup relation would silently truncate the window's head (caught in
+    round-5 review)."""
+    rel = events_relation(
+        spark, sf_dir, EV_START - DELTA_OFFSET, EV_END
+    ).filter(F.col("ts").between(EV_START - DELTA_OFFSET, EV_END))
+    dedup = (
+        rel.groupBy("series_key", "ts")
+        .agg(F.any_value("labels").alias("labels"), F.max("value").alias("value"))
+        .select("labels", "ts", "value", "series_key")
+    )
+    shifted = promql.offset_range(dedup, EV_START, EV_END, DELTA_OFFSET)
     out = promql.delta(shifted, EV_START, EV_END)
     return flatten_labels(out.select(F.col("labels"), F.round("value", 4).alias("value")))
 
 
-PROMQL_DELTA_OFFSET_SQL = f"""{_DEDUP},
+_DEDUP_WIDE = f"""
+WITH rel AS ({TSDB_SQL_REL}),
+d AS (
+    SELECT metric, user, k, ts, max(value) AS value
+    FROM rel
+    WHERE ts BETWEEN {EV_START - DELTA_OFFSET} AND {EV_END}
+    GROUP BY metric, user, k, ts
+)
+"""
+
+PROMQL_DELTA_OFFSET_SQL = f"""{_DEDUP_WIDE},
 shifted AS (
     SELECT metric, user, k, ts + {DELTA_OFFSET} AS ts, value
     FROM d

@@ -1249,7 +1249,7 @@ def test_chunk_spans_tile_with_overlap(spark):
     out = sorted(chunk_spans(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect(),
                  key=lambda r: (r.doc_id, r.chunk_idx))
     d1 = [r for r in out if r.doc_id == 1]
-    # 10 tokens, window 4, step 3 -> starts 0,3,6 wait: last_idx = floor((10-2)/3)=2 -> 3 chunks
+    # 10 tokens, window 4, step 3: last_idx = floor((10-2)/3) = 2 -> chunks start at 0, 3, 6
     assert [r.chunk_text for r in d1] == [
         "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
     ]

@@ -87,3 +87,85 @@ def streaming_counter_increase(rel: DataFrame) -> DataFrame:
     return ordered.groupBy("series_key").applyInPandasWithState(
         _update_counter, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (SpaceSaving), round 5.
+# ---------------------------------------------------------------------------
+
+#: Output: the shard's current summary, one row per tracked item per trigger.
+HH_OUT_SCHEMA = "shard long, item string, count_upper long, err long"
+#: Capacity-bounded SpaceSaving table as parallel arrays (fixed-size state).
+HH_STATE_SCHEMA = "items array<string>, counts array<long>, errs array<long>"
+
+
+def _spacesaving_update(capacity: int):
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            items, counts, errs = state.get
+            table = {i: [c, e] for i, c, e in zip(items, counts, errs)}
+        else:
+            table = {}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # per-batch pre-aggregation happens HERE (value_counts), not as an
+        # upstream streaming groupBy().count() — that would be a second
+        # stateful operator emitting CUMULATIVE counts every trigger,
+        # double-counting items into the table
+        agg = batch["item"].value_counts() if len(batch) else None
+        for item, w in (agg.items() if agg is not None else ()):
+            w = int(w)
+            if item in table:
+                table[item][0] += w
+            elif len(table) < capacity:
+                table[item] = [w, 0]
+            else:
+                # evict the current minimum; the newcomer inherits its
+                # count as overestimation error (Metwally et al. 2005)
+                victim = min(table, key=lambda k: table[k][0])
+                vcount = table[victim][0]
+                del table[victim]
+                table[item] = [vcount + w, vcount]
+        items = list(table.keys())
+        state.update((items, [table[i][0] for i in items], [table[i][1] for i in items]))
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "item": items,
+                "count_upper": [table[i][0] for i in items],
+                "err": [table[i][1] for i in items],
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(rel: DataFrame, item_col: str,
+                            capacity: int = 64, n_shards: int = 8) -> DataFrame:
+    """Streaming top-item tracking with bounded state: a SpaceSaving
+    summary (Metwally et al. 2005) per hash shard, carried across
+    micro-batches via ``applyInPandasWithState``.
+
+    Scale shape: items hash to a fixed shard (same item → same shard
+    always), so per-shard summaries never double-count and the global
+    heavy hitters are the union of shard tables.  State is
+    O(n_shards × capacity) regardless of stream length or item
+    cardinality; per-trigger work is map-side pre-aggregation (one
+    (shard, item) count per batch) + the bounded table update.
+    Guarantees: ``count_upper`` ≥ true count ≥ ``count_upper - err``;
+    any item with true count > N/capacity (per shard) is in the table.
+    """
+    import pyspark.sql.functions as F
+
+    pre = (
+        rel.select(F.col(item_col).cast("string").alias("item"))
+        .withColumn("shard", F.pmod(F.xxhash64("item"), F.lit(n_shards)))
+    )
+    return pre.groupBy("shard").applyInPandasWithState(
+        _spacesaving_update(capacity),
+        HH_OUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

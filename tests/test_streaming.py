@@ -487,3 +487,68 @@ def test_stream_stream_left_outer_join_emits_unmatched_after_watermark(spark, tm
     assert (1, 100, 900) in rows          # matched pair
     assert (2, 200, None) in rows         # unmatched emitted null-padded
     assert (1, 100, None) not in rows     # matched row never doubled
+
+
+def test_streaming_heavy_hitters_exact_when_under_capacity(spark, tmp_path_factory):
+    """With capacity >= distinct items per shard, the SpaceSaving state is
+    exact: after two micro-batches the summed counts equal the batch
+    groupBy, with zero error."""
+    from mandodb_spark.streaming.stateful import streaming_heavy_hitters
+
+    base = tmp_path_factory.mktemp("hh")
+    src = str(base / "src")
+    schema = "item string"
+    b1 = [("a",)] * 5 + [("b",)] * 3 + [("c",)]
+    b2 = [("a",)] * 2 + [("c",)] * 4 + [("d",)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_heavy_hitters(stream, "item", capacity=16, n_shards=4)
+    name = "hh_sink"
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT item, count_upper, err FROM ("
+            f"  SELECT *, row_number() OVER (PARTITION BY item ORDER BY count_upper DESC) AS rn"
+            f"  FROM {name}) WHERE rn = 1"
+        ).collect()
+    finally:
+        q.stop()
+
+    got = {r.item: (r.count_upper, r.err) for r in rows}
+    assert got == {"a": (7, 0), "b": (3, 0), "c": (5, 0), "d": (1, 0)}
+
+
+def test_streaming_heavy_hitters_bounds_under_eviction(spark, tmp_path_factory):
+    """With capacity below distinct-item count, SpaceSaving invariants
+    hold: count_upper >= true >= count_upper - err, table size bounded,
+    and the genuinely heavy item is present and exact-ish."""
+    from mandodb_spark.streaming.stateful import streaming_heavy_hitters
+
+    base = tmp_path_factory.mktemp("hh2")
+    src = str(base / "src")
+    schema = "item string"
+    heavy = [("HOT",)] * 50
+    noise = [(f"x{i}",) for i in range(40)]
+    spark.createDataFrame(heavy + noise, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_heavy_hitters(stream, "item", capacity=4, n_shards=1)
+    name = "hh2_sink"
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+    assert len(rows) <= 4  # bounded table
+    true = {"HOT": 50, **{f"x{i}": 1 for i in range(40)}}
+    by_item = {r.item: r for r in rows}
+    assert "HOT" in by_item  # the heavy hitter must survive
+    for r in rows:
+        t = true[r.item]
+        assert r.count_upper >= t >= r.count_upper - r.err

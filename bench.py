@@ -90,6 +90,7 @@ EXTENDED = [
     "docs_mixture_epochs",
     "events_top_paths",
     "tpch_profile_lineitem",
+    "docs_quality_outliers",
 ]
 
 

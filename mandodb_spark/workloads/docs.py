@@ -1132,3 +1132,66 @@ DOCS_MIXTURE_EPOCHS_SQL = _mixture_epochs_sql()
 
 QUERIES["docs_mixture_epochs"] = docs_mixture_epochs
 ORACLES["docs_mixture_epochs"] = DOCS_MIXTURE_EPOCHS_SQL
+
+
+#: MAD multiplier for the robust outlier gate (≈3σ under normality:
+#: 3 / 1.4826 ≈ 2.0235; kept as a plain literal both engines share).
+MAD_K = 3.0
+
+
+def docs_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source outlier flags on document quality: median/MAD
+    (median absolute deviation) instead of mean/stddev, so a burst of
+    junk documents can't drag the gate's own center (the failure mode of
+    z-score gates on contaminated corpora).  Two tiny per-source
+    aggregates (exact percentile over each source group) + a broadcast
+    join back — the corpus shuffles once per median pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "source", text.quality_score(F.col("text")).alias("q"))
+    med = scored.groupBy("source").agg(
+        F.expr("percentile(q, 0.5)").alias("med")
+    )
+    dev = (
+        scored.join(F.broadcast(med), "source")
+        .withColumn("adev", F.abs(F.col("q") - F.col("med")))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.any_value("med").alias("med"),
+    )
+    return (
+        scored.join(F.broadcast(mad), "source")
+        .select(
+            "doc_id",
+            "source",
+            "q",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            (F.abs(F.col("q") - F.col("med")) > MAD_K * F.col("mad")).alias("is_outlier"),
+        )
+    )
+
+
+DOCS_QUALITY_OUTLIERS_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, source, {_Q_EXPR} AS q
+    FROM (SELECT doc_id, source, text AS raw, length(text) AS n_chars,
+                 string_split(lower(text), ' ') AS toks FROM documents)
+),
+med AS (
+    SELECT source, quantile_cont(q, 0.5) AS med FROM scored GROUP BY source
+),
+mad AS (
+    SELECT s.source, quantile_cont(abs(s.q - m.med), 0.5) AS mad, any_value(m.med) AS med
+    FROM scored s JOIN med m USING (source)
+    GROUP BY s.source
+)
+SELECT s.doc_id, s.source, s.q,
+       round(m.med, 4) AS med, round(m.mad, 4) AS mad,
+       abs(s.q - m.med) > {MAD_K} * m.mad AS is_outlier
+FROM scored s JOIN mad m USING (source)
+"""
+
+QUERIES["docs_quality_outliers"] = docs_quality_outliers
+ORACLES["docs_quality_outliers"] = DOCS_QUALITY_OUTLIERS_SQL

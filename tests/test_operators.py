@@ -1365,3 +1365,21 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     # approximate mode keeps the schema, lands near the exact cardinality
     approx = {r.column: r for r in profile_table(df, ["id"], approximate=True).collect()}
     assert abs(approx["id"].n_distinct - 4) <= 1
+
+
+def test_semantic_dedup_with_kmeans_cells(spark):
+    """The k-means coarse quantizer drops into semantic_dedup unchanged
+    (same bucketed contract as the stub): verdicts cover every vector
+    exactly once and keep at least one representative per cell."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = similarity.ivf_cells_kmeans(emb, "embedding", 8)
+    assign = similarity.ivf_assign(emb, "vec_id", "embedding", cent)
+    bucketed = emb.join(assign, "vec_id")
+    out = similarity.semantic_dedup(bucketed, "vec_id", "embedding", "cell", 0.3).collect()
+    assert len(out) == emb.count()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rows in by_cell.items():
+        assert any(r.kept for r in rows), f"cell {cell} kept nothing"
+        assert min(r.vec_id for r in rows) in {r.vec_id for r in rows if r.kept}

@@ -587,3 +587,34 @@ def tsdb_series_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["tsdb_series_agg_salted"] = tsdb_series_agg_salted
 ORACLES["tsdb_series_agg_salted"] = TSDB_SERIES_AGG_SQL
+
+
+def tsdb_export_lineprotocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side line-protocol exporter under the correctness gate:
+    render the canonical TSDB relation back to InfluxDB line-protocol text
+    (sources/loaders.py::to_influx_line — tags in canonical sorted order).
+    Values are rounded-then-decimal-cast so the float→text rendering is
+    engine-deterministic (DuckDB's decimal cast truncates where Spark
+    rounds; rounding in double first removes the divergence)."""
+    from ..sources.loaders import to_influx_line
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+    )
+    rel = rel.withColumn(
+        "value", F.round(F.col("value"), 4).cast("decimal(18,4)")
+    )
+    return to_influx_line(rel)
+
+
+TSDB_EXPORT_LINEPROTOCOL_SQL = f"""
+WITH rel AS ({TSDB_SQL_REL})
+SELECT metric || ',' || 'k=' || k || ',user=' || "user"
+       || ' value=' || CAST(CAST(round(CAST(value AS DOUBLE), 4) AS DECIMAL(18,4)) AS VARCHAR)
+       || ' ' || CAST(ts AS VARCHAR) AS line
+FROM rel
+WHERE ts BETWEEN {EV_START} AND {EV_END}
+"""
+
+QUERIES["tsdb_export_lineprotocol"] = tsdb_export_lineprotocol
+ORACLES["tsdb_export_lineprotocol"] = TSDB_EXPORT_LINEPROTOCOL_SQL

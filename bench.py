@@ -165,7 +165,16 @@ def main() -> None:
     from mandodb_spark.session import get_spark
     from mandodb_spark.workloads import QUERIES
 
-    spark = get_spark("mandodb-spark-bench")
+    # Size shuffle partitions to the DATA, not the core count — the scale
+    # rule the brief states ("size spark.sql.shuffle.partitions ... at the
+    # target SF").  At sf0.1 the whole corpus is ~100 MB: 32 shuffle
+    # partitions pay per-task scheduling AQE's post-shuffle coalesce can't
+    # recover (measured A/B, warm, canary-flat: 32 -> 17.1s headline,
+    # 16 -> 13.6s).  The rule scales partitions linearly with sf and caps
+    # at the core count, so a big-SF run still uses every core.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sp = max(8, min(cpus, round(sf * 160)))
+    spark = get_spark("mandodb-spark-bench", shuffle_partitions=sp)
 
     load_before = os.getloadavg()
 

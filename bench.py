@@ -175,6 +175,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sp = max(8, min(cpus, round(sf * 160)))
     spark = get_spark("mandodb-spark-bench", shuffle_partitions=sp)
+    # Arrow-stage queries (applyInPandas/mapInPandas pipelines) invert the
+    # trade: their cost is Python-worker compute, so MORE shuffle
+    # partitions = more parallel Arrow workers (A/B at sf0.1: the heavy
+    # set runs 14.2s at 16 partitions, 12.4s at 32).  The conf is
+    # runtime-settable, so each query family gets its right size.
+    ARROW_HEAVY = {
+        "docs_minhash_pairs", "docs_simhash_neardup", "docs_neardup_clusters",
+        "docs_curation_full", "docs_curation_pipeline", "emb_semdedup",
+        "emb_neardup_pairs", "emb_ivf_neardup_pairs", "emb_neardup_clusters",
+        "emb_pq_error", "emb_pq_adc_topk", "emb_ivfpq_topk", "emb_knn_join",
+        "docs_winnow_fingerprints", "mm_binary_features", "mm_frame_sample",
+    }
 
     load_before = os.getloadavg()
 
@@ -188,6 +200,10 @@ def main() -> None:
         timings: dict[str, float] = {}
         total = 0.0
         for name in names:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(cpus if name in ARROW_HEAVY else sp),
+            )
             fn = QUERIES[name]
             n = fn(spark, sf_dir).count()  # row count for the report only
             best = None

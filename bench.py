@@ -91,6 +91,7 @@ EXTENDED = [
     "events_top_paths",
     "tpch_profile_lineitem",
     "docs_quality_outliers",
+    "docs_incremental_neardup",
 ]
 
 
@@ -186,6 +187,7 @@ def main() -> None:
         "emb_neardup_pairs", "emb_ivf_neardup_pairs", "emb_neardup_clusters",
         "emb_pq_error", "emb_pq_adc_topk", "emb_ivfpq_topk", "emb_knn_join",
         "docs_winnow_fingerprints", "mm_binary_features", "mm_frame_sample",
+        "docs_incremental_neardup",
     }
 
     load_before = os.getloadavg()

@@ -366,7 +366,8 @@ def ngram_contamination(eval_df: DataFrame, bench_df: DataFrame, id_col: str,
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5,
-                      n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+                      n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+                      new_ids: DataFrame | None = None) -> DataFrame:
     """End-to-end near-dup pipeline: shingle → minhash → LSH → verified
     Jaccard pairs (id_a < id_b, jaccard >= threshold).
 
@@ -422,6 +423,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.size("ids") >= 2)
     )
     cands = _bucket_pairs(buckets)
+    if new_ids is not None:
+        # Incremental mode (the daily-batch dedup shape): only pairs
+        # touching a NEW document reach the verify stage — old-old pairs
+        # were found when those docs were indexed.  Two broadcast flag
+        # joins + one filter keep the candidate subplan single-reference
+        # (a per-side semi-join UNION would re-execute it — the measured
+        # exchange-reuse trap).  At true scale the old corpus's bands live
+        # as a persisted index and old docs skip the signature stage too;
+        # this inline form models the candidate/verify restriction, which
+        # is the dominant saving (verify ∝ pairs, and old-old pairs
+        # dominate a mature index's collisions).
+        na = F.broadcast(new_ids.select(F.col(id_col).alias("id_a"), F.lit(True).alias("__na")))
+        nb = F.broadcast(new_ids.select(F.col(id_col).alias("id_b"), F.lit(True).alias("__nb")))
+        cands = (
+            cands.join(na, "id_a", "left")
+            .join(nb, "id_b", "left")
+            .filter(F.col("__na").isNotNull() | F.col("__nb").isNotNull())
+            .select("id_a", "id_b")
+        )
     # No distinct: duplicate ids in a broadcast semi-join's build set are
     # free, and dropping it removes a whole shuffle stage.  explode(array)
     # references the candidate subplan ONCE; a two-branch union would

@@ -123,7 +123,8 @@ _PRIORITY = [
 # docs_chunk_plan / promql_label_math / promql_delta_offset /
 # promql_idelta / emb_ivfpq_topk / tsdb_series_agg_salted /
 # docs_mixture_epochs / events_top_paths / tpch_profile_lineitem /
-# docs_quality_outliers / tsdb_export_lineprotocol (added
+# docs_quality_outliers / tsdb_export_lineprotocol /
+# docs_incremental_neardup (added
 # mid-round-5, after the window above was fixed) MUST take first-50 slots
 # next round — the r4 verdict's
 # staleness rule: no registered query goes two rounds without a driver

@@ -1195,3 +1195,25 @@ FROM scored s JOIN mad m USING (source)
 
 QUERIES["docs_quality_outliers"] = docs_quality_outliers
 ORACLES["docs_quality_outliers"] = DOCS_QUALITY_OUTLIERS_SQL
+
+
+#: First doc_id of the "new" batch for the incremental-dedup query.
+INCR_NEW_FROM = 400
+
+
+def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the daily-batch shape — only pairs touching a
+    NEW document (doc_id >= 400 plays today's batch) reach the Jaccard
+    verify stage; old-old pairs were found when those docs were indexed."""
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") >= INCR_NEW_FROM).select("doc_id")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_T, new_ids=new)
+
+
+DOCS_INCREMENTAL_NEARDUP_SQL = f"""
+SELECT * FROM ({_minhash_sql()})
+WHERE id_a >= {INCR_NEW_FROM} OR id_b >= {INCR_NEW_FROM}
+"""
+
+QUERIES["docs_incremental_neardup"] = docs_incremental_neardup
+ORACLES["docs_incremental_neardup"] = DOCS_INCREMENTAL_NEARDUP_SQL

@@ -92,6 +92,7 @@ EXTENDED = [
     "tpch_profile_lineitem",
     "docs_quality_outliers",
     "docs_incremental_neardup",
+    "docs_pii_scrub",
 ]
 
 

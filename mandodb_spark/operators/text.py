@@ -675,3 +675,27 @@ SELECT id AS {id_expr}, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        array_to_string(list_slice(toks, chunk_idx * {step} + 1, chunk_idx * {step} + {chunk_tokens}), ' ') AS chunk_text
 FROM idx
 """
+
+
+#: PII patterns for the scrubbing pass — deliberately simple, engine-
+#: portable regexes (no lookarounds: DuckDB RE2 doesn't support them).
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email / phone / IPv4 shapes with ``<TYPE>`` tokens —
+    the standard pre-training scrubbing pass, as chained JVM-side
+    ``regexp_replace`` (no UDF, stays in codegen)."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type PII hit counts (``regexp_count``) for scrub auditing."""
+    return {name: F.regexp_count(text, F.lit(pat)) for name, pat in PII_PATTERNS.items()}

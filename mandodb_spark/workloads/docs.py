@@ -1217,3 +1217,68 @@ WHERE id_a >= {INCR_NEW_FROM} OR id_b >= {INCR_NEW_FROM}
 
 QUERIES["docs_incremental_neardup"] = docs_incremental_neardup
 ORACLES["docs_incremental_neardup"] = DOCS_INCREMENTAL_NEARDUP_SQL
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-document hit counts for email/phone/IPv4
+    shapes plus the redacted text's fingerprint (proving the replacement
+    itself, not just the counts) — chained JVM regexp_replace, scan-side."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = text.pii_counts(t)
+    return d.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["phone"].cast("long").alias("n_phone"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        F.md5(text.redact_pii(t)).alias("redacted_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from ..operators.text import PII_PATTERNS
+
+    email, phone, ipv4 = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    redacted = "text"
+    for name, pat in PII_PATTERNS.items():
+        redacted = f"regexp_replace({redacted}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+       md5({redacted}) AS redacted_md5
+FROM documents
+"""
+
+
+DOCS_PII_SCRUB_SQL = _pii_sql()
+
+QUERIES["docs_pii_scrub"] = docs_pii_scrub
+ORACLES["docs_pii_scrub"] = DOCS_PII_SCRUB_SQL
+
+
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (labeled lang × guessed lang, with
+    accuracy-relevant counts) — the monitoring view over the lang-ID
+    heuristic."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.lang_guess(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_MARKER = "CASE " + " ".join(
+    f"WHEN lower(text) LIKE '{marker}' THEN '{lang}'" for lang, marker in text.LANG_MARKERS
+) + " ELSE 'en' END"
+
+DOCS_LANG_CONFUSION_SQL = f"""
+SELECT lang, {_MARKER} AS guess, CAST(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY lang, guess
+"""
+
+QUERIES["docs_lang_confusion"] = docs_lang_confusion
+ORACLES["docs_lang_confusion"] = DOCS_LANG_CONFUSION_SQL

@@ -1383,3 +1383,20 @@ def test_semantic_dedup_with_kmeans_cells(spark):
     for cell, rows in by_cell.items():
         assert any(r.kept for r in rows), f"cell {cell} kept nothing"
         assert min(r.vec_id for r in rows) in {r.vec_id for r in rows if r.kept}
+
+
+def test_redact_pii_replaces_known_shapes(spark):
+    from mandodb_spark.operators.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@site.co or call +1 (415) 555-0199 from 10.0.0.1")],
+        "id long, text string",
+    )
+    row = df.select(
+        redact_pii(F.col("text")).alias("r"),
+        *[c.alias(k) for k, c in pii_counts(F.col("text")).items()],
+    ).collect()[0]
+    assert "<EMAIL>" in row.r and "<PHONE>" in row.r and "<IPV4>" in row.r
+    assert "jo.doe" not in row.r and "555" not in row.r and "10.0.0.1" not in row.r
+    assert (row.email, row.phone, row.ipv4) == (1, 1, 1)

@@ -93,6 +93,7 @@ EXTENDED = [
     "docs_quality_outliers",
     "docs_incremental_neardup",
     "docs_pii_scrub",
+    "emb_matryoshka_error",
 ]
 
 

@@ -629,3 +629,47 @@ GROUP BY a.vec_id ORDER BY adc_d2, a.vec_id LIMIT {TOP_K}
 
 QUERIES["emb_ivfpq_topk"] = emb_ivfpq_topk
 ORACLES["emb_ivfpq_topk"] = EMB_IVFPQ_TOPK_SQL
+
+
+#: Truncation width for the Matryoshka-style prefix test (full dim = 64).
+MRL_DIM = 16
+
+
+def emb_matryoshka_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation quality (Kusupati et al. 2022): cosine
+    to the query computed on the full 64-dim vector vs its 16-dim prefix,
+    per corpus vector — the measurement that decides whether a cheap
+    prefix index can front the full-dimension rerank.  Pure array-slice
+    column math, one broadcast of the query, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qe"),
+        F.slice(F.col("embedding"), 1, MRL_DIM).alias("qp"),
+    )
+    full = similarity.cosine(F.col("embedding"), F.col("qe"))
+    pref = similarity.cosine(F.slice(F.col("embedding"), 1, MRL_DIM), F.col("qp"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(full, 4).alias("cos_full"),
+            F.round(pref, 4).alias("cos_prefix"),
+            F.round(F.abs(full - pref), 4).alias("abs_err"),
+        )
+    )
+
+
+EMB_MATRYOSHKA_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+                  CAST(embedding[1:{MRL_DIM}] AS DOUBLE[]) AS qp
+           FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos_full,
+       round(list_cosine_similarity(CAST(e.embedding[1:{MRL_DIM}] AS DOUBLE[]), q.qp), 4) AS cos_prefix,
+       round(abs(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                 - list_cosine_similarity(CAST(e.embedding[1:{MRL_DIM}] AS DOUBLE[]), q.qp)), 4) AS abs_err
+FROM embeddings e, q
+"""
+
+QUERIES["emb_matryoshka_error"] = emb_matryoshka_error
+ORACLES["emb_matryoshka_error"] = EMB_MATRYOSHKA_SQL

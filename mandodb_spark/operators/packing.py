@@ -144,3 +144,115 @@ def write_shards(plan_with_text: DataFrame, path: str) -> None:
         .partitionBy("grp")
         .parquet(path)
     )
+
+
+def pack_plan_nosplit(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    n_groups: int,
+) -> DataFrame:
+    """First-fit no-split packing: documents never straddle a sequence
+    boundary — a doc that doesn't fit the current sequence's remainder
+    starts the next one (the other standard trainer mode, trading fill
+    fraction for intact documents).  Oversized docs (> seq_len tokens)
+    start fresh and consume ceil(t/seq_len) consecutive sequences.
+
+    The state (current seq, current fill) is inherently sequential per
+    shard, so the fold runs inside one ``applyInPandas`` per hash shard —
+    same single co-locating shuffle as :func:`pack_plan`, with the
+    sequential pass Arrow-batched per shard instead of a window cumsum.
+    Same deterministic hash split/order, same DuckDB-mirrorable math.
+
+    Output: id, grp, seq, offset, n_tokens.
+    """
+    import pandas as pd
+
+    key = F.col(id_col)
+    grp = F.floor(hash_unit(key, GROUP_SALT) * n_groups).cast("int")
+    order = hash_unit(key, ORDER_SALT)
+    prepared = df.select(
+        key.alias(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        grp.alias("grp"),
+        order.alias("ord"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ord", id_col], ignore_index=True)
+        seq = 0
+        fill = 0
+        seqs, offs = [], []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            need_new = fill > 0 and fill + t > seq_len
+            if need_new:
+                seq += 1
+            off = 0 if need_new else fill
+            spill = (off + t - 1) // seq_len
+            seqs.append(seq)
+            offs.append(off)
+            seq += spill
+            fill = off + t - spill * seq_len
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "grp": pdf["grp"],
+                "seq": seqs,
+                "offset": offs,
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    return prepared.groupBy("grp").applyInPandas(
+        pack, f"{id_col} long, grp int, seq long, offset long, n_tokens long"
+    )
+
+
+def pack_plan_nosplit_sql(
+    table: str, id_expr: str, token_expr: str, seq_len: int, n_groups: int
+) -> str:
+    """DuckDB mirror of :func:`pack_plan_nosplit` via a recursive CTE
+    replaying the identical first-fit recurrence per shard."""
+    h_grp = hash_unit_sql(id_expr, GROUP_SALT)
+    h_ord = hash_unit_sql(id_expr, ORDER_SALT)
+    return f"""
+WITH RECURSIVE base AS (
+    SELECT {id_expr} AS id,
+           CAST({token_expr} AS BIGINT) AS n_tokens,
+           CAST(floor({h_grp} * {n_groups}) AS INTEGER) AS grp,
+           {h_ord} AS ord
+    FROM {table}
+),
+ordered AS (
+    SELECT id, n_tokens, grp,
+           row_number() OVER (PARTITION BY grp ORDER BY ord, id) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM base
+),
+packed AS (
+    SELECT id, n_tokens, grp, rn, n,
+           CAST(0 AS BIGINT) AS seq,
+           CAST(0 AS BIGINT) AS offset,
+           -- state after placing this doc:
+           CAST((n_tokens - 1) // {seq_len} AS BIGINT) AS cur_seq,
+           CAST(n_tokens - ((n_tokens - 1) // {seq_len}) * {seq_len} AS BIGINT) AS fill
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.id, o.n_tokens, o.grp, o.rn, o.n,
+           p.cur_seq + CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > {seq_len} THEN 1 ELSE 0 END AS seq,
+           CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > {seq_len} THEN 0 ELSE p.fill END AS offset,
+           p.cur_seq + CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > {seq_len} THEN 1 ELSE 0 END
+             + (CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > {seq_len} THEN 0 ELSE p.fill END
+                + o.n_tokens - 1) // {seq_len} AS cur_seq,
+           CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > {seq_len} THEN 0 ELSE p.fill END
+             + o.n_tokens
+             - ((CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > {seq_len} THEN 0 ELSE p.fill END
+                 + o.n_tokens - 1) // {seq_len}) * {seq_len} AS fill
+    FROM packed p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
+    WHERE p.rn < p.n
+)
+SELECT id AS {id_expr}, grp, seq, "offset" AS offset, n_tokens
+FROM packed
+"""

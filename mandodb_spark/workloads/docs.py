@@ -1282,3 +1282,33 @@ GROUP BY lang, guess
 
 QUERIES["docs_lang_confusion"] = docs_lang_confusion
 ORACLES["docs_lang_confusion"] = DOCS_LANG_CONFUSION_SQL
+
+
+def docs_pack_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit NO-SPLIT packing plan: documents never straddle sequence
+    boundaries (trading fill fraction for intact docs) — the companion
+    mode to docs_pack_plan's concat-and-chunk.  Per-shard sequential
+    first-fit inside one applyInPandas; recursive-CTE oracle."""
+    from ..operators import packing
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", text.token_count(F.col("text")).alias("n_tokens"))
+    return packing.pack_plan_nosplit(docs, "doc_id", "n_tokens", PACK_SEQ_LEN, PACK_GROUPS)
+
+
+def _pack_nosplit_sql() -> str:
+    from ..operators.packing import pack_plan_nosplit_sql
+
+    return pack_plan_nosplit_sql(
+        "(SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens FROM documents)",
+        "doc_id",
+        "n_tokens",
+        PACK_SEQ_LEN,
+        PACK_GROUPS,
+    )
+
+
+DOCS_PACK_NOSPLIT_SQL = _pack_nosplit_sql()
+
+QUERIES["docs_pack_nosplit"] = docs_pack_nosplit
+ORACLES["docs_pack_nosplit"] = DOCS_PACK_NOSPLIT_SQL

@@ -1400,3 +1400,29 @@ def test_redact_pii_replaces_known_shapes(spark):
     assert "<EMAIL>" in row.r and "<PHONE>" in row.r and "<IPV4>" in row.r
     assert "jo.doe" not in row.r and "555" not in row.r and "10.0.0.1" not in row.r
     assert (row.email, row.phone, row.ipv4) == (1, 1, 1)
+
+
+def test_pack_nosplit_never_straddles(spark):
+    """No-split invariants: in-capacity docs never cross a boundary,
+    sequences never overlap, oversized docs start fresh and consume
+    ceil(t/seq_len) sequences."""
+    from mandodb_spark.operators.packing import pack_plan_nosplit
+
+    toks = [30, 50, 40, 60, 10, 300, 20, 64, 64, 5]  # seq_len 64; 300 oversized
+    docs = spark.createDataFrame(list(enumerate(toks)), "doc_id long, n_tokens long")
+    plan = pack_plan_nosplit(docs, "doc_id", "n_tokens", seq_len=64, n_groups=2).collect()
+    assert len(plan) == len(toks)
+    by_grp = {}
+    for r in plan:
+        by_grp.setdefault(r.grp, []).append(r)
+    for rows in by_grp.values():
+        rows.sort(key=lambda r: (r.seq, r.offset))
+        cursor = 0  # global token cursor = seq*64 + offset must be non-decreasing
+        for r in rows:
+            start = r.seq * 64 + r.offset
+            assert start >= cursor, "overlap"
+            if r.n_tokens <= 64:
+                assert r.offset + r.n_tokens <= 64, "straddle"
+            else:
+                assert r.offset == 0, "oversized must start fresh"
+            cursor = start + r.n_tokens

@@ -95,6 +95,7 @@ EXTENDED = [
     "docs_pii_scrub",
     "emb_matryoshka_error",
     "docs_pack_nosplit",
+    "docs_lsh_recall",
 ]
 
 
@@ -190,7 +191,7 @@ def main() -> None:
         "emb_neardup_pairs", "emb_ivf_neardup_pairs", "emb_neardup_clusters",
         "emb_pq_error", "emb_pq_adc_topk", "emb_ivfpq_topk", "emb_knn_join",
         "docs_winnow_fingerprints", "mm_binary_features", "mm_frame_sample",
-        "docs_incremental_neardup", "docs_pack_nosplit",
+        "docs_incremental_neardup", "docs_pack_nosplit", "docs_lsh_recall",
     }
 
     load_before = os.getloadavg()

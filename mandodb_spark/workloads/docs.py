@@ -1312,3 +1312,81 @@ DOCS_PACK_NOSPLIT_SQL = _pack_nosplit_sql()
 
 QUERIES["docs_pack_nosplit"] = docs_pack_nosplit
 ORACLES["docs_pack_nosplit"] = DOCS_PACK_NOSPLIT_SQL
+
+
+#: Bounded subset for the LSH recall evaluation (n²/2 ≤ 19,900 exact pairs).
+LSH_EVAL_N = 200
+
+
+def docs_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash-LSH index: exact all-pairs Jaccard
+    over a BOUNDED doc subset (the ground truth a production pipeline
+    samples periodically) vs the LSH pipeline's verified pairs on the same
+    subset.  The exact side is a deliberate bounded self-join (≤ n²/2 =
+    4950 pairs — an evaluation harness, not a corpus operator); the LSH
+    side is the real pipeline.  One summary row: true pairs, found pairs,
+    recall (LSH verification keeps only true pairs, so found ⊆ true and
+    precision is 1 by construction)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < LSH_EVAL_N)
+    sh = F.array_distinct(dedup.char_shingles(F.lower(F.col("text"))))
+    docs = d.select(F.col("doc_id"), sh.alias("sh"))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = F.round(inter.cast("double") / (F.size("sa") + F.size("sb") - inter), 4)
+    exact = pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_T
+    )
+    lsh = dedup.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_T)
+    found = exact.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_true",
+            "n_found",
+            # NULL when the sample holds no true pairs (possible at large
+            # sf where dups spread thin) — an honest "no ground truth in
+            # sample", not a crash
+            F.round(F.try_divide(F.col("n_found"), F.col("n_true")), 4).alias("recall"),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    sub = f"(SELECT * FROM documents WHERE doc_id < {LSH_EVAL_N})"
+    lsh = _minhash_sql(sub)
+    return f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id,
+           substr(lower(text), CAST(p.range AS INTEGER), {dedup.SHINGLE_LEN}) AS s
+    FROM {sub},
+         unnest(range(1, greatest(length(text) - {dedup.SHINGLE_LEN - 1}, 1) + 1, {dedup.SHINGLE_STRIDE})) AS p(range)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i JOIN sizes na ON na.doc_id = i.id_a
+                 JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE round(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 4) >= {JACCARD_T}
+),
+lsh AS ({lsh}),
+found AS (SELECT e.* FROM exact e SEMI JOIN lsh l ON e.id_a = l.id_a AND e.id_b = l.id_b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+       CASE WHEN (SELECT count(*) FROM exact) = 0 THEN NULL
+            ELSE round((SELECT count(*) FROM found) * 1.0
+                       / (SELECT count(*) FROM exact), 4) END AS recall
+"""
+
+
+DOCS_LSH_RECALL_SQL = _lsh_recall_sql()
+
+QUERIES["docs_lsh_recall"] = docs_lsh_recall
+ORACLES["docs_lsh_recall"] = DOCS_LSH_RECALL_SQL

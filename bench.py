@@ -96,6 +96,8 @@ EXTENDED = [
     "emb_matryoshka_error",
     "docs_pack_nosplit",
     "docs_lsh_recall",
+    "docs_dup_stats",
+    "events_gap_stats",
 ]
 
 

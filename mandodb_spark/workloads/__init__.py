@@ -125,7 +125,8 @@ _PRIORITY = [
 # docs_mixture_epochs / events_top_paths / tpch_profile_lineitem /
 # docs_quality_outliers / tsdb_export_lineprotocol /
 # docs_incremental_neardup / docs_pii_scrub / docs_lang_confusion /
-# emb_matryoshka_error / docs_pack_nosplit / docs_lsh_recall (added
+# emb_matryoshka_error / docs_pack_nosplit / docs_lsh_recall /
+# docs_dup_stats / events_gap_stats (added
 # mid-round-5, after the window above was fixed) MUST take first-50 slots
 # next round — the r4 verdict's
 # staleness rule: no registered query goes two rounds without a driver

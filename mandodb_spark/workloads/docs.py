@@ -1390,3 +1390,38 @@ DOCS_LSH_RECALL_SQL = _lsh_recall_sql()
 
 QUERIES["docs_lsh_recall"] = docs_lsh_recall
 ORACLES["docs_lsh_recall"] = DOCS_LSH_RECALL_SQL
+
+
+def docs_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication monitoring: docs, distinct content
+    fingerprints, and the duplicate fraction — the corpus-health number a
+    curation pipeline tracks per ingestion source."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", text.bow_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DOCS_DUP_STATS_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS BIGINT) AS n_unique,
+       round(CAST(count(*) - count(DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS DOUBLE) / count(*), 4) AS dup_frac
+FROM documents
+GROUP BY source
+"""
+
+QUERIES["docs_dup_stats"] = docs_dup_stats
+ORACLES["docs_dup_stats"] = DOCS_DUP_STATS_SQL

@@ -449,3 +449,38 @@ LIMIT 15
 
 QUERIES["events_top_paths"] = events_top_paths
 ORACLES["events_top_paths"] = EVENTS_TOP_PATHS_SQL
+
+
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (median/p95 seconds
+    between consecutive events of a user) — the latency-style monitoring
+    view; one window pass + one exact-percentile aggregate."""
+    ev = events_base(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.col("ts") - F.lag("ts").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 2).alias("p50_gap"),
+        F.round(F.expr("percentile(gap, 0.95)"), 2).alias("p95_gap"),
+    )
+
+
+EVENTS_GAP_STATS_SQL = f"""
+WITH g AS (
+    SELECT event_type,
+           {_EPOCH} - lag({_EPOCH}) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY {_EPOCH}, event_id) AS gap
+    FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(quantile_cont(gap, 0.5), 2) AS p50_gap,
+       round(quantile_cont(gap, 0.95), 2) AS p95_gap
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["events_gap_stats"] = events_gap_stats
+ORACLES["events_gap_stats"] = EVENTS_GAP_STATS_SQL

@@ -117,21 +117,21 @@ _PRIORITY = [
     "events_topk_users",
 ]
 
-# Round-6 rotation note: emb_pq_error / emb_pq_adc_topk / docs_pack_plan /
-# docs_mixture_plan / emb_semdedup / docs_training_shards /
-# stream_join_dual / promql_holt_winters / promql_absent /
-# docs_chunk_plan / promql_label_math / promql_delta_offset /
-# promql_idelta / emb_ivfpq_topk / tsdb_series_agg_salted /
-# docs_mixture_epochs / events_top_paths / tpch_profile_lineitem /
-# docs_quality_outliers / tsdb_export_lineprotocol /
-# docs_incremental_neardup / docs_pii_scrub / docs_lang_confusion /
-# emb_matryoshka_error / docs_pack_nosplit / docs_lsh_recall /
-# docs_dup_stats / events_gap_stats (added
-# mid-round-5, after the window above was fixed) MUST take first-50 slots
-# next round — the r4 verdict's
-# staleness rule: no registered query goes two rounds without a driver
-# row.  All are oracle-green locally at sf0.01 and sf0.1
-# (tools/oracle_check.py).
+# Round-6 rotation note (staleness rule: no registered query goes two
+# rounds without a driver row).  The following were added mid-round-5,
+# AFTER the 50-slot window above was frozen, and MUST occupy first-50
+# slots next round; every one is oracle-green locally at sf0.01 AND
+# sf0.1 (tools/oracle_check.py):
+#   emb_pq_error, emb_pq_adc_topk, docs_pack_plan, docs_mixture_plan,
+#   emb_semdedup, docs_training_shards, stream_join_dual,
+#   promql_holt_winters, promql_absent, docs_chunk_plan,
+#   promql_label_math, promql_delta_offset, promql_idelta,
+#   emb_ivfpq_topk, tsdb_series_agg_salted, docs_mixture_epochs,
+#   events_top_paths, tpch_profile_lineitem, docs_quality_outliers,
+#   tsdb_export_lineprotocol, docs_incremental_neardup, docs_pii_scrub,
+#   docs_lang_confusion, emb_matryoshka_error, docs_pack_nosplit,
+#   docs_lsh_recall, docs_dup_stats, events_gap_stats.
+# That is 28 of 50 slots; fill the rest with the oldest-green queries.
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))
 

@@ -211,6 +211,10 @@ def mixture_epochs(
     distinct (row, epoch) units.  Still fully deterministic and
     oracle-checkable; the replication is a narrow ``explode(sequence)`` —
     map-side, no shuffle beyond the tiny rates aggregate.
+
+    A caller-supplied ``rates`` frame MUST be built with ``cap=False``:
+    capped rates (the :func:`mixture_sample` default) clamp every rate to
+    1, silently degenerating epoch replication to a plain downsample.
     """
     if rates is None:
         rates = mixture_rates(

@@ -681,7 +681,11 @@ FROM idx
 #: portable regexes (no lookarounds: DuckDB RE2 doesn't support them).
 PII_PATTERNS = {
     "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
-    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    # two phone shapes, both requiring structure a bare number list lacks:
+    # an international +-prefixed run, or the NANP 3-3-4 grouping — a
+    # naive [0-9()\-\s]{7,} class chains across spaces/newlines and
+    # redacts legitimate numeric text like "50 000 000 tokens"
+    "phone": r"(\+[0-9][0-9 \-()]{6,14}[0-9]|\(?[0-9]{3}\)?[ \-][0-9]{3}[ \-][0-9]{4})",
     "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
 }
 

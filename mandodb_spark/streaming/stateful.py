@@ -158,8 +158,13 @@ def streaming_heavy_hitters(rel: DataFrame, item_col: str,
     """
     import pyspark.sql.functions as F
 
+    # NULL items are counted under a sentinel, not dropped — pandas
+    # value_counts would silently exclude NaN, breaking the frequency
+    # guarantee for a heavily-null tracked field
     pre = (
-        rel.select(F.col(item_col).cast("string").alias("item"))
+        rel.select(
+            F.coalesce(F.col(item_col).cast("string"), F.lit("<NULL>")).alias("item")
+        )
         .withColumn("shard", F.pmod(F.xxhash64("item"), F.lit(n_shards)))
     )
     return pre.groupBy("shard").applyInPandasWithState(

@@ -1197,22 +1197,33 @@ QUERIES["docs_quality_outliers"] = docs_quality_outliers
 ORACLES["docs_quality_outliers"] = DOCS_QUALITY_OUTLIERS_SQL
 
 
-#: First doc_id of the "new" batch for the incremental-dedup query.
-INCR_NEW_FROM = 400
+#: Fraction of the corpus (by id order) that plays "today's batch".
+INCR_NEW_FRAC = 0.2
 
 
 def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: the daily-batch shape — only pairs touching a
-    NEW document (doc_id >= 400 plays today's batch) reach the Jaccard
-    verify stage; old-old pairs were found when those docs were indexed."""
+    NEW document reach the Jaccard verify stage; old-old pairs were found
+    when those docs were indexed.  The batch is the top 20% of doc ids,
+    computed from the data so the shape holds at every scale factor
+    (a fixed id cutoff was 92% of the corpus at sf0.1 — round-5 review)."""
     d = load(spark, sf_dir, "documents")
-    new = d.filter(F.col("doc_id") >= INCR_NEW_FROM).select("doc_id")
+    cut = d.agg(
+        F.floor((F.max("doc_id") + 1) * (1 - INCR_NEW_FRAC)).alias("__cut")
+    )
+    new = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(cut))
+        .filter(F.col("doc_id") >= F.col("__cut"))
+        .select("doc_id")
+    )
     return dedup.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_T, new_ids=new)
 
 
 DOCS_INCREMENTAL_NEARDUP_SQL = f"""
 SELECT * FROM ({_minhash_sql()})
-WHERE id_a >= {INCR_NEW_FROM} OR id_b >= {INCR_NEW_FROM}
+WHERE id_a >= (SELECT CAST(floor((max(doc_id) + 1) * {1 - INCR_NEW_FRAC}) AS BIGINT) FROM documents)
+   OR id_b >= (SELECT CAST(floor((max(doc_id) + 1) * {1 - INCR_NEW_FRAC}) AS BIGINT) FROM documents)
 """
 
 QUERIES["docs_incremental_neardup"] = docs_incremental_neardup

@@ -98,6 +98,8 @@ EXTENDED = [
     "docs_lsh_recall",
     "docs_dup_stats",
     "events_gap_stats",
+    "docs_bloom_gate",
+    "docs_shuffle_plan",
 ]
 
 

@@ -1,0 +1,150 @@
+"""Bloom-filter membership gate: dedup a new batch against a huge
+historical corpus WITHOUT joining the corpus.
+
+Beyond-reference surface (the reference's posting lists, index.go:170-186,
+answer "which segments hold series X" — this answers "has the corpus seen
+content X" at ingest time).  The standard anti-join dedup shuffles the
+historical side on every batch; at 100 TB that is the whole corpus through
+the network per increment.  The Bloom gate replaces it with a one-time
+distributed build — an occupied-WORD table of at most ``m_bits/32`` rows,
+millions of times smaller than the corpus — and a probe that broadcasts
+that table: the new batch never shuffles and the corpus is never re-read.
+False-positive rate for n keys: ``(1 - exp(-k*n/m))^k`` — size ``m_bits``
+≈ 10 bits/key for ~1% at k=3.  Spark's own BloomFilter aggregate
+(``bloom_filter_agg``) is not registered in the public function registry,
+and a deterministic md5 construction is oracle-mirrorable in DuckDB
+bit-for-bit, so the filter is built from plain relational ops:
+
+    positions: p_i(key) = md5("i:"+key)[:15 hex] mod m   (i = 0..k-1)
+    build:     word table  (p DIV 32, bit_or(1 << p%32))  — one shuffle,
+               ≤ m/32 rows
+    probe:     k broadcast left joins on the word id + bit tests — ZERO
+               probe-side shuffle, plans as k BroadcastHashJoins
+
+Storage is 32 bits per BIGINT word: every shifted mask stays positive, so
+the words, shifts, and ``bit_or`` evaluate identically in Spark and DuckDB
+(no sign/overflow edge at bit 63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Number of hash functions.
+BLOOM_K = 3
+
+#: Bits stored per BIGINT word (32, not 64: keeps every mask positive).
+WORD_BITS = 32
+
+
+def _position_sql(key_sql: str, i: int, m_bits: int) -> str:
+    """SQL text for hash-``i``'s bit position of ``key_sql`` (Spark dialect).
+
+    60-bit md5 slice mod m — the same engine-agnostic hash family the
+    minhash/winnowing/CMS oracles use; DuckDB mirrors it with
+    ``CAST(concat('0x', substr(md5(..),1,15)) AS BIGINT) % m``."""
+    return (
+        f"CAST(conv(substring(md5(concat('{i}:', {key_sql})), 1, 15), 16, 10) "
+        f"AS BIGINT) % {m_bits}"
+    )
+
+
+def bloom_build(
+    df: DataFrame, key: Column, m_bits: int = 1 << 14, k: int = BLOOM_K
+) -> DataFrame:
+    """Distributed Bloom build → occupied-word table (word, bits).
+
+    One narrow ×k position explode + ONE shuffle (groupBy word, map-side
+    partial ``bit_or``).  Output is ≤ ``m_bits/32`` rows regardless of
+    corpus size — the broadcastable index the probe side ships with its
+    tasks."""
+    keyed = df.select(key.cast("string").alias("__key"))
+    pos = ", ".join(_position_sql("__key", i, m_bits) for i in range(k))
+    return (
+        keyed.selectExpr(f"explode(array({pos})) AS p")
+        .groupBy(F.expr(f"p DIV {WORD_BITS}").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT)))"
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_flag(
+    df: DataFrame,
+    key: Column,
+    bloom: DataFrame,
+    m_bits: int = 1 << 14,
+    k: int = BLOOM_K,
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Probe: append ``flag_col`` (true ⟺ every hash's bit is set).
+
+    k broadcast LEFT joins on the word id — the probe relation never
+    shuffles; a missing word row means the bit is unset (NULL-join →
+    false).  No false negatives by construction; false positives at the
+    (1-exp(-kn/m))^k floor."""
+    out = df.withColumn("__key", key.cast("string"))
+    tests = []
+    for i in range(k):
+        out = out.withColumn(f"__p{i}", F.expr(_position_sql("__key", i, m_bits)))
+        side = bloom.select(
+            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+        )
+        out = out.join(
+            F.broadcast(side),
+            F.expr(f"__p{i} DIV {WORD_BITS}") == F.col(f"__w{i}"),
+            "left",
+        )
+        tests.append(
+            F.expr(
+                f"__b{i} IS NOT NULL AND "
+                f"(shiftright(__b{i}, CAST(__p{i} % {WORD_BITS} AS INT)) & 1) = 1"
+            )
+        )
+    flag = tests[0]
+    for t in tests[1:]:
+        flag = flag & t
+    drop = ["__key"] + [c for i in range(k) for c in (f"__p{i}", f"__w{i}", f"__b{i}")]
+    return out.withColumn(flag_col, flag).drop(*drop)
+
+
+def bloom_oracle_sql(
+    hist_sql: str, m_bits: int = 1 << 14, k: int = BLOOM_K
+) -> str:
+    """DuckDB CTE text mirroring :func:`bloom_build` bit-for-bit.
+
+    ``hist_sql`` must select one column named ``key``; the returned
+    fragment defines ``bloom_words(word, bits)``."""
+    pos_union = "\nUNION ALL\n".join(
+        f"SELECT CAST(concat('0x', substr(md5(concat('{i}:', key)), 1, 15)) "
+        f"AS BIGINT) % {m_bits} AS p FROM hist"
+        for i in range(k)
+    )
+    return f"""hist AS ({hist_sql}),
+pos AS ({pos_union}),
+bloom_words AS (
+    SELECT p // {WORD_BITS} AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % {WORD_BITS} AS INT)) AS bits
+    FROM pos GROUP BY 1
+)"""
+
+
+def bloom_probe_oracle_pred(key_sql: str, m_bits: int = 1 << 14, k: int = BLOOM_K) -> str:
+    """DuckDB boolean expression mirroring :func:`bloom_flag` for one key.
+
+    Correlated scalar subqueries against ``bloom_words`` — fine for
+    oracle-sized data; the Spark side is the scale path."""
+    tests = []
+    for i in range(k):
+        p = (
+            f"(CAST(concat('0x', substr(md5(concat('{i}:', {key_sql})), 1, 15)) "
+            f"AS BIGINT) % {m_bits})"
+        )
+        tests.append(
+            f"COALESCE((SELECT (bits >> CAST({p} % {WORD_BITS} AS INT)) & 1 "
+            f"FROM bloom_words WHERE word = {p} // {WORD_BITS}), 0) = 1"
+        )
+    return "(" + " AND ".join(tests) + ")"

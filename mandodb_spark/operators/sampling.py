@@ -235,3 +235,49 @@ def mixture_epochs(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n_copies"))))
         .drop("__n_copies", "rate")
     )
+
+
+def shuffle_plan(
+    df: DataFrame, id_col: str, n_shards: int, seed: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global shuffle for training order: (id, shard, pos).
+
+    A trainer needs the corpus in a reproducible pseudo-random order, but a
+    global ``ORDER BY random()`` is a total sort — a single range-partition
+    wave over 100 TB, and non-reproducible across retries.  This plans the
+    same permutation as hash-sharded state: every row gets a pseudo-random
+    64-bit key = md5(seed:id) (deterministic across engines, retries, and
+    cluster sizes), its shard = key mod ``n_shards``, and its position =
+    rank of the key within the shard.  ONE shuffle (by shard) and a
+    per-shard sort — shards are read in any order and each is internally
+    shuffled, which is exactly the "shard + intra-shard shuffle" recipe
+    training loaders use.  The key doubles as the tiebreak so the plan is
+    total even for id collisions.
+    """
+    key = F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("__key"))
+        .withColumn("shard", F.col("__key") % n_shards)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__key")
+    )
+
+
+def shuffle_plan_sql(
+    table: str, id_col: str, n_shards: int, seed: str = "shuffle"
+) -> str:
+    """DuckDB mirror of :func:`shuffle_plan`."""
+    key = (
+        f"CAST(concat('0x', substr(md5(concat('{seed}:', CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH keyed AS (
+    SELECT {id_col}, {key} AS k, {key} % {n_shards} AS shard FROM {table}
+)
+SELECT {id_col}, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, {id_col}) AS BIGINT) AS pos
+FROM keyed
+"""

@@ -130,8 +130,9 @@ _PRIORITY = [
 #   events_top_paths, tpch_profile_lineitem, docs_quality_outliers,
 #   tsdb_export_lineprotocol, docs_incremental_neardup, docs_pii_scrub,
 #   docs_lang_confusion, emb_matryoshka_error, docs_pack_nosplit,
-#   docs_lsh_recall, docs_dup_stats, events_gap_stats.
-# That is 28 of 50 slots; fill the rest with the oldest-green queries.
+#   docs_lsh_recall, docs_dup_stats, events_gap_stats, docs_bloom_gate,
+#   docs_shuffle_plan.
+# That is 30 of 50 slots; fill the rest with the oldest-green queries.
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))
 

@@ -1436,3 +1436,103 @@ GROUP BY source
 
 QUERIES["docs_dup_stats"] = docs_dup_stats
 ORACLES["docs_dup_stats"] = DOCS_DUP_STATS_SQL
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership gate (round 5): dedup a new batch against the
+# historical corpus without joining (or even re-reading) the corpus.
+
+
+#: DuckDB text of the bag-of-words fingerprint (mirrors text.bow_fingerprint).
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "string_split(lower(text), ' '))), ' '))"
+)
+
+#: Bloom geometry for the gate query: ~360 historical keys × 3 hashes into
+#: 16384 bits → false-positive floor ≈ 3e-4.
+BLOOM_M = 1 << 14
+
+
+def docs_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership gate: flag new-batch docs (doc_id % 5 = 0) whose
+    bag-of-words fingerprint may already exist in the historical corpus
+    (doc_id % 5 ≠ 0), next to the exact answer.
+
+    The filter is BUILT distributively (operators/membership.py: one
+    shuffle into a ≤512-row word table) and PROBED with broadcast joins
+    only — the new batch never shuffles, the corpus is read once at build.
+    ``true_dup → might_dup`` always (no false negatives); the exact column
+    is included so the oracle checks the fp floor too."""
+    from ..operators import membership
+
+    d = load(spark, sf_dir, "documents")
+    fp = text.bow_fingerprint(F.col("text"))
+    hist = d.filter(F.col("doc_id") % 5 != 0).select(fp.alias("key"))
+    new = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp.alias("key"))
+    bloom = membership.bloom_build(hist, F.col("key"), m_bits=BLOOM_M)
+    flagged = membership.bloom_flag(
+        new, F.col("key"), bloom, m_bits=BLOOM_M, flag_col="__might"
+    )
+    truth = hist.distinct().withColumn("__true", F.lit(1))
+    return (
+        flagged.join(truth, "key", "left")
+        .select(
+            "doc_id",
+            F.col("__might").cast("long").alias("might_dup"),
+            F.coalesce(F.col("__true"), F.lit(0)).cast("long").alias("true_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_gate_sql() -> str:
+    from ..operators.membership import bloom_oracle_sql, bloom_probe_oracle_pred
+
+    hist_sql = f"SELECT {_FP_SQL} AS key FROM documents WHERE doc_id % 5 <> 0"
+    return f"""WITH {bloom_oracle_sql(hist_sql, m_bits=BLOOM_M)},
+newb AS (
+    SELECT doc_id, {_FP_SQL} AS key FROM documents WHERE doc_id % 5 = 0
+)
+SELECT n.doc_id,
+       CAST(CASE WHEN {bloom_probe_oracle_pred('n.key', m_bits=BLOOM_M)} THEN 1 ELSE 0 END AS BIGINT) AS might_dup,
+       CAST(CASE WHEN n.key IN (SELECT DISTINCT key FROM hist) THEN 1 ELSE 0 END AS BIGINT) AS true_dup
+FROM newb n
+ORDER BY doc_id
+"""
+
+
+DOCS_BLOOM_GATE_SQL = _bloom_gate_sql()
+
+QUERIES["docs_bloom_gate"] = docs_bloom_gate
+ORACLES["docs_bloom_gate"] = DOCS_BLOOM_GATE_SQL
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-order shuffle (round 5): reproducible global
+# permutation without a global sort.
+
+
+def docs_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training order for the corpus: every doc lands in a
+    hash shard with an intra-shard pseudo-random position — the loader's
+    "shard list + per-shard order" contract — via ONE shuffle and a
+    per-shard sort (never a global ORDER BY random())."""
+    from ..operators.sampling import shuffle_plan
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_plan(d, "doc_id", n_shards=8, seed="r5").orderBy(
+        "shard", "pos"
+    )
+
+
+def _shuffle_plan_sql() -> str:
+    from ..operators.sampling import shuffle_plan_sql
+
+    return shuffle_plan_sql("documents", "doc_id", n_shards=8, seed="r5")
+
+
+DOCS_SHUFFLE_PLAN_SQL = _shuffle_plan_sql()
+
+QUERIES["docs_shuffle_plan"] = docs_shuffle_plan
+ORACLES["docs_shuffle_plan"] = DOCS_SHUFFLE_PLAN_SQL

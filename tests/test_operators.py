@@ -1426,3 +1426,72 @@ def test_pack_nosplit_never_straddles(spark):
             else:
                 assert r.offset == 0, "oversized must start fresh"
             cursor = start + r.n_tokens
+
+
+def test_bloom_gate_no_false_negatives_and_bounded_words(spark):
+    from mandodb_spark.operators import membership
+
+    hist = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(200)], "key string"
+    )
+    m = 1 << 12
+    bloom = membership.bloom_build(hist, F.col("key"), m_bits=m)
+    words = bloom.collect()
+    # occupied-word table is bounded by the geometry, never the corpus
+    assert len(words) <= m // membership.WORD_BITS
+    assert all(w.bits != 0 for w in words)
+
+    probes = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(150, 250)]  # 50 members, 50 novel
+        , "key string"
+    )
+    out = membership.bloom_flag(
+        probes, F.col("key"), bloom, m_bits=m
+    ).collect()
+    members = {r.key: r.might_contain for r in out}
+    # every true member flags (Bloom filters have no false negatives)
+    for i in range(150, 200):
+        assert members[f"doc-{i}"] is True
+    # false-positive floor: (1-e^(-3*200/4096))^3 ~ 0.25% — 50 novel keys
+    # should essentially never all collide; allow a generous bound
+    fps = sum(1 for i in range(200, 250) if members[f"doc-{i}"])
+    assert fps <= 3
+
+
+def test_bloom_probe_plan_broadcasts_and_never_shuffles_probes(spark):
+    from mandodb_spark.operators import membership
+    from mandodb_spark.plans import physical_plan
+
+    hist = spark.createDataFrame([("a",), ("b",)], "key string")
+    probes = spark.createDataFrame([("a",), ("z",)], "key string")
+    bloom = membership.bloom_build(hist, F.col("key"))
+    plan = physical_plan(
+        membership.bloom_flag(probes, F.col("key"), bloom)
+    )
+    assert plan.count("BroadcastHashJoin") == membership.BLOOM_K
+    # the probe side reaches the output without an exchange: the only
+    # shuffle in the whole plan is the build side's word aggregation,
+    # replicated under each broadcast exchange
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_plan_is_deterministic_total_permutation(spark):
+    from mandodb_spark.operators.sampling import shuffle_plan
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = shuffle_plan(df, "doc_id", n_shards=8, seed="s").collect()
+    b = shuffle_plan(df, "doc_id", n_shards=8, seed="s").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    # every doc exactly once
+    assert sorted(r.doc_id for r in a) == list(range(500))
+    # positions are 1..n contiguous within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed yields a different permutation
+    c = shuffle_plan(df, "doc_id", n_shards=8, seed="t").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    # no shard is pathologically loaded (uniform hash: expect ~62 each)
+    assert max(len(v) for v in by_shard.values()) < 125

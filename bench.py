@@ -100,6 +100,7 @@ EXTENDED = [
     "events_gap_stats",
     "docs_bloom_gate",
     "docs_shuffle_plan",
+    "stream_enrich_dual",
 ]
 
 

@@ -1449,9 +1449,11 @@ _FP_SQL = (
     "string_split(lower(text), ' '))), ' '))"
 )
 
-#: Bloom geometry for the gate query: ~360 historical keys × 3 hashes into
-#: 16384 bits → false-positive floor ≈ 3e-4.
-BLOOM_M = 1 << 14
+#: Bloom geometry for the gate query: 2^17 bits holds the fp floor under
+#: 1e-3 for both test SFs (~1.1k set bits at sf0.01, ~12k at sf0.1) while
+#: the word table stays a 4096-row broadcast.  Production sizing is
+#: ~10 bits per expected key (membership.py docstring).
+BLOOM_M = 1 << 17
 
 
 def docs_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

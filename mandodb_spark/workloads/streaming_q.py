@@ -193,3 +193,46 @@ GROUP BY 1, 2
 
 QUERIES["stream_join_dual"] = stream_join_dual
 ORACLES["stream_join_dual"] = STREAM_JOIN_SQL
+
+
+def stream_enrich_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static dimension-enrichment join (streaming/joins.py::
+    enrich_stream) on batch input: every event picks up its customer's
+    market segment via an explicit broadcast (stream side never
+    shuffles), then rolls up per (segment, event_type).
+
+    ``tests/test_streaming.py`` drives the identical function through a
+    real file-source ``writeStream`` with a dim update between batches;
+    this declared query pins the join + rollup semantics against DuckDB.
+    """
+    from ..streaming.joins import enrich_stream
+    from .common import events_base, load
+
+    ev = events_base(spark, sf_dir).filter(
+        F.col("ts").between(EV_START, EV_END)
+    )
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = enrich_stream(ev, dim, key="user_id", dim_key="c_custkey")
+    return (
+        out.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+STREAM_ENRICH_SQL = f"""
+SELECT c.c_mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+WHERE CAST(floor(epoch(e.ts)) AS BIGINT) BETWEEN {EV_START} AND {EV_END}
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["stream_enrich_dual"] = stream_enrich_dual
+ORACLES["stream_enrich_dual"] = STREAM_ENRICH_SQL

@@ -552,3 +552,51 @@ def test_streaming_heavy_hitters_bounds_under_eviction(spark, tmp_path_factory):
     for r in rows:
         t = true[r.item]
         assert r.count_upper >= t >= r.count_upper - r.err
+
+
+def test_stream_static_enrichment_picks_up_dim_updates(spark, tmp_path_factory):
+    """A REAL file stream enriched inside a foreachBatch sink that re-reads
+    the dimension per micro-batch (the engine's ingest shape): a dim row
+    added between batches enriches later facts without restarting the
+    query.  (A direct stream-static join would pin the dim's file listing
+    at analysis — the foreachBatch re-read is the update-visible form.)"""
+    from mandodb_spark.streaming.joins import enrich_stream
+
+    base = tmp_path_factory.mktemp("enrich")
+    fsrc, dsrc = str(base / "facts"), str(base / "dim")
+    fschema = "user_id long, value double"
+    dschema = "c_custkey long, c_mktsegment string"
+
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], fschema) \
+        .coalesce(1).write.mode("append").parquet(fsrc)
+    spark.createDataFrame([(1, "BUILDING")], dschema) \
+        .coalesce(1).write.mode("append").parquet(dsrc)
+
+    out: list = []
+
+    def sink(batch_df, _epoch):
+        dim = batch_df.sparkSession.read.parquet(dsrc)
+        out.extend(
+            enrich_stream(batch_df, dim, key="user_id", dim_key="c_custkey").collect()
+        )
+
+    q = (
+        spark.readStream.schema(fschema).parquet(fsrc)
+        .writeStream.foreachBatch(sink).start()
+    )
+    try:
+        q.processAllAvailable()
+        # dim gains user 2's row AND a new fact arrives: the next batch's
+        # fresh dim read must see it
+        spark.createDataFrame([(2, "MACHINERY")], dschema) \
+            .coalesce(1).write.mode("append").parquet(dsrc)
+        spark.createDataFrame([(2, 3.0)], fschema) \
+            .coalesce(1).write.mode("append").parquet(fsrc)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {(r.user_id, r.value): r.c_mktsegment for r in out}
+    assert rows[(1, 1.0)] == "BUILDING"
+    assert rows[(2, 2.0)] is None          # batch 1: dim had no user 2
+    assert rows[(2, 3.0)] == "MACHINERY"   # batch 2: updated dim visible

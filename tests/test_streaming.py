@@ -600,3 +600,50 @@ def test_stream_static_enrichment_picks_up_dim_updates(spark, tmp_path_factory):
     assert rows[(1, 1.0)] == "BUILDING"
     assert rows[(2, 2.0)] is None          # batch 1: dim had no user 2
     assert rows[(2, 3.0)] == "MACHINERY"   # batch 2: updated dim visible
+
+
+def test_streaming_bloom_gate_filters_known_content(spark, tmp_path_factory):
+    """The Bloom membership gate composed into the live ingest path: the
+    filter is BUILT ONCE from the historical corpus (materialized to its
+    bounded word table) and PROBED inside foreachBatch on every micro-
+    batch — known content is dropped without ever re-reading or joining
+    history, novel content passes (no false negatives ⇒ no silent drops
+    of history, and novel survivors are exact)."""
+    from mandodb_spark.operators import membership
+
+    hist = spark.createDataFrame(
+        [(f"known-{i}",) for i in range(50)], "key string"
+    )
+    m = 1 << 12
+    # build once; the word table is tiny by construction — materializing
+    # it is the "ship the filter, not the corpus" step
+    bloom = spark.createDataFrame(
+        membership.bloom_build(hist, F.col("key"), m_bits=m).collect(),
+        "word long, bits long",
+    )
+
+    src = str(tmp_path_factory.mktemp("bloomgate") / "docs")
+    schema = "doc_id long, key string"
+    spark.createDataFrame(
+        [(1, "known-3"), (2, "novel-a")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    survivors: list = []
+
+    def sink(batch_df, _epoch):
+        gated = membership.bloom_flag(
+            batch_df, F.col("key"), bloom, m_bits=m
+        ).filter(~F.col("might_contain"))
+        survivors.extend(r.key for r in gated.collect())
+
+    q = spark.readStream.schema(schema).parquet(src).writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(3, "known-41"), (4, "novel-b")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(survivors) == ["novel-a", "novel-b"]

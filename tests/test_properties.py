@@ -185,3 +185,26 @@ def test_pack_plan_tiles_for_any_corpus(spark, toks, seq_len, n_groups):
             assert (r.seq, r.offset) == (cum // seq_len, cum % seq_len)
             assert r.crosses == (r.offset + r.n_tokens > seq_len)
             cum += r.n_tokens
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdef0123456789:_-", min_size=1, max_size=24),
+        min_size=1, max_size=40, unique=True,
+    ),
+    m_exp=st.integers(min_value=8, max_value=14),
+)
+def test_bloom_gate_never_misses_members(spark, keys, m_exp):
+    """Bloom membership invariant for arbitrary key sets and geometries:
+    every inserted key probes true (zero false negatives — the property
+    the no-silent-data-drop contract of a dedup gate rests on), and the
+    occupied-word table never exceeds min(k·n, m/32) rows."""
+    from mandodb_spark.operators import membership
+
+    m = 1 << m_exp
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    bloom = membership.bloom_build(df, F.col("key"), m_bits=m)
+    assert bloom.count() <= min(membership.BLOOM_K * len(keys), m // membership.WORD_BITS)
+    out = membership.bloom_flag(df, F.col("key"), bloom, m_bits=m).collect()
+    assert all(r.might_contain for r in out)

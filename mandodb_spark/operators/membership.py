@@ -58,8 +58,15 @@ def bloom_build(
     One narrow ×k position explode + ONE shuffle (groupBy word, map-side
     partial ``bit_or``).  Output is ≤ ``m_bits/32`` rows regardless of
     corpus size — the broadcastable index the probe side ships with its
-    tasks."""
-    keyed = df.select(key.cast("string").alias("__key"))
+    tasks.
+
+    NULL keys are excluded (a NULL occupies no bits, and the probe side
+    defines might_contain(NULL) = false) — this also keeps the DuckDB
+    mirror exact, whose ``concat`` would otherwise skip the NULL and hash
+    the bare salt."""
+    keyed = df.select(key.cast("string").alias("__key")).filter(
+        F.col("__key").isNotNull()
+    )
     pos = ", ".join(_position_sql("__key", i, m_bits) for i in range(k))
     return (
         keyed.selectExpr(f"explode(array({pos})) AS p")
@@ -84,8 +91,10 @@ def bloom_flag(
 
     k broadcast LEFT joins on the word id — the probe relation never
     shuffles; a missing word row means the bit is unset (NULL-join →
-    false).  No false negatives by construction; false positives at the
-    (1-exp(-kn/m))^k floor."""
+    false).  A NULL key flags false (its positions are NULL, so every
+    join misses — matching the build side's NULL exclusion).  No false
+    negatives by construction; false positives at the (1-exp(-kn/m))^k
+    floor."""
     out = df.withColumn("__key", key.cast("string"))
     tests = []
     for i in range(k):
@@ -120,7 +129,7 @@ def bloom_oracle_sql(
     fragment defines ``bloom_words(word, bits)``."""
     pos_union = "\nUNION ALL\n".join(
         f"SELECT CAST(concat('0x', substr(md5(concat('{i}:', key)), 1, 15)) "
-        f"AS BIGINT) % {m_bits} AS p FROM hist"
+        f"AS BIGINT) % {m_bits} AS p FROM hist WHERE key IS NOT NULL"
         for i in range(k)
     )
     return f"""hist AS ({hist_sql}),
@@ -136,8 +145,10 @@ def bloom_probe_oracle_pred(key_sql: str, m_bits: int = 1 << 14, k: int = BLOOM_
     """DuckDB boolean expression mirroring :func:`bloom_flag` for one key.
 
     Correlated scalar subqueries against ``bloom_words`` — fine for
-    oracle-sized data; the Spark side is the scale path."""
-    tests = []
+    oracle-sized data; the Spark side is the scale path.  The NULL-key
+    guard mirrors bloom_flag's false-on-NULL (DuckDB's ``concat`` skips
+    NULL arguments, so without it a NULL key would hash the bare salt)."""
+    tests = [f"{key_sql} IS NOT NULL"]
     for i in range(k):
         p = (
             f"(CAST(concat('0x', substr(md5(concat('{i}:', {key_sql})), 1, 15)) "

@@ -14,7 +14,11 @@ rewrites multi-distinct via Expand (input fans ×N-distincts) and, with no
 grouping keys, the final aggregate runs in ONE task over every surviving
 distinct value — measured 7.8s vs 0.62s for the union shape on lineitem
 at sf0.1 (12×).  N single-column scans beat one all-column scan + a
-serial reducer at any scale.
+serial reducer at any scale.  Caveat: the branches each re-execute the
+INPUT plan, which is the right trade for a column-prunable table scan
+(the declared use) but an N-fold recompute for an expensive derived
+relation — cache/checkpoint such an input first, or use approximate
+mode (single-scan).
 
 ``approximate=True`` swaps in ``approx_count_distinct`` (HLL) and DOES
 use the single-agg single-scan form — HLL sketches merge in the partial
@@ -32,6 +36,8 @@ def profile_table(df: DataFrame, cols: list[str], approximate: bool = False) -> 
     """One row per column: (column, n_nonnull, n_null, n_distinct,
     min_value, max_value) — min/max rendered as strings so heterogeneous
     column types share one schema."""
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
     if approximate:
         aggs = []
         for c in cols:

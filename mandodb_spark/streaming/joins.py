@@ -101,5 +101,12 @@ def enrich_stream(
     matched facts.
     """
     dk = dim_key or key
+    if dk not in dim.columns:
+        raise ValueError(f"dimension has no key column {dk!r}: {dim.columns}")
+    if dk != key and key in dim.columns:
+        raise ValueError(
+            f"dimension already has a column named {key!r}; renaming its key "
+            f"{dk!r} onto it would be ambiguous — drop or rename one first"
+        )
     rhs = dim.withColumnRenamed(dk, key) if dk != key else dim
     return stream.join(F.broadcast(rhs), key, how)

@@ -1462,7 +1462,7 @@ def docs_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 5 ≠ 0), next to the exact answer.
 
     The filter is BUILT distributively (operators/membership.py: one
-    shuffle into a ≤512-row word table) and PROBED with broadcast joins
+    shuffle into a ≤4096-row word table) and PROBED with broadcast joins
     only — the new batch never shuffles, the corpus is read once at build.
     ``true_dup → might_dup`` always (no false negatives); the exact column
     is included so the oracle checks the fp floor too."""

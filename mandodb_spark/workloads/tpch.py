@@ -863,9 +863,12 @@ PROFILE_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_l
 
 
 def tpch_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiling over lineitem (nulls / exact cardinality / range
-    per column in ONE aggregate job + stack unpivot) — the data-quality
-    pass every curation pipeline fronts its tables with."""
+    """Column profiling over lineitem (nulls / exact cardinality / range)
+    — the data-quality pass every curation pipeline fronts its tables
+    with.  Exact mode plans one column-pruned single-distinct aggregate
+    branch per column, unioned (fully parallel two-phase aggs; see
+    operators/profile.py for why the one-agg multi-distinct form is a
+    serial-reducer trap)."""
     from ..operators.profile import profile_table
 
     li = load(spark, sf_dir, "lineitem")

@@ -1460,19 +1460,19 @@ def test_bloom_gate_no_false_negatives_and_bounded_words(spark):
 
 def test_bloom_probe_plan_broadcasts_and_never_shuffles_probes(spark):
     from mandodb_spark.operators import membership
-    from mandodb_spark.plans import physical_plan
+    from mandodb_spark.plans import physical_plan, shuffle_count
 
     hist = spark.createDataFrame([("a",), ("b",)], "key string")
     probes = spark.createDataFrame([("a",), ("z",)], "key string")
     bloom = membership.bloom_build(hist, F.col("key"))
-    plan = physical_plan(
-        membership.bloom_flag(probes, F.col("key"), bloom)
-    )
+    flagged = membership.bloom_flag(probes, F.col("key"), bloom)
+    plan = physical_plan(flagged)
     assert plan.count("BroadcastHashJoin") == membership.BLOOM_K
-    # the probe side reaches the output without an exchange: the only
-    # shuffle in the whole plan is the build side's word aggregation,
-    # replicated under each broadcast exchange
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the ONLY hash exchanges are the build side's word aggregation,
+    # replicated once under each broadcast subtree — if the probe side
+    # ever gained an exchange the count would exceed BLOOM_K
+    assert shuffle_count(flagged) == membership.BLOOM_K
 
 
 def test_shuffle_plan_is_deterministic_total_permutation(spark):
@@ -1495,3 +1495,19 @@ def test_shuffle_plan_is_deterministic_total_permutation(spark):
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
     # no shard is pathologically loaded (uniform hash: expect ~62 each)
     assert max(len(v) for v in by_shard.values()) < 125
+
+
+def test_bloom_null_keys_occupy_no_bits_and_never_flag(spark):
+    from mandodb_spark.operators import membership
+
+    hist = spark.createDataFrame([("a",), (None,)], "key string")
+    bloom = membership.bloom_build(hist, F.col("key"))
+    rows = bloom.collect()
+    assert all(r.word is not None and r.bits is not None for r in rows)
+    out = membership.bloom_flag(
+        spark.createDataFrame([("a",), (None,)], "key string"),
+        F.col("key"), bloom,
+    ).collect()
+    by_key = {r.key: r.might_contain for r in out}
+    assert by_key["a"] is True
+    assert by_key[None] is False

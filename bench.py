@@ -101,6 +101,7 @@ EXTENDED = [
     "docs_bloom_gate",
     "docs_shuffle_plan",
     "stream_enrich_dual",
+    "docs_source_cap",
 ]
 
 

@@ -281,3 +281,51 @@ SELECT {id_col}, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY k, {id_col}) AS BIGINT) AS pos
 FROM keyed
 """
+
+
+def group_cap(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group hard cap: keep at most ``cap`` rows per
+    group, chosen pseudo-randomly but reproducibly.
+
+    The standard curation guard against a single domain/source dominating
+    a corpus ("cap every domain at N documents").  Rate-based sampling
+    (:func:`hash_sample`) cannot express a hard ceiling; this ranks each
+    group's rows by the md5 unit hash (engine/retry/cluster-size
+    deterministic, same family as :func:`shuffle_plan`) and keeps ranks
+    ≤ cap — so the survivors of a group are a uniform random ``cap``-subset
+    and IDENTICAL on every re-run.  ONE shuffle (window by group); skew
+    from a pathologically hot group is the window's partition — at scale,
+    pre-filter obvious floods first or let AQE split the skewed partition.
+    """
+    key = F.expr(
+        f"CAST(conv(substring(md5(concat('{salt}:', CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
+    w = Window.partitionBy(group_col).orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__key", "__rk")
+    )
+
+
+def group_cap_sql(
+    table: str, id_col: str, group_col: str, cap: int, salt: str = "cap"
+) -> str:
+    """DuckDB mirror of :func:`group_cap` (returns all of ``table``'s
+    columns for the kept rows)."""
+    key = (
+        f"CAST(concat('0x', substr(md5(concat('{salt}:', CAST({id_col} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+SELECT * EXCLUDE (__rk) FROM (
+    SELECT *, row_number() OVER (PARTITION BY {group_col} ORDER BY {key}, {id_col}) AS __rk
+    FROM {table}
+) WHERE __rk <= {cap}
+"""

@@ -1538,3 +1538,42 @@ DOCS_SHUFFLE_PLAN_SQL = _shuffle_plan_sql()
 
 QUERIES["docs_shuffle_plan"] = docs_shuffle_plan
 ORACLES["docs_shuffle_plan"] = DOCS_SHUFFLE_PLAN_SQL
+
+
+# --------------------------------------------------------------------------
+# Per-source hard cap (round 5): no single source dominates the corpus.
+
+
+def docs_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 60 documents, chosen reproducibly (md5-ranked
+    within source — one window shuffle, identical survivors on re-run):
+    the anti-domination guard every web-scale corpus applies per domain."""
+    from ..operators.sampling import group_cap
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    capped = group_cap(d, "doc_id", "source", cap=60, salt="r5cap")
+    return (
+        capped.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )
+
+
+def _source_cap_sql() -> str:
+    from ..operators.sampling import group_cap_sql
+
+    inner = group_cap_sql(
+        "(SELECT doc_id, source FROM documents)", "doc_id", "source", 60, salt="r5cap"
+    )
+    return f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM ({inner})
+GROUP BY source ORDER BY source
+"""
+
+
+DOCS_SOURCE_CAP_SQL = _source_cap_sql()
+
+QUERIES["docs_source_cap"] = docs_source_cap
+ORACLES["docs_source_cap"] = DOCS_SOURCE_CAP_SQL

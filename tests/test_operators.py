@@ -50,11 +50,16 @@ def test_lsh_pipelines_leave_no_persisted_rdds(spark):
         [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon eta")],
         "doc_id long, text string",
     )
-    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # compare RDD id SETS, not counts: the ContextCleaner may release an
+    # EARLIER test's checkpoint RDD asynchronously mid-test, which would
+    # flip a count-equality assert (observed flake in the full suite) —
+    # the leak contract is only "these pipelines add nothing"
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5).collect()
     sim = text.simhash_arrow(df, "doc_id", "text", 32)
     dedup.simhash_band_pairs(sim, "doc_id", n_bits=32, n_bands=4).collect()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after - before == set()
 
 
 def test_memory_store_holds_single_materialized_copy(spark):
@@ -1511,3 +1516,22 @@ def test_bloom_null_keys_occupy_no_bits_and_never_flag(spark):
     by_key = {r.key: r.might_contain for r in out}
     assert by_key["a"] is True
     assert by_key[None] is False
+
+
+def test_group_cap_enforces_cap_deterministically(spark):
+    from mandodb_spark.operators.sampling import group_cap
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = group_cap(df, "doc_id", "source", cap=30).collect()
+    b = group_cap(df, "doc_id", "source", cap=30).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_src: dict[str, list[int]] = {}
+    for r in a:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_src["big"]) == 30          # hot group capped
+    assert len(by_src["small"]) == 20        # under-cap group untouched
+    assert sorted(by_src["small"]) == list(range(80, 100))
+    # a different salt picks a different 30-subset of the hot group
+    c = group_cap(df, "doc_id", "source", cap=30, salt="other").collect()
+    assert {r.doc_id for r in c if r.source == "big"} != set(by_src["big"])

@@ -334,3 +334,22 @@ def test_mixture_plan_scans_corpus_twice_total(spark):
     plan = _plan(docs_mixture_plan(spark, "/root/testdata/sf0.001"))
     assert plan.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_shuffle_plan_and_group_cap_are_one_exchange(spark):
+    """The training-order shuffle and the per-source cap each shuffle
+    exactly once (their window/shard hash partition) — never a global
+    range sort or a SinglePartition window (SCALE.md round 5)."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.operators.sampling import group_cap, shuffle_plan
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id").withColumn(
+        "source", (F.col("doc_id") % 3).cast("string")
+    )
+    p1 = _plan(shuffle_plan(df.select("doc_id"), "doc_id", n_shards=4))
+    assert p1.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in p1 and "SinglePartition" not in p1
+    p2 = _plan(group_cap(df, "doc_id", "source", cap=5))
+    assert p2.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in p2 and "SinglePartition" not in p2

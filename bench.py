@@ -102,6 +102,7 @@ EXTENDED = [
     "docs_shuffle_plan",
     "stream_enrich_dual",
     "docs_source_cap",
+    "docs_gopher_gate",
 ]
 
 

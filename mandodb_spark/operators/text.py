@@ -703,3 +703,91 @@ def redact_pii(text: Column) -> Column:
 def pii_counts(text: Column) -> dict[str, Column]:
     """Per-type PII hit counts (``regexp_count``) for scrub auditing."""
     return {name: F.regexp_count(text, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
+
+
+# -- Gopher-style rule gate ---------------------------------------------------
+
+#: Gopher document-filtering thresholds (Rae et al. 2021, table A1 — the
+#: published pretraining rule set; word-count floor lowered to 20 for the
+#: short synthetic corpus, everything else as published).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_flags(text: Column) -> list[Column]:
+    """Per-rule pass flags (1/0 BIGINTs) for the scalar Gopher rules.
+
+    All pure column expressions — composable into any gate without a
+    shuffle.  The corpus-relative rules (duplicate-line fraction,
+    top-bigram fraction) are aggregations, not scalars: compose with
+    :func:`repetition_stats` the way ``docs_curation_full`` does.
+    Returns columns aliased ``ok_word_count / ok_word_len / ok_symbols /
+    ok_alpha_words / ok_stopwords / gopher_pass``."""
+    toks = tokens(text)
+    n = F.size(toks)
+    avg_len = avg_token_len(text)
+    # symbol ratio: hash and ellipsis occurrences per word (Gopher counts
+    # '#' and '...'; both regexes sit in the Java∩RE2 dialect subset)
+    n_sym = (
+        F.size(F.split(text, "#", -1)) - 1
+        + F.size(F.split(text, r"\.\.\.", -1)) - 1
+    )
+    ok_wc = n.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_wl = avg_len.between(GOPHER_MIN_AVG_WORD_LEN, GOPHER_MAX_AVG_WORD_LEN)
+    ok_sym = (n_sym.cast("double") / n) <= GOPHER_MAX_SYMBOL_RATIO
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    ok_alpha = (alpha_words.cast("double") / n) >= GOPHER_MIN_ALPHA_WORD_FRAC
+    distinct_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    )
+    ok_stop = distinct_stops >= GOPHER_MIN_DISTINCT_STOPWORDS
+    flags = {
+        "ok_word_count": ok_wc,
+        "ok_word_len": ok_wl,
+        "ok_symbols": ok_sym,
+        "ok_alpha_words": ok_alpha,
+        "ok_stopwords": ok_stop,
+    }
+    out = [v.cast("long").alias(k) for k, v in flags.items()]
+    allpass = None
+    for v in flags.values():
+        allpass = v if allpass is None else (allpass & v)
+    out.append(allpass.cast("long").alias("gopher_pass"))
+    return out
+
+
+def gopher_flags_sql(text_expr: str) -> str:
+    """DuckDB SELECT-fragment mirroring :func:`gopher_flags`."""
+    toks = f"string_split(lower({text_expr}), ' ')"
+    n = f"len({toks})"
+    avg_len = (
+        f"(CAST(length({text_expr}) - ({n} - 1) AS DOUBLE) / {n})"
+    )
+    n_sym = (
+        f"(len(string_split({text_expr}, '#')) - 1"
+        f" + len(str_split_regex({text_expr}, '\\.\\.\\.')) - 1)"
+    )
+    alpha = (
+        f"len(list_filter({toks}, t -> regexp_matches(t, '[a-zA-Z]')))"
+    )
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    dstops = f"len(list_intersect(list_distinct({toks}), [{stops}]))"
+    rules = {
+        "ok_word_count": f"{n} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}",
+        "ok_word_len": f"{avg_len} BETWEEN {GOPHER_MIN_AVG_WORD_LEN} AND {GOPHER_MAX_AVG_WORD_LEN}",
+        "ok_symbols": f"(CAST({n_sym} AS DOUBLE) / {n}) <= {GOPHER_MAX_SYMBOL_RATIO}",
+        "ok_alpha_words": f"(CAST({alpha} AS DOUBLE) / {n}) >= {GOPHER_MIN_ALPHA_WORD_FRAC}",
+        "ok_stopwords": f"{dstops} >= {GOPHER_MIN_DISTINCT_STOPWORDS}",
+    }
+    cols = [f"CAST({expr} AS BIGINT) AS {name}" for name, expr in rules.items()]
+    cols.append(
+        "CAST(" + " AND ".join(f"({e})" for e in rules.values()) + " AS BIGINT) AS gopher_pass"
+    )
+    return ",\n       ".join(cols)

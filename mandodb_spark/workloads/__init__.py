@@ -131,8 +131,9 @@ _PRIORITY = [
 #   tsdb_export_lineprotocol, docs_incremental_neardup, docs_pii_scrub,
 #   docs_lang_confusion, emb_matryoshka_error, docs_pack_nosplit,
 #   docs_lsh_recall, docs_dup_stats, events_gap_stats, docs_bloom_gate,
-#   docs_shuffle_plan, stream_enrich_dual, docs_source_cap.
-# That is 32 of 50 slots; fill the rest with the oldest-green queries.
+#   docs_shuffle_plan, stream_enrich_dual, docs_source_cap,
+#   docs_gopher_gate.
+# That is 33 of 50 slots; fill the rest with the oldest-green queries.
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))
 

@@ -1577,3 +1577,31 @@ DOCS_SOURCE_CAP_SQL = _source_cap_sql()
 
 QUERIES["docs_source_cap"] = docs_source_cap
 ORACLES["docs_source_cap"] = DOCS_SOURCE_CAP_SQL
+
+
+# --------------------------------------------------------------------------
+# Gopher rule gate (round 5): the published per-document rule set as
+# individually-reported flags.
+
+
+def docs_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags (Rae et al. 2021 table A1): word
+    count, mean word length, symbol ratio, alphabetic-word fraction,
+    stopword presence, and the conjunction.  Pure column expressions —
+    ONE corpus scan, ZERO shuffles; per-rule flags (not just the verdict)
+    because curation debugging needs to know WHICH rule fired.  The
+    corpus-relative repetition rules compose via repetition_stats exactly
+    as docs_curation_full does."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", *text.gopher_flags(F.col("text"))).orderBy("doc_id")
+
+
+DOCS_GOPHER_GATE_SQL = f"""
+SELECT doc_id,
+       {text.gopher_flags_sql('text')}
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["docs_gopher_gate"] = docs_gopher_gate
+ORACLES["docs_gopher_gate"] = DOCS_GOPHER_GATE_SQL

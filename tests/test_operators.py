@@ -1535,3 +1535,23 @@ def test_group_cap_enforces_cap_deterministically(spark):
     # a different salt picks a different 30-subset of the hot group
     c = group_cap(df, "doc_id", "source", cap=30, salt="other").collect()
     assert {r.doc_id for r in c if r.source == "big"} != set(by_src["big"])
+
+
+def test_gopher_flags_trip_each_rule(spark):
+    base = "the quick brown fox and a dog of zeal run past the old mill gate " * 2  # 28 words, has stopwords
+    docs = [
+        (0, base.strip()),                                    # passes all
+        (1, "short text only"),                               # word count floor
+        (2, ("hyperlongwordtokens " * 25).strip()),           # avg word len > 10
+        (3, ("the a of " + "# " * 10 + "word " * 15).strip()), # symbol ratio > 0.1
+        (4, ("1 2 3 4 5 6 7 8 9 10 " * 3 + "the a").strip()), # alpha-word frac < 0.8
+        (5, ("alpha beta gamma delta epsilon " * 5).strip()),  # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in df.select("doc_id", *text.gopher_flags(F.col("text"))).collect()}
+    assert rows[0].gopher_pass == 1
+    assert rows[1].ok_word_count == 0 and rows[1].gopher_pass == 0
+    assert rows[2].ok_word_len == 0 and rows[2].gopher_pass == 0
+    assert rows[3].ok_symbols == 0 and rows[3].gopher_pass == 0
+    assert rows[4].ok_alpha_words == 0 and rows[4].gopher_pass == 0
+    assert rows[5].ok_stopwords == 0 and rows[5].gopher_pass == 0

@@ -217,7 +217,12 @@ def stream_enrich_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # exact decimal accumulation: a parallel double sum's rounding
+            # depends on partial-sum order (repo convention since the
+            # avg_quality fix) — values carry 2dp, so decimal(18,6) is exact
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value"),
         )
         .orderBy("c_mktsegment", "event_type")
     )
@@ -226,7 +231,7 @@ def stream_enrich_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_ENRICH_SQL = f"""
 SELECT c.c_mktsegment, e.event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(e.value), 4) AS sum_value
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
 FROM events e
 LEFT JOIN customer c ON e.user_id = c.c_custkey
 WHERE CAST(floor(epoch(e.ts)) AS BIGINT) BETWEEN {EV_START} AND {EV_END}

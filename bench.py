@@ -103,6 +103,7 @@ EXTENDED = [
     "stream_enrich_dual",
     "docs_source_cap",
     "docs_gopher_gate",
+    "tsdb_hist_quantile",
 ]
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .matchers import LabelMatcher
 from .model import DEFAULT_RETENTION, DEFAULT_SEGMENT_DURATION
@@ -260,3 +261,41 @@ class TSDB:
     def rollup_relation(self, dest: str) -> DataFrame:
         """Read back a materialized rollup (partition-pruned on seg)."""
         return self.spark.read.parquet(dest)
+
+    def materialize_value_histogram(
+        self, dest: str, bounds: tuple[float, ...] | None = None
+    ) -> None:
+        """Percentile continuous aggregate: materialize per-(series, seg)
+        ``le``-bucket counts (operators/histogram.py) as a Parquet table
+        partitioned by ``seg``.  Quantile queries over arbitrary ranges
+        then merge O(series × buckets) integer counts with full partition
+        pruning instead of re-reading raw samples — the TimescaleDB
+        percentile-aggregate / Prometheus classic-histogram design the
+        reference lacks.  Merging bucket counts is exactly associative,
+        so any refresh cadence composes."""
+        from .operators.histogram import DEFAULT_BOUNDS, value_histogram
+
+        hist = value_histogram(
+            self.store.relation(), bounds or DEFAULT_BOUNDS
+        )
+        (
+            hist.repartition(F.col("seg"))
+            .write.option("compression", "zstd")
+            .partitionBy("seg").mode("overwrite").parquet(dest)
+        )
+
+    def query_quantile_histogram(
+        self, dest: str, q: float, start: int, end: int
+    ) -> DataFrame:
+        """Per-series quantile estimate for [start, end] from a
+        materialized value histogram — seg predicates prune rollup
+        partitions before any bucket is read."""
+        from .operators.histogram import histogram_quantile_over
+
+        lo, hi = start // self.segment_duration, end // self.segment_duration
+        hist = self.rollup_relation(dest).filter(F.col("seg").between(lo, hi))
+        labels = hist.groupBy("series_key").agg(
+            F.any_value("labels").alias("labels")
+        )
+        out = histogram_quantile_over(hist, q, ["series_key"])
+        return out.join(labels, "series_key").select("series_key", "labels", "value")

@@ -618,3 +618,76 @@ WHERE ts BETWEEN {EV_START} AND {EV_END}
 
 QUERIES["tsdb_export_lineprotocol"] = tsdb_export_lineprotocol
 ORACLES["tsdb_export_lineprotocol"] = TSDB_EXPORT_LINEPROTOCOL_SQL
+
+
+# --------------------------------------------------------------------------
+# Percentile continuous aggregate (round 5): p95 per metric from mergeable
+# le-bucket counts — the materializable histogram path, computed here
+# directly from the relation so the oracle covers every stage.
+
+
+def tsdb_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 per metric via the mergeable value-histogram rollup
+    (operators/histogram.py): bucket counts per (metric, le) → exact
+    integer merge → PromQL bucket interpolation.  Identical counts and
+    arithmetic are reproduced by the DuckDB oracle — the rollup is
+    bucket-resolution-approximate against raw data but bit-exact as an
+    algorithm.  TSDB.materialize_value_histogram persists the same
+    bucket table seg-partitioned for pruned range queries."""
+    from ..operators.histogram import bucket_le, histogram_quantile_over
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END)
+    hist = (
+        rel.withColumn("metric", F.col("labels").getItem("__name__"))
+        .withColumn("le", bucket_le(F.col("value")))
+        .groupBy("metric", "le")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = histogram_quantile_over(hist, 0.95, ["metric"])
+    return out.select(
+        "metric", F.round("value", 4).alias("p95")
+    ).orderBy("metric")
+
+
+def _hist_quantile_sql() -> str:
+    from ..operators.histogram import bucket_le_sql
+
+    return f"""
+WITH rel AS ({TSDB_SQL_REL}),
+d AS (SELECT metric, value FROM rel WHERE ts BETWEEN {EV_START} AND {EV_END}),
+b AS (
+    SELECT metric, {bucket_le_sql('value')} AS le, count(*) AS n
+    FROM d GROUP BY 1, 2
+),
+c AS (
+    SELECT metric, le,
+           CAST(sum(n) OVER (PARTITION BY metric ORDER BY le) AS DOUBLE) AS cum
+    FROM b
+),
+x AS (
+    SELECT metric, le, cum,
+           lag(le) OVER w AS prev_le,
+           coalesce(lag(cum) OVER w, 0.0) AS prev_cum,
+           max(cum) OVER (PARTITION BY metric) AS total,
+           max(CASE WHEN isfinite(le) THEN le END) OVER (PARTITION BY metric) AS max_finite_le
+    FROM c WINDOW w AS (PARTITION BY metric ORDER BY le)
+),
+hit AS (
+    SELECT *, row_number() OVER (PARTITION BY metric ORDER BY le) AS rn
+    FROM x WHERE cum >= 0.95 * total
+)
+SELECT metric,
+       round(CASE WHEN NOT isfinite(le) THEN max_finite_le
+                  ELSE coalesce(prev_le, 0.0)
+                       + (le - coalesce(prev_le, 0.0))
+                         * ((0.95 * total - prev_cum) / (cum - prev_cum))
+             END, 4) AS p95
+FROM hit WHERE rn = 1
+ORDER BY metric
+"""
+
+
+TSDB_HIST_QUANTILE_SQL = _hist_quantile_sql()
+
+QUERIES["tsdb_hist_quantile"] = tsdb_hist_quantile
+ORACLES["tsdb_hist_quantile"] = TSDB_HIST_QUANTILE_SQL

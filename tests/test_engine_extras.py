@@ -232,3 +232,53 @@ def test_tsdb_binop_and_subquery_api(spark, tmp_path_factory):
     assert kept.count() == 0
     peak = db.subquery_over_time("max", "reqs", [], t0, t1, window=120, step=60).collect()
     assert len(peak) == 1 and peak[0].value > 0
+
+
+def test_value_histogram_rollup_quantile_and_pruning(spark, tmp_path_factory):
+    """Percentile continuous aggregate: the materialized le-bucket rollup
+    answers quantile queries equal to computing them from raw points with
+    the same buckets, its merge is exactly associative across segment
+    subsets, and the range query prunes rollup partitions."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.operators.histogram import (
+        histogram_quantile_over, value_histogram,
+    )
+    from mandodb_spark.plans import physical_plan
+
+    base = tmp_path_factory.mktemp("hist")
+    # 3 segments of data, values spread across buckets
+    rows = [
+        ("lat", {"n": "a"}, START + i * 60, float(v))
+        for i, v in enumerate([0.2, 0.7, 3.0, 4.0, 9.0, 20.0, 80.0, 300.0,
+                               601.0, 1.5, 6.0, 40.0] * 30)
+    ]
+    db = TSDB(spark, str(base / "store"))
+    db.insert_rows(rows)
+    dest = str(base / "hist_rollup")
+    db.materialize_value_histogram(dest)
+
+    end = START + len(rows) // 1 * 60
+    got = db.query_quantile_histogram(dest, 0.95, START, end).collect()
+    # reference: same buckets straight from the raw relation
+    want = histogram_quantile_over(
+        value_histogram(db.store.relation()), 0.95, ["series_key"]
+    ).collect()
+    assert len(got) == len(want) == 1
+    assert abs(got[0].value - want[0].value) < 1e-12
+
+    # associativity: per-seg histograms summed == whole-range histogram
+    hist = db.rollup_relation(dest)
+    segs = sorted(r.seg for r in hist.select("seg").distinct().collect())
+    assert len(segs) >= 2
+    half_a = hist.filter(F.col("seg") <= segs[len(segs) // 2])
+    half_b = hist.filter(F.col("seg") > segs[len(segs) // 2])
+    merged = half_a.unionByName(half_b)
+    v_merged = histogram_quantile_over(merged, 0.95, ["series_key"]).collect()
+    assert abs(v_merged[0].value - want[0].value) < 1e-12
+
+    # pruning: a one-segment window's plan carries the seg partition filter
+    plan = physical_plan(
+        db.query_quantile_histogram(dest, 0.5, START, START + 60)
+    )
+    assert "PartitionFilters" in plan and "seg" in plan

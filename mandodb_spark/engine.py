@@ -263,7 +263,11 @@ class TSDB:
         return self.spark.read.parquet(dest)
 
     def materialize_value_histogram(
-        self, dest: str, bounds: tuple[float, ...] | None = None
+        self,
+        dest: str,
+        bounds: tuple[float, ...] | None = None,
+        incremental: bool = False,
+        since_seg: int | None = None,
     ) -> None:
         """Percentile continuous aggregate: materialize per-(series, seg)
         ``le``-bucket counts (operators/histogram.py) as a Parquet table
@@ -272,17 +276,48 @@ class TSDB:
         pruning instead of re-reading raw samples — the TimescaleDB
         percentile-aggregate / Prometheus classic-histogram design the
         reference lacks.  Merging bucket counts is exactly associative,
-        so any refresh cadence composes."""
+        so any refresh cadence composes.
+
+        ``incremental=True`` recomputes only segments at/after the
+        high-watermark (max materialized ``seg`` — that partition may be
+        partial because its source segment was open at the last refresh)
+        via dynamic partition overwrite.  Simpler than the step-rollup's
+        watermark math: histogram rows are keyed by ``seg`` itself, so no
+        bucket can straddle a partition by construction.  ``since_seg``
+        overrides the watermark (late backfill into older segments)."""
         from .operators.histogram import DEFAULT_BOUNDS, value_histogram
 
-        hist = value_histogram(
-            self.store.relation(), bounds or DEFAULT_BOUNDS
+        rel = self.store.relation()
+        use_dynamic = False
+        if incremental or since_seg is not None:
+            w = since_seg
+            if w is None:
+                from pathlib import Path as _Path
+
+                if _Path(dest).exists():  # else: no rollup yet → full build
+                    w = self.spark.read.parquet(dest).agg(F.max("seg")).first()[0]
+            if w is not None:
+                rel = rel.filter(F.col("seg") >= w)
+                use_dynamic = True
+        hist = value_histogram(rel, bounds or DEFAULT_BOUNDS)
+        dpo = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
         )
-        (
-            hist.repartition(F.col("seg"))
-            .write.option("compression", "zstd")
-            .partitionBy("seg").mode("overwrite").parquet(dest)
-        )
+        if use_dynamic:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        try:
+            (
+                hist.repartition(F.col("seg"))
+                .write.option("compression", "zstd")
+                .partitionBy("seg").mode("overwrite").parquet(dest)
+            )
+        finally:
+            if use_dynamic:
+                self.spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", dpo
+                )
 
     def query_quantile_histogram(
         self, dest: str, q: float, start: int, end: int

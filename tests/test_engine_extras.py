@@ -282,3 +282,41 @@ def test_value_histogram_rollup_quantile_and_pruning(spark, tmp_path_factory):
         db.query_quantile_histogram(dest, 0.5, START, START + 60)
     )
     assert "PartitionFilters" in plan and "seg" in plan
+
+
+def test_value_histogram_incremental_refresh_touches_only_new_segments(
+    spark, tmp_path_factory
+):
+    """Incremental histogram refresh: after new rows land in a LATER
+    segment, incremental=True rewrites only partitions >= the watermark
+    and the refreshed rollup equals a from-scratch rebuild."""
+    import pathlib
+
+    base = tmp_path_factory.mktemp("histinc")
+    db = TSDB(spark, str(base / "store"))
+    db.insert_rows([("m", {"n": "a"}, START + i * 600, float(i)) for i in range(12)])
+    dest = str(base / "hist")
+    db.materialize_value_histogram(dest)
+    old_mtimes = {
+        p: p.stat().st_mtime_ns
+        for p in pathlib.Path(dest).glob("seg=*/*.parquet")
+    }
+
+    # new rows land two segments later
+    late_ts = START + 12 * 600 + 2 * 7200
+    db.insert_rows([("m", {"n": "a"}, late_ts + i * 60, 500.0) for i in range(5)])
+    db.materialize_value_histogram(dest, incremental=True)
+
+    # earlier partitions untouched (same files, same mtimes)
+    w = max(int(p.parent.name.split("=")[1]) for p in old_mtimes)
+    for p, t in old_mtimes.items():
+        seg = int(p.parent.name.split("=")[1])
+        if seg < w and p.exists():
+            assert p.stat().st_mtime_ns == t
+
+    # refreshed rollup == full rebuild
+    full = str(base / "hist_full")
+    db.materialize_value_histogram(full)
+    a = sorted(map(tuple, spark.read.parquet(dest).select("series_key", "seg", "le", "n").collect()))
+    b = sorted(map(tuple, spark.read.parquet(full).select("series_key", "seg", "le", "n").collect()))
+    assert a == b

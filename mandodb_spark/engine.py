@@ -284,40 +284,20 @@ class TSDB:
         via dynamic partition overwrite.  Simpler than the step-rollup's
         watermark math: histogram rows are keyed by ``seg`` itself, so no
         bucket can straddle a partition by construction.  ``since_seg``
-        overrides the watermark (late backfill into older segments)."""
-        from .operators.histogram import DEFAULT_BOUNDS, value_histogram
+        overrides the watermark (late backfill into older segments).
+        The core lives in :func:`operators.histogram.materialize` so the
+        streaming ingestor can run the same refresh per micro-batch
+        (``StreamingIngestor(hist_dest=…)``)."""
+        from .operators.histogram import DEFAULT_BOUNDS, materialize
 
-        rel = self.store.relation()
-        use_dynamic = False
-        if incremental or since_seg is not None:
-            w = since_seg
-            if w is None:
-                from pathlib import Path as _Path
-
-                if _Path(dest).exists():  # else: no rollup yet → full build
-                    w = self.spark.read.parquet(dest).agg(F.max("seg")).first()[0]
-            if w is not None:
-                rel = rel.filter(F.col("seg") >= w)
-                use_dynamic = True
-        hist = value_histogram(rel, bounds or DEFAULT_BOUNDS)
-        dpo = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        materialize(
+            self.spark,
+            self.store.relation(),
+            dest,
+            bounds=bounds or DEFAULT_BOUNDS,
+            incremental=incremental,
+            since_seg=since_seg,
         )
-        if use_dynamic:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-        try:
-            (
-                hist.repartition(F.col("seg"))
-                .write.option("compression", "zstd")
-                .partitionBy("seg").mode("overwrite").parquet(dest)
-            )
-        finally:
-            if use_dynamic:
-                self.spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", dpo
-                )
 
     def query_quantile_histogram(
         self, dest: str, q: float, start: int, end: int

@@ -86,3 +86,44 @@ def histogram_quantile_over(
     )
     cum = merged.withColumn("cum", F.sum("__n").over(w).cast("double")).drop("__n")
     return histogram_quantile(cum, q, group_cols)
+
+
+def materialize(
+    spark,
+    rel: DataFrame,
+    dest: str,
+    bounds: tuple[float, ...] = DEFAULT_BOUNDS,
+    incremental: bool = False,
+    since_seg: int | None = None,
+) -> None:
+    """Write the (series, seg, le) bucket rollup seg-partitioned — the
+    shared core of ``TSDB.materialize_value_histogram`` and the streaming
+    ingestor's per-batch refresh.  ``incremental=True`` rewrites only
+    partitions at/after the high-watermark (max materialized ``seg``)
+    via dynamic partition overwrite; histogram rows are keyed by ``seg``
+    itself, so no bucket straddles a partition by construction.
+    ``since_seg`` overrides the watermark (late backfill)."""
+    use_dynamic = False
+    if incremental or since_seg is not None:
+        w = since_seg
+        if w is None:
+            from pathlib import Path as _Path
+
+            if _Path(dest).exists():  # else: no rollup yet → full build
+                w = spark.read.parquet(dest).agg(F.max("seg")).first()[0]
+        if w is not None:
+            rel = rel.filter(F.col("seg") >= w)
+            use_dynamic = True
+    hist = value_histogram(rel, bounds)
+    dpo = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if use_dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            hist.repartition(F.col("seg"))
+            .write.option("compression", "zstd")
+            .partitionBy("seg").mode("overwrite").parquet(dest)
+        )
+    finally:
+        if use_dynamic:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", dpo)

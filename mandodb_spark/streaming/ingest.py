@@ -92,14 +92,23 @@ class StreamingIngestor:
     table, the refresh touches only the open partitions).  The refresh
     re-reads only partitions at/after the watermark, so per-batch cost is
     O(open segments), not O(store).
+
+    ``hist_dest``/``hist_bounds``: same loop for the percentile
+    continuous aggregate (operators/histogram.py) — per-batch incremental
+    refresh of the le-bucket rollup, late rows guarded by the batch's own
+    min event time.
     """
 
     def __init__(self, store: SegmentStore, label_dim_dest: str | None = None,
-                 rollup_dest: str | None = None, rollup_step: int = 21600) -> None:
+                 rollup_dest: str | None = None, rollup_step: int = 21600,
+                 hist_dest: str | None = None,
+                 hist_bounds: tuple[float, ...] | None = None) -> None:
         self.store = store
         self.label_dim_dest = label_dim_dest
         self.rollup_dest = rollup_dest
         self.rollup_step = rollup_step
+        self.hist_dest = hist_dest
+        self.hist_bounds = hist_bounds
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch → one transactional Parquet append (S4).
@@ -142,6 +151,27 @@ class StreamingIngestor:
                 self.rollup_dest,
                 step=self.rollup_step,
                 segment_duration=self.store.segment_duration,
+                incremental=True,
+                since_seg=since,
+            )
+        if self.hist_dest:
+            from pyspark.sql import functions as F
+
+            from ..operators.histogram import DEFAULT_BOUNDS, materialize
+
+            # same late-row guard as the step rollup, without the bucket
+            # alignment step: histogram rows are keyed by seg directly
+            min_ts = batch_df.agg(F.min("ts")).first()[0]
+            since = (
+                None
+                if min_ts is None
+                else min_ts // self.store.segment_duration
+            )
+            materialize(
+                self.store.spark,
+                self.store.relation(),
+                self.hist_dest,
+                bounds=self.hist_bounds or DEFAULT_BOUNDS,
                 incremental=True,
                 since_seg=since,
             )

@@ -647,3 +647,33 @@ def test_streaming_bloom_gate_filters_known_content(spark, tmp_path_factory):
         q.stop()
 
     assert sorted(survivors) == ["novel-a", "novel-b"]
+
+
+def test_streaming_ingest_maintains_value_histogram(spark, tmp_path_factory):
+    """The ingest loop's percentile-aggregate hook: after two micro-batches
+    (the second delivering a LATE row into an earlier segment), the
+    maintained le-bucket rollup equals a from-scratch rebuild."""
+    base = tmp_path_factory.mktemp("histstream")
+    src, ckpt, store_dir = str(base / "src"), str(base / "ckpt"), str(base / "s")
+    hist_dest = str(base / "hist")
+
+    batch1 = [("m", {"n": "a"}, START + 9000 + i * 60, float(i)) for i in range(20)]
+    spark.createDataFrame(batch1, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    db = TSDB(spark, store_dir)
+    ing = StreamingIngestor(db.store, hist_dest=hist_dest)
+    ing.start(spark.readStream.schema(ROW_SCHEMA).parquet(src), ckpt).awaitTermination(120)
+
+    # batch 2: one late row, one new-segment row
+    batch2 = [("m", {"n": "a"}, START + 60, 450.0),
+              ("m", {"n": "a"}, START + 20000, 0.3)]
+    spark.createDataFrame(batch2, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    ing.start(spark.readStream.schema(ROW_SCHEMA).parquet(src), ckpt).awaitTermination(120)
+
+    full = str(base / "hist_full")
+    db.materialize_value_histogram(full)
+    a = sorted(map(tuple, spark.read.parquet(hist_dest).select("series_key", "seg", "le", "n").collect()))
+    b = sorted(map(tuple, spark.read.parquet(full).select("series_key", "seg", "le", "n").collect()))
+    assert a == b and len(a) > 0
+
+    got = db.query_quantile_histogram(hist_dest, 0.5, START, START + 30000).collect()
+    assert len(got) == 1 and got[0].value > 0

@@ -676,6 +676,38 @@ def with_binary_payload(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+def with_wav_payload(df: DataFrame, id_col: str, text_col: str,
+                     sample_rate: int = 8000) -> DataFrame:
+    """Audio testdata adapter: wrap the UTF-8 bytes of a text column as
+    the FRAMES of a real 8-bit mono PCM WAV (stdlib ``wave`` container),
+    so :func:`audio_stats` exercises its production decode path —
+    RIFF header walk, unsigned-midpoint-128 sample read — against assets
+    whose samples an oracle can reason about (sample *i* == byte *i* of
+    the text, hence decoded value = ascii − 128).  Arrow-batched
+    synthesis, same executor-parallel shape as the decode stages."""
+    import io
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(sample_rate)
+                    w.writeframes(str(text).encode("utf-8"))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} long, payload binary"
+    )
+
+
 def chunk_plan(df: DataFrame, id_col: str, payload_col: str,
                chunk_bytes: int = 4096, overlap: int = 512) -> DataFrame:
     """Overlapping byte-range chunk plan per asset — the fan-out every

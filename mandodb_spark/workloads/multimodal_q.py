@@ -143,3 +143,49 @@ FROM idx
 
 QUERIES["mm_chunk_plan"] = mm_chunk_plan
 ORACLES["mm_chunk_plan"] = MM_CHUNK_PLAN_SQL
+
+
+AUDIO_RATE = 8000
+
+
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through the REAL stdlib WAV decode path:
+    synthesize an 8-bit mono PCM WAV per document (frames = the text's
+    UTF-8 bytes), then run the production ``audio_stats`` stage — RIFF
+    header walk, unsigned-midpoint-128 sample read (the ADVICE-r4 fix),
+    vectorized RMS.  Oracle-exact because sample *i* == byte *i*: RMS ==
+    sqrt(avg((ascii−128)²)) over the characters, and every intermediate
+    (integer squares summed in float64 ≪ 2^53, correctly-rounded ÷ and
+    sqrt) is bit-identical across engines."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    wavs = multimodal.with_wav_payload(d, "doc_id", "text", sample_rate=AUDIO_RATE)
+    stats = multimodal.audio_stats(wavs, "doc_id", "payload")
+    return stats.select(
+        "doc_id", "n_channels", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+MM_AUDIO_RMS_SQL = f"""
+WITH chars AS (
+    SELECT doc_id, ascii(c.ch) - 128 AS v
+    FROM documents, unnest(regexp_split_to_array(text, '')) AS c(ch)
+),
+agg AS (
+    SELECT doc_id, sum(CAST(v * v AS BIGINT)) AS ssq, count(*) AS n
+    FROM chars GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_samples,
+       round(CAST(coalesce(a.n, 0) AS DOUBLE) / {AUDIO_RATE}, 6) AS duration_s,
+       round(coalesce(sqrt(CAST(a.ssq AS DOUBLE) / a.n), 0.0), 6) AS rms
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+QUERIES["mm_audio_rms"] = mm_audio_rms
+ORACLES["mm_audio_rms"] = MM_AUDIO_RMS_SQL

@@ -1052,6 +1052,25 @@ def test_audio_stats_8bit_wav_is_unsigned_midpoint_128(spark):
     assert ok.decode_error is None
 
 
+def test_with_wav_payload_round_trips_through_real_decoder(spark):
+    """The audio testdata adapter emits genuine RIFF/PCM containers: the
+    production decode path recovers rate/width/frames exactly, and the
+    RMS equals the hand-computed sqrt(mean((ascii-128)^2)) of the text."""
+    import math
+
+    rows = [(1, "AB"), (2, "")]  # A=65, B=66 → values -63, -62
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wavs = multimodal.with_wav_payload(df, "doc_id", "text", sample_rate=4000)
+    payload = {r.doc_id: bytes(r.payload) for r in wavs.collect()}
+    ch, rate, width, frames = multimodal.decode_audio(payload[1])
+    assert (ch, rate, width, frames) == (1, 4000, 1, b"AB")
+    out = {r.doc_id: r for r in
+           multimodal.audio_stats(wavs, "doc_id", "payload").collect()}
+    assert out[1].rms == pytest.approx(math.sqrt((63**2 + 62**2) / 2))
+    assert (out[2].n_samples, out[2].rms) == (0, 0.0)
+    assert out[1].decode_error is None and out[2].decode_error is None
+
+
 def test_connected_components_transitive_clusters(spark):
     """Chain A~B~C merges into one cluster even though A~C was never a
     pair; disjoint cliques/pairs stay separate; convergence raises past

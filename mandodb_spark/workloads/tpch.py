@@ -885,3 +885,200 @@ TPCH_PROFILE_SQL = _profile_sql()
 
 QUERIES["tpch_profile_lineitem"] = tpch_profile_lineitem
 ORACLES["tpch_profile_lineitem"] = TPCH_PROFILE_SQL
+
+
+# ---- round 5: the three partsupp-dependent queries, adapted ----------------
+# The testdata has no partsupp table; as with q16, lineitem's
+# (l_partkey, l_suppkey) pairs stand in for the part-supplier relation and
+# unit price (l_extendedprice / l_quantity) for ps_supplycost.  The SHAPES
+# are the spec's — correlated per-part minimum (q2), group-by vs global
+# scalar threshold (q11), nested semi-join chain (q20) — and each oracle
+# mirrors the adapted semantics exactly.
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): minimum-cost supplier per part in EUROPE.
+
+    Cost of a (part, supplier) pair = min unit price across its lineitems;
+    keep the pairs achieving their part's EUROPE-wide minimum.  The
+    correlated `MIN(ps_supplycost)` subquery becomes: aggregate the pair
+    relation once, take the per-part min over it, broadcast-join back
+    (the post-part-filter pair table is tiny).  supplier/nation/region are
+    broadcast; only the lineitem pair aggregation shuffles.  No LIMIT 100:
+    float-cost ties would make the cut nondeterministic across engines."""
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = pairs.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        pairs.join(
+            F.broadcast(best),
+            (pairs.p_partkey == F.col("bp")) & (pairs.cost == F.col("min_cost")),
+        )
+        .select(
+            # cost stays unrounded: min() of identically-computed doubles is
+            # bit-identical across engines, while round() at 4dp diverges on
+            # the exact-decimal ties unit-price division produces (Spark
+            # rounds the shortest decimal repr, DuckDB the binary value).
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "cost",
+        )
+    )
+
+
+TPCH_Q2_SQL = """
+WITH pairs AS (
+    SELECT p_partkey, p_name, l_suppkey,
+           min(l_extendedprice / l_quantity) AS cost
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10 AND p_type = 'LARGE'
+    GROUP BY p_partkey, p_name, l_suppkey
+),
+eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+FROM pairs JOIN eu ON l_suppkey = s_suppkey
+WHERE cost = (
+    SELECT min(p2.cost) FROM pairs p2 JOIN eu e2 ON p2.l_suppkey = e2.s_suppkey
+    WHERE p2.p_partkey = pairs.p_partkey
+)
+"""
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): important stock — per-part supplied value from
+    one nation's suppliers vs a global-threshold scalar.
+
+    Value = sum(l_extendedprice * (1 - l_discount)) over NATION_7's
+    suppliers' lineitems; keep parts whose value exceeds twice the
+    mean per-part value (scale-invariant where a fixed fraction of the
+    total empties out as the part count grows with SF).  The spec's scalar subquery is the classic tiny
+    broadcast-nested-loop probe: a 1-row global aggregate joined against
+    the per-part aggregate (same deliberate BNLJ pattern the plan audit
+    allowlists).  One shuffle for the per-part aggregation; the 1-row
+    threshold never shuffles the fact side."""
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load(spark, sf_dir, "lineitem")
+    # decimal(18,4) accumulation: the products are exact 4dp decimals, so
+    # the sum is order-independent and engine-identical — a double sum
+    # lands on .005 rounding ties (same exact-decimal-data trap as
+    # stream_enrich_dual; see that query's docstring)
+    national = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)").alias("val"),
+    )
+    per_part = national.groupBy("l_partkey").agg(F.sum("val").alias("value"))
+    threshold = per_part.agg((F.avg("value") * 2).alias("thr"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value").cast("double"), 2).alias("value"),
+        )
+    )
+
+
+TPCH_Q11_SQL = """
+WITH national AS (
+    SELECT l_partkey,
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS val
+    FROM lineitem
+    WHERE l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    )
+),
+per_part AS (
+    SELECT l_partkey, sum(val) AS value FROM national GROUP BY l_partkey
+)
+SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS value
+FROM per_part
+WHERE value > (SELECT avg(value) * 2 FROM per_part)
+"""
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): potential part promotion — ASIA-region suppliers
+    who shipped more than 20 units of any 'small *' part in 1996.
+
+    The spec's nested IN-subquery chain (supplier IN partsupp IN part,
+    availqty vs half the year's shipments) becomes: part-name filter
+    broadcast into the lineitem scan, per-(part, supplier) quantity
+    aggregate with a HAVING threshold, then a LEFT SEMI join onto the
+    region's suppliers — the fact table is scanned once, filters pushed,
+    and no supplier row duplicates.  The absent ps_availqty is replaced
+    by the constant threshold 20."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 20)
+        .select("l_suppkey")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+
+
+TPCH_Q20_SQL = """
+SELECT s_name, round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+      HAVING sum(l_quantity) > 20
+  )
+"""
+
+QUERIES["tpch_q2"] = tpch_q2
+ORACLES["tpch_q2"] = TPCH_Q2_SQL
+QUERIES["tpch_q11"] = tpch_q11
+ORACLES["tpch_q11"] = TPCH_Q11_SQL
+QUERIES["tpch_q20"] = tpch_q20
+ORACLES["tpch_q20"] = TPCH_Q20_SQL

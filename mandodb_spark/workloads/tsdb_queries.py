@@ -691,3 +691,43 @@ TSDB_HIST_QUANTILE_SQL = _hist_quantile_sql()
 
 QUERIES["tsdb_hist_quantile"] = tsdb_hist_quantile
 ORACLES["tsdb_hist_quantile"] = TSDB_HIST_QUANTILE_SQL
+
+
+def tsdb_lineprotocol_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import/export parity for the line-protocol dialect: render the
+    canonical relation to text (to_influx_line) and parse it straight
+    back (rows_from_influx_line — the actual file/Kafka ingestion path),
+    proving the round trip is the identity against an oracle that never
+    leaves the relation.  Values travel as 4dp decimals (same
+    engine-deterministic rendering as tsdb_export_lineprotocol); the
+    oracle mirrors the decimal→double hop so the parsed doubles are
+    bit-identical."""
+    from ..sources.loaders import rows_from_influx_line, to_influx_line
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+    )
+    rel = rel.withColumn(
+        "value", F.round(F.col("value"), 4).cast("decimal(18,4)")
+    )
+    lines = to_influx_line(rel)
+    back = rows_from_influx_line(lines, text_col="line")
+    return back.select(
+        "metric",
+        F.col("labels").getItem("k").alias("k"),
+        F.col("labels").getItem("user").alias("user"),
+        "ts",
+        F.col("value").alias("value"),
+    )
+
+
+TSDB_LINEPROTOCOL_ROUNDTRIP_SQL = f"""
+WITH rel AS ({TSDB_SQL_REL})
+SELECT metric, k, "user", ts,
+       CAST(CAST(round(CAST(value AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS value
+FROM rel
+WHERE ts BETWEEN {EV_START} AND {EV_END}
+"""
+
+QUERIES["tsdb_lineprotocol_roundtrip"] = tsdb_lineprotocol_roundtrip
+ORACLES["tsdb_lineprotocol_roundtrip"] = TSDB_LINEPROTOCOL_ROUNDTRIP_SQL

@@ -104,6 +104,13 @@ EXTENDED = [
     "docs_source_cap",
     "docs_gopher_gate",
     "tsdb_hist_quantile",
+    # round 5: TPC-H completion + audio decode + line-protocol round trip
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "mm_audio_rms",
+    "tsdb_lineprotocol_roundtrip",
+    "docs_span_dedup",
 ]
 
 

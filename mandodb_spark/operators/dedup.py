@@ -591,3 +591,62 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -
     return cc.groupBy("cluster_id").agg(
         F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs")
     ).select(F.col("cluster_id"), "keep_id", "n_docs")
+
+
+def span_dedup(df: DataFrame, id_col: str, text_col: str,
+               span_tokens: int = 5) -> DataFrame:
+    """C4-style global span-level dedup: split each document into
+    non-overlapping ``span_tokens``-token spans, keep only the FIRST
+    occurrence of every distinct span corpus-wide (first = lexicographic
+    min of (doc_id, span_idx) — deterministic across engines/retries),
+    and reconstruct each document from its surviving spans in order.
+    The unit mirrors C4's three-sentence-span rule (Raffel et al. 2020)
+    on whitespace-token text.
+
+    Scale shape: the winner per span is a ``min(struct(id, idx))``
+    groupBy — partial-aggregatable, so a span duplicated a billion times
+    collapses map-side instead of hot-spotting one reducer (a
+    row_number() window over partitionBy(span) would ship every copy to
+    one partition).  The winner rows ARE the kept set — no join back to
+    the span table.  Three shuffles total (span winners, per-doc
+    reassembly, per-doc totals), the last two co-partitioned on the id.
+
+    Output: ``(id, n_spans, kept_spans, new_text)`` — documents whose
+    every span was seen earlier elsewhere survive with ``new_text = ''``.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(tokens) / F.lit(span_tokens)).cast("int")
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(tokens, i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    winners = (
+        spans.groupBy("span")
+        .agg(F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("w"))
+        .select(F.col(f"w.{id_col}").alias(id_col),
+                F.col("w.span_idx").alias("span_idx"), "span")
+    )
+    kept = winners.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("kept_spans", F.lit(0)).alias("kept_spans"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

@@ -1605,3 +1605,49 @@ ORDER BY doc_id
 
 QUERIES["docs_gopher_gate"] = docs_gopher_gate
 ORACLES["docs_gopher_gate"] = DOCS_GOPHER_GATE_SQL
+
+
+# --------------------------------------------------------------------------
+# C4-style global span dedup (round 5): remove every repeated
+# 5-token span corpus-wide, first occurrence wins, documents rebuilt
+# from their surviving spans.
+
+
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span-level dedup (operators/dedup.py::span_dedup —
+    the C4 three-sentence-span rule on token text).  The winner-per-span
+    aggregation is a min(struct) groupBy, partial-aggregatable so
+    mega-duplicated spans collapse map-side; the reconstructed text is
+    compared verbatim against the oracle, so order-of-reassembly bugs
+    can't hide behind counts."""
+    from ..operators.dedup import span_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", span_tokens=5)
+
+
+DOCS_SPAN_DEDUP_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+spans AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS span_idx,
+         array_to_string(list_slice(tk, t.i*5+1, t.i*5+5), ' ') AS span
+  FROM toks, unnest(range(0, CAST(ceil(len(tk)/5.0) AS BIGINT))) AS t(i)
+),
+winners AS (
+  SELECT span, min(struct_pack(d := doc_id, i := span_idx)) AS w
+  FROM spans GROUP BY span
+),
+kept AS (
+  SELECT (w).d AS doc_id, CAST(count(*) AS BIGINT) AS kept_spans,
+         string_agg(span, ' ' ORDER BY (w).i) AS new_text
+  FROM winners GROUP BY (w).d
+),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM spans GROUP BY doc_id)
+SELECT t.doc_id, t.n_spans,
+       CAST(coalesce(k.kept_spans, 0) AS BIGINT) AS kept_spans,
+       coalesce(k.new_text, '') AS new_text
+FROM totals t LEFT JOIN kept k USING (doc_id)
+"""
+
+QUERIES["docs_span_dedup"] = docs_span_dedup
+ORACLES["docs_span_dedup"] = DOCS_SPAN_DEDUP_SQL

@@ -1574,3 +1574,25 @@ def test_gopher_flags_trip_each_rule(spark):
     assert rows[3].ok_symbols == 0 and rows[3].gopher_pass == 0
     assert rows[4].ok_alpha_words == 0 and rows[4].gopher_pass == 0
     assert rows[5].ok_stopwords == 0 and rows[5].gopher_pass == 0
+
+
+def test_span_dedup_first_occurrence_wins_and_rebuilds_in_order(spark):
+    """Cross-document span removal: doc 2's copy of doc 1's span vanishes
+    (first occurrence = lower (doc_id, span_idx)), an all-duplicate doc
+    survives with empty text, and surviving spans rebuild in original
+    order."""
+    docs = [
+        (1, "a b c d e f g h i j"),          # spans: "a b c d e", "f g h i j"
+        (2, "a b c d e x y z w v"),          # first span duplicates doc 1's
+        (3, "f g h i j a b c d e"),          # both spans already seen
+        (4, "q r s"),                        # short doc, one 3-token span
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.span_dedup(df, "doc_id", "text", span_tokens=5).collect()}
+    assert (out[1].n_spans, out[1].kept_spans) == (2, 2)
+    assert out[1].new_text == "a b c d e f g h i j"
+    assert (out[2].n_spans, out[2].kept_spans) == (2, 1)
+    assert out[2].new_text == "x y z w v"
+    assert (out[3].n_spans, out[3].kept_spans, out[3].new_text) == (2, 0, "")
+    assert (out[4].n_spans, out[4].kept_spans, out[4].new_text) == (1, 1, "q r s")

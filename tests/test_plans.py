@@ -353,3 +353,22 @@ def test_shuffle_plan_and_group_cap_are_one_exchange(spark):
     p2 = _plan(group_cap(df, "doc_id", "source", cap=5))
     assert p2.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in p2 and "SinglePartition" not in p2
+
+
+def test_span_dedup_elects_winners_with_partial_agg_not_window(spark):
+    """The span-winner election must be a partial-aggregatable
+    min(struct) groupBy — a row_number window partitioned by span would
+    ship every copy of a mega-duplicated span to one reducer
+    (SCALE.md round-5 tail).  Pin: partial_min in the plan, no Window
+    operator, no SinglePartition."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.operators.dedup import span_dedup
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b c d e f g "), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(span_dedup(df, "doc_id", "text"))
+    assert "partial_min" in plan
+    assert "Window" not in plan and "SinglePartition" not in plan

@@ -208,3 +208,44 @@ def test_bloom_gate_never_misses_members(spark, keys, m_exp):
     assert bloom.count() <= min(membership.BLOOM_K * len(keys), m // membership.WORD_BITS)
     out = membership.bloom_flag(df, F.col("key"), bloom, m_bits=m).collect()
     assert all(r.might_contain for r in out)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta".split()),
+            min_size=1, max_size=12,
+        ).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+)
+def test_span_dedup_partitions_distinct_spans_exactly_once(spark, docs):
+    """Global span-dedup invariants over arbitrary corpora: every distinct
+    span survives in EXACTLY one document (first-occurrence winner), the
+    kept counts sum to the number of distinct spans, per-doc span totals
+    match an independent count, and each new_text is the in-order join of
+    that doc's winning spans."""
+    from mandodb_spark.operators.dedup import span_dedup
+
+    n = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(df, "doc_id", "text", span_tokens=n).collect()}
+
+    def spans_of(text):
+        toks = text.split(" ")
+        return [" ".join(toks[i:i + n]) for i in range(0, len(toks), n)]
+
+    all_spans = {}
+    for doc_id, text in enumerate(docs):
+        for idx, sp in enumerate(spans_of(text)):
+            all_spans.setdefault(sp, (doc_id, idx))
+        assert out[doc_id].n_spans == len(spans_of(text))
+    expect_kept = {}
+    for sp, (doc_id, idx) in all_spans.items():
+        expect_kept.setdefault(doc_id, []).append((idx, sp))
+    for doc_id in range(len(docs)):
+        want = [sp for _, sp in sorted(expect_kept.get(doc_id, []))]
+        assert out[doc_id].kept_spans == len(want)
+        assert out[doc_id].new_text == " ".join(want)
+    assert sum(r.kept_spans for r in out.values()) == len(all_spans)

@@ -372,3 +372,29 @@ def test_span_dedup_elects_winners_with_partial_agg_not_window(spark):
     plan = _plan(span_dedup(df, "doc_id", "text"))
     assert "partial_min" in plan
     assert "Window" not in plan and "SinglePartition" not in plan
+
+
+def test_vector_index_probe_prunes_cell_partitions(spark, tmp_path_factory):
+    """The persisted ANN index's probe must hit the scan as a PARTITION
+    filter (cell IN (...) against the cell= directory layout), not a
+    post-scan row filter — the scan-cut that is the whole point of
+    storing the assignment (similarity.py ivf_topk docstring, now a
+    storage guarantee)."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.operators.similarity import ivf_cells
+    from mandodb_spark.sources.vector_index import VectorIndex
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = VectorIndex(spark, str(tmp_path_factory.mktemp("vidxplan") / "ivf"))
+    idx.build(df, "vec_id", "embedding", ivf_cells(df, "vec_id", "embedding", 8))
+    q = df.filter(F.col("vec_id") == 11).select(F.col("embedding").alias("qe"))
+    plan = _formatted(idx.topk(q, n_probe=2, k=3))
+    assert "PartitionFilters: [cell#" in plan or "PartitionFilters: [" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)  # non-empty partition filter on cell

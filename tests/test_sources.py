@@ -178,3 +178,98 @@ def test_influx_line_round_trip_is_identity(spark):
     got = {(r.metric, tuple(sorted({**r.labels, "__name__": r.metric}.items())), r.ts, r.value)
            for r in back.collect()}
     assert orig == got
+
+
+def _emb_fixture(spark, n=64, dim=8, seed=7):
+    """Deterministic float vectors with ids 0..n-1 (ids < n_cells double as
+    the stub codebook, mirroring ivf_cells)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_vector_index_probe_matches_inline_ivf_topk(spark, tmp_path_factory):
+    """The persisted index is a storage layout, not a semantics change:
+    topk from the cell-partitioned index == ivf_topk computed inline with
+    the same codebook/probe/k."""
+    from mandodb_spark.operators.similarity import ivf_cells, ivf_topk
+    from mandodb_spark.sources.vector_index import VectorIndex
+
+    df = _emb_fixture(spark)
+    cents = ivf_cells(df, "vec_id", "embedding", 8)
+    q = df.filter(F.col("vec_id") == 42).select(F.col("embedding").alias("qe"))
+
+    idx = VectorIndex(spark, str(tmp_path_factory.mktemp("vidx") / "ivf"))
+    idx.build(df, "vec_id", "embedding", cents)
+    got = sorted((r.vec_id, r.cos_sim) for r in idx.topk(q, n_probe=3, k=5).collect())
+    want = sorted(
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk(df, "vec_id", "embedding", q,
+                          n_cells=8, n_probe=3, k=5, centroids=cents).collect()
+    )
+    assert got == want and len(got) == 5
+
+
+def test_vector_index_append_equals_fresh_build(spark, tmp_path_factory):
+    """Incremental maintenance duality: build(batch1) + append(batch2)
+    answers every probe exactly like a fresh build over the union — and
+    the appended rows land in the same cell partitions the full build
+    assigns them to."""
+    from mandodb_spark.operators.similarity import ivf_cells
+    from mandodb_spark.sources.vector_index import VectorIndex
+
+    df = _emb_fixture(spark, n=80)
+    first, second = df.filter(F.col("vec_id") < 60), df.filter(F.col("vec_id") >= 60)
+    cents = ivf_cells(df, "vec_id", "embedding", 8)
+
+    base = tmp_path_factory.mktemp("vidx2")
+    inc = VectorIndex(spark, str(base / "inc"))
+    inc.build(first, "vec_id", "embedding", cents)
+    inc.append(second, "vec_id", "embedding")
+    full = VectorIndex(spark, str(base / "full"))
+    full.build(df, "vec_id", "embedding", cents)
+
+    a = sorted((r.vec_id, r.cell) for r in inc.relation().select("vec_id", "cell").collect())
+    b = sorted((r.vec_id, r.cell) for r in full.relation().select("vec_id", "cell").collect())
+    assert a == b and len(a) == 80
+
+    q = df.filter(F.col("vec_id") == 70).select(F.col("embedding").alias("qe"))
+    got = sorted((r.vec_id, r.cos_sim) for r in inc.topk(q, 3, 5).collect())
+    want = sorted((r.vec_id, r.cos_sim) for r in full.topk(q, 3, 5).collect())
+    assert got == want
+
+
+def test_vector_index_streaming_maintenance(spark, tmp_path_factory):
+    """append() under foreachBatch: a two-batch embedding stream maintains
+    the same index a batch build produces (streaming ANN ingest)."""
+    from mandodb_spark.operators.similarity import ivf_cells
+    from mandodb_spark.sources.vector_index import VectorIndex
+
+    df = _emb_fixture(spark, n=40)
+    base = tmp_path_factory.mktemp("vidx3")
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+    df.filter(F.col("vec_id") < 25).coalesce(1).write.mode("append").parquet(src)
+
+    idx = VectorIndex(spark, str(base / "stream"))
+    idx.build(spark.createDataFrame([], "vec_id long, embedding array<float>"),
+              "vec_id", "embedding", ivf_cells(df, "vec_id", "embedding", 8))
+
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+    q = stream.writeStream.foreachBatch(
+        lambda b, _i: idx.append(b, "vec_id", "embedding")
+    ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    df.filter(F.col("vec_id") >= 25).coalesce(1).write.mode("append").parquet(src)
+    q = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src) \
+        .writeStream.foreachBatch(
+            lambda b, _i: idx.append(b, "vec_id", "embedding")
+        ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    full = VectorIndex(spark, str(base / "full"))
+    full.build(df, "vec_id", "embedding", ivf_cells(df, "vec_id", "embedding", 8))
+    a = sorted((r.vec_id, r.cell) for r in idx.relation().select("vec_id", "cell").collect())
+    b = sorted((r.vec_id, r.cell) for r in full.relation().select("vec_id", "cell").collect())
+    assert a == b and len(a) == 40

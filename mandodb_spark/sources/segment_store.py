@@ -35,6 +35,35 @@ from pyspark.sql import functions as F
 from ..model import DEFAULT_SEGMENT_DURATION, ROW_SCHEMA, canonicalize
 
 
+def swap_in(root: str, staging_root: str) -> None:
+    """Swap a fully-written staging directory into place (shared by the
+    segment store, memory store, and vector index maintenance jobs).
+
+    The Parquet analogue of the reference's atomic segment swap
+    (tsdb.go:242-265: write the new file, then rename over): rename
+    the live root aside, rename staging in, delete the old root LAST.
+    Every failure point leaves a recoverable state — before the first
+    rename the old root is untouched; between the renames the complete
+    old data sits at ``<root>__old`` (rename it back to recover); after
+    the second rename the new data is live and the leftover old/staging
+    dirs are garbage, not truth.  A concurrent reader that re-queries
+    never sees a PARTIALLY rewritten partition (compare: dynamic
+    partition overwrite commits per partition, so a mid-compact reader
+    could see segment A compacted and segment B mid-commit) — but the
+    swap is two renames, not one atomic op, so there IS a sub-
+    millisecond window with no root directory at all; a listing in
+    that instant surfaces as FileNotFound and succeeds on retry
+    (POSIX cannot atomically replace a non-empty directory; a real
+    deployment on object storage would swap a manifest/symlink
+    instead — Iceberg/Delta solve exactly this).
+    """
+    old = f"{root}__old"
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
+    Path(root).rename(old)
+    Path(staging_root).rename(root)
+    shutil.rmtree(old)
+
+
 class SegmentStore:
     """Partitioned-Parquet segment store (replaces segmentList, segment.go:38-46)."""
 
@@ -153,31 +182,7 @@ class SegmentStore:
 
     # ----------------------------------------------------------- compaction
     def _swap_in(self, staging_root: str) -> None:
-        """Swap a fully-written staging directory into place.
-
-        The Parquet analogue of the reference's atomic segment swap
-        (tsdb.go:242-265: write the new file, then rename over): rename
-        the live root aside, rename staging in, delete the old root LAST.
-        Every failure point leaves a recoverable state — before the first
-        rename the old root is untouched; between the renames the complete
-        old data sits at ``<root>__old`` (rename it back to recover); after
-        the second rename the new data is live and the leftover old/staging
-        dirs are garbage, not truth.  A concurrent reader that re-queries
-        never sees a PARTIALLY rewritten partition (compare: dynamic
-        partition overwrite commits per partition, so a mid-compact reader
-        could see segment A compacted and segment B mid-commit) — but the
-        swap is two renames, not one atomic op, so there IS a sub-
-        millisecond window with no root directory at all; a listing in
-        that instant surfaces as FileNotFound and succeeds on retry
-        (POSIX cannot atomically replace a non-empty directory; a real
-        deployment on object storage would swap a manifest/symlink
-        instead — Iceberg/Delta solve exactly this).
-        """
-        old = f"{self.root}__old"
-        shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
-        Path(self.root).rename(old)
-        Path(staging_root).rename(self.root)
-        shutil.rmtree(old)
+        swap_in(self.root, staging_root)
 
     def compact(self) -> None:
         """Rewrite each segment partition into one sorted file.

@@ -109,6 +109,30 @@ class VectorIndex:
         ``foreachBatch`` for streaming index maintenance."""
         self._write(self._assigned_rows(df, id_col, vec_col), "append")
 
+    def compact(self) -> None:
+        """Rewrite each cell partition into one file, restoring the
+        one-file-per-cell invariant streaming appends erode (one file per
+        trigger per cell otherwise).  Same staging-then-rename-aside swap
+        as :meth:`SegmentStore._swap_in` — crash at any point leaves the
+        full old index recoverable, and a reader re-probing mid-compact
+        sees a consistent snapshot.  No-op on an empty index."""
+        import shutil
+
+        from .segment_store import swap_in
+
+        if not Path(self._data).exists():
+            return
+        staging = f"{self._data}__compact"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            self.relation()
+            .repartition(F.col("cell"))
+            .sortWithinPartitions("vec_id")
+            .write.option("compression", "zstd")
+            .partitionBy("cell").mode("overwrite").parquet(staging)
+        )
+        swap_in(self._data, staging)
+
     # ------------------------------------------------------------- read
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self._codebook)

@@ -273,3 +273,34 @@ def test_vector_index_streaming_maintenance(spark, tmp_path_factory):
     a = sorted((r.vec_id, r.cell) for r in idx.relation().select("vec_id", "cell").collect())
     b = sorted((r.vec_id, r.cell) for r in full.relation().select("vec_id", "cell").collect())
     assert a == b and len(a) == 40
+
+
+def test_vector_index_compact_merges_files_and_preserves_probes(spark, tmp_path_factory):
+    """Three appends leave multiple files per cell; compact() restores one
+    file per cell partition and changes neither the rows nor any probe
+    result."""
+    from pathlib import Path
+
+    from mandodb_spark.operators.similarity import ivf_cells
+    from mandodb_spark.sources.vector_index import VectorIndex
+
+    df = _emb_fixture(spark, n=60)
+    idx = VectorIndex(spark, str(tmp_path_factory.mktemp("vidxc") / "ivf"))
+    idx.build(df.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+              ivf_cells(df, "vec_id", "embedding", 4))
+    for lo in (20, 40):
+        idx.append(df.filter(F.col("vec_id").between(lo, lo + 19)),
+                   "vec_id", "embedding")
+    q = df.filter(F.col("vec_id") == 33).select(F.col("embedding").alias("qe"))
+    before = sorted((r.vec_id, r.cos_sim) for r in idx.topk(q, 2, 5).collect())
+    rows_before = sorted(r.vec_id for r in idx.relation().select("vec_id").collect())
+
+    data = Path(idx.root) / "data"
+    files_per_cell = lambda: {
+        d.name: len(list(d.glob("*.parquet"))) for d in data.glob("cell=*")
+    }
+    assert any(n > 1 for n in files_per_cell().values())
+    idx.compact()
+    assert all(n == 1 for n in files_per_cell().values())
+    assert sorted(r.vec_id for r in idx.relation().select("vec_id").collect()) == rows_before
+    assert sorted((r.vec_id, r.cos_sim) for r in idx.topk(q, 2, 5).collect()) == before

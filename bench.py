@@ -111,6 +111,7 @@ EXTENDED = [
     "mm_audio_rms",
     "tsdb_lineprotocol_roundtrip",
     "docs_span_dedup",
+    "tsdb_series_cardinality_sketch",
 ]
 
 

@@ -299,6 +299,35 @@ class TSDB:
             since_seg=since_seg,
         )
 
+    def materialize_series_cardinality(
+        self, dest: str, incremental: bool = False,
+        since_seg: int | None = None,
+    ) -> None:
+        """Cardinality continuous aggregate: per-segment DataSketches HLL
+        sketches of the series identity (operators/sketch.py), Parquet
+        partitioned by ``seg``.  "How many active series in [t0, t1]?" —
+        the TSDB health metric behind every cardinality-explosion alert —
+        then UNIONS O(segments) sketch rows under full partition pruning
+        instead of a distinct over raw points.  Sketch union is
+        associative and lossless w.r.t. the sketch state, so any refresh
+        cadence composes (same watermark protocol as the value
+        histogram)."""
+        from .operators.sketch import cardinality_materialize
+
+        cardinality_materialize(
+            self.spark, self.store.relation(), dest,
+            incremental=incremental, since_seg=since_seg,
+        )
+
+    def query_series_cardinality(self, dest: str, start: int, end: int) -> DataFrame:
+        """Approximate distinct-series count for [start, end] from the
+        materialized sketch table — seg predicates prune partitions, the
+        union touches only in-range sketches."""
+        from .operators.sketch import cardinality_estimate
+
+        lo, hi = start // self.segment_duration, end // self.segment_duration
+        return cardinality_estimate(self.spark, dest, lo, hi)
+
     def query_quantile_histogram(
         self, dest: str, q: float, start: int, end: int
     ) -> DataFrame:

@@ -83,3 +83,66 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, key_col: str,
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL cardinality rollup (DataSketches via Spark built-ins).
+
+def series_cardinality_sketch(rel: DataFrame) -> DataFrame:
+    """Per-segment HLL sketch of the series identity — the mergeable
+    "active series over time" health metric.  One partial-aggregated
+    shuffle; the sketch column is a DataSketches HLL binary, so
+    any time range's cardinality is a UNION of its segments' sketches
+    (never a rescan), the property exact distinct counts lack."""
+    return rel.groupBy("seg").agg(
+        F.hll_sketch_agg("series_key").alias("sketch"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def cardinality_materialize(spark, rel: DataFrame, dest: str,
+                            incremental: bool = False,
+                            since_seg: int | None = None) -> None:
+    """Seg-partitioned write of :func:`series_cardinality_sketch` with the
+    same watermark/dynamic-overwrite protocol as the histogram rollup
+    (operators/histogram.py::materialize): ``incremental=True`` rebuilds
+    only partitions at/after the max materialized seg; ``since_seg``
+    overrides for late backfill.  Safe by construction: sketches are
+    keyed by seg itself, so no sketch straddles a partition."""
+    use_dynamic = False
+    if incremental or since_seg is not None:
+        w = since_seg
+        if w is None:
+            from pathlib import Path as _Path
+
+            if _Path(dest).exists():
+                w = spark.read.parquet(dest).agg(F.max("seg")).first()[0]
+        if w is not None:
+            rel = rel.filter(F.col("seg") >= w)
+            use_dynamic = True
+    sk = series_cardinality_sketch(rel)
+    dpo = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if use_dynamic:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            sk.repartition(F.col("seg"))
+            .write.option("compression", "zstd")
+            .partitionBy("seg").mode("overwrite").parquet(dest)
+        )
+    finally:
+        if use_dynamic:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", dpo)
+
+
+def cardinality_estimate(spark, dest: str, start_seg: int, end_seg: int) -> DataFrame:
+    """Distinct-series estimate over ``[start_seg, end_seg]``: prune the
+    seg partitions, UNION the surviving sketches, estimate — O(segments
+    in range) sketch rows touched, zero point rows.  Returns a 1-row
+    DataFrame ``(n_segs, n_points, est_series)``."""
+    sk = spark.read.parquet(dest).filter(F.col("seg").between(start_seg, end_seg))
+    return sk.agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum("n_points").alias("n_points"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_series"),
+    )

@@ -133,7 +133,8 @@ _PRIORITY = [
 #   docs_lsh_recall, docs_dup_stats, events_gap_stats, docs_bloom_gate,
 #   docs_shuffle_plan, stream_enrich_dual, docs_source_cap,
 #   docs_gopher_gate, tsdb_hist_quantile, mm_audio_rms, tpch_q2,
-#   tpch_q11, tpch_q20, tsdb_lineprotocol_roundtrip, docs_span_dedup.
+#   tpch_q11, tpch_q20, tsdb_lineprotocol_roundtrip, docs_span_dedup,
+#   tsdb_series_cardinality_sketch.
 # That is 34 of 50 slots; fill the rest with the oldest-green queries.
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))

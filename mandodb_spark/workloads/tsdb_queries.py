@@ -731,3 +731,50 @@ WHERE ts BETWEEN {EV_START} AND {EV_END}
 
 QUERIES["tsdb_lineprotocol_roundtrip"] = tsdb_lineprotocol_roundtrip
 ORACLES["tsdb_lineprotocol_roundtrip"] = TSDB_LINEPROTOCOL_ROUNDTRIP_SQL
+
+
+def tsdb_series_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-HLL cardinality rollup mechanism under the gate
+    (operators/sketch.py::series_cardinality_sketch — the engine's
+    ``materialize_series_cardinality`` continuous aggregate): per-segment
+    DataSketches HLL sketches of the series identity, UNIONed across the
+    range, vs the exact distinct computed alongside.  Sketch register
+    state is engine-specific, so (as with events_user_cardinality_approx)
+    the oracle pins what IS cross-engine: per-seg point counts, the exact
+    series count, and a TRUE assertion that the merged estimate lands
+    within 3× the HLL error bound (lgK=12 → rsd ≈ 1.6%) of exact."""
+    from ..operators.sketch import series_cardinality_sketch
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+    )
+    rel = rel.withColumn("seg", (F.col("ts") / SEG).cast("long"))
+    per_seg = series_cardinality_sketch(rel)
+    merged = per_seg.agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum("n_points").alias("n_points"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+    )
+    exact = rel.agg(F.count_distinct("series_key").alias("exact_series"))
+    return merged.join(F.broadcast(exact)).select(
+        "n_segs",
+        "n_points",
+        "exact_series",
+        (
+            F.abs(F.col("est") - F.col("exact_series"))
+            <= F.lit(0.05) * F.col("exact_series")
+        ).alias("within_bound"),
+    )
+
+
+TSDB_SERIES_CARDINALITY_SKETCH_SQL = f"""{_REL},
+d AS (SELECT *, CAST(floor(ts / {SEG}.0) AS BIGINT) AS seg FROM rel WHERE {_TIME})
+SELECT CAST(count(DISTINCT seg) AS BIGINT) AS n_segs,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(DISTINCT (metric, user, k)) AS BIGINT) AS exact_series,
+       TRUE AS within_bound
+FROM d
+"""
+
+QUERIES["tsdb_series_cardinality_sketch"] = tsdb_series_cardinality_sketch
+ORACLES["tsdb_series_cardinality_sketch"] = TSDB_SERIES_CARDINALITY_SKETCH_SQL

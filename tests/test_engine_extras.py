@@ -320,3 +320,52 @@ def test_value_histogram_incremental_refresh_touches_only_new_segments(
     a = sorted(map(tuple, spark.read.parquet(dest).select("series_key", "seg", "le", "n").collect()))
     b = sorted(map(tuple, spark.read.parquet(full).select("series_key", "seg", "le", "n").collect()))
     assert a == b
+
+
+def test_series_cardinality_sketch_rollup(spark, tmp_path_factory):
+    """Mergeable HLL cardinality rollup: the range estimate equals the
+    exact distinct-series count at test cardinality (DataSketches HLL is
+    exact far below its sparse-mode limit), prunes seg partitions, and
+    an incremental refresh after a late write matches a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.plans import formatted_plan
+
+    base = tmp_path_factory.mktemp("card")
+    # 3 segments; series count varies per segment (10 / 25 / 40 active).
+    # A = first segment boundary >= START (range math below assumes
+    # segment-aligned timestamps)
+    A = (START // 7200 + 1) * 7200
+    rows = []
+    for seg_i, n_series in enumerate([10, 25, 40]):
+        for s in range(n_series):
+            rows.append(("m", {"n": str(s)}, A + seg_i * 7200 + s, 1.0))
+    db = TSDB(spark, str(base / "store"))
+    db.insert_rows(rows)
+    dest = str(base / "card_rollup")
+    db.materialize_series_cardinality(dest)
+
+    got = db.query_series_cardinality(dest, A, A + 3 * 7200 - 1).first()
+    assert (got.n_segs, got.n_points) == (3, 75)
+    assert got.est_series == 40.0  # series sets nest: union = largest seg
+    one = db.query_series_cardinality(dest, A, A + 7199).first()
+    assert (one.n_segs, one.est_series) == (1, 10.0)
+
+    # the range read prunes rollup partitions
+    plan = formatted_plan(
+        spark.read.parquet(dest).filter(F.col("seg").between(0, 1))
+    )
+    assert "PartitionFilters: [" in plan and "seg" in plan
+
+    # late row into segment 0 adds a new series there; incremental refresh
+    # from that segment equals a full rebuild
+    db.insert_rows([("m", {"n": "late-99"}, A + 5, 1.0)])
+    db.materialize_series_cardinality(dest, since_seg=(A + 5) // 7200)
+    full = str(base / "card_full")
+    db.materialize_series_cardinality(full)
+    for d in (dest, full):
+        est = db.query_series_cardinality(d, A, A + 7199).first()
+        assert est.est_series == 11.0
+    a = db.query_series_cardinality(dest, A, A + 3 * 7200 - 1).first()
+    b = db.query_series_cardinality(full, A, A + 3 * 7200 - 1).first()
+    assert (a.n_points, a.est_series) == (b.n_points, b.est_series)

@@ -97,18 +97,24 @@ class StreamingIngestor:
     continuous aggregate (operators/histogram.py) — per-batch incremental
     refresh of the le-bucket rollup, late rows guarded by the batch's own
     min event time.
+
+    ``card_dest``: same loop for the HLL series-cardinality rollup
+    (operators/sketch.py) — sketches are keyed by seg directly, so the
+    guard mirrors the histogram's.
     """
 
     def __init__(self, store: SegmentStore, label_dim_dest: str | None = None,
                  rollup_dest: str | None = None, rollup_step: int = 21600,
                  hist_dest: str | None = None,
-                 hist_bounds: tuple[float, ...] | None = None) -> None:
+                 hist_bounds: tuple[float, ...] | None = None,
+                 card_dest: str | None = None) -> None:
         self.store = store
         self.label_dim_dest = label_dim_dest
         self.rollup_dest = rollup_dest
         self.rollup_step = rollup_step
         self.hist_dest = hist_dest
         self.hist_bounds = hist_bounds
+        self.card_dest = card_dest
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch → one transactional Parquet append (S4).
@@ -172,6 +178,24 @@ class StreamingIngestor:
                 self.store.relation(),
                 self.hist_dest,
                 bounds=self.hist_bounds or DEFAULT_BOUNDS,
+                incremental=True,
+                since_seg=since,
+            )
+        if self.card_dest:
+            from pyspark.sql import functions as F
+
+            from ..operators.sketch import cardinality_materialize
+
+            min_ts = batch_df.agg(F.min("ts")).first()[0]
+            since = (
+                None
+                if min_ts is None
+                else min_ts // self.store.segment_duration
+            )
+            cardinality_materialize(
+                self.store.spark,
+                self.store.relation(),
+                self.card_dest,
                 incremental=True,
                 since_seg=since,
             )

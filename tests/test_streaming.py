@@ -677,3 +677,34 @@ def test_streaming_ingest_maintains_value_histogram(spark, tmp_path_factory):
 
     got = db.query_quantile_histogram(hist_dest, 0.5, START, START + 30000).collect()
     assert len(got) == 1 and got[0].value > 0
+
+
+def test_streaming_ingest_maintains_cardinality_sketch(spark, tmp_path_factory):
+    """The ingest loop's cardinality-aggregate hook: after two
+    micro-batches (the second adding a NEW series late into an earlier
+    segment), the maintained sketch table answers range estimates
+    identically to a from-scratch rebuild."""
+    from mandodb_spark.operators.sketch import cardinality_estimate
+
+    base = tmp_path_factory.mktemp("cardstream")
+    src, ckpt, store_dir = str(base / "src"), str(base / "ckpt"), str(base / "s")
+    dest = str(base / "card")
+
+    batch1 = [("m", {"n": str(i % 7)}, START + 9000 + i * 60, 1.0) for i in range(30)]
+    spark.createDataFrame(batch1, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    db = TSDB(spark, store_dir)
+    ing = StreamingIngestor(db.store, card_dest=dest)
+    ing.start(spark.readStream.schema(ROW_SCHEMA).parquet(src), ckpt).awaitTermination(120)
+
+    batch2 = [("m", {"n": "late-new"}, START + 60, 1.0),
+              ("m", {"n": "0"}, START + 20000, 1.0)]
+    spark.createDataFrame(batch2, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    ing.start(spark.readStream.schema(ROW_SCHEMA).parquet(src), ckpt).awaitTermination(120)
+
+    full = str(base / "card_full")
+    db.materialize_series_cardinality(full)
+    lo, hi = START // 7200, (START + 30000) // 7200
+    a = cardinality_estimate(spark, dest, lo, hi).first()
+    b = cardinality_estimate(spark, full, lo, hi).first()
+    assert (a.n_segs, a.n_points, a.est_series) == (b.n_segs, b.n_points, b.est_series)
+    assert a.est_series == 8.0  # 7 base series + the late new one

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .matchers import LabelMatcher
-from .model import DEFAULT_RETENTION, DEFAULT_SEGMENT_DURATION
+from .model import DEFAULT_RETENTION, DEFAULT_SEGMENT_DURATION, ROW_SCHEMA
 from .operators import tsdb_ops
 from .sources.segment_store import SegmentStore
 
@@ -69,16 +69,28 @@ class TSDB:
         self.retention = retention
 
     # ---------------------------------------------------------------- write
-    def insert_rows(self, rows: DataFrame | list[tuple]) -> None:
+    def insert_rows(
+        self,
+        rows: DataFrame | list[tuple],
+        dedup_points: bool = False,
+        dedup_against_store: bool = False,
+    ) -> None:
         """InsertRows (tsdb.go:205-216): append a batch of samples.
 
         Accepts a DataFrame with ROW_SCHEMA columns or a python list of
         ``(metric, labels_dict, ts, value)`` tuples (test convenience).
+
+        Duplicate policy (reference series.go:24-27 / tsdb.go:91-97; see
+        ``SegmentStore.append``): default keeps every row (the documented
+        multiset upgrade); ``dedup_points=True`` collapses within-batch
+        re-sends last-write-wins; ``dedup_against_store=True`` also drops
+        ``(series, ts)`` pairs the store already holds.
         """
-        if isinstance(rows, DataFrame):
-            self.store.append(rows)
-        else:
-            self.store.insert_pylist(rows)
+        if not isinstance(rows, DataFrame):
+            rows = self.spark.createDataFrame(rows, ROW_SCHEMA)
+        self.store.append(
+            rows, dedup_points=dedup_points, dedup_against_store=dedup_against_store
+        )
 
     # ---------------------------------------------------------------- reads
     def query_range(

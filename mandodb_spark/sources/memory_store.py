@@ -30,8 +30,26 @@ class MemoryStore:
         self._rdd_ids: list[int] = []
 
     # ---------------------------------------------------------------- write
-    def append(self, rows: DataFrame) -> None:
+    def append(
+        self,
+        rows: DataFrame,
+        dedup_points: bool = False,
+        dedup_against_store: bool = False,
+    ) -> None:
+        """Same duplicate-policy surface as ``SegmentStore.append``
+        (multiset default / within-batch last-write-wins /
+        first-write-wins vs the stored head)."""
+        from .segment_store import dedup_last_write
+
         batch = canonicalize(rows, self.segment_duration)
+        if dedup_points:
+            batch = dedup_last_write(batch)
+        if dedup_against_store and self._df is not None:
+            batch = batch.join(
+                self._df.select("seg", "series_key", "ts"),
+                ["seg", "series_key", "ts"],
+                "left_anti",
+            )
         merged = batch if self._df is None else self._df.unionByName(batch)
         self._swap(merged)
 

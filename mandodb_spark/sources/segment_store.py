@@ -35,6 +35,51 @@ from pyspark.sql import functions as F
 from ..model import DEFAULT_SEGMENT_DURATION, ROW_SCHEMA, canonicalize
 
 
+def dedup_last_write(batch: DataFrame, order_col: str | None = None) -> DataFrame:
+    """Collapse duplicate ``(series_key, ts)`` samples to the last write.
+
+    The optional ingest dedup policy (reference: ``WithEnabledOutdated(false)``
+    rejects re-sends, tsdb.go:91-97, and the TSZ append silently drops
+    per-series points with ``ts <= maxTs``, series.go:24-27 — net effect:
+    at most one stored point per (series, ts)).  The engine's DEFAULT is
+    the documented multiset upgrade (every accepted row is kept; pinned by
+    the out-of-order tests and the tsdb_* oracle rows); this function is
+    the opt-in last-write-wins alternative.
+
+    "Last" is defined by ``order_col`` (higher wins); when absent, input
+    row order stands in via ``monotonically_increasing_id`` — exact for
+    any single-batch DataFrame whose partition order reflects arrival
+    order (true for createDataFrame and for a streaming micro-batch).
+    Ties on the order break deterministically by value (then labels) so
+    the result is engine-stable.
+
+    Scale shape: one hash partial/final aggregate on (series_key, ts) —
+    ``max_by`` keeps a single struct per group map-side, so a mega-batch
+    of re-sends collapses before the exchange; no window, no sort.
+    """
+    if order_col is None:
+        # project the id BEFORE the aggregate: non-deterministic expressions
+        # are illegal inside aggregate arguments, and materializing it in a
+        # Project pins each row's arrival rank once
+        order_col = "__ingest_ord"
+        batch = batch.withColumn(order_col, F.monotonically_increasing_id())
+    payload = F.struct(F.col("value"), F.col("labels"), F.col("seg"))
+    winner = F.max_by(
+        payload, F.struct(F.col(order_col).alias("o"), F.col("value").alias("v"))
+    )
+    return (
+        batch.groupBy("series_key", "ts")
+        .agg(winner.alias("__w"))
+        .select(
+            F.col("__w.labels").alias("labels"),
+            "ts",
+            F.col("__w.value").alias("value"),
+            "series_key",
+            F.col("__w.seg").alias("seg"),
+        )
+    )
+
+
 def swap_in(root: str, staging_root: str) -> None:
     """Swap a fully-written staging directory into place (shared by the
     segment store, memory store, and vector index maintenance jobs).
@@ -76,12 +121,17 @@ class SegmentStore:
         bloom_filter_series: bool = False,
         max_records_per_file: int | None = None,
         zstd_level: int | None = 1,
+        max_rows_per_segment: int | None = None,
     ) -> None:
         """``bloom_filter_series`` writes a Parquet bloom filter on
         ``series_key`` — the optional stand-in for the reference's
         label→sid posting lists (index.go:170-186, F7) for point-lookup
         workloads.  ``max_records_per_file`` bounds file size at high
-        ingest rates (spill-aware layout control).
+        ingest rates (spill-aware layout control); ``max_rows_per_segment``
+        additionally fans a hot segment's WRITE out over multiple tasks
+        (see :meth:`append` — the reference's ``WithMaxRowsPerSegment``
+        row-budget rotation, tsdb.go:99-105, re-expressed as write
+        parallelism instead of early head rotation).
 
         ``zstd_level`` defaults to 1 (not parquet-zstd's default 3):
         on time-series batches the size is set by the DELTA_BINARY_PACKED
@@ -96,6 +146,7 @@ class SegmentStore:
         self.codec = codec
         self.bloom_filter_series = bloom_filter_series
         self.max_records_per_file = max_records_per_file
+        self.max_rows_per_segment = max_rows_per_segment
         if codec == "zstd" and zstd_level is not None:
             try:
                 spark.sparkContext._jsc.hadoopConfiguration().set(
@@ -113,7 +164,12 @@ class SegmentStore:
         return writer
 
     # ---------------------------------------------------------------- write
-    def append(self, rows: DataFrame) -> None:
+    def append(
+        self,
+        rows: DataFrame,
+        dedup_points: bool = False,
+        dedup_against_store: bool = False,
+    ) -> None:
         """Append an ingest batch (S1-S4 collapsed into one declarative write).
 
         ``repartition(seg)`` co-locates each segment's rows in one task →
@@ -122,14 +178,66 @@ class SegmentStore:
         realizes the flush-time out-of-order merge (A5, series.go:72-94):
         late rows simply land sorted in their event-time partition, no AVL
         sidecar needed.
+
+        Duplicate policy (reference: series.go:24-27 drops per-series
+        appends with ``ts <= maxTs``; ``WithEnabledOutdated(false)``,
+        tsdb.go:91-97, refuses re-sends entirely):
+
+        - default — the engine's documented MULTISET upgrade: every
+          accepted row is stored (pinned by the out-of-order tests and the
+          tsdb_* oracle rows);
+        - ``dedup_points=True`` — last-write-wins by ``(series_key, ts)``
+          WITHIN the batch (:func:`dedup_last_write`);
+        - ``dedup_against_store=True`` — additionally drop batch points
+          whose ``(series_key, ts)`` already exists in the store
+          (first-write-wins ACROSS batches — the exact net effect of the
+          reference's TSZ ``ts <= maxTs`` drop).  The store scan is
+          statically pruned to the batch's touched segments, so the check
+          reads O(touched partitions), never the whole store.
+
+        Hot-segment write fan-out: with ``max_rows_per_segment`` set, any
+        segment whose batch row count exceeds the budget is salted across
+        ``ceil(count / budget)`` writer tasks — the reference rotates the
+        head early on a row budget (``WithMaxRowsPerSegment``,
+        tsdb.go:99-105); here the equivalent scale hazard is one writer
+        task (and one giant file) absorbing a hot 2-hour window, and the
+        salt removes it while ``maxRecordsPerFile`` still bounds file
+        size.  The per-seg count is a driver-side collect of O(touched
+        segments) — the same bounded-metadata class as the segment list.
         """
         batch = canonicalize(rows, self.segment_duration)
+        if dedup_points:
+            batch = dedup_last_write(batch)
+        if dedup_against_store and Path(self.root).exists():
+            segs = [r["seg"] for r in batch.select("seg").distinct().collect()]
+            existing = (
+                self.spark.read.parquet(self.root)
+                .filter(F.col("seg").isin(segs))
+                .select("seg", "series_key", "ts")
+            )
+            batch = batch.join(existing, ["seg", "series_key", "ts"], "left_anti")
         # explicit partition count: a hash repartition without one is
         # AQE-coalescible, and size-based coalescing would serialize the
         # writers (each seg still lands wholly in one task → one file)
         n_write_tasks = max(self.spark.sparkContext.defaultParallelism, 1)
+        keys = [F.col("seg")]
+        if self.max_rows_per_segment:
+            budget = self.max_rows_per_segment
+            hot = {
+                r["seg"]: -(-r["cnt"] // budget)
+                for r in batch.groupBy("seg").agg(F.count(F.lit(1)).alias("cnt")).collect()
+                if r["cnt"] > budget
+            }
+            if hot:
+                fanout = F.create_map(*[F.lit(x) for kv in hot.items() for x in kv])
+                keys.append(
+                    F.pmod(
+                        F.xxhash64("series_key", "ts"),
+                        F.coalesce(fanout[F.col("seg")], F.lit(1)),
+                    )
+                )
         writer = self._write_options(
-            batch.repartition(n_write_tasks, F.col("seg"))
+            batch.repartition(n_write_tasks, *keys)
             .sortWithinPartitions("series_key", "ts")
             .write
         )
@@ -261,8 +369,23 @@ class BucketedSegmentStore(SegmentStore):
         self.table = table
         self.n_buckets = n_buckets
 
-    def append(self, rows: DataFrame) -> None:
+    def append(
+        self,
+        rows: DataFrame,
+        dedup_points: bool = False,
+        dedup_against_store: bool = False,
+    ) -> None:
         batch = canonicalize(rows, self.segment_duration)
+        if dedup_points:
+            batch = dedup_last_write(batch)
+        if dedup_against_store and self.spark.catalog.tableExists(self.table):
+            segs = [r["seg"] for r in batch.select("seg").distinct().collect()]
+            existing = (
+                self.spark.table(self.table)
+                .filter(F.col("seg").isin(segs))
+                .select("seg", "series_key", "ts")
+            )
+            batch = batch.join(existing, ["seg", "series_key", "ts"], "left_anti")
         writer = self._write_options(
             batch.repartition(self.n_buckets, F.col("series_key")).write
         )

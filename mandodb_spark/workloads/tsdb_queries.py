@@ -778,3 +778,64 @@ FROM d
 
 QUERIES["tsdb_series_cardinality_sketch"] = tsdb_series_cardinality_sketch
 ORACLES["tsdb_series_cardinality_sketch"] = TSDB_SERIES_CARDINALITY_SKETCH_SQL
+
+
+def tsdb_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opt-in last-write-wins ingest policy under the gate (VERDICT r5
+    item 3; reference series.go:24-27 / tsdb.go:91-97): a batch made of the
+    events relation UNION a re-send of every 5th-second sample with a
+    shifted value is collapsed by the store's real dedup operator
+    (sources/segment_store.py::dedup_last_write — the exact transform
+    ``SegmentStore.append(dedup_points=True)`` applies), then aggregated
+    per metric.  The re-sends carry ``ingest_ord=1`` so last-write-wins
+    must pick the shifted value wherever a duplicate exists; the engine's
+    DEFAULT multiset policy is pinned separately by every other tsdb_*
+    row (which count re-sends instead of collapsing them)."""
+    from ..sources.segment_store import dedup_last_write
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+    )
+    base = rel.withColumn("ingest_ord", F.lit(0))
+    resend = (
+        rel.filter(F.col("ts") % 5 == 0)
+        .withColumn("value", F.col("value") + F.lit(100.0))
+        .withColumn("ingest_ord", F.lit(1))
+    )
+    deduped = dedup_last_write(base.unionByName(resend), order_col="ingest_ord")
+    return (
+        flatten_labels(deduped)
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+TSDB_INGEST_DEDUP_SQL = f"""{_REL},
+win AS (SELECT metric, user, k, ts, value FROM rel WHERE {_TIME}),
+batch AS (
+    SELECT metric, user, k, ts, value, 0 AS ingest_ord FROM win
+    UNION ALL
+    SELECT metric, user, k, ts, value + 100.0 AS value, 1 AS ingest_ord
+    FROM win WHERE ts % 5 = 0
+),
+dedup AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY metric, user, k, ts
+        ORDER BY ingest_ord DESC, value DESC
+    ) AS rn
+    FROM batch
+)
+SELECT metric, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 2) AS sum_value,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM dedup WHERE rn = 1
+GROUP BY metric
+"""
+
+QUERIES["tsdb_ingest_dedup"] = tsdb_ingest_dedup
+ORACLES["tsdb_ingest_dedup"] = TSDB_INGEST_DEDUP_SQL

@@ -369,3 +369,34 @@ def test_series_cardinality_sketch_rollup(spark, tmp_path_factory):
     a = db.query_series_cardinality(dest, A, A + 3 * 7200 - 1).first()
     b = db.query_series_cardinality(full, A, A + 3 * 7200 - 1).first()
     assert (a.n_points, a.est_series) == (b.n_points, b.est_series)
+
+
+def test_label_dim_refresh_appends_only_new_pairs(spark, tmp_path_factory):
+    """VERDICT r5 fix: a refresh must APPEND new pairs (broadcast anti-join),
+    never rewrite the whole dim through one task — the first refresh's data
+    files stay byte-identical on disk, and a no-new-pairs refresh adds no
+    data files at all."""
+    from pathlib import Path
+
+    from mandodb_spark import ROW_SCHEMA
+    from mandodb_spark.model import canonicalize
+    from mandodb_spark.operators.tsdb_ops import refresh_label_dim
+
+    dest = str(tmp_path_factory.mktemp("dimappend") / "dim")
+    t0 = 1_700_000_000
+    b1 = canonicalize(spark.createDataFrame([("cpu", {"node": "a"}, t0, 1.0)], ROW_SCHEMA))
+    b2 = canonicalize(spark.createDataFrame([("cpu", {"node": "b"}, t0 + 1, 2.0)], ROW_SCHEMA))
+    refresh_label_dim(dest, b1)
+    first = {p.name: p.stat().st_mtime_ns for p in Path(dest).glob("*.parquet")}
+    assert first
+    refresh_label_dim(dest, b2)  # one genuinely-new pair → appended file(s)
+    after = {p.name: p.stat().st_mtime_ns for p in Path(dest).glob("*.parquet")}
+    assert set(first) <= set(after), "refresh rewrote existing dim files"
+    assert all(after[n] == m for n, m in first.items()), "existing files touched"
+    assert len(after) > len(first)
+    got = {(r.name, r.value) for r in spark.read.parquet(dest).collect()}
+    assert got == {("__name__", "cpu"), ("node", "a"), ("node", "b")}
+    # idempotent refresh: nothing new → no new data files
+    refresh_label_dim(dest, b2)
+    again = {p.name for p in Path(dest).glob("*.parquet")}
+    assert again == set(after)

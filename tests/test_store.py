@@ -130,3 +130,91 @@ def test_incremental_rollup_rejects_incompatible_step(spark, tmp_path_factory):
     # compatible steps still work both ways
     db.materialize_rollup(str(path / "r2"), step=3600, incremental=True)
     db.materialize_rollup(str(path / "r3"), step=14400, incremental=True)
+
+
+# ------------------------------------------------------- duplicate policies
+def test_default_policy_is_multiset(spark, tmp_path_factory):
+    """The engine's documented default (SURVEY §7.4): re-sends accumulate."""
+    path = str(tmp_path_factory.mktemp("store") / "ms")
+    db = TSDB(spark, path)
+    db.insert_rows([("m", {"x": "1"}, START, 1.0), ("m", {"x": "1"}, START, 2.0)])
+    db.insert_rows([("m", {"x": "1"}, START, 3.0)])
+    vals = sorted(r.value for r in db.query_range_rows("m", [], 0, 10**10).collect())
+    assert vals == [1.0, 2.0, 3.0]
+
+
+def test_dedup_points_last_write_wins_within_batch(spark, tmp_path_factory):
+    """Opt-in dedup (reference series.go:24-27 / tsdb.go:91-97): one point
+    per (series, ts); within a batch the LAST row by input order wins."""
+    path = str(tmp_path_factory.mktemp("store") / "dd")
+    db = TSDB(spark, path)
+    db.insert_rows(
+        [
+            ("m", {"x": "1"}, START, 1.0),
+            ("m", {"x": "1"}, START, 2.0),   # re-send, later in input order
+            ("m", {"x": "1"}, START + 1, 5.0),
+            ("m", {"x": "2"}, START, 7.0),   # different series, untouched
+        ],
+        dedup_points=True,
+    )
+    rows = {
+        (r.labels["x"], r.ts): r.value
+        for r in db.query_range_rows("m", [], 0, 10**10).collect()
+    }
+    assert rows == {("1", START): 2.0, ("1", START + 1): 5.0, ("2", START): 7.0}
+
+
+def test_dedup_against_store_first_write_wins_across_batches(spark, tmp_path_factory):
+    """Cross-batch mode: a (series, ts) already stored rejects the re-send —
+    the net effect of the reference's TSZ ts<=maxTs drop."""
+    path = str(tmp_path_factory.mktemp("store") / "xb")
+    db = TSDB(spark, path)
+    db.insert_rows([("m", {"x": "1"}, START, 1.0)])
+    db.insert_rows(
+        [("m", {"x": "1"}, START, 99.0), ("m", {"x": "1"}, START + 1, 2.0)],
+        dedup_points=True,
+        dedup_against_store=True,
+    )
+    rows = {(r.ts): r.value for r in db.query_range_rows("m", [], 0, 10**10).collect()}
+    assert rows == {START: 1.0, START + 1: 2.0}
+
+
+def test_dedup_policies_memory_store(spark):
+    """The memory store honors the same policy surface (T6 parity)."""
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows(
+        [("m", {"x": "1"}, START, 1.0), ("m", {"x": "1"}, START, 2.0)],
+        dedup_points=True,
+    )
+    db.insert_rows(
+        [("m", {"x": "1"}, START, 50.0)], dedup_points=True, dedup_against_store=True
+    )
+    rows = [(r.ts, r.value) for r in db.query_range_rows("m", [], 0, 10**10).collect()]
+    assert rows == [(START, 2.0)]
+    db.store.close()
+
+
+# ---------------------------------------------------- hot-segment write split
+def test_max_rows_per_segment_fans_out_hot_segment(spark, tmp_path_factory):
+    """A pathological hot window must not serialize into one writer task /
+    one unsplittable file (reference WithMaxRowsPerSegment, tsdb.go:99-105):
+    with a row budget the segment's batch lands as multiple sorted files,
+    query results unchanged."""
+    from mandodb_spark.sources.segment_store import SegmentStore
+
+    path = str(tmp_path_factory.mktemp("store") / "hot")
+    store = SegmentStore(spark, path, max_rows_per_segment=100)
+    rows = [
+        ("m", {"x": str(i % 7)}, START + (i % 3600), float(i)) for i in range(400)
+    ]
+    store.insert_pylist(rows)
+    seg_dirs = list(Path(path).glob("seg=*"))
+    assert len(seg_dirs) == 1  # all rows in one hot 2h segment
+    files = list(seg_dirs[0].glob("*.parquet"))
+    assert len(files) >= 4  # ceil(400/100) writer tasks
+    got = sorted(r.value for r in store.relation().collect())
+    assert got == sorted(float(i) for i in range(400))
+    # a cold batch under the budget keeps the one-file-per-batch invariant
+    store.insert_pylist([("m", {"x": "1"}, START + 7200 + i, 0.0) for i in range(10)])
+    cold = list(Path(path).glob(f"seg={START // 7200 + 1}/*.parquet"))
+    assert len(cold) == 1

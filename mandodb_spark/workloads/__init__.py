@@ -38,104 +38,33 @@ _ALL_ORACLES = {
     **streaming_q.ORACLES,
 }
 
-# Registry order matters: the correctness driver verifies the first N entries
-# (N=50), so rotation policy per VERDICT r4 §Next-round #3.  The round-5
-# window, exactly 50 slots:
-#   * the 23 queries red in CORRECTNESS_r04 (the events-loader schema break,
-#     fixed this round) — every one must show a green current-round row;
-#   * the 11 round-3 queries that have NEVER had a driver row (they sat
-#     after slot 50 for two consecutive rounds);
-#   * the 11 events_* and 3 stream_*_dual queries — green in r2 but built
-#     on the rewritten events loader, so "green on the old loader" is stale;
-#   * docs_simhash_neardup + docs_minhash_pairs, whose implementations
-#     change this round (fingerprint materialization / perf work).
-# TPC-H and the core docs queries were green in r4 with code unchanged —
-# they rotate out and remain registered after slot 50.
-_PRIORITY = [
-    # -- red in r4; loader fixed this round --
-    "tsdb_range_rows",
-    "tsdb_downsample",
-    "tsdb_eq_match",
-    "tsdb_regex_match",
-    "tsdb_conjunction",
-    "tsdb_series_agg",
-    "tsdb_distinct_series",
-    "tsdb_label_values",
-    "tsdb_bucket_stats",
-    "tsdb_retention",
-    "tsdb_latest_point",
-    "tsdb_rate",
-    "tsdb_regex_via_dim",
-    "tsdb_label_dim",
-    "tsdb_gapfill",
-    "promql_increase",
-    "promql_rate",
-    "promql_avg_over_time",
-    "promql_sum_by_metric",
-    "promql_quantile_over_time",
-    "promql_resets",
-    "promql_topk",
-    "promql_changes",
-    # -- never driver-verified (added round 3) --
-    "promql_binop_on",
-    "promql_binop_group_left",
-    "promql_vector_unless",
-    "promql_subquery_max_rate",
-    "emb_knn_join",
-    "docs_token_entropy",
-    "docs_neardup_clusters",
-    "emb_neardup_clusters",
-    "docs_curation_full",
-    "tsdb_label_cardinality",
-    "tsdb_anomaly_zscore",
-    # -- downstream of the rewritten events loader --
-    "events_sessionize",
-    "events_funnel",
-    "events_retention_cohorts",
-    "events_sql_surface",
-    "events_set_ops",
-    "events_error_window_join",
-    "events_hourly",
-    "events_asof_click",
-    "events_user_cardinality_approx",
-    "stream_tumbling_dual",
-    "stream_sliding_dual",
-    "stream_session_dual",
-    # -- implementation changes this round --
-    "docs_simhash_neardup",
-    "docs_minhash_pairs",
-    # -- new in round 5 (must get a first driver row immediately — the
-    #    round-3 queries sat outside the window for two rounds) --
-    "docs_unigram_ce",
-    "docs_vocab",
-    # ---- slot 50 boundary ----
-    # events_pivot / events_topk_users rotate just outside: green in r2,
-    # same rewritten-loader claim as the events_* above but the two
-    # lowest-risk members of that family (pure pivot/topk over the
-    # contract-tested loader output).
-    "events_pivot",
-    "events_topk_users",
-]
+# Registry order matters: the correctness driver verifies the first N
+# entries (N=50).  From round 6 the window follows the pinned 3-round
+# rotation schedule in ``rotation.py`` (CYCLE partitions the 150-query
+# registry; tests/test_rotation.py fails when a new round starts and this
+# list hasn't been rotated, or when a query is added without rebalancing
+# the plan).  This round (6): the 42 never-driver-verified queries (41
+# added mid-round-5 + tsdb_ingest_dedup added this round) + the 8
+# round-2-stale queries over the similarity/multimodal code families that
+# churn this round.  Round 7 next: remaining round-2-stale + all TPC-H
+# (newest rows r4).  Round 8: the round-5 window verbatim.
+# The window AUTO-ADVANCES: the current round is inferred from the
+# CORRECTNESS_r*.json files the driver leaves at the repo root, so when a
+# new round starts the registry reorders itself to that round's planned
+# window — the manual-rotation failure mode (rounds 3-5 each left 11-41
+# queries stranded past slot 50) is gone.  Fallback to the anchor window
+# if the round can't be inferred (files missing): the import must never
+# fail the driver contract.
+from . import rotation as _rotation
 
-# Round-6 rotation note (staleness rule: no registered query goes two
-# rounds without a driver row).  The following were added mid-round-5,
-# AFTER the 50-slot window above was frozen, and MUST occupy first-50
-# slots next round; every one is oracle-green locally at sf0.01 AND
-# sf0.1 (tools/oracle_check.py):
-#   emb_pq_error, emb_pq_adc_topk, docs_pack_plan, docs_mixture_plan,
-#   emb_semdedup, docs_training_shards, stream_join_dual,
-#   promql_holt_winters, promql_absent, docs_chunk_plan,
-#   promql_label_math, promql_delta_offset, promql_idelta,
-#   emb_ivfpq_topk, tsdb_series_agg_salted, docs_mixture_epochs,
-#   events_top_paths, tpch_profile_lineitem, docs_quality_outliers,
-#   tsdb_export_lineprotocol, docs_incremental_neardup, docs_pii_scrub,
-#   docs_lang_confusion, emb_matryoshka_error, docs_pack_nosplit,
-#   docs_lsh_recall, docs_dup_stats, events_gap_stats, docs_bloom_gate,
-#   docs_shuffle_plan, stream_enrich_dual, docs_source_cap,
-#   docs_gopher_gate, tsdb_hist_quantile, mm_audio_rms, tpch_q2,
-#   tpch_q11, tpch_q20, tsdb_lineprotocol_roundtrip, docs_span_dedup,
-#   tsdb_series_cardinality_sketch.
-# That is 34 of 50 slots; fill the rest with the oldest-green queries.
+try:
+    _PRIORITY = list(
+        _rotation.planned_window(
+            max(_rotation.current_round(), _rotation.ANCHOR_ROUND)
+        )
+    )
+except Exception:
+    _PRIORITY = list(_rotation.CYCLE[_rotation.ANCHOR_ROUND])
 
 assert set(_PRIORITY) <= set(_ALL_QUERIES), sorted(set(_PRIORITY) - set(_ALL_QUERIES))
 

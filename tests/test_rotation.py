@@ -1,0 +1,81 @@
+"""Rotation-schedule invariants (VERDICT r5 item 2): the 3-round window
+cycle must partition the registry, the live driver window must follow the
+plan for the round in progress, and the staleness debt must clear on
+schedule.  No Spark session needed — pure registry/metadata checks."""
+
+from __future__ import annotations
+
+from mandodb_spark.workloads import _PRIORITY, ORACLES, QUERIES
+from mandodb_spark.workloads import rotation
+
+
+def test_cycle_partitions_registry():
+    """Every registered query sits in exactly one window of the cycle —
+    guarantees every query gets a driver row within any 3 consecutive
+    rounds, and caps the registry at CYCLE_ROUNDS * WINDOW_SIZE (adding a
+    query without rebalancing the plan fails here, loudly)."""
+    windows = [set(w) for w in rotation.CYCLE.values()]
+    union: set[str] = set()
+    for w in windows:
+        assert not (w & union), f"query in two windows: {sorted(w & union)}"
+        union |= w
+    assert union == set(QUERIES), (
+        f"plan != registry; unplanned={sorted(set(QUERIES) - union)} "
+        f"ghost={sorted(union - set(QUERIES))}"
+    )
+    for rnd, w in rotation.CYCLE.items():
+        assert len(w) == len(set(w)) <= rotation.WINDOW_SIZE, f"round {rnd} window"
+
+
+def test_live_window_matches_plan_for_current_round():
+    """The first WINDOW_SIZE registry entries must be exactly the planned
+    window of the round in progress — when a new round starts (a fresh
+    CORRECTNESS file appears) and the registry doesn't advance, this
+    fails the suite."""
+    rnd = max(rotation.current_round(), rotation.ANCHOR_ROUND)
+    planned = set(rotation.planned_window(rnd))
+    live = list(QUERIES)[: rotation.WINDOW_SIZE]
+    assert len(live) == min(rotation.WINDOW_SIZE, len(QUERIES))
+    assert set(live) == planned, (
+        f"round {rnd}: live window drifted from plan; "
+        f"missing={sorted(planned - set(live))} extra={sorted(set(live) - planned)}"
+    )
+    assert set(_PRIORITY) == planned
+
+
+def test_staleness_debt_clears_on_schedule():
+    """Forward-looking ratchet over the RECORDED window history: by the
+    end of the current round, no registered query's newest driver-window
+    appearance may be older than the cycle length — except queries whose
+    turn the plan schedules within the remaining current cycle (the
+    pre-round-6 debt, which the partition test proves is paid by round 8).
+    """
+    hist = rotation.window_history()
+    assert hist, "driver correctness files missing at repo root"
+    rnd = max(rotation.current_round(), rotation.ANCHOR_ROUND)
+    last_seen: dict[str, int] = {}
+    for r in sorted(hist):
+        for q in hist[r]:
+            last_seen[q] = r
+    for q in QUERIES:
+        seen = last_seen.get(q, 0)
+        if rnd - seen <= rotation.CYCLE_ROUNDS:
+            continue  # within tolerance
+        # overdue: must be scheduled in the current or next window(s) of
+        # this cycle — i.e. appear in a planned round r with seen < r <=
+        # rnd + (how far the plan may defer it without exceeding the
+        # cycle from ITS OWN planned slot)
+        planned_round = next(
+            r for r in range(rnd, rnd + rotation.CYCLE_ROUNDS)
+            if q in set(rotation.planned_window(r))
+        )
+        assert planned_round <= rotation.ANCHOR_ROUND + rotation.CYCLE_ROUNDS - 1, (
+            f"{q}: last driver window r{seen}, not scheduled before the "
+            f"anchor cycle ends"
+        )
+
+
+def test_every_registered_query_is_oracle_paired():
+    """The registry contract: every queries() entry has an oracle_sql()
+    entry (the driver records a weaker rows-only check otherwise)."""
+    assert set(QUERIES) == set(ORACLES)

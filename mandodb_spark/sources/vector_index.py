@@ -15,7 +15,9 @@ Mirrors the :class:`SegmentStore` design (time partitions → cell
 partitions, rollup maintenance → index maintenance):
 
 - ``build`` — one full pass: assign (Arrow-batched matmul, shuffle-free)
-  → repartition(cell) → one file per cell partition.
+  → repartition(cell) → one file per cell partition; the assignment
+  quality (mean max-cosine, the IVF quantization error proxy) is recorded
+  in a one-row ``meta`` table as the build-time baseline.
 - ``append`` — incremental batch: assign ONLY the new rows against the
   frozen codebook, append into their cell partitions.  Works as-is under
   ``foreachBatch`` for streaming index maintenance; new files per
@@ -24,6 +26,16 @@ partitions, rollup maintenance → index maintenance):
 - ``topk`` — probe-cell selection is O(cells) driver-side numpy on the
   cached codebook (the codebook is small by design — same contract as
   ivf_assign's collect), then a pruned scan + exact cosine inside.
+  Single-probe convenience; a BATCH of queries should go through
+  ``operators.similarity.knn_join`` (cell-bucketed join), not a topk loop.
+- ``drift`` / ``rebuild`` — index lifecycle (VERDICT r5 item 6): every
+  stored row carries its assignment cosine (``csim``), so distribution
+  drift is a column-pruned AVG against the recorded build-time mean; when
+  the drop crosses the threshold, ``rebuild`` re-trains the codebook
+  (k-means, the ``ivf_cells_kmeans`` path) over the CURRENT rows and
+  rewrites the cells through a staging root + atomic-ish swap
+  (:func:`segment_store.swap_in` — crash leaves the old index
+  recoverable, a concurrent probe sees a consistent snapshot).
 """
 
 from __future__ import annotations
@@ -51,55 +63,103 @@ class VectorIndex:
     def _codebook(self) -> str:
         return f"{self.root}/codebook"
 
+    @property
+    def _meta(self) -> str:
+        return f"{self.root}/meta"
+
     # ------------------------------------------------------------- build
-    def _assigned_rows(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-        """``(vec_id, vec, cell)`` in ONE Arrow pass: same vectorized
+    @staticmethod
+    def _assign(df: DataFrame, id_col: str, vec_col: str, cb) -> DataFrame:
+        """``(vec_id, vec, csim, cell)`` in ONE Arrow pass: same vectorized
         argmax-cosine as ``ivf_assign`` (identical rounding and tie rule),
-        but the vector rides along in the batch output, so there is no
-        join-back shuffle — the partitioned write's repartition(cell) is
-        the only exchange in build/append."""
+        but the vector AND its assignment cosine ride along in the batch
+        output, so there is no join-back shuffle — the partitioned write's
+        repartition(cell) is the only exchange in build/append.  ``cb`` is
+        the collected codebook rows (O(cells) by design).
+
+        Zero-norm vectors are rejected loudly (ADVICE r5): cosine against
+        them is NaN and argmax would silently dump every one into cell 0.
+        """
         import numpy as np
         import pandas as pd
 
-        cb = self.centroids().orderBy("cell").collect()  # O(cells) by design
+        if not cb:
+            raise ValueError("empty codebook: build centroids before assigning")
         cells = np.array([r.cell for r in cb], dtype="int64")
         M = np.stack([np.asarray(r.cvec, dtype="float64") for r in cb])
         cnorm = np.sqrt((M * M).sum(axis=1))
+        if np.any(cnorm == 0):
+            raise ValueError("zero-norm centroid in codebook")
 
         def batches(it):
             for pdf in it:
+                if len(pdf) == 0:
+                    continue
                 V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
                 vnorm = np.sqrt((V * V).sum(axis=1))
+                if np.any(vnorm == 0):
+                    bad = pdf[id_col].to_numpy()[vnorm == 0][:5]
+                    raise ValueError(
+                        f"zero-norm vector(s) (ids {list(bad)}…): cosine "
+                        "assignment is undefined — drop or re-embed them"
+                    )
                 sims = np.round((V @ M.T) / np.outer(vnorm, cnorm), 6)
+                best = np.argmax(sims, axis=1)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf[id_col].to_numpy(),
                         "vec": pdf[vec_col],
-                        "cell": cells[np.argmax(sims, axis=1)],
+                        "csim": sims[np.arange(len(best)), best],
+                        "cell": cells[best],
                     }
                 )
 
         vec_type = dict(df.dtypes)[vec_col]
         return df.select(id_col, vec_col).mapInPandas(
-            batches, f"vec_id long, vec {vec_type}, cell long"
+            batches, f"vec_id long, vec {vec_type}, csim double, cell long"
         )
 
-    def _write(self, rows: DataFrame, mode: str) -> None:
+    @staticmethod
+    def _write_rows(rows: DataFrame, data_root: str, mode: str) -> None:
         (
             rows.repartition(F.col("cell"))
             .write.option("compression", "zstd")
-            .partitionBy("cell").mode(mode).parquet(self._data)
+            .partitionBy("cell").mode(mode).parquet(data_root)
         )
+
+    def _write_meta(self, root: str, vec_dtype: str, n_cells: int,
+                    build_mean_csim: float | None) -> None:
+        self.spark.createDataFrame(
+            [(vec_dtype, n_cells, build_mean_csim)],
+            "vec_dtype string, n_cells long, build_mean_csim double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/meta")
+
+    def _build_at(self, root: str, df: DataFrame, id_col: str, vec_col: str,
+                  centroids: DataFrame) -> None:
+        """Write a complete index (codebook + data + meta) under ``root``."""
+        centroids.coalesce(1).write.mode("overwrite").parquet(f"{root}/codebook")
+        cb = centroids.orderBy("cell").collect()
+        vec_dtype = dict(df.dtypes)[vec_col]
+        if df.isEmpty():
+            # short-circuit (ADVICE r5): an empty build writes no data
+            # files; relation() reconstructs the empty shape from meta
+            self._write_meta(root, vec_dtype, len(cb), None)
+            return
+        self._write_rows(self._assign(df, id_col, vec_col, cb), f"{root}/data", "overwrite")
+        mean = (
+            self.spark.read.parquet(f"{root}/data").agg(F.avg("csim")).first()[0]
+        )
+        self._write_meta(root, vec_dtype, len(cb), mean)
 
     def build(self, df: DataFrame, id_col: str, vec_col: str,
               centroids: DataFrame) -> None:
         """Full (re)build: persist the codebook, assign every vector to its
         max-cosine cell, write ``cell=N`` partitions (one file per cell —
         the assign output is repartitioned on the partition column so each
-        cell lands in one task)."""
-        centroids.coalesce(1).write.mode("overwrite").parquet(self._codebook)
+        cell lands in one task), and record the build-time mean assignment
+        cosine as the drift baseline."""
+        self._build_at(self.root, df, id_col, vec_col, centroids)
         self._codebook_cache = None
-        self._write(self._assigned_rows(df, id_col, vec_col), "overwrite")
 
     def append(self, df: DataFrame, id_col: str, vec_col: str) -> None:
         """Incremental maintenance: assign ONLY the new batch against the
@@ -107,7 +167,8 @@ class VectorIndex:
         historical index is never re-read or re-shuffled — per-batch cost
         is O(batch), the Bloom-gate property applied to ANN.  Run inside
         ``foreachBatch`` for streaming index maintenance."""
-        self._write(self._assigned_rows(df, id_col, vec_col), "append")
+        cb = self.centroids().orderBy("cell").collect()
+        self._write_rows(self._assign(df, id_col, vec_col, cb), self._data, "append")
 
     def compact(self) -> None:
         """Rewrite each cell partition into one file, restoring the
@@ -133,13 +194,69 @@ class VectorIndex:
         )
         swap_in(self._data, staging)
 
+    # --------------------------------------------------------- lifecycle
+    def drift(self) -> dict:
+        """Measured codebook drift: the index-wide mean assignment cosine
+        (column-pruned AVG over the stored ``csim``) vs the build-time
+        baseline.  A distribution shift in appended vectors shows up as a
+        drop — vectors land far from every frozen centroid."""
+        meta = self.spark.read.parquet(self._meta).first()
+        cur = self.relation().agg(F.avg("csim")).first()[0]
+        base = meta.build_mean_csim
+        drop = None if (base is None or cur is None) else float(base - cur)
+        return {
+            "build_mean_csim": base,
+            "current_mean_csim": cur,
+            "drop": drop,
+        }
+
+    def needs_rebuild(self, max_drop: float = 0.05) -> bool:
+        """Drift trigger: re-cluster when the mean assignment cosine has
+        dropped more than ``max_drop`` below the build-time baseline."""
+        d = self.drift()["drop"]
+        return d is not None and d > max_drop
+
+    def rebuild(self, n_cells: int | None = None, seed: int = 42,
+                max_iter: int = 20) -> None:
+        """Re-train the codebook on the CURRENT rows (k-means — the
+        ``ivf_cells_kmeans`` recall path) and rewrite every cell under a
+        staging root, then swap it in atomically-ish (codebook, data, and
+        meta move together, so a crash or a concurrent probe never sees a
+        new codebook over old cells or vice versa).  Resets the drift
+        baseline to the post-rebuild assignment quality."""
+        import shutil
+
+        from ..operators.similarity import ivf_cells_kmeans
+
+        from .segment_store import swap_in
+
+        meta = self.spark.read.parquet(self._meta).first()
+        n_cells = n_cells or meta.n_cells
+        rel = self.relation().select("vec_id", "vec")
+        cents = ivf_cells_kmeans(rel, "vec", n_cells, seed=seed, max_iter=max_iter)
+        staging = f"{self.root}__rebuild"
+        shutil.rmtree(staging, ignore_errors=True)
+        self._build_at(staging, rel, "vec_id", "vec", cents)
+        swap_in(self.root, staging)
+        self._codebook_cache = None
+
     # ------------------------------------------------------------- read
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self._codebook)
 
     def relation(self) -> DataFrame:
-        """The indexed rows with their partition-derived cell column."""
-        return self.spark.read.parquet(self._data)
+        """The indexed rows with their partition-derived cell column.
+        An index built empty (streaming bootstrap) has no data files yet —
+        reconstruct the empty relation from the recorded meta schema."""
+        if Path(self._data).exists():
+            try:
+                return self.spark.read.parquet(self._data)
+            except Exception:
+                pass
+        meta = self.spark.read.parquet(self._meta).first()
+        return self.spark.createDataFrame(
+            [], f"vec_id long, vec {meta.vec_dtype}, csim double, cell long"
+        )
 
     def exists(self) -> bool:
         return Path(self._codebook).exists()
@@ -167,7 +284,9 @@ class VectorIndex:
         cells driver-side, scan ONLY those partitions (``cell IN (...)``
         is a partition filter — the pruned scan is the point of the
         index), exact cosine inside.  ``query``: 1-row DataFrame with
-        column ``qe``."""
+        column ``qe``.  For a BATCH of queries use
+        ``operators.similarity.knn_join`` over ``relation()`` instead of
+        looping this method."""
         from ..operators.similarity import cosine_topk
 
         qvec = query.select("qe").first()[0]

@@ -483,7 +483,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25, stats: dict | None = None) -> DataFrame:
     """Transitive near-dup clusters from a pair list: (id, cluster_id)
     with cluster_id = the minimum id reachable through the pair graph —
     the stage after pair generation in every dedup pipeline (A~B and B~C
@@ -519,7 +519,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
 
     Raises after ``max_iter`` rounds without convergence (a pathological
     graph should be loud, not silently half-merged).
+
+    ``stats``: optional dict populated with ``rounds`` (join+agg rounds
+    executed, including the final no-change round) and per-round wall
+    seconds — the cost-floor instrumentation behind SCALE.md's CC section.
     """
+    import time as _time
+
     spark = pairs.sparkSession
 
     def _ckpt(df: DataFrame) -> tuple[DataFrame, list[int]]:
@@ -552,8 +558,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         "cluster_id", F.col("id")
     )
     held: list[int] = []
+    round_secs: list[float] = []
     try:
         for _ in range(max_iter):
+            _t0 = _time.monotonic()
             neighbor_min = (
                 edges.join(labels, edges.dst == labels.id)
                 .groupBy("src")
@@ -573,6 +581,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
             _release(held)
             held = round_ids
             labels = updated.drop("__changed")
+            round_secs.append(_time.monotonic() - _t0)
+            if stats is not None:
+                stats["rounds"] = len(round_secs)
+                stats["round_secs"] = round_secs
             if changed == 0:
                 return labels
         raise RuntimeError(

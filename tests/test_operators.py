@@ -1090,6 +1090,13 @@ def test_connected_components_transitive_clusters(spark):
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iter=2)
     assert {r.cluster_id for r in dedup.connected_components(chain).collect()} == {0}
+    # stats instrumentation (SCALE.md CC cost-floor section): a diameter-1
+    # pair graph converges in exactly 2 rounds — 1 propagation + 1
+    # no-change confirmation, the floor of any convergence-detecting loop
+    stats = {}
+    two = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    dedup.connected_components(two, stats=stats).collect()
+    assert stats["rounds"] == 2 and len(stats["round_secs"]) == 2
 
 
 def test_hyperplane_bucket_arrow_parity(spark):

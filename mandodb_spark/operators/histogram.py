@@ -115,15 +115,12 @@ def materialize(
             rel = rel.filter(F.col("seg") >= w)
             use_dynamic = True
     hist = value_histogram(rel, bounds)
-    dpo = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if use_dynamic:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            hist.repartition(F.col("seg"))
-            .write.option("compression", "zstd")
-            .partitionBy("seg").mode("overwrite").parquet(dest)
-        )
-    finally:
-        if use_dynamic:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", dpo)
+    # per-WRITE overwrite mode (ADVICE r5): mutating the session conf
+    # around the write leaks dynamic mode into any concurrent writer in
+    # the same session; the DataFrameWriter option scopes it to this job
+    (
+        hist.repartition(F.col("seg"))
+        .write.option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic" if use_dynamic else "static")
+        .partitionBy("seg").mode("overwrite").parquet(dest)
+    )

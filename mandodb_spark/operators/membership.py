@@ -37,6 +37,14 @@ BLOOM_K = 3
 #: Bits stored per BIGINT word (32, not 64: keeps every mask positive).
 WORD_BITS = 32
 
+#: Reserved word id carrying the filter geometry (never probed: real word
+#: ids are ``p DIV 32 >= 0``).  bits = (m_bits << 8) | k.
+GEOMETRY_WORD = -1
+
+
+def _geometry_bits(m_bits: int, k: int) -> int:
+    return (m_bits << 8) | k
+
 
 def _position_sql(key_sql: str, i: int, m_bits: int) -> str:
     """SQL text for hash-``i``'s bit position of ``key_sql`` (Spark dialect).
@@ -63,12 +71,19 @@ def bloom_build(
     NULL keys are excluded (a NULL occupies no bits, and the probe side
     defines might_contain(NULL) = false) — this also keeps the DuckDB
     mirror exact, whose ``concat`` would otherwise skip the NULL and hash
-    the bare salt."""
+    the bare salt.
+
+    The output carries one reserved ``GEOMETRY_WORD`` row encoding
+    ``(m_bits, k)`` (ADVICE r5): the geometry travels WITH the filter, so
+    a probe called with mismatched parameters fails loudly instead of
+    silently producing false negatives — the one failure mode a Bloom
+    gate must never have.  Real word ids are non-negative, so the row can
+    never satisfy a probe join."""
     keyed = df.select(key.cast("string").alias("__key")).filter(
         F.col("__key").isNotNull()
     )
     pos = ", ".join(_position_sql("__key", i, m_bits) for i in range(k))
-    return (
+    words = (
         keyed.selectExpr(f"explode(array({pos})) AS p")
         .groupBy(F.expr(f"p DIV {WORD_BITS}").alias("word"))
         .agg(
@@ -77,6 +92,10 @@ def bloom_build(
             ).alias("bits")
         )
     )
+    geometry = df.sparkSession.createDataFrame(
+        [(GEOMETRY_WORD, _geometry_bits(m_bits, k))], "word long, bits long"
+    )
+    return words.unionByName(geometry)
 
 
 def bloom_flag(
@@ -94,7 +113,22 @@ def bloom_flag(
     false).  A NULL key flags false (its positions are NULL, so every
     join misses — matching the build side's NULL exclusion).  No false
     negatives by construction; false positives at the (1-exp(-kn/m))^k
-    floor."""
+    floor.
+
+    Geometry validation (ADVICE r5): if ``bloom`` carries the
+    ``GEOMETRY_WORD`` row :func:`bloom_build` writes, the probe's
+    ``(m_bits, k)`` must match it — a mismatch raises here instead of
+    silently hashing into the wrong positions (false negatives).  A
+    filter without the row (externally built) probes unvalidated."""
+    geo = bloom.filter(F.col("word") == GEOMETRY_WORD).select("bits").first()
+    if geo is not None and geo[0] != _geometry_bits(m_bits, k):
+        built_m, built_k = geo[0] >> 8, geo[0] & 0xFF
+        raise ValueError(
+            f"bloom geometry mismatch: filter built with m_bits={built_m}, "
+            f"k={built_k}; probe called with m_bits={m_bits}, k={k} — a "
+            "mismatched probe silently false-negatives, refusing"
+        )
+    bloom = bloom.filter(F.col("word") >= 0)
     out = df.withColumn("__key", key.cast("string"))
     tests = []
     for i in range(k):

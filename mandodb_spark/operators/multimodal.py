@@ -692,12 +692,30 @@ def with_wav_payload(df: DataFrame, id_col: str, text_col: str,
         for pdf in it:
             payloads = []
             for text in pdf[text_col]:
+                # ADVICE r5 guard: the character-level oracle (ascii(ch)
+                # - 128) only equals the byte-level decode for ASCII
+                # text, and a NULL must be zero frames, not the four
+                # bytes of "None".  Future testdata drift to non-ASCII
+                # fails HERE, loudly, instead of silently diverging
+                # n_samples/rms between engines.
+                if text is None:
+                    frames = b""
+                else:
+                    s = str(text)
+                    if not s.isascii():
+                        raise ValueError(
+                            "with_wav_payload: non-ASCII text breaks the "
+                            "sample==byte==character parity the audio "
+                            "oracle relies on — pre-filter to ASCII or "
+                            "re-derive the oracle over UTF-8 bytes"
+                        )
+                    frames = s.encode("ascii")
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:
                     w.setnchannels(1)
                     w.setsampwidth(1)
                     w.setframerate(sample_rate)
-                    w.writeframes(str(text).encode("utf-8"))
+                    w.writeframes(frames)
                 payloads.append(buf.getvalue())
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "payload": payloads}

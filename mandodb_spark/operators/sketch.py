@@ -121,18 +121,14 @@ def cardinality_materialize(spark, rel: DataFrame, dest: str,
             rel = rel.filter(F.col("seg") >= w)
             use_dynamic = True
     sk = series_cardinality_sketch(rel)
-    dpo = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if use_dynamic:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            sk.repartition(F.col("seg"))
-            .write.option("compression", "zstd")
-            .partitionBy("seg").mode("overwrite").parquet(dest)
-        )
-    finally:
-        if use_dynamic:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", dpo)
+    # per-WRITE overwrite mode (ADVICE r5): scoped to this job, no
+    # session-conf mutation a concurrent writer could inherit
+    (
+        sk.repartition(F.col("seg"))
+        .write.option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic" if use_dynamic else "static")
+        .partitionBy("seg").mode("overwrite").parquet(dest)
+    )
 
 
 def cardinality_estimate(spark, dest: str, start_seg: int, end_seg: int) -> DataFrame:

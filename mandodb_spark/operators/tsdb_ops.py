@@ -140,20 +140,17 @@ def materialize_rollup(spark, rel: DataFrame, dest: str, step: int = 21600,
         )
         .withColumn("seg", (F.col("bucket_ts") / segment_duration).cast("long"))
     )
-    dpo = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    if use_dynamic:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            rollup.repartition(F.col("seg"))
-            .sortWithinPartitions("series_key", "bucket_ts")
-            .write.option("compression", "zstd")
-            .partitionBy("seg")
-            .mode("overwrite")
-            .parquet(dest)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", dpo)
+    # per-WRITE overwrite mode (ADVICE r5): scoped to this job, no
+    # session-conf mutation a concurrent writer could inherit
+    (
+        rollup.repartition(F.col("seg"))
+        .sortWithinPartitions("series_key", "bucket_ts")
+        .write.option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic" if use_dynamic else "static")
+        .partitionBy("seg")
+        .mode("overwrite")
+        .parquet(dest)
+    )
 
 
 def _filtered(

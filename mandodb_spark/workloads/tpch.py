@@ -993,10 +993,17 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,4)").alias("val"),
     )
     per_part = national.groupBy("l_partkey").agg(F.sum("val").alias("value"))
-    threshold = per_part.agg((F.avg("value") * 2).alias("thr"))
+    # ADVICE r5: DuckDB's avg over DECIMAL returns DOUBLE, so the inclusion
+    # threshold must be compared at the SAME precision on both sides —
+    # cast the exact per-part sum and the doubled mean to DOUBLE here,
+    # mirroring the oracle's CAST, or a value within double-epsilon of
+    # exactly twice the mean could flip inclusion between engines.
+    threshold = per_part.agg(
+        (F.avg(F.col("value").cast("double")) * 2).alias("thr")
+    )
     return (
         per_part.join(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("thr"))
+        .filter(F.col("value").cast("double") > F.col("thr"))
         .select(
             "l_partkey",
             F.round(F.col("value").cast("double"), 2).alias("value"),
@@ -1020,7 +1027,7 @@ per_part AS (
 )
 SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS value
 FROM per_part
-WHERE value > (SELECT avg(value) * 2 FROM per_part)
+WHERE CAST(value AS DOUBLE) > (SELECT avg(CAST(value AS DOUBLE)) * 2 FROM per_part)
 """
 
 

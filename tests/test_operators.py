@@ -1603,3 +1603,42 @@ def test_span_dedup_first_occurrence_wins_and_rebuilds_in_order(spark):
     assert out[2].new_text == "x y z w v"
     assert (out[3].n_spans, out[3].kept_spans, out[3].new_text) == (2, 0, "")
     assert (out[4].n_spans, out[4].kept_spans, out[4].new_text) == (1, 1, "q r s")
+
+
+def test_bloom_geometry_travels_with_filter(spark):
+    """ADVICE r5: the filter carries its (m_bits, k) geometry; probing with
+    mismatched parameters raises instead of silently false-negativing."""
+    import pytest as _pytest
+
+    from mandodb_spark.operators import membership
+
+    hist = spark.createDataFrame([(f"k{i}",) for i in range(20)], "key string")
+    bloom = membership.bloom_build(hist, F.col("key"), m_bits=1 << 12)
+    # matching probe works and finds every built key (no false negatives)
+    out = membership.bloom_flag(hist, F.col("key"), bloom, m_bits=1 << 12)
+    assert all(r.might_contain for r in out.collect())
+    # mismatched m_bits refuses loudly
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        membership.bloom_flag(hist, F.col("key"), bloom, m_bits=1 << 13)
+    # mismatched k refuses loudly
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        membership.bloom_flag(hist, F.col("key"), bloom, m_bits=1 << 12, k=5)
+
+
+def test_wav_payload_null_and_nonascii_guards(spark):
+    """ADVICE r5: NULL text synthesizes a zero-frame WAV (not the bytes of
+    'None'); non-ASCII text fails loudly instead of silently diverging
+    from the character-level oracle."""
+    import pytest as _pytest
+
+    rows = spark.createDataFrame(
+        [(1, "abc"), (2, None)], "doc_id long, text string"
+    )
+    wavs = multimodal.with_wav_payload(rows, "doc_id", "text")
+    out = {r.doc_id: r for r in
+           multimodal.audio_stats(wavs, "doc_id", "payload").collect()}
+    assert out[1].n_samples == 3
+    assert out[2].n_samples == 0 and out[2].rms == 0.0
+    bad = spark.createDataFrame([(3, "héllo")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="non-ASCII"):
+        multimodal.with_wav_payload(bad, "doc_id", "text").collect()

@@ -546,16 +546,24 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
 MAX_FRAMES = 8
 
 
-def _parse_avi(payload: bytes) -> tuple[int, int, int, int, list[tuple[int, int]]]:
+def _parse_avi(
+    payload: bytes,
+) -> tuple[int, int, int, int, list[tuple[int, int]], list[bool]]:
     """Real video-container parse: AVI (RIFF) chunk walk, stdlib-only.
 
     Returns ``(width, height, total_frames, us_per_frame,
-    [(offset, size) per stream-0 video frame])`` — the container-level
-    work an ffmpeg-less frame sampler can do for real: locate each
-    frame's byte range without decoding its codec payload.  Layout per
-    the RIFF spec: ``RIFF <sz> AVI LIST hdrl [avih ...] ... LIST movi
-    [00dc/00db frame chunks]``; chunks are word-aligned (odd sizes pad
-    one byte).
+    [(offset, size) per stream-0 video frame], [is_keyframe per frame])``
+    — the container-level work an ffmpeg-less frame sampler can do for
+    real: locate each frame's byte range without decoding its codec
+    payload.  Layout per the RIFF spec: ``RIFF <sz> AVI LIST hdrl
+    [avih ...] ... LIST movi [00dc/00db frame chunks] [idx1 index]``;
+    chunks are word-aligned (odd sizes pad one byte).
+
+    Keyframe resolution (round 6): the optional ``idx1`` index carries
+    AVIIF_KEYFRAME (0x10) per entry — when present, its flags (matched to
+    the stream-0 video frames in order) are authoritative; without an
+    index, uncompressed ``00db`` chunks are keyframes by definition and
+    compressed ``00dc`` chunks are not assumed to be.
     """
     import struct
 
@@ -563,6 +571,8 @@ def _parse_avi(payload: bytes) -> tuple[int, int, int, int, list[tuple[int, int]
         raise ValueError("not an AVI (RIFF/'AVI ') payload")
     width = height = total = uspf = 0
     frames: list[tuple[int, int]] = []
+    chunk_key: list[bool] = []  # fallback: 00db ⇒ keyframe
+    idx1_key: list[bool] = []
 
     def walk(start: int, end: int) -> None:
         nonlocal width, height, total, uspf
@@ -580,16 +590,25 @@ def _parse_avi(payload: bytes) -> tuple[int, int, int, int, list[tuple[int, int]
                 width, height = struct.unpack("<II", payload[body + 32 : body + 40])
             elif fourcc in (b"00dc", b"00db"):  # stream-0 compressed/raw video
                 frames.append((body, size))
+                chunk_key.append(fourcc == b"00db")
+            elif fourcc == b"idx1":
+                for e in range(body, body + size - 15, 16):
+                    ckid = payload[e : e + 4]
+                    if ckid in (b"00dc", b"00db"):
+                        (flags,) = struct.unpack("<I", payload[e + 4 : e + 8])
+                        idx1_key.append(bool(flags & 0x10))  # AVIIF_KEYFRAME
             pos = body + size + (size & 1)  # word alignment
 
     walk(12, len(payload))
     if not frames:
         raise ValueError("AVI contains no stream-0 video frames")
-    return width, height, total or len(frames), uspf, frames
+    keyframes = idx1_key if len(idx1_key) == len(frames) else chunk_key
+    return width, height, total or len(frames), uspf, frames, keyframes
 
 
 def sample_frames(df: DataFrame, id_col: str, payload_col: str,
-                  max_frames: int = MAX_FRAMES) -> DataFrame:
+                  max_frames: int = MAX_FRAMES,
+                  keyframes_only: bool = False) -> DataFrame:
     """Frame sampling over a binary "video" column: one output row per
     sampled frame — the one-to-many mapInPandas shape (explode inside the
     Arrow batch, so a 4 GB video partition never materializes all frames
@@ -604,6 +623,15 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str,
     deterministic stub — the payload "contains" ``len//100 + 1`` frames,
     frame i's hash is md5(md5(payload) + ':' + i) — which is what the
     DuckDB oracle mirrors over the text-bytes testdata.
+
+    ``keyframes_only=True`` (round 6): restrict the AVI path to
+    container-flagged keyframes (idx1 AVIIF_KEYFRAME, or intrinsic 00db
+    chunks — see :func:`_parse_avi`) BEFORE striding — the standard cheap
+    sampling mode for seekable preview/thumbnail pipelines, since
+    keyframes decode without reference frames.  An AVI whose container
+    carries no keyframe information raises loudly rather than silently
+    sampling delta frames; the non-AVI stub path is unaffected (stub
+    frames have no reference structure).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -612,9 +640,18 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str,
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    _w, _h, _total, _uspf, frames = _parse_avi(payload)
-                    stride = max(1, -(-len(frames) // max_frames))  # ceil
-                    for i in range(0, len(frames), stride):
+                    _w, _h, _total, _uspf, frames, keyfl = _parse_avi(payload)
+                    pick = list(range(len(frames)))
+                    if keyframes_only:
+                        pick = [i for i in pick if keyfl[i]]
+                        if not pick:
+                            raise ValueError(
+                                "keyframes_only: AVI carries no keyframe-"
+                                "flagged frames (no idx1 flags, no 00db "
+                                "chunks) — cannot sample safely"
+                            )
+                    stride = max(1, -(-len(pick) // max_frames))  # ceil
+                    for i in pick[::stride]:
                         off, size = frames[i]
                         ids.append(int(doc_id))
                         idxs.append(i)
@@ -655,7 +692,7 @@ def video_stats(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    w, h, total, uspf, frames = _parse_avi(bytes(payload))
+                    w, h, total, uspf, frames, _key = _parse_avi(bytes(payload))
                     fps = 1e6 / uspf if uspf else 0.0
                     dur = total / fps if fps else 0.0
                     rows.append((int(doc_id), w, h, total, fps, dur, None))

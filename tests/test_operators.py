@@ -649,8 +649,10 @@ def test_jpeg_unsupported_variants_raise():
         _decode_jpeg(bytes(prog))
 
 
-def _encode_avi(width, height, us_per_frame, frame_payloads):
-    """Minimal RIFF/AVI: hdrl with a real avih, movi with 00dc chunks."""
+def _encode_avi(width, height, us_per_frame, frame_payloads, keyframes=None):
+    """Minimal RIFF/AVI: hdrl with a real avih, movi with 00dc chunks;
+    optional idx1 index flagging ``keyframes`` (list of frame indices)
+    with AVIIF_KEYFRAME."""
     import struct
 
     def chunk(fourcc, body):
@@ -664,7 +666,15 @@ def _encode_avi(width, height, us_per_frame, frame_payloads):
     ) + b"\x00" * 16
     hdrl = lst(b"hdrl", chunk(b"avih", avih))
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frame_payloads))
-    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+    idx1 = b""
+    if keyframes is not None:
+        entries = b"".join(
+            b"00dc"
+            + struct.pack("<III", 0x10 if i in keyframes else 0, 0, len(f))
+            for i, f in enumerate(frame_payloads)
+        )
+        idx1 = chunk(b"idx1", entries)
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
 
 
 def test_avi_container_real_frame_ranges(spark):
@@ -1642,3 +1652,52 @@ def test_wav_payload_null_and_nonascii_guards(spark):
     bad = spark.createDataFrame([(3, "héllo")], "doc_id long, text string")
     with _pytest.raises(Exception, match="non-ASCII"):
         multimodal.with_wav_payload(bad, "doc_id", "text").collect()
+
+
+def test_avi_keyframe_only_sampling(spark):
+    """Keyframe-only sampling (round 6): idx1 AVIIF_KEYFRAME flags select
+    the sampled frames; an AVI without keyframe information refuses
+    loudly; frame hashes stay true-byte-range hashes with the real
+    container frame indices."""
+    import hashlib as _hl
+
+    import pytest as _pytest
+
+    frames = [f"f-{i}".encode() + b"x" * i for i in range(10)]
+    keyed = _encode_avi(64, 48, 40_000, frames, keyframes={0, 4, 8})
+    unkeyed = _encode_avi(64, 48, 40_000, frames, keyframes=set())  # idx1, no keys
+    df = spark.createDataFrame(
+        [(1, bytearray(keyed))], "doc_id long, payload binary"
+    )
+    out = {(r.doc_id, r.frame_idx): r.frame_md5
+           for r in multimodal.sample_frames(df, "doc_id", "payload",
+                                             keyframes_only=True).collect()}
+    assert sorted(i for (_d, i) in out) == [0, 4, 8]
+    assert out[(1, 4)] == _hl.md5(frames[4]).hexdigest()
+    # without keyframes_only all 10 frames sample (cap 8 → stride 2)
+    allf = multimodal.sample_frames(df, "doc_id", "payload").collect()
+    assert sorted(r.frame_idx for r in allf) == [0, 2, 4, 6, 8]
+    # an AVI with an index but zero keyframes refuses loudly
+    df2 = spark.createDataFrame([(2, bytearray(unkeyed))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="no keyframe"):
+        multimodal.sample_frames(df2, "doc_id", "payload", keyframes_only=True).collect()
+
+
+def test_progressive_jpeg_degrades_to_error_row(spark):
+    """VERDICT r5 item 8: a progressive (SOF2) JPEG must surface as an
+    error ROW through the image_stats pipeline — the NotImplementedError
+    seam is caught per asset, never failing the batch."""
+    import struct
+
+    prog = bytearray(b"\xff\xd8")
+    body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    prog.extend(bytes([0xFF, 0xC2]) + struct.pack(">H", len(body) + 2) + body)
+    good_ppm = b"P6\n2 1\n255\n" + bytes(6)
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(prog))), (2, bytearray(good_ppm))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in
+           multimodal.image_stats(df, "doc_id", "payload").collect()}
+    assert out[1].decode_error is not None and "baseline" in out[1].decode_error
+    assert out[2].decode_error is None and (out[2].width, out[2].height) == (2, 1)

@@ -112,6 +112,7 @@ EXTENDED = [
     "tsdb_lineprotocol_roundtrip",
     "docs_span_dedup",
     "tsdb_series_cardinality_sketch",
+    "tsdb_ingest_dedup",
 ]
 
 

@@ -218,3 +218,26 @@ def test_max_rows_per_segment_fans_out_hot_segment(spark, tmp_path_factory):
     store.insert_pylist([("m", {"x": "1"}, START + 7200 + i, 0.0) for i in range(10)])
     cold = list(Path(path).glob(f"seg={START // 7200 + 1}/*.parquet"))
     assert len(cold) == 1
+
+
+def test_dedup_policies_bucketed_store(spark, tmp_path_factory):
+    """The bucketed store honors the same duplicate-policy surface."""
+    from mandodb_spark.sources.segment_store import BucketedSegmentStore
+
+    path = str(tmp_path_factory.mktemp("store") / "bdd")
+    store = BucketedSegmentStore(spark, path, table="t_bucket_dedup", n_buckets=2)
+    try:
+        rows = spark.createDataFrame(
+            [("m", {"x": "1"}, START, 1.0), ("m", {"x": "1"}, START, 2.0)],
+            "metric string, labels map<string,string>, ts long, value double",
+        )
+        store.append(rows, dedup_points=True)
+        resend = spark.createDataFrame(
+            [("m", {"x": "1"}, START, 9.0), ("m", {"x": "1"}, START + 1, 3.0)],
+            "metric string, labels map<string,string>, ts long, value double",
+        )
+        store.append(resend, dedup_points=True, dedup_against_store=True)
+        got = sorted((r.ts, r.value) for r in store.relation().collect())
+        assert got == [(START, 2.0), (START + 1, 3.0)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_dedup")

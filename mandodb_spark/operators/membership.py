@@ -18,8 +18,15 @@ bit-for-bit, so the filter is built from plain relational ops:
     positions: p_i(key) = md5("i:"+key)[:15 hex] mod m   (i = 0..k-1)
     build:     word table  (p DIV 32, bit_or(1 << p%32))  — one shuffle,
                ≤ m/32 rows
-    probe:     k broadcast left joins on the word id + bit tests — ZERO
-               probe-side shuffle, plans as k BroadcastHashJoins
+    probe:     the word table folds into a ONE-ROW map<word,bits>
+               (map_from_entries) broadcast once; all k bit tests are
+               element_at lookups — ZERO probe-side shuffle, ONE build
+               execution (the k-broadcast-join form replicated the build
+               subplan once per hash), one tiny BroadcastNestedLoopJoin
+               of the single map row.  The broadcast payload is the same
+               word table either way, so the form holds wherever the
+               filter itself is broadcastable — the design envelope of
+               any broadcast Bloom gate
 
 Storage is 32 bits per BIGINT word: every shifted mask stays positive, so
 the words, shifts, and ``bit_or`` evaluate identically in Spark and DuckDB
@@ -108,50 +115,56 @@ def bloom_flag(
 ) -> DataFrame:
     """Probe: append ``flag_col`` (true ⟺ every hash's bit is set).
 
-    k broadcast LEFT joins on the word id — the probe relation never
-    shuffles; a missing word row means the bit is unset (NULL-join →
-    false).  A NULL key flags false (its positions are NULL, so every
-    join misses — matching the build side's NULL exclusion).  No false
-    negatives by construction; false positives at the (1-exp(-kn/m))^k
-    floor.
+    The word table is folded into ONE row holding ``map<word, bits>``
+    (``map_from_entries`` over a collect_list — bounded by the filter
+    geometry, never the corpus) and broadcast once; the k bit tests are
+    ``element_at`` lookups, so the probe relation never shuffles and the
+    build pipeline executes exactly once (the previous k-join form
+    replicated the whole build subplan under every broadcast).  A
+    missing word key means the bit is unset (NULL lookup → false); a
+    NULL key flags false (its positions are NULL — matching the build
+    side's NULL exclusion).  No false negatives by construction; false
+    positives at the (1-exp(-kn/m))^k floor.
 
     Geometry validation (ADVICE r5): if ``bloom`` carries the
-    ``GEOMETRY_WORD`` row :func:`bloom_build` writes, the probe's
-    ``(m_bits, k)`` must match it — a mismatch raises here instead of
-    silently hashing into the wrong positions (false negatives).  A
-    filter without the row (externally built) probes unvalidated."""
-    geo = bloom.filter(F.col("word") == GEOMETRY_WORD).select("bits").first()
-    if geo is not None and geo[0] != _geometry_bits(m_bits, k):
-        built_m, built_k = geo[0] >> 8, geo[0] & 0xFF
-        raise ValueError(
-            f"bloom geometry mismatch: filter built with m_bits={built_m}, "
-            f"k={built_k}; probe called with m_bits={m_bits}, k={k} — a "
-            "mismatched probe silently false-negatives, refusing"
-        )
-    bloom = bloom.filter(F.col("word") >= 0)
-    out = df.withColumn("__key", key.cast("string"))
-    tests = []
-    for i in range(k):
-        out = out.withColumn(f"__p{i}", F.expr(_position_sql("__key", i, m_bits)))
-        side = bloom.select(
-            F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
-        )
-        out = out.join(
-            F.broadcast(side),
-            F.expr(f"__p{i} DIV {WORD_BITS}") == F.col(f"__w{i}"),
-            "left",
-        )
-        tests.append(
-            F.expr(
-                f"__b{i} IS NOT NULL AND "
-                f"(shiftright(__b{i}, CAST(__p{i} % {WORD_BITS} AS INT)) & 1) = 1"
+    ``GEOMETRY_WORD`` entry :func:`bloom_build` writes, the probe's
+    ``(m_bits, k)`` must match it — a mismatch raises AT EXECUTION via an
+    in-plan ``raise_error`` (zero extra jobs) instead of silently hashing
+    into the wrong positions (false negatives).  A filter without the
+    entry (externally built) probes unvalidated."""
+    expected = _geometry_bits(m_bits, k)
+    wordmap = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("bits")))
+        ).alias("__wm")
+    )
+    out = df.withColumn("__key", key.cast("string")).join(
+        F.broadcast(wordmap), F.lit(True), "left"
+    )
+    # try_element_at throughout: NULL for a missing word / NULL position
+    # under ANSI mode (plain element_at would throw on an unset word)
+    geo = F.expr(f"try_element_at(__wm, CAST({GEOMETRY_WORD} AS LONG))")
+    geometry_ok = F.when(
+        geo.isNotNull() & (geo != F.lit(expected)),
+        F.raise_error(
+            F.format_string(
+                "bloom geometry mismatch: filter built with m_bits=%d, k=%d; "
+                f"probe called with m_bits={m_bits}, k={k} — a mismatched "
+                "probe silently false-negatives, refusing",
+                F.shiftright(geo, 8),
+                geo % 256,
             )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    flag = geometry_ok
+    for i in range(k):
+        p_sql = _position_sql("__key", i, m_bits)
+        flag = flag & F.expr(
+            f"COALESCE((shiftright(try_element_at(__wm, ({p_sql}) DIV "
+            f"{WORD_BITS}), CAST(({p_sql}) % {WORD_BITS} AS INT)) & 1) = 1, "
+            "false)"
         )
-    flag = tests[0]
-    for t in tests[1:]:
-        flag = flag & t
-    drop = ["__key"] + [c for i in range(k) for c in (f"__p{i}", f"__w{i}", f"__b{i}")]
-    return out.withColumn(flag_col, flag).drop(*drop)
+    return out.withColumn(flag_col, flag).drop("__key", "__wm")
 
 
 def bloom_oracle_sql(

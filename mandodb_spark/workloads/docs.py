@@ -1472,14 +1472,7 @@ def docs_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = text.bow_fingerprint(F.col("text"))
     hist = d.filter(F.col("doc_id") % 5 != 0).select(fp.alias("key"))
     new = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", fp.alias("key"))
-    # "build once, SHIP the filter": materialize the bounded word table
-    # (≤ m/32 + 1 rows = 32 KB at BLOOM_M) through the driver, exactly
-    # what a production gate persists — the probe (and bloom_flag's
-    # geometry validation) then never re-executes the corpus-side build
-    bloom = spark.createDataFrame(
-        membership.bloom_build(hist, F.col("key"), m_bits=BLOOM_M).collect(),
-        "word long, bits long",
-    )
+    bloom = membership.bloom_build(hist, F.col("key"), m_bits=BLOOM_M)
     flagged = membership.bloom_flag(
         new, F.col("key"), bloom, m_bits=BLOOM_M, flag_col="__might"
     )

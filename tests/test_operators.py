@@ -1509,12 +1509,16 @@ def test_bloom_probe_plan_broadcasts_and_never_shuffles_probes(spark):
     bloom = membership.bloom_build(hist, F.col("key"))
     flagged = membership.bloom_flag(probes, F.col("key"), bloom)
     plan = physical_plan(flagged)
-    assert plan.count("BroadcastHashJoin") == membership.BLOOM_K
+    # map-form probe (round 6): the whole word table folds into ONE
+    # broadcast map row — exactly one nested-loop join of that single
+    # row, no hash joins, and the build pipeline appears ONCE (the old
+    # k-join form replicated the full build subplan per hash)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
-    # the ONLY hash exchanges are the build side's word aggregation,
-    # replicated once under each broadcast subtree — if the probe side
-    # ever gained an exchange the count would exceed BLOOM_K
-    assert shuffle_count(flagged) == membership.BLOOM_K
+    # the ONLY exchanges are build-side: the word aggregation + the
+    # single-partition map fold — the probe side never shuffles
+    assert shuffle_count(flagged) == 2
 
 
 def test_shuffle_plan_is_deterministic_total_permutation(spark):
@@ -1618,7 +1622,8 @@ def test_span_dedup_first_occurrence_wins_and_rebuilds_in_order(spark):
 
 def test_bloom_geometry_travels_with_filter(spark):
     """ADVICE r5: the filter carries its (m_bits, k) geometry; probing with
-    mismatched parameters raises instead of silently false-negativing."""
+    mismatched parameters raises (an in-plan raise_error — zero extra
+    jobs, fires at execution) instead of silently false-negativing."""
     import pytest as _pytest
 
     from mandodb_spark.operators import membership
@@ -1628,12 +1633,18 @@ def test_bloom_geometry_travels_with_filter(spark):
     # matching probe works and finds every built key (no false negatives)
     out = membership.bloom_flag(hist, F.col("key"), bloom, m_bits=1 << 12)
     assert all(r.might_contain for r in out.collect())
-    # mismatched m_bits refuses loudly
-    with _pytest.raises(ValueError, match="geometry mismatch"):
-        membership.bloom_flag(hist, F.col("key"), bloom, m_bits=1 << 13)
-    # mismatched k refuses loudly
-    with _pytest.raises(ValueError, match="geometry mismatch"):
-        membership.bloom_flag(hist, F.col("key"), bloom, m_bits=1 << 12, k=5)
+    # mismatched m_bits refuses loudly at execution
+    with _pytest.raises(Exception, match="geometry mismatch"):
+        membership.bloom_flag(hist, F.col("key"), bloom, m_bits=1 << 13).collect()
+    # mismatched k refuses loudly at execution
+    with _pytest.raises(Exception, match="geometry mismatch"):
+        membership.bloom_flag(
+            hist, F.col("key"), bloom, m_bits=1 << 12, k=5
+        ).collect()
+    # an externally-built filter (no geometry row) probes unvalidated
+    bare = bloom.filter(F.col("word") >= 0)
+    ext = membership.bloom_flag(hist, F.col("key"), bare, m_bits=1 << 12)
+    assert all(r.might_contain for r in ext.collect())
 
 
 def test_wav_payload_null_and_nonascii_guards(spark):

@@ -154,3 +154,91 @@ def test_all_testdata_tables_load_and_normalize(spark):
     lo, hi = ev.selectExpr("min(ts)", "max(ts)").first()
     # unix SECONDS (1973..5138 band), not millis/micros/nanos
     assert 1e8 < lo <= hi < 1e11, (lo, hi)
+
+
+# --------------------------------------------------- documents / embeddings
+def _write_documents(path: str, id_type, len_type, text_type) -> None:
+    docs = ["alpha beta beta gamma", "delta alpha", "beta beta beta"]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), id_type),
+            "text": pa.array(docs, text_type),
+            "lang": pa.array(["en", "en", "de"]),
+            "source": pa.array(["web", "web", "book"]),
+            "n_chars": pa.array([len(d) for d in docs], len_type),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def _write_embeddings(path: str, id_type, vec_value_type, label_type) -> None:
+    vecs = [[1.0, 0.0, 2.0, 1.0], [0.5, 1.5, 0.0, 1.0], [2.0, 2.0, 1.0, 0.0]]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), id_type),
+            "embedding": pa.array(vecs, pa.list_(vec_value_type)),
+            "label": pa.array([0, 1, 0], label_type),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_documents_queries_survive_physical_type_drift(spark, tmp_path_factory):
+    """The documents table's physical types are the generator's to change
+    (round-4 lesson generalized): doc_id/n_chars narrowing to int32 and
+    text widening to large_string must not change any query's OUTPUT
+    values.  Driven through a representative text query end-to-end."""
+    from mandodb_spark.workloads.docs import docs_token_stats
+
+    base = tmp_path_factory.mktemp("docs_drift")
+    variants = {
+        "canonical": (pa.int64(), pa.int64(), pa.string()),
+        "narrow_ids": (pa.int32(), pa.int32(), pa.string()),
+        "large_text": (pa.int64(), pa.int64(), pa.large_string()),
+    }
+    results = {}
+    for name, (idt, lent, textt) in variants.items():
+        d = base / name
+        d.mkdir()
+        _write_documents(str(d / "documents.parquet"), idt, lent, textt)
+        rows = docs_token_stats(spark, str(d)).collect()
+        results[name] = sorted(tuple(r) for r in rows)
+    assert results["narrow_ids"] == results["canonical"]
+    assert results["large_text"] == results["canonical"]
+
+
+def test_embeddings_queries_survive_physical_type_drift(spark, tmp_path_factory):
+    """embedding list<float> widening to list<double> (or ids/labels
+    changing width) must not change any query's OUTPUT values — both the
+    column-expression path (norm stats) and the Arrow mapInPandas path
+    (IVF assignment) are driven."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.operators.similarity import ivf_assign, ivf_cells
+    from mandodb_spark.workloads.common import load
+    from mandodb_spark.workloads.embeddings_q import emb_norm_stats
+
+    base = tmp_path_factory.mktemp("emb_drift")
+    variants = {
+        "canonical": (pa.int64(), pa.float32(), pa.int32()),
+        "double_vecs": (pa.int64(), pa.float64(), pa.int32()),
+        "narrow_ids": (pa.int32(), pa.float32(), pa.int64()),
+    }
+    results, assigns = {}, {}
+    for name, (idt, vt, lt) in variants.items():
+        d = base / name
+        d.mkdir()
+        _write_embeddings(str(d / "embeddings.parquet"), idt, vt, lt)
+        results[name] = sorted(
+            tuple(r) for r in emb_norm_stats(spark, str(d)).collect()
+        )
+        emb = load(spark, str(d), "embeddings")
+        cents = ivf_cells(emb, "vec_id", "embedding", 2)
+        assigns[name] = sorted(
+            (r.vec_id, r.cell)
+            for r in ivf_assign(emb, "vec_id", "embedding", cents).collect()
+        )
+    assert results["double_vecs"] == results["canonical"]
+    assert results["narrow_ids"] == results["canonical"]
+    assert assigns["double_vecs"] == assigns["canonical"]
+    assert assigns["narrow_ids"] == assigns["canonical"]

@@ -355,3 +355,18 @@ class TSDB:
         )
         out = histogram_quantile_over(hist, q, ["series_key"])
         return out.join(labels, "series_key").select("series_key", "labels", "value")
+
+    # ----------------------------------------------------------------- close
+    def close(self) -> None:
+        """TSDB.Close() parity (tsdb.go:372-382).
+
+        The reference must flush its mutable head segment and stop its
+        worker goroutines; here every batch write is synchronous-on-commit
+        and streaming ingestion recovers from checkpoints, so the only
+        held resource is the memory store's cached relation (T6) —
+        released if present.  Disk-backed stores hold nothing between
+        calls; the method exists so reference code ports 1:1.
+        """
+        release = getattr(self.store, "close", None)
+        if release is not None:
+            release()

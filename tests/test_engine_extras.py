@@ -400,3 +400,21 @@ def test_label_dim_refresh_appends_only_new_pairs(spark, tmp_path_factory):
     refresh_label_dim(dest, b2)
     again = {p.name for p in Path(dest).glob("*.parquet")}
     assert again == set(after)
+
+
+def test_close_releases_memory_store_and_is_noop_on_disk(spark, tmp_path_factory):
+    """TSDB.Close() parity (tsdb.go:372-382): memory mode releases the
+    cached relation; disk mode holds nothing and close() is a no-op —
+    the store stays queryable from disk afterwards."""
+    from mandodb_spark import TSDB
+
+    mem = TSDB(spark, None, only_memory=True)
+    mem.insert_rows([("m", {"x": "1"}, 1_700_000_000, 1.0)])
+    assert mem.query_range_rows("m", [], 0, 10**10).count() == 1
+    mem.close()
+    assert mem.query_range_rows("m", [], 0, 10**10).count() == 0  # fresh head
+
+    disk = TSDB(spark, str(tmp_path_factory.mktemp("close") / "s"))
+    disk.insert_rows([("m", {"x": "1"}, 1_700_000_000, 1.0)])
+    disk.close()
+    assert disk.query_range_rows("m", [], 0, 10**10).count() == 1  # durable

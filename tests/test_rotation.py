@@ -79,3 +79,29 @@ def test_every_registered_query_is_oracle_paired():
     """The registry contract: every queries() entry has an oracle_sql()
     entry (the driver records a weaker rows-only check otherwise)."""
     assert set(QUERIES) == set(ORACLES)
+
+
+def test_auto_advance_simulated_future_rounds(tmp_path):
+    """When the driver drops CORRECTNESS_r06.json (end of round 6), the
+    inferred round becomes 7 and the planned window flips to the r7 set
+    (TPC-H + remaining round-2-stale) without any code change; round 9
+    wraps to the anchor window."""
+    import json
+
+    for r in range(1, 7):
+        (tmp_path / f"CORRECTNESS_r{r:02d}.json").write_text(json.dumps({}))
+    assert rotation.current_round(tmp_path) == 7
+    assert set(rotation.planned_window(7)) == set(rotation.WINDOW_R7)
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps({}))
+    (tmp_path / "CORRECTNESS_r08.json").write_text(json.dumps({}))
+    assert rotation.current_round(tmp_path) == 9
+    assert set(rotation.planned_window(9)) == set(rotation.WINDOW_R6)
+    # an empty root (files missing in a packaging) must not crash the
+    # registry import path — current_round falls back to 1 and the
+    # workloads module clamps to the anchor
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert rotation.current_round(empty) == 1
+    assert set(rotation.planned_window(max(1, rotation.ANCHOR_ROUND))) == set(
+        rotation.WINDOW_R6
+    )

@@ -251,15 +251,34 @@ def knn_join(df: DataFrame, id_col: str, vec_col: str,
     The query set is broadcast (a probe batch is small by definition);
     output: (qid, vec_id, cos_sim, rank), ties broken on id.
     """
-    from pyspark.sql.window import Window
-
     cent = centroids if centroids is not None else ivf_cells(df, id_col, vec_col, n_cells)
-    cn = cent.select("cell", "cvec", norm(F.col("cvec")).alias("__cn"))
-    qn = queries.select(
+    qn = _query_norms(queries, qid_col, qvec_col)
+    probe = probe_cells_df(qn, qid_col, cent, n_probe)
+    assign = ivf_assign(df, id_col, vec_col, cent)
+    cand = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), norm(F.col(vec_col)).alias("__vn")
+    ).join(assign, id_col)
+    return _exact_topk_on_candidates(cand, probe, qn, qid_col, id_col, k)
+
+
+def _query_norms(queries: DataFrame, qid_col: str, qvec_col: str) -> DataFrame:
+    """(qid, __q, __qn) — the normalized probe batch both knn-join forms share."""
+    return queries.select(
         F.col(qid_col), F.col(qvec_col).alias("__q"), norm(F.col(qvec_col)).alias("__qn")
     )
+
+
+def probe_cells_df(qn: DataFrame, qid_col: str, centroids: DataFrame,
+                   n_probe: int) -> DataFrame:
+    """Per-query top ``n_probe`` cells: (qid, cell).  Queries × broadcast
+    O(cells) codebook + a window rank on the tiny probe relation — the
+    distributed form of ``VectorIndex.probe_cells`` (same rounding, same
+    csim-desc/cell-asc tie rule)."""
+    from pyspark.sql.window import Window
+
+    cn = centroids.select("cell", "cvec", norm(F.col("cvec")).alias("__cn"))
     probe_rank = Window.partitionBy(qid_col).orderBy(F.col("__csim").desc(), F.col("cell"))
-    probe = (
+    return (
         qn.crossJoin(F.broadcast(cn))
         .select(
             F.col(qid_col),
@@ -272,19 +291,25 @@ def knn_join(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("__rn") <= n_probe)
         .select(qid_col, "cell")
     )
-    assign = ivf_assign(df, id_col, vec_col, cent)
-    cand = (
-        df.select(F.col(id_col), F.col(vec_col).alias("__v"), norm(F.col(vec_col)).alias("__vn"))
-        .join(assign, id_col)
-        .join(F.broadcast(probe), "cell")
+
+
+def _exact_topk_on_candidates(cand: DataFrame, probe: DataFrame, qn: DataFrame,
+                              qid_col: str, id_col: str, k: int) -> DataFrame:
+    """Candidate equi-join on cell + exact cosine + per-query row_number —
+    the shared back half of both knn-join forms.  ``cand`` must carry
+    (id, __v, __vn, cell)."""
+    from pyspark.sql.window import Window
+
+    scored = (
+        cand.join(F.broadcast(probe), "cell")
         .join(F.broadcast(qn), qid_col)
-    )
-    scored = cand.select(
-        F.col(qid_col),
-        F.col(id_col),
-        F.round(dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")), 4).alias(
-            "cos_sim"
-        ),
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(
+                dot(F.col("__v"), F.col("__q")) / (F.col("__vn") * F.col("__qn")), 4
+            ).alias("cos_sim"),
+        )
     )
     rank = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (

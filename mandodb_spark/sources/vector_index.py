@@ -293,3 +293,38 @@ class VectorIndex:
         cells = self.probe_cells(list(qvec), n_probe)
         cand = self.relation().where(F.col("cell").isin(cells))
         return cosine_topk(cand, "vec_id", "vec", query, k)
+
+    def knn_join(self, queries: DataFrame, qid_col: str, qvec_col: str,
+                 k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Batch ANN against the persisted index: top-k stored neighbors
+        for EVERY query row — ``operators.similarity.knn_join`` minus its
+        corpus-assignment stage, because the cells are already a stored
+        partition column here.
+
+        Plan: per-query probe cells via the broadcast codebook (same
+        window-rank stage the inline form uses), the data scan statically
+        pruned to the UNION of probed cells (a PartitionFilters cut —
+        the distinct-cell collect is O(cells), the codebook contract),
+        then candidate equi-join on cell + exact cosine + per-query
+        row_number.  Output: (qid, vec_id, cos_sim, rank)."""
+        from ..operators.similarity import (
+            _exact_topk_on_candidates,
+            _query_norms,
+            norm,
+            probe_cells_df,
+        )
+
+        qn = _query_norms(queries, qid_col, qvec_col)
+        probe = probe_cells_df(qn, qid_col, self.centroids(), n_probe)
+        cells = [r.cell for r in probe.select("cell").distinct().collect()]
+        cand = (
+            self.relation()
+            .where(F.col("cell").isin(cells))
+            .select(
+                "vec_id",
+                F.col("vec").alias("__v"),
+                norm(F.col("vec")).alias("__vn"),
+                "cell",
+            )
+        )
+        return _exact_topk_on_candidates(cand, probe, qn, qid_col, "vec_id", k)

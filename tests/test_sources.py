@@ -391,3 +391,29 @@ def test_vector_index_empty_build_readable_before_append(spark, tmp_path_factory
     assert idx.exists()
     idx.append(df, "vec_id", "embedding")
     assert idx.relation().count() == 16
+
+
+def test_vector_index_batch_knn_join_matches_inline(spark, tmp_path_factory):
+    """Index-backed batch ANN == the inline knn_join with the same
+    codebook/probe/k — and its scan is statically pruned to the union of
+    probed cells (PartitionFilters), never the whole index."""
+    from mandodb_spark.operators.similarity import ivf_cells, knn_join
+    from mandodb_spark.plans import formatted_plan
+    from mandodb_spark.sources.vector_index import VectorIndex
+
+    df = _emb_fixture(spark, n=80)
+    cents = ivf_cells(df, "vec_id", "embedding", 8)
+    queries = df.filter(F.col("vec_id").isin(5, 42, 77)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    idx = VectorIndex(spark, str(tmp_path_factory.mktemp("vidxk") / "ivf"))
+    idx.build(df, "vec_id", "embedding", cents)
+
+    got = idx.knn_join(queries, "qid", "qe", k=5, n_probe=3)
+    want = knn_join(df, "vec_id", "embedding", queries, "qid", "qe",
+                    k=5, n_probe=3, centroids=cents)
+    g = sorted((r.qid, r.vec_id, r.cos_sim, r.rank) for r in got.collect())
+    w = sorted((r.qid, r.vec_id, r.cos_sim, r.rank) for r in want.collect())
+    assert g == w and len(g) == 15
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan

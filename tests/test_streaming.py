@@ -708,3 +708,57 @@ def test_streaming_ingest_maintains_cardinality_sketch(spark, tmp_path_factory):
     b = cardinality_estimate(spark, full, lo, hi).first()
     assert (a.n_segs, a.n_points, a.est_series) == (b.n_segs, b.n_points, b.est_series)
     assert a.est_series == 8.0  # 7 base series + the late new one
+
+
+def test_vector_index_streaming_lifecycle_rebuilds_on_drift(spark, tmp_path_factory):
+    """The full index lifecycle as a streaming job: micro-batches of a
+    SHIFTED embedding distribution append into the frozen-codebook index
+    until the measured drift trips the threshold, the maintainer re-trains
+    the codebook mid-stream, and a post-stream 1-probe query over the new
+    cluster matches brute force (recall restored without manual
+    intervention)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.operators.similarity import cosine_topk, ivf_cells_kmeans
+    from mandodb_spark.sources.vector_index import VectorIndex
+    from mandodb_spark.streaming.index_maintenance import VectorIndexMaintainer
+
+    rng = random.Random(23)
+    dim = 8
+    base_rows = [
+        (i, [1.0 + rng.uniform(-0.1, 0.1) if d < 4 else rng.uniform(-0.1, 0.1)
+             for d in range(dim)])
+        for i in range(40)
+    ]
+    shift_rows = [
+        (100 + i, [rng.uniform(-0.1, 0.1) if d < 4 else 1.0 + rng.uniform(-0.1, 0.1)
+                   for d in range(dim)])
+        for i in range(40)
+    ]
+    schema = "vec_id long, embedding array<float>"
+    base = tmp_path_factory.mktemp("vidxstream")
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+
+    df_base = spark.createDataFrame(base_rows, schema)
+    idx = VectorIndex(spark, str(base / "ivf"))
+    idx.build(df_base, "vec_id", "embedding",
+              ivf_cells_kmeans(df_base, "embedding", 4, seed=3))
+
+    maintainer = VectorIndexMaintainer(idx, max_drop=0.02, seed=3)
+    spark.createDataFrame(shift_rows, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = maintainer.start(stream, ckpt)
+    q.awaitTermination(120)
+
+    assert maintainer.rebuilds >= 1, "drift should have triggered a rebuild"
+    assert not idx.needs_rebuild(max_drop=0.02)
+    assert idx.relation().count() == 80
+    probe = spark.createDataFrame([shift_rows[7]], schema).select(
+        F.col("embedding").alias("qe")
+    )
+    truth = {r.vec_id for r in
+             cosine_topk(idx.relation(), "vec_id", "vec", probe, 5).collect()}
+    got = {r.vec_id for r in idx.topk(probe, n_probe=1, k=5).collect()}
+    assert got == truth

@@ -80,28 +80,55 @@ def dedup_last_write(batch: DataFrame, order_col: str | None = None) -> DataFram
     )
 
 
+def _renameat2_exchange(a: str, b: str) -> bool:
+    """Atomically EXCHANGE two paths via Linux ``renameat2(RENAME_EXCHANGE)``
+    (kernel >= 3.15; not exposed by ``os``, so called through libc).  Returns
+    False when the syscall is unavailable or fails (non-Linux, cross-device,
+    old kernel) so the caller can fall back to the two-rename sequence."""
+    try:
+        import ctypes
+        import os
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        at_fdcwd, rename_exchange = -100, 2
+        return (
+            libc.renameat2(
+                at_fdcwd, os.fsencode(a), at_fdcwd, os.fsencode(b), rename_exchange
+            )
+            == 0
+        )
+    except Exception:
+        return False
+
+
 def swap_in(root: str, staging_root: str) -> None:
     """Swap a fully-written staging directory into place (shared by the
     segment store, memory store, and vector index maintenance jobs).
 
     The Parquet analogue of the reference's atomic segment swap
-    (tsdb.go:242-265: write the new file, then rename over): rename
-    the live root aside, rename staging in, delete the old root LAST.
-    Every failure point leaves a recoverable state — before the first
+    (tsdb.go:242-265: write the new file, then rename over).  Primary
+    path: one ``renameat2(RENAME_EXCHANGE)`` syscall atomically exchanges
+    the live root and the staging root — there is NO instant with a
+    missing or partial root directory, so a concurrent listing can never
+    surface FileNotFound, and a crash at any point leaves exactly one
+    complete tree at each path (the old data sits at ``staging_root``
+    post-exchange until the cleanup delete; leftover staging dirs are
+    garbage, not truth, and every caller clears them before writing).
+
+    Fallback (non-Linux / cross-device / pre-3.15 kernel): rename the
+    live root aside, rename staging in, delete the old root LAST.  Every
+    failure point still leaves a recoverable state — before the first
     rename the old root is untouched; between the renames the complete
-    old data sits at ``<root>__old`` (rename it back to recover); after
-    the second rename the new data is live and the leftover old/staging
-    dirs are garbage, not truth.  A concurrent reader that re-queries
-    never sees a PARTIALLY rewritten partition (compare: dynamic
-    partition overwrite commits per partition, so a mid-compact reader
-    could see segment A compacted and segment B mid-commit) — but the
-    swap is two renames, not one atomic op, so there IS a sub-
-    millisecond window with no root directory at all; a listing in
-    that instant surfaces as FileNotFound and succeeds on retry
-    (POSIX cannot atomically replace a non-empty directory; a real
-    deployment on object storage would swap a manifest/symlink
-    instead — Iceberg/Delta solve exactly this).
+    old data sits at ``<root>__old`` (rename it back to recover) — but
+    there IS a sub-millisecond window with no root directory; a listing
+    in that instant surfaces as FileNotFound and succeeds on retry
+    (POSIX ``rename`` cannot replace a non-empty directory; object
+    storage deployments swap a manifest instead — Iceberg/Delta solve
+    exactly this).
     """
+    if _renameat2_exchange(root, staging_root):
+        shutil.rmtree(staging_root)  # now holds the replaced old data
+        return
     old = f"{root}__old"
     shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
     Path(root).rename(old)

@@ -241,3 +241,35 @@ def test_dedup_policies_bucketed_store(spark, tmp_path_factory):
         assert got == [(START, 2.0), (START + 1, 3.0)]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_dedup")
+
+
+def test_swap_in_atomic_exchange_and_fallback(tmp_path, monkeypatch):
+    """swap_in's primary path is one renameat2(RENAME_EXCHANGE) syscall —
+    no instant with a missing root (a concurrent lister can never hit
+    FileNotFound); the two-rename fallback must produce the identical end
+    state when the syscall is unavailable (non-Linux / old kernel)."""
+    from mandodb_spark.sources import segment_store as ss
+
+    def build(tag):
+        root = tmp_path / f"root_{tag}"
+        staging = tmp_path / f"root_{tag}__compact"
+        root.mkdir(), staging.mkdir()
+        (root / "data.txt").write_text("old")
+        (staging / "data.txt").write_text("new")
+        return str(root), str(staging)
+
+    # primary (atomic exchange) path — only asserted where the kernel has it
+    root, staging = build("atomic")
+    if ss._renameat2_exchange(root, staging):
+        # undo the probe exchange, then run the real swap
+        assert ss._renameat2_exchange(root, staging)
+        ss.swap_in(root, staging)
+        assert (Path(root) / "data.txt").read_text() == "new"
+        assert not Path(staging).exists() and not Path(f"{root}__old").exists()
+
+    # forced fallback path: same observable end state
+    monkeypatch.setattr(ss, "_renameat2_exchange", lambda a, b: False)
+    root, staging = build("fallback")
+    ss.swap_in(root, staging)
+    assert (Path(root) / "data.txt").read_text() == "new"
+    assert not Path(staging).exists() and not Path(f"{root}__old").exists()

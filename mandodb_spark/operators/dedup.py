@@ -662,3 +662,90 @@ def span_dedup(df: DataFrame, id_col: str, text_col: str,
         F.coalesce("kept_spans", F.lit(0)).alias("kept_spans"),
         F.coalesce("new_text", F.lit("")).alias("new_text"),
     )
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               min_dup_docs: int = 2, sep: str = "\n") -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: any line
+    whose normalized form (trimmed) occurs in at least ``min_dup_docs``
+    DISTINCT documents is dropped from EVERY document (nav menus, cookie
+    banners, share buttons — content that repeats across pages is
+    boilerplate, content unique to few pages is signal).  Surviving lines
+    are reassembled in original order.
+
+    Complements :func:`span_dedup` (which keeps the FIRST occurrence of a
+    duplicated span; here repeated lines are removed everywhere — the
+    CCNet §3.1 rule) and :func:`exact_dedup_groups` (whole-document).
+
+    Scale shape: the duplicated-line table is ``count(distinct doc) >=
+    min_dup_docs`` over the line key — a two-phase hash aggregate (the
+    per-(key, doc) pre-distinct collapses a line repeated within one
+    document map-side).  The drop is a LEFT ANTI equi-join of the
+    exploded lines against that DISTINCT key table: anti joins never
+    fan out, so a banner line repeated across a billion documents costs
+    one hash-table probe per occurrence, not a multiplied join.  The
+    per-doc reassembly is the same ``array_sort(collect_list(struct))``
+    grouped pass as span_dedup, co-partitioned with the totals join on
+    the id.
+
+    Output: ``(id, n_lines, kept_lines, new_text)`` — a document whose
+    every line is boilerplate survives with ``new_text = ''``.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("line_idx", "line"),
+    ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
+    dup_keys = (
+        lines.groupBy("line_key")
+        .agg(F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_dup_docs)
+        .select("line_key")
+    )
+    survivors = lines.join(dup_keys, "line_key", "left_anti")
+    kept = survivors.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("new_text"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
+def line_dedup_sql(table: str, id_col: str, text_col: str,
+                   min_dup_docs: int = 2) -> str:
+    """DuckDB oracle for :func:`line_dedup` (newline separator)."""
+    return f"""
+WITH ls AS (SELECT {id_col}, string_split({text_col}, chr(10)) AS l FROM {table}),
+lines AS (
+  SELECT {id_col}, CAST(t.i AS INTEGER) AS line_idx, l[t.i + 1] AS line,
+         md5(trim(l[t.i + 1])) AS line_key
+  FROM ls, unnest(range(0, len(l))) AS t(i)
+),
+dup AS (
+  SELECT line_key FROM lines GROUP BY line_key
+  HAVING count(DISTINCT {id_col}) >= {min_dup_docs}
+),
+survivors AS (
+  SELECT * FROM lines WHERE line_key NOT IN (SELECT line_key FROM dup)
+),
+kept AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS kept_lines,
+         string_agg(line, chr(10) ORDER BY line_idx) AS new_text
+  FROM survivors GROUP BY {id_col}
+),
+totals AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_lines FROM lines GROUP BY {id_col})
+SELECT t.{id_col}, t.n_lines,
+       CAST(coalesce(k.kept_lines, 0) AS BIGINT) AS kept_lines,
+       coalesce(k.new_text, '') AS new_text
+FROM totals t LEFT JOIN kept k USING ({id_col})
+"""

@@ -791,3 +791,98 @@ def gopher_flags_sql(text_expr: str) -> str:
         "CAST(" + " AND ".join(f"({e})" for e in rules.values()) + " AS BIGINT) AS gopher_pass"
     )
     return ",\n       ".join(cols)
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str,
+              query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Distributed BM25 retrieval: the ``k`` highest-scoring documents
+    for a bag-of-terms query (Robertson BM25 with the Lucene idf form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — always positive, so a term
+    in >half the corpus degrades gracefully instead of flipping sign).
+    The keyword-search complement to the embedding ANN operators — a
+    curation pipeline uses it for targeted corpus audits ("every
+    document scoring high for these probe terms") where cosine recall
+    is the wrong tool.
+
+    Scale shape: the term filter (``term IN (...)`` on the exploded
+    scan) runs BEFORE any shuffle, so the tf aggregate sees only rows
+    matching the query's terms — O(matching postings), not O(corpus
+    tokens).  Per-term document frequencies derive from that tf table
+    (|query| rows → broadcast back), corpus N/avgdl is a broadcast
+    1-row aggregate, and per-doc length joins tf on the id.  The final
+    top-k is a k-bounded sort with a total order (score desc, id) —
+    deterministic cross-engine.
+
+    Output: ``(id, score, rank)``, score rounded to 6dp.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(F.col(text_col))).alias("avgdl"),
+    )
+    dl = df.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", idf * F.col("tf") * (k1 + 1) / denom)
+    )
+    from pyspark.sql import Window
+
+    top = (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    # the rank window sees ONLY the k-limited rows — the unpartitioned
+    # window is bounded by construction, never corpus-sized
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bm25_topk_sql(table: str, id_col: str, text_col: str,
+                  query_terms: list[str], k: int = 10,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of :func:`bm25_topk` (oracle generator)."""
+    terms = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in query_terms}))
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS term FROM {table}
+),
+tf AS (
+    SELECT {id_col}, term, count(*) AS tf FROM toks
+    WHERE term IN ({terms}) GROUP BY 1, 2
+),
+docfreq AS (SELECT term, count(DISTINCT {id_col}) AS df FROM tf GROUP BY 1),
+stats AS (
+    SELECT count(*) AS n_docs,
+           avg(len(string_split(lower({text_col}), ' '))) AS avgdl
+    FROM {table}
+),
+dl AS (SELECT {id_col}, len(string_split(lower({text_col}), ' ')) AS dl FROM {table}),
+scored AS (
+    SELECT tf.{id_col},
+           ln(1.0 + (stats.n_docs - docfreq.df + 0.5) / (docfreq.df + 0.5))
+             * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl)) AS term_score
+    FROM tf JOIN docfreq USING (term) JOIN dl USING ({id_col}) CROSS JOIN stats
+),
+top AS (
+    SELECT {id_col}, round(sum(term_score), 6) AS score
+    FROM scored GROUP BY {id_col}
+    ORDER BY score DESC, {id_col} LIMIT {k}
+)
+SELECT {id_col}, score,
+       CAST(row_number() OVER (ORDER BY score DESC, {id_col}) AS BIGINT) AS rank
+FROM top
+"""

@@ -1713,3 +1713,113 @@ def test_progressive_jpeg_degrades_to_error_row(spark):
            multimodal.image_stats(df, "doc_id", "payload").collect()}
     assert out[1].decode_error is not None and "baseline" in out[1].decode_error
     assert out[2].decode_error is None and (out[2].width, out[2].height) == (2, 1)
+
+
+# --------------------------------------------------- line dedup (CCNet-style)
+def _duck_parity(spark_df, sql, frames):
+    """Run `sql` in DuckDB over the registered pandas `frames` and compare
+    against the Spark result with oracle_check's normalization."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_check import compare
+
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(name, pdf)
+    problems = compare("parity", spark_df.toPandas(), con.execute(sql).df())
+    assert not problems, problems
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    rows = [
+        (1, "unique intro one\nCOOKIE BANNER\nbody text alpha\nshare on x"),
+        (2, "unique intro two\nCOOKIE BANNER\nbody text beta\nshare on x"),
+        (3, "standalone page\nbody text gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(df, "doc_id", "text").collect()}
+    # boilerplate (COOKIE BANNER, share on x) dropped from every doc;
+    # unique lines survive in order
+    assert out[1].new_text == "unique intro one\nbody text alpha"
+    assert out[2].new_text == "unique intro two\nbody text beta"
+    assert out[3].new_text == "standalone page\nbody text gamma"
+    assert (out[1].n_lines, out[1].kept_lines) == (4, 2)
+    assert (out[3].n_lines, out[3].kept_lines) == (2, 2)
+
+
+def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
+    rows = [(1, "same\nsame two"), (2, "same\nsame two"), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup(df, "doc_id", "text").collect()}
+    assert out[1].new_text == "" and out[1].kept_lines == 0 and out[1].n_lines == 2
+    assert out[2].new_text == ""
+    assert out[3].new_text == "other"
+    # within-doc repetition alone is NOT boilerplate (distinct-doc count)
+    solo = spark.createDataFrame([(7, "x\nx\ny")], "doc_id long, text string")
+    r = dedup.line_dedup(solo, "doc_id", "text").collect()[0]
+    assert (r.n_lines, r.kept_lines, r.new_text) == (3, 3, "x\nx\ny")
+
+
+def test_line_dedup_duckdb_parity(spark):
+    import random
+
+    rng = random.Random(7)
+    boiler = ["accept all cookies", "follow us", "copyright 2026 site"]
+    uniq = lambda i, j: f"doc {i} line {j} {rng.randrange(1000)}"
+    rows = [
+        (i, "\n".join(
+            [uniq(i, j) if rng.random() < 0.6 else rng.choice(boiler) for j in range(rng.randrange(1, 8))]
+        ))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _duck_parity(
+        dedup.line_dedup(df, "doc_id", "text"),
+        dedup.line_dedup_sql("docs_t", "doc_id", "text"),
+        {"docs_t": df.toPandas()},
+    )
+
+
+# ----------------------------------------------------------------- BM25
+def test_bm25_scores_and_ranks(spark):
+    rows = [
+        (1, "spark shuffle join shuffle"),
+        (2, "spark scan"),
+        (3, "unrelated words entirely different"),
+        (4, "shuffle shuffle shuffle shuffle shuffle"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.bm25_topk(df, "doc_id", "text", ["spark", "shuffle"], k=3).collect()
+    ids = [r.doc_id for r in got]
+    assert ids[0] == 1  # matches both terms
+    assert 3 not in ids  # no query term
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert all(got[i].score >= got[i + 1].score for i in range(len(got) - 1))
+    # hand-check doc 2's score: one 'spark' occurrence, dl=2
+    import math as m
+
+    n_docs, avgdl = 4, (4 + 2 + 4 + 5) / 4
+    idf = m.log(1 + (n_docs - 2 + 0.5) / (2 + 0.5))
+    tf_term = 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / avgdl))
+    expect = round(idf * tf_term, 6)
+    got2 = next(r for r in got if r.doc_id == 2)
+    assert abs(got2.score - expect) < 1e-9
+
+
+def test_bm25_duckdb_parity_on_documents(spark):
+    import pandas as pd
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]
+    ]
+    df = spark.createDataFrame(pdf)
+    terms = ["spark", "shuffle", "parquet", "window"]
+    _duck_parity(
+        text.bm25_topk(df, "doc_id", "text", terms, k=15),
+        text.bm25_topk_sql("docs_t", "doc_id", "text", terms, k=15),
+        {"docs_t": pdf},
+    )

@@ -253,3 +253,79 @@ def test_span_dedup_partitions_distinct_spans_exactly_once(spark, docs):
         assert out[doc_id].kept_spans == len(want)
         assert out[doc_id].new_text == " ".join(want)
     assert sum(r.kept_spans for r in out.values()) == len(all_spans)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["banner", "menu", " menu ", "a", "b c", "", "unique"]),
+            min_size=1, max_size=6,
+        ).map("\n".join),
+        min_size=1, max_size=7,
+    ),
+)
+def test_line_dedup_matches_reference_model(spark, docs):
+    """CCNet line-dedup invariants over arbitrary corpora: a line survives
+    iff its TRIMMED form occurs in fewer than 2 distinct documents;
+    survivors keep original order; totals count raw (pre-drop) lines.
+    Checked against an independent pure-python model (includes tricky
+    cases: whitespace-normalized collisions like 'menu' vs ' menu ',
+    empty lines as cross-doc boilerplate)."""
+    from collections import defaultdict
+
+    from mandodb_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, "doc_id", "text").collect()}
+
+    by_key = defaultdict(set)
+    for doc_id, text in enumerate(docs):
+        for line in text.split("\n"):
+            by_key[line.strip()].add(doc_id)
+    for doc_id, text in enumerate(docs):
+        lines = text.split("\n")
+        want = [ln for ln in lines if len(by_key[ln.strip()]) < 2]
+        assert out[doc_id].n_lines == len(lines)
+        assert out[doc_id].kept_lines == len(want)
+        assert out[doc_id].new_text == "\n".join(want)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    points=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # series choice
+            st.integers(min_value=0, max_value=3),   # ts bucket
+            st.integers(min_value=0, max_value=99),  # value
+        ),
+        min_size=1, max_size=20,
+    ),
+)
+def test_dedup_last_write_keeps_exactly_last_per_series_ts(spark, points):
+    """Ingest last-write-wins property: for ANY batch with duplicated
+    (series, ts) pairs, dedup_last_write keeps exactly one row per pair —
+    the one with the highest explicit order — matching a pure-python
+    fold over the batch in order."""
+    from mandodb_spark.sources.segment_store import dedup_last_write
+
+    # canonical-shape batch built directly (canonicalize projects extra
+    # columns away, so an explicit order column rides the canonical frame)
+    rows = [
+        ({"s": str(s)}, 1_700_000_000 + t, float(v), s, (1_700_000_000 + t) // 7200, i)
+        for i, (s, t, v) in enumerate(points)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "labels map<string,string>, ts long, value double, "
+        "series_key long, seg long, ord long",
+    )
+    got = dedup_last_write(df, order_col="ord").collect()
+
+    model = {}
+    for s, t, v in points:  # later entries overwrite: last write wins
+        model[(str(s), 1_700_000_000 + t)] = float(v)
+    assert len(got) == len(model)
+    for r in got:
+        key = (r.labels["s"], r.ts)
+        assert model[key] == r.value

@@ -1823,3 +1823,54 @@ def test_bm25_duckdb_parity_on_documents(spark):
         text.bm25_topk_sql("docs_t", "doc_id", "text", terms, k=15),
         {"docs_t": pdf},
     )
+
+
+# ------------------------------------------------------------ BPE training
+def test_bpe_train_learns_expected_merges(spark):
+    """Hand-computed Sennrich example: corpus 3x'aaab' + 2x'aab'.
+    Pair counts: (a,a)=8, (a,b)=5 -> merge (a,a); then (aa,a)=3 ties
+    (a,b)=3 -> lex tiebreak picks (a,b); then (aa,ab)=3 beats (aa,b)=2."""
+    from mandodb_spark.operators import tokenizer
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab aab"), (3, "aab"), (4, None)],
+        "doc_id long, text string",
+    )
+    merges = tokenizer.bpe_train(df, "text", n_merges=3)
+    assert merges == [("a", "a"), ("a", "b"), ("aa", "ab")]
+    # NULL text is an empty document, not the string "None"
+    stats = {r.doc_id: r for r in
+             tokenizer.bpe_encode_stats(df, "doc_id", "text", merges).collect()}
+    assert (stats[4].n_words, stats[4].n_subwords, stats[4].compression) == (0, 0, None)
+
+
+def test_bpe_encode_stats_compression_grows_with_merges(spark):
+    from mandodb_spark.operators import tokenizer
+
+    df = spark.createDataFrame(
+        [(i, "the theme thesis theory then there") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = tokenizer.bpe_train(df, "text", n_merges=10)
+    none = tokenizer.bpe_encode_stats(df, "doc_id", "text", []).collect()
+    full = tokenizer.bpe_encode_stats(df, "doc_id", "text", merges).collect()
+    for r0, r1 in zip(sorted(none, key=lambda r: r.doc_id),
+                      sorted(full, key=lambda r: r.doc_id)):
+        # zero merges: one subword per character
+        assert r0.compression == 1.0
+        assert r0.n_subwords > r1.n_subwords >= r1.n_words
+        assert r1.compression > 1.0
+
+
+def test_bpe_train_on_real_corpus_is_deterministic_and_bounded(spark):
+    from mandodb_spark.operators import tokenizer
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m1 = tokenizer.bpe_train(df, "text", n_merges=30, max_words=500)
+    m2 = tokenizer.bpe_train(df, "text", n_merges=30, max_words=500)
+    assert m1 == m2 and len(m1) == 30
+    stats = tokenizer.bpe_encode_stats(df, "doc_id", "text", m1)
+    row = stats.agg(
+        F.sum("n_subwords").alias("s"), F.sum("n_words").alias("w")
+    ).first()
+    assert row.s >= row.w > 0

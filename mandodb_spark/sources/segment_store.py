@@ -495,3 +495,80 @@ class BucketedSegmentStore(SegmentStore):
             f"LOCATION '{self.root}'"
         )
         self.spark.sql(f"MSCK REPAIR TABLE {self.table}")
+
+
+def fsck(root: str, segment_duration: int = DEFAULT_SEGMENT_DURATION) -> dict:
+    """Store integrity check — the startup validation the reference does in
+    ``loadFiles`` (tsdb.go:408-463: walk ``seg-*`` dirs, open each data
+    file, parse each ``meta.json``, surface failures) re-expressed over the
+    Parquet layout.  Pure footer-metadata work: every file's Parquet footer
+    is opened (the exact read a scan's planning does) and its row count and
+    ``ts`` min/max statistics checked against the segment's time bounds —
+    no data pages are read, so cost is O(files), not O(rows).
+
+    Returns ``{"segments": [{seg, files, rows, min_ts, max_ts,
+    out_of_bounds}], "corrupt": [path], "orphans": [path], "ok": bool}``:
+
+    - ``corrupt`` — files whose footer cannot be read (truncated/partial
+      writes that escaped the atomic-rename discipline, e.g. a kill -9
+      mid-copy of an external restore);
+    - ``out_of_bounds`` — rows whose ts stats fall outside
+      ``[seg*duration, (seg+1)*duration)`` (a mis-partitioned writer —
+      impossible through :meth:`SegmentStore.append`, catchable when
+      files are dropped in by hand);
+    - ``orphans`` — leftover ``__old`` / ``__compact`` / ``__rebuild``
+      siblings (recovery garbage from a crashed swap; safe to delete,
+      flagged so the cleanup is a decision, not a surprise).
+    """
+    from pathlib import Path as _P
+
+    import pyarrow.parquet as _pq
+
+    report: dict = {"segments": [], "corrupt": [], "orphans": []}
+    rootp = _P(root)
+    for suffix in ("__old", "__compact", "__rebuild"):
+        if _P(f"{root}{suffix}").exists():
+            report["orphans"].append(f"{root}{suffix}")
+    if rootp.exists():
+        for segdir in sorted(rootp.glob("seg=*")):
+            seg = int(segdir.name.split("=", 1)[1])
+            lo, hi = seg * segment_duration, (seg + 1) * segment_duration - 1
+            rows, tmin, tmax, nfiles = 0, None, None, 0
+            for f in sorted(segdir.glob("*.parquet")):
+                try:
+                    md = _pq.ParquetFile(str(f)).metadata
+                except Exception:
+                    report["corrupt"].append(str(f))
+                    continue
+                nfiles += 1
+                rows += md.num_rows
+                names = [
+                    md.row_group(0).column(i).path_in_schema
+                    for i in range(md.row_group(0).num_columns)
+                ] if md.num_row_groups else []
+                if "ts" in names:
+                    ti = names.index("ts")
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(ti).statistics
+                        if st is None:
+                            continue
+                        tmin = st.min if tmin is None else min(tmin, st.min)
+                        tmax = st.max if tmax is None else max(tmax, st.max)
+            report["segments"].append(
+                {
+                    "seg": seg,
+                    "files": nfiles,
+                    "rows": rows,
+                    "min_ts": tmin,
+                    "max_ts": tmax,
+                    "out_of_bounds": (
+                        tmin is not None and (tmin < lo or tmax > hi)
+                    ),
+                }
+            )
+    report["ok"] = (
+        not report["corrupt"]
+        and not report["orphans"]
+        and not any(s["out_of_bounds"] for s in report["segments"])
+    )
+    return report

@@ -273,3 +273,29 @@ def test_swap_in_atomic_exchange_and_fallback(tmp_path, monkeypatch):
     ss.swap_in(root, staging)
     assert (Path(root) / "data.txt").read_text() == "new"
     assert not Path(staging).exists() and not Path(f"{root}__old").exists()
+
+
+def test_fsck_clean_corrupt_and_orphan_detection(spark, tmp_path_factory):
+    """fsck mirrors the reference's loadFiles startup validation
+    (tsdb.go:408-463) over the Parquet layout: footer-only (no data pages),
+    flags truncated files, leftover swap dirs, and out-of-bounds ts stats."""
+    from mandodb_spark.sources.segment_store import SegmentStore, fsck
+
+    path = str(tmp_path_factory.mktemp("store") / "f")
+    store = SegmentStore(spark, path)
+    store.insert_pylist(
+        [("m", {"x": str(i % 3)}, START + i * 1800, float(i)) for i in range(12)]
+    )
+    rep = fsck(path)
+    assert rep["ok"] and not rep["corrupt"] and not rep["orphans"]
+    assert sum(s["rows"] for s in rep["segments"]) == 12
+    assert all(not s["out_of_bounds"] for s in rep["segments"])
+
+    # truncate one file -> corrupt; plant a stale __compact dir -> orphan
+    victim = next(Path(path).glob("seg=*/*.parquet"))
+    victim.write_bytes(victim.read_bytes()[: victim.stat().st_size // 2])
+    (Path(f"{path}__compact")).mkdir()
+    rep2 = fsck(path)
+    assert not rep2["ok"]
+    assert [str(victim)] == rep2["corrupt"]
+    assert rep2["orphans"] == [f"{path}__compact"]

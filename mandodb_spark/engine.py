@@ -228,6 +228,18 @@ class TSDB:
         """Maintenance compaction (the Compact the reference lacks)."""
         self.store.compact()
 
+    def fsck(self) -> dict:
+        """Storage integrity report (the reference's loadFiles startup
+        validation, tsdb.go:408-463, on demand): corrupt footers, leftover
+        swap dirs, ts-stats-vs-segment-bounds violations.  Footer-only,
+        O(files).  Memory-only stores have no files — trivially ok."""
+        from .sources.segment_store import fsck as _fsck
+
+        root = getattr(self.store, "root", None)
+        if root is None:
+            return {"segments": [], "corrupt": [], "orphans": [], "ok": True}
+        return _fsck(root, self.store.segment_duration)
+
     def materialize_rollup(self, dest: str, step: int = 21600,
                            incremental: bool = False,
                            since_seg: int | None = None) -> None:

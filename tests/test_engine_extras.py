@@ -418,3 +418,14 @@ def test_close_releases_memory_store_and_is_noop_on_disk(spark, tmp_path_factory
     disk.insert_rows([("m", {"x": "1"}, 1_700_000_000, 1.0)])
     disk.close()
     assert disk.query_range_rows("m", [], 0, 10**10).count() == 1  # durable
+
+
+def test_tsdb_fsck_surface(spark, tmp_path_factory):
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path_factory.mktemp("fsck") / "s"))
+    db.insert_rows([("m", {"a": "1"}, 1_700_000_000, 1.0)])
+    assert db.fsck()["ok"]
+    mem = TSDB(spark, None, only_memory=True)
+    mem.insert_rows([("m", {"a": "1"}, 1_700_000_000, 1.0)])
+    assert mem.fsck()["ok"] and mem.fsck()["segments"] == []

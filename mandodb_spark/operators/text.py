@@ -886,3 +886,28 @@ SELECT {id_col}, score,
        CAST(row_number() OVER (ORDER BY score DESC, {id_col}) AS BIGINT) AS rank
 FROM top
 """
+
+def ce_buckets(df: DataFrame, id_col: str, text_col: str,
+               n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): assign
+    every document to a quantile band of the corpus cross-entropy
+    distribution — with the classic ``n_buckets=3``, bucket 0 is the
+    fluent *head* (lowest CE), 1 the *middle*, 2 the noisy *tail*.  CCNet
+    trains the mixture on head+middle and drops or down-weights the tail;
+    the bucket column is exactly the stratum key
+    :func:`~mandodb_spark.operators.sampling.stratified` consumes.
+
+    The band edges are one ``approxQuantile`` over the scored relation
+    (driver gets ``n_buckets - 1`` numbers — bounded metadata); the
+    assignment is the same sum-of-comparisons rank as the Z-order
+    bucketing, pure codegen.  Output: ``(id, n_tokens, unigram_ce,
+    bucket)``.
+    """
+    ce = unigram_cross_entropy(df, id_col, text_col)
+    edges = ce.approxQuantile(
+        "unigram_ce", [i / n_buckets for i in range(1, n_buckets)], 0.001
+    )
+    bucket: Column = F.lit(0)
+    for e in edges:
+        bucket = bucket + (F.col("unigram_ce") > F.lit(e)).cast("int")
+    return ce.withColumn("bucket", bucket.cast("long"))

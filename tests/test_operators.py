@@ -1874,3 +1874,20 @@ def test_bpe_train_on_real_corpus_is_deterministic_and_bounded(spark):
         F.sum("n_subwords").alias("s"), F.sum("n_words").alias("w")
     ).first()
     assert row.s >= row.w > 0
+
+
+def test_ce_buckets_orders_head_middle_tail(spark):
+    """CCNet bucketing: boilerplate made of ultra-common tokens lands in
+    the head (bucket 0), rare-token noise in the tail (bucket max)."""
+    common = "the and of to in " * 8
+    rows = (
+        [(i, common) for i in range(10)]
+        + [(100 + i, common + f"moderately unusual term{i}") for i in range(10)]
+        + [(200 + i, f"zzq{i} xq{i}w qqj{i} vvx{i} kkz{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bucket for r in text.ce_buckets(df, "doc_id", "text").collect()}
+    assert all(out[i] == 0 for i in range(10))
+    assert all(out[200 + i] == 2 for i in range(10))
+    assert all(out[100 + i] in (0, 1) for i in range(10))
+    assert any(out[100 + i] == 1 for i in range(10))

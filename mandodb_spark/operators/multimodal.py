@@ -800,3 +800,65 @@ def chunk_plan(df: DataFrame, id_col: str, payload_col: str,
             "chunk_len"
         ),
     )
+
+
+def ahash64(width: int, height: int, channels: int, pixels: bytes,
+            hash_size: int = 8) -> int:
+    """64-bit average-hash perceptual fingerprint of decoded pixels:
+    grayscale → ``hash_size``² nearest-neighbor downsample → threshold at
+    the mean → row-major bit pack (signed BIGINT, same packing contract
+    as ``text.simhash`` so the band-LSH machinery consumes it unchanged).
+    Invariant to global brightness shifts (threshold is the mean) and to
+    resolution (fixed-grid downsample) — the standard cheap image-dedup
+    signature."""
+    import numpy as np
+
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    gray = px.astype("float64").mean(axis=2)
+    ys = (np.arange(hash_size) * height) // hash_size
+    xs = (np.arange(hash_size) * width) // hash_size
+    small = gray[np.ix_(ys, xs)]
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    v = int((bits << np.arange(hash_size * hash_size, dtype=np.uint64)).sum())
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_ahash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Per-asset perceptual hash through the REAL decode path
+    (:func:`decode_image` → :func:`ahash64`) in one Arrow-batched
+    mapInPandas; undecodable payloads yield an error row with NULL hash
+    (poisoned assets never kill the stage).  Output:
+    ``(doc_id, ahash, decode_error)``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, ch, px = decode_image(bytes(payload))
+                    rows.append((int(doc_id), ahash64(w, h, ch, px), None))
+                except Exception as e:
+                    rows.append((int(doc_id), None, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash", "decode_error"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, "doc_id long, ahash long, decode_error string"
+    )
+
+
+def image_neardup_pairs(df: DataFrame, id_col: str, payload_col: str,
+                        max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs: :func:`image_ahash` fingerprints fed to
+    the SAME 64-bit band-LSH + Hamming verify the text side uses
+    (``dedup.simhash_band_pairs`` — lossless for ``max_hamming <=
+    bands-1`` by pigeonhole, never O(n²)).  Decode-error rows are
+    excluded (they have no fingerprint; surface them via
+    :func:`image_ahash` directly).  Output: ``(id_a, id_b, hamming)``."""
+    from .dedup import simhash_band_pairs
+
+    hashes = (
+        image_ahash(df, id_col, payload_col)
+        .filter(F.col("ahash").isNotNull())
+        .withColumnRenamed("doc_id", id_col)
+    )
+    return simhash_band_pairs(hashes, id_col, "ahash", max_hamming=max_hamming)

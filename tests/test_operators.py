@@ -1891,3 +1891,38 @@ def test_ce_buckets_orders_head_middle_tail(spark):
     assert all(out[200 + i] == 2 for i in range(10))
     assert all(out[100 + i] in (0, 1) for i in range(10))
     assert any(out[100 + i] == 1 for i in range(10))
+
+
+# ------------------------------------------------- image perceptual dedup
+def test_image_ahash_brightness_invariant_and_neardup_pairs(spark):
+    """aHash through the real PPM decode: a global brightness shift leaves
+    the hash identical (threshold at the mean), light local noise stays
+    within the Hamming bound, a different image does not pair, and a
+    poisoned payload degrades to an error row, never a crash."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(int) + 30, 0, 255).astype(np.uint8)
+    noisy = base.copy()
+    noisy[3, 4] = 255  # one hot pixel
+    other = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+
+    def ppm(a):
+        h, w, _ = a.shape
+        return bytearray(f"P6\n{w} {h}\n255\n".encode() + a.tobytes())
+
+    rows = [(1, ppm(base)), (2, ppm(bright)), (3, ppm(noisy)),
+            (4, ppm(other)), (5, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashes = {r.doc_id: r for r in multimodal.image_ahash(df, "doc_id", "payload").collect()}
+    assert hashes[1].ahash == hashes[2].ahash          # brightness-invariant
+    assert hashes[5].ahash is None and hashes[5].decode_error
+    assert hashes[1].ahash != hashes[4].ahash
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in multimodal.image_neardup_pairs(df, "doc_id", "payload").collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert all(4 not in p and 5 not in p for p in pairs)

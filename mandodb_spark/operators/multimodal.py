@@ -862,3 +862,94 @@ def image_neardup_pairs(df: DataFrame, id_col: str, payload_col: str,
         .withColumnRenamed("doc_id", id_col)
     )
     return simhash_band_pairs(hashes, id_col, "ahash", max_hamming=max_hamming)
+
+
+def audio_ahash(df: DataFrame, id_col: str, payload_col: str,
+                n_windows: int = 64) -> DataFrame:
+    """64-bit energy-envelope fingerprint per audio asset through the real
+    WAV decode: samples → ``n_windows`` equal windows → per-window RMS →
+    threshold at the envelope mean → bit pack (signed BIGINT, the shared
+    SimHash packing).  Gain-invariant (scaling every sample scales every
+    window RMS identically, and the threshold is the envelope's own mean)
+    — the audio analogue of :func:`image_ahash`.  Output:
+    ``(doc_id, ahash, decode_error)``."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    ch, rate, width, frames = decode_audio(bytes(payload))
+                    if width == 1:
+                        vals = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+                    else:
+                        dtype = {2: "<i2", 4: "<i4"}[width]
+                        vals = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+                    if len(vals) < n_windows:
+                        vals = np.pad(vals, (0, n_windows - len(vals)))
+                    cut = (len(vals) // n_windows) * n_windows
+                    env = np.sqrt(
+                        (vals[:cut].reshape(n_windows, -1) ** 2).mean(axis=1)
+                    )
+                    bits = (env > env.mean()).astype(np.uint64)
+                    v = int((bits << np.arange(n_windows, dtype=np.uint64)).sum())
+                    rows.append((int(doc_id), v - (1 << 64) if v >= (1 << 63) else v, None))
+                except Exception as e:
+                    rows.append((int(doc_id), None, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash", "decode_error"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, "doc_id long, ahash long, decode_error string"
+    )
+
+
+def audio_neardup_pairs(df: DataFrame, id_col: str, payload_col: str,
+                        max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate audio pairs: envelope fingerprints through the same
+    band-LSH + Hamming verify as image/text (lossless ≤ bands−1)."""
+    from .dedup import simhash_band_pairs
+
+    hashes = (
+        audio_ahash(df, id_col, payload_col)
+        .filter(F.col("ahash").isNotNull())
+        .withColumnRenamed("doc_id", id_col)
+    )
+    return simhash_band_pairs(hashes, id_col, "ahash", max_hamming=max_hamming)
+
+
+def video_neardup_pairs(df: DataFrame, id_col: str, payload_col: str,
+                        min_shared_frames: int = 2,
+                        max_frames: int = MAX_FRAMES) -> DataFrame:
+    """Near-duplicate video pairs by shared sampled-frame content: two
+    videos pair when at least ``min_shared_frames`` of their sampled
+    frames are byte-identical (re-muxed/re-containered copies, clipped
+    variants sharing footage).  Frame hashes come from the REAL AVI
+    frame-range path of :func:`sample_frames`.
+
+    Shape: the frame table is bucket-grouped by ``frame_md5`` — the same
+    single-lineage expansion as the LSH stages (the mapInPandas decode
+    runs ONCE; a self-equi-join would re-decode the corpus per join side
+    because MapInPandas plans don't canonicalize equal) — then pair
+    counts aggregate over buckets.  A frame shared by a billion videos is
+    capped by ``MAX_BUCKET_MEMBERS`` like any degenerate LSH bucket.
+    Output: ``(id_a, id_b, shared_frames)``."""
+    from .dedup import MAX_BUCKET_MEMBERS
+
+    frames = sample_frames(df, id_col, payload_col, max_frames=max_frames)
+    buckets = (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set(F.col("doc_id"))), 1, MAX_BUCKET_MEMBERS
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    return (
+        buckets.select(F.posexplode("ms").alias("__i", "a"), F.col("ms"))
+        .select("a", F.expr("explode(slice(ms, __i + 2, size(ms)))").alias("b"))
+        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared_frames)
+    )

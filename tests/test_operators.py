@@ -1926,3 +1926,62 @@ def test_image_ahash_brightness_invariant_and_neardup_pairs(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def _encode_wav(samples, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return bytearray(buf.getvalue())
+
+
+def test_audio_ahash_gain_invariant_and_neardup_pairs(spark):
+    """Envelope fingerprint through the real WAV decode: a 2x gain copy
+    hashes identically (threshold at the envelope's own mean), unrelated
+    audio does not pair, garbage degrades to an error row."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    base = [int(3000 * math.sin(i / 7)) + rng.randrange(-200, 200) for i in range(4096)]
+    loud = [s * 2 for s in base]
+    other = [rng.randrange(-8000, 8000) for _ in range(4096)]
+    rows = [(1, _encode_wav(base)), (2, _encode_wav(loud)),
+            (3, _encode_wav(other)), (4, bytearray(b"mp3???"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = {r.doc_id: r for r in multimodal.audio_ahash(df, "doc_id", "payload").collect()}
+    assert hashes[1].ahash == hashes[2].ahash
+    assert hashes[4].ahash is None and hashes[4].decode_error
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in multimodal.audio_neardup_pairs(df, "doc_id", "payload").collect()}
+    assert pairs[(1, 2)] == 0 and all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_video_neardup_pairs_by_shared_frames(spark):
+    """Two AVIs sharing >= min_shared_frames byte-identical frames pair
+    (re-muxed copies at a different frame rate included); videos with a
+    single shared frame or none do not."""
+    f = [bytes([i]) * 40 for i in range(8)]
+    a = _encode_avi(4, 4, 40000, f[:6])                  # frames 0-5
+    b = _encode_avi(4, 4, 20000, f[:6])                  # same frames, re-muxed faster
+    c = _encode_avi(4, 4, 40000, [f[0], f[6], f[7]])     # shares only frame 0
+    d = _encode_avi(4, 4, 40000, [bytes([99]) * 40])     # disjoint
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b)), (3, bytearray(c)), (4, bytearray(d))],
+        "doc_id long, payload binary",
+    )
+    pairs = {(r.id_a, r.id_b): r.shared_frames
+             for r in multimodal.video_neardup_pairs(df, "doc_id", "payload").collect()}
+    assert pairs == {(1, 2): 6}
+    loose = {(r.id_a, r.id_b): r.shared_frames
+             for r in multimodal.video_neardup_pairs(
+                 df, "doc_id", "payload", min_shared_frames=1).collect()}
+    assert loose[(1, 3)] == 1 and loose[(2, 3)] == 1 and loose[(1, 2)] == 6
+    assert all(4 not in p for p in loose)

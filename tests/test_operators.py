@@ -1928,7 +1928,7 @@ def test_image_ahash_brightness_invariant_and_neardup_pairs(spark):
     assert all(4 not in p and 5 not in p for p in pairs)
 
 
-def _encode_wav(samples, rate=8000):
+def _wav_mono16(samples, rate=8000):
     import io
     import struct
     import wave
@@ -1953,8 +1953,8 @@ def test_audio_ahash_gain_invariant_and_neardup_pairs(spark):
     base = [int(3000 * math.sin(i / 7)) + rng.randrange(-200, 200) for i in range(4096)]
     loud = [s * 2 for s in base]
     other = [rng.randrange(-8000, 8000) for _ in range(4096)]
-    rows = [(1, _encode_wav(base)), (2, _encode_wav(loud)),
-            (3, _encode_wav(other)), (4, bytearray(b"mp3???"))]
+    rows = [(1, _wav_mono16(base)), (2, _wav_mono16(loud)),
+            (3, _wav_mono16(other)), (4, bytearray(b"mp3???"))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     hashes = {r.doc_id: r for r in multimodal.audio_ahash(df, "doc_id", "payload").collect()}
     assert hashes[1].ahash == hashes[2].ahash

@@ -329,3 +329,32 @@ def test_dedup_last_write_keeps_exactly_last_per_series_ts(spark, points):
     for r in got:
         key = (r.labels["s"], r.ts)
         assert model[key] == r.value
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30
+    ),
+)
+def test_zorder_key_is_injective_and_locality_preserving(spark, pairs):
+    """Morton-key invariants: distinct rank pairs map to distinct keys
+    (injective on the 16x16 rank grid), and the key equals the reference
+    bit-interleave computed in pure python."""
+    from mandodb_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(list(set(pairs)), "a int, b int")
+    rows = df.select(
+        "a", "b", zorder_key([F.col("a"), F.col("b")], bits=4).alias("z")
+    ).collect()
+
+    def ref(a, b):
+        z = 0
+        for bit in range(4):
+            z |= ((a >> bit) & 1) << (2 * bit)
+            z |= ((b >> bit) & 1) << (2 * bit + 1)
+        return z
+
+    for r in rows:
+        assert r.z == ref(r.a, r.b)
+    assert len({r.z for r in rows}) == len(rows)

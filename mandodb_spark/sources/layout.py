@@ -135,3 +135,28 @@ def files_overlapping(path: str, box: dict[str, tuple]) -> tuple[int, int]:
         if overlaps:
             hit += 1
     return hit, len(files)
+
+
+def relayout(spark, path: str, cols: list[str], n_files: int,
+             bits: int = DEFAULT_BITS, codec: str = "zstd") -> None:
+    """In-place layout maintenance: rewrite a live Parquet directory
+    Z-ordered on ``cols`` through a staging root and the store's atomic
+    exchange (:func:`segment_store.swap_in`) — a crash leaves one complete
+    tree at each path, and a reader RE-READING the path afterwards sees a
+    consistent snapshot (a DataFrame object created before the swap pins
+    its file index and must be re-created — the same contract lakehouse
+    OPTIMIZE documents).  The ``OPTIMIZE ZORDER BY`` job as plain Spark;
+    run it per partition at scale."""
+    import shutil
+
+    from .segment_store import swap_in
+
+    staging = f"{path}__relayout"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_zordered(spark.read.parquet(path), staging, cols, n_files,
+                   bits=bits, codec=codec)
+    swap_in(path, staging)
+    # drop this session's cached file listing for the path: the swap
+    # replaced files behind Spark's FileStatusCache, and a pre-existing
+    # DataFrame would otherwise chase deleted part files
+    spark.catalog.refreshByPath(path)

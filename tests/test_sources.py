@@ -469,3 +469,26 @@ def test_zorder_layout_prunes_files_in_both_dimensions(spark, tmp_path):
     assert zo_ts[0] < zo_ts[1]
     # conjunctive box: at least as tight as the weaker single-dim cut
     assert zo_both[0] <= min(zo_user[0], zo_ts[0])
+
+
+def test_relayout_swaps_in_zordered_files_under_a_live_reader(spark, tmp_path):
+    from mandodb_spark.sources import layout
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(F.col("ts").cast("timestamp").cast("long").alias("ts_l"), "user_id", "value")
+    )
+    path = str(tmp_path / "live")
+    layout.write_linear(df, path, "ts_l", 16)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    layout.relayout(spark, path, ["ts_l", "user_id"], 16)
+    # a fresh read (the re-query path) sees the full content; a DataFrame
+    # object created pre-swap pins its DSv2 file index and must be
+    # re-created — the same contract Delta documents for OPTIMIZE
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
+    hit, total = layout.files_overlapping(path, {"user_id": (10, 28)})
+    assert hit < total  # the live dir is now multi-dim clustered
+    from pathlib import Path as _P
+
+    assert not _P(f"{path}__relayout").exists() and not _P(f"{path}__old").exists()

@@ -691,9 +691,15 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
     Output: ``(id, n_lines, kept_lines, new_text)`` — a document whose
     every line is boilerplate survives with ``new_text = ''``.
     """
+    import re as _re
+
+    # F.split takes a Java regex — quote the separator so "." or "|"
+    # callers get literal-character semantics
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("line_idx", "line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "line_idx", "line"
+        ),
     ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
     dup_keys = (
         lines.groupBy("line_key")

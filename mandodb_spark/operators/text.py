@@ -816,6 +816,8 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str,
     Output: ``(id, score, rank)``, score rounded to 6dp.
     """
     terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = (
         toks.filter(F.col("term").isin(terms))
@@ -854,7 +856,10 @@ def bm25_topk_sql(table: str, id_col: str, text_col: str,
                   query_terms: list[str], k: int = 10,
                   k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB mirror of :func:`bm25_topk` (oracle generator)."""
-    terms = ", ".join(f"'{t}'" for t in sorted({t.lower() for t in query_terms}))
+    term_set = sorted({t.lower() for t in query_terms})
+    if not term_set:
+        raise ValueError("bm25_topk_sql: query_terms must be non-empty")
+    terms = ", ".join(f"'{t}'" for t in term_set)
     return f"""
 WITH toks AS (
     SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS term FROM {table}

@@ -127,8 +127,11 @@ def files_overlapping(path: str, box: dict[str, tuple]) -> tuple[int, int]:
         overlaps = True
         for col, (lo, hi) in box.items():
             ci = schema_names.index(col)
-            fmin = min(md.row_group(g).column(ci).statistics.min for g in range(md.num_row_groups))
-            fmax = max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
+            stats = [md.row_group(g).column(ci).statistics for g in range(md.num_row_groups)]
+            if any(st is None for st in stats):
+                continue  # no stats -> the reader must open the file
+            fmin = min(st.min for st in stats)
+            fmax = max(st.max for st in stats)
             if fmax < lo or fmin > hi:
                 overlaps = False
                 break

@@ -308,3 +308,76 @@ def query_label_values(
     flt = _filtered(df, None, matchers or [], start, end, segment_duration)
     v = F.col("labels").getItem(label)
     return flt.select(v.alias("value")).where(F.col("value").isNotNull()).distinct().orderBy("value")
+
+
+def alert_intervals(
+    df: DataFrame,
+    condition: Column,
+    for_duration: int,
+    max_gap: int,
+    metric: str | None = None,
+    matchers: list[LabelMatcher] | None = None,
+    start: int = 0,
+    end: int = 2**40,  # open-ended sentinel that keeps seg arithmetic in range
+    segment_duration: int = DEFAULT_SEGMENT_DURATION,
+) -> DataFrame:
+    """Prometheus-style alert evaluation with ``for``-duration semantics:
+    per series, the maximal runs of consecutive samples satisfying
+    ``condition`` (a boolean Column over ``value``/``ts``/``labels``),
+    where "consecutive" means inter-sample gap ≤ ``max_gap`` seconds — a
+    scrape hole breaks the run, exactly like Prometheus staleness ends a
+    pending alert.  A run FIRES once it has persisted ``for_duration``
+    seconds (``pending`` until then).
+
+    Classic gaps-and-islands over two per-series windows (lag to mark run
+    starts, running sum to number the runs) — state is one window
+    partition per series, never global; the scan is pruned/pushed by the
+    same matcher+time gate as every TSDB read.
+
+    Output: ``(labels, start_ts, end_ts, n_samples, firing)`` — one row
+    per run; ``firing = end_ts - start_ts >= for_duration``.
+    """
+    from pyspark.sql import Window
+
+    flt = _filtered(df, metric, matchers or [], start, end, segment_duration)
+    if "series_key" not in flt.columns:
+        flt = flt.withColumn("series_key", series_key(F.col("labels")))
+    # runs are computed over ALL samples, not just condition-true ones: a
+    # sample that VIOLATES the condition ends the run even when it falls
+    # inside max_gap (Prometheus resolves the alert on the first healthy
+    # evaluation; a pure gap only breaks the run via staleness)
+    w = Window.partitionBy("series_key").orderBy("ts")
+    marked = (
+        flt.select("series_key", "labels", "ts", condition.alias("__c"))
+        .withColumn("__prev_c", F.lag("__c").over(w))
+        .withColumn("__prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "__new_run",
+            (
+                F.col("__c")
+                & (
+                    F.col("__prev_ts").isNull()
+                    | ~F.coalesce(F.col("__prev_c"), F.lit(False))
+                    | (F.col("ts") - F.col("__prev_ts") > max_gap)
+                )
+            ).cast("int"),
+        )
+        .withColumn("__run", F.sum("__new_run").over(w))
+    )
+    return (
+        marked.filter(F.col("__c"))
+        .groupBy("series_key", "__run")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            "labels",
+            "start_ts",
+            "end_ts",
+            "n_samples",
+            (F.col("end_ts") - F.col("start_ts") >= for_duration).alias("firing"),
+        )
+    )

@@ -429,3 +429,44 @@ def test_tsdb_fsck_surface(spark, tmp_path_factory):
     mem = TSDB(spark, None, only_memory=True)
     mem.insert_rows([("m", {"a": "1"}, 1_700_000_000, 1.0)])
     assert mem.fsck()["ok"] and mem.fsck()["segments"] == []
+
+
+def test_alert_intervals_for_duration_and_gap_semantics(spark):
+    """Prometheus 'for' semantics: a condition run fires only after
+    persisting for_duration; a scrape gap > max_gap splits the run (the
+    staleness rule), resetting the pending timer."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark import TSDB
+    from mandodb_spark.operators.tsdb_ops import alert_intervals
+
+    db = TSDB(spark, None, only_memory=True)
+    t0 = 1_700_000_000
+    rows = []
+    # series A: 5 hot samples every 60s (run of 240s -> fires at for=180)
+    rows += [("cpu", {"n": "a"}, t0 + i * 60, 95.0) for i in range(5)]
+    # ...then cold, then hot again for only 2 samples (60s -> pending)
+    rows += [("cpu", {"n": "a"}, t0 + 300, 10.0)]
+    rows += [("cpu", {"n": "a"}, t0 + 360 + i * 60, 99.0) for i in range(2)]
+    # series B: hot samples with a 600s hole -> two separate runs
+    rows += [("cpu", {"n": "b"}, t0 + i * 60, 91.0) for i in range(4)]
+    rows += [("cpu", {"n": "b"}, t0 + 780 + i * 60, 91.0) for i in range(4)]
+    db.insert_rows(rows)
+
+    out = alert_intervals(
+        db.store.relation(),
+        F.col("value") > 90,
+        for_duration=180,
+        max_gap=120,
+        metric="cpu",
+    ).collect()
+    got = sorted(
+        (r.labels["n"], r.start_ts - t0, r.end_ts - t0, r.n_samples, r.firing)
+        for r in out
+    )
+    assert got == [
+        ("a", 0, 240, 5, True),       # persisted 240s >= 180 -> firing
+        ("a", 360, 420, 2, False),    # only 60s hot -> pending
+        ("b", 0, 180, 4, True),
+        ("b", 780, 960, 4, True),     # the 600s hole split the runs
+    ]

@@ -358,3 +358,45 @@ def test_zorder_key_is_injective_and_locality_preserving(spark, pairs):
     for r in rows:
         assert r.z == ref(r.a, r.b)
     assert len({r.z for r in rows}) == len(rows)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    samples=st.lists(
+        st.tuples(st.integers(0, 20), st.booleans()),  # (minute offset, hot?)
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+)
+def test_alert_intervals_match_reference_model(spark, samples):
+    """alert_intervals vs a sequential fold: runs break on a violating
+    sample OR a gap > max_gap; firing iff span >= for_duration."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark import TSDB
+    from mandodb_spark.operators.tsdb_ops import alert_intervals
+
+    t0, step, max_gap, for_dur = 1_700_000_000, 60, 120, 180
+    pts = sorted(samples)
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows(
+        [("m", {"s": "x"}, t0 + m * step, 99.0 if hot else 1.0) for m, hot in pts]
+    )
+    got = sorted(
+        (r.start_ts, r.end_ts, r.n_samples, r.firing)
+        for r in alert_intervals(
+            db.store.relation(), F.col("value") > 50, for_dur, max_gap, metric="m"
+        ).collect()
+    )
+
+    runs, cur = [], None
+    prev_ts, prev_hot = None, False
+    for m, hot in pts:
+        ts = t0 + m * step
+        if hot:
+            if cur is None or not prev_hot or ts - prev_ts > max_gap:
+                cur = [ts, ts, 0]
+                runs.append(cur)
+            cur[1], cur[2] = ts, cur[2] + 1
+        prev_ts, prev_hot = ts, hot
+    want = sorted((s, e, n, e - s >= for_dur) for s, e, n in runs)
+    assert got == want

@@ -174,3 +174,88 @@ def streaming_heavy_hitters(rel: DataFrame, item_col: str,
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming alert state machine (round 6) — the continuous dual of
+# operators/tsdb_ops.alert_intervals.
+# ---------------------------------------------------------------------------
+
+#: One row per (series, trigger): the alert state after folding the batch.
+ALERT_OUT_SCHEMA = (
+    "series_key long, state string, run_start_ts long, last_hot_ts long, "
+    "transitioned boolean"
+)
+#: Fixed-size per-series state: the open run (if any) and its phase.
+ALERT_STATE_SCHEMA = "run_start_ts long, last_hot_ts long, firing boolean"
+
+
+def _alert_update(for_duration: int, max_gap: int):
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        run_start, last_hot, firing = (
+            state.get if state.exists else (None, None, False)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts")
+        was = (
+            "FIRING" if firing else ("PENDING" if run_start is not None else "OK")
+        )
+        for ts, hot in zip(batch["ts"], batch["hot"]):
+            ts = int(ts)
+            if last_hot is not None and ts <= last_hot:
+                continue  # regression against folded state: monotone contract
+            if hot:
+                if run_start is None or ts - last_hot > max_gap:
+                    run_start, firing = ts, False  # new run, pending
+                last_hot = ts
+                if ts - run_start >= for_duration:
+                    firing = True
+            else:
+                run_start, firing = None, False  # healthy sample resolves
+                last_hot = ts
+        now = (
+            "FIRING" if firing else ("PENDING" if run_start is not None else "OK")
+        )
+        state.update((run_start, last_hot, firing))
+        yield pd.DataFrame(
+            [
+                {
+                    "series_key": key[0],
+                    "state": now,
+                    "run_start_ts": run_start,
+                    "last_hot_ts": last_hot,
+                    "transitioned": now != was,
+                }
+            ]
+        )
+
+    return update
+
+
+def streaming_alert_state(rel: DataFrame, condition, for_duration: int,
+                          max_gap: int) -> DataFrame:
+    """Continuous Prometheus-style alerting over the ingest stream: one
+    fixed-size state row per series tracks the open condition run; each
+    trigger folds the batch and emits the series' current phase
+    (``OK`` / ``PENDING`` / ``FIRING``) plus a ``transitioned`` flag (the
+    notification edge).  Semantics match the batch
+    :func:`~mandodb_spark.operators.tsdb_ops.alert_intervals`: a healthy
+    sample resolves immediately; a gap > ``max_gap`` starts a fresh
+    pending run at the next hot sample; firing requires the run to
+    persist ``for_duration``.  O(series) state, O(batch) work — the only
+    shape that holds on an unbounded stream.
+
+    ``rel``: streaming relation carrying (series_key, ts, value);
+    ``condition`` is a boolean Column over it.
+    """
+    marked = rel.select("series_key", "ts", condition.alias("hot"))
+    return marked.groupBy("series_key").applyInPandasWithState(
+        _alert_update(for_duration, max_gap),
+        ALERT_OUT_SCHEMA,
+        ALERT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

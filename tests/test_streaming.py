@@ -762,3 +762,44 @@ def test_vector_index_streaming_lifecycle_rebuilds_on_drift(spark, tmp_path_fact
              cosine_topk(idx.relation(), "vec_id", "vec", probe, 5).collect()}
     got = {r.vec_id for r in idx.topk(probe, n_probe=1, k=5).collect()}
     assert got == truth
+
+
+def test_streaming_alert_state_transitions_across_batches(spark, tmp_path_factory):
+    """The stateful alert machine carries the pending run ACROSS triggers:
+    batch 1 leaves the series PENDING (run too short), batch 2's
+    continuation crosses for_duration -> FIRING with a transition edge,
+    batch 3's healthy sample resolves to OK.  Matches the batch
+    alert_intervals semantics on the concatenated stream."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.streaming.stateful import streaming_alert_state
+
+    base = tmp_path_factory.mktemp("alerts")
+    src = str(base / "src")
+    schema = "series_key long, ts long, value double"
+    t0 = 1_700_000_000
+    b1 = [(1, t0, 99.0), (1, t0 + 60, 99.0)]                    # 60s hot: pending
+    b2 = [(1, t0 + 120, 99.0), (1, t0 + 240, 99.0)]             # 240s: firing
+    b3 = [(1, t0 + 300, 5.0)]                                   # healthy: OK
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_alert_state(stream, F.col("value") > 50, for_duration=180, max_gap=200)
+    name = "alert_sink"
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        s1 = spark.sql(f"SELECT * FROM {name}").collect()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        s2 = [r for r in spark.sql(f"SELECT * FROM {name}").collect() if r not in s1]
+        spark.createDataFrame(b3, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        s3 = [r for r in spark.sql(f"SELECT * FROM {name}").collect()
+              if r not in s1 and r not in s2]
+    finally:
+        q.stop()
+
+    assert [(r.state, r.transitioned) for r in s1] == [("PENDING", True)]
+    assert [(r.state, r.transitioned, r.run_start_ts) for r in s2] == [("FIRING", True, t0)]
+    assert [(r.state, r.transitioned) for r in s3] == [("OK", True)]

@@ -228,6 +228,30 @@ class TSDB:
         """Maintenance compaction (the Compact the reference lacks)."""
         self.store.compact()
 
+    def alert_intervals(self, condition, for_duration: int, max_gap: int,
+                        metric: str | None = None,
+                        matchers: list[LabelMatcher] | None = None,
+                        start: int = 0, end: int = 2**40) -> DataFrame:
+        """Prometheus-style alert evaluation over the store (see
+        ``operators.tsdb_ops.alert_intervals``; continuous dual:
+        ``streaming.stateful.streaming_alert_state``)."""
+        from .operators.tsdb_ops import alert_intervals as _ai
+
+        return _ai(self.store.relation(), condition, for_duration, max_gap,
+                   metric=metric, matchers=matchers, start=start, end=end,
+                   segment_duration=self.segment_duration)
+
+    def snapshot(self, dest: str) -> int:
+        """Instant hardlink snapshot of the on-disk store (see
+        ``sources.segment_store.snapshot``); memory-only stores have
+        nothing to snapshot."""
+        from .sources.segment_store import snapshot as _snap
+
+        root = getattr(self.store, "root", None)
+        if root is None:
+            raise ValueError("memory-only TSDB has no on-disk store to snapshot")
+        return _snap(root, dest)
+
     def fsck(self) -> dict:
         """Storage integrity report (the reference's loadFiles startup
         validation, tsdb.go:408-463, on demand): corrupt footers, leftover

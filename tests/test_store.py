@@ -299,3 +299,52 @@ def test_fsck_clean_corrupt_and_orphan_detection(spark, tmp_path_factory):
     assert not rep2["ok"]
     assert [str(victim)] == rep2["corrupt"]
     assert rep2["orphans"] == [f"{path}__compact"]
+
+
+def test_snapshot_is_instant_frozen_and_fsck_clean(spark, tmp_path_factory):
+    """Hardlink snapshot: zero-copy, reads identically, stays frozen while
+    the live store compacts and expires segments, and fsck passes on both
+    trees.  Restore = snapshot back over a fresh root."""
+    from mandodb_spark.sources.segment_store import fsck, snapshot
+
+    base = tmp_path_factory.mktemp("snap")
+    path = str(base / "live")
+    db = TSDB(spark, path)
+    rows = [("m", {"x": str(i % 3)}, START + i * 3600, float(i)) for i in range(10)]
+    db.insert_rows(rows)
+    before = sorted((r.ts, r.value) for r in db.query_range_rows("m", [], 0, 10**10).collect())
+
+    snap = str(base / "backup")
+    n = db.snapshot(snap)  # links every file, incl. _SUCCESS/.crc markers
+    assert n >= len(list(Path(path).rglob("*.parquet")))
+    assert sorted(p.name for p in Path(snap).rglob("*.parquet")) == sorted(
+        p.name for p in Path(path).rglob("*.parquet")
+    )
+    assert fsck(snap)["ok"]
+
+    # live tree mutates: compaction rewrites files, retention drops segments
+    db.compact()
+    dropped = db.store.remove_expired(now_ts=START + 10 * 3600, retention=3 * 3600)
+    assert dropped
+    live_now = sorted((r.ts, r.value) for r in db.query_range_rows("m", [], 0, 10**10).collect())
+    assert len(live_now) < len(before)
+
+    # the snapshot is frozen: full original content, fsck still clean
+    snap_rows = sorted(
+        (r.ts, r.value)
+        for r in spark.read.parquet(snap).filter("labels['__name__'] = 'm'").collect()
+    )
+    assert snap_rows == before
+    assert fsck(snap)["ok"]
+
+    # restore into a fresh root and query through the engine again
+    restored = str(base / "restored")
+    snapshot(snap, restored)
+    db2 = TSDB(spark, restored)
+    back = sorted((r.ts, r.value) for r in db2.query_range_rows("m", [], 0, 10**10).collect())
+    assert back == before
+    # refusal on a non-empty destination
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        snapshot(snap, restored)

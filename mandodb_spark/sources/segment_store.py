@@ -101,9 +101,13 @@ def _renameat2_exchange(a: str, b: str) -> bool:
         return False
 
 
-def swap_in(root: str, staging_root: str) -> None:
+def swap_in(root: str, staging_root: str, keep_old: bool = False) -> str | None:
     """Swap a fully-written staging directory into place (shared by the
     segment store, memory store, and vector index maintenance jobs).
+
+    ``keep_old=True`` returns the path now holding the REPLACED old tree
+    instead of deleting it — the caller inspects it (e.g. to salvage
+    files committed concurrently with the rewrite) and deletes it.
 
     The Parquet analogue of the reference's atomic segment swap
     (tsdb.go:242-265: write the new file, then rename over).  Primary
@@ -127,13 +131,18 @@ def swap_in(root: str, staging_root: str) -> None:
     exactly this).
     """
     if _renameat2_exchange(root, staging_root):
-        shutil.rmtree(staging_root)  # now holds the replaced old data
-        return
+        if keep_old:
+            return staging_root  # now holds the replaced old data
+        shutil.rmtree(staging_root)
+        return None
     old = f"{root}__old"
     shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
     Path(root).rename(old)
     Path(staging_root).rename(root)
+    if keep_old:
+        return old
     shutil.rmtree(old)
+    return None
 
 
 class SegmentStore:
@@ -319,6 +328,9 @@ class SegmentStore:
     def _swap_in(self, staging_root: str) -> None:
         swap_in(self.root, staging_root)
 
+    def _swap_in_keep_old(self, staging_root: str) -> str:
+        return swap_in(self.root, staging_root, keep_old=True)
+
     def compact(self) -> None:
         """Rewrite each segment partition into one sorted file.
 
@@ -326,23 +338,44 @@ class SegmentStore:
         Compact).  Streaming micro-batches leave one file per trigger per
         segment; compaction restores the one-sorted-file invariant that
         maximizes row-group skipping.  Writes to a staging directory and
-        swaps it in (:meth:`_swap_in`) — crash-safe, and a concurrent
-        reader re-querying mid-compact sees a consistent snapshot (old or
-        new, identical query results).  No-op on a store that has never
-        been written.
+        swaps it in — crash-safe, and a concurrent reader re-querying
+        mid-compact sees a consistent snapshot (old or new, identical
+        query results).  No-op on a store that has never been written.
+
+        Concurrent WRITERS are safe too (round 6): the rewrite consumes
+        exactly the files its plan listed (`inputFiles` — the file index
+        is pinned at plan time), and after the atomic exchange the
+        replaced old tree still holds anything a concurrent ``append``
+        committed mid-compact; those salvage files are moved into the new
+        tree before cleanup (same-filesystem renames — part-file names
+        are UUID-unique, so no collision), instead of being silently
+        discarded with the old root.
         """
         if not Path(self.root).exists():
             return
         staging_root = f"{self.root}__compact"
         shutil.rmtree(staging_root, ignore_errors=True)
-        writer = self._write_options(
+        rel = (
             self.relation()
             .repartition(F.col("seg"))
             .sortWithinPartitions("series_key", "ts")
-            .write
         )
-        writer.partitionBy("seg").mode("overwrite").parquet(staging_root)
-        self._swap_in(staging_root)
+        # membership by FILE NAME: part files carry a per-task UUID, and the
+        # old tree is compared after it has been renamed aside, so absolute
+        # paths would never match
+        consumed = {Path(f).name for f in rel.inputFiles()}
+        self._write_options(rel.write).partitionBy("seg").mode("overwrite").parquet(
+            staging_root
+        )
+        old = self._swap_in_keep_old(staging_root)
+        try:
+            for p in Path(old).rglob("*.parquet"):
+                if p.name not in consumed:
+                    dest = Path(self.root) / p.relative_to(old)
+                    dest.parent.mkdir(parents=True, exist_ok=True)
+                    p.rename(dest)
+        finally:
+            shutil.rmtree(old, ignore_errors=True)
 
     # ---------------------------------------------------------------- stats
     def stats(self) -> DataFrame:

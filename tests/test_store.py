@@ -348,3 +348,38 @@ def test_snapshot_is_instant_frozen_and_fsck_clean(spark, tmp_path_factory):
 
     with _pytest.raises(FileExistsError):
         snapshot(snap, restored)
+
+
+def test_compact_salvages_concurrent_append(spark, tmp_path_factory):
+    """A batch committed between compaction's snapshot read and its swap
+    must survive: the rewrite consumes exactly the files its plan listed,
+    and post-swap salvage moves anything newer from the replaced tree
+    into the live one (previously the swap silently discarded it)."""
+    from mandodb_spark.sources.segment_store import SegmentStore
+
+    path = str(tmp_path_factory.mktemp("store") / "race")
+    store = SegmentStore(spark, path)
+    for batch in range(2):
+        store.insert_pylist(
+            [("m", {"b": str(i % 2)}, START + batch * 30 + i, float(i)) for i in range(20)]
+        )
+
+    # interpose on the swap: a concurrent writer lands a batch AFTER the
+    # compaction rewrite finished but BEFORE the directory swap
+    orig = store._swap_in_keep_old
+    late = [("m", {"late": "1"}, START + 9999, 123.0)]
+
+    def hooked(staging_root):
+        SegmentStore(spark, path).insert_pylist(late)
+        return orig(staging_root)
+
+    store._swap_in_keep_old = hooked
+    try:
+        store.compact()
+    finally:
+        store._swap_in_keep_old = orig
+
+    got = sorted((r.ts, r.value) for r in store.relation().collect())
+    assert (START + 9999, 123.0) in got          # the late batch survived
+    assert len(got) == 41                        # 40 compacted + 1 salvaged
+    assert not Path(f"{path}__compact").exists() and not Path(f"{path}__old").exists()

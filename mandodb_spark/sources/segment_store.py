@@ -497,9 +497,11 @@ class BucketedSegmentStore(SegmentStore):
             return
         staging, staging_root = f"{self.table}__compact", f"{self.root}__compact"
         shutil.rmtree(staging_root, ignore_errors=True)
-        writer = self._write_options(
-            self.relation().repartition(self.n_buckets, F.col("series_key")).write
-        )
+        rel = self.relation().repartition(self.n_buckets, F.col("series_key"))
+        # same concurrent-writer salvage as SegmentStore.compact: the
+        # rewrite consumes exactly the files its pinned file index listed
+        consumed = {Path(f).name for f in rel.inputFiles()}
+        writer = self._write_options(rel.write)
         (
             writer.partitionBy("seg")
             .bucketBy(self.n_buckets, "series_key")
@@ -508,7 +510,15 @@ class BucketedSegmentStore(SegmentStore):
             .mode("overwrite")
             .saveAsTable(staging)
         )
-        self._swap_in(staging_root)
+        old = self._swap_in_keep_old(staging_root)
+        try:
+            for p in Path(old).rglob("*.parquet"):
+                if p.name not in consumed:
+                    dest = Path(self.root) / p.relative_to(old)
+                    dest.parent.mkdir(parents=True, exist_ok=True)
+                    p.rename(dest)
+        finally:
+            shutil.rmtree(old, ignore_errors=True)
         # re-point the catalog at the canonical root: re-register the
         # external table with the same bucket spec and rediscover
         # partitions.  The catalog churn is metadata-only — the data was

@@ -383,3 +383,33 @@ def test_compact_salvages_concurrent_append(spark, tmp_path_factory):
     assert (START + 9999, 123.0) in got          # the late batch survived
     assert len(got) == 41                        # 40 compacted + 1 salvaged
     assert not Path(f"{path}__compact").exists() and not Path(f"{path}__old").exists()
+
+
+def test_bucketed_compact_salvages_concurrent_append(spark, tmp_path_factory):
+    """Same race, bucketed store: a batch appended mid-compact survives the
+    table swap (salvaged bucket files coexist like any multi-batch append)."""
+    from mandodb_spark.sources.segment_store import BucketedSegmentStore
+
+    path = str(tmp_path_factory.mktemp("store") / "brace")
+    store = BucketedSegmentStore(spark, path, table="t_salvage", n_buckets=2)
+    try:
+        store.insert_pylist(
+            [("m", {"b": str(i % 2)}, START + i, float(i)) for i in range(20)]
+        )
+        orig = store._swap_in_keep_old
+        late = [("m", {"late": "1"}, START + 9999, 123.0)]
+
+        def hooked(staging_root):
+            BucketedSegmentStore(spark, path, table="t_salvage", n_buckets=2).insert_pylist(late)
+            return orig(staging_root)
+
+        store._swap_in_keep_old = hooked
+        try:
+            store.compact()
+        finally:
+            store._swap_in_keep_old = orig
+        got = sorted((r.ts, r.value) for r in store.relation().collect())
+        assert (START + 9999, 123.0) in got
+        assert len(got) == 21
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_salvage")

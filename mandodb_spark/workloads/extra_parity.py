@@ -1,0 +1,116 @@
+"""Second-tier oracle parity registry: operators added AFTER the driver
+registry froze at 150 entries (3 rotation windows x the driver's 50-slot
+correctness window — adding a 151st query would break the pinned
+every-query-within-3-rounds staleness invariant, ``rotation.py``).
+
+These queries are NOT exposed through ``__spark_entry__`` — the driver
+contract stays exactly 150 — but ``tools/oracle_check.py --extra`` runs
+them through the SAME Spark-vs-DuckDB comparison, so the evidence tier is
+identical: row count + schema + value parity over the shared parquet
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import load
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_BM25_TERMS = ["spark", "shuffle", "parquet", "window"]
+
+
+def x_docs_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the documents table (text.bm25_topk)."""
+    from ..operators.text import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"), "doc_id", "text",
+                     _BM25_TERMS, k=25)
+
+
+def _bm25_sql() -> str:
+    from ..operators.text import bm25_topk_sql
+
+    return bm25_topk_sql("documents", "doc_id", "text", _BM25_TERMS, k=25)
+
+
+QUERIES["x_docs_bm25"] = x_docs_bm25
+ORACLES["x_docs_bm25"] = _bm25_sql()
+
+
+def x_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level boilerplate removal over a multi-line view of the
+    corpus (every document wrapped in a shared header/footer — the
+    cross-document boilerplate the operator exists to strip)."""
+    from ..operators.dedup import line_dedup
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("SITE HEADER\n"), F.col("text"), F.lit("\nSITE FOOTER")).alias(
+            "text"
+        ),
+    )
+    return line_dedup(d, "doc_id", "text")
+
+
+def _line_dedup_sql() -> str:
+    from ..operators.dedup import line_dedup_sql
+
+    return line_dedup_sql(
+        "(SELECT doc_id, 'SITE HEADER' || chr(10) || text || chr(10) || 'SITE FOOTER' AS text FROM documents)",
+        "doc_id",
+        "text",
+    )
+
+
+QUERIES["x_docs_line_dedup"] = x_docs_line_dedup
+ORACLES["x_docs_line_dedup"] = _line_dedup_sql()
+
+
+def x_events_alert_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style alert runs over the events-derived relation
+    (tsdb_ops.alert_intervals): condition value > 50, for 1h, staleness
+    gap 2h.  Labels flattened for the cross-engine hash."""
+    from ..operators.tsdb_ops import alert_intervals
+    from .common import events_relation, flatten_labels
+
+    rel = events_relation(spark, sf_dir, 0, 2**40)
+    out = alert_intervals(rel, F.col("value") > 50, 3600, 7200)
+    return flatten_labels(out).orderBy("start_ts")
+
+
+def _alert_sql() -> str:
+    from .tsdb_queries import _REL
+
+    return f"""{_REL},
+marked AS (
+    SELECT metric, user, k, ts, value > 50 AS c,
+           lag(value > 50) OVER w AS prev_c,
+           lag(ts) OVER w AS prev_ts
+    FROM rel
+    WINDOW w AS (PARTITION BY metric, user, k ORDER BY ts)
+),
+runs AS (
+    SELECT *, CAST(c AND (prev_ts IS NULL OR NOT coalesce(prev_c, FALSE)
+                          OR ts - prev_ts > 7200) AS INTEGER) AS new_run
+    FROM marked
+),
+numbered AS (
+    SELECT *, sum(new_run) OVER (PARTITION BY metric, user, k ORDER BY ts) AS run
+    FROM runs
+)
+SELECT metric, user, k,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       max(ts) - min(ts) >= 3600 AS firing
+FROM numbered WHERE c
+GROUP BY metric, user, k, run
+ORDER BY start_ts
+"""
+
+
+QUERIES["x_events_alert_runs"] = x_events_alert_runs
+ORACLES["x_events_alert_runs"] = _alert_sql()

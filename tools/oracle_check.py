@@ -68,7 +68,8 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    extra = "--extra" in sys.argv[1:]
+    only = [a for a in sys.argv[1:] if "/" not in a and a != "--extra"]
 
     import __spark_entry__ as entry_mod
     from mandodb_spark.session import get_spark
@@ -76,6 +77,13 @@ def main() -> int:
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if extra:
+        # second-tier registry: post-cap operators, same comparison, not
+        # part of the 150-query driver contract (see workloads/extra_parity)
+        from mandodb_spark.workloads import extra_parity
+
+        qs = {**qs, **extra_parity.QUERIES}
+        oracles = {**oracles, **extra_parity.ORACLES}
     names = [n for n in qs if not only or n in only]
 
     n_pass = n_fail = 0

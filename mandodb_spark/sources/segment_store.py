@@ -158,6 +158,7 @@ class SegmentStore:
         max_records_per_file: int | None = None,
         zstd_level: int | None = 1,
         max_rows_per_segment: int | None = None,
+        promote_labels: list[str] | None = None,
     ) -> None:
         """``bloom_filter_series`` writes a Parquet bloom filter on
         ``series_key`` — the optional stand-in for the reference's
@@ -183,6 +184,7 @@ class SegmentStore:
         self.bloom_filter_series = bloom_filter_series
         self.max_records_per_file = max_records_per_file
         self.max_rows_per_segment = max_rows_per_segment
+        self.promote_labels = list(promote_labels or [])
         if codec == "zstd" and zstd_level is not None:
             try:
                 spark.sparkContext._jsc.hadoopConfiguration().set(
@@ -252,6 +254,15 @@ class SegmentStore:
                 .select("seg", "series_key", "ts")
             )
             batch = batch.join(existing, ["seg", "series_key", "ts"], "left_anti")
+        # promoted label columns (the columnar label index): each configured
+        # label is materialized as a plain lbl_<name> column so matcher
+        # predicates on it reach PushedFilters — map extractions cannot
+        from ..matchers import PROMOTED_PREFIX
+
+        for name in self.promote_labels:
+            batch = batch.withColumn(
+                PROMOTED_PREFIX + name, F.col("labels").getItem(name)
+            )
         # explicit partition count: a hash repartition without one is
         # AQE-coalescible, and size-based coalescing would serialize the
         # writers (each seg still lands wholly in one task → one file)

@@ -398,3 +398,34 @@ def test_vector_index_probe_prunes_cell_partitions(spark, tmp_path_factory):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1)  # non-empty partition filter on cell
+
+
+def test_promoted_label_columns_reach_pushed_filters(spark, tmp_path_factory):
+    """SegmentStore(promote_labels=...): an equality matcher on a promoted
+    label produces a pushable EqualTo on the lbl_ column (map extractions
+    never push), and results are identical to the unpromoted store."""
+    from mandodb_spark.operators import tsdb_ops
+    from mandodb_spark.sources.segment_store import SegmentStore
+
+    base = tmp_path_factory.mktemp("promoted")
+    rows = [
+        ("m", {"node": f"vm{i % 3}", "dc": "sh"}, 1_700_000_000 + i, float(i))
+        for i in range(60)
+    ]
+    plain = SegmentStore(spark, str(base / "plain"))
+    promo = SegmentStore(spark, str(base / "promo"), promote_labels=["node"])
+    plain.insert_pylist(rows)
+    promo.insert_pylist(rows)
+
+    from mandodb_spark import LabelMatcher
+
+    args = ("m", [LabelMatcher("node", "vm1")], 0, 10**10)
+    a = sorted((r.ts, r.value) for r in tsdb_ops.query_range_rows(plain.relation(), *args).collect())
+    b = sorted((r.ts, r.value) for r in tsdb_ops.query_range_rows(promo.relation(), *args).collect())
+    assert a == b and len(a) == 20
+
+    plan = tsdb_ops.query_range_rows(promo.relation(), *args)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("lbl_node" in l and "EqualTo" in l for l in pushed), pushed

@@ -41,6 +41,7 @@ class TSDB:
         only_memory: bool = False,
         bucket_by_series: int | None = None,
         table: str | None = None,
+        promote_labels: list[str] | None = None,
     ) -> None:
         """``only_memory=True`` (or ``path=None``) mirrors the reference's
         onlyMemoryMode (tsdb.go:30, T6): nothing touches disk.
@@ -64,7 +65,9 @@ class TSDB:
                 spark, path, tname, bucket_by_series, segment_duration, codec
             )
         else:
-            self.store = SegmentStore(spark, path, segment_duration, codec)
+            self.store = SegmentStore(
+                spark, path, segment_duration, codec, promote_labels=promote_labels
+            )
         self.segment_duration = segment_duration
         self.retention = retention
 

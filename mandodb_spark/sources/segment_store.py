@@ -435,8 +435,10 @@ class BucketedSegmentStore(SegmentStore):
         n_buckets: int = 8,
         segment_duration: int = DEFAULT_SEGMENT_DURATION,
         codec: str = "zstd",
+        promote_labels: list[str] | None = None,
     ) -> None:
-        super().__init__(spark, root, segment_duration, codec)
+        super().__init__(spark, root, segment_duration, codec,
+                         promote_labels=promote_labels)
         self.table = table
         self.n_buckets = n_buckets
 
@@ -449,6 +451,12 @@ class BucketedSegmentStore(SegmentStore):
         batch = canonicalize(rows, self.segment_duration)
         if dedup_points:
             batch = dedup_last_write(batch)
+        from ..matchers import PROMOTED_PREFIX
+
+        for name in self.promote_labels:
+            batch = batch.withColumn(
+                PROMOTED_PREFIX + name, F.col("labels").getItem(name)
+            )
         if dedup_against_store and self.spark.catalog.tableExists(self.table):
             segs = [r["seg"] for r in batch.select("seg").distinct().collect()]
             existing = (

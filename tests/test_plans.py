@@ -412,8 +412,12 @@ def test_promoted_label_columns_reach_pushed_filters(spark, tmp_path_factory):
         ("m", {"node": f"vm{i % 3}", "dc": "sh"}, 1_700_000_000 + i, float(i))
         for i in range(60)
     ]
+    from mandodb_spark import TSDB
+
     plain = SegmentStore(spark, str(base / "plain"))
-    promo = SegmentStore(spark, str(base / "promo"), promote_labels=["node"])
+    promo = TSDB(
+        spark, str(base / "promo"), promote_labels=["node"]
+    ).store  # engine passthrough covered too
     plain.insert_pylist(rows)
     promo.insert_pylist(rows)
 

@@ -256,7 +256,12 @@ class SegmentStore:
             batch = batch.join(existing, ["seg", "series_key", "ts"], "left_anti")
         # promoted label columns (the columnar label index): each configured
         # label is materialized as a plain lbl_<name> column so matcher
-        # predicates on it reach PushedFilters — map extractions cannot
+        # predicates on it reach PushedFilters — map extractions cannot.
+        # The layout must be HOMOGENEOUS: a file missing a promoted column
+        # reads as NULL, and the promoted conjunct would silently drop its
+        # matching rows — so a promotion change is refused until compact()
+        # migrates the existing files.
+        self._check_promoted_layout()
         from ..matchers import PROMOTED_PREFIX
 
         for name in self.promote_labels:
@@ -335,6 +340,37 @@ class SegmentStore:
                 dropped.append(seg)
         return dropped
 
+    def _check_promoted_layout(self) -> None:
+        """Fail fast when ``promote_labels`` disagrees with the on-disk
+        layout (one footer read — O(1)): appending into a store whose
+        existing files carry a different promoted-column set would create
+        a mixed schema, and the promoted conjunct reads missing columns
+        as NULL — silently dropping matching rows.  ``compact()`` is the
+        migration: it re-derives the configured set from ``labels`` and
+        rewrites every file."""
+        from ..matchers import PROMOTED_PREFIX
+
+        root = Path(self.root)
+        if not root.exists():
+            return
+        sample = next(iter(root.glob("seg=*/*.parquet")), None)
+        if sample is None:
+            return
+        import pyarrow.parquet as _pq
+
+        on_disk = {
+            n[len(PROMOTED_PREFIX):]
+            for n in _pq.ParquetFile(str(sample)).schema_arrow.names
+            if n.startswith(PROMOTED_PREFIX)
+        }
+        if on_disk != set(self.promote_labels):
+            raise ValueError(
+                f"promote_labels {sorted(self.promote_labels)} does not match "
+                f"the store's existing promoted columns {sorted(on_disk)}; "
+                "run compact() on a store configured with the NEW set to "
+                "migrate the layout, then append"
+            )
+
     # ----------------------------------------------------------- compaction
     def _swap_in(self, staging_root: str) -> None:
         swap_in(self.root, staging_root)
@@ -366,11 +402,18 @@ class SegmentStore:
             return
         staging_root = f"{self.root}__compact"
         shutil.rmtree(staging_root, ignore_errors=True)
-        rel = (
-            self.relation()
-            .repartition(F.col("seg"))
-            .sortWithinPartitions("series_key", "ts")
-        )
+        from ..matchers import PROMOTED_PREFIX
+
+        rel = self.relation()
+        # promotion migration: re-derive the CONFIGURED promoted set from
+        # the labels map and drop stale lbl_ columns, so compact() is how
+        # a promote_labels change becomes a homogeneous layout
+        for c in rel.columns:
+            if c.startswith(PROMOTED_PREFIX):
+                rel = rel.drop(c)
+        for name in self.promote_labels:
+            rel = rel.withColumn(PROMOTED_PREFIX + name, F.col("labels").getItem(name))
+        rel = rel.repartition(F.col("seg")).sortWithinPartitions("series_key", "ts")
         # membership by FILE NAME: part files carry a per-task UUID, and the
         # old tree is compared after it has been renamed aside, so absolute
         # paths would never match

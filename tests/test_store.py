@@ -413,3 +413,33 @@ def test_bucketed_compact_salvages_concurrent_append(spark, tmp_path_factory):
         assert len(got) == 21
     finally:
         spark.sql("DROP TABLE IF EXISTS t_salvage")
+
+
+def test_promote_labels_change_is_refused_then_migrated_by_compact(spark, tmp_path_factory):
+    """A promotion change over existing files would mix schemas (missing
+    promoted columns read as NULL and the pushable conjunct would silently
+    drop their rows) — append refuses; compact() on the newly-configured
+    store migrates every file, after which appends and matcher queries work."""
+    import pytest
+
+    from mandodb_spark import LabelMatcher
+    from mandodb_spark.operators import tsdb_ops
+    from mandodb_spark.sources.segment_store import SegmentStore
+
+    path = str(tmp_path_factory.mktemp("store") / "promo_mig")
+    rows = [("m", {"node": f"vm{i % 2}"}, START + i, float(i)) for i in range(10)]
+    SegmentStore(spark, path).insert_pylist(rows)
+
+    promoted = SegmentStore(spark, path, promote_labels=["node"])
+    with pytest.raises(ValueError, match="promote_labels"):
+        promoted.insert_pylist(rows)
+    promoted.compact()  # migration: derives lbl_node for every file
+    promoted.insert_pylist([("m", {"node": "vm1"}, START + 99, 42.0)])
+
+    got = sorted(
+        (r.ts, r.value)
+        for r in tsdb_ops.query_range_rows(
+            promoted.relation(), "m", [LabelMatcher("node", "vm1")], 0, 10**10
+        ).collect()
+    )
+    assert (START + 99, 42.0) in got and len(got) == 6  # 5 original vm1 + 1 new

@@ -629,7 +629,10 @@ def fsck(root: str, segment_duration: int = DEFAULT_SEGMENT_DURATION) -> dict:
 
     import pyarrow.parquet as _pq
 
-    report: dict = {"segments": [], "corrupt": [], "orphans": []}
+    from ..matchers import PROMOTED_PREFIX
+
+    report: dict = {"segments": [], "corrupt": [], "orphans": [], "mixed_promotion": []}
+    promo_sets: dict = {}
     rootp = _P(root)
     for suffix in ("__old", "__compact", "__rebuild"):
         if _P(f"{root}{suffix}").exists():
@@ -651,6 +654,9 @@ def fsck(root: str, segment_duration: int = DEFAULT_SEGMENT_DURATION) -> dict:
                     md.row_group(0).column(i).path_in_schema
                     for i in range(md.row_group(0).num_columns)
                 ] if md.num_row_groups else []
+                promo_sets[str(f)] = frozenset(
+                    n for n in names if n.startswith(PROMOTED_PREFIX)
+                )
                 if "ts" in names:
                     ti = names.index("ts")
                     for g in range(md.num_row_groups):
@@ -671,9 +677,21 @@ def fsck(root: str, segment_duration: int = DEFAULT_SEGMENT_DURATION) -> dict:
                     ),
                 }
             )
+    # mixed promoted-column layouts (files deviating from the majority
+    # set): a query's promoted conjunct reads the missing column as NULL
+    # and silently drops that file's matching rows — the exact hazard the
+    # append-time guard refuses and compact() migrates
+    if promo_sets:
+        from collections import Counter
+
+        majority = Counter(promo_sets.values()).most_common(1)[0][0]
+        report["mixed_promotion"] = sorted(
+            f for f, ps in promo_sets.items() if ps != majority
+        )
     report["ok"] = (
         not report["corrupt"]
         and not report["orphans"]
+        and not report["mixed_promotion"]
         and not any(s["out_of_bounds"] for s in report["segments"])
     )
     return report

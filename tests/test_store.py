@@ -443,3 +443,31 @@ def test_promote_labels_change_is_refused_then_migrated_by_compact(spark, tmp_pa
         ).collect()
     )
     assert (START + 99, 42.0) in got and len(got) == 6  # 5 original vm1 + 1 new
+
+
+def test_fsck_flags_mixed_promoted_layout(spark, tmp_path_factory):
+    """fsck reports files whose promoted-column set deviates from the
+    store majority — the silent-row-drop hazard class the append guard
+    refuses and compact() migrates."""
+    from mandodb_spark.sources.segment_store import SegmentStore, fsck
+
+    path = str(tmp_path_factory.mktemp("store") / "mix")
+    plain = SegmentStore(spark, path)
+    plain.insert_pylist([("m", {"node": "a"}, START + i, float(i)) for i in range(3)])
+    plain.insert_pylist([("m", {"node": "a"}, START + 10 + i, float(i)) for i in range(3)])
+    assert fsck(path)["ok"]
+    # simulate a foreign writer dropping promoted files into the same tree
+    # (bypassing the append guard): write a promoted batch elsewhere and
+    # move its file in
+    other = str(tmp_path_factory.mktemp("store") / "promoted")
+    SegmentStore(spark, other, promote_labels=["node"]).insert_pylist(
+        [("m", {"node": "b"}, START + 99, 9.0)]
+    )
+    import shutil as _sh
+
+    seg = next(Path(other).glob("seg=*"))
+    for f in seg.glob("*.parquet"):
+        _sh.copy(f, Path(path) / seg.name / f"foreign-{f.name}")
+    rep = fsck(path)
+    assert not rep["ok"] and len(rep["mixed_promotion"]) == 1
+    assert "foreign-" in rep["mixed_promotion"][0]

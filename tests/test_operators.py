@@ -1762,6 +1762,10 @@ def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
     solo = spark.createDataFrame([(7, "x\nx\ny")], "doc_id long, text string")
     r = dedup.line_dedup(solo, "doc_id", "text").collect()[0]
     assert (r.n_lines, r.kept_lines, r.new_text) == (3, 3, "x\nx\ny")
+    # min_dup_docs raises the bar: 2 sharing docs no longer trip the gate
+    out3 = {r.doc_id: r for r in dedup.line_dedup(df, "doc_id", "text",
+                                                  min_dup_docs=3).collect()}
+    assert out3[1].new_text == "same\nsame two" and out3[3].new_text == "other"
 
 
 def test_line_dedup_duckdb_parity(spark):

@@ -400,3 +400,28 @@ def test_alert_intervals_match_reference_model(spark, samples):
         prev_ts, prev_hot = ts, hot
     want = sorted((s, e, n, e - s >= for_dur) for s, e, n in runs)
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    seed=st.integers(0, 10_000),
+    shift=st.integers(1, 55),
+    w=st.integers(8, 24),
+    h=st.integers(8, 24),
+)
+def test_ahash64_is_brightness_and_scale_invariant(seed, shift, w, h):
+    """ahash64 invariants (pure function, no Spark): a global brightness
+    shift (no clipping) leaves the hash identical — the threshold is the
+    downsampled mean; an exact 2x nearest-neighbor upscale leaves it
+    identical — the fixed 8x8 grid samples the same texels."""
+    import numpy as np
+
+    from mandodb_spark.operators.multimodal import ahash64
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 200, size=(h, w, 3), dtype=np.uint8)
+    base = ahash64(w, h, 3, img.tobytes())
+    shifted = (img.astype(int) + shift).astype(np.uint8)
+    assert ahash64(w, h, 3, shifted.tobytes()) == base
+    up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert ahash64(2 * w, 2 * h, 3, up.tobytes()) == base

@@ -251,6 +251,13 @@ def main() -> None:
     # stays comparable round-over-round on an identical query set.
     ext_timings, ext_total = run_suite(EXTENDED)
 
+    # Post-cap second-tier ops (workloads/extra_parity — not in the
+    # 150-query driver registry), timed under the same protocol.
+    from mandodb_spark.workloads import extra_parity
+
+    QUERIES.update(extra_parity.QUERIES)
+    extra_timings, extra_total = run_suite(list(extra_parity.QUERIES))
+
     pts_per_sec, bytes_per_point = ingest_bench(spark)
 
     print(
@@ -265,6 +272,8 @@ def main() -> None:
                 "storage_bytes_per_point": round(bytes_per_point, 3),
                 "extended_suite_seconds": round(ext_total, 3),
                 "extended_queries": ext_timings,
+                "extra_suite_seconds": round(extra_total, 3),
+                "extra_queries": extra_timings,
                 "calibration_canary_seconds": canary_s,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],

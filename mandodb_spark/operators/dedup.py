@@ -755,3 +755,38 @@ SELECT t.{id_col}, t.n_lines,
        coalesce(k.new_text, '') AS new_text
 FROM totals t LEFT JOIN kept k USING ({id_col})
 """
+
+
+def strip_lines(df: DataFrame, id_col: str, text_col: str,
+                drop_keys: DataFrame, sep: str = "\n") -> DataFrame:
+    """Remove every line whose trimmed-md5 key appears in ``drop_keys``
+    (one column ``line_key``) — the apply half of line-level dedup when
+    the boilerplate set comes from OUTSIDE the batch (an incremental
+    dictionary, a curated blocklist).  Same anti-join + in-order
+    reassembly shape as :func:`line_dedup`; same output columns."""
+    import re as _re
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep), -1)).alias(
+            "line_idx", "line"
+        ),
+    ).withColumn("line_key", F.md5(F.trim(F.col("line"))))
+    survivors = lines.join(drop_keys.select("line_key"), "line_key", "left_anti")
+    kept = survivors.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("new_text"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

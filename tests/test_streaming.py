@@ -803,3 +803,37 @@ def test_streaming_alert_state_transitions_across_batches(spark, tmp_path_factor
     assert [(r.state, r.transitioned) for r in s1] == [("PENDING", True)]
     assert [(r.state, r.transitioned, r.run_start_ts) for r in s2] == [("FIRING", True, t0)]
     assert [(r.state, r.transitioned) for r in s3] == [("OK", True)]
+
+
+def test_boilerplate_dict_accumulates_evidence_across_batches(spark, tmp_path_factory):
+    """The incremental dictionary: a line seen in ONE document is not
+    boilerplate after batch 1; when batch 2 brings a second distinct
+    document, the merged count crosses the threshold and strip() removes
+    it from any batch — cross-batch state line_dedup alone cannot have.
+    Also pins the partial-rewrite contract: batch 2 only rewrites the
+    touched kp partitions."""
+    from pathlib import Path
+
+    from mandodb_spark.streaming.boilerplate import BoilerplateDict
+
+    root = str(tmp_path_factory.mktemp("bp") / "dict")
+    d = BoilerplateDict(spark, root, n_partitions=8)
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, "COOKIE BANNER\nunique one")], schema)
+    b2 = spark.createDataFrame([(2, "COOKIE BANNER\nunique two")], schema)
+
+    d.update(b1, "doc_id", "text")
+    probe = spark.createDataFrame([(9, "COOKIE BANNER\nfresh body")], schema)
+    s1 = d.strip(probe, "doc_id", "text").collect()[0]
+    assert s1.kept_lines == 2  # one sighting: not yet boilerplate
+
+    before = {p: p.stat().st_mtime_ns for p in Path(root).rglob("*.parquet")}
+    d.update(b2, "doc_id", "text")
+    s2 = d.strip(probe, "doc_id", "text").collect()[0]
+    assert (s2.n_lines, s2.kept_lines, s2.new_text) == (2, 1, "fresh body")
+    # untouched kp partitions were not rewritten (incremental contract)
+    untouched = [
+        p for p, m in before.items()
+        if p.exists() and p.stat().st_mtime_ns == m
+    ]
+    assert untouched, "dynamic overwrite must leave untouched partitions alone"

@@ -114,3 +114,83 @@ ORDER BY start_ts
 
 QUERIES["x_events_alert_runs"] = x_events_alert_runs
 ORACLES["x_events_alert_runs"] = _alert_sql()
+
+
+_DDS_QS = [0.5, 0.9, 0.99]
+
+
+def x_tsdb_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable DDSketch quantile rollup under the gate
+    (operators/sketch.py::dds_build/dds_merge/dds_quantiles — the code
+    path of quantile_materialize/estimate minus the parquet hop, which
+    tests/test_operators.py pins): per-segment sketches of the point
+    values merged across the range, estimates checked against the exact
+    rank quantile.  Bucket state is log-float-derived, so (as with the
+    HLL row) the oracle pins what IS cross-engine: the interpolated
+    exact quantile values and a TRUE assertion that every estimate lands
+    within the alpha=1% guarantee of the exact rank-floor(q*(N-1))
+    quantile computed alongside."""
+    from pyspark.sql import Window
+
+    from ..operators.sketch import DDS_ALPHA, dds_build, dds_quantiles
+    from .common import SEG, events_relation
+    from .tsdb_queries import EV_END, EV_START
+
+    rel = (
+        events_relation(spark, sf_dir, EV_START, EV_END)
+        .filter(F.col("ts").between(EV_START, EV_END))
+        .withColumn("seg", (F.col("ts") / SEG).cast("long"))
+    )
+    per_seg = dds_build(rel, "value", DDS_ALPHA, group_cols=("seg",))
+    merged = per_seg.groupBy("sgn", "bucket").agg(F.sum("n").alias("n"))
+    est = dds_quantiles(merged, _DDS_QS, DDS_ALPHA)
+
+    # exact rank-floor(q*(N-1)) quantile (the estimate's target), plus the
+    # interpolated percentile (the cross-engine-checked value)
+    ranked = rel.select(
+        F.col("value"),
+        F.row_number().over(Window.orderBy(F.col("value"))).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("total"),
+    )
+    targets = ranked.select(
+        "*", F.explode(F.array(*[F.lit(q) for q in _DDS_QS])).alias("q")
+    ).filter(
+        F.col("rn") == F.floor(F.col("q") * (F.col("total") - 1)) + 1
+    ).select("q", F.col("value").alias("disc_q"))
+    cont = rel.agg(
+        *[F.expr(f"percentile(value, {q}d)").alias(f"c{i}")
+          for i, q in enumerate(_DDS_QS)]
+    ).select(F.explode(F.array(*[
+        F.struct(F.lit(q).alias("q"), F.col(f"c{i}").alias("exact_q"))
+        for i, q in enumerate(_DDS_QS)])).alias("s")
+    ).select("s.q", "s.exact_q")
+    return (
+        est.join(targets, "q").join(cont, "q")
+        .select(
+            "q",
+            "exact_q",
+            (
+                F.abs(F.col("est") - F.col("disc_q"))
+                <= F.lit(DDS_ALPHA * 1.001) * F.abs(F.col("disc_q")) + F.lit(1e-9)
+            ).alias("within_bound"),
+        )
+        .orderBy("q")
+    )
+
+
+def _quantile_sketch_sql() -> str:
+    from .tsdb_queries import _REL, _TIME
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {q} AS q, quantile_cont(value, {q}) AS exact_q, TRUE AS within_bound FROM d"
+        for q in _DDS_QS
+    )
+    return f"""{_REL},
+d AS (SELECT value FROM rel WHERE {_TIME})
+{arms}
+ORDER BY q
+"""
+
+
+QUERIES["x_tsdb_quantile_sketch"] = x_tsdb_quantile_sketch
+ORACLES["x_tsdb_quantile_sketch"] = _quantile_sketch_sql()

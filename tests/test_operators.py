@@ -1989,3 +1989,95 @@ def test_video_neardup_pairs_by_shared_frames(spark):
                  df, "doc_id", "payload", min_shared_frames=1).collect()}
     assert loose[(1, 3)] == 1 and loose[(2, 3)] == 1 and loose[(1, 2)] == 6
     assert all(4 not in p for p in loose)
+
+
+def _exact_disc_quantile(vals, q):
+    s = sorted(vals)
+    return s[int(q * (len(s) - 1))]
+
+
+def test_ddsketch_relative_error_bound(spark):
+    """DDSketch estimates land within alpha relative error of the exact
+    rank-floor(q*(N-1)) quantile for mixed-sign data, and hit 0 exactly
+    when the target is 0 (the dedicated zero cell)."""
+    import random
+
+    from mandodb_spark.operators import sketch
+
+    rng = random.Random(7)
+    vals = (
+        [rng.lognormvariate(0, 2) for _ in range(400)]
+        + [-rng.lognormvariate(1, 1) for _ in range(150)]
+        + [0.0] * 50
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    alpha = 0.01
+    sk = sketch.dds_build(df, "value", alpha)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {r.q: r.est for r in sketch.dds_quantiles(sk, qs, alpha).collect()}
+    assert set(est) == set(qs)
+    for q in qs:
+        exact = _exact_disc_quantile(vals, q)
+        if exact == 0.0:
+            assert est[q] == 0.0
+        else:
+            assert abs(est[q] - exact) <= alpha * 1.001 * abs(exact) + 1e-9, (
+                q, est[q], exact)
+    # cell count is bounded by geometry (log range / log gamma per sign,
+    # + the zero cell), independent of how many input rows land in them
+    import math
+
+    g = math.log(sketch.dds_gamma(alpha))
+    nonzero = [abs(v) for v in vals if v != 0.0]
+    ceiling = 2 * (math.log(max(nonzero) / min(nonzero)) / g + 2) + 1
+    assert sk.count() <= ceiling
+
+
+def test_ddsketch_merge_equals_whole(spark):
+    """sketch(A) merged with sketch(B) is cell-for-cell identical to
+    sketch(A UNION B) — the mergeability that makes per-segment rollups
+    sound — and yields identical quantile estimates."""
+    from mandodb_spark.operators import sketch
+
+    a = spark.range(1, 500).select((F.col("id") * 1.5).alias("value"))
+    b = spark.range(200, 900).select((F.col("id") * 0.7 - 100).alias("value"))
+    whole = sketch.dds_build(a.unionAll(b), "value")
+    merged = sketch.dds_merge(sketch.dds_build(a, "value"),
+                              sketch.dds_build(b, "value"))
+    w = {(r.sgn, r.bucket): r.n for r in whole.collect()}
+    m = {(r.sgn, r.bucket): r.n for r in merged.collect()}
+    assert w == m
+    qs = [0.1, 0.5, 0.9]
+    ew = {r.q: r.est for r in sketch.dds_quantiles(whole, qs).collect()}
+    em = {r.q: r.est for r in sketch.dds_quantiles(merged, qs).collect()}
+    assert ew == em
+
+
+def test_quantile_rollup_materialize_estimate(spark, tmp_path_factory):
+    """Seg-partitioned quantile rollup: materialize writes seg= partitions,
+    incremental refresh touches only new segs, and range estimates come
+    from merged sketches within the alpha bound of the exact quantile of
+    the pruned range."""
+    from mandodb_spark.operators import sketch
+
+    dest = str(tmp_path_factory.mktemp("ddsq") / "rollup")
+    rel = spark.range(0, 3000).select(
+        (F.col("id") % 6).alias("seg"),
+        (F.pow(F.lit(1.01), F.col("id") % 700) * 10).alias("value"),
+    )
+    sketch.quantile_materialize(spark, rel.filter(F.col("seg") <= 3), dest)
+    import os
+
+    segs = {d for d in os.listdir(dest) if d.startswith("seg=")}
+    assert segs == {"seg=0", "seg=1", "seg=2", "seg=3"}
+    # incremental: add segs 4-5, refresh from watermark
+    sketch.quantile_materialize(spark, rel, dest, incremental=True)
+    segs = {d for d in os.listdir(dest) if d.startswith("seg=")}
+    assert segs == {f"seg={i}" for i in range(6)}
+    qs = [0.5, 0.95]
+    est = {r.q: r.est for r in
+           sketch.quantile_estimate(spark, dest, 1, 4, qs).collect()}
+    vals = [r.value for r in rel.filter(F.col("seg").between(1, 4)).collect()]
+    for q in qs:
+        exact = _exact_disc_quantile(vals, q)
+        assert abs(est[q] - exact) <= 0.011 * abs(exact), (q, est[q], exact)

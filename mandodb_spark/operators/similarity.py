@@ -711,3 +711,103 @@ def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
     assign = ivf_assign(df, id_col, vec_col, cent)
     cand = df.join(assign, id_col).join(F.broadcast(probe), "cell", "left_semi")
     return pq_adc_topk(cand, id_col, vec_col, query, codebooks, k)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization + Hamming retrieval — the 32x-compression ANN
+# mode: each dimension collapses to its sign bit, packed into 32-bit words,
+# distance becomes popcount(xor) (pure integer ops, whole-stage codegen),
+# and a small Hamming candidate set is re-ranked with exact float cosine.
+# Complements int8 (4x) and PQ (codebook) above; at 100 TB the binary codes
+# are computed once at ingest (map-side, zero shuffle) and the float
+# vectors are only touched for the top re-rank candidates.
+
+#: Bits per code word.  32 (not 64) so the packed word stays positive in a
+#: signed BIGINT — the same cross-engine-portable choice the simhash band
+#: split makes, and what lets the DuckDB oracle rebuild codes with plain
+#: integer arithmetic.
+BQ_WORD_BITS = 32
+
+
+def binary_quantize(vec: Column, dim: int) -> Column:
+    """Sign-bit code of a ``dim``-dimensional vector: array<long> of
+    ceil(dim/32) words, bit j of word w set iff vec[32w+j] > 0.
+
+    Expression-only (no UDF): each word is a sum of 32 conditional
+    power-of-two terms — constant-folded literals, codegen'd per row."""
+    words = []
+    for w in range(0, dim, BQ_WORD_BITS):
+        terms = [
+            F.when(
+                F.element_at(vec, w + j + 1).cast("double") > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            for j in range(min(BQ_WORD_BITS, dim - w))
+        ]
+        word = terms[0]
+        for t in terms[1:]:
+            word = word + t
+        words.append(word.cast("long"))
+    return F.array(*words)
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Bit distance between two packed codes: Σ popcount(a_w XOR b_w)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def binary_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
+                k: int, dim: int, rerank: int = 40) -> DataFrame:
+    """Top-k by binary-quantized Hamming distance with exact cosine
+    re-rank: code the corpus map-side, TakeOrdered the ``rerank`` nearest
+    codes (deterministic total order: hamming asc, id asc — no shuffle,
+    per-partition partial top-k merged on the driver), then re-rank just
+    those with float cosine.  Output matches :func:`cosine_topk`:
+    (id, cos_sim), ordering (rounded cosine desc, id).
+
+    ``rerank`` trades recall for float work: sign bits quantize ~1 bit/dim,
+    so rerank ≈ 4k recovers near-exact top-k on clustered data (pinned by
+    the recall test); the scan itself never touches more than the packed
+    words per row."""
+    qn = query.select(
+        F.col("qe"),
+        norm(F.col("qe")).alias("qnorm"),
+        binary_quantize(F.col("qe"), dim).alias("qcode"),
+    )
+    cand = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(qn))
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("qe"), F.col("qnorm"),
+            hamming(binary_quantize(F.col(vec_col), dim), F.col("qcode")).alias("hd"),
+        )
+        .orderBy(F.col("hd").asc(), F.col(id_col))
+        .limit(rerank)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("qe"))
+                / (norm(F.col(vec_col)) * F.col("qnorm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def binary_quantize_sql(vec_expr: str, dim: int) -> str:
+    """DuckDB mirror of :func:`binary_quantize` (1-based list index)."""
+    words = []
+    for w in range(0, dim, BQ_WORD_BITS):
+        terms = " + ".join(
+            f"(CASE WHEN CAST({vec_expr}[{w + j + 1}] AS DOUBLE) > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(min(BQ_WORD_BITS, dim - w))
+        )
+        words.append(f"CAST({terms} AS BIGINT)")
+    return "[" + ", ".join(words) + "]"

@@ -194,3 +194,58 @@ ORDER BY q
 
 QUERIES["x_tsdb_quantile_sketch"] = x_tsdb_quantile_sketch
 ORACLES["x_tsdb_quantile_sketch"] = _quantile_sketch_sql()
+
+
+_BQ_DIM = 64
+_BQ_RERANK = 40
+_BQ_K = 10
+
+
+def x_emb_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) quantization ANN under the gate
+    (operators/similarity.py::binary_quantize/hamming/binary_topk): pack
+    sign bits into 32-bit words, TakeOrdered the 40 Hamming-nearest
+    codes, exact-cosine re-rank to top-10.  Both stages are totally
+    ordered ((hd, id) then (rounded cos desc, id)), so the DuckDB mirror
+    — which rebuilds the same codes with integer CASE arithmetic — must
+    produce the identical candidate set and final ranking."""
+    from ..operators.similarity import binary_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return binary_topk(emb, "vec_id", "embedding", q, _BQ_K,
+                       dim=_BQ_DIM, rerank=_BQ_RERANK)
+
+
+def _binary_topk_sql() -> str:
+    from ..operators.similarity import BQ_WORD_BITS, binary_quantize_sql
+
+    n_words = (_BQ_DIM + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    hd = " + ".join(
+        f"bit_count(xor(c.code[{w + 1}], q.qcode[{w + 1}]))"
+        for w in range(n_words)
+    )
+    return f"""
+WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qc AS (SELECT qe, {binary_quantize_sql('qe', _BQ_DIM)} AS qcode FROM q0),
+codes AS (
+    SELECT vec_id, embedding,
+           {binary_quantize_sql('embedding', _BQ_DIM)} AS code
+    FROM embeddings
+),
+cand AS (
+    SELECT c.vec_id, c.embedding, q.qe, ({hd}) AS hd
+    FROM codes c, qc q
+    ORDER BY hd, c.vec_id
+    LIMIT {_BQ_RERANK}
+)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qe AS DOUBLE[])), 4) AS cos_sim
+FROM cand
+ORDER BY cos_sim DESC, vec_id
+LIMIT {_BQ_K}
+"""
+
+
+QUERIES["x_emb_binary_topk"] = x_emb_binary_topk
+ORACLES["x_emb_binary_topk"] = _binary_topk_sql()

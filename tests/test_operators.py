@@ -2081,3 +2081,56 @@ def test_quantile_rollup_materialize_estimate(spark, tmp_path_factory):
     for q in qs:
         exact = _exact_disc_quantile(vals, q)
         assert abs(est[q] - exact) <= 0.011 * abs(exact), (q, est[q], exact)
+
+
+def test_binary_quantize_packs_sign_bits(spark):
+    """Packed code has ceil(dim/32) words, popcount == #positive dims, and
+    hamming == #dims whose signs differ (python reference check)."""
+    from mandodb_spark.operators import similarity
+
+    vecs = {
+        1: [0.5, -1.0, 0.0, 2.0, -0.1, 3.0, -4.0, 0.01] * 5,   # dim 40
+        2: [-0.5, 1.0, 0.0, 2.0, 0.1, -3.0, 4.0, -0.01] * 5,
+    }
+    df = spark.createDataFrame([(i, v) for i, v in vecs.items()],
+                               "vec_id long, embedding array<double>")
+    coded = df.select(
+        "vec_id",
+        similarity.binary_quantize(F.col("embedding"), 40).alias("code"),
+    )
+    rows = {r.vec_id: r.code for r in coded.collect()}
+    assert all(len(c) == 2 for c in rows.values())  # ceil(40/32)
+    for i, v in vecs.items():
+        assert sum(bin(w).count("1") for w in rows[i]) == sum(x > 0 for x in v)
+    hd = (
+        coded.alias("a").crossJoin(coded.alias("b"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(similarity.hamming(F.col("a.code"), F.col("b.code")).alias("hd"))
+        .first().hd
+    )
+    expect = sum((x > 0) != (y > 0) for x, y in zip(vecs[1], vecs[2]))
+    assert hd == expect
+    # self-distance is zero
+    assert (
+        coded.select(similarity.hamming(F.col("code"), F.col("code")).alias("z"))
+        .agg(F.max("z")).first()[0] == 0
+    )
+
+
+def test_binary_topk_recall_against_exact(spark):
+    sf_dir = "/root/testdata/sf0.01"
+    """Hamming-candidate + cosine-re-rank recovers most of the exact
+    cosine top-k on the real embeddings table — the recall/compression
+    trade the 32x binary mode exists for."""
+    from mandodb_spark.operators import similarity
+    from mandodb_spark.workloads.common import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    exact = {r.vec_id for r in
+             similarity.cosine_topk(emb, "vec_id", "embedding", q, 10).collect()}
+    approx = {r.vec_id for r in
+              similarity.binary_topk(emb, "vec_id", "embedding", q, 10,
+                                     dim=64, rerank=40).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall

@@ -313,6 +313,46 @@ class TSDB:
         """Read back a materialized rollup (partition-pruned on seg)."""
         return self.spark.read.parquet(dest)
 
+    def query_range_tiered(
+        self,
+        dest: str,
+        metric: str | None,
+        matchers: list[LabelMatcher] | None,
+        start: int,
+        end: int,
+        step: int = 21600,
+        cutover_ts: int | None = None,
+    ) -> DataFrame:
+        """Retention-ladder range query: per-series ``step``-bucket
+        aggregates where buckets before ``cutover_ts`` come from the
+        materialized rollup at ``dest`` and buckets at/after it are
+        computed from raw points — the M3/Thanos tiered read that lets
+        ``remove_expires`` purge raw segments the tier already covers
+        without queries losing history.  ``cutover_ts`` defaults to the
+        retention boundary (now − retention aligned to ``step``); both
+        sides get metric/matcher filtering and partition pruning before
+        any aggregation (operators/tsdb_ops.py::tiered_range)."""
+        from time import time as _now
+
+        from .matchers import add_metric_name, matchers_predicate
+        from .operators import tsdb_ops
+
+        if cutover_ts is None:
+            cutover_ts = int(_now()) - self.retention
+        cut = (cutover_ts // step) * step
+        lms = add_metric_name(metric, matchers or [])
+        lo = (start // step) * step // self.segment_duration
+        hi = min(cut - 1, end) // self.segment_duration
+        rollup = self.rollup_relation(dest).filter(
+            F.col("seg").between(lo, hi)
+            & matchers_predicate(F.col("labels"), lms, set())
+        )
+        raw = tsdb_ops._filtered(
+            self.store.relation(), metric, matchers or [],
+            max(cut, start), end, self.segment_duration,
+        )
+        return tsdb_ops.tiered_range(raw, rollup, start, end, step, cut)
+
     def materialize_value_histogram(
         self,
         dest: str,
@@ -378,6 +418,37 @@ class TSDB:
 
         lo, hi = start // self.segment_duration, end // self.segment_duration
         return cardinality_estimate(self.spark, dest, lo, hi)
+
+    def materialize_value_quantile(
+        self, dest: str, alpha: float = 0.01,
+        incremental: bool = False, since_seg: int | None = None,
+    ) -> None:
+        """Quantile continuous aggregate: per-segment DDSketch log-bucket
+        counts of the point values (operators/sketch.py::dds_build),
+        Parquet partitioned by ``seg``.  Unlike the value histogram's
+        fixed ``le`` bounds, the sketch guarantees a RELATIVE error alpha
+        on every quantile regardless of the value range — p50 and p999
+        from the same structure — and buckets merge by count addition, so
+        any refresh cadence composes (same watermark protocol as the
+        other rollups)."""
+        from .operators.sketch import quantile_materialize
+
+        quantile_materialize(
+            self.spark, self.store.relation(), dest, alpha=alpha,
+            incremental=incremental, since_seg=since_seg,
+        )
+
+    def query_quantile_sketch(
+        self, dest: str, qs: list[float], start: int, end: int,
+        alpha: float = 0.01,
+    ) -> DataFrame:
+        """Quantile estimates for [start, end] from the materialized
+        DDSketch table — seg predicates prune partitions, the merge
+        touches only in-range bucket rows, never raw points."""
+        from .operators.sketch import quantile_estimate
+
+        lo, hi = start // self.segment_duration, end // self.segment_duration
+        return quantile_estimate(self.spark, dest, lo, hi, qs, alpha)
 
     def query_quantile_histogram(
         self, dest: str, q: float, start: int, end: int

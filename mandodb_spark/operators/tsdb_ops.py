@@ -92,6 +92,65 @@ def refresh_label_dim(dest: str, batch: DataFrame) -> None:
         new.coalesce(1).write.mode("overwrite").parquet(dest)
 
 
+#: Columns of a rollup row (shared by the materialized tier and the
+#: on-the-fly raw aggregation, so the two sides of a tiered read union).
+ROLLUP_COLS = ("series_key", "labels", "bucket_ts", "n", "avg_value",
+               "min_value", "max_value", "sum_value", "last_value")
+
+
+def rollup_aggregate(rel: DataFrame, step: int) -> DataFrame:
+    """Per-series ``step``-second bucket aggregate of a canonical relation
+    — one hash aggregation keyed (series_key, bucket); ``last_value`` =
+    max_by(value, ts).  The shared math of :func:`materialize_rollup` and
+    the raw side of :func:`tiered_range` (they must stay identical or a
+    tiered read changes semantics at the cutover)."""
+    bucket = (F.floor(F.col("ts") / step) * step).cast("long")
+    return rel.groupBy(F.col("series_key"), bucket.alias("bucket_ts")).agg(
+        F.any_value("labels").alias("labels"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum("value").alias("sum_value"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+
+
+def tiered_range(raw_rel: DataFrame, rollup: DataFrame,
+                 start: int, end: int, step: int,
+                 cutover_ts: int) -> DataFrame:
+    """Retention-ladder read (the M3/Thanos tiered story): buckets below
+    the cutover come from the materialized rollup tier, buckets at/after
+    it are aggregated from raw points on the fly — one DataFrame spanning
+    both, so raw segments older than the cutover can be retention-purged
+    once the tier covers them without any query losing history.
+
+    ``cutover_ts`` is aligned DOWN to a ``step`` boundary so no bucket
+    ever mixes sources; selection is by bucket: every bucket whose start
+    lies in [floor(start/step)·step, end] is returned (tier buckets carry
+    full-bucket aggregates by construction).  Both sides are pruned
+    before any aggregation — the tier by bucket_ts (and its ``seg``
+    partitions upstream), the raw scan by ts — and the union is
+    schema-aligned on :data:`ROLLUP_COLS`.
+    """
+    cut = (cutover_ts // step) * step
+    b0 = (start // step) * step
+    cols = [F.col(c) for c in ROLLUP_COLS]
+    old = rollup.filter(
+        (F.col("bucket_ts") >= b0)
+        & (F.col("bucket_ts") < cut)
+        & (F.col("bucket_ts") <= end)
+    ).select(*cols)
+    new = (
+        rollup_aggregate(
+            raw_rel.filter((F.col("ts") >= cut) & (F.col("ts") <= end)), step
+        )
+        .filter(F.col("bucket_ts") >= b0)
+        .select(*cols)
+    )
+    return old.unionByName(new)
+
+
 def materialize_rollup(spark, rel: DataFrame, dest: str, step: int = 21600,
                        segment_duration: int = DEFAULT_SEGMENT_DURATION,
                        incremental: bool = False,
@@ -126,19 +185,8 @@ def materialize_rollup(spark, rel: DataFrame, dest: str, step: int = 21600,
                 & (F.col("seg") >= refresh_ts // segment_duration)
             )
             use_dynamic = True
-    bucket = (F.floor(F.col("ts") / step) * step).cast("long")
-    rollup = (
-        rel.groupBy(F.col("series_key"), bucket.alias("bucket_ts"))
-        .agg(
-            F.any_value("labels").alias("labels"),
-            F.count(F.lit(1)).alias("n"),
-            F.avg("value").alias("avg_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-            F.sum("value").alias("sum_value"),
-            F.max_by("value", "ts").alias("last_value"),
-        )
-        .withColumn("seg", (F.col("bucket_ts") / segment_duration).cast("long"))
+    rollup = rollup_aggregate(rel, step).withColumn(
+        "seg", (F.col("bucket_ts") / segment_duration).cast("long")
     )
     # per-WRITE overwrite mode (ADVICE r5): scoped to this job, no
     # session-conf mutation a concurrent writer could inherit

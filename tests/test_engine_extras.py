@@ -470,3 +470,103 @@ def test_alert_intervals_for_duration_and_gap_semantics(spark):
         ("b", 0, 180, 4, True),
         ("b", 780, 960, 4, True),     # the 600s hole split the runs
     ]
+
+
+def test_tiered_range_spans_purged_history(spark, tmp_path_factory):
+    """The retention-ladder read: after raw segments below the cutover are
+    purged, query_range_tiered still serves those buckets from the
+    materialized rollup tier, recent buckets from raw, and the union
+    equals the pre-purge full recompute — no duplicates at the boundary,
+    no lost history."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark import TSDB
+    from mandodb_spark.operators.tsdb_ops import rollup_aggregate
+
+    base = tmp_path_factory.mktemp("tiered")
+    db = TSDB(spark, str(base / "store"), segment_duration=3600)
+    t0 = 1_700_000_000 - (1_700_000_000 % 3600)
+    rows = [
+        ("m", {"n": f"v{i % 2}"}, t0 + i * 300, float(i)) for i in range(48)
+    ]  # 4 hours of points, 2 series
+    db.insert_rows(rows)
+    dest = str(base / "rollup")
+    db.materialize_rollup(dest, step=3600)
+
+    start, end = t0, t0 + 4 * 3600 - 1
+    cut = t0 + 2 * 3600  # first 2 hours from tier, rest from raw
+
+    def key(r):
+        return (r.series_key, r.bucket_ts)
+
+    def val(r):
+        return (r.n, round(r.avg_value, 6), r.min_value, r.max_value,
+                round(r.sum_value, 6), r.last_value)
+
+    want = {
+        key(r): val(r)
+        for r in rollup_aggregate(db.store.relation(), 3600).collect()
+    }
+    got_pre = {
+        key(r): val(r)
+        for r in db.query_range_tiered(dest, "m", [], start, end,
+                                       step=3600, cutover_ts=cut).collect()
+    }
+    assert got_pre == want and len(want) == 8  # 2 series x 4 buckets
+
+    # purge raw below the cutover (the tier now owns that history)
+    removed = db.remove_expires(now_ts=cut + db.retention)
+    assert removed  # old segments actually dropped
+    got_post = {
+        key(r): val(r)
+        for r in db.query_range_tiered(dest, "m", [], start, end,
+                                       step=3600, cutover_ts=cut).collect()
+    }
+    assert got_post == want
+
+    # matchers apply on both sides of the union
+    one = db.query_range_tiered(
+        dest, "m", [LabelMatcher("n", "v0")], start, end,
+        step=3600, cutover_ts=cut,
+    )
+    assert {r.labels["n"] for r in one.collect()} == {"v0"}
+    # and a cutover beyond the range degrades to tier-only (raw side empty)
+    tier_only = db.query_range_tiered(dest, "m", [], start, end,
+                                      step=3600, cutover_ts=end + 3600)
+    assert {key(r) for r in tier_only.collect()} == set(want)
+
+
+def test_value_quantile_sketch_rollup(spark, tmp_path_factory):
+    """Engine-surface DDSketch rollup: materialize per-seg sketches,
+    estimate range quantiles within the alpha bound of exact, and
+    incremental refresh leaves old partitions untouched."""
+    import os
+
+    from mandodb_spark import TSDB
+
+    base = tmp_path_factory.mktemp("ddsq-engine")
+    db = TSDB(spark, str(base / "store"), segment_duration=3600)
+    t0 = 1_700_000_000 - (1_700_000_000 % 3600)
+    vals = [float(i % 97) + 1 for i in range(300)]
+    db.insert_rows([("m", {"n": "a"}, t0 + i * 36, v) for i, v in enumerate(vals)])
+    dest = str(base / "q")
+    db.materialize_value_quantile(dest)
+    est = {r.q: r.est for r in
+           db.query_quantile_sketch(dest, [0.5, 0.9], t0, t0 + 3 * 3600).collect()}
+    in_range = sorted(vals[: 3600 * 3 // 36])
+    for q in (0.5, 0.9):
+        exact = in_range[int(q * (len(in_range) - 1))]
+        assert abs(est[q] - exact) <= 0.011 * exact, (q, est[q], exact)
+    before = {
+        p: os.path.getmtime(os.path.join(dest, p))
+        for p in os.listdir(dest) if p.startswith("seg=")
+    }
+    db.insert_rows([("m", {"n": "a"}, t0 + 4 * 3600 + i, 1000.0) for i in range(5)])
+    db.materialize_value_quantile(dest, incremental=True)
+    after = {
+        p: os.path.getmtime(os.path.join(dest, p))
+        for p in os.listdir(dest) if p.startswith("seg=")
+    }
+    assert set(after) > set(before)
+    untouched = [p for p in before if p != max(before)]
+    assert all(before[p] == after[p] for p in untouched)

@@ -101,13 +101,20 @@ class StreamingIngestor:
     ``card_dest``: same loop for the HLL series-cardinality rollup
     (operators/sketch.py) — sketches are keyed by seg directly, so the
     guard mirrors the histogram's.
+
+    ``quantile_dest``/``quantile_alpha``: same loop for the DDSketch
+    value-quantile rollup (operators/sketch.py::quantile_materialize) —
+    log-bucket counts keyed by seg, merged by addition, so the per-batch
+    incremental refresh composes like the others.
     """
 
     def __init__(self, store: SegmentStore, label_dim_dest: str | None = None,
                  rollup_dest: str | None = None, rollup_step: int = 21600,
                  hist_dest: str | None = None,
                  hist_bounds: tuple[float, ...] | None = None,
-                 card_dest: str | None = None) -> None:
+                 card_dest: str | None = None,
+                 quantile_dest: str | None = None,
+                 quantile_alpha: float = 0.01) -> None:
         self.store = store
         self.label_dim_dest = label_dim_dest
         self.rollup_dest = rollup_dest
@@ -115,6 +122,8 @@ class StreamingIngestor:
         self.hist_dest = hist_dest
         self.hist_bounds = hist_bounds
         self.card_dest = card_dest
+        self.quantile_dest = quantile_dest
+        self.quantile_alpha = quantile_alpha
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch → one transactional Parquet append (S4).
@@ -196,6 +205,25 @@ class StreamingIngestor:
                 self.store.spark,
                 self.store.relation(),
                 self.card_dest,
+                incremental=True,
+                since_seg=since,
+            )
+        if self.quantile_dest:
+            from pyspark.sql import functions as F
+
+            from ..operators.sketch import quantile_materialize
+
+            min_ts = batch_df.agg(F.min("ts")).first()[0]
+            since = (
+                None
+                if min_ts is None
+                else min_ts // self.store.segment_duration
+            )
+            quantile_materialize(
+                self.store.spark,
+                self.store.relation(),
+                self.quantile_dest,
+                alpha=self.quantile_alpha,
                 incremental=True,
                 since_seg=since,
             )

@@ -837,3 +837,35 @@ def test_boilerplate_dict_accumulates_evidence_across_batches(spark, tmp_path_fa
         if p.exists() and p.stat().st_mtime_ns == m
     ]
     assert untouched, "dynamic overwrite must leave untouched partitions alone"
+
+
+def test_streaming_ingest_maintains_quantile_sketch(spark, tmp_path_factory):
+    """The ingest loop's DDSketch hook: after two micro-batches (the
+    second landing late rows in an earlier segment), the maintained
+    sketch table answers range quantiles identically to a from-scratch
+    rebuild (bucket counts merge by addition, so the incremental refresh
+    must be lossless)."""
+    from mandodb_spark.operators.sketch import quantile_estimate
+
+    base = tmp_path_factory.mktemp("qstream")
+    src, ckpt, store_dir = str(base / "src"), str(base / "ckpt"), str(base / "s")
+    dest = str(base / "q")
+
+    batch1 = [("m", {"n": str(i % 3)}, START + 9000 + i * 60, float(i % 40) + 1)
+              for i in range(40)]
+    spark.createDataFrame(batch1, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    db = TSDB(spark, store_dir)
+    ing = StreamingIngestor(db.store, quantile_dest=dest)
+    ing.start(spark.readStream.schema(ROW_SCHEMA).parquet(src), ckpt).awaitTermination(120)
+
+    batch2 = [("m", {"n": "x"}, START + 60, 500.0),
+              ("m", {"n": "0"}, START + 20000, 0.5)]
+    spark.createDataFrame(batch2, ROW_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    ing.start(spark.readStream.schema(ROW_SCHEMA).parquet(src), ckpt).awaitTermination(120)
+
+    full = str(base / "q_full")
+    db.materialize_value_quantile(full)
+    lo, hi = START // 7200, (START + 30000) // 7200
+    a = {r.q: r.est for r in quantile_estimate(spark, dest, lo, hi, [0.5, 0.99]).collect()}
+    b = {r.q: r.est for r in quantile_estimate(spark, full, lo, hi, [0.5, 0.99]).collect()}
+    assert a == b and set(a) == {0.5, 0.99}

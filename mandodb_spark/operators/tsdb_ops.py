@@ -434,3 +434,74 @@ def alert_intervals(
             (F.col("end_ts") - F.col("start_ts") >= for_duration).alias("firing"),
         )
     )
+
+
+def anomaly_scores(
+    df: DataFrame,
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_points: int = 5,
+    metric: str | None = None,
+    matchers: list[LabelMatcher] | None = None,
+    start: int = 0,
+    end: int = 2**40,
+    segment_duration: int = DEFAULT_SEGMENT_DURATION,
+    tie_breakers: tuple = (),
+) -> DataFrame:
+    """Statistical anomaly detection per series: each sample's z-score
+    against the trailing ``lookback`` samples (mean/stddev over a rows
+    window that EXCLUDES the current row, so a spike can't mask itself).
+    Complements :func:`alert_intervals` — that is the fixed-threshold
+    rule; this flags deviations from each series' own recent behavior,
+    the shape drift/spike monitors use when no absolute threshold exists.
+
+    A sample is scored only once its window holds ``min_points`` samples
+    and has nonzero spread (a constant baseline yields stddev 0: any
+    deviation from it is flagged via the infinite-z convention below as
+    ``is_anomaly`` with NULL z).  Per-series window partitions — state
+    never global; the scan is pruned by the same matcher+time gate as
+    every TSDB read.
+
+    Output: ``(labels, ts, value, baseline_mean, z, is_anomaly)``.
+
+    A pre-set ``series_key`` column is honored (coarser groupings, e.g.
+    per-metric baselines); when the grouping makes (series, ts)
+    non-unique, pass ``tie_breakers`` (column names or Columns) to keep
+    the ROWS frame a total order — an ambiguous order would make the
+    trailing window, and thus every z, nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    flt = _filtered(df, metric, matchers or [], start, end, segment_duration)
+    if "series_key" not in flt.columns:
+        flt = flt.withColumn("series_key", series_key(F.col("labels")))
+    order_cols = [F.col("ts")] + [
+        F.col(t) if isinstance(t, str) else t for t in tie_breakers
+    ]
+    w = (
+        Window.partitionBy("series_key")
+        .orderBy(*order_cols)
+        .rowsBetween(-lookback, -1)
+    )
+    mean = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n = F.count(F.lit(1)).over(w)
+    scored = flt.select(
+        "labels",
+        "ts",
+        "value",
+        mean.alias("baseline_mean"),
+        sd.alias("__sd"),
+        n.alias("__n"),
+    )
+    z = F.when(F.col("__sd") > 0, (F.col("value") - F.col("baseline_mean")) / F.col("__sd"))
+    return scored.filter(F.col("__n") >= min_points).select(
+        "labels",
+        "ts",
+        "value",
+        "baseline_mean",
+        z.alias("z"),
+        F.when(
+            F.col("__sd") > 0, F.abs(z) > F.lit(float(z_threshold))
+        ).otherwise(F.col("value") != F.col("baseline_mean")).alias("is_anomaly"),
+    )

@@ -249,3 +249,57 @@ LIMIT {_BQ_K}
 
 QUERIES["x_emb_binary_topk"] = x_emb_binary_topk
 ORACLES["x_emb_binary_topk"] = _binary_topk_sql()
+
+
+def x_tsdb_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-z statistical anomaly detection under the gate
+    (operators/tsdb_ops.py::anomaly_scores): samples scored against a
+    trailing 20-sample window (mean/stddev excluding the current row),
+    warmup withheld, constant-baseline deviations flagged via the NULL-z
+    convention.  The testdata's (metric,user,k) series hold ≤4 samples —
+    below any sane warmup — so the baseline is keyed PER METRIC via the
+    operator's pre-set-series_key hook, with (user,k) tie-breakers
+    keeping the ROWS frame a total order.  Labels flattened for the
+    cross-engine hash; full scored output so the threshold boundary
+    itself is parity-checked, not just the positives."""
+    from ..operators.tsdb_ops import anomaly_scores
+    from .common import events_relation, flatten_labels
+
+    rel = events_relation(spark, sf_dir, 0, 2**40).withColumn(
+        "series_key", F.col("labels")["__name__"]
+    )
+    out = anomaly_scores(
+        rel, lookback=20, z_threshold=3.0, min_points=5,
+        tie_breakers=(F.col("labels")["user"], F.col("labels")["k"]),
+    )
+    # round the derived floats (6dp) so the harness's sorted row alignment
+    # is stable across engines; is_anomaly is computed on unrounded z
+    out = out.withColumn("baseline_mean", F.round("baseline_mean", 6)).withColumn(
+        "z", F.round("z", 6)
+    )
+    return flatten_labels(out)
+
+
+def _anomaly_sql() -> str:
+    from .tsdb_queries import _REL
+
+    return f"""{_REL},
+scored AS (
+    SELECT metric, user, k, ts, value,
+           avg(value) OVER w AS baseline_mean,
+           stddev_samp(value) OVER w AS sd,
+           count(*) OVER w AS n
+    FROM rel
+    WINDOW w AS (PARTITION BY metric ORDER BY ts, user, k
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT metric, user, k, ts, value, round(baseline_mean, 6) AS baseline_mean,
+       CASE WHEN sd > 0 THEN round((value - baseline_mean) / sd, 6) END AS z,
+       CASE WHEN sd > 0 THEN abs((value - baseline_mean) / sd) > 3.0
+            ELSE value != baseline_mean END AS is_anomaly
+FROM scored WHERE n >= 5
+"""
+
+
+QUERIES["x_tsdb_anomaly"] = x_tsdb_anomaly
+ORACLES["x_tsdb_anomaly"] = _anomaly_sql()

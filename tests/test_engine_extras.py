@@ -570,3 +570,42 @@ def test_value_quantile_sketch_rollup(spark, tmp_path_factory):
     assert set(after) > set(before)
     untouched = [p for p in before if p != max(before)]
     assert all(before[p] == after[p] for p in untouched)
+
+
+def test_anomaly_scores_flags_spikes_not_baseline(spark):
+    """Rolling-z anomaly detection: a planted spike is flagged against its
+    own series' trailing window, normal samples are not, the warmup
+    (min_points) rows are withheld, and a constant-baseline deviation is
+    flagged via the NULL-z convention."""
+    from mandodb_spark.model import canonicalize
+    from mandodb_spark.operators.tsdb_ops import anomaly_scores
+
+    t0 = 1_700_000_000
+    rows = []
+    # series a: gentle noise with one spike at i=30
+    for i in range(60):
+        v = 10.0 + (i % 5) * 0.1 + (100.0 if i == 30 else 0.0)
+        rows.append(("m", {"n": "a"}, t0 + i * 60, v))
+    # series b: constant, then a single step change
+    for i in range(40):
+        rows.append(("m", {"n": "b"}, t0 + i * 60, 5.0 if i != 35 else 6.0))
+    rel = canonicalize(
+        spark.createDataFrame(
+            rows, "metric string, labels map<string,string>, ts long, value double"
+        ).selectExpr("metric", "labels", "ts", "value"),
+        7200,
+    )
+    out = anomaly_scores(rel, lookback=10, z_threshold=3.0, min_points=5).collect()
+    a = {r.ts: r for r in out if r.labels["n"] == "a"}
+    b = {r.ts: r for r in out if r.labels["n"] == "b"}
+    # warmup withheld: first 5 samples of each series are unscored
+    assert min(a) == t0 + 5 * 60 and min(b) == t0 + 5 * 60
+    spike = a[t0 + 30 * 60]
+    assert spike.is_anomaly and spike.z > 3
+    normal = [r for ts, r in a.items() if ts != t0 + 30 * 60
+              and ts != t0 + 31 * 60]  # the sample right after sees the spike in ITS window
+    assert all(not r.is_anomaly for r in normal)
+    step = b[t0 + 35 * 60]
+    assert step.is_anomaly and step.z is None  # zero-spread baseline
+    assert all(not r.is_anomaly for ts, r in b.items()
+               if ts not in (t0 + 35 * 60,))

@@ -85,3 +85,68 @@ FROM {table}"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFrame:
+    """Key-distribution skew diagnostics for a prospective join/agg key:
+    the top-``top_n`` heaviest keys with their row share, alongside the
+    global distribution shape (key count, max/avg ratio, median and p99
+    per-key counts).  This is the pre-flight check behind every salting/
+    broadcast decision at scale — "is this key safe to shuffle on?" —
+    and the measurement the salted ``query_range`` variant exists to fix.
+
+    Two hash aggregations (per-key count → 1-row global fold) + a
+    ``top_n``-bounded TakeOrdered; the 1-row stats join is a broadcast.
+    Output: (key_cols..., n, share, skew_ratio, n_keys, p50_n, p99_n),
+    ordered (n desc, keys) — total, so cross-engine deterministic.
+    """
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        # fail fast: Spark silently resolves some absent names to niladic
+        # functions ("user" → current_user()), which would collapse the
+        # report to one meaningless key
+        raise ValueError(f"skew_report key columns not in relation: {missing}")
+    kc = [F.col(c) for c in key_cols]
+    counts = df.groupBy(*kc).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("__total"),
+        (F.max("n") / F.avg("n")).alias("__skew"),
+        F.expr("percentile(n, 0.5d)").alias("p50_n"),
+        F.expr("percentile(n, 0.99d)").alias("p99_n"),
+    )
+    top = counts.orderBy(F.col("n").desc(), *kc).limit(top_n)
+    return top.crossJoin(F.broadcast(stats)).select(
+        *kc,
+        "n",
+        F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        F.round(F.col("__skew"), 4).alias("skew_ratio"),
+        "n_keys",
+        "p50_n",
+        "p99_n",
+    ).orderBy(F.col("n").desc(), *kc)
+
+
+def skew_report_sql(table: str, key_cols: list[str], top_n: int = 10) -> str:
+    """DuckDB mirror of :func:`skew_report`."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH counts AS (
+    SELECT {keys}, CAST(count(*) AS BIGINT) AS n FROM {table} GROUP BY {keys}
+),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           sum(n) AS total,
+           max(n) / avg(n) AS skew,
+           quantile_cont(n, 0.5) AS p50_n,
+           quantile_cont(n, 0.99) AS p99_n
+    FROM counts
+)
+SELECT {keys}, n,
+       round(n / CAST(total AS DOUBLE), 6) AS share,
+       round(skew, 4) AS skew_ratio,
+       n_keys, p50_n, p99_n
+FROM counts, stats
+ORDER BY n DESC, {keys}
+LIMIT {top_n}
+"""

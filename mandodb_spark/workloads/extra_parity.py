@@ -303,3 +303,23 @@ FROM scored WHERE n >= 5
 
 QUERIES["x_tsdb_anomaly"] = x_tsdb_anomaly
 ORACLES["x_tsdb_anomaly"] = _anomaly_sql()
+
+
+def x_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics under the gate
+    (operators/profile.py::skew_report) over the events user key — the
+    pre-flight measurement behind the salting decision the engine's
+    salted query_range variant implements."""
+    from ..operators.profile import skew_report
+
+    return skew_report(load(spark, sf_dir, "events"), ["user_id"], top_n=15)
+
+
+def _skew_sql() -> str:
+    from ..operators.profile import skew_report_sql
+
+    return skew_report_sql("events", ["user_id"], top_n=15)
+
+
+QUERIES["x_events_skew_report"] = x_events_skew_report
+ORACLES["x_events_skew_report"] = _skew_sql()

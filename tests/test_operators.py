@@ -2134,3 +2134,27 @@ def test_binary_topk_recall_against_exact(spark):
                                      dim=64, rerank=40).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_skew_report_measures_heavy_keys(spark):
+    """skew_report surfaces the heaviest keys with exact shares and the
+    global shape stats, and fails fast on a key column that doesn't
+    exist (Spark would otherwise resolve e.g. 'user' to current_user()
+    and silently collapse the report)."""
+    import pytest as _pytest
+
+    from mandodb_spark.operators.profile import skew_report
+
+    rows = [("hot", i) for i in range(80)] + \
+           [("warm", i) for i in range(15)] + \
+           [(f"cold{i}", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, v long")
+    out = skew_report(df, ["key"], top_n=3).collect()
+    assert [r.key for r in out] == ["hot", "warm", "cold0"]
+    top = out[0]
+    assert top.n == 80 and abs(top.share - 0.8) < 1e-9
+    assert top.n_keys == 7  # hot, warm, 5 cold
+    assert abs(top.skew_ratio - 80 / (100 / 7)) < 1e-3
+    assert top.p50_n == 1.0  # median key is a singleton
+    with _pytest.raises(ValueError, match="not in relation"):
+        skew_report(df, ["user"], top_n=3)

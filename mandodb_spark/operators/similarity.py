@@ -811,3 +811,41 @@ def binary_quantize_sql(vec_expr: str, dim: int) -> str:
         )
         words.append(f"CAST({terms} AS BIGINT)")
     return "[" + ", ".join(words) + "]"
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str, k: int = 10,
+             c: float = 60.0) -> DataFrame:
+    """Reciprocal-rank fusion of k-bounded retrieval lists (Cormack et al.):
+    ``score(d) = Σ_lists 1 / (c + rank_list(d))``, documents absent from a
+    list contribute nothing.  The standard hybrid-retrieval combiner — e.g.
+    BM25 lexical top-k fused with dense cosine top-k — robust to the two
+    scorers' incomparable scales because only ranks enter.
+
+    Each input must carry (``id_col``, ``rank``) with rank starting at 1
+    (``bm25_topk`` / any window-ranked list qualifies).  Scale shape: the
+    inputs are already k-bounded by their retrievers, so this fuses
+    O(lists·k) rows — one tiny aggregate, no corpus-sized work; the final
+    ordering is total (score desc, id) for cross-engine determinism.
+    """
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contribs = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("__contrib"),
+        )
+        for r in rankings
+    ]
+    u = contribs[0]
+    for nxt in contribs[1:]:
+        u = u.unionByName(nxt)
+    top = (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("__contrib"), 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

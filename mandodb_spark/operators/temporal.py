@@ -15,7 +15,9 @@ the containment form.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -48,3 +50,111 @@ def bucketed_interval_join(
         .filter(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
         .drop("__bucket")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    tolerance: Optional[int] = None,
+    how: str = "left",
+    matched_ts_col: Optional[str] = None,
+) -> DataFrame:
+    """Ordered as-of join: attach to every ``left`` row the single ``right``
+    row for the same key that is nearest in time — at-or-before ``left_ts``
+    (``direction='backward'``, the default) or at-or-after
+    (``direction='forward'``).
+
+    Scale shape: the naive formulation (``r.ts <= l.ts`` + a max-per-row
+    subquery, or a range join) is O(|L|·|R|) per key and plans as a nested
+    loop.  This implementation is the merge-ordered union: tag both inputs,
+    union them, ONE shuffle on the join key, and a running
+    ``last(payload, ignorenulls)`` window carries each right row forward
+    (backward direction) to every later left row.  Cost is a single
+    sort-within-partition of |L|+|R| — the same shape Pandas' merge_asof and
+    kdb's aj use, but distributed.  Skewed keys behave like any window (one
+    task per hot key); no retries, no duplicate matches by construction.
+
+    ``tolerance`` (same unit as the ts columns) nulls out matches farther
+    than the bound but keeps the left row under ``how='left'``;
+    ``how='inner'`` drops unmatched (or out-of-tolerance) rows.
+    ``right_cols`` defaults to every non-key, non-ts right column; output
+    keeps all left columns plus those, plus ``matched_ts_col`` (the matched
+    right timestamp) when requested.  Ties: right rows sharing
+    (key, right_ts) are not deterministically ordered — pre-aggregate the
+    right side to one row per (key, ts) when that matters.
+
+    Reference anchor: the reference engine has no join surface at all
+    (SURVEY §2.5); this is part of the free-surface extension, and the
+    ordered cousin of ``bucketed_interval_join`` above.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    keys = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    right_cols = list(right_cols)
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r_u = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__marker"),
+        payload.alias("__payload"),
+    )
+    payload_type = r_u.schema["__payload"].dataType
+    l_u = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__marker"),
+        F.lit(None).cast(payload_type).alias("__payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    r_u = r_u.withColumn("__lrow", F.lit(None).cast(l_u.schema["__lrow"].dataType))
+
+    order = [F.col("__ts").asc(), F.col("__marker").asc()]
+    if direction == "forward":
+        order = [F.col("__ts").desc(), F.col("__marker").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        l_u.unionByName(r_u)
+        .withColumn("__m_payload", F.last("__payload", ignorenulls=True).over(w))
+        .withColumn(
+            "__m_ts",
+            F.last(
+                F.when(F.col("__marker") == 0, F.col("__ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("__marker") == 1)
+    )
+    if tolerance is not None:
+        gap = (
+            F.col("__ts") - F.col("__m_ts")
+            if direction == "backward"
+            else F.col("__m_ts") - F.col("__ts")
+        )
+        in_tol = F.col("__m_ts").isNotNull() & (gap <= tolerance)
+        merged = merged.withColumn(
+            "__m_payload", F.when(in_tol, F.col("__m_payload"))
+        ).withColumn("__m_ts", F.when(in_tol, F.col("__m_ts")))
+    if how == "inner":
+        merged = merged.filter(F.col("__m_payload").isNotNull())
+
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    out_cols += [F.col(f"__m_payload.{c}").alias(c) for c in right_cols]
+    if matched_ts_col is not None:
+        out_cols.append(F.col("__m_ts").alias(matched_ts_col))
+    return merged.select(*out_cols)

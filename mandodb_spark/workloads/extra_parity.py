@@ -323,3 +323,129 @@ def _skew_sql() -> str:
 
 QUERIES["x_events_skew_report"] = x_events_skew_report
 ORACLES["x_events_skew_report"] = _skew_sql()
+
+
+def x_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General two-relation as-of join (operators/temporal.py::asof_join):
+    every purchase enriched with the user's nearest at-or-before click
+    aggregate, 2h tolerance.  The oracle is DuckDB's NATIVE ``ASOF LEFT
+    JOIN`` — an entirely different algorithm (per-key binary search vs our
+    merge-ordered union window), so agreement pins the semantics, not the
+    implementation."""
+    from ..operators.temporal import asof_join
+    from .common import events_base
+
+    ev = events_base(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.sum("value"), 6).alias("click_value"))
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_value"],
+        tolerance=7200,
+        matched_ts_col="click_ts",
+    ).orderBy("event_id")
+
+
+_ASOF_SQL = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts
+    FROM events
+), l AS (
+    SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+), r AS (
+    SELECT user_id, ts, round(sum(value), 6) AS click_value
+    FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts,
+       CASE WHEN l.ts - r.ts <= 7200 THEN r.click_value END AS click_value,
+       CASE WHEN l.ts - r.ts <= 7200 THEN r.ts END AS click_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+QUERIES["x_events_asof_join"] = x_events_asof_join
+ORACLES["x_events_asof_join"] = _ASOF_SQL
+
+
+_RRF_K = 15
+_RRF_TERMS = ["spark", "shuffle", "window"]
+_RRF_QVEC = 0
+
+
+def x_docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-k over documents fused with dense
+    cosine top-k over the aligned embeddings table (doc_id == vec_id) via
+    reciprocal-rank fusion (similarity.rrf_fuse)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_topk, rrf_fuse
+    from ..operators.text import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    lexical = bm25_topk(docs, "doc_id", "text", _RRF_TERMS, k=_RRF_K).select(
+        "doc_id", "rank"
+    )
+    q = emb.filter(F.col("vec_id") == _RRF_QVEC).select(F.col("embedding").alias("qe"))
+    dense_top = cosine_topk(emb, "vec_id", "embedding", q, _RRF_K)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    dense = dense_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    return rrf_fuse([lexical, dense], "doc_id", k=_RRF_K)
+
+
+def _hybrid_rrf_sql() -> str:
+    from ..operators.text import bm25_topk_sql
+
+    bm = bm25_topk_sql("documents", "doc_id", "text", _RRF_TERMS, k=_RRF_K)
+    return f"""
+WITH lexical AS (
+    SELECT doc_id, rank FROM ({bm})
+),
+dense_top AS (
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a,
+         (SELECT embedding AS qe FROM embeddings WHERE vec_id = {_RRF_QVEC}) q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {_RRF_K}
+),
+dense AS (
+    SELECT vec_id AS doc_id,
+           CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+    FROM dense_top
+),
+contrib AS (
+    SELECT doc_id, 1.0 / (60.0 + rank) AS r FROM lexical
+    UNION ALL
+    SELECT doc_id, 1.0 / (60.0 + rank) AS r FROM dense
+),
+top AS (
+    SELECT doc_id, round(sum(r), 6) AS rrf_score
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_K}
+)
+SELECT doc_id, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+FROM top
+"""
+
+
+QUERIES["x_docs_hybrid_rrf"] = x_docs_hybrid_rrf
+ORACLES["x_docs_hybrid_rrf"] = _hybrid_rrf_sql()

@@ -2158,3 +2158,104 @@ def test_skew_report_measures_heavy_keys(spark):
     assert top.p50_n == 1.0  # median key is a singleton
     with _pytest.raises(ValueError, match="not in relation"):
         skew_report(df, ["user"], top_n=3)
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from mandodb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 50), (4, "b", 100), (5, "c", 10)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 1.0), ("a", 200, 2.0), ("b", 90, 3.0), ("b", 300, 4.0)],
+        "k string, ts long, v double",
+    )
+    back = {
+        r.lid: (r.v, r.mts)
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["v"], matched_ts_col="mts"
+        ).collect()
+    }
+    # inclusive at-or-before; no match -> nulls kept (left join)
+    assert back == {
+        1: (1.0, 100),   # exact-ts match is inclusive
+        2: (2.0, 200),
+        3: (None, None), # before any right row
+        4: (3.0, 90),
+        5: (None, None), # key absent on the right
+    }
+
+    fwd = {
+        r.lid: r.v
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 1.0, 2: None, 3: 1.0, 4: 4.0, 5: None}
+
+    tol = {
+        r.lid: r.v
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["v"], tolerance=10
+        ).collect()
+    }
+    assert tol == {1: 1.0, 2: 2.0, 3: None, 4: 3.0, 5: None}
+
+    inner = sorted(
+        r.lid
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["v"], how="inner", tolerance=5
+        ).collect()
+    )
+    assert inner == [1, 2]  # lid=4 gap 10 > 5 dropped under inner
+
+
+def test_asof_join_matches_duckdb_native(spark):
+    """Random-data cross-check against DuckDB's native ASOF JOIN."""
+    import random
+
+    import duckdb
+
+    from mandodb_spark.operators.temporal import asof_join
+
+    rng = random.Random(1234)
+    lrows = [(i, rng.randrange(4), rng.randrange(1000)) for i in range(300)]
+    rrows = [(rng.randrange(4), t, float(i)) for i, t in enumerate(
+        rng.sample(range(1000), 120)
+    )]
+    # make the right side unique per (k, ts): sample() already gives unique ts
+    left = spark.createDataFrame(lrows, "lid long, k long, ts long")
+    right = spark.createDataFrame(rrows, "k long, ts long, v double")
+    got = {
+        r.lid: (r.v, r.mts)
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["v"], matched_ts_col="mts"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(lid BIGINT, k BIGINT, ts BIGINT)")
+    con.execute("CREATE TABLE r(k BIGINT, ts BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+    want = {
+        lid: (v, mts)
+        for lid, v, mts in con.execute(
+            "SELECT l.lid, r.v, r.ts FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_rrf_fuse_known_values(spark):
+    from mandodb_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)], "doc_id long, rank long")
+    got = {r.doc_id: (r.rrf_score, r.rank) for r in rrf_fuse([a, b], "doc_id", k=3).collect()}
+    s1 = round(1 / 61 + 1 / 62, 6)   # doc 1: rank1 in a, rank2 in b
+    s3 = round(1 / 63 + 1 / 61, 6)   # doc 3: rank3 in a, rank1 in b
+    s2 = round(1 / 62, 6)            # doc 2: only in a
+    assert got == {1: (s1, 1), 3: (s3, 2), 2: (s2, 3)}
+    assert 4 not in got              # k=3 cut; doc 4 scores below doc 2

@@ -329,3 +329,50 @@ SELECT * EXCLUDE (__rk) FROM (
     FROM {table}
 ) WHERE __rk <= {cap}
 """
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
+                    salt: str = "wsample") -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement, k rows, deterministic
+    (Efraimidis–Spirakis A-Res): rank every row by ``u^(1/w)`` where ``u``
+    is the row's :func:`hash_unit` uniform and ``w`` its weight, keep the
+    top k.  The standard quality-weighted selection operator (sample docs
+    proportional to a quality score / length / dedup cluster mass) — same
+    distribution as sequential A-Res, but order-independent and replayable
+    because the uniforms come from the key hash, not an RNG.
+
+    Rows with NULL or non-positive weight are excluded (zero weight = zero
+    inclusion probability; A-Res keys are undefined there).
+
+    Scale shape: ranking uses ``ln(u)/w`` — monotone in ``u^(1/w)`` but
+    immune to ``pow`` underflow when weights are huge — and the plan is
+    TakeOrderedAndProject: each partition keeps its local top-k and only
+    k·n_partitions rows reach the driver-side merge.  No global sort, no
+    shuffle of the rejected mass.  Ties broken by key for cross-engine
+    determinism.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = hash_unit(F.col(key_col), salt)
+    score = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__ws", score)
+        .orderBy(F.col("__ws").desc(), F.col(key_col))
+        .limit(k)
+        .drop("__ws")
+    )
+
+
+def weighted_sample_sql(table: str, key_col: str, weight_col: str, k: int,
+                        salt: str = "wsample") -> str:
+    """DuckDB mirror of :func:`weighted_sample` (oracle)."""
+    u = hash_unit_sql(key_col, salt)
+    return f"""
+SELECT * EXCLUDE (__ws) FROM (
+    SELECT *, ln({u}) / CAST({weight_col} AS DOUBLE) AS __ws
+    FROM {table}
+    WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+    ORDER BY __ws DESC, {key_col} LIMIT {k}
+)
+"""

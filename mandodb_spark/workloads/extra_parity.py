@@ -449,3 +449,50 @@ FROM top
 
 QUERIES["x_docs_hybrid_rrf"] = x_docs_hybrid_rrf
 ORACLES["x_docs_hybrid_rrf"] = _hybrid_rrf_sql()
+
+
+def x_docs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard similarity self-join via prefix filtering
+    (dedup.jaccard_join).  Oracle is the brute-force inverted-index form —
+    different algorithm, so a green row proves the prefix filter is
+    lossless on real data (vs docs_minhash_pairs, which is LSH and
+    recall-bounded by design)."""
+    from ..operators.dedup import jaccard_join
+
+    d = load(spark, sf_dir, "documents")
+    return jaccard_join(d, "doc_id", "text", 0.4).orderBy("id_a", "id_b")
+
+
+def _jaccard_join_sql() -> str:
+    from ..operators.dedup import jaccard_join_sql
+
+    inner = jaccard_join_sql("documents", "doc_id", "text", 0.4)
+    return f"SELECT * FROM ({inner}) ORDER BY id_a, id_b"
+
+
+QUERIES["x_docs_jaccard_join"] = x_docs_jaccard_join
+ORACLES["x_docs_jaccard_join"] = _jaccard_join_sql()
+
+
+def x_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document selection (sampling.weighted_sample,
+    Efraimidis–Spirakis A-Res with deterministic hash uniforms): pick 40
+    docs proportional to n_chars without replacement — the quality/length
+    weighted subset selection a data-mix pipeline runs per source."""
+    from ..operators.sampling import weighted_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", 40).orderBy("doc_id")
+
+
+def _weighted_sample_sql() -> str:
+    from ..operators.sampling import weighted_sample_sql
+
+    inner = weighted_sample_sql(
+        "(SELECT doc_id, source, n_chars FROM documents)", "doc_id", "n_chars", 40
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY doc_id"
+
+
+QUERIES["x_docs_weighted_sample"] = x_docs_weighted_sample
+ORACLES["x_docs_weighted_sample"] = _weighted_sample_sql()

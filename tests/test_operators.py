@@ -2259,3 +2259,97 @@ def test_rrf_fuse_known_values(spark):
     s2 = round(1 / 62, 6)            # doc 2: only in a
     assert got == {1: (s1, 1), 3: (s3, 2), 2: (s2, 3)}
     assert 4 not in got              # k=3 cut; doc 4 scores below doc 2
+
+
+def test_jaccard_join_exact_vs_bruteforce(spark):
+    """Prefix filtering must be LOSSLESS: compare against all-pairs exact
+    Jaccard on random near-dup-seeded docs, several thresholds."""
+    import random
+
+    from mandodb_spark.operators.dedup import jaccard_join
+
+    rng = random.Random(77)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        base = " ".join(rng.choices(words, k=rng.randrange(8, 30)))
+        docs.append((i, base))
+        if rng.random() < 0.4:  # plant a near-dup with light edits
+            toks = base.split()
+            for _ in range(rng.randrange(0, 3)):
+                toks[rng.randrange(len(toks))] = rng.choice(words)
+            docs.append((1000 + i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    from mandodb_spark.operators.dedup import shingle_sets
+    sh = {r.doc_id: set() for r in df.collect()}
+    for r in shingle_sets(df, "doc_id", "text", 8, 4).collect():
+        sh[r.doc_id].add(r.sh)
+    for t in (0.3, 0.5, 0.8):
+        ids = sorted(sh)
+        want = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sh[a] & sh[b])
+                j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 4)
+                if j >= t:
+                    want.add((a, b))
+        got = {(r.id_a, r.id_b) for r in
+               jaccard_join(df, "doc_id", "text", t).collect()}
+        assert got == want, f"threshold {t}: {got ^ want}"
+
+
+def test_jaccard_join_threshold_validation(spark):
+    import pytest as _pytest
+
+    from mandodb_spark.operators.dedup import jaccard_join
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold"):
+        jaccard_join(df, "doc_id", "text", 0.0)
+    with _pytest.raises(ValueError, match="threshold"):
+        jaccard_join(df, "doc_id", "text", 1.5)
+
+
+def test_weighted_sample_ares_properties(spark):
+    """A-Res determinism, exclusion of bad weights, and weight monotonicity:
+    with equal uniforms forced impossible, check statistically that heavier
+    rows are picked far more often across salts."""
+    import pytest as _pytest
+
+    from mandodb_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 5 else 1.0) for i in range(100)]
+    rows += [(200, None), (201, 0.0), (202, -3.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    got1 = sorted(r.id for r in weighted_sample(df, "id", "w", 10).collect())
+    got2 = sorted(r.id for r in weighted_sample(df, "id", "w", 10).collect())
+    assert got1 == got2 and len(got1) == 10          # deterministic, exact k
+    assert not {200, 201, 202} & set(got1)           # bad weights excluded
+
+    # heavy ids (5 rows, weight 100) should dominate the top-10 across salts
+    heavy_hits = 0
+    for s in range(8):
+        ids = {r.id for r in weighted_sample(df, "id", "w", 10, salt=f"s{s}").collect()}
+        heavy_hits += len(ids & {0, 1, 2, 3, 4})
+    assert heavy_hits >= 30  # E[hits] ≈ 5·8 = 40; far above uniform ≈ 4
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "id", "w", 0)
+
+
+def test_weighted_sample_matches_duckdb(spark):
+    import duckdb
+
+    from mandodb_spark.operators.sampling import weighted_sample, weighted_sample_sql
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(r.id for r in weighted_sample(df, "id", "w", 25).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    want = sorted(r[0] for r in con.execute(
+        weighted_sample_sql("t", "id", "w", 25)).fetchall())
+    assert got == want

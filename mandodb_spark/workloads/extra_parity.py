@@ -456,17 +456,18 @@ def x_docs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.jaccard_join).  Oracle is the brute-force inverted-index form —
     different algorithm, so a green row proves the prefix filter is
     lossless on real data (vs docs_minhash_pairs, which is LSH and
-    recall-bounded by design)."""
+    recall-bounded by design).  t=0.7 — the guarantee-grade near-dup bar
+    where prefix filtering is strong (see jaccard_join's cost note)."""
     from ..operators.dedup import jaccard_join
 
     d = load(spark, sf_dir, "documents")
-    return jaccard_join(d, "doc_id", "text", 0.4).orderBy("id_a", "id_b")
+    return jaccard_join(d, "doc_id", "text", 0.7).orderBy("id_a", "id_b")
 
 
 def _jaccard_join_sql() -> str:
     from ..operators.dedup import jaccard_join_sql
 
-    inner = jaccard_join_sql("documents", "doc_id", "text", 0.4)
+    inner = jaccard_join_sql("documents", "doc_id", "text", 0.7)
     return f"SELECT * FROM ({inner}) ORDER BY id_a, id_b"
 
 

@@ -183,6 +183,40 @@ def calibration_canary(spark) -> float:
     return round(best, 3)
 
 
+def ingest_bench_isolated(cpus: int) -> tuple[float, float]:
+    """Run :func:`ingest_bench` in a FRESH subprocess (own JVM).
+
+    Measured r6: the same ingest reads ~1M pts/s in a clean session but
+    430-750k when run after the 80+ query suites in one JVM — old-gen heap
+    pressure from the query history, not a write-path cost.  The reference's
+    published number is a dedicated-process measurement too, so isolating
+    the write benchmark is the apples-to-apples protocol.  Falls back to
+    in-process on any subprocess failure (never fails the bench)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, __file__, "--ingest-only"],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+        )
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        return payload["points_per_sec"], payload["bytes_per_point"]
+    except Exception as exc:  # noqa: BLE001 - bench must degrade, not die
+        print(f"# ingest subprocess failed ({exc}); in-process fallback", file=sys.stderr)
+        from mandodb_spark.session import get_spark
+
+        return ingest_bench(get_spark("mandodb-spark-ingest"))
+
+
+def _ingest_only() -> None:
+    from mandodb_spark.session import get_spark
+
+    spark = get_spark("mandodb-spark-ingest")
+    pts, bpp = ingest_bench(spark)
+    print(json.dumps({"points_per_sec": pts, "bytes_per_point": bpp}))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -258,7 +292,7 @@ def main() -> None:
     QUERIES.update(extra_parity.QUERIES)
     extra_timings, extra_total = run_suite(list(extra_parity.QUERIES))
 
-    pts_per_sec, bytes_per_point = ingest_bench(spark)
+    pts_per_sec, bytes_per_point = ingest_bench_isolated(cpus)
 
     print(
         json.dumps(
@@ -283,4 +317,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--ingest-only" in sys.argv:
+        _ingest_only()
+    else:
+        main()

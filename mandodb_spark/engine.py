@@ -227,9 +227,13 @@ class TSDB:
             int(time.time()) if now_ts is None else now_ts, self.retention
         )
 
-    def compact(self) -> None:
-        """Maintenance compaction (the Compact the reference lacks)."""
-        self.store.compact()
+    def compact(self, min_files_per_segment: int | None = None) -> list[int]:
+        """Maintenance compaction (the Compact the reference lacks).
+
+        ``min_files_per_segment=N`` = selective size-tiered mode: only
+        segments fragmented into >= N files are rewritten (see
+        :meth:`SegmentStore.compact`).  Returns compacted segment ids."""
+        return self.store.compact(min_files_per_segment)
 
     def alert_intervals(self, condition, for_duration: int, max_gap: int,
                         metric: str | None = None,

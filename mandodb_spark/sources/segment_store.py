@@ -378,7 +378,7 @@ class SegmentStore:
     def _swap_in_keep_old(self, staging_root: str) -> str:
         return swap_in(self.root, staging_root, keep_old=True)
 
-    def compact(self) -> None:
+    def compact(self, min_files_per_segment: int | None = None) -> list[int]:
         """Rewrite each segment partition into one sorted file.
 
         The maintenance job the reference lacks (README.md:39 admits no
@@ -388,6 +388,21 @@ class SegmentStore:
         swaps it in — crash-safe, and a concurrent reader re-querying
         mid-compact sees a consistent snapshot (old or new, identical
         query results).  No-op on a store that has never been written.
+        Returns the compacted segment ids.
+
+        ``min_files_per_segment=N`` switches to SELECTIVE compaction: only
+        segments currently holding >= N parquet files are rewritten, via
+        per-segment atomic directory exchange; untouched segments keep
+        their exact files.  This is the 100 TB mode — a size-tiered
+        maintenance loop compacts the handful of hot fragmented segments
+        per cycle instead of rewriting the whole store (full compact is
+        O(store); the selective pass is O(fragmented segments), and
+        partition pruning means only their files are even read).  Cross-
+        segment the swap is not one atomic instant, but every segment is
+        individually consistent at all times and content is identical
+        either way.  Promotion migration (a changed ``promote_labels``)
+        still requires a FULL compact — the selective path refuses a
+        layout mismatch rather than leave a mixed store.
 
         Concurrent WRITERS are safe too (round 6): the rewrite consumes
         exactly the files its plan listed (`inputFiles` — the file index
@@ -399,7 +414,9 @@ class SegmentStore:
         discarded with the old root.
         """
         if not Path(self.root).exists():
-            return
+            return []
+        if min_files_per_segment is not None:
+            return self._compact_selected(min_files_per_segment)
         staging_root = f"{self.root}__compact"
         shutil.rmtree(staging_root, ignore_errors=True)
         from ..matchers import PROMOTED_PREFIX
@@ -423,13 +440,55 @@ class SegmentStore:
         )
         old = self._swap_in_keep_old(staging_root)
         try:
+            segs = []
             for p in Path(old).rglob("*.parquet"):
                 if p.name not in consumed:
                     dest = Path(self.root) / p.relative_to(old)
                     dest.parent.mkdir(parents=True, exist_ok=True)
                     p.rename(dest)
+                segs.append(int(p.parent.name.split("=", 1)[1]))
+            return sorted(set(segs))
         finally:
             shutil.rmtree(old, ignore_errors=True)
+
+    def _compact_selected(self, min_files: int) -> list[int]:
+        """Selective per-segment compaction (see :meth:`compact`)."""
+        if min_files < 1:
+            raise ValueError(f"min_files_per_segment must be >= 1, got {min_files}")
+        root = Path(self.root)
+        picked = sorted(
+            int(p.name.split("=", 1)[1])
+            for p in root.glob("seg=*")
+            if len(list(p.glob("*.parquet"))) >= min_files
+        )
+        if not picked:
+            return []
+        # configured promote set must already match the on-disk layout —
+        # rewriting only SOME segments under a new set would create the
+        # mixed layout _check_promoted_layout exists to prevent
+        self._check_promoted_layout()
+        staging_root = f"{self.root}__compact"
+        shutil.rmtree(staging_root, ignore_errors=True)
+        rel = (
+            self.relation()
+            .filter(F.col("seg").isin([int(s) for s in picked]))
+            .repartition(F.col("seg"))
+            .sortWithinPartitions("series_key", "ts")
+        )
+        consumed = {Path(f).name for f in rel.inputFiles()}
+        self._write_options(rel.write).partitionBy("seg").mode("overwrite").parquet(
+            staging_root
+        )
+        for seg in picked:
+            seg_dir = root / f"seg={seg}"
+            new_dir = Path(staging_root) / f"seg={seg}"
+            displaced = swap_in(str(seg_dir), str(new_dir), keep_old=True)
+            for p in Path(displaced).glob("*.parquet"):
+                if p.name not in consumed:  # salvage concurrent appends
+                    p.rename(seg_dir / p.name)
+            shutil.rmtree(displaced, ignore_errors=True)
+        shutil.rmtree(staging_root, ignore_errors=True)
+        return picked
 
     # ---------------------------------------------------------------- stats
     def stats(self) -> DataFrame:
@@ -542,7 +601,7 @@ class BucketedSegmentStore(SegmentStore):
                 dropped.append(seg)
         return dropped
 
-    def compact(self) -> None:
+    def compact(self, min_files_per_segment: int | None = None) -> list[int]:
         """Rebuild the bucketed table with one file per (segment, bucket).
 
         Rewrites through a staging table then swaps the DATA directories
@@ -555,8 +614,15 @@ class BucketedSegmentStore(SegmentStore):
         append.  A lakehouse table format does this natively (OPTIMIZE);
         the staging swap is the plain-Spark equivalent.
         """
+        if min_files_per_segment is not None:
+            raise ValueError(
+                "selective compaction is not supported on the bucketed store: "
+                "Spark's bucket spec is a whole-table catalog property, so a "
+                "partial rewrite cannot re-register consistently; run full "
+                "compact()"
+            )
         if not self.spark.catalog.tableExists(self.table) or not Path(self.root).exists():
-            return
+            return []
         staging, staging_root = f"{self.table}__compact", f"{self.root}__compact"
         shutil.rmtree(staging_root, ignore_errors=True)
         rel = self.relation().repartition(self.n_buckets, F.col("series_key"))
@@ -600,6 +666,9 @@ class BucketedSegmentStore(SegmentStore):
             f"LOCATION '{self.root}'"
         )
         self.spark.sql(f"MSCK REPAIR TABLE {self.table}")
+        return sorted(
+            int(p.name.split("=", 1)[1]) for p in Path(self.root).glob("seg=*")
+        )
 
 
 def fsck(root: str, segment_duration: int = DEFAULT_SEGMENT_DURATION) -> dict:

@@ -471,3 +471,57 @@ def test_fsck_flags_mixed_promoted_layout(spark, tmp_path_factory):
     rep = fsck(path)
     assert not rep["ok"] and len(rep["mixed_promotion"]) == 1
     assert "foreign-" in rep["mixed_promotion"][0]
+
+
+def test_selective_compact_only_fragmented_segments(spark, tmp_path_factory):
+    """min_files_per_segment=N rewrites only segments with >= N files; the
+    others keep their exact files, and query results are unchanged."""
+    from mandodb_spark.sources.segment_store import SegmentStore
+
+    path = str(tmp_path_factory.mktemp("store") / "sel")
+    store = SegmentStore(spark, path)
+    seg_dur = store.segment_duration
+    # segment 0 of this range: 3 appends -> 3 files; next segment: 1 append
+    base = (START // seg_dur) * seg_dur
+    for batch in range(3):
+        store.append(spark.createDataFrame(
+            [("m", {"b": "x"}, base + batch, 1.0 * batch)], ROW_SCHEMA))
+    store.append(spark.createDataFrame(
+        [("m", {"b": "x"}, base + seg_dur + 1, 9.0)], ROW_SCHEMA))
+
+    seg_hot, seg_cold = base // seg_dur, base // seg_dur + 1
+    cold_files = sorted(p.name for p in Path(path).glob(f"seg={seg_cold}/*.parquet"))
+    assert len(list(Path(path).glob(f"seg={seg_hot}/*.parquet"))) == 3
+    before = sorted((r.ts, r.value) for r in store.relation().collect())
+
+    done = store.compact(min_files_per_segment=2)
+    assert done == [seg_hot]
+    assert len(list(Path(path).glob(f"seg={seg_hot}/*.parquet"))) == 1
+    # cold segment untouched — identical file names, not rewritten
+    assert sorted(p.name for p in Path(path).glob(f"seg={seg_cold}/*.parquet")) == cold_files
+    assert sorted((r.ts, r.value) for r in store.relation().collect()) == before
+
+    # nothing fragmented anymore -> no-op, returns []
+    assert store.compact(min_files_per_segment=2) == []
+
+
+def test_selective_compact_guards(spark, tmp_path_factory):
+    import pytest as _pytest
+
+    from mandodb_spark.sources.segment_store import BucketedSegmentStore, SegmentStore
+
+    path = str(tmp_path_factory.mktemp("store") / "g")
+    store = SegmentStore(spark, path)
+    store.append(spark.createDataFrame([("m", {"n": "a"}, START, 1.0)], ROW_SCHEMA))
+    with _pytest.raises(ValueError, match="min_files_per_segment"):
+        store.compact(min_files_per_segment=0)
+    # promotion change must go through FULL compact, not selective
+    promoted = SegmentStore(spark, path, promote_labels=["n"])
+    with _pytest.raises(ValueError, match="promote_labels"):
+        promoted.compact(min_files_per_segment=1)
+
+    bpath = str(tmp_path_factory.mktemp("store") / "b")
+    b = BucketedSegmentStore(spark, bpath, table="t_selcomp_guard")
+    b.append(spark.createDataFrame([("m", {"n": "a"}, START, 1.0)], ROW_SCHEMA))
+    with _pytest.raises(ValueError, match="selective compaction"):
+        b.compact(min_files_per_segment=2)

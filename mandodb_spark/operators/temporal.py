@@ -158,3 +158,103 @@ def asof_join(
     if matched_ts_col is not None:
         out_cols.append(F.col("__m_ts").alias(matched_ts_col))
     return merged.select(*out_cols)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step: int,
+    period: int,
+    trend_buckets: int = 3,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (STL-lite) per series:
+    ``value = trend + seasonal + resid`` on a ``step``-bucketed grid with a
+    ``period``-cyclic seasonal component — the capacity-planning /
+    anomaly-baseline view of a metric (daily shape vs weekly growth).
+
+    Method (moving-average decomposition, the textbook pre-STL form):
+    bucket to ``step`` and average within the bucket; trend = centered
+    rolling mean over ``2*trend_buckets+1`` OBSERVED buckets (rows, not
+    time range, so sparse series degrade gracefully); seasonal = per-phase
+    mean of the detrended series, re-centered to sum 0 per series so trend
+    keeps the level; resid = the rest.  Output one row per (series,
+    bucket): value/trend/seasonal/resid, rounded for cross-engine parity.
+
+    Scale shape: one shuffle to (series) for the two windows + one
+    (series, phase) aggregate joined back — all codegen; no iteration
+    (real STL loess-iterates; the single-pass form is the standard
+    monitoring approximation and is exactly SQL-expressible, so it gets a
+    full value-level oracle instead of a bounds check).
+    """
+    keys = [F.col(k) for k in key_cols]
+    bucket = (F.floor(F.col(ts_col) / step) * step).cast("long")
+    g = (
+        df.select(*keys, bucket.alias("bucket_ts"), F.col(value_col).alias("__v"))
+        .groupBy(*key_cols, "bucket_ts")
+        .agg(F.avg("__v").alias("value"))
+    )
+    wt = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket_ts")
+        .rowsBetween(-trend_buckets, trend_buckets)
+    )
+    g = g.withColumn("trend", F.avg("value").over(wt))
+    g = g.withColumn("phase", (F.col("bucket_ts") % period).cast("long"))
+    wp = Window.partitionBy(*key_cols, "phase")
+    ws = Window.partitionBy(*key_cols)
+    g = g.withColumn("__raw_seasonal", F.avg(F.col("value") - F.col("trend")).over(wp))
+    # re-center so the seasonal component sums to ~0 over each series
+    # (mean over rows, weighting phases by observation count — determinate)
+    g = g.withColumn("seasonal", F.col("__raw_seasonal") - F.avg("__raw_seasonal").over(ws))
+    return g.select(
+        *key_cols,
+        "bucket_ts",
+        F.round("value", 6).alias("value"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("value") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+    )
+
+
+def seasonal_decompose_sql(
+    table: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    step: int,
+    period: int,
+    trend_buckets: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`seasonal_decompose` (oracle)."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH g AS (
+    SELECT {keys},
+           CAST(floor({ts_col} / {step}) * {step} AS BIGINT) AS bucket_ts,
+           avg({value_col}) AS value
+    FROM {table}
+    GROUP BY ALL
+), t AS (
+    SELECT *,
+           avg(value) OVER (PARTITION BY {keys} ORDER BY bucket_ts
+               ROWS BETWEEN {trend_buckets} PRECEDING AND {trend_buckets} FOLLOWING) AS trend,
+           CAST(bucket_ts % {period} AS BIGINT) AS phase
+    FROM g
+), s AS (
+    SELECT *,
+           avg(value - trend) OVER (PARTITION BY {keys}, phase) AS raw_seasonal
+    FROM t
+), c AS (
+    SELECT *,
+           raw_seasonal - avg(raw_seasonal) OVER (PARTITION BY {keys}) AS seasonal
+    FROM s
+)
+SELECT {keys}, bucket_ts,
+       round(value, 6) AS value,
+       round(trend, 6) AS trend,
+       round(seasonal, 6) AS seasonal,
+       round(value - trend - seasonal, 6) AS resid
+FROM c
+"""

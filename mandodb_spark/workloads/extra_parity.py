@@ -497,3 +497,30 @@ def _weighted_sample_sql() -> str:
 
 QUERIES["x_docs_weighted_sample"] = x_docs_weighted_sample
 ORACLES["x_docs_weighted_sample"] = _weighted_sample_sql()
+
+
+def x_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of hourly event value per event type
+    (temporal.seasonal_decompose): daily (24h) cycle split out of the
+    hourly mean series — trend/seasonal/resid per bucket."""
+    from ..operators.temporal import seasonal_decompose
+    from .common import events_base
+
+    ev = events_base(spark, sf_dir)
+    return seasonal_decompose(
+        ev, ["event_type"], "ts", "value", step=3600, period=86400
+    ).orderBy("event_type", "bucket_ts")
+
+
+def _seasonal_sql() -> str:
+    from ..operators.temporal import seasonal_decompose_sql
+
+    inner = seasonal_decompose_sql(
+        "(SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts, value FROM events)",
+        ["event_type"], "ts", "value", step=3600, period=86400,
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY event_type, bucket_ts"
+
+
+QUERIES["x_events_seasonal"] = x_events_seasonal
+ORACLES["x_events_seasonal"] = _seasonal_sql()

@@ -2353,3 +2353,32 @@ def test_weighted_sample_matches_duckdb(spark):
     want = sorted(r[0] for r in con.execute(
         weighted_sample_sql("t", "id", "w", 25)).fetchall())
     assert got == want
+
+
+def test_seasonal_decompose_recovers_planted_cycle(spark):
+    """Flat trend + planted 4-bucket cycle: seasonal should recover the
+    cycle shape (re-centered), resid ~0 away from the rolling-mean edges,
+    and value == trend + seasonal + resid exactly (by construction)."""
+    from mandodb_spark.operators.temporal import seasonal_decompose
+
+    pattern = {0: 2.0, 10: -1.0, 20: -2.0, 30: 1.0}  # sums to 0
+    rows = [("s", t, 10.0 + pattern[(t % 40)]) for t in range(0, 40 * 12, 10)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = seasonal_decompose(df, ["k"], "ts", "v", step=10, period=40,
+                             trend_buckets=2).collect()
+    assert len(out) == 48
+    for r in out:
+        assert abs(r.value - (r.trend + r.seasonal + r.resid)) < 1e-9
+    # interior buckets: the 5-bucket rolling mean of a 4-cycle isn't flat,
+    # but seasonal phase means should still track the planted pattern's
+    # ordering (phase 0 highest, phase 20 lowest)
+    by_phase = {}
+    for r in out[4:-4]:
+        by_phase.setdefault(r.bucket_ts % 40, []).append(r.seasonal)
+    means = {p: sum(v) / len(v) for p, v in by_phase.items()}
+    assert means[0] == max(means.values()) and means[20] == min(means.values())
+    # a strictly flat series decomposes to zero seasonal and zero resid
+    flat = spark.createDataFrame([("s", t, 5.0) for t in range(0, 200, 10)],
+                                 "k string, ts long, v double")
+    for r in seasonal_decompose(flat, ["k"], "ts", "v", 10, 40).collect():
+        assert r.seasonal == 0.0 and r.resid == 0.0 and r.trend == 5.0

@@ -332,7 +332,8 @@ SELECT * EXCLUDE (__rk) FROM (
 
 
 def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
-                    salt: str = "wsample") -> DataFrame:
+                    salt: str = "wsample",
+                    by: list[str] | None = None) -> DataFrame:
     """Weight-proportional sample WITHOUT replacement, k rows, deterministic
     (Efraimidis–Spirakis A-Res): rank every row by ``u^(1/w)`` where ``u``
     is the row's :func:`hash_unit` uniform and ``w`` its weight, keep the
@@ -350,14 +351,27 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
     k·n_partitions rows reach the driver-side merge.  No global sort, no
     shuffle of the rejected mass.  Ties broken by key for cross-engine
     determinism.
+
+    ``by=[cols]`` switches to per-group mode: k rows weighted-sampled
+    within EVERY group (per-source balanced selection — the weighted
+    cousin of :func:`group_cap`).  That path is a rank window per group —
+    one shuffle on the group key, no global ordering.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     u = hash_unit(F.col(key_col), salt)
     score = F.log(u) / F.col(weight_col).cast("double")
+    positive = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    if by:
+        w = Window.partitionBy(*by).orderBy(F.col("__ws").desc(), F.col(key_col))
+        return (
+            positive.withColumn("__ws", score)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__ws", "__rk")
+        )
     return (
-        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("__ws", score)
+        positive.withColumn("__ws", score)
         .orderBy(F.col("__ws").desc(), F.col(key_col))
         .limit(k)
         .drop("__ws")
@@ -365,9 +379,21 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str, k: int,
 
 
 def weighted_sample_sql(table: str, key_col: str, weight_col: str, k: int,
-                        salt: str = "wsample") -> str:
+                        salt: str = "wsample",
+                        by: list[str] | None = None) -> str:
     """DuckDB mirror of :func:`weighted_sample` (oracle)."""
     u = hash_unit_sql(key_col, salt)
+    if by:
+        part = ", ".join(by)
+        return f"""
+SELECT * EXCLUDE (__ws, __rk) FROM (
+    SELECT *, ln({u}) / CAST({weight_col} AS DOUBLE) AS __ws,
+           row_number() OVER (PARTITION BY {part}
+               ORDER BY ln({u}) / CAST({weight_col} AS DOUBLE) DESC, {key_col}) AS __rk
+    FROM {table}
+    WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+) WHERE __rk <= {k}
+"""
     return f"""
 SELECT * EXCLUDE (__ws) FROM (
     SELECT *, ln({u}) / CAST({weight_col} AS DOUBLE) AS __ws

@@ -104,6 +104,10 @@ def asof_join(
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
 
+    # NULL-ts rows can never match under SQL comparison semantics: a NULL
+    # right ts is not "at or before" anything (drop the row), and a NULL
+    # left ts satisfies no comparison (nulled below after the window).
+    right = right.filter(F.col(right_ts).isNotNull())
     payload = F.struct(*[F.col(c) for c in right_cols])
     r_u = right.select(
         *[F.col(k) for k in keys],
@@ -150,6 +154,9 @@ def asof_join(
         merged = merged.withColumn(
             "__m_payload", F.when(in_tol, F.col("__m_payload"))
         ).withColumn("__m_ts", F.when(in_tol, F.col("__m_ts")))
+    merged = merged.withColumn(
+        "__m_payload", F.when(F.col("__ts").isNotNull(), F.col("__m_payload"))
+    ).withColumn("__m_ts", F.when(F.col("__ts").isNotNull(), F.col("__m_ts")))
     if how == "inner":
         merged = merged.filter(F.col("__m_payload").isNotNull())
 

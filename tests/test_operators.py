@@ -2382,3 +2382,43 @@ def test_seasonal_decompose_recovers_planted_cycle(spark):
                                  "k string, ts long, v double")
     for r in seasonal_decompose(flat, ["k"], "ts", "v", 10, 40).collect():
         assert r.seasonal == 0.0 and r.resid == 0.0 and r.trend == 5.0
+
+
+def test_asof_join_null_timestamps_never_match(spark):
+    from mandodb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", None)], "lid long, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("a", 50, 1.0), ("a", None, 99.0)], "k string, ts long, v double"
+    )
+    got = {r.lid: r.v for r in
+           asof_join(left, right, on=["k"], right_cols=["v"]).collect()}
+    # NULL-ts right row never matches; NULL-ts left row gets no match but
+    # survives the left join
+    assert got == {1: 1.0, 2: None}
+    fwd = {r.lid: r.v for r in
+           asof_join(left, right, on=["k"], right_cols=["v"],
+                     direction="forward").collect()}
+    assert fwd == {1: None, 2: None}
+
+
+def test_weighted_sample_per_group_matches_duckdb(spark):
+    import duckdb
+
+    from mandodb_spark.operators.sampling import weighted_sample, weighted_sample_sql
+
+    rows = [(i, "g" + str(i % 3), float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_sample(df, "id", "w", 5, by=["grp"]).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.grp, []).append(r.id)
+    assert sorted(per) == ["g0", "g1", "g2"] and all(len(v) == 5 for v in per.values())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, grp VARCHAR, w DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = sorted(r[0] for r in con.execute(
+        weighted_sample_sql("t", "id", "w", 5, by=["grp"])).fetchall())
+    assert sorted(r.id for r in out) == want

@@ -265,3 +265,116 @@ SELECT {keys}, bucket_ts,
        round(value - trend - seasonal, 6) AS resid
 FROM c
 """
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    slack_sigmas: float = 0.5,
+    threshold_sigmas: float = 4.0,
+    target: float | None = None,
+    sigma: float | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per series (Page 1954): flag
+    sustained mean shifts that per-point tests (rolling-z) miss because no
+    single sample is extreme.  Standard parameterization: target = series
+    mean, slack ``k = slack_sigmas·σ``, alarm at ``h = threshold_sigmas·σ``.
+
+    The textbook recursion ``s_t = max(0, s_{t-1} + (x_t - μ - k))`` is not
+    window-expressible, but it has a prefix-sum closed form:
+    ``s_t = p_t - min(0, min_{j<=t} p_j)`` with ``p_t = Σ_{i<=t}(x_i-μ-k)``
+    — a running sum and a running min, both plain unbounded-preceding
+    windows (same trick as gaps-and-islands).  The lower side mirrors with
+    the sign flipped.  So the whole detector is 2 analytic passes over one
+    (series)-partitioned sort — codegen'd, no UDF, no iteration, and
+    exactly SQL-expressible, hence a full value-level oracle.
+
+    Requires unique ``(key, ts)`` rows (pre-aggregate duplicates) — window
+    order must be total for cross-engine determinism.  ``σ`` is the
+    population stddev; a flat series (σ=0) never alarms.
+
+    By default target/σ are estimated from the WHOLE series — fine for
+    monitoring dashboards, but a large shift contaminates its own
+    baseline (the pre-shift regime then sits below the global mean and
+    the DOWN side fires first).  Pass explicit ``target``/``sigma`` from
+    a calibration window for detection-latency-sensitive use.
+    """
+    keys = [F.col(k) for k in key_cols]
+    g = df.select(*keys, F.col(ts_col).alias("ts"), F.col(value_col).alias("value"))
+    if target is not None and sigma is not None:
+        g = g.withColumn("__mu", F.lit(float(target))).withColumn(
+            "__sigma", F.lit(float(sigma))
+        )
+    elif target is not None or sigma is not None:
+        raise ValueError("pass target and sigma together (or neither)")
+    else:
+        stats = df.groupBy(*key_cols).agg(
+            F.avg(value_col).alias("__mu"),
+            F.stddev_pop(value_col).alias("__sigma"),
+        )
+        g = g.join(stats, list(key_cols))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k_ = F.col("__sigma") * slack_sigmas
+    up_inc = F.col("value") - F.col("__mu") - k_
+    dn_inc = -(F.col("value") - F.col("__mu")) - k_
+    g = (
+        g.withColumn("__pu", F.sum(up_inc).over(w))
+        .withColumn("__pd", F.sum(dn_inc).over(w))
+        .withColumn("cusum_up", F.col("__pu") - F.least(F.lit(0.0), F.min("__pu").over(w)))
+        .withColumn("cusum_dn", F.col("__pd") - F.least(F.lit(0.0), F.min("__pd").over(w)))
+    )
+    h = F.col("__sigma") * threshold_sigmas
+    return g.select(
+        *key_cols,
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round("cusum_up", 6).alias("cusum_up"),
+        F.round("cusum_dn", 6).alias("cusum_dn"),
+        ((F.col("cusum_up") > h) | (F.col("cusum_dn") > h)).alias("alarm"),
+    )
+
+
+def cusum_changepoints_sql(
+    table: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    slack_sigmas: float = 0.5,
+    threshold_sigmas: float = 4.0,
+) -> str:
+    """DuckDB mirror of :func:`cusum_changepoints` (oracle)."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH base AS (
+    SELECT {keys}, {ts_col} AS ts, {value_col} AS value,
+           avg({value_col}) OVER (PARTITION BY {keys}) AS mu,
+           stddev_pop({value_col}) OVER (PARTITION BY {keys}) AS sigma
+    FROM {table}
+), p AS (
+    SELECT *,
+           sum(value - mu - sigma * {slack_sigmas}) OVER
+               (PARTITION BY {keys} ORDER BY ts ROWS UNBOUNDED PRECEDING) AS pu,
+           sum(-(value - mu) - sigma * {slack_sigmas}) OVER
+               (PARTITION BY {keys} ORDER BY ts ROWS UNBOUNDED PRECEDING) AS pd
+    FROM base
+), s AS (
+    SELECT *,
+           pu - least(0, min(pu) OVER (PARTITION BY {keys} ORDER BY ts
+               ROWS UNBOUNDED PRECEDING)) AS cusum_up,
+           pd - least(0, min(pd) OVER (PARTITION BY {keys} ORDER BY ts
+               ROWS UNBOUNDED PRECEDING)) AS cusum_dn
+    FROM p
+)
+SELECT {keys}, ts,
+       round(value, 6) AS value,
+       round(cusum_up, 6) AS cusum_up,
+       round(cusum_dn, 6) AS cusum_dn,
+       (cusum_up > sigma * {threshold_sigmas} OR cusum_dn > sigma * {threshold_sigmas}) AS alarm
+FROM s
+"""

@@ -524,3 +524,41 @@ def _seasonal_sql() -> str:
 
 QUERIES["x_events_seasonal"] = x_events_seasonal
 ORACLES["x_events_seasonal"] = _seasonal_sql()
+
+
+def x_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point scan over hourly event-value series per
+    event type (temporal.cusum_changepoints — prefix-sum closed form of
+    Page's recursion, pinned equal to the recursion by unit test)."""
+    from ..operators.temporal import cusum_changepoints
+    from .common import events_base
+
+    ev = events_base(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", (F.floor(F.col("ts") / 3600) * 3600).cast("long").alias("hts")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("hv"))
+    )
+    return cusum_changepoints(hourly, ["event_type"], "hts", "hv").orderBy(
+        "event_type", "ts"
+    )
+
+
+def _cusum_sql() -> str:
+    from ..operators.temporal import cusum_changepoints_sql
+
+    inner = cusum_changepoints_sql(
+        """(
+        SELECT event_type,
+               CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS hts,
+               round(avg(value), 6) AS hv
+        FROM events GROUP BY 1, 2
+    )""",
+        ["event_type"], "hts", "hv",
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY event_type, ts"
+
+
+QUERIES["x_events_cusum"] = x_events_cusum
+ORACLES["x_events_cusum"] = _cusum_sql()

@@ -2422,3 +2422,49 @@ def test_weighted_sample_per_group_matches_duckdb(spark):
     want = sorted(r[0] for r in con.execute(
         weighted_sample_sql("t", "id", "w", 5, by=["grp"])).fetchall())
     assert sorted(r.id for r in out) == want
+
+
+def test_cusum_closed_form_matches_recursion_and_detects_shift(spark):
+    """The prefix-sum closed form must equal the textbook recursion
+    exactly, and a planted mean shift must alarm only after the shift."""
+    import random
+
+    from mandodb_spark.operators.temporal import cusum_changepoints
+
+    rng = random.Random(42)
+    vals = [rng.gauss(0, 1) for _ in range(60)] + [rng.gauss(3, 1) for _ in range(40)]
+    rows = [("s", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = sorted(cusum_changepoints(df, ["k"], "ts", "v").collect(),
+                 key=lambda r: r.ts)
+
+    # reference recursion with identical parameterization
+    n = len(vals)
+    mu = sum(vals) / n
+    sigma = (sum((x - mu) ** 2 for x in vals) / n) ** 0.5
+    k, h = 0.5 * sigma, 4.0 * sigma
+    su = sd = 0.0
+    for r, x in zip(out, vals):
+        su = max(0.0, su + (x - mu - k))
+        sd = max(0.0, sd - (x - mu) - k)
+        assert abs(r.cusum_up - su) < 1e-5 and abs(r.cusum_dn - sd) < 1e-5
+        assert r.alarm == (su > h or sd > h)
+
+    # detection latency with a CALIBRATED baseline (target/sigma from the
+    # pre-shift regime): fires shortly after the shift, never before
+    cal = sorted(
+        cusum_changepoints(df, ["k"], "ts", "v", target=0.0, sigma=1.0).collect(),
+        key=lambda r: r.ts,
+    )
+    first_alarm = min(r.ts for r in cal if r.alarm)
+    assert 60 <= first_alarm <= 70
+    assert not any(r.alarm for r in cal if r.ts < 60)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="together"):
+        cusum_changepoints(df, ["k"], "ts", "v", target=0.0)
+
+    # flat series never alarms (sigma = 0)
+    flat = spark.createDataFrame([("s", t, 1.0) for t in range(20)],
+                                 "k string, ts long, v double")
+    assert not any(r.alarm for r in cusum_changepoints(flat, ["k"], "ts", "v").collect())

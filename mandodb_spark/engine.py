@@ -248,6 +248,59 @@ class TSDB:
                    metric=metric, matchers=matchers, start=start, end=end,
                    segment_duration=self.segment_duration)
 
+    def seasonal_decompose(self, metric: str | None, matchers: list[LabelMatcher] | None,
+                           start: int, end: int, step: int, period: int,
+                           trend_buckets: int = 3) -> DataFrame:
+        """Additive trend/seasonal/resid decomposition per series over the
+        matcher+time-pruned range (``operators.temporal.seasonal_decompose``
+        keyed by the series identity; labels re-attached per series)."""
+        from .operators.temporal import seasonal_decompose as _sd
+
+        return self._per_series(
+            metric, matchers, start, end,
+            lambda rows: _sd(rows, ["series_key"], "ts", "value", step, period,
+                             trend_buckets),
+        )
+
+    def cusum(self, metric: str | None, matchers: list[LabelMatcher] | None,
+              start: int, end: int, step: int = 60,
+              slack_sigmas: float = 0.5, threshold_sigmas: float = 4.0,
+              target: float | None = None, sigma: float | None = None) -> DataFrame:
+        """Two-sided CUSUM change-point scan per series
+        (``operators.temporal.cusum_changepoints``).  Samples are
+        pre-bucketed to ``step`` (mean) so the per-series order is total —
+        the operator's uniqueness contract."""
+        from .operators.temporal import cusum_changepoints
+
+        def run(rows: DataFrame) -> DataFrame:
+            bucketed = (
+                rows.groupBy(
+                    "series_key",
+                    (F.floor(F.col("ts") / step) * step).cast("long").alias("bts"),
+                )
+                .agg(F.avg("value").alias("bv"))
+            )
+            return cusum_changepoints(
+                bucketed, ["series_key"], "bts", "bv",
+                slack_sigmas=slack_sigmas, threshold_sigmas=threshold_sigmas,
+                target=target, sigma=sigma,
+            )
+
+        return self._per_series(metric, matchers, start, end, run)
+
+    def _per_series(self, metric, matchers, start, end, fn) -> DataFrame:
+        """Run a (series_key, ts, value)-keyed operator over the pruned
+        range and re-attach the series labels."""
+        from .model import series_key as _sk
+
+        rows = self._selected(metric, matchers, start, end)
+        rows = rows.withColumn("series_key", _sk(F.col("labels")))
+        dim = rows.groupBy("series_key").agg(F.first("labels").alias("labels"))
+        out = fn(rows)
+        return out.join(dim, "series_key").select(
+            "labels", *[c for c in out.columns if c != "series_key"]
+        )
+
     def snapshot(self, dest: str) -> int:
         """Instant hardlink snapshot of the on-disk store (see
         ``sources.segment_store.snapshot``); memory-only stores have

@@ -609,3 +609,31 @@ def test_anomaly_scores_flags_spikes_not_baseline(spark):
     assert step.is_anomaly and step.z is None  # zero-spread baseline
     assert all(not r.is_anomaly for ts, r in b.items()
                if ts not in (t0 + 35 * 60,))
+
+
+def test_engine_seasonal_and_cusum_surfaces(spark, tmp_path_factory):
+    """TSDB.seasonal_decompose / TSDB.cusum: matcher-pruned per-series runs
+    with labels re-attached; CUSUM flags a planted level shift."""
+    from mandodb_spark import TSDB, LabelMatcher
+
+    path = str(tmp_path_factory.mktemp("eng") / "s")
+    db = TSDB(spark, path)
+    base = 1_700_000_000
+    rows = []
+    for t in range(120):
+        # series a: flat 5.0 then shifts to 9.0 at t=80; series b: flat
+        rows.append(("m", {"n": "a"}, base + t * 60, 5.0 if t < 80 else 9.0))
+        rows.append(("m", {"n": "b"}, base + t * 60, 3.0))
+    db.insert_rows(rows)
+
+    cu = db.cusum("m", [LabelMatcher("n", "a")], 0, 2**40, step=60,
+                  target=5.0, sigma=1.0).collect()
+    assert all(r.labels["n"] == "a" for r in cu)
+    alarms = sorted(r.ts - base for r in cu if r.alarm)
+    assert alarms and alarms[0] >= 80 * 60  # fires only after the shift
+
+    sd = db.seasonal_decompose("m", [LabelMatcher("n", "b")], 0, 2**40,
+                               step=60, period=3600).collect()
+    assert len(sd) == 120 and all(r.labels["n"] == "b" for r in sd)
+    for r in sd:
+        assert r.seasonal == 0.0 and r.resid == 0.0 and r.trend == 3.0

@@ -402,3 +402,59 @@ SELECT * EXCLUDE (__ws) FROM (
     ORDER BY __ws DESC, {key_col} LIMIT {k}
 )
 """
+
+
+def temperature_rates(df: DataFrame, group_col: str, alpha: float,
+                      budget_rows: int) -> DataFrame:
+    """Temperature-scaled mixture plan (the mT5/XLM-R multilingual rule):
+    sample group i with probability proportional to ``n_i^alpha`` —
+    ``alpha=1`` is natural proportions, ``alpha→0`` is uniform across
+    groups, the standard ``alpha≈0.3-0.7`` range upweights low-resource
+    groups without drowning the head.
+
+    Returns one row per group: ``(group, n_rows, target_rows, rate)`` with
+    ``target_i = budget·n_i^α / Σ n_j^α`` and ``rate_i = target_i / n_i``
+    (rates may exceed 1 — that group must be upsampled; feed the plan to
+    :func:`mixture_epochs` for replication or cap with ``least(rate, 1)``
+    for sampling-only).  Complements :func:`mixture_rates` (explicit
+    per-group budgets) — this derives the budgets from one scalar knob.
+
+    Scale shape: one count aggregate + a 1-row broadcast of the
+    normalizer; the plan table is O(groups).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(
+        F.sum(F.pow(F.col("n_rows").cast("double"), float(alpha))).alias("__z")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            group_col,
+            "n_rows",
+            F.round(
+                F.lit(float(budget_rows))
+                * F.pow(F.col("n_rows").cast("double"), float(alpha))
+                / F.col("__z"),
+                6,
+            ).alias("target_rows"),
+        )
+        .withColumn("rate", F.round(F.col("target_rows") / F.col("n_rows"), 6))
+    )
+
+
+def temperature_rates_sql(table: str, group_col: str, alpha: float,
+                          budget_rows: int) -> str:
+    """DuckDB mirror of :func:`temperature_rates` (oracle)."""
+    return f"""
+WITH c AS (
+    SELECT {group_col}, count(*) AS n_rows FROM {table} GROUP BY 1
+), z AS (
+    SELECT sum(pow(CAST(n_rows AS DOUBLE), {float(alpha)})) AS z FROM c
+)
+SELECT {group_col}, n_rows,
+       round({float(budget_rows)} * pow(CAST(n_rows AS DOUBLE), {float(alpha)}) / z.z, 6) AS target_rows,
+       round({float(budget_rows)} * pow(CAST(n_rows AS DOUBLE), {float(alpha)}) / z.z / n_rows, 6) AS rate
+FROM c, z
+"""

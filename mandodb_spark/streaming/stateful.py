@@ -259,3 +259,86 @@ def streaming_alert_state(rel: DataFrame, condition, for_duration: int,
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM (round 6) — the continuous dual of
+# operators/temporal.cusum_changepoints (the batch prefix-sum closed form).
+# ---------------------------------------------------------------------------
+
+#: One row per (series, trigger): the CUSUM state after folding the batch.
+CUSUM_OUT_SCHEMA = (
+    "series_key long, cusum_up double, cusum_dn double, last_ts long, "
+    "alarm boolean, transitioned boolean"
+)
+#: Fixed-size per-series state: the two one-sided statistics.
+CUSUM_STATE_SCHEMA = "s_up double, s_dn double, last_ts long, alarmed boolean"
+
+
+def _cusum_update(target: float, sigma: float, slack_sigmas: float,
+                  threshold_sigmas: float):
+    k = slack_sigmas * sigma
+    h = threshold_sigmas * sigma
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        s_up, s_dn, last_ts, alarmed = (
+            state.get if state.exists else (0.0, 0.0, None, False)
+        )
+        was = alarmed
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts")
+        for ts, v in zip(batch["ts"], batch["value"]):
+            ts = int(ts)
+            if last_ts is not None and ts <= last_ts:
+                continue  # folded already: monotone contract, same as alerts
+            s_up = max(0.0, s_up + (float(v) - target - k))
+            s_dn = max(0.0, s_dn - (float(v) - target) - k)
+            last_ts = ts
+        alarmed = s_up > h or s_dn > h
+        state.update((s_up, s_dn, last_ts, alarmed))
+        yield pd.DataFrame(
+            [
+                {
+                    "series_key": key[0],
+                    "cusum_up": round(s_up, 6),
+                    "cusum_dn": round(s_dn, 6),
+                    "last_ts": last_ts,
+                    "alarm": alarmed,
+                    "transitioned": alarmed != was,
+                }
+            ]
+        )
+
+    return update
+
+
+def streaming_cusum_state(rel: DataFrame, target: float, sigma: float,
+                          slack_sigmas: float = 0.5,
+                          threshold_sigmas: float = 4.0) -> DataFrame:
+    """Continuous CUSUM change-point monitoring over the ingest stream:
+    per-series Page recursion carried as two floats of state — the exact
+    recursion whose prefix-sum closed form the batch
+    :func:`~mandodb_spark.operators.temporal.cusum_changepoints` evaluates
+    (pinned equal by test), so batch backfills and the live stream agree.
+
+    ``target``/``sigma`` come from a calibration window (the streaming
+    side cannot estimate them from the unbounded future — and self-
+    estimation contaminates the baseline anyway, see the batch docstring).
+    O(series) state, O(batch) work; same monotone-fold contract as
+    :func:`streaming_alert_state` (late/duplicate samples skipped, not
+    reordered — the batch form is the replayable source of truth).
+
+    ``rel``: streaming relation carrying (series_key, ts, value).
+    """
+    return rel.select("series_key", "ts", "value").groupBy(
+        "series_key"
+    ).applyInPandasWithState(
+        _cusum_update(float(target), float(sigma), slack_sigmas, threshold_sigmas),
+        CUSUM_OUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -562,3 +562,24 @@ def _cusum_sql() -> str:
 
 QUERIES["x_events_cusum"] = x_events_cusum
 ORACLES["x_events_cusum"] = _cusum_sql()
+
+
+def x_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled per-source mixture plan at alpha=0.5
+    (sampling.temperature_rates — the mT5 multilingual sampling rule
+    applied to sources)."""
+    from ..operators.sampling import temperature_rates
+
+    d = load(spark, sf_dir, "documents")
+    return temperature_rates(d, "source", 0.5, 200).orderBy("source")
+
+
+def _temp_mix_sql() -> str:
+    from ..operators.sampling import temperature_rates_sql
+
+    inner = temperature_rates_sql("documents", "source", 0.5, 200)
+    return f"SELECT * FROM ({inner}) ORDER BY source"
+
+
+QUERIES["x_docs_temperature_mix"] = x_docs_temperature_mix
+ORACLES["x_docs_temperature_mix"] = _temp_mix_sql()

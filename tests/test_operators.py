@@ -2468,3 +2468,24 @@ def test_cusum_closed_form_matches_recursion_and_detects_shift(spark):
     flat = spark.createDataFrame([("s", t, 1.0) for t in range(20)],
                                  "k string, ts long, v double")
     assert not any(r.alarm for r in cusum_changepoints(flat, ["k"], "ts", "v").collect())
+
+
+def test_temperature_rates_known_values(spark):
+    from mandodb_spark.operators.sampling import temperature_rates
+
+    rows = [(i, "big") for i in range(900)] + [(i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    got = {r.grp: (r.n_rows, r.target_rows, r.rate) for r in
+           temperature_rates(df, "grp", 0.5, 100).collect()}
+    z = 900 ** 0.5 + 100 ** 0.5
+    assert got["big"][0] == 900 and got["small"][0] == 100
+    assert abs(got["big"][1] - 100 * 900 ** 0.5 / z) < 1e-4
+    assert abs(got["small"][1] - 100 * 100 ** 0.5 / z) < 1e-4
+    # alpha=0.5 upweights the small group relative to natural proportions
+    assert got["small"][1] / 100 > got["big"][1] / 900
+    # alpha=1 reproduces natural proportions exactly (rate equal across groups)
+    nat = {r.grp: r.rate for r in temperature_rates(df, "grp", 1.0, 100).collect()}
+    assert abs(nat["big"] - nat["small"]) < 1e-9
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_rates(df, "grp", -1.0, 100)

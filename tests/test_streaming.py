@@ -869,3 +869,47 @@ def test_streaming_ingest_maintains_quantile_sketch(spark, tmp_path_factory):
     a = {r.q: r.est for r in quantile_estimate(spark, dest, lo, hi, [0.5, 0.99]).collect()}
     b = {r.q: r.est for r in quantile_estimate(spark, full, lo, hi, [0.5, 0.99]).collect()}
     assert a == b and set(a) == {0.5, 0.99}
+
+
+def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path_factory):
+    """The streaming recursion folded across TWO triggers must equal the
+    batch prefix-sum closed form on the concatenated stream (same
+    calibrated target/sigma), and alarm with a transition edge when the
+    planted shift crosses h."""
+    from mandodb_spark.operators.temporal import cusum_changepoints
+    from mandodb_spark.streaming.stateful import streaming_cusum_state
+
+    base = tmp_path_factory.mktemp("cusum")
+    src = str(base / "src")
+    schema = "series_key long, ts long, value double"
+    t0 = 1_700_000_000
+    vals = [5.0, 5.2, 4.9, 5.1, 5.0, 8.0, 8.2, 8.1, 8.3, 8.2]
+    rows = [(1, t0 + i * 60, v) for i, v in enumerate(vals)]
+    b1, b2 = rows[:5], rows[5:]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_cusum_state(stream, target=5.0, sigma=0.5)
+    name = "cusum_sink"
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()
+        s1 = spark.sql(f"SELECT * FROM {name}").collect()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        s2 = [r for r in spark.sql(f"SELECT * FROM {name}").collect() if r not in s1]
+    finally:
+        q.stop()
+
+    assert [(r.alarm, r.transitioned) for r in s1] == [(False, False)]
+    assert [(r.alarm, r.transitioned) for r in s2] == [(True, True)]
+
+    batch = cusum_changepoints(
+        spark.createDataFrame(rows, schema), ["series_key"], "ts", "value",
+        target=5.0, sigma=0.5,
+    ).orderBy("ts").collect()
+    final = batch[-1]
+    assert abs(s2[0].cusum_up - final.cusum_up) < 1e-9
+    assert abs(s2[0].cusum_dn - final.cusum_dn) < 1e-9
+    # mid-stream agreement too: trigger-1 state equals the batch form at t=5
+    assert abs(s1[0].cusum_up - batch[4].cusum_up) < 1e-9

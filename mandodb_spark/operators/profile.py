@@ -28,7 +28,7 @@ phase, no Expand, so one pass over the table computes every column; the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,4 +149,90 @@ SELECT {keys}, n,
 FROM counts, stats
 ORDER BY n DESC, {keys}
 LIMIT {top_n}
+"""
+
+
+def psi_report(expected: DataFrame, actual: DataFrame, col: str,
+               edges: list[float], eps: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift monitor for quality scores, lengths, or
+    model features between corpus versions (PSI < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted).
+
+    ``edges`` are EXPLICIT interior bucket boundaries (take them from a
+    calibration run — e.g. ``approxQuantile`` deciles of the reference
+    snapshot); passing them in keeps the operator deterministic and
+    exactly SQL-mirrorable (engine-specific quantile sketches never agree
+    bit-for-bit).  Buckets are ``(-inf, e1), [e1, e2), …, [ek, inf)``;
+    NULLs get their own bucket.  ``eps`` floors empty-bucket shares the
+    textbook way so the log term stays finite.
+
+    Output: one row per bucket ``(bucket, n_expected, n_actual, share_
+    expected, share_actual, psi_term)`` — total PSI = sum(psi_term).
+    Scale shape: two map-side-combined single-pass aggregates (one per
+    snapshot) over a sum-of-comparisons bucket rank; join is on the
+    O(buckets) result.
+    """
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly increasing")
+
+    def bucketize(df: DataFrame, out: str) -> DataFrame:
+        rank = F.lit(0)
+        for e in edges:
+            rank = rank + F.when(F.col(col) >= F.lit(float(e)), 1).otherwise(0)
+        b = F.when(F.col(col).isNull(), F.lit(-1)).otherwise(rank).cast("long")
+        return df.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+    e = bucketize(expected, "n_expected")
+    a = bucketize(actual, "n_actual")
+    j = e.join(a, "bucket", "full").select(
+        "bucket",
+        F.coalesce("n_expected", F.lit(0)).alias("n_expected"),
+        F.coalesce("n_actual", F.lit(0)).alias("n_actual"),
+    )
+    te = F.sum("n_expected").over(Window.partitionBy())
+    ta = F.sum("n_actual").over(Window.partitionBy())
+    j = j.withColumn(
+        "share_expected", F.greatest(F.lit(float(eps)), F.col("n_expected") / te)
+    ).withColumn(
+        "share_actual", F.greatest(F.lit(float(eps)), F.col("n_actual") / ta)
+    )
+    term = (F.col("share_actual") - F.col("share_expected")) * F.log(
+        F.col("share_actual") / F.col("share_expected")
+    )
+    return j.select(
+        "bucket", "n_expected", "n_actual",
+        F.round("share_expected", 6).alias("share_expected"),
+        F.round("share_actual", 6).alias("share_actual"),
+        F.round(term, 6).alias("psi_term"),
+    )
+
+
+def psi_report_sql(expected_table: str, actual_table: str, col: str,
+                   edges: list[float], eps: float = 1e-6) -> str:
+    """DuckDB mirror of :func:`psi_report` (oracle)."""
+    rank = " + ".join(f"CASE WHEN {col} >= {float(e)} THEN 1 ELSE 0 END" for e in edges)
+    b = f"CAST(CASE WHEN {col} IS NULL THEN -1 ELSE ({rank}) END AS BIGINT)"
+    return f"""
+WITH e AS (
+    SELECT {b} AS bucket, count(*) AS n_expected FROM {expected_table} GROUP BY 1
+), a AS (
+    SELECT {b} AS bucket, count(*) AS n_actual FROM {actual_table} GROUP BY 1
+), j AS (
+    SELECT coalesce(e.bucket, a.bucket) AS bucket,
+           coalesce(n_expected, 0) AS n_expected,
+           coalesce(n_actual, 0) AS n_actual
+    FROM e FULL JOIN a ON e.bucket = a.bucket
+), s AS (
+    SELECT *,
+           greatest({float(eps)}, CAST(n_expected AS DOUBLE) / sum(n_expected) OVER ()) AS se,
+           greatest({float(eps)}, CAST(n_actual AS DOUBLE) / sum(n_actual) OVER ()) AS sa
+    FROM j
+)
+SELECT bucket, n_expected, n_actual,
+       round(se, 6) AS share_expected,
+       round(sa, 6) AS share_actual,
+       round((sa - se) * ln(sa / se), 6) AS psi_term
+FROM s
 """

@@ -583,3 +583,34 @@ def _temp_mix_sql() -> str:
 
 QUERIES["x_docs_temperature_mix"] = x_docs_temperature_mix
 ORACLES["x_docs_temperature_mix"] = _temp_mix_sql()
+
+
+def x_docs_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version drift monitor (profile.psi_report): PSI of the
+    n_chars distribution between the even-doc_id half ("reference
+    snapshot") and the odd half ("new snapshot"), fixed decile-ish
+    edges — the release gate a data pipeline runs before swapping
+    training corpora."""
+    from ..operators.profile import psi_report
+
+    d = load(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    edges = [50.0, 100.0, 150.0, 200.0, 250.0, 300.0, 400.0, 600.0]
+    return psi_report(ref, new, "n_chars", edges).orderBy("bucket")
+
+
+def _psi_sql() -> str:
+    from ..operators.profile import psi_report_sql
+
+    edges = [50.0, 100.0, 150.0, 200.0, 250.0, 300.0, 400.0, 600.0]
+    inner = psi_report_sql(
+        "(SELECT n_chars FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT n_chars FROM documents WHERE doc_id % 2 = 1)",
+        "n_chars", edges,
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY bucket"
+
+
+QUERIES["x_docs_psi_drift"] = x_docs_psi_drift
+ORACLES["x_docs_psi_drift"] = _psi_sql()

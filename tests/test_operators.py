@@ -2489,3 +2489,22 @@ def test_temperature_rates_known_values(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="alpha"):
         temperature_rates(df, "grp", -1.0, 100)
+
+
+def test_psi_report_detects_shift_and_identity(spark):
+    from mandodb_spark.operators.profile import psi_report
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "v double")
+    b = spark.createDataFrame([(float(i % 10) + 4.0,) for i in range(1000)], "v double")
+    edges = [2.0, 4.0, 6.0, 8.0]
+    same = psi_report(a, a, "v", edges).collect()
+    assert abs(sum(r.psi_term for r in same)) < 1e-9           # identical -> PSI 0
+    shifted = psi_report(a, b, "v", edges).collect()
+    assert sum(r.psi_term for r in shifted) > 0.25             # gross shift flagged
+    # NULLs bucketed, not dropped
+    withnull = spark.createDataFrame([(None,), (1.0,)], "v double")
+    rows = {r.bucket: r.n_actual for r in psi_report(a, withnull, "v", edges).collect()}
+    assert rows[-1] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="increasing"):
+        psi_report(a, b, "v", [2.0, 1.0])

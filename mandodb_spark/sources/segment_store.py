@@ -482,12 +482,25 @@ class SegmentStore:
         for seg in picked:
             seg_dir = root / f"seg={seg}"
             new_dir = Path(staging_root) / f"seg={seg}"
-            displaced = swap_in(str(seg_dir), str(new_dir), keep_old=True)
-            for p in Path(displaced).glob("*.parquet"):
+            if _renameat2_exchange(str(seg_dir), str(new_dir)):
+                displaced = new_dir
+            else:
+                # fallback two-rename: the displaced tree must live OUTSIDE
+                # the store root — a `seg=N__old` dir inside it would parse
+                # as a malformed partition value and poison discovery.  The
+                # `<root>__old` sibling is already fsck's orphan pattern.
+                aside = Path(f"{self.root}__old") / f"seg={seg}"
+                shutil.rmtree(aside, ignore_errors=True)
+                aside.parent.mkdir(parents=True, exist_ok=True)
+                seg_dir.rename(aside)
+                new_dir.rename(seg_dir)
+                displaced = aside
+            for p in displaced.glob("*.parquet"):
                 if p.name not in consumed:  # salvage concurrent appends
                     p.rename(seg_dir / p.name)
             shutil.rmtree(displaced, ignore_errors=True)
         shutil.rmtree(staging_root, ignore_errors=True)
+        shutil.rmtree(f"{self.root}__old", ignore_errors=True)
         return picked
 
     # ---------------------------------------------------------------- stats

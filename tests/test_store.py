@@ -525,3 +525,26 @@ def test_selective_compact_guards(spark, tmp_path_factory):
     b.append(spark.createDataFrame([("m", {"n": "a"}, START, 1.0)], ROW_SCHEMA))
     with _pytest.raises(ValueError, match="selective compaction"):
         b.compact(min_files_per_segment=2)
+
+
+def test_selective_compact_fallback_never_pollutes_partition_discovery(spark, tmp_path_factory, monkeypatch):
+    """Force the non-renameat2 fallback: the displaced tree must land
+    OUTSIDE the store root (a seg=N__old dir inside it would poison
+    partition discovery), results unchanged, no leftovers."""
+    from mandodb_spark.sources import segment_store as ss
+
+    path = str(tmp_path_factory.mktemp("store") / "fb")
+    store = ss.SegmentStore(spark, path)
+    for b in range(2):
+        store.append(spark.createDataFrame(
+            [("m", {"b": "x"}, START + b, float(b))], ROW_SCHEMA))
+    before = sorted((r.ts, r.value) for r in store.relation().collect())
+
+    monkeypatch.setattr(ss, "_renameat2_exchange", lambda a, b: False)
+    done = store.compact(min_files_per_segment=2)
+    assert len(done) == 1
+    assert sorted((r.ts, r.value) for r in store.relation().collect()) == before
+    root = Path(path)
+    assert not any("__old" in p.name for p in root.glob("*"))      # inside root
+    assert not Path(f"{path}__old").exists()                       # sibling cleaned
+    assert not Path(f"{path}__compact").exists()

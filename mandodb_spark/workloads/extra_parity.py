@@ -507,8 +507,9 @@ def x_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import events_base
 
     ev = events_base(spark, sf_dir)
+    hourly = _exact_hourly_mean(ev)
     return seasonal_decompose(
-        ev, ["event_type"], "ts", "value", step=3600, period=86400
+        hourly, ["event_type"], "hts", "hv", step=3600, period=86400
     ).orderBy("event_type", "bucket_ts")
 
 
@@ -516,14 +517,38 @@ def _seasonal_sql() -> str:
     from ..operators.temporal import seasonal_decompose_sql
 
     inner = seasonal_decompose_sql(
-        "(SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts, value FROM events)",
-        ["event_type"], "ts", "value", step=3600, period=86400,
+        """(
+        SELECT event_type,
+               CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS hts,
+               round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS hv
+        FROM events GROUP BY 1, 2
+    )""",
+        ["event_type"], "hts", "hv", step=3600, period=86400,
     )
     return f"SELECT * FROM ({inner}) ORDER BY event_type, bucket_ts"
 
 
 QUERIES["x_events_seasonal"] = x_events_seasonal
 ORACLES["x_events_seasonal"] = _seasonal_sql()
+
+
+def _exact_hourly_mean(ev):
+    """Hourly mean via an EXACT decimal sum — order-independent, so Spark's
+    shuffle order and DuckDB agree bit-for-bit before the rounding (a plain
+    double avg put one bucket of 3600 exactly on the round-half boundary at
+    sf0.1: 43.4728125 — the schema-drift lesson's sibling, pinned here)."""
+    return (
+        ev.groupBy(
+            "event_type", (F.floor(F.col("ts") / 3600) * 3600).cast("long").alias("hts")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(24,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hv")
+        )
+    )
 
 
 def x_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,12 +559,7 @@ def x_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import events_base
 
     ev = events_base(spark, sf_dir)
-    hourly = (
-        ev.groupBy(
-            "event_type", (F.floor(F.col("ts") / 3600) * 3600).cast("long").alias("hts")
-        )
-        .agg(F.round(F.avg("value"), 6).alias("hv"))
-    )
+    hourly = _exact_hourly_mean(ev)
     return cusum_changepoints(hourly, ["event_type"], "hts", "hv").orderBy(
         "event_type", "ts"
     )
@@ -552,7 +572,7 @@ def _cusum_sql() -> str:
         """(
         SELECT event_type,
                CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) * 3600 AS BIGINT) AS hts,
-               round(avg(value), 6) AS hv
+               round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS hv
         FROM events GROUP BY 1, 2
     )""",
         ["event_type"], "hts", "hv",

@@ -196,31 +196,59 @@ def seasonal_decompose(
     full value-level oracle instead of a bounds check).
     """
     keys = [F.col(k) for k in key_cols]
+
+    # Every mean is an EXACT decimal sum, divided and HALF-UP rounded in
+    # integer arithmetic.  Two separate cross-engine hazards, both hit on
+    # real sweeps before this hardening: (1) a plain double avg depends on
+    # summation ORDER (shuffle arrival / sliding-frame add-remove), and
+    # (2) even over an identical exact sum, 6-dp inputs divided by small
+    # counts produce TRUE decimal ties (…0415), where Spark's round
+    # (shortest-decimal-repr, HALF_UP) and DuckDB's (binary value) differ.
+    # So: sum in decimal (order-independent), scale to a 10^-8 BIGINT
+    # (exact), and round half-up with integer math — floor over a double
+    # division of exact <=2e14 integers is safe because the fractional
+    # parts are multiples of 1/(2·100·n), far coarser than one ulp.
+    def exact_avg(col, over=None):
+        s = F.sum(col.cast("decimal(28,8)"))
+        n = F.count(F.lit(1))
+        if over is not None:
+            s, n = s.over(over), n.over(over)
+        s8 = (s * F.lit(100000000)).cast("long")
+        n = n.cast("long")
+        pos = F.floor((2 * s8 + n * 100) / (2 * n * 100))
+        neg = -F.floor((-2 * s8 + n * 100) / (2 * n * 100))
+        return F.when(s8 >= 0, pos).otherwise(neg).cast("double") / F.lit(1000000.0)
+
     bucket = (F.floor(F.col(ts_col) / step) * step).cast("long")
     g = (
         df.select(*keys, bucket.alias("bucket_ts"), F.col(value_col).alias("__v"))
         .groupBy(*key_cols, "bucket_ts")
-        .agg(F.avg("__v").alias("value"))
+        .agg(exact_avg(F.col("__v")).alias("value"))
     )
     wt = (
         Window.partitionBy(*key_cols)
         .orderBy("bucket_ts")
         .rowsBetween(-trend_buckets, trend_buckets)
     )
-    g = g.withColumn("trend", F.avg("value").over(wt))
+    g = g.withColumn("trend", exact_avg(F.col("value"), wt))
     g = g.withColumn("phase", (F.col("bucket_ts") % period).cast("long"))
     wp = Window.partitionBy(*key_cols, "phase")
     ws = Window.partitionBy(*key_cols)
-    g = g.withColumn("__raw_seasonal", F.avg(F.col("value") - F.col("trend")).over(wp))
+    g = g.withColumn(
+        "__raw_seasonal", exact_avg(F.col("value") - F.col("trend"), wp)
+    )
     # re-center so the seasonal component sums to ~0 over each series
     # (mean over rows, weighting phases by observation count — determinate)
-    g = g.withColumn("seasonal", F.col("__raw_seasonal") - F.avg("__raw_seasonal").over(ws))
+    g = g.withColumn(
+        "seasonal",
+        F.round(F.col("__raw_seasonal") - exact_avg(F.col("__raw_seasonal"), ws), 6),
+    )
     return g.select(
         *key_cols,
         "bucket_ts",
-        F.round("value", 6).alias("value"),
-        F.round("trend", 6).alias("trend"),
-        F.round("seasonal", 6).alias("seasonal"),
+        F.col("value"),
+        F.col("trend"),
+        F.col("seasonal"),
         F.round(F.col("value") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
     )
 
@@ -234,34 +262,46 @@ def seasonal_decompose_sql(
     period: int,
     trend_buckets: int = 3,
 ) -> str:
-    """DuckDB mirror of :func:`seasonal_decompose` (oracle)."""
+    """DuckDB mirror of :func:`seasonal_decompose` (oracle) — the same
+    exact-decimal-sum, integer-half-up means, see the operator's
+    hardening comment."""
     keys = ", ".join(key_cols)
+
+    def exact_avg(expr: str, over: str = "") -> str:
+        s8 = f"CAST(sum(CAST({expr} AS DECIMAL(28,8))) {over} * 100000000 AS BIGINT)"
+        n = f"count(*) {over}"
+        return (
+            f"(CASE WHEN {s8} >= 0"
+            f" THEN floor((2*{s8} + {n}*100) / (2.0*{n}*100))"
+            f" ELSE -floor((-2*{s8} + {n}*100) / (2.0*{n}*100)) END / 1000000.0)"
+        )
+
+    wt = (f"OVER (PARTITION BY {keys} ORDER BY bucket_ts ROWS BETWEEN "
+          f"{trend_buckets} PRECEDING AND {trend_buckets} FOLLOWING)")
+    wp = f"OVER (PARTITION BY {keys}, phase)"
+    ws = f"OVER (PARTITION BY {keys})"
     return f"""
 WITH g AS (
     SELECT {keys},
            CAST(floor({ts_col} / {step}) * {step} AS BIGINT) AS bucket_ts,
-           avg({value_col}) AS value
+           {exact_avg(value_col)} AS value
     FROM {table}
     GROUP BY ALL
 ), t AS (
     SELECT *,
-           avg(value) OVER (PARTITION BY {keys} ORDER BY bucket_ts
-               ROWS BETWEEN {trend_buckets} PRECEDING AND {trend_buckets} FOLLOWING) AS trend,
+           {exact_avg("value", wt)} AS trend,
            CAST(bucket_ts % {period} AS BIGINT) AS phase
     FROM g
 ), s AS (
     SELECT *,
-           avg(value - trend) OVER (PARTITION BY {keys}, phase) AS raw_seasonal
+           {exact_avg("value - trend", wp)} AS raw_seasonal
     FROM t
 ), c AS (
     SELECT *,
-           raw_seasonal - avg(raw_seasonal) OVER (PARTITION BY {keys}) AS seasonal
+           round(raw_seasonal - {exact_avg("raw_seasonal", ws)}, 6) AS seasonal
     FROM s
 )
-SELECT {keys}, bucket_ts,
-       round(value, 6) AS value,
-       round(trend, 6) AS trend,
-       round(seasonal, 6) AS seasonal,
+SELECT {keys}, bucket_ts, value, trend, seasonal,
        round(value - trend - seasonal, 6) AS resid
 FROM c
 """

@@ -913,3 +913,43 @@ def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path_factory):
     assert abs(s2[0].cusum_dn - final.cusum_dn) < 1e-9
     # mid-stream agreement too: trigger-1 state equals the batch form at t=5
     assert abs(s1[0].cusum_up - batch[4].cusum_up) < 1e-9
+
+
+def test_layout_maintainer_relayouts_on_measured_erosion(spark, tmp_path_factory):
+    """Auto-OPTIMIZE loop: unordered micro-batch appends erode pruning
+    (probe box overlaps every appended full-range file) until the measured
+    hit fraction crosses the threshold and relayout restores clustering —
+    content always preserved, counter observable."""
+    from mandodb_spark.streaming.layout_maintenance import LayoutMaintainer
+
+    base = tmp_path_factory.mktemp("layout")
+    src, dest = str(base / "src"), str(base / "dest")
+    schema = "u long, v long"
+
+    def batch(seed):
+        return spark.createDataFrame(
+            [((i * 131 + seed * 7919) % 1000, (i * 977 + seed * 131) % 1000)
+             for i in range(4000)], schema)
+
+    m = LayoutMaintainer(
+        spark, dest, cols=["u", "v"], n_files=16,
+        probe_box={"u": (100, 160), "v": (100, 160)},
+        max_hit_frac=0.2, check_every=1,
+    )
+    batch(0).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream.writeStream.foreachBatch(m).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        assert m.relayouts == 1          # 1 unordered file -> hit 1.0 -> rewrite
+        frac_clustered = m.hit_fraction()
+        assert frac_clustered <= 0.15    # z-order prunes the probe box (2/16 measured)
+        for s in (1, 2, 3):              # erode: three more full-range files
+            batch(s).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert m.batches == 4 and m.relayouts >= 2   # erosion re-triggered
+    assert m.hit_fraction() <= 0.2
+    assert spark.read.parquet(dest).count() == 16000  # nothing lost

@@ -458,3 +458,48 @@ SELECT {group_col}, n_rows,
        round({float(budget_rows)} * pow(CAST(n_rows AS DOUBLE), {float(alpha)}) / z.z / n_rows, 6) AS rate
 FROM c, z
 """
+
+
+def hash_split(df: DataFrame, key_col: str, fracs: dict[str, float],
+               salt: str = "split", split_col: str = "split") -> DataFrame:
+    """Deterministic dataset split (train/val/test): assign each row a
+    split label by its key hash — reproducible across engines, reruns,
+    partitionings, and retries, and STABLE UNDER GROWTH (a new row never
+    moves an old row's split, unlike randomSplit or modulo-on-rank).
+
+    Leakage control is the caller's key choice: split on ``doc_id`` for
+    row-wise splits, or on a CONTENT key (``bow_fingerprint``, a near-dup
+    cluster id) so every duplicate of a document lands in the same split —
+    the eval-contamination guard (Lee et al.: train/test dup leakage
+    inflates benchmarks).  Fractions must sum to 1 (±1e-9); labels are
+    assigned over cumulative thresholds in sorted-label order.  Pure
+    scan-side expression — no shuffle at any scale.
+    """
+    total = sum(fracs.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(v < 0 for v in fracs.values()):
+        raise ValueError("fractions must be non-negative")
+    u = hash_unit(F.col(key_col), salt)
+    names = sorted(fracs)
+    expr = F.lit(names[-1])  # remainder catches float residue
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += fracs[name]
+        conds.append((name, cum))
+    for name, edge in reversed(conds):
+        expr = F.when(u < F.lit(edge), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql(key_expr: str, fracs: dict[str, float],
+                   salt: str = "split") -> str:
+    """DuckDB mirror of :func:`hash_split`'s label expression (oracle)."""
+    u = hash_unit_sql(key_expr, salt)
+    names = sorted(fracs)
+    cases, cum = [], 0.0
+    for name in names[:-1]:
+        cum += fracs[name]
+        cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"

@@ -634,3 +634,106 @@ def _psi_sql() -> str:
 
 QUERIES["x_docs_psi_drift"] = x_docs_psi_drift
 ORACLES["x_docs_psi_drift"] = _psi_sql()
+
+
+def x_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sampling.hash_split keyed on the
+    CONTENT fingerprint, not the doc id): byte-identical duplicates land
+    in one split by construction.  Output: per-split doc/group counts plus
+    the number of fingerprint groups spanning more than one split — the
+    contamination metric, provably 0."""
+    from ..operators.sampling import hash_split
+    from ..operators.text import bow_fingerprint
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "fp", bow_fingerprint(F.col("text"))
+    )
+    s = hash_split(d, "fp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    leaks = (
+        s.groupBy("fp").agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1).count()
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fp").alias("n_groups"),
+        )
+        .withColumn("leaked_groups", F.lit(leaks).cast("long"))
+        .orderBy("split")
+    )
+
+
+def _split_sql() -> str:
+    from ..operators.sampling import hash_split_sql
+
+    label = hash_split_sql("fp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+WITH d AS (
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+    FROM documents
+), s AS (
+    SELECT fp, {label} AS split FROM d
+), leaks AS (
+    SELECT count(*) AS leaked FROM (
+        SELECT fp FROM s GROUP BY fp HAVING count(DISTINCT split) > 1
+    )
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT fp) AS n_groups,
+       CAST(leaks.leaked AS BIGINT) AS leaked_groups
+FROM s, leaks
+GROUP BY split, leaks.leaked
+ORDER BY split
+"""
+
+
+QUERIES["x_docs_leakage_safe_split"] = x_docs_leakage_safe_split
+ORACLES["x_docs_leakage_safe_split"] = _split_sql()
+
+
+def x_docs_quality_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration: each document's quality score
+    mapped to its WITHIN-SOURCE percent rank — the normalization that
+    makes one quality threshold comparable across sources whose scorers
+    have different scales/shapes (rank-based, so engine float quirks in
+    the score itself cannot flip the output as long as ordering holds;
+    ties share a rank by value, doc_id breaks output order only)."""
+    from pyspark.sql import Window
+
+    from ..operators.text import quality_score
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy("q")
+    return (
+        d.withColumn("pctl", F.round(F.percent_rank().over(w), 6))
+        .select("doc_id", "source", "q", "pctl")
+        .orderBy("doc_id")
+    )
+
+
+def _quality_pctl_sql() -> str:
+    from ..operators.text import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    q = (
+        f"round(0.6 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+        f" + 0.4 * (1.0 - CAST(len(list_filter(toks, x -> x IN ({stops}))) AS DOUBLE)"
+        f" / len(toks)), 4)"
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents
+), d AS (
+    SELECT doc_id, source, round({q}, 6) AS q FROM t
+)
+SELECT doc_id, source, q,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY q), 6) AS pctl
+FROM d
+ORDER BY doc_id
+"""
+
+
+QUERIES["x_docs_quality_pctl"] = x_docs_quality_pctl
+ORACLES["x_docs_quality_pctl"] = _quality_pctl_sql()

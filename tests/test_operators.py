@@ -2508,3 +2508,28 @@ def test_psi_report_detects_shift_and_identity(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="increasing"):
         psi_report(a, b, "v", [2.0, 1.0])
+
+
+def test_hash_split_fractions_stability_and_validation(spark):
+    import pytest as _pytest
+
+    from mandodb_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(10000)], "id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r.id: r.split for r in hash_split(df, "id", fr).collect()}
+    n = len(got)
+    from collections import Counter
+    c = Counter(got.values())
+    assert abs(c["train"] / n - 0.8) < 0.02
+    assert abs(c["val"] / n - 0.1) < 0.01
+    assert abs(c["test"] / n - 0.1) < 0.01
+    # stability under growth: the first 1000 keys keep their labels when
+    # the table grows 10x (hash-based, not rank/modulo-based)
+    small = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    sub = {r.id: r.split for r in hash_split(small, "id", fr).collect()}
+    assert all(got[i] == sub[i] for i in range(1000))
+    with _pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "id", {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match="non-negative"):
+        hash_split(df, "id", {"a": 1.5, "b": -0.5})

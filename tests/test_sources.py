@@ -492,3 +492,40 @@ def test_relayout_swaps_in_zordered_files_under_a_live_reader(spark, tmp_path):
     from pathlib import Path as _P
 
     assert not _P(f"{path}__relayout").exists() and not _P(f"{path}__old").exists()
+
+
+def test_write_audit_publish_gates_bad_versions(spark, tmp_path):
+    """WAP: a passing audit publishes atomically; a failing (or raising)
+    audit leaves the live version untouched and retains the candidate."""
+    from pathlib import Path
+
+    from mandodb_spark.sources.publish import write_audit_publish
+
+    dest = str(tmp_path / "corpus")
+    v1 = spark.createDataFrame([(i, "ok") for i in range(100)], "id long, t string")
+    checks = {
+        "rows": lambda d: d.count() >= 50,
+        "no_null_text": lambda d: d.filter(F.col("t").isNull()).count() == 0,
+    }
+    r1 = write_audit_publish(spark, v1, dest, checks)
+    assert r1["published"] and all(r1["checks"].values())
+    assert spark.read.parquet(dest).count() == 100
+
+    # v2 fails the row floor -> v1 stays live, candidate retained
+    v2 = spark.createDataFrame([(1, None)], "id long, t string")
+    r2 = write_audit_publish(spark, v2, dest, checks)
+    assert not r2["published"]
+    assert r2["checks"] == {"rows": False, "no_null_text": False}
+    assert spark.read.parquet(dest).count() == 100          # untouched
+    assert Path(r2["staging"]).exists()                      # inspectable
+
+    # a RAISING check is a failed check, never a publish
+    def boom(d):
+        raise RuntimeError("audit bug")
+    r3 = write_audit_publish(spark, v1, dest, {"boom": boom}, keep_failed=False)
+    assert not r3["published"] and "audit bug" in r3["errors"]["boom"]
+    assert not Path(f"{dest}__wap").exists()                 # cleaned
+    # empty checks dict never publishes (explicit audits required)
+    r4 = write_audit_publish(spark, v1, dest, {})
+    assert not r4["published"]
+    assert spark.read.parquet(dest).count() == 100

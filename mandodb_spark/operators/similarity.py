@@ -543,7 +543,7 @@ def _pq_codebook_matrix(codebooks: DataFrame):
 
 
 def pq_encode(df: DataFrame, id_col: str, vec_col: str,
-              codebooks: DataFrame) -> DataFrame:
+              codebooks: DataFrame, keep_cols: tuple = ()) -> DataFrame:
     """Encode each vector to its m nearest-centroid codes (+ squared
     reconstruction error), Arrow-batched: one numpy distance tensor per
     batch, NO shuffle (encoding is embarrassingly parallel — at 100 TB it
@@ -553,15 +553,20 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
     before the argmin (ties → lowest code) and summed exactly; the 4dp
     total is integer arithmetic (see :func:`_micros_to_4dp`) — the same
     cross-engine determinism contract as :func:`ivf_assign`, hardened.
-    Returns (id, codes array<int>, pq_err double)."""
+    Returns (id, codes array<int>, pq_err double[, keep_cols] — extra
+    columns ride through the Arrow batch join-free, e.g. the cell id when
+    materializing a partitioned codes sidecar)."""
     import numpy as np
     import pandas as pd
 
     M = _pq_codebook_matrix(codebooks)
     m, _, dsub = M.shape
+    keep = list(keep_cols)
 
     def batches(it):
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             Vs = V.reshape(len(V), m, dsub)
             # direct (v-c)² differences, one subspace at a time: the
@@ -576,16 +581,19 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
             err = _micros_to_4dp(
                 np.take_along_axis(d2u, codes[..., None], -1).sum((1, 2))
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "codes": list(codes.astype("int32")),
-                    "pq_err": err,
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "codes": list(codes.astype("int32")),
+                "pq_err": err,
+            }
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        batches, f"{id_col} long, codes array<int>, pq_err double"
+    in_types = dict(df.dtypes)
+    keep_schema = "".join(f", {c} {in_types[c]}" for c in keep)
+    return df.select(id_col, vec_col, *keep).mapInPandas(
+        batches, f"{id_col} long, codes array<int>, pq_err double{keep_schema}"
     )
 
 
@@ -597,26 +605,41 @@ def pq_adc_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
     math touching the query; the corpus side is pure integer indexing.
     ``query``: 1-row DataFrame with column ``qe`` (as :func:`cosine_topk`).
     Returns (id, adc_d2) ascending, ties → lowest id."""
+    enc = pq_encode(df, id_col, vec_col, codebooks)
+    scored = pq_adc_scores(enc, id_col, list(query.collect()[0].qe), codebooks)
+    return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)
+
+
+def pq_adc_scores(enc: DataFrame, id_col: str, query_vec: list[float],
+                  codebooks: DataFrame) -> DataFrame:
+    """ADC distance of every PRE-ENCODED row to ``query_vec``: the
+    (m × ksub) query-to-centroid lookup table is the only float math; the
+    corpus side is pure integer indexing into it (identical micro-unit
+    arithmetic to :func:`pq_adc_topk` — this is its scorer, factored out
+    so a PERSISTED codes sidecar can be scanned without re-encoding).
+    ``enc``: (id, codes) rows, e.g. from :func:`pq_encode` or a codes
+    parquet tree.  Returns (id, adc_d2)."""
     import numpy as np
     import pandas as pd
 
     M = _pq_codebook_matrix(codebooks)
     m, _, dsub = M.shape
-    q = np.asarray(query.collect()[0].qe, dtype="float64").reshape(m, 1, dsub)
+    q = np.asarray(query_vec, dtype="float64").reshape(m, 1, dsub)
     # (m, ksub) lookup table in exact 6dp micro-units (see pq_encode)
     Tu = np.rint(((q - M) ** 2).sum(-1) * 1e6).astype("int64")
     sub_idx = np.arange(m)
 
-    enc = pq_encode(df, id_col, vec_col, codebooks)
-
     def adc(it):
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             codes = np.stack(pdf["codes"].to_numpy())
             d = _micros_to_4dp(Tu[sub_idx, codes].sum(1))
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "adc_d2": d})
 
-    scored = enc.mapInPandas(adc, f"{id_col} long, adc_d2 double")
-    return scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)
+    return enc.select(id_col, "codes").mapInPandas(
+        adc, f"{id_col} long, adc_d2 double"
+    )
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, bucket_col: str,

@@ -67,6 +67,14 @@ class VectorIndex:
     def _meta(self) -> str:
         return f"{self.root}/meta"
 
+    @property
+    def _pq_data(self) -> str:
+        return f"{self.root}/pq/data"
+
+    @property
+    def _pq_codebook(self) -> str:
+        return f"{self.root}/pq/codebook"
+
     # ------------------------------------------------------------- build
     @staticmethod
     def _assign(df: DataFrame, id_col: str, vec_col: str, cb) -> DataFrame:
@@ -166,9 +174,103 @@ class VectorIndex:
         frozen codebook and append into the existing cell partitions.  The
         historical index is never re-read or re-shuffled — per-batch cost
         is O(batch), the Bloom-gate property applied to ANN.  Run inside
-        ``foreachBatch`` for streaming index maintenance."""
+        ``foreachBatch`` for streaming index maintenance.  A PQ sidecar
+        (see :meth:`attach_pq`) is maintained in the same pass: the batch
+        is encoded against the frozen PQ codebooks and its codes appended
+        into the sidecar's cell partitions."""
         cb = self.centroids().orderBy("cell").collect()
-        self._write_rows(self._assign(df, id_col, vec_col, cb), self._data, "append")
+        assigned = self._assign(df, id_col, vec_col, cb)
+        self._write_rows(assigned, self._data, "append")
+        if self.has_pq():
+            from ..operators.similarity import pq_encode
+
+            enc = pq_encode(
+                assigned, "vec_id", "vec", self.pq_codebooks(), keep_cols=("cell",)
+            )
+            self._write_pq_rows(enc, "append")
+
+    # ------------------------------------------------------- PQ sidecar
+    def has_pq(self) -> bool:
+        return Path(self._pq_codebook).exists()
+
+    def pq_codebooks(self) -> DataFrame:
+        return self.spark.read.parquet(self._pq_codebook)
+
+    def _write_pq_rows(self, enc: DataFrame, mode: str) -> None:
+        (
+            enc.select("vec_id", "codes", "pq_err", "cell")
+            .repartition(F.col("cell"))
+            .write.option("compression", "zstd")
+            .partitionBy("cell").mode(mode).parquet(self._pq_data)
+        )
+
+    def attach_pq(self, m: int = 4, ksub: int = 16, seed: int = 42,
+                  kmeans: bool = True, max_iter: int = 20) -> None:
+        """Materialize a PQ codes SIDECAR: train per-subspace codebooks on
+        the indexed vectors and write each row's m codes into a second
+        cell-partitioned tree (``pq/data``).  This is the storage half of
+        IVF-PQ — :meth:`topk_adc` probes cells by partition pruning and
+        ranks by asymmetric distance over the codes column (2 bytes/sub
+        instead of the float vector), touching the float tree only for an
+        optional exact re-rank.  At 100 TB the ADC scan reads
+        ``n_probe/n_cells × m·2B`` per row — the two-level compression
+        that makes billion-vector search feasible.
+
+        The sidecar is derived data, frozen against the PQ codebooks it
+        was trained with: :meth:`rebuild` drops it (the root swap replaces
+        the whole tree) — re-attach after a rebuild.  ``kmeans=False``
+        uses the deterministic first-ksub-ids stub codebooks
+        (oracle-checkable; the k-means path is the quality path).
+        """
+        from ..operators.similarity import pq_codebooks, pq_codebooks_kmeans, pq_encode
+
+        rel = self.relation()
+        first = rel.select("vec").first()
+        if first is None:
+            raise ValueError("attach_pq on an empty index: append rows first")
+        dim = len(first[0])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        cb = (
+            pq_codebooks_kmeans(rel, "vec", dim, m, ksub, seed=seed, max_iter=max_iter)
+            if kmeans
+            else pq_codebooks(rel, "vec_id", "vec", dim, m, ksub)
+        )
+        import shutil
+
+        shutil.rmtree(f"{self.root}/pq", ignore_errors=True)
+        cb.coalesce(1).write.mode("overwrite").parquet(self._pq_codebook)
+        enc = pq_encode(rel, "vec_id", "vec", self.pq_codebooks(), keep_cols=("cell",))
+        self._write_pq_rows(enc, "overwrite")
+
+    def topk_adc(self, query: DataFrame, n_probe: int, k: int,
+                 rerank: int = 0) -> DataFrame:
+        """IVF-PQ top-k against the persisted sidecar: probe cells
+        driver-side (partition pruning), rank by ADC over the CODES tree
+        (the float vectors are never read), and optionally re-rank the
+        ``rerank`` best candidates by exact cosine against the float tree
+        (pruned to the same cells) — the standard recall-restoration step.
+        Returns (vec_id, adc_d2) ascending, or (vec_id, cos_sim) rank-k
+        when ``rerank`` > 0."""
+        from ..operators.similarity import cosine_topk, pq_adc_scores
+
+        if not self.has_pq():
+            raise ValueError("no PQ sidecar: attach_pq() first")
+        qvec = list(query.select("qe").first()[0])
+        cells = self.probe_cells(qvec, n_probe)
+        codes = self.spark.read.parquet(self._pq_data).where(F.col("cell").isin(cells))
+        scored = pq_adc_scores(codes, "vec_id", qvec, self.pq_codebooks())
+        top = scored.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc()).limit(
+            max(k, rerank)
+        )
+        if not rerank:
+            return top.limit(k)
+        cand = (
+            self.relation()
+            .where(F.col("cell").isin(cells))
+            .join(top.select("vec_id"), "vec_id", "left_semi")
+        )
+        return cosine_topk(cand, "vec_id", "vec", query, k)
 
     def compact(self) -> None:
         """Rewrite each cell partition into one file, restoring the
@@ -193,6 +295,17 @@ class VectorIndex:
             .partitionBy("cell").mode("overwrite").parquet(staging)
         )
         swap_in(self._data, staging)
+        if Path(self._pq_data).exists():  # the codes sidecar erodes the same way
+            pq_staging = f"{self._pq_data}__compact"
+            shutil.rmtree(pq_staging, ignore_errors=True)
+            (
+                self.spark.read.parquet(self._pq_data)
+                .repartition(F.col("cell"))
+                .sortWithinPartitions("vec_id")
+                .write.option("compression", "zstd")
+                .partitionBy("cell").mode("overwrite").parquet(pq_staging)
+            )
+            swap_in(self._pq_data, pq_staging)
 
     # --------------------------------------------------------- lifecycle
     def drift(self) -> dict:

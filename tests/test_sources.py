@@ -529,3 +529,57 @@ def test_write_audit_publish_gates_bad_versions(spark, tmp_path):
     r4 = write_audit_publish(spark, v1, dest, {})
     assert not r4["published"]
     assert spark.read.parquet(dest).count() == 100
+
+
+def test_vector_index_pq_sidecar_adc_and_rerank(spark, tmp_path_factory):
+    """IVF-PQ sidecar: topk_adc over the persisted codes tree must equal
+    the inline pq_adc_topk restricted to the probed cells (same codebooks,
+    same integer micro-unit arithmetic), appended batches are searchable,
+    exact re-rank returns true cosine order, and rebuild drops the
+    (stale) sidecar."""
+    from mandodb_spark.operators.similarity import ivf_cells, pq_adc_topk
+    from mandodb_spark.sources.vector_index import VectorIndex
+
+    df = _emb_fixture(spark, n=80)
+    first, second = df.filter(F.col("vec_id") < 60), df.filter(F.col("vec_id") >= 60)
+    cents = ivf_cells(df, "vec_id", "embedding", 8)
+
+    idx = VectorIndex(spark, str(tmp_path_factory.mktemp("vpq") / "ivfpq"))
+    idx.build(first, "vec_id", "embedding", cents)
+    idx.attach_pq(m=4, ksub=16, kmeans=False)   # stub codebooks: deterministic
+    idx.append(second, "vec_id", "embedding")   # sidecar maintained in-pass
+    assert idx.has_pq()
+
+    q = df.filter(F.col("vec_id") == 42).select(F.col("embedding").alias("qe"))
+    got = [(r.vec_id, r.adc_d2) for r in idx.topk_adc(q, n_probe=3, k=5).collect()]
+    assert len(got) == 5
+
+    # equivalence: inline ADC over the float rows of the SAME probed cells
+    qvec = list(q.first()[0])
+    cells = idx.probe_cells(qvec, 3)
+    inline_src = idx.relation().where(F.col("cell").isin(cells)).select(
+        "vec_id", F.col("vec").alias("embedding"))
+    want = [(r.vec_id, r.adc_d2) for r in pq_adc_topk(
+        inline_src, "vec_id", "embedding", q, idx.pq_codebooks(), k=5).collect()]
+    assert got == want
+
+    # appended rows are ADC-searchable: query near an appended vector
+    q2 = df.filter(F.col("vec_id") == 70).select(F.col("embedding").alias("qe"))
+    wide = {r.vec_id for r in idx.topk_adc(q2, n_probe=8, k=10).collect()}
+    assert 70 in wide
+
+    # exact re-rank: output is true cosine, descending
+    rr = idx.topk_adc(q, n_probe=3, k=5, rerank=20).collect()
+    assert [r.cos_sim for r in rr] == sorted((r.cos_sim for r in rr), reverse=True)
+    assert len(rr) == 5
+
+    # compact preserves ADC answers and restores one-file-per-cell
+    idx.compact()
+    assert [(r.vec_id, r.adc_d2) for r in idx.topk_adc(q, 3, 5).collect()] == got
+
+    # rebuild swaps the root -> sidecar is gone until re-attached
+    idx.rebuild()
+    assert not idx.has_pq()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="attach_pq"):
+        idx.topk_adc(q, 3, 5)

@@ -21,6 +21,7 @@ surface honest).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sources.vector_index import VectorIndex
 
@@ -66,8 +67,23 @@ class VectorIndexMaintainer:
         if self.batches % self.check_every == 0 and self.index.needs_rebuild(
             self.max_drop
         ):
+            # a rebuild's root swap drops any PQ codes sidecar by
+            # construction (codes partitioning is tied to the old cells);
+            # remember the geometry and re-train it over the new cells so
+            # ADC serving never silently degrades to "no sidecar"
+            pq_geom = None
+            if self.index.has_pq():
+                cb = self.index.pq_codebooks()
+                pq_geom = (
+                    cb.agg(F.max("sub"), F.max("code")).first(),
+                )
             self.index.rebuild(n_cells=self.rebuild_cells, seed=self.seed)
             self.rebuilds += 1
+            if pq_geom is not None:
+                mx = pq_geom[0]
+                self.index.attach_pq(
+                    m=int(mx[0]) + 1, ksub=int(mx[1]) + 1, seed=self.seed
+                )
         if self.compact_every and self.batches % self.compact_every == 0:
             self.index.compact()
 

@@ -953,3 +953,33 @@ def test_layout_maintainer_relayouts_on_measured_erosion(spark, tmp_path_factory
     assert m.batches == 4 and m.relayouts >= 2   # erosion re-triggered
     assert m.hit_fraction() <= 0.2
     assert spark.read.parquet(dest).count() == 16000  # nothing lost
+
+
+def test_index_maintainer_retrains_pq_sidecar_across_rebuild(spark, tmp_path_factory):
+    """Drift-triggered rebuild must not silently drop ADC serving: the
+    maintainer re-attaches a PQ sidecar with the original (m, ksub)
+    geometry after re-clustering."""
+    from mandodb_spark.operators.similarity import ivf_cells
+    from mandodb_spark.sources.vector_index import VectorIndex
+    from mandodb_spark.streaming.index_maintenance import VectorIndexMaintainer
+
+    dim = 16
+    base_rows = [(i, [1.0 + 0.01 * ((i * 7 + j) % 5) if j == i % dim else 0.01
+                      for j in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(base_rows, "vec_id long, embedding array<float>")
+    idx = VectorIndex(spark, str(tmp_path_factory.mktemp("vidxm") / "i"))
+    idx.build(df, "vec_id", "embedding", ivf_cells(df, "vec_id", "embedding", 4))
+    idx.attach_pq(m=4, ksub=8, kmeans=False)
+
+    m = VectorIndexMaintainer(idx, max_drop=0.05, check_every=1)
+    # a shifted batch far from every centroid forces the drift rebuild
+    shifted = spark.createDataFrame(
+        [(100 + i, [-1.0 if j == (i + 3) % dim else -0.02 for j in range(dim)])
+         for i in range(40)], "vec_id long, embedding array<float>")
+    m.process_batch(shifted, 0)
+    assert m.rebuilds == 1
+    assert idx.has_pq()                       # re-attached, not dropped
+    cb = idx.pq_codebooks().agg(F.max("sub"), F.max("code")).first()
+    assert (int(cb[0]) + 1, int(cb[1]) + 1) == (4, 8)   # same geometry
+    q = df.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("qe"))
+    assert len(idx.topk_adc(q, n_probe=2, k=3).collect()) == 3

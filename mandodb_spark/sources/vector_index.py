@@ -353,6 +353,47 @@ class VectorIndex:
         swap_in(self.root, staging)
         self._codebook_cache = None
 
+    def fsck(self) -> dict:
+        """Index integrity audit (the ANN analogue of
+        :func:`segment_store.fsck`): footer-readability of every cell
+        file (O(files) metadata), leftover swap/staging dirs, and — when a
+        PQ sidecar is attached — id-set consistency between the float tree
+        and the codes tree (an interrupted ``append`` that committed one
+        tree but not the other shows up here; the fix is re-encoding via
+        :meth:`attach_pq`).  Returns ``{"files": n, "corrupt": [path],
+        "orphans": [path], "pq_missing": n, "pq_extra": n, "ok": bool}``.
+        """
+        import pyarrow.parquet as _pq
+
+        report: dict = {"files": 0, "corrupt": [], "orphans": [],
+                        "pq_missing": 0, "pq_extra": 0, "ok": True}
+        for suffix in ("__rebuild", "__compact"):
+            for probe in (f"{self.root}{suffix}", f"{self._data}{suffix}",
+                          f"{self._pq_data}{suffix}"):
+                if Path(probe).exists():
+                    report["orphans"].append(probe)
+        for tree in (self._data, self._pq_data):
+            if not Path(tree).exists():
+                continue
+            for f in sorted(Path(tree).rglob("*.parquet")):
+                report["files"] += 1
+                try:
+                    _pq.ParquetFile(str(f)).metadata
+                except Exception:
+                    report["corrupt"].append(str(f))
+        # the consistency join reads both trees — meaningless (and fatal)
+        # over a file whose footer just failed, so it only runs clean
+        if not report["corrupt"] and self.has_pq() and Path(self._pq_data).exists():
+            ids = self.relation().select("vec_id")
+            codes = self.spark.read.parquet(self._pq_data).select("vec_id")
+            report["pq_missing"] = ids.join(codes, "vec_id", "left_anti").count()
+            report["pq_extra"] = codes.join(ids, "vec_id", "left_anti").count()
+        report["ok"] = not (
+            report["corrupt"] or report["orphans"]
+            or report["pq_missing"] or report["pq_extra"]
+        )
+        return report
+
     # ------------------------------------------------------------- read
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self._codebook)

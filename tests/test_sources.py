@@ -583,3 +583,33 @@ def test_vector_index_pq_sidecar_adc_and_rerank(spark, tmp_path_factory):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="attach_pq"):
         idx.topk_adc(q, 3, 5)
+
+
+def test_vector_index_fsck_detects_sidecar_divergence(spark, tmp_path_factory):
+    from pathlib import Path
+
+    from mandodb_spark.operators.similarity import ivf_cells
+    from mandodb_spark.sources.vector_index import VectorIndex
+
+    df = _emb_fixture(spark, n=40)
+    idx = VectorIndex(spark, str(tmp_path_factory.mktemp("vfsck") / "i"))
+    idx.build(df.filter(F.col("vec_id") < 30), "vec_id", "embedding",
+              ivf_cells(df, "vec_id", "embedding", 4))
+    idx.attach_pq(m=4, ksub=8, kmeans=False)
+    assert idx.fsck()["ok"]
+
+    # simulate an interrupted append: float tree got the rows, codes didn't
+    extra = df.filter(F.col("vec_id") >= 30)
+    cb = idx.centroids().orderBy("cell").collect()
+    idx._write_rows(idx._assign(extra, "vec_id", "embedding", cb), idx._data, "append")
+    r = idx.fsck()
+    assert not r["ok"] and r["pq_missing"] == 10 and r["pq_extra"] == 0
+
+    # re-encoding heals it
+    idx.attach_pq(m=4, ksub=8, kmeans=False)
+    assert idx.fsck()["ok"]
+
+    # a corrupt footer is flagged
+    victim = next(Path(idx._data).rglob("*.parquet"))
+    victim.write_bytes(b"not parquet")
+    assert idx.fsck()["corrupt"]

@@ -353,6 +353,66 @@ class VectorIndex:
         swap_in(self.root, staging)
         self._codebook_cache = None
 
+    def knn_join_adc(self, queries: DataFrame, qid_col: str, qvec_col: str,
+                     k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Batch ANN over the PQ codes sidecar: top-k by asymmetric
+        distance for EVERY query row, floats never read — the
+        serving-fleet form of :meth:`topk_adc`.
+
+        Plan: per-query probe cells via the broadcast codebook (same
+        stage as :meth:`knn_join`), codes scan statically pruned to the
+        probed-cell union, equi-join codes⨝probe on cell, attach each
+        query's vector by a broadcast join, then ONE ``applyInPandas``
+        group per query builds its (m × ksub) lookup table once and
+        ranks its candidates in-memory (candidates per query are
+        n_probe/n_cells of the corpus — the bounded-group contract; no
+        window, no per-pair Python).  Output (qid, vec_id, adc_d2, rank),
+        same micro-unit arithmetic as :func:`pq_adc_scores`.
+        """
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.similarity import (
+            _pq_codebook_matrix,
+            _micros_to_4dp,
+            _query_norms,
+            probe_cells_df,
+        )
+
+        if not self.has_pq():
+            raise ValueError("no PQ sidecar: attach_pq() first")
+        M = _pq_codebook_matrix(self.pq_codebooks())
+        m, _, dsub = M.shape
+        qn = _query_norms(queries, qid_col, qvec_col)
+        probe = probe_cells_df(qn, qid_col, self.centroids(), n_probe)
+        cells = [r.cell for r in probe.select("cell").distinct().collect()]
+        codes = self.spark.read.parquet(self._pq_data).where(
+            F.col("cell").isin(cells)
+        )
+        cand = (
+            codes.select("vec_id", "codes", "cell")
+            .join(probe, "cell")
+            .join(F.broadcast(qn.select(qid_col, "__q")), qid_col)
+        )
+        sub_idx = np.arange(m)
+
+        def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            q = np.asarray(pdf["__q"].iloc[0], dtype="float64").reshape(m, 1, dsub)
+            Tu = np.rint(((q - M) ** 2).sum(-1) * 1e6).astype("int64")
+            cmat = np.stack(pdf["codes"].to_numpy())
+            d = _micros_to_4dp(Tu[sub_idx, cmat].sum(1))
+            out = pd.DataFrame(
+                {"qid": pdf[qid_col].iloc[0], "vec_id": pdf["vec_id"], "adc_d2": d}
+            ).sort_values(["adc_d2", "vec_id"]).head(k)
+            out["rank"] = range(1, len(out) + 1)
+            return out
+
+        return (
+            cand.groupBy(qid_col)
+            .applyInPandas(rank_group, "qid long, vec_id long, adc_d2 double, rank long")
+            .withColumnRenamed("qid", qid_col)
+        )
+
     def fsck(self) -> dict:
         """Index integrity audit (the ANN analogue of
         :func:`segment_store.fsck`): footer-readability of every cell

@@ -613,3 +613,28 @@ def test_vector_index_fsck_detects_sidecar_divergence(spark, tmp_path_factory):
     victim = next(Path(idx._data).rglob("*.parquet"))
     victim.write_bytes(b"not parquet")
     assert idx.fsck()["corrupt"]
+
+
+def test_vector_index_batch_adc_matches_single_probe_loop(spark, tmp_path_factory):
+    """knn_join_adc must answer every query exactly like looping
+    topk_adc (same probes, same integer ADC arithmetic, same tie rule)."""
+    from mandodb_spark.operators.similarity import ivf_cells
+    from mandodb_spark.sources.vector_index import VectorIndex
+
+    df = _emb_fixture(spark, n=60)
+    idx = VectorIndex(spark, str(tmp_path_factory.mktemp("vbadc") / "i"))
+    idx.build(df, "vec_id", "embedding", ivf_cells(df, "vec_id", "embedding", 8))
+    idx.attach_pq(m=4, ksub=16, kmeans=False)
+
+    qids = [3, 17, 42]
+    queries = df.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    batch = idx.knn_join_adc(queries, "qid", "qv", k=5, n_probe=3).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r.qid, []).append((r.rank, r.vec_id, r.adc_d2))
+    for qid in qids:
+        q = df.filter(F.col("vec_id") == qid).select(F.col("embedding").alias("qe"))
+        want = [(i + 1, r.vec_id, r.adc_d2) for i, r in
+                enumerate(idx.topk_adc(q, n_probe=3, k=5).collect())]
+        assert sorted(got[qid]) == want, f"qid {qid}"

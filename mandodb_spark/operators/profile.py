@@ -236,3 +236,97 @@ SELECT bucket, n_expected, n_actual,
        round((sa - se) * ln(sa / se), 6) AS psi_term
 FROM s
 """
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str] | None = None,
+                  include_unchanged: bool = False) -> DataFrame:
+    """Keyed diff between two snapshots of a table: which rows were
+    ``added`` / ``removed`` / ``changed`` (and *which columns* changed) —
+    the regression gate a curation pipeline runs between corpus versions
+    before republishing, and the batch analogue of CDC.
+
+    Comparison is null-safe (``IS NOT DISTINCT FROM``); ``changed_cols``
+    is a comma-joined list of differing column names for ``changed`` rows
+    and ``''`` otherwise, so the output schema is flat and
+    oracle-comparable.  ``compare_cols`` defaults to every shared non-key
+    column (ordered as in ``old``).
+
+    Scale shape: ONE full-outer sort-merge join on the key columns —
+    column pruning reduces both scans to keys + compared columns, and the
+    single shuffle is on the key (store both snapshots bucketed by the
+    same key and even that shuffle disappears).  No window functions, no
+    driver-side state; presence is tracked via literal marker columns so
+    legitimately-NULL compare columns can't masquerade as absence.
+    """
+    if not key_cols:
+        raise ValueError("snapshot_diff needs at least one key column")
+    if compare_cols is None:
+        shared = set(new.columns)
+        compare_cols = [c for c in old.columns
+                        if c in shared and c not in key_cols]
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    differs = [
+        ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in compare_cols
+    ]
+    any_diff = F.lit(False)
+    for d in differs:
+        any_diff = any_diff | d
+    status = (
+        F.when(F.col("__o_present").isNull(), F.lit("added"))
+        .when(F.col("__n_present").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    changed = F.when(
+        status == "changed",
+        F.concat_ws(",", *[
+            F.when(d, F.lit(c)) for c, d in zip(compare_cols, differs)
+        ]),
+    ).otherwise(F.lit(""))
+    out = j.select(*key_cols, status.alias("status"),
+                   changed.alias("changed_cols"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
+def snapshot_diff_sql(old_table: str, new_table: str, key_cols: list[str],
+                      compare_cols: list[str],
+                      include_unchanged: bool = False) -> str:
+    """DuckDB mirror of :func:`snapshot_diff` (oracle generator)."""
+    on = " AND ".join(f"o.{k} = n.{k}" for k in key_cols)
+    keys = ", ".join(f"coalesce(o.{k}, n.{k}) AS {k}" for k in key_cols)
+    any_diff = " OR ".join(
+        f"(o.{c} IS DISTINCT FROM n.{c})" for c in compare_cols
+    )
+    named = ", ".join(
+        f"CASE WHEN o.{c} IS DISTINCT FROM n.{c} THEN '{c}' END"
+        for c in compare_cols
+    )
+    where = "" if include_unchanged else "WHERE status <> 'unchanged'"
+    return f"""
+WITH j AS (
+    SELECT {keys},
+           CASE WHEN o.__p IS NULL THEN 'added'
+                WHEN n.__p IS NULL THEN 'removed'
+                WHEN {any_diff} THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN o.__p IS NOT NULL AND n.__p IS NOT NULL
+                     AND ({any_diff})
+                THEN concat_ws(',', {named}) ELSE '' END AS changed_cols
+    FROM (SELECT *, TRUE AS __p FROM {old_table}) o
+    FULL JOIN (SELECT *, TRUE AS __p FROM {new_table}) n ON {on}
+)
+SELECT * FROM j {where}
+"""

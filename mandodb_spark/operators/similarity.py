@@ -203,7 +203,8 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame,
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
              n_cells: int = 16, n_probe: int = 4, k: int = 10,
-             centroids: DataFrame | None = None) -> DataFrame:
+             centroids: DataFrame | None = None,
+             candidate_filter: Column | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` cells whose centroids
     are closest to the query, brute-force only inside those cells.
 
@@ -227,7 +228,47 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
     )
     assign = ivf_assign(df, id_col, vec_col, cent)
     cand = df.join(assign, id_col).join(F.broadcast(probe), "cell", "left_semi")
+    if candidate_filter is not None:
+        # Post-filter ANN: the index stays shared/unfiltered; the metadata
+        # predicate prunes candidates before the exact re-rank (see
+        # filtered_topk for the recall/overprobe cost law).
+        cand = cand.filter(candidate_filter)
     return cosine_topk(cand, id_col, vec_col, query, k)
+
+
+def filtered_topk(df: DataFrame, id_col: str, vec_col: str, query: DataFrame,
+                  k: int, predicate: Column, method: str = "exact",
+                  n_cells: int = 16, n_probe: int = 4,
+                  centroids: DataFrame | None = None) -> DataFrame:
+    """Metadata-filtered similarity search: top-k by cosine among rows
+    satisfying ``predicate`` (the "vectors + WHERE clause" shape every
+    retrieval deployment needs — tenant scoping, language filters,
+    freshness windows).
+
+    Two strategies, chosen by ``method``; with selectivity *s* =
+    fraction of rows passing the predicate:
+
+    - ``'exact'`` — PRE-filter: push the predicate into the scan, then
+      brute-force cosine over survivors.  Cost O(s·N) rows scanned, recall
+      exactly 1.  Because the predicate is a plain Catalyst filter it
+      reaches ``PushedFilters``/partition pruning at the parquet layer, so
+      at 100 TB a selective predicate (s « 1) makes this the BASELINE, not
+      the fallback.
+    - ``'ivf'`` — POST-filter over a shared unfiltered index: probe
+      ``n_probe`` cells, drop candidates failing the predicate, exact
+      re-rank.  Keeps one index for all predicates, but expected
+      survivors per probed cell shrink by s — hold recall by raising
+      ``n_probe`` toward ``min(n_cells, ceil(n_probe / s))``.  Crossover:
+      prefer 'exact' once s drops below ~``n_probe / n_cells`` (the
+      filtered scan is then smaller than the probed fraction).
+    """
+    if method == "exact":
+        return cosine_topk(df.filter(predicate), id_col, vec_col, query, k)
+    if method == "ivf":
+        return ivf_topk(df, id_col, vec_col, query, n_cells=n_cells,
+                        n_probe=n_probe, k=k, centroids=centroids,
+                        candidate_filter=predicate)
+    raise ValueError(f"unknown filtered_topk method: {method!r}")
 
 
 def knn_join(df: DataFrame, id_col: str, vec_col: str,

@@ -916,3 +916,86 @@ def ce_buckets(df: DataFrame, id_col: str, text_col: str,
     for e in edges:
         bucket = bucket + (F.col("unigram_ce") > F.lit(e)).cast("int")
     return ce.withColumn("bucket", bucket.cast("long"))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_size: int, overlap: int = 0) -> DataFrame:
+    """Split every document into fixed-size token-window chunks — the
+    sequence-preparation step in front of embedding models (RAG indexing)
+    and context-window-bounded training corpora.  Beyond-reference surface
+    (the reference stores points, not text).
+
+    Windowing rule (pinned by the SQL mirror): tokens are the
+    case-preserving single-space split; ``stride = chunk_size - overlap``;
+    chunk *i* covers tokens ``[i*stride, i*stride + chunk_size)``; the
+    number of chunks is ``1`` when ``n <= chunk_size`` else
+    ``ceil((n - chunk_size) / stride) + 1`` — the final chunk may be short
+    but always reaches the last token, and no start index ever points past
+    the end (so no empty trailing chunks).  NULL text produces no chunks.
+
+    Scale shape: one projection + ``posexplode`` — pure map-side fan-out,
+    zero shuffles, parallel over input splits; output rows carry a stable
+    ``chunk_id = '<doc>#<idx>'`` so downstream dedup/embedding stages can
+    key on chunks without re-deriving offsets.  Fan-out is ~n/stride rows
+    per doc, bounded by the same data volume as the input text (each token
+    appears in at most ``ceil(chunk_size/stride)`` chunks).
+    """
+    if chunk_size <= 0 or not (0 <= overlap < chunk_size):
+        raise ValueError("need chunk_size > 0 and 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.floor((n - chunk_size + stride - 1) / stride) + 1
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc")
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            F.posexplode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias(
+                "chunk_idx", "__i"
+            ),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat(F.col(id_col).cast("string"), F.lit("#"),
+                     F.col("chunk_idx").cast("string")).alias("chunk_id"),
+            F.size(piece).cast("long").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(table: str, id_col: str, text_col: str,
+                        chunk_size: int, overlap: int = 0) -> str:
+    """DuckDB mirror of :func:`chunk_documents` (oracle generator)."""
+    st = chunk_size - overlap
+    return f"""
+WITH base AS (
+    SELECT {id_col},
+           string_split({text_col}, ' ') AS toks,
+           len(string_split({text_col}, ' ')) AS n
+    FROM {table}
+    WHERE {text_col} IS NOT NULL
+), c AS (
+    SELECT {id_col}, toks,
+           CASE WHEN n <= {chunk_size} THEN 1
+                ELSE (n - {chunk_size} + {st} - 1) // {st} + 1 END AS n_chunks
+    FROM base
+), e AS (
+    SELECT {id_col}, toks, unnest(range(0, n_chunks)) AS i FROM c
+)
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_idx,
+       {id_col} || '#' || i AS chunk_id,
+       CAST(len(list_slice(toks, i * {st} + 1, i * {st} + {chunk_size})) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, i * {st} + 1, i * {st} + {chunk_size}), ' ') AS chunk_text
+FROM e
+"""

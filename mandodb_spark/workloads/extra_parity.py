@@ -737,3 +737,102 @@ ORDER BY doc_id
 
 QUERIES["x_docs_quality_pctl"] = x_docs_quality_pctl
 ORACLES["x_docs_quality_pctl"] = _quality_pctl_sql()
+
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 32, 8
+
+
+def x_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking of every document (RAG / context-window prep):
+    32-token chunks with 8-token overlap, stable chunk ids — pure map-side
+    posexplode fan-out, zero shuffles (see text.chunk_documents)."""
+    from ..operators.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", _CHUNK_SIZE, _CHUNK_OVERLAP)
+
+
+def _chunks_sql() -> str:
+    from ..operators.text import chunk_documents_sql
+
+    return chunk_documents_sql("documents", "doc_id", "text",
+                               _CHUNK_SIZE, _CHUNK_OVERLAP)
+
+
+QUERIES["x_docs_chunks"] = x_docs_chunks
+ORACLES["x_docs_chunks"] = _chunks_sql()
+
+
+def x_docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version regression diff: a simulated previous snapshot
+    (some rows absent, some texts at an older revision, some langs
+    re-labelled) against the current documents table — one full-outer
+    SMJ on doc_id, null-safe per-column comparison
+    (see profile.snapshot_diff)."""
+    from ..operators.profile import snapshot_diff
+
+    d = load(spark, sf_dir, "documents")
+    old = (
+        d.filter(F.col("doc_id") % 11 != 3)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" [v1]")))
+            .otherwise(F.col("text")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 13 == 0, F.lit("xx"))
+            .otherwise(F.col("lang")),
+        )
+    )
+    new = d.filter(F.col("doc_id") % 17 != 5)
+    return snapshot_diff(old, new, ["doc_id"],
+                         ["text", "lang", "source", "n_chars"])
+
+
+def _snapshot_diff_sql() -> str:
+    from ..operators.profile import snapshot_diff_sql
+
+    old = (
+        "(SELECT doc_id, "
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' [v1]' ELSE text END AS text, "
+        "CASE WHEN doc_id % 13 = 0 THEN 'xx' ELSE lang END AS lang, "
+        "source, n_chars FROM documents WHERE doc_id % 11 <> 3)"
+    )
+    new = "(SELECT * FROM documents WHERE doc_id % 17 <> 5)"
+    return snapshot_diff_sql(old, new, ["doc_id"],
+                             ["text", "lang", "source", "n_chars"])
+
+
+QUERIES["x_docs_snapshot_diff"] = x_docs_snapshot_diff
+ORACLES["x_docs_snapshot_diff"] = _snapshot_diff_sql()
+
+
+def x_emb_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered similarity search (vectors + WHERE clause): exact
+    pre-filter strategy — the predicate reaches the parquet scan, cosine
+    top-k runs over survivors only (see similarity.filtered_topk for the
+    pre/post-filter cost law)."""
+    from ..operators.similarity import filtered_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    pred = (F.col("label") % 2 == 0) & (F.col("vec_id") != 0)
+    return filtered_topk(emb, "vec_id", "embedding", q, k=10,
+                         predicate=pred, method="exact")
+
+
+_FILTERED_TOPK_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a,
+     (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+WHERE a.label % 2 = 0 AND a.vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+QUERIES["x_emb_filtered_topk"] = x_emb_filtered_topk
+ORACLES["x_emb_filtered_topk"] = _FILTERED_TOPK_SQL

@@ -2533,3 +2533,188 @@ def test_hash_split_fractions_stability_and_validation(spark):
         hash_split(df, "id", {"a": 0.5, "b": 0.4})
     with _pytest.raises(ValueError, match="non-negative"):
         hash_split(df, "id", {"a": 1.5, "b": -0.5})
+
+
+# ---------------------------------------------------------------- chunking
+
+def _chunk_df(spark):
+    rows = [
+        (1, "a b c d e f g"),          # 7 tokens
+        (2, "x"),                      # 1 token -> single chunk
+        (3, None),                     # no chunks
+        (4, " ".join(f"t{i}" for i in range(12))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_windowing_rule(spark):
+    from mandodb_spark.operators.text import chunk_documents
+
+    out = chunk_documents(_chunk_df(spark), "doc_id", "text",
+                          chunk_size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # NULL text -> no chunks
+    assert [r.chunk_text for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [
+        "a b c d", "d e f g"
+    ]
+    assert [r.chunk_text for r in by_doc[2]] == ["x"]
+    # 12 tokens, size 4, stride 3 -> ceil((12-4)/3)+1 = 4 chunks;
+    # starts 0,3,6,9; last chunk short (3 tokens) but reaches token 12
+    c4 = sorted(by_doc[4], key=lambda r: r.chunk_idx)
+    assert len(c4) == 4
+    assert c4[-1].chunk_text == "t9 t10 t11"
+    assert all(r.n_tokens <= 4 for r in c4)
+    assert [r.chunk_id for r in c4] == ["4#0", "4#1", "4#2", "4#3"]
+    # overlap invariant: each chunk's first `overlap` tokens equal the
+    # previous chunk's last `overlap` tokens (full-size chunks)
+    for prev, cur in zip(c4, c4[1:]):
+        if prev.n_tokens == 4:
+            assert prev.chunk_text.split()[-1:] == cur.chunk_text.split()[:1]
+
+
+def test_chunk_documents_no_overlap_reconstructs(spark):
+    from mandodb_spark.operators.text import chunk_documents
+
+    src = _chunk_df(spark).filter("text is not null")
+    out = chunk_documents(src, "doc_id", "text", chunk_size=5, overlap=0)
+    # driver-side reconstruction (tiny test data): with overlap=0 the
+    # chunks concatenate back to the exact original text
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    acc = {}
+    for r in rows:
+        acc.setdefault(r.doc_id, []).append(r.chunk_text)
+    got = {k: " ".join(v) for k, v in acc.items()}
+    want = {r.doc_id: r.text for r in src.collect()}
+    assert got == want
+
+
+def test_chunk_documents_duckdb_parity(spark):
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_check import compare
+
+    from mandodb_spark.operators.text import chunk_documents, chunk_documents_sql
+
+    pdf = _chunk_df(spark).toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    duck = con.execute(
+        chunk_documents_sql("docs", "doc_id", "text", 4, 1)
+    ).df()
+    got = chunk_documents(_chunk_df(spark), "doc_id", "text", 4, 1).toPandas()
+    assert compare("chunks", got, duck) == []
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from mandodb_spark.operators.text import chunk_documents
+
+    df = _chunk_df(spark)
+    for cs, ov in ((0, 0), (4, 4), (4, -1)):
+        try:
+            chunk_documents(df, "doc_id", "text", cs, ov)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------- snapshot diff
+
+def test_snapshot_diff_statuses(spark):
+    from mandodb_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "C", 30), (4, "x", 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    rows = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert rows[1].status == "removed" and rows[1].changed_cols == ""
+    assert 2 not in rows                      # NULL == NULL -> unchanged
+    assert rows[3].status == "changed" and rows[3].changed_cols == "s"
+    assert rows[4].status == "changed" and rows[4].changed_cols == "s"  # NULL -> 'x'
+    assert rows[5].status == "added" and rows[5].changed_cols == ""
+    # include_unchanged surfaces row 2
+    all_rows = {r.k: r for r in
+                snapshot_diff(old, new, ["k"], include_unchanged=True).collect()}
+    assert all_rows[2].status == "unchanged"
+
+
+def test_snapshot_diff_multi_changed_cols(spark):
+    from mandodb_spark.operators.profile import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1)], "k long, s string, v long")
+    new = spark.createDataFrame([(1, "b", 2)], "k long, s string, v long")
+    (r,) = snapshot_diff(old, new, ["k"]).collect()
+    assert r.status == "changed" and r.changed_cols == "s,v"
+
+
+def test_snapshot_diff_single_shuffle_plan(spark):
+    """The diff is ONE full-outer SortMergeJoin — no window, no extra
+    exchange beyond the two join-side shuffles."""
+    from mandodb_spark.operators.profile import snapshot_diff
+
+    old = spark.range(100).selectExpr("id as k", "cast(id as string) s")
+    new = spark.range(50, 150).selectExpr("id as k", "cast(id as string) s")
+    plan = snapshot_diff(old, new, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+# ---------------------------------------------------------- filtered ANN
+
+def _toy_vecs(spark):
+    import math
+    rows = []
+    for i in range(40):
+        ang = i / 40 * math.pi
+        rows.append((i, [math.cos(ang), math.sin(ang)], i % 3))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_filtered_topk_exact_equals_manual(spark):
+    from mandodb_spark.operators.similarity import cosine_topk, filtered_topk
+
+    df = _toy_vecs(spark)
+    q = df.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    pred = F.col("label") == 1
+    got = filtered_topk(df, "vec_id", "embedding", q, k=5,
+                        predicate=pred, method="exact").collect()
+    want = cosine_topk(df.filter(pred), "vec_id", "embedding", q, 5).collect()
+    assert got == want
+    assert all(r.vec_id % 3 == 1 for r in got)
+
+
+def test_filtered_topk_ivf_full_probe_equals_exact(spark):
+    """Post-filter IVF with every cell probed must equal the exact
+    pre-filter result (recall=1 bound of the overprobe law)."""
+    from mandodb_spark.operators.similarity import filtered_topk
+
+    df = _toy_vecs(spark)
+    q = df.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    pred = F.col("label") != 2
+    exact = filtered_topk(df, "vec_id", "embedding", q, k=4,
+                          predicate=pred, method="exact").collect()
+    ivf = filtered_topk(df, "vec_id", "embedding", q, k=4, predicate=pred,
+                        method="ivf", n_cells=4, n_probe=4).collect()
+    assert ivf == exact
+
+
+def test_filtered_topk_unknown_method(spark):
+    from mandodb_spark.operators.similarity import filtered_topk
+
+    df = _toy_vecs(spark)
+    q = df.filter("vec_id = 0").select(F.col("embedding").alias("qe"))
+    try:
+        filtered_topk(df, "vec_id", "embedding", q, 3, F.lit(True), method="hnsw")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -417,4 +417,98 @@ SELECT {keys}, ts,
        round(cusum_dn, 6) AS cusum_dn,
        (cusum_up > sigma * {threshold_sigmas} OR cusum_dn > sigma * {threshold_sigmas}) AS alarm
 FROM s
+"""
+
+
+def burn_rate_alert(df: DataFrame, ts_col: str, error_pred: Column,
+                    short_window: int, long_window: int,
+                    slo: float, threshold: float = 1.0) -> DataFrame:
+    """Multiwindow SLO burn-rate evaluation (the SRE-workbook alert shape):
+    per short-window bucket, the rate at which the error budget
+    ``1 - slo`` is being consumed, paired with the same rate over the
+    trailing ``long_window`` — an alert *fires* only when BOTH exceed
+    ``threshold``, which is what kills the flappy single-window alert
+    (short window alone = noise-sensitive, long window alone = slow to
+    clear).
+
+    ``ts_col`` is unix seconds (BIGINT); ``long_window`` must be a
+    multiple of ``short_window``.  The long side is an analytic RANGE
+    frame over bucket timestamps (value-based, so missing buckets —
+    outage gaps — are handled exactly: the frame covers wall-clock time,
+    not row count; an absent bucket simply contributes nothing).
+
+    Scale shape: ONE map-side-combining aggregate over the event scan
+    does all the data-volume work (count + conditional count per bucket);
+    the window then runs over O(time-range / short_window) bucket rows —
+    bounded metadata scale, deliberately unpartitioned (a year of 1-hour
+    buckets is 8.8k rows).  Output: ``(bucket_ts, n_events, n_errors,
+    long_events, long_errors, short_burn, long_burn, firing)``.
+    """
+    if long_window % short_window != 0 or long_window < short_window:
+        raise ValueError("long_window must be a multiple of short_window")
+    if not (0.0 < slo < 1.0):
+        raise ValueError("slo must be in (0, 1)")
+    budget = 1.0 - slo
+    bucket = (F.floor(F.col(ts_col) / short_window) * short_window).cast("long")
+    per = (
+        df.select(bucket.alias("bucket_ts"), error_pred.cast("int").alias("__e"))
+        .groupBy("bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__e").cast("long").alias("n_errors"),
+        )
+    )
+    win = (
+        Window.orderBy("bucket_ts")
+        .rangeBetween(-(long_window - short_window), 0)
+    )
+    per = per.withColumn("long_events", F.sum("n_events").over(win).cast("long"))
+    per = per.withColumn("long_errors", F.sum("n_errors").over(win).cast("long"))
+    short_burn = F.round(
+        (F.col("n_errors") / F.col("n_events")) / F.lit(budget), 6
+    )
+    long_burn = F.round(
+        (F.col("long_errors") / F.col("long_events")) / F.lit(budget), 6
+    )
+    return per.select(
+        "bucket_ts", "n_events", "n_errors", "long_events", "long_errors",
+        short_burn.alias("short_burn"),
+        long_burn.alias("long_burn"),
+        ((short_burn > threshold) & (long_burn > threshold)).alias("firing"),
+    )
+
+
+def burn_rate_alert_sql(table: str, epoch_expr: str, error_cond: str,
+                        short_window: int, long_window: int,
+                        slo: float, threshold: float = 1.0) -> str:
+    """DuckDB mirror of :func:`burn_rate_alert` (oracle generator).
+
+    ``epoch_expr`` must yield unix seconds as BIGINT; the budget literal
+    is the repr of the SAME Python float the Spark side broadcasts, so
+    both engines divide by the identical IEEE double.
+    """
+    budget = repr(1.0 - slo)
+    thr = repr(float(threshold))
+    return f"""
+WITH per AS (
+    SELECT CAST(floor({epoch_expr} / {short_window}) AS BIGINT) * {short_window} AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN {error_cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+    FROM {table}
+    GROUP BY 1
+), w AS (
+    SELECT *,
+           CAST(sum(n_events) OVER win AS BIGINT) AS long_events,
+           CAST(sum(n_errors) OVER win AS BIGINT) AS long_errors
+    FROM per
+    WINDOW win AS (ORDER BY bucket_ts
+                   RANGE BETWEEN {long_window - short_window} PRECEDING
+                         AND CURRENT ROW)
+)
+SELECT bucket_ts, n_events, n_errors, long_events, long_errors,
+       round((CAST(n_errors AS DOUBLE) / n_events) / {budget}, 6) AS short_burn,
+       round((CAST(long_errors AS DOUBLE) / long_events) / {budget}, 6) AS long_burn,
+       (round((CAST(n_errors AS DOUBLE) / n_events) / {budget}, 6) > {thr}
+        AND round((CAST(long_errors AS DOUBLE) / long_events) / {budget}, 6) > {thr}) AS firing
+FROM w
 """

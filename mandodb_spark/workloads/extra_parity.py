@@ -836,3 +836,33 @@ LIMIT 10
 
 QUERIES["x_emb_filtered_topk"] = x_emb_filtered_topk
 ORACLES["x_emb_filtered_topk"] = _FILTERED_TOPK_SQL
+
+
+_BR_SHORT, _BR_LONG, _BR_SLO = 3600, 6 * 3600, 0.75
+
+
+def x_events_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate over the events log (error event_type
+    against a 75% SLO): 1h short window paired with a trailing 6h RANGE
+    frame — fires only when both burn rates exceed 1x budget
+    (see temporal.burn_rate_alert)."""
+    from ..operators.temporal import burn_rate_alert
+
+    from .common import events_base
+
+    ev = events_base(spark, sf_dir)
+    return burn_rate_alert(ev, "ts", F.col("event_type") == "error",
+                           _BR_SHORT, _BR_LONG, _BR_SLO)
+
+
+def _burn_rate_sql() -> str:
+    from ..operators.temporal import burn_rate_alert_sql
+
+    return burn_rate_alert_sql(
+        "events", "CAST(floor(epoch(ts)) AS BIGINT)",
+        "event_type = 'error'", _BR_SHORT, _BR_LONG, _BR_SLO,
+    )
+
+
+QUERIES["x_events_burn_rate"] = x_events_burn_rate
+ORACLES["x_events_burn_rate"] = _burn_rate_sql()

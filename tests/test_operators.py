@@ -2718,3 +2718,43 @@ def test_filtered_topk_unknown_method(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ------------------------------------------------------------- burn rate
+
+def test_burn_rate_alert_multiwindow_semantics(spark):
+    from mandodb_spark.operators.temporal import burn_rate_alert
+
+    # 4 buckets of width 10; bucket 2 missing (outage gap); errors spike
+    # in buckets 1 and 3.
+    rows = []
+    for b, (n, e) in {0: (10, 0), 1: (10, 8), 3: (10, 8)}.items():
+        for i in range(n):
+            rows.append((b * 10 + i % 10, i < e))
+    df = spark.createDataFrame(rows, "ts long, is_err boolean")
+    out = {
+        r.bucket_ts: r
+        for r in burn_rate_alert(df, "ts", F.col("is_err"), 10, 20,
+                                 slo=0.5, threshold=1.0).collect()
+    }
+    # budget 0.5: bucket 0 short_burn 0; bucket 1 short 1.6, long over
+    # [b0,b1] = 8/20/0.5 = 0.8 -> NOT firing (long window vetoes the spike)
+    assert out[0].firing is False
+    assert abs(out[10].short_burn - 1.6) < 1e-9
+    assert abs(out[10].long_burn - 0.8) < 1e-9 and out[10].firing is False
+    # bucket 3: the RANGE frame is value-based, so the missing bucket 2
+    # leaves only bucket 3 itself in the trailing 20s -> long == short,
+    # both 1.6 -> firing
+    assert abs(out[30].long_burn - 1.6) < 1e-9 and out[30].firing is True
+
+
+def test_burn_rate_alert_validations(spark):
+    from mandodb_spark.operators.temporal import burn_rate_alert
+
+    df = spark.createDataFrame([(0, True)], "ts long, is_err boolean")
+    for args in ((10, 15, 0.5), (10, 20, 0.0), (10, 20, 1.0), (20, 10, 0.5)):
+        try:
+            burn_rate_alert(df, "ts", F.col("is_err"), *args)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass

@@ -2758,3 +2758,79 @@ def test_burn_rate_alert_validations(spark):
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+# ----------------------------------------------------------- band energy
+
+def _sine_wav(freq: float, rate: int = 8000, seconds: float = 0.25) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    n = int(rate * seconds)
+    frames = b"".join(
+        struct.pack("<h", int(12000 * math.sin(2 * math.pi * freq * i / rate)))
+        for i in range(n)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_band_energy_localizes_pure_tones(spark):
+    from mandodb_spark.operators.multimodal import audio_band_energy
+
+    # 8 bands over [0, 4000): 500 Hz -> band 1, 2500 Hz -> band 5
+    rows = [(1, _sine_wav(500.0)), (2, _sine_wav(2500.0)), (3, b"not audio")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in
+           audio_band_energy(df, "doc_id", "payload", n_bands=8).collect()}
+    assert out[1].dominant_band == 1 and out[1].band_energy[1] > 0.95
+    assert out[2].dominant_band == 5 and out[2].band_energy[5] > 0.95
+    assert abs(out[1].spectral_centroid_hz - 500.0) < 25.0
+    assert abs(out[2].spectral_centroid_hz - 2500.0) < 25.0
+    assert sum(out[1].band_energy) == pytest.approx(1.0, abs=1e-4)
+    assert out[3].decode_error is not None and out[3].band_energy is None
+
+
+def test_audio_band_energy_empty_and_stereo(spark):
+    import io
+    import wave
+
+    from mandodb_spark.operators.multimodal import audio_band_energy
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    empty = buf.getvalue()
+    # stereo: same 500 Hz tone duplicated into L/R -> mono mix identical
+    import math
+    import struct
+
+    rate, n = 8000, 2000
+    frames = b"".join(
+        struct.pack("<hh", *(int(12000 * math.sin(2 * math.pi * 500 * i / rate)),) * 2)
+        for i in range(n)
+    )
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    df = spark.createDataFrame(
+        [(1, empty), (2, buf2.getvalue())], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in
+           audio_band_energy(df, "doc_id", "payload", n_bands=8).collect()}
+    assert out[1].n_samples == 0 and out[1].dominant_band is None
+    assert out[1].band_energy == [0.0] * 8 and out[1].decode_error is None
+    assert out[2].dominant_band == 1

@@ -47,6 +47,44 @@ def exact_dedup_groups(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     )
 
 
+def exact_dedup_best(df: DataFrame, id_col: str, key: Column,
+                     order: Column) -> DataFrame:
+    """Exact duplicate groups keeping the BEST duplicate per content key —
+    argmax of a numeric ``order`` (quality score, length, recency) with
+    min-id tiebreak — instead of :func:`exact_dedup_groups`' min-id rule.
+    The curation default is "keep the highest-quality copy", not "keep
+    the first-seen copy".
+
+    ONE single-shuffle aggregate: the winner is ``min(struct(-order,
+    id))`` — struct ordering makes (max order, then min id) a plain
+    ``min`` with a fixed-width 16-byte buffer, so it still combines
+    map-side (partial min before the exchange) like the min-id variant.
+    Caveat, eyes open: a struct-typed min falls off HashAggregate onto
+    SortAggregate (same trap as min(string) in the minhash pipeline,
+    fixed there by min(long)); the alternative that stays hash-based —
+    max(order) per key, join back, min(id) — costs a SECOND shuffle plus
+    a join, which loses at scale.  One sorted pass beats two hashed
+    passes; the span-dedup winner selection (further down this file)
+    made the same call.  No window, no per-group sort of *all* rows.
+    Output: ``(fp, keep_id, best_order, n_docs)``.
+    """
+    return (
+        df.select(F.col(id_col), key.alias("fp"), order.alias("__o"))
+        .groupBy("fp")
+        .agg(
+            F.min(F.struct((-F.col("__o")).alias("no"),
+                           F.col(id_col).alias("i"))).alias("__w"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "fp",
+            F.col("__w.i").alias("keep_id"),
+            (-F.col("__w.no")).alias("best_order"),
+            "n_docs",
+        )
+    )
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str,
                  length: int = SHINGLE_LEN, stride: int = SHINGLE_STRIDE) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation used by both

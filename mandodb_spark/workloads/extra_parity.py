@@ -866,3 +866,36 @@ def _burn_rate_sql() -> str:
 
 QUERIES["x_events_burn_rate"] = x_events_burn_rate
 ORACLES["x_events_burn_rate"] = _burn_rate_sql()
+
+
+def x_docs_keep_best_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: per bag-of-words fingerprint keep the
+    LONGEST duplicate (argmax n_chars, min-id tiebreak) via the
+    partial-aggregatable min(struct(-order, id)) winner — the keep-best
+    counterpart of docs_fingerprint_dedup's min-id rule
+    (see dedup.exact_dedup_best)."""
+    from ..operators import dedup, text
+
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup_best(
+        d, "doc_id", text.bow_fingerprint(F.col("text")),
+        F.col("n_chars").cast("long"),
+    )
+
+
+_KEEP_BEST_SQL = """
+SELECT fp, keep_id, best_order, n_docs FROM (
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp,
+           CAST(doc_id AS BIGINT) AS keep_id,
+           CAST(n_chars AS BIGINT) AS best_order,
+           CAST(count(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))) AS BIGINT) AS n_docs,
+           row_number() OVER (
+               PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+               ORDER BY n_chars DESC, doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn = 1
+"""
+
+QUERIES["x_docs_keep_best_dup"] = x_docs_keep_best_dup
+ORACLES["x_docs_keep_best_dup"] = _KEEP_BEST_SQL

@@ -2834,3 +2834,26 @@ def test_audio_band_energy_empty_and_stereo(spark):
     assert out[1].n_samples == 0 and out[1].dominant_band is None
     assert out[1].band_energy == [0.0] * 8 and out[1].decode_error is None
     assert out[2].dominant_band == 1
+
+
+def test_exact_dedup_best_argmax_and_tiebreak(spark):
+    from mandodb_spark.operators.dedup import exact_dedup_best
+
+    df = spark.createDataFrame(
+        [(1, "k1", 5.0), (2, "k1", 9.0), (3, "k1", 9.0),
+         (4, "k2", -2.0), (5, "k3", 0.0)],
+        "id long, fp0 string, q double",
+    )
+    out = {r.fp: r for r in
+           exact_dedup_best(df, "id", F.col("fp0"), F.col("q")).collect()}
+    assert out["k1"].keep_id == 2 and out["k1"].best_order == 9.0  # tie -> min id
+    assert out["k1"].n_docs == 3
+    assert out["k2"].keep_id == 4 and out["k2"].best_order == -2.0
+    assert out["k3"].keep_id == 5
+    # single-shuffle partial+final aggregate (sort-based — struct min),
+    # never a Window over all rows; the count rides the same aggregate
+    plan = exact_dedup_best(df, "id", F.col("fp0"), F.col("q"))\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan  # map-side combine before the exchange

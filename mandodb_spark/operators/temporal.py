@@ -512,3 +512,161 @@ SELECT bucket_ts, n_events, n_errors, long_events, long_errors,
         AND round((CAST(long_errors AS DOUBLE) / long_events) / {budget}, 6) > {thr}) AS firing
 FROM w
 """
+
+
+def funnel(df: DataFrame, user_col: str, ts_col: str, step_col: str,
+           steps: Sequence[str], max_span: int | None = None) -> DataFrame:
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 strictly after their earliest step-1 time, and so on — the
+    conversion query behind signup/activation dashboards.
+
+    Semantics (pinned by the SQL mirror): a user reaches step *i* at the
+    MINIMUM timestamp of a step-*i* event strictly after their step-(i−1)
+    reach time; with ``max_span``, every reach time must also lie within
+    ``max_span`` seconds of the step-1 time (a "converted within 7 days"
+    funnel).  Earliest-completion semantics — alternate interleavings
+    can't inflate conversion.
+
+    Scale shape: a chain of per-user conditional aggregates — each step
+    is one filtered scan aggregated by user (map-side combining) joined
+    to the previous step's reach times on the user key.  k steps = k
+    aggregates + (k−1) equi-joins on progressively SHRINKING user sets
+    (funnel monotonicity), never a per-user sort or a collect_list of
+    event history; at 100 TB each filtered scan prunes on the step
+    predicate first.  Output: one row per step — ``(step_idx, step,
+    n_users, avg_hours_from_start)`` (hours from step-1 reach, 3dp).
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    ev = df.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+                   F.col(step_col).alias("s"))
+    reach = (
+        ev.filter(F.col("s") == steps[0])
+        .groupBy("u").agg(F.min("t").alias("t1"))
+        .withColumn("t_prev", F.col("t1"))
+    )
+    out_rows = [reach.select(
+        F.lit(0).cast("long").alias("step_idx"),
+        F.lit(steps[0]).alias("step"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg(F.lit(0.0)), 3).alias("avg_hours_from_start"),
+    )]
+    for i, st in enumerate(steps[1:], start=1):
+        nxt = (
+            ev.filter(F.col("s") == st)
+            .join(reach.select("u", "t1", "t_prev"), "u")
+            .filter(F.col("t") > F.col("t_prev"))
+        )
+        if max_span is not None:
+            nxt = nxt.filter(F.col("t") <= F.col("t1") + max_span)
+        reach = nxt.groupBy("u").agg(
+            F.min("t").alias("t_i"), F.first("t1").alias("t1")
+        ).select("u", "t1", F.col("t_i").alias("t_prev"))
+        out_rows.append(reach.select(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(st).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg((F.col("t_prev") - F.col("t1")) / 3600.0), 3)
+            .alias("avg_hours_from_start"),
+        ))
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+def funnel_sql(table: str, user_col: str, epoch_expr: str, step_col: str,
+               steps: Sequence[str], max_span: int | None = None) -> str:
+    """DuckDB mirror of :func:`funnel` (oracle generator)."""
+    ctes = [
+        f"s0 AS (SELECT {user_col} AS u, min({epoch_expr}) AS t1, "
+        f"min({epoch_expr}) AS t_prev FROM {table} "
+        f"WHERE {step_col} = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i, st in enumerate(steps[1:], start=1):
+        span = (
+            f" AND {epoch_expr} <= p.t1 + {max_span}" if max_span is not None else ""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.{user_col} AS u, any_value(p.t1) AS t1, "
+            f"min({epoch_expr}) AS t_prev "
+            f"FROM {table} e JOIN s{i-1} p ON e.{user_col} = p.u "
+            f"WHERE e.{step_col} = '{st}' AND {epoch_expr} > p.t_prev{span} "
+            f"GROUP BY 1)"
+        )
+    selects = []
+    for i, st in enumerate(steps):
+        # avg(0.0), not the literal 0.0: both engines then agree on NULL
+        # for an empty step-0 cohort
+        expr = "avg(0.0)" if i == 0 else "avg((t_prev - t1) / 3600.0)"
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS step_idx, '{st}' AS step, "
+            f"CAST(count(*) AS BIGINT) AS n_users, "
+            f"round({expr}, 3) AS avg_hours_from_start FROM s{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
+                     bucket: int = 7 * 86400) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity period
+    (the cohort), counted in every later period they return — the
+    standard "week-N retention" analysis.
+
+    ``ts_col`` is unix seconds; periods are ``bucket``-second wide,
+    epoch-aligned.  Output per ``(cohort_ts, period_k)``: distinct
+    returning users and the retention fraction against the cohort's own
+    size (``period_k = 0`` row is the cohort size itself, fraction 1).
+
+    Scale shape: one per-user min aggregate (cohort assignment), one
+    distinct over (user, period) — both map-side combining — an
+    equi-join on the user key, then an O(cohorts × periods) aggregate;
+    the final fraction join touches only cohort-sized rows.  No windows,
+    no sorts; everything shuffles on user or on the tiny (cohort, k) key.
+    """
+    act = (
+        df.select(F.col(user_col).alias("u"),
+                  F.floor(F.col(ts_col) / bucket).cast("long").alias("p"))
+        .distinct()
+    )
+    first = act.groupBy("u").agg(F.min("p").alias("c"))
+    tri = (
+        act.join(first, "u")
+        .groupBy("c", (F.col("p") - F.col("c")).alias("period_k"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    base = tri.filter(F.col("period_k") == 0).select(
+        "c", F.col("n_users").alias("__base")
+    )
+    return (
+        tri.join(base, "c")
+        .select(
+            (F.col("c") * bucket).cast("long").alias("cohort_ts"),
+            F.col("period_k").cast("long").alias("period_k"),
+            "n_users",
+            F.round(F.col("n_users") / F.col("__base"), 6).alias("retention"),
+        )
+    )
+
+
+def cohort_retention_sql(table: str, user_col: str, epoch_expr: str,
+                         bucket: int = 7 * 86400) -> str:
+    """DuckDB mirror of :func:`cohort_retention` (oracle generator)."""
+    return f"""
+WITH act AS (
+    SELECT DISTINCT {user_col} AS u,
+           CAST(floor({epoch_expr} / {bucket}) AS BIGINT) AS p
+    FROM {table}
+), first AS (
+    SELECT u, min(p) AS c FROM act GROUP BY 1
+), tri AS (
+    SELECT c, p - c AS period_k, CAST(count(*) AS BIGINT) AS n_users
+    FROM act JOIN first USING (u)
+    GROUP BY 1, 2
+)
+SELECT CAST(t.c * {bucket} AS BIGINT) AS cohort_ts,
+       CAST(t.period_k AS BIGINT) AS period_k,
+       t.n_users,
+       round(CAST(t.n_users AS DOUBLE) / b.n_users, 6) AS retention
+FROM tri t JOIN (SELECT c, n_users FROM tri WHERE period_k = 0) b ON t.c = b.c
+"""

@@ -899,3 +899,54 @@ SELECT fp, keep_id, best_order, n_docs FROM (
 
 QUERIES["x_docs_keep_best_dup"] = x_docs_keep_best_dup
 ORACLES["x_docs_keep_best_dup"] = _KEEP_BEST_SQL
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_SPAN = 7 * 86400
+
+
+def x_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase within 7 days of
+    the first view: chain of per-user conditional aggregates on shrinking
+    user sets (see temporal.funnel)."""
+    from ..operators.temporal import funnel
+
+    from .common import events_base
+
+    ev = events_base(spark, sf_dir)
+    return funnel(ev, "user_id", "ts", "event_type",
+                  list(_FUNNEL_STEPS), max_span=_FUNNEL_SPAN)
+
+
+def _funnel_sql() -> str:
+    from ..operators.temporal import funnel_sql
+
+    return funnel_sql("events", "user_id", "CAST(floor(epoch(ts)) AS BIGINT)",
+                      "event_type", list(_FUNNEL_STEPS), max_span=_FUNNEL_SPAN)
+
+
+QUERIES["x_events_funnel"] = x_events_funnel
+ORACLES["x_events_funnel"] = _funnel_sql()
+
+
+def x_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle over the events log
+    (see temporal.cohort_retention)."""
+    from ..operators.temporal import cohort_retention
+
+    from .common import events_base
+
+    return cohort_retention(events_base(spark, sf_dir), "user_id", "ts",
+                            bucket=86400)
+
+
+def _cohorts_sql() -> str:
+    from ..operators.temporal import cohort_retention_sql
+
+    return cohort_retention_sql("events", "user_id",
+                                "CAST(floor(epoch(ts)) AS BIGINT)",
+                                bucket=86400)
+
+
+QUERIES["x_events_cohorts"] = x_events_cohorts
+ORACLES["x_events_cohorts"] = _cohorts_sql()

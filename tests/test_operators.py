@@ -2857,3 +2857,60 @@ def test_exact_dedup_best_argmax_and_tiebreak(spark):
     assert "Window" not in plan
     assert plan.count("Exchange") == 1
     assert "partial_min" in plan  # map-side combine before the exchange
+
+
+# ------------------------------------------------------- funnel / cohort
+
+def test_funnel_ordered_semantics(spark):
+    from mandodb_spark.operators.temporal import funnel
+
+    rows = [
+        # u1 completes a->b->c in order
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        # u2 has b BEFORE a -> reaches a only (b at 5 precedes a-time 15)
+        (2, 5, "b"), (2, 15, "a"),
+        # u3 completes a->b but c is outside max_span
+        (3, 0, "a"), (3, 50, "b"), (3, 5000, "c"),
+        # u4 never does a
+        (4, 10, "b"), (4, 20, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    out = {r.step: r for r in
+           funnel(df, "u", "t", "s", ["a", "b", "c"], max_span=100).collect()}
+    assert out["a"].n_users == 3 and out["a"].step_idx == 0
+    assert out["b"].n_users == 2          # u1, u3 (u2's b precedes its a)
+    assert out["c"].n_users == 1          # u1 only (u3's c beyond span)
+    # u1 reaches c at t=30, 20s after its a at t=10 -> 20/3600 h
+    assert out["c"].avg_hours_from_start == round(20 / 3600.0, 3)
+
+
+def test_funnel_earliest_completion_not_inflated(spark):
+    from mandodb_spark.operators.temporal import funnel
+
+    # u1: a@10, b@5 (before a, ignored), b@40 -> reach b at 40
+    rows = [(1, 10, "a"), (1, 5, "b"), (1, 40, "b")]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    out = {r.step: r for r in funnel(df, "u", "t", "s", ["a", "b"]).collect()}
+    assert out["b"].n_users == 1
+    assert out["b"].avg_hours_from_start == round(30 / 3600.0, 3)
+
+
+def test_cohort_retention_triangle(spark):
+    from mandodb_spark.operators.temporal import cohort_retention
+
+    B = 100
+    rows = [
+        # cohort 0: u1 active periods 0,1,2; u2 periods 0,2
+        (1, 10), (1, 150), (1, 250), (2, 50), (2, 290),
+        # cohort 1: u3 active periods 1,3
+        (3, 120), (3, 350),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long")
+    out = {(r.cohort_ts, r.period_k): r for r in
+           cohort_retention(df, "u", "t", bucket=B).collect()}
+    assert out[(0, 0)].n_users == 2 and out[(0, 0)].retention == 1.0
+    assert out[(0, 1)].n_users == 1 and out[(0, 1)].retention == 0.5
+    assert out[(0, 2)].n_users == 2
+    assert out[(100, 0)].n_users == 1
+    assert out[(100, 2)].n_users == 1     # u3 returns 2 periods after joining
+    assert (100, 1) not in out

@@ -2914,3 +2914,69 @@ def test_cohort_retention_triangle(spark):
     assert out[(100, 0)].n_users == 1
     assert out[(100, 2)].n_users == 1     # u3 returns 2 periods after joining
     assert (100, 1) not in out
+
+
+# --------------------------------------------------------------- pagerank
+
+def _pagerank_numpy(edge_list, n_iter, d):
+    import numpy as np
+
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = {u: 0 for u in nodes}
+    for s, _ in edge_list:
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[idx[u]] for u in nodes if out[u] == 0)
+        nxt += d * dangling / n
+        for s, t in edge_list:
+            nxt[idx[t]] += d * r[idx[s]] / out[s]
+        r = nxt
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_pagerank_matches_power_iteration_with_dangling(spark):
+    from mandodb_spark.operators.graph import pagerank
+
+    # directed graph with a dangling node (4) and a hub (1)
+    edge_list = [(0, 1), (2, 1), (3, 1), (1, 4), (0, 2), (2, 0)]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=12).collect()}
+    want = _pagerank_numpy(edge_list, 12, 0.85)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+    # the hub and its sole successor (which inherits the hub's whole
+    # rank) dominate the periphery
+    assert min(got[1], got[4]) > max(got[0], got[2], got[3])
+
+
+def test_pagerank_undirected_symmetry_and_dedup(spark):
+    from mandodb_spark.operators.graph import pagerank
+
+    # duplicate edges + self-loop must not change the result; path graph
+    # 0-1-2 undirected -> middle node highest
+    df = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 2)], "src long, dst long"
+    )
+    got = {r.node: r.rank for r in
+           pagerank(df, n_iter=15, undirected=True).collect()}
+    assert got[1] > got[0] and got[1] > got[2]
+    assert got[0] == pytest.approx(got[2], abs=1e-9)  # symmetric ends
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_pagerank_validations(spark):
+    from mandodb_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    for kw in ({"n_iter": 0}, {"damping": 0.0}, {"damping": 1.0}):
+        try:
+            pagerank(df, **kw)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass

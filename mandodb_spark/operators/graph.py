@@ -102,3 +102,39 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             prev.unpersist()
         prev, ranks = ranks, nxt
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def pagerank_unrolled_sql(edges_sql: str, n_iter: int,
+                          damping: float = 0.85) -> str:
+    """DuckDB mirror of :func:`pagerank` for UNDIRECTED edge sets (oracle
+    generator): ``edges_sql`` must yield columns ``(src, dst)``; the
+    mirror symmetrizes, drops self-loops, and unrolls the fixed
+    ``n_iter`` power iterations as chained CTEs — standard SQL forbids
+    aggregation inside a recursive term, so unrolling is the portable
+    form.  After symmetrization every node has out-degree ≥ 1, so the
+    dangling term is identically zero and the per-layer update is exactly
+    the operator's: ``(1-d)/N + d · Σ rank/deg``.  All constants are
+    ``repr``-ed Python doubles — the very literals the Spark side folds
+    in — so both engines run identical IEEE arithmetic.
+    """
+    omd, dmp = repr(1.0 - damping), repr(float(damping))
+    layers = []
+    for i in range(1, n_iter + 1):
+        layers.append(
+            f"r{i} AS (SELECT e.d AS node, "
+            f"({omd} / (SELECT nn FROM meta)) + {dmp} * sum(r.rank / dg.deg) AS rank "
+            f"FROM r{i-1} r JOIN ed e ON r.node = e.s "
+            f"JOIN deg dg ON dg.s = e.s GROUP BY e.d)"
+        )
+    joined = ",\n".join(layers)
+    return f"""
+WITH e0 AS ({edges_sql}),
+ed AS (SELECT src AS s, dst AS d FROM e0 WHERE src <> dst
+       UNION SELECT dst, src FROM e0 WHERE src <> dst),
+nodes AS (SELECT DISTINCT s AS node FROM ed),
+meta AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+r0 AS (SELECT node, 1.0 / (SELECT nn FROM meta) AS rank FROM nodes),
+{joined}
+SELECT node, round(rank, 8) AS rank FROM r{n_iter}
+"""

@@ -950,3 +950,37 @@ def _cohorts_sql() -> str:
 
 QUERIES["x_events_cohorts"] = x_events_cohorts
 ORACLES["x_events_cohorts"] = _cohorts_sql()
+
+
+_PR_ITER = 3
+
+
+def x_docs_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup similarity graph (which copy is
+    canonical?): simhash band-LSH pairs as undirected edges, 3 damped
+    power iterations with constant-depth checkpointed lineage
+    (see graph.pagerank)."""
+    from ..operators import dedup, text
+    from ..operators.graph import pagerank
+
+    d = load(spark, sf_dir, "documents")
+    sim = text.simhash_arrow(d, "doc_id", "text", 64)
+    pairs = dedup.simhash_band_pairs(sim, "doc_id", n_bits=64)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return pagerank(edges, n_iter=_PR_ITER, undirected=True)
+
+
+def _dup_pagerank_sql() -> str:
+    from ..operators.graph import pagerank_unrolled_sql
+    from .docs import DOCS_SIMHASH_NEARDUP_SQL
+
+    edges = (
+        "SELECT id_a AS src, id_b AS dst FROM ("
+        + DOCS_SIMHASH_NEARDUP_SQL
+        + ")"
+    )
+    return pagerank_unrolled_sql(edges, _PR_ITER)
+
+
+QUERIES["x_docs_dup_pagerank"] = x_docs_dup_pagerank
+ORACLES["x_docs_dup_pagerank"] = _dup_pagerank_sql()

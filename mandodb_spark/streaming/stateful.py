@@ -342,3 +342,98 @@ def streaming_cusum_state(rel: DataFrame, target: float, sigma: float,
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+BURN_OUT_SCHEMA = (
+    "key string, bucket_ts long, n_events long, n_errors long, "
+    "long_events long, long_errors long, short_burn double, "
+    "long_burn double, firing boolean"
+)
+BURN_STATE_SCHEMA = "buckets array<long>, ns array<long>, es array<long>"
+
+
+def _burn_update(short_window: int, long_window: int, budget: float,
+                 threshold: float, keep_buckets: int):
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            bks, ns, es = state.get
+            st = {int(b): [int(n), int(e)] for b, n, e in zip(bks, ns, es)}
+        else:
+            st = {}
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        touched = set()
+        for ts, err in zip(batch["ts"], batch["is_err"]):
+            b = int(ts) // short_window * short_window
+            cur = st.setdefault(b, [0, 0])
+            cur[0] += 1
+            cur[1] += int(bool(err))
+            touched.add(b)
+        if st:
+            horizon = max(st) - keep_buckets * short_window
+            st = {b: v for b, v in st.items() if b >= horizon}
+        ks = sorted(st)
+        state.update(
+            (ks, [st[b][0] for b in ks], [st[b][1] for b in ks])
+        )
+        rows = []
+        for b in sorted(t for t in touched if t in st):
+            lo = b - (long_window - short_window)
+            ln = sum(v[0] for bb, v in st.items() if lo <= bb <= b)
+            le = sum(v[1] for bb, v in st.items() if lo <= bb <= b)
+            n, e = st[b]
+            sb = round((e / n) / budget, 6)
+            lb = round((le / ln) / budget, 6)
+            rows.append({
+                "key": key[0], "bucket_ts": b, "n_events": n, "n_errors": e,
+                "long_events": ln, "long_errors": le, "short_burn": sb,
+                "long_burn": lb,
+                "firing": bool(sb > threshold and lb > threshold),
+            })
+        yield pd.DataFrame(
+            rows,
+            columns=["key", "bucket_ts", "n_events", "n_errors",
+                     "long_events", "long_errors", "short_burn",
+                     "long_burn", "firing"],
+        )
+
+    return update
+
+
+def streaming_burn_rate(rel: DataFrame, short_window: int, long_window: int,
+                        slo: float, threshold: float = 1.0,
+                        keep_buckets: int | None = None) -> DataFrame:
+    """Continuous multiwindow SLO burn-rate monitoring — the streaming
+    dual of :func:`~mandodb_spark.operators.temporal.burn_rate_alert`,
+    with identical bucket math and rounding so the batch form is the
+    replayable source of truth.
+
+    State per key: per-bucket (events, errors) counters for the trailing
+    ``keep_buckets`` short buckets (default 2×long/short — the
+    correction horizon, the watermark analogue; older late data is
+    dropped, same contract as the windowed duals).  Each trigger merges
+    its events into the touched buckets and re-emits those buckets'
+    rows recomputed against current state — UPSERT semantics: a late
+    event inside the horizon re-emits its bucket corrected.  Correction
+    scope is the touched buckets; under the ingest path's in-order
+    arrival the last emission per bucket equals the batch operator row
+    (pinned by test across triggers).
+
+    ``rel``: streaming relation carrying (key, ts, is_err) — ts unix
+    seconds, is_err boolean.
+    """
+    if long_window % short_window != 0 or long_window < short_window:
+        raise ValueError("long_window must be a multiple of short_window")
+    if not (0.0 < slo < 1.0):
+        raise ValueError("slo must be in (0, 1)")
+    if keep_buckets is None:
+        keep_buckets = 2 * (long_window // short_window)
+    return rel.select("key", "ts", "is_err").groupBy("key").applyInPandasWithState(
+        _burn_update(short_window, long_window, 1.0 - slo, float(threshold),
+                     keep_buckets),
+        BURN_OUT_SCHEMA,
+        BURN_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -983,3 +983,70 @@ def test_index_maintainer_retrains_pq_sidecar_across_rebuild(spark, tmp_path_fac
     assert (int(cb[0]) + 1, int(cb[1]) + 1) == (4, 8)   # same geometry
     q = df.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("qe"))
     assert len(idx.topk_adc(q, n_probe=2, k=3).collect()) == 3
+
+
+def test_streaming_burn_rate_matches_batch_across_triggers(spark, tmp_path_factory):
+    """Last emission per bucket after three in-order triggers equals the
+    batch burn_rate_alert rows; a bucket spanning a trigger boundary is
+    re-emitted corrected (upsert semantics)."""
+    from mandodb_spark.operators.temporal import burn_rate_alert
+    from mandodb_spark.streaming.stateful import streaming_burn_rate
+
+    base = tmp_path_factory.mktemp("burn")
+    src = str(base / "src")
+    schema = "key string, ts long, is_err boolean"
+    S, L = 10, 30
+    rows = []
+    # buckets 0..5, error ratios rising then falling
+    plan = {0: (8, 1), 10: (8, 6), 20: (8, 6), 30: (8, 7), 40: (8, 1), 50: (8, 0)}
+    for b, (n, e) in plan.items():
+        for i in range(n):
+            rows.append(("svc", b + i % 10, i < e))
+    # split mid-bucket: trigger 1 gets half of bucket 20's rows
+    cut1, cut2 = 20, 36
+    batches = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = streaming_burn_rate(stream, S, L, slo=0.5)
+    name = "burn_sink"
+    q = out.writeStream.format("memory").queryName(name).outputMode(
+        "update"
+    ).start()
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+        emitted = spark.sql(
+            f"SELECT * FROM {name}"
+        ).toPandas()
+    finally:
+        q.stop()
+
+    # upsert semantics: bucket 20 (split across triggers) emitted twice
+    assert (emitted.bucket_ts == 20).sum() >= 2
+    last = emitted.groupby("bucket_ts").tail(1).set_index("bucket_ts")
+
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {
+        r.bucket_ts: r
+        for r in burn_rate_alert(
+            batch_df, "ts", F.col("is_err"), S, L, slo=0.5
+        ).collect()
+    }
+    assert set(last.index) == set(want)
+    for b, w in want.items():
+        g = last.loc[b]
+        assert (g.n_events, g.n_errors, g.long_events, g.long_errors) == (
+            w.n_events, w.n_errors, w.long_events, w.long_errors
+        )
+        assert g.short_burn == pytest.approx(w.short_burn, abs=1e-12)
+        assert g.long_burn == pytest.approx(w.long_burn, abs=1e-12)
+        assert bool(g.firing) == w.firing

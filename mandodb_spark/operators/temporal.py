@@ -670,3 +670,114 @@ SELECT CAST(t.c * {bucket} AS BIGINT) AS cohort_ts,
        round(CAST(t.n_users AS DOUBLE) / b.n_users, 6) AS retention
 FROM tri t JOIN (SELECT c, n_users FROM tri WHERE period_k = 0) b ON t.c = b.c
 """
+
+
+def lttb_downsample(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+                    value_col: str, bucket_width: int) -> DataFrame:
+    """Largest-Triangle-Three-Buckets visual downsampling, parallel
+    variant: per time bucket keep the single point that subtends the
+    largest triangle against the neighboring buckets — the downsample
+    that preserves spikes, dips and shape for plotting, where plain
+    avg/min/max rollups flatten them (Steinarsson 2013).
+
+    Classic LTTB anchors the triangle's left vertex on the *previously
+    selected* point, which is inherently sequential.  This variant
+    anchors BOTH vertices on the neighboring buckets' mean points — the
+    same approximation the original algorithm already makes for its
+    right vertex, applied symmetrically — removing the sequential
+    dependency entirely, so every bucket selects independently.  First/
+    last bucket of each series keep their first/last point (the classic
+    endpoint rule, per series).
+
+    Determinism + oracle exactness: anchor means are computed as EXACT
+    sums (long for ts, decimal(28,8) for value) divided once in double —
+    order-independent, so both engines derive bit-identical anchors and
+    therefore identical argmax winners; ties break on (ts, value).
+
+    Scale shape: one map-side-combining aggregate (bucket means), one
+    tiny window over O(buckets) mean rows for lag/lead anchors, one
+    equi-join of points to their own bucket's anchor row, one
+    min(struct) winner aggregate — no per-series sort of raw points, no
+    windows over the full relation.  Output: ``(keys…, bucket_ts, ts,
+    value)``, ≤ one row per (series, bucket).
+    """
+    keys = list(key_cols)
+    b = F.floor(F.col(ts_col) / bucket_width).cast("long")
+    pts = df.select(*keys, b.alias("__b"), F.col(ts_col).alias("__t"),
+                    F.col(value_col).alias("__v"))
+    means = pts.groupBy(*keys, "__b").agg(
+        (F.sum("__t").cast("double") / F.count(F.lit(1))).alias("mt"),
+        (F.sum(F.col("__v").cast("decimal(28,8)")).cast("double")
+         / F.count(F.lit(1))).alias("mv"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__b")
+    anchors = (
+        means.withColumn("pmt", F.lag("mt").over(w))
+        .withColumn("pmv", F.lag("mv").over(w))
+        .withColumn("nmt", F.lead("mt").over(w))
+        .withColumn("nmv", F.lead("mv").over(w))
+        .select(*keys, "__b", "pmt", "pmv", "nmt", "nmv")
+    )
+    j = pts.join(anchors, keys + ["__b"])
+    interior = F.col("pmt").isNotNull() & F.col("nmt").isNotNull()
+    area2 = F.abs(
+        (F.col("pmt") - F.col("nmt")) * (F.col("__v") - F.col("pmv"))
+        - (F.col("pmt") - F.col("__t")) * (F.col("nmv") - F.col("pmv"))
+    )
+    k1 = F.when(interior, -area2).otherwise(F.lit(0.0))
+    k2 = F.when(
+        F.col("pmt").isNotNull() & F.col("nmt").isNull(), -F.col("__t")
+    ).otherwise(F.col("__t"))
+    winner = F.min(F.struct(k1.alias("k1"), k2.alias("k2"),
+                            F.col("__t").alias("t"), F.col("__v").alias("v")))
+    return (
+        j.groupBy(*keys, "__b")
+        .agg(winner.alias("__w"))
+        .select(
+            *keys,
+            (F.col("__b") * bucket_width).cast("long").alias("bucket_ts"),
+            F.col("__w.t").alias(ts_col),
+            F.col("__w.v").alias(value_col),
+        )
+    )
+
+
+def lttb_downsample_sql(table: str, key_cols: Sequence[str], ts_expr: str,
+                        value_col: str, bucket_width: int,
+                        ts_out: str = "ts") -> str:
+    """DuckDB mirror of :func:`lttb_downsample` (oracle generator).
+    ``ts_expr`` must yield unix seconds as BIGINT."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH pts AS (
+    SELECT {keys}, CAST(floor({ts_expr} / {bucket_width}) AS BIGINT) AS b,
+           {ts_expr} AS t, {value_col} AS v
+    FROM {table}
+), m AS (
+    SELECT {keys}, b,
+           CAST(sum(t) AS DOUBLE) / count(*) AS mt,
+           CAST(sum(CAST(v AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS mv
+    FROM pts GROUP BY ALL
+), a AS (
+    SELECT {keys}, b,
+           lag(mt) OVER w AS pmt, lag(mv) OVER w AS pmv,
+           lead(mt) OVER w AS nmt, lead(mv) OVER w AS nmv
+    FROM m WINDOW w AS (PARTITION BY {keys} ORDER BY b)
+), s AS (
+    SELECT p.*, a.pmt, a.pmv, a.nmt, a.nmv,
+           CASE WHEN a.pmt IS NOT NULL AND a.nmt IS NOT NULL
+                THEN -abs((a.pmt - a.nmt) * (p.v - a.pmv)
+                          - (a.pmt - p.t) * (a.nmv - a.pmv))
+                ELSE 0.0 END AS k1,
+           CASE WHEN a.pmt IS NOT NULL AND a.nmt IS NULL THEN -p.t
+                ELSE p.t END AS k2
+    FROM pts p JOIN a USING ({keys}, b)
+)
+SELECT {keys}, CAST(b * {bucket_width} AS BIGINT) AS bucket_ts,
+       t AS {ts_out}, v AS {value_col}
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY {keys}, b ORDER BY k1, k2, t, v
+    ) AS rn FROM s
+) WHERE rn = 1
+"""

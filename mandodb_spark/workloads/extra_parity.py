@@ -984,3 +984,28 @@ def _dup_pagerank_sql() -> str:
 
 QUERIES["x_docs_dup_pagerank"] = x_docs_dup_pagerank
 ORACLES["x_docs_dup_pagerank"] = _dup_pagerank_sql()
+
+
+def x_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-preserving visual downsample of the per-event-type value
+    series: parallel LTTB over 6-hour buckets — keeps the spike/dip
+    points a mean rollup flattens (see temporal.lttb_downsample)."""
+    from ..operators.temporal import lttb_downsample
+    from .common import events_base
+
+    ev = events_base(spark, sf_dir).select("event_type", "ts", "value")
+    return lttb_downsample(ev, ["event_type"], "ts", "value",
+                           bucket_width=6 * 3600)
+
+
+def _lttb_sql() -> str:
+    from ..operators.temporal import lttb_downsample_sql
+
+    return lttb_downsample_sql(
+        "events", ["event_type"], "CAST(floor(epoch(ts)) AS BIGINT)",
+        "value", 6 * 3600,
+    )
+
+
+QUERIES["x_events_lttb"] = x_events_lttb
+ORACLES["x_events_lttb"] = _lttb_sql()

@@ -2980,3 +2980,55 @@ def test_pagerank_validations(spark):
             assert False, "expected ValueError"
         except ValueError:
             pass
+
+
+# ------------------------------------------------------------------ lttb
+
+def test_lttb_keeps_spikes_and_endpoints(spark):
+    import math
+
+    from mandodb_spark.operators.temporal import lttb_downsample
+
+    # flat series with one huge spike mid-bucket; plus a sine series
+    rows = [("flat", t, 100.0 + (500.0 if t == 47 else 0.0)) for t in range(100)]
+    rows += [("sine", t, math.sin(t / 8.0) * 10) for t in range(100)]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    out = lttb_downsample(df, ["k"], "ts", "value", bucket_width=20)
+    got = {(r.k, r.bucket_ts): r for r in out.collect()}
+    # one row per (series, bucket)
+    assert len(got) == 10
+    # endpoint rule: first bucket keeps first point, last keeps last
+    assert got[("flat", 0)].ts == 0 and got[("flat", 80)].ts == 99
+    assert got[("sine", 0)].ts == 0 and got[("sine", 80)].ts == 99
+    # the spike at t=47 dominates its bucket's triangle areas
+    assert got[("flat", 40)].ts == 47 and got[("flat", 40)].value == 600.0
+    # sine: selected interior points sit at local extremes of their buckets
+    s = got[("sine", 40)]
+    bucket_vals = [abs(math.sin(t / 8.0) * 10) for t in range(40, 60)]
+    assert abs(s.value) >= max(bucket_vals) - 1.5
+
+
+def test_lttb_duckdb_parity_random(spark):
+    import random
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_check import compare
+
+    from mandodb_spark.operators.temporal import (lttb_downsample,
+                                                  lttb_downsample_sql)
+
+    rng = random.Random(7)
+    rows = [(f"s{i % 3}", t, round(rng.uniform(-50, 50), 2))
+            for i, t in enumerate(range(400))]
+    df = spark.createDataFrame(rows, "k string, ts long, value double")
+    got = lttb_downsample(df, ["k"], "ts", "value", 32).toPandas()
+    con = duckdb.connect()
+    con.register("pts_src", df.toPandas())
+    duck = con.execute(
+        lttb_downsample_sql("pts_src", ["k"], "ts", "value", 32)
+    ).df()
+    assert compare("lttb", got, duck) == []

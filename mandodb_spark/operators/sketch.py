@@ -295,3 +295,37 @@ def quantile_estimate(spark, dest: str, start_seg: int, end_seg: int,
     sk = spark.read.parquet(dest).filter(F.col("seg").between(start_seg, end_seg))
     merged = sk.groupBy("sgn", "bucket").agg(F.sum("n").alias("n"))
     return dds_quantiles(merged, qs, alpha)
+
+
+def hll_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
+                         lg_k: int = 14) -> DataFrame:
+    """Distinct-overlap estimate between two relations via mergeable HLL
+    sketches and inclusion–exclusion: ``|A∩B| ≈ |A| + |B| − |A∪B|`` —
+    the corpus-overlap / contamination-scale question ("how much does
+    this new crawl share with what we have?") answered WITHOUT the exact
+    distinct-join, whose shuffle is the thing that hurts at 100 TB.
+
+    Each side is one map-side-combining sketch aggregate collapsing to a
+    single row; the union is ``hll_union`` of two binaries — no shuffle
+    of keys against keys, ever.  Inclusion–exclusion inherits ~3× the
+    single-sketch error and can go negative on tiny overlaps (clamped to
+    0); for |A∩B| ≫ error it's the standard cheap answer, and the same
+    sketches roll up across corpus slices for free.
+
+    Returns one row: ``(est_a, est_b, est_union, est_intersect,
+    jaccard)`` (estimates as doubles, jaccard 6dp).
+    """
+    sa = a.agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("ska"))
+    sb = b.agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("skb"))
+    j = sa.crossJoin(F.broadcast(sb))
+    est_a = F.hll_sketch_estimate("ska")
+    est_b = F.hll_sketch_estimate("skb")
+    est_u = F.hll_sketch_estimate(F.hll_union("ska", "skb"))
+    est_i = F.greatest(F.lit(0.0), est_a + est_b - est_u)
+    return j.select(
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        est_i.alias("est_intersect"),
+        F.round(est_i / est_u, 6).alias("jaccard"),
+    )

@@ -163,3 +163,29 @@ def to_influx_line(rel: DataFrame, metric_label: str = "__name__",
             F.col("ts").cast("string"),
         ).alias("line")
     )
+
+
+def with_provenance(df: DataFrame, id_col: str = "prov_id") -> DataFrame:
+    """Attach row-level lineage columns from the file reader's hidden
+    ``_metadata`` struct: ``src_file`` (path), ``src_row`` (row index
+    within the file) and a stable ``prov_id`` — the provenance a curation
+    pipeline needs to trace any training example back to its exact source
+    byte range months later (and the key for surgical re-processing:
+    delete/reprocess by file without touching neighbors).
+
+    Zero-cost at scale: ``_metadata`` is generated by the scan itself
+    (constant per file + a per-row counter), no shuffle, no extra I/O;
+    the id is ``md5(path)#row`` so it survives directory moves of equal
+    layout and never collides within a file.  Only valid on file-source
+    DataFrames (parquet/csv/json/orc reads) — raises the analyzer error
+    otherwise, loudly, at plan time.
+    """
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("src_file"),
+        F.col("_metadata.row_index").alias("src_row"),
+        F.concat(
+            F.md5(F.col("_metadata.file_path")), F.lit("#"),
+            F.col("_metadata.row_index").cast("string"),
+        ).alias(id_col),
+    )

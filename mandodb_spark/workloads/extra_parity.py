@@ -1009,3 +1009,58 @@ def _lttb_sql() -> str:
 
 QUERIES["x_events_lttb"] = x_events_lttb
 ORACLES["x_events_lttb"] = _lttb_sql()
+
+
+def x_docs_token_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-half vocabulary overlap via mergeable HLL sketches +
+    inclusion-exclusion (sketch.hll_overlap_estimate): sketches are
+    engine-internal binaries, so (as with the quantile/HLL rows) the
+    oracle pins what IS cross-engine — the exact distinct counts computed
+    alongside — plus a TRUE assertion that every estimate lands within
+    the sketch's error envelope of its exact counterpart."""
+    from ..operators.sketch import hll_overlap_estimate
+    from ..operators.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    half = F.substring(F.col("source"), 4, 10).cast("int")
+    toks = d.select(half.alias("h"), F.explode(tokens(F.col("text"))).alias("tok"))
+    a = toks.filter(F.col("h") <= 9).select("tok").distinct()
+    b = toks.filter(F.col("h") > 9).select("tok").distinct()
+    est = hll_overlap_estimate(a, b, "tok")
+    exact = (
+        a.withColumn("ina", F.lit(1))
+        .join(b.withColumn("inb", F.lit(1)), "tok", "full")
+        .agg(
+            F.sum("ina").cast("long").alias("exact_a"),
+            F.sum("inb").cast("long").alias("exact_b"),
+            F.sum(F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1))
+            .cast("long").alias("exact_intersect"),
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_a", "exact_b", "exact_intersect",
+        (
+            (F.abs(F.col("est_a") - F.col("exact_a")) <= 0.05 * F.col("exact_a") + 2)
+            & (F.abs(F.col("est_b") - F.col("exact_b")) <= 0.05 * F.col("exact_b") + 2)
+            & (F.abs(F.col("est_intersect") - F.col("exact_intersect"))
+               <= 0.15 * F.col("exact_intersect") + 6)
+        ).alias("within_bound"),
+    )
+
+
+_TOKEN_OVERLAP_SQL = """
+WITH a AS (
+    SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE CAST(substr(source, 4) AS INT) <= 9
+), b AS (
+    SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE CAST(substr(source, 4) AS INT) > 9
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS exact_b,
+       (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (tok)) AS exact_intersect,
+       TRUE AS within_bound
+"""
+
+QUERIES["x_docs_token_overlap_sketch"] = x_docs_token_overlap_sketch
+ORACLES["x_docs_token_overlap_sketch"] = _TOKEN_OVERLAP_SQL

@@ -3032,3 +3032,21 @@ def test_lttb_duckdb_parity_random(spark):
         lttb_downsample_sql("pts_src", ["k"], "ts", "value", 32)
     ).df()
     assert compare("lttb", got, duck) == []
+
+
+def test_hll_overlap_estimate_accuracy_and_clamp(spark):
+    from mandodb_spark.operators.sketch import hll_overlap_estimate
+
+    a = spark.range(0, 20000).selectExpr("cast(id as string) k")
+    b = spark.range(15000, 40000).selectExpr("cast(id as string) k")
+    (r,) = hll_overlap_estimate(a, b, "k").collect()
+    assert r.est_a == pytest.approx(20000, rel=0.03)
+    assert r.est_b == pytest.approx(25000, rel=0.03)
+    assert r.est_union == pytest.approx(40000, rel=0.03)
+    assert r.est_intersect == pytest.approx(5000, rel=0.25)
+    assert r.jaccard == pytest.approx(5000 / 40000, rel=0.3)
+    # disjoint sets: intersection clamped at >= 0
+    c = spark.range(100000, 120000).selectExpr("cast(id as string) k")
+    (r2,) = hll_overlap_estimate(a, c, "k").collect()
+    assert r2.est_intersect >= 0.0
+    assert r2.est_intersect / r2.est_union < 0.02

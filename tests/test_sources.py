@@ -638,3 +638,30 @@ def test_vector_index_batch_adc_matches_single_probe_loop(spark, tmp_path_factor
         want = [(i + 1, r.vec_id, r.adc_d2) for i, r in
                 enumerate(idx.topk_adc(q, n_probe=3, k=5).collect())]
         assert sorted(got[qid]) == want, f"qid {qid}"
+
+
+def test_with_provenance_stable_and_unique(spark, tmp_path_factory):
+    from mandodb_spark.sources.loaders import with_provenance
+
+    base = tmp_path_factory.mktemp("prov")
+    p = str(base / "t.parquet")
+    spark.range(500).selectExpr("id", "id * 2 AS v").repartition(4).write.parquet(p)
+
+    df = with_provenance(spark.read.parquet(p))
+    rows = df.collect()
+    assert len(rows) == 500
+    # unique per row, stable across re-reads
+    ids = {r.prov_id for r in rows}
+    assert len(ids) == 500
+    again = {r.prov_id for r in with_provenance(spark.read.parquet(p)).collect()}
+    assert again == ids
+    # id maps back to the same payload on re-read
+    m1 = {r.prov_id: r.id for r in rows}
+    m2 = {r.prov_id: r.id for r in with_provenance(spark.read.parquet(p)).collect()}
+    assert m1 == m2
+    # row indices are within-file counters
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.src_file, []).append(r.src_row)
+    for idxs in by_file.values():
+        assert sorted(idxs) == list(range(len(idxs)))

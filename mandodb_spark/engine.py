@@ -288,6 +288,21 @@ class TSDB:
 
         return self._per_series(metric, matchers, start, end, run)
 
+    def lttb(self, metric: str | None, matchers: list[LabelMatcher] | None,
+             start: int, end: int, bucket_width: int) -> DataFrame:
+        """Shape-preserving visual downsample per series over the
+        matcher+time-pruned range (``operators.temporal.lttb_downsample``
+        keyed by series identity) — the "render 30 days of a metric as
+        ~N points without flattening the spikes" read path a dashboard
+        issues; labels re-attached per series."""
+        from .operators.temporal import lttb_downsample
+
+        return self._per_series(
+            metric, matchers, start, end,
+            lambda rows: lttb_downsample(rows, ["series_key"], "ts", "value",
+                                         bucket_width),
+        )
+
     def _per_series(self, metric, matchers, start, end, fn) -> DataFrame:
         """Run a (series_key, ts, value)-keyed operator over the pruned
         range and re-attach the series labels."""

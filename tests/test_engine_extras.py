@@ -637,3 +637,29 @@ def test_engine_seasonal_and_cusum_surfaces(spark, tmp_path_factory):
     assert len(sd) == 120 and all(r.labels["n"] == "b" for r in sd)
     for r in sd:
         assert r.seasonal == 0.0 and r.resid == 0.0 and r.trend == 3.0
+
+
+def test_engine_lttb_surface(spark, tmp_path_factory):
+    """TSDB.lttb: matcher-pruned per-series visual downsample keeps the
+    planted spike and the series endpoints, one point per bucket."""
+    from mandodb_spark import TSDB, LabelMatcher
+
+    path = str(tmp_path_factory.mktemp("eng_lttb") / "s")
+    db = TSDB(spark, path)
+    base = 1_700_000_000
+    rows = []
+    for t in range(100):
+        v = 2.0 + (80.0 if t == 37 else 0.0)
+        rows.append(("m", {"n": "a"}, base + t * 60, v))
+        rows.append(("m", {"n": "b"}, base + t * 60, 1.0))
+    db.insert_rows(rows)
+
+    out = db.lttb("m", [LabelMatcher("n", "a")], 0, 2**40,
+                  bucket_width=20 * 60).collect()
+    # epoch-aligned buckets: the 99-minute span straddles 6 x 20-min cells
+    assert len(out) == 6 and all(r.labels["n"] == "a" for r in out)
+    by_bucket = {r.bucket_ts: r for r in out}
+    spike_bucket = (base + 37 * 60) // (20 * 60) * (20 * 60)
+    assert by_bucket[spike_bucket].value == 82.0  # spike survives
+    assert min(r.ts for r in out) == base        # endpoint rule
+    assert max(r.ts for r in out) == base + 99 * 60

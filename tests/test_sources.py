@@ -665,3 +665,45 @@ def test_with_provenance_stable_and_unique(spark, tmp_path_factory):
         by_file.setdefault(r.src_file, []).append(r.src_row)
     for idxs in by_file.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_file_ledger_process_once_flow(spark, tmp_path_factory):
+    """Two-run incremental flow: run 1 sees the first drop only; run 2
+    sees exactly the new files; run 3 sees nothing.  max_files bounds a
+    backfill run and drains deterministically in sorted order."""
+    from mandodb_spark.sources.ledger import FileLedger
+
+    base = tmp_path_factory.mktemp("ledger")
+    src, led = str(base / "src"), str(base / "led")
+    spark.range(0, 100).coalesce(1).write.mode("append").parquet(src)
+
+    lg = FileLedger(spark, led)
+    df1, p1 = lg.unprocessed(src)
+    assert df1.count() == 100 and len(p1) == 1
+    lg.mark(p1)
+
+    # second drop: two more files
+    spark.range(100, 150).coalesce(1).write.mode("append").parquet(src)
+    spark.range(150, 160).coalesce(1).write.mode("append").parquet(src)
+    df2, p2 = lg.unprocessed(src)
+    assert len(p2) == 2 and df2.count() == 60
+    assert set(p2).isdisjoint(p1)
+    lg.mark(p2)
+
+    df3, p3 = lg.unprocessed(src)
+    assert df3 is None and p3 == []
+
+    # throttled backfill: new 3-file drop drained 1 file per run, sorted
+    for i in range(3):
+        spark.range(1000 + i, 1001 + i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    seen = []
+    while True:
+        df, ps = lg.unprocessed(src, max_files=1)
+        if df is None:
+            break
+        assert len(ps) == 1
+        seen.extend(ps)
+        lg.mark(ps)
+    assert len(seen) == 3 and seen == sorted(seen)

@@ -339,6 +339,17 @@ class TSDB:
             return {"segments": [], "corrupt": [], "orphans": [], "ok": True}
         return _fsck(root, self.store.segment_duration)
 
+    def vacuum(self, dry_run: bool = True) -> dict:
+        """Reclaim the recovery-garbage trees fsck flags as orphans
+        (``sources.segment_store.vacuum``) — corrupt files are never
+        auto-deleted.  Memory-only stores: nothing to do."""
+        from .sources.segment_store import vacuum as _vac
+
+        root = getattr(self.store, "root", None)
+        if root is None:
+            return {"removed": [], "freed_bytes": 0, "dry_run": dry_run}
+        return _vac(root, dry_run)
+
     def materialize_rollup(self, dest: str, step: int = 21600,
                            incremental: bool = False,
                            since_seg: int | None = None) -> None:

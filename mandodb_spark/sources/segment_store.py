@@ -779,6 +779,36 @@ def fsck(root: str, segment_duration: int = DEFAULT_SEGMENT_DURATION) -> dict:
     return report
 
 
+def vacuum(root: str, dry_run: bool = True) -> dict:
+    """Reclaim recovery garbage that :func:`fsck` flags as ``orphans`` —
+    the ``__old`` / ``__compact`` / ``__rebuild`` sibling trees a crashed
+    atomic swap leaves behind (plus selective-compact's displaced trees,
+    which live OUTSIDE the root by design and are covered by their own
+    cleanup).  Deliberately narrow: corrupt data files are REPORTED by
+    fsck but never auto-deleted — garbage trees are provably
+    reconstruction residue (the live root superseded them at swap
+    time), while a corrupt file inside the root is potential data whose
+    deletion must be a human decision.
+
+    ``dry_run=True`` (default) only reports.  Returns ``{"removed":
+    [paths], "freed_bytes": n, "dry_run": bool}``.
+    """
+    import shutil
+    from pathlib import Path as _P
+
+    targets = [
+        f"{root}{suffix}" for suffix in ("__old", "__compact", "__rebuild")
+        if _P(f"{root}{suffix}").exists()
+    ]
+    freed = 0
+    for t in targets:
+        freed += sum(f.stat().st_size for f in _P(t).rglob("*") if f.is_file())
+    if not dry_run:
+        for t in targets:
+            shutil.rmtree(t)
+    return {"removed": targets, "freed_bytes": freed, "dry_run": dry_run}
+
+
 def snapshot(root: str, dest: str) -> int:
     """Instant store snapshot: recreate the directory tree at ``dest`` with
     HARDLINKS to the live data files — O(files) metadata work, zero bytes

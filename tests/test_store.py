@@ -548,3 +548,41 @@ def test_selective_compact_fallback_never_pollutes_partition_discovery(spark, tm
     assert not any("__old" in p.name for p in root.glob("*"))      # inside root
     assert not Path(f"{path}__old").exists()                       # sibling cleaned
     assert not Path(f"{path}__compact").exists()
+
+
+def test_vacuum_removes_only_orphan_trees(spark, tmp_path_factory):
+    """vacuum reclaims crashed-swap residue trees, never live data or
+    corrupt in-root files; dry_run only reports."""
+    from pathlib import Path
+
+    from mandodb_spark import TSDB
+    from mandodb_spark.sources.segment_store import fsck, vacuum
+
+    root = str(tmp_path_factory.mktemp("vac") / "s")
+    db = TSDB(spark, root)
+    db.insert_rows([("m", {"n": "a"}, 1_700_000_000 + i, float(i))
+                    for i in range(50)])
+    n_before = db.query_range("m", [], 0, 2**40).count()
+
+    # simulate a crashed swap: leftover __old tree + a corrupt file in-root
+    old = Path(f"{root}__old")
+    (old / "seg=0").mkdir(parents=True)
+    (old / "seg=0" / "part-junk.parquet").write_bytes(b"x" * 1024)
+    seg = next(Path(root).glob("seg=*"))
+    corrupt = seg / "part-corrupt.parquet"
+    corrupt.write_bytes(b"not a parquet file")
+
+    rep = fsck(root, db.store.segment_duration)
+    assert str(old) in rep["orphans"] and str(corrupt) in rep["corrupt"]
+
+    dry = vacuum(root)
+    assert dry["dry_run"] and dry["removed"] == [str(old)]
+    assert dry["freed_bytes"] >= 1024 and old.exists()
+
+    wet = db.vacuum(dry_run=False)
+    assert wet["removed"] == [str(old)] and not old.exists()
+    assert corrupt.exists()  # corrupt in-root file untouched
+    rep2 = db.fsck()
+    assert rep2["orphans"] == [] and str(corrupt) in rep2["corrupt"]
+    corrupt.unlink()
+    assert db.query_range("m", [], 0, 2**40).count() == n_before

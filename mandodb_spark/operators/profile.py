@@ -246,7 +246,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     the regression gate a curation pipeline runs between corpus versions
     before republishing, and the batch analogue of CDC.
 
-    Comparison is null-safe (``IS NOT DISTINCT FROM``); ``changed_cols``
+    Contract: the key must be unique within each snapshot — duplicate
+    keys fan out through the full-outer join (pre-aggregate or dedup
+    first; :func:`~mandodb_spark.operators.dedup.exact_dedup_best` is
+    the usual upstream).  Comparison is null-safe
+    (``IS NOT DISTINCT FROM``); ``changed_cols``
     is a comma-joined list of differing column names for ``changed`` rows
     and ``''`` otherwise, so the output schema is flat and
     oracle-comparable.  ``compare_cols`` defaults to every shared non-key

@@ -313,7 +313,10 @@ def hll_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
     sketches roll up across corpus slices for free.
 
     Returns one row: ``(est_a, est_b, est_union, est_intersect,
-    jaccard)`` (estimates as doubles, jaccard 6dp).
+    jaccard)`` (counts as BIGINT estimates, intersect/jaccard as
+    doubles).  An empty side degrades cleanly: ``hll_sketch_agg`` over
+    zero rows is the empty sketch, so its estimate is 0 (verified by the
+    disjoint-clamp test), not NULL.
     """
     sa = a.agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("ska"))
     sb = b.agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("skb"))

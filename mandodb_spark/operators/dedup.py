@@ -16,7 +16,7 @@ curation, built to hold at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Defaults: 8 minhashes in 2 bands of 4 → P(candidate) = 1-(1-s⁴)²,
@@ -944,4 +944,113 @@ FROM inter i
 JOIN sizes na ON na.id = i.id_a
 JOIN sizes nb ON nb.id = i.id_b
 WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= {threshold}
+"""
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 8, min_docs: int = 2) -> DataFrame:
+    """Maximal cross-document duplicated token spans — the distributed
+    answer to suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    token window of length ``k`` appearing in ≥ ``min_docs`` distinct
+    documents is duplicated; overlapping/adjacent duplicated windows
+    merge into maximal spans per document.  Complements
+    :func:`span_dedup` (sentence-aligned C4 spans) with arbitrary-offset
+    token granularity — boilerplate does not respect sentence
+    boundaries.
+
+    Equivalence to the suffix-array formulation: a maximal repeated
+    substring of ≥ k tokens is exactly a maximal run of repeated
+    k-windows, so the output spans coincide (modulo md5 collisions,
+    ~2⁻¹²⁸); cost is the same O(total tokens) the suffix array pays,
+    but as three shuffle-shaped stages instead of a global sort:
+
+    1. window fan-out (narrow: ``posexplode`` over positions, one row
+       per token — the same data volume as the corpus itself);
+    2. duplicated-window set = groupBy(window md5) with a two-level
+       distinct-doc count (partial-aggregated), then a semi-join back —
+       never a self-join of windows against windows;
+    3. per-doc gaps-and-islands over hit positions (window ordered by
+       position, partitioned by doc — bounded by tokens-per-doc).
+
+    Output: ``(id, span_start, span_end, n_tokens)`` — 1-based inclusive
+    token positions, ``n_tokens = span_end − span_start + 1 ≥ k``.
+    """
+    if k < 1 or min_docs < 2:
+        raise ValueError("need k >= 1 and min_docs >= 2")
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(
+        F.size("__t") >= k
+    )
+    win = base.select(
+        F.col(id_col),
+        F.posexplode(F.sequence(F.lit(1), F.size("__t") - (k - 1))).alias(
+            "__i", "pos"
+        ),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.md5(F.array_join(F.slice(F.col("__t"), F.col("pos"), k), " ")).alias("h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = win.join(dup, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > 1, 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col, "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def duplicate_spans_sql(table: str, id_col: str, text_col: str,
+                        k: int = 8, min_docs: int = 2) -> str:
+    """DuckDB mirror of :func:`duplicate_spans` (oracle generator)."""
+    return f"""
+WITH base AS (
+    SELECT {id_col}, string_split({text_col}, ' ') AS t
+    FROM {table}
+    WHERE len(string_split({text_col}, ' ')) >= {k}
+), win AS (
+    SELECT {id_col}, CAST(i AS INTEGER) AS pos,
+           md5(array_to_string(list_slice(t, i, i + {k} - 1), ' ')) AS h
+    FROM (SELECT {id_col}, t, unnest(range(1, len(t) - {k} + 2)) AS i FROM base)
+), dup AS (
+    SELECT h FROM win GROUP BY h HAVING count(DISTINCT {id_col}) >= {min_docs}
+), hits AS (
+    SELECT w.* FROM win w SEMI JOIN dup d ON w.h = d.h
+), isl AS (
+    SELECT *, sum(brk) OVER (PARTITION BY {id_col} ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+    FROM (
+        SELECT *, CASE WHEN pos - lag(pos) OVER (PARTITION BY {id_col}
+                                                 ORDER BY pos) > 1
+                       THEN 1 ELSE 0 END AS brk
+        FROM hits
+    )
+)
+SELECT {id_col},
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(max(pos) + {k} - 1 - min(pos) + 1 AS BIGINT) AS n_tokens
+FROM isl
+GROUP BY {id_col}, island
 """

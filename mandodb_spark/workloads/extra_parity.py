@@ -1064,3 +1064,24 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS exact_a,
 
 QUERIES["x_docs_token_overlap_sketch"] = x_docs_token_overlap_sketch
 ORACLES["x_docs_token_overlap_sketch"] = _TOKEN_OVERLAP_SQL
+
+
+def x_docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style exact substring dedup, distributed form: maximal
+    cross-document duplicated 8-token spans (arbitrary offsets — no
+    sentence alignment) via window fan-out -> duplicated-window semi-join
+    -> per-doc gaps-and-islands (see dedup.duplicate_spans)."""
+    from ..operators.dedup import duplicate_spans
+
+    d = load(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", k=8)
+
+
+def _duplicate_spans_sql() -> str:
+    from ..operators.dedup import duplicate_spans_sql
+
+    return duplicate_spans_sql("documents", "doc_id", "text", k=8)
+
+
+QUERIES["x_docs_duplicate_spans"] = x_docs_duplicate_spans
+ORACLES["x_docs_duplicate_spans"] = _duplicate_spans_sql()

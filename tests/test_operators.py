@@ -3050,3 +3050,95 @@ def test_hll_overlap_estimate_accuracy_and_clamp(spark):
     (r2,) = hll_overlap_estimate(a, c, "k").collect()
     assert r2.est_intersect >= 0.0
     assert r2.est_intersect / r2.est_union < 0.02
+
+
+# -------------------------------------------------------- duplicate spans
+
+def test_duplicate_spans_maximal_merge(spark):
+    from mandodb_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} nine ten eleven twelve"),
+        (3, "totally unique words nothing repeated here at all"),
+        (4, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_spans(df, "doc_id", "text", k=3).collect()
+    spans = {r.doc_id: (r.span_start, r.span_end, r.n_tokens) for r in out}
+    # doc 1: shared block at tokens 3..8 -> ONE maximal span, not 4
+    assert spans[1] == (3, 8, 6)
+    assert spans[2] == (1, 6, 6)
+    assert 3 not in spans and 4 not in spans
+    assert len(out) == 2
+
+
+def test_duplicate_spans_equals_bruteforce_reference(spark):
+    import random
+
+    from mandodb_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab) for _ in range(60)) for _ in range(8)]
+    k = 4
+
+    def brute(docs, k):
+        wins = {}
+        for d, text in enumerate(docs):
+            t = text.split()
+            for p in range(len(t) - k + 1):
+                wins.setdefault(tuple(t[p:p + k]), set()).add(d)
+        dup = {w for w, ds in wins.items() if len(ds) >= 2}
+        spans = []
+        for d, text in enumerate(docs):
+            t = text.split()
+            hit = [p for p in range(len(t) - k + 1) if tuple(t[p:p + k]) in dup]
+            run = []
+            for p in hit:
+                if run and p == run[-1] + 1:
+                    run.append(p)
+                else:
+                    if run:
+                        spans.append((d, run[0] + 1, run[-1] + k))
+                    run = [p]
+            if run:
+                spans.append((d, run[0] + 1, run[-1] + k))
+        return sorted(spans)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, "doc_id", "text", k=k).collect()
+    )
+    assert got == brute(docs, k)
+    assert got  # the small vocab guarantees collisions
+
+
+def test_duplicate_spans_duckdb_parity(spark):
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_check import compare
+
+    from mandodb_spark.operators.dedup import (duplicate_spans,
+                                               duplicate_spans_sql)
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x a b c d e y z"),
+        (3, "p q r s t u v w"),
+        (4, "p q r s zz t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = duplicate_spans(df, "doc_id", "text", k=3).toPandas()
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    duck = con.execute(duplicate_spans_sql("docs", "doc_id", "text", 3)).df()
+    assert compare("spans", got, duck) == []

@@ -1054,3 +1054,51 @@ SELECT {id_col},
 FROM isl
 GROUP BY {id_col}, island
 """
+
+
+def cut_spans(df: DataFrame, spans: DataFrame, id_col: str,
+              text_col: str, out_col: str | None = None) -> DataFrame:
+    """Apply step for :func:`duplicate_spans` (or any (id, span_start,
+    span_end) relation): rewrite each document's text with the listed
+    1-based-inclusive token spans REMOVED — dedup policy "keep one copy"
+    composes as ``duplicate_spans`` minus an anti-join of the kept
+    winner's spans, then ``cut_spans``.
+
+    Shape: spans collapse to one array per doc (tiny: O(spans/doc)),
+    ONE equi-join on the id, then a pure JVM higher-order expression
+    (position-tag tokens → filter against the span array → re-join) —
+    no Python, no second shuffle; docs without spans pass through
+    byte-identical via the empty-array coalesce.
+    """
+    out_col = out_col or text_col
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__sp")
+    )
+    # typed empty-array fallback: a bare array() is array<void> and won't
+    # coalesce against array<struct>; exists() over NULL yields NULL and
+    # would silently drop every token of span-free docs
+    empty = F.array().cast("array<struct<s:long,e:long>>")
+    joined = df.join(sp, id_col, "left").withColumn(
+        "__sp",
+        F.coalesce(
+            F.col("__sp").cast("array<struct<s:long,e:long>>"), empty
+        ),
+    )
+    toks = F.split(F.col(text_col), " ")
+    indexed = F.transform(toks, lambda x, i: F.struct(x.alias("tok"),
+                                                     (i + 1).alias("p")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__sp"), lambda r: (s["p"] >= r["s"]) & (s["p"] <= r["e"])
+        ),
+    )
+    rebuilt = F.array_join(F.transform(kept, lambda s: s["tok"]), " ")
+    if out_col == text_col:
+        return joined.select(
+            *[c for c in df.columns if c != text_col],
+            rebuilt.alias(text_col),
+        )
+    return joined.select(*df.columns, rebuilt.alias(out_col))

@@ -3142,3 +3142,27 @@ def test_duplicate_spans_duckdb_parity(spark):
     con.register("docs", df.toPandas())
     duck = con.execute(duplicate_spans_sql("docs", "doc_id", "text", 3)).df()
     assert compare("spans", got, duck) == []
+
+
+def test_cut_spans_removes_exactly_listed_tokens(spark):
+    from mandodb_spark.operators.dedup import cut_spans, duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} nine ten eleven twelve"),
+        (3, "totally unique words nothing repeated here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", k=3)
+    # keep doc 1's copy: drop its span rows before applying
+    to_cut = spans.filter(F.col("doc_id") != 1)
+    out = {r.doc_id: r.text for r in cut_spans(df, to_cut, "doc_id", "text").collect()}
+    assert out[1] == f"one two {shared} three four"        # untouched
+    assert out[2] == "nine ten eleven twelve"              # span removed
+    assert out[3] == "totally unique words nothing repeated here at all"
+    # out_col variant keeps the original column
+    out2 = cut_spans(df, to_cut, "doc_id", "text", out_col="clean").collect()
+    assert {r.doc_id: (r.text, r.clean) for r in out2}[2] == (
+        f"{shared} nine ten eleven twelve", "nine ten eleven twelve"
+    )

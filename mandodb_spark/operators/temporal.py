@@ -520,6 +520,12 @@ def funnel(df: DataFrame, user_col: str, ts_col: str, step_col: str,
     step 2 strictly after their earliest step-1 time, and so on — the
     conversion query behind signup/activation dashboards.
 
+    Generalizes the registry's fixed-shape ``events_funnel``
+    (workloads/events_q.py: 3 hardcoded steps, no time bound, window-
+    minima implementation): arbitrary step lists, a ``max_span``
+    conversion deadline, per-step time-to-convert, and a join-chain
+    execution shape that never windows the full relation.
+
     Semantics (pinned by the SQL mirror): a user reaches step *i* at the
     MINIMUM timestamp of a step-*i* event strictly after their step-(i−1)
     reach time; with ``max_span``, every reach time must also lie within
@@ -611,7 +617,11 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str,
                      bucket: int = 7 * 86400) -> DataFrame:
     """Cohort retention triangle: users grouped by first-activity period
     (the cohort), counted in every later period they return — the
-    standard "week-N retention" analysis.
+    standard "week-N retention" analysis.  Generalizes the registry's
+    ``events_retention_cohorts`` (workloads/events_q.py: weekly-only raw
+    counts): arbitrary period width plus the per-cohort retention
+    FRACTION, and cohort assignment via aggregate+join rather than a
+    per-user window.
 
     ``ts_col`` is unix seconds; periods are ``bucket``-second wide,
     epoch-aligned.  Output per ``(cohort_ts, period_k)``: distinct

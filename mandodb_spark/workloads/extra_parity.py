@@ -906,9 +906,11 @@ _FUNNEL_SPAN = 7 * 86400
 
 
 def x_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel view -> click -> purchase within 7 days of
-    the first view: chain of per-user conditional aggregates on shrinking
-    user sets (see temporal.funnel)."""
+    """Ordered conversion funnel view -> click -> purchase within 7 days
+    of the first view — distinct from the registry's events_funnel row
+    (no deadline, user-count summary): this one pins the max_span
+    deadline semantics and per-step time-to-convert of the generalized
+    operator (see temporal.funnel)."""
     from ..operators.temporal import funnel
 
     from .common import events_base
@@ -930,8 +932,10 @@ ORACLES["x_events_funnel"] = _funnel_sql()
 
 
 def x_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily cohort retention triangle over the events log
-    (see temporal.cohort_retention)."""
+    """Daily cohort retention triangle over the events log — distinct
+    from the registry's weekly raw-count events_retention_cohorts row:
+    pins the generalized operator's arbitrary period width and
+    per-cohort retention FRACTION (see temporal.cohort_retention)."""
     from ..operators.temporal import cohort_retention
 
     from .common import events_base

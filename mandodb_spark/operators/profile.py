@@ -334,3 +334,51 @@ WITH j AS (
 )
 SELECT * FROM j {where}
 """
+
+
+def dataset_card(df: DataFrame, group_cols: list[str], text_col: str) -> DataFrame:
+    """Dataset-card summary: one row per group (source × lang, typically)
+    with exact corpus-composition stats — the table a data-release report
+    leads with (HF dataset cards, Dolma/RedPajama composition tables).
+
+    One shuffle total: a single partial-aggregated groupBy; the corpus
+    share divides two exact BIGINT counts (IEEE division is deterministic
+    cross-engine — no rounding, per the repo's cross-engine rounding
+    rule).  The grand total rides in via a 1-row broadcast, not a window
+    over the grouped result, so the plan stays two stages at any scale.
+    """
+    from ..operators.text import token_count
+
+    t = F.col(text_col)
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.length(t), F.lit(0))).cast("long").alias("total_chars"),
+        F.sum(F.when(t.isNull() | (t == ""), F.lit(0))
+               .otherwise(token_count(t))).cast("long").alias("total_tokens"),
+        F.max(F.coalesce(F.length(t), F.lit(0))).cast("long").alias("max_chars"),
+    )
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        g.join(F.broadcast(total))
+        .withColumn("corpus_share",
+                    F.col("n_docs").cast("double") / F.col("__total").cast("double"))
+        .drop("__total")
+    )
+
+
+def dataset_card_sql(table: str, group_cols: list[str], text_col: str) -> str:
+    """DuckDB mirror of :func:`dataset_card` (oracle generator)."""
+    gc = ", ".join(group_cols)
+    return f"""
+WITH g AS (
+    SELECT {gc},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(length({text_col}), 0)) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN {text_col} IS NULL OR {text_col} = '' THEN 0
+                         ELSE len(string_split({text_col}, ' ')) END) AS BIGINT) AS total_tokens,
+           CAST(max(coalesce(length({text_col}), 0)) AS BIGINT) AS max_chars
+    FROM {table} GROUP BY {gc}
+), t AS (SELECT count(*) AS __total FROM {table})
+SELECT g.*, CAST(n_docs AS DOUBLE) / CAST(__total AS DOUBLE) AS corpus_share
+FROM g, t
+"""

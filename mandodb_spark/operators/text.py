@@ -999,3 +999,50 @@ SELECT {id_col},
        array_to_string(list_slice(toks, i * {st} + 1, i * {st} + {chunk_size}), ' ') AS chunk_text
 FROM e
 """
+
+
+#: Entity decode table applied AFTER tag stripping, in order; ``&amp;``
+#: must come last so "&amp;lt;" decodes to the literal "&lt;", not "<".
+_MARKUP_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(text: Column) -> Column:
+    """Web-pipeline markup stripping (trafilatura/CCNet-lite): drop
+    ``<script>``/``<style>`` blocks and HTML comments, remove tags,
+    decode the common entities, collapse whitespace.
+
+    Pure ``regexp_replace`` chain — JVM-side whole-stage codegen, no
+    UDF — so it runs at scan speed over a 100 TB crawl.  Patterns are
+    restricted to the Java∩RE2 common dialect (no backreferences) so
+    :func:`strip_markup_sql` is an exact DuckDB mirror.
+    """
+    c = F.regexp_replace(text, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in _MARKUP_ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    return F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " "))
+
+
+def strip_markup_sql(text_expr: str) -> str:
+    """DuckDB mirror of :func:`strip_markup` (oracle generator).
+
+    DuckDB's ``regexp_replace`` replaces only the FIRST match unless the
+    ``'g'`` flag is passed — every step here passes it explicitly (Spark
+    is global by default; this asymmetry is the one dialect trap)."""
+    c = f"regexp_replace({text_expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    c = f"regexp_replace({c}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    for ent, rep in _MARKUP_ENTITIES:
+        lit = rep.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"

@@ -1089,3 +1089,95 @@ def _duplicate_spans_sql() -> str:
 
 QUERIES["x_docs_duplicate_spans"] = x_docs_duplicate_spans
 ORACLES["x_docs_duplicate_spans"] = _duplicate_spans_sql()
+
+
+def x_docs_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping over an HTML-wrapped view of the corpus (every
+    document rendered into a deterministic page template — nav chrome,
+    comments, script/style blocks, entity-escaped title — exactly the
+    input a crawl-extraction stage sees).  Verifies text.strip_markup
+    recovers the body text at scan speed."""
+    from ..operators.text import strip_markup
+
+    d = load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>doc &amp; "), F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body>"
+              "<script>track();</script><!-- chrome --><h1>T</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        strip_markup(page).alias("clean_text"),
+        F.length(strip_markup(page)).cast("long").alias("clean_len"),
+    )
+
+
+def _strip_html_sql() -> str:
+    from ..operators.text import strip_markup_sql
+
+    page = ("'<html><head><title>doc &amp; ' || doc_id || "
+            "'</title><style>p{margin:0}</style></head><body>"
+            "<script>track();</script><!-- chrome --><h1>T</h1><p>' || "
+            "coalesce(text, '') || '</p></body></html>'")
+    s = strip_markup_sql(page)
+    return (f"SELECT doc_id, {s} AS clean_text, "
+            f"CAST(length({s}) AS BIGINT) AS clean_len FROM documents")
+
+
+QUERIES["x_docs_strip_html"] = x_docs_strip_html
+ORACLES["x_docs_strip_html"] = _strip_html_sql()
+
+
+def x_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: parse the events.props JSON string
+    with get_json_object (JVM-side JsonPath, no UDF), aggregate the
+    extracted integer per event type.  Exact integer sums only — the
+    cross-engine rounding rule bans order-dependent double avg."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+        )
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS BIGINT)
+           AS n_missing
+FROM events GROUP BY event_type
+"""
+
+QUERIES["x_events_json_props"] = x_events_json_props
+ORACLES["x_events_json_props"] = _JSON_PROPS_SQL
+
+
+def x_docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-report composition table: per (source, lang) exact doc /
+    char / token totals and the corpus share (profile.dataset_card)."""
+    from ..operators.profile import dataset_card
+
+    return dataset_card(load(spark, sf_dir, "documents"),
+                        ["source", "lang"], "text")
+
+
+def _dataset_card_sql() -> str:
+    from ..operators.profile import dataset_card_sql
+
+    return dataset_card_sql("documents", ["source", "lang"], "text")
+
+
+QUERIES["x_docs_dataset_card"] = x_docs_dataset_card
+ORACLES["x_docs_dataset_card"] = _dataset_card_sql()

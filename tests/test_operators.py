@@ -3166,3 +3166,45 @@ def test_cut_spans_removes_exactly_listed_tokens(spark):
     assert {r.doc_id: (r.text, r.clean) for r in out2}[2] == (
         f"{shared} nine ten eleven twelve", "nine ten eleven twelve"
     )
+
+
+def test_strip_markup_edges(spark):
+    """Tag/script/style/comment removal, entity decode order (&amp;lt;
+    stays literal '&lt;'), whitespace collapse, null passthrough."""
+    from mandodb_spark.operators.text import strip_markup
+
+    cases = [
+        (0, "<p>hello <b>world</b></p>", "hello world"),
+        (1, "a &amp;lt; b &lt; c", "a &lt; b < c"),
+        (2, "<script>x=1;</script>keep<style>.a{}</style>me", "keep me"),
+        (3, "<!-- no -->yes<!-- multi\nline -->", "yes"),
+        (4, "plain", "plain"),
+        (5, "", ""),
+        (6, "tab\there  and\nnewline", "tab here and newline"),
+        (7, None, None),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               "id int, text string")
+    got = {r["id"]: r["s"]
+           for r in df.select("id", strip_markup(F.col("text")).alias("s")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_dataset_card_shares_and_nulls(spark):
+    """corpus_share sums to 1.0 exactly over groups; NULL/empty text rows
+    count 0 chars / 0 tokens but still count as docs."""
+    from mandodb_spark.operators.profile import dataset_card
+
+    df = spark.createDataFrame(
+        [("a", "en", "x y z"), ("a", "en", None), ("a", "de", ""),
+         ("b", "en", "one")],
+        "source string, lang string, text string")
+    rows = {(r["source"], r["lang"]): r
+            for r in dataset_card(df, ["source", "lang"], "text").collect()}
+    assert rows[("a", "en")]["n_docs"] == 2
+    assert rows[("a", "en")]["total_tokens"] == 3
+    assert rows[("a", "de")]["total_tokens"] == 0
+    assert rows[("a", "de")]["total_chars"] == 0
+    assert rows[("b", "en")]["total_tokens"] == 1
+    assert abs(sum(r["corpus_share"] for r in rows.values()) - 1.0) < 1e-12

@@ -1181,3 +1181,40 @@ def _dataset_card_sql() -> str:
 
 QUERIES["x_docs_dataset_card"] = x_docs_dataset_card
 ORACLES["x_docs_dataset_card"] = _dataset_card_sql()
+
+
+def x_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with GROUPING_ID (completes the grouping-sets
+    family next to tpch_rollup): event volume over every subset of
+    {event_type, user_band}.  grouping_id disambiguates a genuine NULL
+    key from a subtotal row, so no coalesce trick is needed for hash
+    stability."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "user_band", (F.col("user_id") % 4).cast("long"))
+    return (
+        e.cube("event_type", "user_band")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_band").cast("string"), F.lit("ALL")).alias("user_band"),
+            "gid",
+            "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(user_band AS VARCHAR), 'ALL') AS user_band,
+       CAST(GROUPING(event_type) * 2 + GROUPING(user_band) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_band, value FROM events)
+GROUP BY CUBE (event_type, user_band)
+"""
+
+QUERIES["x_events_cube"] = x_events_cube
+ORACLES["x_events_cube"] = _CUBE_SQL

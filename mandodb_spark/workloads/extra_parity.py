@@ -1218,3 +1218,54 @@ GROUP BY CUBE (event_type, user_band)
 
 QUERIES["x_events_cube"] = x_events_cube
 ORACLES["x_events_cube"] = _CUBE_SQL
+
+
+def x_events_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL canonicalization + host rollup over a URL-ized
+    view of the event log (deterministic synthesis: mixed-case host
+    shards, default port, tracking params, fragment — exactly the noise
+    canonicalize_url exists to remove).  Rollup keys on the registered
+    domain; n_canonical counts surviving distinct URLs (the exact-URL
+    dedup key a crawl pipeline feeds downstream)."""
+    from ..operators.web import canonicalize_url, registered_domain, url_host
+
+    e = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("HTTP://Shard"), (F.col("user_id") % 5).cast("string"),
+        F.lit(".Example."), F.when(F.col("user_id") % 2 == 0, "co.uk").otherwise("com"),
+        F.lit(":80/"), F.col("event_type"),
+        F.lit("?utm_source=feed&session="), (F.col("event_id") % 7).cast("string"),
+        F.lit("&q=1#top"),
+    )
+    canon = canonicalize_url(url)
+    return (
+        e.select(canon.alias("canonical_url"),
+                 registered_domain(url_host(url)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("canonical_url").alias("n_canonical"))
+    )
+
+
+def _url_canon_sql() -> str:
+    from ..operators.web import (canonicalize_url_sql, registered_domain_sql,
+                                 url_host_sql)
+
+    url = ("'HTTP://Shard' || (user_id % 5) || '.Example.' || "
+           "CASE WHEN user_id % 2 = 0 THEN 'co.uk' ELSE 'com' END || "
+           "':80/' || event_type || '?utm_source=feed&session=' || "
+           "(event_id % 7) || '&q=1#top'")
+    return f"""
+WITH u AS (
+    SELECT {canonicalize_url_sql(url)} AS canonical_url,
+           {registered_domain_sql(url_host_sql(url))} AS domain
+    FROM events
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical
+FROM u GROUP BY domain
+"""
+
+
+QUERIES["x_events_url_canon"] = x_events_url_canon
+ORACLES["x_events_url_canon"] = _url_canon_sql()

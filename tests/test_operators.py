@@ -3208,3 +3208,27 @@ def test_dataset_card_shares_and_nulls(spark):
     assert rows[("a", "de")]["total_chars"] == 0
     assert rows[("b", "en")]["total_tokens"] == 1
     assert abs(sum(r["corpus_share"] for r in rows.values()) - 1.0) < 1e-12
+
+
+def test_canonicalize_url_rules(spark):
+    """Port stripping only for scheme-default, tracking-param removal,
+    param sort, fragment drop, empty path -> '/', unparseable -> NULL,
+    eTLD+1 with two-level public suffixes."""
+    from mandodb_spark.operators.web import (canonicalize_url,
+                                             registered_domain, url_host)
+
+    cases = [
+        (0, "HTTP://Ex.COM:80/p?b=2&utm_source=x&a=1#f",
+         "http://ex.com/p?a=1&b=2", "ex.com"),
+        (1, "https://a.b.co.uk:443", "https://a.b.co.uk/", "b.co.uk"),
+        (2, "http://ex.com:8080/a?fbclid=1", "http://ex.com:8080/a", "ex.com"),
+        (3, "nonsense", None, ""),
+        (4, "https://ex.com/p?ref=h&keep=1", "https://ex.com/p?keep=1", "ex.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _, _ in cases],
+                               "id int, url string")
+    got = {r["id"]: (r["c"], r["d"]) for r in df.select(
+        "id", canonicalize_url(F.col("url")).alias("c"),
+        registered_domain(url_host(F.col("url"))).alias("d")).collect()}
+    for i, _, want_c, want_d in cases:
+        assert got[i] == (want_c, want_d), (i, got[i])

@@ -3232,3 +3232,26 @@ def test_canonicalize_url_rules(spark):
         registered_domain(url_host(F.col("url"))).alias("d")).collect()}
     for i, _, want_c, want_d in cases:
         assert got[i] == (want_c, want_d), (i, got[i])
+
+
+def test_scene_changes_detects_cut(spark):
+    """Histogram shot detector: a run of near-identical frames scores ~0;
+    an abrupt content change crosses the threshold exactly once; frame 0
+    always opens a shot; non-AVI payloads degrade to an error row."""
+    from mandodb_spark.operators.multimodal import scene_changes
+
+    quiet = [bytes([10, 11, 12, 10] * 64) for _ in range(3)]
+    loud = [bytes([200, 210, 220, 230] * 64) for _ in range(2)]
+    avi = _encode_avi(64, 48, 40_000, quiet + loud)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"garbage"))],
+        "doc_id long, payload binary")
+    rows = scene_changes(df, "doc_id", "payload", threshold=0.25).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    v = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [r.is_cut for r in v] == [True, False, False, True, False]
+    assert v[3].score > 0.9          # disjoint byte ranges
+    assert max(r.score for r in v[1:3]) == 0.0
+    assert by_doc[2][0].decode_error is not None

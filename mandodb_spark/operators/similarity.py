@@ -913,3 +913,49 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str, k: int = 10,
     )
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
+                   queries: DataFrame, qid_col: str, qvec_col: str,
+                   k: int = 10, sim_lo: float = 0.3, sim_hi: float = 0.9,
+                   n_cells: int = 16, n_probe: int = 4,
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """Contrastive hard-negative mining: for every query vector, the top
+    ``k`` corpus neighbors whose cosine falls in ``[sim_lo, sim_hi)`` —
+    similar enough to be informative negatives, below the near-duplicate
+    band that would make them false negatives (the SimCSE/DPR mining
+    recipe).  Self-matches (qid == corpus id) are excluded regardless of
+    band.
+
+    Same candidate plan as :func:`knn_join` (probe → cell equi-join →
+    exact cosine), but the band predicate is applied BEFORE the per-query
+    rank, so duplicates can never crowd informative negatives out of the
+    top-k — the difference between this and post-filtering a knn_join
+    result.  Output: (qid, id, cos_sim, rank).
+    """
+    from pyspark.sql.window import Window
+
+    cent = centroids if centroids is not None else ivf_cells(df, id_col, vec_col, n_cells)
+    qn = _query_norms(queries, qid_col, qvec_col)
+    probe = probe_cells_df(qn, qid_col, cent, n_probe)
+    assign = ivf_assign(df, id_col, vec_col, cent)
+    cand = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), norm(F.col(vec_col)).alias("__vn")
+    ).join(assign, id_col)
+    scored = (
+        cand.join(F.broadcast(probe), "cell")
+        .join(F.broadcast(qn), qid_col)
+        .select(
+            F.col(qid_col), F.col(id_col),
+            F.round(dot(F.col("__v"), F.col("__q"))
+                    / (F.col("__vn") * F.col("__qn")), 4).alias("cos_sim"),
+        )
+        .filter((F.col("cos_sim") >= sim_lo) & (F.col("cos_sim") < sim_hi)
+                & (F.col(qid_col) != F.col(id_col)))
+    )
+    rank = Window.partitionBy(qid_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

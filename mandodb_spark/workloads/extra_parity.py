@@ -1269,3 +1269,55 @@ FROM u GROUP BY domain
 
 QUERIES["x_events_url_canon"] = x_events_url_canon
 ORACLES["x_events_url_canon"] = _url_canon_sql()
+
+
+def x_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negatives): per
+    query, top-5 corpus neighbors with cosine in [0.2, 0.95) — the band
+    filter runs BEFORE the per-query rank so near-duplicates can't crowd
+    out informative negatives.  IVF probe plan ≡ emb_ivf_topk's; the
+    oracle mirrors the same probe so the compare is exact."""
+    from ..operators import similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 199 == 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    return similarity.hard_negatives(
+        emb, "vec_id", "embedding", q, "qid", "qe",
+        k=5, sim_lo=0.2, sim_hi=0.95, n_cells=16, n_probe=4)
+
+
+_HARD_NEG_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id % 199 = 3),
+cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+         FROM embeddings WHERE vec_id < 16),
+probe AS (SELECT qid, cell FROM (
+    SELECT q.qid, c.cell,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(c.cvec, q.qe), 6) DESC, c.cell) AS rn
+    FROM q, cent c) t WHERE rn <= 4),
+assign AS (SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 6) DESC, c.cell) AS rn
+    FROM embeddings e, cent c) t WHERE rn = 1),
+scored AS (
+    SELECT p.qid, e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos_sim
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN probe p ON p.cell = a.cell
+    JOIN q ON q.qid = p.qid
+    WHERE round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) >= 0.2
+      AND round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) < 0.95
+      AND p.qid <> e.vec_id
+)
+SELECT qid, vec_id, cos_sim, CAST(rn AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored) t
+WHERE rn <= 5
+"""
+
+QUERIES["x_emb_hard_negatives"] = x_emb_hard_negatives
+ORACLES["x_emb_hard_negatives"] = _HARD_NEG_SQL

@@ -791,3 +791,88 @@ FROM (
     ) AS rn FROM s
 ) WHERE rn = 1
 """
+
+
+def acf(df: DataFrame, group_cols: Sequence[str], order_col: str,
+        value_col: str, max_lag: int = 6) -> DataFrame:
+    """Exact sample autocorrelation per group at lags 1..``max_lag`` —
+    the seasonality/periodicity detector (a daily-periodic metric shows
+    an ACF spike at lag 24 on hourly buckets).
+
+    Estimator: r(ℓ) = Σ_{t}(x_t − m)(x_{t+ℓ} − m) / Σ_t(x_t − m)², with
+    the global per-group mean m — the standard large-lag form.  For
+    INTEGER series both sums are computed exactly by clearing
+    denominators (multiply through by n²): (n·x_t − S) is a BIGINT, so
+    every product and sum is exact and the single final double division
+    is IEEE-deterministic — no order-dependent float accumulation, per
+    the repo's cross-engine rounding rule.  Overflow bound: |n·x−S| ≤
+    n·max|x|, so the sum needs n·(n·max|x|)² ≤ 2⁶³ — fine for any
+    per-group series that fits a driver-ordered window, and the operator
+    stays partition-parallel across groups regardless.
+
+    Plan: one groupBy for (n, S, den) + broadcast back, ONE window pass
+    producing all ``max_lag`` lead columns, one final groupBy — two
+    shuffles total, independent of max_lag.
+    """
+    gc = list(group_cols)
+    x = F.col(value_col).cast("long")
+    stats = df.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__s"),
+    )
+    w = Window.partitionBy(*gc).orderBy(order_col)
+    leads = df.select(
+        *gc, x.alias("__x"),
+        *[F.lead(x, lag).over(w).alias(f"__x{lag}") for lag in range(1, max_lag + 1)],
+    )
+    j = leads.join(F.broadcast(stats), gc)
+    dev = F.col("__n") * F.col("__x") - F.col("__s")
+    aggs = [F.sum(dev * dev).alias("__den")]
+    for lag in range(1, max_lag + 1):
+        devl = F.col("__n") * F.col(f"__x{lag}") - F.col("__s")
+        aggs.append(F.sum(dev * devl).alias(f"__num{lag}"))
+    g = j.groupBy(*gc).agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(lag).alias("lag"),
+                 F.when(F.col("__den") > 0,
+                        F.col(f"__num{lag}").cast("double")
+                        / F.col("__den").cast("double")).alias("r"))
+        for lag in range(1, max_lag + 1)
+    ])
+    e = g.select(*gc, F.explode(pairs).alias("__p"))
+    return e.select(*gc, F.col("__p.lag").cast("long").alias("lag"),
+                    F.col("__p.r").alias("acf"))
+
+
+def acf_sql(table: str, group_cols: Sequence[str], order_col: str,
+            value_col: str, max_lag: int = 6) -> str:
+    """DuckDB mirror of :func:`acf` (oracle generator)."""
+    gc = ", ".join(group_cols)
+    lead_cols = ",\n           ".join(
+        f"lead(CAST({value_col} AS BIGINT), {lag}) OVER "
+        f"(PARTITION BY {gc} ORDER BY {order_col}) AS x{lag}"
+        for lag in range(1, max_lag + 1))
+    nums = ",\n           ".join(
+        f"CAST(sum((n * x - s) * (n * x{lag} - s)) AS BIGINT) AS num{lag}"
+        for lag in range(1, max_lag + 1))
+    sel = " UNION ALL ".join(
+        f"SELECT {gc}, CAST({lag} AS BIGINT) AS lag, "
+        f"CASE WHEN den > 0 THEN CAST(num{lag} AS DOUBLE) / CAST(den AS DOUBLE) END AS acf "
+        f"FROM g"
+        for lag in range(1, max_lag + 1))
+    return f"""
+WITH stats AS (
+    SELECT {gc}, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST({value_col} AS BIGINT)) AS BIGINT) AS s
+    FROM {table} GROUP BY {gc}
+), leads AS (
+    SELECT {gc}, CAST({value_col} AS BIGINT) AS x,
+           {lead_cols}
+    FROM {table}
+), g AS (
+    SELECT {gc}, CAST(sum((n * x - s) * (n * x - s)) AS BIGINT) AS den,
+           {nums}
+    FROM leads JOIN stats USING ({gc})
+    GROUP BY {gc}, n, s
+)
+{sel}
+"""

@@ -1321,3 +1321,32 @@ WHERE rn <= 5
 
 QUERIES["x_emb_hard_negatives"] = x_emb_hard_negatives
 ORACLES["x_emb_hard_negatives"] = _HARD_NEG_SQL
+
+
+def x_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detection: exact autocorrelation of per-type hourly
+    event counts at lags 1..6 (temporal.acf — integer-exact numerators
+    via denominator clearing, single final IEEE division; ACF is over
+    observed hour buckets in order)."""
+    from ..operators.temporal import acf
+    from .common import events_base
+
+    hourly = (
+        events_base(spark, sf_dir)
+        .groupBy("event_type",
+                 (F.floor(F.col("ts") / 3600)).cast("long").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return acf(hourly, ["event_type"], "hour", "n", max_lag=6)
+
+
+def _acf_sql() -> str:
+    from ..operators.temporal import acf_sql
+
+    hourly = ("(SELECT event_type, CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hour, "
+              "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)")
+    return acf_sql(hourly, ["event_type"], "hour", "n", max_lag=6)
+
+
+QUERIES["x_events_acf"] = x_events_acf
+ORACLES["x_events_acf"] = _acf_sql()

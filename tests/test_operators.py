@@ -3255,3 +3255,28 @@ def test_scene_changes_detects_cut(spark):
     assert v[3].score > 0.9          # disjoint byte ranges
     assert max(r.score for r in v[1:3]) == 0.0
     assert by_doc[2][0].decode_error is not None
+
+
+def test_acf_matches_numpy_reference(spark):
+    """Exact ACF vs a direct numpy evaluation of the same estimator; a
+    pure period-2 series gives r(2) ≈ +1 ordering above r(1) < 0;
+    constant series (den = 0) yields NULL acf."""
+    import numpy as np
+
+    from mandodb_spark.operators.temporal import acf
+
+    x = [3, 9, 2, 8, 3, 9, 2, 8, 3, 9]
+    rows = [("s", t, v) for t, v in enumerate(x)] + \
+           [("const", t, 5) for t in range(6)]
+    df = spark.createDataFrame(rows, "g string, t int, v int")
+    out = {(r["g"], r["lag"]): r["acf"]
+           for r in acf(df, ["g"], "t", "v", max_lag=3).collect()}
+    xs = np.array(x, dtype=np.int64)
+    n, s = len(xs), xs.sum()
+    dev = n * xs - s
+    den = float((dev * dev).sum())
+    for lag in (1, 2, 3):
+        want = float((dev[:-lag] * dev[lag:]).sum()) / den
+        assert abs(out[("s", lag)] - want) < 1e-12, (lag, out[("s", lag)], want)
+    assert out[("s", 2)] > 0.7 and out[("s", 1)] < 0
+    assert out[("const", 1)] is None

@@ -707,3 +707,45 @@ def test_file_ledger_process_once_flow(spark, tmp_path_factory):
         seen.extend(ps)
         lg.mark(ps)
     assert len(seen) == 3 and seen == sorted(seen)
+
+
+def test_export_jsonl_roundtrip_and_verify(spark, tmp_path):
+    """Export → manifest verifies clean; corrupting one shard file flips
+    exactly that file to mismatched; read_export returns the original
+    rows; re-export of identical input is byte-reproducible (same
+    manifest hashes)."""
+    import os
+
+    from mandodb_spark.sources import export as ex
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", float(i) / 4) for i in range(40)],
+        "doc_id long, text string, score double")
+    p = str(tmp_path / "drop")
+    m1 = ex.export_jsonl_shards(spark, df, p, "doc_id", n_shards=4)
+    assert m1["total_records"] == 40 and len(m1["files"]) == 4
+    assert ex.verify_export(spark, p)["ok"]
+
+    back = ex.read_export(spark, p)
+    assert back.columns == ["doc_id", "text", "score"]
+    assert sorted(r.doc_id for r in back.collect()) == list(range(40))
+
+    m2 = ex.export_jsonl_shards(spark, df, str(tmp_path / "drop2"),
+                                "doc_id", n_shards=4)
+    assert [f["sha256"] for f in m2["files"]] == [f["sha256"] for f in m1["files"]]
+
+    victim = os.path.join(p, m1["files"][0]["file"])
+    with open(victim, "ab") as fh:
+        fh.write(b"{}\n")
+    # Drop Hadoop's local-FS CRC sidecar: on a real object store there is
+    # no sidecar and the corrupted bytes are served; locally the sidecar
+    # would fail the read with ChecksumException before the manifest diff
+    # (same failure class, just louder).
+    crc = os.path.join(os.path.dirname(victim),
+                       "." + os.path.basename(victim) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.clearCache()
+    rep = ex.verify_export(spark, p)
+    assert not rep["ok"] and rep["mismatched"] == [m1["files"][0]["file"]]
+    assert not rep["missing"] and not rep["extra"]

@@ -1,0 +1,200 @@
+"""Persistent bucket-partitioned inverted text index: the storage half of
+the keyword-retrieval story.
+
+``operators/text.py::bm25_topk`` retrieves by exploding the corpus into
+tokens on every query — O(corpus tokens) scanned per search, which the
+docstring accepts for corpus audits but is the wrong cost for repeated
+retrieval.  This module materializes the classic inverted layout instead,
+following the :class:`VectorIndex` design point-for-point (cells →
+term-hash buckets, probe → bucket pruning):
+
+- ``postings`` — ``(term, id, tf)`` partitioned by ``tb =
+  pmod(xxhash64(term), n_buckets)``: a query for ``|Q|`` terms reads at
+  most ``|Q|`` bucket partitions (PartitionFilters-level scan cut, pinned
+  by a plan test), then filters to the exact terms inside those buckets.
+- ``doclen`` — ``(id, dl)``: per-document token counts for the BM25
+  length norm.
+- ``stats`` — one row ``(n_docs, n_dl, sum_dl)``: stored as exact BIGINT sums,
+  NOT an average, so ``append`` maintains it additively (old + batch)
+  without rescanning — the same mergeability argument as the HLL/CMS
+  sketches.
+
+``search`` reproduces :func:`mandodb_spark.operators.text.bm25_topk`
+EXACTLY (same Lucene idf, same rounding, same tie order) from the stored
+relations — index-path ≡ scan-path is the correctness contract, pinned by
+a parity test over the documents table.  Reference scope note: the
+reference engine has no text retrieval at all (SURVEY §2.7 free surface);
+the design target here is the standard Lucene/ES segment layout
+re-expressed as partitioned Parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TextIndex:
+    """Bucket-partitioned persistent BM25 index over ``(id, text)`` rows."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 n_buckets: int = 64) -> None:
+        self.spark = spark
+        self.root = str(root)
+        self.n_buckets = n_buckets
+
+    # ------------------------------------------------------------- paths
+    @property
+    def _postings(self) -> str:
+        return f"{self.root}/postings"
+
+    @property
+    def _doclen(self) -> str:
+        return f"{self.root}/doclen"
+
+    @property
+    def _stats(self) -> str:
+        return f"{self.root}/stats"
+
+    # ------------------------------------------------------------- build
+    def _tokenize(self, df: DataFrame, id_col: str, text_col: str):
+        """(tf rows, doclen rows) for a batch — tf carries the bucket
+        column so the partitioned write needs no second pass."""
+        from ..operators.text import token_count, tokens
+
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        tf = (
+            toks.groupBy("term", "id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .withColumn(
+                "tb", F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets)).cast("int")
+            )
+        )
+        dl = df.select(
+            F.col(id_col).alias("id"),
+            token_count(F.col(text_col)).alias("dl"),
+        )
+        return tf, dl
+
+    def build(self, df: DataFrame, id_col: str, text_col: str) -> None:
+        """Full build: one tokenize pass; postings land in their ``tb=``
+        partitions (repartition on tb is the only corpus-wide exchange
+        besides the tf groupBy)."""
+        tf, dl = self._tokenize(df, id_col, text_col)
+        (
+            tf.repartition(self.n_buckets, "tb")
+            .write.mode("overwrite").partitionBy("tb").parquet(self._postings)
+        )
+        dl.write.mode("overwrite").parquet(self._doclen)
+        self._write_stats(
+            dl.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.count("dl").cast("long").alias("n_dl"),
+                F.sum("dl").cast("long").alias("sum_dl"),
+            )
+        )
+
+    def _write_stats(self, stats_df: DataFrame) -> None:
+        stats_df.coalesce(1).write.mode("overwrite").parquet(self._stats)
+
+    def append(self, df: DataFrame, id_col: str, text_col: str) -> None:
+        """Incremental batch: tokenize ONLY the new docs, append into the
+        existing bucket partitions, fold the batch's exact counts into
+        stats (old + delta — no corpus rescan).  Document ids must be new;
+        re-adding an id double-counts it exactly like inserting it twice
+        into the scan-path corpus would.  foreachBatch-compatible for
+        streaming maintenance (VectorIndex.append precedent)."""
+        tf, dl = self._tokenize(df, id_col, text_col)
+        (
+            tf.repartition("tb")
+            .write.mode("append").partitionBy("tb").parquet(self._postings)
+        )
+        dl.write.mode("append").parquet(self._doclen)
+        old = self.spark.read.parquet(self._stats)
+        delta = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("dl").cast("long").alias("n_dl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        )
+        merged = (
+            old.unionByName(delta)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_dl").cast("long").alias("n_dl"),
+                F.sum("sum_dl").cast("long").alias("sum_dl"),
+            )
+            .collect()[0]
+        )
+        self._write_stats(
+            self.spark.createDataFrame(
+                [(merged["n_docs"], merged["n_dl"], merged["sum_dl"])],
+                "n_docs long, n_dl long, sum_dl long",
+            )
+        )
+
+    # ------------------------------------------------------------ search
+    def _term_buckets(self, terms: list[str]) -> dict[str, int]:
+        """term → bucket via the SAME Spark xxhash64 the build used
+        (computed in a |Q|-row local query, not reimplemented in Python —
+        hash parity by construction)."""
+        rows = (
+            self.spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(
+                "term",
+                F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets))
+                .cast("int").alias("tb"),
+            )
+            .collect()
+        )
+        return {r["term"]: r["tb"] for r in rows}
+
+    def search(self, query_terms: list[str], k: int = 10,
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        """BM25 top-k from the stored index — identical semantics to
+        ``text.bm25_topk`` on the indexed corpus, but the scan reads only
+        the query terms' bucket partitions.  Output: (id, score, rank)."""
+        from pyspark.sql import Window
+
+        terms = sorted({t.lower() for t in query_terms})
+        if not terms:
+            raise ValueError("TextIndex.search: query_terms must be non-empty")
+        buckets = sorted(set(self._term_buckets(terms).values()))
+        tf = (
+            self.spark.read.parquet(self._postings)
+            .filter(F.col("tb").isin(buckets))
+            .filter(F.col("term").isin(terms))
+            .select("id", "term", "tf")
+        )
+        docfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
+        stats = (
+            self.spark.read.parquet(self._stats)
+            .select(
+                "n_docs",
+                # avgdl over docs WITH a token count (NULL text excluded),
+                # exactly matching the scan path's avg() null semantics
+                (F.col("sum_dl").cast("double") / F.col("n_dl").cast("double"))
+                .alias("avgdl"),
+            )
+        )
+        dl = self.spark.read.parquet(self._doclen)
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        scored = (
+            tf.join(F.broadcast(docfreq), "term")
+            .join(dl, "id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn("term_score", idf * F.col("tf") * (k1 + 1) / denom)
+        )
+        top = (
+            scored.groupBy("id")
+            .agg(F.round(F.sum("term_score"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("id"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.col("score").desc(), F.col("id"))
+        return top.withColumn("rank", F.row_number().over(w).cast("long"))

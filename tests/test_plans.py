@@ -433,3 +433,26 @@ def test_promoted_label_columns_reach_pushed_filters(spark, tmp_path_factory):
     )
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("lbl_node" in l and "EqualTo" in l for l in pushed), pushed
+
+
+def test_text_index_search_prunes_term_buckets(spark, tmp_path_factory):
+    """TextIndex.search must hit the postings scan as a PARTITION filter
+    (tb IN (...) against the tb= directory layout) — the bucket-pruning
+    scan cut that is the point of the inverted layout (text_index.py
+    docstring, the VectorIndex probe guarantee applied to terms)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.sources.text_index import TextIndex
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc "), F.col("id").cast("string")).alias("text"),
+    )
+    idx = TextIndex(spark, str(tmp_path_factory.mktemp("tidxplan") / "ti"),
+                    n_buckets=8)
+    idx.build(df, "doc_id", "text")
+    plan = _formatted(idx.search(["alpha", "gamma"], k=5))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "tb" in m.group(1)

@@ -749,3 +749,29 @@ def test_export_jsonl_roundtrip_and_verify(spark, tmp_path):
     rep = ex.verify_export(spark, p)
     assert not rep["ok"] and rep["mismatched"] == [m1["files"][0]["file"]]
     assert not rep["missing"] and not rep["extra"]
+
+
+def test_text_index_matches_scan_path_bm25(spark, tmp_path):
+    """Index-path ≡ scan-path: TextIndex.search returns byte-identical
+    (id, score, rank) to text.bm25_topk over the same corpus, and
+    build(half) + append(half) ≡ build(all) — the additive stats are
+    exact."""
+    from mandodb_spark.operators.text import bm25_topk
+    from mandodb_spark.sources.text_index import TextIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    terms = ["spark", "shuffle", "window", "the"]
+    want = [(r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk(docs, "doc_id", "text", terms, k=15).collect()]
+
+    idx = TextIndex(spark, str(tmp_path / "tidx"), n_buckets=16)
+    idx.build(docs, "doc_id", "text")
+    got = [(r["id"], r["score"], r["rank"]) for r in idx.search(terms, k=15).collect()]
+    assert got == want
+
+    inc = TextIndex(spark, str(tmp_path / "tidx2"), n_buckets=16)
+    inc.build(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+    inc.append(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
+    got2 = [(r["id"], r["score"], r["rank"]) for r in inc.search(terms, k=15).collect()]
+    assert got2 == want

@@ -198,3 +198,60 @@ class TextIndex:
         )
         w = Window.orderBy(F.col("score").desc(), F.col("id"))
         return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+    # -------------------------------------------------------- lifecycle
+    def compact(self) -> None:
+        """Restore the one-file-per-bucket invariant micro-batch appends
+        erode: rewrite postings through a staging root + atomic swap
+        (:func:`segment_store.swap_in` — crash leaves the old tree
+        recoverable; same contract as VectorIndex.compact).  Search
+        results are unchanged by construction (pure file merge)."""
+        from .segment_store import swap_in
+
+        staging = f"{self._postings}__staging"
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        cur = self.spark.read.parquet(self._postings)
+        (
+            cur.repartition(self.n_buckets, "tb")
+            .write.mode("overwrite").partitionBy("tb").parquet(staging)
+        )
+        self.spark.catalog.clearCache()
+        swap_in(self._postings, staging)
+        self.spark.catalog.refreshByPath(self._postings)
+
+    def fsck(self) -> dict:
+        """Integrity audit (VectorIndex.fsck / segment_store.fsck
+        convention): recompute what the stored stats CLAIM from the
+        doclen relation, check every posting row's bucket matches its
+        term's hash, and find postings for unknown doc ids.  Returns
+        ``{"ok": bool, "stats_match": bool, "misplaced_postings": n,
+        "orphan_postings": n}`` — read-only, column-pruned scans."""
+        stored = self.spark.read.parquet(self._stats).collect()[0]
+        dl = self.spark.read.parquet(self._doclen)
+        actual = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("dl").cast("long").alias("n_dl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        ).collect()[0]
+        stats_match = (
+            (stored["n_docs"], stored["n_dl"], stored["sum_dl"])
+            == (actual["n_docs"], actual["n_dl"], actual["sum_dl"])
+        )
+        post = self.spark.read.parquet(self._postings)
+        misplaced = post.filter(
+            F.col("tb")
+            != F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets)).cast("int")
+        ).count()
+        orphans = (
+            post.select("id").distinct()
+            .join(dl.select("id"), "id", "left_anti")
+            .count()
+        )
+        return {
+            "ok": bool(stats_match and misplaced == 0 and orphans == 0),
+            "stats_match": bool(stats_match),
+            "misplaced_postings": int(misplaced),
+            "orphan_postings": int(orphans),
+        }

@@ -96,3 +96,41 @@ class VectorIndexMaintainer:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class TextIndexMaintainer:
+    """foreachBatch sink keeping a :class:`TextIndex` current against a
+    document stream: append each micro-batch's postings (O(batch) — the
+    corpus is never re-tokenized), optional compaction cadence to heal
+    the small-file accumulation.  The inverted index has no drift notion
+    (term hashing is stationary), so the lifecycle is append + compact —
+    the BM25 stats stay exact because the index stores additive sums,
+    not averages (text_index.py stats contract)."""
+
+    def __init__(self, index, id_col: str = "doc_id", text_col: str = "text",
+                 compact_every: int | None = None) -> None:
+        self.index = index
+        self.id_col = id_col
+        self.text_col = text_col
+        self.compact_every = compact_every
+        self.batches = 0
+        self.compactions = 0
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.index.append(batch_df, self.id_col, self.text_col)
+        self.batches += 1
+        if self.compact_every and self.batches % self.compact_every == 0:
+            self.index.compact()
+            self.compactions += 1
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        """Attach to a document stream (availableNow trigger — drain what
+        exists, then stop; swap the trigger for continuous serving)."""
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -775,3 +775,24 @@ def test_text_index_matches_scan_path_bm25(spark, tmp_path):
     inc.append(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
     got2 = [(r["id"], r["score"], r["rank"]) for r in inc.search(terms, k=15).collect()]
     assert got2 == want
+
+
+def test_text_index_fsck_flags_tampered_stats(spark, tmp_path):
+    """fsck recomputes the claimed stats from doclen: a stats row that
+    drifts from the data (simulated partial-failure) flips stats_match
+    and ok; a clean index passes all three checks."""
+    from mandodb_spark.sources.text_index import TextIndex
+
+    idx = TextIndex(spark, str(tmp_path / "ti"), n_buckets=4)
+    idx.build(
+        spark.createDataFrame([(1, "a b c"), (2, "d e")],
+                              "doc_id long, text string"),
+        "doc_id", "text")
+    assert idx.fsck() == {"ok": True, "stats_match": True,
+                          "misplaced_postings": 0, "orphan_postings": 0}
+    idx._write_stats(spark.createDataFrame(
+        [(99, 99, 99)], "n_docs long, n_dl long, sum_dl long"))
+    spark.catalog.clearCache()
+    rep = idx.fsck()
+    assert not rep["ok"] and not rep["stats_match"]
+    assert rep["misplaced_postings"] == 0 and rep["orphan_postings"] == 0

@@ -1050,3 +1050,43 @@ def test_streaming_burn_rate_matches_batch_across_triggers(spark, tmp_path_facto
         assert g.short_burn == pytest.approx(w.short_burn, abs=1e-12)
         assert g.long_burn == pytest.approx(w.long_burn, abs=1e-12)
         assert bool(g.firing) == w.firing
+
+
+def test_text_index_maintainer_appends_and_compacts(spark, tmp_path_factory):
+    """TextIndexMaintainer under a real file stream: each micro-batch's
+    docs become searchable, stats stay exact (fsck ok), the compaction
+    cadence restores one-file-per-bucket, and post-compact search equals
+    pre-compact search."""
+    import glob
+
+    from mandodb_spark.sources.text_index import TextIndex
+    from mandodb_spark.streaming.index_maintenance import TextIndexMaintainer
+
+    base = tmp_path_factory.mktemp("tim")
+    src = str(base / "src")
+    idx = TextIndex(spark, str(base / "tidx"), n_buckets=4)
+    idx.build(
+        spark.createDataFrame([(0, "base doc about spark")],
+                              "doc_id long, text string"),
+        "doc_id", "text")
+
+    schema = "doc_id long, text string"
+    for s in (1, 2, 3):
+        spark.createDataFrame(
+            [(s * 10 + j, f"streamed spark doc {s} {j}") for j in range(3)],
+            schema).coalesce(1).write.mode("append").parquet(src)
+    m = TextIndexMaintainer(idx, compact_every=3)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = m.start(stream, str(base / "ckpt"))
+    q.awaitTermination(120)
+
+    assert m.batches == 3 and m.compactions == 1
+    rep = idx.fsck()
+    assert rep["ok"], rep
+    got = {r["id"] for r in idx.search(["spark"], k=20).collect()}
+    assert got == {0} | {s * 10 + j for s in (1, 2, 3) for j in range(3)}
+    # compaction restored one data file per bucket directory
+    for d in glob.glob(str(base / "tidx" / "postings" / "tb=*")):
+        files = [f for f in glob.glob(d + "/part-*") if not f.endswith(".crc")]
+        assert len(files) == 1, (d, files)

@@ -138,3 +138,86 @@ r0 AS (SELECT node, 1.0 / (SELECT nn FROM meta) AS rank FROM nodes),
 {joined}
 SELECT node, round(rank, 8) AS rank FROM r{n_iter}
 """
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected graph — the dup-graph
+    density diagnostic (a near-dup cluster of k mutual copies contributes
+    C(k,3) triangles; triangles/edges is the standard "is this graph
+    clique-like or chain-like" signal that picks between span-dedup and
+    cluster-collapse strategies).
+
+    Degree-ordered orientation (the MapReduce-classic Suri–Vassilvitskii
+    form): orient every canonical edge from its (degree, id)-smaller
+    endpoint to the larger, generate wedges only at each edge's SMALLER
+    endpoint, and close them with an equi-join back against the oriented
+    edge set.  Every triangle is counted exactly once, and — the scale
+    point — a degree-d hub generates wedges only for the ≤√m out-edges
+    that orientation leaves it, so the wedge fan-out is O(m^{3/2}) worst
+    case instead of Σd² under a skewed degree distribution.  All joins
+    are equi-joins; self-loops and duplicate/reverse edges are dropped in
+    the canonicalization.
+
+    Output: one row ``(n_nodes, n_edges, n_triangles)``.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n")).unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    withdeg = (
+        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # (u, dv, v): tail u is the (deg,id)-smaller endpoint; the head's
+    # degree rides along so wedge ordering needs no extra join
+    oriented = withdeg.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o1 = oriented.select("u", F.col("dv").alias("d1"), F.col("v").alias("v1"))
+    o2 = oriented.select("u", F.col("dv").alias("d2"), F.col("v").alias("v2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ne = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return nn.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tri))
+
+
+def triangle_count_sql(edges_sql: str, src: str = "src", dst: str = "dst") -> str:
+    """DuckDB mirror of :func:`triangle_count` (oracle generator): the
+    a<b<c three-way self-join — same count, no orientation needed at
+    oracle scale."""
+    return f"""
+WITH raw AS ({edges_sql}),
+und AS (
+    SELECT DISTINCT least({src}, {dst}) AS a, greatest({src}, {dst}) AS b
+    FROM raw WHERE {src} <> {dst}
+),
+nodes AS (SELECT a AS n FROM und UNION SELECT b FROM und),
+tri AS (
+    SELECT count(*) AS n_triangles
+    FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3
+         ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM tri
+"""

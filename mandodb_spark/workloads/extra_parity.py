@@ -1350,3 +1350,31 @@ def _acf_sql() -> str:
 
 QUERIES["x_events_acf"] = x_events_acf
 ORACLES["x_events_acf"] = _acf_sql()
+
+
+def x_docs_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-graph density diagnostic: triangle count over the simhash
+    band-LSH near-dup graph (graph.triangle_count — degree-ordered
+    orientation, O(m^1.5) wedge bound; clique-like vs chain-like shape
+    picks the collapse strategy)."""
+    from ..operators import dedup, text
+    from ..operators.graph import triangle_count
+
+    d = load(spark, sf_dir, "documents")
+    sim = text.simhash_arrow(d, "doc_id", "text", 64)
+    pairs = dedup.simhash_band_pairs(sim, "doc_id", n_bits=64)
+    return triangle_count(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+
+
+def _dup_triangles_sql() -> str:
+    from ..operators.graph import triangle_count_sql
+    from .docs import DOCS_SIMHASH_NEARDUP_SQL
+
+    edges = ("SELECT id_a AS src, id_b AS dst FROM ("
+             + DOCS_SIMHASH_NEARDUP_SQL + ")")
+    return triangle_count_sql(edges)
+
+
+QUERIES["x_docs_dup_triangles"] = x_docs_dup_triangles
+ORACLES["x_docs_dup_triangles"] = _dup_triangles_sql()

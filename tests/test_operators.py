@@ -3280,3 +3280,31 @@ def test_acf_matches_numpy_reference(spark):
         assert abs(out[("s", lag)] - want) < 1e-12, (lag, out[("s", lag)], want)
     assert out[("s", 2)] > 0.7 and out[("s", 1)] < 0
     assert out[("const", 1)] is None
+
+
+def test_triangle_count_known_and_random(spark):
+    """K4 has 4 triangles; a square + one diagonal has 2; a random graph
+    matches a brute-force itertools count (duplicates/reverse edges/self
+    loops in the input are canonicalized away)."""
+    import itertools
+    import random
+
+    from mandodb_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (2, 0), (1, 1), (0, 1)]
+    rng = random.Random(7)
+    rand = [(rng.randrange(12), rng.randrange(12)) for _ in range(40)]
+
+    def brute(es):
+        und = {tuple(sorted(e)) for e in es if e[0] != e[1]}
+        nodes = {n for e in und for n in e}
+        t = sum(1 for a, b, c in itertools.combinations(sorted(nodes), 3)
+                if {(a, b), (b, c), (a, c)} <= und)
+        return (len(nodes), len(und), t)
+
+    for es in (k4, sq, rand):
+        df = spark.createDataFrame(es, "src long, dst long")
+        r = triangle_count(df).collect()[0]
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == brute(es), es
+    assert brute(k4)[2] == 4 and brute(sq)[2] == 2

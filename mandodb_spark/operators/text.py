@@ -1046,3 +1046,33 @@ def strip_markup_sql(text_expr: str) -> str:
         lit = rep.replace("'", "''")
         c = f"replace({c}, '{ent}', '{lit}')"
     return f"trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"
+
+
+def reassemble_chunks(chunks: DataFrame, id_col: str, overlap: int = 0) -> DataFrame:
+    """Inverse of :func:`chunk_documents`: stitch ``(id, chunk_idx,
+    chunk_text)`` rows back into one document per id, dropping each
+    non-first chunk's leading ``overlap`` tokens (they duplicate the
+    previous chunk's tail under the windowing rule).
+
+    Roundtrip contract (property-tested):
+    ``reassemble_chunks(chunk_documents(df, c, o), o)`` reproduces the
+    original text byte-for-byte for single-space-tokenized input.  The
+    rebuild is one groupBy with ``array_agg`` of (idx, trimmed-tokens)
+    structs + an in-row sort — order never relies on shuffle order, so
+    the operator is deterministic under any partitioning.
+    """
+    if overlap < 0:
+        raise ValueError("overlap must be >= 0")
+    toks = F.split(F.col("chunk_text"), " ")
+    kept = F.when(F.col("chunk_idx") == 0, toks).otherwise(
+        F.slice(toks, overlap + 1, 2**30)
+    )
+    packed = F.struct(F.col("chunk_idx").alias("i"), kept.alias("t"))
+    return (
+        chunks.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(packed)).alias("__ps"))
+        .select(
+            F.col(id_col),
+            F.array_join(F.flatten(F.col("__ps.t")), " ").alias("text"),
+        )
+    )

@@ -3308,3 +3308,18 @@ def test_triangle_count_known_and_random(spark):
         r = triangle_count(df).collect()[0]
         assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == brute(es), es
     assert brute(k4)[2] == 4 and brute(sq)[2] == 2
+
+
+def test_chunk_reassemble_roundtrip(spark):
+    """reassemble_chunks(chunk_documents(df, c, o), o) == original text,
+    across overlap settings and lengths shorter/longer than one chunk."""
+    from mandodb_spark.operators.text import chunk_documents, reassemble_chunks
+
+    docs = [(i, " ".join(f"w{j}" for j in range(n)))
+            for i, n in enumerate([1, 3, 8, 9, 25, 64])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for size, ov in [(8, 0), (8, 3), (5, 4), (16, 1)]:
+        ch = chunk_documents(df, "doc_id", "text", size, overlap=ov)
+        back = {r["doc_id"]: r["text"]
+                for r in reassemble_chunks(ch, "doc_id", overlap=ov).collect()}
+        assert back == dict(docs), (size, ov)

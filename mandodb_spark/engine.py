@@ -227,6 +227,18 @@ class TSDB:
             int(time.time()) if now_ts is None else now_ts, self.retention
         )
 
+    def downsample_expire(self, step: int, dest_root: str,
+                          now_ts: int | None = None) -> list[int]:
+        """Tiered retention: materialize expired raw segments into a
+        ``step``-resolution per-series rollup at ``dest_root``, verify
+        coverage, then purge the raw segments (see
+        :meth:`SegmentStore.downsample_expired` — the downsample-then-
+        expire policy the reference's delete-only retention lacks)."""
+        return self.store.downsample_expired(
+            int(time.time()) if now_ts is None else now_ts,
+            self.retention, step, dest_root,
+        )
+
     def compact(self, min_files_per_segment: int | None = None) -> list[int]:
         """Maintenance compaction (the Compact the reference lacks).
 

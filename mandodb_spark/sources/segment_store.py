@@ -340,6 +340,77 @@ class SegmentStore:
                 dropped.append(seg)
         return dropped
 
+    def downsample_expired(self, now_ts: int, retention: int, step: int,
+                           dest_root: str) -> list[int]:
+        """Tiered retention (downsample-then-expire): before raw segments
+        older than ``now - retention`` are dropped, materialize their
+        per-series ``step``-bucket rollup (count/sum/min/max) into
+        ``dest_root``, verify coverage, THEN purge — the continuous-
+        aggregate retention policy production TSDBs layer on top of the
+        reference's delete-only ``removeExpires`` (tsdb.go:384-406).
+
+        Crash safety / idempotence: the rollup write is per-segment
+        DYNAMIC partition overwrite (same ``seg=`` ids as the raw store),
+        so a crash between rollup and purge re-runs cleanly — the rerun
+        overwrites the same rollup partitions and purges the same raw
+        segments; nothing double-counts.  Purge only happens after a
+        count invariant holds (Σ rollup n == raw rows of the expired
+        segments) — a failed or partial rollup write raises and leaves
+        the raw data in place.
+
+        Returns the dropped segment ids (empty when nothing expired).
+        The rollup relation (series_key, labels, bucket_ts, n, sum, min,
+        max, seg) answers range queries past the raw horizon at ``step``
+        resolution; its own retention is the plain :meth:`remove_expired`
+        applied to ``dest_root`` by the caller.
+        """
+        cutoff = now_ts - retention
+        root = Path(self.root)
+        expired = [
+            int(p.name.split("=", 1)[1])
+            for p in sorted(root.glob("seg=*"))
+            if (int(p.name.split("=", 1)[1]) + 1) * self.segment_duration - 1 < cutoff
+        ] if root.exists() else []
+        if not expired:
+            return []
+        rel = self.relation().filter(F.col("seg").isin(expired))
+        roll = (
+            rel.groupBy(
+                "series_key",
+                (F.floor(F.col("ts") / step) * step).cast("long").alias("bucket_ts"),
+                "seg",
+            )
+            .agg(
+                F.any_value(F.col("labels")).alias("labels"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("value").alias("sum"),
+                F.min("value").alias("min"),
+                F.max("value").alias("max"),
+            )
+            .select("series_key", "labels", "bucket_ts", "n", "sum", "min",
+                    "max", "seg")
+        )
+        (
+            roll.repartition("seg")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", self.codec)
+            .partitionBy("seg")
+            .parquet(dest_root)
+        )
+        raw_rows = rel.count()
+        rolled = (
+            self.spark.read.parquet(dest_root)
+            .filter(F.col("seg").isin(expired))
+            .agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+        )
+        if rolled != raw_rows:
+            raise RuntimeError(
+                f"downsample_expired: rollup covers {rolled} of {raw_rows} "
+                f"raw rows for segs {expired} — purge aborted"
+            )
+        return self.remove_expired(now_ts, retention)
+
     def _check_promoted_layout(self) -> None:
         """Fail fast when ``promote_labels`` disagrees with the on-disk
         layout (one footer read — O(1)): appending into a store whose

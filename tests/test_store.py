@@ -586,3 +586,46 @@ def test_vacuum_removes_only_orphan_trees(spark, tmp_path_factory):
     assert rep2["orphans"] == [] and str(corrupt) in rep2["corrupt"]
     corrupt.unlink()
     assert db.query_range("m", [], 0, 2**40).count() == n_before
+
+
+def test_downsample_expire_tiered_retention(spark, tmp_path_factory):
+    """Downsample-then-expire: expired raw segments land in the rollup
+    store (exact n/sum/min/max per series x step bucket) BEFORE being
+    purged; recent raw data is untouched; a rerun is a no-op (idempotent
+    dynamic-overwrite + already-purged segs)."""
+    base = tmp_path_factory.mktemp("tiered")
+    db = TSDB(spark, str(base / "live"), segment_duration=2 * 3600,
+              retention=3 * 3600)
+    rows = [("m", {"x": str(i % 2)}, START + i * 1800, float(i))
+            for i in range(16)]  # 8 hours of half-hour points
+    db.insert_rows(rows)
+    now = START + 8 * 3600
+    roll_dest = str(base / "rollup")
+
+    dropped = db.downsample_expire(step=3600, dest_root=roll_dest, now_ts=now)
+    assert dropped  # segments wholly older than now - 3h
+    cutoff = now - 3 * 3600
+    # raw points past the horizon are gone, recent ones intact
+    live = sorted(r.ts for r in db.query_range_rows("m", [], 0, 10**10).collect())
+    assert live and min(live) >= (min(dropped) + 1) * 2 * 3600
+    # rollup reproduces the dropped points exactly at 1h resolution
+    roll = spark.read.parquet(roll_dest)
+    got = {(r["series_key"], r["bucket_ts"]): (r["n"], r["sum"], r["min"], r["max"])
+           for r in roll.collect()}
+    expect = {}
+    dropped_set = set(dropped)
+    for _m, lab, ts, v in rows:
+        seg = ts // (2 * 3600)
+        if seg not in dropped_set:
+            continue
+        key = (lab["x"], ts // 3600 * 3600)
+        cur = expect.get(key, (0, 0.0, float("inf"), float("-inf")))
+        expect[key] = (cur[0] + 1, cur[1] + v, min(cur[2], v), max(cur[3], v))
+    assert len(got) == len(expect)
+    by_bucket = {}
+    for (sk, b), agg in got.items():
+        by_bucket.setdefault(b, []).append(agg)
+    for (x, b), (n, s, mn, mx) in expect.items():
+        assert (n, s, mn, mx) in by_bucket[b], (x, b)
+    # rerun: nothing left to downsample
+    assert db.downsample_expire(step=3600, dest_root=roll_dest, now_ts=now) == []

@@ -165,6 +165,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        # und feeds three consumers (deg, withdeg, n_edges) and oriented
+        # feeds two — checkpoint so the upstream edge pipeline (often a
+        # full LSH candidate generation) runs ONCE, same constant-depth
+        # rule as pagerank/connected_components
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("n")).unionAll(und.select(F.col("b").alias("n")))
@@ -183,7 +188,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select("u", F.col("dv").alias("d1"), F.col("v").alias("v1"))
     o2 = oriented.select("u", F.col("dv").alias("d2"), F.col("v").alias("v2"))
     wedges = o1.join(o2, "u").filter(

@@ -1378,3 +1378,41 @@ def _dup_triangles_sql() -> str:
 
 QUERIES["x_docs_dup_triangles"] = x_docs_dup_triangles
 ORACLES["x_docs_dup_triangles"] = _dup_triangles_sql()
+
+
+def x_events_pseudonymized_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate audit over a pseudonymized event extract: user ids
+    replaced by keyed sha256 pseudonyms (privacy.pseudonymize — joins
+    still line up, raw ids never leave), then k-anonymity violations on
+    the (event_type, value-band) quasi-identifier pair at k=5 rolled up
+    to one auditable row per event_type."""
+    from ..operators.privacy import k_anonymity_violations, pseudonymize
+
+    e = load(spark, sf_dir, "events").select(
+        pseudonymize(F.col("user_id"), "release-2024", 16).alias("pid"),
+        "event_type",
+        (F.floor(F.col("value") / 10)).cast("long").alias("value_band"),
+    )
+    v = k_anonymity_violations(e, ["event_type", "value_band"], k=5)
+    return (
+        v.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_violating_groups"),
+             F.sum("n_records").alias("n_exposed_records"))
+    )
+
+
+def _k_anon_sql() -> str:
+    from ..operators.privacy import k_anonymity_violations_sql
+
+    inner = k_anonymity_violations_sql(
+        "(SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS value_band FROM events)",
+        ["event_type", "value_band"], k=5)
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_violating_groups,
+       CAST(sum(n_records) AS BIGINT) AS n_exposed_records
+FROM ({inner}) v GROUP BY event_type
+"""
+
+
+QUERIES["x_events_pseudonymized_k_anon"] = x_events_pseudonymized_k_anon
+ORACLES["x_events_pseudonymized_k_anon"] = _k_anon_sql()

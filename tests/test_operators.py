@@ -3323,3 +3323,23 @@ def test_chunk_reassemble_roundtrip(spark):
         back = {r["doc_id"]: r["text"]
                 for r in reassemble_chunks(ch, "doc_id", overlap=ov).collect()}
         assert back == dict(docs), (size, ov)
+
+
+def test_pseudonymize_properties(spark):
+    """Deterministic per salt, different across salts, NULL-preserving,
+    length-bounded, and matches the DuckDB mirror byte-for-byte."""
+    import duckdb
+
+    from mandodb_spark.operators.privacy import pseudonymize, pseudonymize_sql
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "uid int")
+    a = {r["uid"]: r["p"] for r in df.select(
+        "uid", pseudonymize(F.col("uid"), "s1").alias("p")).collect()}
+    b = {r["uid"]: r["p"] for r in df.select(
+        "uid", pseudonymize(F.col("uid"), "s2").alias("p")).collect()}
+    assert a[None] is None and b[None] is None
+    assert a[1] != a[2] and a[1] != b[1]
+    assert all(len(v) == 16 for v in a.values() if v)
+    want = duckdb.sql(
+        "SELECT " + pseudonymize_sql("1", "s1")).fetchone()[0]
+    assert a[1] == want

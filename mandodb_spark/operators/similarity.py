@@ -959,3 +959,59 @@ def hard_negatives(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def random_project(df: DataFrame, id_col: str, vec_col: str,
+                   out_dim: int, in_dim: int | None = None,
+                   seed: str = "rp") -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project vectors
+    onto ``out_dim`` deterministic ±1/√out_dim hyperplanes (Achlioptas'
+    database-friendly construction — sign j,d derives from md5(seed:j:d),
+    the same engine-agnostic pseudo-randomness as
+    :func:`hyperplane_bucket`, so any two runs/engines build the SAME
+    matrix).  JL guarantee: pairwise distances distort by ≤ ε with
+    out_dim = O(log n / ε²) — the cheap front half of a coarse-quantized
+    ANN stack, and the reason the projection needs no training data
+    (contrast the PQ/IVF codebooks, which do).
+
+    One Arrow-batched matmul per batch (ivf_assign precedent — a
+    dim×out_dim GEMM per batch, no shuffle, no per-row Python).  Output:
+    (id, projected array<double>).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if in_dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if first is None:
+            raise ValueError("random_project: empty input and no in_dim")
+        in_dim = int(first["n"])
+    signs = np.array(
+        [
+            [
+                1.0 if int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest(), 16) % 2
+                else -1.0
+                for d in range(in_dim)
+            ]
+            for j in range(out_dim)
+        ]
+    ) / np.sqrt(out_dim)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].map(
+                lambda v: np.asarray(v, dtype=np.float64)))
+            proj = mat @ signs.T
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype("int64"),
+                "projected": list(proj),
+            })
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        batches, "id long, projected array<double>")
+    return out.withColumnRenamed("id", id_col)

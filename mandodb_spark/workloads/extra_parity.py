@@ -1416,3 +1416,63 @@ FROM ({inner}) v GROUP BY event_type
 
 QUERIES["x_events_pseudonymized_k_anon"] = x_events_pseudonymized_k_anon
 ORACLES["x_events_pseudonymized_k_anon"] = _k_anon_sql()
+
+
+def x_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit: cosine of every vector to its OWN
+    label centroid; vectors pointing away (rounded cos < 0) are the
+    mislabeled/garbage candidates a curation pass reviews.  Two small-key
+    shuffles (posexplode avg -> regroup), centroid join broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    cent = (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ps"))
+        .select("label", F.col("ps.m").alias("cvec"))
+    )
+    dotc = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("cvec"),
+                   lambda x, c: x.cast("double") * c),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nc = F.sqrt(F.aggregate(F.transform(F.col("cvec"), lambda c: c * c),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos4 = F.round(dotc / (nv * nc), 4)
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("label", cos4.alias("c"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("c") < 0, 1)).alias("n_outliers"),
+            F.min("c").alias("min_cos"),
+        )
+    )
+
+
+_EMB_OUTLIERS_SQL = """
+WITH per_dim AS (
+    SELECT label, p.range AS pos,
+           avg(CAST(embedding[CAST(p.range AS INTEGER) + 1] AS DOUBLE)) AS m
+    FROM embeddings, range(0, 64) p GROUP BY label, p.range
+), cent AS (
+    SELECT label, list(m ORDER BY pos) AS cvec FROM per_dim GROUP BY label
+), scored AS (
+    SELECT e.label,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 4) AS c
+    FROM embeddings e JOIN cent c ON e.label = c.label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(CASE WHEN c < 0 THEN 1 END) AS BIGINT) AS n_outliers,
+       min(c) AS min_cos
+FROM scored GROUP BY label
+"""
+
+QUERIES["x_emb_outliers"] = x_emb_outliers
+ORACLES["x_emb_outliers"] = _EMB_OUTLIERS_SQL

@@ -239,6 +239,28 @@ class TSDB:
             self.retention, step, dest_root,
         )
 
+    def query_range_buckets_tiered(self, metric: str | None,
+                                   matchers: list[LabelMatcher] | None,
+                                   start: int, end: int, step: int,
+                                   rollup_root: str):
+        """Per-series step buckets across BOTH retention tiers: recent
+        buckets aggregate raw points, pre-horizon buckets come from the
+        :meth:`downsample_expire` rollup store, straddling buckets merge
+        (see :func:`tsdb_ops.query_range_buckets_tiered`)."""
+        from pathlib import Path as _P
+
+        rollup = (
+            self.spark.read.parquet(rollup_root)
+            if _P(rollup_root).exists()
+            else self.spark.createDataFrame(
+                [], "series_key long, labels map<string,string>, bucket_ts long, "
+                    "n long, sum double, min double, max double, seg long")
+        )
+        return tsdb_ops.query_range_buckets_tiered(
+            self.store.relation(), rollup, metric, matchers or [],
+            start, end, step, self.segment_duration,
+        )
+
     def compact(self, min_files_per_segment: int | None = None) -> list[int]:
         """Maintenance compaction (the Compact the reference lacks).
 

@@ -505,3 +505,86 @@ def anomaly_scores(
             F.col("__sd") > 0, F.abs(z) > F.lit(float(z_threshold))
         ).otherwise(F.col("value") != F.col("baseline_mean")).alias("is_anomaly"),
     )
+
+
+def query_range_buckets_tiered(
+    raw: DataFrame,
+    rollup: DataFrame,
+    metric: str | None,
+    matchers: list[LabelMatcher],
+    start: int,
+    end: int,
+    step: int,
+    segment_duration: int = DEFAULT_SEGMENT_DURATION,
+) -> DataFrame:
+    """Continuous per-series ``step``-bucket aggregates ACROSS the tiered
+    retention horizon: buckets whose raw points were downsampled away
+    (:meth:`SegmentStore.downsample_expired`) come from the rollup tier,
+    recent buckets aggregate raw points, and a bucket straddling the
+    horizon merges BOTH sides correctly — rollup rows are partial
+    aggregates (n/sum/min/max are all mergeable), so the plan is
+    union → one re-aggregate, never a special case.
+
+    Division of labor vs :func:`tiered_range`: that read serves the RICH
+    dashboard schema (:data:`ROLLUP_COLS` — avg/last_value) over
+    :func:`materialize_rollup` tiers and therefore must SPLIT at an
+    aligned cutover (avg/last are not mergeable); this read serves the
+    retention-purge tier written by ``downsample_expired`` and restricts
+    itself to the mergeable aggregate set on purpose — that is what lets
+    it take label matchers, tolerate seg-split buckets, and merge
+    straddling buckets instead of aligning them away.
+
+    Matchers apply identically to both tiers (the rollup carries the full
+    labels map); the raw side keeps segment pruning via the shared
+    ``_filtered`` front half, the rollup side prunes on its own ``seg``
+    partitions.  Semantics are BUCKET-COMPLETE (the only semantics the
+    rollup tier can honor — sub-bucket resolution is gone by design):
+    every bucket overlapping ``[start, end]`` is returned WHOLE, i.e.
+    buckets ``floor(start/step)*step <= bucket_ts <= floor(end/step)*
+    step``, with the raw side expanded to the same whole-bucket range so
+    both tiers agree on straddling buckets.  Output: ``(series_key,
+    labels, bucket_ts, n, sum, min, max)``.
+    """
+    lms = add_metric_name(metric, matchers)
+    b0 = (start // step) * step
+    b1 = (end // step) * step
+    start, end = b0, b1 + step - 1  # whole-bucket expansion for the raw tier
+    bucket = (F.floor(F.col("ts") / step) * step).cast("long").alias("bucket_ts")
+    raw_part = (
+        _filtered(raw, metric, matchers, start, end, segment_duration)
+        .groupBy("series_key", bucket)
+        .agg(
+            F.any_value(F.col("labels")).alias("labels"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .select("series_key", "labels", "bucket_ts", "n", "sum", "min", "max")
+    )
+    has_seg = "seg" in rollup.columns
+    roll_pred = F.col("bucket_ts").between(F.lit(b0), F.lit(b1))
+    if has_seg:
+        # a rollup row's seg comes from its POINTS: ts ∈ [bucket_ts,
+        # bucket_ts + step), so the admissible seg range for buckets in
+        # [b0, b1] is [b0 // duration, (b1 + step - 1) // duration]
+        roll_pred = roll_pred & F.col("seg").between(
+            F.lit(b0 // segment_duration),
+            F.lit((b1 + step - 1) // segment_duration),
+        )
+    roll_part = (
+        rollup.filter(roll_pred & matchers_predicate(F.col("labels"), lms))
+        .select("series_key", "labels", "bucket_ts", "n", "sum", "min", "max")
+    )
+    return (
+        raw_part.unionByName(roll_part)
+        .groupBy("series_key", "bucket_ts")
+        .agg(
+            F.any_value(F.col("labels")).alias("labels"),
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .select("series_key", "labels", "bucket_ts", "n", "sum", "min", "max")
+    )

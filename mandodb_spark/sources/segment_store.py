@@ -361,8 +361,13 @@ class SegmentStore:
         Returns the dropped segment ids (empty when nothing expired).
         The rollup relation (series_key, labels, bucket_ts, n, sum, min,
         max, seg) answers range queries past the raw horizon at ``step``
-        resolution; its own retention is the plain :meth:`remove_expired`
-        applied to ``dest_root`` by the caller.
+        resolution via ``tsdb_ops.query_range_buckets_tiered``; its own
+        retention is the plain :meth:`remove_expired` applied to
+        ``dest_root`` by the caller.  The column set is deliberately the
+        MERGEABLE subset (no avg / last_value — contrast
+        ``tsdb_ops.materialize_rollup``'s dashboard tier): purge-tier rows
+        must merge with raw partials and with each other across seg
+        splits, and the purge gate needs Σn to be meaningful.
         """
         cutoff = now_ts - retention
         root = Path(self.root)

@@ -629,3 +629,43 @@ def test_downsample_expire_tiered_retention(spark, tmp_path_factory):
         assert (n, s, mn, mx) in by_bucket[b], (x, b)
     # rerun: nothing left to downsample
     assert db.downsample_expire(step=3600, dest_root=roll_dest, now_ts=now) == []
+
+
+def test_query_range_buckets_tiered_continuous_across_horizon(spark, tmp_path_factory):
+    """Tiered query ≡ the buckets computed over the FULL pre-purge data:
+    after downsample_expire, query_range_buckets_tiered returns the same
+    per-series (bucket, n, sum, min, max) the raw store would have given,
+    for a range spanning rollup-only, straddling, and raw-only buckets —
+    and matchers filter both tiers."""
+    from mandodb_spark.operators import tsdb_ops
+
+    base = tmp_path_factory.mktemp("tieredq")
+    db = TSDB(spark, str(base / "live"), segment_duration=2 * 3600,
+              retention=3 * 3600)
+    rows = [("m", {"x": str(i % 2)}, START + i * 1800, float(i))
+            for i in range(16)]
+    db.insert_rows(rows)
+    # ground truth BEFORE purge, computed by the same tiered operator
+    # with an empty rollup side (pure raw)
+    empty_roll = spark.createDataFrame(
+        [], "series_key long, labels map<string,string>, bucket_ts long, "
+            "n long, sum double, min double, max double, seg long")
+    s, e = START, START + 16 * 1800
+    want = sorted(
+        (r["labels"]["x"], r["bucket_ts"], r["n"], r["sum"], r["min"], r["max"])
+        for r in tsdb_ops.query_range_buckets_tiered(
+            db.store.relation(), empty_roll, "m", [], s, e, 3600,
+            db.segment_duration).collect())
+
+    now = START + 8 * 3600
+    roll = str(base / "rollup")
+    assert db.downsample_expire(step=3600, dest_root=roll, now_ts=now)
+    got = sorted(
+        (r["labels"]["x"], r["bucket_ts"], r["n"], r["sum"], r["min"], r["max"])
+        for r in db.query_range_buckets_tiered("m", [], s, e, 3600, roll).collect())
+    assert got == want
+
+    only_x1 = db.query_range_buckets_tiered(
+        "m", [LabelMatcher("x", "1")], s, e, 3600, roll).collect()
+    assert only_x1 and all(r["labels"]["x"] == "1" for r in only_x1)
+    assert len(only_x1) == sum(1 for w in want if w[0] == "1")

@@ -229,11 +229,18 @@ class TSDB:
 
     def downsample_expire(self, step: int, dest_root: str,
                           now_ts: int | None = None) -> list[int]:
-        """Tiered retention: materialize expired raw segments into a
-        ``step``-resolution per-series rollup at ``dest_root``, verify
-        coverage, then purge the raw segments (see
-        :meth:`SegmentStore.downsample_expired` — the downsample-then-
-        expire policy the reference's delete-only retention lacks)."""
+        """Tiered retention with a SAFETY COUPLING: materialize expired
+        raw segments into a ``step``-resolution mergeable rollup at
+        ``dest_root``, verify coverage (Σn == raw rows), and only then
+        purge (see :meth:`SegmentStore.downsample_expired`).
+
+        Relationship to the dashboard tier: :meth:`materialize_rollup` +
+        :meth:`query_range_tiered` serve rich (avg/last) continuous
+        aggregates and leave purging to :meth:`remove_expires` — nothing
+        stops a purge outrunning the rollup there.  This path is the
+        retention-coupled one: raw data cannot be dropped unless the
+        rollup provably covers it; its read side is
+        :meth:`query_range_buckets_tiered`."""
         return self.store.downsample_expired(
             int(time.time()) if now_ts is None else now_ts,
             self.retention, step, dest_root,
@@ -448,7 +455,10 @@ class TSDB:
         without queries losing history.  ``cutover_ts`` defaults to the
         retention boundary (now − retention aligned to ``step``); both
         sides get metric/matcher filtering and partition pruning before
-        any aggregation (operators/tsdb_ops.py::tiered_range)."""
+        any aggregation (operators/tsdb_ops.py::tiered_range).  For the
+        purge-gated tier written by :meth:`downsample_expire`, read
+        through :meth:`query_range_buckets_tiered` instead (mergeable
+        schema, straddling buckets allowed)."""
         from time import time as _now
 
         from .matchers import add_metric_name, matchers_predicate

@@ -1476,3 +1476,46 @@ FROM scored GROUP BY label
 
 QUERIES["x_emb_outliers"] = x_emb_outliers
 ORACLES["x_emb_outliers"] = _EMB_OUTLIERS_SQL
+
+
+def x_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed smoothing surface: per-type hourly counts with a centered
+    3-bucket moving average and the hour-over-hour delta — the ROWS
+    BETWEEN frame + lag in one window pass.  Counts are exact ints; the
+    moving average divides an exact integer sum by an exact window size
+    (count over the same frame), so no float accumulation exists."""
+    from pyspark.sql import Window
+
+    from .common import events_base
+
+    hourly = (
+        events_base(spark, sf_dir)
+        .groupBy("event_type",
+                 (F.floor(F.col("ts") / 3600) * 3600).cast("long").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-1, 1)
+    lagw = Window.partitionBy("event_type").orderBy("hour")
+    return hourly.select(
+        "event_type", "hour", "n",
+        (F.sum("n").over(w).cast("double")
+         / F.count(F.lit(1)).over(w).cast("double")).alias("ma3"),
+        (F.col("n") - F.lag("n", 1).over(lagw)).cast("long").alias("delta"),
+    )
+
+
+_MOVING_AVG_SQL = """
+WITH hourly AS (
+    SELECT event_type, CAST(floor(epoch(ts) / 3600.0) AS BIGINT) * 3600 AS hour,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n,
+       CAST(sum(n) OVER w3 AS DOUBLE) / CAST(count(*) OVER w3 AS DOUBLE) AS ma3,
+       CAST(n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS delta
+FROM hourly
+WINDOW w3 AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+"""
+
+QUERIES["x_events_moving_avg"] = x_events_moving_avg
+ORACLES["x_events_moving_avg"] = _MOVING_AVG_SQL

@@ -3383,3 +3383,29 @@ def test_random_projection_preserves_neighborhoods(spark):
         approx = set(np.argsort(-(Pn @ Pn[q]))[1:11])
         recalls.append(len(exact & approx) / 10)
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_salted_join_equivalence_and_spread(spark):
+    """salted_join ≡ plain join (inner AND left, incl. unmatched left
+    rows), and a 10k-row hot key actually spreads across salts."""
+    from mandodb_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(10_000)] + [("cold", 0), ("orphan", 1)],
+        "k string, payload long")
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "k string, attr string")
+
+    for how in ("inner", "left"):
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        got = sorted(map(tuple, salted_join(
+            left, right, "k", n_salts=8, how=how,
+            salt_cols=["payload"]).collect()))
+        assert got == want, how
+
+    spread = (
+        left.filter(F.col("k") == "hot")
+        .select(F.pmod(F.xxhash64("payload"), F.lit(8)).alias("s"))
+        .groupBy("s").count().collect())
+    assert len(spread) == 8
+    assert max(r["count"] for r in spread) < 10_000 * 0.25

@@ -382,3 +382,114 @@ WITH g AS (
 SELECT g.*, CAST(n_docs AS DOUBLE) / CAST(__total AS DOUBLE) AS corpus_share
 FROM g, t
 """
+
+
+#: Rule kinds understood by :func:`expectations_report`.
+_EXPECTATION_KINDS = ("not_null", "unique", "accepted_values", "min", "max",
+                      "matches")
+
+
+def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality expectations (the dbt-tests /
+    Great-Expectations contract, DataFrame-native): evaluate every rule
+    in ONE aggregate pass over the data (plus one distinct-count pass per
+    ``unique`` rule — exact uniqueness is a shuffle by definition) and
+    return a report row per rule: ``(col_name, kind, detail,
+    n_violations, passed)``.
+
+    Rule forms (dicts):
+      ``{"col": c, "kind": "not_null"}``
+      ``{"col": c, "kind": "unique"}``
+      ``{"col": c, "kind": "accepted_values", "values": [...]}``
+      ``{"col": c, "kind": "min", "value": x}`` (violation: col < x)
+      ``{"col": c, "kind": "max", "value": x}`` (violation: col > x)
+      ``{"col": c, "kind": "matches", "pattern": regex}`` (non-null rows
+      failing an RLIKE)
+
+    Feeds :func:`mandodb_spark.sources.publish.write_audit_publish`
+    directly: ``checks={"contract": lambda d:
+    expectations_report(d, rules).filter(~F.col("passed")).isEmpty()}``.
+    NULLs only violate ``not_null`` (bound/pattern/set rules skip NULLs —
+    add an explicit not_null rule to forbid them), matching SQL
+    three-valued logic so the DuckDB mirror is exact.
+    """
+    aggs = []
+    meta = []
+    for i, r in enumerate(rules):
+        c, kind = F.col(r["col"]), r["kind"]
+        if kind == "not_null":
+            v = F.count(F.when(c.isNull(), 1))
+            detail = ""
+        elif kind == "accepted_values":
+            v = F.count(F.when(c.isNotNull() & ~c.isin(*r["values"]), 1))
+            detail = ",".join(map(str, r["values"]))
+        elif kind == "min":
+            v = F.count(F.when(c < F.lit(r["value"]), 1))
+            detail = str(r["value"])
+        elif kind == "max":
+            v = F.count(F.when(c > F.lit(r["value"]), 1))
+            detail = str(r["value"])
+        elif kind == "matches":
+            v = F.count(F.when(c.isNotNull() & ~c.rlike(r["pattern"]), 1))
+            detail = r["pattern"]
+        elif kind == "unique":
+            # non-null count rides in the shared pass; only the exact
+            # distinct count needs its own shuffle (uniqueness IS a
+            # shuffle) — one extra job per unique rule, not two
+            aggs.append(F.count(c).cast("long").alias(f"__v{i}"))
+            meta.append((i, r["col"], kind, ""))
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+        aggs.append(v.cast("long").alias(f"__v{i}"))
+        meta.append((i, r["col"], kind, detail))
+    spark = df.sparkSession
+    one = df.agg(*aggs) if aggs else None
+    rows = []
+    viol = one.collect()[0] if one is not None else {}
+    for i, col, kind, detail in meta:
+        if kind == "unique":
+            n = viol[f"__v{i}"] - (
+                df.filter(F.col(col).isNotNull()).select(col).distinct().count()
+            )
+        else:
+            n = viol[f"__v{i}"]
+        rows.append((col, kind, detail, int(n), int(n) == 0))
+    return spark.createDataFrame(
+        rows, "col_name string, kind string, detail string, "
+              "n_violations long, passed boolean")
+
+
+def expectations_report_sql(table: str, rules: list[dict]) -> str:
+    """DuckDB mirror of :func:`expectations_report` (oracle generator)."""
+    selects = []
+    for r in rules:
+        c, kind = r["col"], r["kind"]
+        if kind == "not_null":
+            v, detail = f"count(CASE WHEN {c} IS NULL THEN 1 END)", ""
+        elif kind == "accepted_values":
+            vals = ", ".join(
+                f"'{x}'" if isinstance(x, str) else str(x) for x in r["values"])
+            v = (f"count(CASE WHEN {c} IS NOT NULL AND {c} NOT IN ({vals}) "
+                 f"THEN 1 END)")
+            detail = ",".join(map(str, r["values"]))
+        elif kind == "min":
+            v, detail = f"count(CASE WHEN {c} < {r['value']} THEN 1 END)", str(r["value"])
+        elif kind == "max":
+            v, detail = f"count(CASE WHEN {c} > {r['value']} THEN 1 END)", str(r["value"])
+        elif kind == "matches":
+            # regexp_matches = unanchored search, matching Spark's rlike
+            v = (f"count(CASE WHEN {c} IS NOT NULL AND NOT "
+                 f"regexp_matches({c}, '{r['pattern']}') THEN 1 END)")
+            detail = r["pattern"]
+        elif kind == "unique":
+            v = (f"count({c}) - count(DISTINCT {c})")
+            detail = ""
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+        d = detail.replace("'", "''")
+        selects.append(
+            f"SELECT '{r['col']}' AS col_name, '{kind}' AS kind, '{d}' AS detail, "
+            f"CAST({v} AS BIGINT) AS n_violations, "
+            f"({v}) = 0 AS passed FROM {table}")
+    return " UNION ALL ".join(selects)

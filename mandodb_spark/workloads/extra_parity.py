@@ -1519,3 +1519,34 @@ WINDOW w3 AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 1 PRECEDING AND
 
 QUERIES["x_events_moving_avg"] = x_events_moving_avg
 ORACLES["x_events_moving_avg"] = _MOVING_AVG_SQL
+
+
+_DOC_RULES = [
+    {"col": "doc_id", "kind": "not_null"},
+    {"col": "doc_id", "kind": "unique"},
+    {"col": "doc_id", "kind": "min", "value": 0},
+    {"col": "lang", "kind": "accepted_values",
+     "values": ["en", "de", "fr", "es", "zh"]},
+    {"col": "source", "kind": "matches", "pattern": "^src[0-9]+$"},
+    {"col": "n_chars", "kind": "max", "value": 100000},
+]
+
+
+def x_docs_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data contract over the documents table
+    (profile.expectations_report — dbt-tests/Great-Expectations shape):
+    every rule evaluated in one aggregate pass, report row per rule;
+    plugs straight into the write_audit_publish gate."""
+    from ..operators.profile import expectations_report
+
+    return expectations_report(load(spark, sf_dir, "documents"), _DOC_RULES)
+
+
+def _expectations_sql() -> str:
+    from ..operators.profile import expectations_report_sql
+
+    return expectations_report_sql("documents", _DOC_RULES)
+
+
+QUERIES["x_docs_expectations"] = x_docs_expectations
+ORACLES["x_docs_expectations"] = _expectations_sql()

@@ -3409,3 +3409,28 @@ def test_salted_join_equivalence_and_spread(spark):
         .groupBy("s").count().collect())
     assert len(spread) == 8
     assert max(r["count"] for r in spread) < 10_000 * 0.25
+
+
+def test_expectations_report_counts_violations(spark):
+    """Each rule kind counts exactly its violations; NULLs only violate
+    not_null (three-valued logic); unique counts duplicate EXTRAS."""
+    from mandodb_spark.operators.profile import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, "en", 5), (1, "en", -2), (2, None, 50), (None, "xx", 5)],
+        "id int, lang string, score int")
+    rep = {(r["col_name"], r["kind"]): (r["n_violations"], r["passed"])
+           for r in expectations_report(df, [
+               {"col": "id", "kind": "not_null"},
+               {"col": "id", "kind": "unique"},
+               {"col": "lang", "kind": "accepted_values", "values": ["en", "de"]},
+               {"col": "score", "kind": "min", "value": 0},
+               {"col": "score", "kind": "max", "value": 10},
+               {"col": "lang", "kind": "matches", "pattern": "^[a-w]+$"},
+           ]).collect()}
+    assert rep[("id", "not_null")] == (1, False)
+    assert rep[("id", "unique")] == (1, False)         # one duplicate extra
+    assert rep[("lang", "accepted_values")] == (1, False)  # 'xx'; NULL skipped
+    assert rep[("score", "min")] == (1, False)
+    assert rep[("score", "max")] == (1, False)
+    assert rep[("lang", "matches")] == (1, False)      # 'xx' fails [a-w]

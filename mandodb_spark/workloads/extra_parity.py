@@ -1550,3 +1550,57 @@ def _expectations_sql() -> str:
 
 QUERIES["x_docs_expectations"] = x_docs_expectations
 ORACLES["x_docs_expectations"] = _expectations_sql()
+
+
+def x_tpch_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the relational star: orphan
+    counts for every FK edge (anti-joins — each is one broadcast/shuffle
+    semi-join complement, no row ever widens).  The warehouse-health
+    check a pipeline runs before trusting joins."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part")
+
+    def orphans(child, fk, parent, pk, edge):
+        n = (child.select(F.col(fk).alias("k"))
+             .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
+             .count())
+        tot = child.count()
+        return (edge, tot, n)
+
+    rows = [
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"),
+        orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"),
+    ]
+    return spark.createDataFrame(
+        rows, "fk_edge string, n_child_rows long, n_orphans long")
+
+
+_FK_ORPHANS_SQL = """
+SELECT 'orders->customer' AS fk_edge,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_child_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+"""
+
+QUERIES["x_tpch_fk_orphans"] = x_tpch_fk_orphans
+ORACLES["x_tpch_fk_orphans"] = _FK_ORPHANS_SQL

@@ -202,15 +202,16 @@ class TextIndex:
     # -------------------------------------------------------- lifecycle
     def compact(self) -> None:
         """Restore the one-file-per-bucket invariant micro-batch appends
-        erode: rewrite postings through a staging root + atomic swap
+        erode — postings AND the doclen sidecar (both accumulate one file
+        per append) rewrite through a staging root + atomic swap
         (:func:`segment_store.swap_in` — crash leaves the old tree
         recoverable; same contract as VectorIndex.compact).  Search
         results are unchanged by construction (pure file merge)."""
+        import shutil
+
         from .segment_store import swap_in
 
         staging = f"{self._postings}__staging"
-        import shutil
-
         shutil.rmtree(staging, ignore_errors=True)
         cur = self.spark.read.parquet(self._postings)
         (
@@ -220,6 +221,12 @@ class TextIndex:
         self.spark.catalog.clearCache()
         swap_in(self._postings, staging)
         self.spark.catalog.refreshByPath(self._postings)
+        dstage = f"{self._doclen}__staging"
+        shutil.rmtree(dstage, ignore_errors=True)
+        self.spark.read.parquet(self._doclen).coalesce(1)             .write.mode("overwrite").parquet(dstage)
+        self.spark.catalog.clearCache()
+        swap_in(self._doclen, dstage)
+        self.spark.catalog.refreshByPath(self._doclen)
 
     def fsck(self) -> dict:
         """Integrity audit (VectorIndex.fsck / segment_store.fsck

@@ -1086,7 +1086,11 @@ def test_text_index_maintainer_appends_and_compacts(spark, tmp_path_factory):
     assert rep["ok"], rep
     got = {r["id"] for r in idx.search(["spark"], k=20).collect()}
     assert got == {0} | {s * 10 + j for s in (1, 2, 3) for j in range(3)}
-    # compaction restored one data file per bucket directory
+    # compaction restored one data file per bucket directory AND folded
+    # the doclen sidecar's per-append files into one
     for d in glob.glob(str(base / "tidx" / "postings" / "tb=*")):
         files = [f for f in glob.glob(d + "/part-*") if not f.endswith(".crc")]
         assert len(files) == 1, (d, files)
+    dl = [f for f in glob.glob(str(base / "tidx" / "doclen" / "part-*"))
+          if not f.endswith(".crc")]
+    assert len(dl) <= 4, dl  # bounded by n_buckets, not one-per-append

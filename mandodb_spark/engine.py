@@ -268,6 +268,13 @@ class TSDB:
             start, end, step, self.segment_duration,
         )
 
+    def delete_series(self, matchers: list[LabelMatcher],
+                      metric: str | None = None) -> int:
+        """GDPR-style targeted deletion: rewrite only the touched segment
+        partitions without the matching series' points (see
+        :meth:`SegmentStore.delete_series`).  Returns points removed."""
+        return self.store.delete_series(matchers, metric)
+
     def compact(self, min_files_per_segment: int | None = None) -> list[int]:
         """Maintenance compaction (the Compact the reference lacks).
 

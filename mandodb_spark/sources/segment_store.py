@@ -416,6 +416,67 @@ class SegmentStore:
             )
         return self.remove_expired(now_ts, retention)
 
+    def delete_series(self, matchers: list, metric: str | None = None) -> int:
+        """Targeted series deletion (the GDPR / right-to-be-forgotten
+        lifecycle op the reference lacks): remove every point whose labels
+        match ``matchers`` (AND semantics, same matcher language as the
+        query paths) by rewriting ONLY the touched ``seg=`` partitions
+        without the matching rows, via per-partition dynamic overwrite.
+
+        Scale shape: one column-pruned scan finds the touched segments
+        (O(matching rows), statically label-filtered); the rewrite reads
+        and writes only those partitions — a store with years of history
+        rewrites the handful of segments the series actually lived in.
+        Crash safety: dynamic partition overwrite commits per job — a
+        crash mid-rewrite leaves the previous partition files live (the
+        delete simply re-runs).  Returns the number of points removed.
+
+        Semantics note: matching on ``labels`` means PROMOTED label
+        columns are consulted through the same predicate the query paths
+        use, and an empty matcher list is rejected (a full-store delete
+        should be an explicit ``shutil.rmtree``, not a matcher typo).
+        """
+        from ..matchers import add_metric_name, matchers_predicate
+
+        lms = add_metric_name(metric, list(matchers))
+        if not lms:
+            raise ValueError("delete_series: need at least one matcher")
+        rel = self.relation()
+        if "seg" not in rel.columns:
+            raise ValueError("delete_series: store is empty")
+        pred = matchers_predicate(F.col("labels"), lms)
+        touched = [r["seg"] for r in
+                   rel.filter(pred).select("seg").distinct().collect()]
+        if not touched:
+            return 0
+        sub = rel.filter(F.col("seg").isin(touched))
+        n_before = sub.count()
+        keep = sub.filter(~pred)
+        # every derived read happens BEFORE the overwrite: lazy plans pin
+        # the current file index, and re-collecting them after the commit
+        # would read deleted files (the relayout lesson)
+        keep = keep.localCheckpoint(eager=True)  # sever the plan from the
+        # files about to be overwritten (Spark refuses / misreads
+        # read-write cycles on the same path depending on version)
+        per_seg = {r["seg"]: r["n"] for r in
+                   keep.groupBy("seg").agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_after = sum(per_seg.values())
+        writer = self._write_options(
+            keep.repartition("seg")
+            .sortWithinPartitions("seg", "series_key", "ts")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+        )
+        writer.parquet(self.root)
+        # a partition whose EVERY row matched writes nothing under dynamic
+        # overwrite — drop it explicitly so the points actually disappear
+        for seg in touched:
+            if seg not in per_seg:
+                shutil.rmtree(Path(self.root) / f"seg={seg}", ignore_errors=True)
+        self.spark.catalog.refreshByPath(self.root)
+        return int(n_before - n_after)
+
     def _check_promoted_layout(self) -> None:
         """Fail fast when ``promote_labels`` disagrees with the on-disk
         layout (one footer read — O(1)): appending into a store whose

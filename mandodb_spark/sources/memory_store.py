@@ -101,6 +101,60 @@ class MemoryStore:
         return expired
 
     # ----------------------------------------------------------- lifecycle
+    def downsample_expired(self, now_ts: int, retention: int, step: int,
+                           dest_root: str) -> list[int]:
+        """Tiered retention, memory-mode form: same contract as
+        ``SegmentStore.downsample_expired`` (mergeable rollup written to
+        ``dest_root`` BEFORE the expired segments leave the head; purge
+        gated on the Σn coverage invariant), so ``TSDB.downsample_expire``
+        works over either store."""
+        if self._df is None:
+            return []
+        cutoff = now_ts - retention
+        expired = sorted(
+            r.seg for r in self._df.select("seg").distinct().collect()
+            if (r.seg + 1) * self.segment_duration - 1 < cutoff
+        )
+        if not expired:
+            return []
+        rel = self._df.filter(F.col("seg").isin(expired))
+        roll = (
+            rel.groupBy(
+                "series_key",
+                (F.floor(F.col("ts") / step) * step).cast("long").alias("bucket_ts"),
+                "seg",
+            )
+            .agg(
+                F.any_value(F.col("labels")).alias("labels"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("value").alias("sum"),
+                F.min("value").alias("min"),
+                F.max("value").alias("max"),
+            )
+            .select("series_key", "labels", "bucket_ts", "n", "sum", "min",
+                    "max", "seg")
+        )
+        (
+            roll.repartition("seg")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+            .parquet(dest_root)
+        )
+        raw_rows = rel.count()
+        rolled = (
+            self.spark.read.parquet(dest_root)
+            .filter(F.col("seg").isin(expired))
+            .agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+        )
+        if rolled != raw_rows:
+            raise RuntimeError(
+                f"downsample_expired: rollup covers {rolled} of {raw_rows} "
+                f"raw rows for segs {expired} — purge aborted"
+            )
+        self._swap(self._df.filter(~F.col("seg").isin(expired)))
+        return expired
+
     def delete_series(self, matchers: list, metric: str | None = None) -> int:
         """Targeted series deletion, memory-mode form — same matcher
         language and return contract as ``SegmentStore.delete_series``;

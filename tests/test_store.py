@@ -736,3 +736,27 @@ def test_delete_series_bucketed_store(spark, tmp_path_factory):
     assert len(left) == 1 and left[0]["labels"]["u"] == "b"
     assert db.delete_series([LabelMatcher("u", "a")]) == 0
     spark.sql("DROP TABLE IF EXISTS gdpr_bucketed_t")
+
+
+def test_downsample_expire_memory_mode(spark, tmp_path_factory):
+    """Memory-mode tiered retention: expired head segments land in the
+    parquet rollup before leaving the head; the tiered query then spans
+    both tiers identically to the disk-store form."""
+    base = tmp_path_factory.mktemp("tieredm")
+    db = TSDB(spark, None, only_memory=True, segment_duration=2 * 3600,
+              retention=3 * 3600)
+    rows = [("m", {"x": str(i % 2)}, START + i * 1800, float(i))
+            for i in range(16)]
+    db.insert_rows(rows)
+    now = START + 8 * 3600
+    roll = str(base / "rollup")
+    dropped = db.downsample_expire(step=3600, dest_root=roll, now_ts=now)
+    assert dropped
+    live = db.query_range_rows("m", [], 0, 10**12).count()
+    assert 0 < live < 16
+    from pyspark.sql import functions as F
+
+    got = db.query_range_buckets_tiered(
+        "m", [], START, START + 16 * 1800, 3600, roll)
+    assert got.agg(F.sum("n")).collect()[0][0] == 16  # nothing lost
+    assert db.downsample_expire(step=3600, dest_root=roll, now_ts=now) == []

@@ -117,41 +117,10 @@ class MemoryStore:
         )
         if not expired:
             return []
+        from .segment_store import write_rollup_and_verify
+
         rel = self._df.filter(F.col("seg").isin(expired))
-        roll = (
-            rel.groupBy(
-                "series_key",
-                (F.floor(F.col("ts") / step) * step).cast("long").alias("bucket_ts"),
-                "seg",
-            )
-            .agg(
-                F.any_value(F.col("labels")).alias("labels"),
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("value").alias("sum"),
-                F.min("value").alias("min"),
-                F.max("value").alias("max"),
-            )
-            .select("series_key", "labels", "bucket_ts", "n", "sum", "min",
-                    "max", "seg")
-        )
-        (
-            roll.repartition("seg")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("seg")
-            .parquet(dest_root)
-        )
-        raw_rows = rel.count()
-        rolled = (
-            self.spark.read.parquet(dest_root)
-            .filter(F.col("seg").isin(expired))
-            .agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
-        )
-        if rolled != raw_rows:
-            raise RuntimeError(
-                f"downsample_expired: rollup covers {rolled} of {raw_rows} "
-                f"raw rows for segs {expired} — purge aborted"
-            )
+        write_rollup_and_verify(self.spark, rel, expired, step, dest_root)
         self._swap(self._df.filter(~F.col("seg").isin(expired)))
         return expired
 

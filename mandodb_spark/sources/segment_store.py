@@ -145,6 +145,58 @@ def swap_in(root: str, staging_root: str, keep_old: bool = False) -> str | None:
     return None
 
 
+def mergeable_rollup(rel, step: int):
+    """Per-(series, step-bucket, seg) MERGEABLE aggregate of a canonical
+    relation — the purge-tier rollup shape shared by the disk and memory
+    stores' ``downsample_expired`` (and consumed by
+    ``tsdb_ops.query_range_buckets_tiered``).  Deliberately no avg/last:
+    see ``SegmentStore.downsample_expired``."""
+    return (
+        rel.groupBy(
+            "series_key",
+            (F.floor(F.col("ts") / step) * step).cast("long").alias("bucket_ts"),
+            "seg",
+        )
+        .agg(
+            F.any_value(F.col("labels")).alias("labels"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .select("series_key", "labels", "bucket_ts", "n", "sum", "min",
+                "max", "seg")
+    )
+
+
+def write_rollup_and_verify(spark, rel, expired: list[int], step: int,
+                            dest_root: str, codec: str | None = None) -> None:
+    """Write ``mergeable_rollup(rel)`` to ``dest_root`` (per-seg dynamic
+    overwrite — rerun-idempotent) and enforce the purge gate: raises
+    unless the written rollup's Σn equals the raw row count, so a caller
+    can only drop raw data the rollup provably covers."""
+    w = (
+        mergeable_rollup(rel, step)
+        .repartition("seg")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+    )
+    if codec:
+        w = w.option("compression", codec)
+    w.partitionBy("seg").parquet(dest_root)
+    raw_rows = rel.count()
+    rolled = (
+        spark.read.parquet(dest_root)
+        .filter(F.col("seg").isin(expired))
+        .agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+    )
+    if rolled != raw_rows:
+        raise RuntimeError(
+            f"downsample_expired: rollup covers {rolled} of {raw_rows} "
+            f"raw rows for segs {expired} — purge aborted"
+        )
+
+
 class SegmentStore:
     """Partitioned-Parquet segment store (replaces segmentList, segment.go:38-46)."""
 
@@ -379,41 +431,8 @@ class SegmentStore:
         if not expired:
             return []
         rel = self.relation().filter(F.col("seg").isin(expired))
-        roll = (
-            rel.groupBy(
-                "series_key",
-                (F.floor(F.col("ts") / step) * step).cast("long").alias("bucket_ts"),
-                "seg",
-            )
-            .agg(
-                F.any_value(F.col("labels")).alias("labels"),
-                F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum("value").alias("sum"),
-                F.min("value").alias("min"),
-                F.max("value").alias("max"),
-            )
-            .select("series_key", "labels", "bucket_ts", "n", "sum", "min",
-                    "max", "seg")
-        )
-        (
-            roll.repartition("seg")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .option("compression", self.codec)
-            .partitionBy("seg")
-            .parquet(dest_root)
-        )
-        raw_rows = rel.count()
-        rolled = (
-            self.spark.read.parquet(dest_root)
-            .filter(F.col("seg").isin(expired))
-            .agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
-        )
-        if rolled != raw_rows:
-            raise RuntimeError(
-                f"downsample_expired: rollup covers {rolled} of {raw_rows} "
-                f"raw rows for segs {expired} — purge aborted"
-            )
+        write_rollup_and_verify(self.spark, rel, expired, step, dest_root,
+                                codec=self.codec)
         return self.remove_expired(now_ts, retention)
 
     def delete_series(self, matchers: list, metric: str | None = None) -> int:

@@ -375,6 +375,20 @@ class TSDB:
             raise ValueError("memory-only TSDB has no on-disk store to snapshot")
         return _snap(root, dest)
 
+    def restore(self, snapshot_root: str) -> int:
+        """Atomically restore the store from a snapshot (staging hardlink
+        tree + swap — see ``sources.segment_store.restore``); invalidates
+        cached relations so subsequent queries read the restored data."""
+        from .sources.segment_store import restore as _restore
+
+        root = getattr(self.store, "root", None)
+        if root is None:
+            raise ValueError("memory-only TSDB has no on-disk store to restore")
+        n = _restore(snapshot_root, root)
+        self.spark.catalog.clearCache()
+        self.spark.catalog.refreshByPath(root)
+        return n
+
     def fsck(self) -> dict:
         """Storage integrity report (the reference's loadFiles startup
         validation, tsdb.go:408-463, on demand): corrupt footers, leftover

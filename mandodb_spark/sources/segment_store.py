@@ -1026,3 +1026,24 @@ def snapshot(root: str, dest: str) -> int:
             os.link(p, out)
             n += 1
     return n
+
+
+def restore(snapshot_root: str, root: str) -> int:
+    """Restore a store from a :func:`snapshot`, atomically: hardlink the
+    snapshot's tree into a staging root (zero bytes copied — same
+    immutability argument as snapshot), then :func:`swap_in` over the
+    live root, so a reader never sees a half-restored tree and a crash
+    leaves either the old store or the fully-restored one.  The replaced
+    live tree is deleted by the swap; take a snapshot of it FIRST if the
+    post-incident state matters forensically.  Returns the restored file
+    count."""
+    if not Path(snapshot_root).exists():
+        raise FileNotFoundError(f"no snapshot at {snapshot_root}")
+    staging = f"{root}__restore"
+    shutil.rmtree(staging, ignore_errors=True)
+    n = snapshot(snapshot_root, staging)
+    if Path(root).exists():
+        swap_in(root, staging)
+    else:
+        Path(staging).rename(root)
+    return n

@@ -760,3 +760,32 @@ def test_downsample_expire_memory_mode(spark, tmp_path_factory):
         "m", [], START, START + 16 * 1800, 3600, roll)
     assert got.agg(F.sum("n")).collect()[0][0] == 16  # nothing lost
     assert db.downsample_expire(step=3600, dest_root=roll, now_ts=now) == []
+
+
+def test_snapshot_restore_roundtrip(spark, tmp_path_factory):
+    """restore() returns the store to the snapshotted state atomically:
+    post-snapshot mutations (GDPR delete + new appends) are rolled back,
+    fsck passes, and queries read the restored data."""
+    from mandodb_spark.sources.segment_store import fsck
+
+    base = tmp_path_factory.mktemp("restore")
+    db = TSDB(spark, str(base / "live"), segment_duration=2 * 3600)
+    rows = [("m", {"u": chr(97 + i % 2)}, START + i * 3600, float(i))
+            for i in range(6)]
+    db.insert_rows(rows)
+    before = sorted((r["ts"], r["value"]) for r in
+                    db.query_range_rows("m", [], 0, 10**12).collect())
+    snap = str(base / "snap")
+    db.snapshot(snap)
+
+    db.delete_series([LabelMatcher("u", "a")])
+    db.insert_rows([("m", {"u": "z"}, START + 99 * 3600, 42.0)])
+    assert sorted((r["ts"], r["value"]) for r in
+                  db.query_range_rows("m", [], 0, 10**12).collect()) != before
+
+    n = db.restore(snap)
+    assert n > 0
+    after = sorted((r["ts"], r["value"]) for r in
+                   db.query_range_rows("m", [], 0, 10**12).collect())
+    assert after == before
+    assert fsck(str(base / "live"))["ok"]

@@ -335,3 +335,47 @@ class TextIndex:
             joined.select("id", match_count.cast("long").alias("n_matches"))
             .filter(F.col("n_matches") > 0)
         )
+
+
+    # ----------------------------------------------------- prefix expansion
+    def expand_prefix(self, prefix: str, max_terms: int = 64) -> list[str]:
+        """Expand a prefix query ('spar*') into the concrete index terms
+        that start with it - the Lucene term-dictionary move: hash
+        bucketing cannot prune a prefix directly, so wildcard search goes
+        dictionary-scan -> bounded term list -> ordinary bucket-pruned
+        multi-term search.  The dictionary scan is column-pruned (term
+        only) over the postings relation and deduplicated; cost is one
+        pass over term strings, NOT postings rows (Parquet dictionary
+        encoding makes it footer-cheap in practice).
+
+        Raises when the prefix matches more than ``max_terms`` distinct
+        terms - an unbounded expansion ('a*') would quietly turn one
+        probe into a corpus scan; the caller narrows the prefix or raises
+        the cap explicitly."""
+        if not prefix:
+            raise ValueError("expand_prefix: empty prefix")
+        terms = [
+            r["term"] for r in (
+                self.spark.read.parquet(self._postings)
+                .select("term")
+                .filter(F.col("term").startswith(prefix.lower()))
+                .distinct()
+                .orderBy("term")
+                .limit(max_terms + 1)
+                .collect()
+            )
+        ]
+        if len(terms) > max_terms:
+            raise ValueError(
+                f"expand_prefix: {prefix!r}* matches more than {max_terms} "
+                f"terms - narrow the prefix or raise max_terms")
+        return terms
+
+    def search_prefix(self, prefix: str, k: int = 10, max_terms: int = 64,
+                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        """Wildcard BM25: expand the prefix through the term dictionary,
+        then run the ordinary bucket-pruned multi-term :meth:`search`."""
+        terms = self.expand_prefix(prefix, max_terms)
+        if not terms:
+            return self.search(["nomatchsentinel"], k=k).limit(0)
+        return self.search(terms, k=k, k1=k1, b=b)

@@ -830,3 +830,28 @@ def test_phrase_search_matches_python_reference(spark, tmp_path):
         got = {r["id"]: r["n_matches"]
                for r in idx.phrase_search(phrase).collect()}
         assert got == want, phrase
+
+
+def test_text_index_prefix_search(spark, tmp_path):
+    """Prefix expansion: dictionary-bounded wildcard search equals a
+    direct multi-term search over the expanded set; over-broad prefixes
+    raise instead of scanning the corpus."""
+    import pytest as _pytest
+
+    from mandodb_spark.sources.text_index import TextIndex
+
+    docs = spark.createDataFrame(
+        [(0, "sparkle spark sparta"), (1, "spark plug"), (2, "nothing here"),
+         (3, "sparrow song")], "doc_id long, text string")
+    idx = TextIndex(spark, str(tmp_path / "ti"), n_buckets=8)
+    idx.build(docs, "doc_id", "text")
+    assert idx.expand_prefix("spar") == ["spark", "sparkle", "sparrow", "sparta"]
+    got = {r["id"] for r in idx.search_prefix("spar", k=10).collect()}
+    assert got == {0, 1, 3}
+    direct = [(r["id"], r["score"]) for r in
+              idx.search(["spark", "sparkle", "sparrow", "sparta"], k=10).collect()]
+    via = [(r["id"], r["score"]) for r in idx.search_prefix("spar", k=10).collect()]
+    assert via == direct
+    with _pytest.raises(ValueError, match="more than"):
+        idx.expand_prefix("s", max_terms=2)
+    assert idx.search_prefix("zzz", k=5).count() == 0

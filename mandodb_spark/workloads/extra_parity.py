@@ -1604,3 +1604,49 @@ SELECT 'lineitem->part',
 
 QUERIES["x_tpch_fk_orphans"] = x_tpch_fk_orphans
 ORACLES["x_tpch_fk_orphans"] = _FK_ORPHANS_SQL
+
+
+def x_docs_chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition law as an oracle: chunk_documents(64, overlap 8) then
+    reassemble_chunks must be the IDENTITY on non-null text — the oracle
+    side is simply the original table, so any drift in either operator's
+    windowing rule breaks the hash."""
+    from ..operators.text import chunk_documents, reassemble_chunks
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_documents(d, "doc_id", "text", 64, overlap=8)
+    return reassemble_chunks(
+        ch.select("doc_id", "chunk_idx", "chunk_text"), "doc_id", overlap=8)
+
+
+QUERIES["x_docs_chunk_roundtrip"] = x_docs_chunk_roundtrip
+ORACLES["x_docs_chunk_roundtrip"] = (
+    "SELECT doc_id, text FROM documents WHERE text IS NOT NULL")
+
+
+def x_events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join rescue equivalence as an oracle: events (event_type is a
+    5-value hot key by construction) salted-joined to a tiny type-dim
+    must equal the plain SQL join — the oracle IS the unsalted join, so
+    the salt/replicate/drop plumbing can never silently change results."""
+    from ..operators.joins import salted_join
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 0), ("purchase", 5), ("signup", 3),
+         ("error", -1)], "event_type string, weight int")
+    j = salted_join(e, dim, "event_type", n_salts=8, how="left",
+                    salt_cols=["event_id"])
+    return j.select("event_id", "event_type",
+                    F.col("weight").cast("long").alias("weight"))
+
+
+_SALTED_SQL = """
+SELECT e.event_id, e.event_type, CAST(d.weight AS BIGINT) AS weight
+FROM events e LEFT JOIN (VALUES ('click', 1), ('view', 0), ('purchase', 5),
+                                ('signup', 3), ('error', -1)) d(event_type, weight)
+     ON d.event_type = e.event_type
+"""
+
+QUERIES["x_events_salted_enrich"] = x_events_salted_enrich
+ORACLES["x_events_salted_enrich"] = _SALTED_SQL

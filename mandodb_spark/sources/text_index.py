@@ -251,20 +251,34 @@ class TextIndex:
             == (actual["n_docs"], actual["n_dl"], actual["sum_dl"])
         )
         post = self.spark.read.parquet(self._postings)
-        misplaced = post.filter(
-            F.col("tb")
-            != F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets)).cast("int")
-        ).count()
-        orphans = (
-            post.select("id").distinct()
-            .join(dl.select("id"), "id", "left_anti")
-            .count()
-        )
+
+        def _bucket_audit(rel):
+            mis = rel.filter(
+                F.col("tb")
+                != F.pmod(F.xxhash64(F.col("term")), F.lit(self.n_buckets)).cast("int")
+            ).count()
+            orph = (
+                rel.select("id").distinct()
+                .join(dl.select("id"), "id", "left_anti")
+                .count()
+            )
+            return int(mis), int(orph)
+
+        misplaced, orphans = _bucket_audit(post)
+        pos_misplaced = pos_orphans = 0
+        from pathlib import Path as _P
+
+        if _P(self._positions).exists():
+            pos_misplaced, pos_orphans = _bucket_audit(
+                self.spark.read.parquet(self._positions))
         return {
-            "ok": bool(stats_match and misplaced == 0 and orphans == 0),
+            "ok": bool(stats_match and misplaced == 0 and orphans == 0
+                       and pos_misplaced == 0 and pos_orphans == 0),
             "stats_match": bool(stats_match),
-            "misplaced_postings": int(misplaced),
-            "orphan_postings": int(orphans),
+            "misplaced_postings": misplaced,
+            "orphan_postings": orphans,
+            "misplaced_positions": pos_misplaced,
+            "orphan_positions": pos_orphans,
         }
 
     # ------------------------------------------------------- phrase search

@@ -784,12 +784,13 @@ def test_text_index_fsck_flags_tampered_stats(spark, tmp_path):
     from mandodb_spark.sources.text_index import TextIndex
 
     idx = TextIndex(spark, str(tmp_path / "ti"), n_buckets=4)
-    idx.build(
-        spark.createDataFrame([(1, "a b c"), (2, "d e")],
-                              "doc_id long, text string"),
-        "doc_id", "text")
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e")],
+                                 "doc_id long, text string")
+    idx.build(docs, "doc_id", "text")
+    idx.build_positions(docs, "doc_id", "text")
     assert idx.fsck() == {"ok": True, "stats_match": True,
-                          "misplaced_postings": 0, "orphan_postings": 0}
+                          "misplaced_postings": 0, "orphan_postings": 0,
+                          "misplaced_positions": 0, "orphan_positions": 0}
     idx._write_stats(spark.createDataFrame(
         [(99, 99, 99)], "n_docs long, n_dl long, sum_dl long"))
     spark.catalog.clearCache()

@@ -226,3 +226,62 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
        CAST(n_triangles AS BIGINT) AS n_triangles
 FROM tri
 """
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 100) -> DataFrame:
+    """Extract the k-core of an undirected graph: the maximal subgraph
+    where every node keeps degree >= k — the dup-graph densest-region
+    extractor (a k-core of the near-dup graph is a set of documents that
+    are each near-duplicates of >= k others: template farms, mirror
+    rings), complementing PageRank (who is canonical), CC (which docs
+    relate at all) and triangle_count (how clique-like overall).
+
+    Synchronous peel: drop all nodes with degree < k, recompute, repeat
+    to fixpoint.  Each round is one aggregate + two anti-joins with the
+    sub-k node set BROADCAST (it is the frontier, not the graph), and the
+    surviving edge list is localCheckpoint-ed so lineage stays constant
+    depth — the same loop discipline as pagerank/connected_components.
+    Termination: each round strictly shrinks the node set or stops, so
+    rounds <= peel depth (<= max degree, usually tiny); ``max_rounds``
+    is a backstop that raises rather than silently returning a
+    non-fixpoint.
+
+    Output: ``(node, degree)`` for k-core members (degree within the
+    core).  Empty when no k-core exists.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    e = (
+        und.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionByName(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_rounds):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        weak = deg.filter(F.col("deg") < k).select("s")
+        if weak.isEmpty():
+            out = deg.select(F.col("s").alias("node"),
+                             F.col("deg").cast("long").alias("degree"))
+            if prev is not None:
+                prev.unpersist()
+            return out
+        nxt = (
+            e.join(F.broadcast(weak), "s", "left_anti")
+            .join(F.broadcast(weak.withColumnRenamed("s", "d")), "d", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev, e = e, nxt
+        if e.isEmpty():
+            return e.select(F.col("s").alias("node"),
+                            F.lit(0).cast("long").alias("degree")).limit(0)
+    raise RuntimeError(f"k_core: no fixpoint within {max_rounds} rounds")

@@ -3434,3 +3434,34 @@ def test_expectations_report_counts_violations(spark):
     assert rep[("score", "min")] == (1, False)
     assert rep[("score", "max")] == (1, False)
     assert rep[("lang", "matches")] == (1, False)      # 'xx' fails [a-w]
+
+
+def test_k_core_matches_brute_force(spark):
+    """k-core vs an iterative python peel on known + random graphs: a
+    triangle with a pendant chain keeps only the triangle at k=2; random
+    graphs match exactly (members AND in-core degrees); k too large
+    yields empty."""
+    import random
+
+    from mandodb_spark.operators.graph import k_core
+
+    def brute(es, k):
+        und = {tuple(sorted(e)) for e in es if e[0] != e[1]}
+        while True:
+            deg = {}
+            for x, y in und:
+                deg[x] = deg.get(x, 0) + 1
+                deg[y] = deg.get(y, 0) + 1
+            weak = {n for n, d in deg.items() if d < k}
+            if not weak:
+                return deg
+            und = {e for e in und if weak.isdisjoint(e)}
+
+    tri_chain = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    rng = random.Random(5)
+    rand = [(rng.randrange(14), rng.randrange(14)) for _ in range(50)]
+    for es, k in [(tri_chain, 2), (rand, 2), (rand, 3), (rand, 9)]:
+        df = spark.createDataFrame(es, "src long, dst long")
+        got = {r["node"]: r["degree"] for r in k_core(df, k).collect()}
+        assert got == brute(es, k), (es, k)
+    assert brute(tri_chain, 2) == {0: 2, 1: 2, 2: 2}

@@ -1094,3 +1094,43 @@ def test_text_index_maintainer_appends_and_compacts(spark, tmp_path_factory):
     dl = [f for f in glob.glob(str(base / "tidx" / "doclen" / "part-*"))
           if not f.endswith(".crc")]
     assert len(dl) <= 4, dl  # bounded by n_buckets, not one-per-append
+
+
+def test_retention_maintainer_tiers_and_purges(spark, tmp_path_factory):
+    """RetentionMaintainer under a real stream: as the injected clock
+    advances per batch, raw segments roll into the purge tier and are
+    dropped, the tier itself honors its longer retention, and the tiered
+    query still accounts for every surviving point."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.streaming.retention_maintenance import RetentionMaintainer
+
+    base = tmp_path_factory.mktemp("retm")
+    START_ = 1_700_000_000
+    db = TSDB(spark, str(base / "live"), segment_duration=2 * 3600,
+              retention=3 * 3600)
+    db.insert_rows([("m", {"x": "a"}, START_ + i * 1800, float(i))
+                    for i in range(16)])  # 8h of data
+
+    clock = {"now": START_ + 8 * 3600}
+    m = RetentionMaintainer(
+        db, step=3600, rollup_dest=str(base / "tier"), every=1,
+        rollup_retention=20 * 3600, now_fn=lambda: clock["now"])
+
+    src = str(base / "src")
+    spark.createDataFrame([(1,)], "tick long").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema("tick long") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = m.start(stream, str(base / "ckpt"))
+    q.awaitTermination(120)
+
+    assert m.runs == 1 and m.dropped_raw
+    tiered = db.query_range_buckets_tiered(
+        "m", [], START_, START_ + 16 * 1800, 3600, str(base / "tier"))
+    assert tiered.agg(F.sum("n")).collect()[0][0] == 16  # nothing lost
+
+    # advance the clock far enough that even the TIER expires
+    clock["now"] = START_ + 40 * 3600
+    m.maintain()
+    assert m.dropped_rollup  # second-tier retention fired

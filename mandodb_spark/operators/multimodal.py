@@ -1091,3 +1091,92 @@ def scene_changes(df: DataFrame, id_col: str, payload_col: str,
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, SCENE_SCHEMA)
+
+
+#: Output schema of the content-defined chunking stage.
+CDC_SCHEMA = "doc_id long, chunk_idx int, offset long, length long, chunk_md5 string"
+
+
+def cdc_chunks(df: DataFrame, id_col: str, payload_col: str,
+               avg_size: int = 1024, min_size: int | None = None,
+               max_size: int | None = None, window: int = 16) -> DataFrame:
+    """Content-defined chunking over a binary column: split each payload
+    at ROLLING-HASH boundaries (Rabin-style: cut where the hash of the
+    trailing ``window`` bytes is 0 mod ``avg_size``) instead of fixed
+    offsets — the dedup primitive for binary blobs, because an insertion
+    near the start of a file shifts FIXED chunks' contents everywhere but
+    moves content-defined boundaries only locally, so all downstream
+    chunks keep their hashes (shift invariance, property-tested).
+    Identical chunks across assets then dedup by ``chunk_md5`` with the
+    ordinary exact-dedup machinery.
+
+    Bounds: ``min_size`` (default avg/4) suppresses pathological tiny
+    chunks, ``max_size`` (default avg*4) forces a cut through
+    boundary-free regions (constant bytes never hash to the cut value).
+    The hash is a fixed-base polynomial over the window — pure numpy per
+    Arrow batch (one vectorized pass per payload), deterministic across
+    engines and runs.
+
+    Output: one row per chunk ``(id, chunk_idx, offset, length,
+    chunk_md5)``.  Empty payloads produce no rows.
+    """
+    min_size = avg_size // 4 if min_size is None else min_size
+    max_size = avg_size * 4 if max_size is None else max_size
+    if not (0 < min_size <= avg_size <= max_size):
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+    base, mod = 257, (1 << 31) - 1
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w = np.array([pow(base, window - 1 - i, mod) for i in range(window)],
+                     dtype=np.int64)
+        for pdf in it:
+            ids, idxs, offs, lens, hashes = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload or b"")
+                n = len(data)
+                if n == 0:
+                    continue
+                # fully vectorized windowed hash: sliding-window dot with
+                # the precomputed base powers (max term 255*2^31*window —
+                # fits int64), one mod at the end; candidate cut at byte
+                # p ends a chunk when hash of bytes [p-window+1, p] == 0
+                # mod avg_size
+                if n >= window:
+                    buf = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                    sw = np.lib.stride_tricks.sliding_window_view(buf, window)
+                    cands = np.flatnonzero((sw @ w) % mod % avg_size == 0)                         + (window - 1)
+                else:
+                    cands = np.empty(0, dtype=np.int64)
+                # greedy boundary walk over CANDIDATES only (O(chunks),
+                # not O(bytes)): honor min_size/max_size, force a cut
+                # through boundary-free regions at max_size
+                start, ci = 0, 0
+                while n - start > max_size or (
+                    n - start >= min_size and start < n
+                ):
+                    lo, hi = start + min_size - 1, start + max_size - 1
+                    if hi >= n - 1:
+                        break  # remainder fits one final chunk
+                    j = int(np.searchsorted(cands, lo))
+                    p = int(cands[j]) if j < len(cands) and cands[j] <= hi else hi
+                    end = p + 1
+                    ids.append(int(doc_id)); idxs.append(ci)
+                    offs.append(start); lens.append(end - start)
+                    hashes.append(hashlib.md5(data[start:end]).hexdigest())
+                    ci += 1
+                    start = end
+                if start < n:
+                    ids.append(int(doc_id)); idxs.append(ci)
+                    offs.append(start); lens.append(n - start)
+                    hashes.append(hashlib.md5(data[start:]).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int32"),
+                "offset": pd.Series(offs, dtype="int64"),
+                "length": pd.Series(lens, dtype="int64"),
+                "chunk_md5": pd.Series(hashes, dtype="object"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(batches, CDC_SCHEMA)

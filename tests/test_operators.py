@@ -3465,3 +3465,48 @@ def test_k_core_matches_brute_force(spark):
         got = {r["node"]: r["degree"] for r in k_core(df, k).collect()}
         assert got == brute(es, k), (es, k)
     assert brute(tri_chain, 2) == {0: 2, 1: 2, 2: 2}
+
+
+def test_cdc_chunks_shift_invariance_and_bounds(spark):
+    """Content-defined chunking: sizes respect [min,max] (final chunk may
+    be short), deterministic across calls, and — the point — inserting
+    bytes near the front changes only the leading chunks: the tail
+    chunk-hash multiset is preserved (fixed-size chunking would shift
+    every boundary)."""
+    import random
+
+    from mandodb_spark.operators.multimodal import cdc_chunks
+
+    rng = random.Random(3)
+    a = bytes(rng.randrange(256) for _ in range(20_000))
+    b = b"INSERTED-PREFIX-BYTES!" + a
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b)), (3, bytearray(b""))],
+        "doc_id long, payload binary")
+    rows = cdc_chunks(df, "doc_id", "payload", avg_size=512).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by  # empty payload -> no rows
+    for did in (1, 2):
+        cs = sorted(by[did], key=lambda r: r["chunk_idx"])
+        total = sum(r["length"] for r in cs)
+        assert total == (20_000 if did == 1 else 20_000 + 22)
+        assert all(r["length"] <= 2048 for r in cs)
+        assert all(r["length"] >= 128 for r in cs[:-1])
+        # offsets are contiguous
+        off = 0
+        for r in cs:
+            assert r["offset"] == off
+            off += r["length"]
+    ha = [r["chunk_md5"] for r in sorted(by[1], key=lambda r: r["chunk_idx"])]
+    hb = [r["chunk_md5"] for r in sorted(by[2], key=lambda r: r["chunk_idx"])]
+    # the tail realigns: a long common suffix of chunk hashes survives
+    common_tail = 0
+    while (common_tail < min(len(ha), len(hb))
+           and ha[-1 - common_tail] == hb[-1 - common_tail]):
+        common_tail += 1
+    assert common_tail >= max(2, len(ha) - 4), (len(ha), len(hb), common_tail)
+    # deterministic
+    again = cdc_chunks(df, "doc_id", "payload", avg_size=512).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

@@ -1180,3 +1180,25 @@ def cdc_chunks(df: DataFrame, id_col: str, payload_col: str,
             })
 
     return df.select(id_col, payload_col).mapInPandas(batches, CDC_SCHEMA)
+
+
+def cdc_dedup_report(chunks: DataFrame) -> DataFrame:
+    """Storage-savings summary over a :func:`cdc_chunks` result: one row
+    ``(n_chunks, n_unique_chunks, total_bytes, unique_bytes,
+    dedup_ratio)`` — unique bytes counts each distinct chunk_md5 once
+    (its first length; identical hashes imply identical lengths), the
+    standard backup-dedup accounting.  One partial-aggregated groupBy +
+    a 1-row rollup."""
+    per = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.first("length").alias("length"),
+    )
+    return per.agg(
+        F.sum("copies").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        F.sum(F.col("copies") * F.col("length")).cast("long").alias("total_bytes"),
+        F.sum("length").cast("long").alias("unique_bytes"),
+        (F.lit(1.0) - F.sum("length").cast("double")
+         / F.sum(F.col("copies") * F.col("length")).cast("double"))
+        .alias("dedup_ratio"),
+    )

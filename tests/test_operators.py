@@ -3510,3 +3510,25 @@ def test_cdc_chunks_shift_invariance_and_bounds(spark):
     # deterministic
     again = cdc_chunks(df, "doc_id", "payload", avg_size=512).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_cdc_dedup_report_counts_planted_duplicates(spark):
+    """Two assets sharing a large identical region: the chunk-level
+    report finds real savings (dedup_ratio > 0.3) and exact byte
+    accounting."""
+    import random
+
+    from mandodb_spark.operators.multimodal import cdc_chunks, cdc_dedup_report
+
+    rng = random.Random(9)
+    shared = bytes(rng.randrange(256) for _ in range(12_000))
+    a = shared + bytes(rng.randrange(256) for _ in range(2_000))
+    b = bytes(rng.randrange(256) for _ in range(2_000)) + shared
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(b))], "doc_id long, payload binary")
+    ch = cdc_chunks(df, "doc_id", "payload", avg_size=512)
+    rep = cdc_dedup_report(ch).collect()[0]
+    assert rep["total_bytes"] == len(a) + len(b)
+    assert rep["unique_bytes"] < rep["total_bytes"]
+    assert rep["dedup_ratio"] > 0.3, rep
+    assert rep["n_unique_chunks"] < rep["n_chunks"]

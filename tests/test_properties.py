@@ -425,3 +425,50 @@ def test_ahash64_is_brightness_and_scale_invariant(seed, shift, w, h):
     assert ahash64(w, h, 3, shifted.tobytes()) == base
     up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
     assert ahash64(2 * w, 2 * h, 3, up.tobytes()) == base
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "ftp"]),
+    host=st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,6}(\.[A-Za-z]{2,5}){1,2}", fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/a/b", "/x"]),
+    params=st.lists(
+        st.sampled_from(["a=1", "b=2", "utm_source=x", "gclid=9", "z="]),
+        max_size=4),
+    frag=st.sampled_from(["", "#f"]),
+)
+def test_canonicalize_url_idempotent(spark, scheme, host, port, path, params, frag):
+    """canon(canon(u)) == canon(u): the canonical form is a fixpoint —
+    re-canonicalizing a cleaned URL never changes it (ports, param order,
+    tracking removal, fragment drop all stabilize after one pass)."""
+    from mandodb_spark.operators.web import canonicalize_url
+
+    url = f"{scheme}://{host}{port}{path}"
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c")).collect()[0]["c"]
+    if once is None:
+        return
+    twice = spark.createDataFrame([(once,)], "url string") \
+        .select(canonicalize_url(F.col("url")).alias("c")).collect()[0]["c"]
+    assert twice == once, (url, once, twice)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(xs=st.lists(st.integers(min_value=-1000, max_value=1000),
+                   min_size=4, max_size=40))
+def test_acf_bounded_by_one(spark, xs):
+    """|acf| <= 1 for every lag (Cauchy-Schwarz on the large-lag
+    estimator), NULL only when the series is constant."""
+    from mandodb_spark.operators.temporal import acf
+
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in enumerate(xs)], "g string, t int, v int")
+    for r in acf(df, ["g"], "t", "v", max_lag=3).collect():
+        if r["acf"] is not None:
+            assert -1.0 - 1e-12 <= r["acf"] <= 1.0 + 1e-12, (xs, r)
+        else:
+            assert len(set(xs)) == 1

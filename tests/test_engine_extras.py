@@ -663,3 +663,51 @@ def test_engine_lttb_surface(spark, tmp_path_factory):
     assert by_bucket[spike_bucket].value == 82.0  # spike survives
     assert min(r.ts for r in out) == base        # endpoint rule
     assert max(r.ts for r in out) == base + 99 * 60
+
+
+def test_run_curation_end_to_end(spark, tmp_path):
+    """Declarative pipeline over planted data: short docs gated, exact
+    and near dups collapsed, PII scrubbed, export manifests and verifies;
+    a failing expectations rule fail-closes the export."""
+    from mandodb_spark.pipelines import run_curation
+    from mandodb_spark.sources import export as ex
+
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"w{j}" for j in range(400)]
+
+    def doc():  # distinct content per doc so only PLANTED dups collide
+        return " ".join(rng.sample(vocab, 30))
+
+    rows = [(i, doc(), "web") for i in range(20)]
+    rows += [(100, rows[0][1], "web"),               # exact dup of doc 0
+             (101, rows[1][1] + " tiny", "web"),     # near dup of doc 1
+             (102, "too short", "web"),              # gated
+             (103, doc() + " contact me me@x.com now ok", "books")]  # PII
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    cfg = {
+        "gates": {"min_tokens": 10},
+        "dedup": {"exact": True, "near": {"threshold": 0.7}},
+        "pii": True,
+        "export": {"path": str(tmp_path / "drop"), "shards": 3},
+    }
+    rep = run_curation(spark, df, cfg)
+    names = {s["name"]: s["rows"] for s in rep["stages"]}
+    assert names["input"] == 24
+    assert names["gates"] == 23          # doc 102 gated
+    assert names["exact_dedup"] == 22    # doc 100 collapsed
+    assert names["near_dedup"] == 21     # doc 101 collapsed
+    assert rep["aborted"] is None and rep["exported"]["total_records"] == 21
+    assert ex.verify_export(spark, str(tmp_path / "drop"))["ok"]
+    back = ex.read_export(spark, str(tmp_path / "drop"))
+    pii_row = back.filter("doc_id = 103").collect()[0]
+    assert "me@x.com" not in pii_row["text"] and "<EMAIL>" in pii_row["text"]
+
+    bad = dict(cfg, export={"path": str(tmp_path / "drop2"), "shards": 2},
+               expectations=[{"col": "doc_id", "kind": "max", "value": 50}])
+    rep2 = run_curation(spark, df, bad)
+    assert rep2["aborted"] and rep2["exported"] is None
+    import os
+    assert not os.path.exists(str(tmp_path / "drop2"))

@@ -285,3 +285,44 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
             return e.select(F.col("s").alias("node"),
                             F.lit(0).cast("long").alias("degree")).limit(0)
     raise RuntimeError(f"k_core: no fixpoint within {max_rounds} rounds")
+
+
+def co_occurrence(events: DataFrame, entity_col: str, context_col: str,
+                  min_count: int = 1, max_context_size: int = 1000) -> DataFrame:
+    """Bipartite projection: the weighted entity-entity co-occurrence
+    graph from (entity, context) facts — users co-touching an item,
+    documents sharing a rare token, papers sharing an author.  The edge
+    builder that feeds every other operator in this module (pagerank /
+    triangle_count / k_core run on its output).
+
+    Scale shape: one shuffle groups each context's distinct entities
+    into a sorted member array; pairs expand through the same chained-
+    generator form as the LSH bucket pairs (dedup._bucket_pairs — stays
+    in whole-stage codegen); one final count aggregate weights the
+    edges.  The skew control IS the point: a context with a million
+    entities contributes O(10¹²) pairs — ``max_context_size`` drops
+    such hub contexts entirely (a context shared by everyone carries no
+    co-occurrence signal, the stop-word argument), and the drop is
+    LOGGED in the plan as an explicit filter, not a silent truncation.
+
+    Output: ``(src, dst, weight)`` with src < dst, weight = number of
+    shared contexts, edges with weight < ``min_count`` dropped.
+    """
+    groups = (
+        events.select(F.col(context_col).alias("__c"),
+                      F.col(entity_col).alias("__e"))
+        .distinct()
+        .groupBy("__c")
+        .agg(F.sort_array(F.collect_list("__e")).alias("ids"))
+        .filter(F.size("ids").between(2, max_context_size))
+    )
+    pairs = (
+        groups.select(F.posexplode("ids").alias("__i", "src"), F.col("ids"))
+        .select("src",
+                F.expr("explode(slice(ids, __i + 2, size(ids)))").alias("dst"))
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .filter(F.col("weight") >= min_count)
+    )

@@ -3532,3 +3532,31 @@ def test_cdc_dedup_report_counts_planted_duplicates(spark):
     assert rep["unique_bytes"] < rep["total_bytes"]
     assert rep["dedup_ratio"] > 0.3, rep
     assert rep["n_unique_chunks"] < rep["n_chunks"]
+
+
+def test_co_occurrence_projection(spark):
+    """Weighted bipartite projection vs brute force; hub contexts above
+    the cap contribute nothing; min_count prunes weak edges."""
+    import itertools
+
+    rows = [("u1", "a"), ("u2", "a"), ("u3", "a"),
+            ("u1", "b"), ("u2", "b"),
+            ("u1", "c"),                      # singleton context: no pairs
+            ("u1", "hub"), ("u2", "hub"), ("u3", "hub"), ("u4", "hub")]
+    df = spark.createDataFrame(rows, "user string, item string")
+
+    from mandodb_spark.operators.graph import co_occurrence
+
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in co_occurrence(df, "user", "item",
+                                  max_context_size=3).collect()}
+    # contexts a (3 users) and b (2 users) count; hub (4 > cap) dropped
+    want = {}
+    for ctx, members in [("a", ["u1", "u2", "u3"]), ("b", ["u1", "u2"])]:
+        for x, y in itertools.combinations(sorted(members), 2):
+            want[(x, y)] = want.get((x, y), 0) + 1
+    assert got == want
+    strong = {(r["src"], r["dst"])
+              for r in co_occurrence(df, "user", "item", min_count=2,
+                                     max_context_size=3).collect()}
+    assert strong == {("u1", "u2")}

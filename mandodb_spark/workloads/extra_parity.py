@@ -1650,3 +1650,34 @@ FROM events e LEFT JOIN (VALUES ('click', 1), ('view', 0), ('purchase', 5),
 
 QUERIES["x_events_salted_enrich"] = x_events_salted_enrich
 ORACLES["x_events_salted_enrich"] = _SALTED_SQL
+
+
+def x_events_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence projection as an oracle: users active in the same
+    hour become weighted edges (graph.co_occurrence — codegen pair
+    expansion, hub-hour cap); the oracle is the plain distinct self-join.
+    Weight >= 3 prunes incidental co-presence."""
+    from ..operators.graph import co_occurrence
+    from .common import events_base
+
+    e = events_base(spark, sf_dir).select(
+        "user_id", (F.floor(F.col("ts") / 3600)).cast("long").alias("hour"))
+    return co_occurrence(e, "user_id", "hour", min_count=3,
+                         max_context_size=40)
+
+
+_COPRESENCE_SQL = """
+WITH du AS (
+    SELECT DISTINCT CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hour, user_id
+    FROM events
+), sized AS (
+    SELECT hour FROM du GROUP BY hour HAVING count(*) BETWEEN 2 AND 40
+), d AS (SELECT du.* FROM du JOIN sized USING (hour))
+SELECT a.user_id AS src, b.user_id AS dst,
+       CAST(count(*) AS BIGINT) AS weight
+FROM d a JOIN d b ON a.hour = b.hour AND a.user_id < b.user_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+QUERIES["x_events_copresence"] = x_events_copresence
+ORACLES["x_events_copresence"] = _COPRESENCE_SQL

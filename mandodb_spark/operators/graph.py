@@ -326,3 +326,49 @@ def co_occurrence(events: DataFrame, entity_col: str, context_col: str,
         .agg(F.count(F.lit(1)).cast("long").alias("weight"))
         .filter(F.col("weight") >= min_count)
     )
+
+
+def coreness(edges: DataFrame, src: str = "src", dst: str = "dst",
+             max_k: int = 64) -> DataFrame:
+    """Full core decomposition: every node's coreness (the largest k for
+    which it survives the k-core peel) — the graded version of
+    :func:`k_core`, ranking dup-graph members by how deeply embedded in
+    a mirror-ring they are.
+
+    Ladder form: run the k-core peel for k = 2, 3, ... until the core
+    empties; a node's coreness is the last k whose core contained it
+    (degree-1 leaves of the canonical graph get coreness 1).  Total cost
+    is Σ_k peel(k) — each peel is the checkpointed broadcast-frontier
+    loop, and the ladder shortens geometrically as cores shrink; dup
+    graphs empty within a handful of rungs.  ``max_k`` bounds a
+    clique-of-everything pathology and raises rather than mislabeling.
+
+    Output: ``(node, coreness)`` for every non-isolated node.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    out = nodes.withColumn("coreness", F.lit(1).cast("long"))
+    pair_edges = und.select(F.col("a").alias(src), F.col("b").alias(dst))
+    for k in range(2, max_k + 1):
+        core = k_core(pair_edges, k, src=src, dst=dst)
+        if core.isEmpty():
+            return out
+        out = (
+            out.join(core.select(F.col("node"), F.lit(k).alias("__k")),
+                     "node", "left")
+            .select("node",
+                    F.coalesce(F.col("__k"), F.col("coreness"))
+                    .cast("long").alias("coreness"))
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"coreness: graph has a core beyond max_k={max_k}")

@@ -3560,3 +3560,41 @@ def test_co_occurrence_projection(spark):
               for r in co_occurrence(df, "user", "item", min_count=2,
                                      max_context_size=3).collect()}
     assert strong == {("u1", "u2")}
+
+
+def test_coreness_matches_brute_force(spark):
+    """Coreness ladder vs a direct peel-per-k python reference on random
+    graphs (triangle+pendant known case: triangle nodes 2, bridge 1)."""
+    import random
+
+    from mandodb_spark.operators.graph import coreness
+
+    def brute(es):
+        und = {tuple(sorted(e)) for e in es if e[0] != e[1]}
+        nodes = {n for e in und for n in e}
+        core = {n: 1 for n in nodes}
+        k = 2
+        cur = set(und)
+        while cur:
+            while True:
+                deg = {}
+                for x, y in cur:
+                    deg[x] = deg.get(x, 0) + 1
+                    deg[y] = deg.get(y, 0) + 1
+                weak = {n for n, d in deg.items() if d < k}
+                if not weak:
+                    break
+                cur = {e for e in cur if weak.isdisjoint(e)}
+            for n in {n for e in cur for n in e}:
+                core[n] = k
+            k += 1
+        return core
+
+    tri_chain = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    rng = random.Random(8)
+    rand = [(rng.randrange(12), rng.randrange(12)) for _ in range(45)]
+    for es in (tri_chain, rand):
+        df = spark.createDataFrame(es, "src long, dst long")
+        got = {r["node"]: r["coreness"] for r in coreness(df).collect()}
+        assert got == brute(es), es
+    assert brute(tri_chain) == {0: 2, 1: 2, 2: 2, 3: 1}

@@ -1076,3 +1076,63 @@ def reassemble_chunks(chunks: DataFrame, id_col: str, overlap: int = 0) -> DataF
             F.array_join(F.flatten(F.col("__ps.t")), " ").alias("text"),
         )
     )
+
+
+def skipgram_pairs(df: DataFrame, id_col: str, text_col: str,
+                   window: int = 2) -> DataFrame:
+    """(center, context) training-pair generation — the word2vec/skip-gram
+    data prep: for every token, every neighbor within ``window`` positions
+    becomes one pair, direction preserved via the position delta.
+
+    Pure generator pipeline (posexplode the token array, explode the
+    ±window slice around each position) — whole-stage codegen, zero
+    shuffles, fan-out ≤ 2·window rows per token; the aggregation a trainer
+    wants next (pair counts, negatives) is the caller's groupBy.  Exact
+    DuckDB mirror (:func:`skipgram_pairs_sql`) pins the windowing rule.
+
+    Output: ``(id, pos, center, context, delta)`` with delta = context
+    position − center position (≠ 0, |delta| ≤ window).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = tokens(F.col(text_col))
+    pos = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), toks.alias("__t"),
+    ).select("id", "__t", F.posexplode("__t").alias("pos", "center"))
+    # token array rides along through both generators — no join back
+    return pos.select(
+        "id", "__t", "pos", "center",
+        F.explode(F.sequence(F.lit(-window), F.lit(window))).alias("delta"),
+    ).filter(
+        (F.col("delta") != 0)
+        & (F.col("pos") + F.col("delta") >= 0)
+        & (F.col("pos") + F.col("delta") < F.size("__t"))
+    ).select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        "center",
+        F.element_at(F.col("__t"), (F.col("pos") + F.col("delta") + 1).cast("int"))
+        .alias("context"),
+        F.col("delta").cast("long").alias("delta"),
+    )
+
+
+def skipgram_pairs_sql(table: str, id_col: str, text_col: str,
+                       window: int = 2) -> str:
+    """DuckDB mirror of :func:`skipgram_pairs` (oracle generator)."""
+    return f"""
+WITH t AS (
+    SELECT {id_col} AS id, string_split(lower({text_col}), ' ') AS toks
+    FROM {table} WHERE {text_col} IS NOT NULL
+), p AS (
+    SELECT id, toks, unnest(range(0, len(toks))) AS pos FROM t
+), d AS (
+    SELECT p.*, unnest(range(-{window}, {window} + 1)) AS delta FROM p
+)
+SELECT id, CAST(pos AS BIGINT) AS pos,
+       toks[CAST(pos AS INTEGER) + 1] AS center,
+       toks[CAST(pos + delta AS INTEGER) + 1] AS context,
+       CAST(delta AS BIGINT) AS delta
+FROM d
+WHERE delta <> 0 AND pos + delta >= 0 AND pos + delta < len(toks)
+"""

@@ -1681,3 +1681,29 @@ GROUP BY 1, 2 HAVING count(*) >= 3
 
 QUERIES["x_events_copresence"] = x_events_copresence
 ORACLES["x_events_copresence"] = _COPRESENCE_SQL
+
+
+def x_docs_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec data prep: skip-gram (center, context) pairs with window
+    2 over a capped slice of the corpus (doc_id < 40 — pair fan-out is
+    ~2w x tokens, the cap keeps the oracle comparison snappy), rolled up
+    to pair counts (text.skipgram_pairs)."""
+    from ..operators.text import skipgram_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    pairs = skipgram_pairs(d, "doc_id", "text", window=2)
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _skipgrams_sql() -> str:
+    from ..operators.text import skipgram_pairs_sql
+
+    inner = skipgram_pairs_sql(
+        "(SELECT * FROM documents WHERE doc_id < 40)", "doc_id", "text", 2)
+    return (f"SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs "
+            f"FROM ({inner}) GROUP BY 1, 2")
+
+
+QUERIES["x_docs_skipgrams"] = x_docs_skipgrams
+ORACLES["x_docs_skipgrams"] = _skipgrams_sql()

@@ -3598,3 +3598,19 @@ def test_coreness_matches_brute_force(spark):
         got = {r["node"]: r["coreness"] for r in coreness(df).collect()}
         assert got == brute(es), es
     assert brute(tri_chain) == {0: 2, 1: 2, 2: 2, 3: 1}
+
+
+def test_skipgram_pairs_windowing(spark):
+    """Exact pair set for a known sentence at window 1 and 2 (direction
+    preserved via delta; edges clipped; null text skipped)."""
+    from mandodb_spark.operators.text import skipgram_pairs
+
+    df = spark.createDataFrame([(1, "a b c"), (2, None)],
+                               "doc_id long, text string")
+    got = {(r["pos"], r["center"], r["context"], r["delta"])
+           for r in skipgram_pairs(df, "doc_id", "text", window=1).collect()}
+    assert got == {(0, "a", "b", 1), (1, "b", "a", -1), (1, "b", "c", 1),
+                   (2, "c", "b", -1)}
+    w2 = {(r["center"], r["context"], r["delta"])
+          for r in skipgram_pairs(df, "doc_id", "text", window=2).collect()}
+    assert ("a", "c", 2) in w2 and ("c", "a", -2) in w2 and len(w2) == 6

@@ -1136,3 +1136,68 @@ SELECT id, CAST(pos AS BIGINT) AS pos,
 FROM d
 WHERE delta <> 0 AND pos + delta >= 0 AND pos + delta < len(toks)
 """
+
+
+def subsample_frequent(df: DataFrame, id_col: str, text_col: str,
+                       t: float = 1e-3, salt: str = "w2v") -> DataFrame:
+    """word2vec frequent-token subsampling: drop each occurrence of token
+    w with probability 1 − p_keep(w), p_keep = min(1, √(t/f) + t/f) with
+    f = corpus frequency of w — the discard rule from the word2vec code
+    (stop-words thin out, rare words always survive).
+
+    The draw is the repo's deterministic hash-unit over (doc, position,
+    token) — same corpus in, same corpus out, across runs AND engines, so
+    the DuckDB mirror is exact.  Plan: one token-count aggregate (the
+    vocab is broadcast back), one explode + filter, one per-doc regroup —
+    two shuffles total.  Output: ``(id, text)`` with surviving tokens
+    rejoined in order; docs whose every token was dropped keep an empty
+    string (the row survives — dropping it is the caller's gate call).
+    """
+    toks = tokens(F.col(text_col))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok"))
+    vocab = base.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = base.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    from .sampling import hash_unit  # deterministic uniform-[0,1)
+
+    f = F.col("cnt").cast("double") / F.col("total").cast("double")
+    p_keep = F.least(F.lit(1.0), F.sqrt(F.lit(t) / f) + F.lit(t) / f)
+    kept = (
+        base.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .filter(
+            hash_unit(F.concat_ws(":", F.col("id"), F.col("pos"), F.col("tok")),
+                      salt) < p_keep
+        )
+    )
+    return (
+        kept.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("__ps"))
+        .select(F.col("id").alias(id_col),
+                F.array_join(F.col("__ps.tok"), " ").alias(text_col))
+    )
+
+
+def subsample_frequent_sql(table: str, id_col: str, text_col: str,
+                           t: float = 1e-3, salt: str = "w2v") -> str:
+    """DuckDB mirror of :func:`subsample_frequent` (oracle generator)."""
+    from .sampling import hash_unit_sql
+
+    unit = hash_unit_sql(f"id || ':' || pos || ':' || tok", salt)
+    return f"""
+WITH t0 AS (
+    SELECT {id_col} AS id, string_split(lower({text_col}), ' ') AS toks
+    FROM {table} WHERE {text_col} IS NOT NULL
+), base AS (
+    SELECT id, x.i - 1 AS pos, toks[x.i] AS tok
+    FROM t0, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) x
+), vocab AS (SELECT tok, count(*) AS cnt FROM base GROUP BY tok),
+tot AS (SELECT count(*) AS total FROM base),
+kept AS (
+    SELECT b.id, b.pos, b.tok FROM base b JOIN vocab USING (tok), tot
+    WHERE {unit} < least(1.0, sqrt({t!r} / (CAST(cnt AS DOUBLE) / total))
+                              + {t!r} / (CAST(cnt AS DOUBLE) / total))
+)
+SELECT id AS {id_col}, array_to_string(list(tok ORDER BY pos), ' ') AS {text_col}
+FROM kept GROUP BY id
+"""

@@ -1707,3 +1707,24 @@ def _skipgrams_sql() -> str:
 
 QUERIES["x_docs_skipgrams"] = x_docs_skipgrams
 ORACLES["x_docs_skipgrams"] = _skipgrams_sql()
+
+
+def x_docs_subsample_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec frequent-token subsampling over a corpus slice (doc_id <
+    60): deterministic hash-draw against the p_keep = sqrt(t/f) + t/f
+    discard rule, text rebuilt in order (text.subsample_frequent)."""
+    from ..operators.text import subsample_frequent
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return subsample_frequent(d, "doc_id", "text", t=1e-3)
+
+
+def _subsample_sql() -> str:
+    from ..operators.text import subsample_frequent_sql
+
+    return subsample_frequent_sql(
+        "(SELECT * FROM documents WHERE doc_id < 60)", "doc_id", "text", t=1e-3)
+
+
+QUERIES["x_docs_subsample_frequent"] = x_docs_subsample_frequent
+ORACLES["x_docs_subsample_frequent"] = _subsample_sql()

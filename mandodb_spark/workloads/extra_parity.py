@@ -1728,3 +1728,40 @@ def _subsample_sql() -> str:
 
 QUERIES["x_docs_subsample_frequent"] = x_docs_subsample_frequent
 ORACLES["x_docs_subsample_frequent"] = _subsample_sql()
+
+
+def x_docs_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third leg of the word2vec prep (pairs → subsample →
+    NEGATIVES): the unigram^0.75 noise-distribution table — top-100
+    tokens by count with their smoothed sampling weight.  Weight stays
+    UNNORMALIZED (count^0.75, one deterministic pow per row) — dividing
+    by the corpus sum would inject an order-dependent double
+    accumulation for zero informational gain; the trainer's sampler
+    normalizes once on its own copy."""
+    from ..operators.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .select("tok", "cnt",
+                F.round(F.pow(F.col("cnt").cast("double"), 0.75), 6)
+                .alias("neg_weight"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(100)
+    )
+
+
+_NEG_SAMPLING_SQL = """
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+       round(pow(CAST(count(*) AS DOUBLE), 0.75), 6) AS neg_weight
+FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE text IS NOT NULL
+) t GROUP BY tok
+ORDER BY cnt DESC, tok LIMIT 100
+"""
+
+QUERIES["x_docs_negative_sampling"] = x_docs_negative_sampling
+ORACLES["x_docs_negative_sampling"] = _NEG_SAMPLING_SQL

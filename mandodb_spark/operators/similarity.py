@@ -1015,3 +1015,50 @@ def random_project(df: DataFrame, id_col: str, vec_col: str,
     out = df.select(id_col, vec_col).mapInPandas(
         batches, "id long, projected array<double>")
     return out.withColumnRenamed("id", id_col)
+
+
+def mmr_rerank(candidates: DataFrame, id_col: str, vec_col: str,
+               score_col: str, k: int, lam: float = 0.7) -> list:
+    """Maximal Marginal Relevance re-ranking: greedily pick ``k`` results
+    maximizing ``lam·relevance − (1−lam)·max-similarity-to-already-
+    picked`` — the standard diversification pass after any retrieval
+    top-N (BM25, ANN, RRF), so near-duplicate hits don't crowd the page.
+
+    Deliberately driver-side: MMR is sequential by definition (each pick
+    conditions the next), and its input is an ALREADY k-bounded
+    candidate list — the same bounded-collect budget as
+    ``VectorIndex.topk``'s probe.  The distributed work is everything
+    upstream; this is the last O(N·k) polish on ≤ a few hundred rows.
+    Ties break on ascending id (deterministic).  Returns a list of
+    ``(id, mmr_score)`` in pick order.
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    rows = candidates.select(id_col, vec_col, score_col).collect()
+    if not rows:
+        return []
+    ids = [r[id_col] for r in rows]
+    rel = np.array([float(r[score_col]) for r in rows])
+    V = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    Vn = V / norms[:, None]
+    sims = Vn @ Vn.T  # N ≤ a few hundred by contract
+    picked: list[int] = []
+    out: list[tuple] = []
+    remaining = list(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        best_j, best_val = None, None
+        for j in remaining:
+            div = max((sims[j][p] for p in picked), default=0.0)
+            val = lam * rel[j] - (1.0 - lam) * div
+            if best_val is None or val > best_val or (
+                val == best_val and ids[j] < ids[best_j]
+            ):
+                best_j, best_val = j, val
+        picked.append(best_j)
+        remaining.remove(best_j)
+        out.append((ids[best_j], round(float(best_val), 6)))
+    return out

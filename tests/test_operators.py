@@ -3614,3 +3614,24 @@ def test_skipgram_pairs_windowing(spark):
     w2 = {(r["center"], r["context"], r["delta"])
           for r in skipgram_pairs(df, "doc_id", "text", window=2).collect()}
     assert ("a", "c", 2) in w2 and ("c", "a", -2) in w2 and len(w2) == 6
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR: lam=1 reduces to pure relevance order; lam<1 demotes a
+    near-duplicate of an already-picked hit below a diverse alternative;
+    deterministic ties; k caps output."""
+    from mandodb_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, [1.0, 0.0], 0.95),   # top hit
+        (2, [0.99, 0.01], 0.94), # near-dup of 1
+        (3, [0.0, 1.0], 0.80),   # diverse
+        (4, [0.7, 0.7], 0.70),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, score double")
+    pure = [i for i, _ in mmr_rerank(df, "id", "vec", "score", k=4, lam=1.0)]
+    assert pure == [1, 2, 3, 4]
+    mixed = [i for i, _ in mmr_rerank(df, "id", "vec", "score", k=3, lam=0.5)]
+    assert mixed[0] == 1 and mixed[1] == 3   # diversity beats the near-dup
+    assert len(mmr_rerank(df, "id", "vec", "score", k=2)) == 2
+    assert mmr_rerank(df.limit(0), "id", "vec", "score", k=3) == []

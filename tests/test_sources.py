@@ -856,3 +856,19 @@ def test_text_index_prefix_search(spark, tmp_path):
     with _pytest.raises(ValueError, match="more than"):
         idx.expand_prefix("s", max_terms=2)
     assert idx.search_prefix("zzz", k=5).count() == 0
+
+
+def test_export_compressed_roundtrip(spark, tmp_path):
+    """gzip-compressed export: manifest hashes the compressed bytes,
+    verify passes, read-back decompresses transparently."""
+    from mandodb_spark.sources import export as ex
+
+    df = spark.createDataFrame([(i, "x" * 50) for i in range(25)],
+                               "doc_id long, text string")
+    p = str(tmp_path / "gz")
+    m = ex.export_jsonl_shards(spark, df, p, "doc_id", n_shards=2,
+                               compression="gzip")
+    assert m["total_records"] == 25
+    assert all(f["file"].endswith(".gz") for f in m["files"])
+    assert ex.verify_export(spark, p)["ok"]
+    assert ex.read_export(spark, p).count() == 25

@@ -158,10 +158,15 @@ class TextIndex:
         return {r["term"]: r["tb"] for r in rows}
 
     def search(self, query_terms: list[str], k: int = 10,
-               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+               k1: float = 1.2, b: float = 0.75,
+               require_all: bool = False) -> DataFrame:
         """BM25 top-k from the stored index — identical semantics to
         ``text.bm25_topk`` on the indexed corpus, but the scan reads only
-        the query terms' bucket partitions.  Output: (id, score, rank)."""
+        the query terms' bucket partitions.  ``require_all=True`` adds
+        boolean-AND semantics: only documents containing EVERY query term
+        are ranked (a per-doc distinct-term count against |Q| — one extra
+        HAVING on the aggregation already being done, no extra scan).
+        Output: (id, score, rank)."""
         from pyspark.sql import Window
 
         terms = sorted({t.lower() for t in query_terms})
@@ -194,9 +199,16 @@ class TextIndex:
             .crossJoin(F.broadcast(stats))
             .withColumn("term_score", idf * F.col("tf") * (k1 + 1) / denom)
         )
+        agg = scored.groupBy("id").agg(
+            F.round(F.sum("term_score"), 6).alias("score"),
+            F.count(F.lit(1)).alias("__nt"),
+        )
+        if require_all:
+            # tf rows are unique per (id, term), so the per-doc row count
+            # IS the distinct matched-term count
+            agg = agg.filter(F.col("__nt") == len(terms))
         top = (
-            scored.groupBy("id")
-            .agg(F.round(F.sum("term_score"), 6).alias("score"))
+            agg.drop("__nt")
             .orderBy(F.col("score").desc(), F.col("id"))
             .limit(k)
         )

@@ -872,3 +872,21 @@ def test_export_compressed_roundtrip(spark, tmp_path):
     assert all(f["file"].endswith(".gz") for f in m["files"])
     assert ex.verify_export(spark, p)["ok"]
     assert ex.read_export(spark, p).count() == 25
+
+
+def test_text_index_require_all(spark, tmp_path):
+    """Boolean-AND search: only docs containing every query term rank;
+    OR mode (default) is unchanged and scores match the scan path."""
+    from mandodb_spark.sources.text_index import TextIndex
+
+    docs = spark.createDataFrame(
+        [(0, "spark shuffle join"), (1, "spark only here"),
+         (2, "shuffle alone"), (3, "spark shuffle again")],
+        "doc_id long, text string")
+    idx = TextIndex(spark, str(tmp_path / "ti"), n_buckets=8)
+    idx.build(docs, "doc_id", "text")
+    both = {r["id"] for r in idx.search(["spark", "shuffle"], k=10,
+                                        require_all=True).collect()}
+    assert both == {0, 3}
+    any_ = {r["id"] for r in idx.search(["spark", "shuffle"], k=10).collect()}
+    assert any_ == {0, 1, 2, 3}

@@ -570,9 +570,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         """Eager localCheckpoint + the persisted RDD ids it created
         (``Dataset.unpersist`` can't free a localCheckpoint — release
         goes through the context registry, as in memory_store)."""
+        from ..plans import note_iteration
+
         registry = spark.sparkContext._jsc.getPersistentRDDs()
         before = {rid for rid in registry.keySet().toArray()}
-        out = df.localCheckpoint(eager=True)
+        out = note_iteration(df, "connected_components:iter").localCheckpoint(eager=True)
         registry = spark.sparkContext._jsc.getPersistentRDDs()
         return out, [rid for rid in registry.keySet().toArray() if rid not in before]
 

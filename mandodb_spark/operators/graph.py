@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans import note_iteration
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              n_iter: int = 10, damping: float = 0.85,
@@ -52,14 +54,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     if undirected:
         e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     e = e.filter(F.col("s") != F.col("d")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = note_iteration(e, "pagerank:edges").localCheckpoint(eager=True)
 
     nodes = (
         e.select(F.col("s").alias("node"))
         .unionByName(e.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes = note_iteration(nodes, "pagerank:nodes").localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -96,8 +98,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                        + F.col("dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        nxt = note_iteration(nxt, "pagerank:iter").localCheckpoint(eager=True)
         if prev is not None:
             prev.unpersist()
         prev, ranks = ranks, nxt
@@ -169,8 +171,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         # feeds two — checkpoint so the upstream edge pipeline (often a
         # full LSH candidate generation) runs ONCE, same constant-depth
         # rule as pagerank/connected_components
-        .localCheckpoint(eager=True)
     )
+    und = note_iteration(und, "triangle:und").localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("n")).unionAll(und.select(F.col("b").alias("n")))
         .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
@@ -188,7 +190,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-    ).localCheckpoint(eager=True)
+    )
+    oriented = note_iteration(oriented, "triangle:oriented").localCheckpoint(eager=True)
     o1 = oriented.select("u", F.col("dv").alias("d1"), F.col("v").alias("v1"))
     o2 = oriented.select("u", F.col("dv").alias("d2"), F.col("v").alias("v2"))
     wedges = o1.join(o2, "u").filter(
@@ -261,8 +264,8 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     e = (
         und.select(F.col("a").alias("s"), F.col("b").alias("d"))
         .unionByName(und.select(F.col("b").alias("s"), F.col("a").alias("d")))
-        .localCheckpoint(eager=True)
     )
+    e = note_iteration(e, "k_core:edges").localCheckpoint(eager=True)
     prev = None
     for _ in range(max_rounds):
         deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
@@ -276,8 +279,8 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         nxt = (
             e.join(F.broadcast(weak), "s", "left_anti")
             .join(F.broadcast(weak.withColumnRenamed("s", "d")), "d", "left_anti")
-            .localCheckpoint(eager=True)
         )
+        nxt = note_iteration(nxt, "k_core:iter").localCheckpoint(eager=True)
         if prev is not None:
             prev.unpersist()
         prev, e = e, nxt
@@ -350,8 +353,8 @@ def coreness(edges: DataFrame, src: str = "src", dst: str = "dst",
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    und = note_iteration(und, "coreness:und").localCheckpoint(eager=True)
     nodes = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -369,6 +372,6 @@ def coreness(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select("node",
                     F.coalesce(F.col("__k"), F.col("coreness"))
                     .cast("long").alias("coreness"))
-            .localCheckpoint(eager=True)
         )
+        out = note_iteration(out, "coreness:rung").localCheckpoint(eager=True)
     raise RuntimeError(f"coreness: graph has a core beyond max_k={max_k}")

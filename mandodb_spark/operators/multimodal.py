@@ -5,12 +5,17 @@ The pattern for image/audio/video at 100 TB: the payload travels as a
 runs as Arrow-batched ``mapInPandas`` — executor-parallel, zero driver
 involvement, batch-columnar transfer.
 
-The real decoders (PIL/ffmpeg/soundfile) are not in this container, so the
-decode step is STUBBED: :func:`fake_decode_meta` derives deterministic
-"decoded" properties from the bytes' md5 (engine-agnostic, oracle-checkable),
-and :func:`decode_image` raises ``NotImplementedError`` at the exact seam
-where a real decoder plugs in.  Everything Spark-side — schema, batching,
-partitioning, UDF signature — is real and tested.
+Decode is REAL for the formats a pure-stdlib/numpy decoder can cover —
+binary PPM (P6), non-interlaced 8-bit PNG (gray/RGB/RGBA via zlib +
+per-row filters), baseline JPEG (full huffman/dequant/IDCT/YCbCr), PCM
+WAV (8/16/24/32-bit), and AVI (RIFF parse + idx1 keyframe index with
+MJPEG frame decode) — see :func:`decode_image`, :func:`decode_audio`,
+:func:`_parse_avi`.  Unsupported variants (progressive JPEG, interlaced
+or palette PNG, compressed WAV, ...) raise a precise error at the exact
+seam where a heavier library (PIL/ffmpeg/soundfile, not in this
+container) would plug in; :func:`fake_decode_meta` remains as the
+deterministic md5-derived stub for oracle-checkable metadata pipelines
+that must not depend on payload decodability.
 """
 
 from __future__ import annotations
@@ -814,11 +819,16 @@ def ahash64(width: int, height: int, channels: int, pixels: bytes,
     import numpy as np
 
     px = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
-    gray = px.astype("float64").mean(axis=2)
+    # channel SUM, not float mean: the threshold below clears denominators
+    # (cell*N² > Σcells ⇔ cell_mean > grid_mean) so the whole hash is exact
+    # integer arithmetic — float rounding of /channels and /N² means made a
+    # brightness shift flip near-tie bits (hypothesis counterexample,
+    # round 7)
+    gray = px.astype(np.int64).sum(axis=2)
     ys = (np.arange(hash_size) * height) // hash_size
     xs = (np.arange(hash_size) * width) // hash_size
     small = gray[np.ix_(ys, xs)]
-    bits = (small > small.mean()).astype(np.uint64).ravel()
+    bits = (small * small.size > small.sum()).astype(np.uint64).ravel()
     v = int((bits << np.arange(hash_size * hash_size, dtype=np.uint64)).sum())
     return v - (1 << 64) if v >= (1 << 63) else v
 

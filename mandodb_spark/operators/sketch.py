@@ -297,6 +297,102 @@ def quantile_estimate(spark, dest: str, start_seg: int, end_seg: int,
     return dds_quantiles(merged, qs, alpha)
 
 
+def exact_quantiles_disc(df: DataFrame, value_col: str, qs: list[float],
+                         n_buckets: int = 32) -> DataFrame:
+    """EXACT lower discrete quantiles — the value at 1-based rank
+    ``floor(q*(N-1)) + 1`` of the sorted non-null stream for each q —
+    computed with the distributed two-phase rank, never a global window.
+
+    This is the exact companion to the DDSketch estimate (same rank
+    semantics as :func:`dds_quantiles`): the verification side of the
+    sketch's alpha guarantee, and the one-off "true p99" tool when a
+    job can afford a full pass.
+
+    Scale shape (the round-6 verdict's fix for the corpus-wide
+    ``row_number().over(Window.orderBy(...))`` anti-pattern):
+
+    1. ONE aggregate computes N and ``n_buckets-1`` approx-quantile
+       range boundaries (rank error ≤ N/10000 per Greenwald–Khanna) —
+       a 1-row broadcast.
+    2. Each row gets its range bucket by counting boundaries below it
+       (a codegen'd HOF over ≤31 array elements — deterministic, unlike
+       ``spark_partition_id`` after ``repartitionByRange``, whose
+       sample-based boundaries can differ between plan branches).
+    3. Per-bucket counts (one map-side-combining aggregate, ≤n_buckets
+       rows) collapse into a single collect_list row; each row derives
+       its bucket's global rank offset and size from that broadcast
+       array — no window over the counts either.
+    4. Buckets whose rank interval ``(offset, offset+size]`` contains no
+       target rank are FILTERED OUT before the rank window runs, so the
+       only windows executed are per-target-bucket ``row_number`` over
+       ~N/n_buckets rows (≤ |qs| buckets survive).
+
+    Output: ``(q, value)`` — one row per q (ties in ``value_col`` are
+    rank-ambiguous but value-at-rank is not, so the result is
+    deterministic).  Empty input yields no rows.
+    """
+    from pyspark.sql import Window
+
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v")
+    )
+    fracs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
+    stats = vals.agg(
+        F.expr(f"percentile_approx(__v, array({fracs}), 10000)").alias("__bounds"),
+        F.count(F.lit(1)).alias("__total"),
+    )
+    bucketed = vals.crossJoin(F.broadcast(stats)).withColumn(
+        "__bkt",
+        F.aggregate(
+            "__bounds",
+            F.lit(0),
+            lambda acc, bound: acc + F.when(F.col("__v") > bound, 1).otherwise(0),
+        ),
+    )
+    counts = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    count_row = counts.agg(
+        F.collect_list(F.struct("__bkt", "__cnt")).alias("__counts")
+    )
+    targets = F.array_distinct(F.array(*[
+        (F.floor(F.lit(float(q)) * (F.col("__total") - 1)) + 1).cast("long")
+        for q in qs
+    ]))
+    enriched = (
+        bucketed.crossJoin(F.broadcast(count_row))
+        .withColumn(
+            "__off",
+            F.aggregate(
+                F.filter("__counts", lambda s: s["__bkt"] < F.col("__bkt")),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["__cnt"],
+            ),
+        )
+        .withColumn(
+            "__sz",
+            F.element_at(
+                F.filter("__counts", lambda s: s["__bkt"] == F.col("__bkt")), 1
+            )["__cnt"],
+        )
+        # prune: only buckets holding a target rank pay for a sort
+        .filter(F.exists(
+            targets,
+            lambda t: (t > F.col("__off")) & (t <= F.col("__off") + F.col("__sz")),
+        ))
+    )
+    ranked = enriched.withColumn(
+        "__rn",
+        F.col("__off")
+        + F.row_number().over(Window.partitionBy("__bkt").orderBy("__v")),
+    )
+    probes = ranked.select(
+        "__v", "__rn", "__total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    return probes.filter(
+        F.col("__rn") == F.floor(F.col("q") * (F.col("__total") - 1)) + 1
+    ).select("q", F.col("__v").alias("value"))
+
+
 def hll_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
                          lg_k: int = 14) -> DataFrame:
     """Distinct-overlap estimate between two relations via mergeable HLL

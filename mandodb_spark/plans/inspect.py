@@ -10,9 +10,45 @@ SCALE.md claim is checkable through them).
 
 from __future__ import annotations
 
+import contextlib
 import re
 
 from pyspark.sql import DataFrame
+
+# Active sink for note_iteration facts (None = disabled, the production
+# default — recording costs one plan render per checkpoint, so it is
+# opt-in via record_iterations()).
+_ITER_LOG: list | None = None
+
+
+@contextlib.contextmanager
+def record_iterations():
+    """Collect per-iteration plan facts from checkpoint-truncated loops.
+
+    ``localCheckpoint`` severs lineage, so the FINAL plan of an iterative
+    operator (pagerank, k_core, connected_components, ...) is a stub that
+    under-reports the work actually executed — the plan-audit blind spot
+    flagged in round 6's verdict.  Operators call :func:`note_iteration`
+    immediately before each checkpoint; inside this context every such
+    call appends ``(tag, shuffle_count)`` for the pre-checkpoint plan, so
+    the audit can report ``final + sum(iteration)`` shapes.  Yields the
+    live list of facts.
+    """
+    global _ITER_LOG
+    prev, _ITER_LOG = _ITER_LOG, []
+    try:
+        yield _ITER_LOG
+    finally:
+        _ITER_LOG = prev
+
+
+def note_iteration(df: DataFrame, tag: str) -> DataFrame:
+    """Record ``df``'s pre-checkpoint plan shape under ``tag`` (no-op and
+    zero-cost unless a :func:`record_iterations` context is active).
+    Returns ``df`` so call sites read ``note_iteration(df, "op").localCheckpoint()``."""
+    if _ITER_LOG is not None:
+        _ITER_LOG.append((tag, shuffle_count(df)))
+    return df
 
 
 def physical_plan(df: DataFrame) -> str:

@@ -730,8 +730,10 @@ class BucketedSegmentStore(SegmentStore):
             )
         if dedup_against_store and self.spark.catalog.tableExists(self.table):
             segs = [r["seg"] for r in batch.select("seg").distinct().collect()]
+            # relation(), not the raw table: a tombstoned (deleted) point
+            # must not suppress a re-append of the same (seg, series, ts)
             existing = (
-                self.spark.table(self.table)
+                self.relation()
                 .filter(F.col("seg").isin(segs))
                 .select("seg", "series_key", "ts")
             )
@@ -748,9 +750,42 @@ class BucketedSegmentStore(SegmentStore):
             .saveAsTable(self.table)
         )
 
+    @property
+    def _tombstone_root(self) -> str:
+        # sibling of the data root (a non-seg dir INSIDE the root would
+        # poison partition discovery, same rule as the __compact staging)
+        return f"{self.root}__tombstones"
+
+    def _tombstones(self) -> DataFrame | None:
+        """The deletion-vector overlay table, or None when empty:
+        ``(__file, series_key, n)`` rows naming physical rows hidden from
+        every read until :meth:`compact` folds them in."""
+        p = Path(self._tombstone_root)
+        if not p.exists() or not any(p.rglob("*.parquet")):
+            return None
+        return self.spark.read.parquet(self._tombstone_root)
+
+    def _visible(self) -> DataFrame:
+        """Catalog table minus tombstoned rows, ``__file`` column kept
+        (callers that need the physical-file identity — delete_series —
+        use this; :meth:`relation` drops it)."""
+        base = self.spark.table(self.table).withColumn(
+            "__file", F.input_file_name()
+        )
+        tomb = self._tombstones()
+        if tomb is None:
+            return base
+        # broadcast anti-join: O(tombstone) overlay cost, no Exchange, so
+        # the bucketed zero-shuffle aggregation guarantee survives
+        return base.join(
+            F.broadcast(tomb.select("__file", "series_key")),
+            ["__file", "series_key"],
+            "left_anti",
+        )
+
     def relation(self) -> DataFrame:
         if self.spark.catalog.tableExists(self.table):
-            return self.spark.table(self.table)
+            return self._visible().drop("__file")
         return super().relation()  # empty canonical relation
 
     def remove_expired(self, now_ts: int, retention: int) -> list[int]:
@@ -792,17 +827,30 @@ class BucketedSegmentStore(SegmentStore):
             )
         if not self.spark.catalog.tableExists(self.table) or not Path(self.root).exists():
             return []
-        return self._rewrite_table(self.relation())
+        # relation() already excludes tombstoned rows, so the rewrite IS
+        # the physical apply; clear the overlay only after the swap — a
+        # crash in between leaves tombstones naming files that no longer
+        # exist, which the anti-join ignores (correct either way)
+        segs = self._rewrite_table(self.relation())
+        shutil.rmtree(self._tombstone_root, ignore_errors=True)
+        return segs
 
     def delete_series(self, matchers: list, metric: str | None = None) -> int:
-        """Targeted series deletion on the bucketed store.
+        """Targeted series deletion on the bucketed store — tombstone
+        overlay, not a rewrite (round-6 verdict #6: the previous full
+        staged rewrite made every delete O(store)).
 
         Spark's bucket spec is a whole-table catalog property (same
-        constraint that forbids selective compaction here), so the delete
-        is a FULL staged rewrite without the matching rows — O(store),
-        not O(touched segments); a deployment with frequent deletes wants
-        the plain :class:`SegmentStore` or a lakehouse table format with
-        row-level deletes.  Same matcher language / return contract as
+        constraint that forbids selective compaction here), so matched
+        rows can't be rewritten in place; instead the delete appends
+        ``(file, series_key)`` deletion-vector rows to a small sibling
+        table that every read anti-joins away (:meth:`_visible`), and the
+        next :meth:`compact` applies them physically and clears the
+        overlay.  Pinning the FILE identity (not just the series) keeps
+        rewrite semantics exact: rows of the same series appended AFTER
+        the delete land in new files and are never hidden.  Cost:
+        one filter scan (no write amplification) + an O(matched-files)
+        overlay append.  Same matcher language / return contract as
         ``SegmentStore.delete_series``."""
         from ..matchers import add_metric_name, matchers_predicate
 
@@ -811,19 +859,28 @@ class BucketedSegmentStore(SegmentStore):
             raise ValueError("delete_series: need at least one matcher")
         if not self.spark.catalog.tableExists(self.table) or not Path(self.root).exists():
             return 0
-        rel = self.relation()
         pred = matchers_predicate(F.col("labels"), lms)
-        n_match = rel.filter(pred).count()
+        # one pass over the visible rows: per-(file, series) match counts,
+        # checkpointed so the overlay write and the total don't rescan
+        stats = (
+            self._visible()
+            .filter(pred)
+            .groupBy("__file", "series_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n_match = stats.agg(F.coalesce(F.sum("n"), F.lit(0))).first()[0]
         if n_match == 0:
             return 0
-        self._rewrite_table(rel.filter(~pred))
+        stats.write.mode("append").parquet(self._tombstone_root)
         return int(n_match)
 
     def _rewrite_table(self, rel) -> list[int]:
         """Full staged rewrite of the bucketed table from ``rel`` (the
-        shared back half of compact() and delete_series()): staging
-        saveAsTable -> data-dir swap with concurrent-append salvage ->
-        catalog re-register."""
+        back half of compact(), which is also where delete_series
+        tombstones get applied physically): staging saveAsTable ->
+        data-dir swap with concurrent-append salvage -> catalog
+        re-register."""
         staging, staging_root = f"{self.table}__compact", f"{self.root}__compact"
         shutil.rmtree(staging_root, ignore_errors=True)
         rel = rel.repartition(self.n_buckets, F.col("series_key"))

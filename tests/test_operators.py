@@ -2053,6 +2053,35 @@ def test_ddsketch_merge_equals_whole(spark):
     assert ew == em
 
 
+def test_exact_quantiles_disc_matches_sorted_rank(spark):
+    """exact_quantiles_disc (the distributed two-phase rank that replaced
+    the corpus-wide row_number window — round-6 verdict #2) returns
+    EXACTLY the value at 1-based rank floor(q*(N-1))+1, including q=0/1
+    extremes, duplicate-heavy data, and NULLs; and its plan contains no
+    unpartitioned window (every Window node keys on the range bucket)."""
+    import math
+    import random
+
+    from mandodb_spark.operators.sketch import exact_quantiles_disc
+    from mandodb_spark.plans import physical_plan
+
+    random.seed(11)
+    vals = ([random.uniform(-50, 50) for _ in range(2000)]
+            + [7.0] * 500 + [None] * 10)  # heavy ties + nulls
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    got = {r["q"]: r["value"]
+           for r in exact_quantiles_disc(df, "value", qs).collect()}
+    s = sorted(v for v in vals if v is not None)
+    for q in qs:
+        assert got[q] == s[math.floor(q * (len(s) - 1))], q
+    # scale shape: the only windows are per-bucket (partitioned on __bkt)
+    plan = physical_plan(exact_quantiles_disc(df, "value", qs))
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "__bkt" in line, line
+
+
 def test_quantile_rollup_materialize_estimate(spark, tmp_path_factory):
     """Seg-partitioned quantile rollup: materialize writes seg= partitions,
     incremental refresh touches only new segs, and range estimates come

@@ -456,3 +456,32 @@ def test_text_index_search_prunes_term_buckets(spark, tmp_path_factory):
     plan = _formatted(idx.search(["alpha", "gamma"], k=5))
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "tb" in m.group(1)
+
+
+def test_record_iterations_exposes_checkpointed_loop_shapes(spark):
+    """The plan-audit blind spot fix (round-6 verdict #3): checkpointed
+    iterative operators end in a post-checkpoint stub plan (0 shuffles),
+    so the audit must capture the PRE-checkpoint loop-body plans via
+    record_iterations/note_iteration.  Pin pagerank: the final plan alone
+    under-reports, the recorder restores the true per-iteration shape."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.operators.graph import pagerank
+    from mandodb_spark.plans import record_iterations, shuffle_count
+
+    edges = spark.range(30).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 30).alias("dst")
+    )
+    with record_iterations() as log:
+        ranks = pagerank(edges, n_iter=3, undirected=True)
+    # final plan is the stub...
+    assert shuffle_count(ranks) <= 1
+    # ...but the recorder saw every loop-body plan, each with real shuffles
+    iters = [n for tag, n in log if tag == "pagerank:iter"]
+    assert len(iters) == 3
+    assert all(n >= 2 for n in iters), log
+    # outside the context the hook is a no-op (production cost: zero)
+    from mandodb_spark.plans import note_iteration
+
+    df = spark.range(1)
+    assert note_iteration(df, "x") is df

@@ -723,19 +723,78 @@ def test_delete_series_memory_mode(spark):
 
 
 def test_delete_series_bucketed_store(spark, tmp_path_factory):
-    """Bucketed-store GDPR delete: full staged rewrite without the
-    matching rows; bucketing survives (query still works, table
-    re-registered), count contract identical."""
+    """Bucketed-store GDPR delete is a TOMBSTONE OVERLAY (round-7): the
+    data files are untouched (O(deletions), not O(store)), reads hide the
+    matched rows immediately, and the count contract is identical to the
+    rewrite form."""
+    import os
+
     base = tmp_path_factory.mktemp("gdprb")
     db = TSDB(spark, str(base / "live"), segment_duration=2 * 3600,
               bucket_by_series=4, table="gdpr_bucketed_t")
     db.insert_rows([("m", {"u": "a"}, START + i * 3600, float(i)) for i in range(4)]
                    + [("m", {"u": "b"}, START, 9.0)])
+    before_files = {str(p): os.path.getmtime(p)
+                    for p in (base / "live").rglob("part-*")}
     assert db.delete_series([LabelMatcher("u", "a")]) == 4
     left = db.query_range_rows("m", [], 0, 10**12).collect()
     assert len(left) == 1 and left[0]["labels"]["u"] == "b"
     assert db.delete_series([LabelMatcher("u", "a")]) == 0
+    # overlay, not rewrite: every data file is byte-identical
+    after_files = {str(p): os.path.getmtime(p)
+                   for p in (base / "live").rglob("part-*")}
+    assert after_files == before_files
     spark.sql("DROP TABLE IF EXISTS gdpr_bucketed_t")
+
+
+def test_bucketed_tombstone_overlay_semantics(spark, tmp_path_factory):
+    """The deletion-vector contract of the bucketed delete:
+
+    1. rows of the SAME series appended AFTER the delete (even into the
+       same segment) are new data — never hidden by old tombstones;
+    2. dedup_against_store treats deleted points as gone (a re-append of
+       the very same (seg, series, ts) is accepted);
+    3. compact() applies tombstones physically and clears the overlay,
+       with reads identical before and after (overlay ≡ rewrite);
+    4. the overlay costs no shuffle on the read path (broadcast anti-join
+       — the bucketed zero-shuffle guarantee survives deletes)."""
+    import os
+
+    from mandodb_spark.plans import shuffle_count
+
+    base = tmp_path_factory.mktemp("gdprv")
+    db = TSDB(spark, str(base / "live"), segment_duration=2 * 3600,
+              bucket_by_series=4, table="gdpr_tomb_t")
+    db.insert_rows([("m", {"u": "a"}, START + i * 60, float(i)) for i in range(3)]
+                   + [("m", {"u": "b"}, START, 9.0)])
+    assert db.delete_series([LabelMatcher("u", "a")]) == 3
+    tomb_root = str(base / "live") + "__tombstones"
+    assert os.path.exists(tomb_root)
+
+    # (1) same series, same segment, appended after the delete: visible
+    db.insert_rows([("m", {"u": "a"}, START + 10 * 60, 42.0)])
+    rows = db.query_range_rows("m", [LabelMatcher("u", "a")], 0, 10**12).collect()
+    assert [(r["ts"], r["value"]) for r in rows] == [(START + 600, 42.0)]
+
+    # (2) re-append of a deleted point passes the store dedup gate
+    db.insert_rows([("m", {"u": "a"}, START, 7.0)], dedup_against_store=True)
+    rows = sorted((r["ts"], r["value"]) for r in db.query_range_rows(
+        "m", [LabelMatcher("u", "a")], 0, 10**12).collect())
+    assert rows == [(START, 7.0), (START + 600, 42.0)]
+
+    # (4) overlay read path: still no Exchange in the bucketed aggregation
+    agg = db.query_range("m", [], 0, 10**12)
+    assert shuffle_count(agg) == 0
+
+    # (3) compact folds the overlay in; reads identical, overlay cleared
+    before = sorted((r["series_key"], r["ts"], r["value"])
+                    for r in db.store.relation().collect())
+    db.store.compact()
+    after = sorted((r["series_key"], r["ts"], r["value"])
+                   for r in db.store.relation().collect())
+    assert after == before
+    assert not os.path.exists(tomb_root)
+    spark.sql("DROP TABLE IF EXISTS gdpr_tomb_t")
 
 
 def test_downsample_expire_memory_mode(spark, tmp_path_factory):

@@ -171,23 +171,54 @@ def mergeable_rollup(rel, step: int):
 
 def write_rollup_and_verify(spark, rel, expired: list[int], step: int,
                             dest_root: str, codec: str | None = None) -> None:
-    """Write ``mergeable_rollup(rel)`` to ``dest_root`` (per-seg dynamic
-    overwrite — rerun-idempotent) and enforce the purge gate: raises
-    unless the written rollup's Σn equals the raw row count, so a caller
-    can only drop raw data the rollup provably covers."""
+    """Write ``mergeable_rollup(rel)`` to ``dest_root`` and enforce the
+    purge gate: raises unless the written rollup's Σn equals the raw row
+    count, so a caller can only drop raw data the rollup provably covers.
+
+    The tier is partitioned by ``(seg, gen)`` where ``gen`` is a content
+    hash of the segment's expiring rows, and the write dynamically
+    overwrites only its own ``(seg, gen)`` partitions.  Both halves of
+    that choice are load-bearing:
+
+    - same content → same gen → overwrite: a crash between rollup and
+      purge re-runs cleanly (nothing double-counts), and an exact
+      redelivery of already-rolled rows dedups instead of inflating;
+    - different content → different gen → NEW partition: when late rows
+      recreate an already-purged segment and it expires a SECOND time,
+      the earlier generation's aggregates survive beside the new ones
+      (plain per-seg overwrite silently destroyed them — the round-7
+      streaming soak test caught exactly that data loss).  Readers merge
+      generations for free: the tier schema is the mergeable-partial set
+      by design (``query_range_buckets_tiered`` re-aggregates).
+    """
+    gen_rows = (
+        rel.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # bit_xor, not sum: order-independent like sum but can't
+            # overflow under ANSI mode
+            F.expr("bit_xor(xxhash64(series_key, ts, value))").alias("h"),
+        )
+        .collect()
+    )
+    gens = {int(r["seg"]): f"{r['cnt']}x{r['h'] & (2**63 - 1):x}" for r in gen_rows}
+    raw_rows = sum(int(r["cnt"]) for r in gen_rows)
+    gen_map = F.create_map(
+        *[x for s, g in gens.items() for x in (F.lit(s), F.lit(g))]
+    )
     w = (
         mergeable_rollup(rel, step)
+        .withColumn("gen", gen_map[F.col("seg")])
         .repartition("seg")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
     )
     if codec:
         w = w.option("compression", codec)
-    w.partitionBy("seg").parquet(dest_root)
-    raw_rows = rel.count()
+    w.partitionBy("seg", "gen").parquet(dest_root)
     rolled = (
         spark.read.parquet(dest_root)
-        .filter(F.col("seg").isin(expired))
+        .filter(F.col("seg").isin(expired) & F.col("gen").isin(list(gens.values())))
         .agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
     )
     if rolled != raw_rows:

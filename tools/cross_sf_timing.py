@@ -40,6 +40,13 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {}
 
+    # warmup pass (not recorded): the first execution of each pipeline
+    # pays JIT/codegen compilation — without this the sf0.01 column reads
+    # high and ratios come out below 1.0
+    for q in ("x_docs_jaccard_join", "x_docs_duplicate_spans",
+              "x_docs_bm25", "x_docs_dup_triangles"):
+        extra_parity.QUERIES[q](spark, SFS[0]).count()
+
     for sf in SFS:
         tag = sf.rsplit("/", 1)[1]
         docs = load(spark, sf, "documents")
@@ -58,6 +65,7 @@ def main() -> None:
         shutil.rmtree(idx_root, ignore_errors=True)
         idx = TextIndex(spark, idx_root, n_buckets=16)
         dt_b, _ = timed(lambda: idx.build(docs, "doc_id", "text") or 1)
+        idx.search(["spark", "shuffle"], k=5).count()  # warm the search path
         dt, n = timed(lambda: idx.search(
             ["spark", "shuffle", "parquet", "window"], k=25).count())
         results.setdefault("text_index.search", {})[tag] = dt
@@ -65,7 +73,8 @@ def main() -> None:
         print(f"{tag} text_index build {dt_b}s / search: {dt}s ({n} rows)", flush=True)
 
         # k_core over the minhash dup graph (same edge source as the
-        # pagerank/triangles workloads)
+        # pagerank/triangles workloads); the triangles warmup above
+        # already compiled the LSH pipeline
         pairs = minhash_lsh_pairs(docs, "doc_id", "text")
         dt, n = timed(lambda: k_core(pairs, 2, "id_a", "id_b").count())
         results.setdefault("k_core(minhash graph)", {})[tag] = dt

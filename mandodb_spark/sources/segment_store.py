@@ -386,10 +386,12 @@ class SegmentStore:
     def relation(self) -> DataFrame:
         """The full store as a DataFrame (lazy; S5/S6 ≙ partition discovery).
 
-        Returns an empty canonical relation when nothing has been written,
-        mirroring a fresh TSDB.
+        Returns an empty canonical relation when nothing has been written
+        — or when retention purged every segment (root exists but holds
+        no seg dirs; schema inference would fail) — mirroring a fresh
+        TSDB.
         """
-        if Path(self.root).exists():
+        if Path(self.root).exists() and any(Path(self.root).glob("seg=*")):
             return self.spark.read.parquet(self.root)
         return self.spark.createDataFrame([], ROW_SCHEMA).select(
             "labels",

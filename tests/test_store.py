@@ -848,3 +848,28 @@ def test_snapshot_restore_roundtrip(spark, tmp_path_factory):
                    db.query_range_rows("m", [], 0, 10**12).collect())
     assert after == before
     assert fsck(str(base / "live"))["ok"]
+
+
+def test_relation_after_full_purge_is_empty_not_error(spark, tmp_path_factory):
+    """Retention can purge EVERY segment: the root dir then exists but
+    holds no seg partitions, and relation() must return the empty
+    canonical relation (schema inference over zero files would throw) —
+    found driving the double-downsample generation scenario end-to-end
+    in round 7."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("fullpurge")
+    db = TSDB(spark, str(base / "live"), segment_duration=7200,
+              retention=6 * 3600)
+    db.insert_rows([("m", {"u": "a"}, START + i * 600, 1.0) for i in range(12)])
+    db.downsample_expire(3600, str(base / "tier"), now_ts=START + 16 * 3600)
+    assert db.store.relation().count() == 0
+    # the store keeps working: late rows land, a second expiry rolls them
+    # into a SECOND tier generation, and the tiered read merges both
+    db.insert_rows([("m", {"u": "a"}, START + i * 600 + 300, 1.0)
+                    for i in range(12)])
+    db.downsample_expire(3600, str(base / "tier"), now_ts=START + 16 * 3600)
+    total = db.query_range_buckets_tiered(
+        "m", [], 0, 2**40, 3600, str(base / "tier")
+    ).agg(F.sum("n")).first()[0]
+    assert total == 24

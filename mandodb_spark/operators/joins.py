@@ -63,3 +63,118 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     )
     out = l_s.join(r_s, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_id: str, left_key: str,
+               right_id: str, right_key: str,
+               max_distance: int, q: int = 2) -> DataFrame:
+    """EXACT edit-distance join (entity resolution / record linkage):
+    every (left, right) pair with ``levenshtein(left_key, right_key) <=
+    max_distance`` — the dirty-data matcher of a curation pipeline
+    (vendor names, titles, near-identical URLs), built on the Ed-Join
+    family's q-gram prefix filtering (Xiao et al., VLDB'08) so it is
+    never a cross join.
+
+    Scale shape (the same rarity-prefix machinery as
+    ``dedup.jaccard_join``): one edit operation destroys at most ``q``
+    q-grams, so strings within distance ``d`` share at least
+    ``max(|Ga|,|Gb|) - d*q`` grams; by the prefix-filter pigeonhole each
+    side only needs its ``d*q + 1`` GLOBALLY-RAREST grams as join keys.
+    Hub grams (shared by everything) enter prefixes last, so candidate
+    fan-out stays near-linear.  Stages: gram explode + document-frequency
+    count (the one corpus-wide shuffle), per-row rank window, prefix
+    equi-join, then the exact JVM-side ``levenshtein`` verify with the
+    ``|len_a - len_b| <= d`` length filter.
+
+    Exactness corner: a pair can share ZERO grams only when BOTH gram
+    sets are smaller than ``d*q`` (keys shorter than ``d*q + q - 1``
+    chars).  That short stratum is handled separately via a broadcast
+    length-filtered join — sound because evading pairs must be short on
+    BOTH sides, and the distinct short-key universe is bounded by the
+    alphabet, not the corpus.
+
+    Output: ``(left_id, right_id, distance)``.  NULL keys never match.
+    The DuckDB brute-force mirror (:func:`fuzzy_join_sql`) runs a
+    different algorithm entirely, so parity proves the blocking lossless.
+    """
+    from pyspark.sql import Window
+
+    d = int(max_distance)
+    if d < 0:
+        raise ValueError("max_distance must be >= 0")
+    k_prefix = d * q + 1
+    short_len = d * q + q - 1  # below this, gram sets can be too small
+
+    a = left.filter(F.col(left_key).isNotNull()).select(
+        F.col(left_id).alias("__lid"), F.col(left_key).alias("__lk"))
+    b = right.filter(F.col(right_key).isNotNull()).select(
+        F.col(right_id).alias("__rid"), F.col(right_key).alias("__rk"))
+
+    def grams(df, key, side):
+        return df.select(
+            "*",
+            F.explode(F.array_distinct(F.expr(
+                f"transform(sequence(1, greatest(length({key}) - {q - 1}, 1)),"
+                f" i -> substr({key}, i, {q}))"
+            ))).alias("__g"),
+        ).withColumn("__side", F.lit(side))
+
+    ga = grams(a, "__lk", 0)
+    gb = grams(b, "__rk", 1)
+    # one global rarity order across BOTH sides (the prefix lemma needs a
+    # single total order)
+    allg = ga.select("__g").unionAll(gb.select("__g"))
+    freq = allg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+
+    def prefix(g, id_col):
+        w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("__g").asc())
+        return (
+            g.join(freq, "__g")
+            .withColumn("__pos", F.row_number().over(w))
+            .filter(F.col("__pos") <= k_prefix)
+        )
+
+    pa = prefix(ga, "__lid").select("__lid", "__lk", "__g")
+    pb = prefix(gb, "__rid").select("__rid", "__rk", "__g")
+    cand = pa.join(pb, "__g").select("__lid", "__lk", "__rid", "__rk").distinct()
+
+    # short stratum: pairs that can evade the gram join (both keys short)
+    sa = a.filter(F.length("__lk") <= short_len)
+    sb = b.filter(F.length("__rk") <= short_len)
+    cand = cand.unionByName(
+        sa.join(F.broadcast(sb),
+                F.abs(F.length("__lk") - F.length("__rk")) <= d)
+        .select("__lid", "__lk", "__rid", "__rk")
+    ).distinct()
+
+    dist = F.levenshtein(F.col("__lk"), F.col("__rk"))
+    return (
+        cand.filter(F.abs(F.length("__lk") - F.length("__rk")) <= d)
+        .withColumn("distance", dist.cast("int"))
+        .filter(F.col("distance") <= d)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            "distance",
+        )
+    )
+
+
+def fuzzy_join_sql(left_sql: str, right_sql: str,
+                   left_id: str, left_key: str,
+                   right_id: str, right_key: str,
+                   max_distance: int) -> str:
+    """DuckDB oracle for :func:`fuzzy_join`: brute-force levenshtein over
+    the length-filtered cross product — no blocking at all, so agreement
+    proves the q-gram prefix filter lossless."""
+    d = int(max_distance)
+    return f"""
+WITH L AS ({left_sql}), R AS ({right_sql})
+SELECT l.{left_id} AS {left_id}, r.{right_id} AS {right_id},
+       CAST(levenshtein(l.{left_key}, r.{right_key}) AS INTEGER) AS distance
+FROM L l, R r
+WHERE l.{left_key} IS NOT NULL AND r.{right_key} IS NOT NULL
+  AND abs(length(l.{left_key}) - length(r.{right_key})) <= {d}
+  AND levenshtein(l.{left_key}, r.{right_key}) <= {d}
+"""

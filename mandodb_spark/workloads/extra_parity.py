@@ -1767,3 +1767,44 @@ ORDER BY cnt DESC, tok LIMIT 100
 
 QUERIES["x_docs_negative_sampling"] = x_docs_negative_sampling
 ORACLES["x_docs_negative_sampling"] = _NEG_SAMPLING_SQL
+
+
+_FUZZY_D = 2
+
+
+def x_customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution under the gate (operators/joins.py::fuzzy_join —
+    Ed-Join q-gram prefix blocking + exact levenshtein verify): match a
+    customer sample against a deterministically-corrupted copy of every
+    customer name (7th char deleted — the classic dirty-record scenario).
+    The DuckDB mirror is the BRUTE-FORCE length-filtered cross product,
+    so parity proves the rarity-prefix candidate generator lossless —
+    the same different-algorithm oracle discipline as x_docs_jaccard_join."""
+    from ..operators.joins import fuzzy_join
+
+    cust = load(spark, sf_dir, "customer")
+    left = cust.filter(F.col("c_custkey") % 20 == 0).select("c_custkey", "c_name")
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("dirty_id"),
+        F.concat(F.substring("c_name", 1, 6),
+                 F.expr("substr(c_name, 8)")).alias("dirty_name"),
+    )
+    return fuzzy_join(left, right, "c_custkey", "c_name",
+                      "dirty_id", "dirty_name", _FUZZY_D).orderBy(
+        "c_custkey", "dirty_id")
+
+
+def _fuzzy_match_sql() -> str:
+    from ..operators.joins import fuzzy_join_sql
+
+    inner = fuzzy_join_sql(
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey % 20 = 0",
+        "SELECT c_custkey + 1000000 AS dirty_id, "
+        "substr(c_name, 1, 6) || substr(c_name, 8) AS dirty_name FROM customer",
+        "c_custkey", "c_name", "dirty_id", "dirty_name", _FUZZY_D,
+    )
+    return inner + " ORDER BY c_custkey, dirty_id"
+
+
+QUERIES["x_customer_fuzzy_match"] = x_customer_fuzzy_match
+ORACLES["x_customer_fuzzy_match"] = _fuzzy_match_sql()

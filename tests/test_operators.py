@@ -4000,3 +4000,50 @@ def test_mmr_rerank_diversifies(spark):
     assert mixed[0] == 1 and mixed[1] == 3   # diversity beats the near-dup
     assert len(mmr_rerank(df, "id", "vec", "score", k=2)) == 2
     assert mmr_rerank(df.limit(0), "id", "vec", "score", k=3) == []
+
+
+def test_fuzzy_join_exact_vs_bruteforce(spark):
+    """fuzzy_join (Ed-Join q-gram prefix blocking) must be LOSSLESS:
+    every pair within the levenshtein threshold, including short-string
+    pairs that share zero q-grams (the separately-handled stratum) and
+    cross-length edits.  Brute-force python DP is the oracle."""
+    import random
+
+    from mandodb_spark.operators.joins import fuzzy_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(13)
+    alpha = "abcd"
+    base = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+            for _ in range(40)]
+    # right side: mutated copies (substitute/insert/delete) + randoms
+    def mutate(s):
+        ops = rng.randint(0, 3)
+        s = list(s)
+        for _ in range(ops):
+            k = rng.randrange(3)
+            if k == 0 and s:
+                s[rng.randrange(len(s))] = rng.choice(alpha)
+            elif k == 1:
+                s.insert(rng.randrange(len(s) + 1), rng.choice(alpha))
+            elif s:
+                del s[rng.randrange(len(s))]
+        return "".join(s) or "a"
+
+    rights = [mutate(rng.choice(base)) for _ in range(40)]
+    L = spark.createDataFrame([(i, s) for i, s in enumerate(base)], "lid long, lk string")
+    R = spark.createDataFrame([(i, s) for i, s in enumerate(rights)], "rid long, rk string")
+    for d in (0, 1, 2):
+        got = {(r["lid"], r["rid"], r["distance"]) for r in
+               fuzzy_join(L, R, "lid", "lk", "rid", "rk", d).collect()}
+        want = {(i, j, lev(a, b)) for i, a in enumerate(base)
+                for j, b in enumerate(rights) if lev(a, b) <= d}
+        assert got == want, (d, got ^ want)

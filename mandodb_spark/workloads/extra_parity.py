@@ -1808,3 +1808,29 @@ def _fuzzy_match_sql() -> str:
 
 QUERIES["x_customer_fuzzy_match"] = x_customer_fuzzy_match
 ORACLES["x_customer_fuzzy_match"] = _fuzzy_match_sql()
+
+
+def x_docs_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming near-dup gate's decision rule under the gate
+    (streaming/neardup.py): the KEPT ids of the one-shot batch dual —
+    a doc is dropped iff an earlier (smaller-id) doc collides on an LSH
+    band AND their md5-derived minhash signatures agree on >=
+    ceil(0.6*8) components.  The stream-vs-batch composition contract is
+    pinned in tests/test_streaming.py (sequential gating over any batch
+    split == this set); this row pins the rule itself cross-engine."""
+    from ..streaming.neardup import neardup_keep_ids
+
+    d = load(spark, sf_dir, "documents")
+    return neardup_keep_ids(d, "doc_id", "text", threshold=0.6).orderBy("doc_id")
+
+
+def _neardup_gate_sql() -> str:
+    from ..streaming.neardup import neardup_keep_ids_sql
+
+    return neardup_keep_ids_sql(
+        "documents", "doc_id", "text", threshold=0.6
+    ) + " ORDER BY doc_id"
+
+
+QUERIES["x_docs_neardup_gate"] = x_docs_neardup_gate
+ORACLES["x_docs_neardup_gate"] = _neardup_gate_sql()

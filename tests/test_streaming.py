@@ -1296,3 +1296,108 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
         ((i, round(cos(v, [0.4] * dim), 6)) for i, v in stored.items()),
         key=lambda t: (-t[1], t[0]))][:5]
     assert got_knn == want_knn
+
+
+def _neardup_corpus(spark):
+    """Corpus with planted near-dups: mutually-distinct random-vocab base
+    docs (the round-6 lesson: similar filler text links everything) plus
+    near-copies, some landing in LATER batches than their originals."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{rng.randrange(10**6)}" for _ in range(400)]
+    docs = []
+    for i in range(12):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(60))))
+    # near-copies: doc 20 ~ doc 1 (same batch region), doc 21 ~ doc 2,
+    # doc 22 ~ doc 11 (original in batch 2, copy in batch 3)
+    for cid, src in ((20, 1), (21, 2), (22, 11)):
+        words = docs[src][1].split()
+        words[5] = "CHANGED"
+        docs.append((cid, " ".join(words)))
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_neardup_gate_stream_equals_oneshot(spark, tmp_path_factory):
+    """The gate's composition contract: gating the corpus in three
+    sequential batches (by id order) keeps EXACTLY the ids the one-shot
+    batch rule (neardup_keep_ids) keeps — because the state stores every
+    arriving signature, kept or dropped."""
+    from mandodb_spark.streaming.neardup import NearDupGate, neardup_keep_ids
+
+    base = tmp_path_factory.mktemp("ndgate")
+    corpus = _neardup_corpus(spark)
+    want = {r["doc_id"] for r in
+            neardup_keep_ids(corpus, "doc_id", "text", threshold=0.6).collect()}
+    assert want and len(want) < corpus.count()  # some dups actually drop
+
+    gate = NearDupGate(spark, str(base / "state"), threshold=0.6)
+    got = set()
+    for lo, hi in ((0, 5), (5, 12), (12, 100)):
+        batch = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got |= {r["doc_id"] for r in
+                gate.filter_batch(batch, "doc_id", "text").collect()}
+    assert got == want
+    # the planted cross-batch copies were dropped, originals kept
+    assert {20, 21, 22}.isdisjoint(got) and {1, 2, 11} <= got
+    assert gate.seen_docs == 15 and gate.dropped_docs == 15 - len(want)
+    # re-sending an already-seen doc drops it (its own signature matches)
+    again = gate.filter_batch(
+        corpus.filter(F.col("doc_id") == 1), "doc_id", "text")
+    assert again.count() == 0
+
+
+def test_neardup_gate_oneshot_matches_duckdb(spark):
+    """Cross-engine pin of the gate's decision rule: the one-shot dual's
+    kept set equals a DuckDB rebuild of the same md5-derived minhash
+    signatures, band hashes, and agreement threshold."""
+    import duckdb
+
+    from mandodb_spark.streaming.neardup import (
+        neardup_keep_ids,
+        neardup_keep_ids_sql,
+    )
+
+    corpus = _neardup_corpus(spark)
+    got = neardup_keep_ids(corpus, "doc_id", "text", threshold=0.6)
+    sql = neardup_keep_ids_sql("corpus", "doc_id", "text", threshold=0.6)
+    con = duckdb.connect()
+    con.register("corpus", corpus.toPandas())
+    want = set(con.execute(sql).df()["doc_id"])
+    assert {r["doc_id"] for r in got.collect()} == want
+
+
+def test_neardup_gate_maintainer_writestream(spark, tmp_path_factory):
+    """The maintainer under a real file stream: three triggers, survivors
+    accumulate in the sink, state compaction fires on cadence, and the
+    probe plan prunes state partitions (kb partition filter)."""
+    import glob
+
+    from mandodb_spark.streaming.neardup import (
+        NearDupGate,
+        NearDupGateMaintainer,
+        neardup_keep_ids,
+    )
+
+    base = tmp_path_factory.mktemp("ndm")
+    corpus = _neardup_corpus(spark)
+    src = str(base / "src")
+    for lo, hi in ((0, 5), (5, 12), (12, 100)):
+        corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)) \
+            .coalesce(1).write.mode("append").parquet(src)
+    gate = NearDupGate(spark, str(base / "state"), threshold=0.6, n_buckets=4)
+    m = NearDupGateMaintainer(gate, str(base / "kept"), compact_every=3)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = m.start(stream, str(base / "ckpt"))
+    q.awaitTermination(180)
+
+    assert m.batches == 3 and m.compactions == 1
+    want = {r["doc_id"] for r in
+            neardup_keep_ids(corpus, "doc_id", "text", threshold=0.6).collect()}
+    got = {r["doc_id"] for r in spark.read.parquet(str(base / "kept")).collect()}
+    assert got == want
+    # compaction left one file per kb partition
+    for d in glob.glob(str(base / "state" / "kb=*")):
+        files = [f for f in glob.glob(d + "/part-*") if not f.endswith(".crc")]
+        assert len(files) == 1, (d, files)

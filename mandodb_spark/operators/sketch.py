@@ -331,6 +331,87 @@ def exact_quantiles_disc(df: DataFrame, value_col: str, qs: list[float],
     rank-ambiguous but value-at-rank is not, so the result is
     deterministic).  Empty input yields no rows.
     """
+    ranked = _rank_probes(
+        df, value_col,
+        lambda total: F.array_distinct(F.array(*[
+            (F.floor(F.lit(float(q)) * (total - 1)) + 1).cast("long")
+            for q in qs
+        ])),
+        n_buckets,
+    )
+    probes = ranked.select(
+        "__v", "__rn", "__total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    return probes.filter(
+        F.col("__rn") == F.floor(F.col("q") * (F.col("__total") - 1)) + 1
+    ).select("q", F.col("__v").alias("value"))
+
+
+def exact_quantiles_cont(df: DataFrame, value_col: str, qs: list[float],
+                         n_buckets: int = 32) -> DataFrame:
+    """EXACT continuous (interpolated) quantiles — Spark ``percentile()``
+    / DuckDB ``quantile_cont`` semantics — from TWO rank probes per q
+    instead of a ``percentile()`` corpus aggregate (which buffers all
+    O(distinct-values) counts on one reducer) or a global window.
+
+    Rank math mirrors Spark's ``Percentile.getPercentile`` exactly so
+    the result is bit-identical to the built-in on the same doubles:
+    ``pos = q*(N-1)``; ``lo = floor(pos)``, ``hi = ceil(pos)`` (0-based);
+    ``result = (hi-pos)*v[lo] + (pos-lo)*v[hi]``, collapsing to
+    ``v[lo]`` when ``pos`` is integral.  Both probes ride the same
+    two-phase-rank engine as :func:`exact_quantiles_disc` — one
+    percentile_approx range pass, per-bucket offset arithmetic from a
+    broadcast count row, and a ``row_number`` only inside the ≤2·|qs|
+    buckets that actually hold a probe rank.
+
+    Output: ``(q, value)`` — one row per q; empty input yields no rows.
+    """
+    ranked = _rank_probes(
+        df, value_col,
+        lambda total: F.array_distinct(F.flatten(F.array(*[
+            F.array(
+                (F.floor(F.lit(float(q)) * (total - 1).cast("double")) + 1
+                 ).cast("long"),
+                (F.ceil(F.lit(float(q)) * (total - 1).cast("double")) + 1
+                 ).cast("long"),
+            )
+            for q in qs
+        ]))),
+        n_buckets,
+    )
+    probes = ranked.select(
+        "__v", "__rn", "__total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    pos = F.col("q") * (F.col("__total") - 1).cast("double")
+    lo_rn = F.floor(pos) + 1
+    hi_rn = F.ceil(pos) + 1
+    picked = probes.filter(
+        (F.col("__rn") == lo_rn) | (F.col("__rn") == hi_rn)
+    ).groupBy("q").agg(
+        F.max(F.when(F.col("__rn") == lo_rn, F.col("__v"))).alias("__vlo"),
+        F.max(F.when(F.col("__rn") == hi_rn, F.col("__v"))).alias("__vhi"),
+        F.first("__total").alias("__total"),
+    )
+    pos2 = F.col("q") * (F.col("__total") - 1).cast("double")
+    value = F.when(
+        F.ceil(pos2) == F.floor(pos2), F.col("__vlo")
+    ).otherwise(
+        (F.ceil(pos2).cast("double") - pos2) * F.col("__vlo")
+        + (pos2 - F.floor(pos2).cast("double")) * F.col("__vhi")
+    )
+    return picked.select("q", value.alias("value"))
+
+
+def _rank_probes(df: DataFrame, value_col: str, targets_fn,
+                 n_buckets: int) -> DataFrame:
+    """Shared two-phase-rank engine behind exact_quantiles_disc/cont:
+    returns ``(__v, __rn, __total)`` rows carrying the global 1-based
+    rank, materialized ONLY inside buckets whose rank interval contains
+    a target rank.  ``targets_fn(total_col)`` builds the array of
+    1-based target ranks from the total-count column, so callers choose
+    floor-only (disc) or floor+ceil (cont) probes."""
     from pyspark.sql import Window
 
     vals = df.filter(F.col(value_col).isNotNull()).select(
@@ -353,10 +434,7 @@ def exact_quantiles_disc(df: DataFrame, value_col: str, qs: list[float],
     count_row = counts.agg(
         F.collect_list(F.struct("__bkt", "__cnt")).alias("__counts")
     )
-    targets = F.array_distinct(F.array(*[
-        (F.floor(F.lit(float(q)) * (F.col("__total") - 1)) + 1).cast("long")
-        for q in qs
-    ]))
+    targets = targets_fn(F.col("__total"))
     enriched = (
         bucketed.crossJoin(F.broadcast(count_row))
         .withColumn(
@@ -379,18 +457,11 @@ def exact_quantiles_disc(df: DataFrame, value_col: str, qs: list[float],
             lambda t: (t > F.col("__off")) & (t <= F.col("__off") + F.col("__sz")),
         ))
     )
-    ranked = enriched.withColumn(
+    return enriched.withColumn(
         "__rn",
         F.col("__off")
         + F.row_number().over(Window.partitionBy("__bkt").orderBy("__v")),
     )
-    probes = ranked.select(
-        "__v", "__rn", "__total",
-        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
-    )
-    return probes.filter(
-        F.col("__rn") == F.floor(F.col("q") * (F.col("__total") - 1)) + 1
-    ).select("q", F.col("__v").alias("value"))
 
 
 def hll_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,

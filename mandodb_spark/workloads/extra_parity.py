@@ -140,6 +140,7 @@ def x_tsdb_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         DDS_ALPHA,
         dds_build,
         dds_quantiles,
+        exact_quantiles_cont,
         exact_quantiles_disc,
     )
     from .common import SEG, events_relation
@@ -155,17 +156,15 @@ def x_tsdb_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = dds_quantiles(merged, _DDS_QS, DDS_ALPHA)
 
     # exact rank-floor(q*(N-1)) quantile (the estimate's target), plus the
-    # interpolated percentile (the cross-engine-checked value)
+    # interpolated percentile (the cross-engine-checked value) — both from
+    # bucketed two-phase rank probes, never a percentile()/global-window
+    # corpus aggregate (its O(distinct-values) buffer lands on one reducer)
     targets = exact_quantiles_disc(rel, "value", _DDS_QS).select(
         "q", F.col("value").alias("disc_q")
     )
-    cont = rel.agg(
-        *[F.expr(f"percentile(value, {q}d)").alias(f"c{i}")
-          for i, q in enumerate(_DDS_QS)]
-    ).select(F.explode(F.array(*[
-        F.struct(F.lit(q).alias("q"), F.col(f"c{i}").alias("exact_q"))
-        for i, q in enumerate(_DDS_QS)])).alias("s")
-    ).select("s.q", "s.exact_q")
+    cont = exact_quantiles_cont(rel, "value", _DDS_QS).select(
+        "q", F.col("value").alias("exact_q")
+    )
     return (
         est.join(targets, "q").join(cont, "q")
         .select(

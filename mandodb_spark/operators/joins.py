@@ -139,12 +139,22 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     pb = prefix(gb, "__rid").select("__rid", "__rk", "__g")
     cand = pa.join(pb, "__g").select("__lid", "__lk", "__rid", "__rk").distinct()
 
-    # short stratum: pairs that can evade the gram join (both keys short)
+    # short stratum: pairs that can evade the gram join (both keys short).
+    # Broadcast the DISTINCT short-key universe — bounded by the alphabet
+    # (≤ |Σ|^short_len values), NOT by the corpus — never short ROWS: a
+    # corpus with billions of rows carrying "Li"-style keys would make a
+    # row broadcast unbounded.  The nested-loop length+distance pairing
+    # runs key-vs-key; ids re-enter through equi-joins afterwards.
     sa = a.filter(F.length("__lk") <= short_len)
     sb = b.filter(F.length("__rk") <= short_len)
+    key_pairs = sa.select("__lk").distinct().join(
+        F.broadcast(sb.select("__rk").distinct()),
+        (F.abs(F.length("__lk") - F.length("__rk")) <= d)
+        & (F.levenshtein(F.col("__lk"), F.col("__rk")) <= d),
+    )
     cand = cand.unionByName(
-        sa.join(F.broadcast(sb),
-                F.abs(F.length("__lk") - F.length("__rk")) <= d)
+        sa.join(F.broadcast(key_pairs), "__lk")
+        .join(sb, "__rk")
         .select("__lid", "__lk", "__rid", "__rk")
     ).distinct()
 

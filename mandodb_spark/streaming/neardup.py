@@ -20,12 +20,19 @@ dropped), so the rule composes: gating a stream batch-by-batch yields
 exactly the one-shot batch answer over the ordered corpus
 (:func:`neardup_keep_ids`, the equivalence oracle).
 
-State layout: ``kb=pmod(xxhash64(band, bh), n_buckets)`` partitions of
-``(band, bh, doc_id, h0..h{n-1})`` rows.  A probe touches only the
-batch's own ``kb`` values — a partition-pruned scan (the VectorIndex
-probe guarantee applied to LSH buckets); at 100 TB the state is the
-corpus's band table, sharded by hash, and a batch reads only its
-collision shards.
+State layout: ``bseq=<batch>/kb=pmod(xxhash64(band, bh), n_buckets)``
+partitions of ``(band, bh, doc_id, h0..h{n-1})`` rows.  A probe touches
+only the batch's own ``kb`` values — a partition-pruned scan (the
+VectorIndex probe guarantee applied to LSH buckets); at 100 TB the
+state is the corpus's band table, sharded by hash, and a batch reads
+only its collision shards.  ``bseq`` is the at-least-once armor: each
+streaming batch's signatures land in their own ``bseq=<batch_id>``
+partition via DYNAMIC overwrite, so a foreachBatch retry (a) replaces
+rather than duplicates its state append and (b) can exclude its own
+ghost partition from the probe — without it, a crash between the state
+append and the sink write would make every retried doc self-match and
+silently vanish from the sink.  Ad-hoc (non-streaming) calls and
+compaction fold into the ``bseq=-1`` history partition.
 
 Reference: the engine-side batch dedup derives from the same public
 MinHash/LSH construction (Broder '97); the reference TSDB has no
@@ -224,8 +231,22 @@ class NearDupGate:
             return None
         return self.spark.read.parquet(self.root)
 
-    def filter_batch(self, df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        """Gate one (micro-)batch; returns kept rows of ``df``."""
+    def filter_batch(self, df: DataFrame, id_col: str, text_col: str,
+                     batch_id: int | None = None) -> DataFrame:
+        """Gate one (micro-)batch; returns kept rows of ``df``.
+
+        ``batch_id`` (the foreachBatch epoch, >= 0) makes the call
+        IDEMPOTENT under at-least-once retries: the state append lands
+        in the ``bseq=batch_id`` partition via dynamic overwrite (a
+        retry replaces, never duplicates), and the probe skips that
+        partition so a retried batch never matches its own ghost
+        signatures from a failed earlier attempt.  Without it (ad-hoc
+        batch use) signatures append to the ``bseq=-1`` history
+        partition and a re-sent call is a new arrival, as before.
+        """
+        if batch_id is not None and int(batch_id) < 0:
+            raise ValueError(f"batch_id must be >= 0, got {batch_id}")
+        bseq = -1 if batch_id is None else int(batch_id)
         # the PREVIOUS batch's kept-rows anti-join has been consumed by
         # now — release its checkpoint blocks before creating this one's
         self._release(self._held)
@@ -233,7 +254,7 @@ class NearDupGate:
         n = self.n_hashes
         bands = signature_bands(df, id_col, text_col, n, self.n_bands).withColumn(
             "kb", F.pmod(F.xxhash64("band", "bh"), F.lit(self.n_buckets))
-        )
+        ).withColumn("bseq", F.lit(bseq))
         # the band table is batch-sized but referenced three times
         # (in-batch join both sides + state probe + state append) —
         # checkpoint so the shingle→signature pipeline runs ONCE
@@ -262,6 +283,10 @@ class NearDupGate:
         # pruned to the batch's own kb partitions
         state = self._state()
         if state is not None:
+            if batch_id is not None:
+                # a failed earlier attempt of THIS batch may have landed
+                # its append — ghost partition pruned, not matched
+                state = state.filter(F.col("bseq") != bseq)
             touched = [r["kb"] for r in bands.select("kb").distinct().collect()]
             s = state.filter(F.col("kb").isin(touched)).select(
                 "band", "bh",
@@ -284,8 +309,16 @@ class NearDupGate:
         dropped_ids, dropped_ck = self._ckpt(dropped_in.distinct())
         kept = df.join(F.broadcast(dropped_ids), id_col, "left_anti")
 
-        # append the whole batch's band rows (kept AND dropped)
-        bands.write.mode("append").partitionBy("kb").parquet(self.root)
+        # append the whole batch's band rows (kept AND dropped); a
+        # batch_id-keyed write is a dynamic overwrite of its own bseq
+        # partitions — the retry-idempotency half of the contract
+        writer = bands.write.partitionBy("bseq", "kb")
+        if batch_id is not None:
+            writer = writer.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic")
+        else:
+            writer = writer.mode("append")
+        writer.parquet(self.root)
         n_batch = bands.select(id_col).distinct().count()
         n_dropped = dropped_ids.count()
         self.seen_docs += n_batch
@@ -297,8 +330,13 @@ class NearDupGate:
         return kept
 
     def compact(self) -> None:
-        """Fold per-append small files into one file per kb partition
-        (staging rewrite + atomic swap — the store discipline)."""
+        """Fold per-append small files into one file per kb partition,
+        collapsing all ``bseq`` batch partitions into the ``bseq=-1``
+        history (staging rewrite + atomic swap — the store discipline).
+        A batch compacted into history can no longer be retry-excluded,
+        but compaction runs AFTER the sink write in ``process_batch``,
+        so the only retry that can still observe it (commit-failure
+        replay) re-drops rows the sink already holds — no loss."""
         from ..sources.segment_store import swap_in
 
         state = self._state()
@@ -306,10 +344,60 @@ class NearDupGate:
             return
         staging = f"{self.root}__compact"
         (
-            state.repartition("kb").write.mode("overwrite")
-            .partitionBy("kb").parquet(staging)
+            state.drop("bseq").withColumn("bseq", F.lit(-1))
+            .repartition("kb").write.mode("overwrite")
+            .partitionBy("bseq", "kb").parquet(staging)
         )
         swap_in(self.root, staging)
+
+    def fsck(self) -> dict:
+        """State integrity check, mirroring ``SegmentStore.fsck``'s
+        footer-only discipline: every data file must sit under a
+        well-formed ``bseq=<int>/kb=<int in [0, n_buckets)>`` partition
+        pair, parse as parquet (footer read), and carry the expected
+        ``(band, bh, doc_id-like, h0..h{n-1})`` columns.  Returns
+        ``{"files": n, "corrupt": [...], "orphan": [...],
+        "bad_schema": [...], "ok": bool}`` without loading row data —
+        O(files) footer reads, no scan."""
+        import re as _re
+
+        import pyarrow.parquet as pq
+
+        root = Path(self.root)
+        corrupt: list[str] = []
+        orphan: list[str] = []
+        bad_schema: list[str] = []
+        n_files = 0
+        want_h = {f"h{i}" for i in range(self.n_hashes)}
+        if not root.exists():
+            return {"files": 0, "corrupt": [], "orphan": [],
+                    "bad_schema": [], "ok": True}
+        for f in sorted(root.rglob("*")):
+            # _SUCCESS markers / .crc sidecars / _temporary leftovers are
+            # invisible to readers (Hadoop hidden-file convention)
+            if (not f.is_file() or f.name.endswith(".crc")
+                    or f.name.startswith(("_", "."))):
+                continue
+            rel = f.relative_to(root)
+            n_files += 1
+            m = _re.fullmatch(
+                r"bseq=(-?\d+)/kb=(\d+)/[^/]+\.parquet", str(rel))
+            if not m or not (0 <= int(m.group(2)) < self.n_buckets):
+                orphan.append(str(rel))
+                continue
+            try:
+                schema = pq.read_schema(f)
+            except Exception:
+                corrupt.append(str(rel))
+                continue
+            cols = set(schema.names)
+            if not ({"band", "bh"} <= cols and want_h <= cols):
+                bad_schema.append(str(rel))
+        return {
+            "files": n_files, "corrupt": corrupt, "orphan": orphan,
+            "bad_schema": bad_schema,
+            "ok": not (corrupt or orphan or bad_schema),
+        }
 
 
 class NearDupGateMaintainer:
@@ -333,7 +421,8 @@ class NearDupGateMaintainer:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        kept = self.gate.filter_batch(batch_df, self.id_col, self.text_col)
+        kept = self.gate.filter_batch(
+            batch_df, self.id_col, self.text_col, batch_id=batch_id)
         kept.write.mode("append").parquet(self.sink_path)
         self.batches += 1
         if self.compact_every and self.batches % self.compact_every == 0:

@@ -4099,3 +4099,52 @@ def test_fuzzy_join_exact_vs_bruteforce(spark):
         want = {(i, j, lev(a, b)) for i, a in enumerate(base)
                 for j, b in enumerate(rights) if lev(a, b) <= d}
         assert got == want, (d, got ^ want)
+
+
+def test_fuzzy_join_short_stratum_broadcasts_keys_not_rows(spark):
+    """Round-7 verdict #3: a short-key-HEAVY corpus (50k rows, 100
+    distinct ≤2-char names on each side) must complete with the short
+    stratum's broadcast bounded by the DISTINCT key universe, not the
+    row count — every BroadcastExchange in the plan sits above an
+    aggregate (the distinct), never above a raw scan of short rows —
+    and the pair count must match the key-level closed form."""
+    import itertools
+    import random
+    import re
+
+    from mandodb_spark.operators.joins import fuzzy_join
+    from mandodb_spark.plans import formatted_plan
+
+    rng = random.Random(7)
+    alpha = "abcdefghij"
+    keys = list({a + b for a, b in itertools.product(alpha, alpha)})[:100]
+    n = 50_000
+    rows = [(i, keys[rng.randrange(len(keys))]) for i in range(n)]
+    L = spark.createDataFrame(rows, "lid long, lk string")
+    R = L.select(F.col("lid").alias("rid"), F.col("lk").alias("rk"))
+    out = fuzzy_join(L, R, "lid", "lk", "rid", "rk", max_distance=1)
+
+    # plan shape: broadcasts feed from HashAggregate (distinct keys /
+    # verified key pairs), never directly from the 50k-row relation
+    plan = formatted_plan(out)
+    assert "BroadcastExchange" in plan
+    bcast_inputs = re.findall(
+        r"Input \[\d+\]: \[([^\]]*)\]\n\n\(\d+\) BroadcastExchange", plan)
+    # every broadcast input is key-only — no __lid/__rid id columns riding
+    for cols in bcast_inputs:
+        assert "__lid" not in cols and "__rid" not in cols, cols
+
+    # closed form: sum over key pairs with lev<=1 of cnt_a*cnt_b
+    def lev1(a, b):
+        if a == b:
+            return True
+        if abs(len(a) - len(b)) > 1:
+            return False
+        return (sum(x != y for x, y in zip(a, b)) <= 1 if len(a) == len(b)
+                else (a in (b[:i] + b[i + 1:] for i in range(len(b)))
+                      or b in (a[:i] + a[i + 1:] for i in range(len(a)))))
+
+    from collections import Counter
+    cnt = Counter(k for _, k in rows)
+    want = sum(cnt[a] * cnt[b] for a in cnt for b in cnt if lev1(a, b))
+    assert out.count() == want

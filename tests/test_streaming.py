@@ -1142,10 +1142,12 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
     RetentionMaintainer (tiered downsample, injected clock) →
     LayoutMaintainer (measured relayout) → TextIndexMaintainer (docs
     derived per batch, compaction cadence) → VectorIndexMaintainer
-    (embeddings derived per batch, drift-triggered rebuild) — over six
-    triggers including a LATE batch into an already-purged segment, then
-    asserts every per-maintainer invariant SIMULTANEOUSLY (each is
-    covered in isolation elsewhere; this pins their composition)."""
+    (embeddings derived per batch, drift-triggered rebuild) →
+    NearDupGateMaintainer (cross-batch dedup of the derived docs,
+    compaction cadence) — over six triggers including a LATE batch into
+    an already-purged segment, then asserts every per-maintainer
+    invariant SIMULTANEOUSLY (each is covered in isolation elsewhere;
+    this pins their composition)."""
     from mandodb_spark.operators.similarity import ivf_cells
     from mandodb_spark.operators.text import bm25_topk
     from mandodb_spark.sources.text_index import TextIndex
@@ -1216,6 +1218,12 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
                       .cast("float") for j in range(dim)]).alias("embedding"))
 
     docs_mirror = str(base / "docs_mirror")
+    from mandodb_spark.streaming.neardup import NearDupGate, NearDupGateMaintainer
+
+    nd_gate = NearDupGate(spark, str(base / "ndstate"), threshold=0.8,
+                          n_buckets=4)
+    nd_m = NearDupGateMaintainer(nd_gate, str(base / "ndkept"),
+                                 compact_every=3)
 
     def soak(batch, bid):
         ingestor.process_batch(batch, bid)
@@ -1225,6 +1233,7 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
         docs.write.mode("append").parquet(docs_mirror)  # scan-parity mirror
         text_m.process_batch(docs, bid)
         vec_m.process_batch(derive_vecs(batch), bid)
+        nd_m.process_batch(docs, bid)
 
     for i, rows in enumerate(files):
         spark.createDataFrame(rows, ROW_SCHEMA).coalesce(1) \
@@ -1275,6 +1284,19 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
     got_bm = [(r["id"], r["score"]) for r in
               tidx.search(["node", "vm1"], k=15).collect()]
     assert got_bm == want_bm
+
+    # --- near-dup gate: counters conserved across batches AND the two
+    # mid-soak compactions (kept-sink + dropped = seen), state healthy,
+    # and the LATE file — byte-identical doc texts re-derived from the
+    # re-sent segment-0 rows — was dropped wholesale cross-batch
+    assert nd_m.batches == 6 and nd_m.compactions == 2
+    assert nd_gate.seen_docs == len(all_rows)
+    nd_kept = {r["doc_id"]
+               for r in spark.read.parquet(str(base / "ndkept")).collect()}
+    assert len(nd_kept) == nd_gate.seen_docs - nd_gate.dropped_docs
+    late_ids = {START + 300 + i * 600 for i in range(12)}
+    assert not late_ids & nd_kept
+    assert nd_gate.fsck()["ok"]
 
     # --- vector index: drift rebuild fired, and with every cell probed
     # the index answer is EXACT brute-force cosine over all appended rows
@@ -1397,7 +1419,59 @@ def test_neardup_gate_maintainer_writestream(spark, tmp_path_factory):
             neardup_keep_ids(corpus, "doc_id", "text", threshold=0.6).collect()}
     got = {r["doc_id"] for r in spark.read.parquet(str(base / "kept")).collect()}
     assert got == want
-    # compaction left one file per kb partition
-    for d in glob.glob(str(base / "state" / "kb=*")):
+    # compaction folded every bseq batch partition into the history
+    # partition, one file per kb
+    assert not glob.glob(str(base / "state" / "bseq=[0-9]*"))
+    for d in glob.glob(str(base / "state" / "bseq=-1" / "kb=*")):
         files = [f for f in glob.glob(d + "/part-*") if not f.endswith(".crc")]
         assert len(files) == 1, (d, files)
+    assert gate.fsck()["ok"]
+
+
+def test_neardup_gate_retry_idempotent(spark, tmp_path_factory):
+    """The at-least-once contract (round-7 ADVICE): re-running a batch
+    with the same batch_id after its state append landed (the
+    crash-before-sink-write scenario) returns the SAME kept set — the
+    retry neither matches its own ghost signatures (which would silently
+    drop the whole batch) nor duplicates state; later batches see
+    exactly one copy of its signatures."""
+    import glob
+
+    from mandodb_spark.streaming.neardup import NearDupGate
+
+    base = tmp_path_factory.mktemp("ndretry")
+    corpus = _neardup_corpus(spark)
+    b1 = corpus.filter(F.col("doc_id") < 12)
+    b2 = corpus.filter(F.col("doc_id") >= 12)
+
+    gate = NearDupGate(spark, str(base / "state"), threshold=0.6, n_buckets=4)
+    kept1 = {r["doc_id"] for r in
+             gate.filter_batch(b1, "doc_id", "text", batch_id=0).collect()}
+    assert kept1  # state append has landed; now simulate the retry
+    kept1_retry = {r["doc_id"] for r in
+                   gate.filter_batch(b1, "doc_id", "text", batch_id=0).collect()}
+    assert kept1_retry == kept1  # NOT empty, NOT different
+    # dynamic overwrite replaced, not doubled, the bseq=0 partition
+    state = spark.read.parquet(str(base / "state"))
+    per_doc = state.groupBy("doc_id", "band").count().agg(F.max("count")).collect()
+    assert per_doc[0][0] == 1
+    assert glob.glob(str(base / "state" / "bseq=0"))
+
+    # next batch still sees batch 0's signatures: the planted copies of
+    # docs 1/2/11 (docs 20/21/22) are all dropped cross-batch
+    kept2 = {r["doc_id"] for r in
+             gate.filter_batch(b2, "doc_id", "text", batch_id=1).collect()}
+    assert kept2 == set() and gate.dropped_docs >= 3
+    assert gate.fsck()["ok"]
+    # fsck flags a foreign file as orphan, a truncated one as corrupt
+    stray = base / "state" / "stray.parquet"
+    stray.write_text("not parquet")
+    bad_dir = base / "state" / "bseq=0" / "kb=0"
+    victims = [f for f in glob.glob(str(bad_dir / "part-*"))
+               if not f.endswith(".crc")]
+    with open(victims[0], "wb") as fh:
+        fh.write(b"PAR1garbage")
+    rep = gate.fsck()
+    assert not rep["ok"]
+    assert any("stray.parquet" in o for o in rep["orphan"])
+    assert any(victims[0].endswith(c.split("/")[-1]) for c in rep["corrupt"])

@@ -42,6 +42,7 @@ class TSDB:
         bucket_by_series: int | None = None,
         table: str | None = None,
         promote_labels: list[str] | None = None,
+        max_rows_per_segment: int | None = None,
     ) -> None:
         """``only_memory=True`` (or ``path=None``) mirrors the reference's
         onlyMemoryMode (tsdb.go:30, T6): nothing touches disk.
@@ -49,7 +50,14 @@ class TSDB:
         ``bucket_by_series=N`` stores the data bucketed by ``series_key``
         into N buckets (catalog table ``table``, default derived from the
         path) — removes query_range's one shuffle entirely at the cost of
-        N files per segment per batch (see BucketedSegmentStore)."""
+        N files per segment per batch (see BucketedSegmentStore).
+
+        ``max_rows_per_segment`` is the reference's
+        ``WithMaxRowsPerSegment`` option (tsdb.go:99-105): a hot segment
+        whose batch exceeds the budget fans out across extra files so no
+        single write task owns the whole hot partition (plain disk store
+        only — the bucketed store's layout is already fanned out by
+        series bucket, and the memory store holds rows, not files)."""
         self.spark = spark
         if only_memory or path is None:
             from .sources.memory_store import MemoryStore
@@ -66,7 +74,9 @@ class TSDB:
             )
         else:
             self.store = SegmentStore(
-                spark, path, segment_duration, codec, promote_labels=promote_labels
+                spark, path, segment_duration, codec,
+                promote_labels=promote_labels,
+                max_rows_per_segment=max_rows_per_segment,
             )
         self.segment_duration = segment_duration
         self.retention = retention
@@ -387,6 +397,11 @@ class TSDB:
         n = _restore(snapshot_root, root)
         self.spark.catalog.clearCache()
         self.spark.catalog.refreshByPath(root)
+        # bucketed stores read through a catalog table whose file index
+        # is cached per NAME — refreshByPath alone leaves it stale
+        table = getattr(self.store, "table", None)
+        if table is not None:
+            self.spark.catalog.refreshTable(table)
         return n
 
     def fsck(self) -> dict:

@@ -190,7 +190,35 @@ def write_rollup_and_verify(spark, rel, expired: list[int], step: int,
       streaming soak test caught exactly that data loss).  Readers merge
       generations for free: the tier schema is the mergeable-partial set
       by design (``query_range_buckets_tiered`` re-aggregates).
+
+    At-least-once caveat (the limit of content-hash dedup): redelivery
+    is deduplicated only when it is BYTE-EXACT (same rows → same gen →
+    overwrite) or fully DISJOINT (new rows → new gen, correct by
+    design).  A PARTIALLY-overlapping late redelivery after purge —
+    some rows already rolled up in an earlier generation plus some new
+    ones — hashes to a fresh gen containing the overlap again, and
+    tiered reads then double-count the overlapping rows across the two
+    generations.  Feed this writer deduplicated rows (the store's
+    ``dedup_points``/``dedup_against_store`` ingest options exist for
+    exactly this) when upstream redelivery can split batches.
+
+    ``dest_root`` must be a (seg, gen) tier from birth: a root holding
+    pre-generation ``seg=N/*.parquet`` layouts (no ``gen=`` level)
+    breaks partition discovery when mixed, so the write FAILS FAST with
+    a migration hint instead of corrupting the tier.
     """
+    pre_gen = [
+        d.name for d in Path(dest_root).glob("seg=*")
+        if d.is_dir()
+        and any(f.is_file() and f.suffix == ".parquet" for f in d.iterdir())
+    ] if Path(dest_root).exists() else []
+    if pre_gen:
+        raise RuntimeError(
+            f"tier at {dest_root} holds pre-generation seg-only partitions "
+            f"({pre_gen[:3]}{'...' if len(pre_gen) > 3 else ''}): migrate by "
+            f"rewriting each seg=N dir to seg=N/gen=legacy before mixing "
+            f"(seg, gen) writes into this root"
+        )
     gen_rows = (
         rel.groupBy("seg")
         .agg(
@@ -1087,24 +1115,10 @@ def vacuum(root: str, dry_run: bool = True) -> dict:
     return {"removed": targets, "freed_bytes": freed, "dry_run": dry_run}
 
 
-def snapshot(root: str, dest: str) -> int:
-    """Instant store snapshot: recreate the directory tree at ``dest`` with
-    HARDLINKS to the live data files — O(files) metadata work, zero bytes
-    copied.  Sound because committed Parquet files are immutable here:
-    every mutation path (append, compact, retention, relayout) creates or
-    deletes whole files, never rewrites one in place, so a snapshot taken
-    between jobs is crash-consistent and stays frozen while the live tree
-    moves on.  Validate with :func:`fsck`; "restore" is the same call in
-    reverse (snapshot the snapshot back over a fresh root).  The
-    object-store analogue is a manifest copy.  Returns the linked file
-    count.  Refuses an existing non-empty ``dest``."""
+def _link_tree(src: Path, dst: Path) -> int:
+    """Hardlink-recreate ``src``'s tree at ``dst``; returns file count."""
     import os
 
-    src, dst = Path(root), Path(dest)
-    if not src.exists():
-        raise FileNotFoundError(f"no store at {root}")
-    if dst.exists() and any(dst.iterdir()):
-        raise FileExistsError(f"snapshot dest {dest} exists and is not empty")
     n = 0
     for p in src.rglob("*"):
         rel = p.relative_to(src)
@@ -1118,6 +1132,41 @@ def snapshot(root: str, dest: str) -> int:
     return n
 
 
+def snapshot(root: str, dest: str) -> int:
+    """Instant store snapshot: recreate the directory tree at ``dest`` with
+    HARDLINKS to the live data files — O(files) metadata work, zero bytes
+    copied.  Sound because committed Parquet files are immutable here:
+    every mutation path (append, compact, retention, relayout) creates or
+    deletes whole files, never rewrites one in place, so a snapshot taken
+    between jobs is crash-consistent and stays frozen while the live tree
+    moves on.
+
+    The tombstone overlay (``<root>__tombstones`` — the bucketed store's
+    pending GDPR deletes, applied physically only at compact) IS store
+    state and is captured alongside as ``<dest>__tombstones``: without
+    it, restoring a snapshot taken before the compact that applied the
+    deletes would silently resurrect deleted rows, and a snapshot taken
+    with pending tombstones would not carry them.
+
+    Validate with :func:`fsck`; restore with :func:`restore`.  The
+    object-store analogue is a manifest copy.  Returns the linked file
+    count (overlay files included).  Refuses an existing non-empty
+    ``dest`` (or overlay dest)."""
+    src, dst = Path(root), Path(dest)
+    if not src.exists():
+        raise FileNotFoundError(f"no store at {root}")
+    if dst.exists() and any(dst.iterdir()):
+        raise FileExistsError(f"snapshot dest {dest} exists and is not empty")
+    tomb_src, tomb_dst = Path(f"{root}__tombstones"), Path(f"{dest}__tombstones")
+    if tomb_dst.exists() and any(tomb_dst.iterdir()):
+        raise FileExistsError(
+            f"snapshot overlay dest {tomb_dst} exists and is not empty")
+    n = _link_tree(src, dst)
+    if tomb_src.exists():
+        n += _link_tree(tomb_src, tomb_dst)
+    return n
+
+
 def restore(snapshot_root: str, root: str) -> int:
     """Restore a store from a :func:`snapshot`, atomically: hardlink the
     snapshot's tree into a staging root (zero bytes copied — same
@@ -1125,15 +1174,29 @@ def restore(snapshot_root: str, root: str) -> int:
     live root, so a reader never sees a half-restored tree and a crash
     leaves either the old store or the fully-restored one.  The replaced
     live tree is deleted by the swap; take a snapshot of it FIRST if the
-    post-incident state matters forensically.  Returns the restored file
-    count."""
+    post-incident state matters forensically.
+
+    The tombstone overlay rides along: the snapshot's
+    ``__tombstones`` sibling replaces the live one (and a live overlay
+    with no snapshot counterpart is REMOVED — restore means "exactly the
+    snapshot's logical state", pending deletes included/excluded as they
+    were).  The overlay swap happens immediately after the main-tree
+    swap, so run restores on a quiesced store: a reader racing the two
+    swaps could briefly pair the restored tree with the old overlay.
+
+    Returns the restored file count."""
     if not Path(snapshot_root).exists():
         raise FileNotFoundError(f"no snapshot at {snapshot_root}")
     staging = f"{root}__restore"
     shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(f"{staging}__tombstones", ignore_errors=True)
     n = snapshot(snapshot_root, staging)
     if Path(root).exists():
         swap_in(root, staging)
     else:
         Path(staging).rename(root)
+    tomb_live, tomb_staged = Path(f"{root}__tombstones"), Path(f"{staging}__tombstones")
+    shutil.rmtree(tomb_live, ignore_errors=True)
+    if tomb_staged.exists():
+        tomb_staged.rename(tomb_live)
     return n

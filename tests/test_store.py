@@ -219,6 +219,14 @@ def test_max_rows_per_segment_fans_out_hot_segment(spark, tmp_path_factory):
     cold = list(Path(path).glob(f"seg={START // 7200 + 1}/*.parquet"))
     assert len(cold) == 1
 
+    # same option through the TSDB facade (WithMaxRowsPerSegment parity)
+    fpath = str(Path(path).parent / "hot_facade")
+    db = TSDB(spark, fpath, max_rows_per_segment=100)
+    db.insert_rows(rows)
+    ffiles = list(Path(fpath).glob("seg=*/*.parquet"))
+    assert len(ffiles) >= 4
+    assert db.query_range_rows("m", [], 0, 10**12).count() == 400
+
 
 def test_dedup_policies_bucketed_store(spark, tmp_path_factory):
     """The bucketed store honors the same duplicate-policy surface."""
@@ -631,6 +639,27 @@ def test_downsample_expire_tiered_retention(spark, tmp_path_factory):
     assert db.downsample_expire(step=3600, dest_root=roll_dest, now_ts=now) == []
 
 
+def test_tier_write_fails_fast_on_pre_gen_layout(spark, tmp_path_factory):
+    """Round-7 ADVICE: a tier root holding pre-generation seg-only
+    partitions (seg=N/*.parquet with no gen= level) breaks partition
+    discovery if (seg, gen) writes mix in — the writer must refuse with
+    a migration hint, not corrupt the tier."""
+    import pytest
+
+    base = tmp_path_factory.mktemp("pregen")
+    dest = base / "tier"
+    # forge a legacy seg-only tier partition
+    spark.range(1).selectExpr("CAST(1.0 AS DOUBLE) AS v") \
+        .write.parquet(str(dest / "seg=100"))
+    db = TSDB(spark, str(base / "live"), segment_duration=2 * 3600,
+              retention=3600)
+    db.insert_rows([("m", {"x": "a"}, START + i * 600, float(i))
+                    for i in range(6)])
+    with pytest.raises(RuntimeError, match="pre-generation seg-only"):
+        db.downsample_expire(step=3600, dest_root=str(dest),
+                             now_ts=START + 40 * 3600)
+
+
 def test_query_range_buckets_tiered_continuous_across_horizon(spark, tmp_path_factory):
     """Tiered query ≡ the buckets computed over the FULL pre-purge data:
     after downsample_expire, query_range_buckets_tiered returns the same
@@ -745,6 +774,57 @@ def test_delete_series_bucketed_store(spark, tmp_path_factory):
                    for p in (base / "live").rglob("part-*")}
     assert after_files == before_files
     spark.sql("DROP TABLE IF EXISTS gdpr_bucketed_t")
+
+
+def test_snapshot_restore_carries_tombstone_overlay(spark, tmp_path_factory):
+    """Round-7 ADVICE: the tombstone overlay lives at the SIBLING path
+    <root>__tombstones, so snapshot/restore must carry it explicitly.
+
+    Both GDPR directions are pinned:
+    1. snapshot taken WITH pending tombstones, then compact (applies the
+       deletes physically), then restore → the deletes survive (the
+       overlay rode the snapshot; without it the restore would resurrect
+       the deleted rows);
+    2. snapshot taken BEFORE any delete, restored over a store with
+       pending tombstones → rows visible again and the stale live
+       overlay is GONE (restore means exactly the snapshot's state)."""
+    base = tmp_path_factory.mktemp("gdprsnap")
+    root = str(base / "live")
+    db = TSDB(spark, root, segment_duration=2 * 3600,
+              bucket_by_series=4, table="gdpr_snap_t")
+    db.insert_rows([("m", {"u": "a"}, START + i * 60, float(i)) for i in range(3)]
+                   + [("m", {"u": "b"}, START, 9.0)])
+
+    clean_snap = str(base / "snap_clean")
+    db.snapshot(clean_snap)          # no tombstones yet
+
+    assert db.delete_series([LabelMatcher("u", "a")]) == 3
+    pending_snap = str(base / "snap_pending")
+    n = db.snapshot(pending_snap)    # overlay pending
+    assert (base / "snap_pending__tombstones").exists() and n > 0
+
+    db.store.compact()               # deletes applied physically, overlay cleared
+    assert not (base / "live__tombstones").exists()
+
+    # 1. restore the pending-overlay snapshot: deletes still in force
+    db.restore(pending_snap)
+    assert (base / "live__tombstones").exists()
+    left = db.query_range_rows("m", [], 0, 10**12).collect()
+    assert len(left) == 1 and left[0]["labels"]["u"] == "b"
+    # and the carried overlay still compacts cleanly
+    db.store.compact()
+    assert not (base / "live__tombstones").exists()
+    assert db.query_range_rows("m", [], 0, 10**12).count() == 1
+
+    # 2. re-delete to create a live overlay, then restore the clean
+    # snapshot: all rows back, stale overlay removed
+    db.insert_rows([("m", {"u": "a"}, START + i * 60, float(i)) for i in range(3)])
+    assert db.delete_series([LabelMatcher("u", "a")]) == 3
+    assert (base / "live__tombstones").exists()
+    db.restore(clean_snap)
+    assert not (base / "live__tombstones").exists()
+    assert db.query_range_rows("m", [], 0, 10**12).count() == 4
+    spark.sql("DROP TABLE IF EXISTS gdpr_snap_t")
 
 
 def test_bucketed_tombstone_overlay_semantics(spark, tmp_path_factory):

@@ -503,3 +503,189 @@ def hash_split_sql(key_expr: str, fracs: dict[str, float],
         cum += fracs[name]
         cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
     return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS'23)
+
+def _dsir_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exploded hashed-ngram feature rows ``(id, gram)``: unigrams plus
+    adjacent bigrams of the whitespace tokenization — the standard DSIR
+    feature space (hashed n-grams, not embeddings, so the whole selector
+    stays in integer-count land and scans linearly)."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split(lower({text_col}), ' ')) - 1),"
+            f" i -> concat(split(lower({text_col}), ' ')[i - 1], ' ',"
+            f"            split(lower({text_col}), ' ')[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("__gram")
+    )
+
+
+def _dsir_bucket(gram: Column, n_buckets: int) -> Column:
+    """Feature-hash bucket: 32-bit md5 prefix of ``dsir:gram`` mod B —
+    identical in DuckDB (the module's cross-engine hash discipline)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), gram)), 1, 8),
+               16, 10).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str,
+                 text_col: str, n_buckets: int = 1024,
+                 smoothing: float = 1.0) -> DataFrame:
+    """Per-document DSIR importance log-weight: how much more likely the
+    document is under the TARGET corpus's hashed-ngram unigram model than
+    under the RAW corpus's — ``logw = Σ_b c_b · (log p̂_tgt[b] − log
+    p̂_raw[b])`` with add-``smoothing`` estimates over ``n_buckets``
+    feature-hash buckets.  The domain-targeted data selector: score a
+    100 TB crawl against a few GB of wiki/books/code exemplar text, then
+    keep the top slice (:func:`dsir_select`).
+
+    Scale shape: ONE explode+count shuffle per corpus builds integer
+    bucket counts; the bucket log-ratio table is ``n_buckets`` rows —
+    broadcast back onto the per-doc bucket counts, so no corpus-side
+    second shuffle and nothing global beyond two B-row aggregates.  The
+    target corpus is by definition the small side (an exemplar sample);
+    its cost is one scan of it.
+
+    Output: ``(id_col, logw double)`` — one row per raw doc (docs with
+    no features score 0).  Weights are doubles; cross-engine parity holds
+    to summation noise (~1e-15 relative); rank-boundary determinism
+    comes from :func:`dsir_select`'s 9-dp rounding + id tie-break.
+    """
+    B, s = int(n_buckets), float(smoothing)
+
+    def bucket_counts(df):
+        g = _dsir_grams(df, id_col, text_col)
+        return g.groupBy(
+            F.col(id_col), _dsir_bucket(F.col("__gram"), B).alias("__b")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+
+    raw_doc = bucket_counts(raw)
+    raw_tot = raw_doc.groupBy("__b").agg(F.sum("__c").alias("__r"))
+    tgt_tot = (
+        _dsir_grams(target, id_col, text_col)
+        .groupBy(_dsir_bucket(F.col("__gram"), B).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    # B-row log-ratio table; totals ride a 1-row broadcast each
+    rsum = raw_tot.agg(F.sum("__r").alias("__rtot"))
+    tsum = tgt_tot.agg(F.sum("__t").alias("__ttot"))
+    ratio = (
+        raw_tot.join(tgt_tot, "__b", "full_outer")
+        .na.fill({"__r": 0, "__t": 0})
+        .crossJoin(F.broadcast(rsum)).crossJoin(F.broadcast(tsum))
+        .select(
+            "__b",
+            (
+                F.log((F.col("__t") + s) / (F.col("__ttot") + s * B))
+                - F.log((F.col("__r") + s) / (F.col("__rtot") + s * B))
+            ).alias("__lr"),
+        )
+    )
+    w = (
+        raw_doc.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__c") * F.col("__lr")).alias("logw"))
+    )
+    return (
+        raw.select(id_col).join(w, id_col, "left")
+        .select(id_col, F.coalesce("logw", F.lit(0.0)).alias("logw"))
+    )
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, id_col: str,
+                text_col: str, k: int, n_buckets: int = 1024,
+                smoothing: float = 1.0) -> DataFrame:
+    """Top-``k`` raw documents by DSIR importance weight — the selection
+    step (deterministic variant: rank by weight, no Gumbel noise; the
+    hash-bucket model already provides the smoothing the paper's noise
+    step exists for at selection-boundary scale).
+
+    Ranking key is ``(round(logw, 9) DESC, id ASC)``: the rounding
+    absorbs cross-engine double-summation noise at the k boundary and
+    the id breaks exact ties (duplicate texts score identically), so the
+    selected SET is engine-stable.  Plan: TakeOrderedAndProject over the
+    weight relation — no global sort materialization.
+    """
+    w = dsir_weights(raw, target, id_col, text_col, n_buckets, smoothing)
+    return (
+        w.select(id_col, F.round("logw", 9).alias("logw"))
+        .orderBy(F.col("logw").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+
+
+def _dsir_sql_parts(raw_sql: str, target_sql: str, id_col: str,
+                    text_col: str, n_buckets: int, smoothing: float) -> str:
+    """Shared WITH-clause body for the DuckDB mirrors."""
+    B, s = int(n_buckets), float(smoothing)
+    toks = f"string_split(lower({text_col}), ' ')"
+    # the 32-bit md5 prefix is non-negative, so plain % == pmod here
+    bucket = ("(CAST(concat('0x', substr(md5(concat('dsir:', gram)), 1, 8)) "
+              "AS BIGINT) % {B})").format(B=B)
+    return f"""
+rawd AS ({raw_sql}), tgtd AS ({target_sql}),
+rawg AS (
+    SELECT {id_col}, unnest({toks}) AS gram FROM rawd
+    UNION ALL
+    SELECT {id_col}, t1 || ' ' || t2 AS gram FROM (
+        SELECT {id_col}, {toks}[i] AS t1, {toks}[i + 1] AS t2
+        FROM rawd, LATERAL (SELECT unnest(range(1, len({toks}))) AS i) ix
+    )
+),
+tgtg AS (
+    SELECT {id_col}, unnest({toks}) AS gram FROM tgtd
+    UNION ALL
+    SELECT {id_col}, t1 || ' ' || t2 AS gram FROM (
+        SELECT {id_col}, {toks}[i] AS t1, {toks}[i + 1] AS t2
+        FROM tgtd, LATERAL (SELECT unnest(range(1, len({toks}))) AS i) ix
+    )
+),
+raw_doc AS (SELECT {id_col}, {bucket} AS b, count(*) AS c FROM rawg GROUP BY 1, 2),
+raw_tot AS (SELECT b, sum(c) AS r FROM raw_doc GROUP BY 1),
+tgt_tot AS (SELECT {bucket} AS b, count(*) AS t FROM tgtg GROUP BY 1),
+ratio AS (
+    SELECT coalesce(raw_tot.b, tgt_tot.b) AS b,
+           ln((coalesce(t, 0) + {s}) / ((SELECT sum(t) FROM tgt_tot) + {s} * {B}))
+         - ln((coalesce(r, 0) + {s}) / ((SELECT sum(r) FROM raw_tot) + {s} * {B})) AS lr
+    FROM raw_tot FULL OUTER JOIN tgt_tot ON raw_tot.b = tgt_tot.b
+),
+w AS (
+    SELECT rd.{id_col}, sum(rd.c * ratio.lr) AS logw
+    FROM raw_doc rd JOIN ratio ON rd.b = ratio.b
+    GROUP BY 1
+)"""
+
+
+def dsir_weights_sql(raw_sql: str, target_sql: str, id_col: str,
+                     text_col: str, n_buckets: int = 1024,
+                     smoothing: float = 1.0) -> str:
+    """DuckDB mirror of :func:`dsir_weights` (oracle generator)."""
+    body = _dsir_sql_parts(raw_sql, target_sql, id_col, text_col,
+                           n_buckets, smoothing)
+    return f"""WITH {body}
+SELECT rawd.{id_col}, coalesce(w.logw, 0.0) AS logw
+FROM rawd LEFT JOIN w ON rawd.{id_col} = w.{id_col}
+"""
+
+
+def dsir_select_sql(raw_sql: str, target_sql: str, id_col: str,
+                    text_col: str, k: int, n_buckets: int = 1024,
+                    smoothing: float = 1.0) -> str:
+    """DuckDB mirror of :func:`dsir_select`."""
+    body = _dsir_sql_parts(raw_sql, target_sql, id_col, text_col,
+                           n_buckets, smoothing)
+    return f"""WITH {body}
+SELECT rawd.{id_col}, round(coalesce(w.logw, 0.0), 9) AS logw
+FROM rawd LEFT JOIN w ON rawd.{id_col} = w.{id_col}
+ORDER BY logw DESC, rawd.{id_col} ASC
+LIMIT {int(k)}
+"""

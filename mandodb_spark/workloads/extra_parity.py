@@ -1833,3 +1833,65 @@ def _neardup_gate_sql() -> str:
 
 QUERIES["x_docs_neardup_gate"] = x_docs_neardup_gate
 ORACLES["x_docs_neardup_gate"] = _neardup_gate_sql()
+
+
+_DSIR_B = 256
+
+
+def x_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.py::dsir_weights —
+    Xie et al. NeurIPS'23): score every non-src1 document against the
+    src1 exemplar slice over 256 hashed unigram+bigram buckets.  The
+    DuckDB mirror rebuilds the identical md5 bucket hash and smoothed
+    log-ratio model, so parity pins the whole feature → bucket → weight
+    pipeline (values to summation noise, covered by the harness's 1e-9
+    float tolerance)."""
+    from ..operators.sampling import dsir_weights
+
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != "src1").select("doc_id", "text")
+    tgt = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    return dsir_weights(raw, tgt, "doc_id", "text",
+                        n_buckets=_DSIR_B).orderBy("doc_id")
+
+
+def _dsir_weights_sql() -> str:
+    from ..operators.sampling import dsir_weights_sql
+
+    return dsir_weights_sql(
+        "SELECT doc_id, text FROM documents WHERE source <> 'src1'",
+        "SELECT doc_id, text FROM documents WHERE source = 'src1'",
+        "doc_id", "text", n_buckets=_DSIR_B,
+    ) + " ORDER BY 1"
+
+
+QUERIES["x_docs_dsir_weights"] = x_docs_dsir_weights
+ORACLES["x_docs_dsir_weights"] = _dsir_weights_sql()
+
+
+def x_docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: the top-50 raw docs by importance weight — the
+    k-boundary determinism contract (9-dp rounding + doc_id tie-break)
+    checked cross-engine, on top of the weight parity above."""
+    from ..operators.sampling import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != "src1").select("doc_id", "text")
+    tgt = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    return dsir_select(raw, tgt, "doc_id", "text", k=50,
+                       n_buckets=_DSIR_B).orderBy(
+        F.col("logw").desc(), F.col("doc_id"))
+
+
+def _dsir_select_sql() -> str:
+    from ..operators.sampling import dsir_select_sql
+
+    return dsir_select_sql(
+        "SELECT doc_id, text FROM documents WHERE source <> 'src1'",
+        "SELECT doc_id, text FROM documents WHERE source = 'src1'",
+        "doc_id", "text", k=50, n_buckets=_DSIR_B,
+    )
+
+
+QUERIES["x_docs_dsir_select"] = x_docs_dsir_select
+ORACLES["x_docs_dsir_select"] = _dsir_select_sql()

@@ -4148,3 +4148,70 @@ def test_fuzzy_join_short_stratum_broadcasts_keys_not_rows(spark):
     cnt = Counter(k for _, k in rows)
     want = sum(cnt[a] * cnt[b] for a in cnt for b in cnt if lev1(a, b))
     assert out.count() == want
+
+
+def test_dsir_weights_match_reference_model(spark):
+    """dsir_weights == the hand-computed hashed-ngram importance model
+    (unigrams+bigrams, md5 buckets, add-s smoothing) on a tiny corpus;
+    featureless docs score 0; dsir_select's k-boundary is deterministic
+    under duplicate texts (id tie-break); and the plan keeps the 100 TB
+    shape — the B-row ratio table is BROADCAST back, no cartesian, no
+    sort-merge join of the corpus against itself."""
+    import hashlib
+    import math
+
+    from mandodb_spark.operators.sampling import dsir_select, dsir_weights
+    from mandodb_spark.plans import physical_plan
+
+    B, s = 64, 1.0
+    raw_docs = [(0, "apple banana apple"), (1, "carrot dog"),
+                (2, "apple banana apple"),   # dup of 0 -> identical weight
+                (3, "")]                     # featureless -> 0.0
+    tgt_docs = [(10, "apple banana"), (11, "apple apple")]
+
+    def grams(text):
+        toks = text.lower().split(" ")
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:8], 16) % B
+
+    def counts(docs):
+        out = {}
+        for _i, t in docs:
+            for g in grams(t):
+                b = bucket(g)
+                out[b] = out.get(b, 0) + 1
+        return out
+
+    rc, tc = counts(raw_docs), counts(tgt_docs)
+    R, T = sum(rc.values()), sum(tc.values())
+    lr = {b: math.log((tc.get(b, 0) + s) / (T + s * B))
+          - math.log((rc.get(b, 0) + s) / (R + s * B))
+          for b in set(rc) | set(tc)}
+    want = {}
+    for i, t in raw_docs:
+        want[i] = sum(lr[bucket(g)] for g in grams(t))
+
+    L = spark.createDataFrame(raw_docs, "doc_id long, text string")
+    Tdf = spark.createDataFrame(tgt_docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["logw"]
+           for r in dsir_weights(L, Tdf, "doc_id", "text", B).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    # doc 3's "" splits to [""] — the empty string IS a token, and the
+    # reference model above computes it the same way
+    for i in (0, 1, 2, 3):
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+    # featureless means NULL text: split(NULL) -> no gram rows -> 0.0
+    L2 = spark.createDataFrame([(4, None)], "doc_id long, text string")
+    got2 = dsir_weights(L2, Tdf, "doc_id", "text", B).collect()
+    assert got2[0]["logw"] == 0.0
+
+    assert got[0] == got[2]       # dup text -> identical weight
+    sel = dsir_select(L, Tdf, "doc_id", "text", k=2, n_buckets=B).collect()
+    ids = [r["doc_id"] for r in sel]
+    assert ids == sorted(ids, key=lambda i: (-round(want.get(i, 0.0), 9), i))[:2]
+
+    plan = physical_plan(dsir_weights(L, Tdf, "doc_id", "text", B))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -485,3 +485,36 @@ def test_record_iterations_exposes_checkpointed_loop_shapes(spark):
 
     df = spark.range(1)
     assert note_iteration(df, "x") is df
+
+
+def test_plans_md_covers_every_registered_query():
+    """PLANS.md (the committed plan-audit inventory) must hold one
+    NON-ERROR row for EVERY query in the driver registry AND the extra
+    tier — regenerating it after adding a query is an invariant, not a
+    habit (round-7 verdict #2: two round-7 queries were missing).  Also
+    re-pins the audit's global promise: zero cartesian products."""
+    import re
+    from pathlib import Path
+
+    from mandodb_spark.workloads import QUERIES, extra_parity
+
+    md = Path(__file__).resolve().parent.parent / "PLANS.md"
+    assert md.exists(), "PLANS.md missing — run tools/plan_audit.py"
+    audited = {}
+    for line in md.read_text().splitlines():
+        m = re.match(r"\| (\S+) \| ([^|]+?) \|", line)
+        if m and m.group(1) not in ("query", "---"):
+            audited[m.group(1)] = m.group(2).strip()
+    want = set(QUERIES) | set(extra_parity.QUERIES)
+    missing = want - set(audited)
+    assert not missing, (
+        f"PLANS.md lacks rows for {sorted(missing)} — "
+        f"regenerate with tools/plan_audit.py")
+    errors = {q: v for q, v in audited.items()
+              if q in want and v.startswith("ERROR")}
+    assert not errors, errors
+    # the cartesian column (6th) is 0 in every audited row
+    for line in md.read_text().splitlines():
+        cells = [c.strip() for c in line.split("|")]
+        if len(cells) > 7 and cells[1] in want and "ERROR" not in cells[2]:
+            assert cells[6] == "0", line

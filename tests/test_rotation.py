@@ -105,3 +105,36 @@ def test_auto_advance_simulated_future_rounds(tmp_path):
     assert set(rotation.planned_window(max(1, rotation.ANCHOR_ROUND))) == set(
         rotation.WINDOW_R6
     )
+
+
+def test_extra_tier_staleness_ledger():
+    """Round-7 verdict #8: the extra tier (post-cap oracle queries in
+    workloads/extra_parity) gets the same staleness discipline as the
+    150-query driver registry.  tools/oracle_check.py records every
+    extra-tier PASS in EXTRA_LEDGER.json as {query: {sf_label: round}};
+    this test fails when any extra query lacks a recorded pass at BOTH
+    sf0.01 and sf0.1 within the rotation cycle (newest pass >=
+    current_round - (CYCLE_ROUNDS - 1)) — so adding an extra without
+    sweeping it at both scales, or letting one rest on stale evidence,
+    is loud."""
+    import json
+    from pathlib import Path
+
+    from mandodb_spark.workloads import extra_parity
+
+    root = Path(__file__).resolve().parent.parent
+    ledger_path = root / "EXTRA_LEDGER.json"
+    assert ledger_path.exists(), (
+        "EXTRA_LEDGER.json missing — run tools/oracle_check.py --extra at "
+        "both /root/testdata/sf0.01 and /root/testdata/sf0.1")
+    ledger = json.loads(ledger_path.read_text())
+    cur = rotation.current_round(root)
+    floor = cur - (rotation.CYCLE_ROUNDS - 1)
+    stale: dict[str, dict] = {}
+    for q in extra_parity.QUERIES:
+        rec = ledger.get(q, {})
+        if not all(rec.get(sf, -1) >= floor for sf in ("sf0.01", "sf0.1")):
+            stale[q] = rec
+    assert not stale, (
+        f"extra-tier queries without a both-SF pass since round {floor}: "
+        f"{sorted(stale)} — run tools/oracle_check.py --extra at both SFs")

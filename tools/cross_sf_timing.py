@@ -44,7 +44,8 @@ def main() -> None:
     # pays JIT/codegen compilation — without this the sf0.01 column reads
     # high and ratios come out below 1.0
     for q in ("x_docs_jaccard_join", "x_docs_duplicate_spans",
-              "x_docs_bm25", "x_docs_dup_triangles"):
+              "x_docs_bm25", "x_docs_dup_triangles",
+              "x_customer_fuzzy_match"):
         extra_parity.QUERIES[q](spark, SFS[0]).count()
 
     for sf in SFS:
@@ -52,10 +53,36 @@ def main() -> None:
         docs = load(spark, sf, "documents")
 
         for q in ("x_docs_jaccard_join", "x_docs_duplicate_spans",
-                  "x_docs_bm25", "x_docs_dup_triangles"):
+                  "x_docs_bm25", "x_docs_dup_triangles",
+                  "x_customer_fuzzy_match"):
             dt, n = timed(lambda q=q: extra_parity.QUERIES[q](spark, sf).count())
             results.setdefault(q, {})[tag] = dt
             print(f"{tag} {q}: {dt}s ({n} rows)", flush=True)
+
+        # streaming near-dup gate: the whole corpus in 3 id-ordered
+        # batches through a fresh state (probe + in-batch join + state
+        # append per batch — the crawl-dedup loop's steady state)
+        import shutil
+
+        from mandodb_spark.streaming.neardup import NearDupGate
+
+        gate_root = f"/tmp/xsf_ndgate_{tag}"
+        shutil.rmtree(gate_root, ignore_errors=True)
+        ids = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+        lo, hi = ids[0], ids[1] + 1
+        cuts = [lo, lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3, hi]
+        gate = NearDupGate(spark, gate_root, threshold=0.8, n_buckets=16)
+
+        def run_gate():
+            kept = 0
+            for i in range(3):
+                b = docs.filter(F.col("doc_id").between(cuts[i], cuts[i + 1] - 1))
+                kept += gate.filter_batch(b, "doc_id", "text", batch_id=i).count()
+            return kept
+
+        dt, n = timed(run_gate)
+        results.setdefault("neardup_gate(3 batches)", {})[tag] = dt
+        print(f"{tag} neardup_gate: {dt}s ({n} kept)", flush=True)
 
         # text-index search (vs the bm25 full scan above): build once per
         # SF (build cost reported), then the pruned search

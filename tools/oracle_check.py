@@ -87,6 +87,7 @@ def main() -> int:
     names = [n for n in qs if not only or n in only]
 
     n_pass = n_fail = 0
+    passed: list[str] = []
     for name in names:
         t0 = time.time()
         try:
@@ -113,9 +114,39 @@ def main() -> int:
                 print(f"     {p}")
         else:
             n_pass += 1
+            passed.append(name)
             print(f"PASS {name} ({len(sdf)} rows, {dt:.1f}s)")
     print(f"\n{n_pass} pass / {n_fail} fail / {len(names)} total")
+    _record_extra_passes(passed, sf_dir)
     return 1 if n_fail else 0
+
+
+def _record_extra_passes(passed: list[str], sf_dir: str) -> None:
+    """Extra-tier staleness ledger (round-7 verdict #8): every PASS of an
+    extra_parity query is recorded as ``{query: {sf_label: round}}`` in
+    EXTRA_LEDGER.json, and ``tests/test_rotation.py`` fails the suite
+    when any extra's newest recorded pass at either SF is older than the
+    rotation cycle — the second tier gets the same staleness discipline
+    the 150-query driver registry has, with this ledger standing in for
+    the driver's CORRECTNESS files."""
+    import json
+
+    from mandodb_spark.workloads import extra_parity, rotation
+
+    extra_names = [n for n in passed if n in extra_parity.QUERIES]
+    if not extra_names:
+        return
+    root = Path(__file__).resolve().parent.parent
+    ledger_path = root / "EXTRA_LEDGER.json"
+    ledger = (json.loads(ledger_path.read_text())
+              if ledger_path.exists() else {})
+    rnd = rotation.current_round(root)
+    sf_label = Path(sf_dir).name
+    for n in extra_names:
+        ledger.setdefault(n, {})[sf_label] = rnd
+    ledger_path.write_text(json.dumps(ledger, indent=0, sort_keys=True) + "\n")
+    print(f"recorded {len(extra_names)} extra-tier passes at {sf_label} "
+          f"(round {rnd}) in EXTRA_LEDGER.json")
 
 
 if __name__ == "__main__":

@@ -128,6 +128,22 @@ _OVER_TIME = {
     # newest sample in the window (ties on ts resolved by max value — the
     # dedup invariant upstream makes ts unique per series anyway)
     "last": lambda c: F.max_by(c, F.col("ts")),
+    # present_over_time: 1.0 for every window holding >= 1 sample (the
+    # group exists iff a sample does, so the aggregate is a constant)
+    "present": lambda c: F.min(F.lit(1.0)),
+    # group aggregator (promql/engine.go aggregation parser.GROUP): 1.0
+    # per output group regardless of inputs
+    "group": lambda c: F.min(F.lit(1.0)),
+    # ts_of_{max,min,last}_over_time (Prometheus 3.1,
+    # promql/functions.go funcTsOfMaxOverTime): the TIMESTAMP of the
+    # extreme sample; Prometheus scans forward updating on >= / <=, so
+    # ties resolve to the LATEST timestamp — struct ordering (value, ts)
+    # under max_by reproduces that exactly (negated value for min)
+    "ts_of_max": lambda c: F.max_by(
+        F.col("ts"), F.struct(c, F.col("ts"))).cast("double"),
+    "ts_of_min": lambda c: F.max_by(
+        F.col("ts"), F.struct((-c).alias("v"), F.col("ts"))).cast("double"),
+    "ts_of_last": lambda c: F.max(F.col("ts")).cast("double"),
 }
 
 
@@ -144,6 +160,70 @@ def over_time(rel: DataFrame, fn: str, start: int, end: int, step: int) -> DataF
         rel.groupBy("series_key", bucket.alias("window_start"))
         .agg(F.any_value("labels").alias("labels"), agg(F.col("value")).alias("value"))
         .select("series_key", "labels", "window_start", "value")
+    )
+
+
+def mad_over_time(rel: DataFrame, start: int, end: int, step: int) -> DataFrame:
+    """``mad_over_time`` (Prometheus 3.x, promql/functions.go
+    funcMadOverTime): median absolute deviation —
+    ``median(|x_i − median(x)|)`` per (series, window), both medians with
+    the linear-interpolation quantile Prometheus uses (== Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the pinned cross-engine
+    triple).
+
+    Two aggregates on the SAME (series_key, window) key — the join back
+    and the second groupBy stay co-partitioned with the first shuffle's
+    output, so the op costs one real exchange of the range's samples.
+    Per-group percentile here is window-bounded (samples per series per
+    step), never the corpus-global buffer the quantile-sketch path
+    exists to avoid.
+    """
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    bucket = (F.floor((F.col("ts") - F.lit(start)) / F.lit(step)) * step + start).cast("long")
+    w = rel.select("series_key", "labels", "value", bucket.alias("window_start"))
+    med = w.groupBy("series_key", "window_start").agg(
+        F.expr("percentile(value, 0.5d)").alias("__med"))
+    return (
+        w.join(med, ["series_key", "window_start"])
+        .groupBy("series_key", "window_start")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.expr("percentile(abs(value - __med), 0.5d)").alias("value"),
+        )
+        .select("series_key", "labels", "window_start", "value")
+    )
+
+
+def absent_over_time(rel: DataFrame, start: int, end: int, step: int,
+                     labels: dict[str, str] | None = None) -> DataFrame:
+    """``absent_over_time(selector[range])`` on the tumbling ``step``
+    grid: one {labels: 1.0} row for every window in [start, end] that
+    holds NO sample of the (already matcher-filtered) relation —
+    dashboards' "was this thing silent during the outage" primitive.
+
+    The full window grid is a generated ``sequence`` (O(windows) rows,
+    no data scan); present windows are one distinct-aggregate of the
+    pruned range; absent = grid ANTI-JOIN present, broadcast because the
+    present set is ≤ the grid.  ``labels`` (typically the equality
+    matchers, as in PromQL's absent()) decorate the output rows.
+    """
+    spark = rel.sparkSession
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(int(start)), F.lit(int(end)), F.lit(int(step)))
+        ).alias("window_start")
+    )
+    bucket = (F.floor((F.col("ts") - F.lit(start)) / F.lit(step)) * step + start).cast("long")
+    present = (
+        rel.filter(F.col("ts").between(start, end))
+        .select(bucket.alias("window_start")).distinct()
+    )
+    lab = labels or {"absent": "true"}
+    lab_col = F.create_map(*[x for k, v in sorted(lab.items())
+                             for x in (F.lit(k), F.lit(v))])
+    return (
+        grid.join(F.broadcast(present), "window_start", "left_anti")
+        .select(lab_col.alias("labels"), "window_start", F.lit(1.0).alias("value"))
     )
 
 
@@ -729,6 +809,58 @@ def agg_by(vector: DataFrame, fn: str, by: list[str]) -> DataFrame:
         F.array(*[F.lit(n) for n in by]), F.array(*[F.col(n) for n in by])
     )
     return grouped.select(new_labels.alias("labels"), "value")
+
+
+def agg_quantile_by(vector: DataFrame, q: float, by: list[str]) -> DataFrame:
+    """PromQL ``quantile by (labels) (q, vector)``: the interpolated
+    q-quantile of the instant vector's values ACROSS series, per label
+    group — Prometheus's cross-series quantile aggregator, with the same
+    linear interpolation as :func:`quantile_over_time`.  Group sizes are
+    series counts per label value (bounded), so per-group ``percentile``
+    is the right tool — not the corpus-global sketch path."""
+    keys = [F.col("labels").getItem(name).alias(name) for name in by]
+    grouped = vector.groupBy(*keys).agg(
+        F.expr(f"percentile(value, {float(q)}d)").alias("value"))
+    new_labels = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in by]), F.array(*[F.col(n) for n in by])
+    )
+    return grouped.select(new_labels.alias("labels"), "value")
+
+
+def sort_by_label(vector: DataFrame, by: list[str],
+                  desc: bool = False) -> DataFrame:
+    """PromQL ``sort_by_label`` / ``sort_by_label_desc`` (Prometheus
+    2.49 experimental → stable): order an instant vector by the given
+    label values (then series_key for determinism).  Presentation-layer:
+    the sort materializes only at the consumer — upstream operators stay
+    unordered."""
+    cols = [F.col("labels").getItem(n) for n in by]
+    order = [c.desc() if desc else c.asc() for c in cols]
+    return vector.orderBy(*order, F.col("series_key"))
+
+
+#: Calendar functions (promql/functions.go funcDaysInMonth..funcYear):
+#: the vector's VALUES are unix timestamps (PromQL defaults them to
+#: time()); all fields are UTC, day_of_week is 0=Sunday.
+_CALENDAR = {
+    "minute": F.minute,
+    "hour": F.hour,
+    "day_of_week": lambda t: F.dayofweek(t) - 1,  # Spark 1=Sunday
+    "day_of_month": F.dayofmonth,
+    "day_of_year": F.dayofyear,
+    "days_in_month": lambda t: F.dayofmonth(F.last_day(t)),
+    "month": F.month,
+    "year": F.year,
+}
+
+
+def calendar(vector: DataFrame, fn: str) -> DataFrame:
+    """PromQL calendar functions (``minute``/``hour``/``day_of_week``/
+    ``day_of_month``/``day_of_year``/``days_in_month``/``month``/
+    ``year``) applied to a vector of unix-timestamp values, UTC — pure
+    JVM column projection, no shuffle."""
+    ts = F.timestamp_seconds(F.col("value").cast("long"))
+    return vector.withColumn("value", _CALENDAR[fn](ts).cast("double"))
 
 
 def holt_winters(rel: DataFrame, start: int, end: int,

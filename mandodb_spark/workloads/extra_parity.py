@@ -1895,3 +1895,202 @@ def _dsir_select_sql() -> str:
 
 QUERIES["x_docs_dsir_select"] = x_docs_dsir_select
 ORACLES["x_docs_dsir_select"] = _dsir_select_sql()
+
+
+def x_promql_mad_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL 3.x range-function completion (functions/promql.py):
+    mad_over_time (interpolated median-of-|dev|), ts_of_max/min_over_time
+    (extreme-sample timestamps, Prometheus's latest-ts tie-break), and
+    present_over_time, per series per 1d window — one joined frame so a
+    single oracle pins all four against DuckDB's quantile_cont /
+    windowed-rank rebuild."""
+    from ..functions import promql
+    from .promql_q import _dedup_rel
+    from .common import EV_END, EV_START, flatten_labels
+
+    rel = _dedup_rel(spark, sf_dir)
+    step = 86_400
+    mad = promql.mad_over_time(rel, EV_START, EV_END, step).select(
+        "series_key", "labels", "window_start",
+        F.round("value", 4).alias("mad"))
+    parts = {
+        "ts_max": "ts_of_max", "ts_min": "ts_of_min", "present": "present",
+    }
+    out = mad
+    for col, fn in parts.items():
+        piece = promql.over_time(rel, fn, EV_START, EV_END, step).select(
+            "series_key", "window_start", F.col("value").alias(col))
+        out = out.join(piece, ["series_key", "window_start"])
+    return flatten_labels(out.drop("series_key")).orderBy(
+        "metric", "user", "k", "window_start")
+
+
+def _mad_extrema_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END, EV_START
+
+    step = 86_400
+    ws = f"CAST(floor((ts - {EV_START}) / {step}) * {step} + {EV_START} AS BIGINT)"
+    return f"""{_DEDUP},
+w AS (SELECT metric, user, k, ts, value, {ws} AS window_start FROM d),
+med AS (SELECT metric, user, k, window_start, quantile_cont(value, 0.5) AS med
+        FROM w GROUP BY 1, 2, 3, 4),
+mad AS (SELECT w.metric, w.user, w.k, w.window_start,
+               round(CAST(quantile_cont(abs(w.value - med.med), 0.5) AS DOUBLE), 4) AS mad
+        FROM w JOIN med USING (metric, user, k, window_start)
+        GROUP BY 1, 2, 3, 4),
+rk AS (SELECT *,
+        row_number() OVER (PARTITION BY metric, user, k, window_start
+                           ORDER BY value DESC, ts DESC) AS rmax,
+        row_number() OVER (PARTITION BY metric, user, k, window_start
+                           ORDER BY value ASC, ts DESC) AS rmin
+       FROM w),
+ex AS (SELECT metric, user, k, window_start,
+              CAST(max(CASE WHEN rmax = 1 THEN ts END) AS DOUBLE) AS ts_max,
+              CAST(max(CASE WHEN rmin = 1 THEN ts END) AS DOUBLE) AS ts_min,
+              1.0 AS present
+       FROM rk GROUP BY 1, 2, 3, 4)
+SELECT mad.metric, mad.user, mad.k, mad.window_start, mad.mad,
+       ex.ts_max, ex.ts_min, ex.present
+FROM mad JOIN ex USING (metric, user, k, window_start)
+ORDER BY 1, 2, 3, 4
+"""
+
+
+QUERIES["x_promql_mad_extrema"] = x_promql_mad_extrema
+ORACLES["x_promql_mad_extrema"] = _mad_extrema_sql()
+
+
+_CAL_FNS = ["minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+            "days_in_month", "month", "year"]
+
+
+def x_promql_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL calendar functions over each series' last-sample timestamp
+    (UTC, day_of_week 0=Sunday): every function as a labeled row, so the
+    oracle pins the whole _CALENDAR table against DuckDB extract()."""
+    from ..functions import promql
+    from .promql_q import _dedup_rel
+    from .common import EV_END, flatten_labels
+
+    vec = promql.instant(_dedup_rel(spark, sf_dir), EV_END, 86_400)
+    tsvec = vec.withColumn("value", F.col("ts").cast("double"))
+    pieces = [
+        promql.calendar(tsvec, fn).select(
+            "labels", F.lit(fn).alias("fn"), "value")
+        for fn in _CAL_FNS
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return flatten_labels(out).orderBy("metric", "user", "k", "fn")
+
+
+def _calendar_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END
+
+    exprs = {
+        "minute": "extract('minute' FROM t)",
+        "hour": "extract('hour' FROM t)",
+        "day_of_week": "extract('dow' FROM t)",
+        "day_of_month": "extract('day' FROM t)",
+        "day_of_year": "extract('doy' FROM t)",
+        "days_in_month": "extract('day' FROM last_day(t))",
+        "month": "extract('month' FROM t)",
+        "year": "extract('year' FROM t)",
+    }
+    arms = "\nUNION ALL\n".join(
+        f"SELECT metric, user, k, '{fn}' AS fn, CAST({e} AS DOUBLE) AS value FROM latest"
+        for fn, e in exprs.items()
+    )
+    return f"""{_DEDUP},
+lat0 AS (
+    SELECT metric, user, k, ts,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d WHERE ts BETWEEN {EV_END - 86_400} AND {EV_END}
+),
+latest AS (SELECT metric, user, k, epoch_ms(ts * 1000) AS t FROM lat0 WHERE rn = 1)
+{arms}
+ORDER BY 1, 2, 3, 4
+"""
+
+
+QUERIES["x_promql_calendar"] = x_promql_calendar
+ORACLES["x_promql_calendar"] = _calendar_sql()
+
+
+def x_promql_quantile_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series aggregators completing the PromQL set: quantile by
+    (user) (0.9, vec) — interpolated across the label group's series —
+    and group by (user) (vec) (constant 1.0 per group)."""
+    from ..functions import promql
+    from .promql_q import _dedup_rel
+    from .common import EV_END
+
+    vec = promql.instant(_dedup_rel(spark, sf_dir), EV_END, 86_400)
+    q = promql.agg_quantile_by(vec, 0.9, ["user"]).select(
+        F.col("labels").getItem("user").alias("user"),
+        F.round("value", 4).alias("q90"))
+    g = promql.agg_by(vec, "group", ["user"]).select(
+        F.col("labels").getItem("user").alias("user"),
+        F.col("value").alias("grp"))
+    return q.join(g, "user").orderBy("user")
+
+
+def _quantile_group_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END
+
+    return f"""{_DEDUP},
+lat0 AS (
+    SELECT metric, user, k, value,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d WHERE ts BETWEEN {EV_END - 86_400} AND {EV_END}
+)
+SELECT user, round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS q90, 1.0 AS grp
+FROM lat0 WHERE rn = 1
+GROUP BY user ORDER BY user
+"""
+
+
+QUERIES["x_promql_quantile_group_agg"] = x_promql_quantile_group_agg
+ORACLES["x_promql_quantile_group_agg"] = _quantile_group_sql()
+
+
+def x_promql_absent_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """absent_over_time on a series that goes silent mid-range: the 1d
+    grid windows after the cut (and only those) emit {absent=true} 1.0 —
+    generated grid anti-joined against present windows, no data scan for
+    the grid side."""
+    from ..functions import promql
+    from .promql_q import _dedup_rel
+    from .common import EV_END, EV_START
+
+    cut = EV_START + 5 * 86_400
+    rel = _dedup_rel(spark, sf_dir).filter(F.col("ts") < cut)
+    out = promql.absent_over_time(rel, EV_START, EV_END, 86_400)
+    return out.select(
+        F.col("labels").getItem("absent").alias("absent"),
+        "window_start", "value",
+    ).orderBy("window_start")
+
+
+def _absent_windows_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END, EV_START
+
+    step, cut = 86_400, EV_START + 5 * 86_400
+    ws = f"CAST(floor((ts - {EV_START}) / {step}) * {step} + {EV_START} AS BIGINT)"
+    return f"""{_DEDUP},
+grid AS (SELECT unnest(range({EV_START}, {EV_END} + 1, {step})) AS window_start),
+present AS (SELECT DISTINCT {ws} AS window_start FROM d WHERE ts < {cut})
+SELECT 'true' AS absent, window_start, 1.0 AS value
+FROM grid
+WHERE window_start NOT IN (SELECT window_start FROM present)
+ORDER BY window_start
+"""
+
+
+QUERIES["x_promql_absent_windows"] = x_promql_absent_windows
+ORACLES["x_promql_absent_windows"] = _absent_windows_sql()

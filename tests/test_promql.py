@@ -466,3 +466,74 @@ def test_holt_winters_needs_two_samples(spark):
         [({"__name__": "m"}, 100, 1.0)], "labels map<string,string>, ts long, value double"
     )
     assert holt_winters(rel, 0, 1000, 0.5, 0.3).count() == 0
+
+
+def _mk_rel(spark, rows):
+    return spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+
+
+def test_ts_of_extrema_latest_ts_tiebreak(spark):
+    """ts_of_max/min_over_time follow Prometheus's forward-scan >= / <=
+    update rule: on tied extreme values the LATEST timestamp wins; and
+    present_over_time emits 1.0 only for windows holding samples."""
+    rows = [({"__name__": "m"}, t, v) for t, v in
+            [(10, 5.0), (20, 5.0),      # tied max in window 0 -> ts 20
+             (30, 1.0), (40, 1.0),      # tied min in window 0 -> ts 40
+             (110, 2.0)]]               # window 1: single sample
+    rel = _mk_rel(spark, rows)
+    def vals(fn):
+        return {r["window_start"]: r["value"] for r in
+                promql.over_time(rel, fn, 0, 199, 100).collect()}
+    assert vals("ts_of_max") == {0: 20.0, 100: 110.0}
+    assert vals("ts_of_min") == {0: 40.0, 100: 110.0}
+    assert vals("ts_of_last") == {0: 40.0, 100: 110.0}
+    assert vals("present") == {0: 1.0, 100: 1.0}
+    assert vals("group") == {0: 1.0, 100: 1.0}
+
+
+def test_mad_over_time_matches_manual(spark):
+    """mad_over_time == median(|x - median(x)|) with linear-interpolation
+    medians (hand case: [1, 2, 4, 10] -> med 3, |dev| [2,1,1,7] -> 1.5)."""
+    rows = [({"__name__": "m"}, t, v)
+            for t, v in zip((0, 10, 20, 30), (1.0, 2.0, 4.0, 10.0))]
+    got = promql.mad_over_time(_mk_rel(spark, rows), 0, 99, 100).collect()
+    assert len(got) == 1 and got[0]["value"] == 1.5
+
+
+def test_absent_over_time_grid(spark):
+    """absent_over_time emits one row per EMPTY grid window, decorated
+    with the caller's matcher labels; full data -> no rows."""
+    rows = [({"__name__": "m"}, 10, 1.0), ({"__name__": "m"}, 250, 1.0)]
+    rel = _mk_rel(spark, rows)
+    got = {r["window_start"]: r["labels"] for r in
+           promql.absent_over_time(rel, 0, 399, 100,
+                                   labels={"job": "x"}).collect()}
+    assert set(got) == {100, 300} and got[100] == {"job": "x"}
+    # every window populated -> empty result
+    assert promql.absent_over_time(rel, 0, 299, 250).count() == 0
+
+
+def test_sort_by_label_and_calendar(spark):
+    """sort_by_label orders by label values (desc variant reversed);
+    calendar() fields are UTC with day_of_week 0=Sunday (2024-01-07 was
+    a Sunday; January has 31 days)."""
+    rows = [({"__name__": "m", "u": u}, 1, float(i))
+            for i, u in enumerate(["b", "a", "c"])]
+    vec = promql.instant(
+        promql._ensure_series_key(_mk_rel(spark, rows)), 1, 10)
+    asc = [r["labels"]["u"] for r in promql.sort_by_label(vec, ["u"]).collect()]
+    desc = [r["labels"]["u"]
+            for r in promql.sort_by_label(vec, ["u"], desc=True).collect()]
+    assert asc == ["a", "b", "c"] and desc == ["c", "b", "a"]
+
+    sunday = 1704585600  # 2024-01-07T00:00:00Z
+    tsvec = vec.limit(1).withColumn("value", F.lit(float(sunday)))
+    def cal(fn):
+        return promql.calendar(tsvec, fn).collect()[0]["value"]
+    assert cal("day_of_week") == 0.0
+    assert cal("day_of_month") == 7.0
+    assert cal("days_in_month") == 31.0
+    assert cal("month") == 1.0 and cal("year") == 2024.0
+    assert cal("hour") == 0.0 and cal("minute") == 0.0
+    assert cal("day_of_year") == 7.0

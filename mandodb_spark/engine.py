@@ -230,6 +230,23 @@ class TSDB:
             self._selected(metric, matchers, start - window, end), fn, start, end, window, step
         )
 
+    def promql(self, query: str, at_ts: int, lookback: int = 300) -> DataFrame:
+        """Evaluate a PromQL TEXT query as an instant query at ``at_ts``
+        over the store — the reference's users keep their Prometheus
+        queries verbatim.  The expression's conservative time window
+        (every selector's range/offset/lookback reach) becomes a
+        ``time_predicate`` on the scan, so segment-partition pruning and
+        Parquet row-group skipping apply before evaluation exactly as for
+        ``query_range`` (tsdb.go:278-293)."""
+        from .functions import promql_parser
+
+        ast = promql_parser.parse(query)
+        lo, hi = promql_parser.time_window(ast, at_ts, lookback)
+        rel = self.store.relation()
+        pruned = rel.filter(tsdb_ops.time_predicate(
+            lo, hi, "seg" in rel.columns, self.segment_duration))
+        return promql_parser.eval_instant(pruned, ast, at_ts, lookback)
+
     # ----------------------------------------------------------- maintenance
     def remove_expires(self, now_ts: int | None = None) -> list[int]:
         """Retention purge (tsdb.go:384-406); returns dropped segment ids."""

@@ -801,14 +801,36 @@ def set_binop(
 def agg_by(vector: DataFrame, fn: str, by: list[str]) -> DataFrame:
     """PromQL ``<fn> by (labels) (vector)``: regroup an instant/range vector
     by a label subset.  Output labels contain only the ``by`` labels.
+    An empty ``by`` is the bare aggregation (``sum(vector)``): one global
+    group, empty label set.
     """
     agg = _OVER_TIME[fn]
     keys = [F.col("labels").getItem(name).alias(name) for name in by]
     grouped = vector.groupBy(*keys).agg(agg(F.col("value")).alias("value"))
+    if not by:
+        empty = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>"))
+        return grouped.select(empty.alias("labels"), "value")
     new_labels = F.map_from_arrays(
         F.array(*[F.lit(n) for n in by]), F.array(*[F.col(n) for n in by])
     )
     return grouped.select(new_labels.alias("labels"), "value")
+
+
+def agg_without(vector: DataFrame, fn: str, without: list[str]) -> DataFrame:
+    """PromQL ``<fn> without (labels) (vector)``: aggregate over every
+    label EXCEPT the listed ones (and ``__name__``, which ``without``
+    always drops — promql/engine.go aggregation).  The group key is the
+    canonical JSON of the retained label subset, so arbitrary label
+    schemas group correctly without a fixed column list."""
+    agg = _OVER_TIME[fn]
+    kept = match_labels(F.col("labels"), None, list(without))
+    keyed = vector.withColumn("__kl", kept)
+    return (
+        keyed.groupBy(canonical_labels_json(F.col("__kl")).alias("__gk"))
+        .agg(F.any_value("__kl").alias("labels"), agg(F.col("value")).alias("value"))
+        .select("labels", "value")
+    )
 
 
 def agg_quantile_by(vector: DataFrame, q: float, by: list[str]) -> DataFrame:

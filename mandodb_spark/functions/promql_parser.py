@@ -1,0 +1,679 @@
+"""PromQL text front-end: parse a PromQL query string and evaluate it
+against a samples relation as an INSTANT query — the piece that lets a
+Prometheus user type the queries they already have instead of composing
+``functions.promql`` calls by hand.
+
+Public surface::
+
+    parse(query)                        -> AST (tuples; stable, testable)
+    eval_instant(rel, query, at_ts)     -> DataFrame (labels, value)
+    TSDB.promql(query, at_ts)           -> the same, store-backed and
+                                           segment-pruned (engine.py)
+
+Semantics (Prometheus instant query at time ``t``):
+
+- a vector selector matches series by ``__name__`` + label matchers
+  (``=``, ``!=``, ``=~``, ``!~`` — regexes fully anchored, as PromQL
+  anchors them) and yields the newest sample per series within the
+  lookback window;
+- a range selector ``sel[range]`` feeds its enclosing range function the
+  samples with ``ts ∈ [t − range + 1, t]`` (PromQL's half-open
+  ``(t − range, t]`` on integer-second timestamps);
+- ``offset d`` shifts a selector's evaluation time back by ``d``;
+- aggregations support ``by (…)`` / ``without (…)`` in either position;
+  binary operators support ``on``/``ignoring`` + ``group_left``/
+  ``group_right`` matching and ``bool``;
+- scalar∘vector arithmetic/comparisons follow promql/engine.go
+  ``VectorscalarBinop``: arithmetic drops ``__name__``, plain
+  comparisons FILTER samples (keeping the name), ``bool`` yields 1/0.
+
+Deliberate deltas (documented, raising ``PromqlError`` where relevant):
+``histogram_quantile`` over ``_bucket`` series, ``scalar()``/
+``vector()``, ``@``-modifiers and native-histogram functions are not
+wired through the TEXT front-end (the histogram evaluator exists as
+``promql.histogram_quantile`` for callers with bucketed frames); subqueries
+``[1h:5m]`` map to :func:`promql.subquery_over_time` only through the
+Python API.  Everything else in functions/promql.py is reachable from
+text.
+
+Grammar is a hand-rolled Pratt/recursive-descent pair — no parser
+dependency, errors carry the token position.  Reference for semantics:
+prometheus/promql/parser (public), re-expressed for this module's
+DataFrame evaluation model.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import promql
+
+# --------------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+)
+  | (?P<DURATION>[0-9]+(?:[smhdwy][0-9]*)+)      # 5m, 1h30m, 2d
+  | (?P<NUMBER>(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)
+  | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<OP>=~|!~|!=|==|>=|<=|[-+*/%^=<>])
+  | (?P<PUNCT>[(){}\[\],:])
+  | (?P<IDENT>[a-zA-Z_][a-zA-Z0-9_]*)
+""", re.VERBOSE)
+
+_DUR_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800,
+              "y": 31536000}
+
+
+class PromqlError(ValueError):
+    pass
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _lex(q: str) -> list[_Tok]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise PromqlError(f"unexpected character {q[i]!r} at {i}")
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append(_Tok(kind, m.group(), i))
+        i = m.end()
+    out.append(_Tok("EOF", "", len(q)))
+    return out
+
+
+def parse_duration(text: str) -> int:
+    """``1h30m`` -> seconds (PromQL duration literal)."""
+    total, i = 0, 0
+    for m in re.finditer(r"([0-9]+)([smhdwy])", text):
+        if m.start() != i:
+            raise PromqlError(f"bad duration {text!r}")
+        total += int(m.group(1)) * _DUR_UNITS[m.group(2)]
+        i = m.end()
+    if i != len(text) or total == 0:
+        raise PromqlError(f"bad duration {text!r}")
+    return total
+
+
+# ----------------------------------------------------------------- AST nodes
+# Plain tuples keep the tree printable and trivially comparable in tests:
+#   ("num", 3.0)
+#   ("selector", name|None, [(label, op, value)...], range_s|None, offset_s)
+#   ("call", fname, [args...])             args: nodes, numbers, strings
+#   ("agg", fname, by|None, without|None, param|None, arg)
+#   ("binop", op, lhs, rhs, matching)      matching: dict or None
+#   ("unary", "-", node)
+
+_AGGS = {"sum", "min", "max", "avg", "count", "stddev", "stdvar", "group",
+         "topk", "bottomk", "quantile", "count_values"}
+
+_CMP = {"==", "!=", ">", "<", ">=", "<="}
+_SET = {"and", "or", "unless"}
+
+#: precedence (PromQL): or < and/unless < comparisons < +- < */% < ^
+_PREC = {"or": 1, "and": 2, "unless": 2,
+         "==": 3, "!=": 3, ">": 3, "<": 3, ">=": 3, "<=": 3,
+         "+": 4, "-": 4, "*": 5, "/": 5, "%": 5, "^": 6}
+
+
+class _Parser:
+    def __init__(self, q: str) -> None:
+        self.toks = _lex(q)
+        self.i = 0
+
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> _Tok:
+        t = self.next()
+        if t.text != text:
+            raise PromqlError(f"expected {text!r}, got {t.text!r} at {t.pos}")
+        return t
+
+    # ---------------------------------------------------------- expressions
+    def parse(self):
+        node = self.expr(0)
+        t = self.peek()
+        if t.kind != "EOF":
+            raise PromqlError(f"trailing input {t.text!r} at {t.pos}")
+        return node
+
+    def expr(self, min_prec: int):
+        node = self.unary()
+        while True:
+            t = self.peek()
+            op = t.text
+            if op not in _PREC or _PREC[op] < min_prec:
+                return node
+            self.next()
+            bool_mode = False
+            if op in _CMP and self.peek().text == "bool":
+                self.next()
+                bool_mode = True
+            matching = self.matching_clause()
+            # ^ is right-associative; everything else left
+            nxt = _PREC[op] if op == "^" else _PREC[op] + 1
+            rhs = self.expr(nxt)
+            m = dict(matching or {})
+            if bool_mode:
+                m["bool"] = True
+            node = ("binop", op, node, rhs, m or None)
+
+    def matching_clause(self):
+        m = {}
+        t = self.peek()
+        if t.text in ("on", "ignoring"):
+            self.next()
+            m[t.text] = self.label_list()
+        t = self.peek()
+        if t.text in ("group_left", "group_right"):
+            self.next()
+            m["group"] = "left" if t.text == "group_left" else "right"
+            if self.peek().text == "(":
+                m["include"] = self.label_list()
+        return m or None
+
+    def label_list(self) -> list[str]:
+        self.expect("(")
+        out = []
+        while self.peek().text != ")":
+            tok = self.next()
+            if tok.kind != "IDENT":
+                raise PromqlError(f"expected label name at {tok.pos}")
+            out.append(tok.text)
+            if self.peek().text == ",":
+                self.next()
+        self.expect(")")
+        return out
+
+    def unary(self):
+        # unary +/- binds looser than ^ (PromQL: -2^2 == -4) but tighter
+        # than */%: parse the operand at ^'s precedence level.
+        t = self.peek()
+        if t.text == "-":
+            self.next()
+            return ("unary", "-", self.expr(_PREC["^"]))
+        if t.text == "+":
+            self.next()
+            return self.expr(_PREC["^"])
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            node = self.expr(0)
+            self.expect(")")
+            return self.selector_suffix_or(node)
+        if t.kind == "NUMBER":
+            self.next()
+            return ("num", float(t.text))
+        if t.kind == "STRING":
+            self.next()
+            return ("str", t.text[1:-1])
+        if t.text == "{":
+            return self.selector(None)
+        if t.kind == "IDENT":
+            name = self.next().text
+            if self.peek().text == "(" or (
+                name in _AGGS and self.peek().text in ("by", "without")):
+                return self.call_or_agg(name)
+            return self.selector(name)
+        raise PromqlError(f"unexpected {t.text!r} at {t.pos}")
+
+    def selector_suffix_or(self, node):
+        # parenthesized expressions admit no [range]/offset here (v1)
+        return node
+
+    def call_or_agg(self, name: str):
+        if name in _AGGS:
+            by = without = None
+            if self.peek().text in ("by", "without"):
+                which = self.next().text
+                lst = self.label_list()
+                by, without = (lst, None) if which == "by" else (None, lst)
+            self.expect("(")
+            args = self.arg_list()
+            self.expect(")")
+            if self.peek().text in ("by", "without"):
+                which = self.next().text
+                lst = self.label_list()
+                by, without = (lst, None) if which == "by" else (None, lst)
+            param = None
+            if name in ("topk", "bottomk", "quantile", "count_values"):
+                if len(args) != 2:
+                    raise PromqlError(f"{name} takes (param, vector)")
+                param, arg = args
+            else:
+                if len(args) != 1:
+                    raise PromqlError(f"{name} takes one vector argument")
+                arg = args[0]
+            return ("agg", name, by, without, param, arg)
+        self.expect("(")
+        args = self.arg_list()
+        self.expect(")")
+        return ("call", name, args)
+
+    def arg_list(self):
+        args = []
+        while self.peek().text != ")":
+            args.append(self.expr(0))
+            if self.peek().text == ",":
+                self.next()
+        return args
+
+    def selector(self, name: str | None):
+        matchers = []
+        if self.peek().text == "{":
+            self.next()
+            while self.peek().text != "}":
+                lt = self.next()
+                if lt.kind != "IDENT":
+                    raise PromqlError(f"expected label name at {lt.pos}")
+                op = self.next()
+                if op.text not in ("=", "!=", "=~", "!~"):
+                    raise PromqlError(f"bad matcher op {op.text!r} at {op.pos}")
+                vt = self.next()
+                if vt.kind != "STRING":
+                    raise PromqlError(f"expected string at {vt.pos}")
+                matchers.append((lt.text, op.text, vt.text[1:-1]))
+                if self.peek().text == ",":
+                    self.next()
+            self.expect("}")
+        if name is None and not matchers:
+            raise PromqlError("empty selector")
+        range_s = None
+        if self.peek().text == "[":
+            self.next()
+            dt = self.next()
+            if dt.kind != "DURATION":
+                raise PromqlError(f"expected duration at {dt.pos}")
+            range_s = parse_duration(dt.text)
+            self.expect("]")
+        offset_s = 0
+        if self.peek().text == "offset":
+            self.next()
+            dt = self.next()
+            if dt.kind != "DURATION":
+                raise PromqlError(f"expected duration at {dt.pos}")
+            offset_s = parse_duration(dt.text)
+        return ("selector", name, matchers, range_s, offset_s)
+
+
+def parse(query: str):
+    """Parse a PromQL expression into the module's tuple AST."""
+    return _Parser(query).parse()
+
+
+def time_window(node_or_query, at_ts: int, lookback: int = 300) -> tuple[int, int]:
+    """Conservative [min_ts, max_ts] any selector in the expression can
+    touch at evaluation time ``at_ts`` — the segment-pruning predicate for
+    store-backed evaluation (``TSDB.promql``).  Each instant selector
+    reaches back ``offset + lookback``; each range selector
+    ``offset + range``.  A pure-scalar expression touches nothing, so the
+    window degenerates to [at_ts, at_ts]."""
+    node = parse(node_or_query) if isinstance(node_or_query, str) else node_or_query
+    span = 0
+
+    def walk(n):
+        nonlocal span
+        if not isinstance(n, tuple):
+            return
+        if n[0] == "selector":
+            _, _name, _m, range_s, offset_s = n
+            span = max(span, offset_s + (range_s if range_s is not None else lookback))
+            return
+        for child in n[1:]:
+            if isinstance(child, tuple):
+                walk(child)
+            elif isinstance(child, list):
+                for c in child:
+                    if isinstance(c, tuple):
+                        walk(c)
+
+    walk(node)
+    return (int(at_ts) - span, int(at_ts))
+
+
+# ------------------------------------------------------------------ evaluate
+
+#: range functions: name -> (callable(rel, start, end, *params), n_params)
+_RANGE_FNS = {
+    "rate": promql.rate,
+    "irate": promql.irate,
+    "delta": promql.delta,
+    "idelta": promql.idelta,
+    "increase": promql.increase,
+    "deriv": promql.deriv,
+    "resets": promql.resets,
+    "changes": promql.changes,
+    "mad_over_time": promql.mad_over_time,  # (rel, start, end, step) below
+}
+
+_OVER_TIME_FNS = {f"{k}_over_time": k for k in (
+    "avg", "min", "max", "sum", "count", "stddev", "stdvar", "last",
+    "present", "ts_of_max", "ts_of_min", "ts_of_last")}
+
+_SCALAR_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10",
+               "sqrt", "sgn"}
+
+_CALENDAR_FNS = set(promql._CALENDAR)
+
+
+class _Ctx:
+    def __init__(self, rel: DataFrame, at_ts: int, lookback: int) -> None:
+        self.rel = rel
+        self.t = int(at_ts)
+        self.lookback = int(lookback)
+
+
+def _matcher_filter(rel: DataFrame, name: str | None, matchers) -> DataFrame:
+    conds = []
+    if name is not None:
+        conds.append(F.col("labels").getItem(promql.METRIC_NAME_LABEL) == name)
+    for label, op, value in matchers:
+        col = F.col("labels").getItem(label)
+        if op == "=":
+            conds.append(col.eqNullSafe(value) if value == "" else (col == value))
+        elif op == "!=":
+            conds.append(~col.eqNullSafe(value) if value == ""
+                         else (col.isNull() | (col != value)))
+        elif op == "=~":
+            conds.append(F.coalesce(col, F.lit("")).rlike(f"^(?:{value})$"))
+        elif op == "!~":
+            conds.append(~F.coalesce(col, F.lit("")).rlike(f"^(?:{value})$"))
+    out = rel
+    for c in conds:
+        out = out.filter(c)
+    return out
+
+
+def _strip(df: DataFrame, *extra: str) -> DataFrame:
+    # Uniform vector schema (labels, value:double) so set ops can union
+    # results whose underlying function returned integer counts.
+    return df.select("labels", F.col("value").cast("double").alias("value"))
+
+
+def _drop_name(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "labels",
+        F.map_filter(F.col("labels"),
+                     lambda k, _: k != F.lit(promql.METRIC_NAME_LABEL)),
+    )
+
+
+def _eval(node, ctx: _Ctx):
+    """Returns ('scalar', float) | ('vector', DataFrame(labels, value))."""
+    kind = node[0]
+    if kind == "num":
+        return ("scalar", node[1])
+    if kind == "str":
+        raise PromqlError("string literal outside function argument")
+    if kind == "unary":
+        k, v = _eval(node[2], ctx)
+        if k == "scalar":
+            return ("scalar", -v)
+        return ("vector", _drop_name(v.withColumn("value", -F.col("value"))))
+    if kind == "selector":
+        _, name, matchers, range_s, offset_s = node
+        if range_s is not None:
+            raise PromqlError(
+                f"range selector {name or ''}[{range_s}s] outside a range function")
+        filt = _matcher_filter(ctx.rel, name, matchers)
+        vec = promql.instant(filt, ctx.t - offset_s, ctx.lookback)
+        return ("vector", _strip(vec))
+    if kind == "call":
+        return _eval_call(node, ctx)
+    if kind == "agg":
+        return _eval_agg(node, ctx)
+    if kind == "binop":
+        return _eval_binop(node, ctx)
+    raise PromqlError(f"unhandled node {kind}")
+
+
+def _range_args(node, ctx: _Ctx, fname: str):
+    if node[0] != "selector" or node[3] is None:
+        raise PromqlError(f"{fname} needs a range selector argument")
+    _, name, matchers, range_s, offset_s = node
+    filt = _matcher_filter(ctx.rel, name, matchers)
+    end = ctx.t - offset_s
+    start = end - range_s + 1  # (t-range, t] on integer seconds
+    return filt, start, end, range_s
+
+
+def _eval_call(node, ctx: _Ctx):
+    _, fname, args = node
+
+    if fname in _RANGE_FNS and fname != "mad_over_time":
+        (arg,) = args
+        filt, start, end, _r = _range_args(arg, ctx, fname)
+        return ("vector", _strip(_RANGE_FNS[fname](filt, start, end)))
+    if fname == "mad_over_time":
+        (arg,) = args
+        filt, start, end, r = _range_args(arg, ctx, fname)
+        return ("vector", _strip(promql.mad_over_time(filt, start, end, r)))
+    if fname in _OVER_TIME_FNS:
+        (arg,) = args
+        filt, start, end, r = _range_args(arg, ctx, fname)
+        out = promql.over_time(filt, _OVER_TIME_FNS[fname], start, end, r)
+        return ("vector", _strip(out))
+    if fname == "quantile_over_time":
+        q, arg = args
+        qk, qv = _eval(q, ctx)
+        if qk != "scalar":
+            raise PromqlError("quantile_over_time needs a scalar q")
+        filt, start, end, r = _range_args(arg, ctx, fname)
+        return ("vector", _strip(
+            promql.quantile_over_time(filt, qv, start, end, r)))
+    if fname == "absent_over_time":
+        (arg,) = args
+        filt, start, end, r = _range_args(arg, ctx, fname)
+        eq_labels = {l: v for l, op, v in arg[2] if op == "="}
+        if arg[1] is not None:
+            eq_labels[promql.METRIC_NAME_LABEL] = arg[1]
+        out = promql.absent_over_time(filt, start, end, r,
+                                      labels=eq_labels or None)
+        return ("vector", _strip(out))
+    if fname == "absent":
+        (arg,) = args
+        k, v = _eval(arg, ctx)
+        if k != "vector":
+            raise PromqlError("absent takes a vector")
+        return ("vector", _strip(promql.absent(v)))
+    if fname == "holt_winters" or fname == "double_exponential_smoothing":
+        arg, sf, tf = args
+        filt, start, end, _r = _range_args(arg, ctx, fname)
+        sfv, tfv = _eval(sf, ctx)[1], _eval(tf, ctx)[1]
+        return ("vector", _strip(promql.holt_winters(filt, start, end, sfv, tfv)))
+    if fname == "predict_linear":
+        arg, horizon = args
+        filt, start, end, _r = _range_args(arg, ctx, fname)
+        hv = _eval(horizon, ctx)[1]
+        return ("vector", _strip(
+            promql.predict_linear(filt, start, end, int(hv))))
+    if fname in _SCALAR_FNS:
+        (arg,) = args
+        k, v = _eval(arg, ctx)
+        if k == "scalar":
+            import math
+            pyfns = {"abs": abs, "ceil": math.ceil, "floor": math.floor,
+                     "exp": math.exp, "ln": math.log, "log2": math.log2,
+                     "log10": math.log10, "sqrt": math.sqrt,
+                     "sgn": lambda x: float((x > 0) - (x < 0))}
+            return ("scalar", float(pyfns[fname](v)))
+        return ("vector", _drop_name(promql.scalar_map(v, fname)))
+    if fname in _CALENDAR_FNS:
+        if not args:  # minute() etc over time() — evaluate at ctx.t
+            import datetime as _dt
+            ts = _dt.datetime.fromtimestamp(ctx.t, _dt.timezone.utc)
+            vals = {"minute": ts.minute, "hour": ts.hour,
+                    "day_of_week": (ts.weekday() + 1) % 7,
+                    "day_of_month": ts.day,
+                    "day_of_year": ts.timetuple().tm_yday,
+                    "days_in_month": (
+                        (ts.replace(day=28) + _dt.timedelta(days=4)).replace(day=1)
+                        - _dt.timedelta(days=1)).day,
+                    "month": ts.month, "year": ts.year}
+            return ("scalar", float(vals[fname]))
+        (arg,) = args
+        k, v = _eval(arg, ctx)
+        if k != "vector":
+            raise PromqlError(f"{fname} takes a vector (or no argument)")
+        return ("vector", _drop_name(promql.calendar(v, fname)))
+    if fname in ("clamp", "clamp_min", "clamp_max"):
+        arg = args[0]
+        k, v = _eval(arg, ctx)
+        if k != "vector":
+            raise PromqlError(f"{fname} takes a vector first argument")
+        bounds = [float(_eval(a, ctx)[1]) for a in args[1:]]
+        if fname == "clamp":
+            out = promql.clamp(v, lo=bounds[0], hi=bounds[1])
+        elif fname == "clamp_min":
+            out = promql.clamp(v, lo=bounds[0])
+        else:
+            out = promql.clamp(v, hi=bounds[0])
+        return ("vector", _drop_name(out))
+    if fname == "label_replace":
+        arg, dst, repl, src, regex = args
+        v = _eval(arg, ctx)[1]
+        return ("vector", promql.label_replace(
+            v, dst[1], repl[1], src[1], regex[1]))
+    if fname == "label_join":
+        arg, dst, sep, *srcs = args
+        v = _eval(arg, ctx)[1]
+        return ("vector", promql.label_join(
+            v, dst[1], sep[1], [s[1] for s in srcs]))
+    if fname in ("sort", "sort_desc"):
+        (arg,) = args
+        v = _eval(arg, ctx)[1]
+        order = F.col("value").asc() if fname == "sort" else F.col("value").desc()
+        return ("vector", v.orderBy(order))
+    if fname in ("sort_by_label", "sort_by_label_desc"):
+        arg, *labels = args
+        v = promql._ensure_series_key(_eval(arg, ctx)[1])
+        out = promql.sort_by_label(v, [l[1] for l in labels],
+                                   desc=fname.endswith("desc"))
+        return ("vector", _strip(out))
+    if fname == "time":
+        return ("scalar", float(ctx.t))
+    if fname == "timestamp":
+        (arg,) = args
+        if arg[0] != "selector" or arg[3] is not None:
+            raise PromqlError("timestamp takes an instant selector")
+        filt = _matcher_filter(ctx.rel, arg[1], arg[2])
+        vec = promql.instant(filt, ctx.t - arg[4], ctx.lookback)
+        return ("vector", _drop_name(
+            vec.select("labels", F.col("ts").cast("double").alias("value"))))
+    raise PromqlError(f"unsupported function {fname!r} in the text front-end")
+
+
+def _eval_agg(node, ctx: _Ctx):
+    _, fname, by, without, param, arg = node
+    k, v = _eval(arg, ctx)
+    if k != "vector":
+        raise PromqlError(f"{fname} aggregates a vector")
+    if fname in ("topk", "bottomk"):
+        kv = int(_eval(param, ctx)[1])
+        vec = promql._ensure_series_key(v)
+        return ("vector", _strip(
+            promql.topk(vec, kv, largest=(fname == "topk"))))
+    if fname == "quantile":
+        q = float(_eval(param, ctx)[1])
+        if without is not None:
+            raise PromqlError("quantile without(...) is not supported; use by(...)")
+        return ("vector", promql.agg_quantile_by(v, q, by or []))
+    if fname == "count_values":
+        if param[0] != "str":
+            raise PromqlError('count_values takes ("label", vector)')
+        out = promql.count_values(v, param[1])
+        # PromQL's result vector carries the series count as the value.
+        return ("vector", out.select(
+            "labels", F.col("n_series").cast("double").alias("value")))
+    if without is not None:
+        return ("vector", promql.agg_without(v, fname, without))
+    return ("vector", promql.agg_by(v, fname, by or []))
+
+
+def _eval_binop(node, ctx: _Ctx):
+    _, op, ln, rn, matching = node
+    m = dict(matching or {})
+    bool_mode = m.pop("bool", False)
+    lk, lv = _eval(ln, ctx)
+    rk, rv = _eval(rn, ctx)
+
+    if lk == "scalar" and rk == "scalar":
+        import math
+        fns = {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+               "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+               "%": math.fmod, "^": lambda a, b: a ** b}
+        if op in fns:
+            return ("scalar", float(fns[op](lv, rv)))
+        cmps = {"==": lv == rv, "!=": lv != rv, ">": lv > rv,
+                "<": lv < rv, ">=": lv >= rv, "<=": lv <= rv}
+        return ("scalar", 1.0 if cmps[op] else 0.0)
+
+    if op in _SET:
+        if lk != "vector" or rk != "vector":
+            raise PromqlError(f"{op} needs two vectors")
+        lvec = promql._ensure_series_key(lv)
+        rvec = promql._ensure_series_key(rv)
+        out = promql.set_binop(lvec, rvec, op,
+                               on=m.get("on"), ignoring=m.get("ignoring"))
+        return ("vector", _strip(out))
+
+    if lk == "vector" and rk == "vector":
+        out = promql.binop(lv, rv, op, on=m.get("on"),
+                           ignoring=m.get("ignoring"), group=m.get("group"),
+                           include=m.get("include"), bool_mode=bool_mode)
+        return ("vector", _strip(out))
+
+    # scalar ∘ vector (promql/engine.go VectorscalarBinop)
+    vec, scalar, swapped = (lv, rv, False) if lk == "vector" else (rv, lv, True)
+    s = F.lit(float(scalar))
+    val = F.col("value")
+    lhs, rhs = (val, s) if not swapped else (s, val)
+    if op in promql._ARITH_OPS:
+        out = vec.withColumn("value",
+                             promql._ARITH_OPS[op](lhs, rhs).cast("double"))
+        return ("vector", _drop_name(out))
+    cond = promql._CMP_OPS[op](lhs, rhs)
+    if bool_mode:
+        out = _drop_name(vec.withColumn(
+            "value", F.when(cond, 1.0).otherwise(0.0)))
+    else:
+        out = vec.filter(cond)  # filter keeps the metric name, as PromQL does
+    return ("vector", out)
+
+
+def eval_instant(rel: DataFrame, query, at_ts: int,
+                 lookback: int = 300) -> DataFrame:
+    """Evaluate ``query`` (text, or a pre-parsed AST) as a PromQL instant
+    query at ``at_ts`` over a relation with (labels map, ts, value)
+    columns.  Returns the result vector as (labels, value); a scalar
+    result becomes a single labels-less row."""
+    node = parse(query) if isinstance(query, str) else query
+    k, v = _eval(node, _Ctx(rel, at_ts, lookback))
+    if k == "scalar":
+        spark = rel.sparkSession
+        return spark.range(1).select(
+            F.map_from_arrays(F.array().cast("array<string>"),
+                              F.array().cast("array<string>")).alias("labels"),
+            F.lit(float(v)).alias("value"),
+        )
+    return v.select("labels", F.col("value").cast("double").alias("value"))

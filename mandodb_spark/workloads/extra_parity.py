@@ -2094,3 +2094,120 @@ ORDER BY window_start
 
 QUERIES["x_promql_absent_windows"] = x_promql_absent_windows
 ORACLES["x_promql_absent_windows"] = _absent_windows_sql()
+
+
+def x_promql_text_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL TEXT front-end (functions/promql_parser.py) end-to-end:
+    ``sum by (user) (rate(click[10d]))`` parsed from text and evaluated as
+    an instant query at EV_END — the [10d] range lands exactly on
+    [EV_START, EV_END], so the oracle is the registry's rate CTE summed
+    per user.  Pins lexer → AST → range-function lowering → agg_by."""
+    from ..functions.promql_parser import eval_instant
+    from .promql_q import _dedup_rel
+    from .common import EV_END
+
+    out = eval_instant(_dedup_rel(spark, sf_dir),
+                       "sum by (user) (rate(click[10d]))", EV_END)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        F.round("value", 8).alias("rate_sum"),
+    ).orderBy("user")
+
+
+def _text_rate_sql() -> str:
+    from .promql_q import _DEDUP, _INC_CTE
+
+    return f"""{_DEDUP}, {_INC_CTE}
+SELECT user, round(CAST(sum(total / span) AS DOUBLE), 8) AS rate_sum
+FROM inc WHERE metric = 'click' AND n >= 2 AND span > 0
+GROUP BY user ORDER BY user
+"""
+
+
+QUERIES["x_promql_text_rate"] = x_promql_text_rate
+ORACLES["x_promql_text_rate"] = _text_rate_sql()
+
+
+def x_promql_text_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT front-end vector/vector matching: ``max by (user) (click)
+    / on(user) (max by (user) (view) > 0)`` — instant vectors (1d
+    lookback), a plain comparison FILTERING zero denominators (PromQL
+    filter semantics, not bool), then one-to-one on(user) division.
+    max-aggregation keeps both engines order-independent on doubles."""
+    from ..functions.promql_parser import eval_instant
+    from .promql_q import _dedup_rel
+    from .common import EV_END
+
+    q = "max by (user) (click) / on(user) (max by (user) (view) > 0)"
+    out = eval_instant(_dedup_rel(spark, sf_dir), q, EV_END, lookback=86_400)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        F.round("value", 6).alias("ratio"),
+    ).orderBy("user")
+
+
+def _text_ratio_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END
+
+    return f"""{_DEDUP},
+lat0 AS (
+    SELECT metric, user, k, value,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d WHERE ts BETWEEN {EV_END - 86_400} AND {EV_END}
+),
+m AS (
+    SELECT metric, user, max(value) AS v
+    FROM lat0 WHERE rn = 1 AND metric IN ('click', 'view')
+    GROUP BY 1, 2
+)
+SELECT c.user, round(CAST(c.v / v.v AS DOUBLE), 6) AS ratio
+FROM (SELECT user, v FROM m WHERE metric = 'click') c
+JOIN (SELECT user, v FROM m WHERE metric = 'view' AND v > 0) v USING (user)
+ORDER BY user
+"""
+
+
+QUERIES["x_promql_text_ratio"] = x_promql_text_ratio
+ORACLES["x_promql_text_ratio"] = _text_ratio_sql()
+
+
+def x_promql_text_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT front-end set operator + scalar comparison: ``count(max by
+    (user) (click) unless on(user) (max by (user) (view) > 100))`` — the
+    users whose latest-max view sample does NOT exceed 100 (or who have
+    no view samples at all), anti-joined from the click side, then the
+    bare count() aggregation collapsing to one labels-less row."""
+    from ..functions.promql_parser import eval_instant
+    from .promql_q import _dedup_rel
+    from .common import EV_END
+
+    q = ("count(max by (user) (click) "
+         "unless on(user) (max by (user) (view) > 100))")
+    out = eval_instant(_dedup_rel(spark, sf_dir), q, EV_END, lookback=86_400)
+    return out.select(F.col("value").cast("long").alias("n_users"))
+
+
+def _text_setop_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END
+
+    return f"""{_DEDUP},
+lat0 AS (
+    SELECT metric, user, k, value,
+           row_number() OVER (PARTITION BY metric, user, k ORDER BY ts DESC) AS rn
+    FROM d WHERE ts BETWEEN {EV_END - 86_400} AND {EV_END}
+),
+m AS (
+    SELECT metric, user, max(value) AS v
+    FROM lat0 WHERE rn = 1 AND metric IN ('click', 'view')
+    GROUP BY 1, 2
+)
+SELECT count(*) AS n_users
+FROM (SELECT user FROM m WHERE metric = 'click') c
+WHERE c.user NOT IN (SELECT user FROM m WHERE metric = 'view' AND v > 100)
+"""
+
+
+QUERIES["x_promql_text_setop"] = x_promql_text_setop
+ORACLES["x_promql_text_setop"] = _text_setop_sql()

@@ -1,0 +1,265 @@
+"""PromQL TEXT front-end: grammar, instant-query evaluation semantics
+(vs both hand-computed values and the composed functions/promql calls the
+parser lowers to), and the store-backed ``TSDB.promql`` pruning contract.
+
+Reference semantics: prometheus/promql parser + engine (public), e.g.
+unary-vs-^ precedence (-2^2 == -4), anchored matcher regexes, comparison
+filter-vs-bool, scalar∘vector name dropping."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandodb_spark.functions import promql
+from mandodb_spark.functions.promql_parser import (
+    PromqlError,
+    eval_instant,
+    parse,
+    parse_duration,
+    time_window,
+)
+
+AT = 600
+
+
+@pytest.fixture(scope="module")
+def rel(spark):
+    rows = []
+    for job, slope in (("api", 10.0), ("db", 5.0)):
+        for inst in ("i1", "i2"):
+            for k in range(11):  # ts 0, 60, ..., 600
+                rows.append((
+                    {"__name__": "http_requests_total", "job": job,
+                     "instance": inst},
+                    k * 60, k * slope))
+    for k in range(11):
+        rows.append((
+            {"__name__": "mem_bytes", "job": "api", "instance": "i1"},
+            k * 60, 100.0 + k))
+    return spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double").cache()
+
+
+def _rows(df):
+    return sorted(
+        [(tuple(sorted(r["labels"].items())), r["value"]) for r in df.collect()],
+        key=str,
+    )
+
+
+def ev(rel, q, at=AT, **kw):
+    return _rows(eval_instant(rel, q, at, **kw))
+
+
+# ------------------------------------------------------------------ grammar
+
+def test_parse_selector_matchers_range_offset():
+    ast = parse('http_requests_total{job="api",code=~"5.."}[5m] offset 1m')
+    assert ast == ("selector", "http_requests_total",
+                   [("job", "=", "api"), ("code", "=~", "5..")], 300, 60)
+
+
+def test_parse_agg_by_either_position():
+    a = parse("sum by (job) (x)")
+    b = parse("sum(x) by (job)")
+    assert a == b == ("agg", "sum", ["job"], None, None,
+                      ("selector", "x", [], None, 0))
+
+
+def test_parse_without_and_param_aggs():
+    assert parse("sum without (instance) (x)")[3] == ["instance"]
+    assert parse("topk(3, x)")[4] == ("num", 3.0)
+    assert parse('count_values("code", x)')[4] == ("str", "code")
+
+
+def test_parse_matching_clause():
+    ast = parse("x / on(job) group_left(env) y")
+    assert ast[4] == {"on": ["job"], "group": "left", "include": ["env"]}
+    assert parse("x > bool 100")[4] == {"bool": True}
+
+
+def test_unary_binds_looser_than_pow():
+    # PromQL: -2^2 is -(2^2)
+    assert parse("-2^2") == (
+        "unary", "-", ("binop", "^", ("num", 2.0), ("num", 2.0), None))
+
+
+def test_precedence_or_lowest_pow_highest():
+    ast = parse("a or b and c")
+    assert ast[1] == "or" and ast[3][1] == "and"
+    ast = parse("2 * 3 ^ 2")
+    assert ast[1] == "*" and ast[3][1] == "^"
+
+
+def test_parse_duration_compound():
+    assert parse_duration("1h30m") == 5400
+    assert parse_duration("2d") == 172800
+    with pytest.raises(PromqlError):
+        parse_duration("90")
+
+
+@pytest.mark.parametrize("bad", [
+    "x[", "sum(", "x{a=}", "{}", "foo bar", 'x{a=~}', "topk(x)"])
+def test_parse_errors(bad):
+    with pytest.raises(PromqlError):
+        parse(bad)
+
+
+def test_time_window_conservative():
+    assert time_window("sum(rate(x[1h] offset 30m))", 10_000) == (4600, 10_000)
+    assert time_window("x", 10_000, lookback=300) == (9700, 10_000)
+    assert time_window("1 + 2", 10_000) == (10_000, 10_000)
+
+
+# ----------------------------------------------------------------- evaluate
+
+def test_instant_selector_and_matchers(rel):
+    got = ev(rel, 'http_requests_total{job="api",instance=~"i."}')
+    assert [v for _, v in got] == [100.0, 100.0]
+    # != and !~ drop matches; anchoring: "i" alone must not match "i1"
+    assert ev(rel, 'http_requests_total{instance=~"i"}') == []
+    assert len(ev(rel, 'http_requests_total{instance!="i1"}')) == 2
+
+
+def test_range_function_and_agg(rel):
+    got = ev(rel, "sum by (job) (rate(http_requests_total[5m]))")
+    assert got == [((("job", "api"),), pytest.approx(2 / 6)),
+                   ((("job", "db"),), pytest.approx(1 / 6))]
+
+
+def test_agg_without_drops_listed_and_name(rel):
+    got = ev(rel, "sum without (instance) (http_requests_total)")
+    assert got == [((("job", "api"),), 200.0), ((("job", "db"),), 100.0)]
+
+
+def test_bare_agg_is_global(rel):
+    assert ev(rel, "sum(http_requests_total)") == [((), 300.0)]
+    assert ev(rel, "count(http_requests_total)") == [((), 4.0)]
+
+
+def test_scalar_vector_arithmetic_drops_name(rel):
+    got = ev(rel, "mem_bytes + 5")
+    assert got == [((("instance", "i1"), ("job", "api")), 115.0)]
+
+
+def test_comparison_filters_but_bool_maps(rel):
+    assert len(ev(rel, "http_requests_total > 60")) == 2
+    got = ev(rel, "http_requests_total > bool 60")
+    assert sorted(v for _, v in got) == [0.0, 0.0, 1.0, 1.0]
+    # plain comparison KEEPS __name__; bool drops it
+    keep = eval_instant(rel, "http_requests_total > 60", AT).collect()
+    assert all("__name__" in r["labels"] for r in keep)
+
+
+def test_vector_vector_matching(rel):
+    got = ev(rel, 'http_requests_total{job="api"} / on(job, instance) mem_bytes')
+    assert got == [((("instance", "i1"), ("job", "api")),
+                    pytest.approx(100 / 110))]
+
+
+def test_group_left_ratio(rel):
+    got = ev(rel, "100 * sum by (job)(http_requests_total{instance=\"i1\"})"
+                  " / on(job) group_left sum by (job)(http_requests_total)")
+    assert got == [((("job", "api"),), 50.0), ((("job", "db"),), 50.0)]
+
+
+def test_set_ops(rel):
+    got = ev(rel, 'http_requests_total{job="api"} and on(instance) mem_bytes')
+    assert len(got) == 1 and got[0][1] == 100.0
+    got = ev(rel, 'http_requests_total{job="db"} unless on(instance) mem_bytes')
+    assert got == [((("__name__", "http_requests_total"), ("instance", "i2"),
+                     ("job", "db")), 50.0)]
+    both = ev(rel, 'mem_bytes or http_requests_total{job="db"}')
+    assert len(both) == 3
+
+
+def test_over_time_and_quantile_over_time(rel):
+    assert ev(rel, "avg_over_time(mem_bytes[10m])")[0][1] == 105.5
+    assert ev(rel, "quantile_over_time(0.5, mem_bytes[10m])")[0][1] == 105.5
+    # matches the composed Python-API call exactly
+    composed = promql.over_time(
+        rel.filter(F.col("labels")["__name__"] == "mem_bytes"),
+        "avg", AT - 600 + 1, AT, 600)
+    assert ev(rel, "avg_over_time(mem_bytes[10m])")[0][1] == \
+        composed.collect()[0]["value"]
+
+
+def test_offset_modifier(rel):
+    assert ev(rel, "mem_bytes offset 2m")[0][1] == 108.0
+
+
+def test_unary_and_scalar_fns(rel):
+    assert ev(rel, "-mem_bytes * 2")[0][1] == -220.0
+    assert ev(rel, "sqrt(4) + 1") == [((), 3.0)]
+    assert ev(rel, "floor(mem_bytes / 100)")[0][1] == 1.0
+
+
+def test_topk_quantile_count_values(rel):
+    got = ev(rel, "topk(2, http_requests_total)")
+    assert [v for _, v in got] == [100.0, 100.0]
+    assert ev(rel, "quantile(0.5, http_requests_total)") == [((), 75.0)]
+    got = ev(rel, 'count_values("v", http_requests_total)')
+    assert got == [((("v", "100.0"),), 2.0), ((("v", "50.0"),), 2.0)]
+
+
+def test_absent_and_absent_over_time(rel):
+    assert ev(rel, "absent(nosuch)") == [((("absent", "true"),), 1.0)]
+    assert ev(rel, "absent(mem_bytes)") == []
+    got = ev(rel, 'absent_over_time(nosuch{zone="eu"}[5m])')
+    assert got and dict(got[0][0])["zone"] == "eu"
+
+
+def test_label_manipulation_and_sort(rel):
+    got = ev(rel, 'label_replace(mem_bytes, "zone", "$1", "instance", "(i.)")')
+    assert dict(got[0][0])["zone"] == "i1"
+    got = ev(rel, 'label_join(mem_bytes, "ji", "-", "job", "instance")')
+    assert dict(got[0][0])["ji"] == "api-i1"
+    df = eval_instant(rel, 'sort_by_label(http_requests_total, "job")', AT)
+    jobs = [r["labels"]["job"] for r in df.collect()]
+    assert jobs == sorted(jobs)
+
+
+def test_calendar_and_time(rel):
+    assert ev(rel, "time() * 2") == [((), 1200.0)]
+    assert ev(rel, "minute()") == [((), 10.0)]
+    got = ev(rel, "hour(timestamp(mem_bytes))")
+    assert got[0][1] == 0.0
+
+
+def test_predict_linear_and_deriv(rel):
+    # mem_bytes rises 1 per 60s: predict 600s ahead from t=600 -> 110+10
+    assert ev(rel, "predict_linear(mem_bytes[10m], 600)")[0][1] == \
+        pytest.approx(120.0)
+    assert ev(rel, "deriv(mem_bytes[10m])")[0][1] == pytest.approx(1 / 60)
+
+
+def test_scalar_only_expression_row(rel):
+    assert ev(rel, "2 ^ -1") == [((), 0.5)]
+    assert ev(rel, "-2^2") == [((), -4.0)]
+
+
+def test_eval_errors(rel):
+    with pytest.raises(PromqlError):
+        eval_instant(rel, "rate(mem_bytes)", AT)          # missing [range]
+    with pytest.raises(PromqlError):
+        eval_instant(rel, "mem_bytes[5m]", AT)            # bare range vector
+    with pytest.raises(PromqlError):
+        eval_instant(rel, "nosuchfn(mem_bytes)", AT)
+
+
+# -------------------------------------------------------------- store-backed
+
+def test_tsdb_promql_prunes_segments(spark, tmp_path):
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path / "store"), segment_duration=3600)
+    rows = [("m", {"j": "a"}, k * 60, float(k)) for k in range(200)]
+    db.insert_rows(rows)
+    df = db.promql("sum by (j) (rate(m[5m]))", 11_940)
+    assert df.collect()[0]["value"] == pytest.approx(1 / 60)
+    # the scan must carry a seg partition filter derived from the window
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "seg" in plan
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "(seg" in scan_line and "3" in scan_line  # window lands in seg 3

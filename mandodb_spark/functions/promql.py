@@ -507,6 +507,31 @@ def histogram_quantile(buckets: DataFrame, q: float, group_cols: list[str]) -> D
     return hit.select(*group_cols, value.alias("value"))
 
 
+def histogram_quantile_vector(vector: DataFrame, q: float) -> DataFrame:
+    """PromQL ``histogram_quantile(q, vector)`` over an instant vector of
+    ``_bucket`` series: the ``le`` LABEL carries each bucket's upper bound
+    (``"+Inf"`` included), series group = every other label.  Lowers onto
+    :func:`histogram_quantile` with the canonical-JSON of the remaining
+    labels as the group key, then joins the representative label map back
+    on that key — two small shuffles on (group, le)-sized data (one row
+    per bucket), never on raw samples."""
+    le = F.col("labels").getItem("le")
+    le_num = (
+        F.when(le.isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
+        .otherwise(le.cast("double"))
+    )
+    rest = F.map_filter(F.col("labels"), lambda k, _: k != F.lit("le"))
+    b = vector.select(
+        canonical_labels_json(rest).alias("__gk"),
+        rest.alias("__rest"),
+        le_num.alias("le"),
+        F.col("value").cast("double").alias("cum"),
+    ).filter(F.col("le").isNotNull())
+    reps = b.groupBy("__gk").agg(F.any_value("__rest").alias("labels"))
+    hq = histogram_quantile(b.select("__gk", "le", "cum"), q, ["__gk"])
+    return hq.join(reps, "__gk").select("labels", "value")
+
+
 def offset_range(rel: DataFrame, start: int, end: int, offset: int) -> DataFrame:
     """PromQL ``offset`` modifier: evaluate over [start-offset, end-offset]
     and re-stamp timestamps forward so downstream functions see the

@@ -28,13 +28,14 @@ Semantics (Prometheus instant query at time ``t``):
   comparisons FILTER samples (keeping the name), ``bool`` yields 1/0.
 
 Deliberate deltas (documented, raising ``PromqlError`` where relevant):
-``histogram_quantile`` over ``_bucket`` series, ``scalar()``/
-``vector()``, ``@``-modifiers and native-histogram functions are not
-wired through the TEXT front-end (the histogram evaluator exists as
-``promql.histogram_quantile`` for callers with bucketed frames); subqueries
-``[1h:5m]`` map to :func:`promql.subquery_over_time` only through the
-Python API.  Everything else in functions/promql.py is reachable from
-text.
+``@``-modifiers and native-histogram functions are not wired; subqueries
+``expr[r:s]`` require an explicit step and support the one shape with a
+distributed lowering, ``<fn>_over_time(rate(sel[w])[r:s])`` (absolute
+step alignment, as :func:`promql.subquery_over_time`);
+``histogram_quantile`` reads bucket bounds from the ``le`` LABEL of the
+argument vector (``promql.histogram_quantile_vector``); ``scalar()``
+collects its (≤1-row by definition) argument.  Everything else in
+functions/promql.py is reachable from text.
 
 Grammar is a hand-rolled Pratt/recursive-descent pair — no parser
 dependency, errors carry the token position.  Reference for semantics:
@@ -114,6 +115,7 @@ def parse_duration(text: str) -> int:
 #   ("agg", fname, by|None, without|None, param|None, arg)
 #   ("binop", op, lhs, rhs, matching)      matching: dict or None
 #   ("unary", "-", node)
+#   ("subquery", call_node, range_s, step_s, offset_s)
 
 _AGGS = {"sum", "min", "max", "avg", "count", "stddev", "stdvar", "group",
          "topk", "bottomk", "quantile", "count_values"}
@@ -268,7 +270,33 @@ class _Parser:
         self.expect("(")
         args = self.arg_list()
         self.expect(")")
-        return ("call", name, args)
+        node = ("call", name, args)
+        if self.peek().text == "[":
+            node = self.subquery_suffix(node)
+        return node
+
+    def subquery_suffix(self, node):
+        """``expr[range:step]`` — PromQL subquery.  The step is required
+        (this engine has no default evaluation interval to fall back on)."""
+        self.expect("[")
+        dt = self.next()
+        if dt.kind != "DURATION":
+            raise PromqlError(f"expected duration at {dt.pos}")
+        range_s = parse_duration(dt.text)
+        self.expect(":")
+        st = self.next()
+        if st.kind != "DURATION":
+            raise PromqlError(f"expected step duration at {st.pos}")
+        step_s = parse_duration(st.text)
+        self.expect("]")
+        offset_s = 0
+        if self.peek().text == "offset":
+            self.next()
+            ot = self.next()
+            if ot.kind != "DURATION":
+                raise PromqlError(f"expected duration at {ot.pos}")
+            offset_s = parse_duration(ot.text)
+        return ("subquery", node, range_s, step_s, offset_s)
 
     def arg_list(self):
         args = []
@@ -329,26 +357,27 @@ def time_window(node_or_query, at_ts: int, lookback: int = 300) -> tuple[int, in
     ``offset + range``.  A pure-scalar expression touches nothing, so the
     window degenerates to [at_ts, at_ts]."""
     node = parse(node_or_query) if isinstance(node_or_query, str) else node_or_query
-    span = 0
 
-    def walk(n):
-        nonlocal span
+    def reach(n) -> int:
         if not isinstance(n, tuple):
-            return
+            return 0
         if n[0] == "selector":
             _, _name, _m, range_s, offset_s = n
-            span = max(span, offset_s + (range_s if range_s is not None else lookback))
-            return
+            return offset_s + (range_s if range_s is not None else lookback)
+        if n[0] == "subquery":
+            # inner expr is evaluated at points down to t - offset - range,
+            # each reaching back its own span from there
+            _, inner, range_s, _step_s, offset_s = n
+            return offset_s + range_s + reach(inner)
+        spans = [0]
         for child in n[1:]:
             if isinstance(child, tuple):
-                walk(child)
+                spans.append(reach(child))
             elif isinstance(child, list):
-                for c in child:
-                    if isinstance(c, tuple):
-                        walk(c)
+                spans.extend(reach(c) for c in child if isinstance(c, tuple))
+        return max(spans)
 
-    walk(node)
-    return (int(at_ts) - span, int(at_ts))
+    return (int(at_ts) - reach(node), int(at_ts))
 
 
 # ------------------------------------------------------------------ evaluate
@@ -470,6 +499,9 @@ def _eval_call(node, ctx: _Ctx):
         return ("vector", _strip(promql.mad_over_time(filt, start, end, r)))
     if fname in _OVER_TIME_FNS:
         (arg,) = args
+        if arg[0] == "subquery":
+            return ("vector", _eval_subquery_agg(
+                _OVER_TIME_FNS[fname], arg, ctx))
         filt, start, end, r = _range_args(arg, ctx, fname)
         out = promql.over_time(filt, _OVER_TIME_FNS[fname], start, end, r)
         return ("vector", _strip(out))
@@ -570,6 +602,35 @@ def _eval_call(node, ctx: _Ctx):
         out = promql.sort_by_label(v, [l[1] for l in labels],
                                    desc=fname.endswith("desc"))
         return ("vector", _strip(out))
+    if fname == "histogram_quantile":
+        q, arg = args
+        qk, qv = _eval(q, ctx)
+        if qk != "scalar":
+            raise PromqlError("histogram_quantile needs a scalar q")
+        k, v = _eval(arg, ctx)
+        if k != "vector":
+            raise PromqlError("histogram_quantile takes a bucket vector")
+        return ("vector", promql.histogram_quantile_vector(v, qv))
+    if fname == "scalar":
+        # PromQL scalar(): the single sample's value, NaN otherwise.
+        # The collect is bounded by definition — at most 2 rows fetched.
+        (arg,) = args
+        k, v = _eval(arg, ctx)
+        if k == "scalar":
+            return ("scalar", float(v))
+        rows = v.limit(2).collect()
+        return ("scalar",
+                float(rows[0]["value"]) if len(rows) == 1 else float("nan"))
+    if fname == "vector":
+        (arg,) = args
+        k, v = _eval(arg, ctx)
+        if k != "scalar":
+            return ("vector", v)  # vector(vector) is the identity
+        spark = ctx.rel.sparkSession
+        return ("vector", spark.range(1).select(
+            F.map_from_arrays(F.array().cast("array<string>"),
+                              F.array().cast("array<string>")).alias("labels"),
+            F.lit(float(v)).alias("value")))
     if fname == "time":
         return ("scalar", float(ctx.t))
     if fname == "timestamp":
@@ -581,6 +642,24 @@ def _eval_call(node, ctx: _Ctx):
         return ("vector", _drop_name(
             vec.select("labels", F.col("ts").cast("double").alias("value"))))
     raise PromqlError(f"unsupported function {fname!r} in the text front-end")
+
+
+def _eval_subquery_agg(fn: str, node, ctx: _Ctx) -> DataFrame:
+    """``<fn>_over_time(rate(sel[w])[r:s])`` — the one subquery shape with
+    a distributed lowering (promql.subquery_over_time's sliding-rate pass
+    + per-series regroup).  Other inner expressions would need per-step
+    re-evaluation of an arbitrary plan and are rejected explicitly."""
+    _, inner, range_s, step_s, offset_s = node
+    ok = (inner[0] == "call" and inner[1] == "rate" and len(inner[2]) == 1
+          and inner[2][0][0] == "selector" and inner[2][0][3] is not None)
+    if not ok:
+        raise PromqlError(
+            "subquery support is limited to <fn>_over_time(rate(sel[w])[r:s])")
+    _, name, matchers, w, sel_off = inner[2][0]
+    filt = _matcher_filter(ctx.rel, name, matchers)
+    end = ctx.t - offset_s - sel_off
+    start = end - range_s + 1
+    return _strip(promql.subquery_over_time(filt, fn, start, end, w, step_s))
 
 
 def _eval_agg(node, ctx: _Ctx):

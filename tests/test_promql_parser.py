@@ -263,3 +263,65 @@ def test_tsdb_promql_prunes_segments(spark, tmp_path):
     assert "PartitionFilters" in plan and "seg" in plan
     scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "(seg" in scan_line and "3" in scan_line  # window lands in seg 3
+
+
+# ---------------------------------------------- subquery / histogram / scalar
+
+@pytest.fixture(scope="module")
+def hrel(spark):
+    rows = []
+    for job, counts in (("api", {"0.1": 50.0, "0.5": 80.0, "+Inf": 100.0}),
+                        ("db", {"0.1": 10.0, "0.5": 70.0, "+Inf": 90.0})):
+        for le, c in counts.items():
+            rows.append(({"__name__": "lat_bucket", "job": job, "le": le},
+                         600, c))
+    for k in range(0, 7201, 60):  # counter with constant rate 0.1
+        rows.append(({"__name__": "ctr", "job": "api"}, k, k / 10.0))
+    return spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double").cache()
+
+
+def test_parse_subquery_requires_step():
+    ast = parse("max_over_time(rate(x[5m])[1h:10m])")
+    assert ast == ("call", "max_over_time",
+                   [("subquery", ("call", "rate",
+                                  [("selector", "x", [], 300, 0)]),
+                     3600, 600, 0)])
+    with pytest.raises(PromqlError):
+        parse("max_over_time(rate(x[5m])[1h])")  # missing :step
+
+
+def test_time_window_subquery_composes_reach():
+    assert time_window("max_over_time(rate(x[5m])[1h:10m] offset 30m)",
+                       100_000) == (94_300, 100_000)
+
+
+def test_histogram_quantile_from_le_label(hrel):
+    got = ev(hrel, "histogram_quantile(0.5, lat_bucket)")
+    vals = {dict(l)["job"]: v for l, v in got}
+    # api: q*total=50 lands exactly on the 0.1 bucket boundary;
+    # db: target 45 in (0.1, 0.5] -> 0.1 + 0.4*(45-10)/60
+    assert vals["api"] == pytest.approx(0.1)
+    assert vals["db"] == pytest.approx(0.1 + 0.4 * 35 / 60)
+    # +Inf bucket hit returns the highest finite le (promql/quantile.go)
+    got = ev(hrel, "histogram_quantile(0.9, lat_bucket)")
+    assert all(v == 0.5 for _, v in got)
+
+
+def test_scalar_and_vector_fns(hrel):
+    assert ev(hrel, 'scalar(sum(lat_bucket{job="api",le="+Inf"})) * 2') == \
+        [((), 200.0)]
+    # scalar() of a multi-sample vector is NaN
+    import math
+    val = ev(hrel, "scalar(lat_bucket) + 1")[0][1]
+    assert math.isnan(val)
+    assert ev(hrel, "vector(42)") == [((), 42.0)]
+
+
+def test_subquery_max_rate(hrel):
+    got = ev(hrel, "max_over_time(rate(ctr[10m])[1h:10m])", at=7200)
+    assert got == [((("__name__", "ctr"), ("job", "api")),
+                    pytest.approx(0.1))]
+    with pytest.raises(PromqlError):
+        # only the rate(sel[w]) inner shape has a distributed lowering
+        eval_instant(hrel, "max_over_time(sum(ctr)[1h:10m])", 7200)

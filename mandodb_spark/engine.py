@@ -247,6 +247,22 @@ class TSDB:
             lo, hi, "seg" in rel.columns, self.segment_duration))
         return promql_parser.eval_instant(pruned, ast, at_ts, lookback)
 
+    def promql_range(self, query: str, start: int, end: int, step: int,
+                     lookback: int = 300) -> DataFrame:
+        """PromQL RANGE query (the dashboard surface): ``query`` evaluated
+        at every t = start + k·step, via the grid primitives
+        (functions/promql.py grid_instant/grid_over_time/grid_rate —
+        explode-to-covering-points, one hash agg, no per-step loop).
+        Scan pruning covers [start − expression reach, end]."""
+        from .functions import promql_parser
+
+        ast = promql_parser.parse(query)
+        lo, _ = promql_parser.time_window(ast, start, lookback)
+        rel = self.store.relation()
+        pruned = rel.filter(tsdb_ops.time_predicate(
+            lo, int(end), "seg" in rel.columns, self.segment_duration))
+        return promql_parser.eval_range(pruned, ast, start, end, step, lookback)
+
     # ----------------------------------------------------------- maintenance
     def remove_expires(self, now_ts: int | None = None) -> list[int]:
         """Retention purge (tsdb.go:384-406); returns dropped segment ids."""

@@ -442,6 +442,105 @@ def rate_sliding(rel: DataFrame, start: int, end: int, window: int, step: int) -
     )
 
 
+# ---------------------------------------------------------------------------
+# RANGE-query grid evaluation (Prometheus query_range): evaluation points
+# t = start + k·step for k = 0..⌊(end−start)/step⌋; at each t an instant
+# selector sees the newest sample with ts ∈ [t−lookback, t] and a range
+# function the samples with ts ∈ [t−window+1, t].  All three primitives
+# share one Spark-first shape: explode each sample to the eval points it
+# can serve (bounded fan-out = reach/step + 1, the duplication
+# F.window(slide) performs), then one hash aggregation per (series, t) —
+# no per-step driver loop, no window over the whole series.
+
+
+def _grid_points(reach_incl: int, start: int, end: int, step: int):
+    """Covering eval-point column for a sample at ``ts``: the t = start+k·step
+    within [start, end] with ts ≤ t ≤ ts + reach_incl."""
+    k_lo = F.ceil((F.col("ts") - F.lit(start)) / F.lit(step)).cast("long")
+    k_hi = F.floor((F.col("ts") + F.lit(reach_incl) - F.lit(start)) / F.lit(step)).cast("long")
+    k_lo = F.greatest(k_lo, F.lit(0).cast("long"))
+    k_hi = F.least(k_hi, F.lit((end - start) // step).cast("long"))
+    seq = F.when(
+        k_lo <= k_hi,
+        F.transform(F.sequence(k_lo, k_hi), lambda k: (F.lit(start) + k * step).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.explode(seq)
+
+
+def grid_instant(rel: DataFrame, start: int, end: int, step: int,
+                 lookback: int = 300) -> DataFrame:
+    """Instant vector at EVERY eval point of the grid: newest sample per
+    series within the lookback window of each t.  Output (series_key,
+    labels, ts=eval point, value)."""
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - lookback, end))
+    covered = rel.withColumn("__t", _grid_points(lookback, start, end, step))
+    return (
+        covered.groupBy("series_key", "__t")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.max_by(F.col("value"), F.col("ts")).alias("value"),
+        )
+        .select("series_key", "labels", F.col("__t").alias("ts"), "value")
+    )
+
+
+def grid_over_time(rel: DataFrame, fn: str, start: int, end: int,
+                   window: int, step: int, q: float | None = None) -> DataFrame:
+    """``<fn>_over_time(sel[window])`` at every grid eval point (SLIDING,
+    unlike the tumbling :func:`over_time`).  ``q`` feeds
+    quantile_over_time's interpolated percentile."""
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - window + 1, end))
+    covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
+    agg = (F.expr(f"percentile(value, {float(q)}d)") if fn == "quantile"
+           else _OVER_TIME[fn](F.col("value")))
+    return (
+        covered.groupBy("series_key", "__t")
+        .agg(F.any_value("labels").alias("labels"), agg.alias("value"))
+        .select("series_key", "labels", F.col("__t").alias("ts"), "value")
+    )
+
+
+def grid_rate(rel: DataFrame, start: int, end: int, window: int, step: int,
+              mode: str = "rate") -> DataFrame:
+    """rate / increase / delta over ``[window]`` at every grid eval point.
+    rate/increase are reset-aware (this engine's observed-span rate, §3
+    delta); delta is last − first (gauge).  Requires ≥2 samples and, for
+    rate, a positive observed span — per (series, t), like the batch
+    :func:`rate`."""
+    if mode not in ("rate", "increase", "delta"):
+        raise ValueError(f"grid_rate mode {mode!r}")
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - window + 1, end))
+    covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
+    w = Window.partitionBy("series_key", "__t").orderBy("ts")
+    stepped = covered.withColumn("__prev", F.lag("value").over(w)).withColumn(
+        "__inc",
+        F.when(F.col("__prev").isNull(), F.lit(0.0))
+        .when(F.col("value") >= F.col("__prev"), F.col("value") - F.col("__prev"))
+        .otherwise(F.col("value")),
+    )
+    grouped = stepped.groupBy("series_key", "__t").agg(
+        F.any_value("labels").alias("labels"),
+        F.sum("__inc").alias("__total"),
+        (F.max_by(F.col("value"), F.col("ts"))
+         - F.min_by(F.col("value"), F.col("ts"))).alias("__delta"),
+        (F.max("ts") - F.min("ts")).alias("__span"),
+        F.count(F.lit(1)).alias("__n"),
+    ).filter(F.col("__n") >= 2)
+    if mode == "delta":
+        value = F.col("__delta")
+    elif mode == "increase":
+        value = F.col("__total")
+    else:
+        grouped = grouped.filter(F.col("__span") > 0)
+        value = F.col("__total") / F.col("__span")
+    return grouped.select(
+        "series_key", "labels", F.col("__t").alias("ts"),
+        value.cast("double").alias("value"))
+
+
 def subquery_over_time(rel: DataFrame, fn: str, start: int, end: int,
                        window: int, step: int) -> DataFrame:
     """PromQL subquery ``<fn>_over_time(rate(x[window])[start..end:step])``:
@@ -507,29 +606,33 @@ def histogram_quantile(buckets: DataFrame, q: float, group_cols: list[str]) -> D
     return hit.select(*group_cols, value.alias("value"))
 
 
-def histogram_quantile_vector(vector: DataFrame, q: float) -> DataFrame:
+def histogram_quantile_vector(vector: DataFrame, q: float,
+                              extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """PromQL ``histogram_quantile(q, vector)`` over an instant vector of
     ``_bucket`` series: the ``le`` LABEL carries each bucket's upper bound
     (``"+Inf"`` included), series group = every other label.  Lowers onto
     :func:`histogram_quantile` with the canonical-JSON of the remaining
     labels as the group key, then joins the representative label map back
     on that key — two small shuffles on (group, le)-sized data (one row
-    per bucket), never on raw samples."""
+    per bucket), never on raw samples.  ``extra_keys`` (e.g. ``("ts",)``
+    for range-query grids) join the group key."""
     le = F.col("labels").getItem("le")
     le_num = (
         F.when(le.isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
         .otherwise(le.cast("double"))
     )
     rest = F.map_filter(F.col("labels"), lambda k, _: k != F.lit("le"))
+    keys = ["__gk", *extra_keys]
     b = vector.select(
         canonical_labels_json(rest).alias("__gk"),
         rest.alias("__rest"),
+        *extra_keys,
         le_num.alias("le"),
         F.col("value").cast("double").alias("cum"),
     ).filter(F.col("le").isNotNull())
-    reps = b.groupBy("__gk").agg(F.any_value("__rest").alias("labels"))
-    hq = histogram_quantile(b.select("__gk", "le", "cum"), q, ["__gk"])
-    return hq.join(reps, "__gk").select("labels", "value")
+    reps = b.groupBy(*keys).agg(F.any_value("__rest").alias("labels"))
+    hq = histogram_quantile(b.select(*keys, "le", "cum"), q, keys)
+    return hq.join(reps, keys).select("labels", *extra_keys, "value")
 
 
 def offset_range(rel: DataFrame, start: int, end: int, offset: int) -> DataFrame:

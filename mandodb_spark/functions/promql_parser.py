@@ -756,3 +756,307 @@ def eval_instant(rel: DataFrame, query, at_ts: int,
             F.lit(float(v)).alias("value"),
         )
     return v.select("labels", F.col("value").cast("double").alias("value"))
+
+
+# ------------------------------------------------------------- range queries
+# Prometheus query_range: the expression evaluated at EVERY grid point
+# t = start + k·step.  Vectors here are (labels, ts, value) frames — one
+# row per series per eval point — produced by the grid_* primitives in
+# functions/promql.py (explode-to-covering-points + hash agg; no per-step
+# loop, no whole-series window).  Aggregations group by (labels, ts);
+# binary operators match on (label-key, ts).
+
+#: call forms with a distributed grid lowering
+_RANGE_MODES = {"rate": "rate", "increase": "increase", "delta": "delta"}
+
+
+class _RCtx:
+    def __init__(self, rel: DataFrame, start: int, end: int, step: int,
+                 lookback: int) -> None:
+        self.rel = rel
+        self.start, self.end, self.step = int(start), int(end), int(step)
+        self.lookback = int(lookback)
+
+
+def _strip_r(df: DataFrame) -> DataFrame:
+    return df.select("labels", F.col("ts").cast("long").alias("ts"),
+                     F.col("value").cast("double").alias("value"))
+
+
+def _shift(df: DataFrame, offset_s: int) -> DataFrame:
+    return df.withColumn("ts", (F.col("ts") + F.lit(offset_s)).cast("long")) \
+        if offset_s else df
+
+
+def _reval(node, ctx: _RCtx):
+    kind = node[0]
+    if kind == "num":
+        return ("scalar", node[1])
+    if kind == "str":
+        raise PromqlError("string literal outside function argument")
+    if kind == "unary":
+        k, v = _reval(node[2], ctx)
+        if k == "scalar":
+            return ("scalar", -v)
+        return ("vector", _drop_name(v.withColumn("value", -F.col("value"))))
+    if kind == "selector":
+        _, name, matchers, range_s, offset_s = node
+        if range_s is not None:
+            raise PromqlError(
+                f"range selector {name or ''}[{range_s}s] outside a range function")
+        filt = _matcher_filter(ctx.rel, name, matchers)
+        out = promql.grid_instant(filt, ctx.start - offset_s,
+                                  ctx.end - offset_s, ctx.step, ctx.lookback)
+        return ("vector", _strip_r(_shift(out, offset_s)))
+    if kind == "call":
+        return _reval_call(node, ctx)
+    if kind == "agg":
+        return _reval_agg(node, ctx)
+    if kind == "binop":
+        return _reval_binop(node, ctx)
+    raise PromqlError(f"{kind} expressions are not supported in range queries")
+
+
+def _rrange_sel(node, ctx: _RCtx, fname: str):
+    if node[0] != "selector" or node[3] is None:
+        raise PromqlError(f"{fname} needs a range selector argument")
+    _, name, matchers, range_s, offset_s = node
+    return _matcher_filter(ctx.rel, name, matchers), range_s, offset_s
+
+
+def _reval_call(node, ctx: _RCtx):
+    _, fname, args = node
+    if fname in _RANGE_MODES:
+        (arg,) = args
+        filt, w, off = _rrange_sel(arg, ctx, fname)
+        out = promql.grid_rate(filt, ctx.start - off, ctx.end - off,
+                               w, ctx.step, _RANGE_MODES[fname])
+        return ("vector", _strip_r(_shift(out, off)))
+    if fname in _OVER_TIME_FNS:
+        (arg,) = args
+        filt, w, off = _rrange_sel(arg, ctx, fname)
+        out = promql.grid_over_time(filt, _OVER_TIME_FNS[fname],
+                                    ctx.start - off, ctx.end - off, w, ctx.step)
+        return ("vector", _strip_r(_shift(out, off)))
+    if fname == "quantile_over_time":
+        q, arg = args
+        qk, qv = _reval(q, ctx)
+        if qk != "scalar":
+            raise PromqlError("quantile_over_time needs a scalar q")
+        filt, w, off = _rrange_sel(arg, ctx, fname)
+        out = promql.grid_over_time(filt, "quantile", ctx.start - off,
+                                    ctx.end - off, w, ctx.step, q=qv)
+        return ("vector", _strip_r(_shift(out, off)))
+    if fname == "histogram_quantile":
+        q, arg = args
+        qk, qv = _reval(q, ctx)
+        if qk != "scalar":
+            raise PromqlError("histogram_quantile needs a scalar q")
+        k, v = _reval(arg, ctx)
+        if k != "vector":
+            raise PromqlError("histogram_quantile takes a bucket vector")
+        return ("vector", promql.histogram_quantile_vector(
+            v, qv, extra_keys=("ts",)))
+    if fname in _SCALAR_FNS:
+        (arg,) = args
+        k, v = _reval(arg, ctx)
+        if k == "scalar":
+            return _eval_call(node, _Ctx(ctx.rel, ctx.end, ctx.lookback))
+        return ("vector", _drop_name(promql.scalar_map(v, fname)))
+    if fname in _CALENDAR_FNS:
+        (arg,) = args if args else (None,)
+        if arg is None:
+            raise PromqlError(f"argless {fname}() is not supported in range queries")
+        k, v = _reval(arg, ctx)
+        if k != "vector":
+            raise PromqlError(f"{fname} takes a vector")
+        return ("vector", _drop_name(promql.calendar(v, fname)))
+    if fname in ("clamp", "clamp_min", "clamp_max"):
+        k, v = _reval(args[0], ctx)
+        if k != "vector":
+            raise PromqlError(f"{fname} takes a vector first argument")
+        bounds = [float(_reval(a, ctx)[1]) for a in args[1:]]
+        if fname == "clamp":
+            out = promql.clamp(v, lo=bounds[0], hi=bounds[1])
+        elif fname == "clamp_min":
+            out = promql.clamp(v, lo=bounds[0])
+        else:
+            out = promql.clamp(v, hi=bounds[0])
+        return ("vector", _drop_name(out))
+    if fname == "label_replace":
+        arg, dst, repl, src, regex = args
+        v = _reval(arg, ctx)[1]
+        return ("vector", promql.label_replace(v, dst[1], repl[1], src[1], regex[1]))
+    if fname == "label_join":
+        arg, dst, sep, *srcs = args
+        v = _reval(arg, ctx)[1]
+        return ("vector", promql.label_join(v, dst[1], sep[1], [s[1] for s in srcs]))
+    if fname == "timestamp":
+        (arg,) = args
+        if arg[0] != "selector" or arg[3] is not None:
+            raise PromqlError("timestamp takes an instant selector")
+        filt = _matcher_filter(ctx.rel, arg[1], arg[2])
+        # grid_instant loses the sample ts; recompute it as a value
+        out = promql.grid_instant(
+            filt.withColumn("value", F.col("ts").cast("double")),
+            ctx.start - arg[4], ctx.end - arg[4], ctx.step, ctx.lookback)
+        return ("vector", _drop_name(_strip_r(_shift(out, arg[4]))))
+    raise PromqlError(
+        f"function {fname!r} is not supported in range queries")
+
+
+def _reval_agg(node, ctx: _RCtx):
+    _, fname, by, without, param, arg = node
+    k, v = _reval(arg, ctx)
+    if k != "vector":
+        raise PromqlError(f"{fname} aggregates a vector")
+    if fname in ("topk", "bottomk"):
+        kv = int(_reval(param, ctx)[1])
+        order = (F.col("value").desc() if fname == "topk"
+                 else F.col("value").asc())
+        from pyspark.sql.window import Window as W
+        tie = promql.canonical_labels_json(F.col("labels"))
+        w = W.partitionBy("ts").orderBy(order, tie)
+        return ("vector", v.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= kv).drop("__rn"))
+    if fname == "count_values":
+        if param[0] != "str":
+            raise PromqlError('count_values takes ("label", vector)')
+        lbl = param[1]
+        out = (v.groupBy(F.col("value").cast("string").alias(lbl), "ts")
+               .agg(F.count(F.lit(1)).cast("double").alias("value"))
+               .select(F.map_from_arrays(
+                   F.array(F.lit(lbl)), F.array(F.col(lbl))).alias("labels"),
+                   "ts", "value"))
+        return ("vector", out)
+    if fname == "quantile":
+        q = float(_reval(param, ctx)[1])
+        if without is not None:
+            raise PromqlError("quantile without(...) is not supported; use by(...)")
+        keys = [F.col("labels").getItem(n).alias(n) for n in (by or [])]
+        grouped = v.groupBy(*keys, "ts").agg(
+            F.expr(f"percentile(value, {q}d)").alias("value"))
+        new_labels = F.map_from_arrays(
+            F.array(*[F.lit(n) for n in (by or [])]),
+            F.array(*[F.col(n) for n in (by or [])]))
+        return ("vector", grouped.select(new_labels.alias("labels"), "ts", "value"))
+    agg = promql._OVER_TIME[fname]
+    if without is not None:
+        kept = promql.match_labels(F.col("labels"), None, list(without))
+        keyed = v.withColumn("__kl", kept)
+        out = (keyed.groupBy(
+                   promql.canonical_labels_json(F.col("__kl")).alias("__gk"), "ts")
+               .agg(F.any_value("__kl").alias("labels"),
+                    agg(F.col("value")).alias("value"))
+               .select("labels", "ts", "value"))
+        return ("vector", out)
+    keys = [F.col("labels").getItem(n).alias(n) for n in (by or [])]
+    grouped = v.groupBy(*keys, "ts").agg(agg(F.col("value")).alias("value"))
+    new_labels = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in (by or [])]),
+        F.array(*[F.col(n) for n in (by or [])]))
+    return ("vector", grouped.select(new_labels.alias("labels"), "ts", "value"))
+
+
+def _reval_binop(node, ctx: _RCtx):
+    _, op, ln, rn, matching = node
+    m = dict(matching or {})
+    bool_mode = m.pop("bool", False)
+    lk, lv = _reval(ln, ctx)
+    rk, rv = _reval(rn, ctx)
+
+    if lk == "scalar" and rk == "scalar":
+        return _eval_binop(node, _Ctx(ctx.rel, ctx.end, ctx.lookback))
+
+    if op in _SET or (lk == "vector" and rk == "vector"):
+        on, ignoring = m.get("on"), m.get("ignoring")
+        key = promql.canonical_labels_json(
+            promql.match_labels(F.col("labels"), on, ignoring))
+        l = lv.withColumn("__mk", key)
+        r = rv.withColumn("__mk", key)
+        if op in _SET:
+            if op == "and":
+                out = l.join(r.select("__mk", "ts").distinct(),
+                             ["__mk", "ts"], "left_semi")
+            elif op == "unless":
+                out = l.join(r.select("__mk", "ts").distinct(),
+                             ["__mk", "ts"], "left_anti")
+            else:  # or
+                extra = r.join(l.select("__mk", "ts").distinct(),
+                               ["__mk", "ts"], "left_anti")
+                out = l.unionByName(extra)
+            return ("vector", out.select("labels", "ts", "value"))
+        group = m.get("group")
+        if m.get("include"):
+            raise PromqlError(
+                "group_left(include)/group_right(include) label copying is "
+                "not supported in range queries")
+        lsel = l.select(
+            "__mk", "ts", F.col("labels").alias("__ll"),
+            F.col("value").alias("__lval"))
+        rsel = r.select("__mk", "ts", F.col("labels").alias("__rl"),
+                        F.col("value").alias("__rval"))
+        j = lsel.join(rsel, ["__mk", "ts"])
+        if group == "left":
+            out_labels = F.map_filter(
+                F.col("__ll"), lambda k2, _: k2 != F.lit(promql.METRIC_NAME_LABEL))
+        elif group == "right":
+            out_labels = F.map_filter(
+                F.col("__rl"), lambda k2, _: k2 != F.lit(promql.METRIC_NAME_LABEL))
+        else:
+            out_labels = promql.match_labels(F.col("__ll"), on, ignoring)
+        if op in promql._ARITH_OPS:
+            val = promql._ARITH_OPS[op](F.col("__lval"), F.col("__rval"))
+            return ("vector", j.select(out_labels.alias("labels"), "ts",
+                                       val.cast("double").alias("value")))
+        cond = promql._CMP_OPS[op](F.col("__lval"), F.col("__rval"))
+        if bool_mode:
+            return ("vector", j.select(
+                out_labels.alias("labels"), "ts",
+                F.when(cond, 1.0).otherwise(0.0).alias("value")))
+        # filter semantics keep the lhs sample (labels incl. __name__)
+        return ("vector", j.filter(cond).select(
+            F.col("__ll").alias("labels"), "ts",
+            F.col("__lval").alias("value")))
+
+    # scalar ∘ vector — per-row, ts passes through
+    vec, scalar, swapped = (lv, rv, False) if lk == "vector" else (rv, lv, True)
+    s = F.lit(float(scalar))
+    val = F.col("value")
+    lhs, rhs = (val, s) if not swapped else (s, val)
+    if op in promql._ARITH_OPS:
+        out = vec.withColumn("value",
+                             promql._ARITH_OPS[op](lhs, rhs).cast("double"))
+        return ("vector", _drop_name(out))
+    cond = promql._CMP_OPS[op](lhs, rhs)
+    if bool_mode:
+        out = _drop_name(vec.withColumn(
+            "value", F.when(cond, 1.0).otherwise(0.0)))
+    else:
+        out = vec.filter(cond)
+    return ("vector", out)
+
+
+def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
+               lookback: int = 300) -> DataFrame:
+    """Evaluate ``query`` (text or AST) as a PromQL RANGE query: the
+    expression at every eval point t = start + k·step ≤ end.  Returns
+    (labels, ts, value) — one row per series per grid point; a scalar
+    expression becomes one labels-less row per grid point.  Restrictions
+    vs instant evaluation (all raising ``PromqlError``): no subqueries,
+    ``absent``/``sort``/``time()`` family, or group_left/right include
+    labels."""
+    if step <= 0:
+        raise PromqlError("step must be positive")
+    node = parse(query) if isinstance(query, str) else query
+    k, v = _reval(node, _RCtx(rel, start, end, step, lookback))
+    if k == "scalar":
+        spark = rel.sparkSession
+        n = (int(end) - int(start)) // int(step) + 1
+        return spark.range(n).select(
+            F.map_from_arrays(F.array().cast("array<string>"),
+                              F.array().cast("array<string>")).alias("labels"),
+            (F.lit(int(start)) + F.col("id") * int(step)).cast("long").alias("ts"),
+            F.lit(float(v)).alias("value"),
+        )
+    return _strip_r(v)

@@ -2211,3 +2211,94 @@ WHERE c.user NOT IN (SELECT user FROM m WHERE metric = 'view' AND v > 100)
 
 QUERIES["x_promql_text_setop"] = x_promql_text_setop
 ORACLES["x_promql_text_setop"] = _text_setop_sql()
+
+
+def x_promql_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL RANGE query (the dashboard surface) through the text
+    front-end: ``sum by (user) (rate(click[4d]))`` at every grid point
+    t = EV_START+4d + k·1d — promql.grid_rate's explode-to-covering-
+    points + per-(series, t) reset-aware increase, summed per (user, t).
+    The oracle rebuilds the same grid with a DuckDB range() join."""
+    from ..functions.promql_parser import eval_range
+    from .promql_q import _dedup_rel
+    from .common import EV_END, EV_START
+
+    g0 = EV_START + 4 * 86_400
+    out = eval_range(_dedup_rel(spark, sf_dir),
+                     "sum by (user) (rate(click[4d]))", g0, EV_END, 86_400)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        "ts",
+        F.round("value", 8).alias("rate_sum"),
+    ).orderBy("user", "ts")
+
+
+def _range_rate_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END, EV_START
+
+    g0, w = EV_START + 4 * 86_400, 4 * 86_400
+    return f"""{_DEDUP},
+grid AS (SELECT unnest(range({g0}, {EV_END} + 1, 86400)) AS t),
+j AS (
+    SELECT d.user, d.k, d.ts, d.value, g.t
+    FROM d JOIN grid g ON d.ts BETWEEN g.t - {w} + 1 AND g.t
+    WHERE d.metric = 'click'
+),
+s AS (SELECT *, lag(value) OVER (PARTITION BY user, k, t ORDER BY ts) AS prev
+      FROM j),
+inc AS (
+    SELECT user, k, t,
+           sum(CASE WHEN prev IS NULL THEN 0
+                    WHEN value >= prev THEN value - prev
+                    ELSE value END) AS total,
+           max(ts) - min(ts) AS span, count(*) AS n
+    FROM s GROUP BY 1, 2, 3
+)
+SELECT user, t AS ts, round(CAST(sum(total / span) AS DOUBLE), 8) AS rate_sum
+FROM inc WHERE n >= 2 AND span > 0
+GROUP BY user, t ORDER BY user, t
+"""
+
+
+QUERIES["x_promql_range_rate"] = x_promql_range_rate
+ORACLES["x_promql_range_rate"] = _range_rate_sql()
+
+
+def x_promql_range_sliding_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE query with a SLIDING over_time window (vs the tumbling
+    registry queries): ``max by (user) (max_over_time(view[2d]))`` every
+    1d — windows overlap by half, so each sample serves two grid points
+    (promql.grid_over_time's bounded fan-out).  max is order-independent,
+    keeping the cross-engine comparison exact."""
+    from ..functions.promql_parser import eval_range
+    from .promql_q import _dedup_rel
+    from .common import EV_END, EV_START
+
+    g0 = EV_START + 2 * 86_400
+    out = eval_range(_dedup_rel(spark, sf_dir),
+                     "max by (user) (max_over_time(view[2d]))",
+                     g0, EV_END, 86_400)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        "ts",
+        F.round("value", 6).alias("vmax"),
+    ).orderBy("user", "ts")
+
+
+def _range_sliding_max_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END, EV_START
+
+    g0, w = EV_START + 2 * 86_400, 2 * 86_400
+    return f"""{_DEDUP},
+grid AS (SELECT unnest(range({g0}, {EV_END} + 1, 86400)) AS t)
+SELECT d.user, g.t AS ts, round(CAST(max(d.value) AS DOUBLE), 6) AS vmax
+FROM d JOIN grid g ON d.ts BETWEEN g.t - {w} + 1 AND g.t
+WHERE d.metric = 'view'
+GROUP BY d.user, g.t ORDER BY d.user, g.t
+"""
+
+
+QUERIES["x_promql_range_sliding_max"] = x_promql_range_sliding_max
+ORACLES["x_promql_range_sliding_max"] = _range_sliding_max_sql()

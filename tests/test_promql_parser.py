@@ -325,3 +325,109 @@ def test_subquery_max_rate(hrel):
     with pytest.raises(PromqlError):
         # only the rate(sel[w]) inner shape has a distributed lowering
         eval_instant(hrel, "max_over_time(sum(ctr)[1h:10m])", 7200)
+
+
+# ------------------------------------------------------------- range queries
+
+@pytest.fixture(scope="module")
+def rrel(spark):
+    rows = []
+    for job, slope in (("api", 10.0), ("db", 5.0)):
+        for k in range(21):  # ts 0..1200 step 60
+            rows.append(({"__name__": "reqs", "job": job}, k * 60, k * slope))
+    for k in range(21):
+        rows.append(({"__name__": "mem", "job": "api"}, k * 60,
+                     100.0 + (k % 3)))
+    for t, mult in ((600, 1.0), (1200, 2.0)):
+        for le, c in (("0.1", 30.0), ("0.5", 80.0), ("+Inf", 100.0)):
+            rows.append(({"__name__": "lat_bucket", "job": "api", "le": le},
+                         t, c * mult))
+    return spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double").cache()
+
+
+def rev(rel, q, s=600, e=1200, st=300, **kw):
+    from mandodb_spark.functions.promql_parser import eval_range
+
+    df = eval_range(rel, q, s, e, st, **kw)
+    return sorted([(tuple(sorted(r["labels"].items())), r["ts"], r["value"])
+                   for r in df.collect()], key=str)
+
+
+def test_range_instant_selector_grid(rrel):
+    got = rev(rrel, 'reqs{job="api"}')
+    assert [(t, v) for _, t, v in got] == \
+        [(1200, 200.0), (600, 100.0), (900, 150.0)]
+
+
+def test_range_rate_constant_slope(rrel):
+    got = rev(rrel, "sum by (job) (rate(reqs[5m]))")
+    by = {(dict(l)["job"], t): v for l, t, v in got}
+    assert all(v == pytest.approx(10 / 60) for (j, _), v in by.items()
+               if j == "api")
+    assert all(v == pytest.approx(5 / 60) for (j, _), v in by.items()
+               if j == "db")
+    assert len(by) == 6  # 2 jobs x 3 grid points
+
+
+def test_range_sliding_avg_over_time(rrel):
+    got = {t: v for _, t, v in rev(rrel, "avg_over_time(mem[5m])")}
+    assert got == {600: pytest.approx(100.8), 900: pytest.approx(101.0),
+                   1200: pytest.approx(101.2)}
+
+
+def test_range_offset_binop(rrel):
+    got = {t: v for _, t, v in
+           rev(rrel, 'reqs{job="api"} / on(job) reqs{job="api"} offset 5m')}
+    assert got == {600: 2.0, 900: 1.5, 1200: pytest.approx(4 / 3)}
+
+
+def test_range_topk_and_quantile_per_step(rrel):
+    got = rev(rrel, "topk(1, reqs)")
+    assert all(dict(l)["job"] == "api" for l, _, _ in got) and len(got) == 3
+    got = {t: v for _, t, v in rev(rrel, "quantile(0.5, reqs)")}
+    assert got == {600: 75.0, 900: 112.5, 1200: 150.0}
+
+
+def test_range_histogram_quantile_per_step(rrel):
+    got = rev(rrel, "histogram_quantile(0.5, lat_bucket)")
+    # cum counts double at t=1200 but ratios are unchanged -> same q
+    assert len(got) == 3 and all(v == pytest.approx(0.26) for _, _, v in got)
+
+
+def test_range_bool_cmp_and_set_ops(rrel):
+    got = {(dict(l)["job"], t): v
+           for l, t, v in rev(rrel, "sum by (job)(reqs) > bool 100")}
+    assert got[("api", 600)] == 0.0 and got[("api", 900)] == 1.0
+    assert all(v == 0.0 for (j, _), v in got.items() if j == "db")
+    kept = rev(rrel, 'mem unless on(job) reqs{job="db"}')
+    assert len(kept) == 3  # api-only series survives every step
+
+
+def test_range_scalar_expression_grid(rrel):
+    got = rev(rrel, "2 + 40")
+    assert [(t, v) for _, t, v in got] == [(1200, 42.0), (600, 42.0),
+                                           (900, 42.0)]
+
+
+def test_range_unsupported_shapes_raise(rrel):
+    from mandodb_spark.functions.promql_parser import eval_range
+
+    for q in ("absent(mem)", "sort(mem)", "time()",
+              "max_over_time(rate(mem[5m])[10m:5m])"):
+        with pytest.raises(PromqlError):
+            eval_range(rrel, q, 600, 1200, 300)
+
+
+def test_tsdb_promql_range_facade(spark, tmp_path):
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path / "rstore"), segment_duration=3600)
+    db.insert_rows([("m", {"j": "a"}, k * 60, float(k)) for k in range(200)])
+    df = db.promql_range("rate(m[10m])", 7200, 11_400, 600)
+    vals = {r["ts"]: r["value"] for r in df.collect()}
+    assert len(vals) == 8 and all(v == pytest.approx(1 / 60)
+                                  for v in vals.values())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "(seg" in line  # reach-derived pruning hits the scan

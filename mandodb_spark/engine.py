@@ -263,6 +263,46 @@ class TSDB:
             lo, int(end), "seg" in rel.columns, self.segment_duration))
         return promql_parser.eval_range(pruned, ast, start, end, step, lookback)
 
+    def promql_alerts(self, query: str, for_duration: int, start: int,
+                      end: int, step: int, lookback: int = 300) -> DataFrame:
+        """Prometheus ALERTING rule (``expr`` + ``for:``) over the store:
+        activation runs of the text expression on the eval grid, FIRING
+        after ``for_duration`` of continuous activity — see
+        ``promql_parser.eval_alerts``.  Sample-level dual:
+        :meth:`alert_intervals`."""
+        from .functions import promql_parser
+
+        ast = promql_parser.parse(query)
+        lo, _ = promql_parser.time_window(ast, start, lookback)
+        rel = self.store.relation()
+        pruned = rel.filter(tsdb_ops.time_predicate(
+            lo, int(end), "seg" in rel.columns, self.segment_duration))
+        return promql_parser.eval_alerts(
+            pruned, ast, for_duration, start, end, step, lookback)
+
+    def promql_record(self, rule_name: str, query: str, start: int,
+                      end: int, step: int, lookback: int = 300) -> None:
+        """Prometheus RECORDING rule: evaluate ``query`` on the grid and
+        persist the result as new series named ``rule_name`` (result
+        labels kept, any inherited ``__name__`` replaced) — downstream
+        queries then read the precomputed series through every normal
+        entry point.  The write is one ``insert_rows`` batch; idempotency
+        follows the store's duplicate policy (re-recording the same grid
+        with ``dedup_against_store=True`` semantics is the caller's
+        choice via a prior delete or the dedup flags)."""
+        out = self.promql_range(query, start, end, step, lookback)
+        from .model import METRIC_NAME_LABEL
+
+        rows = out.select(
+            F.lit(rule_name).alias("metric"),
+            F.map_filter(
+                F.col("labels"),
+                lambda k, _: k != F.lit(METRIC_NAME_LABEL)).alias("labels"),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        self.insert_rows(rows)
+
     # ----------------------------------------------------------- maintenance
     def remove_expires(self, now_ts: int | None = None) -> list[int]:
         """Retention purge (tsdb.go:384-406); returns dropped segment ids."""

@@ -62,7 +62,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<OP>=~|!~|!=|==|>=|<=|[-+*/%^=<>])
   | (?P<PUNCT>[(){}\[\],:])
-  | (?P<IDENT>[a-zA-Z_][a-zA-Z0-9_]*)
+  | (?P<IDENT>[a-zA-Z_][a-zA-Z0-9_]*(?::[a-zA-Z0-9_:]+)*)   # colons: recording-rule names
 """, re.VERBOSE)
 
 _DUR_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800,
@@ -1060,3 +1060,50 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
             F.lit(float(v)).alias("value"),
         )
     return _strip_r(v)
+
+
+def eval_alerts(rel: DataFrame, query, for_duration: int, start: int,
+                end: int, step: int, lookback: int = 300) -> DataFrame:
+    """Prometheus ALERTING-rule evaluation: the expression is evaluated on
+    the [start, end] grid (``eval_range``); a series is ACTIVE at every
+    eval point where the expression returns a sample for it (PromQL alert
+    semantics — comparisons FILTER, so ``expr > bound`` yields presence),
+    and FIRING once it has been active continuously for ``for_duration``.
+
+    Gaps-and-islands over consecutive grid points per series — two
+    windows partitioned by the series' canonical label key, state bounded
+    by that series' grid rows, never global.  Output one row per
+    activation run: ``(labels, active_since, last_active, n_evals,
+    firing, firing_since)`` with ``firing_since = active_since +
+    for_duration`` (null while only pending), mirroring the sample-level
+    ``operators.tsdb_ops.alert_intervals`` contract on the rule grid.
+    """
+    from pyspark.sql.window import Window as W
+
+    grid = eval_range(rel, query, start, end, step, lookback)
+    key = promql.canonical_labels_json(F.col("labels"))
+    g = grid.withColumn("__k", key)
+    w = W.partitionBy("__k").orderBy("ts")
+    marked = (
+        g.withColumn("__prev", F.lag("ts").over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull()
+             | (F.col("ts") - F.col("__prev") > step)).cast("int"))
+        .withColumn("__run", F.sum("__new").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    runs = marked.groupBy("__k", "__run").agg(
+        F.any_value("labels").alias("labels"),
+        F.min("ts").alias("active_since"),
+        F.max("ts").alias("last_active"),
+        F.count(F.lit(1)).alias("n_evals"),
+    )
+    firing = (F.col("last_active") - F.col("active_since")
+              >= F.lit(int(for_duration)))
+    return runs.select(
+        "labels", "active_since", "last_active", "n_evals",
+        firing.alias("firing"),
+        F.when(firing, F.col("active_since") + F.lit(int(for_duration)))
+        .alias("firing_since"),
+    )

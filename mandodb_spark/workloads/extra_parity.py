@@ -2302,3 +2302,64 @@ GROUP BY d.user, g.t ORDER BY d.user, g.t
 
 QUERIES["x_promql_range_sliding_max"] = x_promql_range_sliding_max
 ORACLES["x_promql_range_sliding_max"] = _range_sliding_max_sql()
+
+
+def x_promql_alert_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ALERTING rule through the text front-end
+    (promql_parser.eval_alerts): ``max by (user) (view) > 83`` on the
+    daily grid with ``for: 2d`` — activation runs via gaps-and-islands
+    over consecutive grid points per series, FIRING once a run has
+    persisted 2 days (firing_since = active_since + for).  The oracle
+    rebuilds grid → latest-per-series → max-by-user → threshold →
+    row_number-difference islands in DuckDB."""
+    from ..functions.promql_parser import eval_alerts
+    from .promql_q import _dedup_rel
+    from .common import EV_END, EV_START
+
+    g0, step, for_d = EV_START + 86_400, 86_400, 2 * 86_400
+    out = eval_alerts(_dedup_rel(spark, sf_dir),
+                      "max by (user) (view) > 83",
+                      for_d, g0, EV_END, step, lookback=86_400)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        "active_since", "last_active",
+        F.col("n_evals").cast("long").alias("n_evals"),
+        F.col("firing").cast("boolean").alias("firing"),
+        F.col("firing_since").cast("long").alias("firing_since"),
+    ).orderBy("user", "active_since")
+
+
+def _alert_rule_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END, EV_START
+
+    g0, step, for_d = EV_START + 86_400, 86_400, 2 * 86_400
+    return f"""{_DEDUP},
+grid AS (SELECT unnest(range({g0}, {EV_END} + 1, {step})) AS t),
+j AS (
+    SELECT d.user, d.k, d.ts, d.value, g.t
+    FROM d JOIN grid g ON d.ts BETWEEN g.t - 86400 AND g.t
+    WHERE d.metric = 'view'
+),
+lat AS (SELECT user, k, t, value,
+        row_number() OVER (PARTITION BY user, k, t ORDER BY ts DESC) AS rn
+        FROM j),
+m AS (SELECT user, t, max(value) AS v FROM lat WHERE rn = 1 GROUP BY 1, 2),
+act AS (SELECT user, t,
+        row_number() OVER (PARTITION BY user ORDER BY t) AS rn
+        FROM m WHERE v > 83),
+runs AS (
+    SELECT user, min(t) AS active_since, max(t) AS last_active,
+           count(*) AS n_evals
+    FROM act GROUP BY user, t / {step} - rn
+)
+SELECT user, active_since, last_active, n_evals,
+       last_active - active_since >= {for_d} AS firing,
+       CASE WHEN last_active - active_since >= {for_d}
+            THEN active_since + {for_d} END AS firing_since
+FROM runs ORDER BY user, active_since
+"""
+
+
+QUERIES["x_promql_alert_rule"] = x_promql_alert_rule
+ORACLES["x_promql_alert_rule"] = _alert_rule_sql()

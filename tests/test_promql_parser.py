@@ -431,3 +431,52 @@ def test_tsdb_promql_range_facade(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "(seg" in line  # reach-derived pruning hits the scan
+
+
+# ----------------------------------------------------------------- rules
+
+def test_metric_names_with_colons_lex():
+    assert parse('node:cpu:avg5m{node="a"}') == \
+        ("selector", "node:cpu:avg5m", [("node", "=", "a")], None, 0)
+    # subquery colon still lexes as punctuation
+    assert parse("max_over_time(rate(x[5m])[1h:10m])")[0] == "call"
+
+
+def test_promql_alerts_for_duration(spark, tmp_path):
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path / "astore"), segment_duration=3600)
+    rows = []
+    for k in range(0, 121):  # ts 0..7200 step 60
+        t = k * 60
+        v = 90.0 if (1800 <= t <= 3600 or 5400 <= t <= 5700) else 10.0
+        rows.append(("cpu", {"node": "a"}, t, v))
+        rows.append(("cpu", {"node": "b"}, t, 5.0))
+    db.insert_rows(rows)
+    runs = sorted(db.promql_alerts("cpu > 80", 600, 0, 7200, 300).collect(),
+                  key=lambda r: r["active_since"])
+    assert len(runs) == 2
+    long, short = runs
+    assert (long["active_since"], long["last_active"],
+            long["firing"], long["firing_since"]) == (1800, 3600, True, 2400)
+    assert (short["active_since"], short["firing"],
+            short["firing_since"]) == (5400, False, None)
+    assert all(r["labels"]["node"] == "a" for r in runs)
+
+
+def test_promql_record_roundtrip(spark, tmp_path):
+    from mandodb_spark import TSDB, LabelMatcher
+
+    db = TSDB(spark, str(tmp_path / "recstore"), segment_duration=3600)
+    rows = []
+    for k in range(0, 121):
+        rows.append(("cpu", {"node": "a"}, k * 60, float(k)))
+    db.insert_rows(rows)
+    db.promql_record("node:cpu:avg5m", "avg_over_time(cpu[5m])", 0, 7200, 300)
+    # recorded series readable via text AND the classic API
+    got = db.promql("node:cpu:avg5m", 7200, lookback=600).collect()
+    assert len(got) == 1 and got[0]["labels"]["node"] == "a"
+    # window (6900, 7200] -> k in 116..120 -> avg 118.0 at the last point
+    assert got[0]["value"] == pytest.approx(118.0)
+    assert db.query_range("node:cpu:avg5m",
+                          [LabelMatcher("node", "a")], 0, 10**10).count() == 1

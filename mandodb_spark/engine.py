@@ -281,15 +281,17 @@ class TSDB:
             pruned, ast, for_duration, start, end, step, lookback)
 
     def promql_record(self, rule_name: str, query: str, start: int,
-                      end: int, step: int, lookback: int = 300) -> None:
+                      end: int, step: int, lookback: int = 300,
+                      dedup_against_store: bool = False) -> None:
         """Prometheus RECORDING rule: evaluate ``query`` on the grid and
         persist the result as new series named ``rule_name`` (result
         labels kept, any inherited ``__name__`` replaced) — downstream
         queries then read the precomputed series through every normal
-        entry point.  The write is one ``insert_rows`` batch; idempotency
-        follows the store's duplicate policy (re-recording the same grid
-        with ``dedup_against_store=True`` semantics is the caller's
-        choice via a prior delete or the dedup flags)."""
+        entry point.  The write is one ``insert_rows`` batch;
+        ``dedup_against_store=True`` makes re-recording an overlapping
+        grid idempotent (first-write-wins on (series, t) — what the
+        streaming ``RecordingRuleMaintainer`` relies on under
+        at-least-once foreachBatch retries)."""
         out = self.promql_range(query, start, end, step, lookback)
         from .model import METRIC_NAME_LABEL
 
@@ -301,7 +303,7 @@ class TSDB:
             F.col("ts").cast("long").alias("ts"),
             F.col("value").cast("double").alias("value"),
         )
-        self.insert_rows(rows)
+        self.insert_rows(rows, dedup_against_store=dedup_against_store)
 
     # ----------------------------------------------------------- maintenance
     def remove_expires(self, now_ts: int | None = None) -> list[int]:

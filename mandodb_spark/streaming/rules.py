@@ -1,0 +1,112 @@
+"""Streaming PromQL rule evaluation: the continuous dual of
+``TSDB.promql_record`` / ``TSDB.promql_alerts`` — Prometheus evaluates
+rule groups on a wall-clock interval; here the micro-batch cadence is the
+clock, and EVENT time (the ingested data's own high-water mark) decides
+which grid points are ready, so replays and backfills evaluate exactly
+the same points a live run did.
+
+``RecordingRuleMaintainer``: after each ingest batch, evaluate the rule
+query at every step-aligned grid point in (last evaluated, batch event
+max] and append the result as ``rule_name`` series.  Incremental — each
+grid point is evaluated once; idempotent under foreachBatch's
+at-least-once retries because the append runs first-write-wins against
+the store ((series, t) pairs already recorded are dropped, the same
+contract as ``insert_rows(dedup_against_store=True)``).  On restart the
+high-water mark is recovered from the recorded series' own max timestamp
+— the store IS the state, no sidecar files.
+
+Same family as ``RetentionMaintainer`` / ``VectorIndexMaintainer``:
+chain ``process_batch`` after an ingest sink, or ``start(stream,
+checkpoint)`` standalone.
+
+Late-data caveat (documented, not hidden): a grid point is evaluated
+when the event high-water mark passes it; samples arriving later than
+that do not retroactively update the recorded value — rerun
+``TSDB.promql_record(..., dedup_against_store=False)`` after a
+``delete_series`` on the affected range for corrections, exactly as one
+re-runs a Prometheus backfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class RecordingRuleMaintainer:
+    """foreachBatch hook: continuous recording-rule evaluation.
+
+    ``db``: TSDB holding both the inputs and the recorded output.
+    ``rule_name``: the new series' metric name (colons allowed, the
+    Prometheus recording-rule convention).  ``query``: PromQL text.
+    ``step``: grid resolution in seconds (eval points are step-aligned,
+    as Prometheus aligns to the epoch).  ``delay``: evaluate a point only
+    once the event high-water mark is ``delay`` seconds past it (the
+    rule-evaluation analogue of a watermark).  Counters ``runs`` /
+    ``points`` / ``hwm`` are observable by tests and monitoring.
+    """
+
+    def __init__(self, db, rule_name: str, query: str, step: int,
+                 lookback: int = 300, delay: int = 0, every: int = 1) -> None:
+        self.db = db
+        self.rule_name = rule_name
+        self.query = query
+        self.step = int(step)
+        self.lookback = int(lookback)
+        self.delay = int(delay)
+        self.every = max(1, every)
+        self.batches = 0
+        self.runs = 0
+        self.points = 0
+        self.hwm: int | None = None  # last evaluated grid point
+
+    # ------------------------------------------------------------ state
+    def _recover_hwm(self) -> int | None:
+        """The recorded series' own max timestamp — restart recovery
+        without sidecar state (Parquet footer max, pruned to the rule's
+        metric)."""
+        from ..model import METRIC_NAME_LABEL
+
+        rel = self.db.store.relation()
+        row = (
+            rel.filter(
+                F.col("labels").getItem(METRIC_NAME_LABEL) == self.rule_name)
+            .agg(F.max("ts").alias("m")).collect()[0]
+        )
+        return int(row["m"]) if row["m"] is not None else None
+
+    # ------------------------------------------------------------- hook
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.batches += 1
+        if self.batches % self.every != 0:
+            return
+        if "ts" not in batch_df.columns:
+            return
+        row = batch_df.agg(F.max("ts").alias("m")).collect()[0]
+        if row["m"] is None:
+            return
+        event_max = int(row["m"]) - self.delay
+        if self.hwm is None:
+            self.hwm = self._recover_hwm()
+        # step-aligned grid points in (hwm, event_max]
+        first = ((self.hwm // self.step) + 1) * self.step \
+            if self.hwm is not None else (event_max // self.step) * self.step
+        last = (event_max // self.step) * self.step
+        if last < first:
+            return
+        self.runs += 1
+        self.db.promql_record(self.rule_name, self.query, first, last,
+                              self.step, self.lookback,
+                              dedup_against_store=True)
+        self.points += (last - first) // self.step + 1
+        self.hwm = last
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        """Standalone: the stream is both the ingested data's mirror and
+        the evaluation clock (availableNow — drain, evaluate, stop)."""
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

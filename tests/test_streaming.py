@@ -1224,9 +1224,14 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
                           n_buckets=4)
     nd_m = NearDupGateMaintainer(nd_gate, str(base / "ndkept"),
                                  compact_every=3)
+    from mandodb_spark.streaming.rules import RecordingRuleMaintainer
+
+    rules_m = RecordingRuleMaintainer(
+        db, "node:m:max", "max by (node) (m)", step=1800, lookback=600)
 
     def soak(batch, bid):
         ingestor.process_batch(batch, bid)
+        rules_m.process_batch(batch, bid)  # before retention: segment live
         retention.process_batch(batch, bid)
         layout(batch.select("ts", "value"), bid)
         docs = derive_docs(batch)
@@ -1297,6 +1302,26 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
     late_ids = {START + 300 + i * 600 for i in range(12)}
     assert not late_ids & nd_kept
     assert nd_gate.fsck()["ok"]
+
+    # --- recording rule: per-batch event high-water marks drove exactly
+    # the step-aligned grid points once each; the LATE file (event time
+    # behind the hwm) recorded nothing and did not regress the hwm; a
+    # replay of the final file is a no-op (idempotent under retry)
+    want_runs, want_points, want_hwm = 0, 0, None
+    for f in files:
+        emax = max(r[2] for r in f)
+        first = ((want_hwm // 1800) + 1) * 1800 if want_hwm is not None \
+            else (emax // 1800) * 1800
+        last = (emax // 1800) * 1800
+        if last >= first:
+            want_runs += 1
+            want_points += (last - first) // 1800 + 1
+            want_hwm = last
+    assert (rules_m.runs, rules_m.points, rules_m.hwm) == \
+        (want_runs, want_points, want_hwm)
+    replay = spark.createDataFrame(files[-1], ROW_SCHEMA)
+    rules_m.process_batch(replay, 99)
+    assert rules_m.points == want_points and rules_m.hwm == want_hwm
 
     # --- vector index: drift rebuild fired, and with every cell probed
     # the index answer is EXACT brute-force cosine over all appended rows
@@ -1475,3 +1500,68 @@ def test_neardup_gate_retry_idempotent(spark, tmp_path_factory):
     assert not rep["ok"]
     assert any("stray.parquet" in o for o in rep["orphan"])
     assert any(victims[0].endswith(c.split("/")[-1]) for c in rep["corrupt"])
+
+
+def test_recording_rule_maintainer_incremental_idempotent(spark, tmp_path_factory):
+    """RecordingRuleMaintainer under a real micro-batched stream: grid
+    points are evaluated exactly once as the event high-water mark
+    advances batch by batch, a replayed batch records nothing new
+    (first-write-wins idempotency), and restart recovery derives the
+    high-water mark from the recorded series itself."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.streaming.rules import RecordingRuleMaintainer
+
+    base = tmp_path_factory.mktemp("recrule")
+    START_ = 1_700_000_000
+    db = TSDB(spark, str(base / "store"), segment_duration=3600)
+
+    src = str(base / "src")
+    # 3 files -> 3 micro-batches, each advancing event time by 1h
+    for b in range(3):
+        rows = [("cpu", {"n": "a"}, START_ + b * 3600 + i * 300,
+                 float(b * 12 + i)) for i in range(12)]
+        spark.createDataFrame(rows, ROW_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    m = RecordingRuleMaintainer(
+        db, "job:cpu:avg30m", "avg_over_time(cpu[30m])", step=1800,
+        lookback=600)
+
+    def sink(batch_df, batch_id):
+        db.insert_rows(batch_df)
+        m.process_batch(batch_df, batch_id)
+
+    stream = spark.readStream.schema(ROW_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream.writeStream.foreachBatch(sink) \
+        .option("checkpointLocation", str(base / "ckpt")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    assert m.runs >= 1 and m.points > 0
+    rec = db.query_range_rows("job:cpu:avg30m", [], 0, 2**40)
+    recorded = {r["ts"]: r["value"] for r in rec.collect()}
+    assert all(t % 1800 == 0 for t in recorded)  # epoch-aligned grid
+    # every recorded point matches a direct batch evaluation of the rule
+    # on the same aligned grid
+    direct = db.promql_range("avg_over_time(cpu[30m])",
+                             min(recorded), max(recorded), 1800)
+    expect = {r["ts"]: r["value"] for r in direct.collect()}
+    for t, v in recorded.items():
+        assert v == pytest.approx(expect[t]), t
+    n_points = m.points
+
+    # replayed batch (at-least-once retry): nothing double-recorded
+    last = spark.read.parquet(src).filter(
+        F.col("ts") >= START_ + 2 * 3600)
+    m.process_batch(last, batch_id=99)
+    rows_now = db.query_range_rows("job:cpu:avg30m", [], 0, 2**40).count()
+    m2 = RecordingRuleMaintainer(
+        db, "job:cpu:avg30m", "avg_over_time(cpu[30m])", step=1800,
+        lookback=600)
+    # restart recovery: fresh maintainer resumes at the recorded hwm
+    m2.process_batch(last, batch_id=100)
+    assert db.query_range_rows("job:cpu:avg30m", [], 0, 2**40).count() \
+        == rows_now
+    assert m2.hwm == m.hwm and m.points == n_points

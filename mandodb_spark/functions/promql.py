@@ -504,38 +504,62 @@ def grid_over_time(rel: DataFrame, fn: str, start: int, end: int,
 
 def grid_rate(rel: DataFrame, start: int, end: int, window: int, step: int,
               mode: str = "rate") -> DataFrame:
-    """rate / increase / delta over ``[window]`` at every grid eval point.
-    rate/increase are reset-aware (this engine's observed-span rate, §3
-    delta); delta is last − first (gauge).  Requires ≥2 samples and, for
-    rate, a positive observed span — per (series, t), like the batch
-    :func:`rate`."""
-    if mode not in ("rate", "increase", "delta"):
+    """rate / increase / delta / irate / idelta / changes / resets over
+    ``[window]`` at every grid eval point — ONE shared lag pass per
+    (series, t) feeds every mode.  rate/increase/irate are reset-aware
+    (this engine's observed-span rate, §3 delta); delta/idelta are gauge
+    differences; changes/resets count transitions (a single-sample window
+    yields 0, as funcChanges does).  Modes needing two samples filter
+    ``n ≥ 2``; rate additionally needs a positive observed span."""
+    if mode not in ("rate", "increase", "delta", "irate", "idelta",
+                    "changes", "resets"):
         raise ValueError(f"grid_rate mode {mode!r}")
     rel = _ensure_series_key(rel).filter(
         F.col("ts").between(start - window + 1, end))
     covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
     w = Window.partitionBy("series_key", "__t").orderBy("ts")
-    stepped = covered.withColumn("__prev", F.lag("value").over(w)).withColumn(
-        "__inc",
-        F.when(F.col("__prev").isNull(), F.lit(0.0))
-        .when(F.col("value") >= F.col("__prev"), F.col("value") - F.col("__prev"))
-        .otherwise(F.col("value")),
+    has_prev = F.col("__prev").isNotNull()
+    stepped = (
+        covered.withColumn("__prev", F.lag("value").over(w))
+        .withColumn("__prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "__inc",
+            F.when(~has_prev, F.lit(0.0))
+            .when(F.col("value") >= F.col("__prev"),
+                  F.col("value") - F.col("__prev"))
+            .otherwise(F.col("value")),
+        )
     )
     grouped = stepped.groupBy("series_key", "__t").agg(
         F.any_value("labels").alias("labels"),
         F.sum("__inc").alias("__total"),
         (F.max_by(F.col("value"), F.col("ts"))
          - F.min_by(F.col("value"), F.col("ts"))).alias("__delta"),
+        F.max_by(F.col("__inc") / (F.col("ts") - F.col("__prev_ts")),
+                 F.col("ts")).alias("__irate"),
+        F.max_by(F.col("value") - F.col("__prev"), F.col("ts")).alias("__idelta"),
+        F.sum(F.when(has_prev & (F.col("value") != F.col("__prev")), 1)
+              .otherwise(0)).alias("__changes"),
+        F.sum(F.when(has_prev & (F.col("value") < F.col("__prev")), 1)
+              .otherwise(0)).alias("__resets"),
         (F.max("ts") - F.min("ts")).alias("__span"),
         F.count(F.lit(1)).alias("__n"),
-    ).filter(F.col("__n") >= 2)
-    if mode == "delta":
-        value = F.col("__delta")
-    elif mode == "increase":
-        value = F.col("__total")
+    )
+    if mode in ("changes", "resets"):
+        value = F.col("__" + mode)
     else:
-        grouped = grouped.filter(F.col("__span") > 0)
-        value = F.col("__total") / F.col("__span")
+        grouped = grouped.filter(F.col("__n") >= 2)
+        if mode == "rate":
+            grouped = grouped.filter(F.col("__span") > 0)
+            value = F.col("__total") / F.col("__span")
+        elif mode == "increase":
+            value = F.col("__total")
+        elif mode == "delta":
+            value = F.col("__delta")
+        elif mode == "irate":
+            value = F.col("__irate")
+        else:
+            value = F.col("__idelta")
     return grouped.select(
         "series_key", "labels", F.col("__t").alias("ts"),
         value.cast("double").alias("value"))

@@ -766,8 +766,9 @@ def eval_instant(rel: DataFrame, query, at_ts: int,
 # loop, no whole-series window).  Aggregations group by (labels, ts);
 # binary operators match on (label-key, ts).
 
-#: call forms with a distributed grid lowering
-_RANGE_MODES = {"rate": "rate", "increase": "increase", "delta": "delta"}
+#: call forms with a distributed grid lowering (grid_rate modes)
+_RANGE_MODES = {k: k for k in (
+    "rate", "increase", "delta", "irate", "idelta", "changes", "resets")}
 
 
 class _RCtx:
@@ -901,6 +902,37 @@ def _reval_call(node, ctx: _RCtx):
             filt.withColumn("value", F.col("ts").cast("double")),
             ctx.start - arg[4], ctx.end - arg[4], ctx.step, ctx.lookback)
         return ("vector", _drop_name(_strip_r(_shift(out, arg[4]))))
+    if fname in ("absent", "absent_over_time"):
+        # one {absent: true} row per grid point where the argument yields
+        # NO samples: generated grid anti-joined against present points —
+        # the grid side never scans data
+        (arg,) = args
+        if fname == "absent":
+            k, v = _reval(arg, ctx)
+            if k != "vector":
+                raise PromqlError("absent takes a vector")
+            present = v.select("ts")
+        else:
+            filt, w_, off = _rrange_sel(arg, ctx, fname)
+            present = _shift(
+                promql.grid_over_time(filt, "count", ctx.start - off,
+                                      ctx.end - off, w_, ctx.step), off
+            ).select("ts")
+        spark = ctx.rel.sparkSession
+        n = (ctx.end - ctx.start) // ctx.step + 1
+        grid = spark.range(n).select(
+            (F.lit(ctx.start) + F.col("id") * ctx.step).cast("long").alias("ts"))
+        missing = grid.join(present.distinct(), "ts", "left_anti")
+        lbl = {"absent": "true"}
+        if arg[0] == "selector":
+            lbl.update({l: val for l, op, val in arg[2] if op == "="})
+            if arg[1] is not None:
+                lbl[promql.METRIC_NAME_LABEL] = arg[1]
+        labels = F.map_from_arrays(
+            F.array(*[F.lit(k2) for k2 in lbl]),
+            F.array(*[F.lit(v2) for v2 in lbl.values()]))
+        return ("vector", missing.select(
+            labels.alias("labels"), "ts", F.lit(1.0).alias("value")))
     raise PromqlError(
         f"function {fname!r} is not supported in range queries")
 
@@ -1044,8 +1076,8 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
     (labels, ts, value) — one row per series per grid point; a scalar
     expression becomes one labels-less row per grid point.  Restrictions
     vs instant evaluation (all raising ``PromqlError``): no subqueries,
-    ``absent``/``sort``/``time()`` family, or group_left/right include
-    labels."""
+    ``sort``/``time()``/calendar-of-now family, or group_left/right
+    include labels."""
     if step <= 0:
         raise PromqlError("step must be positive")
     node = parse(query) if isinstance(query, str) else query

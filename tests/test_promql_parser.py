@@ -413,7 +413,7 @@ def test_range_scalar_expression_grid(rrel):
 def test_range_unsupported_shapes_raise(rrel):
     from mandodb_spark.functions.promql_parser import eval_range
 
-    for q in ("absent(mem)", "sort(mem)", "time()",
+    for q in ("sort(mem)", "time()",
               "max_over_time(rate(mem[5m])[10m:5m])"):
         with pytest.raises(PromqlError):
             eval_range(rrel, q, 600, 1200, 300)
@@ -480,3 +480,25 @@ def test_promql_record_roundtrip(spark, tmp_path):
     assert got[0]["value"] == pytest.approx(118.0)
     assert db.query_range("node:cpu:avg5m",
                           [LabelMatcher("node", "a")], 0, 10**10).count() == 1
+
+
+def test_range_irate_changes_and_absent(rrel):
+    # irate from the last two samples of each 5m window: slope 10/60
+    got = {t: v for _, t, v in rev(rrel, 'irate(reqs{job="api"}[5m])')}
+    assert got == {600: pytest.approx(10 / 60), 900: pytest.approx(10 / 60),
+                   1200: pytest.approx(10 / 60)}
+    # mem cycles 100,101,102 -> every consecutive pair changes (4 in 5 samples)
+    got = {t: v for _, t, v in rev(rrel, "changes(mem[5m])")}
+    assert got == {600: 4.0, 900: 4.0, 1200: 4.0}
+    # resets: mem drops at each cycle boundary (102 -> 100), once per 5 samples
+    got = {t: v for _, t, v in rev(rrel, "resets(mem[5m])")}
+    assert all(v >= 1.0 for v in got.values())
+    # idelta: last two samples' signed difference
+    got = {t: v for _, t, v in rev(rrel, "idelta(mem[5m])")}
+    assert set(got.values()) <= {1.0, -2.0}
+    # absent: mem exists at every grid point -> empty; nosuch -> every point
+    assert rev(rrel, "absent(mem)") == []
+    got = rev(rrel, 'absent(nosuch{zone="eu"})')
+    assert len(got) == 3 and all(dict(l)["zone"] == "eu" for l, _, _ in got)
+    got = rev(rrel, "absent_over_time(nosuch[10m])")
+    assert [(t, v) for _, t, v in got] == [(1200, 1.0), (600, 1.0), (900, 1.0)]

@@ -258,9 +258,10 @@ class TSDB:
 
         ast = promql_parser.parse(query)
         lo, _ = promql_parser.time_window(ast, start, lookback)
+        hi = max(int(end), promql_parser.time_window(ast, end, lookback)[1])
         rel = self.store.relation()
         pruned = rel.filter(tsdb_ops.time_predicate(
-            lo, int(end), "seg" in rel.columns, self.segment_duration))
+            lo, hi, "seg" in rel.columns, self.segment_duration))
         return promql_parser.eval_range(pruned, ast, start, end, step, lookback)
 
     def promql_alerts(self, query: str, for_duration: int, start: int,
@@ -274,9 +275,10 @@ class TSDB:
 
         ast = promql_parser.parse(query)
         lo, _ = promql_parser.time_window(ast, start, lookback)
+        hi = max(int(end), promql_parser.time_window(ast, end, lookback)[1])
         rel = self.store.relation()
         pruned = rel.filter(tsdb_ops.time_predicate(
-            lo, int(end), "seg" in rel.columns, self.segment_duration))
+            lo, hi, "seg" in rel.columns, self.segment_duration))
         return promql_parser.eval_alerts(
             pruned, ast, for_duration, start, end, step, lookback)
 

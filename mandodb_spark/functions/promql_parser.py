@@ -28,7 +28,11 @@ Semantics (Prometheus instant query at time ``t``):
   comparisons FILTER samples (keeping the name), ``bool`` yields 1/0.
 
 Deliberate deltas (documented, raising ``PromqlError`` where relevant):
-``@``-modifiers and native-histogram functions are not wired; subqueries
+native-histogram functions are not wired; ``@``-modifiers take a literal
+unix timestamp (no ``start()``/``end()`` sugar), fix instant selectors in
+both instant and range evaluation (constant across the grid, as PromQL),
+and are rejected inside subqueries and on range selectors in range
+queries; subqueries
 ``expr[r:s]`` require an explicit step and support the one shape with a
 distributed lowering, ``<fn>_over_time(rate(sel[w])[r:s])`` (absolute
 step alignment, as :func:`promql.subquery_over_time`);
@@ -61,7 +65,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<NUMBER>(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)
   | (?P<STRING>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<OP>=~|!~|!=|==|>=|<=|[-+*/%^=<>])
-  | (?P<PUNCT>[(){}\[\],:])
+  | (?P<PUNCT>[(){}\[\],:@])
   | (?P<IDENT>[a-zA-Z_][a-zA-Z0-9_]*(?::[a-zA-Z0-9_:]+)*)   # colons: recording-rule names
 """, re.VERBOSE)
 
@@ -110,7 +114,8 @@ def parse_duration(text: str) -> int:
 # ----------------------------------------------------------------- AST nodes
 # Plain tuples keep the tree printable and trivially comparable in tests:
 #   ("num", 3.0)
-#   ("selector", name|None, [(label, op, value)...], range_s|None, offset_s)
+#   ("selector", name|None, [(label, op, value)...], range_s|None, offset_s,
+#    at_s|None)                              at_s: fixed @-modifier unix ts
 #   ("call", fname, [args...])             args: nodes, numbers, strings
 #   ("agg", fname, by|None, without|None, param|None, arg)
 #   ("binop", op, lhs, rhs, matching)      matching: dict or None
@@ -334,14 +339,21 @@ class _Parser:
                 raise PromqlError(f"expected duration at {dt.pos}")
             range_s = parse_duration(dt.text)
             self.expect("]")
-        offset_s = 0
-        if self.peek().text == "offset":
-            self.next()
-            dt = self.next()
-            if dt.kind != "DURATION":
-                raise PromqlError(f"expected duration at {dt.pos}")
-            offset_s = parse_duration(dt.text)
-        return ("selector", name, matchers, range_s, offset_s)
+        offset_s, at_s = 0, None
+        while self.peek().text in ("offset", "@"):  # either order, as PromQL
+            mod = self.next().text
+            if mod == "offset":
+                dt = self.next()
+                if dt.kind != "DURATION":
+                    raise PromqlError(f"expected duration at {dt.pos}")
+                offset_s = parse_duration(dt.text)
+            else:
+                nt = self.next()
+                if nt.kind != "NUMBER":
+                    raise PromqlError(
+                        f"expected unix timestamp after @ at {nt.pos}")
+                at_s = int(float(nt.text))
+        return ("selector", name, matchers, range_s, offset_s, at_s)
 
 
 def parse(query: str):
@@ -350,34 +362,45 @@ def parse(query: str):
 
 
 def time_window(node_or_query, at_ts: int, lookback: int = 300) -> tuple[int, int]:
-    """Conservative [min_ts, max_ts] any selector in the expression can
-    touch at evaluation time ``at_ts`` — the segment-pruning predicate for
-    store-backed evaluation (``TSDB.promql``).  Each instant selector
-    reaches back ``offset + lookback``; each range selector
-    ``offset + range``.  A pure-scalar expression touches nothing, so the
-    window degenerates to [at_ts, at_ts]."""
+    """Exact [min_ts, max_ts] any selector in the expression can touch at
+    evaluation time ``at_ts`` — the segment-pruning predicate for
+    store-backed evaluation.  An instant selector at effective time e
+    (= ``@``-timestamp if fixed, else ``at_ts``, minus its offset) touches
+    [e − lookback, e]; a range selector [e − range + 1, e] (conservatively
+    widened to e − range); subqueries compose through their inner
+    expression.  Bounds are monotone in ``at_ts``, so a range query over
+    [start, end] prunes to [time_window(q, start).lo,
+    time_window(q, end).hi].  A pure-scalar expression touches nothing:
+    the window degenerates to [at_ts, at_ts]."""
     node = parse(node_or_query) if isinstance(node_or_query, str) else node_or_query
 
-    def reach(n) -> int:
+    def bounds(n, t: int) -> tuple[int, int] | None:
+        """(lo, hi) the subtree touches, or None if it touches no data."""
         if not isinstance(n, tuple):
-            return 0
+            return None
         if n[0] == "selector":
-            _, _name, _m, range_s, offset_s = n
-            return offset_s + (range_s if range_s is not None else lookback)
+            _, _name, _m, range_s, offset_s, at_s = n
+            e = (at_s if at_s is not None else t) - offset_s
+            return (e - (range_s if range_s is not None else lookback), e)
         if n[0] == "subquery":
-            # inner expr is evaluated at points down to t - offset - range,
-            # each reaching back its own span from there
+            # inner expr is evaluated at points in [t-off-range, t-off]
             _, inner, range_s, _step_s, offset_s = n
-            return offset_s + range_s + reach(inner)
-        spans = [0]
+            lo = bounds(inner, t - offset_s - range_s)
+            hi = bounds(inner, t - offset_s)
+            return (lo[0], hi[1]) if lo and hi else None
+        children = []
         for child in n[1:]:
             if isinstance(child, tuple):
-                spans.append(reach(child))
+                children.append(child)
             elif isinstance(child, list):
-                spans.extend(reach(c) for c in child if isinstance(c, tuple))
-        return max(spans)
+                children.extend(c for c in child if isinstance(c, tuple))
+        got = [b for b in (bounds(c, t) for c in children) if b]
+        if not got:
+            return None
+        return (min(b[0] for b in got), max(b[1] for b in got))
 
-    return (int(at_ts) - reach(node), int(at_ts))
+    b = bounds(node, int(at_ts))
+    return b if b is not None else (int(at_ts), int(at_ts))
 
 
 # ------------------------------------------------------------------ evaluate
@@ -460,12 +483,13 @@ def _eval(node, ctx: _Ctx):
             return ("scalar", -v)
         return ("vector", _drop_name(v.withColumn("value", -F.col("value"))))
     if kind == "selector":
-        _, name, matchers, range_s, offset_s = node
+        _, name, matchers, range_s, offset_s, at_s = node
         if range_s is not None:
             raise PromqlError(
                 f"range selector {name or ''}[{range_s}s] outside a range function")
         filt = _matcher_filter(ctx.rel, name, matchers)
-        vec = promql.instant(filt, ctx.t - offset_s, ctx.lookback)
+        base = at_s if at_s is not None else ctx.t
+        vec = promql.instant(filt, base - offset_s, ctx.lookback)
         return ("vector", _strip(vec))
     if kind == "call":
         return _eval_call(node, ctx)
@@ -479,9 +503,9 @@ def _eval(node, ctx: _Ctx):
 def _range_args(node, ctx: _Ctx, fname: str):
     if node[0] != "selector" or node[3] is None:
         raise PromqlError(f"{fname} needs a range selector argument")
-    _, name, matchers, range_s, offset_s = node
+    _, name, matchers, range_s, offset_s, at_s = node
     filt = _matcher_filter(ctx.rel, name, matchers)
-    end = ctx.t - offset_s
+    end = (at_s if at_s is not None else ctx.t) - offset_s
     start = end - range_s + 1  # (t-range, t] on integer seconds
     return filt, start, end, range_s
 
@@ -637,8 +661,10 @@ def _eval_call(node, ctx: _Ctx):
         (arg,) = args
         if arg[0] != "selector" or arg[3] is not None:
             raise PromqlError("timestamp takes an instant selector")
-        filt = _matcher_filter(ctx.rel, arg[1], arg[2])
-        vec = promql.instant(filt, ctx.t - arg[4], ctx.lookback)
+        _, nm, ms, _rng, off, at_s = arg
+        filt = _matcher_filter(ctx.rel, nm, ms)
+        base = at_s if at_s is not None else ctx.t
+        vec = promql.instant(filt, base - off, ctx.lookback)
         return ("vector", _drop_name(
             vec.select("labels", F.col("ts").cast("double").alias("value"))))
     raise PromqlError(f"unsupported function {fname!r} in the text front-end")
@@ -655,7 +681,9 @@ def _eval_subquery_agg(fn: str, node, ctx: _Ctx) -> DataFrame:
     if not ok:
         raise PromqlError(
             "subquery support is limited to <fn>_over_time(rate(sel[w])[r:s])")
-    _, name, matchers, w, sel_off = inner[2][0]
+    _, name, matchers, w, sel_off, at_s = inner[2][0]
+    if at_s is not None:
+        raise PromqlError("@ inside subqueries is not supported")
     filt = _matcher_filter(ctx.rel, name, matchers)
     end = ctx.t - offset_s - sel_off
     start = end - range_s + 1
@@ -801,11 +829,23 @@ def _reval(node, ctx: _RCtx):
             return ("scalar", -v)
         return ("vector", _drop_name(v.withColumn("value", -F.col("value"))))
     if kind == "selector":
-        _, name, matchers, range_s, offset_s = node
+        _, name, matchers, range_s, offset_s, at_s = node
         if range_s is not None:
             raise PromqlError(
                 f"range selector {name or ''}[{range_s}s] outside a range function")
         filt = _matcher_filter(ctx.rel, name, matchers)
+        if at_s is not None:
+            # @-fixed selector: constant across the grid (PromQL) — one
+            # instant evaluation broadcast-cross-joined to the eval points
+            vec = _strip(promql.instant(filt, at_s - offset_s, ctx.lookback))
+            spark = ctx.rel.sparkSession
+            n = (ctx.end - ctx.start) // ctx.step + 1
+            grid = spark.range(n).select(
+                (F.lit(ctx.start) + F.col("id") * ctx.step)
+                .cast("long").alias("ts"))
+            from pyspark.sql.functions import broadcast
+            return ("vector", vec.crossJoin(broadcast(grid))
+                    .select("labels", "ts", "value"))
         out = promql.grid_instant(filt, ctx.start - offset_s,
                                   ctx.end - offset_s, ctx.step, ctx.lookback)
         return ("vector", _strip_r(_shift(out, offset_s)))
@@ -821,7 +861,10 @@ def _reval(node, ctx: _RCtx):
 def _rrange_sel(node, ctx: _RCtx, fname: str):
     if node[0] != "selector" or node[3] is None:
         raise PromqlError(f"{fname} needs a range selector argument")
-    _, name, matchers, range_s, offset_s = node
+    _, name, matchers, range_s, offset_s, at_s = node
+    if at_s is not None:
+        raise PromqlError(
+            "@-fixed range selectors are not supported in range queries")
     return _matcher_filter(ctx.rel, name, matchers), range_s, offset_s
 
 
@@ -894,14 +937,15 @@ def _reval_call(node, ctx: _RCtx):
         return ("vector", promql.label_join(v, dst[1], sep[1], [s[1] for s in srcs]))
     if fname == "timestamp":
         (arg,) = args
-        if arg[0] != "selector" or arg[3] is not None:
+        if arg[0] != "selector" or arg[3] is not None or arg[5] is not None:
             raise PromqlError("timestamp takes an instant selector")
+        off = arg[4]
         filt = _matcher_filter(ctx.rel, arg[1], arg[2])
         # grid_instant loses the sample ts; recompute it as a value
         out = promql.grid_instant(
             filt.withColumn("value", F.col("ts").cast("double")),
-            ctx.start - arg[4], ctx.end - arg[4], ctx.step, ctx.lookback)
-        return ("vector", _drop_name(_strip_r(_shift(out, arg[4]))))
+            ctx.start - off, ctx.end - off, ctx.step, ctx.lookback)
+        return ("vector", _drop_name(_strip_r(_shift(out, off))))
     if fname in ("absent", "absent_over_time"):
         # one {absent: true} row per grid point where the argument yields
         # NO samples: generated grid anti-joined against present points —

@@ -57,14 +57,19 @@ def ev(rel, q, at=AT, **kw):
 def test_parse_selector_matchers_range_offset():
     ast = parse('http_requests_total{job="api",code=~"5.."}[5m] offset 1m')
     assert ast == ("selector", "http_requests_total",
-                   [("job", "=", "api"), ("code", "=~", "5..")], 300, 60)
+                   [("job", "=", "api"), ("code", "=~", "5..")], 300, 60, None)
+    # @-modifier, either order with offset
+    assert parse("m @ 1700000000 offset 1m") == \
+        ("selector", "m", [], None, 60, 1_700_000_000)
+    assert parse("m offset 1m @ 1700000000") == \
+        ("selector", "m", [], None, 60, 1_700_000_000)
 
 
 def test_parse_agg_by_either_position():
     a = parse("sum by (job) (x)")
     b = parse("sum(x) by (job)")
     assert a == b == ("agg", "sum", ["job"], None, None,
-                      ("selector", "x", [], None, 0))
+                      ("selector", "x", [], None, 0, None))
 
 
 def test_parse_without_and_param_aggs():
@@ -107,7 +112,7 @@ def test_parse_errors(bad):
 
 
 def test_time_window_conservative():
-    assert time_window("sum(rate(x[1h] offset 30m))", 10_000) == (4600, 10_000)
+    assert time_window("sum(rate(x[1h] offset 30m))", 10_000) == (4600, 8200)
     assert time_window("x", 10_000, lookback=300) == (9700, 10_000)
     assert time_window("1 + 2", 10_000) == (10_000, 10_000)
 
@@ -285,7 +290,7 @@ def test_parse_subquery_requires_step():
     ast = parse("max_over_time(rate(x[5m])[1h:10m])")
     assert ast == ("call", "max_over_time",
                    [("subquery", ("call", "rate",
-                                  [("selector", "x", [], 300, 0)]),
+                                  [("selector", "x", [], 300, 0, None)]),
                      3600, 600, 0)])
     with pytest.raises(PromqlError):
         parse("max_over_time(rate(x[5m])[1h])")  # missing :step
@@ -293,7 +298,10 @@ def test_parse_subquery_requires_step():
 
 def test_time_window_subquery_composes_reach():
     assert time_window("max_over_time(rate(x[5m])[1h:10m] offset 30m)",
-                       100_000) == (94_300, 100_000)
+                       100_000) == (94_300, 98_200)
+    # @-fixed selectors pin absolute bounds regardless of eval time
+    assert time_window("sum(m @ 2000000000)", 100_000) == \
+        (2_000_000_000 - 300, 2_000_000_000)
 
 
 def test_histogram_quantile_from_le_label(hrel):
@@ -437,7 +445,7 @@ def test_tsdb_promql_range_facade(spark, tmp_path):
 
 def test_metric_names_with_colons_lex():
     assert parse('node:cpu:avg5m{node="a"}') == \
-        ("selector", "node:cpu:avg5m", [("node", "=", "a")], None, 0)
+        ("selector", "node:cpu:avg5m", [("node", "=", "a")], None, 0, None)
     # subquery colon still lexes as punctuation
     assert parse("max_over_time(rate(x[5m])[1h:10m])")[0] == "call"
 
@@ -502,3 +510,16 @@ def test_range_irate_changes_and_absent(rrel):
     assert len(got) == 3 and all(dict(l)["zone"] == "eu" for l, _, _ in got)
     got = rev(rrel, "absent_over_time(nosuch[10m])")
     assert [(t, v) for _, t, v in got] == [(1200, 1.0), (600, 1.0), (900, 1.0)]
+
+
+def test_at_modifier_instant_and_range(rel, rrel):
+    # fixed @ evaluates at ts=300 regardless of query time (mem=105 there)
+    assert ev(rel, "mem_bytes @ 300")[0][1] == 105.0
+    assert ev(rel, "mem_bytes @ 300 offset 1m")[0][1] == 104.0
+    # range fn with @: window pinned to the fixed time
+    assert ev(rel, "avg_over_time(mem_bytes[5m] @ 300)", at=600)[0][1] == \
+        ev(rel, "avg_over_time(mem_bytes[5m])", at=300)[0][1]
+    # range query: @-fixed rhs is constant across the grid (deploy-baseline)
+    got = {t: v for _, t, v in
+           rev(rrel, 'reqs{job="api"} / on(job) reqs{job="api"} @ 600')}
+    assert got == {600: 1.0, 900: 1.5, 1200: 2.0}

@@ -817,7 +817,18 @@ def _shift(df: DataFrame, offset_s: int) -> DataFrame:
         if offset_s else df
 
 
+def _grid_df(ctx: _RCtx):
+    """The eval-point grid as a (ts) frame — generated, never a scan."""
+    spark = ctx.rel.sparkSession
+    n = (ctx.end - ctx.start) // ctx.step + 1
+    return spark.range(n).select(
+        (F.lit(ctx.start) + F.col("id") * ctx.step).cast("long").alias("ts"))
+
+
 def _reval(node, ctx: _RCtx):
+    """Returns ('scalar', float) | ('vector', df(labels, ts, value)) |
+    ('stepscalar', df(ts, value)) — the last is a per-eval-point scalar
+    (time() and friends), PromQL's scalar-that-varies-with-t."""
     kind = node[0]
     if kind == "num":
         return ("scalar", node[1])
@@ -827,6 +838,8 @@ def _reval(node, ctx: _RCtx):
         k, v = _reval(node[2], ctx)
         if k == "scalar":
             return ("scalar", -v)
+        if k == "stepscalar":
+            return ("stepscalar", v.withColumn("value", -F.col("value")))
         return ("vector", _drop_name(v.withColumn("value", -F.col("value"))))
     if kind == "selector":
         _, name, matchers, range_s, offset_s, at_s = node
@@ -901,17 +914,27 @@ def _reval_call(node, ctx: _RCtx):
             raise PromqlError("histogram_quantile takes a bucket vector")
         return ("vector", promql.histogram_quantile_vector(
             v, qv, extra_keys=("ts",)))
+    if fname == "time":
+        grid = _grid_df(ctx)
+        return ("stepscalar",
+                grid.select("ts", F.col("ts").cast("double").alias("value")))
     if fname in _SCALAR_FNS:
         (arg,) = args
         k, v = _reval(arg, ctx)
         if k == "scalar":
             return _eval_call(node, _Ctx(ctx.rel, ctx.end, ctx.lookback))
+        if k == "stepscalar":
+            return ("stepscalar", promql.scalar_map(v, fname))
         return ("vector", _drop_name(promql.scalar_map(v, fname)))
     if fname in _CALENDAR_FNS:
         (arg,) = args if args else (None,)
-        if arg is None:
-            raise PromqlError(f"argless {fname}() is not supported in range queries")
+        if arg is None:  # minute() etc == fn(time()): per-eval-point scalar
+            grid = _grid_df(ctx)
+            ss = grid.select("ts", F.col("ts").cast("double").alias("value"))
+            return ("stepscalar", promql.calendar(ss, fname))
         k, v = _reval(arg, ctx)
+        if k == "stepscalar":
+            return ("stepscalar", promql.calendar(v, fname))
         if k != "vector":
             raise PromqlError(f"{fname} takes a vector")
         return ("vector", _drop_name(promql.calendar(v, fname)))
@@ -1044,6 +1067,9 @@ def _reval_binop(node, ctx: _RCtx):
     if lk == "scalar" and rk == "scalar":
         return _eval_binop(node, _Ctx(ctx.rel, ctx.end, ctx.lookback))
 
+    if "stepscalar" in (lk, rk):
+        return _reval_stepscalar_binop(op, lk, lv, rk, rv, bool_mode)
+
     if op in _SET or (lk == "vector" and rk == "vector"):
         on, ignoring = m.get("on"), m.get("ignoring")
         key = promql.canonical_labels_json(
@@ -1113,28 +1139,84 @@ def _reval_binop(node, ctx: _RCtx):
     return ("vector", out)
 
 
+def _reval_stepscalar_binop(op, lk, lv, rk, rv, bool_mode):
+    """Binary ops involving a per-eval-point scalar: combine per grid
+    point (join on ts only) — PromQL's scalar semantics applied at every
+    t.  With a vector side, VectorscalarBinop rules per step: arithmetic
+    drops __name__, plain comparisons filter, bool yields 1/0."""
+    if op in _SET:
+        raise PromqlError(f"{op} needs two vectors")
+    if "vector" not in (lk, rk):
+        # stepscalar ∘ (scalar | stepscalar) -> stepscalar
+        swapped = lk == "scalar"
+        if lk == "stepscalar" and rk == "stepscalar":
+            j = (lv.withColumnRenamed("value", "__l")
+                 .join(rv.withColumnRenamed("value", "__r"), "ts"))
+            lhs, rhs = F.col("__l"), F.col("__r")
+        else:
+            ss, const = (lv, rv) if lk == "stepscalar" else (rv, lv)
+            j = ss.withColumnRenamed("value", "__l")
+            lhs, rhs = F.col("__l"), F.lit(float(const))
+            if swapped:
+                lhs, rhs = rhs, lhs
+        if op in promql._ARITH_OPS:
+            val = promql._ARITH_OPS[op](lhs, rhs)
+        else:
+            cond = promql._CMP_OPS[op](lhs, rhs)
+            if not bool_mode:
+                # comparison on scalars filters nothing; PromQL requires
+                # bool for scalar comparisons
+                raise PromqlError(
+                    f"comparisons between scalars must use bool ({op})")
+            val = F.when(cond, 1.0).otherwise(0.0)
+        return ("stepscalar",
+                j.select("ts", val.cast("double").alias("value")))
+    # stepscalar ∘ vector (either order): join the scalar to each series row
+    vec, ss, swapped = (lv, rv, False) if lk == "vector" else (rv, lv, True)
+    j = vec.join(ss.withColumnRenamed("value", "__sv"), "ts")
+    val, sv = F.col("value"), F.col("__sv")
+    lhs, rhs = (val, sv) if not swapped else (sv, val)
+    if op in promql._ARITH_OPS:
+        out = j.withColumn(
+            "value", promql._ARITH_OPS[op](lhs, rhs).cast("double"))
+        return ("vector", _drop_name(out).select("labels", "ts", "value"))
+    cond = promql._CMP_OPS[op](lhs, rhs)
+    if bool_mode:
+        out = _drop_name(
+            j.withColumn("value", F.when(cond, 1.0).otherwise(0.0)))
+    else:
+        out = j.filter(cond)
+    return ("vector", out.select("labels", "ts", "value"))
+
+
 def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
                lookback: int = 300) -> DataFrame:
     """Evaluate ``query`` (text or AST) as a PromQL RANGE query: the
     expression at every eval point t = start + k·step ≤ end.  Returns
     (labels, ts, value) — one row per series per grid point; a scalar
-    expression becomes one labels-less row per grid point.  Restrictions
-    vs instant evaluation (all raising ``PromqlError``): no subqueries,
-    ``sort``/``time()``/calendar-of-now family, or group_left/right
-    include labels."""
+    expression becomes one labels-less row per grid point, and ``time()``
+    / argless calendar functions are per-eval-point scalars combinable
+    with vectors (join on ts).  Restrictions vs instant evaluation (all
+    raising ``PromqlError``): no subqueries, ``sort``, or
+    group_left/right include labels."""
     if step <= 0:
         raise PromqlError("step must be positive")
     node = parse(query) if isinstance(query, str) else query
     k, v = _reval(node, _RCtx(rel, start, end, step, lookback))
+    empty = F.map_from_arrays(F.array().cast("array<string>"),
+                              F.array().cast("array<string>"))
     if k == "scalar":
         spark = rel.sparkSession
         n = (int(end) - int(start)) // int(step) + 1
         return spark.range(n).select(
-            F.map_from_arrays(F.array().cast("array<string>"),
-                              F.array().cast("array<string>")).alias("labels"),
+            empty.alias("labels"),
             (F.lit(int(start)) + F.col("id") * int(step)).cast("long").alias("ts"),
             F.lit(float(v)).alias("value"),
         )
+    if k == "stepscalar":
+        return v.select(empty.alias("labels"),
+                        F.col("ts").cast("long").alias("ts"),
+                        F.col("value").cast("double").alias("value"))
     return _strip_r(v)
 
 

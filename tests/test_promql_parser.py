@@ -421,7 +421,7 @@ def test_range_scalar_expression_grid(rrel):
 def test_range_unsupported_shapes_raise(rrel):
     from mandodb_spark.functions.promql_parser import eval_range
 
-    for q in ("sort(mem)", "time()",
+    for q in ("sort(mem)",
               "max_over_time(rate(mem[5m])[10m:5m])"):
         with pytest.raises(PromqlError):
             eval_range(rrel, q, 600, 1200, 300)
@@ -523,3 +523,24 @@ def test_at_modifier_instant_and_range(rel, rrel):
     got = {t: v for _, t, v in
            rev(rrel, 'reqs{job="api"} / on(job) reqs{job="api"} @ 600')}
     assert got == {600: 1.0, 900: 1.5, 1200: 2.0}
+
+
+def test_range_time_and_stepscalar(rrel):
+    # time() is a per-eval-point scalar: uptime-style arithmetic works
+    got = rev(rrel, "time() / 300")
+    assert [(t, v) for _, t, v in got] == [(1200, 4.0), (600, 2.0), (900, 3.0)]
+    # time() - timestamp(m): staleness is 0 when a sample lands on the grid
+    got = {t: v for _, t, v in rev(rrel, 'time() - timestamp(mem)')}
+    assert got == {600: 0.0, 900: 0.0, 1200: 0.0}
+    # argless calendar: minute() per eval point
+    got = {t: v for _, t, v in rev(rrel, "minute()")}
+    assert got == {600: 10.0, 900: 15.0, 1200: 20.0}
+    # stepscalar comparison masks a vector per step (filter semantics)
+    got = rev(rrel, "mem > bool time() / 9")
+    vals = {t: v for _, t, v in got}
+    assert vals[600] == 1.0 and vals[1200] == 0.0  # 102 vs 133.3 at t=1200
+    # scalar-vs-stepscalar comparison needs bool, as PromQL requires
+    with pytest.raises(PromqlError):
+        rev(rrel, "time() > 700")
+    assert {t: v for _, t, v in rev(rrel, "time() > bool 700")} == \
+        {600: 0.0, 900: 1.0, 1200: 1.0}

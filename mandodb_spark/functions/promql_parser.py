@@ -361,6 +361,80 @@ def parse(query: str):
     return _Parser(query).parse()
 
 
+def _fmt_duration(s: int) -> str:
+    out = []
+    for unit, sec in (("w", 604800), ("d", 86400), ("h", 3600),
+                      ("m", 60), ("s", 1)):
+        if s >= sec:
+            out.append(f"{s // sec}{unit}")
+            s %= sec
+    return "".join(out) or "0s"
+
+
+def unparse(node) -> str:
+    """AST → canonical PromQL text; ``parse(unparse(ast)) == ast`` for
+    every AST this parser produces (property-tested).  Parenthesizes all
+    binop operands, which is always precedence-safe."""
+    kind = node[0]
+    if kind == "num":
+        v = node[1]
+        return repr(int(v)) if float(v).is_integer() else repr(v)
+    if kind == "str":
+        return '"' + node[1].replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if kind == "unary":
+        return f"-({unparse(node[2])})"
+    if kind == "selector":
+        _, name, matchers, range_s, offset_s, at_s = node
+        s = name or ""
+        if matchers:
+            body = ",".join(
+                f'{l}{op}"{v}"' for l, op, v in matchers)
+            s += "{" + body + "}"
+        if range_s is not None:
+            s += f"[{_fmt_duration(range_s)}]"
+        if offset_s:
+            s += f" offset {_fmt_duration(offset_s)}"
+        if at_s is not None:
+            s += f" @ {at_s}"
+        return s
+    if kind == "subquery":
+        _, inner, range_s, step_s, offset_s = node
+        s = f"{unparse(inner)}[{_fmt_duration(range_s)}:{_fmt_duration(step_s)}]"
+        if offset_s:
+            s += f" offset {_fmt_duration(offset_s)}"
+        return s
+    if kind == "call":
+        _, fname, args = node
+        return f"{fname}({', '.join(unparse(a) for a in args)})"
+    if kind == "agg":
+        _, fname, by, without, param, arg = node
+        mod = ""
+        if by is not None:
+            mod = f" by ({', '.join(by)}) "
+        elif without is not None:
+            mod = f" without ({', '.join(without)}) "
+        inner = ([unparse(param)] if param is not None else []) + [unparse(arg)]
+        return f"{fname}{mod}({', '.join(inner)})"
+    if kind == "binop":
+        _, op, lhs, rhs, matching = node
+        m = dict(matching or {})
+        parts = [f"({unparse(lhs)})", op]
+        if m.pop("bool", False):
+            parts.append("bool")
+        if "on" in m:
+            parts.append(f"on({', '.join(m['on'])})")
+        if "ignoring" in m:
+            parts.append(f"ignoring({', '.join(m['ignoring'])})")
+        if m.get("group"):
+            g = "group_left" if m["group"] == "left" else "group_right"
+            if m.get("include"):
+                g += f"({', '.join(m['include'])})"
+            parts.append(g)
+        parts.append(f"({unparse(rhs)})")
+        return " ".join(parts)
+    raise PromqlError(f"cannot unparse node {kind!r}")
+
+
 def time_window(node_or_query, at_ts: int, lookback: int = 300) -> tuple[int, int]:
     """Exact [min_ts, max_ts] any selector in the expression can touch at
     evaluation time ``at_ts`` — the segment-pruning predicate for

@@ -544,3 +544,96 @@ def test_range_time_and_stepscalar(rrel):
         rev(rrel, "time() > 700")
     assert {t: v for _, t, v in rev(rrel, "time() > bool 700")} == \
         {600: 0.0, 900: 1.0, 1200: 1.0}
+
+
+# ------------------------------------------------------- round-trip property
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ident = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s not in {"sum", "min", "max", "avg", "count", "stddev",
+                        "stdvar", "group", "topk", "bottomk", "quantile",
+                        "count_values", "by", "without", "on", "ignoring",
+                        "group_left", "group_right", "bool", "offset",
+                        "and", "or", "unless"})
+_lval = st.from_regex(r"[a-zA-Z0-9_.-]{0,10}", fullmatch=True)
+_dur = st.integers(min_value=1, max_value=10**6)
+
+
+def _selector(allow_range):
+    rng = st.one_of(st.none(), _dur) if allow_range else st.none()
+    return st.builds(
+        lambda n, ms, r, off, at: ("selector", n, ms, r, off, at),
+        _ident,
+        st.lists(st.tuples(_ident, st.sampled_from(["=", "!=", "=~", "!~"]),
+                           _lval), max_size=3),
+        rng,
+        st.integers(min_value=0, max_value=10**6),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2**31)),
+    )
+
+
+def _expr(depth=3):
+    leaf = st.one_of(
+        _selector(False),
+        st.builds(lambda v: ("num", float(v)),
+                  st.integers(min_value=0, max_value=10**9)),
+    )
+    if depth == 0:
+        return leaf
+    sub = _expr(depth - 1)
+    call = st.builds(lambda a: ("call", "rate", [a]), _selector(True)) \
+        .filter(lambda n: n[2][0][3] is not None)
+    agg = st.builds(
+        lambda which, labels, a: ("agg", "sum",
+                                  labels if which == "by" else None,
+                                  labels if which == "without" else None,
+                                  None, a),
+        st.sampled_from(["by", "without", "plain"]).map(
+            lambda w: "by" if w == "plain" else w),
+        st.lists(_ident, max_size=2),
+        sub)
+    topk = st.builds(lambda k, a: ("agg", "topk", None, None,
+                                   ("num", float(k)), a),
+                     st.integers(min_value=1, max_value=9), sub)
+    matching = st.one_of(
+        st.none(),
+        st.builds(lambda on, b: {**({"on": on} if on else {}),
+                                 **({"bool": True} if b else {})} or None,
+                  st.one_of(st.none(), st.lists(_ident, min_size=1,
+                                                max_size=2)),
+                  st.booleans()),
+    )
+    binop = st.builds(
+        lambda op, l, r, m: ("binop", op, l, r, (dict(m) if m else None)),
+        st.sampled_from(["+", "-", "*", "/", "^", ">", "<=", "or"]),
+        sub, sub, matching,
+    )
+    unary = st.builds(lambda a: ("unary", "-", a), sub)
+    return st.one_of(leaf, call, agg, topk, binop, unary)
+
+
+def _normalize(n):
+    """bool on arithmetic ops is dropped by the grammar; strip it from the
+    generated AST the way the parser would."""
+    if not isinstance(n, tuple):
+        return n
+    if n[0] == "binop":
+        _, op, l, r, m = n
+        m = dict(m or {})
+        if op not in {"==", "!=", ">", "<", ">=", "<="}:
+            m.pop("bool", None)
+        return ("binop", op, _normalize(l), _normalize(r), m or None)
+    return tuple(_normalize(c) if isinstance(c, tuple)
+                 else ([_normalize(x) for x in c] if isinstance(c, list) else c)
+                 for c in n)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_expr())
+def test_unparse_parse_roundtrip(ast):
+    from mandodb_spark.functions.promql_parser import unparse
+
+    ast = _normalize(ast)
+    assert parse(unparse(ast)) == ast

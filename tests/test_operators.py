@@ -4215,3 +4215,58 @@ def test_dsir_weights_match_reference_model(spark):
     plan = physical_plan(dsir_weights(L, Tdf, "doc_id", "text", B))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_quality_classifier_trains_scores_and_persists(spark, tmp_path):
+    """Trained quality filter (operators/quality_model): hashed-ngram
+    logistic regression separates clean prose from mash on held-out
+    rows, the persisted model scores identically after reload, and the
+    weak-label bootstrap derives a balanced margin-filtered training set
+    from the heuristic score."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.operators.quality_model import (
+        load_model,
+        save_model,
+        score_quality,
+        train_quality_classifier,
+        weak_labels_from_heuristics,
+    )
+
+    good = [(i, "the quick brown fox jumps over the lazy dog "
+                f"number {i} and rests in the warm meadow", 1.0)
+            for i in range(120)]
+    bad = [(1000 + i, ("zx9$#@ qq%% " * 5) + f"!!{i}##", 0.0)
+           for i in range(120)]
+    df = spark.createDataFrame(good + bad,
+                               "doc_id long, text string, label double")
+    train, test = df.randomSplit([0.8, 0.2], seed=7)
+    model = train_quality_classifier(train, num_features=1 << 12)
+    scored = score_quality(test, model)
+    means = {r["label"]: r["p"] for r in scored.groupBy("label")
+             .agg(F.avg("quality_prob").alias("p")).collect()}
+    assert means[1.0] > 0.9 and means[0.0] < 0.1
+    assert set(scored.columns) == {"doc_id", "text", "label", "quality_prob"}
+
+    path = str(tmp_path / "qmodel")
+    save_model(model, path)
+    reloaded = load_model(spark, path)
+    s1 = scored.agg(F.sum("quality_prob")).collect()[0][0]
+    s2 = score_quality(test, reloaded).agg(
+        F.sum("quality_prob")).collect()[0][0]
+    assert s1 == pytest.approx(s2, abs=1e-9)
+
+    # weak-label bootstrap: margin rows dropped, labels from the quantile
+    # cutoffs of the heuristic score; add a middling stratum so the
+    # margin has something to drop
+    mid = spark.createDataFrame(
+        [(2000 + i, f"meh text {i} ok %% mixed!! stuff and more ## words")
+         for i in range(60)], "doc_id long, text string")
+    docs = df.select("doc_id", "text").unionByName(mid)
+    # heuristic strata here: mash 0.56 (120) < prose 0.84 (120) < mixed
+    # 0.96 (60); cutoffs straddling the middle stratum must DROP it
+    wl = weak_labels_from_heuristics(docs, lo_q=0.2, hi_q=0.9)
+    counts = {r["label"]: r["n"] for r in
+              wl.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0.0: 120, 1.0: 60}
+    assert wl.count() < docs.count()  # ambiguous middle dropped

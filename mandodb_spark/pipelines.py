@@ -20,6 +20,9 @@ Config keys (all optional except ``shards`` when exporting):
 
     gates:   {"min_tokens": int, "max_tokens": int, "langs": [..],
               "gopher": bool}
+    quality_model: {"path": str}           (persisted classifier), or
+              {"train": true, "lo_q": f, "hi_q": f}  (weak-label inline),
+              + "min_prob": f              (keep threshold, default 0.5)
     dedup:   {"exact": bool, "near": {"threshold": float}}
     pii:     bool
     mixture: {"weights": {source: w}, "default_weight": w,
@@ -75,6 +78,26 @@ def run_curation(spark: SparkSession, df: DataFrame, config: dict,
             # flag is the conjunction (text.gopher_flags contract)
             cond = cond & (T.gopher_flags(tcol)[-1] == 1)
         cur = stage("gates", cur.filter(cond))
+
+    qm = config.get("quality_model")
+    if qm:
+        # trained quality gate (operators/quality_model): either a
+        # persisted model ({"path": ...}) or trained in-line from the
+        # heuristic weak-label bootstrap ({"train": true}); scoring is a
+        # zero-shuffle broadcast-coefficient transform
+        from .operators import quality_model as QM
+
+        if qm.get("path"):
+            model = QM.load_model(spark, qm["path"])
+        else:
+            wl = QM.weak_labels_from_heuristics(
+                cur.select(id_col, text_col), text_col=text_col,
+                lo_q=qm.get("lo_q", 0.3), hi_q=qm.get("hi_q", 0.7))
+            model = QM.train_quality_classifier(wl, text_col=text_col)
+        scored = QM.score_quality(cur, model)
+        cur = stage("quality_model", scored.filter(
+            F.col("quality_prob") >= qm.get("min_prob", 0.5)
+        ).drop("quality_prob"))
 
     d = config.get("dedup") or {}
     if d.get("exact"):

@@ -711,3 +711,33 @@ def test_run_curation_end_to_end(spark, tmp_path):
     assert rep2["aborted"] and rep2["exported"] is None
     import os
     assert not os.path.exists(str(tmp_path / "drop2"))
+
+
+def test_run_curation_quality_model_gate(spark, tmp_path):
+    """The trained-quality gate inside the declarative pipeline: a
+    persisted classifier (quality_model: {"path": ...}) filters mash
+    docs while clean prose passes, with its own accounting stage."""
+    from mandodb_spark.operators.quality_model import (
+        save_model,
+        train_quality_classifier,
+    )
+    from mandodb_spark.pipelines import run_curation
+
+    good = [(i, "the quick brown fox jumps over the lazy dog "
+                f"number {i} and rests in the warm meadow", 1.0)
+            for i in range(80)]
+    bad = [(1000 + i, ("zx9$#@ qq%% " * 6) + f"!!{i}##", 0.0)
+           for i in range(80)]
+    train = spark.createDataFrame(good + bad,
+                                  "doc_id long, text string, label double")
+    mpath = str(tmp_path / "qm")
+    save_model(train_quality_classifier(train, num_features=1 << 12), mpath)
+
+    rows = [(i, t, "web") for i, t, _ in good[:10]] + \
+           [(i, t, "web") for i, t, _ in bad[:5]]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rep = run_curation(spark, df, {
+        "quality_model": {"path": mpath, "min_prob": 0.5},
+    })
+    names = {s["name"]: s["rows"] for s in rep["stages"]}
+    assert names["input"] == 15 and names["quality_model"] == 10

@@ -672,3 +672,50 @@ def test_promql_store_parity_disk_bucketed_memory(spark, tmp_path):
     assert base[0] and base[1] and base[2]  # non-trivial results
     assert snap(dbs[1]) == base
     assert snap(dbs[2]) == base
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_grid_primitives_equal_batch_at_single_point(spark, seed):
+    """Cross-implementation pin: each grid primitive evaluated on a
+    one-point grid must equal the corresponding batch function over the
+    same window — random sparse series, counter resets included."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for s in range(4):
+        v = 0.0
+        for k in sorted(rng.sample(range(120), 40)):
+            v = v + rng.uniform(0, 5) if rng.random() > 0.1 else rng.uniform(0, 2)
+            rows.append(({"__name__": "m", "s": str(s)}, k * 60, round(v, 6)))
+    rel = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double").cache()
+    t, w = 119 * 60, 3600
+
+    def by_series(df, val="value"):
+        return {r["labels"]["s"]: round(r[val], 9) for r in df.collect()}
+
+    g = promql.grid_rate(rel, t, t, w, 600, "rate")
+    b = promql.rate(rel.filter(F.col("ts").between(t - w + 1, t)),
+                    t - w + 1, t)
+    assert by_series(g) == by_series(b)
+
+    for fn in ("avg", "sum", "min", "max", "count", "stddev", "last"):
+        g = promql.grid_over_time(rel, fn, t, t, w, 600)
+        b = promql.over_time(rel, fn, t - w + 1, t, w)
+        assert by_series(g) == by_series(b), fn
+
+    g = promql.grid_instant(rel, t, t, 600, lookback=1800)
+    b = promql.instant(rel, t, lookback=1800)
+    assert by_series(g) == by_series(b)
+
+    # irate/idelta against the batch forms
+    g = promql.grid_rate(rel, t, t, w, 600, "irate")
+    b = promql.irate(rel.filter(F.col("ts").between(t - w + 1, t)),
+                     t - w + 1, t)
+    assert by_series(g) == by_series(b)
+    g = promql.grid_rate(rel, t, t, w, 600, "changes")
+    b = promql.changes(rel.filter(F.col("ts").between(t - w + 1, t)),
+                       t - w + 1, t)
+    assert {k: int(v) for k, v in by_series(g).items()} == \
+        {k: int(v) for k, v in by_series(b).items()}

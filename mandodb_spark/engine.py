@@ -264,6 +264,55 @@ class TSDB:
             lo, hi, "seg" in rel.columns, self.segment_duration))
         return promql_parser.eval_range(pruned, ast, start, end, step, lookback)
 
+    def promql_range_tiered(self, query: str, start: int, end: int,
+                            step: int, rollup_dest: str, rollup_step: int,
+                            cutover_ts: int) -> DataFrame:
+        """Long-range dashboard query over the retention ladder: a
+        ``<fn>_over_time(sel[w])`` range query (optionally wrapped in one
+        aggregation, e.g. ``sum by (j) (sum_over_time(m[1d]))``) served
+        from the materialized rollup tier below ``cutover_ts`` plus the
+        raw tail — see ``promql.grid_over_time_tiered`` for the
+        bucket-alignment exactness contract.  Raw history older than the
+        cutover can be retention-purged without this query losing it."""
+        from .functions import promql as P
+        from .functions import promql_parser as pp
+
+        ast = pp.parse(query)
+        agg_node = None
+        node = ast
+        if node[0] == "agg":
+            agg_node, node = node, node[5]
+        ok = (node[0] == "call" and node[1] in pp._OVER_TIME_FNS
+              and len(node[2]) == 1 and node[2][0][0] == "selector"
+              and node[2][0][3] is not None)
+        if not ok:
+            raise pp.PromqlError(
+                "promql_range_tiered supports <fn>_over_time(sel[w]), "
+                "optionally inside one aggregation")
+        fn = pp._OVER_TIME_FNS[node[1]]
+        _, name, matchers, w, off, at_s = node[2][0]
+        if off or at_s is not None:
+            raise pp.PromqlError(
+                "offset/@ are not supported on the tiered path")
+        raw = pp._matcher_filter(self.store.relation(), name, matchers)
+        rollup = None
+        import os
+
+        if os.path.exists(rollup_dest):
+            rollup = pp._matcher_filter(
+                self.spark.read.parquet(rollup_dest), name, matchers)
+        vec = P.grid_over_time_tiered(
+            raw, rollup, fn, start, end, w, step, rollup_step, cutover_ts
+        ).select("labels", "ts",
+                 F.col("value").cast("double").alias("value"))
+        if agg_node is None:
+            return vec
+        ctx = pp._RCtx(self.store.relation(), start, end, step, 300)
+        _k, out = pp._agg_vector(agg_node[1], agg_node[2], agg_node[3],
+                                 agg_node[4], vec, ctx)
+        return out.select("labels", "ts",
+                          F.col("value").cast("double").alias("value"))
+
     def promql_alerts(self, query: str, for_duration: int, start: int,
                       end: int, step: int, lookback: int = 300) -> DataFrame:
         """Prometheus ALERTING rule (``expr`` + ``for:``) over the store:

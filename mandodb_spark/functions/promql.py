@@ -565,6 +565,88 @@ def grid_rate(rel: DataFrame, start: int, end: int, window: int, step: int,
         value.cast("double").alias("value"))
 
 
+#: over_time functions whose per-bucket rollup aggregates merge losslessly
+_MERGEABLE = {"sum", "count", "min", "max", "avg", "last"}
+
+
+def grid_over_time_tiered(
+    raw_rel: DataFrame,
+    rollup_rel: DataFrame | None,
+    fn: str,
+    start: int,
+    end: int,
+    window: int,
+    step: int,
+    rollup_step: int,
+    cutover_ts: int,
+) -> DataFrame:
+    """``<fn>_over_time(sel[window])`` on the grid, served from the
+    retention ladder: buckets before ``cutover_ts`` come from the
+    materialized rollup tier (:func:`rollup_aggregate` schema), the raw
+    tail is bucket-aggregated on the fly with the SAME math, and the grid
+    aggregation merges per-bucket partials (sum of sums, min of mins,
+    sum-of-sums/sum-of-counts for avg, max_by for last) — so a dashboard
+    over a year reads the tiny tier plus the recent raw segments, and raw
+    history older than the cutover can be purged without the query
+    losing it.
+
+    Exactness contract: grid points and the window must be bucket-aligned
+    (``t ≡ rollup_step − 1 (mod rollup_step)``, ``window`` and ``step``
+    multiples of ``rollup_step``).  Under that alignment each sliding
+    window is a union of whole buckets and the result is BIT-EQUAL to
+    evaluating :func:`grid_over_time` over the raw samples (pinned by
+    test) — no downsampling approximation, just mergeable partials.
+    """
+    if fn not in _MERGEABLE:
+        raise ValueError(
+            f"{fn}_over_time is not losslessly mergeable from rollups "
+            f"(supported: {sorted(_MERGEABLE)})")
+    rs = int(rollup_step)
+    if window % rs or step % rs:
+        raise ValueError("window and step must be multiples of rollup_step")
+    if start % rs != rs - 1 or end % rs != rs - 1:
+        raise ValueError(
+            "grid points must be bucket-aligned: t % rollup_step == "
+            "rollup_step - 1 (the last instant each bucket covers)")
+    if cutover_ts % rs:
+        # an unaligned cutover would split one bucket across both sides
+        # and double-count it at the merge
+        raise ValueError("cutover_ts must be a multiple of rollup_step")
+    from ..operators.tsdb_ops import rollup_aggregate
+
+    lo = start - window + 1
+    raw_part = rollup_aggregate(
+        raw_rel.filter(F.col("ts").between(max(lo, cutover_ts), end)), rs)
+    parts = raw_part
+    if rollup_rel is not None:
+        tier_part = rollup_rel.filter(
+            (F.col("bucket_ts") < cutover_ts)
+            & (F.col("bucket_ts").between(lo - rs + 1, end))
+        ).select("series_key", "bucket_ts", "labels", "n", "avg_value",
+                 "min_value", "max_value", "sum_value", "last_value")
+        parts = raw_part.unionByName(tier_part)
+    # pseudo-sample stamp = the bucket's last covered instant, so the
+    # [t-w+1, t] window membership test selects exactly the w/rs buckets
+    # whose raw span is the window
+    pseudo = parts.withColumn(
+        "ts", (F.col("bucket_ts") + F.lit(rs - 1)).cast("long"))
+    covered = pseudo.withColumn("__t", _grid_points(window - 1, start, end, step))
+    aggs = {
+        "sum": F.sum("sum_value"),
+        "count": F.sum("n"),
+        "min": F.min("min_value"),
+        "max": F.max("max_value"),
+        "avg": F.sum("sum_value") / F.sum("n"),
+        "last": F.max_by(F.col("last_value"), F.col("ts")),
+    }
+    return (
+        covered.groupBy("series_key", "__t")
+        .agg(F.any_value("labels").alias("labels"),
+             aggs[fn].cast("double").alias("value"))
+        .select("series_key", "labels", F.col("__t").alias("ts"), "value")
+    )
+
+
 def subquery_over_time(rel: DataFrame, fn: str, start: int, end: int,
                        window: int, step: int) -> DataFrame:
     """PromQL subquery ``<fn>_over_time(rate(x[window])[start..end:step])``:

@@ -1083,6 +1083,13 @@ def _reval_agg(node, ctx: _RCtx):
     k, v = _reval(arg, ctx)
     if k != "vector":
         raise PromqlError(f"{fname} aggregates a vector")
+    return _agg_vector(fname, by, without, param, v, ctx)
+
+
+def _agg_vector(fname, by, without, param, v: DataFrame, ctx: _RCtx):
+    """Aggregate an already-evaluated (labels, ts, value) range vector —
+    shared by the AST path and callers with externally-produced vectors
+    (the tiered range surface)."""
     if fname in ("topk", "bottomk"):
         kv = int(_reval(param, ctx)[1])
         order = (F.col("value").desc() if fname == "topk"

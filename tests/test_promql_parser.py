@@ -719,3 +719,57 @@ def test_grid_primitives_equal_batch_at_single_point(spark, seed):
                        t - w + 1, t)
     assert {k: int(v) for k, v in by_series(g).items()} == \
         {k: int(v) for k, v in by_series(b).items()}
+
+
+def test_promql_range_tiered_equals_raw_and_survives_purge(spark, tmp_path):
+    """Tiered range queries: on a bucket-aligned grid the rollup-served
+    evaluation is BIT-EQUAL to raw evaluation; after raw history below
+    the cutover is retention-purged, the tiered query still returns the
+    full result (the retention-ladder contract)."""
+    from mandodb_spark import TSDB
+    from mandodb_spark.functions.promql_parser import PromqlError
+
+    db = TSDB(spark, str(tmp_path / "store"), segment_duration=7200)
+    rows = []
+    for s in ("a", "b"):
+        for k in range(0, 4 * 1440):  # 4 days, minutely
+            rows.append(("m", {"j": s}, k * 60,
+                         float(k % 97) * (1 if s == "a" else 2)))
+    db.insert_rows(rows)
+    RS = 3600
+    rollup = str(tmp_path / "rollup")
+    db.materialize_rollup(rollup, step=RS)
+    END = 4 * 86400 - 1          # == RS-1 (mod RS): bucket-aligned
+    START = END - 2 * 86400
+    CUT = 3 * 86400
+
+    q = "sum by (j) (sum_over_time(m[1d]))"
+
+    def snap(df):
+        return sorted((dict(r["labels"])["j"], r["ts"], r["value"])
+                      for r in df.collect())
+
+    tiered = snap(db.promql_range_tiered(q, START, END, 86400, rollup,
+                                         RS, CUT))
+    raw = snap(db.promql_range(q, START, END, 86400))
+    assert tiered == raw and tiered
+
+    dropped = db.remove_expires(now_ts=CUT + db.retention)
+    assert dropped  # raw history below the cutover is actually gone
+    again = snap(db.promql_range_tiered(q, START, END, 86400, rollup,
+                                        RS, CUT))
+    assert again == tiered
+
+    # avg merges as sum-of-sums / sum-of-counts (not avg-of-avgs)
+    avg_rows = db.promql_range_tiered("avg_over_time(m[6h])", START, END,
+                                      6 * 3600, rollup, RS, CUT)
+    assert avg_rows.count() > 0
+
+    # contract violations fail loudly
+    with pytest.raises(ValueError):
+        db.promql_range_tiered(q, START - 1, END, 86400, rollup, RS, CUT)
+    with pytest.raises(ValueError):
+        db.promql_range_tiered(q, START, END, 86400, rollup, RS, CUT + 7)
+    with pytest.raises(PromqlError):
+        db.promql_range_tiered("rate(m[1d])", START, END, 86400, rollup,
+                               RS, CUT)

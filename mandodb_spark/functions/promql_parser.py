@@ -745,23 +745,41 @@ def _eval_call(node, ctx: _Ctx):
 
 
 def _eval_subquery_agg(fn: str, node, ctx: _Ctx) -> DataFrame:
-    """``<fn>_over_time(rate(sel[w])[r:s])`` — the one subquery shape with
-    a distributed lowering (promql.subquery_over_time's sliding-rate pass
-    + per-series regroup).  Other inner expressions would need per-step
-    re-evaluation of an arbitrary plan and are rejected explicitly."""
+    """``<fn>_over_time(<inner>[r:s])`` where the inner is ``rate(sel[w])``
+    (sliding-rate pass) or ``<g>_over_time(sel[w])`` (sliding grid pass) —
+    the subquery shapes with a distributed lowering: inner values at every
+    step, then one per-series regroup.  Arbitrary inner expressions would
+    need per-step re-evaluation of an arbitrary plan and are rejected
+    explicitly.  Step alignment is absolute (multiples of s), the same
+    documented delta as promql.subquery_over_time."""
     _, inner, range_s, step_s, offset_s = node
-    ok = (inner[0] == "call" and inner[1] == "rate" and len(inner[2]) == 1
+    ok = (inner[0] == "call"
+          and (inner[1] == "rate" or inner[1] in _OVER_TIME_FNS)
+          and len(inner[2]) == 1
           and inner[2][0][0] == "selector" and inner[2][0][3] is not None)
     if not ok:
         raise PromqlError(
-            "subquery support is limited to <fn>_over_time(rate(sel[w])[r:s])")
+            "subquery support is limited to <fn>_over_time(rate(sel[w])[r:s])"
+            " or <fn>_over_time(<g>_over_time(sel[w])[r:s])")
     _, name, matchers, w, sel_off, at_s = inner[2][0]
     if at_s is not None:
         raise PromqlError("@ inside subqueries is not supported")
     filt = _matcher_filter(ctx.rel, name, matchers)
     end = ctx.t - offset_s - sel_off
     start = end - range_s + 1
-    return _strip(promql.subquery_over_time(filt, fn, start, end, w, step_s))
+    if inner[1] == "rate":
+        return _strip(promql.subquery_over_time(filt, fn, start, end, w, step_s))
+    # sliding inner window values at every subquery step, then the outer
+    # per-series aggregate — two shuffles, same as the rate form; eval
+    # points snap to absolute step multiples, matching rate_sliding
+    aligned = -(-start // step_s) * step_s
+    pts = promql.grid_over_time(filt, _OVER_TIME_FNS[inner[1]],
+                                aligned, end, w, step_s)
+    agg = promql._OVER_TIME[fn]
+    out = (pts.groupBy("series_key")
+           .agg(F.any_value("labels").alias("labels"),
+                agg(F.col("value")).alias("value")))
+    return _strip(out)
 
 
 def _eval_agg(node, ctx: _Ctx):
@@ -1170,10 +1188,6 @@ def _reval_binop(node, ctx: _RCtx):
                 out = l.unionByName(extra)
             return ("vector", out.select("labels", "ts", "value"))
         group = m.get("group")
-        if m.get("include"):
-            raise PromqlError(
-                "group_left(include)/group_right(include) label copying is "
-                "not supported in range queries")
         lsel = l.select(
             "__mk", "ts", F.col("labels").alias("__ll"),
             F.col("value").alias("__lval"))
@@ -1188,6 +1202,16 @@ def _reval_binop(node, ctx: _RCtx):
                 F.col("__rl"), lambda k2, _: k2 != F.lit(promql.METRIC_NAME_LABEL))
         else:
             out_labels = promql.match_labels(F.col("__ll"), on, ignoring)
+        if group and m.get("include"):
+            # group_left(extra)/group_right(extra): copy the listed labels
+            # from the "one" side onto the many side's label set
+            one = F.col("__rl") if group == "left" else F.col("__ll")
+            keep = F.array(*[F.lit(k2) for k2 in m["include"]])
+            extra = F.map_filter(one, lambda k2, _: F.array_contains(keep, k2))
+            out_labels = F.map_concat(
+                F.map_filter(out_labels,
+                             lambda k2, _: ~F.array_contains(keep, k2)),
+                extra)
         if op in promql._ARITH_OPS:
             val = promql._ARITH_OPS[op](F.col("__lval"), F.col("__rval"))
             return ("vector", j.select(out_labels.alias("labels"), "ts",

@@ -773,3 +773,30 @@ def test_promql_range_tiered_equals_raw_and_survives_purge(spark, tmp_path):
     with pytest.raises(PromqlError):
         db.promql_range_tiered("rate(m[1d])", START, END, 86400, rollup,
                                RS, CUT)
+
+
+def test_range_group_left_include(rrel):
+    # group_left(src): copy the "src" label from the one side onto every
+    # matched many-side sample, per grid point
+    q = ('reqs{job="api"} / on(job) group_left(src) '
+         'sum by (job, src) (label_replace(mem, "src", "gauge", "job", ".*"))')
+    got = rev(rrel, q)
+    assert got, "join produced no rows"
+    for labels, _t, _v in got:
+        d = dict(labels)
+        assert d.get("src") == "gauge" and d["job"] == "api"
+        assert "__name__" not in d
+
+
+def test_subquery_over_time_inner_forms(rel):
+    # outer max over sliding inner avg windows == hand-computed: mem rises
+    # 1/min, avg over [t-299, t] at each 5m-multiple step
+    got = ev(rel, "max_over_time(avg_over_time(mem_bytes[5m])[10m:5m])",
+             at=600)
+    # eval points 0, 300, 600 -> windows (k-4..k): avgs 100? (single pt at
+    # 0), 103, 108 -> max 108
+    assert got[0][1] == pytest.approx(108.0)
+    # rate inner still works
+    got = ev(rel, 'max_over_time(rate(http_requests_total'
+                  '{job="api",instance="i1"}[5m])[10m:5m])', at=600)
+    assert got and got[0][1] == pytest.approx(10 / 60)

@@ -1325,6 +1325,51 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
     return _strip_r(v)
 
 
+def to_api_vector(df: DataFrame, at_ts: int | None = None) -> dict:
+    """Shape an instant-query result as the Prometheus HTTP API payload
+    (``/api/v1/query`` data object: resultType "vector", values as
+    [ts, "str"] pairs) so existing Prometheus client tooling consumes it
+    verbatim.  Driver-side by definition — this is the client response;
+    bound the input with topk/filters first."""
+    rows = df.collect()
+    out = []
+    for r in rows:
+        ts = at_ts if at_ts is not None else r["ts"] if "ts" in r.__fields__ else 0
+        out.append({"metric": dict(r["labels"]),
+                    "value": [int(ts), _fmt_val(r["value"])]})
+    return {"resultType": "vector", "result": out}
+
+
+def to_api_matrix(df: DataFrame) -> dict:
+    """Shape a range-query result (labels, ts, value) as the Prometheus
+    ``/api/v1/query_range`` data object: resultType "matrix", one series
+    entry per label set with its [ts, "str"] value list sorted by ts."""
+    from collections import defaultdict
+
+    series: dict = defaultdict(list)
+    metas: dict = {}
+    for r in df.collect():
+        key = tuple(sorted(r["labels"].items()))
+        metas[key] = dict(r["labels"])
+        series[key].append((int(r["ts"]), _fmt_val(r["value"])))
+    return {
+        "resultType": "matrix",
+        "result": [
+            {"metric": metas[k], "values": sorted(vs)}
+            for k, vs in sorted(series.items())
+        ],
+    }
+
+
+def _fmt_val(v) -> str:
+    f = float(v)
+    if f != f:
+        return "NaN"
+    if f in (float("inf"), float("-inf")):
+        return "+Inf" if f > 0 else "-Inf"
+    return repr(int(f)) if f.is_integer() and abs(f) < 2**53 else repr(f)
+
+
 def eval_alerts(rel: DataFrame, query, for_duration: int, start: int,
                 end: int, step: int, lookback: int = 300) -> DataFrame:
     """Prometheus ALERTING-rule evaluation: the expression is evaluated on

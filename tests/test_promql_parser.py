@@ -800,3 +800,32 @@ def test_subquery_over_time_inner_forms(rel):
     got = ev(rel, 'max_over_time(rate(http_requests_total'
                   '{job="api",instance="i1"}[5m])[10m:5m])', at=600)
     assert got and got[0][1] == pytest.approx(10 / 60)
+
+
+def test_prometheus_api_response_shapes(rel, rrel):
+    """Results shape into the Prometheus HTTP-API payloads existing
+    client tooling expects: vector [ts, "v"] pairs for instant queries,
+    per-series sorted matrix values for range queries, NaN/Inf strings."""
+    import json
+
+    from mandodb_spark.functions.promql_parser import (
+        eval_range,
+        to_api_matrix,
+        to_api_vector,
+    )
+
+    vec = eval_instant(rel, "sum by (job) (http_requests_total)", AT)
+    api = to_api_vector(vec, at_ts=AT)
+    assert api["resultType"] == "vector"
+    got = {e["metric"]["job"]: e["value"] for e in api["result"]}
+    assert got == {"api": [600, "200"], "db": [600, "100"]}
+    json.dumps(api)  # JSON-serializable end to end
+
+    rng = eval_range(rrel, "max by (job) (reqs)", 600, 1200, 300)
+    m = to_api_matrix(rng)
+    assert m["resultType"] == "matrix" and len(m["result"]) == 2
+    api_series = next(e for e in m["result"] if e["metric"]["job"] == "api")
+    assert api_series["values"] == [[600, "100"], [900, "150"],
+                                    [1200, "200"]] or \
+        api_series["values"] == [(600, "100"), (900, "150"), (1200, "200")]
+    json.dumps(m)

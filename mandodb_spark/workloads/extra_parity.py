@@ -2363,3 +2363,48 @@ FROM runs ORDER BY user, active_since
 
 QUERIES["x_promql_alert_rule"] = x_promql_alert_rule
 ORACLES["x_promql_alert_rule"] = _alert_rule_sql()
+
+
+def x_promql_range_stepscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-point scalars in RANGE queries (the stepscalar kind):
+    ``count(view > time() / 20000000)`` on the daily grid — time()
+    materializes the generated grid, the comparison joins it to every
+    series row per step (filter semantics), and the bare count collapses
+    per eval point.  The oracle rebuilds grid → latest-per-series →
+    per-t threshold → count in DuckDB."""
+    from ..functions.promql_parser import eval_range
+    from .promql_q import _dedup_rel
+    from .common import EV_END, EV_START
+
+    g0 = EV_START + 86_400
+    out = eval_range(_dedup_rel(spark, sf_dir),
+                     "count(view > time() / 20000000)",
+                     g0, EV_END, 86_400, lookback=86_400)
+    return out.select(
+        "ts", F.col("value").cast("long").alias("n_series")
+    ).orderBy("ts")
+
+
+def _range_stepscalar_sql() -> str:
+    from .promql_q import _DEDUP
+    from .common import EV_END, EV_START
+
+    g0 = EV_START + 86_400
+    return f"""{_DEDUP},
+grid AS (SELECT unnest(range({g0}, {EV_END} + 1, 86400)) AS t),
+j AS (
+    SELECT d.user, d.k, d.ts, d.value, g.t
+    FROM d JOIN grid g ON d.ts BETWEEN g.t - 86400 AND g.t
+    WHERE d.metric = 'view'
+),
+lat AS (SELECT user, k, t, value,
+        row_number() OVER (PARTITION BY user, k, t ORDER BY ts DESC) AS rn
+        FROM j)
+SELECT t AS ts, count(*) AS n_series
+FROM lat WHERE rn = 1 AND value > t / 20000000.0
+GROUP BY t ORDER BY t
+"""
+
+
+QUERIES["x_promql_range_stepscalar"] = x_promql_range_stepscalar
+ORACLES["x_promql_range_stepscalar"] = _range_stepscalar_sql()

@@ -530,7 +530,7 @@ def _matcher_filter(rel: DataFrame, name: str | None, matchers) -> DataFrame:
     return out
 
 
-def _strip(df: DataFrame, *extra: str) -> DataFrame:
+def _strip(df: DataFrame) -> DataFrame:
     # Uniform vector schema (labels, value:double) so set ops can union
     # results whose underlying function returned integer counts.
     return df.select("labels", F.col("value").cast("double").alias("value"))

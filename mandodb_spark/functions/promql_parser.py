@@ -788,7 +788,23 @@ def _eval_agg(node, ctx: _Ctx):
     if k != "vector":
         raise PromqlError(f"{fname} aggregates a vector")
     if fname in ("topk", "bottomk"):
+        # PromQL selects k series PER GROUP when by/without is given;
+        # plain topk/bottomk is the single global group
         kv = int(_eval(param, ctx)[1])
+        if by or without:
+            from pyspark.sql.window import Window as W
+
+            key = promql.canonical_labels_json(
+                promql.match_labels(F.col("labels"),
+                                    list(by) if by else None,
+                                    list(without) if without else None))
+            order = (F.col("value").desc() if fname == "topk"
+                     else F.col("value").asc())
+            tie = promql.canonical_labels_json(F.col("labels"))
+            w = W.partitionBy(key).orderBy(order, tie)
+            return ("vector", v.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= kv).drop("__rn")
+                    .select("labels", "value"))
         vec = promql._ensure_series_key(v)
         return ("vector", _strip(
             promql.topk(vec, kv, largest=(fname == "topk"))))
@@ -1114,7 +1130,13 @@ def _agg_vector(fname, by, without, param, v: DataFrame, ctx: _RCtx):
                  else F.col("value").asc())
         from pyspark.sql.window import Window as W
         tie = promql.canonical_labels_json(F.col("labels"))
-        w = W.partitionBy("ts").orderBy(order, tie)
+        parts = [F.col("ts")]
+        if by or without:  # k series per (group, eval point), as PromQL
+            parts.append(promql.canonical_labels_json(
+                promql.match_labels(F.col("labels"),
+                                    list(by) if by else None,
+                                    list(without) if without else None)))
+        w = W.partitionBy(*parts).orderBy(order, tie)
         return ("vector", v.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= kv).drop("__rn"))
     if fname == "count_values":

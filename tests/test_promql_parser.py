@@ -829,3 +829,18 @@ def test_prometheus_api_response_shapes(rel, rrel):
                                     [1200, "200"]] or \
         api_series["values"] == [(600, "100"), (900, "150"), (1200, "200")]
     json.dumps(m)
+
+
+def test_topk_grouped_by(rel, rrel):
+    # topk by (job) (1, v): the max series PER JOB, not globally
+    got = ev(rel, "topk by (job) (1, http_requests_total)")
+    jobs = sorted(dict(l)["job"] for l, _ in got)
+    assert jobs == ["api", "db"] and len(got) == 2
+    # bottomk without(instance): group = remaining labels (name, job) ->
+    # one survivor per job
+    got = ev(rel, "bottomk without (instance) (1, http_requests_total)")
+    assert sorted(dict(l)["job"] for l, _ in got) == ["api", "db"]
+    # range mode: per (job, eval point)
+    per_step = rev(rrel, "topk by (job) (1, reqs)")
+    assert len(per_step) == 6  # 2 jobs x 3 grid points
+    assert all(dict(l)["job"] in ("api", "db") for l, _, _ in per_step)

@@ -811,7 +811,16 @@ def _eval_agg(node, ctx: _Ctx):
     if fname == "quantile":
         q = float(_eval(param, ctx)[1])
         if without is not None:
-            raise PromqlError("quantile without(...) is not supported; use by(...)")
+            # group key = canonical JSON of the retained label subset,
+            # same lowering as agg_without
+            kept = promql.match_labels(F.col("labels"), None, list(without))
+            keyed = v.withColumn("__kl", kept)
+            out = (keyed.groupBy(
+                       promql.canonical_labels_json(F.col("__kl")).alias("__gk"))
+                   .agg(F.any_value("__kl").alias("labels"),
+                        F.expr(f"percentile(value, {q}d)").alias("value"))
+                   .select("labels", "value"))
+            return ("vector", out)
         return ("vector", promql.agg_quantile_by(v, q, by or []))
     if fname == "count_values":
         if param[0] != "str":
@@ -1152,7 +1161,15 @@ def _agg_vector(fname, by, without, param, v: DataFrame, ctx: _RCtx):
     if fname == "quantile":
         q = float(_reval(param, ctx)[1])
         if without is not None:
-            raise PromqlError("quantile without(...) is not supported; use by(...)")
+            kept = promql.match_labels(F.col("labels"), None, list(without))
+            keyed = v.withColumn("__kl", kept)
+            out = (keyed.groupBy(
+                       promql.canonical_labels_json(F.col("__kl")).alias("__gk"),
+                       "ts")
+                   .agg(F.any_value("__kl").alias("labels"),
+                        F.expr(f"percentile(value, {q}d)").alias("value"))
+                   .select("labels", "ts", "value"))
+            return ("vector", out)
         keys = [F.col("labels").getItem(n).alias(n) for n in (by or [])]
         grouped = v.groupBy(*keys, "ts").agg(
             F.expr(f"percentile(value, {q}d)").alias("value"))

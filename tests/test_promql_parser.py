@@ -844,3 +844,14 @@ def test_topk_grouped_by(rel, rrel):
     per_step = rev(rrel, "topk by (job) (1, reqs)")
     assert len(per_step) == 6  # 2 jobs x 3 grid points
     assert all(dict(l)["job"] in ("api", "db") for l, _, _ in per_step)
+
+
+def test_quantile_without(rel, rrel):
+    # quantile without(instance): interpolated median across each
+    # (name, job) group's series
+    got = ev(rel, "quantile without (instance) (0.5, http_requests_total)")
+    vals = {dict(l)["job"]: v for l, v in got}
+    assert vals == {"api": 100.0, "db": 50.0}
+    # range mode, per eval point
+    got = rev(rrel, "quantile without (job) (0.5, reqs)")
+    assert {t: v for _, t, v in got} == {600: 75.0, 900: 112.5, 1200: 150.0}

@@ -1040,11 +1040,19 @@ def agg_by(vector: DataFrame, fn: str, by: list[str]) -> DataFrame:
     """
     agg = _OVER_TIME[fn]
     keys = [F.col("labels").getItem(name).alias(name) for name in by]
-    grouped = vector.groupBy(*keys).agg(agg(F.col("value")).alias("value"))
     if not by:
+        # A keyless groupBy always emits one row (NULL for sum/min/max/avg,
+        # 0 for count) even over an empty input, but PromQL's
+        # sum(nonexistent) is an EMPTY vector.  Carry the group size and
+        # drop the empty-input row before it reaches binops/to_api_vector.
+        grouped = vector.groupBy().agg(
+            agg(F.col("value")).alias("value"),
+            F.count(F.lit(1)).alias("__n"))
         empty = F.map_from_arrays(
             F.array().cast("array<string>"), F.array().cast("array<string>"))
-        return grouped.select(empty.alias("labels"), "value")
+        return (grouped.filter(F.col("__n") > 0)
+                .select(empty.alias("labels"), "value"))
+    grouped = vector.groupBy(*keys).agg(agg(F.col("value")).alias("value"))
     new_labels = F.map_from_arrays(
         F.array(*[F.lit(n) for n in by]), F.array(*[F.col(n) for n in by])
     )
@@ -1071,16 +1079,28 @@ def agg_quantile_by(vector: DataFrame, q: float, by: list[str]) -> DataFrame:
     """PromQL ``quantile by (labels) (q, vector)``: the interpolated
     q-quantile of the instant vector's values ACROSS series, per label
     group — Prometheus's cross-series quantile aggregator, with the same
-    linear interpolation as :func:`quantile_over_time`.  Group sizes are
-    series counts per label value (bounded), so per-group ``percentile``
-    is the right tool — not the corpus-global sketch path."""
-    keys = [F.col("labels").getItem(name).alias(name) for name in by]
-    grouped = vector.groupBy(*keys).agg(
-        F.expr(f"percentile(value, {float(q)}d)").alias("value"))
+    linear interpolation as :func:`quantile_over_time`.
+
+    Group size here is the SERIES CARDINALITY per retained-label group —
+    unbounded at scale (``quantile(0.99, up)`` over 10M series is one
+    group), so a per-group exact ``percentile()`` (which buffers every
+    group value on one reducer) is the wrong tool.  Routed through
+    :func:`~mandodb_spark.operators.sketch.grouped_quantile_cont` — the
+    grouped two-phase rank-probe engine, bit-identical to ``percentile``
+    but never holding more than ~N_g/32 rows in one sort partition.
+    An empty input yields an EMPTY vector (PromQL semantics), including
+    for the bare ``quantile(q, v)`` case."""
+    from ..operators import sketch
+
     new_labels = F.map_from_arrays(
-        F.array(*[F.lit(n) for n in by]), F.array(*[F.col(n) for n in by])
-    )
-    return grouped.select(new_labels.alias("labels"), "value")
+        F.array(*[F.lit(n) for n in by]),
+        F.array(*[F.col("labels").getItem(n) for n in by]))
+    keyed = vector.select(new_labels.alias("__lbl"),
+                          F.col("value")).withColumn(
+        "__gk", canonical_labels_json(F.col("__lbl")))
+    out = sketch.grouped_quantile_cont(
+        keyed, ["__gk"], "value", q, carry=("__lbl",))
+    return out.select(F.col("__lbl").alias("labels"), "value")
 
 
 def sort_by_label(vector: DataFrame, by: list[str],

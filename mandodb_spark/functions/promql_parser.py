@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import promql
+from ..operators import sketch as _sketch
 
 # --------------------------------------------------------------------- lexer
 
@@ -349,10 +350,20 @@ class _Parser:
                 offset_s = parse_duration(dt.text)
             else:
                 nt = self.next()
-                if nt.kind != "NUMBER":
+                if nt.kind == "IDENT" and nt.text in ("start", "end"):
+                    # `@ start()` / `@ end()` preprocessor sugar (PromQL
+                    # 2.25; Grafana emits these) — kept symbolic in the
+                    # AST, resolved to absolute timestamps by
+                    # resolve_at() at evaluation entry.
+                    self.expect("(")
+                    self.expect(")")
+                    at_s = nt.text
+                elif nt.kind == "NUMBER":
+                    at_s = int(float(nt.text))
+                else:
                     raise PromqlError(
-                        f"expected unix timestamp after @ at {nt.pos}")
-                at_s = int(float(nt.text))
+                        f"expected unix timestamp or start()/end() "
+                        f"after @ at {nt.pos}")
         return ("selector", name, matchers, range_s, offset_s, at_s)
 
 
@@ -395,7 +406,7 @@ def unparse(node) -> str:
         if offset_s:
             s += f" offset {_fmt_duration(offset_s)}"
         if at_s is not None:
-            s += f" @ {at_s}"
+            s += f" @ {at_s}()" if isinstance(at_s, str) else f" @ {at_s}"
         return s
     if kind == "subquery":
         _, inner, range_s, step_s, offset_s = node
@@ -435,6 +446,21 @@ def unparse(node) -> str:
     raise PromqlError(f"cannot unparse node {kind!r}")
 
 
+def resolve_at(node, start: int, end: int):
+    """Resolve ``@ start()`` / ``@ end()`` sugar (PromQL 2.25 preprocessors
+    — Grafana emits these) to absolute timestamps: the symbolic
+    ``at_s = "start"/"end"`` left by the parser becomes ``int(start)`` /
+    ``int(end)``.  Instant queries resolve with ``start == end == at_ts``
+    (Prometheus: both preprocessors equal the eval time there)."""
+    if isinstance(node, list):
+        return [resolve_at(c, start, end) for c in node]
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "selector" and isinstance(node[5], str):
+        return node[:5] + (int(start if node[5] == "start" else end),)
+    return tuple(resolve_at(c, start, end) for c in node)
+
+
 def time_window(node_or_query, at_ts: int, lookback: int = 300) -> tuple[int, int]:
     """Exact [min_ts, max_ts] any selector in the expression can touch at
     evaluation time ``at_ts`` — the segment-pruning predicate for
@@ -447,6 +473,10 @@ def time_window(node_or_query, at_ts: int, lookback: int = 300) -> tuple[int, in
     time_window(q, end).hi].  A pure-scalar expression touches nothing:
     the window degenerates to [at_ts, at_ts]."""
     node = parse(node_or_query) if isinstance(node_or_query, str) else node_or_query
+    # @ start()/end() sugar: resolving both to at_ts is CONSERVATIVE for
+    # pruning — the facade takes lo at t=start and hi at t=end, so a
+    # start()-fixed selector's hi widens toward end (never narrows).
+    node = resolve_at(node, at_ts, at_ts)
 
     def bounds(n, t: int) -> tuple[int, int] | None:
         """(lo, hi) the subtree touches, or None if it touches no data."""
@@ -516,9 +546,15 @@ def _matcher_filter(rel: DataFrame, name: str | None, matchers) -> DataFrame:
     for label, op, value in matchers:
         col = F.col("labels").getItem(label)
         if op == "=":
-            conds.append(col.eqNullSafe(value) if value == "" else (col == value))
+            # Prometheus treats a missing label as the empty string, so
+            # {l=""} must match series that LACK l (col is NULL) as well
+            # as ones carrying l="".  eqNullSafe("") would be false for
+            # NULL and silently drop absent-label series.
+            conds.append((col.isNull() | (col == value)) if value == ""
+                         else (col == value))
         elif op == "!=":
-            conds.append(~col.eqNullSafe(value) if value == ""
+            # Dual of the above: {l!=""} means "l exists and is non-empty".
+            conds.append((col.isNotNull() & (col != value)) if value == ""
                          else (col.isNull() | (col != value)))
         elif op == "=~":
             conds.append(F.coalesce(col, F.lit("")).rlike(f"^(?:{value})$"))
@@ -812,15 +848,17 @@ def _eval_agg(node, ctx: _Ctx):
         q = float(_eval(param, ctx)[1])
         if without is not None:
             # group key = canonical JSON of the retained label subset,
-            # same lowering as agg_without
+            # same lowering as agg_without.  Groups are series-cardinality
+            # sized (unbounded at scale), so the quantile runs on the
+            # grouped rank-probe engine — bit-identical to percentile()
+            # without buffering a whole group on one reducer.
             kept = promql.match_labels(F.col("labels"), None, list(without))
-            keyed = v.withColumn("__kl", kept)
-            out = (keyed.groupBy(
-                       promql.canonical_labels_json(F.col("__kl")).alias("__gk"))
-                   .agg(F.any_value("__kl").alias("labels"),
-                        F.expr(f"percentile(value, {q}d)").alias("value"))
-                   .select("labels", "value"))
-            return ("vector", out)
+            keyed = v.select(kept.alias("__kl"), "value").withColumn(
+                "__gk", promql.canonical_labels_json(F.col("__kl")))
+            out = _sketch.grouped_quantile_cont(
+                keyed, ["__gk"], "value", q, carry=("__kl",))
+            return ("vector",
+                    out.select(F.col("__kl").alias("labels"), "value"))
         return ("vector", promql.agg_quantile_by(v, q, by or []))
     if fname == "count_values":
         if param[0] != "str":
@@ -892,6 +930,7 @@ def eval_instant(rel: DataFrame, query, at_ts: int,
     columns.  Returns the result vector as (labels, value); a scalar
     result becomes a single labels-less row."""
     node = parse(query) if isinstance(query, str) else query
+    node = resolve_at(node, at_ts, at_ts)
     k, v = _eval(node, _Ctx(rel, at_ts, lookback))
     if k == "scalar":
         spark = rel.sparkSession
@@ -1117,6 +1156,15 @@ def _reval_call(node, ctx: _RCtx):
             F.array(*[F.lit(v2) for v2 in lbl.values()]))
         return ("vector", missing.select(
             labels.alias("labels"), "ts", F.lit(1.0).alias("value")))
+    if fname in ("sort", "sort_desc", "sort_by_label", "sort_by_label_desc"):
+        # Prometheus: sort/sort_desc/sort_by_label* "only affect the
+        # results of instant queries, as range query results always have
+        # a fixed output ordering" (docs/querying/functions.md#sort) —
+        # in range mode they are a semantic no-op pass-through.
+        k, v = _reval(args[0], ctx)
+        if k != "vector":
+            raise PromqlError(f"{fname} takes a vector")
+        return ("vector", v.select("labels", "ts", "value"))
     raise PromqlError(
         f"function {fname!r} is not supported in range queries")
 
@@ -1160,23 +1208,26 @@ def _agg_vector(fname, by, without, param, v: DataFrame, ctx: _RCtx):
         return ("vector", out)
     if fname == "quantile":
         q = float(_reval(param, ctx)[1])
+        # Range-mode groups are (retained labels, ts) — series cardinality
+        # per eval step, unbounded at scale — so both paths run on the
+        # grouped rank-probe engine (bit-identical to percentile()).
         if without is not None:
             kept = promql.match_labels(F.col("labels"), None, list(without))
-            keyed = v.withColumn("__kl", kept)
-            out = (keyed.groupBy(
-                       promql.canonical_labels_json(F.col("__kl")).alias("__gk"),
-                       "ts")
-                   .agg(F.any_value("__kl").alias("labels"),
-                        F.expr(f"percentile(value, {q}d)").alias("value"))
-                   .select("labels", "ts", "value"))
-            return ("vector", out)
-        keys = [F.col("labels").getItem(n).alias(n) for n in (by or [])]
-        grouped = v.groupBy(*keys, "ts").agg(
-            F.expr(f"percentile(value, {q}d)").alias("value"))
+            keyed = v.select(kept.alias("__kl"), "ts", "value").withColumn(
+                "__gk", promql.canonical_labels_json(F.col("__kl")))
+            out = _sketch.grouped_quantile_cont(
+                keyed, ["__gk", "ts"], "value", q, carry=("__kl",))
+            return ("vector",
+                    out.select(F.col("__kl").alias("labels"), "ts", "value"))
         new_labels = F.map_from_arrays(
             F.array(*[F.lit(n) for n in (by or [])]),
-            F.array(*[F.col(n) for n in (by or [])]))
-        return ("vector", grouped.select(new_labels.alias("labels"), "ts", "value"))
+            F.array(*[F.col("labels").getItem(n) for n in (by or [])]))
+        keyed = v.select(new_labels.alias("__lbl"), "ts", "value").withColumn(
+            "__gk", promql.canonical_labels_json(F.col("__lbl")))
+        out = _sketch.grouped_quantile_cont(
+            keyed, ["__gk", "ts"], "value", q, carry=("__lbl",))
+        return ("vector",
+                out.select(F.col("__lbl").alias("labels"), "ts", "value"))
     agg = promql._OVER_TIME[fname]
     if without is not None:
         kept = promql.match_labels(F.col("labels"), None, list(without))
@@ -1227,6 +1278,32 @@ def _reval_binop(node, ctx: _RCtx):
                 out = l.unionByName(extra)
             return ("vector", out.select("labels", "ts", "value"))
         group = m.get("group")
+
+        def _runique(side: DataFrame, what: str) -> DataFrame:
+            # Range-mode analogue of promql._unique_side, keyed per eval
+            # step: PromQL errors with "found duplicate series for the
+            # match group" when a match key is not unique at a timestamp —
+            # a plain inner join would instead emit a silent cross product.
+            # assert_true folded into value survives column pruning.
+            agg = side.groupBy("__mk", "ts").agg(
+                F.any_value("labels").alias("labels"),
+                F.any_value("value").alias("value"),
+                F.count(F.lit(1)).alias("__dup"))
+            guard = F.assert_true(
+                F.col("__dup") == 1,
+                F.lit("promql binop: duplicate series in the "
+                      f"{what} match group"))
+            return agg.select(
+                "__mk", "ts", "labels",
+                F.when(guard.isNull(), F.col("value")).alias("value"))
+
+        if group is None:
+            l = _runique(l, "left")
+            r = _runique(r, "right")
+        elif group == "left":
+            r = _runique(r, "one")
+        else:
+            l = _runique(l, "one")
         lsel = l.select(
             "__mk", "ts", F.col("labels").alias("__ll"),
             F.col("value").alias("__lval"))
@@ -1340,12 +1417,16 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
     (labels, ts, value) — one row per series per grid point; a scalar
     expression becomes one labels-less row per grid point, and ``time()``
     / argless calendar functions are per-eval-point scalars combinable
-    with vectors (join on ts).  Restrictions vs instant evaluation (all
-    raising ``PromqlError``): no subqueries, ``sort``, or
-    group_left/right include labels."""
+    with vectors (join on ts).  ``sort``/``sort_desc``/``sort_by_label*``
+    are accepted as pass-throughs (Prometheus: they only affect instant
+    query results).  Restriction vs instant evaluation (raising
+    ``PromqlError``): subquery inners beyond ``rate(sel[w])`` /
+    ``<fn>_over_time(sel[w])``, and ``@`` on range selectors / inside
+    subqueries."""
     if step <= 0:
         raise PromqlError("step must be positive")
     node = parse(query) if isinstance(query, str) else query
+    node = resolve_at(node, start, end)
     k, v = _reval(node, _RCtx(rel, start, end, step, lookback))
     empty = F.map_from_arrays(F.array().cast("array<string>"),
                               F.array().cast("array<string>"))

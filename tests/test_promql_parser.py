@@ -941,3 +941,55 @@ def test_bare_agg_over_empty_vector_is_empty(rel):
     for q in ("sum(no_such_metric)", "count(no_such_metric)",
               "avg(no_such_metric)", "quantile(0.9, no_such_metric)"):
         assert ev(rel, q) == []
+
+
+def test_grid_fanout_guard_and_sliding_autoroute(rrel, monkeypatch):
+    # The r8 verdict's unguarded footgun: window >> step explodes every
+    # sample window/step times.  Beyond promql.GRID_FANOUT_CAP the parser
+    # now (a) auto-routes invertible <g>_over_time shapes to the
+    # running-sum sliding lowering — same results, no explode factor —
+    # and (b) fails fast with the alternatives named for everything else.
+    from mandodb_spark.functions import promql as P
+    from mandodb_spark.functions.promql_parser import eval_range
+
+    queries = ("sum_over_time(mem[10m])", "avg_over_time(mem[10m])",
+               "count_over_time(mem[10m])")
+    want = {q: rev(rrel, q) for q in queries}        # explode path
+    monkeypatch.setattr(P, "GRID_FANOUT_CAP", 1)     # fanout 2 > 1
+    for q in queries:                                 # sliding path
+        got = rev(rrel, q)
+        assert len(got) == len(want[q]) > 0, q
+        for (gl, gt, gv), (wl, wt, wv) in zip(got, want[q]):
+            assert (gl, gt) == (wl, wt) and gv == pytest.approx(wv), q
+    # non-invertible / rate / quantile / instant-selector shapes fail fast
+    for q in ("max_over_time(mem[10m])", "rate(reqs[10m])",
+              "quantile_over_time(0.9, mem[10m])", "mem"):
+        with pytest.raises(PromqlError, match="GRID_FANOUT_CAP"):
+            eval_range(rrel, q, 600, 1200, 300)
+    # window not a multiple of step cannot slide -> raise, not wrong math
+    with pytest.raises(PromqlError, match="GRID_FANOUT_CAP"):
+        eval_range(rrel, "sum_over_time(mem[7m])", 600, 1200, 300)
+    # direct primitive callers get the ValueError form of the same guard
+    monkeypatch.setattr(P, "GRID_FANOUT_CAP", 500)
+    with pytest.raises(ValueError, match="GRID_FANOUT_CAP"):
+        P.grid_rate(rrel, 0, 2_592_000, 2_592_000, 30)
+
+
+def test_grid_over_time_sliding_matches_explode(rrel):
+    # Direct-primitive equality at the default cap (no monkeypatch):
+    # the sliding lowering is the same function, different plan shape.
+    from mandodb_spark.functions import promql as P
+
+    for fn in ("sum", "count", "avg"):
+        a = {(r["series_key"], r["ts"]): r["value"]
+             for r in P.grid_over_time_sliding(
+                 rrel, fn, 600, 1200, 600, 300).collect()}
+        b = {(r["series_key"], r["ts"]): r["value"]
+             for r in P.grid_over_time(
+                 rrel, fn, 600, 1200, 600, 300).collect()}
+        assert a.keys() == b.keys() and all(
+            a[k] == pytest.approx(b[k]) for k in a), fn
+    with pytest.raises(ValueError, match="multiple of step"):
+        P.grid_over_time_sliding(rrel, "sum", 600, 1200, 700, 300)
+    with pytest.raises(ValueError, match="invertible"):
+        P.grid_over_time_sliding(rrel, "max", 600, 1200, 600, 300)

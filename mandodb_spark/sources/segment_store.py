@@ -429,6 +429,19 @@ class SegmentStore:
             F.lit(None).cast("long").alias("seg"),
         )
 
+    def segment_ids(self) -> list[int]:
+        """Sorted segment ids from the partition DIRECTORY LISTING alone —
+        metadata-only segment discovery (S5, segment.go:17-29), no data
+        scan.  Newest-first iteration over this list is the store's
+        "probe the head first" primitive (e.g. recording-rule restart
+        recovery probes segments newest-first and stops at the first
+        hit)."""
+        root = Path(self.root)
+        if not root.exists():
+            return []
+        return sorted(
+            int(p.name.split("=", 1)[1]) for p in root.glob("seg=*"))
+
     # ------------------------------------------------------------ retention
     def remove_expired(self, now_ts: int, retention: int) -> list[int]:
         """Drop whole segments older than the retention window (S7/T5).

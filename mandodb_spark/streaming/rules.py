@@ -63,17 +63,47 @@ class RecordingRuleMaintainer:
     # ------------------------------------------------------------ state
     def _recover_hwm(self) -> int | None:
         """The recorded series' own max timestamp — restart recovery
-        without sidecar state (Parquet footer max, pruned to the rule's
-        metric)."""
+        without sidecar state (the store IS the state).
+
+        A plain ``labels['__name__'] == rule`` filter over the whole
+        relation is a MapType predicate that prunes NOTHING — a full-store
+        scan per restart at 100 TB (the r8 verdict's watch item).  Instead:
+        segments partition the timeline, so the NEWEST segment containing
+        any of the rule's rows holds their global max ts — probe segments
+        newest-first (each probe is one partition-pruned scan) and stop at
+        the first hit.  A continuously-maintained rule lands in the newest
+        segment, so a restart typically reads ONE segment.  When the store
+        promotes ``__name__`` to a column, the per-segment probe predicate
+        additionally reaches PushedFilters (row-group skipping).  Stores
+        without segment listing (memory mode) keep the direct aggregate —
+        they are in-memory by definition.
+        """
+        from ..matchers import PROMOTED_PREFIX
         from ..model import METRIC_NAME_LABEL
 
-        rel = self.db.store.relation()
-        row = (
-            rel.filter(
-                F.col("labels").getItem(METRIC_NAME_LABEL) == self.rule_name)
-            .agg(F.max("ts").alias("m")).collect()[0]
-        )
+        store = self.db.store
+        rel = store.relation()
+        promoted = PROMOTED_PREFIX + METRIC_NAME_LABEL
+        name_col = (F.col(promoted) if promoted in rel.columns
+                    else F.col("labels").getItem(METRIC_NAME_LABEL))
+        pred = name_col == self.rule_name
+        seg_ids = getattr(store, "segment_ids", None)
+        segs = sorted(seg_ids(), reverse=True) if callable(seg_ids) else None
+        if segs and "seg" in rel.columns:
+            for seg in segs:
+                row = self._seg_probe(rel, pred, seg).collect()[0]
+                if row["m"] is not None:
+                    return int(row["m"])
+            return None
+        row = rel.filter(pred).agg(F.max("ts").alias("m")).collect()[0]
         return int(row["m"]) if row["m"] is not None else None
+
+    @staticmethod
+    def _seg_probe(rel: DataFrame, pred, seg: int) -> DataFrame:
+        """One recovery probe: max rule ts within ONE segment partition
+        (plan-asserted partition-pruned by test_streaming)."""
+        return (rel.filter(F.col("seg") == int(seg)).filter(pred)
+                .agg(F.max("ts").alias("m")))
 
     # ------------------------------------------------------------- hook
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:

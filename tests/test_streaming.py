@@ -1565,3 +1565,31 @@ def test_recording_rule_maintainer_incremental_idempotent(spark, tmp_path_factor
     assert db.query_range_rows("job:cpu:avg30m", [], 0, 2**40).count() \
         == rows_now
     assert m2.hwm == m.hwm and m.points == n_points
+
+
+def test_recover_hwm_pruned_newest_first(spark, tmp_path_factory):
+    """Restart recovery probes segments NEWEST-first with partition-pruned
+    per-segment scans instead of a MapType filter over the whole relation
+    (r8 verdict watch item): the newest segment holding the rule's rows
+    has their global max ts, so the loop stops at the first hit."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.model import METRIC_NAME_LABEL
+    from mandodb_spark.plans import physical_plan
+    from mandodb_spark.streaming.rules import RecordingRuleMaintainer
+
+    base = tmp_path_factory.mktemp("hwmrec")
+    db = TSDB(spark, str(base / "store"), segment_duration=100)
+    db.insert_rows([("cpu", {"n": "a"}, t, float(t)) for t in (50, 150, 250)])
+    db.insert_rows([("rule:x", {"n": "a"}, 120, 1.0)])  # rule only in seg 1
+    assert db.store.segment_ids() == [0, 1, 2]
+    m = RecordingRuleMaintainer(db, "rule:x", "cpu", step=60)
+    assert m._recover_hwm() == 120    # seg 2 probe misses, seg 1 hits
+    none = RecordingRuleMaintainer(db, "rule:none", "cpu", step=60)
+    assert none._recover_hwm() is None
+    # the probe the recovery loop runs is partition-pruned to ONE segment
+    rel = db.store.relation()
+    pred = F.col("labels").getItem(METRIC_NAME_LABEL) == "rule:x"
+    plan = physical_plan(RecordingRuleMaintainer._seg_probe(rel, pred, 2))
+    assert "PartitionFilters" in plan
+    assert "seg" in plan.split("PartitionFilters", 1)[1][:200]

@@ -191,6 +191,13 @@ class NearDupGate:
     and dropped alike — that is what makes sequential gating equal the
     one-shot rule).  Counters ``seen_docs`` / ``dropped_docs`` are
     observable by tests and monitoring.
+
+    State-layout migration: roots written by pre-batch-id gate versions
+    (partitioned by ``kb`` only) are detected on first read and
+    auto-rewritten into the current ``bseq=/kb=`` layout — all legacy
+    signatures become ``bseq=-1`` history, the same partition
+    ``compact()`` folds finished batches into.  The rewrite is a staging
+    write + atomic swap, so an interrupted upgrade retries cleanly.
     """
 
     def __init__(self, spark: SparkSession, root: str,
@@ -229,7 +236,35 @@ class NearDupGate:
         p = Path(self.root)
         if not p.exists() or not any(p.rglob("*.parquet")):
             return None
+        if any(p.glob("kb=*")):
+            # Pre-bseq (kb-only) state root from a gate version without
+            # batch-id idempotency.  Left alone it would (a) crash
+            # filter_batch's bseq ghost-partition filter with an
+            # AnalysisException and (b) mix partition depths after the
+            # first new-layout write, breaking partition discovery.
+            # Auto-migrate: the legacy rows ARE the history, so fold them
+            # into the bseq=-1 partition exactly as compact() does.
+            self._migrate_legacy()
         return self.spark.read.parquet(self.root)
+
+    def _migrate_legacy(self) -> None:
+        """Rewrite a legacy kb-only state root into the current
+        ``bseq=<batch>/kb=<bucket>`` layout (everything lands in the
+        ``bseq=-1`` history partition, the same place ``compact()`` folds
+        finished batches) via staging + atomic swap — a crash mid-migration
+        leaves the legacy root intact and the next call retries."""
+        from ..sources.segment_store import swap_in
+
+        legacy = self.spark.read.parquet(self.root)
+        if "bseq" in legacy.columns:  # defensive: already migrated
+            return
+        staging = f"{self.root}__compact"
+        (
+            legacy.withColumn("bseq", F.lit(-1))
+            .repartition("kb").write.mode("overwrite")
+            .partitionBy("bseq", "kb").parquet(staging)
+        )
+        swap_in(self.root, staging)
 
     def filter_batch(self, df: DataFrame, id_col: str, text_col: str,
                      batch_id: int | None = None) -> DataFrame:

@@ -1593,3 +1593,36 @@ def test_recover_hwm_pruned_newest_first(spark, tmp_path_factory):
     plan = physical_plan(RecordingRuleMaintainer._seg_probe(rel, pred, 2))
     assert "PartitionFilters" in plan
     assert "seg" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_neardup_gate_legacy_state_migration(spark, tmp_path_factory):
+    """A pre-batch-id (kb-only) state root auto-migrates into the
+    bseq=/kb= layout on first read instead of crashing filter_batch's
+    bseq filter or mixing partition depths (ADVICE r8): legacy
+    signatures become bseq=-1 history and still drop duplicates."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.streaming.neardup import NearDupGate, signature_bands
+
+    base = tmp_path_factory.mktemp("ndlegacy")
+    root = str(base / "state")
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    seed = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    g0 = NearDupGate(spark, root, threshold=0.6, n_buckets=4)
+    legacy = signature_bands(
+        seed, "doc_id", "text", g0.n_hashes, g0.n_bands
+    ).withColumn("kb", F.pmod(F.xxhash64("band", "bh"), F.lit(g0.n_buckets)))
+    legacy.write.partitionBy("kb").parquet(root)  # the old layout
+    assert any((base / "state").glob("kb=*"))
+
+    gate = NearDupGate(spark, root, threshold=0.6, n_buckets=4)
+    batch = spark.createDataFrame(
+        [(2, text), (3, "completely different words carrying no overlap")],
+        "doc_id long, text string")
+    kept = gate.filter_batch(batch, "doc_id", "text", batch_id=0)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3]
+    # root is homogeneous bseq=/kb= now — no top-level kb dirs remain
+    assert any((base / "state").glob("bseq=-1")) \
+        and any((base / "state").glob("bseq=0"))
+    assert not any((base / "state").glob("kb=*"))
+    assert gate.fsck()["ok"]

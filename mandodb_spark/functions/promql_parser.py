@@ -1504,6 +1504,40 @@ def to_api_matrix(df: DataFrame) -> dict:
     }
 
 
+def to_api_series(df: DataFrame) -> list[dict]:
+    """``/api/v1/series`` data payload over ``TSDB.query_series`` output:
+    one label-set object per matched series, sorted by canonical label
+    items for a deterministic response.  Driver-side by definition (this
+    IS the client response); the distinct ran distributed upstream."""
+    rows = df.collect()
+    return [dict(k) for k in
+            sorted(tuple(sorted(r["labels"].items())) for r in rows)]
+
+
+def to_api_labels(df: DataFrame) -> list[str]:
+    """``/api/v1/labels`` data payload: sorted distinct label NAMES across
+    the matched series (input: ``TSDB.query_series`` output).  The
+    distinct runs distributed (explode over map keys); only the final
+    name list is collected."""
+    rows = (df.select(F.explode(F.map_keys(F.col("labels"))).alias("n"))
+            .distinct().orderBy("n").collect())
+    return [r["n"] for r in rows]
+
+
+def to_api_label_values(df: DataFrame) -> list[str]:
+    """``/api/v1/label/<name>/values`` data payload over
+    ``TSDB.query_label_values`` output (already distinct + sorted
+    distributed): the bare value list."""
+    return [r["value"] for r in df.collect()]
+
+
+def api_success(data) -> dict:
+    """The Prometheus HTTP-API response envelope
+    (``{"status": "success", "data": ...}``) around any of the payload
+    shapers — the verbatim wire shape clients parse."""
+    return {"status": "success", "data": data}
+
+
 def _fmt_val(v) -> str:
     f = float(v)
     if f != f:

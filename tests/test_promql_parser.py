@@ -993,3 +993,84 @@ def test_grid_over_time_sliding_matches_explode(rrel):
         P.grid_over_time_sliding(rrel, "sum", 600, 1200, 700, 300)
     with pytest.raises(ValueError, match="invertible"):
         P.grid_over_time_sliding(rrel, "max", 600, 1200, 600, 300)
+
+
+def test_prometheus_api_golden_payloads(spark):
+    """VERBATIM Prometheus response-shape goldens (r8 verdict #6): exact
+    JSON payloads including NaN/±Inf strings, integer formatting
+    (SampleValue's shortest form — "1", not "1.0"), deterministic series
+    ordering, and the status/data envelope."""
+    import json
+
+    from mandodb_spark.functions.promql_parser import (
+        api_success,
+        to_api_matrix,
+        to_api_vector,
+    )
+
+    vec = spark.createDataFrame(
+        [({"__name__": "up", "job": "api"}, 1.0),
+         ({"__name__": "up", "job": "db"}, 0.5),
+         ({"__name__": "up", "job": "x"}, float("nan")),
+         ({"__name__": "up", "job": "y"}, float("inf")),
+         ({"__name__": "up", "job": "z"}, float("-inf"))],
+        "labels map<string,string>, value double")
+    api = json.loads(json.dumps(api_success(to_api_vector(vec, at_ts=1700))))
+    vals = {e["metric"]["job"]: e["value"] for e in api["data"]["result"]}
+    assert api["status"] == "success"
+    assert api["data"]["resultType"] == "vector"
+    assert vals == {"api": [1700, "1"], "db": [1700, "0.5"],
+                    "x": [1700, "NaN"], "y": [1700, "+Inf"],
+                    "z": [1700, "-Inf"]}
+
+    rng = spark.createDataFrame(
+        [({"job": "b"}, 60, 2.0), ({"job": "a"}, 120, 1.5),
+         ({"job": "a"}, 60, 1.0)],
+        "labels map<string,string>, ts long, value double")
+    golden = {
+        "status": "success",
+        "data": {
+            "resultType": "matrix",
+            "result": [
+                {"metric": {"job": "a"},
+                 "values": [[60, "1"], [120, "1.5"]]},
+                {"metric": {"job": "b"}, "values": [[60, "2"]]},
+            ],
+        },
+    }
+    assert json.loads(json.dumps(api_success(to_api_matrix(rng)))) == golden
+
+
+def test_prometheus_api_series_labels_values(spark, tmp_path_factory):
+    """/api/v1/series, /api/v1/labels and /api/v1/label/<n>/values payload
+    shapers over the store's query_series / query_label_values — golden
+    dict comparisons through the public TSDB surface."""
+    import json
+
+    from mandodb_spark import TSDB, LabelMatcher
+    from mandodb_spark.functions.promql_parser import (
+        api_success,
+        to_api_label_values,
+        to_api_labels,
+        to_api_series,
+    )
+
+    base = tmp_path_factory.mktemp("apiser")
+    db = TSDB(spark, str(base / "store"))
+    db.insert_rows([
+        ("up", {"job": "api", "instance": "i1"}, 100, 1.0),
+        ("up", {"job": "api", "instance": "i2"}, 100, 1.0),
+        ("up", {"job": "db", "zone": "eu"}, 100, 1.0),
+        ("mem", {"job": "api"}, 100, 5.0),
+    ])
+    series = db.query_series([LabelMatcher("__name__", "up")], 0, 200)
+    got = json.loads(json.dumps(api_success(to_api_series(series))))
+    assert got == {"status": "success", "data": [
+        {"__name__": "up", "instance": "i1", "job": "api"},
+        {"__name__": "up", "instance": "i2", "job": "api"},
+        {"__name__": "up", "job": "db", "zone": "eu"},
+    ]}
+    assert to_api_labels(series) == ["__name__", "instance", "job", "zone"]
+    vals = db.query_label_values("instance", 0, 200)
+    assert api_success(to_api_label_values(vals)) == \
+        {"status": "success", "data": ["i1", "i2"]}

@@ -96,6 +96,64 @@ def weak_labels_from_heuristics(docs: DataFrame, text_col: str = "text",
     )
 
 
+def hash_split(df: DataFrame, key_col: str, test_frac: float = 0.2,
+               salt: str = "qsplit") -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, test) split keyed on row IDENTITY: a row
+    routes by ``xxhash64(salt + key)``, so the assignment is stable
+    across runs, partitionings, and cluster sizes — unlike
+    ``randomSplit``, whose per-row draw depends on partition layout.
+    The same discipline as the engine's other hash-deterministic
+    sampling (``operators.sampling``); no shuffle, two scan-side
+    filters."""
+    if not (0.0 < test_frac < 1.0):
+        raise ValueError(f"test_frac must be in (0, 1), got {test_frac}")
+    h = F.pmod(
+        F.xxhash64(F.concat_ws("\x1f", F.lit(salt),
+                               F.col(key_col).cast("string"))),
+        F.lit(10_000))
+    cut = int(test_frac * 10_000)
+    return df.filter(h >= cut), df.filter(h < cut)
+
+
+def evaluate_quality_classifier(test_docs: DataFrame, model,
+                                label_col: str = "label",
+                                k: int = 100) -> dict:
+    """Held-out evaluation of a trained quality model — the curation
+    gate's quality as a NUMBER per run, not an assumption (r8 verdict
+    #7).  Returns ``{auc, accuracy, precision_at_k, base_rate, n, k}``.
+
+    Distributed shape: scoring is the same map-side transform as
+    :func:`score_quality`; AUC is ``BinaryClassificationEvaluator`` over
+    the score column (JVM-side rank statistic); accuracy/base-rate is one
+    aggregate; precision@k is a ``TakeOrdered`` of k rows (never a full
+    sort).  Deterministic for a fixed (model, test set): every metric is
+    a pure function of the scored rows."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    scored = score_quality(test_docs, model, out_col="__qp").select(
+        F.col("__qp").cast("double").alias("__qp"),
+        F.col(label_col).cast("double").alias("__y"))
+    auc = float(BinaryClassificationEvaluator(
+        rawPredictionCol="__qp", labelCol="__y",
+        metricName="areaUnderROC").evaluate(scored))
+    row = scored.agg(
+        F.avg(F.when((F.col("__qp") >= 0.5) == (F.col("__y") >= 0.5), 1.0)
+              .otherwise(0.0)).alias("acc"),
+        F.avg("__y").alias("base"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    top = scored.orderBy(F.col("__qp").desc()).limit(int(k))
+    p_at_k = top.agg(F.avg("__y")).collect()[0][0]
+    return {
+        "auc": auc,
+        "accuracy": float(row["acc"]),
+        "precision_at_k": float(p_at_k) if p_at_k is not None else 0.0,
+        "base_rate": float(row["base"]),
+        "n": int(row["n"]),
+        "k": int(k),
+    }
+
+
 def save_model(model, path: str) -> None:
     model.write().overwrite().save(path)
 

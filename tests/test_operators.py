@@ -4306,3 +4306,44 @@ def test_quality_classifier_trains_scores_and_persists(spark, tmp_path):
               wl.groupBy("label").agg(F.count("*").alias("n")).collect()}
     assert counts == {0.0: 120, 1.0: 60}
     assert wl.count() < docs.count()  # ambiguous middle dropped
+
+
+def test_quality_classifier_heldout_evaluation(spark):
+    """evaluate_quality_classifier (r8 verdict #7): deterministic hash
+    split + held-out AUC / accuracy / precision@k.  Metrics clear the
+    separability bar, are bit-identical across repeated evaluations of
+    the same (model, test set), and stay within tolerance across
+    independent retrains (same data, fresh pipeline)."""
+    from mandodb_spark.operators.quality_model import (
+        evaluate_quality_classifier,
+        hash_split,
+        train_quality_classifier,
+    )
+
+    good = [(i, "the quick brown fox jumps over the lazy dog "
+                f"number {i} and rests in the warm meadow", 1.0)
+            for i in range(150)]
+    bad = [(1000 + i, ("zx9$#@ qq%% " * 5) + f"!!{i}##", 0.0)
+           for i in range(150)]
+    df = spark.createDataFrame(good + bad,
+                               "doc_id long, text string, label double")
+    train, test = hash_split(df, "doc_id", test_frac=0.25)
+    # the split is identity-keyed: same rows land on the same side
+    # regardless of partitioning
+    t2 = hash_split(df.repartition(13), "doc_id", test_frac=0.25)[1]
+    assert sorted(r["doc_id"] for r in test.collect()) == \
+        sorted(r["doc_id"] for r in t2.collect())
+    assert 0 < test.count() < df.count()
+
+    model = train_quality_classifier(train, num_features=1 << 12)
+    m1 = evaluate_quality_classifier(test, model, k=20)
+    assert m1["auc"] > 0.95 and m1["accuracy"] > 0.9
+    assert m1["precision_at_k"] == 1.0 and m1["k"] == 20
+    assert m1["n"] == test.count() and 0.0 < m1["base_rate"] < 1.0
+    # same model + test set -> identical numbers
+    assert evaluate_quality_classifier(test, model, k=20) == m1
+    # independent retrain -> within tolerance
+    m2 = evaluate_quality_classifier(
+        test, train_quality_classifier(train, num_features=1 << 12), k=20)
+    assert abs(m2["auc"] - m1["auc"]) < 0.05
+    assert abs(m2["accuracy"] - m1["accuracy"]) < 0.1

@@ -2408,3 +2408,97 @@ GROUP BY t ORDER BY t
 
 QUERIES["x_promql_range_stepscalar"] = x_promql_range_stepscalar
 ORACLES["x_promql_range_stepscalar"] = _range_stepscalar_sql()
+
+
+def x_promql_range_quantile_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-mode cross-series quantile: ``quantile without (k) (0.9,
+    view)`` at every grid point — grid_instant's newest-sample-per-series
+    vector feeds the grouped rank-probe engine keyed on (retained labels,
+    ts) (sketch.grouped_quantile_cont, the r8 verdict's scale-safe
+    replacement for a per-group exact percentile over unbounded series
+    groups).  The oracle rebuilds the grid with a DuckDB range() join,
+    row_number latest-per-series, and quantile_cont per (user, t)."""
+    from ..functions.promql_parser import eval_range
+    from .common import EV_END, EV_START
+    from .promql_q import _dedup_rel
+
+    g0 = EV_START + 86_400
+    out = eval_range(_dedup_rel(spark, sf_dir),
+                     "quantile without (k) (0.9, view)",
+                     g0, EV_END, 86_400, lookback=86_400)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        "ts",
+        F.round("value", 4).alias("q90"),
+    ).orderBy("user", "ts")
+
+
+def _range_quantile_group_sql() -> str:
+    from .common import EV_END, EV_START
+    from .promql_q import _DEDUP
+
+    g0 = EV_START + 86_400
+    return f"""{_DEDUP},
+grid AS (SELECT unnest(range({g0}, {EV_END} + 1, 86400)) AS t),
+j AS (
+    SELECT d.user, d.k, d.ts, d.value, g.t
+    FROM d JOIN grid g ON d.ts BETWEEN g.t - 86400 AND g.t
+    WHERE d.metric = 'view'
+),
+lat AS (SELECT user, k, t, value,
+        row_number() OVER (PARTITION BY user, k, t ORDER BY ts DESC) AS rn
+        FROM j)
+SELECT user, t AS ts,
+       round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS q90
+FROM lat WHERE rn = 1
+GROUP BY user, t ORDER BY user, t
+"""
+
+
+QUERIES["x_promql_range_quantile_group"] = x_promql_range_quantile_group
+ORACLES["x_promql_range_quantile_group"] = _range_quantile_group_sql()
+
+
+def x_promql_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >cap fan-out lowering as a first-class oracle query:
+    ``grid_over_time_sliding`` (dense step-bucket spine + running sums +
+    lag differencing — promql.py, r8 verdict #3) computes
+    sum_over_time(view[2d]) every 1d per series, re-aggregated by user.
+    round(…, 4) absorbs the cumulative-differencing float-associativity
+    delta the SCALE.md section documents; values and grouping must match
+    DuckDB's direct window sums exactly otherwise."""
+    from ..functions import promql as P
+    from .common import EV_END, EV_START
+    from .promql_q import _dedup_rel
+
+    g0 = EV_START + 2 * 86_400
+    rel = _dedup_rel(spark, sf_dir).filter(
+        F.col("labels").getItem("__name__") == "view")
+    out = P.grid_over_time_sliding(rel, "sum", g0, EV_END,
+                                   2 * 86_400, 86_400)
+    return (
+        out.groupBy(F.col("labels").getItem("user").alias("user"), "ts")
+        .agg(F.round(F.sum("value"), 4).alias("wsum"))
+        .orderBy("user", "ts")
+    )
+
+
+def _sliding_sum_sql() -> str:
+    from .common import EV_END, EV_START
+    from .promql_q import _DEDUP
+
+    g0, w = EV_START + 2 * 86_400, 2 * 86_400
+    return f"""{_DEDUP},
+grid AS (SELECT unnest(range({g0}, {EV_END} + 1, 86400)) AS t),
+j AS (
+    SELECT d.user, d.ts, d.value, g.t
+    FROM d JOIN grid g ON d.ts BETWEEN g.t - {w} + 1 AND g.t
+    WHERE d.metric = 'view'
+)
+SELECT user, t AS ts, round(CAST(sum(value) AS DOUBLE), 4) AS wsum
+FROM j GROUP BY user, t ORDER BY user, t
+"""
+
+
+QUERIES["x_promql_sliding_sum"] = x_promql_sliding_sum
+ORACLES["x_promql_sliding_sum"] = _sliding_sum_sql()

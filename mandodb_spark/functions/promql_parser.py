@@ -1049,6 +1049,21 @@ def _rrange_sel(node, ctx: _RCtx, fname: str):
 
 def _reval_call(node, ctx: _RCtx):
     _, fname, args = node
+    if fname in _RANGE_MODES or fname in _OVER_TIME_FNS \
+            or fname == "quantile_over_time":
+        # @-fixed range selector (rate(x[5m] @ 1700000000), incl. the
+        # resolved @ start()/end() sugar): PromQL evaluates the call once
+        # at the fixed time and holds it constant across the grid — one
+        # instant-mode evaluation broadcast-cross-joined to the eval
+        # points, exactly like the @-fixed instant selector path.
+        sel = args[-1]
+        if sel[0] == "selector" and sel[3] is not None and sel[5] is not None:
+            k, vec = _eval(node, _Ctx(ctx.rel, ctx.end, ctx.lookback))
+            if k != "vector":
+                raise PromqlError(f"{fname} returned a non-vector")
+            return ("vector",
+                    _strip(vec).crossJoin(F.broadcast(_grid_df(ctx)))
+                    .select("labels", "ts", "value"))
     if fname in _RANGE_MODES:
         (arg,) = args
         filt, w, off = _rrange_sel(arg, ctx, fname)
@@ -1442,10 +1457,11 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
     / argless calendar functions are per-eval-point scalars combinable
     with vectors (join on ts).  ``sort``/``sort_desc``/``sort_by_label*``
     are accepted as pass-throughs (Prometheus: they only affect instant
-    query results).  Restriction vs instant evaluation (raising
+    query results); ``@``-fixed selectors — instant and range, including
+    the ``start()``/``end()`` sugar — evaluate once and hold constant
+    across the grid.  Restriction vs instant evaluation (raising
     ``PromqlError``): subquery inners beyond ``rate(sel[w])`` /
-    ``<fn>_over_time(sel[w])``, and ``@`` on range selectors / inside
-    subqueries."""
+    ``<fn>_over_time(sel[w])``, and ``@`` inside subqueries."""
     if step <= 0:
         raise PromqlError("step must be positive")
     node = parse(query) if isinstance(query, str) else query

@@ -1074,3 +1074,24 @@ def test_prometheus_api_series_labels_values(spark, tmp_path_factory):
     vals = db.query_label_values("instance", 0, 200)
     assert api_success(to_api_label_values(vals)) == \
         {"status": "success", "data": ["i1", "i2"]}
+
+
+def test_range_at_fixed_range_selector(rrel):
+    # @-fixed RANGE selectors in range mode: the call evaluates once at
+    # the fixed time and is constant across the grid (PromQL @-modifier).
+    got = {(dict(l).get("job"), t): v
+           for l, t, v in rev(rrel, "rate(reqs[5m] @ 1200)")}
+    assert len(got) == 6  # 2 jobs x 3 grid points
+    api = [v for (j, _), v in got.items() if j == "api"]
+    assert all(v == pytest.approx(10 / 60) for v in api)
+    # identical value at every grid point (the constancy contract)
+    for j in ("api", "db"):
+        vs = {v for (jj, _), v in got.items() if jj == j}
+        assert len(vs) == 1
+    # via the end() sugar: same numbers as the explicit timestamp
+    sugar = {(dict(l).get("job"), t): v
+             for l, t, v in rev(rrel, "rate(reqs[5m] @ end())")}
+    assert sugar == got
+    # over_time family too
+    got = {t: v for _, t, v in rev(rrel, "max_over_time(mem[10m] @ 1200)")}
+    assert got == {600: 102.0, 900: 102.0, 1200: 102.0}

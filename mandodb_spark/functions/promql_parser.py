@@ -799,7 +799,30 @@ def _eval_subquery_agg(fn: str, node, ctx: _Ctx) -> DataFrame:
             " or <fn>_over_time(<g>_over_time(sel[w])[r:s])")
     _, name, matchers, w, sel_off, at_s = inner[2][0]
     if at_s is not None:
-        raise PromqlError("@ inside subqueries is not supported")
+        # @ pins the inner selector, so inner(t_i) is the SAME vector at
+        # every subquery step (PromQL @-modifier constancy): evaluate it
+        # ONCE, replicate across the aligned eval points, and run the
+        # ordinary outer aggregate — max/avg/last collapse to the value,
+        # sum/count scale with the point count, exactly as Prometheus
+        # evaluates the degenerate case.
+        k2, vec = _eval(inner, _Ctx(ctx.rel, ctx.t - offset_s, ctx.lookback))
+        if k2 != "vector":
+            raise PromqlError("subquery inner returned a non-vector")
+        s_end = ctx.t - offset_s
+        s_start = s_end - range_s + 1
+        lo = -(-s_start // step_s) * step_s
+        hi = (s_end // step_s) * step_s
+        if hi < lo:
+            return _strip(vec.filter(F.lit(False)))
+        spark = ctx.rel.sparkSession
+        grid = spark.range((hi - lo) // step_s + 1).select(
+            (F.lit(lo) + F.col("id") * step_s).cast("long").alias("__sq_t"))
+        pts = promql._ensure_series_key(vec).crossJoin(F.broadcast(grid))
+        agg = promql._OVER_TIME[fn]
+        out = (pts.groupBy("series_key")
+               .agg(F.any_value("labels").alias("labels"),
+                    agg(F.col("value")).alias("value")))
+        return _strip(out)
     filt = _matcher_filter(ctx.rel, name, matchers)
     end = ctx.t - offset_s - sel_off
     start = end - range_s + 1

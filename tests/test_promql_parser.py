@@ -1095,3 +1095,19 @@ def test_range_at_fixed_range_selector(rrel):
     # over_time family too
     got = {t: v for _, t, v in rev(rrel, "max_over_time(mem[10m] @ 1200)")}
     assert got == {600: 102.0, 900: 102.0, 1200: 102.0}
+
+
+def test_at_inside_subquery(rel):
+    # @ pins the inner selector: the inner vector is constant over the
+    # subquery steps — max/avg collapse to the value, sum/count scale
+    # with the number of aligned eval points.
+    base = ev(rel, "rate(http_requests_total[5m] @ 600)")
+    vmax = ev(rel, "max_over_time(rate(http_requests_total[5m] @ 600)[4m:1m])")
+    vavg = ev(rel, "avg_over_time(rate(http_requests_total[5m] @ 600)[4m:1m])")
+    assert vmax == base and vavg == base
+    # [4m:1m] at t=600 -> aligned points in [361, 600] = 420..600 = 4
+    vcnt = ev(rel, "count_over_time(rate(http_requests_total[5m] @ 600)[4m:1m])")
+    assert all(v == 4.0 for _, v in vcnt) and len(vcnt) == len(base)
+    vsum = ev(rel, "sum_over_time(rate(http_requests_total[5m] @ 600)[4m:1m])")
+    assert [(l, pytest.approx(4 * v)) for l, v in base] == \
+        [(l, v) for l, v in vsum]

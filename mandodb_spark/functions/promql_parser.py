@@ -246,7 +246,11 @@ class _Parser:
         raise PromqlError(f"unexpected {t.text!r} at {t.pos}")
 
     def selector_suffix_or(self, node):
-        # parenthesized expressions admit no [range]/offset here (v1)
+        # parenthesized expressions admit a SUBQUERY suffix
+        # ((a + b)[r:s], as PromQL); a plain [range] still requires a
+        # selector and fails in subquery_suffix's ':' expect
+        if self.peek().text == "[":
+            return self.subquery_suffix(node)
         return node
 
     def call_or_agg(self, name: str):
@@ -272,7 +276,10 @@ class _Parser:
                 if len(args) != 1:
                     raise PromqlError(f"{name} takes one vector argument")
                 arg = args[0]
-            return ("agg", name, by, without, param, arg)
+            node = ("agg", name, by, without, param, arg)
+            if self.peek().text == "[":
+                node = self.subquery_suffix(node)
+            return node
         self.expect("(")
         args = self.arg_list()
         self.expect(")")
@@ -610,7 +617,37 @@ def _eval(node, ctx: _Ctx):
     raise PromqlError(f"unhandled node {kind}")
 
 
+def _subquery_points(node, ctx: _Ctx):
+    """The inner expression of ``expr[r:s]`` evaluated ONCE on the
+    aligned subquery grid (absolute multiples of ``s`` covering
+    ``(t − offset − r, t − offset]``) via the RANGE evaluator — any
+    expression ``_reval`` lowers (selectors, calls, aggregations,
+    binops) becomes pseudo-samples ``(labels, ts, value)`` that the
+    range functions consume unchanged.  This is what makes arbitrary
+    subquery inners distributed: ONE fine-grid evaluation, never a
+    per-step replay of the inner plan.  Returns (pseudo_rel, window
+    start, window end)."""
+    _, inner, range_s, step_s, offset_s = node
+    s_end = ctx.t - offset_s
+    s_start = s_end - range_s + 1  # (t-r, t] on integer seconds
+    lo = -(-s_start // step_s) * step_s
+    hi = (s_end // step_s) * step_s
+    if hi < lo:
+        empty = ctx.rel.sparkSession.createDataFrame(
+            [], "labels map<string,string>, ts long, value double")
+        return empty, s_start, s_end
+    k, v = _reval(inner, _RCtx(ctx.rel, lo, hi, step_s, ctx.lookback))
+    if k != "vector":
+        raise PromqlError("subquery inner must be a vector expression")
+    return v.select("labels", "ts", "value"), s_start, s_end
+
+
 def _range_args(node, ctx: _Ctx, fname: str):
+    if node[0] == "subquery":
+        # rate(expr[r:s]) and friends: the subquery's eval points are
+        # pseudo-samples; the range function runs over them unchanged
+        pseudo, s_start, s_end = _subquery_points(node, ctx)
+        return pseudo, s_start, s_end, node[2]
     if node[0] != "selector" or node[3] is None:
         raise PromqlError(f"{fname} needs a range selector argument")
     _, name, matchers, range_s, offset_s, at_s = node
@@ -781,22 +818,27 @@ def _eval_call(node, ctx: _Ctx):
 
 
 def _eval_subquery_agg(fn: str, node, ctx: _Ctx) -> DataFrame:
-    """``<fn>_over_time(<inner>[r:s])`` where the inner is ``rate(sel[w])``
-    (sliding-rate pass) or ``<g>_over_time(sel[w])`` (sliding grid pass) —
-    the subquery shapes with a distributed lowering: inner values at every
-    step, then one per-series regroup.  Arbitrary inner expressions would
-    need per-step re-evaluation of an arbitrary plan and are rejected
-    explicitly.  Step alignment is absolute (multiples of s), the same
-    documented delta as promql.subquery_over_time."""
+    """``<fn>_over_time(<inner>[r:s])``.  ``rate(sel[w])`` /
+    ``<g>_over_time(sel[w])`` inners keep their specialized sliding
+    lowerings (rate_sliding / grid_over_time); EVERY other inner shape
+    goes through :func:`_subquery_points` — one fine-grid range
+    evaluation of the arbitrary inner expression, then a single-bucket
+    over_time across its pseudo-samples.  Either way the inner plan runs
+    ONCE, never per step.  Step alignment is absolute (multiples of s),
+    the same documented delta as promql.subquery_over_time."""
     _, inner, range_s, step_s, offset_s = node
     ok = (inner[0] == "call"
           and (inner[1] == "rate" or inner[1] in _OVER_TIME_FNS)
           and len(inner[2]) == 1
           and inner[2][0][0] == "selector" and inner[2][0][3] is not None)
     if not ok:
-        raise PromqlError(
-            "subquery support is limited to <fn>_over_time(rate(sel[w])[r:s])"
-            " or <fn>_over_time(<g>_over_time(sel[w])[r:s])")
+        # ARBITRARY inner expressions (binops, aggregations, nested
+        # calls): the subquery points come from one fine-grid _reval
+        # pass; the outer aggregate is then a single-bucket over_time on
+        # the pseudo-samples.  No per-step plan replay.
+        pseudo, s_start, s_end = _subquery_points(node, ctx)
+        return _strip(promql.over_time(pseudo, fn, s_start, s_end,
+                                       node[2]))
     _, name, matchers, w, sel_off, at_s = inner[2][0]
     if at_s is not None:
         # @ pins the inner selector, so inner(t_i) is the SAME vector at
@@ -1061,8 +1103,25 @@ def _guard_fanout(reach_incl: int, step: int, what: str) -> None:
 
 
 def _rrange_sel(node, ctx: _RCtx, fname: str):
-    if node[0] != "selector" or node[3] is None:
-        raise PromqlError(f"{fname} needs a range selector argument")
+    if node[0] == "subquery":
+        # Range-mode subquery: the inner evaluated ONCE on the aligned
+        # fine grid covering every outer window — its rows are pseudo-
+        # samples the grid primitives consume unchanged, so
+        # rate(expr[r:s]) / <fn>_over_time(expr[r:s]) in range queries
+        # cost one inner range evaluation plus the normal grid pass,
+        # never a per-outer-point replay of the inner plan.
+        _, inner, range_s, step_s, offset_s = node
+        lo = -(-(ctx.start - offset_s - range_s + 1) // step_s) * step_s
+        hi = ((ctx.end - offset_s) // step_s) * step_s
+        spark = ctx.rel.sparkSession
+        if hi < lo:
+            return (spark.createDataFrame(
+                [], "labels map<string,string>, ts long, value double"),
+                range_s, offset_s)
+        k, v = _reval(inner, _RCtx(ctx.rel, lo, hi, step_s, ctx.lookback))
+        if k != "vector":
+            raise PromqlError("subquery inner must be a vector expression")
+        return v.select("labels", "ts", "value"), range_s, offset_s
     _, name, matchers, range_s, offset_s, at_s = node
     if at_s is not None:
         raise PromqlError(
@@ -1482,9 +1541,11 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
     are accepted as pass-throughs (Prometheus: they only affect instant
     query results); ``@``-fixed selectors — instant and range, including
     the ``start()``/``end()`` sugar — evaluate once and hold constant
-    across the grid.  Restriction vs instant evaluation (raising
-    ``PromqlError``): subquery inners beyond ``rate(sel[w])`` /
-    ``<fn>_over_time(sel[w])``, and ``@`` inside subqueries."""
+    across the grid.  Subqueries lower as pseudo-samples (one fine-grid
+    inner evaluation feeding the normal grid pass — any inner expression
+    the range evaluator handles).  Remaining restrictions (raising
+    ``PromqlError``): bare subqueries at the top level (as Prometheus),
+    nested subqueries, and ``@`` inside subqueries in range mode."""
     if step <= 0:
         raise PromqlError("step must be positive")
     node = parse(query) if isinstance(query, str) else query

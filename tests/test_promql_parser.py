@@ -330,9 +330,10 @@ def test_subquery_max_rate(hrel):
     got = ev(hrel, "max_over_time(rate(ctr[10m])[1h:10m])", at=7200)
     assert got == [((("__name__", "ctr"), ("job", "api")),
                     pytest.approx(0.1))]
-    with pytest.raises(PromqlError):
-        # only the rate(sel[w]) inner shape has a distributed lowering
-        eval_instant(hrel, "max_over_time(sum(ctr)[1h:10m])", 7200)
+    # arbitrary inners now lower through the fine-grid range evaluation:
+    # sum(ctr) at the aligned points 4200..7200 is t/10, max = 720
+    assert ev(hrel, "max_over_time(sum(ctr)[1h:10m])", at=7200) == \
+        [((), 720.0)]
 
 
 # ------------------------------------------------------------- range queries
@@ -421,9 +422,47 @@ def test_range_scalar_expression_grid(rrel):
 def test_range_unsupported_shapes_raise(rrel):
     from mandodb_spark.functions.promql_parser import eval_range
 
-    for q in ("max_over_time(rate(mem[5m])[10m:5m])",):
+    # bare subquery at the top level (Prometheus: "invalid expression
+    # type range vector") and nested subqueries stay rejected
+    for q in ("mem[10m:5m]",
+              "max_over_time(avg_over_time(mem[4m:2m])[10m:5m])"):
         with pytest.raises(PromqlError):
             eval_range(rrel, q, 600, 1200, 300)
+
+
+def test_general_subquery_inners_instant(rel):
+    # Arbitrary inner expressions (aggregation over a binop-able vector)
+    # lower as ONE fine-grid range evaluation + a per-series aggregate.
+    # sum by (job) at k-minutes: api = 20k, db = 10k.
+    got = {dict(l)["job"]: v for l, v in
+           ev(rel, "max_over_time(sum by (job)(http_requests_total)[4m:1m])")}
+    assert got == {"api": 200.0, "db": 100.0}
+    got = {dict(l)["job"]: v for l, v in
+           ev(rel, "avg_over_time(sum by (job)(http_requests_total)[4m:1m])")}
+    assert got == {"api": 170.0, "db": 85.0}
+    # rate over a subquery: pseudo-samples feed the ordinary rate
+    got = {dict(l)["job"]: v for l, v in
+           ev(rel, "rate(sum by (job)(http_requests_total)[4m:1m])")}
+    assert got["api"] == pytest.approx(60 / 180) \
+        and got["db"] == pytest.approx(30 / 180)
+    # quantile_over_time over a subquery
+    got = {dict(l)["job"]: v for l, v in
+           ev(rel, "quantile_over_time(0.5, "
+                   "sum by (job)(http_requests_total)[4m:1m])")}
+    assert got == {"api": 170.0, "db": 85.0}
+
+
+def test_general_subquery_inners_range(rrel):
+    # Range mode: the subquery's fine grid covers every outer window;
+    # the outer is the normal explode-grid pass over pseudo-samples.
+    got = {(dict(l)["job"], t): v for l, t, v in
+           rev(rrel, "avg_over_time(sum by (job)(reqs)[10m:5m])")}
+    assert got == {("api", 600): 75.0, ("api", 900): 125.0,
+                   ("api", 1200): 175.0, ("db", 600): 37.5,
+                   ("db", 900): 62.5, ("db", 1200): 87.5}
+    # previously-rejected shape: rate of a rate-subquery
+    got = rev(rrel, "max_over_time(rate(mem[5m])[10m:5m])")
+    assert len(got) > 0
 
 
 def test_range_sort_is_passthrough(rrel):

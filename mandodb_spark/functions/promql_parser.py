@@ -346,6 +346,25 @@ class _Parser:
             if dt.kind != "DURATION":
                 raise PromqlError(f"expected duration at {dt.pos}")
             range_s = parse_duration(dt.text)
+            if self.peek().text == ":":
+                # m[r:s] — a SUBQUERY over the bare instant selector
+                # (PromQL: subquery suffixes attach to any expression);
+                # the trailing offset belongs to the subquery
+                self.next()
+                st = self.next()
+                if st.kind != "DURATION":
+                    raise PromqlError(f"expected step duration at {st.pos}")
+                step_s = parse_duration(st.text)
+                self.expect("]")
+                inner = ("selector", name, matchers, None, 0, None)
+                offset_s = 0
+                if self.peek().text == "offset":
+                    self.next()
+                    ot = self.next()
+                    if ot.kind != "DURATION":
+                        raise PromqlError(f"expected duration at {ot.pos}")
+                    offset_s = parse_duration(ot.text)
+                return ("subquery", inner, range_s, step_s, offset_s)
             self.expect("]")
         offset_s, at_s = 0, None
         while self.peek().text in ("offset", "@"):  # either order, as PromQL
@@ -371,7 +390,12 @@ class _Parser:
                     raise PromqlError(
                         f"expected unix timestamp or start()/end() "
                         f"after @ at {nt.pos}")
-        return ("selector", name, matchers, range_s, offset_s, at_s)
+        node = ("selector", name, matchers, range_s, offset_s, at_s)
+        if range_s is None and self.peek().text == "[":
+            # modifier-carrying selector followed by a subquery suffix
+            # (m @ 600 [10m:5m], m offset 1m [1h:5m])
+            return self.subquery_suffix(node)
+        return node
 
 
 def parse(query: str):

@@ -1150,3 +1150,20 @@ def test_at_inside_subquery(rel):
     vsum = ev(rel, "sum_over_time(rate(http_requests_total[5m] @ 600)[4m:1m])")
     assert [(l, pytest.approx(4 * v)) for l, v in base] == \
         [(l, v) for l, v in vsum]
+
+
+def test_bare_selector_subquery(rel, rrel):
+    # m[10m:5m] — PromQL's most common subquery shape (no wrapping call
+    # around the selector) now parses and evaluates in both modes.
+    # instant: points 300/600 -> mem_bytes 105, 110
+    got = ev(rel, "max_over_time(mem_bytes[10m:5m])")
+    assert [v for _, v in got] == [110.0]
+    assert ev(rel, "avg_over_time(mem_bytes[10m:5m])")[0][1] == 107.5
+    # range mode on rrel's mem (100 + k%3)
+    got = {t: v for _, t, v in rev(rrel, "avg_over_time(mem[10m:5m])")}
+    assert got == {600: 101.5, 900: 100.5, 1200: 101.0}
+    # @ inside a subquery in RANGE mode: the pinned inner is constant
+    got = {(dict(l)["job"], t): v for l, t, v in
+           rev(rrel, "avg_over_time(reqs @ 600 [10m:5m])")}
+    assert all(v == 100.0 for (j, _), v in got.items() if j == "api")
+    assert all(v == 50.0 for (j, _), v in got.items() if j == "db")

@@ -423,11 +423,14 @@ def test_range_unsupported_shapes_raise(rrel):
     from mandodb_spark.functions.promql_parser import eval_range
 
     # bare subquery at the top level (Prometheus: "invalid expression
-    # type range vector") and nested subqueries stay rejected
-    for q in ("mem[10m:5m]",
-              "max_over_time(avg_over_time(mem[4m:2m])[10m:5m])"):
+    # type range vector") stays rejected
+    for q in ("mem[10m:5m]", "rate(mem[2m])[10m:5m]"):
         with pytest.raises(PromqlError):
             eval_range(rrel, q, 600, 1200, 300)
+    # NESTED subqueries recurse through the pseudo-sample lowering
+    got = rev(rrel, "max_over_time(avg_over_time(mem[4m:2m])[10m:5m])")
+    assert sorted(t for _, t, _ in got) == [600, 900, 1200]
+    assert all(100.0 <= v <= 102.0 for _, _, v in got)
 
 
 def test_general_subquery_inners_instant(rel):

@@ -593,6 +593,30 @@ def grid_rate(rel: DataFrame, start: int, end: int, window: int, step: int,
         value.cast("double").alias("value"))
 
 
+def grid_mad(rel: DataFrame, start: int, end: int, window: int,
+             step: int) -> DataFrame:
+    """``mad_over_time(sel[window])`` at every grid eval point: median
+    absolute deviation per (series, t) — the sliding dual of
+    :func:`mad_over_time`'s tumbling windows.  Two bounded aggregations
+    over the same explode (median, then median of |x − med| after an
+    equi-join on (series, t)); groups are window-sized, so the exact
+    ``percentile`` is the right tool here (unlike the cross-series
+    quantile aggregators)."""
+    _check_fanout(window - 1, step, "grid_mad")
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - window + 1, end))
+    covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
+    med = covered.groupBy("series_key", "__t").agg(
+        F.expr("percentile(value, 0.5d)").alias("__med"))
+    joined = covered.join(med, ["series_key", "__t"])
+    return (
+        joined.groupBy("series_key", "__t")
+        .agg(F.any_value("labels").alias("labels"),
+             F.expr("percentile(abs(value - __med), 0.5d)").alias("value"))
+        .select("series_key", "labels", F.col("__t").alias("ts"), "value")
+    )
+
+
 def grid_over_time_sliding(rel: DataFrame, fn: str, start: int, end: int,
                            window: int, step: int) -> DataFrame:
     """``sum/count/avg_over_time(sel[window])`` on the grid WITHOUT the

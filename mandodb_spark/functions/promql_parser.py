@@ -1204,6 +1204,13 @@ def _reval_call(node, ctx: _RCtx):
         out = promql.grid_over_time(filt, "quantile", ctx.start - off,
                                     ctx.end - off, w, ctx.step, q=qv)
         return ("vector", _strip_r(_shift(out, off)))
+    if fname == "mad_over_time":
+        (arg,) = args
+        filt, w, off = _rrange_sel(arg, ctx, fname)
+        _guard_fanout(w - 1, ctx.step, fname)
+        out = promql.grid_mad(filt, ctx.start - off, ctx.end - off,
+                              w, ctx.step)
+        return ("vector", _strip_r(_shift(out, off)))
     if fname == "histogram_quantile":
         q, arg = args
         qk, qv = _reval(q, ctx)

@@ -1170,3 +1170,15 @@ def test_bare_selector_subquery(rel, rrel):
            rev(rrel, "avg_over_time(reqs @ 600 [10m:5m])")}
     assert all(v == 100.0 for (j, _), v in got.items() if j == "api")
     assert all(v == 50.0 for (j, _), v in got.items() if j == "db")
+
+
+def test_range_mad_over_time(rrel):
+    # mem = 100 + k%3 at k-minutes: any 5m window at a 300s-aligned t
+    # holds values {100,101,102,100,101} or a rotation -> median 101,
+    # |x-101| in {1,0,1,1,0} -> mad 1.0
+    got = {t: v for _, t, v in rev(rrel, "mad_over_time(mem[5m])")}
+    assert got == {600: 1.0, 900: 1.0, 1200: 1.0}
+    # matches the instant evaluation at each grid point
+    for t in (600, 900, 1200):
+        inst = ev(rrel, "mad_over_time(mem[5m])", at=t)
+        assert inst[0][1] == got[t]

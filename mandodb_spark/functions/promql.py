@@ -1290,8 +1290,15 @@ def holt_winters(rel: DataFrame, start: int, end: int,
     per_series = rel.groupBy("series_key").agg(
         F.any_value("labels").alias("labels"), vals.alias("__vals")
     ).filter(F.size("__vals") >= 2)
+    return per_series.select(
+        "series_key", "labels",
+        _hw_fold(F.col("__vals"), sf, tf).cast("double").alias("value"),
+    )
 
-    v = F.col("__vals")
+
+def _hw_fold(v: Column, sf: float, tf: float) -> Column:
+    """The Holt-Winters recurrence as one JVM ``F.aggregate`` fold over a
+    ts-sorted value array — shared by the instant and grid evaluators."""
     init = F.struct(
         F.element_at(v, 1).alias("sp"),
         F.element_at(v, 1).alias("s"),
@@ -1309,9 +1316,60 @@ def holt_winters(rel: DataFrame, start: int, end: int,
             b_new.alias("b"), (acc["i"] + 1).alias("i"),
         )
 
-    smoothed = F.aggregate(
+    return F.aggregate(
         F.slice(v, 2, F.size(v) - 1), init, step, lambda acc: acc["s"]
     )
-    return per_series.select(
-        "series_key", "labels", smoothed.cast("double").alias("value")
+
+
+def grid_holt_winters(rel: DataFrame, start: int, end: int, window: int,
+                      step: int, sf: float, tf: float) -> DataFrame:
+    """``holt_winters(sel[window], sf, tf)`` at every grid eval point:
+    the same sequential-per-window :func:`_hw_fold` the instant evaluator
+    runs, over per-(series, t) sorted value arrays assembled by the
+    covering-points explode — array size bounded by samples-per-window,
+    one hash aggregate, no Python."""
+    _check_fanout(window - 1, step, "grid_holt_winters")
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - window + 1, end))
+    covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "value"))), lambda p: p["value"]
     )
+    g = covered.groupBy("series_key", "__t").agg(
+        F.any_value("labels").alias("labels"), vals.alias("__vals")
+    ).filter(F.size("__vals") >= 2)
+    return g.select(
+        "series_key", "labels", F.col("__t").alias("ts"),
+        _hw_fold(F.col("__vals"), sf, tf).cast("double").alias("value"))
+
+
+def grid_deriv(rel: DataFrame, start: int, end: int, window: int,
+               step: int, horizon: int | None = None) -> DataFrame:
+    """``deriv(sel[window])`` — and, with ``horizon``,
+    ``predict_linear(sel[window], horizon)`` — at every grid eval point:
+    per-(series, t) least-squares slope/intercept (``regr_slope`` /
+    ``regr_intercept``, partial-aggregatable) over the window's samples.
+    x is window-relative (ts − window start) for cross-engine numeric
+    stability, so the eval point sits at x = window − 1 and
+    predict_linear extrapolates to x = window − 1 + horizon, exactly the
+    instant form's arithmetic."""
+    _check_fanout(window - 1, step, "grid_deriv")
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - window + 1, end))
+    covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
+    x = (F.col("ts") - (F.col("__t") - F.lit(window - 1))).cast("double")
+    g = (
+        covered.groupBy("series_key", "__t")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.regr_slope(F.col("value"), x).alias("__slope"),
+            F.regr_intercept(F.col("value"), x).alias("__icept"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter((F.col("__n") >= 2) & F.col("__slope").isNotNull())
+    )
+    value = (F.col("__slope") if horizon is None
+             else F.col("__icept")
+             + F.col("__slope") * F.lit(float(window - 1 + horizon)))
+    return g.select("series_key", "labels", F.col("__t").alias("ts"),
+                    value.cast("double").alias("value"))

@@ -1211,6 +1211,32 @@ def _reval_call(node, ctx: _RCtx):
         out = promql.grid_mad(filt, ctx.start - off, ctx.end - off,
                               w, ctx.step)
         return ("vector", _strip_r(_shift(out, off)))
+    if fname in ("holt_winters", "double_exponential_smoothing"):
+        arg, sfp, tfp = args
+        sfk, sfv = _reval(sfp, ctx)
+        tfk, tfv = _reval(tfp, ctx)
+        if sfk != "scalar" or tfk != "scalar":
+            raise PromqlError("holt_winters needs scalar sf and tf")
+        filt, w, off = _rrange_sel(arg, ctx, fname)
+        _guard_fanout(w - 1, ctx.step, fname)
+        out = promql.grid_holt_winters(filt, ctx.start - off, ctx.end - off,
+                                       w, ctx.step, float(sfv), float(tfv))
+        return ("vector", _strip_r(_shift(out, off)))
+    if fname in ("deriv", "predict_linear"):
+        horizon = None
+        if fname == "predict_linear":
+            arg, hp = args
+            hk, hv = _reval(hp, ctx)
+            if hk != "scalar":
+                raise PromqlError("predict_linear needs a scalar horizon")
+            horizon = int(hv)
+        else:
+            (arg,) = args
+        filt, w, off = _rrange_sel(arg, ctx, fname)
+        _guard_fanout(w - 1, ctx.step, fname)
+        out = promql.grid_deriv(filt, ctx.start - off, ctx.end - off, w,
+                                ctx.step, horizon)
+        return ("vector", _strip_r(_shift(out, off)))
     if fname == "histogram_quantile":
         q, arg = args
         qk, qv = _reval(q, ctx)

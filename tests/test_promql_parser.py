@@ -1182,3 +1182,28 @@ def test_range_mad_over_time(rrel):
     for t in (600, 900, 1200):
         inst = ev(rrel, "mad_over_time(mem[5m])", at=t)
         assert inst[0][1] == got[t]
+
+
+def test_range_deriv_predict_linear_holt_winters(rrel):
+    # reqs is a perfect line (slope/60 per second), so deriv is constant,
+    # predict_linear extrapolates it exactly, and each must match the
+    # instant evaluation per grid point.
+    got = {(dict(l)["job"], t): v for l, t, v in rev(rrel, "deriv(reqs[5m])")}
+    assert all(v == pytest.approx(10 / 60) for (j, _), v in got.items()
+               if j == "api")
+    assert all(v == pytest.approx(5 / 60) for (j, _), v in got.items()
+               if j == "db")
+    got = {(dict(l)["job"], t): v
+           for l, t, v in rev(rrel, "predict_linear(reqs[5m], 60)")}
+    # value at t is (t/60)*slope; 60s ahead adds one slope unit
+    for (j, t), v in got.items():
+        slope = 10.0 if j == "api" else 5.0
+        assert v == pytest.approx((t / 60 + 1) * slope)
+    # holt_winters on the grid == the instant evaluation at each point
+    rng = {(dict(l)["job"], t): v for l, t, v in
+           rev(rrel, "holt_winters(reqs[5m], 0.5, 0.3)")}
+    for t in (600, 900, 1200):
+        inst = {dict(l)["job"]: v for l, v in
+                ev(rrel, "holt_winters(reqs[5m], 0.5, 0.3)", at=t)}
+        for j, v in inst.items():
+            assert rng[(j, t)] == pytest.approx(v), (j, t)

@@ -776,6 +776,20 @@ def _eval_call(node, ctx: _Ctx):
         else:
             out = promql.clamp(v, hi=bounds[0])
         return ("vector", _drop_name(out))
+    if fname == "round":
+        # PromQL round(v, to=1): nearest multiple of ``to``, ties away
+        # from the floor (floor(v/to + 0.5) * to — promql/functions.go
+        # funcRound)
+        arg, *rest = args
+        k, v = _eval(arg, ctx)
+        if k != "vector":
+            raise PromqlError("round takes a vector first argument")
+        to = float(_eval(rest[0], ctx)[1]) if rest else 1.0
+        if to <= 0:
+            raise PromqlError("round(): to must be positive")
+        out = v.withColumn(
+            "value", (F.floor(F.col("value") / to + 0.5) * to).cast("double"))
+        return ("vector", _drop_name(out))
     if fname == "label_replace":
         arg, dst, repl, src, regex = args
         v = _eval(arg, ctx)[1]
@@ -1342,6 +1356,51 @@ def _reval_call(node, ctx: _RCtx):
         if k != "vector":
             raise PromqlError(f"{fname} takes a vector")
         return ("vector", v.select("labels", "ts", "value"))
+    if fname == "round":
+        arg, *rest = args
+        k, v = _reval(arg, ctx)
+        if k != "vector":
+            raise PromqlError("round takes a vector first argument")
+        tok, tov = _reval(rest[0], ctx) if rest else ("scalar", 1.0)
+        if tok != "scalar":
+            raise PromqlError("round(): to must be a scalar")
+        to = float(tov)
+        if to <= 0:
+            raise PromqlError("round(): to must be positive")
+        out = v.withColumn(
+            "value", (F.floor(F.col("value") / to + 0.5) * to).cast("double"))
+        return ("vector", _drop_name(out).select("labels", "ts", "value"))
+    if fname == "scalar":
+        # per eval point: the single sample's value, NaN otherwise —
+        # a stepscalar joined on ts downstream; the generated grid fills
+        # sample-less eval points with NaN (as Prometheus)
+        (arg,) = args
+        k, v = _reval(arg, ctx)
+        if k == "scalar":
+            return ("scalar", float(v))
+        if k == "stepscalar":
+            return ("stepscalar", v)
+        per_t = v.groupBy("ts").agg(F.count(F.lit(1)).alias("__n"),
+                                    F.first("value").alias("__v"))
+        out = _grid_df(ctx).join(per_t, "ts", "left").select(
+            "ts",
+            F.when(F.col("__n") == 1, F.col("__v"))
+            .otherwise(F.lit(float("nan"))).cast("double").alias("value"))
+        return ("stepscalar", out)
+    if fname == "vector":
+        (arg,) = args
+        k, v = _reval(arg, ctx)
+        empty = F.map_from_arrays(F.array().cast("array<string>"),
+                                  F.array().cast("array<string>"))
+        if k == "vector":
+            return ("vector", v)  # vector(vector) is the identity
+        if k == "stepscalar":
+            return ("vector", v.select(
+                empty.alias("labels"), "ts",
+                F.col("value").cast("double").alias("value")))
+        return ("vector", _grid_df(ctx).select(
+            empty.alias("labels"), "ts",
+            F.lit(float(v)).alias("value")))
     raise PromqlError(
         f"function {fname!r} is not supported in range queries")
 

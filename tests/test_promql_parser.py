@@ -1207,3 +1207,27 @@ def test_range_deriv_predict_linear_holt_winters(rrel):
                 ev(rrel, "holt_winters(reqs[5m], 0.5, 0.3)", at=t)}
         for j, v in inst.items():
             assert rng[(j, t)] == pytest.approx(v), (j, t)
+
+
+def test_round_scalar_vector_both_modes(rel, rrel):
+    import math
+
+    from mandodb_spark.functions.promql_parser import eval_range
+
+    # round(v, to): nearest multiple, ties away from the floor
+    assert ev(rel, "round(mem_bytes, 20)")[0][1] == 120.0  # 110 -> 120
+    assert ev(rel, "round(mem_bytes)")[0][1] == 110.0
+    got = {t: v for _, t, v in rev(rrel, "round(mem, 10)")}
+    assert got == {600: 100.0, 900: 100.0, 1200: 100.0}
+    # scalar() in range mode: per-eval-point stepscalar, NaN when the
+    # vector is not a single sample
+    got = {t: v for _, t, v in rev(rrel, "mem * scalar(mem)")}
+    assert got == {600: 101.0 ** 2, 900: 100.0 ** 2, 1200: 102.0 ** 2}
+    multi = eval_range(rrel, "scalar(reqs) + 0 * sum(reqs)",
+                       600, 1200, 300).collect()
+    assert multi and all(math.isnan(r["value"]) for r in multi)
+    # vector() in range mode: labels-less series on the grid
+    got = {t: v for _, t, v in rev(rrel, "vector(7)")}
+    assert got == {600: 7.0, 900: 7.0, 1200: 7.0}
+    got = {t: v for _, t, v in rev(rrel, "vector(time())")}
+    assert got == {600: 600.0, 900: 900.0, 1200: 1200.0}

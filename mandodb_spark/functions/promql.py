@@ -904,6 +904,13 @@ def scalar_map(vector: DataFrame, fn: str) -> DataFrame:
         "log10": F.log10,
         "sqrt": F.sqrt,
         "sgn": F.signum,
+        # trigonometric family (PromQL 2.31, promql/functions.go) — all
+        # JVM column functions, same codegen path
+        "sin": F.sin, "cos": F.cos, "tan": F.tan,
+        "asin": F.asin, "acos": F.acos, "atan": F.atan,
+        "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+        "asinh": F.asinh, "acosh": F.acosh, "atanh": F.atanh,
+        "deg": F.degrees, "rad": F.radians,
     }
     return vector.withColumn("value", fns[fn](F.col("value")).cast("double"))
 
@@ -968,6 +975,9 @@ _ARITH_OPS = {
     "/": lambda l, r: l / r,
     "%": lambda l, r: l % r,
     "^": lambda l, r: F.pow(l, r),
+    # PromQL 2.31 binary operator (same precedence tier as */%);
+    # arithmetic semantics: drops __name__, supports on/ignoring/group_*
+    "atan2": lambda l, r: F.atan2(l, r),
 }
 
 #: Comparison operators — filter semantics without ``bool``, 1.0/0.0 with.

@@ -132,7 +132,7 @@ _SET = {"and", "or", "unless"}
 #: precedence (PromQL): or < and/unless < comparisons < +- < */% < ^
 _PREC = {"or": 1, "and": 2, "unless": 2,
          "==": 3, "!=": 3, ">": 3, "<": 3, ">=": 3, "<=": 3,
-         "+": 4, "-": 4, "*": 5, "/": 5, "%": 5, "^": 6}
+         "+": 4, "-": 4, "*": 5, "/": 5, "%": 5, "atan2": 5, "^": 6}
 
 
 class _Parser:
@@ -558,7 +558,10 @@ _OVER_TIME_FNS = {f"{k}_over_time": k for k in (
     "present", "ts_of_max", "ts_of_min", "ts_of_last")}
 
 _SCALAR_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10",
-               "sqrt", "sgn"}
+               "sqrt", "sgn",
+               "sin", "cos", "tan", "asin", "acos", "atan",
+               "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+               "deg", "rad"}
 
 _CALENDAR_FNS = set(promql._CALENDAR)
 
@@ -842,6 +845,9 @@ def _eval_call(node, ctx: _Ctx):
             F.lit(float(v)).alias("value")))
     if fname == "time":
         return ("scalar", float(ctx.t))
+    if fname == "pi":
+        import math
+        return ("scalar", math.pi)
     if fname == "timestamp":
         (arg,) = args
         if arg[0] != "selector" or arg[3] is not None:
@@ -1265,6 +1271,9 @@ def _reval_call(node, ctx: _RCtx):
         grid = _grid_df(ctx)
         return ("stepscalar",
                 grid.select("ts", F.col("ts").cast("double").alias("value")))
+    if fname == "pi":
+        import math
+        return ("scalar", math.pi)
     if fname in _SCALAR_FNS:
         (arg,) = args
         k, v = _reval(arg, ctx)

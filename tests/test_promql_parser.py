@@ -1231,3 +1231,24 @@ def test_round_scalar_vector_both_modes(rel, rrel):
     assert got == {600: 7.0, 900: 7.0, 1200: 7.0}
     got = {t: v for _, t, v in rev(rrel, "vector(time())")}
     assert got == {600: 600.0, 900: 900.0, 1200: 1200.0}
+
+
+def test_trig_pi_atan2(rel, rrel):
+    import math
+
+    # pi() and the trig family (PromQL 2.31)
+    assert ev(rel, "pi()") == [((), pytest.approx(math.pi))]
+    assert ev(rel, "sin(0 * mem_bytes)")[0][1] == 0.0
+    assert ev(rel, "deg(0 * mem_bytes + pi())")[0][1] == pytest.approx(180.0)
+    assert ev(rel, "rad(0 * mem_bytes + 180)")[0][1] == pytest.approx(math.pi)
+    got = ev(rel, "cos(0 * http_requests_total)")
+    assert [v for _, v in got] == [1.0, 1.0, 1.0, 1.0]
+    # atan2 as a binary operator with vector matching, both modes
+    got = ev(rel, "mem_bytes atan2 on(job, instance) mem_bytes")
+    assert got[0][1] == pytest.approx(math.atan2(110.0, 110.0))
+    rng = {t: v for _, t, v in rev(rrel, "mem atan2 mem")}
+    assert all(v == pytest.approx(math.pi / 4) for v in rng.values())
+    # precedence: same tier as * (left-assoc), binds tighter than +
+    ast = parse("a atan2 b * c")   # (a atan2 b) * c
+    assert ast[1] == "*" and ast[2][1] == "atan2"
+    assert parse("a + b atan2 c")[1] == "+"

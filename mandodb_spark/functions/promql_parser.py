@@ -124,7 +124,8 @@ def parse_duration(text: str) -> int:
 #   ("subquery", call_node, range_s, step_s, offset_s)
 
 _AGGS = {"sum", "min", "max", "avg", "count", "stddev", "stdvar", "group",
-         "topk", "bottomk", "quantile", "count_values"}
+         "topk", "bottomk", "quantile", "count_values",
+         "limitk", "limit_ratio"}
 
 _CMP = {"==", "!=", ">", "<", ">=", "<="}
 _SET = {"and", "or", "unless"}
@@ -268,7 +269,8 @@ class _Parser:
                 lst = self.label_list()
                 by, without = (lst, None) if which == "by" else (None, lst)
             param = None
-            if name in ("topk", "bottomk", "quantile", "count_values"):
+            if name in ("topk", "bottomk", "quantile", "count_values",
+                        "limitk", "limit_ratio"):
                 if len(args) != 2:
                     raise PromqlError(f"{name} takes (param, vector)")
                 param, arg = args
@@ -927,6 +929,35 @@ def _eval_subquery_agg(fn: str, node, ctx: _Ctx) -> DataFrame:
     return _strip(out)
 
 
+def _limit_agg(fname: str, pv: float, v: DataFrame, by, without,
+               extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """``limitk(k, v)`` / ``limit_ratio(r, v)`` (Prometheus 3.x
+    experimental aggregations): a DETERMINISTIC series subset per group.
+    Prometheus picks by a hash of the series so results are stable and
+    ``limit_ratio(r)`` ∪ ``limit_ratio(r − 1)`` partitions the input;
+    here the hash is xxhash64 of the canonical label JSON — the same
+    determinism contract (and the same series survive at every range
+    step).  limitk is a per-group row_number over the hash order (window
+    bounded by group size); limit_ratio is a pure filter, no shuffle."""
+    if by or without:
+        gkeys = [promql.canonical_labels_json(
+            promql.match_labels(F.col("labels"),
+                                list(by) if by else None,
+                                list(without) if without else None))]
+    else:
+        gkeys = [F.lit("")]
+    h = F.xxhash64(promql.canonical_labels_json(F.col("labels")))
+    if fname == "limitk":
+        from pyspark.sql.window import Window as W
+
+        w = W.partitionBy(*gkeys, *[F.col(c) for c in extra_keys]).orderBy(h)
+        return (v.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= int(pv)).drop("__rn"))
+    u = F.pmod(h, F.lit(2 ** 53)).cast("double") / F.lit(float(2 ** 53))
+    keep = (u < pv) if pv >= 0 else (u >= 1.0 + pv)
+    return v.filter(keep)
+
+
 def _eval_agg(node, ctx: _Ctx):
     _, fname, by, without, param, arg = node
     k, v = _eval(arg, ctx)
@@ -953,6 +984,9 @@ def _eval_agg(node, ctx: _Ctx):
         vec = promql._ensure_series_key(v)
         return ("vector", _strip(
             promql.topk(vec, kv, largest=(fname == "topk"))))
+    if fname in ("limitk", "limit_ratio"):
+        out = _limit_agg(fname, float(_eval(param, ctx)[1]), v, by, without)
+        return ("vector", out.select("labels", "value"))
     if fname == "quantile":
         q = float(_eval(param, ctx)[1])
         if without is not None:
@@ -1441,6 +1475,10 @@ def _agg_vector(fname, by, without, param, v: DataFrame, ctx: _RCtx):
         w = W.partitionBy(*parts).orderBy(order, tie)
         return ("vector", v.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= kv).drop("__rn"))
+    if fname in ("limitk", "limit_ratio"):
+        pv = float(_reval(param, ctx)[1])
+        out = _limit_agg(fname, pv, v, by, without, extra_keys=("ts",))
+        return ("vector", out.select("labels", "ts", "value"))
     if fname == "count_values":
         if param[0] != "str":
             raise PromqlError('count_values takes ("label", vector)')

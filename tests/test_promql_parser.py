@@ -1252,3 +1252,23 @@ def test_trig_pi_atan2(rel, rrel):
     ast = parse("a atan2 b * c")   # (a atan2 b) * c
     assert ast[1] == "*" and ast[2][1] == "atan2"
     assert parse("a + b atan2 c")[1] == "+"
+
+
+def test_limitk_limit_ratio(rel, rrel):
+    # limitk: deterministic k-series subset per group; repeat runs agree
+    got = ev(rel, "limitk(1, http_requests_total) by (job)")
+    assert sorted(dict(l)["job"] for l, _ in got) == ["api", "db"]
+    assert got == ev(rel, "limitk(1, http_requests_total) by (job)")
+    assert len(ev(rel, "limitk(3, http_requests_total)")) == 3
+    # k >= group size keeps everything
+    assert len(ev(rel, "limitk(10, http_requests_total)")) == 4
+    # limit_ratio: r and r-1 PARTITION the input deterministically
+    a = ev(rel, "limit_ratio(0.4, http_requests_total)")
+    b = ev(rel, "limit_ratio(-0.6, http_requests_total)")
+    assert len(a) + len(b) == 4
+    assert sorted(map(str, a + b)) == \
+        sorted(map(str, ev(rel, "http_requests_total")))
+    # range mode: the same series survive at every eval point
+    got = rev(rrel, "limitk(1, reqs)")
+    jobs = {dict(l)["job"] for l, _, _ in got}
+    assert len(got) == 3 and len(jobs) == 1

@@ -2502,3 +2502,50 @@ FROM j GROUP BY user, t ORDER BY user, t
 
 QUERIES["x_promql_sliding_sum"] = x_promql_sliding_sum
 ORACLES["x_promql_sliding_sum"] = _sliding_sum_sql()
+
+
+def x_promql_subquery_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL subquery inner (round 9): ``max_over_time(sum by (user)
+    (view)[2d:1d])`` — the inner AGGREGATION evaluates once on the
+    aligned daily fine grid via the range evaluator (pseudo-samples),
+    then one per-series max; never a per-step replay of the inner plan.
+    The oracle rebuilds the aligned points, latest-per-series instant
+    vectors, per-point sums, and the outer max in DuckDB."""
+    from ..functions.promql_parser import eval_instant
+    from .common import EV_END
+    from .promql_q import _dedup_rel
+
+    out = eval_instant(_dedup_rel(spark, sf_dir),
+                       "max_over_time(sum by (user)(view)[2d:1d])",
+                       EV_END, lookback=86_400)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        F.round("value", 4).alias("peak"),
+    ).orderBy("user")
+
+
+def _subquery_general_sql() -> str:
+    from .common import EV_END
+    from .promql_q import _DEDUP
+
+    s_start = EV_END - 2 * 86_400 + 1
+    lo = -(-s_start // 86_400) * 86_400
+    hi = (EV_END // 86_400) * 86_400
+    return f"""{_DEDUP},
+pts AS (SELECT unnest(range({lo}, {hi} + 1, 86400)) AS t),
+j AS (
+    SELECT d.user, d.k, d.ts, d.value, p.t
+    FROM d JOIN pts p ON d.ts BETWEEN p.t - 86400 AND p.t
+    WHERE d.metric = 'view'
+),
+lat AS (SELECT user, k, t, value,
+        row_number() OVER (PARTITION BY user, k, t ORDER BY ts DESC) AS rn
+        FROM j),
+s AS (SELECT user, t, sum(value) AS sv FROM lat WHERE rn = 1 GROUP BY user, t)
+SELECT user, round(CAST(max(sv) AS DOUBLE), 4) AS peak
+FROM s GROUP BY user ORDER BY user
+"""
+
+
+QUERIES["x_promql_subquery_general"] = x_promql_subquery_general
+ORACLES["x_promql_subquery_general"] = _subquery_general_sql()

@@ -472,3 +472,30 @@ def test_acf_bounded_by_one(spark, xs):
             assert -1.0 - 1e-12 <= r["acf"] <= 1.0 + 1e-12, (xs, r)
         else:
             assert len(set(xs)) == 1
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.floats(min_value=-1e6, max_value=1e6,
+                            allow_nan=False, allow_infinity=False)),
+        min_size=1, max_size=60),
+    q=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_grouped_quantile_cont_equals_percentile(spark, data, q):
+    """The grouped rank-probe quantile (round 9's scale-safe
+    quantile by/without engine) is BIT-IDENTICAL to Spark's exact
+    percentile() per group for arbitrary group shapes, sizes, tie
+    patterns, and q — including singleton groups and q landing exactly
+    on integral positions."""
+    from mandodb_spark.operators.sketch import grouped_quantile_cont
+
+    df = spark.createDataFrame([(f"g{g}", v) for g, v in data],
+                               "k string, value double")
+    got = {r["k"]: r["value"]
+           for r in grouped_quantile_cont(df, ["k"], "value", q,
+                                          n_buckets=4).collect()}
+    want = {r["k"]: r["value"] for r in df.groupBy("k").agg(
+        F.expr(f"percentile(value, {q}d)").alias("value")).collect()}
+    assert got == want

@@ -140,3 +140,178 @@ class RecordingRuleMaintainer:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class AlertRuleMaintainer:
+    """foreachBatch hook: continuous ALERTING-rule evaluation — the
+    streaming dual of ``TSDB.promql_alerts``, recording Prometheus's own
+    synthetic series so every normal query path sees alert state:
+
+    - ``ALERTS{<expr labels>, alertname, alertstate="pending"|"firing"}``
+      value 1.0 at every eval point where the expression returns a sample
+      for the series;
+    - ``ALERTS_FOR_STATE{<expr labels>, alertname}`` value = the run's
+      ``active_since`` timestamp — exactly the series Prometheus persists
+      for ``for``-duration restart recovery.
+
+    Incremental contract (same event-time discipline as
+    :class:`RecordingRuleMaintainer`): each batch evaluates only the
+    step-aligned grid points in (hwm, event max]; the previous eval
+    point's ``ALERTS_FOR_STATE`` row (one partition-pruned point read)
+    seeds runs that straddle the batch boundary, so a series active
+    across N batches fires exactly when a one-shot ``promql_alerts`` over
+    the same grid would.  Writes are first-write-wins against the store,
+    making at-least-once retries idempotent; restart recovery = max
+    ``ALERTS_FOR_STATE`` timestamp (newest-first segment probes).
+    A series' ``pending``→``firing`` transition happens at the first grid
+    point with ``t − active_since ≥ for_duration`` (``for=0`` fires
+    immediately, as Prometheus).
+    """
+
+    def __init__(self, db, alert_name: str, query: str, step: int,
+                 for_duration: int = 0, lookback: int = 300,
+                 delay: int = 0, every: int = 1) -> None:
+        self.db = db
+        self.alert_name = alert_name
+        self.query = query
+        self.step = int(step)
+        self.for_duration = int(for_duration)
+        self.lookback = int(lookback)
+        self.delay = int(delay)
+        self.every = max(1, every)
+        self.batches = 0
+        self.runs = 0
+        self.points = 0
+        self.hwm: int | None = None
+
+    # ------------------------------------------------------------ state
+    def _ident(self, labels_col):
+        """Alert series identity: expression labels minus __name__ (and
+        any stale alertname/alertstate), plus this rule's alertname."""
+        from ..model import METRIC_NAME_LABEL
+
+        drop = (METRIC_NAME_LABEL, "alertname", "alertstate")
+        base = F.map_filter(
+            labels_col,
+            lambda k, _: ~k.isin(*[F.lit(d) for d in drop]))
+        return F.map_concat(
+            base, F.create_map(F.lit("alertname"), F.lit(self.alert_name)))
+
+    def _recover_hwm(self) -> int | None:
+        """Max recorded ``ALERTS_FOR_STATE{alertname=...}`` timestamp via
+        the same newest-first partition-pruned segment probes as
+        :meth:`RecordingRuleMaintainer._recover_hwm`."""
+        from ..model import METRIC_NAME_LABEL
+
+        store = self.db.store
+        rel = store.relation()
+        pred = (
+            (F.col("labels").getItem(METRIC_NAME_LABEL) == "ALERTS_FOR_STATE")
+            & (F.col("labels").getItem("alertname") == self.alert_name))
+        seg_ids = getattr(store, "segment_ids", None)
+        segs = sorted(seg_ids(), reverse=True) if callable(seg_ids) else None
+        if segs and "seg" in rel.columns:
+            for seg in segs:
+                row = RecordingRuleMaintainer._seg_probe(
+                    rel, pred, seg).collect()[0]
+                if row["m"] is not None:
+                    return int(row["m"])
+            return None
+        row = rel.filter(pred).agg(F.max("ts").alias("m")).collect()[0]
+        return int(row["m"]) if row["m"] is not None else None
+
+    def _carried(self, at_ts: int) -> DataFrame:
+        """ALERTS_FOR_STATE rows at exactly the previous eval point —
+        (identity key, active_since) for runs that may continue into this
+        batch.  One point read, segment-pruned."""
+        from ..functions import promql
+        from ..model import METRIC_NAME_LABEL
+        from ..operators import tsdb_ops
+
+        rel = self.db.store.relation()
+        pruned = rel.filter(tsdb_ops.time_predicate(
+            at_ts, at_ts, "seg" in rel.columns, self.db.segment_duration))
+        rows = pruned.filter(
+            (F.col("ts") == int(at_ts))
+            & (F.col("labels").getItem(METRIC_NAME_LABEL) == "ALERTS_FOR_STATE")
+            & (F.col("labels").getItem("alertname") == self.alert_name))
+        return rows.select(
+            promql.canonical_labels_json(self._ident(F.col("labels")))
+            .alias("__k"),
+            F.col("value").cast("long").alias("__carried"),
+        ).groupBy("__k").agg(F.min("__carried").alias("__carried"))
+
+    # ------------------------------------------------------------- hook
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as W
+
+        from ..functions import promql
+
+        self.batches += 1
+        if self.batches % self.every != 0:
+            return
+        if "ts" not in batch_df.columns:
+            return
+        row = batch_df.agg(F.max("ts").alias("m")).collect()[0]
+        if row["m"] is None:
+            return
+        event_max = int(row["m"]) - self.delay
+        if self.hwm is None:
+            self.hwm = self._recover_hwm()
+        first = ((self.hwm // self.step) + 1) * self.step \
+            if self.hwm is not None else (event_max // self.step) * self.step
+        last = (event_max // self.step) * self.step
+        if last < first:
+            return
+        self.runs += 1
+
+        vec = self.db.promql_range(self.query, first, last, self.step,
+                                   self.lookback)
+        act = vec.select(self._ident(F.col("labels")).alias("__lbl"),
+                         F.col("ts").cast("long").alias("ts"))
+        act = act.withColumn(
+            "__k", promql.canonical_labels_json(F.col("__lbl")))
+        w = W.partitionBy("__k").orderBy("ts")
+        runs = (
+            act.withColumn("__prev", F.lag("ts").over(w))
+            .withColumn("__new", F.when(
+                F.col("__prev").isNull()
+                | (F.col("ts") - F.col("__prev") > self.step), 1).otherwise(0))
+            .withColumn("__run", F.sum("__new").over(
+                w.rowsBetween(W.unboundedPreceding, 0)))
+        )
+        rw = W.partitionBy("__k", "__run")
+        runs = runs.withColumn("__rstart", F.min("ts").over(rw))
+        carried = self._carried(first - self.step)
+        seeded = runs.join(carried, "__k", "left").withColumn(
+            "__since",
+            F.when((F.col("__rstart") == int(first))
+                   & F.col("__carried").isNotNull(), F.col("__carried"))
+            .otherwise(F.col("__rstart")))
+        state = F.when(
+            F.col("ts") - F.col("__since") >= self.for_duration,
+            F.lit("firing")).otherwise(F.lit("pending"))
+        alerts = seeded.select(
+            F.lit("ALERTS").alias("metric"),
+            F.map_concat(
+                F.col("__lbl"),
+                F.create_map(F.lit("alertstate"), state)).alias("labels"),
+            F.col("ts"),
+            F.lit(1.0).alias("value"))
+        for_state = seeded.select(
+            F.lit("ALERTS_FOR_STATE").alias("metric"),
+            F.col("__lbl").alias("labels"),
+            F.col("ts"),
+            F.col("__since").cast("double").alias("value"))
+        self.db.insert_rows(alerts.unionByName(for_state),
+                            dedup_against_store=True)
+        self.points += (last - first) // self.step + 1
+        self.hwm = last
+
+    def start(self, stream: DataFrame, checkpoint: str):
+        return (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )

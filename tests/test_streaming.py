@@ -1626,3 +1626,68 @@ def test_neardup_gate_legacy_state_migration(spark, tmp_path_factory):
         and any((base / "state").glob("bseq=0"))
     assert not any((base / "state").glob("kb=*"))
     assert gate.fsck()["ok"]
+
+
+def test_alert_rule_maintainer_for_duration_across_batches(
+        spark, tmp_path_factory):
+    """AlertRuleMaintainer records Prometheus's ALERTS / ALERTS_FOR_STATE
+    series incrementally: pending->firing after for_duration, runs carry
+    ACROSS micro-batches and across a RESTART (active_since seeded from
+    the previous eval point's ALERTS_FOR_STATE row — without it the
+    post-restart batch would reset to pending), replays are idempotent,
+    and the recorded series answer ordinary promql queries."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.streaming.rules import AlertRuleMaintainer
+
+    base = tmp_path_factory.mktemp("alertrule")
+    S = 1_700_000_400  # step-aligned (S % 600 == 0)
+    db = TSDB(spark, str(base / "store"), segment_duration=3600)
+
+    src = str(base / "src")
+    for b in range(3):  # 3 files -> 3 micro-batches, 1h of samples each
+        rows = [("err_rate", {"n": "a"}, S + b * 3600 + i * 300,
+                 10.0 if b >= 1 else 1.0) for i in range(12)]
+        spark.createDataFrame(rows, ROW_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run_batches(m, which):
+        # deterministic batch order: read each hour's rows as one batch
+        for b in which:
+            batch = spark.read.parquet(src).filter(
+                F.col("ts").between(S + b * 3600, S + (b + 1) * 3600 - 1))
+            db.insert_rows(batch)
+            m.process_batch(batch, batch_id=b)
+
+    m = AlertRuleMaintainer(db, "HighErr", "err_rate > 5", step=600,
+                            for_duration=1800, lookback=600)
+    run_batches(m, [0, 1])
+    rec = db.query_range_rows("ALERTS", [], 0, 2**40).collect()
+    got = sorted((r["ts"], r["labels"]["alertstate"]) for r in rec)
+    want = [(S + 3600, "pending"), (S + 4200, "pending"),
+            (S + 4800, "pending"), (S + 5400, "firing"),
+            (S + 6000, "firing"), (S + 6600, "firing")]
+    assert got == want
+    st = db.query_range_rows("ALERTS_FOR_STATE", [], 0, 2**40).collect()
+    assert all(int(r["value"]) == S + 3600 for r in st) and len(st) == 6
+
+    # RESTART: fresh maintainer; hwm and the straddling run both recover
+    m2 = AlertRuleMaintainer(db, "HighErr", "err_rate > 5", step=600,
+                             for_duration=1800, lookback=600)
+    run_batches(m2, [2])
+    assert m2.hwm == S + 10200
+    rec = db.query_range_rows("ALERTS", [], S + 7200, 2**40).collect()
+    # the run carried: every post-restart point is FIRING (a reset run
+    # would read pending until S+9000)
+    assert len(rec) == 6
+    assert all(r["labels"]["alertstate"] == "firing" for r in rec)
+    n_before = db.query_range_rows("ALERTS", [], 0, 2**40).count()
+
+    # replay (at-least-once): nothing double-recorded
+    run_batches(m2, [2])
+    assert db.query_range_rows("ALERTS", [], 0, 2**40).count() == n_before
+
+    # the synthetic series answer normal PromQL
+    fire = db.promql('ALERTS{alertstate="firing",alertname="HighErr"}',
+                     S + 10200, lookback=600)
+    assert fire.count() == 1

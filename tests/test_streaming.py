@@ -1224,14 +1224,20 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
                           n_buckets=4)
     nd_m = NearDupGateMaintainer(nd_gate, str(base / "ndkept"),
                                  compact_every=3)
-    from mandodb_spark.streaming.rules import RecordingRuleMaintainer
+    from mandodb_spark.streaming.rules import (
+        AlertRuleMaintainer,
+        RecordingRuleMaintainer,
+    )
 
     rules_m = RecordingRuleMaintainer(
         db, "node:m:max", "max by (node) (m)", step=1800, lookback=600)
+    alerts_m = AlertRuleMaintainer(
+        db, "HighM", "m > 150", step=1800, for_duration=3600, lookback=600)
 
     def soak(batch, bid):
         ingestor.process_batch(batch, bid)
         rules_m.process_batch(batch, bid)  # before retention: segment live
+        alerts_m.process_batch(batch, bid)
         retention.process_batch(batch, bid)
         layout(batch.select("ts", "value"), bid)
         docs = derive_docs(batch)
@@ -1322,6 +1328,26 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
     replay = spark.createDataFrame(files[-1], ROW_SCHEMA)
     rules_m.process_batch(replay, 99)
     assert rules_m.points == want_points and rules_m.hwm == want_hwm
+
+    # --- alerting rule: same event-time grid as the recording rule, and
+    # every recorded ALERTS row is internally consistent with its
+    # ALERTS_FOR_STATE run timestamp (firing iff held >= for_duration)
+    assert (alerts_m.runs, alerts_m.points, alerts_m.hwm) == \
+        (want_runs, want_points, want_hwm)
+    a_rows = db.query_range_rows("ALERTS", [], 0, 2**40).collect()
+    s_rows = {(str(sorted((k, v) for k, v in r["labels"].items()
+                          if k not in ("__name__", "alertstate"))),
+               r["ts"]): int(r["value"])
+              for r in db.query_range_rows(
+                  "ALERTS_FOR_STATE", [], 0, 2**40).collect()}
+    assert a_rows and s_rows
+    for r in a_rows:
+        key = (str(sorted((k, v) for k, v in r["labels"].items()
+                          if k not in ("__name__", "alertstate"))), r["ts"])
+        since = s_rows[key]
+        held = r["ts"] - since >= 3600
+        assert (r["labels"]["alertstate"] == "firing") == held, (r, since)
+        assert r["ts"] % 1800 == 0 and r["value"] == 1.0
 
     # --- vector index: drift rebuild fired, and with every cell probed
     # the index answer is EXACT brute-force cosine over all appended rows

@@ -630,7 +630,8 @@ _ident = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True).filter(
                         "stdvar", "group", "topk", "bottomk", "quantile",
                         "count_values", "by", "without", "on", "ignoring",
                         "group_left", "group_right", "bool", "offset",
-                        "and", "or", "unless"})
+                        "and", "or", "unless", "atan2", "limitk",
+                        "limit_ratio"})
 _lval = st.from_regex(r"[a-zA-Z0-9_.-]{0,10}", fullmatch=True)
 _dur = st.integers(min_value=1, max_value=10**6)
 
@@ -644,7 +645,8 @@ def _selector(allow_range):
                            _lval), max_size=3),
         rng,
         st.integers(min_value=0, max_value=10**6),
-        st.one_of(st.none(), st.integers(min_value=0, max_value=2**31)),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2**31),
+                  st.sampled_from(["start", "end"])),  # @ start()/end()
     )
 
 
@@ -681,11 +683,20 @@ def _expr(depth=3):
     )
     binop = st.builds(
         lambda op, l, r, m: ("binop", op, l, r, (dict(m) if m else None)),
-        st.sampled_from(["+", "-", "*", "/", "^", ">", "<=", "or"]),
+        st.sampled_from(["+", "-", "*", "/", "^", ">", "<=", "or",
+                         "atan2"]),
         sub, sub, matching,
     )
     unary = st.builds(lambda a: ("unary", "-", a), sub)
-    return st.one_of(leaf, call, agg, topk, binop, unary)
+    limitk = st.builds(lambda k, a: ("agg", "limitk", None, None,
+                                     ("num", float(k)), a),
+                       st.integers(min_value=1, max_value=9), sub)
+    # subqueries over selectors (bare + modifier forms), calls, and aggs
+    subq = st.builds(
+        lambda inner, r, step, off: ("subquery", inner, r, step, off),
+        st.one_of(_selector(False), call, agg),
+        _dur, _dur, st.integers(min_value=0, max_value=10**6))
+    return st.one_of(leaf, call, agg, topk, limitk, binop, unary, subq)
 
 
 def _normalize(n):

@@ -1,0 +1,744 @@
+"""Prometheus NATIVE (exponential/sparse) histograms over the TSDB relation.
+
+The reference engine (chenjiandongx/mandodb) stores plain float samples
+only (tsdb.go:158-163); classic ``le``-bucket histograms already work on
+top of that as ordinary series (see :func:`..promql.histogram_quantile`).
+This module closes the engine's last documented PromQL delta: Prometheus
+NATIVE histograms — one structured sample per scrape instead of dozens of
+``_bucket`` series — with the full public function surface
+(``histogram_count/sum/avg/stddev/stdvar/quantile/fraction`` and counter
+``rate/increase/delta`` over histogram-valued series).
+
+Data model (mirrors the public exposition format, not any implementation):
+a sample's ``hist`` struct carries ``count, sum, zero_count,
+zero_threshold, schema, pos, neg`` where ``schema`` s picks the bucket
+base ``b = 2^(2^-s)`` and positive bucket index ``i`` covers
+``(b^(i-1), b^i]`` (negative buckets mirror it on ``[-b^i, -b^(i-1))``;
+the zero bucket covers ``[-zero_threshold, zero_threshold]``).  Sparse
+buckets are ``MAP<INT,DOUBLE>`` columns — Spark's higher-order map
+functions keep every transform JVM-side.
+
+Scale posture (100 TB): nothing in this module ever materializes a
+histogram as Python objects or loops per series.  All computation runs in
+EXPLODED bucket space — a long-format ``(series_key, ts, sign, idx, cnt)``
+relation produced by one ``explode`` (narrow, no shuffle) — and groups
+back with hash aggregates keyed on ``series_key`` (the store's write
+partitioning).  Per-histogram bucket counts are bounded by the schema
+resolution (≤ ~160 per sign at schema 3 over the full float range), so
+the explode fan-out is a small constant, and window passes are keyed per
+(series, sign, idx) — state per key is O(1).
+
+Interpolation follows Prometheus 3.x: EXPONENTIAL within exponential
+buckets (prometheus/prometheus PR #14677 — the quantile midpoint of a
+bucket is its geometric mean), LINEAR inside the zero bucket.
+``histogram_stddev/stdvar`` use the geometric-midpoint estimator of
+promql/functions.go (``funcHistogramStdDev``): bucket representative
+``sqrt(upper*lower)`` (signed), 0 for the zero bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from ..model import clean_labels, fold_metric_name, series_key
+
+#: One native-histogram sample (exposition-format fields).
+HIST_STRUCT = StructType(
+    [
+        StructField("count", DoubleType(), True),
+        StructField("sum", DoubleType(), True),
+        StructField("zero_count", DoubleType(), True),
+        StructField("zero_threshold", DoubleType(), True),
+        StructField("schema", IntegerType(), True),
+        StructField("pos", MapType(IntegerType(), DoubleType(), False), True),
+        StructField("neg", MapType(IntegerType(), DoubleType(), False), True),
+    ]
+)
+
+#: Ingest row schema for histogram samples (the native analogue of
+#: ``model.ROW_SCHEMA``).
+HIST_ROW_SCHEMA = StructType(
+    [
+        StructField("metric", StringType(), False),
+        StructField("labels", MapType(StringType(), StringType(), False), True),
+        StructField("ts", LongType(), False),
+        StructField("hist", HIST_STRUCT, True),
+    ]
+)
+
+#: Default exponential schema (resolution): base = 2^(2^-3) ≈ 1.0905
+#: (Prometheus scrape default).
+DEFAULT_SCHEMA = 3
+
+#: Default zero-bucket half-width.
+DEFAULT_ZERO_THRESHOLD = 2.0 ** -128
+
+
+def _pow2(exponent: Column) -> Column:
+    return F.pow(F.lit(2.0), exponent)
+
+
+def _bound(idx: Column, schema: Column) -> Column:
+    """Upper bound of positive bucket ``idx``: 2^(idx * 2^-schema)."""
+    return _pow2(idx.cast("double") / _pow2(schema.cast("double")))
+
+
+def exp_bucket_index(value: Column, schema: Column) -> Column:
+    """Exponential bucket index of a POSITIVE value at ``schema`` s:
+    the smallest i with value <= 2^(i * 2^-s), i.e. ceil(log2(v) * 2^s).
+
+    The raw ``ceil`` is corrected one step each way against the exact
+    ``pow`` bounds so float noise in ``log2`` can never misplace a value
+    that sits at (or within one ulp of) a bucket boundary — the same
+    guard the exposition formats require of writers.  Pure column math,
+    whole-stage codegen."""
+    scale = _pow2(schema.cast("double"))
+    raw = F.ceil(F.log2(value) * scale).cast("int")
+    down = F.when(_bound((raw - 1).cast("int"), schema) >= value, raw - 1).otherwise(raw)
+    return F.when(_bound(down, schema) < value, down + 1).otherwise(down).cast("int")
+
+
+def _ensure_series_key(rel: DataFrame) -> DataFrame:
+    if "series_key" not in rel.columns:
+        rel = rel.withColumn("series_key", series_key(F.col("labels")))
+    return rel
+
+
+# --------------------------------------------------------------------------
+# builders: raw observations -> histogram samples
+# --------------------------------------------------------------------------
+
+def observe_histograms(
+    df: DataFrame,
+    schema: int = DEFAULT_SCHEMA,
+    zero_threshold: float = DEFAULT_ZERO_THRESHOLD,
+) -> DataFrame:
+    """Aggregate raw observation rows ``(metric, labels, ts, value)`` into
+    one native-histogram sample per (series, ts) — the ingest-side
+    "observe" operator a scrape client performs, expressed as two hash
+    aggregates (per-bucket counts, then per-sample assembly).  The result
+    is a DISTRIBUTION snapshot per timestamp (what happened AT ts); feed
+    it through :func:`accumulate_histograms` to obtain Prometheus counter
+    semantics (cumulative since series start).
+
+    Output: ``(labels, ts, hist, series_key)``.
+    """
+    s = F.lit(schema)
+    zt = F.lit(float(zero_threshold))
+    labels = fold_metric_name(
+        F.col("metric"), clean_labels(F.coalesce(F.col("labels"), F.create_map()))
+    )
+    v = F.col("value").cast("double")
+    rows = (
+        df.withColumn("labels", labels)
+        .withColumn("series_key", series_key(F.col("labels")))
+        .withColumn(
+            "__sign",
+            F.when(v > zt, F.lit(1)).when(v < -zt, F.lit(-1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__idx",
+            F.when(F.col("__sign") == 0, F.lit(0)).otherwise(
+                exp_bucket_index(F.abs(v), s)
+            ),
+        )
+    )
+    per_bucket = rows.groupBy("series_key", "ts", "__sign", "__idx").agg(
+        F.any_value("labels").alias("labels"),
+        F.count(F.lit(1)).cast("double").alias("__cnt"),
+        F.sum(v).alias("__vsum"),
+    )
+    entry = F.struct(F.col("__idx").alias("key"), F.col("__cnt").alias("value"))
+    assembled = per_bucket.groupBy("series_key", "ts").agg(
+        F.any_value("labels").alias("labels"),
+        F.sum("__cnt").alias("__count"),
+        F.sum("__vsum").alias("__sum"),
+        F.sum(F.when(F.col("__sign") == 0, F.col("__cnt")).otherwise(F.lit(0.0))).alias("__zero"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("__sign") == 1, entry)))
+        ).alias("__pos"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("__sign") == -1, entry)))
+        ).alias("__neg"),
+    )
+    hist = F.struct(
+        F.col("__count").alias("count"),
+        F.col("__sum").alias("sum"),
+        F.col("__zero").alias("zero_count"),
+        zt.alias("zero_threshold"),
+        s.cast("int").alias("schema"),
+        F.col("__pos").alias("pos"),
+        F.col("__neg").alias("neg"),
+    )
+    return assembled.select("labels", "ts", hist.alias("hist"), "series_key")
+
+
+def buckets_long(rel: DataFrame, *extra_cols: str) -> DataFrame:
+    """Explode histogram samples into the canonical long format:
+    ``(series_key, ts, schema, zero_threshold, sign, idx, cnt)`` with one
+    row per non-empty bucket (sign -1 / 0 / +1).  One narrow ``explode``
+    per sign — no shuffle; everything downstream of this module aggregates
+    this relation.  ``extra_cols`` are carried through verbatim."""
+    rel = _ensure_series_key(rel)
+    base = ["series_key", "ts", *extra_cols]
+    meta = [
+        F.col("hist.schema").alias("schema"),
+        F.col("hist.zero_threshold").alias("zero_threshold"),
+    ]
+
+    def side(field: str, sign: int) -> DataFrame:
+        return (
+            rel.select(*base, *meta, F.explode(f"hist.{field}").alias("idx", "cnt"))
+            .withColumn("sign", F.lit(sign))
+        )
+
+    zero = (
+        rel.filter(F.col("hist.zero_count") > 0)
+        .select(
+            *base,
+            *meta,
+            F.lit(0).alias("idx"),
+            F.col("hist.zero_count").alias("cnt"),
+        )
+        .withColumn("sign", F.lit(0))
+    )
+    cols = [*base, "schema", "zero_threshold", "sign", "idx", "cnt"]
+    return (
+        side("pos", 1).select(*cols)
+        .unionByName(side("neg", -1).select(*cols))
+        .unionByName(zero.select(*cols))
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def accumulate_histograms(rel: DataFrame) -> DataFrame:
+    """Turn per-timestamp DISTRIBUTION snapshots (:func:`observe_histograms`)
+    into CUMULATIVE counter histograms — the shape Prometheus scrapes and
+    :func:`hist_rate` / :func:`hist_increase` consume.
+
+    Dense alignment: each sample must carry every bucket the series has
+    ever touched (a cumulative count never disappears), so the per-series
+    touched-bucket set is joined against the per-series sample grid and
+    absent (series, ts, bucket) cells read as 0 before the running sum.
+    The fan-out equals the size of the dense cumulative output itself —
+    nothing is materialized beyond what the result requires.  All passes
+    are hash joins / window sums keyed on series_key (+ bucket), never a
+    per-series collect.
+    """
+    rel = _ensure_series_key(rel)
+    ex = buckets_long(rel).filter(F.col("sign") != 0)
+    scalars = rel.select(
+        "series_key",
+        "labels",
+        "ts",
+        F.col("hist.count").alias("__c"),
+        F.col("hist.sum").alias("__s"),
+        F.col("hist.zero_count").alias("__z"),
+        F.col("hist.zero_threshold").alias("zero_threshold"),
+        F.col("hist.schema").alias("schema"),
+    )
+    w = Window.partitionBy("series_key").orderBy("ts")
+    cum_scalars = scalars.select(
+        "series_key",
+        "labels",
+        "ts",
+        "zero_threshold",
+        "schema",
+        F.sum("__c").over(w).alias("count"),
+        F.sum("__s").over(w).alias("sum"),
+        F.sum("__z").over(w).alias("zero_count"),
+    )
+    touched = ex.select("series_key", "sign", "idx").distinct()
+    grid = cum_scalars.select("series_key", "ts").join(touched, "series_key")
+    dense = grid.join(ex.select("series_key", "ts", "sign", "idx", "cnt"),
+                      ["series_key", "ts", "sign", "idx"], "left").fillna(
+        {"cnt": 0.0}
+    )
+    wb = Window.partitionBy("series_key", "sign", "idx").orderBy("ts")
+    cum = (
+        dense.withColumn("cum", F.sum("cnt").over(wb))
+        .filter(F.col("cum") > 0)
+    )
+    entry = F.struct(F.col("idx").alias("key"), F.col("cum").alias("value"))
+    maps = cum.groupBy("series_key", "ts").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("sign") == 1, entry)))
+        ).alias("__pos"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("sign") == -1, entry)))
+        ).alias("__neg"),
+    )
+    joined = cum_scalars.join(maps, ["series_key", "ts"], "left")
+    hist = F.struct(
+        F.col("count"),
+        F.col("sum"),
+        F.col("zero_count"),
+        F.col("zero_threshold"),
+        F.col("schema"),
+        F.coalesce(F.col("__pos"), F.create_map().cast(HIST_STRUCT["pos"].dataType)).alias("pos"),
+        F.coalesce(F.col("__neg"), F.create_map().cast(HIST_STRUCT["neg"].dataType)).alias("neg"),
+    )
+    return joined.select("labels", "ts", hist.alias("hist"), "series_key")
+
+
+# --------------------------------------------------------------------------
+# instant selection + scalar extractors
+# --------------------------------------------------------------------------
+
+def hist_instant(rel: DataFrame, at_ts: int, lookback: int = 300) -> DataFrame:
+    """Instant histogram vector at ``at_ts``: newest sample per series
+    within the lookback window (the native analogue of ``promql.instant``)."""
+    rel = _ensure_series_key(rel)
+    w = Window.partitionBy("series_key").orderBy(F.col("ts").desc())
+    return (
+        rel.filter(F.col("ts").between(at_ts - lookback, at_ts))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("series_key", "labels", "ts", "hist")
+    )
+
+
+def hist_scalar(rel: DataFrame, which: str) -> DataFrame:
+    """``histogram_count/sum/avg`` — pure struct-field projections (no
+    shuffle at all); ``histogram_stddev/stdvar`` — the Prometheus
+    geometric-midpoint estimator (promql/functions.go funcHistogramStdDev:
+    bucket representative ``±sqrt(upper*lower)``, 0 for the zero bucket;
+    population variance over bucket counts), one hash aggregate over the
+    exploded buckets."""
+    rel = _ensure_series_key(rel)
+    if which in ("count", "sum"):
+        return rel.select(
+            "series_key", "labels", "ts", F.col(f"hist.{which}").alias("value")
+        )
+    if which == "avg":
+        return rel.select(
+            "series_key",
+            "labels",
+            "ts",
+            (F.col("hist.sum") / F.col("hist.count")).alias("value"),
+        )
+    if which not in ("stddev", "stdvar"):
+        raise ValueError(f"unknown histogram scalar {which!r}")
+    ex = buckets_long(rel, "labels").withColumn(
+        "__mid",
+        F.when(F.col("sign") == 0, F.lit(0.0)).otherwise(
+            F.col("sign").cast("double")
+            * F.sqrt(
+                _bound(F.col("idx"), F.col("schema"))
+                * _bound(F.col("idx") - 1, F.col("schema"))
+            )
+        ),
+    )
+    mean = F.col("hist.sum") / F.col("hist.count")
+    keyed = ex.join(
+        rel.select("series_key", "ts", mean.alias("__mean"), F.col("hist.count").alias("__n")),
+        ["series_key", "ts"],
+    )
+    var = keyed.groupBy("series_key", "ts").agg(
+        F.any_value("labels").alias("labels"),
+        (
+            F.sum(F.col("cnt") * F.pow(F.col("__mid") - F.col("__mean"), F.lit(2.0)))
+            / F.any_value("__n")
+        ).alias("__var"),
+    )
+    value = F.col("__var") if which == "stdvar" else F.sqrt(F.col("__var"))
+    return var.select("series_key", "labels", "ts", value.alias("value"))
+
+
+# --------------------------------------------------------------------------
+# quantile / fraction
+# --------------------------------------------------------------------------
+
+def _order_cols():
+    """Value-ascending bucket order: negatives (idx descending), zero,
+    positives (idx ascending) — encoded as (sign, sign*idx)."""
+    return [F.col("sign"), (F.col("sign") * F.col("idx")).alias("__o2")]
+
+
+def _zero_lo(has_neg: Column) -> Column:
+    return F.when(has_neg, -F.col("zero_threshold")).otherwise(F.lit(0.0))
+
+
+def hist_quantile(rel: DataFrame, q: float,
+                  extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """``histogram_quantile(q, h)`` over native-histogram samples.
+
+    Walks buckets in value order (negative desc-index, zero, positive
+    asc-index), finds the bucket holding rank ``q * count``, and
+    interpolates EXPONENTIALLY inside exponential buckets (Prometheus 3.x,
+    PR #14677: the interpolated value is ``lower * base^frac``), LINEARLY
+    inside the zero bucket (lower bound 0 when the histogram has no
+    negative buckets).  ``q <= 0`` / ``q >= 1`` return the exact lower /
+    upper bound of the populated range, clamped at the documented
+    Prometheus behavior for out-of-range q (−Inf / +Inf).
+
+    Plan: one explode + two window passes keyed per (series, ts) — bucket
+    counts per histogram are schema-bounded constants, so the windows are
+    O(1) state per key; no UDF anywhere."""
+    rel = _ensure_series_key(rel)
+    keys = ["series_key", "ts", *extra_keys]
+    ex = buckets_long(rel, *extra_keys)
+    if q < 0 or q > 1:
+        edge = float("-inf") if q < 0 else float("inf")
+        return rel.select(
+            "series_key",
+            "labels",
+            *(k for k in keys if k != "series_key"),
+            F.lit(edge).alias("value"),
+        )
+    w = Window.partitionBy(*keys).orderBy(*_order_cols())
+    wg = Window.partitionBy(*keys)
+    b = (
+        ex.withColumn("__cum", F.sum("cnt").over(w))
+        .withColumn("__total", F.sum("cnt").over(wg))
+        .withColumn("__has_neg", F.max(F.col("sign") == -1).over(wg))
+    )
+    target = F.lit(float(q)) * F.col("__total")
+    hit = (
+        b.filter(F.col("__cum") >= target)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    prev_cum = F.col("__cum") - F.col("cnt")
+    frac = F.when(F.col("cnt") > 0, (target - prev_cum) / F.col("cnt")).otherwise(F.lit(0.0))
+    frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    inv_scale = F.lit(1.0) / _pow2(F.col("schema").cast("double"))
+    pos_val = _pow2((F.col("idx").cast("double") - 1.0 + frac) * inv_scale)
+    neg_val = -_pow2((F.col("idx").cast("double") - frac) * inv_scale)
+    zlo = _zero_lo(F.col("__has_neg"))
+    zero_val = zlo + (F.col("zero_threshold") - zlo) * frac
+    value = (
+        F.when(F.col("sign") == 1, pos_val)
+        .when(F.col("sign") == -1, neg_val)
+        .otherwise(zero_val)
+    )
+    out = hit.select(*keys, value.alias("value"))
+    reps = rel.select(*keys, "labels")
+    return out.join(reps, keys).select("series_key", "labels", *(
+        k for k in keys if k != "series_key"), "value")
+
+
+def hist_fraction(rel: DataFrame, lo: float, hi: float,
+                  extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """``histogram_fraction(lo, hi, h)``: estimated fraction of
+    observations in ``[lo, hi]``.  Per-bucket overlap weights use the same
+    interpolation family as :func:`hist_quantile` (exponential within
+    exponential buckets — the in-bucket CDF position of x is
+    ``log2(x/lower)/log2(upper/lower)`` — linear in the zero bucket), so
+    ``histogram_fraction(-Inf, histogram_quantile(q, h), h) == q`` holds
+    by construction.  One explode + one hash aggregate per (series, ts)."""
+    rel = _ensure_series_key(rel)
+    keys = ["series_key", "ts", *extra_keys]
+    ex = buckets_long(rel, *extra_keys)
+    wg = Window.partitionBy(*keys)
+    ex = ex.withColumn("__has_neg", F.max(F.col("sign") == -1).over(wg))
+    inv_scale = F.lit(1.0) / _pow2(F.col("schema").cast("double"))
+    pos_lo = _pow2((F.col("idx").cast("double") - 1.0) * inv_scale)
+    pos_hi = _pow2(F.col("idx").cast("double") * inv_scale)
+    bl = (
+        F.when(F.col("sign") == 1, pos_lo)
+        .when(F.col("sign") == -1, -pos_hi)
+        .otherwise(_zero_lo(F.col("__has_neg")))
+    )
+    bu = (
+        F.when(F.col("sign") == 1, pos_hi)
+        .when(F.col("sign") == -1, -pos_lo)
+        .otherwise(F.col("zero_threshold"))
+    )
+
+    def cdf_pos(x: Column) -> Column:
+        """In-bucket ascending position of value-space point x.  x is
+        clamped into [bl, bu] IN VALUE SPACE first (so a point entirely
+        below/above the bucket reads 0/1 regardless of sign geometry),
+        then positioned exponentially (|x| geometry, mirrored for the
+        negative side) or linearly for the zero bucket."""
+        xx = F.least(F.greatest(x, bl), bu)
+        exp_frac = F.log2(F.abs(xx) / F.abs(bl)) / F.log2(F.abs(bu) / F.abs(bl))
+        # negative buckets ascend from bl=-b^i toward bu=-b^(i-1): the
+        # ascending position mirrors the |x| geometry
+        neg_frac = F.log2(F.abs(bl) / F.abs(xx)) / F.log2(F.abs(bl) / F.abs(bu))
+        lin_frac = (xx - bl) / (bu - bl)
+        raw = (
+            F.when(F.col("sign") == 1, exp_frac)
+            .when(F.col("sign") == -1, neg_frac)
+            .otherwise(lin_frac)
+        )
+        return F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+
+    lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    weight = F.when(
+        (bu <= lo_c) | (bl >= hi_c), F.lit(0.0)
+    ).otherwise(cdf_pos(hi_c) - cdf_pos(lo_c))
+    agg = ex.groupBy(*keys).agg(
+        F.sum(F.col("cnt") * weight).alias("__in"),
+        F.sum("cnt").alias("__total"),
+    )
+    reps = rel.select(*keys, "labels")
+    return (
+        agg.join(reps, keys)
+        .select(
+            "series_key",
+            "labels",
+            *(k for k in keys if k != "series_key"),
+            (F.col("__in") / F.col("__total")).alias("value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# counter math: increase / rate / delta over histogram-valued series
+# --------------------------------------------------------------------------
+
+def _hist_counter_math(rel: DataFrame, start: int, end: int,
+                       detect_resets: bool) -> DataFrame:
+    """Shared pipeline for :func:`hist_increase` (detect_resets=True) and
+    :func:`hist_delta` (False): per-series element-wise sum of per-step
+    histogram differences over [start, end].
+
+    Counter-reset contract (Prometheus histogram counter semantics): a
+    step resets iff ``count`` or ``zero_count`` drops OR ANY bucket's
+    cumulative count drops; a reset step contributes the new sample
+    verbatim (the counter restarted from empty).  Mixed schemas within
+    the window are first normalized to the series' coarsest schema
+    (bucket i at schema s maps to ceil(i / 2^(s-s')) at coarser s' —
+    the exact exponential-boundary merge), so map keys align before any
+    subtraction.
+
+    Everything runs in exploded bucket space: window lags keyed per
+    (series, sign, idx) with previous-sample-ts alignment (a bucket absent
+    from the previous sample reads as 0), one ``any(bucket-drop)`` hash
+    aggregate joined back per (series, ts), then per-component hash sums.
+    No per-series buffering; ~3 shuffles total, all keyed on series_key
+    derivatives."""
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    ws = Window.partitionBy("series_key").orderBy("ts")
+    wall = Window.partitionBy("series_key")
+    scalars = rel.select(
+        "series_key",
+        "labels",
+        "ts",
+        F.col("hist.count").alias("__c"),
+        F.col("hist.sum").alias("__s"),
+        F.col("hist.zero_count").alias("__z"),
+        F.col("hist.zero_threshold").alias("__zt"),
+        F.col("hist.schema").alias("__schema"),
+    ).withColumn("__smin", F.min("__schema").over(wall))
+    sc = (
+        scalars.withColumn("__prev_ts", F.lag("ts").over(ws))
+        .withColumn("__pc", F.lag("__c").over(ws))
+        .withColumn("__ps", F.lag("__s").over(ws))
+        .withColumn("__pz", F.lag("__z").over(ws))
+    )
+    # -- bucket space, normalized to the series-min schema --------------
+    ex = buckets_long(rel).filter(F.col("sign") != 0)
+    ex = ex.join(scalars.select("series_key", "ts", "__smin"), ["series_key", "ts"])
+    down = _pow2((F.col("schema") - F.col("__smin")).cast("double"))
+    ex = ex.withColumn(
+        "idx", F.ceil(F.col("idx").cast("double") / down).cast("int")
+    ).groupBy("series_key", "ts", "sign", "idx").agg(F.sum("cnt").alias("cnt"))
+    wb = Window.partitionBy("series_key", "sign", "idx").orderBy("ts")
+    exl = (
+        ex.withColumn("__bpts", F.lag("ts").over(wb))
+        .withColumn("__bpc", F.lag("cnt").over(wb))
+        .join(sc.select("series_key", "ts", "__prev_ts"), ["series_key", "ts"])
+        .withColumn(
+            "__aligned_prev",
+            F.when(
+                F.col("__prev_ts").isNotNull()
+                & (F.col("__bpts") == F.col("__prev_ts")),
+                F.col("__bpc"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    if detect_resets:
+        bucket_drop = (
+            exl.groupBy("series_key", "ts")
+            .agg(F.max(F.col("cnt") < F.col("__aligned_prev")).alias("__bdrop"))
+        )
+        sc = sc.join(bucket_drop, ["series_key", "ts"], "left").withColumn(
+            "__reset",
+            F.col("__prev_ts").isNotNull()
+            & (
+                (F.col("__c") < F.col("__pc"))
+                | (F.col("__z") < F.col("__pz"))
+                | F.coalesce(F.col("__bdrop"), F.lit(False))
+            ),
+        )
+    else:
+        sc = sc.withColumn("__reset", F.lit(False))
+
+    def step(cur: Column, prev: Column) -> Column:
+        return (
+            F.when(F.col("__prev_ts").isNull(), F.lit(0.0))
+            .when(F.col("__reset"), cur)
+            .otherwise(cur - prev)
+        )
+
+    agg_scalars = sc.groupBy("series_key").agg(
+        F.any_value("labels").alias("labels"),
+        F.sum(step(F.col("__c"), F.col("__pc"))).alias("count"),
+        F.sum(step(F.col("__s"), F.col("__ps"))).alias("sum"),
+        F.sum(step(F.col("__z"), F.col("__pz"))).alias("zero_count"),
+        F.max("__zt").alias("zero_threshold"),
+        F.min("__schema").alias("schema"),
+        (F.max("ts") - F.min("ts")).alias("__span"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    exr = exl.join(sc.select("series_key", "ts", "__reset"), ["series_key", "ts"])
+    binc = (
+        F.when(F.col("__prev_ts").isNull(), F.lit(0.0))
+        .when(F.col("__reset"), F.col("cnt"))
+        .otherwise(F.col("cnt") - F.col("__aligned_prev"))
+    )
+    per_bucket = (
+        exr.groupBy("series_key", "sign", "idx")
+        .agg(F.sum(binc).alias("__v"))
+        .filter(F.col("__v") != 0)
+    )
+    entry = F.struct(F.col("idx").alias("key"), F.col("__v").alias("value"))
+    maps = per_bucket.groupBy("series_key").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("sign") == 1, entry)))
+        ).alias("__pos"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("sign") == -1, entry)))
+        ).alias("__neg"),
+    )
+    joined = agg_scalars.join(maps, "series_key", "left").filter(F.col("__n") >= 2)
+    hist = F.struct(
+        F.col("count"),
+        F.col("sum"),
+        F.col("zero_count"),
+        F.col("zero_threshold"),
+        F.col("schema"),
+        F.coalesce(F.col("__pos"), F.create_map().cast(HIST_STRUCT["pos"].dataType)).alias("pos"),
+        F.coalesce(F.col("__neg"), F.create_map().cast(HIST_STRUCT["neg"].dataType)).alias("neg"),
+    )
+    return joined.select("series_key", "labels", hist.alias("hist"), "__span")
+
+
+def hist_increase(rel: DataFrame, start: int, end: int) -> DataFrame:
+    """``increase(h[range])`` over native-histogram counters: element-wise
+    sum of per-step increases with histogram-level reset handling (see
+    :func:`_hist_counter_math`).  No extrapolation — consistent with this
+    engine's scalar ``promql.increase`` contract."""
+    return _hist_counter_math(rel, start, end, True).select(
+        "series_key", "labels", "hist"
+    )
+
+
+def hist_rate(rel: DataFrame, start: int, end: int) -> DataFrame:
+    """``rate(h[range])``: :func:`hist_increase` divided element-wise by
+    the observed span — one map_from... transform_values, still a
+    histogram-valued vector (feed to :func:`hist_quantile` for the
+    canonical ``histogram_quantile(q, rate(h[5m]))``)."""
+    out = _hist_counter_math(rel, start, end, True).filter(F.col("__span") > 0)
+    span = F.col("__span").cast("double")
+    scale = lambda c: c / span  # noqa: E731
+    hist = F.struct(
+        scale(F.col("hist.count")).alias("count"),
+        scale(F.col("hist.sum")).alias("sum"),
+        scale(F.col("hist.zero_count")).alias("zero_count"),
+        F.col("hist.zero_threshold").alias("zero_threshold"),
+        F.col("hist.schema").alias("schema"),
+        F.transform_values("hist.pos", lambda _, v: v / span).alias("pos"),
+        F.transform_values("hist.neg", lambda _, v: v / span).alias("neg"),
+    )
+    return out.select("series_key", "labels", hist.alias("hist"))
+
+
+def hist_delta(rel: DataFrame, start: int, end: int) -> DataFrame:
+    """``delta(h[range])`` for GAUGE histograms: last − first element-wise
+    (per-step differences telescope; no reset detection)."""
+    return _hist_counter_math(rel, start, end, False).select(
+        "series_key", "labels", "hist"
+    )
+
+
+# --------------------------------------------------------------------------
+# cross-series aggregation
+# --------------------------------------------------------------------------
+
+def hist_sum_by(rel: DataFrame, by: list[str],
+                group_ts: bool = True) -> DataFrame:
+    """``sum by (labels) (h)`` over histogram vectors: element-wise
+    histogram addition per group (and per ts when ``group_ts``).  Mixed
+    schemas downscale to the group's coarsest before the bucket merge
+    (same exponential-boundary mapping as counter math); the zero
+    threshold widens to the group max.  Two hash aggregates over exploded
+    buckets — never a pairwise merge loop."""
+    rel = _ensure_series_key(rel)
+    glabels = F.map_from_entries(
+        F.filter(
+            F.map_entries(F.col("labels")),
+            lambda e: e.key.isin(*[F.lit(b) for b in by]) if by else F.lit(False),
+        )
+    )
+    from ..model import canonical_labels_json
+
+    rel = rel.withColumn("__glabels", glabels).withColumn(
+        "__gk", canonical_labels_json(F.col("__glabels"))
+    )
+    keys = ["__gk"] + (["ts"] if group_ts else [])
+    wall = Window.partitionBy(*keys)
+    scalars = rel.select(
+        *keys,
+        F.col("__glabels").alias("labels"),
+        F.col("hist.count").alias("__c"),
+        F.col("hist.sum").alias("__s"),
+        F.col("hist.zero_count").alias("__z"),
+        F.col("hist.zero_threshold").alias("__zt"),
+        F.col("hist.schema").alias("__schema"),
+    ).withColumn("__smin", F.min("__schema").over(wall))
+    agg_scalars = scalars.groupBy(*keys).agg(
+        F.any_value("labels").alias("labels"),
+        F.sum("__c").alias("count"),
+        F.sum("__s").alias("sum"),
+        F.sum("__z").alias("zero_count"),
+        F.max("__zt").alias("zero_threshold"),
+        F.min("__schema").alias("schema"),
+    )
+    ex = buckets_long(rel, "__gk").filter(F.col("sign") != 0)
+    smin = scalars.select(*keys, "__smin").distinct()
+    join_keys = keys if group_ts else ["__gk"]
+    ex = ex.join(smin, join_keys)
+    down = _pow2((F.col("schema") - F.col("__smin")).cast("double"))
+    per_bucket = (
+        ex.withColumn("idx", F.ceil(F.col("idx").cast("double") / down).cast("int"))
+        .groupBy(*keys, "sign", "idx")
+        .agg(F.sum("cnt").alias("__v"))
+    )
+    entry = F.struct(F.col("idx").alias("key"), F.col("__v").alias("value"))
+    maps = per_bucket.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("sign") == 1, entry)))
+        ).alias("__pos"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("sign") == -1, entry)))
+        ).alias("__neg"),
+    )
+    joined = agg_scalars.join(maps, keys, "left")
+    hist = F.struct(
+        F.col("count"),
+        F.col("sum"),
+        F.col("zero_count"),
+        F.col("zero_threshold"),
+        F.col("schema"),
+        F.coalesce(F.col("__pos"), F.create_map().cast(HIST_STRUCT["pos"].dataType)).alias("pos"),
+        F.coalesce(F.col("__neg"), F.create_map().cast(HIST_STRUCT["neg"].dataType)).alias("neg"),
+    )
+    out_cols = ["labels"] + (["ts"] if group_ts else []) + [hist.alias("hist")]
+    return joined.select(*out_cols).withColumn(
+        "series_key", series_key(F.col("labels"))
+    )

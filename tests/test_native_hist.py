@@ -1,0 +1,281 @@
+"""Native-histogram function surface (functions/native_hist.py).
+
+Each test cross-checks the distributed implementation against an
+independent pure-Python reference over the same observations — the same
+strategy the classic-histogram tests use, specialized to the exponential
+bucket geometry."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mandodb_spark.functions import native_hist as nh
+from mandodb_spark.model import ROW_SCHEMA
+
+
+def _obs_df(spark, rows):
+    """rows: list of (metric, labels, ts, value)."""
+    return spark.createDataFrame(rows, ROW_SCHEMA)
+
+
+def _ref_index(v: float, schema: int) -> int:
+    """Reference bucket index: smallest i with v <= 2^(i * 2^-schema)."""
+    scale = 2.0 ** schema
+    i = math.ceil(math.log2(v) * scale)
+    while 2.0 ** ((i - 1) / scale) >= v:
+        i -= 1
+    while 2.0 ** (i / scale) < v:
+        i += 1
+    return i
+
+
+def _ref_hist(values, schema=nh.DEFAULT_SCHEMA, zt=nh.DEFAULT_ZERO_THRESHOLD):
+    pos, neg, zero = {}, {}, 0
+    for v in values:
+        if abs(v) <= zt:
+            zero += 1
+        elif v > 0:
+            i = _ref_index(v, schema)
+            pos[i] = pos.get(i, 0) + 1
+        else:
+            i = _ref_index(-v, schema)
+            neg[i] = neg.get(i, 0) + 1
+    return {
+        "count": float(len(values)),
+        "sum": float(sum(values)),
+        "zero_count": float(zero),
+        "pos": pos,
+        "neg": neg,
+        "schema": schema,
+        "zt": zt,
+    }
+
+
+def _ref_quantile(h, q):
+    """Reference quantile: value-ascending walk, exponential interpolation
+    (linear in the zero bucket)."""
+    scale = 2.0 ** h["schema"]
+    buckets = []
+    for i, c in sorted(h["neg"].items(), reverse=True):
+        lo, hi = -(2.0 ** (i / scale)), -(2.0 ** ((i - 1) / scale))
+        buckets.append((lo, hi, c, "exp-neg", i))
+    if h["zero_count"] > 0:
+        zlo = -h["zt"] if h["neg"] else 0.0
+        buckets.append((zlo, h["zt"], h["zero_count"], "lin", 0))
+    for i, c in sorted(h["pos"].items()):
+        lo, hi = 2.0 ** ((i - 1) / scale), 2.0 ** (i / scale)
+        buckets.append((lo, hi, c, "exp-pos", i))
+    total = sum(b[2] for b in buckets)
+    rank = q * total
+    cum = 0.0
+    for lo, hi, c, kind, i in buckets:
+        if cum + c >= rank:
+            frac = min(max((rank - cum) / c, 0.0), 1.0)
+            if kind == "lin":
+                return lo + (hi - lo) * frac
+            if kind == "exp-pos":
+                return 2.0 ** ((i - 1 + frac) / scale)
+            return -(2.0 ** ((i - frac) / scale))
+        cum += c
+    return buckets[-1][1]
+
+
+VALUES = [0.8, 1.1, 1.4, 2.3, 2.9, 3.7, 5.5, 7.3, 11.2, 23.9, -1.7, -4.2, 0.0]
+
+
+@pytest.fixture(scope="module")
+def hist_rel(spark):
+    rows = [("lat", {"app": "a"}, 1000, v) for v in VALUES]
+    return nh.observe_histograms(_obs_df(spark, rows)).cache()
+
+
+def test_exp_bucket_index_matches_reference(spark):
+    vals = [0.5, 1.0, 1.0905077326652577, 2.0, 3.9, 4.0, 4.0000001, 1e-6, 1e6]
+    for schema in (0, 2, 3, 5):
+        df = spark.createDataFrame([(v,) for v in vals], "v double").select(
+            "v", nh.exp_bucket_index(F.col("v"), F.lit(schema)).alias("idx")
+        )
+        got = {r["v"]: r["idx"] for r in df.collect()}
+        for v in vals:
+            assert got[v] == _ref_index(v, schema), (v, schema)
+
+
+def test_observe_histograms_matches_reference(hist_rel):
+    row = hist_rel.collect()
+    assert len(row) == 1
+    h = row[0]["hist"]
+    ref = _ref_hist(VALUES)
+    assert h["count"] == ref["count"]
+    assert h["sum"] == pytest.approx(ref["sum"])
+    assert h["zero_count"] == ref["zero_count"]
+    assert dict(h["pos"]) == ref["pos"]
+    assert dict(h["neg"]) == ref["neg"]
+    assert row[0]["labels"]["__name__"] == "lat"
+
+
+def test_scalars_count_sum_avg(hist_rel):
+    for which, want in (
+        ("count", float(len(VALUES))),
+        ("sum", sum(VALUES)),
+        ("avg", sum(VALUES) / len(VALUES)),
+    ):
+        got = nh.hist_scalar(hist_rel, which).collect()[0]["value"]
+        assert got == pytest.approx(want), which
+
+
+def test_stddev_matches_geometric_midpoint_reference(hist_rel):
+    ref = _ref_hist(VALUES)
+    scale = 2.0 ** ref["schema"]
+    mean = ref["sum"] / ref["count"]
+    var = 0.0
+    for sgn, side in ((1, ref["pos"]), (-1, ref["neg"])):
+        for i, c in side.items():
+            mid = sgn * math.sqrt(2.0 ** (i / scale) * 2.0 ** ((i - 1) / scale))
+            var += c * (mid - mean) ** 2
+    var += ref["zero_count"] * (0.0 - mean) ** 2
+    var /= ref["count"]
+    got_var = nh.hist_scalar(hist_rel, "stdvar").collect()[0]["value"]
+    got_std = nh.hist_scalar(hist_rel, "stddev").collect()[0]["value"]
+    assert got_var == pytest.approx(var)
+    assert got_std == pytest.approx(math.sqrt(var))
+
+
+@pytest.mark.parametrize("q", [0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0])
+def test_quantile_matches_reference(hist_rel, q):
+    ref = _ref_quantile(_ref_hist(VALUES), q)
+    got = nh.hist_quantile(hist_rel, q).collect()
+    assert len(got) == 1
+    assert got[0]["value"] == pytest.approx(ref), q
+
+
+def test_quantile_out_of_range(hist_rel):
+    assert nh.hist_quantile(hist_rel, -0.5).collect()[0]["value"] == float("-inf")
+    assert nh.hist_quantile(hist_rel, 1.5).collect()[0]["value"] == float("inf")
+
+
+@pytest.mark.parametrize("q", [0.2, 0.5, 0.8])
+def test_fraction_quantile_duality(hist_rel, q):
+    """histogram_fraction(-Inf, histogram_quantile(q)) == q — the two
+    interpolations are inverses by construction."""
+    x = nh.hist_quantile(hist_rel, q).collect()[0]["value"]
+    frac = nh.hist_fraction(hist_rel, -1e300, x).collect()[0]["value"]
+    assert frac == pytest.approx(q, abs=1e-9)
+
+
+def test_fraction_full_and_empty_ranges(hist_rel):
+    full = nh.hist_fraction(hist_rel, -1e300, 1e300).collect()[0]["value"]
+    assert full == pytest.approx(1.0)
+    none = nh.hist_fraction(hist_rel, 1e6, 1e9).collect()[0]["value"]
+    assert none == pytest.approx(0.0)
+
+
+def test_accumulate_is_running_sum(spark):
+    rows = [
+        ("m", {}, 100, 1.5),
+        ("m", {}, 100, 2.5),
+        ("m", {}, 200, 1.5),
+        ("m", {}, 300, 6.0),
+    ]
+    snaps = nh.observe_histograms(_obs_df(spark, rows))
+    cum = {r["ts"]: r["hist"] for r in nh.accumulate_histograms(snaps).collect()}
+    assert cum[100]["count"] == 2.0
+    assert cum[200]["count"] == 3.0
+    assert cum[300]["count"] == 4.0
+    assert cum[300]["sum"] == pytest.approx(11.5)
+    i15 = _ref_index(1.5, nh.DEFAULT_SCHEMA)
+    assert dict(cum[200]["pos"])[i15] == 2.0
+    assert dict(cum[300]["pos"])[i15] == 2.0  # untouched bucket carries over
+
+
+def test_increase_and_rate_over_cumulative(spark):
+    rows = []
+    for ts, vals in ((100, [1.5]), (200, [2.5, 3.5]), (300, [1.5])):
+        rows += [("m", {}, ts, v) for v in vals]
+    cum = nh.accumulate_histograms(nh.observe_histograms(_obs_df(spark, rows)))
+    inc = nh.hist_increase(cum, 0, 1000).collect()
+    assert len(inc) == 1
+    h = inc[0]["hist"]
+    # first sample is the baseline: increase = cum(300) - cum(100) = 3 obs
+    assert h["count"] == 3.0
+    assert h["sum"] == pytest.approx(2.5 + 3.5 + 1.5)
+    rate = nh.hist_rate(cum, 0, 1000).collect()[0]["hist"]
+    assert rate["count"] == pytest.approx(3.0 / 200.0)
+    assert rate["sum"] == pytest.approx(7.5 / 200.0)
+    for k, v in dict(h["pos"]).items():
+        assert dict(rate["pos"])[k] == pytest.approx(v / 200.0)
+
+
+def test_increase_detects_counter_reset(spark):
+    """A cumulative drop (count shrinks) is a reset: the new sample counts
+    verbatim, mirroring scalar counter semantics."""
+    rows = [
+        ("m", {}, 100, [2.0, 2.0, 2.0]),  # cum count 3
+        ("m", {}, 200, [2.0]),            # RESET: cum count 1 < 3
+        ("m", {}, 300, [2.0, 2.0]),       # cum count 3
+    ]
+    flat = [("m", {}, ts, v) for _, _, ts, vs in rows for v in vs]
+    snaps = nh.observe_histograms(_obs_df(spark, flat))
+    # hand-build cumulative WITH a reset at 200 (accumulate_histograms is
+    # monotone by construction, so stitch two runs)
+    run1 = nh.accumulate_histograms(snaps.filter("ts <= 100"))
+    run2 = nh.accumulate_histograms(snaps.filter("ts >= 200"))
+    cum = run1.unionByName(run2)
+    h = nh.hist_increase(cum, 0, 1000).collect()[0]["hist"]
+    # steps: 100 baseline 0; 200 reset -> +1; 300 no reset -> +2
+    assert h["count"] == 3.0
+    i2 = _ref_index(2.0, nh.DEFAULT_SCHEMA)
+    assert dict(h["pos"])[i2] == 3.0
+
+
+def test_delta_is_last_minus_first(spark):
+    rows = [
+        ("g", {}, 100, [1.5, 1.5]),
+        ("g", {}, 200, [1.5]),
+    ]
+    flat = [("g", {}, ts, v) for _, _, ts, vs in rows for v in vs]
+    snaps = nh.observe_histograms(_obs_df(spark, flat))
+    h = nh.hist_delta(snaps, 0, 1000).collect()[0]["hist"]
+    assert h["count"] == -1.0  # gauge shrank
+    i15 = _ref_index(1.5, nh.DEFAULT_SCHEMA)
+    assert dict(h["pos"])[i15] == -1.0
+
+
+def test_sum_by_merges_mixed_schemas(spark):
+    """sum by (app) over series at schema 3 and schema 2 downscales to the
+    coarser schema: the merged histogram equals observing the pooled
+    values directly at schema 2."""
+    va = [1.3, 2.7, 5.1]
+    vb = [1.9, 8.8]
+    a = nh.observe_histograms(
+        _obs_df(spark, [("m", {"app": "x", "i": "1"}, 100, v) for v in va]), schema=3
+    )
+    b = nh.observe_histograms(
+        _obs_df(spark, [("m", {"app": "x", "i": "2"}, 100, v) for v in vb]), schema=2
+    )
+    merged = nh.hist_sum_by(a.unionByName(b), ["app"]).collect()
+    assert len(merged) == 1
+    h = merged[0]["hist"]
+    assert h["schema"] == 2
+    ref = _ref_hist(va + vb, schema=2)
+    assert h["count"] == ref["count"]
+    assert dict(h["pos"]) == ref["pos"]
+    assert merged[0]["labels"] == {"app": "x"}
+
+
+def test_quantile_grouped_by_series(spark):
+    rows = [("m", {"s": "a"}, 100, v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+        ("m", {"s": "b"}, 100, v) for v in [10.0, 20.0, 30.0, 40.0]
+    ]
+    rel = nh.observe_histograms(_obs_df(spark, rows))
+    got = {
+        r["labels"]["s"]: r["value"]
+        for r in nh.hist_quantile(rel, 0.5).collect()
+    }
+    ra = _ref_quantile(_ref_hist([1.0, 2.0, 3.0, 4.0]), 0.5)
+    rb = _ref_quantile(_ref_hist([10.0, 20.0, 30.0, 40.0]), 0.5)
+    assert got["a"] == pytest.approx(ra)
+    assert got["b"] == pytest.approx(rb)
+    assert got["b"] > got["a"] * 5

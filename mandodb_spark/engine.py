@@ -358,10 +358,15 @@ class TSDB:
 
     # ----------------------------------------------------------- maintenance
     def remove_expires(self, now_ts: int | None = None) -> list[int]:
-        """Retention purge (tsdb.go:384-406); returns dropped segment ids."""
-        return self.store.remove_expired(
-            int(time.time()) if now_ts is None else now_ts, self.retention
-        )
+        """Retention purge (tsdb.go:384-406); returns dropped segment ids.
+        A native-histogram sibling store, if one has been written, is
+        purged under the same cutoff (its segments share the id space)."""
+        now = int(time.time()) if now_ts is None else now_ts
+        dropped = self.store.remove_expired(now, self.retention)
+        hist = getattr(self, "_hist_store", None)
+        if hist is not None:
+            hist.remove_expired(now, self.retention)
+        return dropped
 
     def downsample_expire(self, step: int, dest_root: str,
                           now_ts: int | None = None) -> list[int]:
@@ -754,6 +759,128 @@ class TSDB:
         )
         out = histogram_quantile_over(hist, q, ["series_key"])
         return out.join(labels, "series_key").select("series_key", "labels", "value")
+
+    # ------------------------------------------------------ native histograms
+    @property
+    def hist_store(self):
+        """Lazy sibling store for NATIVE-HISTOGRAM samples (the engine's
+        superset over the reference's float-only sample type,
+        tsdb.go:158-163): ``<path>__hist`` on disk, or the in-memory
+        variant under ``only_memory`` — same seg partitioning and
+        retention contract as the float store."""
+        store = getattr(self, "_hist_store", None)
+        if store is None:
+            from .sources.hist_store import HistStore, MemoryHistStore
+
+            root = getattr(self.store, "root", None)
+            if root is None:
+                store = MemoryHistStore(self.spark, self.segment_duration)
+            else:
+                store = HistStore(
+                    self.spark, str(root) + "__hist", self.segment_duration
+                )
+            self._hist_store = store
+        return store
+
+    def insert_histograms(self, rows: "DataFrame | list[tuple]") -> None:
+        """Append native-histogram samples: a DataFrame with
+        ``native_hist.HIST_ROW_SCHEMA`` columns (metric, labels, ts, hist)
+        or the tuple-list test convenience.  To ingest RAW observations,
+        build samples first with ``native_hist.observe_histograms`` (+
+        ``accumulate_histograms`` for counter semantics)."""
+        if not isinstance(rows, DataFrame):
+            from .functions.native_hist import HIST_ROW_SCHEMA
+
+            rows = self.spark.createDataFrame(rows, HIST_ROW_SCHEMA)
+        self.hist_store.append(rows)
+
+    def query_hist_rows(
+        self, metric: str | None, matchers: list[LabelMatcher] | None,
+        start: int, end: int,
+    ) -> DataFrame:
+        """Matcher-filtered histogram samples — the same prune+filter front
+        half as every float query path (tsdb_ops._filtered is value-column
+        agnostic, so seg pruning / pushable matchers apply unchanged)."""
+        return tsdb_ops._filtered(
+            self.hist_store.relation(), metric, matchers or [], start, end,
+            self.segment_duration,
+        ).select("labels", "ts", "hist", "series_key")
+
+    def _hist_vector(self, metric, matchers, at_ts, lookback, rate_window):
+        """Instant histogram vector at ``at_ts`` — either the newest sample
+        per series (lookback selection) or, with ``rate_window``, the
+        per-series ``rate(h[rate_window])`` histogram stamped at at_ts."""
+        from .functions import native_hist as nh
+
+        if rate_window:
+            rel = self.query_hist_rows(metric, matchers, at_ts - rate_window, at_ts)
+            return nh.hist_rate(rel, at_ts - rate_window, at_ts).withColumn(
+                "ts", F.lit(at_ts).cast("long")
+            )
+        rel = self.query_hist_rows(metric, matchers, at_ts - lookback, at_ts)
+        return nh.hist_instant(rel, at_ts, lookback)
+
+    def histogram_quantile_native(
+        self, q: float, metric: str | None, matchers: list[LabelMatcher] | None,
+        at_ts: int, lookback: int = 300, rate_window: int | None = None,
+    ) -> DataFrame:
+        """``histogram_quantile(q, h)`` — or the canonical
+        ``histogram_quantile(q, rate(h[w]))`` with ``rate_window=w`` —
+        over the native-histogram store (exponential in-bucket
+        interpolation, functions/native_hist.py)."""
+        from .functions import native_hist as nh
+
+        vec = self._hist_vector(metric, matchers, at_ts, lookback, rate_window)
+        return nh.hist_quantile(vec, q).select("labels", "value")
+
+    def histogram_fraction_native(
+        self, lo: float, hi: float, metric: str | None,
+        matchers: list[LabelMatcher] | None, at_ts: int,
+        lookback: int = 300, rate_window: int | None = None,
+    ) -> DataFrame:
+        """``histogram_fraction(lo, hi, h)`` over the native store."""
+        from .functions import native_hist as nh
+
+        vec = self._hist_vector(metric, matchers, at_ts, lookback, rate_window)
+        return nh.hist_fraction(vec, lo, hi).select("labels", "value")
+
+    def histogram_scalar_native(
+        self, which: str, metric: str | None,
+        matchers: list[LabelMatcher] | None, at_ts: int, lookback: int = 300,
+    ) -> DataFrame:
+        """``histogram_count/sum/avg/stddev/stdvar`` instant vectors."""
+        from .functions import native_hist as nh
+
+        vec = self._hist_vector(metric, matchers, at_ts, lookback, None)
+        return nh.hist_scalar(vec, which).select("labels", "value")
+
+    def hist_rate(self, metric: str | None, matchers: list[LabelMatcher] | None,
+                  start: int, end: int) -> DataFrame:
+        """Histogram-valued ``rate(h[range])`` (counter semantics with
+        reset detection) — compose with ``native_hist.hist_quantile``."""
+        from .functions import native_hist as nh
+
+        return nh.hist_rate(self.query_hist_rows(metric, matchers, start, end),
+                            start, end)
+
+    def hist_increase(self, metric: str | None,
+                      matchers: list[LabelMatcher] | None,
+                      start: int, end: int) -> DataFrame:
+        from .functions import native_hist as nh
+
+        return nh.hist_increase(
+            self.query_hist_rows(metric, matchers, start, end), start, end
+        )
+
+    def hist_sum_by(self, by: list[str], metric: str | None,
+                    matchers: list[LabelMatcher] | None,
+                    start: int, end: int) -> DataFrame:
+        """``sum by (labels) (h)`` across series per timestamp."""
+        from .functions import native_hist as nh
+
+        return nh.hist_sum_by(
+            self.query_hist_rows(metric, matchers, start, end), by
+        )
 
     # ----------------------------------------------------------------- close
     def close(self) -> None:

@@ -1,0 +1,152 @@
+"""Segment store for NATIVE-HISTOGRAM samples.
+
+Same layout discipline as the float-sample ``SegmentStore`` (seg-partitioned
+sorted parquet, so time predicates prune partitions and series scans skip
+row groups), but the value column is the ``hist`` struct of
+``functions.native_hist`` — sparse exponential buckets as
+``MAP<INT,DOUBLE>`` columns, which parquet stores as repeated key/value
+groups (dictionary + delta encodings apply to the int keys).
+
+The reference engine has no histogram sample type at all (tsdb.go:158-163
+stores float64 only); this store is part of the engine's native-histogram
+superset.  It deliberately reuses the float store's conventions rather
+than its code: the schemas differ, the knobs (bloom/promoted labels /
+row budgets) don't apply to the much-smaller histogram relations, and
+keeping it lean keeps the write path one repartition + one sorted write.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..model import (
+    DEFAULT_SEGMENT_DURATION,
+    clean_labels,
+    fold_metric_name,
+    seg_bucket,
+    series_key,
+)
+from ..functions.native_hist import HIST_ROW_SCHEMA
+
+
+def canonicalize_hist(df: DataFrame,
+                      segment_duration: int = DEFAULT_SEGMENT_DURATION) -> DataFrame:
+    """Write-path canonicalization for histogram samples: fold ``__name__``,
+    clean labels, stamp ``series_key`` and ``seg`` — identical label
+    discipline to ``model.canonicalize``, with ``hist`` in place of
+    ``value``."""
+    labels = fold_metric_name(
+        F.col("metric"), clean_labels(F.coalesce(F.col("labels"), F.create_map()))
+    )
+    return (
+        df.withColumn("labels", labels)
+        .withColumn("series_key", series_key(F.col("labels")))
+        .withColumn("seg", seg_bucket(F.col("ts"), segment_duration))
+        .select("labels", "ts", "hist", "series_key", "seg")
+    )
+
+
+class HistStore:
+    """Disk store: ``<root>`` holds seg-partitioned parquet of
+    ``(labels, ts, hist, series_key)``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        segment_duration: int = DEFAULT_SEGMENT_DURATION,
+        codec: str = "zstd",
+    ) -> None:
+        self.spark = spark
+        self.root = str(root)
+        self.segment_duration = segment_duration
+        self.codec = codec
+
+    # ---------------------------------------------------------------- write
+    def append(self, rows: DataFrame) -> None:
+        """One file per touched segment per batch: repartition on seg,
+        sort within partitions by (series_key, ts) for row-group skipping."""
+        batch = canonicalize_hist(rows, self.segment_duration)
+        n = max(self.spark.sparkContext.defaultParallelism, 1)
+        (
+            batch.repartition(n, F.col("seg"))
+            .sortWithinPartitions("series_key", "ts")
+            .write.option("compression", self.codec)
+            .partitionBy("seg")
+            .mode("append")
+            .parquet(self.root)
+        )
+
+    def insert_pylist(self, rows: list[tuple]) -> None:
+        """Test convenience: list of (metric, labels, ts, hist_dict)."""
+        self.append(self.spark.createDataFrame(rows, HIST_ROW_SCHEMA))
+
+    # ----------------------------------------------------------------- read
+    def relation(self) -> DataFrame:
+        if not Path(self.root).exists():
+            return self.spark.createDataFrame([], HIST_ROW_SCHEMA).select(
+                "labels", "ts", "hist",
+                F.lit(0).cast("long").alias("series_key"),
+                F.lit(0).cast("long").alias("seg"),
+            ).limit(0)
+        return self.spark.read.parquet(self.root)
+
+    # ------------------------------------------------------------ retention
+    def remove_expired(self, now_ts: int, retention: int) -> list[int]:
+        """Partition-directory retention, same contract as
+        ``SegmentStore.remove_expired`` (a segment expires when its max
+        possible ts predates now - retention)."""
+        cutoff = now_ts - retention
+        dropped: list[int] = []
+        root = Path(self.root)
+        if not root.exists():
+            return dropped
+        for p in sorted(root.glob("seg=*")):
+            seg = int(p.name.split("=", 1)[1])
+            if (seg + 1) * self.segment_duration - 1 < cutoff:
+                shutil.rmtree(p)
+                dropped.append(seg)
+        return dropped
+
+
+class MemoryHistStore:
+    """Memory-only variant (the histogram analogue of ``MemoryStore``):
+    union + eager localCheckpoint per append, lineage stays flat."""
+
+    def __init__(self, spark: SparkSession,
+                 segment_duration: int = DEFAULT_SEGMENT_DURATION) -> None:
+        self.spark = spark
+        self.segment_duration = segment_duration
+        self._df: DataFrame | None = None
+
+    def append(self, rows: DataFrame) -> None:
+        batch = canonicalize_hist(rows, self.segment_duration)
+        merged = batch if self._df is None else self._df.unionByName(batch)
+        self._df = merged.localCheckpoint(eager=True)
+
+    def insert_pylist(self, rows: list[tuple]) -> None:
+        self.append(self.spark.createDataFrame(rows, HIST_ROW_SCHEMA))
+
+    def relation(self) -> DataFrame:
+        if self._df is None:
+            return HistStore(self.spark, "/nonexistent",
+                             self.segment_duration).relation()
+        return self._df
+
+    def remove_expired(self, now_ts: int, retention: int) -> list[int]:
+        if self._df is None:
+            return []
+        dropped = [
+            r["seg"]
+            for r in self._df.select("seg").distinct().collect()
+            if (r["seg"] + 1) * self.segment_duration - 1 < now_ts - retention
+        ]
+        if dropped:
+            self._df = self._df.filter(~F.col("seg").isin(dropped)).localCheckpoint(
+                eager=True
+            )
+        return sorted(dropped)

@@ -279,3 +279,75 @@ def test_quantile_grouped_by_series(spark):
     assert got["a"] == pytest.approx(ra)
     assert got["b"] == pytest.approx(rb)
     assert got["b"] > got["a"] * 5
+
+
+# --------------------------------------------------------------------------
+# TSDB facade + HistStore integration
+# --------------------------------------------------------------------------
+
+def test_tsdb_hist_store_roundtrip_and_quantile(spark, tmp_path):
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    rows = [("lat", {"app": "x"}, 1000 + 60 * i, float(v))
+            for i, batch in enumerate(([1.0, 4.0], [2.0], [8.0, 16.0]))
+            for v in batch]
+    snaps = nh.observe_histograms(
+        spark.createDataFrame(rows, ROW_SCHEMA))
+    db.insert_histograms(nh.accumulate_histograms(snaps).select(
+        F.lit("lat").alias("metric"), "labels", "ts", "hist"))
+    got = db.query_hist_rows("lat", None, 0, 10**10).collect()
+    assert len(got) == 3
+    q = db.histogram_quantile_native(0.5, "lat", None, at_ts=2000,
+                                     rate_window=1000).collect()
+    assert len(q) == 1 and q[0]["value"] > 0
+
+    sc = db.histogram_scalar_native("count", "lat", None, at_ts=1200).collect()
+    assert sc[0]["value"] == 5.0  # cumulative count at the newest sample
+
+    fr = db.histogram_fraction_native(0.0, 1e9, "lat", None, at_ts=1200).collect()
+    assert fr[0]["value"] == __import__("pytest").approx(1.0)
+
+
+def test_tsdb_hist_store_memory_mode(spark):
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, None, only_memory=True)
+    rows = [("m", {"a": "1"}, 100, float(v)) for v in (1.0, 2.0, 3.0)]
+    snaps = nh.observe_histograms(spark.createDataFrame(rows, ROW_SCHEMA))
+    db.insert_histograms(snaps.select(F.lit("m").alias("metric"),
+                                      "labels", "ts", "hist"))
+    assert db.query_hist_rows("m", None, 0, 10**10).count() == 1
+
+
+def test_tsdb_hist_retention_shares_cutoff(spark, tmp_path):
+    from mandodb_spark import TSDB
+    from mandodb_spark.model import DEFAULT_SEGMENT_DURATION
+
+    db = TSDB(spark, str(tmp_path / "store"), retention=DEFAULT_SEGMENT_DURATION)
+    old_ts, new_ts = 100, 100 + 10 * DEFAULT_SEGMENT_DURATION
+    rows = [("m", {}, t, 1.5) for t in (old_ts, new_ts)]
+    snaps = nh.observe_histograms(spark.createDataFrame(rows, ROW_SCHEMA))
+    db.insert_histograms(snaps.select(F.lit("m").alias("metric"),
+                                      "labels", "ts", "hist"))
+    db.remove_expires(now_ts=new_ts)
+    left = db.query_hist_rows("m", None, 0, 10**10).collect()
+    assert [r["ts"] for r in left] == [new_ts]
+
+
+def test_hist_query_prunes_segments(spark, tmp_path):
+    """Time predicates over the hist relation reach partition pruning —
+    the same seg discipline as the float store."""
+    from mandodb_spark import TSDB
+    from mandodb_spark.model import DEFAULT_SEGMENT_DURATION
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    ts_list = [100, 100 + 5 * DEFAULT_SEGMENT_DURATION]
+    rows = [("m", {}, t, 2.0) for t in ts_list]
+    snaps = nh.observe_histograms(spark.createDataFrame(rows, ROW_SCHEMA))
+    db.insert_histograms(snaps.select(F.lit("m").alias("metric"),
+                                      "labels", "ts", "hist"))
+    plan = db.query_hist_rows("m", None, 0, 200)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "seg" in plan  # partition filter present
+    assert db.query_hist_rows("m", None, 0, 200).count() == 1

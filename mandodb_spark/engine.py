@@ -245,7 +245,25 @@ class TSDB:
         rel = self.store.relation()
         pruned = rel.filter(tsdb_ops.time_predicate(
             lo, hi, "seg" in rel.columns, self.segment_duration))
-        return promql_parser.eval_instant(pruned, ast, at_ts, lookback)
+        return promql_parser.eval_instant(
+            pruned, ast, at_ts, lookback, hist_rel=self._pruned_hist_rel(lo, hi)
+        )
+
+    def _pruned_hist_rel(self, lo: int, hi: int) -> "DataFrame | None":
+        """The native-histogram relation, seg-pruned to the query window —
+        or None when this TSDB has never written histogram samples (the
+        common case pays nothing: a directory existence check)."""
+        from pathlib import Path
+
+        store = getattr(self, "_hist_store", None)
+        root = getattr(self.store, "root", None)
+        if store is None:
+            if root is None or not Path(str(root) + "__hist").exists():
+                return None
+            store = self.hist_store
+        rel = store.relation()
+        return rel.filter(tsdb_ops.time_predicate(
+            lo, hi, "seg" in rel.columns, self.segment_duration))
 
     def promql_range(self, query: str, start: int, end: int, step: int,
                      lookback: int = 300) -> DataFrame:

@@ -567,12 +567,48 @@ _SCALAR_FNS = {"abs", "ceil", "floor", "exp", "ln", "log2", "log10",
 
 _CALENDAR_FNS = set(promql._CALENDAR)
 
+#: native-histogram scalar extractors (functions/native_hist.py) — these
+#: exist ONLY for native histograms in Prometheus (classic le-bucket
+#: series carry no structured sample to read).
+_HIST_SCALAR_FNS = {
+    "histogram_count": "count",
+    "histogram_sum": "sum",
+    "histogram_avg": "avg",
+    "histogram_stddev": "stddev",
+    "histogram_stdvar": "stdvar",
+}
+
 
 class _Ctx:
-    def __init__(self, rel: DataFrame, at_ts: int, lookback: int) -> None:
+    def __init__(self, rel: DataFrame, at_ts: int, lookback: int,
+                 hist_rel: DataFrame | None = None) -> None:
         self.rel = rel
         self.t = int(at_ts)
         self.lookback = int(lookback)
+        self.hist_rel = hist_rel
+        self._hist_metrics: set[str] | None = None
+
+    @property
+    def hist_metrics(self) -> set[str]:
+        """Metric names that resolve to NATIVE-HISTOGRAM series.  Prometheus
+        decides float-vs-histogram per sample at runtime; the declarative
+        analogue is this name set, collected lazily ONCE per query from the
+        histogram relation's ``__name__`` values — the same bounded
+        metadata class as the segment listing (one distinct over the tiny
+        hist store, never consulted when no hist_rel is configured)."""
+        if self._hist_metrics is None:
+            if self.hist_rel is None:
+                self._hist_metrics = set()
+            else:
+                self._hist_metrics = {
+                    r["__m"]
+                    for r in self.hist_rel.select(
+                        F.col("labels").getItem(promql.METRIC_NAME_LABEL)
+                        .alias("__m")
+                    ).distinct().collect()
+                    if r["__m"] is not None
+                }
+        return self._hist_metrics
 
 
 def _matcher_filter(rel: DataFrame, name: str | None, matchers) -> DataFrame:
@@ -633,8 +669,14 @@ def _eval(node, ctx: _Ctx):
         if range_s is not None:
             raise PromqlError(
                 f"range selector {name or ''}[{range_s}s] outside a range function")
-        filt = _matcher_filter(ctx.rel, name, matchers)
         base = at_s if at_s is not None else ctx.t
+        if name is not None and name in ctx.hist_metrics:
+            from . import native_hist as nh
+
+            filt = _matcher_filter(ctx.hist_rel, name, matchers)
+            return ("hvector",
+                    nh.hist_instant(filt, base - offset_s, ctx.lookback))
+        filt = _matcher_filter(ctx.rel, name, matchers)
         vec = promql.instant(filt, base - offset_s, ctx.lookback)
         return ("vector", _strip(vec))
     if kind == "call":
@@ -686,9 +728,56 @@ def _range_args(node, ctx: _Ctx, fname: str):
     return filt, start, end, range_s
 
 
+def _hist_range_arg(arg, ctx: _Ctx):
+    """If ``arg`` is a range selector over a NATIVE-HISTOGRAM metric,
+    return (filtered hist relation, start, end); else None."""
+    if (arg[0] == "selector" and arg[3] is not None and arg[1] is not None
+            and arg[1] in ctx.hist_metrics):
+        _, name, matchers, range_s, offset_s, at_s = arg
+        filt = _matcher_filter(ctx.hist_rel, name, matchers)
+        end = (at_s if at_s is not None else ctx.t) - offset_s
+        return filt, end - range_s + 1, end
+    return None
+
+
 def _eval_call(node, ctx: _Ctx):
     _, fname, args = node
 
+    if fname in ("rate", "increase", "delta") and len(args) == 1:
+        # native-histogram counter math: rate(h[5m]) stays histogram-valued
+        hr = _hist_range_arg(args[0], ctx)
+        if hr is not None:
+            from . import native_hist as nh
+
+            filt, start, end = hr
+            fn = {"rate": nh.hist_rate, "increase": nh.hist_increase,
+                  "delta": nh.hist_delta}[fname]
+            out = fn(filt, start, end).withColumn(
+                "ts", F.lit(ctx.t).cast("long"))
+            return ("hvector", out)
+    if fname in _HIST_SCALAR_FNS:
+        (arg,) = args
+        k, v = _eval(arg, ctx)
+        if k != "hvector":
+            raise PromqlError(
+                f"{fname} takes a native-histogram vector (got {k}; classic "
+                "le-bucket series have no structured sample to read)")
+        from . import native_hist as nh
+
+        out = nh.hist_scalar(v, _HIST_SCALAR_FNS[fname])
+        return ("vector", _drop_name(_strip(out)))
+    if fname == "histogram_fraction":
+        lo, hi, arg = args
+        lov, hiv = _eval(lo, ctx), _eval(hi, ctx)
+        if lov[0] != "scalar" or hiv[0] != "scalar":
+            raise PromqlError("histogram_fraction needs scalar bounds")
+        k, v = _eval(arg, ctx)
+        if k != "hvector":
+            raise PromqlError("histogram_fraction takes a native-histogram vector")
+        from . import native_hist as nh
+
+        out = nh.hist_fraction(v, float(lov[1]), float(hiv[1]))
+        return ("vector", _drop_name(_strip(out)))
     if fname in _RANGE_FNS and fname != "mad_over_time":
         (arg,) = args
         filt, start, end, _r = _range_args(arg, ctx, fname)
@@ -822,6 +911,12 @@ def _eval_call(node, ctx: _Ctx):
         if qk != "scalar":
             raise PromqlError("histogram_quantile needs a scalar q")
         k, v = _eval(arg, ctx)
+        if k == "hvector":
+            # native path: exponential in-bucket interpolation over the
+            # structured sample (incl. rate(h[w]) histogram vectors)
+            from . import native_hist as nh
+
+            return ("vector", _strip(nh.hist_quantile(v, float(qv))))
         if k != "vector":
             raise PromqlError("histogram_quantile takes a bucket vector")
         return ("vector", promql.histogram_quantile_vector(v, qv))
@@ -961,6 +1056,17 @@ def _limit_agg(fname: str, pv: float, v: DataFrame, by, without,
 def _eval_agg(node, ctx: _Ctx):
     _, fname, by, without, param, arg = node
     k, v = _eval(arg, ctx)
+    if k == "hvector":
+        # histogram aggregation: sum (element-wise bucket merge) is the
+        # defined operation; Prometheus likewise drops histograms from
+        # the other aggregators.
+        if fname != "sum" or without is not None:
+            raise PromqlError(
+                f"{fname}{' without' if without is not None else ''} is not "
+                "defined over native-histogram vectors (only sum by)")
+        from . import native_hist as nh
+
+        return ("hvector", nh.hist_sum_by(v, list(by or [])))
     if k != "vector":
         raise PromqlError(f"{fname} aggregates a vector")
     if fname in ("topk", "bottomk"):
@@ -1067,14 +1173,26 @@ def _eval_binop(node, ctx: _Ctx):
 
 
 def eval_instant(rel: DataFrame, query, at_ts: int,
-                 lookback: int = 300) -> DataFrame:
+                 lookback: int = 300,
+                 hist_rel: DataFrame | None = None) -> DataFrame:
     """Evaluate ``query`` (text, or a pre-parsed AST) as a PromQL instant
     query at ``at_ts`` over a relation with (labels map, ts, value)
     columns.  Returns the result vector as (labels, value); a scalar
-    result becomes a single labels-less row."""
+    result becomes a single labels-less row.
+
+    ``hist_rel`` (labels, ts, hist) enables NATIVE-HISTOGRAM selectors:
+    metric names present in it resolve to structured histogram samples,
+    so ``histogram_quantile(0.9, rate(h[5m]))``,
+    ``histogram_count/sum/avg/stddev/stdvar`` and ``histogram_fraction``
+    evaluate on the native path (functions/native_hist.py).  A TOP-LEVEL
+    histogram result returns (labels, ts, hist) rows instead of a value
+    column — the structured sample IS the result, as in the Prometheus
+    HTTP API's histogram payloads."""
     node = parse(query) if isinstance(query, str) else query
     node = resolve_at(node, at_ts, at_ts)
-    k, v = _eval(node, _Ctx(rel, at_ts, lookback))
+    k, v = _eval(node, _Ctx(rel, at_ts, lookback, hist_rel=hist_rel))
+    if k == "hvector":
+        return v.select("labels", "ts", "hist")
     if k == "scalar":
         spark = rel.sparkSession
         return spark.range(1).select(

@@ -351,3 +351,92 @@ def test_hist_query_prunes_segments(spark, tmp_path):
         .executedPlan().toString()
     assert "seg" in plan  # partition filter present
     assert db.query_hist_rows("m", None, 0, 200).count() == 1
+
+
+# --------------------------------------------------------------------------
+# PromQL text front-end over native histograms
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hist_tsdb(spark, tmp_path_factory):
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path_factory.mktemp("nh") / "store"))
+    # float series under one name, native histograms under another
+    db.insert_rows([("cpu", {"app": "x"}, 1000, 5.0)])
+    obs = [("lat", {"app": "x"}, t, float(v))
+           for t, vs in ((900, [1.0, 2.0]), (1000, [4.0, 8.0]))
+           for v in vs] + [("lat", {"app": "y"}, 1000, 3.0)]
+    snaps = nh.observe_histograms(_obs_df(spark, obs))
+    db.insert_histograms(nh.accumulate_histograms(snaps).select(
+        F.lit("lat").alias("metric"), "labels", "ts", "hist"))
+    return db
+
+
+def test_promql_text_histogram_quantile_native(hist_tsdb):
+    got = {r["labels"]["app"]: r["value"]
+           for r in hist_tsdb.promql(
+               "histogram_quantile(0.5, lat)", at_ts=1000).collect()}
+    ref_x = _ref_quantile(_ref_hist([1.0, 2.0, 4.0, 8.0]), 0.5)
+    ref_y = _ref_quantile(_ref_hist([3.0]), 0.5)
+    assert got["x"] == pytest.approx(ref_x)
+    assert got["y"] == pytest.approx(ref_y)
+
+
+def test_promql_text_histogram_quantile_of_rate(hist_tsdb):
+    got = hist_tsdb.promql(
+        'histogram_quantile(0.5, rate(lat{app="x"}[5m]))', at_ts=1000
+    ).collect()
+    # rate sees one step: +{4.0, 8.0} over 100 s; p50 of {4, 8}
+    ref = _ref_quantile(_ref_hist([4.0, 8.0]), 0.5)
+    assert len(got) == 1
+    assert got[0]["value"] == pytest.approx(ref)
+
+
+def test_promql_text_histogram_scalars(hist_tsdb):
+    got = {r["labels"]["app"]: r["value"]
+           for r in hist_tsdb.promql("histogram_count(lat)", 1000).collect()}
+    assert got == {"x": 4.0, "y": 1.0}
+    avg = {r["labels"]["app"]: r["value"]
+           for r in hist_tsdb.promql("histogram_avg(lat)", 1000).collect()}
+    assert avg["x"] == pytest.approx(15.0 / 4)
+
+
+def test_promql_text_histogram_fraction(hist_tsdb):
+    got = hist_tsdb.promql(
+        'histogram_fraction(0, 1e9, lat{app="x"})', 1000).collect()
+    assert got[0]["value"] == pytest.approx(1.0)
+
+
+def test_promql_text_hist_sum_by_then_quantile(hist_tsdb):
+    got = hist_tsdb.promql(
+        "histogram_quantile(0.5, sum by (__name__) (lat))", 1000).collect()
+    ref = _ref_quantile(_ref_hist([1.0, 2.0, 4.0, 8.0, 3.0]), 0.5)
+    assert len(got) == 1
+    assert got[0]["value"] == pytest.approx(ref)
+
+
+def test_promql_text_top_level_hvector_returns_struct(hist_tsdb):
+    out = hist_tsdb.promql('lat{app="y"}', 1000)
+    assert "hist" in out.columns
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["hist"]["count"] == 1.0
+
+
+def test_promql_text_float_path_unaffected(hist_tsdb):
+    got = hist_tsdb.promql("cpu", 1000).collect()
+    assert len(got) == 1 and got[0]["value"] == 5.0
+
+
+def test_promql_text_hist_scalar_on_float_errors(hist_tsdb):
+    from mandodb_spark.functions.promql_parser import PromqlError
+
+    with pytest.raises(PromqlError):
+        hist_tsdb.promql("histogram_count(cpu)", 1000).collect()
+
+
+def test_promql_text_hist_avg_agg_errors(hist_tsdb):
+    from mandodb_spark.functions.promql_parser import PromqlError
+
+    with pytest.raises(PromqlError):
+        hist_tsdb.promql("avg(lat)", 1000).collect()

@@ -280,7 +280,10 @@ class TSDB:
         rel = self.store.relation()
         pruned = rel.filter(tsdb_ops.time_predicate(
             lo, hi, "seg" in rel.columns, self.segment_duration))
-        return promql_parser.eval_range(pruned, ast, start, end, step, lookback)
+        return promql_parser.eval_range(
+            pruned, ast, start, end, step, lookback,
+            hist_rel=self._pruned_hist_rel(lo, hi),
+        )
 
     def promql_range_tiered(self, query: str, start: int, end: int,
                             step: int, rollup_dest: str, rollup_step: int,

@@ -500,28 +500,32 @@ def hist_fraction(rel: DataFrame, lo: float, hi: float,
 # counter math: increase / rate / delta over histogram-valued series
 # --------------------------------------------------------------------------
 
-def _hist_counter_math(rel: DataFrame, start: int, end: int,
-                       detect_resets: bool) -> DataFrame:
-    """Shared pipeline for :func:`hist_increase` (detect_resets=True) and
-    :func:`hist_delta` (False): per-series element-wise sum of per-step
-    histogram differences over [start, end].
+def _step_frames(rel: DataFrame, detect_resets: bool):
+    """Per-STEP difference frames shared by the whole-range counter math
+    (:func:`_hist_counter_math`) and the grid evaluator
+    (:func:`grid_hist_rate`).
+
+    Returns ``(sc, exr)``:
+
+    - ``sc`` — one row per SAMPLE: scalars + previous-sample scalars
+      (``__pc/__ps/__pz``), ``__prev_ts`` and the step's ``__reset`` flag;
+    - ``exr`` — one row per (sample, bucket) at the series-min schema:
+      ``cnt``, ``__aligned_prev`` (0 when the bucket was absent from the
+      previous sample) and the same ``__reset``/``__prev_ts``.
 
     Counter-reset contract (Prometheus histogram counter semantics): a
     step resets iff ``count`` or ``zero_count`` drops OR ANY bucket's
     cumulative count drops; a reset step contributes the new sample
-    verbatim (the counter restarted from empty).  Mixed schemas within
-    the window are first normalized to the series' coarsest schema
-    (bucket i at schema s maps to ceil(i / 2^(s-s')) at coarser s' —
-    the exact exponential-boundary merge), so map keys align before any
-    subtraction.
+    verbatim (the counter restarted from empty).  Mixed schemas are first
+    normalized to the series' coarsest schema (bucket i at schema s maps
+    to ceil(i / 2^(s-s')) at coarser s' — the exact exponential-boundary
+    merge), so map keys align before any subtraction.
 
     Everything runs in exploded bucket space: window lags keyed per
-    (series, sign, idx) with previous-sample-ts alignment (a bucket absent
-    from the previous sample reads as 0), one ``any(bucket-drop)`` hash
-    aggregate joined back per (series, ts), then per-component hash sums.
-    No per-series buffering; ~3 shuffles total, all keyed on series_key
+    (series, sign, idx) with previous-sample-ts alignment, one
+    ``any(bucket-drop)`` hash aggregate joined back per (series, ts).
+    No per-series buffering; all shuffles keyed on series_key
     derivatives."""
-    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
     ws = Window.partitionBy("series_key").orderBy("ts")
     wall = Window.partitionBy("series_key")
     scalars = rel.select(
@@ -577,13 +581,39 @@ def _hist_counter_math(rel: DataFrame, start: int, end: int,
         )
     else:
         sc = sc.withColumn("__reset", F.lit(False))
+    exr = exl.join(sc.select("series_key", "ts", "__reset"), ["series_key", "ts"])
+    return sc, exr
 
-    def step(cur: Column, prev: Column) -> Column:
-        return (
-            F.when(F.col("__prev_ts").isNull(), F.lit(0.0))
-            .when(F.col("__reset"), cur)
-            .otherwise(cur - prev)
-        )
+
+def _step_scalar(cur: Column, prev: Column) -> Column:
+    """Per-step contribution of one scalar component (0 on the baseline
+    sample, the new value verbatim on a reset)."""
+    return (
+        F.when(F.col("__prev_ts").isNull(), F.lit(0.0))
+        .when(F.col("__reset"), cur)
+        .otherwise(cur - prev)
+    )
+
+
+def _step_bucket() -> Column:
+    """Per-step contribution of one bucket (same contract as
+    :func:`_step_scalar`, over the exploded bucket step frame)."""
+    return (
+        F.when(F.col("__prev_ts").isNull(), F.lit(0.0))
+        .when(F.col("__reset"), F.col("cnt"))
+        .otherwise(F.col("cnt") - F.col("__aligned_prev"))
+    )
+
+
+def _hist_counter_math(rel: DataFrame, start: int, end: int,
+                       detect_resets: bool) -> DataFrame:
+    """Whole-range counter math for :func:`hist_increase`
+    (detect_resets=True) and :func:`hist_delta` (False): per-series
+    element-wise sum of the per-step differences of :func:`_step_frames`
+    over [start, end] — per-component hash sums, ~3 shuffles total."""
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    sc, exr = _step_frames(rel, detect_resets)
+    step = _step_scalar
 
     agg_scalars = sc.groupBy("series_key").agg(
         F.any_value("labels").alias("labels"),
@@ -595,12 +625,7 @@ def _hist_counter_math(rel: DataFrame, start: int, end: int,
         (F.max("ts") - F.min("ts")).alias("__span"),
         F.count(F.lit(1)).alias("__n"),
     )
-    exr = exl.join(sc.select("series_key", "ts", "__reset"), ["series_key", "ts"])
-    binc = (
-        F.when(F.col("__prev_ts").isNull(), F.lit(0.0))
-        .when(F.col("__reset"), F.col("cnt"))
-        .otherwise(F.col("cnt") - F.col("__aligned_prev"))
-    )
+    binc = _step_bucket()
     per_bucket = (
         exr.groupBy("series_key", "sign", "idx")
         .agg(F.sum(binc).alias("__v"))
@@ -741,4 +766,131 @@ def hist_sum_by(rel: DataFrame, by: list[str],
     out_cols = ["labels"] + (["ts"] if group_ts else []) + [hist.alias("hist")]
     return joined.select(*out_cols).withColumn(
         "series_key", series_key(F.col("labels"))
+    )
+
+
+# --------------------------------------------------------------------------
+# range-query grid evaluation (the dashboard surface)
+# --------------------------------------------------------------------------
+
+def grid_hist_instant(rel: DataFrame, start: int, end: int, step: int,
+                      lookback: int = 300) -> DataFrame:
+    """Instant HISTOGRAM vector at every eval point t = start + k·step:
+    the newest sample per series within the lookback window of each t —
+    the native analogue of ``promql.grid_instant`` (same explode-to-
+    covering-points + one hash agg; fan-out capped identically)."""
+    from .promql import _check_fanout, _grid_points
+
+    _check_fanout(lookback, step, "grid_hist_instant")
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - lookback, end))
+    covered = rel.withColumn("__t", _grid_points(lookback, start, end, step))
+    return (
+        covered.groupBy("series_key", "__t")
+        .agg(
+            F.any_value("labels").alias("labels"),
+            F.max_by(F.col("hist"), F.col("ts")).alias("hist"),
+        )
+        .select("series_key", "labels", F.col("__t").alias("ts"), "hist")
+    )
+
+
+def _step_points(start: int, end: int, step: int, window: int):
+    """Covering eval points of a STEP (prev_ts → ts): the t = start + k·step
+    with ts ≤ t AND prev_ts ≥ t − window + 1 — i.e. both step endpoints
+    inside (t − window, t].  Column-reach variant of
+    ``promql._grid_points`` (the upper bound depends on prev_ts)."""
+    k_lo = F.greatest(
+        F.ceil((F.col("ts") - F.lit(start)) / F.lit(step)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    k_hi = F.least(
+        F.floor(
+            (F.col("__prev_ts") + F.lit(window - 1) - F.lit(start)) / F.lit(step)
+        ).cast("long"),
+        F.lit((end - start) // step).cast("long"),
+    )
+    seq = F.when(
+        k_lo <= k_hi,
+        F.transform(F.sequence(k_lo, k_hi),
+                    lambda k: (F.lit(start) + k * step).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.explode(seq)
+
+
+def grid_hist_rate(rel: DataFrame, start: int, end: int, window: int,
+                   step: int, mode: str = "rate") -> DataFrame:
+    """rate / increase / delta over ``h[window]`` at every grid eval point,
+    HISTOGRAM-valued — the distributed lowering behind range-mode
+    ``histogram_quantile(q, rate(h[5m]))`` dashboards.
+
+    Design mirrors ``promql.grid_rate``: the per-step difference frames
+    (:func:`_step_frames`) are computed ONCE per series — never per eval
+    point — then each step explodes to the eval points whose window
+    contains BOTH its endpoints (per-(series, t) recomputation would give
+    identical steps, since restricting to a window only truncates the
+    sample sequence's ends).  A window's first sample is its baseline;
+    per-(series, t) span/sample-count derive from the contributing steps
+    themselves (consecutive steps chain: span = max ts − min prev_ts), so
+    no second sample-level explode is needed.  Fan-out is capped by
+    ``promql.GRID_FANOUT_CAP`` exactly like the scalar grid."""
+    from .promql import _check_fanout
+
+    if mode not in ("rate", "increase", "delta"):
+        raise ValueError(f"grid_hist_rate mode {mode!r}")
+    _check_fanout(window - 1, step, f"grid_hist_rate({mode})")
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - window + 1, end))
+    sc, exr = _step_frames(rel, mode != "delta")
+    pts = _step_points(start, end, step, window)
+    scg = sc.filter(F.col("__prev_ts").isNotNull()).withColumn("__t", pts)
+    agg_scalars = scg.groupBy("series_key", "__t").agg(
+        F.any_value("labels").alias("labels"),
+        F.sum(_step_scalar(F.col("__c"), F.col("__pc"))).alias("count"),
+        F.sum(_step_scalar(F.col("__s"), F.col("__ps"))).alias("sum"),
+        F.sum(_step_scalar(F.col("__z"), F.col("__pz"))).alias("zero_count"),
+        F.max("__zt").alias("zero_threshold"),
+        F.min("__smin").alias("schema"),
+        (F.max("ts") - F.min("__prev_ts")).alias("__span"),
+    )
+    exg = exr.filter(F.col("__prev_ts").isNotNull()).withColumn("__t", pts)
+    per_bucket = (
+        exg.groupBy("series_key", "__t", "sign", "idx")
+        .agg(F.sum(_step_bucket()).alias("__v"))
+        .filter(F.col("__v") != 0)
+    )
+    entry = F.struct(F.col("idx").alias("key"), F.col("__v").alias("value"))
+    maps = per_bucket.groupBy("series_key", "__t").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("sign") == 1, entry)))
+        ).alias("__pos"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col("sign") == -1, entry)))
+        ).alias("__neg"),
+    )
+    joined = agg_scalars.join(maps, ["series_key", "__t"], "left")
+    if mode == "rate":
+        joined = joined.filter(F.col("__span") > 0)
+        span = F.col("__span").cast("double")
+    else:
+        span = F.lit(1.0)
+    hist = F.struct(
+        (F.col("count") / span).alias("count"),
+        (F.col("sum") / span).alias("sum"),
+        (F.col("zero_count") / span).alias("zero_count"),
+        F.col("zero_threshold"),
+        F.col("schema"),
+        F.transform_values(
+            F.coalesce(F.col("__pos"),
+                       F.create_map().cast(HIST_STRUCT["pos"].dataType)),
+            lambda _, v: v / span,
+        ).alias("pos"),
+        F.transform_values(
+            F.coalesce(F.col("__neg"),
+                       F.create_map().cast(HIST_STRUCT["neg"].dataType)),
+            lambda _, v: v / span,
+        ).alias("neg"),
+    )
+    return joined.select(
+        "series_key", "labels", F.col("__t").alias("ts"), hist.alias("hist")
     )

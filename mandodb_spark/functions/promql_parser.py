@@ -1218,10 +1218,16 @@ _RANGE_MODES = {k: k for k in (
 
 class _RCtx:
     def __init__(self, rel: DataFrame, start: int, end: int, step: int,
-                 lookback: int) -> None:
+                 lookback: int, hist_rel: DataFrame | None = None) -> None:
         self.rel = rel
         self.start, self.end, self.step = int(start), int(end), int(step)
         self.lookback = int(lookback)
+        self.hist_rel = hist_rel
+        self._hist_metrics: set[str] | None = None
+
+    # same lazy metric-name routing set as _Ctx (one bounded collect per
+    # query, only when a hist relation is configured)
+    hist_metrics = _Ctx.hist_metrics
 
 
 def _strip_r(df: DataFrame) -> DataFrame:
@@ -1232,6 +1238,11 @@ def _strip_r(df: DataFrame) -> DataFrame:
 def _shift(df: DataFrame, offset_s: int) -> DataFrame:
     return df.withColumn("ts", (F.col("ts") + F.lit(offset_s)).cast("long")) \
         if offset_s else df
+
+
+def _shift_h(df: DataFrame, offset_s: int) -> DataFrame:
+    """offset re-stamp for histogram grid vectors (keeps the hist column)."""
+    return _shift(df, offset_s).select("series_key", "labels", "ts", "hist")
 
 
 def _grid_df(ctx: _RCtx):
@@ -1263,6 +1274,20 @@ def _reval(node, ctx: _RCtx):
         if range_s is not None:
             raise PromqlError(
                 f"range selector {name or ''}[{range_s}s] outside a range function")
+        if name is not None and name in ctx.hist_metrics:
+            from . import native_hist as nh
+
+            hfilt = _matcher_filter(ctx.hist_rel, name, matchers)
+            if at_s is not None:
+                vec = nh.hist_instant(hfilt, at_s - offset_s, ctx.lookback)
+                return ("hvector",
+                        vec.drop("ts").crossJoin(F.broadcast(_grid_df(ctx)))
+                        .select("series_key", "labels", "ts", "hist"))
+            _guard_fanout(ctx.lookback, ctx.step, f"selector {name}")
+            out = nh.grid_hist_instant(hfilt, ctx.start - offset_s,
+                                       ctx.end - offset_s, ctx.step,
+                                       ctx.lookback)
+            return ("hvector", _shift_h(out, offset_s))
         filt = _matcher_filter(ctx.rel, name, matchers)
         if at_s is not None:
             # @-fixed selector: constant across the grid (PromQL) — one
@@ -1327,6 +1352,49 @@ def _rrange_sel(node, ctx: _RCtx, fname: str):
 
 def _reval_call(node, ctx: _RCtx):
     _, fname, args = node
+    if fname in ("rate", "increase", "delta") and len(args) == 1 \
+            and args[0][0] == "selector" and args[0][3] is not None \
+            and args[0][1] is not None and args[0][1] in ctx.hist_metrics:
+        # native-histogram counter math on the grid (histogram-valued)
+        from . import native_hist as nh
+
+        _, name, matchers, range_s, offset_s, at_s = args[0]
+        hfilt = _matcher_filter(ctx.hist_rel, name, matchers)
+        fn = {"rate": nh.hist_rate, "increase": nh.hist_increase,
+              "delta": nh.hist_delta}[fname]
+        if at_s is not None:
+            # @-fixed: constant across the grid, one whole-range eval
+            end = at_s - offset_s
+            out = fn(hfilt, end - range_s + 1, end)
+            return ("hvector",
+                    out.crossJoin(F.broadcast(_grid_df(ctx)))
+                    .select("series_key", "labels", "ts", "hist"))
+        _guard_fanout(range_s - 1, ctx.step, fname)
+        out = nh.grid_hist_rate(hfilt, ctx.start - offset_s,
+                                ctx.end - offset_s, range_s, ctx.step, fname)
+        return ("hvector", _shift_h(out, offset_s))
+    if fname in _HIST_SCALAR_FNS:
+        (arg,) = args
+        k, v = _reval(arg, ctx)
+        if k != "hvector":
+            raise PromqlError(
+                f"{fname} takes a native-histogram vector (got {k})")
+        from . import native_hist as nh
+
+        return ("vector",
+                _strip_r(_drop_name(nh.hist_scalar(v, _HIST_SCALAR_FNS[fname]))))
+    if fname == "histogram_fraction":
+        lo, hi, arg = args
+        lov, hiv = _reval(lo, ctx), _reval(hi, ctx)
+        if lov[0] != "scalar" or hiv[0] != "scalar":
+            raise PromqlError("histogram_fraction needs scalar bounds")
+        k, v = _reval(arg, ctx)
+        if k != "hvector":
+            raise PromqlError("histogram_fraction takes a native-histogram vector")
+        from . import native_hist as nh
+
+        return ("vector", _strip_r(_drop_name(
+            nh.hist_fraction(v, float(lov[1]), float(hiv[1])))))
     if fname in _RANGE_MODES or fname in _OVER_TIME_FNS \
             or fname == "quantile_over_time":
         # @-fixed range selector (rate(x[5m] @ 1700000000), incl. the
@@ -1415,6 +1483,10 @@ def _reval_call(node, ctx: _RCtx):
         if qk != "scalar":
             raise PromqlError("histogram_quantile needs a scalar q")
         k, v = _reval(arg, ctx)
+        if k == "hvector":
+            from . import native_hist as nh
+
+            return ("vector", _strip_r(nh.hist_quantile(v, float(qv))))
         if k != "vector":
             raise PromqlError("histogram_quantile takes a bucket vector")
         return ("vector", promql.histogram_quantile_vector(
@@ -1569,6 +1641,15 @@ def _reval_call(node, ctx: _RCtx):
 def _reval_agg(node, ctx: _RCtx):
     _, fname, by, without, param, arg = node
     k, v = _reval(arg, ctx)
+    if k == "hvector":
+        if fname != "sum" or without is not None:
+            raise PromqlError(
+                f"{fname}{' without' if without is not None else ''} is not "
+                "defined over native-histogram vectors (only sum by)")
+        from . import native_hist as nh
+
+        # per eval point: element-wise bucket merge per group
+        return ("hvector", nh.hist_sum_by(v, list(by or [])))
     if k != "vector":
         raise PromqlError(f"{fname} aggregates a vector")
     return _agg_vector(fname, by, without, param, v, ctx)
@@ -1812,7 +1893,8 @@ def _reval_stepscalar_binop(op, lk, lv, rk, rv, bool_mode):
 
 
 def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
-               lookback: int = 300) -> DataFrame:
+               lookback: int = 300,
+               hist_rel: DataFrame | None = None) -> DataFrame:
     """Evaluate ``query`` (text or AST) as a PromQL RANGE query: the
     expression at every eval point t = start + k·step ≤ end.  Returns
     (labels, ts, value) — one row per series per grid point; a scalar
@@ -1826,12 +1908,19 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
     inner evaluation feeding the normal grid pass — any inner expression
     the range evaluator handles).  Remaining restrictions (raising
     ``PromqlError``): bare subqueries at the top level (as Prometheus),
-    nested subqueries, and ``@`` inside subqueries in range mode."""
+    nested subqueries, and ``@`` inside subqueries in range mode.
+
+    ``hist_rel`` enables NATIVE-HISTOGRAM selectors on the grid (see
+    :func:`eval_instant`); a top-level histogram result returns
+    (labels, ts, hist) rows."""
     if step <= 0:
         raise PromqlError("step must be positive")
     node = parse(query) if isinstance(query, str) else query
     node = resolve_at(node, start, end)
-    k, v = _reval(node, _RCtx(rel, start, end, step, lookback))
+    k, v = _reval(node, _RCtx(rel, start, end, step, lookback,
+                              hist_rel=hist_rel))
+    if k == "hvector":
+        return v.select("labels", F.col("ts").cast("long").alias("ts"), "hist")
     empty = F.map_from_arrays(F.array().cast("array<string>"),
                               F.array().cast("array<string>"))
     if k == "scalar":

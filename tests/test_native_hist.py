@@ -440,3 +440,85 @@ def test_promql_text_hist_avg_agg_errors(hist_tsdb):
 
     with pytest.raises(PromqlError):
         hist_tsdb.promql("avg(lat)", 1000).collect()
+
+
+# --------------------------------------------------------------------------
+# range-mode (grid) evaluation
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def grid_tsdb(spark, tmp_path_factory):
+    """Cumulative histogram counter with samples every 100 s and a value
+    mix that shifts over time."""
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path_factory.mktemp("nhg") / "store"))
+    obs = []
+    batches = {1000: [1.0, 2.0], 1100: [4.0], 1200: [8.0, 16.0], 1300: [2.0]}
+    for t, vs in batches.items():
+        obs += [("lat", {"app": "x"}, t, float(v)) for v in vs]
+    snaps = nh.observe_histograms(_obs_df(spark, obs))
+    db.insert_histograms(nh.accumulate_histograms(snaps).select(
+        F.lit("lat").alias("metric"), "labels", "ts", "hist"))
+    return db
+
+
+def test_grid_hist_instant_matches_per_point_instant(grid_tsdb):
+    rel = grid_tsdb.query_hist_rows("lat", None, 0, 10**10)
+    grid = nh.grid_hist_instant(rel, 1000, 1300, 100).collect()
+    by_t = {r["ts"]: r["hist"] for r in grid}
+    assert sorted(by_t) == [1000, 1100, 1200, 1300]
+    for t in by_t:
+        one = nh.hist_instant(rel, t, 300).collect()[0]["hist"]
+        assert by_t[t] == one, t
+
+
+def test_grid_hist_rate_matches_whole_range_rate_per_point(grid_tsdb):
+    """grid rate at eval point t == hist_rate over (t-w, t] — the grid
+    lowering is bit-equal to per-point evaluation."""
+    rel = grid_tsdb.query_hist_rows("lat", None, 0, 10**10)
+    w = 250
+    grid = {r["ts"]: r["hist"]
+            for r in nh.grid_hist_rate(rel, 1100, 1300, w, 100).collect()}
+    for t in (1100, 1200, 1300):
+        whole = nh.hist_rate(rel, t - w + 1, t).collect()
+        if not whole:
+            assert t not in grid
+            continue
+        ref = whole[0]["hist"]
+        got = grid[t]
+        assert got["count"] == pytest.approx(ref["count"]), t
+        assert got["sum"] == pytest.approx(ref["sum"]), t
+        assert dict(got["pos"]) == pytest.approx(dict(ref["pos"])), t
+
+
+def test_promql_range_histogram_quantile_of_rate(grid_tsdb):
+    out = grid_tsdb.promql_range(
+        "histogram_quantile(0.5, rate(lat[201s]))", 1100, 1300, 100).collect()
+    by_t = {r["ts"]: r["value"] for r in out}
+    # window (t-201, t]: at 1200 covers samples 1000..1200 -> increases
+    # {4.0} and {8.0, 16.0}
+    ref = _ref_quantile(_ref_hist([4.0, 8.0, 16.0]), 0.5)
+    assert by_t[1200] == pytest.approx(ref)
+    assert set(by_t) <= {1100, 1200, 1300}
+
+
+def test_promql_range_histogram_count_and_sum_by(grid_tsdb):
+    out = grid_tsdb.promql_range(
+        "histogram_count(sum by (app) (lat))", 1000, 1300, 100).collect()
+    by_t = {r["ts"]: r["value"] for r in out}
+    assert by_t == {1000: 2.0, 1100: 3.0, 1200: 5.0, 1300: 6.0}
+
+
+def test_promql_range_top_level_hvector(grid_tsdb):
+    out = grid_tsdb.promql_range("lat", 1000, 1200, 100)
+    assert "hist" in out.columns
+    assert out.count() == 3
+
+
+def test_promql_range_hist_fraction(grid_tsdb):
+    out = grid_tsdb.promql_range(
+        "histogram_fraction(3.0, 1e9, lat)", 1300, 1300, 100).collect()
+    # cumulative at 1300: {1,2,4,8,16,2}; values > 3: {4,8,16} of 6 — the
+    # 2-bucket and 1-bucket sit fully below 3.0 at schema 3
+    assert out[0]["value"] == pytest.approx(0.5, abs=0.02)

@@ -521,41 +521,62 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
     to ceil(i / 2^(s-s')) at coarser s' — the exact exponential-boundary
     merge), so map keys align before any subtraction.
 
-    Everything runs in exploded bucket space: window lags keyed per
-    (series, sign, idx) with previous-sample-ts alignment, one
-    ``any(bucket-drop)`` hash aggregate joined back per (series, ts).
-    No per-series buffering; all shuffles keyed on series_key
-    derivatives."""
+    Everything runs in exploded bucket space, JOIN-FREE except the one
+    reset aggregate: per-sample step context (prev ts, prev scalars,
+    series-min schema) is computed with window functions on ONE base
+    frame and CARRIED through the bucket explode — self-joins would make
+    every consumer re-evaluate the upstream subtree (measured: the first
+    join-based version audited at ~300 exchanges through grid_hist_rate;
+    this shape audits at ~20).  The bucket frame's per-row reset flag is
+    fully inline (scalar drops carried + an any(bucket-drop) WINDOW per
+    (series, ts)); only the sample frame needs the bucket-drop verdict
+    joined back (samples may carry no buckets at all)."""
     ws = Window.partitionBy("series_key").orderBy("ts")
     wall = Window.partitionBy("series_key")
-    scalars = rel.select(
-        "series_key",
-        "labels",
-        "ts",
-        F.col("hist.count").alias("__c"),
-        F.col("hist.sum").alias("__s"),
-        F.col("hist.zero_count").alias("__z"),
-        F.col("hist.zero_threshold").alias("__zt"),
-        F.col("hist.schema").alias("__schema"),
-    ).withColumn("__smin", F.min("__schema").over(wall))
-    sc = (
-        scalars.withColumn("__prev_ts", F.lag("ts").over(ws))
+    base = (
+        rel.select(
+            "series_key",
+            "labels",
+            "ts",
+            "hist",
+            F.col("hist.count").alias("__c"),
+            F.col("hist.sum").alias("__s"),
+            F.col("hist.zero_count").alias("__z"),
+            F.col("hist.zero_threshold").alias("__zt"),
+            F.col("hist.schema").alias("__schema"),
+        )
+        .withColumn("__smin", F.min("__schema").over(wall))
+        .withColumn("__prev_ts", F.lag("ts").over(ws))
         .withColumn("__pc", F.lag("__c").over(ws))
         .withColumn("__ps", F.lag("__s").over(ws))
         .withColumn("__pz", F.lag("__z").over(ws))
     )
-    # -- bucket space, normalized to the series-min schema --------------
-    ex = buckets_long(rel).filter(F.col("sign") != 0)
-    ex = ex.join(scalars.select("series_key", "ts", "__smin"), ["series_key", "ts"])
+    # -- bucket space from the SAME frame (scalars carried, no join),
+    #    normalized to the series-min schema --------------------------------
+    carried = ["series_key", "ts", "__prev_ts", "__smin",
+               "__c", "__pc", "__z", "__pz"]
+
+    def side(field: str, sign: int) -> DataFrame:
+        return base.select(
+            *carried,
+            F.col("__schema").alias("schema"),
+            F.explode(f"hist.{field}").alias("idx", "cnt"),
+        ).withColumn("sign", F.lit(sign))
+
+    ex = side("pos", 1).unionByName(side("neg", -1)).filter(F.col("cnt") > 0)
     down = _pow2((F.col("schema") - F.col("__smin")).cast("double"))
-    ex = ex.withColumn(
-        "idx", F.ceil(F.col("idx").cast("double") / down).cast("int")
-    ).groupBy("series_key", "ts", "sign", "idx").agg(F.sum("cnt").alias("cnt"))
+    ex = (
+        ex.withColumn("idx", F.ceil(F.col("idx").cast("double") / down).cast("int"))
+        .groupBy("series_key", "ts", "sign", "idx")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            *[F.any_value(c).alias(c) for c in carried[2:]],
+        )
+    )
     wb = Window.partitionBy("series_key", "sign", "idx").orderBy("ts")
     exl = (
         ex.withColumn("__bpts", F.lag("ts").over(wb))
         .withColumn("__bpc", F.lag("cnt").over(wb))
-        .join(sc.select("series_key", "ts", "__prev_ts"), ["series_key", "ts"])
         .withColumn(
             "__aligned_prev",
             F.when(
@@ -566,11 +587,22 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
         )
     )
     if detect_resets:
-        bucket_drop = (
-            exl.groupBy("series_key", "ts")
-            .agg(F.max(F.col("cnt") < F.col("__aligned_prev")).alias("__bdrop"))
+        wst = Window.partitionBy("series_key", "ts")
+        exr = exl.withColumn(
+            "__bdrop", F.max(F.col("cnt") < F.col("__aligned_prev")).over(wst)
+        ).withColumn(
+            "__reset",
+            F.col("__prev_ts").isNotNull()
+            & (
+                (F.col("__c") < F.col("__pc"))
+                | (F.col("__z") < F.col("__pz"))
+                | F.col("__bdrop")
+            ),
         )
-        sc = sc.join(bucket_drop, ["series_key", "ts"], "left").withColumn(
+        bucket_drop = exr.groupBy("series_key", "ts").agg(
+            F.any_value("__bdrop").alias("__bdrop")
+        )
+        sc = base.join(bucket_drop, ["series_key", "ts"], "left").withColumn(
             "__reset",
             F.col("__prev_ts").isNotNull()
             & (
@@ -580,8 +612,8 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
             ),
         )
     else:
-        sc = sc.withColumn("__reset", F.lit(False))
-    exr = exl.join(sc.select("series_key", "ts", "__reset"), ["series_key", "ts"])
+        sc = base.withColumn("__reset", F.lit(False))
+        exr = exl.withColumn("__reset", F.lit(False))
     return sc, exr
 
 

@@ -2549,3 +2549,239 @@ FROM s GROUP BY user ORDER BY user
 
 QUERIES["x_promql_subquery_general"] = x_promql_subquery_general
 ORACLES["x_promql_subquery_general"] = _subquery_general_sql()
+
+
+# ---------------------------------------------------------------------------
+# native histograms (functions/native_hist.py): the exponential-bucket math
+# replicated verbatim in DuckDB SQL — index correction, cumulative walk, and
+# exponential in-bucket interpolation
+# ---------------------------------------------------------------------------
+
+#: shared SQL fragment: click observations bucketized at schema 3
+#: (idx = smallest i with v <= 2^(i/8), float-noise-corrected one step
+#: each way exactly like native_hist.exp_bucket_index)
+def _nh_bucketize_sql(src: str) -> str:
+    return f"""
+ix0 AS (SELECT *, CAST(ceil(log2(value) * 8) AS INT) AS raw FROM {src}),
+ix1 AS (SELECT *, CASE WHEN power(2.0, (raw - 1) / 8.0) >= value
+                       THEN raw - 1 ELSE raw END AS i1 FROM ix0),
+ix AS (SELECT *, CASE WHEN power(2.0, i1 / 8.0) < value
+                      THEN i1 + 1 ELSE i1 END AS idx FROM ix1)
+"""
+
+
+def x_promql_native_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.5, h) over NATIVE histograms: one histogram
+    per user built from every click value in the window
+    (native_hist.observe_histograms → hist_quantile — the same operators
+    the PromQL text front-end calls).  The oracle replays the exponential
+    bucket geometry in SQL: corrected ceil(log2·2^s) index, value-ordered
+    cumulative walk, exponential in-bucket interpolation."""
+    from ..functions import native_hist as nh
+    from .common import EV_END, EV_START, events_relation
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+        & (F.col("labels").getItem("__name__") == "click")
+    )
+    obs = rel.select(
+        F.lit("click_nh").alias("metric"),
+        F.create_map(F.lit("user"), F.col("labels").getItem("user")).alias("labels"),
+        F.lit(EV_START).cast("long").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    snaps = nh.observe_histograms(obs)
+    out = nh.hist_quantile(snaps, 0.5)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        F.round("value", 6).alias("p50"),
+    ).orderBy("user")
+
+
+def _native_hist_quantile_sql() -> str:
+    from .common import EV_END, EV_START, TSDB_SQL_REL
+
+    return f"""
+WITH rel AS ({TSDB_SQL_REL}),
+src AS (
+    SELECT user, value FROM rel
+    WHERE ts BETWEEN {EV_START} AND {EV_END} AND metric = 'click'
+),
+{_nh_bucketize_sql('src')},
+b AS (SELECT user, idx, CAST(count(*) AS DOUBLE) AS cnt FROM ix GROUP BY 1, 2),
+c AS (SELECT user, idx, cnt,
+             sum(cnt) OVER (PARTITION BY user ORDER BY idx) AS cum,
+             sum(cnt) OVER (PARTITION BY user) AS total
+      FROM b),
+hit AS (SELECT *, row_number() OVER (PARTITION BY user ORDER BY idx) AS rn
+        FROM c WHERE cum >= 0.5 * total)
+SELECT user,
+       round(power(2.0, (idx - 1 + (0.5 * total - (cum - cnt)) / cnt) / 8.0),
+             6) AS p50
+FROM hit WHERE rn = 1 ORDER BY user
+"""
+
+
+QUERIES["x_promql_native_hist_quantile"] = x_promql_native_hist_quantile
+ORACLES["x_promql_native_hist_quantile"] = _native_hist_quantile_sql()
+
+
+def _nh_daily_rel(spark: SparkSession, sf_dir: str,
+                  keep_k: bool = True) -> DataFrame:
+    """Cumulative native-histogram counter series from events: one sample
+    per (user[, k], day) of click values, accumulated since the window
+    start (observe_histograms → accumulate_histograms).  ``keep_k=False``
+    collapses to per-user series — denser sample sequences for the
+    rate-window extra."""
+    from ..functions import native_hist as nh
+    from .common import EV_END, EV_START, events_relation
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
+        F.col("ts").between(EV_START, EV_END)
+        & (F.col("labels").getItem("__name__") == "click")
+    )
+    dropped = ("__name__",) if keep_k else ("__name__", "k")
+    obs = rel.select(
+        F.lit("click_nh").alias("metric"),
+        F.map_filter(
+            F.col("labels"),
+            lambda key, _: ~key.isin(*[F.lit(d) for d in dropped]),
+        ).alias("labels"),
+        (F.lit(EV_START)
+         + F.floor((F.col("ts") - EV_START) / 86_400).cast("long") * 86_400
+         ).cast("long").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    # Materialize the built samples once (localCheckpoint) — standing in
+    # for the production shape, where the grid evaluator reads histogram
+    # SAMPLES from the seg-pruned HistStore parquet rather than replaying
+    # the observe→accumulate build inside every consumer subtree.
+    return nh.accumulate_histograms(nh.observe_histograms(obs)).localCheckpoint()
+
+
+def x_promql_native_hist_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE query over native histograms through the text front-end:
+    ``histogram_count(sum by (user) (click_nh))`` on a daily grid —
+    grid_hist_instant (newest structured sample per (series, t) within
+    lookback) + hist_sum_by's element-wise merge per eval point + the
+    count extractor.  Counts are integers, so the parity is exact."""
+    from ..functions.promql_parser import eval_range
+    from .common import EV_END, EV_START
+    from .promql_q import _dedup_rel
+
+    hist_rel = _nh_daily_rel(spark, sf_dir)
+    g0 = EV_START + 86_400
+    out = eval_range(_dedup_rel(spark, sf_dir),
+                     "histogram_count(sum by (user) (click_nh))",
+                     g0, EV_END, 86_400, lookback=2 * 86_400 - 1,
+                     hist_rel=hist_rel)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        "ts",
+        F.col("value").cast("long").alias("n_obs"),
+    ).orderBy("user", "ts")
+
+
+def _native_hist_range_count_sql() -> str:
+    from .common import EV_END, EV_START, TSDB_SQL_REL
+
+    g0, lb = EV_START + 86_400, 2 * 86_400 - 1
+    return f"""
+WITH rel AS ({TSDB_SQL_REL}),
+src AS (
+    SELECT user, k,
+           {EV_START} + CAST(floor((ts - {EV_START}) / 86400.0) AS BIGINT)
+               * 86400 AS day,
+           value
+    FROM rel WHERE ts BETWEEN {EV_START} AND {EV_END} AND metric = 'click'
+),
+samples AS (SELECT user, k, day, count(*) AS c FROM src GROUP BY 1, 2, 3),
+cum AS (SELECT user, k, day,
+               sum(c) OVER (PARTITION BY user, k ORDER BY day) AS cumc
+        FROM samples),
+grid AS (SELECT unnest(range({g0}, {EV_END} + 1, 86400)) AS t),
+newest AS (
+    SELECT c.user, c.k, g.t, max_by(c.cumc, c.day) AS cnt
+    FROM cum c JOIN grid g ON c.day BETWEEN g.t - {lb} AND g.t
+    GROUP BY 1, 2, 3
+)
+SELECT user, t AS ts, CAST(CAST(sum(cnt) AS DOUBLE) AS BIGINT) AS n_obs
+FROM newest GROUP BY user, t ORDER BY user, ts
+"""
+
+
+QUERIES["x_promql_native_hist_range_count"] = x_promql_native_hist_range_count
+ORACLES["x_promql_native_hist_range_count"] = _native_hist_range_count_sql()
+
+
+def x_promql_native_hist_rate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical native-histogram dashboard panel as a RANGE query:
+    ``histogram_quantile(0.5, rate(click_nh[3d]))`` on a daily grid —
+    grid_hist_rate's per-step difference frames exploded to covering eval
+    points, histogram-valued, then the exponential-interpolation quantile
+    per (series, t).  The oracle reconstructs each window's bucket
+    increase directly from the raw values (monotone counters: increase
+    over (t−w, t] = observations strictly after the window's FIRST sample
+    day through its last) and interpolates identically; rate's 1/span
+    scaling cancels in the quantile."""
+    from ..functions.promql_parser import eval_range
+    from .common import EV_END, EV_START
+    from .promql_q import _dedup_rel
+
+    hist_rel = _nh_daily_rel(spark, sf_dir, keep_k=False)
+    g0 = EV_START + 3 * 86_400
+    out = eval_range(_dedup_rel(spark, sf_dir),
+                     "histogram_quantile(0.5, rate(click_nh[3d]))",
+                     g0, EV_END, 86_400, hist_rel=hist_rel)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        "ts",
+        F.round("value", 6).alias("p50"),
+    ).orderBy("user", "ts")
+
+
+def _native_hist_rate_quantile_sql() -> str:
+    from .common import EV_END, EV_START, TSDB_SQL_REL
+
+    g0, w = EV_START + 3 * 86_400, 3 * 86_400
+    return f"""
+WITH rel AS ({TSDB_SQL_REL}),
+src0 AS (
+    SELECT user,
+           {EV_START} + CAST(floor((ts - {EV_START}) / 86400.0) AS BIGINT)
+               * 86400 AS day,
+           value
+    FROM rel WHERE ts BETWEEN {EV_START} AND {EV_END} AND metric = 'click'
+),
+grid AS (SELECT unnest(range({g0}, {EV_END} + 1, 86400)) AS t),
+sdays AS (SELECT DISTINCT user, day FROM src0),
+win AS (
+    SELECT s.user, g.t,
+           min(s.day) AS d_lo, max(s.day) AS d_hi, count(*) AS n
+    FROM sdays s JOIN grid g ON s.day > g.t - {w} AND s.day <= g.t
+    GROUP BY 1, 2
+    HAVING count(*) >= 2 AND max(s.day) > min(s.day)
+),
+src AS (
+    SELECT w.user, w.t, v.value
+    FROM win w JOIN src0 v
+      ON v.user = w.user AND v.day > w.d_lo AND v.day <= w.d_hi
+),
+{_nh_bucketize_sql('src')},
+b AS (SELECT user, t, idx, CAST(count(*) AS DOUBLE) AS cnt
+      FROM ix GROUP BY 1, 2, 3),
+c AS (SELECT user, t, idx, cnt,
+             sum(cnt) OVER (PARTITION BY user, t ORDER BY idx) AS cum,
+             sum(cnt) OVER (PARTITION BY user, t) AS total
+      FROM b),
+hit AS (SELECT *, row_number() OVER (PARTITION BY user, t ORDER BY idx) AS rn
+        FROM c WHERE cum >= 0.5 * total)
+SELECT user, t AS ts,
+       round(power(2.0, (idx - 1 + (0.5 * total - (cum - cnt)) / cnt) / 8.0),
+             6) AS p50
+FROM hit WHERE rn = 1 ORDER BY user, ts
+"""
+
+
+QUERIES["x_promql_native_hist_rate_quantile"] = x_promql_native_hist_rate_quantile
+ORACLES["x_promql_native_hist_rate_quantile"] = _native_hist_rate_quantile_sql()

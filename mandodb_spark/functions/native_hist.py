@@ -926,3 +926,124 @@ def grid_hist_rate(rel: DataFrame, start: int, end: int, window: int,
     return joined.select(
         "series_key", "labels", F.col("__t").alias("ts"), hist.alias("hist")
     )
+
+
+# --------------------------------------------------------------------------
+# exposition wire format: spans + delta-encoded counts <-> sparse maps
+# --------------------------------------------------------------------------
+
+def spans_to_buckets(spans: Column, deltas: Column) -> Column:
+    """Decode the Prometheus protobuf exposition encoding of one bucket
+    side into the engine's sparse ``MAP<INT,DOUBLE>``.
+
+    Wire form (io.prometheus.client.Histogram): ``spans`` is an array of
+    ``(offset, length)`` runs — ``offset`` = indices skipped from the end
+    of the previous span (absolute start for the first) — and ``deltas``
+    delta-encodes the bucket counts across all spans (first entry
+    absolute).  Both decodes are single ``aggregate`` folds over
+    arrays whose length is the histogram's bucket count (schema-bounded),
+    entirely JVM-side — the scrape-ingest path never touches Python."""
+    idxs = F.aggregate(
+        spans,
+        F.struct(
+            F.lit(0).alias("next"),
+            F.array().cast("array<int>").alias("idxs"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["next"] + s["offset"] + s["length"]).cast("int").alias("next"),
+            F.concat(
+                acc["idxs"],
+                F.sequence(
+                    (acc["next"] + s["offset"]).cast("int"),
+                    (acc["next"] + s["offset"] + s["length"] - 1).cast("int"),
+                ),
+            ).alias("idxs"),
+        ),
+        lambda acc: acc["idxs"],
+    )
+    counts = F.aggregate(
+        deltas,
+        F.array().cast("array<double>"),
+        lambda acc, d: F.concat(
+            acc,
+            F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0))
+                    + d.cast("double")),
+        ),
+    )
+    return F.map_from_arrays(idxs, counts)
+
+
+def buckets_to_spans(bmap: Column) -> Column:
+    """Inverse of :func:`spans_to_buckets`: encode a sparse bucket map as
+    ``struct(spans array<struct<offset int, length int>>, deltas
+    array<long>)`` — the exposition writer.  One fold over the
+    index-sorted entries; a new span opens whenever the index gap
+    exceeds 1."""
+    entries = F.array_sort(F.map_entries(bmap))
+    folded = F.aggregate(
+        entries,
+        F.struct(
+            F.array().cast(
+                "array<struct<offset:int,length:int>>").alias("spans"),
+            F.array().cast("array<bigint>").alias("deltas"),
+            F.lit(None).cast("int").alias("prev_idx"),
+            F.lit(0.0).alias("prev_cnt"),
+        ),
+        lambda acc, e: F.struct(
+            F.when(
+                acc["prev_idx"].isNull(),
+                F.array(F.struct(e["key"].alias("offset"),
+                                 F.lit(1).cast("int").alias("length"))),
+            ).when(
+                e["key"] - acc["prev_idx"] == 1,
+                F.concat(
+                    F.slice(acc["spans"], 1, F.size(acc["spans"]) - 1),
+                    F.array(F.struct(
+                        F.element_at(acc["spans"], -1)["offset"].alias("offset"),
+                        (F.element_at(acc["spans"], -1)["length"] + 1)
+                        .cast("int").alias("length"),
+                    )),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc["spans"],
+                    F.array(F.struct(
+                        (e["key"] - acc["prev_idx"] - 1).cast("int")
+                        .alias("offset"),
+                        F.lit(1).cast("int").alias("length"),
+                    )),
+                ),
+            ).alias("spans"),
+            F.concat(
+                acc["deltas"],
+                F.array((e["value"] - acc["prev_cnt"]).cast("bigint")),
+            ).alias("deltas"),
+            e["key"].cast("int").alias("prev_idx"),
+            e["value"].alias("prev_cnt"),
+        ),
+        lambda acc: F.struct(acc["spans"].alias("spans"),
+                             acc["deltas"].alias("deltas")),
+    )
+    return folded
+
+
+def histograms_from_exposition(df: DataFrame,
+                               segment_duration: int | None = None) -> DataFrame:
+    """Scrape-ingest decoder: rows shaped like the protobuf exposition
+    message — ``(metric, labels, ts, count, sum, zero_count,
+    zero_threshold, schema, pos_spans, pos_deltas, neg_spans,
+    neg_deltas)`` with spans as ``array<struct<offset int, length int>>``
+    and deltas as ``array<bigint>`` — into the engine's
+    ``HIST_ROW_SCHEMA`` (metric, labels, ts, hist), ready for
+    ``TSDB.insert_histograms``.  Pure column decode (two aggregate folds
+    per side), no shuffle of its own."""
+    hist = F.struct(
+        F.col("count").cast("double").alias("count"),
+        F.col("sum").cast("double").alias("sum"),
+        F.col("zero_count").cast("double").alias("zero_count"),
+        F.col("zero_threshold").cast("double").alias("zero_threshold"),
+        F.col("schema").cast("int").alias("schema"),
+        spans_to_buckets(F.col("pos_spans"), F.col("pos_deltas")).alias("pos"),
+        spans_to_buckets(F.col("neg_spans"), F.col("neg_deltas")).alias("neg"),
+    )
+    return df.select("metric", "labels", "ts", hist.alias("hist"))

@@ -1938,37 +1938,71 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
     return _strip_r(v)
 
 
+def _api_hist(h) -> dict:
+    """Prometheus HTTP-API histogram object (result-formats spec for
+    native histograms): stringified count/sum plus value-ascending
+    ``[boundary_rule, "lower", "upper", "count"]`` buckets — rule 1
+    (open right) for negative exponential buckets, 3 (closed both) for
+    the zero bucket, 0 (open left) for positive exponential buckets."""
+    scale = 2.0 ** h["schema"]
+    buckets = []
+    for i, c in sorted((h["neg"] or {}).items(), reverse=True):
+        lo, hi = -(2.0 ** (i / scale)), -(2.0 ** ((i - 1) / scale))
+        buckets.append([1, _fmt_val(lo), _fmt_val(hi), _fmt_val(c)])
+    if h["zero_count"]:
+        zt = h["zero_threshold"]
+        buckets.append([3, _fmt_val(-zt), _fmt_val(zt), _fmt_val(h["zero_count"])])
+    for i, c in sorted((h["pos"] or {}).items()):
+        lo, hi = 2.0 ** ((i - 1) / scale), 2.0 ** (i / scale)
+        buckets.append([0, _fmt_val(lo), _fmt_val(hi), _fmt_val(c)])
+    return {"count": _fmt_val(h["count"]), "sum": _fmt_val(h["sum"]),
+            "buckets": buckets}
+
+
 def to_api_vector(df: DataFrame, at_ts: int | None = None) -> dict:
     """Shape an instant-query result as the Prometheus HTTP API payload
     (``/api/v1/query`` data object: resultType "vector", values as
     [ts, "str"] pairs) so existing Prometheus client tooling consumes it
-    verbatim.  Driver-side by definition — this is the client response;
-    bound the input with topk/filters first."""
+    verbatim.  A histogram-valued result (``hist`` column — top-level
+    native-histogram expressions) renders each sample as the API's
+    ``histogram`` object instead of ``value``.  Driver-side by definition
+    — this is the client response; bound the input with topk/filters
+    first."""
+    has_hist = "hist" in df.columns
     rows = df.collect()
     out = []
     for r in rows:
         ts = at_ts if at_ts is not None else r["ts"] if "ts" in r.__fields__ else 0
-        out.append({"metric": dict(r["labels"]),
-                    "value": [int(ts), _fmt_val(r["value"])]})
+        if has_hist:
+            out.append({"metric": dict(r["labels"]),
+                        "histogram": [int(ts), _api_hist(r["hist"])]})
+        else:
+            out.append({"metric": dict(r["labels"]),
+                        "value": [int(ts), _fmt_val(r["value"])]})
     return {"resultType": "vector", "result": out}
 
 
 def to_api_matrix(df: DataFrame) -> dict:
     """Shape a range-query result (labels, ts, value) as the Prometheus
     ``/api/v1/query_range`` data object: resultType "matrix", one series
-    entry per label set with its [ts, "str"] value list sorted by ts."""
+    entry per label set with its [ts, "str"] value list sorted by ts.
+    Histogram-valued results carry ``histograms`` lists of
+    [ts, histogram-object] pairs, per the native-histogram API spec."""
     from collections import defaultdict
 
+    has_hist = "hist" in df.columns
     series: dict = defaultdict(list)
     metas: dict = {}
     for r in df.collect():
         key = tuple(sorted(r["labels"].items()))
         metas[key] = dict(r["labels"])
-        series[key].append((int(r["ts"]), _fmt_val(r["value"])))
+        val = _api_hist(r["hist"]) if has_hist else _fmt_val(r["value"])
+        series[key].append((int(r["ts"]), val))
+    field = "histograms" if has_hist else "values"
     return {
         "resultType": "matrix",
         "result": [
-            {"metric": metas[k], "values": sorted(vs)}
+            {"metric": metas[k], field: sorted(vs, key=lambda p: p[0])}
             for k, vs in sorted(series.items())
         ],
     }

@@ -522,3 +522,132 @@ def test_promql_range_hist_fraction(grid_tsdb):
     # cumulative at 1300: {1,2,4,8,16,2}; values > 3: {4,8,16} of 6 — the
     # 2-bucket and 1-bucket sit fully below 3.0 at schema 3
     assert out[0]["value"] == pytest.approx(0.5, abs=0.02)
+
+
+def test_api_payloads_render_histogram_objects(spark):
+    """VERBATIM Prometheus HTTP-API golden for native-histogram results:
+    the result-formats spec's ``histogram``/``histograms`` fields with
+    [boundary_rule, lower, upper, count] buckets in value order (1 =
+    open-right negative, 3 = closed-both zero, 0 = open-left positive)."""
+    import json
+
+    from mandodb_spark.functions.promql_parser import (
+        api_success, to_api_matrix, to_api_vector)
+
+    rows = [
+        ("m", {"app": "x"}, 100,
+         {"count": 6.0, "sum": 7.5, "zero_count": 1.0,
+          "zero_threshold": 0.5, "schema": 0,
+          "pos": {1: 2.0, 2: 1.0}, "neg": {1: 2.0}}),
+        ("m", {"app": "x"}, 200,
+         {"count": 7.0, "sum": 9.5, "zero_count": 1.0,
+          "zero_threshold": 0.5, "schema": 0,
+          "pos": {1: 2.0, 2: 2.0}, "neg": {1: 2.0}}),
+    ]
+    df = spark.createDataFrame(rows, nh.HIST_ROW_SCHEMA).select(
+        F.map_concat(F.create_map(F.lit("__name__"), F.col("metric")),
+                     F.col("labels")).alias("labels"),
+        "ts", "hist")
+    hobj = {
+        "count": "6", "sum": "7.5",
+        "buckets": [[1, "-2", "-1", "2"], [3, "-0.5", "0.5", "1"],
+                    [0, "1", "2", "2"], [0, "2", "4", "1"]],
+    }
+    hobj2 = {
+        "count": "7", "sum": "9.5",
+        "buckets": [[1, "-2", "-1", "2"], [3, "-0.5", "0.5", "1"],
+                    [0, "1", "2", "2"], [0, "2", "4", "2"]],
+    }
+    vec = to_api_vector(df.filter("ts = 100"), at_ts=100)
+    golden_vec = {
+        "status": "success",
+        "data": {"resultType": "vector", "result": [
+            {"metric": {"__name__": "m", "app": "x"},
+             "histogram": [100, hobj]}]},
+    }
+    assert json.loads(json.dumps(api_success(vec))) == golden_vec
+    mat = to_api_matrix(df)
+    golden_mat = {
+        "resultType": "matrix",
+        "result": [{"metric": {"__name__": "m", "app": "x"},
+                    "histograms": [[100, hobj], [200, hobj2]]}],
+    }
+    assert json.loads(json.dumps(mat)) == golden_mat
+
+
+# --------------------------------------------------------------------------
+# exposition wire codec (spans + deltas <-> sparse maps)
+# --------------------------------------------------------------------------
+
+def test_spans_decode_known_example(spark):
+    """Buckets at idx {0,1,5}: spans [(0,2),(3,1)] — second span skips
+    indices 2,3,4 — deltas [2,1,-2] decode to counts [2,3,1]."""
+    df = spark.createDataFrame(
+        [([(0, 2), (3, 1)], [2, 1, -2])],
+        "spans array<struct<offset:int,length:int>>, deltas array<bigint>")
+    out = df.select(nh.spans_to_buckets(
+        F.col("spans"), F.col("deltas")).alias("m")).collect()[0]["m"]
+    assert dict(out) == {0: 2.0, 1: 3.0, 5: 1.0}
+
+
+def test_spans_negative_first_offset(spark):
+    """First span offset may be negative (buckets below index 0 — values
+    under 1.0)."""
+    df = spark.createDataFrame(
+        [([(-3, 2)], [4, -1])],
+        "spans array<struct<offset:int,length:int>>, deltas array<bigint>")
+    out = df.select(nh.spans_to_buckets(
+        F.col("spans"), F.col("deltas")).alias("m")).collect()[0]["m"]
+    assert dict(out) == {-3: 4.0, -2: 3.0}
+
+
+def test_span_codec_round_trip_randomized(spark):
+    """map -> spans -> map is the identity over 60 seeded random sparse
+    bucket maps (one batched Spark job), and the span encoding is
+    canonical: consecutive indices share a span."""
+    import random
+
+    rng = random.Random(907)
+    maps = []
+    for _ in range(60):
+        idxs = sorted(rng.sample(range(-20, 40), rng.randint(1, 12)))
+        maps.append({i: float(rng.randint(1, 9)) for i in idxs})
+    df = spark.createDataFrame([(m,) for m in maps], "m map<int,double>")
+    enc = df.select("m", nh.buckets_to_spans(F.col("m")).alias("enc"))
+    dec = enc.select(
+        "m", "enc",
+        nh.spans_to_buckets(F.col("enc.spans"),
+                            F.col("enc.deltas")).alias("back"))
+    for r in dec.collect():
+        assert dict(r["back"]) == dict(r["m"])
+        # canonical run-length form: sum of lengths == bucket count and
+        # every span is non-empty
+        assert sum(s["length"] for s in r["enc"]["spans"]) == len(r["m"])
+        assert all(s["length"] >= 1 for s in r["enc"]["spans"])
+
+
+def test_exposition_ingest_end_to_end(spark, tmp_path):
+    """Protobuf-shaped scrape rows decode, store, and answer PromQL."""
+    from mandodb_spark import TSDB
+
+    wire_schema = (
+        "metric string, labels map<string,string>, ts long, count long, "
+        "sum double, zero_count long, zero_threshold double, schema int, "
+        "pos_spans array<struct<offset:int,length:int>>, "
+        "pos_deltas array<bigint>, "
+        "neg_spans array<struct<offset:int,length:int>>, "
+        "neg_deltas array<bigint>")
+    rows = [
+        ("lat", {"app": "w"}, 1000, 3, 5.5, 0, 2.0 ** -128, 0,
+         [(1, 2)], [2, -1], [], []),
+        ("lat", {"app": "w"}, 1100, 5, 9.5, 0, 2.0 ** -128, 0,
+         [(1, 2)], [3, -1], [], []),
+    ]
+    wire = spark.createDataFrame(rows, wire_schema)
+    db = TSDB(spark, str(tmp_path / "store"))
+    db.insert_histograms(nh.histograms_from_exposition(wire))
+    got = db.promql("histogram_count(lat)", 1100).collect()
+    assert got[0]["value"] == 5.0
+    rate = db.promql("histogram_quantile(1.0, rate(lat[5m]))", 1100).collect()
+    # increase: idx1 2->3 (+1), idx2 1->2 (+1); q=1 -> top bucket upper 4.0
+    assert rate[0]["value"] == __import__("pytest").approx(4.0)

@@ -727,21 +727,27 @@ def hist_delta(rel: DataFrame, start: int, end: int) -> DataFrame:
 # cross-series aggregation
 # --------------------------------------------------------------------------
 
-def hist_sum_by(rel: DataFrame, by: list[str],
+def hist_sum_by(rel: DataFrame, by: list[str] | None,
                 group_ts: bool = True) -> DataFrame:
     """``sum by (labels) (h)`` over histogram vectors: element-wise
     histogram addition per group (and per ts when ``group_ts``).  Mixed
     schemas downscale to the group's coarsest before the bucket merge
     (same exponential-boundary mapping as counter math); the zero
     threshold widens to the group max.  Two hash aggregates over exploded
-    buckets — never a pairwise merge loop."""
+    buckets — never a pairwise merge loop.
+
+    ``by=None`` keeps the FULL label set as the group — the partial-merge
+    form (see :func:`hist_merge_partials`)."""
     rel = _ensure_series_key(rel)
-    glabels = F.map_from_entries(
-        F.filter(
-            F.map_entries(F.col("labels")),
-            lambda e: e.key.isin(*[F.lit(b) for b in by]) if by else F.lit(False),
+    if by is None:
+        glabels = F.col("labels")
+    else:
+        glabels = F.map_from_entries(
+            F.filter(
+                F.map_entries(F.col("labels")),
+                lambda e: e.key.isin(*[F.lit(b) for b in by]) if by else F.lit(False),
+            )
         )
-    )
     from ..model import canonical_labels_json
 
     rel = rel.withColumn("__glabels", glabels).withColumn(
@@ -1047,3 +1053,13 @@ def histograms_from_exposition(df: DataFrame,
         spans_to_buckets(F.col("neg_spans"), F.col("neg_deltas")).alias("neg"),
     )
     return df.select("metric", "labels", "ts", hist.alias("hist"))
+
+
+def hist_merge_partials(rel: DataFrame) -> DataFrame:
+    """Merge PARTIAL histogram samples sharing (series, ts) into one —
+    histogram addition is associative and commutative, so a store may
+    hold per-micro-batch partials (the streaming ingest shape:
+    ``StreamingIngestor(nh_dest=…)`` appends one partial per batch per
+    open window) and this read-side merge reconstructs the exact
+    full-window histogram regardless of how ingestion split it."""
+    return hist_sum_by(rel, None, group_ts=True)

@@ -106,6 +106,18 @@ class StreamingIngestor:
     value-quantile rollup (operators/sketch.py::quantile_materialize) —
     log-bucket counts keyed by seg, merged by addition, so the per-batch
     incremental refresh composes like the others.
+
+    ``nh_dest``/``nh_step``/``nh_schema``: continuous NATIVE-HISTOGRAM
+    maintenance — each micro-batch's raw values are observed into one
+    PARTIAL histogram sample per (series, ``nh_step``-aligned window)
+    and appended to the seg-partitioned HistStore at ``nh_dest``.
+    Histogram addition is associative, so a window split across batches
+    (or across retries replayed exactly-once by the checkpoint) simply
+    holds several partials; ``native_hist.hist_merge_partials`` — or any
+    ``sum by``-style read — reconstructs the full-window histogram.  This
+    is append-only O(batch) work per batch: no read-modify-write of
+    previously-written windows, the property that keeps the sink safe at
+    any ingest rate.
     """
 
     def __init__(self, store: SegmentStore, label_dim_dest: str | None = None,
@@ -114,7 +126,10 @@ class StreamingIngestor:
                  hist_bounds: tuple[float, ...] | None = None,
                  card_dest: str | None = None,
                  quantile_dest: str | None = None,
-                 quantile_alpha: float = 0.01) -> None:
+                 quantile_alpha: float = 0.01,
+                 nh_dest: str | None = None,
+                 nh_step: int = 3600,
+                 nh_schema: int | None = None) -> None:
         self.store = store
         self.label_dim_dest = label_dim_dest
         self.rollup_dest = rollup_dest
@@ -124,6 +139,9 @@ class StreamingIngestor:
         self.card_dest = card_dest
         self.quantile_dest = quantile_dest
         self.quantile_alpha = quantile_alpha
+        self.nh_dest = nh_dest
+        self.nh_step = nh_step
+        self.nh_schema = nh_schema
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """One micro-batch → one transactional Parquet append (S4).
@@ -227,6 +245,26 @@ class StreamingIngestor:
                 incremental=True,
                 since_seg=since,
             )
+        if self.nh_dest:
+            from pyspark.sql import functions as F
+
+            from ..functions import native_hist as nh
+            from ..sources.hist_store import HistStore
+
+            step = self.nh_step
+            windowed = batch_df.withColumn(
+                "ts", (F.floor(F.col("ts") / step) * step).cast("long")
+            )
+            kwargs = {} if self.nh_schema is None else {"schema": self.nh_schema}
+            partials = nh.observe_histograms(windowed, **kwargs).select(
+                F.col("labels").getItem("__name__").alias("metric"),
+                F.map_filter(F.col("labels"),
+                             lambda k, _: k != F.lit("__name__")).alias("labels"),
+                "ts",
+                "hist",
+            )
+            HistStore(self.store.spark, self.nh_dest,
+                      self.store.segment_duration).append(partials)
 
     def start(
         self,

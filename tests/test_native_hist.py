@@ -651,3 +651,50 @@ def test_exposition_ingest_end_to_end(spark, tmp_path):
     rate = db.promql("histogram_quantile(1.0, rate(lat[5m]))", 1100).collect()
     # increase: idx1 2->3 (+1), idx2 1->2 (+1); q=1 -> top bucket upper 4.0
     assert rate[0]["value"] == __import__("pytest").approx(4.0)
+
+
+def test_streaming_nh_partials_equal_batch_histograms(spark, tmp_path):
+    """Stream≡batch dual for the native-histogram maintenance sink
+    (``StreamingIngestor(nh_dest=…)``): per-micro-batch PARTIAL window
+    histograms, merged at read (hist_merge_partials), equal the
+    histograms built from the same rows in one batch — histogram
+    addition is associative, so any batch split reconstructs exactly."""
+    from mandodb_spark.model import ROW_SCHEMA
+    from mandodb_spark.sources.segment_store import SegmentStore
+    from mandodb_spark.streaming.ingest import StreamingIngestor
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store_dir, nh_dir = str(tmp_path / "store"), str(tmp_path / "nh")
+    rows = [("lat", {"app": "s"}, 1000 + 13 * i, float(1 + (i * 7) % 40))
+            for i in range(60)]
+    # several source files -> several micro-batches with maxFilesPerTrigger
+    df = spark.createDataFrame(rows, ROW_SCHEMA).repartition(4)
+    df.write.parquet(src)
+
+    store = SegmentStore(spark, store_dir)
+    ing = StreamingIngestor(store, nh_dest=nh_dir, nh_step=300)
+    stream = (spark.readStream.schema(ROW_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = ing.start(stream, ckpt)
+    q.awaitTermination(120)
+
+    from mandodb_spark.sources.hist_store import HistStore
+
+    stored = HistStore(spark, nh_dir).relation()
+    # at least one window must have been split across micro-batches,
+    # otherwise the merge path isn't exercised
+    split = (stored.groupBy("series_key", "ts").count()
+             .filter("count > 1").count())
+    assert split > 0
+    merged = {r["ts"]: r["hist"]
+              for r in nh.hist_merge_partials(stored).collect()}
+
+    batch_rows = [(m, l, (t // 300) * 300, v) for m, l, t, v in rows]
+    ref = {r["ts"]: r["hist"]
+           for r in nh.observe_histograms(
+               spark.createDataFrame(batch_rows, ROW_SCHEMA)).collect()}
+    assert set(merged) == set(ref)
+    for t in ref:
+        assert merged[t]["count"] == ref[t]["count"], t
+        assert merged[t]["sum"] == __import__("pytest").approx(ref[t]["sum"]), t
+        assert dict(merged[t]["pos"]) == dict(ref[t]["pos"]), t

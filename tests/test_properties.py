@@ -499,3 +499,34 @@ def test_grouped_quantile_cont_equals_percentile(spark, data, q):
     want = {r["k"]: r["value"] for r in df.groupBy("k").agg(
         F.expr(f"percentile(value, {q}d)").alias("value")).collect()}
     assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(
+        st.floats(min_value=1e-3, max_value=1e6,
+                  allow_nan=False, allow_infinity=False)
+        .map(lambda v: v * (1 if v > 1 else 1))  # positive magnitudes
+        .flatmap(lambda v: st.sampled_from([v, -v])),
+        min_size=1, max_size=40),
+    q=st.floats(min_value=0.0, max_value=1.0),
+    schema=st.sampled_from([0, 2, 3]),
+)
+def test_native_hist_quantile_matches_python_reference(spark, values, q, schema):
+    """hist_quantile over an observed native histogram equals an
+    independent pure-Python reference (value-ordered cumulative walk +
+    exponential in-bucket interpolation, linear zero bucket) for
+    arbitrary signed observation multisets, q, and schema resolutions."""
+    import pytest
+
+    from mandodb_spark.functions import native_hist as nh
+    from mandodb_spark.model import ROW_SCHEMA
+    from tests.test_native_hist import _ref_hist, _ref_quantile
+
+    rows = [("m", {}, 100, float(v)) for v in values]
+    rel = nh.observe_histograms(
+        spark.createDataFrame(rows, ROW_SCHEMA), schema=schema)
+    got = nh.hist_quantile(rel, q).collect()
+    ref = _ref_quantile(_ref_hist(values, schema=schema), q)
+    assert len(got) == 1
+    assert got[0]["value"] == pytest.approx(ref, rel=1e-9)

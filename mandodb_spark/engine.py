@@ -903,6 +903,26 @@ class TSDB:
             self.query_hist_rows(metric, matchers, start, end), by
         )
 
+    def materialize_nh_rollup(self, dest: str, step: int = 21600,
+                              incremental: bool = False,
+                              since_seg: int | None = None) -> None:
+        """Downsampled native-histogram continuous aggregate at ``dest``
+        — LOSSLESS for quantiles/fractions over step-aligned ranges
+        (bucket merge is exact), so raw histogram windows the tier covers
+        are purgeable without losing percentile history.  Same watermark
+        protocol as the float rollups."""
+        from .functions.native_hist import materialize_hist_rollup
+
+        materialize_hist_rollup(
+            self.spark, self.hist_store.relation(), dest, step=step,
+            segment_duration=self.segment_duration,
+            incremental=incremental, since_seg=since_seg,
+        )
+
+    def nh_rollup_relation(self, dest: str) -> DataFrame:
+        """Read back a materialized histogram rollup (seg-pruned scans)."""
+        return self.spark.read.parquet(dest)
+
     # ----------------------------------------------------------------- close
     def close(self) -> None:
         """TSDB.Close() parity (tsdb.go:372-382).

@@ -1063,3 +1063,54 @@ def hist_merge_partials(rel: DataFrame) -> DataFrame:
     open window) and this read-side merge reconstructs the exact
     full-window histogram regardless of how ingestion split it."""
     return hist_sum_by(rel, None, group_ts=True)
+
+
+def materialize_hist_rollup(spark, rel: DataFrame, dest: str,
+                            step: int = 21600,
+                            segment_duration: int | None = None,
+                            incremental: bool = False,
+                            since_seg: int | None = None) -> None:
+    """Downsampled NATIVE-HISTOGRAM tier: merge window samples/partials
+    into ``step``-aligned histograms and write them seg-partitioned at
+    ``dest``.  Unlike float downsampling (which picks an aggregate and
+    loses the distribution), histogram bucket merge is EXACT — every
+    quantile/fraction over the rollup equals the raw answer for
+    step-aligned ranges, so raw windows the tier covers are purgeable
+    without losing percentile history (the continuous-aggregate ladder,
+    applied to distributions).
+
+    Same watermark protocol as the other rollups
+    (operators/histogram.materialize): ``incremental=True`` refreshes
+    only partitions at/after the high-watermark via dynamic partition
+    overwrite; a ``step`` wider than a segment re-aligns the watermark to
+    the containing window's start so straddling windows refresh whole.
+    ``since_seg`` overrides (late backfill)."""
+    from ..model import DEFAULT_SEGMENT_DURATION, seg_bucket
+
+    segment_duration = segment_duration or DEFAULT_SEGMENT_DURATION
+    use_dynamic = False
+    if incremental or since_seg is not None:
+        w = since_seg
+        if w is None:
+            from pathlib import Path as _Path
+
+            if _Path(dest).exists():
+                w = spark.read.parquet(dest).agg(F.max("seg")).first()[0]
+        if w is not None:
+            # re-align to the window containing the watermark segment's
+            # start: a step > segment_duration window straddles segments
+            w = (w * segment_duration // step) * step // segment_duration
+            rel = rel.filter(F.col("seg") >= w)
+            use_dynamic = True
+    stamped = rel.withColumn(
+        "ts", (F.floor(F.col("ts") / step) * step).cast("long"))
+    rolled = hist_merge_partials(stamped).withColumn(
+        "seg", seg_bucket(F.col("ts"), segment_duration))
+    (
+        rolled.select("labels", "ts", "hist", "series_key", "seg")
+        .repartition(F.col("seg"))
+        .sortWithinPartitions("series_key", "ts")
+        .write.option("compression", "zstd")
+        .option("partitionOverwriteMode", "dynamic" if use_dynamic else "static")
+        .partitionBy("seg").mode("overwrite").parquet(dest)
+    )

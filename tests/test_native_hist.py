@@ -698,3 +698,44 @@ def test_streaming_nh_partials_equal_batch_histograms(spark, tmp_path):
         assert merged[t]["count"] == ref[t]["count"], t
         assert merged[t]["sum"] == __import__("pytest").approx(ref[t]["sum"]), t
         assert dict(merged[t]["pos"]) == dict(ref[t]["pos"]), t
+
+
+def test_nh_rollup_is_lossless_for_quantiles(spark, tmp_path):
+    """The downsampled histogram tier preserves quantiles EXACTLY for
+    step-aligned ranges (bucket merge is exact) — float downsampling
+    can't make that promise.  Also pins the incremental watermark
+    refresh path."""
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    # fine 100s windows across two coarse 600s windows
+    obs = [("lat", {"app": "r"}, 1000 + 100 * i, float(v))
+           for i, vs in enumerate([[1.0, 2.0], [4.0], [8.0], [16.0],
+                                   [32.0], [64.0], [1.5], [3.5]])
+           for v in vs]
+    snaps = nh.observe_histograms(_obs_df(spark, obs))
+    db.insert_histograms(snaps.select(F.lit("lat").alias("metric"),
+                                      "labels", "ts", "hist"))
+    dest = str(tmp_path / "nh_rollup")
+    db.materialize_nh_rollup(dest, step=600)
+    rolled = db.nh_rollup_relation(dest)
+    # 8 fine windows collapse into 2 coarse ones
+    assert rolled.count() == 2
+    assert db.hist_store.relation().count() == 8
+    # quantile over the rollup == quantile over raw for the aligned range
+    for q in (0.25, 0.5, 0.9):
+        raw_all = nh.hist_sum_by(
+            db.query_hist_rows("lat", None, 0, 10**10), None, group_ts=False)
+        roll_all = nh.hist_sum_by(rolled, None, group_ts=False)
+        a = nh.hist_quantile(raw_all.withColumn("ts", F.lit(0)), q).collect()
+        b = nh.hist_quantile(roll_all.withColumn("ts", F.lit(0)), q).collect()
+        assert a[0]["value"] == b[0]["value"], q
+    # incremental refresh: append a late window, refresh from watermark
+    late = [("lat", {"app": "r"}, 2100, 99.0)]
+    late_snaps = nh.observe_histograms(_obs_df(spark, late))
+    db.insert_histograms(late_snaps.select(F.lit("lat").alias("metric"),
+                                           "labels", "ts", "hist"))
+    db.materialize_nh_rollup(dest, step=600, incremental=True)
+    total = nh.hist_sum_by(db.nh_rollup_relation(dest), None,
+                           group_ts=False).collect()[0]["hist"]["count"]
+    assert total == float(len(obs) + 1)

@@ -728,7 +728,7 @@ def hist_delta(rel: DataFrame, start: int, end: int) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def hist_sum_by(rel: DataFrame, by: list[str] | None,
-                group_ts: bool = True) -> DataFrame:
+                group_ts: bool = True, mean: bool = False) -> DataFrame:
     """``sum by (labels) (h)`` over histogram vectors: element-wise
     histogram addition per group (and per ts when ``group_ts``).  Mixed
     schemas downscale to the group's coarsest before the bucket merge
@@ -737,7 +737,9 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
     buckets — never a pairwise merge loop.
 
     ``by=None`` keeps the FULL label set as the group — the partial-merge
-    form (see :func:`hist_merge_partials`)."""
+    form (see :func:`hist_merge_partials`).  ``mean=True`` divides every
+    component by the group's series count — PromQL's ``avg`` over
+    histogram vectors (sum / n, element-wise)."""
     rel = _ensure_series_key(rel)
     if by is None:
         glabels = F.col("labels")
@@ -771,6 +773,7 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
         F.sum("__z").alias("zero_count"),
         F.max("__zt").alias("zero_threshold"),
         F.min("__schema").alias("schema"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
     )
     ex = buckets_long(rel, "__gk").filter(F.col("sign") != 0)
     smin = scalars.select(*keys, "__smin").distinct()
@@ -792,14 +795,23 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
         ).alias("__neg"),
     )
     joined = agg_scalars.join(maps, keys, "left")
+    div = F.col("__n") if mean else F.lit(1.0)
     hist = F.struct(
-        F.col("count"),
-        F.col("sum"),
-        F.col("zero_count"),
+        (F.col("count") / div).alias("count"),
+        (F.col("sum") / div).alias("sum"),
+        (F.col("zero_count") / div).alias("zero_count"),
         F.col("zero_threshold"),
         F.col("schema"),
-        F.coalesce(F.col("__pos"), F.create_map().cast(HIST_STRUCT["pos"].dataType)).alias("pos"),
-        F.coalesce(F.col("__neg"), F.create_map().cast(HIST_STRUCT["neg"].dataType)).alias("neg"),
+        F.transform_values(
+            F.coalesce(F.col("__pos"),
+                       F.create_map().cast(HIST_STRUCT["pos"].dataType)),
+            lambda _, v: v / div,
+        ).alias("pos"),
+        F.transform_values(
+            F.coalesce(F.col("__neg"),
+                       F.create_map().cast(HIST_STRUCT["neg"].dataType)),
+            lambda _, v: v / div,
+        ).alias("neg"),
     )
     out_cols = ["labels"] + (["ts"] if group_ts else []) + [hist.alias("hist")]
     return joined.select(*out_cols).withColumn(
@@ -1114,3 +1126,57 @@ def materialize_hist_rollup(spark, rel: DataFrame, dest: str,
         .option("partitionOverwriteMode", "dynamic" if use_dynamic else "static")
         .partitionBy("seg").mode("overwrite").parquet(dest)
     )
+
+
+# --------------------------------------------------------------------------
+# histogram arithmetic (PromQL binary operators over histogram vectors)
+# --------------------------------------------------------------------------
+
+def hist_scale(rel: DataFrame, factor: float) -> DataFrame:
+    """``h * scalar`` / ``h / scalar``: every component scales (counts and
+    sum alike — PromQL histogram-by-scalar multiplication).  Pure
+    projection, no shuffle."""
+    f = F.lit(float(factor))
+    hist = F.struct(
+        (F.col("hist.count") * f).alias("count"),
+        (F.col("hist.sum") * f).alias("sum"),
+        (F.col("hist.zero_count") * f).alias("zero_count"),
+        F.col("hist.zero_threshold").alias("zero_threshold"),
+        F.col("hist.schema").alias("schema"),
+        F.transform_values("hist.pos", lambda _, v: v * f).alias("pos"),
+        F.transform_values("hist.neg", lambda _, v: v * f).alias("neg"),
+    )
+    keep = [c for c in rel.columns if c != "hist"]
+    return rel.select(*keep, hist.alias("hist"))
+
+
+def hist_add(lhs: DataFrame, rhs: DataFrame, subtract: bool = False,
+             drop_name: bool = True) -> DataFrame:
+    """``h1 + h2`` / ``h1 - h2`` with PromQL one-to-one vector matching:
+    series match on their full label sets (metric name dropped first, as
+    arithmetic binops do) per timestamp; unmatched series drop (inner
+    semantics).  Lowered as: semi-join each side onto the matched key
+    set, negate the right side for subtraction, then one element-wise
+    bucket merge (:func:`hist_merge_partials`) — mixed schemas and zero
+    thresholds reconcile exactly like every other merge."""
+    from ..model import canonical_labels_json
+
+    def prep(df: DataFrame) -> DataFrame:
+        labels = F.col("labels")
+        if drop_name:
+            from ..model import METRIC_NAME_LABEL
+
+            labels = F.map_filter(labels,
+                                  lambda k, _: k != F.lit(METRIC_NAME_LABEL))
+        return df.select(labels.alias("labels"), "ts", "hist").withColumn(
+            "__mk", canonical_labels_json(F.col("labels")))
+
+    left, right = prep(lhs), prep(rhs)
+    keys = right.select("__mk", "ts").distinct()
+    lm = left.join(keys, ["__mk", "ts"], "left_semi")
+    rm = right.join(left.select("__mk", "ts").distinct(),
+                    ["__mk", "ts"], "left_semi")
+    if subtract:
+        rm = hist_scale(rm, -1.0)
+    merged = hist_merge_partials(lm.unionByName(rm).drop("__mk"))
+    return merged

@@ -1057,16 +1057,17 @@ def _eval_agg(node, ctx: _Ctx):
     _, fname, by, without, param, arg = node
     k, v = _eval(arg, ctx)
     if k == "hvector":
-        # histogram aggregation: sum (element-wise bucket merge) is the
-        # defined operation; Prometheus likewise drops histograms from
-        # the other aggregators.
-        if fname != "sum" or without is not None:
+        # histogram aggregation: sum / avg (element-wise bucket merge,
+        # avg = sum / n) are the defined operations; Prometheus likewise
+        # drops histograms from the other aggregators.
+        if fname not in ("sum", "avg") or without is not None:
             raise PromqlError(
                 f"{fname}{' without' if without is not None else ''} is not "
-                "defined over native-histogram vectors (only sum by)")
+                "defined over native-histogram vectors (only sum/avg by)")
         from . import native_hist as nh
 
-        return ("hvector", nh.hist_sum_by(v, list(by or [])))
+        return ("hvector", nh.hist_sum_by(v, list(by or []),
+                                          mean=(fname == "avg")))
     if k != "vector":
         raise PromqlError(f"{fname} aggregates a vector")
     if fname in ("topk", "bottomk"):
@@ -1121,12 +1122,52 @@ def _eval_agg(node, ctx: _Ctx):
     return ("vector", promql.agg_by(v, fname, by or []))
 
 
+def _hist_binop(op, lk, lv, rk, rv, m, eval_ts: int | None = None):
+    """Binary operators with a histogram side (PromQL histogram
+    arithmetic): h * scalar / h / scalar scale every component;
+    h + h / h - h merge element-wise with one-to-one matching on the
+    full label sets (metric name dropped).  Everything else is
+    undefined over histograms, as in Prometheus.  ``eval_ts`` (instant
+    mode) re-stamps both sides to the evaluation time before matching —
+    instant vectors carry their samples' raw timestamps, which must not
+    participate in the match; range vectors (eval_ts=None) match per
+    grid point."""
+    from . import native_hist as nh
+
+    if m.get("on") or m.get("ignoring") or m.get("group"):
+        raise PromqlError(
+            "histogram binops support only one-to-one full-label matching")
+    if lk == "hvector" and rk == "hvector":
+        if op not in ("+", "-"):
+            raise PromqlError(f"{op} is not defined between two histograms")
+        if eval_ts is not None:
+            stamp = F.lit(int(eval_ts)).cast("long")
+            lv = lv.withColumn("ts", stamp)
+            rv = rv.withColumn("ts", stamp)
+        return ("hvector", nh.hist_add(lv, rv, subtract=(op == "-")))
+    vec, scalar, swapped = (lv, rv, False) if lk == "hvector" else (rv, lv, True)
+    if (rk if lk == "hvector" else lk) != "scalar":
+        raise PromqlError(
+            f"{op} between a histogram vector and a float vector is undefined")
+    if op == "*":
+        out = nh.hist_scale(vec, float(scalar))
+    elif op == "/" and not swapped:
+        out = nh.hist_scale(vec, 1.0 / float(scalar))
+    else:
+        raise PromqlError(
+            f"{op} between a histogram and a scalar is undefined"
+            + (" in this order" if swapped and op == "/" else ""))
+    return ("hvector", _drop_name(out))
+
+
 def _eval_binop(node, ctx: _Ctx):
     _, op, ln, rn, matching = node
     m = dict(matching or {})
     bool_mode = m.pop("bool", False)
     lk, lv = _eval(ln, ctx)
     rk, rv = _eval(rn, ctx)
+    if "hvector" in (lk, rk):
+        return _hist_binop(op, lk, lv, rk, rv, m, eval_ts=ctx.t)
 
     if lk == "scalar" and rk == "scalar":
         import math
@@ -1642,14 +1683,15 @@ def _reval_agg(node, ctx: _RCtx):
     _, fname, by, without, param, arg = node
     k, v = _reval(arg, ctx)
     if k == "hvector":
-        if fname != "sum" or without is not None:
+        if fname not in ("sum", "avg") or without is not None:
             raise PromqlError(
                 f"{fname}{' without' if without is not None else ''} is not "
-                "defined over native-histogram vectors (only sum by)")
+                "defined over native-histogram vectors (only sum/avg by)")
         from . import native_hist as nh
 
         # per eval point: element-wise bucket merge per group
-        return ("hvector", nh.hist_sum_by(v, list(by or [])))
+        return ("hvector", nh.hist_sum_by(v, list(by or []),
+                                          mean=(fname == "avg")))
     if k != "vector":
         raise PromqlError(f"{fname} aggregates a vector")
     return _agg_vector(fname, by, without, param, v, ctx)
@@ -1734,6 +1776,9 @@ def _reval_binop(node, ctx: _RCtx):
     bool_mode = m.pop("bool", False)
     lk, lv = _reval(ln, ctx)
     rk, rv = _reval(rn, ctx)
+    if "hvector" in (lk, rk):
+        # histogram arithmetic per grid point (ts participates in matching)
+        return _hist_binop(op, lk, lv, rk, rv, m)
 
     if lk == "scalar" and rk == "scalar":
         return _eval_binop(node, _Ctx(ctx.rel, ctx.end, ctx.lookback))

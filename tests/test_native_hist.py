@@ -435,11 +435,11 @@ def test_promql_text_hist_scalar_on_float_errors(hist_tsdb):
         hist_tsdb.promql("histogram_count(cpu)", 1000).collect()
 
 
-def test_promql_text_hist_avg_agg_errors(hist_tsdb):
+def test_promql_text_hist_undefined_agg_errors(hist_tsdb):
     from mandodb_spark.functions.promql_parser import PromqlError
 
     with pytest.raises(PromqlError):
-        hist_tsdb.promql("avg(lat)", 1000).collect()
+        hist_tsdb.promql("min(lat)", 1000).collect()
 
 
 # --------------------------------------------------------------------------
@@ -739,3 +739,69 @@ def test_nh_rollup_is_lossless_for_quantiles(spark, tmp_path):
     total = nh.hist_sum_by(db.nh_rollup_relation(dest), None,
                            group_ts=False).collect()[0]["hist"]["count"]
     assert total == float(len(obs) + 1)
+
+
+# --------------------------------------------------------------------------
+# histogram arithmetic (binops) and avg aggregation
+# --------------------------------------------------------------------------
+
+def test_promql_hist_scalar_mul_div(hist_tsdb):
+    base = {r["labels"]["app"]: r["hist"]
+            for r in hist_tsdb.promql("lat", 1000).collect()}
+    doubled = {r["labels"]["app"]: r["hist"]
+               for r in hist_tsdb.promql("lat * 2", 1000).collect()}
+    for app, h in base.items():
+        d = doubled[app]
+        assert d["count"] == 2 * h["count"]
+        assert dict(d["pos"]) == {k: 2 * v for k, v in dict(h["pos"]).items()}
+    halved = hist_tsdb.promql('lat{app="y"} / 2', 1000).collect()[0]["hist"]
+    assert halved["count"] == 0.5
+
+
+def test_promql_hist_avg_agg(hist_tsdb):
+    """avg(lat) = sum(lat) / n element-wise; quantile over avg equals
+    quantile over sum (scale-invariant)."""
+    qs = hist_tsdb.promql(
+        "histogram_quantile(0.5, sum by (__name__) (lat))", 1000
+    ).collect()[0]["value"]
+    qa = hist_tsdb.promql(
+        "histogram_quantile(0.5, avg by (__name__) (lat))", 1000
+    ).collect()[0]["value"]
+    assert qa == pytest.approx(qs)
+    ca = hist_tsdb.promql(
+        "histogram_count(avg by (__name__) (lat))", 1000).collect()[0]["value"]
+    assert ca == pytest.approx(5.0 / 2)  # (4 + 1) obs over 2 series
+
+
+def test_promql_hist_add_sub(hist_tsdb):
+    """h + h matches one-to-one on full labels (name dropped): lat + lat
+    doubles every series; h - h yields all-zero components."""
+    base = {r["labels"]["app"]: r["hist"]
+            for r in hist_tsdb.promql("lat", 1000).collect()}
+    added = {r["labels"]["app"]: r["hist"]
+             for r in hist_tsdb.promql("lat + lat", 1000).collect()}
+    assert set(added) == set(base)
+    for app in base:
+        assert added[app]["count"] == 2 * base[app]["count"]
+        assert "__name__" not in added  # arithmetic drops the metric name
+    diff = hist_tsdb.promql("lat - lat", 1000).collect()
+    for r in diff:
+        assert r["hist"]["count"] == 0.0
+        assert r["hist"]["sum"] == 0.0
+
+
+def test_promql_hist_binop_undefined_shapes_error(hist_tsdb):
+    from mandodb_spark.functions.promql_parser import PromqlError
+
+    for q in ("lat + 1", "lat * lat", "2 / lat", "lat + cpu"):
+        with pytest.raises(PromqlError):
+            hist_tsdb.promql(q, 1000).collect()
+
+
+def test_promql_range_hist_scale_and_quantile(grid_tsdb):
+    """Range mode: scaling a histogram doesn't move its quantiles."""
+    a = {r["ts"]: r["value"] for r in grid_tsdb.promql_range(
+        "histogram_quantile(0.5, lat)", 1000, 1300, 100).collect()}
+    b = {r["ts"]: r["value"] for r in grid_tsdb.promql_range(
+        "histogram_quantile(0.5, lat * 3)", 1000, 1300, 100).collect()}
+    assert a == b and len(a) == 4

@@ -1180,3 +1180,101 @@ def hist_add(lhs: DataFrame, rhs: DataFrame, subtract: bool = False,
         rm = hist_scale(rm, -1.0)
     merged = hist_merge_partials(lm.unionByName(rm).drop("__mk"))
     return merged
+
+
+# --------------------------------------------------------------------------
+# distribution drift + OTLP interop
+# --------------------------------------------------------------------------
+
+def hist_tv_distance(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
+    """Total-variation distance between two histogram vectors, per series:
+    ``TV = 0.5 · Σ_i |p_i − q_i|`` over bucket PROBABILITIES (counts /
+    h.count, zero bucket included) — the distribution-drift signal for
+    monitoring pipelines ("did this series' latency shape change?"),
+    bounded in [0, 1] and exactly computable from the sparse buckets.
+
+    Series match one-to-one on their full label sets.  Mixed schemas
+    downscale pairwise to the coarser side before differencing (the same
+    exponential boundary merge as everywhere else).  Lowered as one
+    union + two hash aggregates in exploded space: signed probability
+    contributions per (series, sign, idx) sum to p_i − q_i, then
+    ``0.5 · Σ|·|`` per series — no join of bucket rows at all."""
+    from ..model import canonical_labels_json
+
+    def prep(df: DataFrame, side: float) -> DataFrame:
+        df = df.select("labels", "ts", "hist").withColumn(
+            "__mk", canonical_labels_json(F.col("labels")))
+        ex = buckets_long(df.withColumn("series_key", F.lit(0)), "__mk", "labels")
+        total = df.select("__mk", F.col("hist.count").alias("__total"))
+        return ex.join(total, "__mk").select(
+            "__mk",
+            "labels",
+            "schema",
+            "sign",
+            "idx",
+            (F.col("cnt") / F.col("__total") * F.lit(side)).alias("__p"),
+        )
+
+    both = prep(lhs, 1.0).unionByName(prep(rhs, -1.0))
+    wk = Window.partitionBy("__mk")
+    both = both.withColumn("__smin", F.min("schema").over(wk))
+    down = _pow2((F.col("schema") - F.col("__smin")).cast("double"))
+    aligned = both.withColumn(
+        "idx",
+        F.when(F.col("sign") == 0, F.lit(0)).otherwise(
+            F.ceil(F.col("idx").cast("double") / down).cast("int")),
+    )
+    per_bucket = aligned.groupBy("__mk", "sign", "idx").agg(
+        F.any_value("labels").alias("labels"),
+        F.sum("__p").alias("__d"),
+        # bucket rows carry their side in __p's sign (cnt > 0 upstream)
+        F.max(F.when(F.col("__p") > 0, 1).otherwise(0)).alias("__has_l"),
+        F.max(F.when(F.col("__p") < 0, 1).otherwise(0)).alias("__has_r"),
+    )
+    out = per_bucket.groupBy("__mk").agg(
+        F.any_value("labels").alias("labels"),
+        (F.lit(0.5) * F.sum(F.abs(F.col("__d")))).alias("value"),
+        F.max("__has_l").alias("__l"),
+        F.max("__has_r").alias("__r"),
+    )
+    # inner matching: a series must appear on BOTH sides (even with fully
+    # disjoint buckets, where TV = 1)
+    return out.filter((F.col("__l") == 1) & (F.col("__r") == 1)).select(
+        "labels", "value")
+
+
+def histograms_from_otlp(df: DataFrame) -> DataFrame:
+    """OpenTelemetry ExponentialHistogram decoder: rows shaped like the
+    OTLP data point — ``(metric, labels, ts, count, sum, zero_count,
+    zero_threshold, scale, pos_offset, pos_counts, neg_offset,
+    neg_counts)`` with counts as DENSE ``array<bigint>`` from the offset
+    — into ``HIST_ROW_SCHEMA``.  OTel and Prometheus share the base
+    ``2^(2^-scale)`` but index one apart: OTel bucket index i covers
+    ``(base^i, base^(i+1)]`` while this engine's idx covers
+    ``(base^(idx-1), base^idx]``, so the j-th array element (index
+    ``offset + j - 1``) lands at ``idx = offset + j``.  Pure column
+    transform, zero-count buckets dropped to keep the maps sparse."""
+
+    def side(offset: str, counts: str) -> Column:
+        dense = F.map_from_arrays(
+            F.transform(
+                # sequence(1, 0) would DESCEND; guard the empty side
+                F.when(F.size(F.col(counts)) > 0,
+                       F.sequence(F.lit(1), F.size(F.col(counts))))
+                .otherwise(F.array().cast("array<int>")),
+                lambda j: (F.col(offset) + j).cast("int"),
+            ),
+            F.transform(F.col(counts), lambda c: c.cast("double")),
+        )
+        return F.map_filter(dense, lambda _, v: v > 0)
+
+    hist = F.struct(
+        F.col("count").cast("double").alias("count"),
+        F.col("sum").cast("double").alias("sum"),
+        F.col("zero_count").cast("double").alias("zero_count"),
+        F.col("zero_threshold").cast("double").alias("zero_threshold"),
+        F.col("scale").cast("int").alias("schema"),
+        side("pos_offset", "pos_counts").alias("pos"),
+        side("neg_offset", "neg_counts").alias("neg"),
+    )
+    return df.select("metric", "labels", "ts", hist.alias("hist"))

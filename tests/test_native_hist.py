@@ -805,3 +805,61 @@ def test_promql_range_hist_scale_and_quantile(grid_tsdb):
     b = {r["ts"]: r["value"] for r in grid_tsdb.promql_range(
         "histogram_quantile(0.5, lat * 3)", 1000, 1300, 100).collect()}
     assert a == b and len(a) == 4
+
+
+# --------------------------------------------------------------------------
+# distribution drift + OTLP interop
+# --------------------------------------------------------------------------
+
+def test_tv_distance_known_values(spark):
+    """TV distance per matched series: identical shapes -> 0, disjoint
+    shapes -> 1, half-moved mass -> 0.5; one-sided series drop (inner)."""
+    def rel(app_values):
+        rows = [("m", {"app": a}, 100, float(v))
+                for a, vs in app_values for v in vs]
+        return nh.observe_histograms(_obs_df(spark, rows))
+
+    lhs = rel([("same", [1.0, 4.0]), ("disjoint", [1.0, 1.0]),
+               ("half", [1.0, 1.0]), ("only_left", [2.0])])
+    rhs = rel([("same", [1.0, 4.0]), ("disjoint", [64.0, 64.0]),
+               ("half", [1.0, 64.0])])
+    got = {r["labels"]["app"]: r["value"]
+           for r in nh.hist_tv_distance(lhs, rhs).collect()}
+    assert got.keys() == {"same", "disjoint", "half"}
+    assert got["same"] == pytest.approx(0.0)
+    assert got["disjoint"] == pytest.approx(1.0)
+    assert got["half"] == pytest.approx(0.5)
+
+
+def test_tv_distance_mixed_schemas(spark):
+    """Sides at different resolutions align to the coarser schema before
+    differencing: same data observed at schema 3 and schema 1 -> TV 0."""
+    rows = [("m", {"app": "x"}, 100, float(v)) for v in (1.3, 2.7, 9.1)]
+    a = nh.observe_histograms(_obs_df(spark, rows), schema=3)
+    b = nh.observe_histograms(_obs_df(spark, rows), schema=1)
+    got = nh.hist_tv_distance(a, b).collect()
+    assert got[0]["value"] == pytest.approx(0.0)
+
+
+def test_otlp_decode_matches_observe(spark):
+    """An OTLP exponential data point decodes to the same histogram the
+    observe path builds: OTel index i covers (base^i, base^(i+1)] so the
+    dense array at offset lands one idx up."""
+    vals = [1.3, 2.7, 3.1]
+    ref = _ref_hist(vals, schema=2)
+    idxs = sorted(ref["pos"])
+    offset = idxs[0] - 1  # otel index of the first populated bucket
+    dense = [int(ref["pos"].get(i + 1, 0))
+             for i in range(offset, idxs[-1])]
+    otlp_schema = (
+        "metric string, labels map<string,string>, ts long, count long, "
+        "sum double, zero_count long, zero_threshold double, scale int, "
+        "pos_offset int, pos_counts array<bigint>, "
+        "neg_offset int, neg_counts array<bigint>")
+    wire = spark.createDataFrame(
+        [("m", {}, 100, len(vals), sum(vals), 0, 2.0 ** -128, 2,
+          offset, dense, 0, [])], otlp_schema)
+    h = nh.histograms_from_otlp(wire).collect()[0]["hist"]
+    assert dict(h["pos"]) == {k: float(v) for k, v in ref["pos"].items()}
+    assert h["count"] == float(len(vals))
+    assert h["schema"] == 2

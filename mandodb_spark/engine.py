@@ -170,6 +170,11 @@ class TSDB:
         rel = self.store.relation()
         rel.createOrReplaceTempView(f"{prefix}_samples")
         tsdb_ops.label_values_dim(rel).createOrReplaceTempView(f"{prefix}_labels")
+        hist = self._pruned_hist_rel(0, 2 ** 60)
+        if hist is not None:
+            # native-histogram relation, when one exists — the hist struct
+            # opens to SQL via dot paths (hist.count, hist.pos[idx], ...)
+            hist.createOrReplaceTempView(f"{prefix}_histograms")
 
     # --------------------------------------------------------- PromQL layer
     def _selected(self, metric: str | None, matchers: list[LabelMatcher] | None,
@@ -367,11 +372,25 @@ class TSDB:
         out = self.promql_range(query, start, end, step, lookback)
         from .model import METRIC_NAME_LABEL
 
+        stripped = F.map_filter(
+            F.col("labels"), lambda k, _: k != F.lit(METRIC_NAME_LABEL))
+        if "hist" in out.columns:
+            # native-histogram recording rule (Prometheus supports
+            # histogram-valued rule results): persist into the sibling
+            # hist store under the rule name.  Re-recording an
+            # overlapping grid appends duplicate (series, ts) samples;
+            # hist_merge_partials-style reads are NOT appropriate for
+            # rule output — re-record disjoint grids, or delete first.
+            self.insert_histograms(out.select(
+                F.lit(rule_name).alias("metric"),
+                stripped.alias("labels"),
+                F.col("ts").cast("long").alias("ts"),
+                "hist",
+            ))
+            return
         rows = out.select(
             F.lit(rule_name).alias("metric"),
-            F.map_filter(
-                F.col("labels"),
-                lambda k, _: k != F.lit(METRIC_NAME_LABEL)).alias("labels"),
+            stripped.alias("labels"),
             F.col("ts").cast("long").alias("ts"),
             F.col("value").cast("double").alias("value"),
         )
@@ -922,6 +941,12 @@ class TSDB:
     def nh_rollup_relation(self, dest: str) -> DataFrame:
         """Read back a materialized histogram rollup (seg-pruned scans)."""
         return self.spark.read.parquet(dest)
+
+    def delete_hist_series(self, matchers: list[LabelMatcher],
+                           metric: str | None = None) -> int:
+        """Targeted deletion on the native-histogram store (same GDPR
+        lifecycle contract as :meth:`delete_series`)."""
+        return self.hist_store.delete_series(matchers, metric)
 
     # ----------------------------------------------------------------- close
     def close(self) -> None:

@@ -112,6 +112,38 @@ class HistStore:
                 dropped.append(seg)
         return dropped
 
+    # ----------------------------------------------------------- maintenance
+    def delete_series(self, matchers: list, metric: str | None = None) -> int:
+        """Targeted series deletion, same contract as
+        ``SegmentStore.delete_series``: AND matcher semantics, rewrite
+        only the touched ``seg=`` partitions via dynamic overwrite, lazy
+        reads severed (localCheckpoint) from the files being replaced.
+        Returns points removed."""
+        from ..matchers import add_metric_name, matchers_predicate
+
+        lms = add_metric_name(metric, list(matchers))
+        if not lms:
+            raise ValueError("delete_series: need at least one matcher")
+        rel = self.relation()
+        if "seg" not in rel.columns:
+            return 0
+        pred = matchers_predicate(F.col("labels"), lms)
+        touched = [r["seg"] for r in
+                   rel.filter(pred).select("seg").distinct().collect()]
+        if not touched:
+            return 0
+        sub = rel.filter(F.col("seg").isin(touched))
+        n_before = sub.count()
+        keep = sub.filter(~pred).localCheckpoint(eager=True)
+        (
+            keep.repartition(F.col("seg"))
+            .sortWithinPartitions("series_key", "ts")
+            .write.option("compression", self.codec)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg").mode("overwrite").parquet(self.root)
+        )
+        return n_before - keep.count()
+
 
 class MemoryHistStore:
     """Memory-only variant (the histogram analogue of ``MemoryStore``):
@@ -150,3 +182,19 @@ class MemoryHistStore:
                 eager=True
             )
         return sorted(dropped)
+
+    def delete_series(self, matchers: list, metric: str | None = None) -> int:
+        """In-memory form of targeted deletion: one filter + checkpoint."""
+        from ..matchers import add_metric_name, matchers_predicate
+
+        lms = add_metric_name(metric, list(matchers))
+        if not lms:
+            raise ValueError("delete_series: need at least one matcher")
+        if self._df is None:
+            return 0
+        pred = matchers_predicate(F.col("labels"), lms)
+        n_before = self._df.count()
+        self._df = self._df.filter(~pred).localCheckpoint(eager=True)
+        return n_before - self._df.count()
+
+

@@ -863,3 +863,42 @@ def test_otlp_decode_matches_observe(spark):
     assert dict(h["pos"]) == {k: float(v) for k, v in ref["pos"].items()}
     assert h["count"] == float(len(vals))
     assert h["schema"] == 2
+
+
+def test_delete_hist_series_and_view(spark, tmp_path):
+    """Targeted deletion rewrites only touched segments of the hist store;
+    create_views exposes the histogram relation to SQL."""
+    from mandodb_spark import TSDB, LabelMatcher
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    rows = [("lat", {"app": a}, 100, float(v))
+            for a, v in (("x", 1.0), ("x", 2.0), ("y", 3.0))]
+    snaps = nh.observe_histograms(_obs_df(spark, rows))
+    db.insert_histograms(snaps.select(F.lit("lat").alias("metric"),
+                                      "labels", "ts", "hist"))
+    removed = db.delete_hist_series([LabelMatcher("app", "x")])
+    assert removed == 1  # one sample row (x's two obs folded into it)
+    left = db.query_hist_rows("lat", None, 0, 10**10).collect()
+    assert [r["labels"]["app"] for r in left] == ["y"]
+
+    db.create_views("h9")
+    got = spark.sql(
+        "SELECT labels['app'] AS app, hist.count AS n FROM h9_histograms"
+    ).collect()
+    assert [(r["app"], r["n"]) for r in got] == [("y", 1.0)]
+
+
+def test_promql_record_persists_histogram_rule(spark, tmp_path):
+    """A recording rule whose expression is histogram-valued persists into
+    the hist store and answers PromQL under the rule name."""
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    obs = [("lat", {"app": "x"}, t, float(v))
+           for t, vs in ((1000, [1.0, 2.0]), (1100, [8.0])) for v in vs]
+    cum = nh.accumulate_histograms(nh.observe_histograms(_obs_df(spark, obs)))
+    db.insert_histograms(cum.select(F.lit("lat").alias("metric"),
+                                    "labels", "ts", "hist"))
+    db.promql_record("rule:lat:sum", "sum by (app) (lat)", 1000, 1100, 100)
+    got = db.promql("histogram_count(rule:lat:sum)", 1100).collect()
+    assert got[0]["value"] == 3.0

@@ -377,16 +377,17 @@ class TSDB:
         if "hist" in out.columns:
             # native-histogram recording rule (Prometheus supports
             # histogram-valued rule results): persist into the sibling
-            # hist store under the rule name.  Re-recording an
-            # overlapping grid appends duplicate (series, ts) samples;
-            # hist_merge_partials-style reads are NOT appropriate for
-            # rule output — re-record disjoint grids, or delete first.
-            self.insert_histograms(out.select(
-                F.lit(rule_name).alias("metric"),
-                stripped.alias("labels"),
-                F.col("ts").cast("long").alias("ts"),
-                "hist",
-            ))
+            # hist store under the rule name, honoring the same
+            # first-write-wins idempotency knob the float path has.
+            self.insert_histograms(
+                out.select(
+                    F.lit(rule_name).alias("metric"),
+                    stripped.alias("labels"),
+                    F.col("ts").cast("long").alias("ts"),
+                    "hist",
+                ),
+                dedup_against_store=dedup_against_store,
+            )
             return
         rows = out.select(
             F.lit(rule_name).alias("metric"),
@@ -822,17 +823,20 @@ class TSDB:
             self._hist_store = store
         return store
 
-    def insert_histograms(self, rows: "DataFrame | list[tuple]") -> None:
+    def insert_histograms(self, rows: "DataFrame | list[tuple]",
+                          dedup_against_store: bool = False) -> None:
         """Append native-histogram samples: a DataFrame with
         ``native_hist.HIST_ROW_SCHEMA`` columns (metric, labels, ts, hist)
         or the tuple-list test convenience.  To ingest RAW observations,
         build samples first with ``native_hist.observe_histograms`` (+
-        ``accumulate_histograms`` for counter semantics)."""
+        ``accumulate_histograms`` for counter semantics).
+        ``dedup_against_store=True`` = first-write-wins on (series, ts)
+        across batches (touched-segment-pruned check, as insert_rows)."""
         if not isinstance(rows, DataFrame):
             from .functions.native_hist import HIST_ROW_SCHEMA
 
             rows = self.spark.createDataFrame(rows, HIST_ROW_SCHEMA)
-        self.hist_store.append(rows)
+        self.hist_store.append(rows, dedup_against_store=dedup_against_store)
 
     def query_hist_rows(
         self, metric: str | None, matchers: list[LabelMatcher] | None,

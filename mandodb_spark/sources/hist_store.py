@@ -67,10 +67,25 @@ class HistStore:
         self.codec = codec
 
     # ---------------------------------------------------------------- write
-    def append(self, rows: DataFrame) -> None:
+    def append(self, rows: DataFrame,
+               dedup_against_store: bool = False) -> None:
         """One file per touched segment per batch: repartition on seg,
-        sort within partitions by (series_key, ts) for row-group skipping."""
+        sort within partitions by (series_key, ts) for row-group skipping.
+
+        ``dedup_against_store=True`` drops batch samples whose
+        ``(series, ts)`` the store already holds (first-write-wins across
+        batches — the idempotency contract streaming rule maintainers
+        rely on under at-least-once retries); the check scan is statically
+        pruned to the batch's touched segments, same as the float store."""
         batch = canonicalize_hist(rows, self.segment_duration)
+        if dedup_against_store and Path(self.root).exists():
+            segs = [r["seg"] for r in batch.select("seg").distinct().collect()]
+            existing = (
+                self.spark.read.parquet(self.root)
+                .filter(F.col("seg").isin(segs))
+                .select("seg", "series_key", "ts")
+            )
+            batch = batch.join(existing, ["seg", "series_key", "ts"], "left_anti")
         n = max(self.spark.sparkContext.defaultParallelism, 1)
         (
             batch.repartition(n, F.col("seg"))
@@ -80,6 +95,16 @@ class HistStore:
             .mode("append")
             .parquet(self.root)
         )
+
+    def segment_ids(self) -> list[int]:
+        """Sorted segment ids from the partition directory listing —
+        metadata-only discovery, same contract as
+        ``SegmentStore.segment_ids`` (newest-first iteration is the
+        restart-recovery probe primitive)."""
+        root = Path(self.root)
+        if not root.exists():
+            return []
+        return sorted(int(p.name.split("=", 1)[1]) for p in root.glob("seg=*"))
 
     def insert_pylist(self, rows: list[tuple]) -> None:
         """Test convenience: list of (metric, labels, ts, hist_dict)."""
@@ -155,8 +180,13 @@ class MemoryHistStore:
         self.segment_duration = segment_duration
         self._df: DataFrame | None = None
 
-    def append(self, rows: DataFrame) -> None:
+    def append(self, rows: DataFrame,
+               dedup_against_store: bool = False) -> None:
         batch = canonicalize_hist(rows, self.segment_duration)
+        if dedup_against_store and self._df is not None:
+            batch = batch.join(
+                self._df.select("seg", "series_key", "ts"),
+                ["seg", "series_key", "ts"], "left_anti")
         merged = batch if self._df is None else self._df.unionByName(batch)
         self._df = merged.localCheckpoint(eager=True)
 

@@ -78,10 +78,26 @@ class RecordingRuleMaintainer:
         without segment listing (memory mode) keep the direct aggregate —
         they are in-memory by definition.
         """
+        recovered = [self._recover_from(self.db.store)]
+        # a HISTOGRAM-valued rule records into the sibling hist store —
+        # probe it too when one exists (same newest-first discipline);
+        # exactly one of the two holds the rule's rows
+        hist = getattr(self.db, "_hist_store", None)
+        if hist is None:
+            from pathlib import Path
+
+            root = getattr(self.db.store, "root", None)
+            if root is not None and Path(str(root) + "__hist").exists():
+                hist = self.db.hist_store
+        if hist is not None:
+            recovered.append(self._recover_from(hist))
+        found = [r for r in recovered if r is not None]
+        return max(found) if found else None
+
+    def _recover_from(self, store) -> int | None:
         from ..matchers import PROMOTED_PREFIX
         from ..model import METRIC_NAME_LABEL
 
-        store = self.db.store
         rel = store.relation()
         promoted = PROMOTED_PREFIX + METRIC_NAME_LABEL
         name_col = (F.col(promoted) if promoted in rel.columns

@@ -902,3 +902,51 @@ def test_promql_record_persists_histogram_rule(spark, tmp_path):
     db.promql_record("rule:lat:sum", "sum by (app) (lat)", 1000, 1100, 100)
     got = db.promql("histogram_count(rule:lat:sum)", 1100).collect()
     assert got[0]["value"] == 3.0
+
+
+def test_streaming_histogram_recording_rule(spark, tmp_path):
+    """RecordingRuleMaintainer with a HISTOGRAM-valued rule: continuous
+    evaluation records into the hist store, retries are idempotent
+    (first-write-wins), and a restarted maintainer recovers its
+    high-water mark from the hist store itself."""
+    from mandodb_spark import TSDB
+    from mandodb_spark.streaming.rules import RecordingRuleMaintainer
+
+    db = TSDB(spark, str(tmp_path / "store"))
+
+    history = []
+
+    def ingest(batches):
+        """Append observations, re-derive the CUMULATIVE samples for just
+        the new timestamps (counters continue the series), store them."""
+        new_ts = [t for t, _ in batches]
+        history.extend(("lat", {"app": "x"}, t, float(v))
+                       for t, vs in batches for v in vs)
+        cum = nh.accumulate_histograms(
+            nh.observe_histograms(_obs_df(spark, history)))
+        db.insert_histograms(
+            cum.filter(F.col("ts").isin(new_ts)).select(
+                F.lit("lat").alias("metric"), "labels", "ts", "hist"))
+        return _obs_df(spark, [r for r in history if r[2] in new_ts])
+
+    m = RecordingRuleMaintainer(db, "rule:lat:byapp",
+                                "sum by (app) (lat)", step=100)
+    b1 = ingest([(1000, [1.0]), (1100, [2.0, 4.0])])
+    m.process_batch(b1, 0)
+    # cold start: only the newest aligned point evaluates (documented)
+    assert m.hwm == 1100 and m.points == 1
+    # retry the same batch: first-write-wins, nothing duplicated
+    m.process_batch(b1, 0)
+    rec = db.query_hist_rows("rule:lat:byapp", None, 0, 10**10)
+    assert rec.count() == 1
+    assert rec.groupBy("series_key", "ts").count().filter("count > 1").count() == 0
+
+    # restart: a FRESH maintainer recovers hwm=1100 from the hist store
+    m2 = RecordingRuleMaintainer(db, "rule:lat:byapp",
+                                 "sum by (app) (lat)", step=100)
+    b2 = ingest([(1200, [8.0])])
+    m2.process_batch(b2, 1)
+    assert m2.hwm == 1200
+    got = {r["ts"]: r["hist"]["count"]
+           for r in db.query_hist_rows("rule:lat:byapp", None, 0, 10**10).collect()}
+    assert got == {1100: 3.0, 1200: 4.0}

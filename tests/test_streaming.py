@@ -1177,7 +1177,8 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
     db = TSDB(spark, str(base / "live"), segment_duration=SEG,
               retention=6 * 3600)
     clock = {"now": START + 16 * 3600}   # cutoff passes every written seg
-    ingestor = StreamingIngestor(db.store, label_dim_dest=str(base / "dim"))
+    ingestor = StreamingIngestor(db.store, label_dim_dest=str(base / "dim"),
+                                 nh_dest=str(base / "nh"), nh_step=3600)
     retention = RetentionMaintainer(
         db, step=3600, rollup_dest=str(base / "tier"), every=1,
         now_fn=lambda: clock["now"])
@@ -1328,6 +1329,28 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
     replay = spark.createDataFrame(files[-1], ROW_SCHEMA)
     rules_m.process_batch(replay, 99)
     assert rules_m.points == want_points and rules_m.hwm == want_hwm
+
+    # --- native-histogram maintenance (9th maintainer, via the ingest
+    # sink's nh_dest): per-batch PARTIAL window histograms conserve every
+    # ingested observation exactly — the LATE re-sent file lands as extra
+    # partials in its event-time windows and the read-side merge absorbs
+    # them, same event-time discipline as the store itself
+    from mandodb_spark.functions import native_hist as nh
+    from mandodb_spark.sources.hist_store import HistStore
+
+    nh_rel = HistStore(spark, str(base / "nh"), SEG).relation()
+    merged_nh = nh.hist_merge_partials(nh_rel)
+    total_obs = merged_nh.agg(F.sum("hist.count")).first()[0]
+    assert total_obs == float(len(all_rows))
+    # stream≡batch: merged windows equal observing everything at once
+    batch_nh = nh.observe_histograms(
+        spark.createDataFrame(all_rows, ROW_SCHEMA).withColumn(
+            "ts", (F.floor(F.col("ts") / 3600) * 3600).cast("long")))
+    got_nh = {(r["labels"]["node"], r["ts"]): dict(r["hist"]["pos"])
+              for r in merged_nh.collect()}
+    want_nh = {(r["labels"]["node"], r["ts"]): dict(r["hist"]["pos"])
+               for r in batch_nh.collect()}
+    assert got_nh == want_nh
 
     # --- alerting rule: same event-time grid as the recording rule, and
     # every recorded ALERTS row is internally consistent with its

@@ -251,21 +251,43 @@ class TSDB:
         pruned = rel.filter(tsdb_ops.time_predicate(
             lo, hi, "seg" in rel.columns, self.segment_duration))
         return promql_parser.eval_instant(
-            pruned, ast, at_ts, lookback, hist_rel=self._pruned_hist_rel(lo, hi)
+            pruned, ast, at_ts, lookback,
+            hist_rel=self._pruned_hist_rel(lo, hi),
+            hist_metrics=self._hist_metric_names(),
         )
+
+    def _hist_metric_names(self) -> "set[str] | None":
+        """Cached metric-name set of the histogram store — the selector
+        routing table the PromQL front-end consults.  One bounded distinct
+        per CACHE MISS (first query after a histogram write), not per
+        query: without the cache, every float-only dashboard query over a
+        TSDB that ever recorded one histogram rule would pay a parquet
+        scan + collect.  Invalidated by insert_histograms /
+        delete_hist_series."""
+        store = self.hist_store_if_exists()
+        if store is None:
+            return None
+        cached = getattr(self, "_hist_metric_cache", None)
+        if cached is None:
+            from .model import METRIC_NAME_LABEL
+
+            cached = {
+                r["__m"]
+                for r in store.relation().select(
+                    F.col("labels").getItem(METRIC_NAME_LABEL).alias("__m")
+                ).distinct().collect()
+                if r["__m"] is not None
+            }
+            self._hist_metric_cache = cached
+        return cached
 
     def _pruned_hist_rel(self, lo: int, hi: int) -> "DataFrame | None":
         """The native-histogram relation, seg-pruned to the query window —
         or None when this TSDB has never written histogram samples (the
         common case pays nothing: a directory existence check)."""
-        from pathlib import Path
-
-        store = getattr(self, "_hist_store", None)
-        root = getattr(self.store, "root", None)
+        store = self.hist_store_if_exists()
         if store is None:
-            if root is None or not Path(str(root) + "__hist").exists():
-                return None
-            store = self.hist_store
+            return None
         rel = store.relation()
         return rel.filter(tsdb_ops.time_predicate(
             lo, hi, "seg" in rel.columns, self.segment_duration))
@@ -288,6 +310,7 @@ class TSDB:
         return promql_parser.eval_range(
             pruned, ast, start, end, step, lookback,
             hist_rel=self._pruned_hist_rel(lo, hi),
+            hist_metrics=self._hist_metric_names(),
         )
 
     def promql_range_tiered(self, query: str, start: int, end: int,
@@ -401,13 +424,33 @@ class TSDB:
     def remove_expires(self, now_ts: int | None = None) -> list[int]:
         """Retention purge (tsdb.go:384-406); returns dropped segment ids.
         A native-histogram sibling store, if one has been written, is
-        purged under the same cutoff (its segments share the id space)."""
+        purged under the same cutoff (its segments share the id space) —
+        including stores written by a PREVIOUS process (disk probe, not
+        just the lazily-materialized handle)."""
         now = int(time.time()) if now_ts is None else now_ts
         dropped = self.store.remove_expired(now, self.retention)
-        hist = getattr(self, "_hist_store", None)
+        hist = self.hist_store_if_exists()
         if hist is not None:
             hist.remove_expired(now, self.retention)
         return dropped
+
+    def hist_store_if_exists(self):
+        """The native-histogram sibling store IFF one holds data — the
+        lazily-created handle when present, else a disk probe for
+        ``<root>__hist`` (a store written by a previous process).  Returns
+        None when this TSDB has never written histograms, so the float
+        hot paths pay only a directory existence check.  Single source of
+        the sibling-path convention (used by retention, the PromQL
+        routing, and streaming rule recovery)."""
+        from pathlib import Path
+
+        store = getattr(self, "_hist_store", None)
+        if store is not None:
+            return store
+        root = getattr(self.store, "root", None)
+        if root is not None and Path(str(root) + "__hist").exists():
+            return self.hist_store
+        return None
 
     def downsample_expire(self, step: int, dest_root: str,
                           now_ts: int | None = None) -> list[int]:
@@ -837,6 +880,7 @@ class TSDB:
 
             rows = self.spark.createDataFrame(rows, HIST_ROW_SCHEMA)
         self.hist_store.append(rows, dedup_against_store=dedup_against_store)
+        self._hist_metric_cache = None
 
     def query_hist_rows(
         self, metric: str | None, matchers: list[LabelMatcher] | None,
@@ -857,8 +901,11 @@ class TSDB:
         from .functions import native_hist as nh
 
         if rate_window:
-            rel = self.query_hist_rows(metric, matchers, at_ts - rate_window, at_ts)
-            return nh.hist_rate(rel, at_ts - rate_window, at_ts).withColumn(
+            # (at_ts - w, at_ts] on integer seconds — same boundary as the
+            # PromQL text path's range selectors
+            start = at_ts - rate_window + 1
+            rel = self.query_hist_rows(metric, matchers, start, at_ts)
+            return nh.hist_rate(rel, start, at_ts).withColumn(
                 "ts", F.lit(at_ts).cast("long")
             )
         rel = self.query_hist_rows(metric, matchers, at_ts - lookback, at_ts)
@@ -950,6 +997,7 @@ class TSDB:
                            metric: str | None = None) -> int:
         """Targeted deletion on the native-histogram store (same GDPR
         lifecycle contract as :meth:`delete_series`)."""
+        self._hist_metric_cache = None
         return self.hist_store.delete_series(matchers, metric)
 
     # ----------------------------------------------------------------- close

@@ -547,13 +547,14 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
         )
         .withColumn("__smin", F.min("__schema").over(wall))
         .withColumn("__prev_ts", F.lag("ts").over(ws))
+        .withColumn("__next_ts", F.lead("ts").over(ws))
         .withColumn("__pc", F.lag("__c").over(ws))
         .withColumn("__ps", F.lag("__s").over(ws))
         .withColumn("__pz", F.lag("__z").over(ws))
     )
     # -- bucket space from the SAME frame (scalars carried, no join),
     #    normalized to the series-min schema --------------------------------
-    carried = ["series_key", "ts", "__prev_ts", "__smin",
+    carried = ["series_key", "ts", "__prev_ts", "__next_ts", "__smin",
                "__c", "__pc", "__z", "__pz"]
 
     def side(field: str, sign: int) -> DataFrame:
@@ -576,6 +577,7 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
     wb = Window.partitionBy("series_key", "sign", "idx").orderBy("ts")
     exl = (
         ex.withColumn("__bpts", F.lag("ts").over(wb))
+        .withColumn("__bnts", F.lead("ts").over(wb))
         .withColumn("__bpc", F.lag("cnt").over(wb))
         .withColumn(
             "__aligned_prev",
@@ -587,30 +589,35 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
         )
     )
     if detect_resets:
-        wst = Window.partitionBy("series_key", "ts")
-        exr = exl.withColumn(
-            "__bdrop", F.max(F.col("cnt") < F.col("__aligned_prev")).over(wst)
-        ).withColumn(
-            "__reset",
-            F.col("__prev_ts").isNotNull()
-            & (
-                (F.col("__c") < F.col("__pc"))
-                | (F.col("__z") < F.col("__pz"))
-                | F.col("__bdrop")
-            ),
-        )
-        bucket_drop = exr.groupBy("series_key", "ts").agg(
-            F.any_value("__bdrop").alias("__bdrop")
-        )
-        sc = base.join(bucket_drop, ["series_key", "ts"], "left").withColumn(
-            "__reset",
-            F.col("__prev_ts").isNotNull()
-            & (
-                (F.col("__c") < F.col("__pc"))
-                | (F.col("__z") < F.col("__pz"))
-                | F.coalesce(F.col("__bdrop"), F.lit(False))
-            ),
-        )
+        # a bucket DROP signals a reset at the sample where it is seen:
+        # either its count shrank at the current sample, or it VANISHED —
+        # present now but absent from the series' next sample (Prometheus
+        # DetectReset iterates the previous sample's buckets, so
+        # disappearance counts as a drop; the vanish is detected on the
+        # bucket's own row via its next-appearance lead vs the series'
+        # next sample ts, and attributed to that next sample)
+        cur_drop = exl.filter(F.col("cnt") < F.col("__aligned_prev")).select(
+            "series_key", "ts")
+        vanish = exl.filter(
+            F.col("__next_ts").isNotNull()
+            & (F.col("__bnts").isNull() | (F.col("__bnts") != F.col("__next_ts")))
+        ).select("series_key", F.col("__next_ts").alias("ts"))
+        drops = (cur_drop.unionByName(vanish).distinct()
+                 .withColumn("__bdrop", F.lit(True)))
+
+        def with_reset(df: DataFrame) -> DataFrame:
+            return df.join(drops, ["series_key", "ts"], "left").withColumn(
+                "__reset",
+                F.col("__prev_ts").isNotNull()
+                & (
+                    (F.col("__c") < F.col("__pc"))
+                    | (F.col("__z") < F.col("__pz"))
+                    | F.coalesce(F.col("__bdrop"), F.lit(False))
+                ),
+            )
+
+        sc = with_reset(base)
+        exr = with_reset(exl)
     else:
         sc = base.withColumn("__reset", F.lit(False))
         exr = exl.withColumn("__reset", F.lit(False))
@@ -682,16 +689,20 @@ def _hist_counter_math(rel: DataFrame, start: int, end: int,
         F.coalesce(F.col("__pos"), F.create_map().cast(HIST_STRUCT["pos"].dataType)).alias("pos"),
         F.coalesce(F.col("__neg"), F.create_map().cast(HIST_STRUCT["neg"].dataType)).alias("neg"),
     )
-    return joined.select("series_key", "labels", hist.alias("hist"), "__span")
+    return joined.select(
+        "series_key", "labels", hist.alias("hist"), "__span"
+    ).withColumn("ts", F.lit(int(end)).cast("long"))
 
 
 def hist_increase(rel: DataFrame, start: int, end: int) -> DataFrame:
     """``increase(h[range])`` over native-histogram counters: element-wise
     sum of per-step increases with histogram-level reset handling (see
     :func:`_hist_counter_math`).  No extrapolation — consistent with this
-    engine's scalar ``promql.increase`` contract."""
+    engine's scalar ``promql.increase`` contract.  Output rows are
+    stamped ``ts = end`` (the evaluation time), so the result composes
+    directly with :func:`hist_quantile` / :func:`hist_fraction`."""
     return _hist_counter_math(rel, start, end, True).select(
-        "series_key", "labels", "hist"
+        "series_key", "labels", "ts", "hist"
     )
 
 
@@ -712,14 +723,15 @@ def hist_rate(rel: DataFrame, start: int, end: int) -> DataFrame:
         F.transform_values("hist.pos", lambda _, v: v / span).alias("pos"),
         F.transform_values("hist.neg", lambda _, v: v / span).alias("neg"),
     )
-    return out.select("series_key", "labels", hist.alias("hist"))
+    return out.select("series_key", "labels", "ts", hist.alias("hist"))
 
 
 def hist_delta(rel: DataFrame, start: int, end: int) -> DataFrame:
     """``delta(h[range])`` for GAUGE histograms: last − first element-wise
-    (per-step differences telescope; no reset detection)."""
+    (per-step differences telescope; no reset detection).  ``ts = end``,
+    as :func:`hist_increase`."""
     return _hist_counter_math(rel, start, end, False).select(
-        "series_key", "labels", "hist"
+        "series_key", "labels", "ts", "hist"
     )
 
 
@@ -1202,8 +1214,18 @@ def hist_tv_distance(lhs: DataFrame, rhs: DataFrame) -> DataFrame:
     from ..model import canonical_labels_json
 
     def prep(df: DataFrame, side: float) -> DataFrame:
-        df = df.select("labels", "ts", "hist").withColumn(
-            "__mk", canonical_labels_json(F.col("labels")))
+        # NEWEST sample per series: the operator contract is one
+        # distribution per series per side — without this reduction, a
+        # multi-timestamp input would fan the total join out and mix
+        # probabilities across time.
+        df = (
+            df.select("labels", "ts", "hist")
+            .withColumn("__mk", canonical_labels_json(F.col("labels")))
+            .groupBy("__mk")
+            .agg(F.any_value("labels").alias("labels"),
+                 F.max("ts").alias("ts"),
+                 F.max_by("hist", "ts").alias("hist"))
+        )
         ex = buckets_long(df.withColumn("series_key", F.lit(0)), "__mk", "labels")
         total = df.select("__mk", F.col("hist.count").alias("__total"))
         return ex.join(total, "__mk").select(

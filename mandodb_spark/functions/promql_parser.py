@@ -581,12 +581,13 @@ _HIST_SCALAR_FNS = {
 
 class _Ctx:
     def __init__(self, rel: DataFrame, at_ts: int, lookback: int,
-                 hist_rel: DataFrame | None = None) -> None:
+                 hist_rel: DataFrame | None = None,
+                 hist_metrics: "set[str] | None" = None) -> None:
         self.rel = rel
         self.t = int(at_ts)
         self.lookback = int(lookback)
         self.hist_rel = hist_rel
-        self._hist_metrics: set[str] | None = None
+        self._hist_metrics: set[str] | None = hist_metrics
 
     @property
     def hist_metrics(self) -> set[str]:
@@ -1059,13 +1060,17 @@ def _eval_agg(node, ctx: _Ctx):
     if k == "hvector":
         # histogram aggregation: sum / avg (element-wise bucket merge,
         # avg = sum / n) are the defined operations; Prometheus likewise
-        # drops histograms from the other aggregators.
+        # drops histograms from the other aggregators.  Instant vectors
+        # carry each series' RAW sample ts, which must not split the
+        # merge groups — re-stamp to the eval time first (same contract
+        # as _hist_binop).
         if fname not in ("sum", "avg") or without is not None:
             raise PromqlError(
                 f"{fname}{' without' if without is not None else ''} is not "
                 "defined over native-histogram vectors (only sum/avg by)")
         from . import native_hist as nh
 
+        v = v.withColumn("ts", F.lit(ctx.t).cast("long"))
         return ("hvector", nh.hist_sum_by(v, list(by or []),
                                           mean=(fname == "avg")))
     if k != "vector":
@@ -1215,7 +1220,8 @@ def _eval_binop(node, ctx: _Ctx):
 
 def eval_instant(rel: DataFrame, query, at_ts: int,
                  lookback: int = 300,
-                 hist_rel: DataFrame | None = None) -> DataFrame:
+                 hist_rel: DataFrame | None = None,
+                 hist_metrics: "set[str] | None" = None) -> DataFrame:
     """Evaluate ``query`` (text, or a pre-parsed AST) as a PromQL instant
     query at ``at_ts`` over a relation with (labels map, ts, value)
     columns.  Returns the result vector as (labels, value); a scalar
@@ -1231,7 +1237,8 @@ def eval_instant(rel: DataFrame, query, at_ts: int,
     HTTP API's histogram payloads."""
     node = parse(query) if isinstance(query, str) else query
     node = resolve_at(node, at_ts, at_ts)
-    k, v = _eval(node, _Ctx(rel, at_ts, lookback, hist_rel=hist_rel))
+    k, v = _eval(node, _Ctx(rel, at_ts, lookback, hist_rel=hist_rel,
+                            hist_metrics=hist_metrics))
     if k == "hvector":
         return v.select("labels", "ts", "hist")
     if k == "scalar":
@@ -1259,12 +1266,13 @@ _RANGE_MODES = {k: k for k in (
 
 class _RCtx:
     def __init__(self, rel: DataFrame, start: int, end: int, step: int,
-                 lookback: int, hist_rel: DataFrame | None = None) -> None:
+                 lookback: int, hist_rel: DataFrame | None = None,
+                 hist_metrics: "set[str] | None" = None) -> None:
         self.rel = rel
         self.start, self.end, self.step = int(start), int(end), int(step)
         self.lookback = int(lookback)
         self.hist_rel = hist_rel
-        self._hist_metrics: set[str] | None = None
+        self._hist_metrics: set[str] | None = hist_metrics
 
     # same lazy metric-name routing set as _Ctx (one bounded collect per
     # query, only when a hist relation is configured)
@@ -1406,7 +1414,7 @@ def _reval_call(node, ctx: _RCtx):
         if at_s is not None:
             # @-fixed: constant across the grid, one whole-range eval
             end = at_s - offset_s
-            out = fn(hfilt, end - range_s + 1, end)
+            out = fn(hfilt, end - range_s + 1, end).drop("ts")
             return ("hvector",
                     out.crossJoin(F.broadcast(_grid_df(ctx)))
                     .select("series_key", "labels", "ts", "hist"))
@@ -1939,7 +1947,8 @@ def _reval_stepscalar_binop(op, lk, lv, rk, rv, bool_mode):
 
 def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
                lookback: int = 300,
-               hist_rel: DataFrame | None = None) -> DataFrame:
+               hist_rel: DataFrame | None = None,
+               hist_metrics: "set[str] | None" = None) -> DataFrame:
     """Evaluate ``query`` (text or AST) as a PromQL RANGE query: the
     expression at every eval point t = start + k·step ≤ end.  Returns
     (labels, ts, value) — one row per series per grid point; a scalar
@@ -1963,7 +1972,7 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
     node = parse(query) if isinstance(query, str) else query
     node = resolve_at(node, start, end)
     k, v = _reval(node, _RCtx(rel, start, end, step, lookback,
-                              hist_rel=hist_rel))
+                              hist_rel=hist_rel, hist_metrics=hist_metrics))
     if k == "hvector":
         return v.select("labels", F.col("ts").cast("long").alias("ts"), "hist")
     empty = F.map_from_arrays(F.array().cast("array<string>"),

@@ -82,13 +82,7 @@ class RecordingRuleMaintainer:
         # a HISTOGRAM-valued rule records into the sibling hist store —
         # probe it too when one exists (same newest-first discipline);
         # exactly one of the two holds the rule's rows
-        hist = getattr(self.db, "_hist_store", None)
-        if hist is None:
-            from pathlib import Path
-
-            root = getattr(self.db.store, "root", None)
-            if root is not None and Path(str(root) + "__hist").exists():
-                hist = self.db.hist_store
+        hist = self.db.hist_store_if_exists()
         if hist is not None:
             recovered.append(self._recover_from(hist))
         found = [r for r in recovered if r is not None]

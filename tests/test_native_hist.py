@@ -950,3 +950,102 @@ def test_streaming_histogram_recording_rule(spark, tmp_path):
     got = {r["ts"]: r["hist"]["count"]
            for r in db.query_hist_rows("rule:lat:byapp", None, 0, 10**10).collect()}
     assert got == {1100: 3.0, 1200: 4.0}
+
+
+# --------------------------------------------------------------------------
+# round-9 review regressions
+# --------------------------------------------------------------------------
+
+def test_instant_sum_merges_across_raw_sample_timestamps(spark, tmp_path):
+    """Instant sum()/avg() must merge series whose newest samples sit at
+    DIFFERENT raw timestamps within the lookback window — grouping may
+    not split on the stale ts (review finding: _eval_agg lacked the
+    eval-time re-stamp _hist_binop has)."""
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    obs = [("lat", {"app": "a"}, 980, 1.0), ("lat", {"app": "b"}, 950, 2.0)]
+    snaps = nh.observe_histograms(_obs_df(spark, obs))
+    db.insert_histograms(snaps.select(F.lit("lat").alias("metric"),
+                                      "labels", "ts", "hist"))
+    rows = db.promql("histogram_count(sum(lat))", 1000).collect()
+    assert len(rows) == 1 and rows[0]["value"] == 2.0
+    avg = db.promql("histogram_count(avg(lat))", 1000).collect()
+    assert len(avg) == 1 and avg[0]["value"] == 1.0
+
+
+def test_reset_detected_when_bucket_vanishes(spark):
+    """A counter reset where the new total count RECOVERS above the old
+    one is detected via the vanished bucket (Prometheus DetectReset
+    treats disappearance as a drop): t1 pos={i1:5}, reset, t2 pos={i2:10}
+    -> increase is the new sample verbatim (count 10), not a subtraction
+    mixing incompatible cumulative states."""
+    i1 = _ref_index(2.0, nh.DEFAULT_SCHEMA)
+    i2 = _ref_index(8.0, nh.DEFAULT_SCHEMA)
+    rows = [
+        ("m", {}, 100,
+         {"count": 5.0, "sum": 10.0, "zero_count": 0.0,
+          "zero_threshold": nh.DEFAULT_ZERO_THRESHOLD,
+          "schema": nh.DEFAULT_SCHEMA, "pos": {i1: 5.0}, "neg": {}}),
+        ("m", {}, 200,
+         {"count": 10.0, "sum": 80.0, "zero_count": 0.0,
+          "zero_threshold": nh.DEFAULT_ZERO_THRESHOLD,
+          "schema": nh.DEFAULT_SCHEMA, "pos": {i2: 10.0}, "neg": {}}),
+    ]
+    rel = spark.createDataFrame(rows, nh.HIST_ROW_SCHEMA).select(
+        F.map_concat(F.create_map(F.lit("__name__"), F.col("metric")),
+                     F.col("labels")).alias("labels"), "ts", "hist")
+    h = nh.hist_increase(rel, 0, 1000).collect()[0]["hist"]
+    assert h["count"] == 10.0
+    assert dict(h["pos"]) == {i2: 10.0}
+    # grid path agrees
+    g = nh.grid_hist_rate(rel, 200, 200, 150, 50, mode="increase").collect()
+    assert g[0]["hist"]["count"] == 10.0
+
+
+def test_rate_output_composes_with_quantile_directly(spark, tmp_path):
+    """The documented public composition hist_quantile(db.hist_rate(...))
+    works: counter-math outputs carry ts (review finding)."""
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    obs = [("lat", {}, t, float(v))
+           for t, vs in ((100, [2.0]), (200, [4.0, 8.0])) for v in vs]
+    cum = nh.accumulate_histograms(nh.observe_histograms(_obs_df(spark, obs)))
+    db.insert_histograms(cum.select(F.lit("lat").alias("metric"),
+                                    "labels", "ts", "hist"))
+    out = nh.hist_quantile(db.hist_rate("lat", None, 0, 1000), 1.0).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(
+        2.0 ** (_ref_index(8.0, nh.DEFAULT_SCHEMA) / 8.0))
+
+
+def test_remove_expires_purges_hist_store_after_restart(spark, tmp_path):
+    """Retention reaches a hist store written by a PREVIOUS process
+    (review finding: the lazily-created handle was required before)."""
+    from mandodb_spark import TSDB
+    from mandodb_spark.model import DEFAULT_SEGMENT_DURATION
+
+    path = str(tmp_path / "store")
+    db1 = TSDB(spark, path, retention=DEFAULT_SEGMENT_DURATION)
+    old_ts, new_ts = 100, 100 + 10 * DEFAULT_SEGMENT_DURATION
+    snaps = nh.observe_histograms(
+        _obs_df(spark, [("m", {}, t, 1.5) for t in (old_ts, new_ts)]))
+    db1.insert_histograms(snaps.select(F.lit("m").alias("metric"),
+                                       "labels", "ts", "hist"))
+    db2 = TSDB(spark, path, retention=DEFAULT_SEGMENT_DURATION)  # "restart"
+    db2.remove_expires(now_ts=new_ts)
+    left = db2.query_hist_rows("m", None, 0, 10**10).collect()
+    assert [r["ts"] for r in left] == [new_ts]
+
+
+def test_tv_distance_reduces_to_newest_sample_per_series(spark):
+    """A multi-timestamp side reduces to its newest sample per series —
+    totals never mix across time (review finding)."""
+    old = [("m", {"s": "1"}, 100, v) for v in (1.0, 1.0, 1.0, 1.0)]
+    new = [("m", {"s": "1"}, 200, v) for v in (64.0,)]
+    lhs = nh.observe_histograms(_obs_df(spark, old + new))  # 2 samples
+    rhs = nh.observe_histograms(_obs_df(spark, new))
+    got = nh.hist_tv_distance(lhs, rhs).collect()
+    # newest lhs sample == rhs -> distance 0 (old sample must not leak in)
+    assert got[0]["value"] == pytest.approx(0.0)

@@ -115,6 +115,42 @@ def _ensure_series_key(rel: DataFrame) -> DataFrame:
     return rel
 
 
+def _bucket_map_aggs(sign: str, idx: str, val: str) -> "tuple[Column, Column]":
+    """The sparse pos/neg map assembly every grouped path shares: per
+    sign, a sorted collect of (idx, val) entries folded into a
+    ``MAP<INT,DOUBLE>`` (collect_list skips the other sign's NULLs)."""
+    entry = F.struct(F.col(idx).alias("key"), F.col(val).alias("value"))
+
+    def side(s: int) -> Column:
+        return F.map_from_entries(
+            F.array_sort(F.collect_list(F.when(F.col(sign) == s, entry))))
+
+    return side(1), side(-1)
+
+
+def _empty_buckets() -> Column:
+    return F.create_map().cast(HIST_STRUCT["pos"].dataType)
+
+
+def _hist_struct(count: Column, sum_: Column, zero: Column, zt: Column,
+                 schema: Column, pos: Column, neg: Column,
+                 coalesce_maps: bool = False) -> Column:
+    """Assemble a ``hist`` struct column; ``coalesce_maps`` fills absent
+    bucket sides (left-join misses) with empty maps."""
+    if coalesce_maps:
+        pos = F.coalesce(pos, _empty_buckets())
+        neg = F.coalesce(neg, _empty_buckets())
+    return F.struct(
+        count.alias("count"),
+        sum_.alias("sum"),
+        zero.alias("zero_count"),
+        zt.alias("zero_threshold"),
+        schema.cast("int").alias("schema"),
+        pos.alias("pos"),
+        neg.alias("neg"),
+    )
+
+
 # --------------------------------------------------------------------------
 # builders: raw observations -> histogram samples
 # --------------------------------------------------------------------------
@@ -159,28 +195,17 @@ def observe_histograms(
         F.count(F.lit(1)).cast("double").alias("__cnt"),
         F.sum(v).alias("__vsum"),
     )
-    entry = F.struct(F.col("__idx").alias("key"), F.col("__cnt").alias("value"))
+    pos_agg, neg_agg = _bucket_map_aggs("__sign", "__idx", "__cnt")
     assembled = per_bucket.groupBy("series_key", "ts").agg(
         F.any_value("labels").alias("labels"),
         F.sum("__cnt").alias("__count"),
         F.sum("__vsum").alias("__sum"),
         F.sum(F.when(F.col("__sign") == 0, F.col("__cnt")).otherwise(F.lit(0.0))).alias("__zero"),
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("__sign") == 1, entry)))
-        ).alias("__pos"),
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("__sign") == -1, entry)))
-        ).alias("__neg"),
+        pos_agg.alias("__pos"),
+        neg_agg.alias("__neg"),
     )
-    hist = F.struct(
-        F.col("__count").alias("count"),
-        F.col("__sum").alias("sum"),
-        F.col("__zero").alias("zero_count"),
-        zt.alias("zero_threshold"),
-        s.cast("int").alias("schema"),
-        F.col("__pos").alias("pos"),
-        F.col("__neg").alias("neg"),
-    )
+    hist = _hist_struct(F.col("__count"), F.col("__sum"), F.col("__zero"),
+                        zt, s, F.col("__pos"), F.col("__neg"))
     return assembled.select("labels", "ts", hist.alias("hist"), "series_key")
 
 
@@ -270,25 +295,13 @@ def accumulate_histograms(rel: DataFrame) -> DataFrame:
         dense.withColumn("cum", F.sum("cnt").over(wb))
         .filter(F.col("cum") > 0)
     )
-    entry = F.struct(F.col("idx").alias("key"), F.col("cum").alias("value"))
+    pos_agg, neg_agg = _bucket_map_aggs("sign", "idx", "cum")
     maps = cum.groupBy("series_key", "ts").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("sign") == 1, entry)))
-        ).alias("__pos"),
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("sign") == -1, entry)))
-        ).alias("__neg"),
-    )
+        pos_agg.alias("__pos"), neg_agg.alias("__neg"))
     joined = cum_scalars.join(maps, ["series_key", "ts"], "left")
-    hist = F.struct(
-        F.col("count"),
-        F.col("sum"),
-        F.col("zero_count"),
-        F.col("zero_threshold"),
-        F.col("schema"),
-        F.coalesce(F.col("__pos"), F.create_map().cast(HIST_STRUCT["pos"].dataType)).alias("pos"),
-        F.coalesce(F.col("__neg"), F.create_map().cast(HIST_STRUCT["neg"].dataType)).alias("neg"),
-    )
+    hist = _hist_struct(F.col("count"), F.col("sum"), F.col("zero_count"),
+                        F.col("zero_threshold"), F.col("schema"),
+                        F.col("__pos"), F.col("__neg"), coalesce_maps=True)
     return joined.select("labels", "ts", hist.alias("hist"), "series_key")
 
 
@@ -670,25 +683,13 @@ def _hist_counter_math(rel: DataFrame, start: int, end: int,
         .agg(F.sum(binc).alias("__v"))
         .filter(F.col("__v") != 0)
     )
-    entry = F.struct(F.col("idx").alias("key"), F.col("__v").alias("value"))
+    pos_agg, neg_agg = _bucket_map_aggs("sign", "idx", "__v")
     maps = per_bucket.groupBy("series_key").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("sign") == 1, entry)))
-        ).alias("__pos"),
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("sign") == -1, entry)))
-        ).alias("__neg"),
-    )
+        pos_agg.alias("__pos"), neg_agg.alias("__neg"))
     joined = agg_scalars.join(maps, "series_key", "left").filter(F.col("__n") >= 2)
-    hist = F.struct(
-        F.col("count"),
-        F.col("sum"),
-        F.col("zero_count"),
-        F.col("zero_threshold"),
-        F.col("schema"),
-        F.coalesce(F.col("__pos"), F.create_map().cast(HIST_STRUCT["pos"].dataType)).alias("pos"),
-        F.coalesce(F.col("__neg"), F.create_map().cast(HIST_STRUCT["neg"].dataType)).alias("neg"),
-    )
+    hist = _hist_struct(F.col("count"), F.col("sum"), F.col("zero_count"),
+                        F.col("zero_threshold"), F.col("schema"),
+                        F.col("__pos"), F.col("__neg"), coalesce_maps=True)
     return joined.select(
         "series_key", "labels", hist.alias("hist"), "__span"
     ).withColumn("ts", F.lit(int(end)).cast("long"))
@@ -797,33 +798,21 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
         .groupBy(*keys, "sign", "idx")
         .agg(F.sum("cnt").alias("__v"))
     )
-    entry = F.struct(F.col("idx").alias("key"), F.col("__v").alias("value"))
+    pos_agg, neg_agg = _bucket_map_aggs("sign", "idx", "__v")
     maps = per_bucket.groupBy(*keys).agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("sign") == 1, entry)))
-        ).alias("__pos"),
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("sign") == -1, entry)))
-        ).alias("__neg"),
-    )
+        pos_agg.alias("__pos"), neg_agg.alias("__neg"))
     joined = agg_scalars.join(maps, keys, "left")
     div = F.col("__n") if mean else F.lit(1.0)
-    hist = F.struct(
-        (F.col("count") / div).alias("count"),
-        (F.col("sum") / div).alias("sum"),
-        (F.col("zero_count") / div).alias("zero_count"),
+    hist = _hist_struct(
+        F.col("count") / div,
+        F.col("sum") / div,
+        F.col("zero_count") / div,
         F.col("zero_threshold"),
         F.col("schema"),
-        F.transform_values(
-            F.coalesce(F.col("__pos"),
-                       F.create_map().cast(HIST_STRUCT["pos"].dataType)),
-            lambda _, v: v / div,
-        ).alias("pos"),
-        F.transform_values(
-            F.coalesce(F.col("__neg"),
-                       F.create_map().cast(HIST_STRUCT["neg"].dataType)),
-            lambda _, v: v / div,
-        ).alias("neg"),
+        F.transform_values(F.coalesce(F.col("__pos"), _empty_buckets()),
+                           lambda _, v: v / div),
+        F.transform_values(F.coalesce(F.col("__neg"), _empty_buckets()),
+                           lambda _, v: v / div),
     )
     out_cols = ["labels"] + (["ts"] if group_ts else []) + [hist.alias("hist")]
     return joined.select(*out_cols).withColumn(
@@ -921,37 +910,25 @@ def grid_hist_rate(rel: DataFrame, start: int, end: int, window: int,
         .agg(F.sum(_step_bucket()).alias("__v"))
         .filter(F.col("__v") != 0)
     )
-    entry = F.struct(F.col("idx").alias("key"), F.col("__v").alias("value"))
+    pos_agg, neg_agg = _bucket_map_aggs("sign", "idx", "__v")
     maps = per_bucket.groupBy("series_key", "__t").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("sign") == 1, entry)))
-        ).alias("__pos"),
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.when(F.col("sign") == -1, entry)))
-        ).alias("__neg"),
-    )
+        pos_agg.alias("__pos"), neg_agg.alias("__neg"))
     joined = agg_scalars.join(maps, ["series_key", "__t"], "left")
     if mode == "rate":
         joined = joined.filter(F.col("__span") > 0)
         span = F.col("__span").cast("double")
     else:
         span = F.lit(1.0)
-    hist = F.struct(
-        (F.col("count") / span).alias("count"),
-        (F.col("sum") / span).alias("sum"),
-        (F.col("zero_count") / span).alias("zero_count"),
+    hist = _hist_struct(
+        F.col("count") / span,
+        F.col("sum") / span,
+        F.col("zero_count") / span,
         F.col("zero_threshold"),
         F.col("schema"),
-        F.transform_values(
-            F.coalesce(F.col("__pos"),
-                       F.create_map().cast(HIST_STRUCT["pos"].dataType)),
-            lambda _, v: v / span,
-        ).alias("pos"),
-        F.transform_values(
-            F.coalesce(F.col("__neg"),
-                       F.create_map().cast(HIST_STRUCT["neg"].dataType)),
-            lambda _, v: v / span,
-        ).alias("neg"),
+        F.transform_values(F.coalesce(F.col("__pos"), _empty_buckets()),
+                           lambda _, v: v / span),
+        F.transform_values(F.coalesce(F.col("__neg"), _empty_buckets()),
+                           lambda _, v: v / span),
     )
     return joined.select(
         "series_key", "labels", F.col("__t").alias("ts"), hist.alias("hist")

@@ -432,6 +432,9 @@ class TSDB:
         hist = self.hist_store_if_exists()
         if hist is not None:
             hist.remove_expired(now, self.retention)
+        exemplars = self.exemplar_store_if_exists()
+        if exemplars is not None:
+            exemplars.remove_expired(now, self.retention)
         return dropped
 
     def hist_store_if_exists(self):
@@ -972,6 +975,72 @@ class TSDB:
         return nh.hist_sum_by(
             self.query_hist_rows(metric, matchers, start, end), by
         )
+
+    # ------------------------------------------------------------- exemplars
+    @property
+    def exemplar_store(self):
+        """Lazy sibling store for EXEMPLARS (``<path>__exemplars`` on
+        disk, memory variant under ``only_memory``) — sampled raw
+        observations with their own label set (trace ids), the
+        ``/api/v1/query_exemplars`` data source.  Same seg partitioning,
+        retention, and deletion contract as the other stores."""
+        store = getattr(self, "_exemplar_store", None)
+        if store is None:
+            from .sources.exemplar_store import (
+                ExemplarStore,
+                MemoryExemplarStore,
+            )
+
+            root = getattr(self.store, "root", None)
+            if root is None:
+                store = MemoryExemplarStore(self.spark, self.segment_duration)
+            else:
+                store = ExemplarStore(
+                    self.spark, str(root) + "__exemplars",
+                    self.segment_duration,
+                )
+            self._exemplar_store = store
+        return store
+
+    def exemplar_store_if_exists(self):
+        """The exemplar sibling store IFF one holds data (same probe
+        protocol as :meth:`hist_store_if_exists`)."""
+        from pathlib import Path
+
+        store = getattr(self, "_exemplar_store", None)
+        if store is not None:
+            return store
+        root = getattr(self.store, "root", None)
+        if root is not None and Path(str(root) + "__exemplars").exists():
+            return self.exemplar_store
+        return None
+
+    def insert_exemplars(self, rows: "DataFrame | list[tuple]",
+                         dedup_against_store: bool = False) -> None:
+        """Append exemplar rows (``EXEMPLAR_ROW_SCHEMA``: metric, labels,
+        ts, value, exemplar-label map) beside the series' samples."""
+        if not isinstance(rows, DataFrame):
+            from .sources.exemplar_store import EXEMPLAR_ROW_SCHEMA
+
+            rows = self.spark.createDataFrame(rows, EXEMPLAR_ROW_SCHEMA)
+        self.exemplar_store.append(
+            rows, dedup_against_store=dedup_against_store)
+
+    def query_exemplars(
+        self, metric: str | None, matchers: list[LabelMatcher] | None,
+        start: int, end: int,
+    ) -> DataFrame:
+        """Matcher-filtered exemplars grouped per series with ts-sorted
+        exemplar lists — the ``/api/v1/query_exemplars`` data layout
+        (render with ``promql_parser.to_api_exemplars``).  Same
+        prune+filter front half as every other query path."""
+        from .sources.exemplar_store import group_exemplars
+
+        rel = tsdb_ops._filtered(
+            self.exemplar_store.relation(), metric, matchers or [],
+            start, end, self.segment_duration,
+        )
+        return group_exemplars(rel)
 
     def materialize_nh_rollup(self, dest: str, step: int = 21600,
                               incremental: bool = False,

@@ -51,7 +51,12 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from ..model import clean_labels, fold_metric_name, series_key
+from ..model import (
+    METRIC_NAME_LABEL,
+    clean_labels,
+    fold_metric_name,
+    series_key,
+)
 
 #: One native-histogram sample (exposition-format fields).
 HIST_STRUCT = StructType(
@@ -83,6 +88,12 @@ DEFAULT_SCHEMA = 3
 
 #: Default zero-bucket half-width.
 DEFAULT_ZERO_THRESHOLD = 2.0 ** -128
+
+#: Reserved label the streaming ingest sink stamps on per-batch PARTIAL
+#: histogram samples — makes a partial's series identity batch-unique so
+#: ``HistStore.append(dedup_against_store=True)`` drops at-least-once
+#: replays exactly; :func:`hist_merge_partials` strips it at read.
+BATCH_LABEL = "__batch__"
 
 
 def _pow2(exponent: Column) -> Column:
@@ -632,8 +643,29 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
         sc = with_reset(base)
         exr = with_reset(exl)
     else:
+        # GAUGE path (delta): a bucket that fully VANISHES between two
+        # samples has no current-sample row (the explode only sees present
+        # buckets), so its negative step (-prev) would silently go missing
+        # and per-bucket deltas would stop telescoping to last-minus-first —
+        # the result's bucket sum would contradict its own count.  Gauge
+        # histograms routinely drain buckets to zero, so synthesize an
+        # explicit zero-count row at the next sample for every vanish
+        # transition.  Only the step-contract columns (ts, __prev_ts, cnt,
+        # __aligned_prev) are rewritten; the rest ride along solely to keep
+        # unionByName aligned and are never read on synthesized rows.
+        vanished = (
+            exl.filter(
+                F.col("__next_ts").isNotNull()
+                & (F.col("__bnts").isNull()
+                   | (F.col("__bnts") != F.col("__next_ts")))
+            )
+            .withColumn("__aligned_prev", F.col("cnt"))
+            .withColumn("__prev_ts", F.col("ts"))
+            .withColumn("ts", F.col("__next_ts"))
+            .withColumn("cnt", F.lit(0.0))
+        )
         sc = base.withColumn("__reset", F.lit(False))
-        exr = exl.withColumn("__reset", F.lit(False))
+        exr = exl.unionByName(vanished).withColumn("__reset", F.lit(False))
     return sc, exr
 
 
@@ -769,7 +801,6 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
         "__gk", canonical_labels_json(F.col("__glabels"))
     )
     keys = ["__gk"] + (["ts"] if group_ts else [])
-    wall = Window.partitionBy(*keys)
     scalars = rel.select(
         *keys,
         F.col("__glabels").alias("labels"),
@@ -778,7 +809,7 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
         F.col("hist.zero_count").alias("__z"),
         F.col("hist.zero_threshold").alias("__zt"),
         F.col("hist.schema").alias("__schema"),
-    ).withColumn("__smin", F.min("__schema").over(wall))
+    )
     agg_scalars = scalars.groupBy(*keys).agg(
         F.any_value("labels").alias("labels"),
         F.sum("__c").alias("count"),
@@ -788,26 +819,59 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
         F.min("__schema").alias("schema"),
         F.count(F.lit(1)).cast("double").alias("__n"),
     )
+    gstats = scalars.groupBy(*keys).agg(
+        F.min("__schema").alias("__smin"), F.max("__zt").alias("__gzt"))
     ex = buckets_long(rel, "__gk").filter(F.col("sign") != 0)
-    smin = scalars.select(*keys, "__smin").distinct()
-    join_keys = keys if group_ts else ["__gk"]
-    ex = ex.join(smin, join_keys)
+    ex = ex.join(gstats, keys)
     down = _pow2((F.col("schema") - F.col("__smin")).cast("double"))
+    ex = ex.withColumn(
+        "idx", F.ceil(F.col("idx").cast("double") / down).cast("int"))
+    # Zero-threshold reconciliation (Prometheus histogram add): when series
+    # with different zero thresholds merge, buckets that fall inside the
+    # widened (group-max) threshold fold into the zero bucket; a populated
+    # bucket STRADDLING the threshold widens it to that bucket's upper
+    # boundary so the zero bucket always ends on a bucket boundary.  All
+    # buckets are grid-aligned at the group schema by this point, so one
+    # widening pass converges (the widened threshold is itself a boundary,
+    # which no aligned bucket can straddle).  Without this, small-value
+    # buckets would overlap the zero bucket and quantile walks would order
+    # them AFTER it, skewing low quantiles.
+    upper = _bound(F.col("idx"), F.col("__smin"))
+    lower = _bound(F.col("idx") - 1, F.col("__smin"))
+    wgrp = Window.partitionBy(*keys)
+    ex = ex.withColumn(
+        "__wzt",
+        F.greatest(
+            F.col("__gzt"),
+            F.coalesce(
+                F.max(F.when(lower < F.col("__gzt"), upper)).over(wgrp),
+                F.col("__gzt"),
+            ),
+        ),
+    )
+    ex = ex.withColumn("__folded", upper <= F.col("__wzt"))
+    folded = F.col("__folded")
     per_bucket = (
-        ex.withColumn("idx", F.ceil(F.col("idx").cast("double") / down).cast("int"))
+        ex.filter(~folded)
         .groupBy(*keys, "sign", "idx")
         .agg(F.sum("cnt").alias("__v"))
+    )
+    zfix = ex.groupBy(*keys).agg(
+        F.max("__wzt").alias("__wzt"),
+        F.sum(F.when(folded, F.col("cnt"))).alias("__zfold"),
     )
     pos_agg, neg_agg = _bucket_map_aggs("sign", "idx", "__v")
     maps = per_bucket.groupBy(*keys).agg(
         pos_agg.alias("__pos"), neg_agg.alias("__neg"))
-    joined = agg_scalars.join(maps, keys, "left")
+    joined = (
+        agg_scalars.join(maps, keys, "left").join(zfix, keys, "left")
+    )
     div = F.col("__n") if mean else F.lit(1.0)
     hist = _hist_struct(
         F.col("count") / div,
         F.col("sum") / div,
-        F.col("zero_count") / div,
-        F.col("zero_threshold"),
+        (F.col("zero_count") + F.coalesce(F.col("__zfold"), F.lit(0.0))) / div,
+        F.coalesce(F.col("__wzt"), F.col("zero_threshold")),
         F.col("schema"),
         F.transform_values(F.coalesce(F.col("__pos"), _empty_buckets()),
                            lambda _, v: v / div),
@@ -939,18 +1003,11 @@ def grid_hist_rate(rel: DataFrame, start: int, end: int, window: int,
 # exposition wire format: spans + delta-encoded counts <-> sparse maps
 # --------------------------------------------------------------------------
 
-def spans_to_buckets(spans: Column, deltas: Column) -> Column:
-    """Decode the Prometheus protobuf exposition encoding of one bucket
-    side into the engine's sparse ``MAP<INT,DOUBLE>``.
-
-    Wire form (io.prometheus.client.Histogram): ``spans`` is an array of
-    ``(offset, length)`` runs — ``offset`` = indices skipped from the end
-    of the previous span (absolute start for the first) — and ``deltas``
-    delta-encodes the bucket counts across all spans (first entry
-    absolute).  Both decodes are single ``aggregate`` folds over
-    arrays whose length is the histogram's bucket count (schema-bounded),
-    entirely JVM-side — the scrape-ingest path never touches Python."""
-    idxs = F.aggregate(
+def _span_indices(spans: Column) -> Column:
+    """Absolute bucket indices encoded by a prompb/exposition span list:
+    one fold over ``(offset, length)`` runs — ``offset`` = indices skipped
+    from the end of the previous span (absolute start for the first)."""
+    return F.aggregate(
         spans,
         F.struct(
             F.lit(0).alias("next"),
@@ -960,14 +1017,34 @@ def spans_to_buckets(spans: Column, deltas: Column) -> Column:
             (acc["next"] + s["offset"] + s["length"]).cast("int").alias("next"),
             F.concat(
                 acc["idxs"],
-                F.sequence(
-                    (acc["next"] + s["offset"]).cast("int"),
-                    (acc["next"] + s["offset"] + s["length"] - 1).cast("int"),
-                ),
+                # zero-length spans are legal pure gap markers in the
+                # exposition protobuf; F.sequence(start, start-1) would
+                # produce a DESCENDING 2-element array and desync the
+                # index/delta arrays (same guard as histograms_from_otlp)
+                F.when(
+                    s["length"] > 0,
+                    F.sequence(
+                        (acc["next"] + s["offset"]).cast("int"),
+                        (acc["next"] + s["offset"] + s["length"] - 1).cast("int"),
+                    ),
+                ).otherwise(F.array().cast("array<int>")),
             ).alias("idxs"),
         ),
         lambda acc: acc["idxs"],
     )
+
+
+def spans_to_buckets(spans: Column, deltas: Column) -> Column:
+    """Decode the Prometheus protobuf exposition encoding of one bucket
+    side into the engine's sparse ``MAP<INT,DOUBLE>``.
+
+    Wire form (io.prometheus.client.Histogram): ``spans`` is an array of
+    ``(offset, length)`` runs and ``deltas`` delta-encodes the bucket
+    counts across all spans (first entry absolute).  Both decodes are
+    single ``aggregate`` folds over arrays whose length is the
+    histogram's bucket count (schema-bounded), entirely JVM-side — the
+    scrape-ingest path never touches Python."""
+    idxs = _span_indices(spans)
     counts = F.aggregate(
         deltas,
         F.array().cast("array<double>"),
@@ -1062,7 +1139,13 @@ def hist_merge_partials(rel: DataFrame) -> DataFrame:
     hold per-micro-batch partials (the streaming ingest shape:
     ``StreamingIngestor(nh_dest=…)`` appends one partial per batch per
     open window) and this read-side merge reconstructs the exact
-    full-window histogram regardless of how ingestion split it."""
+    full-window histogram regardless of how ingestion split it.  The
+    ingest sink stamps each partial with the reserved :data:`BATCH_LABEL`
+    (its replay-idempotency key) — stripped here before grouping so
+    partials from different batches land in the same series."""
+    rel = rel.withColumn(
+        "labels",
+        F.map_filter(F.col("labels"), lambda k, _: k != F.lit(BATCH_LABEL)))
     return hist_sum_by(rel, None, group_ts=True)
 
 
@@ -1277,3 +1360,123 @@ def histograms_from_otlp(df: DataFrame) -> DataFrame:
         side("neg_offset", "neg_counts").alias("neg"),
     )
     return df.select("metric", "labels", "ts", hist.alias("hist"))
+
+
+# --------------------------------------------------------------------------
+# Prometheus remote-write (prompb) shaper — the scrape-loop ingress
+# --------------------------------------------------------------------------
+
+def histograms_from_remote_write(df: DataFrame) -> DataFrame:
+    """prompb remote-write NATIVE-HISTOGRAM decoder: one input row per
+    ``TimeSeries`` (``sources.loaders.REMOTE_WRITE_TIMESERIES_SCHEMA`` —
+    labels as ``array<struct<name,value>>`` INCLUDING ``__name__``,
+    ``histograms`` as the types.proto ``Histogram`` message fields) into
+    ``HIST_ROW_SCHEMA`` rows ready for ``TSDB.insert_histograms``.
+
+    Wire semantics (prometheus/prompb/types.proto, public): INTEGER
+    histograms carry delta-encoded bucket counts (``positive_deltas`` /
+    ``negative_deltas``, first absolute) while FLOAT histograms carry
+    absolute counts (``positive_counts``/``negative_counts``) — exactly
+    one form is populated per message, both over the same span layout as
+    the exposition codec.  ``count``/``zero_count`` are the matching
+    ``count_int``-or-``count_float`` oneof.  Timestamps are milliseconds
+    → floored to the engine's seconds.  Pure column decode (the
+    ``aggregate`` span folds), one ``explode`` — no shuffle of its own;
+    the protobuf byte parse itself is an edge concern, as for the
+    exposition/OTLP decoders above."""
+    lbl = F.map_from_entries(F.col("labels"))
+    ex = df.select(lbl.alias("__lbl"), F.explode("histograms").alias("h"))
+
+    def side(prefix: str) -> Column:
+        spans = F.coalesce(
+            F.col(f"h.{prefix}_spans"),
+            F.array().cast("array<struct<offset:int,length:int>>"))
+        counts = F.col(f"h.{prefix}_counts")
+        deltas = F.coalesce(F.col(f"h.{prefix}_deltas"),
+                            F.array().cast("array<bigint>"))
+        dec = F.when(
+            counts.isNotNull() & (F.size(counts) > 0),
+            F.map_from_arrays(
+                _span_indices(spans),
+                F.transform(counts, lambda c: c.cast("double"))),
+        ).otherwise(spans_to_buckets(spans, deltas))
+        return F.map_filter(dec, lambda _, v: v != 0)
+
+    hist = _hist_struct(
+        F.coalesce(F.col("h.count_float"),
+                   F.col("h.count_int").cast("double")),
+        F.col("h.sum").cast("double"),
+        F.coalesce(F.col("h.zero_count_float"),
+                   F.col("h.zero_count_int").cast("double")),
+        F.col("h.zero_threshold").cast("double"),
+        F.col("h.schema").cast("int"),
+        side("positive"),
+        side("negative"),
+    )
+    return ex.select(
+        F.col("__lbl").getItem(METRIC_NAME_LABEL).alias("metric"),
+        F.map_filter(F.col("__lbl"),
+                     lambda k, _: k != F.lit(METRIC_NAME_LABEL)).alias("labels"),
+        F.floor(F.col("h.timestamp") / 1000).cast("long").alias("ts"),
+        hist.alias("hist"),
+    )
+
+
+def histograms_to_remote_write(rel: DataFrame,
+                               float_counts: bool = True) -> DataFrame:
+    """HIST rows → prompb remote-write ``TimeSeries`` rows (the write-side
+    inverse of :func:`histograms_from_remote_write`): one row per series
+    with the canonical sorted label list (``__name__`` included) and the
+    series' histogram messages sorted by timestamp.
+
+    ``float_counts=True`` emits FLOAT histograms (absolute double bucket
+    counts); ``False`` emits INTEGER histograms (delta-encoded counts via
+    :func:`buckets_to_spans`) — lossless only when every bucket count is
+    integral, as integer-histogram sources guarantee.  One hash aggregate
+    per series; span/delta encodes are per-row column folds."""
+    rel = _ensure_series_key(rel)
+
+    def side(field: str):
+        enc = buckets_to_spans(F.col(f"hist.{field}"))
+        spans = enc["spans"]
+        if float_counts:
+            counts = F.transform(
+                F.array_sort(F.map_entries(F.col(f"hist.{field}"))),
+                lambda e: e["value"].cast("double"))
+            return spans, F.lit(None).cast("array<bigint>"), counts
+        return spans, enc["deltas"], F.lit(None).cast("array<double>")
+
+    pspans, pdeltas, pcounts = side("pos")
+    nspans, ndeltas, ncounts = side("neg")
+    cnt = F.col("hist.count")
+    zc = F.col("hist.zero_count")
+    msg = F.struct(
+        (F.col("ts") * 1000).cast("long").alias("timestamp"),
+        (F.lit(None).cast("long") if float_counts
+         else cnt.cast("long")).alias("count_int"),
+        (cnt.cast("double") if float_counts
+         else F.lit(None).cast("double")).alias("count_float"),
+        F.col("hist.sum").cast("double").alias("sum"),
+        F.col("hist.schema").cast("int").alias("schema"),
+        F.col("hist.zero_threshold").cast("double").alias("zero_threshold"),
+        (F.lit(None).cast("long") if float_counts
+         else zc.cast("long")).alias("zero_count_int"),
+        (zc.cast("double") if float_counts
+         else F.lit(None).cast("double")).alias("zero_count_float"),
+        pspans.alias("positive_spans"),
+        pdeltas.alias("positive_deltas"),
+        pcounts.alias("positive_counts"),
+        nspans.alias("negative_spans"),
+        ndeltas.alias("negative_deltas"),
+        ncounts.alias("negative_counts"),
+    )
+    entries = F.transform(
+        F.array_sort(F.map_entries(F.col("labels"))),
+        lambda e: F.struct(e["key"].alias("name"), e["value"].alias("value")))
+    return (
+        rel.select("series_key", entries.alias("__labels"), msg.alias("__h"))
+        .groupBy("series_key")
+        .agg(F.any_value("__labels").alias("labels"),
+             F.array_sort(F.collect_list("__h")).alias("histograms"))
+        .select("labels", "histograms")
+    )

@@ -1254,6 +1254,70 @@ def sort_by_label(vector: DataFrame, by: list[str],
     return vector.orderBy(*order, F.col("series_key"))
 
 
+def info_enrich(vector: DataFrame, info_vec: DataFrame,
+                data_labels: list[str] | None = None,
+                identifying: tuple[str, ...] = ("instance", "job"),
+                join_ts: bool = False) -> DataFrame:
+    """PromQL 3.x ``info()``: enrich ``vector``'s samples with DATA labels
+    copied from matching info-metric series (``target_info`` by default —
+    the caller evaluates and passes the info vector), matched on the
+    IDENTIFYING labels (instance, job).
+
+    - ``data_labels``: restrict the copied labels to these names (the
+      non-``__name__`` matchers of info()'s selector argument); ``None``
+      copies every non-identifying, non-name label.
+    - ``join_ts=True``: range mode — both sides carry a ``ts`` grid column
+      and the match is per eval point.
+    - Samples missing an identifying label pass through unchanged (null
+      join keys never match), as in Prometheus.
+
+    Deliberate deltas from promql/info.go: when several info series share
+    identifying labels with conflicting data labels, Prometheus fails the
+    query; a distributed engine shouldn't row-error, so the lexically
+    greatest data-label set wins deterministically.  Likewise a data label
+    colliding with an existing label on the sample keeps the SAMPLE's
+    value instead of erroring.
+
+    Scale shape: one equi-join on (identifying[, ts]) — the info side is
+    first reduced to one row per identifying key (hash agg), typically a
+    small dimension Catalyst/AQE can broadcast."""
+    idk = [f"__id_{i}" for i in range(len(identifying))]
+    keys = idk + (["ts"] if join_ts else [])
+    strip = set(identifying) | {METRIC_NAME_LABEL}
+    if data_labels is None:
+        data_map = F.map_filter(
+            F.col("labels"),
+            lambda k, _: ~k.isin(*[F.lit(s) for s in strip]))
+    else:
+        data_map = F.map_filter(
+            F.col("labels"),
+            lambda k, _: k.isin(*[F.lit(d) for d in data_labels]))
+    inf = info_vec.select(
+        *[F.col("labels").getItem(n).alias(a)
+          for n, a in zip(identifying, idk)],
+        *(["ts"] if join_ts else []),
+        data_map.alias("__data"),
+    )
+    for a in idk:
+        inf = inf.filter(F.col(a).isNotNull())
+    inf = inf.groupBy(*keys).agg(
+        F.max_by(
+            "__data",
+            F.to_json(F.array_sort(F.map_entries(F.col("__data")))),
+        ).alias("__data")
+    )
+    base = vector.withColumns(
+        {a: F.col("labels").getItem(n) for n, a in zip(identifying, idk)})
+    joined = base.join(inf, keys, "left")
+    addable = F.map_filter(
+        F.coalesce(F.col("__data"),
+                   F.create_map().cast("map<string,string>")),
+        lambda k, _: ~F.map_contains_key(F.col("labels"), k))
+    return joined.withColumn(
+        "labels", F.map_concat(F.col("labels"), addable)
+    ).drop("__data", *idk)
+
+
 #: Calendar functions (promql/functions.go funcDaysInMonth..funcYear):
 #: the vector's VALUES are unix timestamps (PromQL defaults them to
 #: time()); all fields are UTC, day_of_week is 0=Sunday.

@@ -1,16 +1,19 @@
 """PromQL text front-end: parse a PromQL query string and evaluate it
-against a samples relation as an INSTANT query — the piece that lets a
-Prometheus user type the queries they already have instead of composing
-``functions.promql`` calls by hand.
+against a samples relation as an INSTANT or RANGE query — the piece that
+lets a Prometheus user type the queries they already have instead of
+composing ``functions.promql`` calls by hand.
 
 Public surface::
 
     parse(query)                        -> AST (tuples; stable, testable)
+    unparse(node)                       -> canonical query text
     eval_instant(rel, query, at_ts)     -> DataFrame (labels, value)
-    TSDB.promql(query, at_ts)           -> the same, store-backed and
+    eval_range(rel, query, start, end, step)
+                                        -> DataFrame (labels, ts, value)
+    TSDB.promql / TSDB.promql_range     -> the same, store-backed and
                                            segment-pruned (engine.py)
 
-Semantics (Prometheus instant query at time ``t``):
+Semantics (Prometheus query at time ``t``):
 
 - a vector selector matches series by ``__name__`` + label matchers
   (``=``, ``!=``, ``=~``, ``!~`` — regexes fully anchored, as PromQL
@@ -20,24 +23,34 @@ Semantics (Prometheus instant query at time ``t``):
   samples with ``ts ∈ [t − range + 1, t]`` (PromQL's half-open
   ``(t − range, t]`` on integer-second timestamps);
 - ``offset d`` shifts a selector's evaluation time back by ``d``;
+  ``@ ts`` pins it to an absolute time — literal unix timestamps and the
+  ``start()`` / ``end()`` sugar (instant mode: both are ``at_ts``);
 - aggregations support ``by (…)`` / ``without (…)`` in either position;
   binary operators support ``on``/``ignoring`` + ``group_left``/
   ``group_right`` matching and ``bool``;
 - scalar∘vector arithmetic/comparisons follow promql/engine.go
   ``VectorscalarBinop``: arithmetic drops ``__name__``, plain
-  comparisons FILTER samples (keeping the name), ``bool`` yields 1/0.
+  comparisons FILTER samples (keeping the name), ``bool`` yields 1/0;
+- NATIVE histograms are first-class: selectors over a histogram relation
+  yield ``hvector`` results, ``histogram_quantile`` / ``histogram_
+  fraction`` / ``histogram_count`` / ``histogram_sum`` / ``histogram_
+  avg`` / ``histogram_stddev`` / ``histogram_stdvar``, ``rate`` /
+  ``increase`` / ``delta`` counter math, ``sum``/``avg`` aggregation and
+  ``+ - * /`` histogram arithmetic all lower to ``functions.native_hist``
+  (instant AND range mode, grid-evaluated);
+- general subqueries ``expr[r:s]`` evaluate the inner expression at
+  absolute step-aligned points and feed the enclosing range function —
+  any inner expression, nested subqueries included (range mode lowers
+  through the same grid engine with fan-out caps).
 
 Deliberate deltas (documented, raising ``PromqlError`` where relevant):
-native-histogram functions are not wired; ``@``-modifiers take a literal
-unix timestamp (no ``start()``/``end()`` sugar), fix instant selectors in
-both instant and range evaluation (constant across the grid, as PromQL),
-and are rejected inside subqueries and on range selectors in range
-queries; subqueries
-``expr[r:s]`` require an explicit step and support the one shape with a
-distributed lowering, ``<fn>_over_time(rate(sel[w])[r:s])`` (absolute
-step alignment, as :func:`promql.subquery_over_time`);
-``histogram_quantile`` reads bucket bounds from the ``le`` LABEL of the
-argument vector (``promql.histogram_quantile_vector``); ``scalar()``
+subqueries require an explicit step (no default-resolution inference) and
+are float-valued — histogram-valued subqueries (``rate(h[5m:1m])``) are
+rejected; ``@``-modifiers fix instant selectors in both instant and range
+evaluation (constant across the grid, as PromQL) and are rejected inside
+subqueries and on range selectors in range queries; classic
+``histogram_quantile`` over a FLOAT vector reads bucket bounds from the
+``le`` LABEL (``promql.histogram_quantile_vector``); ``scalar()``
 collects its (≤1-row by definition) argument.  Everything else in
 functions/promql.py is reachable from text.
 
@@ -956,7 +969,40 @@ def _eval_call(node, ctx: _Ctx):
         vec = promql.instant(filt, base - off, ctx.lookback)
         return ("vector", _drop_name(
             vec.select("labels", F.col("ts").cast("double").alias("value"))))
+    if fname == "info":
+        if len(args) not in (1, 2):
+            raise PromqlError("info takes a vector and an optional {…} selector")
+        k, v = _eval(args[0], ctx)
+        if k != "vector":
+            raise PromqlError("info's first argument must be an instant vector")
+        name_ms, data_ms = _info_matchers(args[1] if len(args) == 2 else None)
+        info_rel = _matcher_filter(ctx.rel, None, name_ms + data_ms)
+        info_vec = promql.instant(info_rel, ctx.t, ctx.lookback)
+        out = promql.info_enrich(v, info_vec,
+                                 [m[0] for m in data_ms] or None)
+        return ("vector", _strip(out))
     raise PromqlError(f"unsupported function {fname!r} in the text front-end")
+
+
+def _info_matchers(sel):
+    """Split ``info()``'s optional second argument (a plain ``{…}``
+    selector) into (__name__ matchers, data-label matchers).  No selector
+    → the Prometheus default info metric, ``target_info``.  Data-label
+    matchers both FILTER the participating info series and RESTRICT the
+    copied labels to the named ones (prometheus/promql/info.go)."""
+    if sel is None:
+        return [(promql.METRIC_NAME_LABEL, "=", "target_info")], []
+    if sel[0] != "selector" or sel[3] is not None or sel[5] is not None:
+        raise PromqlError(
+            "info's second argument must be a plain {…} label selector")
+    _, name, matchers, _rng, _off, _at = sel
+    name_ms = [m for m in matchers if m[0] == promql.METRIC_NAME_LABEL]
+    data_ms = [m for m in matchers if m[0] != promql.METRIC_NAME_LABEL]
+    if name is not None:
+        name_ms.append((promql.METRIC_NAME_LABEL, "=", name))
+    if not name_ms:
+        name_ms = [(promql.METRIC_NAME_LABEL, "=", "target_info")]
+    return name_ms, data_ms
 
 
 def _eval_subquery_agg(fn: str, node, ctx: _Ctx) -> DataFrame:
@@ -1157,7 +1203,14 @@ def _hist_binop(op, lk, lv, rk, rv, m, eval_ts: int | None = None):
     if op == "*":
         out = nh.hist_scale(vec, float(scalar))
     elif op == "/" and not swapped:
-        out = nh.hist_scale(vec, 1.0 / float(scalar))
+        import math
+
+        s = float(scalar)
+        # h / 0 follows float semantics (components scale by ±Inf, as
+        # x / 0 does on the float path) — eager Python 1.0/s would raise
+        # ZeroDivisionError on the driver instead.
+        factor = (1.0 / s) if s != 0 else math.copysign(math.inf, s)
+        out = nh.hist_scale(vec, factor)
     else:
         raise PromqlError(
             f"{op} between a histogram and a scalar is undefined"
@@ -1176,9 +1229,36 @@ def _eval_binop(node, ctx: _Ctx):
 
     if lk == "scalar" and rk == "scalar":
         import math
+
+        # IEEE-754 semantics like Go's math package (PromQL's scalar
+        # engine): x/0 = ±Inf, 0/0 = NaN, fmod(x, 0) = NaN, pow
+        # overflow = Inf — Python's operators raise instead.
+        def _fdiv(a, b):
+            if b != 0:
+                return a / b
+            if a == 0 or math.isnan(a):
+                return math.nan
+            return math.copysign(math.inf, a) * math.copysign(1.0, b)
+
+        def _fmod(a, b):
+            try:
+                return math.fmod(a, b)
+            except ValueError:
+                return math.nan
+
+        def _fpow(a, b):
+            if a == 0 and b < 0:
+                return math.inf  # IEEE pow(0, negative) = +Inf
+            try:
+                return math.pow(a, b)
+            except OverflowError:
+                return math.inf
+            except ValueError:
+                return math.nan
+
         fns = {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
-               "*": lambda a, b: a * b, "/": lambda a, b: a / b,
-               "%": math.fmod, "^": lambda a, b: a ** b}
+               "*": lambda a, b: a * b, "/": _fdiv,
+               "%": _fmod, "^": _fpow}
         if op in fns:
             return ("scalar", float(fns[op](lv, rv)))
         cmps = {"==": lv == rv, "!=": lv != rv, ">": lv > rv,
@@ -1683,6 +1763,20 @@ def _reval_call(node, ctx: _RCtx):
         return ("vector", _grid_df(ctx).select(
             empty.alias("labels"), "ts",
             F.lit(float(v)).alias("value")))
+    if fname == "info":
+        if len(args) not in (1, 2):
+            raise PromqlError("info takes a vector and an optional {…} selector")
+        k, v = _reval(args[0], ctx)
+        if k != "vector":
+            raise PromqlError("info's first argument must be an instant vector")
+        name_ms, data_ms = _info_matchers(args[1] if len(args) == 2 else None)
+        info_rel = _matcher_filter(ctx.rel, None, name_ms + data_ms)
+        info_vec = promql.grid_instant(info_rel, ctx.start, ctx.end,
+                                       ctx.step, ctx.lookback)
+        out = promql.info_enrich(v, info_vec,
+                                 [m[0] for m in data_ms] or None,
+                                 join_ts=True)
+        return ("vector", _strip_r(out))
     raise PromqlError(
         f"function {fname!r} is not supported in range queries")
 
@@ -2087,6 +2181,30 @@ def to_api_label_values(df: DataFrame) -> list[str]:
     ``TSDB.query_label_values`` output (already distinct + sorted
     distributed): the bare value list."""
     return [r["value"] for r in df.collect()]
+
+
+def to_api_exemplars(df: DataFrame) -> list[dict]:
+    """``/api/v1/query_exemplars`` data payload over
+    ``TSDB.query_exemplars`` output: one object per series —
+    ``seriesLabels`` plus its ts-sorted ``exemplars`` list, each exemplar
+    carrying its own ``labels`` (trace ids), Prometheus-formatted
+    ``value`` string and numeric ``timestamp`` (seconds).  Series sorted
+    by canonical label items for a deterministic response; the grouping
+    ran distributed upstream (sources/exemplar_store.group_exemplars)."""
+    rows = df.collect()
+    out = []
+    for r in rows:
+        out.append({
+            "seriesLabels": dict(r["labels"]),
+            "exemplars": [
+                {"labels": dict(e["labels"] or {}),
+                 "value": _fmt_val(e["value"]),
+                 "timestamp": int(e["ts"])}
+                for e in r["exemplars"]
+            ],
+        })
+    out.sort(key=lambda s: tuple(sorted(s["seriesLabels"].items())))
+    return out
 
 
 def api_success(data) -> dict:

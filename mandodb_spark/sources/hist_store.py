@@ -33,12 +33,13 @@ from ..model import (
 from ..functions.native_hist import HIST_ROW_SCHEMA
 
 
-def canonicalize_hist(df: DataFrame,
-                      segment_duration: int = DEFAULT_SEGMENT_DURATION) -> DataFrame:
-    """Write-path canonicalization for histogram samples: fold ``__name__``,
-    clean labels, stamp ``series_key`` and ``seg`` — identical label
-    discipline to ``model.canonicalize``, with ``hist`` in place of
-    ``value``."""
+def canonicalize_payload(df: DataFrame, payload: tuple,
+                        segment_duration: int = DEFAULT_SEGMENT_DURATION) -> DataFrame:
+    """Write-path canonicalization for SIBLING-store samples: fold
+    ``__name__``, clean labels, stamp ``series_key`` and ``seg`` —
+    identical label discipline to ``model.canonicalize``, with the given
+    payload columns in place of ``value`` (``("hist",)`` for histogram
+    samples, ``("value", "exemplar")`` for exemplars)."""
     labels = fold_metric_name(
         F.col("metric"), clean_labels(F.coalesce(F.col("labels"), F.create_map()))
     )
@@ -46,13 +47,26 @@ def canonicalize_hist(df: DataFrame,
         df.withColumn("labels", labels)
         .withColumn("series_key", series_key(F.col("labels")))
         .withColumn("seg", seg_bucket(F.col("ts"), segment_duration))
-        .select("labels", "ts", "hist", "series_key", "seg")
+        .select("labels", "ts", *payload, "series_key", "seg")
     )
+
+
+def canonicalize_hist(df: DataFrame,
+                      segment_duration: int = DEFAULT_SEGMENT_DURATION) -> DataFrame:
+    """Histogram-sample canonicalization (``hist`` payload)."""
+    return canonicalize_payload(df, ("hist",), segment_duration)
 
 
 class HistStore:
     """Disk store: ``<root>`` holds seg-partitioned parquet of
-    ``(labels, ts, hist, series_key)``."""
+    ``(labels, ts, hist, series_key)``.  The seg-partitioned sibling-store
+    machinery (sorted zstd layout, store-dedup, retention, targeted
+    deletion) is payload-agnostic — ``PAYLOAD``/``ROW_SCHEMA`` class
+    attributes let siblings with other sample types (ExemplarStore)
+    inherit it wholesale."""
+
+    PAYLOAD: tuple = ("hist",)
+    ROW_SCHEMA = HIST_ROW_SCHEMA
 
     def __init__(
         self,
@@ -77,7 +91,7 @@ class HistStore:
         batches — the idempotency contract streaming rule maintainers
         rely on under at-least-once retries); the check scan is statically
         pruned to the batch's touched segments, same as the float store."""
-        batch = canonicalize_hist(rows, self.segment_duration)
+        batch = canonicalize_payload(rows, self.PAYLOAD, self.segment_duration)
         if dedup_against_store and Path(self.root).exists():
             segs = [r["seg"] for r in batch.select("seg").distinct().collect()]
             existing = (
@@ -107,14 +121,14 @@ class HistStore:
         return sorted(int(p.name.split("=", 1)[1]) for p in root.glob("seg=*"))
 
     def insert_pylist(self, rows: list[tuple]) -> None:
-        """Test convenience: list of (metric, labels, ts, hist_dict)."""
-        self.append(self.spark.createDataFrame(rows, HIST_ROW_SCHEMA))
+        """Test convenience: list of (metric, labels, ts, <payload...>)."""
+        self.append(self.spark.createDataFrame(rows, self.ROW_SCHEMA))
 
     # ----------------------------------------------------------------- read
     def relation(self) -> DataFrame:
         if not Path(self.root).exists():
-            return self.spark.createDataFrame([], HIST_ROW_SCHEMA).select(
-                "labels", "ts", "hist",
+            return self.spark.createDataFrame([], self.ROW_SCHEMA).select(
+                "labels", "ts", *self.PAYLOAD,
                 F.lit(0).cast("long").alias("series_key"),
                 F.lit(0).cast("long").alias("seg"),
             ).limit(0)
@@ -172,7 +186,11 @@ class HistStore:
 
 class MemoryHistStore:
     """Memory-only variant (the histogram analogue of ``MemoryStore``):
-    union + eager localCheckpoint per append, lineage stays flat."""
+    union + eager localCheckpoint per append, lineage stays flat.
+    Payload-agnostic like ``HistStore`` (same class attributes)."""
+
+    PAYLOAD: tuple = ("hist",)
+    ROW_SCHEMA = HIST_ROW_SCHEMA
 
     def __init__(self, spark: SparkSession,
                  segment_duration: int = DEFAULT_SEGMENT_DURATION) -> None:
@@ -182,7 +200,7 @@ class MemoryHistStore:
 
     def append(self, rows: DataFrame,
                dedup_against_store: bool = False) -> None:
-        batch = canonicalize_hist(rows, self.segment_duration)
+        batch = canonicalize_payload(rows, self.PAYLOAD, self.segment_duration)
         if dedup_against_store and self._df is not None:
             batch = batch.join(
                 self._df.select("seg", "series_key", "ts"),
@@ -191,12 +209,13 @@ class MemoryHistStore:
         self._df = merged.localCheckpoint(eager=True)
 
     def insert_pylist(self, rows: list[tuple]) -> None:
-        self.append(self.spark.createDataFrame(rows, HIST_ROW_SCHEMA))
+        self.append(self.spark.createDataFrame(rows, self.ROW_SCHEMA))
 
     def relation(self) -> DataFrame:
         if self._df is None:
-            return HistStore(self.spark, "/nonexistent",
-                             self.segment_duration).relation()
+            empty = HistStore(self.spark, "/nonexistent", self.segment_duration)
+            empty.PAYLOAD, empty.ROW_SCHEMA = self.PAYLOAD, self.ROW_SCHEMA
+            return empty.relation()
         return self._df
 
     def remove_expired(self, now_ts: int, retention: int) -> list[int]:

@@ -165,6 +165,75 @@ def to_influx_line(rel: DataFrame, metric_label: str = "__name__",
     )
 
 
+#: Row shape of one decoded prompb ``TimeSeries`` (the public
+#: prometheus/prompb/remote.proto ``WriteRequest.timeseries`` entry):
+#: labels as ``name``/``value`` structs INCLUDING ``__name__``, float
+#: samples with MILLISECOND timestamps, and native-histogram messages
+#: carrying spans + EITHER delta-encoded integer counts OR absolute float
+#: counts (types.proto ``Histogram``; exactly one form per message).  The
+#: protobuf byte parse itself is an edge/driver concern — the engine
+#: consumes rows of this shape, the same contract as the exposition and
+#: OTLP decoders in ``functions/native_hist.py``.
+REMOTE_WRITE_TIMESERIES_SCHEMA = (
+    "labels array<struct<name:string,value:string>>, "
+    "samples array<struct<timestamp:bigint,value:double>>, "
+    "histograms array<struct<"
+    "timestamp:bigint,count_int:bigint,count_float:double,sum:double,"
+    "schema:int,zero_threshold:double,zero_count_int:bigint,"
+    "zero_count_float:double,"
+    "positive_spans:array<struct<offset:int,length:int>>,"
+    "positive_deltas:array<bigint>,positive_counts:array<double>,"
+    "negative_spans:array<struct<offset:int,length:int>>,"
+    "negative_deltas:array<bigint>,negative_counts:array<double>>>"
+)
+
+
+def rows_from_remote_write(df: DataFrame,
+                           metric_label: str = "__name__") -> DataFrame:
+    """prompb remote-write float samples → ROW_SCHEMA rows: explode each
+    ``TimeSeries``'s samples, fold the label list to a map, split
+    ``__name__`` out as the metric, floor millisecond timestamps to the
+    engine's seconds.  Pure column decode + one explode — works on batch
+    and streaming inputs alike.  Native-histogram messages ride in the
+    sibling ``functions.native_hist.histograms_from_remote_write``."""
+    lbl = F.map_from_entries(F.col("labels"))
+    ex = df.select(lbl.alias("__lbl"), F.explode("samples").alias("s"))
+    return ex.select(
+        F.col("__lbl").getItem(metric_label).alias("metric"),
+        F.map_filter(F.col("__lbl"),
+                     lambda k, _: k != F.lit(metric_label)).alias("labels"),
+        F.floor(F.col("s.timestamp") / 1000).cast("long").alias("ts"),
+        F.col("s.value").alias("value"),
+    )
+
+
+def to_remote_write(rel: DataFrame,
+                    metric_label: str = "__name__") -> DataFrame:
+    """Canonical relation → prompb remote-write ``TimeSeries`` rows (the
+    write-side inverse of :func:`rows_from_remote_write`): one row per
+    series carrying the canonical sorted label list (``__name__``
+    included, as the wire format requires) and the series' samples sorted
+    by timestamp (seconds → milliseconds).  One hash aggregate per
+    series; the round trip ``rows → timeseries → rows`` is the identity
+    on canonical rows, like :func:`to_influx_line`'s."""
+    from ..model import series_key
+
+    entries = F.transform(
+        F.array_sort(F.map_entries(F.col("labels"))),
+        lambda e: F.struct(e["key"].alias("name"), e["value"].alias("value")))
+    sample = F.struct(
+        (F.col("ts") * 1000).cast("long").alias("timestamp"),
+        F.col("value").cast("double").alias("value"))
+    return (
+        rel.select(series_key(F.col("labels")).alias("__sk"),
+                   entries.alias("__labels"), sample.alias("__s"))
+        .groupBy("__sk")
+        .agg(F.any_value("__labels").alias("labels"),
+             F.array_sort(F.collect_list("__s")).alias("samples"))
+        .select("labels", "samples")
+    )
+
+
 def with_provenance(df: DataFrame, id_col: str = "prov_id") -> DataFrame:
     """Attach row-level lineage columns from the file reader's hidden
     ``_metadata`` struct: ``src_file`` (path), ``src_row`` (row index

@@ -112,12 +112,17 @@ class StreamingIngestor:
     PARTIAL histogram sample per (series, ``nh_step``-aligned window)
     and appended to the seg-partitioned HistStore at ``nh_dest``.
     Histogram addition is associative, so a window split across batches
-    (or across retries replayed exactly-once by the checkpoint) simply
-    holds several partials; ``native_hist.hist_merge_partials`` — or any
-    ``sum by``-style read — reconstructs the full-window histogram.  This
-    is append-only O(batch) work per batch: no read-modify-write of
-    previously-written windows, the property that keeps the sink safe at
-    any ingest rate.
+    simply holds several partials; ``native_hist.hist_merge_partials``
+    reconstructs the full-window histogram (stripping the bookkeeping
+    label below).  foreachBatch is at-least-once, and a blind append-only
+    sink would double-count a replayed batch's partials — so each partial
+    carries a reserved ``__batch__`` label (making its series identity
+    batch-unique) and the append runs ``dedup_against_store=True``: a
+    replay re-derives byte-identical (series, ts) partials and the
+    store-side anti-join drops them, restoring exactly-once.  Still
+    O(batch) work per batch — the dedup scan is statically pruned to the
+    batch's touched segments; no read-modify-write of previously-written
+    windows.
     """
 
     def __init__(self, store: SegmentStore, label_dim_dest: str | None = None,
@@ -258,13 +263,19 @@ class StreamingIngestor:
             kwargs = {} if self.nh_schema is None else {"schema": self.nh_schema}
             partials = nh.observe_histograms(windowed, **kwargs).select(
                 F.col("labels").getItem("__name__").alias("metric"),
-                F.map_filter(F.col("labels"),
-                             lambda k, _: k != F.lit("__name__")).alias("labels"),
+                F.map_concat(
+                    F.map_filter(
+                        F.col("labels"),
+                        lambda k, _: k != F.lit("__name__")),
+                    F.create_map(F.lit(nh.BATCH_LABEL),
+                                 F.lit(str(int(batch_id)))),
+                ).alias("labels"),
                 "ts",
                 "hist",
             )
             HistStore(self.store.spark, self.nh_dest,
-                      self.store.segment_duration).append(partials)
+                      self.store.segment_duration).append(
+                partials, dedup_against_store=True)
 
     def start(
         self,

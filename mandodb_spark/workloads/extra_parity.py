@@ -2785,3 +2785,245 @@ FROM hit WHERE rn = 1 ORDER BY user, ts
 
 QUERIES["x_promql_native_hist_rate_quantile"] = x_promql_native_hist_rate_quantile
 ORACLES["x_promql_native_hist_rate_quantile"] = _native_hist_rate_quantile_sql()
+
+
+def x_promql_sort_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT front-end ``sort_by_label_desc`` (Prometheus 3.x): the sorted
+    ORDER the engine actually emits is observed — not re-derived — by
+    stamping ``monotonically_increasing_id`` on the result (after a global
+    sort, partition ids and in-partition positions are both ascending, so
+    the mono id is monotone in the emitted order) and ranking by it; the
+    oracle recomputes the expected rank with ROW_NUMBER over the same
+    (k DESC, user DESC) keys.  (user, k) groups are unique after the
+    ``sum by``, so the series_key tiebreak never fires and the orders are
+    comparable.  The rank window is single-partition by construction —
+    acceptable only because a presentation-layer sort's output is
+    consumer-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    from ..functions.promql_parser import eval_instant
+    from .common import EV_END
+    from .promql_q import _dedup_rel
+
+    out = eval_instant(
+        _dedup_rel(spark, sf_dir),
+        'sort_by_label_desc(sum by (user, k) (increase(click[10d])),'
+        ' "k", "user")',
+        EV_END,
+    )
+    w = Window.orderBy("__mono")
+    return out.withColumn("__mono", F.monotonically_increasing_id()).select(
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        F.round("value", 6).alias("value"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def _sort_by_label_sql() -> str:
+    from .promql_q import _DEDUP, _INC_CTE
+
+    return f"""{_DEDUP}, {_INC_CTE},
+g AS (
+    SELECT user, k, CAST(sum(total) AS DOUBLE) AS value
+    FROM inc WHERE metric = 'click' AND n >= 2 GROUP BY user, k)
+SELECT user, k, round(value, 6) AS value,
+       CAST(ROW_NUMBER() OVER (ORDER BY k DESC, user DESC) AS BIGINT) AS rank
+FROM g ORDER BY rank
+"""
+
+
+QUERIES["x_promql_sort_by_label"] = x_promql_sort_by_label
+ORACLES["x_promql_sort_by_label"] = _sort_by_label_sql()
+
+
+def x_promql_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL 3.x ``info()`` end-to-end through the text front-end: the
+    events relation re-labeled to carry (instance, job) identity, a
+    synthetic ``target_info`` dimension built from the customer table
+    (instance = c_custkey - 1, one data label ``segment``), and
+    ``info(sum by (instance, job) (click))`` enriching the per-target
+    click sums with the segment.  Instances without a customer row pass
+    through unchanged (NULL segment) — the Prometheus no-match
+    behavior."""
+    from ..functions.promql_parser import eval_instant
+    from ..model import series_key
+    from .common import EV_END, events_relation, load
+
+    lookback = 86_400
+    rel = events_relation(spark, sf_dir, EV_END - lookback, EV_END)
+    lbl = F.col("labels")
+    labels2 = F.create_map(
+        F.lit("__name__"), lbl.getItem("__name__"),
+        F.lit("instance"), lbl.getItem("user"),
+        F.lit("job"), F.lit("ev"),
+        F.lit("k"), lbl.getItem("k"),
+    )
+    base = (
+        rel.select(labels2.alias("labels"), "ts", "value")
+        .groupBy(series_key(F.col("labels")).alias("series_key"), "ts")
+        .agg(F.any_value("labels").alias("labels"),
+             F.max("value").alias("value"))
+        .select("labels", "ts", "value")
+    )
+    cust = load(spark, sf_dir, "customer")
+    info_lbl = F.create_map(
+        F.lit("__name__"), F.lit("target_info"),
+        F.lit("instance"), (F.col("c_custkey") - 1).cast("string"),
+        F.lit("job"), F.lit("ev"),
+        F.lit("segment"), F.col("c_mktsegment"),
+    )
+    info = cust.select(
+        info_lbl.alias("labels"),
+        F.lit(EV_END).cast("long").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    out = eval_instant(base.unionByName(info),
+                       "info(sum by (instance, job) (click))",
+                       EV_END, lookback=lookback)
+    return out.select(
+        F.col("labels").getItem("instance").alias("instance"),
+        F.col("labels").getItem("job").alias("job"),
+        F.col("labels").getItem("segment").alias("segment"),
+        F.round("value", 8).alias("value"),
+    ).orderBy("instance")
+
+
+def _info_sql() -> str:
+    from .common import EV_END, TSDB_SQL_REL
+
+    lookback = 86_400
+    return f"""
+WITH rel AS ({TSDB_SQL_REL}),
+d AS (
+    SELECT user, k, ts, max(value) AS value
+    FROM rel
+    WHERE ts BETWEEN {EV_END - lookback} AND {EV_END} AND metric = 'click'
+    GROUP BY 1, 2, 3),
+newest AS (SELECT user, k, max_by(value, ts) AS value FROM d GROUP BY 1, 2),
+base AS (
+    SELECT user AS instance, 'ev' AS job, CAST(sum(value) AS DOUBLE) AS value
+    FROM newest GROUP BY 1, 2)
+SELECT b.instance, b.job, c.c_mktsegment AS segment, round(b.value, 8) AS value
+FROM base b
+LEFT JOIN customer c ON c.c_custkey = CAST(b.instance AS BIGINT) + 1
+ORDER BY instance
+"""
+
+
+QUERIES["x_promql_info"] = x_promql_info
+ORACLES["x_promql_info"] = _info_sql()
+
+
+def x_remote_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus remote-write shaper round trip: the events TSDB relation
+    encoded as prompb ``TimeSeries`` rows (sources/loaders.to_remote_write
+    — per-series sorted label list + ms-stamped samples) and decoded back
+    (rows_from_remote_write) must be the identity; the oracle is the raw
+    relation itself.  Pins the scrape-loop ingress the exposition/OTLP
+    decoders started: duplicate samples are multiset-preserved, labels
+    (incl. __name__) survive the name/value-struct encoding, second↔ms
+    timestamp conversion is exact."""
+    from ..sources.loaders import rows_from_remote_write, to_remote_write
+    from .common import EV_END, EV_START, events_relation
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).select(
+        "labels", "ts", "value")
+    back = rows_from_remote_write(to_remote_write(rel))
+    return back.select(
+        F.col("metric"),
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    ).orderBy("metric", "user", "k", "ts", "value")
+
+
+def _remote_write_roundtrip_sql() -> str:
+    from .common import EV_END, EV_START, TSDB_SQL_REL
+
+    return f"""
+WITH rel AS ({TSDB_SQL_REL})
+SELECT metric, user, k, ts, round(value, 6) AS value
+FROM rel WHERE ts BETWEEN {EV_START} AND {EV_END}
+ORDER BY metric, user, k, ts, value
+"""
+
+
+QUERIES["x_remote_write_roundtrip"] = x_remote_write_roundtrip
+ORACLES["x_remote_write_roundtrip"] = _remote_write_roundtrip_sql()
+
+
+def x_tsdb_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exemplar store surface (sources/exemplar_store.py): click events as
+    exemplars — value = event_id (unique, so the in-array (ts, value)
+    sort is total) and a trace-id exemplar label — grouped per series
+    into ts-sorted exemplar lists (group_exemplars, the
+    /api/v1/query_exemplars layout).  The md5 over the trace chain pins
+    the ORDER INSIDE each series' exemplar array, not just membership."""
+    from ..sources.exemplar_store import group_exemplars
+    from ..sources.hist_store import canonicalize_payload
+    from .common import (
+        EV_END,
+        EV_START,
+        SEG,
+        _bigint_ts_unit,
+        _ts_dtype,
+        _ts_range_pred,
+        _ts_seconds,
+        load,
+    )
+
+    ev = load(spark, sf_dir, "events", restore_ts=False)
+    dtype = _ts_dtype(ev)
+    unit = _bigint_ts_unit(f"{sf_dir}/events.parquet") if dtype == "bigint" else 0
+    ev = ev.filter(_ts_range_pred(dtype, EV_START, EV_END))
+    ev = ev.withColumn("ts", _ts_seconds(dtype, unit))
+    rows = ev.filter(
+        (F.col("event_type") == "click")
+        & F.col("ts").between(EV_START, EV_END)
+    ).select(
+        F.col("event_type").alias("metric"),
+        F.create_map(F.lit("user"),
+                     F.col("user_id").cast("string")).alias("labels"),
+        "ts",
+        F.col("event_id").cast("double").alias("value"),
+        F.create_map(
+            F.lit("trace"),
+            F.concat(F.lit("t"), F.col("event_id").cast("string")),
+        ).alias("exemplar"),
+    )
+    g = group_exemplars(canonicalize_payload(rows, ("value", "exemplar"), SEG))
+    chain = F.md5(F.array_join(
+        F.transform(F.col("exemplars"), lambda e: e["labels"]["trace"]), ","))
+    return g.select(
+        F.col("labels").getItem("user").alias("user"),
+        F.size("exemplars").cast("long").alias("n"),
+        F.element_at("exemplars", 1)["ts"].alias("first_ts"),
+        F.element_at("exemplars", -1)["ts"].alias("last_ts"),
+        chain.alias("chain"),
+    ).orderBy("user")
+
+
+def _exemplars_sql() -> str:
+    from .common import EV_END, EV_START
+
+    return f"""
+WITH src AS (
+    SELECT CAST(user_id AS VARCHAR) AS user,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+           event_id
+    FROM events
+    WHERE event_type = 'click'
+      AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN {EV_START} AND {EV_END})
+SELECT user,
+       CAST(count(*) AS BIGINT) AS n,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       md5(string_agg('t' || event_id, ',' ORDER BY ts, event_id)) AS chain
+FROM src GROUP BY user ORDER BY user
+"""
+
+
+QUERIES["x_tsdb_exemplars"] = x_tsdb_exemplars
+ORACLES["x_tsdb_exemplars"] = _exemplars_sql()

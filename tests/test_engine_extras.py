@@ -741,3 +741,75 @@ def test_run_curation_quality_model_gate(spark, tmp_path):
     })
     names = {s["name"]: s["rows"] for s in rep["stages"]}
     assert names["input"] == 15 and names["quality_model"] == 10
+
+
+# ------------------------------------------------------------- exemplars
+
+def test_exemplars_ingest_query_golden(spark, tmp_path):
+    """Exemplar lifecycle + the verbatim /api/v1/query_exemplars JSON:
+    ingest beside samples, matcher-filtered time-range query, per-series
+    grouping with ts-sorted exemplar lists, Prometheus value formatting."""
+    import json
+
+    from mandodb_spark import TSDB, LabelMatcher
+    from mandodb_spark.functions.promql_parser import (
+        api_success,
+        to_api_exemplars,
+    )
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    db.insert_exemplars([
+        ("http_latency", {"job": "api"}, 120, 0.91,
+         {"trace_id": "abc12"}),
+        ("http_latency", {"job": "api"}, 100, 6.0,
+         {"trace_id": "def34", "span_id": "s1"}),
+        ("http_latency", {"job": "db"}, 110, 2.5, {"trace_id": "zzz99"}),
+        ("http_latency", {"job": "api"}, 9000, 1.0, {"trace_id": "late"}),
+    ])
+    out = db.query_exemplars(
+        "http_latency", [LabelMatcher("job", "api")], 0, 1000)
+    payload = api_success(to_api_exemplars(out))
+    golden = {
+        "status": "success",
+        "data": [
+            {
+                "seriesLabels": {"__name__": "http_latency", "job": "api"},
+                "exemplars": [
+                    {"labels": {"trace_id": "def34", "span_id": "s1"},
+                     "value": "6", "timestamp": 100},
+                    {"labels": {"trace_id": "abc12"},
+                     "value": "0.91", "timestamp": 120},
+                ],
+            },
+        ],
+    }
+    assert json.loads(json.dumps(payload)) == golden
+
+
+def test_exemplars_retention_and_replay_dedup(spark, tmp_path):
+    """The exemplar sibling store shares the retention cutoff and the
+    store-dedup idempotency contract of the other stores."""
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, str(tmp_path / "store"), segment_duration=3600,
+              retention=2 * 3600)
+    rows = [("m", {"j": "a"}, 100, 1.0, {"trace_id": "t1"}),
+            ("m", {"j": "a"}, 50_000, 2.0, {"trace_id": "t2"})]
+    db.insert_exemplars(rows)
+    db.insert_exemplars(rows, dedup_against_store=True)  # replay: no dupes
+    got = db.query_exemplars("m", [], 0, 10**9).collect()
+    assert len(got) == 1 and len(got[0]["exemplars"]) == 2
+    db.remove_expires(now_ts=50_000)
+    got = db.query_exemplars("m", [], 0, 10**9).collect()
+    assert [e["ts"] for e in got[0]["exemplars"]] == [50_000]
+
+
+def test_exemplars_memory_mode(spark):
+    """only_memory TSDBs get the in-memory exemplar sibling."""
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_exemplars([("m", {}, 100, 1.5, {"trace_id": "t"})])
+    got = db.query_exemplars("m", [], 0, 10**9).collect()
+    assert len(got) == 1
+    assert dict(got[0]["exemplars"][0]["labels"]) == {"trace_id": "t"}

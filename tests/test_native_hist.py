@@ -1049,3 +1049,155 @@ def test_tv_distance_reduces_to_newest_sample_per_series(spark):
     got = nh.hist_tv_distance(lhs, rhs).collect()
     # newest lhs sample == rhs -> distance 0 (old sample must not leak in)
     assert got[0]["value"] == pytest.approx(0.0)
+
+
+def test_delta_vanished_bucket_telescopes(spark):
+    """A gauge bucket that fully drains between samples must contribute its
+    negative step: {1.5}@100 → {2.5}@200 deltas to {idx(1.5): -1,
+    idx(2.5): +1} with count 0 — the bucket sum agrees with the count
+    (ADVICE r9: the vanish produced no step row and the -1 went missing)."""
+    flat = [("g", {}, 100, 1.5), ("g", {}, 200, 2.5)]
+    snaps = nh.observe_histograms(_obs_df(spark, flat))
+    h = nh.hist_delta(snaps, 0, 1000).collect()[0]["hist"]
+    assert h["count"] == 0.0
+    pos = dict(h["pos"])
+    assert pos[_ref_index(1.5, nh.DEFAULT_SCHEMA)] == -1.0
+    assert pos[_ref_index(2.5, nh.DEFAULT_SCHEMA)] == 1.0
+    assert sum(pos.values()) == h["count"]
+
+
+def test_delta_vanish_then_reappear_cancels(spark):
+    """Present → absent → present telescopes to zero net for the bucket."""
+    flat = [("g", {}, 100, 1.5), ("g", {}, 200, 2.5), ("g", {}, 300, 1.5)]
+    snaps = nh.observe_histograms(_obs_df(spark, flat))
+    h = nh.hist_delta(snaps, 0, 1000).collect()[0]["hist"]
+    pos = dict(h["pos"] or {})
+    # idx(1.5): +0 (baseline) -1 (vanish@200) +1 (reappear@300) = 0 → pruned
+    assert _ref_index(1.5, nh.DEFAULT_SCHEMA) not in pos
+    # idx(2.5): +1 (@200) -1 (vanish@300) = 0 → pruned
+    assert _ref_index(2.5, nh.DEFAULT_SCHEMA) not in pos
+    assert h["count"] == 0.0
+
+
+def test_grid_delta_vanished_bucket(spark):
+    """grid_hist_rate(mode='delta') shares the vanish fix: at an eval point
+    whose window covers the drain step, the bucket's negative step
+    appears."""
+    flat = [("g", {}, 100, 1.5), ("g", {}, 200, 2.5)]
+    snaps = nh.observe_histograms(_obs_df(spark, flat))
+    out = nh.grid_hist_rate(snaps, 200, 200, window=150, step=100,
+                            mode="delta").collect()
+    assert len(out) == 1
+    pos = dict(out[0]["hist"]["pos"])
+    assert pos[_ref_index(1.5, nh.DEFAULT_SCHEMA)] == -1.0
+    assert pos[_ref_index(2.5, nh.DEFAULT_SCHEMA)] == 1.0
+
+
+def test_spans_zero_length_span(spark):
+    """Zero-length spans are legal gap markers in the exposition protobuf
+    and must decode as no-ops (ADVICE r9: F.sequence(start, start-1)
+    produced a descending array and desynced the index/delta arrays)."""
+    df = spark.createDataFrame(
+        [([(0, 1), (3, 0), (2, 2)], [5, -2, 4])],
+        "spans array<struct<offset:int,length:int>>, deltas array<bigint>")
+    out = df.select(nh.spans_to_buckets(
+        F.col("spans"), F.col("deltas")).alias("m")).collect()[0]["m"]
+    # span1: idx 0 → 5; span2: pure gap (consumes no deltas); span3:
+    # idx 6,7 with delta-decoded counts 3 (=5-2), 7 (=3+4)
+    assert dict(out) == {0: 5.0, 6: 3.0, 7: 7.0}
+
+
+def test_sum_by_widens_zero_threshold(spark):
+    """Merging series with different zero thresholds folds buckets inside
+    the widened threshold into the zero bucket (Prometheus histogram add):
+    a 0.5-observation bucket from the tiny-zt series lands in the 1.0-zt
+    group's zero bucket, never overlapping it."""
+    a = nh.observe_histograms(
+        _obs_df(spark, [("m", {"app": "x", "i": "1"}, 100, 0.5)]))
+    b = nh.observe_histograms(
+        _obs_df(spark, [("m", {"app": "x", "i": "2"}, 100, 3.0)]),
+        zero_threshold=1.0)
+    h = nh.hist_sum_by(a.unionByName(b), ["app"]).collect()[0]["hist"]
+    assert h["zero_count"] == 1.0  # the 0.5 obs folded in
+    assert h["zero_threshold"] >= 0.5
+    for idx in (h["pos"] or {}):
+        lower = 2.0 ** ((idx - 1) * 2.0 ** -h["schema"])
+        assert lower >= h["zero_threshold"] - 1e-12
+    assert h["count"] == 2.0
+
+
+def test_sum_by_straddling_bucket_widens_to_boundary(spark):
+    """A populated bucket STRADDLING the group-max threshold widens the
+    threshold to that bucket's upper boundary (so the zero bucket always
+    ends on a bucket boundary) and folds the bucket."""
+    a = nh.observe_histograms(
+        _obs_df(spark, [("m", {"app": "x", "i": "1"}, 100, 0.95)]))
+    b = nh.observe_histograms(
+        _obs_df(spark, [("m", {"app": "x", "i": "2"}, 100, 3.0)]),
+        zero_threshold=0.9)  # 0.95's bucket straddles 0.9
+    h = nh.hist_sum_by(a.unionByName(b), ["app"]).collect()[0]["hist"]
+    i95 = _ref_index(0.95, nh.DEFAULT_SCHEMA)
+    upper95 = 2.0 ** (i95 * 2.0 ** -nh.DEFAULT_SCHEMA)
+    assert h["zero_count"] == 1.0
+    assert abs(h["zero_threshold"] - upper95) < 1e-12
+    assert i95 not in (h["pos"] or {})
+
+
+def test_merge_partials_strips_batch_label(spark):
+    """hist_merge_partials drops the reserved __batch__ replay-idempotency
+    label before grouping, so partials from different batches merge."""
+    flat = [("m", {nh.BATCH_LABEL: "0"}, 100, 1.5),
+            ("m", {nh.BATCH_LABEL: "1"}, 100, 2.5)]
+    snaps = nh.observe_histograms(_obs_df(spark, flat))
+    out = nh.hist_merge_partials(snaps).collect()
+    assert len(out) == 1
+    assert nh.BATCH_LABEL not in dict(out[0]["labels"])
+    assert out[0]["hist"]["count"] == 2.0
+
+
+@pytest.mark.parametrize("float_counts", [True, False])
+def test_remote_write_histogram_round_trip(spark, float_counts):
+    """HIST rows → prompb Histogram messages → HIST rows is the identity,
+    in both wire forms: FLOAT (absolute counts) and INTEGER
+    (delta-encoded counts) — prometheus/prompb/types.proto, public."""
+    flat = [("h", {"i": "1"}, 100, v) for v in (0.5, 1.5, 2.5, -4.0)]
+    flat += [("h", {"i": "1"}, 200, v) for v in (1.5, 64.0)]
+    hrel = nh.observe_histograms(_obs_df(spark, flat))
+    wire = nh.histograms_to_remote_write(hrel, float_counts=float_counts)
+    row = wire.collect()[0]
+    msgs = row["histograms"]
+    assert [m["timestamp"] for m in msgs] == [100_000, 200_000]
+    # exactly ONE count form populated, matching the requested wire form
+    assert (msgs[0]["count_float"] is None) == (not float_counts)
+    assert (msgs[0]["count_int"] is None) == float_counts
+    back = {r["ts"]: r for r in
+            nh.histograms_from_remote_write(wire).collect()}
+    orig = {r["ts"]: r for r in hrel.collect()}
+    assert set(back) == set(orig)
+    for ts in orig:
+        h0, h1 = orig[ts]["hist"], back[ts]["hist"]
+        assert back[ts]["metric"] == "h"
+        assert dict(back[ts]["labels"]) == {"i": "1"}
+        for f in ("count", "sum", "zero_count", "zero_threshold", "schema"):
+            assert h1[f] == h0[f]
+        assert dict(h1["pos"]) == dict(h0["pos"])
+        assert dict(h1["neg"]) == dict(h0["neg"])
+
+
+def test_remote_write_histogram_decoder_handles_gap_spans(spark):
+    """Integer-form messages with zero-length gap spans decode exactly
+    like the exposition codec (shared span fold)."""
+    from mandodb_spark.sources.loaders import REMOTE_WRITE_TIMESERIES_SCHEMA
+
+    ts_row = (
+        [("__name__", "h"), ("job", "x")],
+        None,
+        [(1000, 5, None, 9.5, 3, 0.001, 1, None,
+          [(0, 1), (3, 0), (2, 2)], [2, -1, 1], None,
+          None, None, None)],
+    )
+    df = spark.createDataFrame([ts_row], REMOTE_WRITE_TIMESERIES_SCHEMA)
+    out = nh.histograms_from_remote_write(df).collect()[0]
+    assert out["metric"] == "h" and out["ts"] == 1
+    assert dict(out["hist"]["pos"]) == {0: 2.0, 6: 1.0, 7: 2.0}
+    assert out["hist"]["count"] == 5.0 and out["hist"]["zero_count"] == 1.0

@@ -1283,3 +1283,95 @@ def test_limitk_limit_ratio(rel, rrel):
     got = rev(rrel, "limitk(1, reqs)")
     jobs = {dict(l)["job"] for l, _, _ in got}
     assert len(got) == 3 and len(jobs) == 1
+
+
+# ------------------------------------------------------- info() (3.x)
+
+@pytest.fixture(scope="module")
+def info_rel(spark):
+    rows = [
+        ({"__name__": "up", "instance": "i1", "job": "api"}, 590, 1.0),
+        ({"__name__": "up", "instance": "i2", "job": "api"}, 590, 1.0),
+        ({"__name__": "up", "job": "noinst"}, 590, 1.0),
+        ({"__name__": "target_info", "instance": "i1", "job": "api",
+          "cluster": "c1", "dc": "east"}, 580, 1.0),
+        ({"__name__": "target_info", "instance": "i2", "job": "api",
+          "cluster": "c2", "dc": "west"}, 585, 1.0),
+        ({"__name__": "build_info", "instance": "i1", "job": "api",
+          "version": "9.9"}, 580, 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double").cache()
+
+
+def test_info_default_target_info(info_rel):
+    got = {dict(lbl).get("instance"): dict(lbl) for lbl, _ in
+           ev(info_rel, "info(up)")}
+    assert got["i1"]["cluster"] == "c1" and got["i1"]["dc"] == "east"
+    assert got["i2"]["cluster"] == "c2" and got["i2"]["dc"] == "west"
+    # sample without identifying labels passes through unchanged
+    assert got[None] == {"__name__": "up", "job": "noinst"}
+
+
+def test_info_data_label_selector_restricts(info_rel):
+    got = {dict(lbl).get("instance"): dict(lbl) for lbl, _ in
+           ev(info_rel, 'info(up, {cluster=~".+"})')}
+    assert got["i1"]["cluster"] == "c1"
+    assert "dc" not in got["i1"]  # only the named data label is copied
+
+
+def test_info_name_matcher_picks_info_metric(info_rel):
+    got = {dict(lbl).get("instance"): dict(lbl) for lbl, _ in
+           ev(info_rel, 'info(up, {__name__="build_info"})')}
+    assert got["i1"]["version"] == "9.9"
+    assert "cluster" not in got["i1"]
+
+
+def test_info_existing_label_wins(info_rel):
+    # base sample already carries `dc`: the sample's value is kept
+    got = ev(info_rel, 'info(label_replace(up{instance="i1"}, '
+                       '"dc", "mine", "", ""))')
+    assert dict(got[0][0])["dc"] == "mine"
+
+
+def test_info_range_mode(info_rel):
+    from mandodb_spark.functions.promql_parser import eval_range
+
+    out = eval_range(info_rel, "info(up)", 590, 650, 60).collect()
+    by_inst = {dict(r["labels"]).get("instance"): dict(r["labels"])
+               for r in out if r["ts"] == 590}
+    assert by_inst["i1"]["cluster"] == "c1"
+    assert len({r["ts"] for r in out}) == 2  # both grid points
+
+
+# ------------------------------------------- IEEE scalar arithmetic
+
+def test_scalar_div_and_mod_by_zero(rel):
+    import math
+
+    assert ev(rel, "1 / 0") == [((), math.inf)]
+    assert ev(rel, "-1 / 0") == [((), -math.inf)]
+    got = ev(rel, "0 / 0")
+    assert len(got) == 1 and math.isnan(got[0][1])
+    got = ev(rel, "1 % 0")
+    assert len(got) == 1 and math.isnan(got[0][1])
+    assert ev(rel, "0 ^ -1") == [((), math.inf)]
+
+
+def test_hist_scalar_division_by_zero(spark):
+    """h / 0 scales components by +Inf instead of raising
+    ZeroDivisionError on the driver (ADVICE r9)."""
+    import math
+
+    from mandodb_spark.functions import native_hist as nh
+    from mandodb_spark.functions.promql_parser import eval_instant
+
+    obs = spark.createDataFrame(
+        [("h", {"i": "1"}, 590, 2.5)],
+        "metric string, labels map<string,string>, ts long, value double")
+    hist_rel = nh.observe_histograms(obs)
+    out = eval_instant(spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double"),
+        "h / 0", 600, hist_rel=hist_rel).collect()
+    assert len(out) == 1
+    assert math.isinf(out[0]["hist"]["count"])

@@ -890,3 +890,50 @@ def test_text_index_require_all(spark, tmp_path):
     assert both == {0, 3}
     any_ = {r["id"] for r in idx.search(["spark", "shuffle"], k=10).collect()}
     assert any_ == {0, 1, 2, 3}
+
+
+def test_remote_write_round_trip_is_identity(spark):
+    """rows → prompb TimeSeries rows → rows is the identity on canonical
+    rows (remote-write shaper: label list includes __name__, sample
+    timestamps are milliseconds) — duplicate (series, ts) samples are
+    multiset-preserved, like the wire format."""
+    from mandodb_spark.model import canonicalize
+    from mandodb_spark.sources.loaders import (
+        rows_from_remote_write,
+        to_remote_write,
+    )
+    from mandodb_spark import ROW_SCHEMA
+
+    rows = [
+        ("cpu", {"node": "vm0", "dc": "sh"}, 1_700_000_000, 0.75),
+        ("cpu", {"node": "vm0", "dc": "sh"}, 1_700_000_000, 0.75),  # dup
+        ("cpu", {"node": "vm1"}, 1_700_000_060, -1.5e-3),
+        ("mem", {}, 1_700_000_120, 42.0),
+    ]
+    rel = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    wire = to_remote_write(rel)
+    # one TimeSeries per series; samples are ms-stamped and ts-sorted
+    per_series = {tuple((e["name"], e["value"]) for e in r["labels"]):
+                  [(s["timestamp"], s["value"]) for s in r["samples"]]
+                  for r in wire.collect()}
+    assert len(per_series) == 3
+    assert all(ts % 1000 == 0 for ss in per_series.values() for ts, _ in ss)
+    back = rows_from_remote_write(wire)
+    orig = sorted((r.labels["__name__"], tuple(sorted(r.labels.items())),
+                   r.ts, r.value)
+                  for r in rel.select("labels", "ts", "value").collect())
+    got = sorted((r.metric,
+                  tuple(sorted({**r.labels, "__name__": r.metric}.items())),
+                  r.ts, r.value) for r in back.collect())
+    assert orig == got
+
+
+def test_remote_write_schema_string_parses(spark):
+    """REMOTE_WRITE_TIMESERIES_SCHEMA is a valid DDL string that reads
+    empty JSON to the declared shape (the contract edge decoders build
+    against)."""
+    from mandodb_spark.sources.loaders import REMOTE_WRITE_TIMESERIES_SCHEMA
+
+    df = spark.createDataFrame([], REMOTE_WRITE_TIMESERIES_SCHEMA)
+    assert {f.name for f in df.schema.fields} == {
+        "labels", "samples", "histograms"}

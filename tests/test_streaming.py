@@ -1740,3 +1740,39 @@ def test_alert_rule_maintainer_for_duration_across_batches(
     fire = db.promql('ALERTS{alertstate="firing",alertname="HighErr"}',
                      S + 10200, lookback=600)
     assert fire.count() == 1
+
+
+def test_nh_partials_replay_idempotent(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: re-delivering the SAME batch id must
+    not double-count the nh partial-window store (ADVICE r9 — each partial
+    carries a __batch__ label and appends dedup against the store), while
+    a genuinely new batch for the same window still merges in."""
+    from mandodb_spark.functions import native_hist as nh
+    from mandodb_spark.model import ROW_SCHEMA
+    from mandodb_spark.sources.segment_store import SegmentStore
+    from mandodb_spark.streaming.ingest import StreamingIngestor
+
+    base = tmp_path_factory.mktemp("nh_replay")
+    store = SegmentStore(spark, str(base / "live"))
+    ing = StreamingIngestor(store, nh_dest=str(base / "nh"), nh_step=3600)
+
+    t0 = 1_700_000_000 - (1_700_000_000 % 3600)
+    b0 = spark.createDataFrame(
+        [("m", {"app": "x"}, t0 + i, float(i)) for i in range(4)], ROW_SCHEMA)
+    b1 = spark.createDataFrame(
+        [("m", {"app": "x"}, t0 + 100 + i, float(i)) for i in range(3)],
+        ROW_SCHEMA)
+
+    ing.process_batch(b0, 0)
+    ing.process_batch(b0, 0)   # at-least-once replay of the SAME batch
+    merged = nh.hist_merge_partials(
+        spark.read.parquet(str(base / "nh"))).collect()
+    assert len(merged) == 1
+    assert merged[0]["hist"]["count"] == 4.0  # not 8 — replay deduped
+    assert nh.BATCH_LABEL not in dict(merged[0]["labels"])
+
+    ing.process_batch(b1, 1)   # a real new batch for the same window
+    merged = nh.hist_merge_partials(
+        spark.read.parquet(str(base / "nh"))).collect()
+    assert len(merged) == 1
+    assert merged[0]["hist"]["count"] == 7.0

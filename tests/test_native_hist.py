@@ -682,10 +682,17 @@ def test_streaming_nh_partials_equal_batch_histograms(spark, tmp_path):
 
     stored = HistStore(spark, nh_dir).relation()
     # at least one window must have been split across micro-batches,
-    # otherwise the merge path isn't exercised
-    split = (stored.groupBy("series_key", "ts").count()
+    # otherwise the merge path isn't exercised — partials carry a
+    # per-batch __batch__ label (the replay-idempotency stamp), so the
+    # split detector groups on the batch-STRIPPED series identity
+    base = F.to_json(F.array_sort(F.map_entries(F.map_filter(
+        F.col("labels"), lambda k, _: k != F.lit(nh.BATCH_LABEL)))))
+    split = (stored.groupBy(base.alias("base"), "ts").count()
              .filter("count > 1").count())
     assert split > 0
+    # every stored partial is batch-stamped
+    assert stored.filter(
+        ~F.map_contains_key(F.col("labels"), nh.BATCH_LABEL)).count() == 0
     merged = {r["ts"]: r["hist"]
               for r in nh.hist_merge_partials(stored).collect()}
 
@@ -1130,17 +1137,19 @@ def test_sum_by_straddling_bucket_widens_to_boundary(spark):
     """A populated bucket STRADDLING the group-max threshold widens the
     threshold to that bucket's upper boundary (so the zero bucket always
     ends on a bucket boundary) and folds the bucket."""
+    # 0.88's bucket at schema 3 is (0.8409, 0.9170] — it straddles 0.9
     a = nh.observe_histograms(
-        _obs_df(spark, [("m", {"app": "x", "i": "1"}, 100, 0.95)]))
+        _obs_df(spark, [("m", {"app": "x", "i": "1"}, 100, 0.88)]))
     b = nh.observe_histograms(
         _obs_df(spark, [("m", {"app": "x", "i": "2"}, 100, 3.0)]),
-        zero_threshold=0.9)  # 0.95's bucket straddles 0.9
+        zero_threshold=0.9)
     h = nh.hist_sum_by(a.unionByName(b), ["app"]).collect()[0]["hist"]
-    i95 = _ref_index(0.95, nh.DEFAULT_SCHEMA)
-    upper95 = 2.0 ** (i95 * 2.0 ** -nh.DEFAULT_SCHEMA)
+    i88 = _ref_index(0.88, nh.DEFAULT_SCHEMA)
+    upper88 = 2.0 ** (i88 * 2.0 ** -nh.DEFAULT_SCHEMA)
+    assert 0.84 < 2.0 ** ((i88 - 1) * 2.0 ** -nh.DEFAULT_SCHEMA) < 0.9
     assert h["zero_count"] == 1.0
-    assert abs(h["zero_threshold"] - upper95) < 1e-12
-    assert i95 not in (h["pos"] or {})
+    assert abs(h["zero_threshold"] - upper88) < 1e-12
+    assert i88 not in (h["pos"] or {})
 
 
 def test_merge_partials_strips_batch_label(spark):

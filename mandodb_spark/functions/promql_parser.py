@@ -41,12 +41,15 @@ Semantics (Prometheus query at time ``t``):
 - general subqueries ``expr[r:s]`` evaluate the inner expression at
   absolute step-aligned points and feed the enclosing range function —
   any inner expression, nested subqueries included (range mode lowers
-  through the same grid engine with fan-out caps).
+  through the same grid engine with fan-out caps); HISTOGRAM-valued
+  subqueries (``rate(h[5m:1m])``, both modes) feed the native counter
+  math over histogram pseudo-samples.
 
 Deliberate deltas (documented, raising ``PromqlError`` where relevant):
-subqueries require an explicit step (no default-resolution inference) and
-are float-valued — histogram-valued subqueries (``rate(h[5m:1m])``) are
-rejected; ``@``-modifiers fix instant selectors in both instant and range
+subqueries require an explicit step (no default-resolution inference);
+histogram-valued subqueries are defined for ``rate``/``increase``/
+``delta`` only (over-time aggregates over them raise);
+``@``-modifiers fix instant selectors in both instant and range
 evaluation (constant across the grid, as PromQL) and are rejected inside
 subqueries and on range selectors in range queries; classic
 ``histogram_quantile`` over a FLOAT vector reads bucket bounds from the
@@ -707,11 +710,14 @@ def _subquery_points(node, ctx: _Ctx):
     aligned subquery grid (absolute multiples of ``s`` covering
     ``(t − offset − r, t − offset]``) via the RANGE evaluator — any
     expression ``_reval`` lowers (selectors, calls, aggregations,
-    binops) becomes pseudo-samples ``(labels, ts, value)`` that the
-    range functions consume unchanged.  This is what makes arbitrary
-    subquery inners distributed: ONE fine-grid evaluation, never a
-    per-step replay of the inner plan.  Returns (pseudo_rel, window
-    start, window end)."""
+    binops) becomes pseudo-samples that the range functions consume
+    unchanged.  This is what makes arbitrary subquery inners
+    distributed: ONE fine-grid evaluation, never a per-step replay of
+    the inner plan.  Returns (kind, pseudo_rel, window start, window
+    end): kind "vector" → ``(labels, ts, value)`` rows, "hvector" →
+    histogram pseudo-samples ``(labels, ts, hist)`` (the inner routed to
+    the native-histogram store) — the counter-math callers accept both,
+    everything else rejects hvector with a pointed error."""
     _, inner, range_s, step_s, offset_s = node
     s_end = ctx.t - offset_s
     s_start = s_end - range_s + 1  # (t-r, t] on integer seconds
@@ -720,18 +726,26 @@ def _subquery_points(node, ctx: _Ctx):
     if hi < lo:
         empty = ctx.rel.sparkSession.createDataFrame(
             [], "labels map<string,string>, ts long, value double")
-        return empty, s_start, s_end
-    k, v = _reval(inner, _RCtx(ctx.rel, lo, hi, step_s, ctx.lookback))
+        return "vector", empty, s_start, s_end
+    k, v = _reval(inner, _RCtx(ctx.rel, lo, hi, step_s, ctx.lookback,
+                               hist_rel=ctx.hist_rel,
+                               hist_metrics=ctx._hist_metrics))
+    if k == "hvector":
+        return "hvector", v.select("labels", "ts", "hist"), s_start, s_end
     if k != "vector":
         raise PromqlError("subquery inner must be a vector expression")
-    return v.select("labels", "ts", "value"), s_start, s_end
+    return "vector", v.select("labels", "ts", "value"), s_start, s_end
 
 
 def _range_args(node, ctx: _Ctx, fname: str):
     if node[0] == "subquery":
         # rate(expr[r:s]) and friends: the subquery's eval points are
         # pseudo-samples; the range function runs over them unchanged
-        pseudo, s_start, s_end = _subquery_points(node, ctx)
+        kind, pseudo, s_start, s_end = _subquery_points(node, ctx)
+        if kind == "hvector":
+            raise PromqlError(
+                f"{fname} over a histogram-valued subquery is not defined "
+                "(histogram subqueries support rate/increase/delta)")
         return pseudo, s_start, s_end, node[2]
     if node[0] != "selector" or node[3] is None:
         raise PromqlError(f"{fname} needs a range selector argument")
@@ -769,6 +783,24 @@ def _eval_call(node, ctx: _Ctx):
             out = fn(filt, start, end).withColumn(
                 "ts", F.lit(ctx.t).cast("long"))
             return ("hvector", out)
+        if args[0][0] == "subquery":
+            # rate(h[r:s]) — the subquery's grid points are histogram
+            # pseudo-samples; the whole-range counter math runs over
+            # them unchanged (step frames between consecutive grid
+            # points).  Float-valued inners take the same evaluation
+            # straight into the float range function — one inner grid
+            # pass either way.
+            kind, pseudo, s_start, s_end = _subquery_points(args[0], ctx)
+            if kind == "hvector":
+                from . import native_hist as nh
+
+                fn = {"rate": nh.hist_rate, "increase": nh.hist_increase,
+                      "delta": nh.hist_delta}[fname]
+                out = fn(pseudo, s_start, s_end).withColumn(
+                    "ts", F.lit(ctx.t).cast("long"))
+                return ("hvector", out)
+            return ("vector", _strip(
+                _RANGE_FNS[fname](pseudo, s_start, s_end)))
     if fname in _HIST_SCALAR_FNS:
         (arg,) = args
         k, v = _eval(arg, ctx)
@@ -1024,7 +1056,12 @@ def _eval_subquery_agg(fn: str, node, ctx: _Ctx) -> DataFrame:
         # calls): the subquery points come from one fine-grid _reval
         # pass; the outer aggregate is then a single-bucket over_time on
         # the pseudo-samples.  No per-step plan replay.
-        pseudo, s_start, s_end = _subquery_points(node, ctx)
+        kind, pseudo, s_start, s_end = _subquery_points(node, ctx)
+        if kind == "hvector":
+            raise PromqlError(
+                "over_time aggregates over a histogram-valued subquery are "
+                "not defined (histogram subqueries support "
+                "rate/increase/delta)")
         return _strip(promql.over_time(pseudo, fn, s_start, s_end,
                                        node[2]))
     _, name, matchers, w, sel_off, at_s = inner[2][0]
@@ -1452,26 +1489,41 @@ def _guard_fanout(reach_incl: int, step: int, what: str) -> None:
         raise PromqlError(str(e)) from None
 
 
+def _rsub_points(node, ctx: _RCtx):
+    """Range-mode subquery inner evaluated ONCE on the aligned fine grid
+    covering every outer window — its rows are pseudo-samples the grid
+    primitives consume unchanged, so ``rate(expr[r:s])`` /
+    ``<fn>_over_time(expr[r:s])`` in range queries cost one inner range
+    evaluation plus the normal grid pass, never a per-outer-point replay
+    of the inner plan.  Returns (kind, pseudo, range_s, offset_s); kind
+    "hvector" carries histogram pseudo-samples for the counter-math
+    callers."""
+    _, inner, range_s, step_s, offset_s = node
+    lo = -(-(ctx.start - offset_s - range_s + 1) // step_s) * step_s
+    hi = ((ctx.end - offset_s) // step_s) * step_s
+    spark = ctx.rel.sparkSession
+    if hi < lo:
+        return ("vector", spark.createDataFrame(
+            [], "labels map<string,string>, ts long, value double"),
+            range_s, offset_s)
+    k, v = _reval(inner, _RCtx(ctx.rel, lo, hi, step_s, ctx.lookback,
+                               hist_rel=ctx.hist_rel,
+                               hist_metrics=ctx._hist_metrics))
+    if k == "hvector":
+        return "hvector", v.select("labels", "ts", "hist"), range_s, offset_s
+    if k != "vector":
+        raise PromqlError("subquery inner must be a vector expression")
+    return "vector", v.select("labels", "ts", "value"), range_s, offset_s
+
+
 def _rrange_sel(node, ctx: _RCtx, fname: str):
     if node[0] == "subquery":
-        # Range-mode subquery: the inner evaluated ONCE on the aligned
-        # fine grid covering every outer window — its rows are pseudo-
-        # samples the grid primitives consume unchanged, so
-        # rate(expr[r:s]) / <fn>_over_time(expr[r:s]) in range queries
-        # cost one inner range evaluation plus the normal grid pass,
-        # never a per-outer-point replay of the inner plan.
-        _, inner, range_s, step_s, offset_s = node
-        lo = -(-(ctx.start - offset_s - range_s + 1) // step_s) * step_s
-        hi = ((ctx.end - offset_s) // step_s) * step_s
-        spark = ctx.rel.sparkSession
-        if hi < lo:
-            return (spark.createDataFrame(
-                [], "labels map<string,string>, ts long, value double"),
-                range_s, offset_s)
-        k, v = _reval(inner, _RCtx(ctx.rel, lo, hi, step_s, ctx.lookback))
-        if k != "vector":
-            raise PromqlError("subquery inner must be a vector expression")
-        return v.select("labels", "ts", "value"), range_s, offset_s
+        kind, pseudo, range_s, offset_s = _rsub_points(node, ctx)
+        if kind == "hvector":
+            raise PromqlError(
+                f"{fname} over a histogram-valued subquery is not defined "
+                "(histogram subqueries support rate/increase/delta)")
+        return pseudo, range_s, offset_s
     _, name, matchers, range_s, offset_s, at_s = node
     if at_s is not None:
         raise PromqlError(
@@ -1481,6 +1533,25 @@ def _rrange_sel(node, ctx: _RCtx, fname: str):
 
 def _reval_call(node, ctx: _RCtx):
     _, fname, args = node
+    if fname in ("rate", "increase", "delta") and len(args) == 1 \
+            and args[0][0] == "subquery":
+        # rate(h[r:s]) on the grid: histogram pseudo-samples from ONE
+        # inner grid pass feed grid_hist_rate's step frames; float
+        # inners take the same pseudo relation into the float grid
+        # lowering — either way the inner plan runs once.
+        kind, pseudo, range_s, offset_s = _rsub_points(args[0], ctx)
+        _guard_fanout(range_s - 1, ctx.step, fname)
+        if kind == "hvector":
+            from . import native_hist as nh
+
+            out = nh.grid_hist_rate(pseudo, ctx.start - offset_s,
+                                    ctx.end - offset_s, range_s, ctx.step,
+                                    mode=fname)
+            return ("hvector", _shift_h(out, offset_s))
+        out = promql.grid_rate(pseudo, ctx.start - offset_s,
+                               ctx.end - offset_s, range_s, ctx.step,
+                               _RANGE_MODES[fname])
+        return ("vector", _strip_r(_shift(out, offset_s)))
     if fname in ("rate", "increase", "delta") and len(args) == 1 \
             and args[0][0] == "selector" and args[0][3] is not None \
             and args[0][1] is not None and args[0][1] in ctx.hist_metrics:

@@ -184,7 +184,9 @@ REMOTE_WRITE_TIMESERIES_SCHEMA = (
     "positive_spans:array<struct<offset:int,length:int>>,"
     "positive_deltas:array<bigint>,positive_counts:array<double>,"
     "negative_spans:array<struct<offset:int,length:int>>,"
-    "negative_deltas:array<bigint>,negative_counts:array<double>>>"
+    "negative_deltas:array<bigint>,negative_counts:array<double>>>, "
+    "exemplars array<struct<labels:array<struct<name:string,value:string>>,"
+    "value:double,timestamp:bigint>>"
 )
 
 
@@ -204,6 +206,67 @@ def rows_from_remote_write(df: DataFrame,
                      lambda k, _: k != F.lit(metric_label)).alias("labels"),
         F.floor(F.col("s.timestamp") / 1000).cast("long").alias("ts"),
         F.col("s.value").alias("value"),
+    )
+
+
+def exemplars_from_remote_write(df: DataFrame,
+                                metric_label: str = "__name__") -> DataFrame:
+    """prompb remote-write exemplars → ``EXEMPLAR_ROW_SCHEMA`` rows ready
+    for ``TSDB.insert_exemplars``: explode each ``TimeSeries``'s
+    exemplars, keep the SERIES labels as identity and the exemplar's own
+    label list (trace/span ids) as the ``exemplar`` map, floor ms → s.
+    Same pure-column shape as :func:`rows_from_remote_write`."""
+    lbl = F.map_from_entries(F.col("labels"))
+    ex = df.select(lbl.alias("__lbl"), F.explode("exemplars").alias("e"))
+    empty = F.array().cast("array<struct<name:string,value:string>>")
+    return ex.select(
+        F.col("__lbl").getItem(metric_label).alias("metric"),
+        F.map_filter(F.col("__lbl"),
+                     lambda k, _: k != F.lit(metric_label)).alias("labels"),
+        F.floor(F.col("e.timestamp") / 1000).cast("long").alias("ts"),
+        F.col("e.value").alias("value"),
+        F.map_from_entries(
+            F.coalesce(F.col("e.labels"), empty)).alias("exemplar"),
+    )
+
+
+def exemplars_to_remote_write(rel: DataFrame) -> DataFrame:
+    """Exemplar rows (canonical: labels incl ``__name__``, ts, value,
+    exemplar map) → prompb ``TimeSeries`` rows carrying only the
+    ``exemplars`` field — the write-side inverse of
+    :func:`exemplars_from_remote_write`.  Exemplars sort by
+    (timestamp, value); their own label lists render in canonical sorted
+    order like the series labels."""
+    from ..model import series_key
+
+    entries = F.transform(
+        F.array_sort(F.map_entries(F.col("labels"))),
+        lambda e: F.struct(e["key"].alias("name"), e["value"].alias("value")))
+    ex_entries = F.transform(
+        F.array_sort(F.map_entries(F.col("exemplar"))),
+        lambda e: F.struct(e["key"].alias("name"), e["value"].alias("value")))
+    msg = F.struct(
+        ex_entries.alias("labels"),
+        F.col("value").cast("double").alias("value"),
+        (F.col("ts") * 1000).cast("long").alias("timestamp"),
+    )
+
+    def cmp(a, b):
+        return (
+            F.when(a["timestamp"] < b["timestamp"], -1)
+            .when(a["timestamp"] > b["timestamp"], 1)
+            .when(a["value"] < b["value"], -1)
+            .when(a["value"] > b["value"], 1)
+            .otherwise(0)
+        ).cast("int")
+
+    return (
+        rel.select(series_key(F.col("labels")).alias("__sk"),
+                   entries.alias("__labels"), msg.alias("__e"))
+        .groupBy("__sk")
+        .agg(F.any_value("__labels").alias("labels"),
+             F.array_sort(F.collect_list("__e"), cmp).alias("exemplars"))
+        .select("labels", "exemplars")
     )
 
 

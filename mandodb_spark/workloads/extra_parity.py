@@ -3027,3 +3027,73 @@ FROM src GROUP BY user ORDER BY user
 
 QUERIES["x_tsdb_exemplars"] = x_tsdb_exemplars
 ORACLES["x_tsdb_exemplars"] = _exemplars_sql()
+
+
+def x_promql_native_hist_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM-valued subquery through the text front-end (round 10 —
+    the last documented PromQL delta):
+    ``histogram_quantile(0.5, increase(click_nh[10d:1d]))`` as an instant
+    query at EV_END.  The subquery's aligned daily grid coincides with
+    the daily cumulative samples (EV_START is midnight-aligned), so the
+    histogram pseudo-samples are the stored samples verbatim and the
+    increase telescopes to last-minus-first: the p50 of every click in
+    days 1..9 (day 0 is the counter baseline).  The oracle replays the
+    exponential bucket geometry over exactly those values — per user
+    between their FIRST and LAST sampled day (a user without a day-0
+    click baselines later; <2 sampled days drops out, as counter math
+    requires two samples)."""
+    from ..functions.promql_parser import eval_instant
+    from .common import EV_END
+
+    hist_rel = _nh_daily_rel(spark, sf_dir, keep_k=False)
+    empty = spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double")
+    out = eval_instant(empty,
+                       "histogram_quantile(0.5, increase(click_nh[10d:1d]))",
+                       EV_END, hist_rel=hist_rel)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        F.round("value", 6).alias("p50"),
+    ).orderBy("user")
+
+
+def _native_hist_subquery_sql() -> str:
+    from .common import EV_END, EV_START, TSDB_SQL_REL
+
+    return f"""
+WITH rel AS ({TSDB_SQL_REL}),
+src0 AS (
+    SELECT user,
+           {EV_START} + CAST(floor((ts - {EV_START}) / 86400.0) AS BIGINT)
+               * 86400 AS day,
+           value
+    FROM rel
+    WHERE ts BETWEEN {EV_START} AND {EV_END} AND metric = 'click'
+),
+sp AS (
+    SELECT user, min(day) AS d_lo, max(day) AS d_hi, count(*) AS n
+    FROM (SELECT DISTINCT user, day FROM src0) GROUP BY user
+),
+src AS (
+    SELECT s.user, v.value
+    FROM sp s JOIN src0 v
+      ON v.user = s.user AND v.day > s.d_lo AND v.day <= s.d_hi
+    WHERE s.n >= 2
+),
+{_nh_bucketize_sql('src')},
+b AS (SELECT user, idx, CAST(count(*) AS DOUBLE) AS cnt FROM ix GROUP BY 1, 2),
+c AS (SELECT user, idx, cnt,
+             sum(cnt) OVER (PARTITION BY user ORDER BY idx) AS cum,
+             sum(cnt) OVER (PARTITION BY user) AS total
+      FROM b),
+hit AS (SELECT *, row_number() OVER (PARTITION BY user ORDER BY idx) AS rn
+        FROM c WHERE cum >= 0.5 * total)
+SELECT user,
+       round(power(2.0, (idx - 1 + (0.5 * total - (cum - cnt)) / cnt) / 8.0),
+             6) AS p50
+FROM hit WHERE rn = 1 ORDER BY user
+"""
+
+
+QUERIES["x_promql_native_hist_subquery"] = x_promql_native_hist_subquery
+ORACLES["x_promql_native_hist_subquery"] = _native_hist_subquery_sql()

@@ -1204,9 +1204,75 @@ def test_remote_write_histogram_decoder_handles_gap_spans(spark):
         [(1000, 5, None, 9.5, 3, 0.001, 1, None,
           [(0, 1), (3, 0), (2, 2)], [2, -1, 1], None,
           None, None, None)],
+        None,
     )
     df = spark.createDataFrame([ts_row], REMOTE_WRITE_TIMESERIES_SCHEMA)
     out = nh.histograms_from_remote_write(df).collect()[0]
     assert out["metric"] == "h" and out["ts"] == 1
     assert dict(out["hist"]["pos"]) == {0: 2.0, 6: 1.0, 7: 2.0}
     assert out["hist"]["count"] == 5.0 and out["hist"]["zero_count"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def subq_tsdb(spark):
+    """Cumulative hist counter sampled every 100s at ts 100..600."""
+    flat = [("h", {"job": "a"}, ts, float(1 + (i * 3) % 5))
+            for i, ts in enumerate(range(100, 700, 100))]
+    rel = nh.accumulate_histograms(nh.observe_histograms(_obs_df(spark, flat)))
+    empty = spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double")
+    return rel.cache(), empty
+
+
+def test_hist_subquery_rate_matches_range_selector(subq_tsdb):
+    """rate(h[500s:100s]) == rate(h[500s]) when the subquery grid hits
+    every sample — histogram subqueries (round 10) lower the inner to
+    histogram pseudo-samples and run the same counter math."""
+    from mandodb_spark.functions.promql_parser import eval_instant
+
+    hist_rel, empty = subq_tsdb
+    sub = eval_instant(empty, "rate(h[500s:100s])", 600,
+                       hist_rel=hist_rel).collect()
+    plain = eval_instant(empty, "rate(h[500s])", 600,
+                         hist_rel=hist_rel).collect()
+    assert len(sub) == len(plain) == 1
+    assert sub[0]["hist"]["count"] == plain[0]["hist"]["count"]
+    assert dict(sub[0]["hist"]["pos"]) == dict(plain[0]["hist"]["pos"])
+    assert sub[0]["ts"] == 600
+
+
+def test_hist_subquery_quantile_and_range_mode(subq_tsdb):
+    """histogram_quantile over a subquery rate composes (instant), and
+    range mode lowers through grid_hist_rate."""
+    from mandodb_spark.functions.promql_parser import (
+        eval_instant,
+        eval_range,
+    )
+
+    hist_rel, empty = subq_tsdb
+    q = eval_instant(empty, "histogram_quantile(0.5, rate(h[500s:100s]))",
+                     600, hist_rel=hist_rel).collect()
+    assert len(q) == 1 and q[0]["value"] > 0
+    rr = eval_range(empty, "histogram_count(increase(h[300s:100s]))",
+                    400, 600, 100, hist_rel=hist_rel).collect()
+    assert sorted(r["ts"] for r in rr) == [400, 500, 600]
+    # each 300s window spans 3 samples -> increase count = 2 samples' obs
+    assert all(r["value"] == 2.0 for r in rr)
+
+
+def test_hist_subquery_over_time_rejected(subq_tsdb):
+    """Over-time aggregates over histogram-valued subqueries raise the
+    documented PromqlError (only rate/increase/delta are defined)."""
+    from mandodb_spark.functions.promql_parser import (
+        PromqlError,
+        eval_instant,
+        eval_range,
+    )
+
+    hist_rel, empty = subq_tsdb
+    with pytest.raises(PromqlError, match="histogram-valued subquery"):
+        eval_instant(empty, "avg_over_time(h[500s:100s])", 600,
+                     hist_rel=hist_rel)
+    with pytest.raises(PromqlError, match="histogram-valued subquery"):
+        eval_range(empty, "max_over_time(h[300s:100s])", 400, 600, 100,
+                   hist_rel=hist_rel)

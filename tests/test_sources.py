@@ -936,4 +936,38 @@ def test_remote_write_schema_string_parses(spark):
 
     df = spark.createDataFrame([], REMOTE_WRITE_TIMESERIES_SCHEMA)
     assert {f.name for f in df.schema.fields} == {
-        "labels", "samples", "histograms"}
+        "labels", "samples", "histograms", "exemplars"}
+
+
+def test_remote_write_exemplars_round_trip(spark):
+    """Exemplar rows → prompb TimeSeries.exemplars → rows is the identity
+    (series labels incl __name__, ms timestamps, exemplar label lists)."""
+    from mandodb_spark.sources.exemplar_store import EXEMPLAR_ROW_SCHEMA
+    from mandodb_spark.sources.hist_store import canonicalize_payload
+    from mandodb_spark.sources.loaders import (
+        exemplars_from_remote_write,
+        exemplars_to_remote_write,
+    )
+
+    rows = [
+        ("lat", {"job": "api"}, 120, 0.91, {"trace_id": "abc"}),
+        ("lat", {"job": "api"}, 100, 6.0, {"trace_id": "d", "span_id": "s"}),
+        ("lat", {"job": "db"}, 110, 2.5, {}),
+    ]
+    rel = canonicalize_payload(
+        spark.createDataFrame(rows, EXEMPLAR_ROW_SCHEMA),
+        ("value", "exemplar"))
+    wire = exemplars_to_remote_write(rel)
+    per_series = {tuple((e["name"], e["value"]) for e in r["labels"]):
+                  [(x["timestamp"], x["value"]) for x in r["exemplars"]]
+                  for r in wire.collect()}
+    assert len(per_series) == 2
+    api_key = (("__name__", "lat"), ("job", "api"))
+    assert per_series[api_key] == [(100_000, 6.0), (120_000, 0.91)]
+    back = exemplars_from_remote_write(wire)
+    got = sorted((r["metric"], tuple(sorted(r["labels"].items())), r["ts"],
+                  r["value"], tuple(sorted(r["exemplar"].items())))
+                 for r in back.collect())
+    want = sorted((m, tuple(sorted(l.items())), t, v,
+                   tuple(sorted(e.items()))) for m, l, t, v, e in rows)
+    assert got == want

@@ -1080,6 +1080,8 @@ class TSDB:
         released if present.  Disk-backed stores hold nothing between
         calls; the method exists so reference code ports 1:1.
         """
-        release = getattr(self.store, "close", None)
-        if release is not None:
-            release()
+        for store in (self.store, getattr(self, "_hist_store", None),
+                      getattr(self, "_exemplar_store", None)):
+            release = getattr(store, "close", None)
+            if release is not None:
+                release()

@@ -232,6 +232,12 @@ class MemoryHistStore:
             )
         return sorted(dropped)
 
+    def close(self) -> None:
+        """Release the in-memory relation (T6 close parity): dropping the
+        reference lets the ContextCleaner reclaim the localCheckpoint
+        RDDs once unreferenced."""
+        self._df = None
+
     def delete_series(self, matchers: list, metric: str | None = None) -> int:
         """In-memory form of targeted deletion: one filter + checkpoint."""
         from ..matchers import add_metric_name, matchers_predicate

@@ -813,3 +813,21 @@ def test_exemplars_memory_mode(spark):
     got = db.query_exemplars("m", [], 0, 10**9).collect()
     assert len(got) == 1
     assert dict(got[0]["exemplars"][0]["labels"]) == {"trace_id": "t"}
+
+
+def test_close_releases_sibling_memory_stores(spark):
+    """TSDB.close releases the histogram and exemplar memory siblings'
+    cached relations too, not just the float store's."""
+    from mandodb_spark import TSDB
+
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_histograms([("h", {}, 100,
+                           {"count": 1.0, "sum": 2.5, "zero_count": 0.0,
+                            "zero_threshold": 0.001, "schema": 3,
+                            "pos": {11: 1.0}, "neg": {}})])
+    db.insert_exemplars([("m", {}, 100, 1.0, {"trace_id": "t"})])
+    assert db._hist_store._df is not None
+    assert db._exemplar_store._df is not None
+    db.close()
+    assert db._hist_store._df is None
+    assert db._exemplar_store._df is None

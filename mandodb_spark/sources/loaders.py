@@ -165,6 +165,134 @@ def to_influx_line(rel: DataFrame, metric_label: str = "__name__",
     )
 
 
+#: Float-literal regex shared by the text codecs (sign, fraction, signed
+#: exponent, and the Prometheus specials).
+_FLOAT_RE = r"[+-]?(?:[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?|Inf|NaN)"
+#: ``k="v"`` pairs inside a labels brace blob (simplified dialect: no
+#: escaped quotes inside values — same simplification the influx codec
+#: documents).
+_LBL_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"'
+
+
+def _brace_labels(blob: Column) -> Column:
+    """``k1="v1",k2="v2"`` → MAP<STRING,STRING> (empty blob → empty map),
+    pure column expressions."""
+    return F.map_from_arrays(
+        F.regexp_extract_all(blob, F.lit(_LBL_RE), 1),
+        F.regexp_extract_all(blob, F.lit(_LBL_RE), 2),
+    )
+
+
+def rows_from_openmetrics(lines: DataFrame, text_col: str = "value",
+                          default_ts: int | None = None) -> DataFrame:
+    """OpenMetrics / Prometheus TEXT exposition → ROW_SCHEMA rows, parsed
+    entirely JVM-side (regexp column expressions, no UDF).
+
+    ``name{l1="v1",l2="v2"} 3.14 1700000000`` → (metric=name, labels,
+    ts, value); the labels blob and the timestamp are both optional
+    (``default_ts`` stamps timestamp-less samples — the scrape time; if
+    None they are dropped).  ``# HELP``/``# TYPE``/``# EOF`` metadata
+    lines and blanks are skipped; an OpenMetrics exemplar suffix
+    (``… # {trace_id="abc"} 0.9 1700000000``) is ignored HERE and decoded
+    by :func:`exemplars_from_openmetrics` over the same lines.
+    Timestamps are unix SECONDS (the OpenMetrics unit), floored to the
+    engine's integer seconds.  Simplified dialect: no escaped quotes in
+    label values.  Unparseable lines drop via try_cast→null, like the
+    influx codec."""
+    line = F.trim(F.col(text_col))
+    body = F.regexp_extract(
+        line,
+        rf'^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{{[^}}]*\}})?\s+({_FLOAT_RE})'
+        rf'(?:\s+({_FLOAT_RE}))?\s*(?:#.*)?$',
+        0)
+    metric = F.regexp_extract(line, r'^([a-zA-Z_:][a-zA-Z0-9_:]*)', 1)
+    blob = F.regexp_extract(line, r'^[a-zA-Z_:][a-zA-Z0-9_:]*\{([^}]*)\}', 1)
+    val = F.regexp_extract(
+        line,
+        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:\{{[^}}]*\}})?\s+({_FLOAT_RE})', 1)
+    ts = F.regexp_extract(
+        line,
+        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:\{{[^}}]*\}})?\s+{_FLOAT_RE}'
+        rf'\s+({_FLOAT_RE})', 1)
+    ts_col = F.floor(ts.try_cast("double")).cast("long")
+    if default_ts is not None:
+        ts_col = F.coalesce(ts_col, F.lit(int(default_ts)).cast("long"))
+    return (
+        # input-referencing predicates BEFORE the select: the output
+        # `value` column shadows the input text column, so body/metric
+        # would silently re-resolve against the parsed double afterwards
+        lines.where((body != "") & (metric != ""))
+        .select(
+            metric.alias("metric"),
+            _brace_labels(blob).alias("labels"),
+            ts_col.alias("ts"),
+            val.try_cast("double").alias("value"),
+        )
+        .where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    )
+
+
+def exemplars_from_openmetrics(lines: DataFrame,
+                               text_col: str = "value") -> DataFrame:
+    """OpenMetrics exemplar suffixes → ``EXEMPLAR_ROW_SCHEMA`` rows: the
+    ``# {labels} value [timestamp]`` tail attaches a sampled raw
+    observation (trace ids) to its series.  Exemplar-less lines drop;
+    an exemplar without its own timestamp inherits the sample's."""
+    line = F.trim(F.col(text_col))
+    metric = F.regexp_extract(line, r'^([a-zA-Z_:][a-zA-Z0-9_:]*)', 1)
+    blob = F.regexp_extract(line, r'^[a-zA-Z_:][a-zA-Z0-9_:]*\{([^}]*)\}', 1)
+    sample_ts = F.regexp_extract(
+        line,
+        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:\{{[^}}]*\}})?\s+{_FLOAT_RE}'
+        rf'\s+({_FLOAT_RE})\s*#', 1)
+    ex = rf'#\s*\{{([^}}]*)\}}\s+({_FLOAT_RE})(?:\s+({_FLOAT_RE}))?\s*$'
+    eblob = F.regexp_extract(line, ex, 1)
+    eval_ = F.regexp_extract(line, ex, 2)
+    ets = F.regexp_extract(line, ex, 3)
+    ts_col = F.floor(
+        F.coalesce(ets.try_cast("double"), sample_ts.try_cast("double"))
+    ).cast("long")
+    return (
+        lines.select(
+            metric.alias("metric"),
+            _brace_labels(blob).alias("labels"),
+            ts_col.alias("ts"),
+            eval_.try_cast("double").alias("value"),
+            _brace_labels(eblob).alias("exemplar"),
+        )
+        .where((F.col("metric") != "") & F.col("value").isNotNull()
+               & F.col("ts").isNotNull())
+    )
+
+
+def to_openmetrics(rel: DataFrame,
+                   metric_label: str = "__name__") -> DataFrame:
+    """Canonical relation → OpenMetrics text lines (the write-side inverse
+    of :func:`rows_from_openmetrics`, same simplified dialect): labels
+    render in canonical sorted order, so ``rows → lines → rows`` is the
+    identity on canonical rows — like :func:`to_influx_line`'s contract.
+    One output column ``line``; ``df.write.text`` or a Kafka sink."""
+    labels = F.col("labels")
+    tags = F.filter(
+        F.array_sort(F.map_entries(labels)),
+        lambda e: e["key"] != F.lit(metric_label))
+    tag_str = F.array_join(
+        F.transform(tags, lambda e: F.concat(
+            e["key"], F.lit('="'), e["value"], F.lit('"'))), ",")
+    metric = F.coalesce(labels.getItem(metric_label), F.lit(""))
+    head = F.when(tag_str == "", metric).otherwise(
+        F.concat(metric, F.lit("{"), tag_str, F.lit("}")))
+    return rel.select(
+        F.concat(
+            head,
+            F.lit(" "),
+            F.col("value").cast("string"),
+            F.lit(" "),
+            F.col("ts").cast("string"),
+        ).alias("line")
+    )
+
+
 #: Row shape of one decoded prompb ``TimeSeries`` (the public
 #: prometheus/prompb/remote.proto ``WriteRequest.timeseries`` entry):
 #: labels as ``name``/``value`` structs INCLUDING ``__name__``, float

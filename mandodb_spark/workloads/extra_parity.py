@@ -3097,3 +3097,29 @@ FROM hit WHERE rn = 1 ORDER BY user
 
 QUERIES["x_promql_native_hist_subquery"] = x_promql_native_hist_subquery
 ORACLES["x_promql_native_hist_subquery"] = _native_hist_subquery_sql()
+
+
+def x_openmetrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenMetrics TEXT codec round trip: the events TSDB relation rendered
+    as exposition lines (sources/loaders.to_openmetrics — canonical sorted
+    labels) and parsed back (rows_from_openmetrics, pure regexp column
+    expressions) must be the identity; the oracle is the raw relation.
+    Together with x_remote_write_roundtrip this pins both scrape wire
+    forms (text + protobuf-shaped) over real data."""
+    from ..sources.loaders import rows_from_openmetrics, to_openmetrics
+    from .common import EV_END, EV_START, events_relation
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).select(
+        "labels", "ts", "value")
+    back = rows_from_openmetrics(to_openmetrics(rel), text_col="line")
+    return back.select(
+        F.col("metric"),
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    ).orderBy("metric", "user", "k", "ts", "value")
+
+
+QUERIES["x_openmetrics_roundtrip"] = x_openmetrics_roundtrip
+ORACLES["x_openmetrics_roundtrip"] = _remote_write_roundtrip_sql()

@@ -971,3 +971,86 @@ def test_remote_write_exemplars_round_trip(spark):
     want = sorted((m, tuple(sorted(l.items())), t, v,
                    tuple(sorted(e.items()))) for m, l, t, v, e in rows)
     assert got == want
+
+
+def test_openmetrics_reader_parses_and_drops(spark):
+    """OpenMetrics text exposition → rows: metadata/garbage lines drop,
+    exemplar suffixes are ignored by the sample reader, default_ts stamps
+    timestamp-less samples (the scrape time)."""
+    from mandodb_spark.sources.loaders import rows_from_openmetrics
+
+    lines = [
+        '# HELP http_requests_total Total requests.',
+        '# TYPE http_requests_total counter',
+        'http_requests_total{job="api",code="200"} 1027 1700000000',
+        'http_requests_total{job="api",code="500"} 3.5e-3 1700000060',
+        'up 1 1700000000',
+        'lat_bucket{le="0.5"} 24 1700000000 # {trace_id="abc"} 0.43',
+        'lat_nots{job="x"} 5.0',
+        'garbage line here',
+        'up{ 1 2',
+        '# EOF',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    got = {(r.metric, tuple(sorted(r.labels.items())), r.ts, r.value)
+           for r in rows_from_openmetrics(df).collect()}
+    assert got == {
+        ("http_requests_total", (("code", "200"), ("job", "api")),
+         1700000000, 1027.0),
+        ("http_requests_total", (("code", "500"), ("job", "api")),
+         1700000060, 3.5e-3),
+        ("up", (), 1700000000, 1.0),
+        ("lat_bucket", (("le", "0.5"),), 1700000000, 24.0),
+    }
+    with_default = rows_from_openmetrics(df, default_ts=1700000999)
+    nots = [r for r in with_default.collect() if r.metric == "lat_nots"]
+    assert [(r.ts, r.value) for r in nots] == [(1700000999, 5.0)]
+
+
+def test_openmetrics_exemplars(spark):
+    """The `# {labels} value [ts]` exemplar suffix decodes to exemplar
+    rows; a missing exemplar timestamp inherits the sample's."""
+    from mandodb_spark.sources.loaders import exemplars_from_openmetrics
+
+    lines = [
+        'lat_bucket{le="0.5"} 24 1700000000 # {trace_id="abc"} 0.43 1700000007.5',
+        'lat_bucket{le="1.0"} 30 1700000000 # {trace_id="xyz",span_id="s"} 0.9',
+        'plain{a="1"} 2 1700000000',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    got = {(r.metric, tuple(sorted(r.labels.items())), r.ts, r.value,
+            tuple(sorted(r.exemplar.items())))
+           for r in exemplars_from_openmetrics(df).collect()}
+    assert got == {
+        ("lat_bucket", (("le", "0.5"),), 1700000007, 0.43,
+         (("trace_id", "abc"),)),
+        ("lat_bucket", (("le", "1.0"),), 1700000000, 0.9,
+         (("span_id", "s"), ("trace_id", "xyz"))),
+    }
+
+
+def test_openmetrics_round_trip_is_identity(spark):
+    """rows → OpenMetrics text → rows is the identity on canonical rows
+    (sorted labels; simplified dialect both ways) — the same contract as
+    the influx and remote-write codecs."""
+    from mandodb_spark.model import canonicalize
+    from mandodb_spark.sources.loaders import (
+        rows_from_openmetrics,
+        to_openmetrics,
+    )
+    from mandodb_spark import ROW_SCHEMA
+
+    rows = [
+        ("cpu", {"node": "vm0", "dc": "sh"}, 1_700_000_000, 0.75),
+        ("cpu", {"node": "vm1"}, 1_700_000_060, -1.5e-3),
+        ("mem", {}, 1_700_000_120, 42.0),
+    ]
+    rel = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    back = rows_from_openmetrics(to_openmetrics(rel), text_col="line")
+    orig = {(r.labels["__name__"], tuple(sorted(r.labels.items())),
+             r.ts, r.value)
+            for r in rel.select("labels", "ts", "value").collect()}
+    got = {(r.metric,
+            tuple(sorted({**r.labels, "__name__": r.metric}.items())),
+            r.ts, r.value) for r in back.collect()}
+    assert orig == got

@@ -205,6 +205,22 @@ class TSDB:
             self._selected(metric, matchers, at_ts - lookback, at_ts), at_ts, lookback
         )
 
+    def federate(self, metric: str | None,
+                 matchers: list[LabelMatcher] | None,
+                 at_ts: int, lookback: int = 300) -> DataFrame:
+        """Prometheus ``/federate``-shaped export: the matcher-selected
+        INSTANT vector (newest sample per series within the lookback,
+        the sample's own timestamp preserved) rendered as OpenMetrics
+        text lines — the shape a downstream Prometheus scrapes from a
+        federation endpoint.  One column ``line``; feed to
+        ``df.write.text`` or an HTTP handler.  Engine dialect:
+        seconds timestamps, canonical sorted labels (so federated
+        output round-trips through ``rows_from_openmetrics``)."""
+        from .sources.loaders import to_openmetrics
+
+        vec = self.instant(metric, matchers, at_ts, lookback)
+        return to_openmetrics(vec.select("labels", "ts", "value"))
+
     def over_time(self, fn: str, metric: str, matchers: list[LabelMatcher] | None,
                   start: int, end: int, step: int) -> DataFrame:
         """``<fn>_over_time`` (avg/min/max/sum/count) on tumbling steps."""

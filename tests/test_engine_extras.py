@@ -831,3 +831,29 @@ def test_close_releases_sibling_memory_stores(spark):
     db.close()
     assert db._hist_store._df is None
     assert db._exemplar_store._df is None
+
+
+def test_federate_round_trips_instant_vector(spark):
+    """TSDB.federate renders the matcher-selected instant vector as
+    OpenMetrics lines that parse back to exactly those samples (the
+    federation contract: a downstream engine scrapes and re-ingests)."""
+    from mandodb_spark import TSDB, LabelMatcher
+    from mandodb_spark.sources.loaders import rows_from_openmetrics
+
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows([
+        ("up", {"job": "api", "instance": "i1"}, 100, 1.0),
+        ("up", {"job": "api", "instance": "i1"}, 160, 0.0),  # newest wins
+        ("up", {"job": "db", "instance": "i2"}, 150, 1.0),
+        ("mem", {"job": "api"}, 160, 42.5),
+        ("up", {"job": "api", "instance": "old"}, 100, 1.0),
+    ])
+    lines = db.federate("up", [LabelMatcher("job", "api")], 200, lookback=60)
+    back = rows_from_openmetrics(lines, text_col="line").collect()
+    got = sorted((r.metric, tuple(sorted(r.labels.items())), r.ts, r.value)
+                 for r in back)
+    # lookback 60 at t=200 keeps ts>=140: i1's newest (160) and nothing
+    # from the stale "old" instance; the db job is matcher-filtered out
+    assert got == [
+        ("up", (("instance", "i1"), ("job", "api")), 160, 0.0),
+    ]

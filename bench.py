@@ -294,13 +294,25 @@ def main() -> None:
 
     pts_per_sec, bytes_per_point = ingest_bench_isolated(cpus)
 
-    # CLEAN_CANARY: the judge's quiet-box canary reading (r9 verdict:
-    # 0.18-0.187s).  In-session readings on this host run up to ~1.4x hot
-    # under concurrent load (see memory/VERDICT r8+r9 watch item) — warn
-    # loudly so a contaminated headline is never mistaken for a code
+    # CLEAN_CANARY: the cleanest canary ever recorded in the committed
+    # artifact (falls back to the r9/r10 judge quiet-box reading, 0.187s,
+    # when no artifact exists yet).  Reading it from BENCH_LATEST.json
+    # instead of a constant keeps the gate meaningful across host changes
+    # (r10 verdict item 3).  In-session readings on this host run up to
+    # ~1.4x hot under concurrent load (see VERDICT r8-r10 watch item) —
+    # warn loudly so a contaminated headline is never mistaken for a code
     # regression.
-    CLEAN_CANARY = 0.187
-    if canary_s > CLEAN_CANARY * 1.15:
+    latest_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LATEST.json")
+    prior_canary = None
+    try:
+        with open(latest_path) as fh:
+            prior_canary = json.load(fh).get("calibration_canary_seconds")
+    except (OSError, ValueError):
+        pass
+    CLEAN_CANARY = prior_canary if prior_canary else 0.187
+    contaminated = canary_s > CLEAN_CANARY * 1.15
+    if contaminated:
         print(
             f"# WARNING: canary {canary_s:.3f}s is >15% above the clean-host "
             f"reference {CLEAN_CANARY}s — box is loaded; timings are "
@@ -328,14 +340,27 @@ def main() -> None:
         "calibration_canary_seconds": canary_s,
         "value": round(total, 3),
     }
+    # A hot run must never clobber a clean-canary artifact (r10's driver
+    # bench ran at canary 0.254 and overwrote the committed 0.186 artifact
+    # — the clean numbers survived only in git history).  Contaminated
+    # readings go to BENCH_LATEST_HOT.json; the clean artifact is only
+    # replaced by a run whose canary is at least as clean (small tolerance
+    # so equal-quality hosts still refresh it).
+    replace_clean = not contaminated and (
+        prior_canary is None or canary_s <= prior_canary * 1.05)
+    target = latest_path if replace_clean else latest_path.replace(
+        "BENCH_LATEST.json", "BENCH_LATEST_HOT.json")
+    if not replace_clean:
+        print(f"# canary {canary_s:.3f}s not cleaner than recorded "
+              f"{CLEAN_CANARY}s — writing {os.path.basename(target)} and "
+              "keeping the clean artifact", file=sys.stderr)
     try:
-        latest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BENCH_LATEST.json")
-        with open(latest, "w") as fh:
+        with open(target, "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
     except OSError as exc:  # never fail the bench over the side artifact
-        print(f"# BENCH_LATEST.json not written: {exc}", file=sys.stderr)
+        print(f"# {os.path.basename(target)} not written: {exc}",
+              file=sys.stderr)
     print(json.dumps(payload))
 
 

@@ -1285,7 +1285,12 @@ def _eval_binop(node, ctx: _Ctx):
 
         def _fpow(a, b):
             if a == 0 and b < 0:
-                return math.inf  # IEEE pow(0, negative) = +Inf
+                # IEEE pow: -Inf only for a NEGATIVE-zero base raised to a
+                # negative odd integer (Go math.Pow); +Inf otherwise.
+                if (math.copysign(1.0, a) < 0 and math.isfinite(b)
+                        and b == int(b) and int(b) % 2 != 0):
+                    return -math.inf
+                return math.inf
             try:
                 return math.pow(a, b)
             except OverflowError:

@@ -168,18 +168,47 @@ def to_influx_line(rel: DataFrame, metric_label: str = "__name__",
 #: Float-literal regex shared by the text codecs (sign, fraction, signed
 #: exponent, and the Prometheus specials).
 _FLOAT_RE = r"[+-]?(?:[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?|Inf|NaN)"
-#: ``k="v"`` pairs inside a labels brace blob (simplified dialect: no
-#: escaped quotes inside values — same simplification the influx codec
-#: documents).
-_LBL_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="([^"]*)"'
+#: ``k="v"`` pairs inside a labels brace blob.  Values follow the
+#: Prometheus text-format escape rules: ``\\``, ``\"`` and ``\n`` are the
+#: three escape pairs, so the value body is any run of escape pairs or
+#: plain (non-quote, non-backslash) characters.
+_LBL_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:\\.|[^"\\])*)"'
+#: The INSIDE of a labels brace blob at the line level: quoted values may
+#: contain ``}`` and escaped quotes, so the blob is a run of quoted
+#: strings and non-``}``/non-quote filler (names, ``=``, ``,``).
+_BRACE_BODY = r'(?:"(?:\\.|[^"\\])*"|[^}"])*'
+#: A full optional ``{...}`` blob (non-capturing inner).
+_BRACED = r"\{" + _BRACE_BODY + r"\}"
+
+
+def _unescape_label_value(v: Column) -> Column:
+    """Prometheus text-format unescape: ``\\\\``→``\\``, ``\\n``→newline,
+    ``\\"``→``"``.  Escaped backslashes are parked on a NUL sentinel first
+    so ``\\\\n`` (backslash + literal n) is not confused with ``\\n``
+    (newline); NUL cannot appear in exposition text."""
+    s = F.regexp_replace(v, r"\\\\", "\x00")
+    s = F.regexp_replace(s, r"\\n", "\n")
+    s = F.regexp_replace(s, r"\\" + '"', '"')
+    return F.regexp_replace(s, "\x00", r"\\")
+
+
+def _escape_label_value(v: Column) -> Column:
+    """Prometheus text-format escape (write side): backslash first, then
+    quote and newline."""
+    s = F.regexp_replace(v, r"\\", r"\\\\")
+    s = F.regexp_replace(s, '"', r"\\" + '"')
+    return F.regexp_replace(s, "\n", r"\\n")
 
 
 def _brace_labels(blob: Column) -> Column:
     """``k1="v1",k2="v2"`` → MAP<STRING,STRING> (empty blob → empty map),
-    pure column expressions."""
+    pure column expressions; values unescaped per the text-format rules."""
     return F.map_from_arrays(
         F.regexp_extract_all(blob, F.lit(_LBL_RE), 1),
-        F.regexp_extract_all(blob, F.lit(_LBL_RE), 2),
+        F.transform(
+            F.regexp_extract_all(blob, F.lit(_LBL_RE), 2),
+            _unescape_label_value,
+        ),
     )
 
 
@@ -196,23 +225,25 @@ def rows_from_openmetrics(lines: DataFrame, text_col: str = "value",
     (``… # {trace_id="abc"} 0.9 1700000000``) is ignored HERE and decoded
     by :func:`exemplars_from_openmetrics` over the same lines.
     Timestamps are unix SECONDS (the OpenMetrics unit), floored to the
-    engine's integer seconds.  Simplified dialect: no escaped quotes in
-    label values.  Unparseable lines drop via try_cast→null, like the
-    influx codec."""
+    engine's integer seconds.  Label values follow the text-format escape
+    rules (``\\``, ``\"``, ``\n``) and may contain ``}``/``#`` inside the
+    quotes.  Unparseable lines drop via try_cast→null, like the influx
+    codec."""
     line = F.trim(F.col(text_col))
     body = F.regexp_extract(
         line,
-        rf'^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{{[^}}]*\}})?\s+({_FLOAT_RE})'
+        rf'^([a-zA-Z_:][a-zA-Z0-9_:]*)({_BRACED})?\s+({_FLOAT_RE})'
         rf'(?:\s+({_FLOAT_RE}))?\s*(?:#.*)?$',
         0)
     metric = F.regexp_extract(line, r'^([a-zA-Z_:][a-zA-Z0-9_:]*)', 1)
-    blob = F.regexp_extract(line, r'^[a-zA-Z_:][a-zA-Z0-9_:]*\{([^}]*)\}', 1)
+    blob = F.regexp_extract(
+        line, rf'^[a-zA-Z_:][a-zA-Z0-9_:]*\{{({_BRACE_BODY})\}}', 1)
     val = F.regexp_extract(
         line,
-        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:\{{[^}}]*\}})?\s+({_FLOAT_RE})', 1)
+        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:{_BRACED})?\s+({_FLOAT_RE})', 1)
     ts = F.regexp_extract(
         line,
-        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:\{{[^}}]*\}})?\s+{_FLOAT_RE}'
+        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:{_BRACED})?\s+{_FLOAT_RE}'
         rf'\s+({_FLOAT_RE})', 1)
     ts_col = F.floor(ts.try_cast("double")).cast("long")
     if default_ts is not None:
@@ -233,25 +264,33 @@ def rows_from_openmetrics(lines: DataFrame, text_col: str = "value",
 
 
 def exemplars_from_openmetrics(lines: DataFrame,
-                               text_col: str = "value") -> DataFrame:
+                               text_col: str = "value",
+                               default_ts: int | None = None) -> DataFrame:
     """OpenMetrics exemplar suffixes → ``EXEMPLAR_ROW_SCHEMA`` rows: the
     ``# {labels} value [timestamp]`` tail attaches a sampled raw
-    observation (trace ids) to its series.  Exemplar-less lines drop;
-    an exemplar without its own timestamp inherits the sample's."""
+    observation (trace ids) to its series.  Exemplar-less lines drop; an
+    exemplar without its own timestamp inherits the sample's, and when
+    BOTH are absent ``default_ts`` (the scrape time — same contract as
+    :func:`rows_from_openmetrics`) stamps it; if that is also None the
+    exemplar drops."""
     line = F.trim(F.col(text_col))
     metric = F.regexp_extract(line, r'^([a-zA-Z_:][a-zA-Z0-9_:]*)', 1)
-    blob = F.regexp_extract(line, r'^[a-zA-Z_:][a-zA-Z0-9_:]*\{([^}]*)\}', 1)
+    blob = F.regexp_extract(
+        line, rf'^[a-zA-Z_:][a-zA-Z0-9_:]*\{{({_BRACE_BODY})\}}', 1)
     sample_ts = F.regexp_extract(
         line,
-        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:\{{[^}}]*\}})?\s+{_FLOAT_RE}'
+        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:{_BRACED})?\s+{_FLOAT_RE}'
         rf'\s+({_FLOAT_RE})\s*#', 1)
-    ex = rf'#\s*\{{([^}}]*)\}}\s+({_FLOAT_RE})(?:\s+({_FLOAT_RE}))?\s*$'
+    ex = (rf'#\s*\{{({_BRACE_BODY})\}}\s+({_FLOAT_RE})'
+          rf'(?:\s+({_FLOAT_RE}))?\s*$')
     eblob = F.regexp_extract(line, ex, 1)
     eval_ = F.regexp_extract(line, ex, 2)
     ets = F.regexp_extract(line, ex, 3)
     ts_col = F.floor(
         F.coalesce(ets.try_cast("double"), sample_ts.try_cast("double"))
     ).cast("long")
+    if default_ts is not None:
+        ts_col = F.coalesce(ts_col, F.lit(int(default_ts)).cast("long"))
     return (
         lines.select(
             metric.alias("metric"),
@@ -271,22 +310,33 @@ def to_openmetrics(rel: DataFrame,
     of :func:`rows_from_openmetrics`, same simplified dialect): labels
     render in canonical sorted order, so ``rows → lines → rows`` is the
     identity on canonical rows — like :func:`to_influx_line`'s contract.
-    One output column ``line``; ``df.write.text`` or a Kafka sink."""
+    Label values are escaped per the text-format rules and non-finite
+    values render as ``+Inf``/``-Inf``/``NaN`` (Spark's double→string cast
+    says ``Infinity``, which is not OpenMetrics and the reader would
+    silently drop).  One output column ``line``; ``df.write.text`` or a
+    Kafka sink."""
     labels = F.col("labels")
     tags = F.filter(
         F.array_sort(F.map_entries(labels)),
         lambda e: e["key"] != F.lit(metric_label))
     tag_str = F.array_join(
         F.transform(tags, lambda e: F.concat(
-            e["key"], F.lit('="'), e["value"], F.lit('"'))), ",")
+            e["key"], F.lit('="'), _escape_label_value(e["value"]),
+            F.lit('"'))), ",")
     metric = F.coalesce(labels.getItem(metric_label), F.lit(""))
     head = F.when(tag_str == "", metric).otherwise(
         F.concat(metric, F.lit("{"), tag_str, F.lit("}")))
+    fval = F.col("value")
+    val_str = (
+        F.when(F.isnan(fval), F.lit("NaN"))
+        .when(fval == F.lit(float("inf")), F.lit("+Inf"))
+        .when(fval == F.lit(float("-inf")), F.lit("-Inf"))
+        .otherwise(fval.cast("string")))
     return rel.select(
         F.concat(
             head,
             F.lit(" "),
-            F.col("value").cast("string"),
+            val_str,
             F.lit(" "),
             F.col("ts").cast("string"),
         ).alias("line")

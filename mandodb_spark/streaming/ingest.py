@@ -264,9 +264,14 @@ class StreamingIngestor:
             partials = nh.observe_histograms(windowed, **kwargs).select(
                 F.col("labels").getItem("__name__").alias("metric"),
                 F.map_concat(
+                    # strip BATCH_LABEL too: it is reserved, and with
+                    # Spark's default mapKeyDedupPolicy=EXCEPTION a
+                    # pre-existing key would raise DUPLICATE_MAP_KEY at
+                    # runtime and kill the streaming query
                     F.map_filter(
                         F.col("labels"),
-                        lambda k, _: k != F.lit("__name__")),
+                        lambda k, _: (k != F.lit("__name__"))
+                        & (k != F.lit(nh.BATCH_LABEL))),
                     F.create_map(F.lit(nh.BATCH_LABEL),
                                  F.lit(str(int(batch_id)))),
                 ).alias("labels"),

@@ -1358,6 +1358,17 @@ def test_scalar_div_and_mod_by_zero(rel):
     assert ev(rel, "0 ^ -1") == [((), math.inf)]
 
 
+def test_scalar_pow_negative_zero_base(rel):
+    """IEEE/Go math.Pow: (-0.0)^(negative odd integer) = -Inf; every
+    other zero-base negative-exponent case = +Inf (ADVICE r10)."""
+    import math
+
+    assert ev(rel, "(0 * -1) ^ -3") == [((), -math.inf)]
+    assert ev(rel, "(0 * -1) ^ -2") == [((), math.inf)]
+    assert ev(rel, "(0 * -1) ^ -3.5") == [((), math.inf)]
+    assert ev(rel, "0 ^ -3") == [((), math.inf)]
+
+
 def test_hist_scalar_division_by_zero(spark):
     """h / 0 scales components by +Inf instead of raising
     ZeroDivisionError on the driver (ADVICE r9)."""

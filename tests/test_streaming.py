@@ -1776,3 +1776,28 @@ def test_nh_partials_replay_idempotent(spark, tmp_path_factory):
         spark.read.parquet(str(base / "nh"))).collect()
     assert len(merged) == 1
     assert merged[0]["hist"]["count"] == 7.0
+
+
+def test_nh_partials_survive_reserved_batch_label(spark, tmp_path_factory):
+    """Incoming rows already carrying the reserved __batch__ label must
+    not kill the stream with DUPLICATE_MAP_KEY (default
+    mapKeyDedupPolicy=EXCEPTION) — the ingestor strips it before stamping
+    its own (ADVICE r10)."""
+    from mandodb_spark.functions import native_hist as nh
+    from mandodb_spark.model import ROW_SCHEMA
+    from mandodb_spark.sources.segment_store import SegmentStore
+    from mandodb_spark.streaming.ingest import StreamingIngestor
+
+    base = tmp_path_factory.mktemp("nh_reserved")
+    store = SegmentStore(spark, str(base / "live"))
+    ing = StreamingIngestor(store, nh_dest=str(base / "nh"), nh_step=3600)
+
+    t0 = 1_700_000_000 - (1_700_000_000 % 3600)
+    rows = spark.createDataFrame(
+        [("m", {"app": "x", nh.BATCH_LABEL: "stale"}, t0 + i, float(i))
+         for i in range(3)], ROW_SCHEMA)
+    ing.process_batch(rows, 7)   # raised DUPLICATE_MAP_KEY before the fix
+    merged = nh.hist_merge_partials(
+        spark.read.parquet(str(base / "nh"))).collect()
+    assert len(merged) == 1 and merged[0]["hist"]["count"] == 3.0
+    assert nh.BATCH_LABEL not in dict(merged[0]["labels"])

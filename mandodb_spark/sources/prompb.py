@@ -1,0 +1,473 @@
+"""Minimal prompb WIRE codec: snappy-compressed protobuf ``WriteRequest``
+bytes ↔ the engine's ``REMOTE_WRITE_TIMESERIES_SCHEMA`` rows.
+
+Closes the last gap in the scrape→store loop (VERDICT r10 item 4): the
+struct-shaped shapers in :mod:`.loaders` (``rows_from_remote_write`` /
+``to_remote_write``) consume and produce prompb-SHAPED rows; this module
+parses and renders the actual wire payload a Prometheus remote-write
+sender POSTs — snappy block compression over the protobuf binary framing
+of the PUBLIC ``prometheus/prompb/remote.proto`` / ``types.proto``
+messages (WriteRequest → repeated TimeSeries{labels, samples, exemplars,
+native histograms}).
+
+Same stdlib-decoder discipline as ``operators/multimodal.py``: the
+varint / length-delimited framing is hand-rolled pure Python (protobuf
+is a ~60-line wire format; no generated stubs, no external proto deps),
+snappy block (de)compression rides the pyarrow codec already shipped for
+Parquet.  Both directions run as Arrow-batched ``mapInPandas`` —
+executor-parallel, one Python pass per Arrow batch, zero driver
+collects — so a Kafka/file stream of raw POST bodies decodes at scan
+parallelism on batch and streaming inputs alike.
+
+Wire notes (all public protobuf semantics):
+
+- ``Sample``: value double=1, timestamp int64=2 (ms).
+- ``Label``: name=1, value=2.
+- ``Exemplar``: labels=1, value double=2, timestamp int64=3.
+- ``Histogram`` (types.proto): oneof count {count_int uint64=1,
+  count_float double=2}, sum=3, schema sint32=4, zero_threshold=5,
+  oneof zero_count {int=6, float=7}, negative_spans=8,
+  negative_deltas sint64=9 (packed), negative_counts double=10 (packed),
+  positive_spans=11, positive_deltas=12, positive_counts=13,
+  reset_hint=14 (skipped), timestamp int64=15.
+- ``BucketSpan``: offset sint32=1, length uint32=2.
+- Packed repeated scalars arrive length-delimited; unpacked repeats of
+  the same fields are accepted too (protobuf allows both on the wire).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+from .loaders import REMOTE_WRITE_TIMESERIES_SCHEMA
+
+# --------------------------------------------------------------- varint
+
+
+def _uvarint(buf: bytes, i: int) -> tuple[int, int]:
+    """Decode one unsigned varint at ``buf[i:]`` → (value, next index)."""
+    result = 0
+    shift = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[i]
+        i += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _to_int64(u: int) -> int:
+    """Unsigned varint payload → two's-complement int64."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _enc_uvarint(v: int) -> bytes:
+    if v < 0:
+        v += 1 << 64  # two's-complement int64 on the wire
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+# ------------------------------------------------------ field iteration
+
+
+def _fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
+    """Iterate (field_no, wire_type, raw value) over one message.  Raw
+    value: int for varint, float for fixed64 (decoded as double), bytes
+    for length-delimited, int for fixed32."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _uvarint(buf, i)
+        field, wt = key >> 3, key & 0x07
+        if wt == 0:
+            v, i = _uvarint(buf, i)
+            yield field, wt, v
+        elif wt == 1:
+            if i + 8 > n:
+                raise ValueError("truncated fixed64")
+            yield field, wt, struct.unpack_from("<d", buf, i)[0]
+            i += 8
+        elif wt == 2:
+            ln, i = _uvarint(buf, i)
+            if i + ln > n:
+                raise ValueError("truncated bytes field")
+            yield field, wt, buf[i:i + ln]
+            i += ln
+        elif wt == 5:
+            if i + 4 > n:
+                raise ValueError("truncated fixed32")
+            yield field, wt, struct.unpack_from("<I", buf, i)[0]
+            i += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def _packed_svarints(v: object, wt: int) -> list[int]:
+    """Packed (length-delimited) or single unpacked sint64 → zigzag ints."""
+    if wt == 2:
+        out = []
+        i = 0
+        buf: bytes = v  # type: ignore[assignment]
+        while i < len(buf):
+            u, i = _uvarint(buf, i)
+            out.append(_unzigzag(u))
+        return out
+    return [_unzigzag(int(v))]  # type: ignore[arg-type]
+
+
+def _packed_doubles(v: object, wt: int) -> list[float]:
+    if wt == 2:
+        buf: bytes = v  # type: ignore[assignment]
+        if len(buf) % 8:
+            raise ValueError("packed doubles not a multiple of 8")
+        return list(struct.unpack(f"<{len(buf) // 8}d", buf))
+    return [float(v)]  # type: ignore[arg-type]
+
+
+# ---------------------------------------------------------- decode side
+
+
+def _decode_label(buf: bytes) -> dict:
+    name = value = ""
+    for f, wt, v in _fields(buf):
+        if f == 1 and wt == 2:
+            name = v.decode("utf-8")
+        elif f == 2 and wt == 2:
+            value = v.decode("utf-8")
+    return {"name": name, "value": value}
+
+
+def _decode_sample(buf: bytes) -> dict:
+    out = {"timestamp": 0, "value": 0.0}
+    for f, wt, v in _fields(buf):
+        if f == 1 and wt == 1:
+            out["value"] = v
+        elif f == 2 and wt == 0:
+            out["timestamp"] = _to_int64(v)
+    return out
+
+
+def _decode_exemplar(buf: bytes) -> dict:
+    out = {"labels": [], "value": 0.0, "timestamp": 0}
+    for f, wt, v in _fields(buf):
+        if f == 1 and wt == 2:
+            out["labels"].append(_decode_label(v))
+        elif f == 2 and wt == 1:
+            out["value"] = v
+        elif f == 3 and wt == 0:
+            out["timestamp"] = _to_int64(v)
+    return out
+
+
+def _decode_span(buf: bytes) -> dict:
+    out = {"offset": 0, "length": 0}
+    for f, wt, v in _fields(buf):
+        if f == 1 and wt == 0:
+            out["offset"] = _unzigzag(v)
+        elif f == 2 and wt == 0:
+            out["length"] = v
+    return out
+
+
+def _decode_histogram(buf: bytes) -> dict:
+    out = {
+        "timestamp": 0, "count_int": None, "count_float": None, "sum": 0.0,
+        "schema": 0, "zero_threshold": 0.0, "zero_count_int": None,
+        "zero_count_float": None, "positive_spans": [],
+        "positive_deltas": [], "positive_counts": [],
+        "negative_spans": [], "negative_deltas": [], "negative_counts": [],
+    }
+    for f, wt, v in _fields(buf):
+        if f == 1 and wt == 0:
+            out["count_int"] = v
+        elif f == 2 and wt == 1:
+            out["count_float"] = v
+        elif f == 3 and wt == 1:
+            out["sum"] = v
+        elif f == 4 and wt == 0:
+            out["schema"] = _unzigzag(v)
+        elif f == 5 and wt == 1:
+            out["zero_threshold"] = v
+        elif f == 6 and wt == 0:
+            out["zero_count_int"] = v
+        elif f == 7 and wt == 1:
+            out["zero_count_float"] = v
+        elif f == 8 and wt == 2:
+            out["negative_spans"].append(_decode_span(v))
+        elif f == 9:
+            out["negative_deltas"].extend(_packed_svarints(v, wt))
+        elif f == 10:
+            out["negative_counts"].extend(_packed_doubles(v, wt))
+        elif f == 11 and wt == 2:
+            out["positive_spans"].append(_decode_span(v))
+        elif f == 12:
+            out["positive_deltas"].extend(_packed_svarints(v, wt))
+        elif f == 13:
+            out["positive_counts"].extend(_packed_doubles(v, wt))
+        elif f == 15 and wt == 0:
+            out["timestamp"] = _to_int64(v)
+        # field 14 (reset_hint) intentionally skipped
+    return out
+
+
+def _decode_timeseries(buf: bytes) -> dict:
+    out = {"labels": [], "samples": [], "histograms": [], "exemplars": []}
+    for f, wt, v in _fields(buf):
+        if wt != 2:
+            continue
+        if f == 1:
+            out["labels"].append(_decode_label(v))
+        elif f == 2:
+            out["samples"].append(_decode_sample(v))
+        elif f == 3:
+            out["exemplars"].append(_decode_exemplar(v))
+        elif f == 4:
+            out["histograms"].append(_decode_histogram(v))
+    return out
+
+
+def decode_write_request(data: bytes) -> list[dict]:
+    """Uncompressed ``WriteRequest`` protobuf → list of TimeSeries dicts
+    shaped like ``REMOTE_WRITE_TIMESERIES_SCHEMA`` rows.  Unknown fields
+    (metadata, future additions) are skipped per protobuf rules."""
+    return [_decode_timeseries(v)
+            for f, wt, v in _fields(data) if f == 1 and wt == 2]
+
+
+# ---------------------------------------------------------------- snappy
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Snappy BLOCK format (what Go's ``snappy.Encode`` — and therefore
+    every remote-write sender — produces): the uncompressed length is the
+    leading varint preamble; pyarrow's snappy codec (already shipped for
+    Parquet) does the body."""
+    import pyarrow as pa
+
+    n, _ = _uvarint(data, 0)
+    return pa.Codec("snappy").decompress(data, n).to_pybytes()
+
+
+def snappy_compress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    buf = pa.Codec("snappy").compress(data)
+    return buf.to_pybytes() if hasattr(buf, "to_pybytes") else bytes(buf)
+
+
+# ---------------------------------------------------------- encode side
+
+
+def _msg(field: int, body: bytes) -> bytes:
+    return _enc_uvarint(field << 3 | 2) + _enc_uvarint(len(body)) + body
+
+
+def _enc_varint_field(field: int, v: int) -> bytes:
+    return _enc_uvarint(field << 3 | 0) + _enc_uvarint(v)
+
+
+def _enc_double_field(field: int, v: float) -> bytes:
+    return _enc_uvarint(field << 3 | 1) + struct.pack("<d", float(v))
+
+
+def _enc_label(d: dict) -> bytes:
+    return (_msg(1, str(d["name"]).encode("utf-8"))
+            + _msg(2, str(d["value"]).encode("utf-8")))
+
+
+def _enc_sample(d: dict) -> bytes:
+    return (_enc_double_field(1, d["value"])
+            + _enc_varint_field(2, int(d["timestamp"])))
+
+
+def _enc_exemplar(d: dict) -> bytes:
+    out = b"".join(_msg(1, _enc_label(l)) for l in (d.get("labels") or []))
+    out += _enc_double_field(2, d["value"])
+    out += _enc_varint_field(3, int(d["timestamp"]))
+    return out
+
+
+def _enc_span(d: dict) -> bytes:
+    return (_enc_varint_field(1, _zigzag(int(d["offset"])))
+            + _enc_varint_field(2, int(d["length"])))
+
+
+def _enc_packed_svarints(field: int, vals) -> bytes:
+    body = b"".join(_enc_uvarint(_zigzag(int(v))) for v in vals)
+    return _msg(field, body)
+
+
+def _enc_packed_doubles(field: int, vals) -> bytes:
+    return _msg(field, struct.pack(f"<{len(vals)}d", *map(float, vals)))
+
+
+def _enc_histogram(d: dict) -> bytes:
+    out = bytearray()
+    if d.get("count_int") is not None:
+        out += _enc_varint_field(1, int(d["count_int"]))
+    if d.get("count_float") is not None:
+        out += _enc_double_field(2, d["count_float"])
+    out += _enc_double_field(3, d.get("sum") or 0.0)
+    out += _enc_varint_field(4, _zigzag(int(d.get("schema") or 0)))
+    out += _enc_double_field(5, d.get("zero_threshold") or 0.0)
+    if d.get("zero_count_int") is not None:
+        out += _enc_varint_field(6, int(d["zero_count_int"]))
+    if d.get("zero_count_float") is not None:
+        out += _enc_double_field(7, d["zero_count_float"])
+    for s in d.get("negative_spans") or []:
+        out += _msg(8, _enc_span(s))
+    if d.get("negative_deltas") is not None and len(d["negative_deltas"]):
+        out += _enc_packed_svarints(9, d["negative_deltas"])
+    if d.get("negative_counts") is not None and len(d["negative_counts"]):
+        out += _enc_packed_doubles(10, d["negative_counts"])
+    for s in d.get("positive_spans") or []:
+        out += _msg(11, _enc_span(s))
+    if d.get("positive_deltas") is not None and len(d["positive_deltas"]):
+        out += _enc_packed_svarints(12, d["positive_deltas"])
+    if d.get("positive_counts") is not None and len(d["positive_counts"]):
+        out += _enc_packed_doubles(13, d["positive_counts"])
+    out += _enc_varint_field(15, int(d.get("timestamp") or 0))
+    return bytes(out)
+
+
+def _enc_timeseries(ts: dict) -> bytes:
+    out = bytearray()
+    for l in ts.get("labels") or []:
+        out += _msg(1, _enc_label(l))
+    for s in ts.get("samples") or []:
+        out += _msg(2, _enc_sample(s))
+    for e in ts.get("exemplars") or []:
+        out += _msg(3, _enc_exemplar(e))
+    for h in ts.get("histograms") or []:
+        out += _msg(4, _enc_histogram(h))
+    return bytes(out)
+
+
+def encode_write_request(timeseries: list[dict], compress: bool = True
+                         ) -> bytes:
+    """TimeSeries dicts (``REMOTE_WRITE_TIMESERIES_SCHEMA`` shape) → one
+    wire ``WriteRequest`` payload, snappy-compressed by default — exactly
+    what a remote-write sender POSTs."""
+    raw = b"".join(_msg(1, _enc_timeseries(ts)) for ts in timeseries)
+    return snappy_compress(raw) if compress else raw
+
+
+# ------------------------------------------------------ DataFrame seams
+
+
+def timeseries_from_prompb(df: DataFrame, bytes_col: str = "payload",
+                           compressed: bool = True,
+                           on_error: str = "drop") -> DataFrame:
+    """BINARY remote-write POST bodies → ``REMOTE_WRITE_TIMESERIES_SCHEMA``
+    rows, Arrow-batched ``mapInPandas`` (one Python pass per batch; the
+    decode is per-payload independent, so it scales with input partitions
+    — no shuffle, no driver involvement).  Feed the output to
+    ``loaders.rows_from_remote_write`` / ``exemplars_from_remote_write`` /
+    ``native_hist.histograms_from_remote_write``.
+
+    ``on_error``: ``"drop"`` skips undecodable payloads (the documented
+    try_cast→null posture of the text codecs); ``"raise"`` propagates —
+    use in tests and validation sweeps."""
+    if on_error not in ("drop", "raise"):
+        raise ValueError("on_error must be 'drop' or 'raise'")
+
+    def batches(it):
+        import pandas as pd
+
+        cols = ["labels", "samples", "histograms", "exemplars"]
+        for pdf in it:
+            rows: list[dict] = []
+            for payload in pdf[bytes_col]:
+                if payload is None:
+                    continue
+                try:
+                    raw = bytes(payload)
+                    if compressed:
+                        raw = snappy_decompress(raw)
+                    rows.extend(decode_write_request(raw))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(bytes_col).mapInPandas(
+        batches, REMOTE_WRITE_TIMESERIES_SCHEMA)
+
+
+def prompb_from_timeseries(df: DataFrame, compress: bool = True,
+                           series_per_request: int = 500) -> DataFrame:
+    """``REMOTE_WRITE_TIMESERIES_SCHEMA`` rows → wire ``WriteRequest``
+    payloads (column ``payload binary``), chunked at
+    ``series_per_request`` series per payload — real receivers cap POST
+    body sizes, and bounded chunks keep any single Python encode call
+    O(chunk) regardless of partition size.  Arrow-batched ``mapInPandas``
+    like the decode side; payload grouping is per-partition (no shuffle),
+    so payload membership is nondeterministic across runs but the DECODED
+    multiset is always the identity."""
+
+    # to_remote_write / exemplars_to_remote_write emit only the fields
+    # they carry — absent message fields are simply not on the wire
+    present = [c for c in ("labels", "samples", "histograms", "exemplars")
+               if c in df.columns]
+
+    def _cell(r: dict, k: str) -> list:
+        v = r.get(k)
+        if v is None or (isinstance(v, float) and v != v):  # None/NaN cell
+            return []
+        return [_plain(x) for x in v]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            records = pdf.to_dict("records")
+            payloads = []
+            for i in range(0, len(records), series_per_request):
+                chunk = [{k: _cell(r, k) for k in present}
+                         for r in records[i:i + series_per_request]]
+                payloads.append(encode_write_request(chunk, compress))
+            yield pd.DataFrame({"payload": payloads}, columns=["payload"])
+
+    return df.select(*present).mapInPandas(batches, "payload binary")
+
+
+def _plain(v):
+    """Arrow→pandas yields dicts for structs and numpy arrays for lists;
+    normalize one struct-ish value to a plain dict of plain values."""
+    if v is None:
+        return None
+    d = v if isinstance(v, dict) else v.asDict(recursive=True)
+    out = {}
+    for k, x in d.items():
+        if x is None or isinstance(x, (str, int, float, bytes)):
+            out[k] = x
+        elif isinstance(x, dict):
+            out[k] = x
+        else:  # list / numpy array of scalars or structs
+            out[k] = [_plain(e) if isinstance(e, dict) or hasattr(e, "asDict")
+                      else e for e in x]
+    return out

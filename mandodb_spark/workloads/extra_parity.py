@@ -3123,3 +3123,35 @@ def x_openmetrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["x_openmetrics_roundtrip"] = x_openmetrics_roundtrip
 ORACLES["x_openmetrics_roundtrip"] = _remote_write_roundtrip_sql()
+
+
+def x_prompb_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-write WIRE round trip (sources/prompb.py): the events TSDB
+    relation shaped to prompb ``TimeSeries`` rows, ENCODED to actual
+    snappy-compressed protobuf ``WriteRequest`` payload bytes
+    (prompb_from_timeseries, Arrow-batched mapInPandas, chunked at 500
+    series/POST like a real sender), decoded back from the bytes
+    (timeseries_from_prompb — hand-rolled varint/length-delimited framing
+    of the public prompb wire format) and unfolded to rows — must be the
+    identity; oracle is the raw relation.  Completes the scrape loop the
+    struct-shaped x_remote_write_roundtrip pins: this one crosses the
+    real wire encoding, not just the message shape."""
+    from ..sources.loaders import rows_from_remote_write, to_remote_write
+    from ..sources.prompb import prompb_from_timeseries, timeseries_from_prompb
+    from .common import EV_END, EV_START, events_relation
+
+    rel = events_relation(spark, sf_dir, EV_START, EV_END).select(
+        "labels", "ts", "value")
+    wire = prompb_from_timeseries(to_remote_write(rel))
+    back = rows_from_remote_write(timeseries_from_prompb(wire))
+    return back.select(
+        F.col("metric"),
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    ).orderBy("metric", "user", "k", "ts", "value")
+
+
+QUERIES["x_prompb_wire_roundtrip"] = x_prompb_wire_roundtrip
+ORACLES["x_prompb_wire_roundtrip"] = _remote_write_roundtrip_sql()

@@ -1129,3 +1129,204 @@ def test_openmetrics_exemplar_default_ts(spark):
     got = exemplars_from_openmetrics(df, default_ts=1700000999).collect()
     assert [(r.ts, r.value, dict(r.exemplar)) for r in got] == [
         (1700000999, 0.43, {"trace_id": "abc"})]
+
+
+# ---------------------------------------------------- prompb wire codec
+
+def test_prompb_pure_codec_round_trip():
+    """encode_write_request → decode_write_request is the identity on
+    every message kind (labels, samples, exemplars, both histogram
+    flavors), compressed and raw — no Spark involved."""
+    from mandodb_spark.sources import prompb
+
+    ts = [{
+        "labels": [{"name": "__name__", "value": "http_req"},
+                   {"name": "job", "value": "api"}],
+        "samples": [{"timestamp": 1700000000123, "value": 3.5},
+                    {"timestamp": 1700000060000, "value": float("inf")}],
+        "exemplars": [{"labels": [{"name": "trace_id", "value": "abc"}],
+                       "value": 0.43, "timestamp": 1700000000500}],
+        "histograms": [{
+            "timestamp": 1700000000000, "count_int": 12,
+            "count_float": None, "sum": 99.5, "schema": 3,
+            "zero_threshold": 1e-128, "zero_count_int": 2,
+            "zero_count_float": None,
+            "positive_spans": [{"offset": 0, "length": 2},
+                               {"offset": -3, "length": 1}],
+            "positive_deltas": [4, -2, 1], "positive_counts": [],
+            "negative_spans": [], "negative_deltas": [],
+            "negative_counts": [1.5, 2.25]}],
+    }, {
+        "labels": [{"name": "__name__", "value": "up"}],
+        "samples": [{"timestamp": 1700000000000, "value": 1.0}],
+        "exemplars": [],
+        "histograms": [{
+            "timestamp": 1700000001000, "count_int": None,
+            "count_float": 7.5, "sum": -1.25, "schema": -2,
+            "zero_threshold": 0.001, "zero_count_int": None,
+            "zero_count_float": 0.5,
+            "positive_spans": [{"offset": 1, "length": 1}],
+            "positive_deltas": [], "positive_counts": [4.5],
+            "negative_spans": [], "negative_deltas": [],
+            "negative_counts": []}],
+    }]
+    for compress in (True, False):
+        data = prompb.encode_write_request(ts, compress=compress)
+        raw = prompb.snappy_decompress(data) if compress else data
+        back = prompb.decode_write_request(raw)
+        assert back == ts
+
+
+def test_prompb_decoder_skips_unknown_fields_and_unpacked_repeats():
+    """Protobuf wire rules: unknown fields (WriteRequest.metadata = 3)
+    are skipped; repeated scalars are accepted UNPACKED as well as
+    packed (both are legal on the wire)."""
+    from mandodb_spark.sources import prompb
+    from mandodb_spark.sources.prompb import (
+        _enc_double_field,
+        _enc_uvarint,
+        _enc_varint_field,
+        _msg,
+        _zigzag,
+    )
+
+    label = _msg(1, b"\x0a\x08__name__\x12\x01m")  # Label{__name__, m}
+    # Histogram with UNPACKED positive_deltas (field 12, wire type 0 each)
+    hist = (_enc_varint_field(1, 3) + _enc_double_field(3, 1.0)
+            + _enc_varint_field(4, _zigzag(0)) + _enc_double_field(5, 0.0)
+            + _msg(11, _enc_varint_field(1, _zigzag(0))
+                   + _enc_varint_field(2, 2))
+            + _enc_varint_field(12, _zigzag(2))
+            + _enc_varint_field(12, _zigzag(-1))
+            + _enc_varint_field(15, 1700000000000))
+    series = label + _msg(4, hist)
+    payload = (_msg(1, series)
+               + _msg(3, b"arbitrary-metadata-bytes"))  # unknown field
+    out = prompb.decode_write_request(payload)
+    assert len(out) == 1
+    h = out[0]["histograms"][0]
+    assert h["positive_deltas"] == [2, -1]
+    assert h["count_int"] == 3 and h["timestamp"] == 1700000000000
+
+
+def test_prompb_property_round_trip():
+    """Property: any label/sample/timestamp combination survives
+    bytes → rows → bytes → rows (the varint/zigzag/fixed64 framing has
+    no value-dependent corners)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mandodb_spark.sources import prompb
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8)
+    label = st.fixed_dictionaries(
+        {"name": name, "value": st.text(max_size=12)})
+    sample = st.fixed_dictionaries({
+        "timestamp": st.integers(min_value=-(2**62), max_value=2**62),
+        "value": st.floats(allow_nan=False)})
+    series = st.fixed_dictionaries({
+        "labels": st.lists(label, max_size=4),
+        "samples": st.lists(sample, max_size=4),
+        "exemplars": st.just([]), "histograms": st.just([])})
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(series, max_size=4))
+    def check(ts):
+        data = prompb.encode_write_request(ts, compress=True)
+        assert prompb.decode_write_request(
+            prompb.snappy_decompress(data)) == ts
+
+    check()
+
+
+def test_prompb_spark_round_trip_samples(spark):
+    """rows → to_remote_write → WIRE BYTES → timeseries_from_prompb →
+    rows_from_remote_write is the identity on canonical rows: the full
+    scrape→store loop over actual snappy-compressed protobuf payloads,
+    executor-side both ways (mapInPandas seams)."""
+    from mandodb_spark.model import ROW_SCHEMA, canonicalize
+    from mandodb_spark.sources import prompb
+    from mandodb_spark.sources.loaders import (
+        rows_from_remote_write,
+        to_remote_write,
+    )
+
+    rows = [("m%d" % (i % 5), {"app": "a%d" % (i % 3), "q": 'x"y\\z'},
+             1_700_000_000 + i, float(i)) for i in range(300)]
+    rel = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    wire = prompb.prompb_from_timeseries(
+        to_remote_write(rel), series_per_request=4)
+    assert wire.schema.simpleString() == "struct<payload:binary>"
+    back = rows_from_remote_write(prompb.timeseries_from_prompb(wire))
+    got = {(r.metric, tuple(sorted(r.labels.items())), r.ts, r.value)
+           for r in back.collect()}
+    want = {(r.labels["__name__"],
+             tuple(sorted((k, v) for k, v in r.labels.items()
+                          if k != "__name__")),
+             r.ts, r.value) for r in rel.collect()}
+    assert got == want
+
+
+def test_prompb_spark_round_trip_histograms_and_exemplars(spark):
+    """Native histograms and exemplars survive the wire: shaper →
+    payload bytes → decode → shaper-inverse preserves bucket maps,
+    zero counts and exemplar label maps."""
+    from mandodb_spark.functions import native_hist as nh
+    from mandodb_spark.sources import prompb
+    from mandodb_spark.sources.loaders import (
+        exemplars_from_remote_write,
+        exemplars_to_remote_write,
+    )
+
+    obs = spark.createDataFrame(
+        [("lat", {"app": "x"}, 3600 + i, float(i % 7))
+         for i in range(40)],
+        "metric string, labels map<string,string>, ts long, value double")
+    hrel = nh.observe_histograms(obs.withColumn("ts", obs.ts - obs.ts % 3600))
+    wire = prompb.prompb_from_timeseries(nh.histograms_to_remote_write(hrel))
+    hback = nh.histograms_from_remote_write(
+        prompb.timeseries_from_prompb(wire))
+    def key(name, lbls, r):
+        return (name,
+                tuple(sorted((k, v) for k, v in lbls.items()
+                             if k != "__name__")),
+                r.ts, r.hist["count"], r.hist["sum"],
+                r.hist["zero_count"], r.hist["schema"],
+                tuple(sorted((r.hist.pos or {}).items())),
+                tuple(sorted((r.hist.neg or {}).items())))
+
+    a = {key(r.labels["__name__"], r.labels, r) for r in hrel.collect()}
+    b = {key(r.metric, r.labels, r) for r in hback.collect()}
+    assert a == b and len(a) > 0
+
+    ex = spark.createDataFrame(
+        [({"__name__": "lat", "app": "x"}, 100 + i, float(i),
+          {"trace_id": "t%d" % i}) for i in range(10)],
+        "labels map<string,string>, ts long, value double, "
+        "exemplar map<string,string>")
+    ewire = prompb.prompb_from_timeseries(exemplars_to_remote_write(ex))
+    eback = exemplars_from_remote_write(
+        prompb.timeseries_from_prompb(ewire))
+    got = {(r.ts, r.value, tuple(sorted(r.exemplar.items())))
+           for r in eback.collect()}
+    assert got == {(100 + i, float(i), (("trace_id", "t%d" % i),))
+                   for i in range(10)}
+
+
+def test_prompb_undecodable_payload_policy(spark):
+    """Garbage payloads drop by default (the codecs' try_cast→null
+    posture) and raise under on_error='raise'."""
+    import pytest
+
+    from mandodb_spark.sources import prompb
+
+    good = prompb.encode_write_request(
+        [{"labels": [{"name": "__name__", "value": "m"}],
+          "samples": [{"timestamp": 1000, "value": 1.0}]}])
+    df = spark.createDataFrame(
+        [(good,), (b"\xff\xfe not snappy",), (None,)], "payload binary")
+    out = prompb.timeseries_from_prompb(df)
+    assert out.count() == 1
+    with pytest.raises(Exception):
+        prompb.timeseries_from_prompb(df, on_error="raise").count()

@@ -220,40 +220,53 @@ def observe_histograms(
     return assembled.select("labels", "ts", hist.alias("hist"), "series_key")
 
 
+def _bucket_entries(hist: Column) -> Column:
+    """All of one histogram's buckets as ONE array of (sign, idx, cnt)
+    structs — pos (+1), neg (−1) and the zero bucket (0) fused so a
+    single ``explode`` yields the long format without re-referencing the
+    input plan per sign."""
+    def entry(sign: Column, idx: Column, cnt: Column) -> Column:
+        return F.struct(sign.cast("int").alias("sign"),
+                        idx.cast("int").alias("idx"),
+                        cnt.cast("double").alias("cnt"))
+
+    def side(field: Column, sign: int) -> Column:
+        return F.transform(
+            F.map_entries(F.coalesce(field, _empty_buckets())),
+            lambda e: entry(F.lit(sign), e["key"], e["value"]))
+
+    zero = F.when(
+        hist["zero_count"] > 0,
+        F.array(entry(F.lit(0), F.lit(0), hist["zero_count"])),
+    ).otherwise(F.array().cast("array<struct<sign:int,idx:int,cnt:double>>"))
+    return F.concat(side(hist["pos"], 1), side(hist["neg"], -1), zero)
+
+
 def buckets_long(rel: DataFrame, *extra_cols: str) -> DataFrame:
     """Explode histogram samples into the canonical long format:
     ``(series_key, ts, schema, zero_threshold, sign, idx, cnt)`` with one
-    row per non-empty bucket (sign -1 / 0 / +1).  One narrow ``explode``
-    per sign — no shuffle; everything downstream of this module aggregates
-    this relation.  ``extra_cols`` are carried through verbatim."""
+    row per non-empty bucket (sign -1 / 0 / +1).  ONE explode over the
+    fused (sign, idx, cnt) entry array — no shuffle, and crucially the
+    input plan is referenced exactly ONCE: the earlier
+    union-of-three-projections shape re-derived the whole upstream
+    subtree per sign, which tripled the exchange count whenever ``rel``
+    was itself a grid evaluation (VERDICT r10 item 2).  ``extra_cols``
+    are carried through verbatim."""
     rel = _ensure_series_key(rel)
     base = ["series_key", "ts", *extra_cols]
     meta = [
         F.col("hist.schema").alias("schema"),
         F.col("hist.zero_threshold").alias("zero_threshold"),
     ]
-
-    def side(field: str, sign: int) -> DataFrame:
-        return (
-            rel.select(*base, *meta, F.explode(f"hist.{field}").alias("idx", "cnt"))
-            .withColumn("sign", F.lit(sign))
-        )
-
-    zero = (
-        rel.filter(F.col("hist.zero_count") > 0)
-        .select(
-            *base,
-            *meta,
-            F.lit(0).alias("idx"),
-            F.col("hist.zero_count").alias("cnt"),
-        )
-        .withColumn("sign", F.lit(0))
-    )
-    cols = [*base, "schema", "zero_threshold", "sign", "idx", "cnt"]
+    entries = _bucket_entries(F.col("hist"))
     return (
-        side("pos", 1).select(*cols)
-        .unionByName(side("neg", -1).select(*cols))
-        .unionByName(zero.select(*cols))
+        rel.select(*base, *meta, F.explode(entries).alias("__b"))
+        .select(
+            *base, "schema", "zero_threshold",
+            F.col("__b.sign").alias("sign"),
+            F.col("__b.idx").alias("idx"),
+            F.col("__b.cnt").alias("cnt"),
+        )
         .filter(F.col("cnt") > 0)
     )
 
@@ -409,10 +422,13 @@ def hist_quantile(rel: DataFrame, q: float,
 
     Plan: one explode + two window passes keyed per (series, ts) — bucket
     counts per histogram are schema-bounded constants, so the windows are
-    O(1) state per key; no UDF anywhere."""
+    O(1) state per key; no UDF anywhere.  ``labels`` ride through the
+    explode instead of being joined back from the input (a second input
+    reference would re-derive the whole upstream plan — ruinous when the
+    input is a grid evaluation; VERDICT r10 item 2)."""
     rel = _ensure_series_key(rel)
     keys = ["series_key", "ts", *extra_keys]
-    ex = buckets_long(rel, *extra_keys)
+    ex = buckets_long(rel, "labels", *extra_keys)
     if q < 0 or q > 1:
         edge = float("-inf") if q < 0 else float("inf")
         return rel.select(
@@ -447,10 +463,8 @@ def hist_quantile(rel: DataFrame, q: float,
         .when(F.col("sign") == -1, neg_val)
         .otherwise(zero_val)
     )
-    out = hit.select(*keys, value.alias("value"))
-    reps = rel.select(*keys, "labels")
-    return out.join(reps, keys).select("series_key", "labels", *(
-        k for k in keys if k != "series_key"), "value")
+    return hit.select("series_key", "labels", *(
+        k for k in keys if k != "series_key"), value.alias("value"))
 
 
 def hist_fraction(rel: DataFrame, lo: float, hi: float,
@@ -461,10 +475,12 @@ def hist_fraction(rel: DataFrame, lo: float, hi: float,
     exponential buckets — the in-bucket CDF position of x is
     ``log2(x/lower)/log2(upper/lower)`` — linear in the zero bucket), so
     ``histogram_fraction(-Inf, histogram_quantile(q, h), h) == q`` holds
-    by construction.  One explode + one hash aggregate per (series, ts)."""
+    by construction.  One explode + one hash aggregate per (series, ts);
+    labels carried through the explode (single input reference, like
+    :func:`hist_quantile`)."""
     rel = _ensure_series_key(rel)
     keys = ["series_key", "ts", *extra_keys]
-    ex = buckets_long(rel, *extra_keys)
+    ex = buckets_long(rel, "labels", *extra_keys)
     wg = Window.partitionBy(*keys)
     ex = ex.withColumn("__has_neg", F.max(F.col("sign") == -1).over(wg))
     inv_scale = F.lit(1.0) / _pow2(F.col("schema").cast("double"))
@@ -505,18 +521,15 @@ def hist_fraction(rel: DataFrame, lo: float, hi: float,
         (bu <= lo_c) | (bl >= hi_c), F.lit(0.0)
     ).otherwise(cdf_pos(hi_c) - cdf_pos(lo_c))
     agg = ex.groupBy(*keys).agg(
+        F.any_value("labels").alias("labels"),
         F.sum(F.col("cnt") * weight).alias("__in"),
         F.sum("cnt").alias("__total"),
     )
-    reps = rel.select(*keys, "labels")
-    return (
-        agg.join(reps, keys)
-        .select(
-            "series_key",
-            "labels",
-            *(k for k in keys if k != "series_key"),
-            (F.col("__in") / F.col("__total")).alias("value"),
-        )
+    return agg.select(
+        "series_key",
+        "labels",
+        *(k for k in keys if k != "series_key"),
+        (F.col("__in") / F.col("__total")).alias("value"),
     )
 
 
@@ -581,14 +594,32 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
     carried = ["series_key", "ts", "__prev_ts", "__next_ts", "__smin",
                "__c", "__pc", "__z", "__pz"]
 
-    def side(field: str, sign: int) -> DataFrame:
-        return base.select(
+    # ONE explode over the fused ± entry array: referencing `base` once
+    # per sign would duplicate the whole window-function subtree in every
+    # consumer's plan (VERDICT r10 item 2 — the grid queries audited at
+    # 47/74 exchanges largely from this and the buckets_long triple).
+    def sided(field: str, sign: int) -> Column:
+        return F.transform(
+            F.map_entries(F.coalesce(F.col(f"hist.{field}"),
+                                     _empty_buckets())),
+            lambda e: F.struct(
+                F.lit(sign).cast("int").alias("sign"),
+                e["key"].cast("int").alias("idx"),
+                e["value"].cast("double").alias("cnt")))
+
+    ex = (
+        base.select(
             *carried,
             F.col("__schema").alias("schema"),
-            F.explode(f"hist.{field}").alias("idx", "cnt"),
-        ).withColumn("sign", F.lit(sign))
-
-    ex = side("pos", 1).unionByName(side("neg", -1)).filter(F.col("cnt") > 0)
+            F.explode(F.concat(sided("pos", 1), sided("neg", -1))
+                      ).alias("__b"),
+        )
+        .select(*carried, "schema",
+                F.col("__b.sign").alias("sign"),
+                F.col("__b.idx").alias("idx"),
+                F.col("__b.cnt").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
     down = _pow2((F.col("schema") - F.col("__smin")).cast("double"))
     ex = (
         ex.withColumn("idx", F.ceil(F.col("idx").cast("double") / down).cast("int"))
@@ -620,14 +651,24 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
         # disappearance counts as a drop; the vanish is detected on the
         # bucket's own row via its next-appearance lead vs the series'
         # next sample ts, and attributed to that next sample)
-        cur_drop = exl.filter(F.col("cnt") < F.col("__aligned_prev")).select(
-            "series_key", "ts")
-        vanish = exl.filter(
-            F.col("__next_ts").isNotNull()
-            & (F.col("__bnts").isNull() | (F.col("__bnts") != F.col("__next_ts")))
-        ).select("series_key", F.col("__next_ts").alias("ts"))
-        drops = (cur_drop.unionByName(vanish).distinct()
-                 .withColumn("__bdrop", F.lit(True)))
+        # one pass over exl (not a union of two filtered projections —
+        # that would re-derive the bucket-window subtree twice): each
+        # bucket row contributes its own ts on a shrink and __next_ts on
+        # a vanish, exploded then deduped
+        drop_ts = F.array(
+            F.when(F.col("cnt") < F.col("__aligned_prev"), F.col("ts")),
+            F.when(
+                F.col("__next_ts").isNotNull()
+                & (F.col("__bnts").isNull()
+                   | (F.col("__bnts") != F.col("__next_ts"))),
+                F.col("__next_ts")),
+        )
+        drops = (
+            exl.select("series_key", F.explode(drop_ts).alias("ts"))
+            .filter(F.col("ts").isNotNull())
+            .distinct()
+            .withColumn("__bdrop", F.lit(True))
+        )
 
         def with_reset(df: DataFrame) -> DataFrame:
             return df.join(drops, ["series_key", "ts"], "left").withColumn(
@@ -773,7 +814,8 @@ def hist_delta(rel: DataFrame, start: int, end: int) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def hist_sum_by(rel: DataFrame, by: list[str] | None,
-                group_ts: bool = True, mean: bool = False) -> DataFrame:
+                group_ts: bool = True, mean: bool = False,
+                extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """``sum by (labels) (h)`` over histogram vectors: element-wise
     histogram addition per group (and per ts when ``group_ts``).  Mixed
     schemas downscale to the group's coarsest before the bucket merge
@@ -784,7 +826,9 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
     ``by=None`` keeps the FULL label set as the group — the partial-merge
     form (see :func:`hist_merge_partials`).  ``mean=True`` divides every
     component by the group's series count — PromQL's ``avg`` over
-    histogram vectors (sum / n, element-wise)."""
+    histogram vectors (sum / n, element-wise).  ``extra_keys`` are extra
+    group columns already on ``rel`` (carried into the output) — the grid
+    evaluator groups per eval point with them."""
     rel = _ensure_series_key(rel)
     if by is None:
         glabels = F.col("labels")
@@ -800,7 +844,7 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
     rel = rel.withColumn("__glabels", glabels).withColumn(
         "__gk", canonical_labels_json(F.col("__glabels"))
     )
-    keys = ["__gk"] + (["ts"] if group_ts else [])
+    keys = ["__gk", *extra_keys] + (["ts"] if group_ts else [])
     scalars = rel.select(
         *keys,
         F.col("__glabels").alias("labels"),
@@ -819,9 +863,12 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
         F.min("__schema").alias("schema"),
         F.count(F.lit(1)).cast("double").alias("__n"),
     )
-    gstats = scalars.groupBy(*keys).agg(
-        F.min("__schema").alias("__smin"), F.max("__zt").alias("__gzt"))
-    ex = buckets_long(rel, "__gk").filter(F.col("sign") != 0)
+    # group stats ride out of agg_scalars (schema=min, zero_threshold=max
+    # already) — a separate scalars pass would re-reference the input plan
+    gstats = agg_scalars.select(
+        *keys, F.col("schema").alias("__smin"),
+        F.col("zero_threshold").alias("__gzt"))
+    ex = buckets_long(rel, "__gk", *extra_keys).filter(F.col("sign") != 0)
     ex = ex.join(gstats, keys)
     down = _pow2((F.col("schema") - F.col("__smin")).cast("double"))
     ex = ex.withColumn(
@@ -878,10 +925,87 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
         F.transform_values(F.coalesce(F.col("__neg"), _empty_buckets()),
                            lambda _, v: v / div),
     )
-    out_cols = ["labels"] + (["ts"] if group_ts else []) + [hist.alias("hist")]
+    out_cols = (["labels", *extra_keys] + (["ts"] if group_ts else [])
+                + [hist.alias("hist")])
     return joined.select(*out_cols).withColumn(
         "series_key", series_key(F.col("labels"))
     )
+
+
+#: over-time aggregates defined for native-histogram windows (Prometheus:
+#: avg/sum produce a histogram, count a float, last the newest histogram;
+#: min/max/stddev/quantile skip histogram samples and stay undefined here).
+HIST_OVER_TIME = ("avg", "sum", "count", "last")
+
+
+def hist_over_time(rel: DataFrame, start: int, end: int,
+                   mode: str) -> DataFrame:
+    """``<mode>_over_time`` over a native-histogram window ``[start, end]``
+    (VERDICT r10 item 6 — histogram-valued subqueries under over-time
+    aggregates).  ``avg``/``sum`` are element-wise per series (mixed
+    schemas downscale, zero thresholds widen — :func:`hist_sum_by`'s
+    contract, reused verbatim with ``by=None``); ``count`` is the float
+    sample count; ``last`` the newest histogram sample.  Output stamped
+    ``ts = end``."""
+    if mode not in HIST_OVER_TIME:
+        raise ValueError(f"hist_over_time mode {mode!r}")
+    rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
+    if mode == "count":
+        return (
+            rel.groupBy("series_key")
+            .agg(F.any_value("labels").alias("labels"),
+                 F.count(F.lit(1)).cast("double").alias("value"))
+            .withColumn("ts", F.lit(int(end)).cast("long"))
+            .select("series_key", "labels", "ts", "value")
+        )
+    if mode == "last":
+        return (
+            rel.groupBy("series_key")
+            .agg(F.any_value("labels").alias("labels"),
+                 F.max_by("hist", F.col("ts")).alias("hist"))
+            .withColumn("ts", F.lit(int(end)).cast("long"))
+            .select("series_key", "labels", "ts", "hist")
+        )
+    out = hist_sum_by(rel, by=None, group_ts=False, mean=(mode == "avg"))
+    return out.withColumn("ts", F.lit(int(end)).cast("long")).select(
+        "series_key", "labels", "ts", "hist")
+
+
+def grid_hist_over_time(rel: DataFrame, start: int, end: int, window: int,
+                        step: int, mode: str) -> DataFrame:
+    """``<mode>_over_time(h[window])`` at every grid eval point over
+    histogram samples/pseudo-samples — the range-mode companion of
+    :func:`hist_over_time`.  Samples explode to their covering eval
+    points (``promql._grid_points``, fan-out capped like every grid
+    lowering), then ONE aggregation per (series, t): the
+    :func:`hist_sum_by` component merge keyed additionally by the eval
+    point for avg/sum, a plain hash aggregate for count/last."""
+    from .promql import _check_fanout, _grid_points
+
+    if mode not in HIST_OVER_TIME:
+        raise ValueError(f"grid_hist_over_time mode {mode!r}")
+    _check_fanout(window - 1, step, f"grid_hist_over_time({mode})")
+    rel = _ensure_series_key(rel).filter(
+        F.col("ts").between(start - window + 1, end))
+    covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
+    if mode == "count":
+        return (
+            covered.groupBy("series_key", "__t")
+            .agg(F.any_value("labels").alias("labels"),
+                 F.count(F.lit(1)).cast("double").alias("value"))
+            .select("series_key", "labels", F.col("__t").alias("ts"), "value")
+        )
+    if mode == "last":
+        return (
+            covered.groupBy("series_key", "__t")
+            .agg(F.any_value("labels").alias("labels"),
+                 F.max_by("hist", F.col("ts")).alias("hist"))
+            .select("series_key", "labels", F.col("__t").alias("ts"), "hist")
+        )
+    out = hist_sum_by(covered, by=None, group_ts=False,
+                      mean=(mode == "avg"), extra_keys=("__t",))
+    return out.select("series_key", "labels", F.col("__t").alias("ts"),
+                      "hist")
 
 
 # --------------------------------------------------------------------------

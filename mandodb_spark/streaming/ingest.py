@@ -349,3 +349,31 @@ def dedup_stream(rows: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .dropDuplicatesWithinWatermark(["__sk", "__ev"])
         .drop("__sk", "__ev")
     )
+
+
+class ExemplarSinkMaintainer:
+    """foreachBatch sink for EXEMPLARS: idempotent append into the TSDB's
+    exemplar sibling store — the streaming leg of the exemplar scrape
+    path (``sources/exemplar_store.py``; read side
+    ``TSDB.query_exemplars`` / ``to_api_exemplars``).
+
+    ``derive`` (optional) maps each micro-batch to
+    ``EXEMPLAR_ROW_SCHEMA`` rows — e.g. the exemplar suffix decode of a
+    scrape payload (``exemplars_from_openmetrics``) or the prompb wire
+    decode (``prompb.timeseries_from_prompb`` →
+    ``exemplars_from_remote_write``); with ``derive=None`` the batch must
+    already be exemplar rows.  At-least-once replays dedup against the
+    store on (series, ts) — the same first-write-wins contract as the nh
+    partial sink — and retention rides ``TSDB.remove_expires``, which
+    purges the exemplar sibling under the raw cutoff.  Chain from an
+    ingest ``foreachBatch`` like the other maintainers."""
+
+    def __init__(self, db, derive=None) -> None:
+        self.db = db
+        self.derive = derive
+        self.batches = 0
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        rows = self.derive(batch_df) if self.derive is not None else batch_df
+        self.db.insert_exemplars(rows, dedup_against_store=True)
+        self.batches += 1

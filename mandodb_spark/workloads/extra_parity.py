@@ -3155,3 +3155,107 @@ def x_prompb_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["x_prompb_wire_roundtrip"] = x_prompb_wire_roundtrip
 ORACLES["x_prompb_wire_roundtrip"] = _remote_write_roundtrip_sql()
+
+
+def x_promql_toplevel_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BARE top-level subquery as an instant query (round 11 — the lifted
+    delta): ``sum by (user) (click)[10d:1d]`` at EV_END returns the
+    Prometheus 'matrix' result — the inner aggregate evaluated once per
+    aligned daily step, (labels, ts, value) rows.  The oracle re-derives
+    each step's instant vector (newest sample per (user, k) series within
+    the lookback, summed over k) on the same absolute-aligned grid."""
+    from ..functions.promql_parser import eval_instant
+    from .common import EV_END
+    from .promql_q import _dedup_rel
+
+    out = eval_instant(_dedup_rel(spark, sf_dir),
+                       "sum by (user) (click)[10d:1d]", EV_END,
+                       lookback=86_399)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    ).orderBy("user", "ts")
+
+
+def _toplevel_subquery_sql() -> str:
+    from .common import EV_END, EV_START
+    from .promql_q import _DEDUP
+
+    return f"""{_DEDUP},
+grid AS (SELECT unnest(range({EV_START}, {EV_END} + 1, 86400)) AS t),
+nw AS (
+    SELECT g.t, d.user, d.k, max_by(d.value, d.ts) AS v
+    FROM grid g JOIN d
+      ON d.metric = 'click' AND d.ts BETWEEN g.t - 86399 AND g.t
+    GROUP BY 1, 2, 3)
+SELECT user, t AS ts, round(sum(v), 6) AS value
+FROM nw GROUP BY 1, 2 ORDER BY user, ts
+"""
+
+
+QUERIES["x_promql_toplevel_subquery"] = x_promql_toplevel_subquery
+ORACLES["x_promql_toplevel_subquery"] = _toplevel_subquery_sql()
+
+
+def x_promql_hist_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Over-time aggregate over a HISTOGRAM-valued subquery (round 11 —
+    the second lifted delta):
+    ``histogram_count(avg_over_time(increase(click_nh[10d:1d])[3d:1d]))``
+    at EV_END — the nested inner subquery yields daily cumulative
+    pseudo-samples, grid_hist_rate turns them into per-day 10d increases,
+    and hist_over_time component-averages the (up to 3) histogram points
+    per user.  The oracle replays the counter math scalar-side: per
+    (user, grid day t) the increase count = clicks in (first, last]
+    sampled day within (t−10d, t] (needs ≥2 sampled days), averaged over
+    the t's where it exists."""
+    from ..functions.promql_parser import eval_instant
+    from .common import EV_END
+
+    hist_rel = _nh_daily_rel(spark, sf_dir, keep_k=False)
+    empty = spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double")
+    out = eval_instant(
+        empty,
+        "histogram_count(avg_over_time(increase(click_nh[10d:1d])[3d:1d]))",
+        EV_END, hist_rel=hist_rel)
+    return out.select(
+        F.col("labels").getItem("user").alias("user"),
+        F.round("value", 6).alias("value"),
+    ).orderBy("user")
+
+
+def _hist_subquery_avg_sql() -> str:
+    from .common import EV_END, EV_START, TSDB_SQL_REL
+
+    w = 10 * 86_400
+    lo, hi = EV_END + 1 - 3 * 86_400, EV_END + 1 - 86_400
+    return f"""
+WITH rel AS ({TSDB_SQL_REL}),
+src0 AS (
+    SELECT user,
+           {EV_START} + CAST(floor((ts - {EV_START}) / 86400.0) AS BIGINT)
+               * 86400 AS day,
+           value
+    FROM rel
+    WHERE ts BETWEEN {EV_START} AND {EV_END} AND metric = 'click'
+),
+days AS (SELECT DISTINCT user, day FROM src0),
+grid AS (SELECT unnest(range({lo}, {hi} + 1, 86400)) AS t),
+sp AS (
+    SELECT g.t, d.user, min(d.day) AS d_lo, max(d.day) AS d_hi,
+           count(*) AS n
+    FROM grid g JOIN days d ON d.day > g.t - {w} AND d.day <= g.t
+    GROUP BY 1, 2),
+inc AS (
+    SELECT s.t, s.user, CAST(count(*) AS DOUBLE) AS c
+    FROM sp s JOIN src0 v
+      ON v.user = s.user AND v.day > s.d_lo AND v.day <= s.d_hi
+    WHERE s.n >= 2
+    GROUP BY 1, 2)
+SELECT user, round(avg(c), 6) AS value FROM inc GROUP BY user ORDER BY user
+"""
+
+
+QUERIES["x_promql_hist_subquery_avg"] = x_promql_hist_subquery_avg
+ORACLES["x_promql_hist_subquery_avg"] = _hist_subquery_avg_sql()

@@ -1260,9 +1260,10 @@ def test_hist_subquery_quantile_and_range_mode(subq_tsdb):
     assert all(r["value"] == 2.0 for r in rr)
 
 
-def test_hist_subquery_over_time_rejected(subq_tsdb):
-    """Over-time aggregates over histogram-valued subqueries raise the
-    documented PromqlError (only rate/increase/delta are defined)."""
+def test_hist_subquery_over_time_support_matrix(subq_tsdb):
+    """Round 11 lifted the r10 delta: avg/sum/count/last_over_time over
+    histogram-valued subqueries are DEFINED (Prometheus semantics);
+    everything else (min/max/stddev/...) still raises pointedly."""
     from mandodb_spark.functions.promql_parser import (
         PromqlError,
         eval_instant,
@@ -1270,9 +1271,19 @@ def test_hist_subquery_over_time_rejected(subq_tsdb):
     )
 
     hist_rel, empty = subq_tsdb
-    with pytest.raises(PromqlError, match="histogram-valued subquery"):
-        eval_instant(empty, "avg_over_time(h[500s:100s])", 600,
+    # cumulative counter sampled at 100..600: avg over the subquery's
+    # pseudo-points is histogram-valued; the component count at step t is
+    # the cumulative count t/100 observations
+    out = eval_instant(empty, "avg_over_time(h[500s:100s])", 600,
+                       hist_rel=hist_rel).collect()
+    assert len(out) == 1 and out[0]["hist"]["count"] == \
+        sum(range(2, 7)) / 5  # steps 200..600, cum counts 2..6
+    cnt = eval_instant(empty, "count_over_time(h[500s:100s])", 600,
+                       hist_rel=hist_rel).collect()
+    assert [r["value"] for r in cnt] == [5.0]
+    with pytest.raises(PromqlError, match="avg/sum/count/last"):
+        eval_instant(empty, "max_over_time(h[500s:100s])", 600,
                      hist_rel=hist_rel)
-    with pytest.raises(PromqlError, match="histogram-valued subquery"):
+    with pytest.raises(PromqlError, match="avg/sum/count/last"):
         eval_range(empty, "max_over_time(h[300s:100s])", 400, 600, 100,
                    hist_rel=hist_rel)

@@ -15,6 +15,7 @@ from mandodb_spark.functions import promql
 from mandodb_spark.functions.promql_parser import (
     PromqlError,
     eval_instant,
+    eval_range,
     parse,
     parse_duration,
     time_window,
@@ -248,9 +249,12 @@ def test_eval_errors(rel):
     with pytest.raises(PromqlError):
         eval_instant(rel, "rate(mem_bytes)", AT)          # missing [range]
     with pytest.raises(PromqlError):
-        eval_instant(rel, "mem_bytes[5m]", AT)            # bare range vector
+        eval_instant(rel, "abs(mem_bytes[5m])", AT)       # matrix arg
     with pytest.raises(PromqlError):
         eval_instant(rel, "nosuchfn(mem_bytes)", AT)
+    # a BARE range vector at the top level is legal since round 11
+    # (Prometheus matrix result) — 10 samples at 60s spacing in (300,600]
+    assert eval_instant(rel, "mem_bytes[5m]", AT).count() == 5
 
 
 # -------------------------------------------------------------- store-backed
@@ -1386,3 +1390,130 @@ def test_hist_scalar_division_by_zero(spark):
         "h / 0", 600, hist_rel=hist_rel).collect()
     assert len(out) == 1
     assert math.isinf(out[0]["hist"]["count"])
+
+
+# ------------------------------- top-level matrix results (VERDICT r10 #6)
+
+def test_bare_toplevel_subquery_and_range_selector(spark):
+    """A bare range selector or subquery at the TOP level of an instant
+    query returns the Prometheus 'matrix' result type — (labels, ts,
+    value) rows; range mode keeps rejecting it (as Prometheus), and a
+    function argument position still type-errors."""
+    rows = [({"__name__": "m", "a": "x"}, t, float(t)) for t in
+            (60, 120, 180, 240, 300)]
+    rel = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+
+    out = eval_instant(rel, "m[3m]", 300).collect()
+    # engine windows are (t-range, t] on integer seconds: 121..300
+    assert {(r.ts, r.value) for r in out} == {(180, 180.0),
+                                              (240, 240.0), (300, 300.0)}
+    assert all(r.labels["__name__"] == "m" for r in out)
+
+    # subquery: aligned steps inside (t-2m, t] are 240 and 300; the
+    # inner instant evaluation picks the newest sample at each step
+    sq = eval_instant(rel, "m[2m:1m]", 300).collect()
+    assert {(r.ts, r.value) for r in sq} == {(240, 240.0), (300, 300.0)}
+
+    with pytest.raises(PromqlError, match="range query is invalid"):
+        eval_range(rel, "m[2m:1m]", 120, 300, 60)
+    with pytest.raises(PromqlError):
+        eval_instant(rel, "abs(m[3m])", 300)  # matrix in a vector position
+
+
+def _two_sample_hist(spark):
+    """One series, two distribution snapshots: ts=100 observes {1.0}
+    (count 1, sum 1, pos {0:1}), ts=200 observes {1.0, 3.0} (count 2,
+    sum 4, pos {0:1, 13:1}) — schema 3 indices: 1.0 → 0, 3.0 → 13."""
+    from mandodb_spark.functions import native_hist as nh
+
+    obs = spark.createDataFrame(
+        [("h", {"a": "x"}, 100, 1.0),
+         ("h", {"a": "x"}, 200, 1.0), ("h", {"a": "x"}, 200, 3.0)],
+        "metric string, labels map<string,string>, ts long, value double")
+    return nh.observe_histograms(obs)
+
+
+def test_hist_over_time_selector_instant(spark):
+    """avg/sum/count/last_over_time over a native-histogram range window
+    (instant mode): avg/sum element-wise, count a float, last the newest
+    sample; unsupported aggregates raise pointedly."""
+    hrel = _two_sample_hist(spark)
+    empty = spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double")
+
+    def one(q):
+        out = eval_instant(empty, q, 260, hist_rel=hrel).collect()
+        assert len(out) == 1
+        return out[0]
+
+    s = one("sum_over_time(h[3m])")["hist"]
+    assert (s["count"], s["sum"]) == (3.0, 5.0)
+    assert dict(s["pos"]) == {0: 2.0, 13: 1.0}
+    a = one("avg_over_time(h[3m])")["hist"]
+    assert (a["count"], a["sum"]) == (1.5, 2.5)
+    assert dict(a["pos"]) == {0: 1.0, 13: 0.5}
+    assert one("count_over_time(h[3m])")["value"] == 2.0
+    l = one("last_over_time(h[3m])")["hist"]
+    assert (l["count"], l["sum"]) == (2.0, 4.0)
+    with pytest.raises(PromqlError, match="avg/sum/count/last"):
+        eval_instant(empty, "max_over_time(h[3m])", 260, hist_rel=hrel)
+
+
+def test_hist_over_time_subquery_instant(spark):
+    """Over-time aggregates over a HISTOGRAM-VALUED SUBQUERY (the r10
+    documented delta, lifted): h[3m:1m] at t=260 has aligned steps
+    120/180/240 whose instant samples are ts100, ts100, ts200."""
+    hrel = _two_sample_hist(spark)
+    empty = spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double")
+
+    def one(q):
+        out = eval_instant(empty, q, 260, hist_rel=hrel).collect()
+        assert len(out) == 1
+        return out[0]
+
+    s = one("sum_over_time(h[3m:1m])")["hist"]
+    assert (s["count"], s["sum"]) == (4.0, 6.0)
+    assert dict(s["pos"]) == {0: 3.0, 13: 1.0}
+    a = one("avg_over_time(h[3m:1m])")["hist"]
+    assert abs(a["count"] - 4 / 3) < 1e-12 and a["sum"] == 2.0
+    assert one("count_over_time(h[3m:1m])")["value"] == 3.0
+    l = one("last_over_time(h[3m:1m])")["hist"]
+    assert (l["count"], l["sum"]) == (2.0, 4.0)
+    # nested: over-time over a histogram-valued counter-math subquery
+    inc = one("sum_over_time(increase(h[2m:1m])[2m:1m])")["hist"]
+    # increase pseudo-points at 180 (window (60,180]: ts100→? single
+    # sample → no step) and 240 (window (120,240]: ts200−ts100 → count 1,
+    # sum 3); only the 240 point has a 2-sample window
+    assert (inc["count"], inc["sum"]) == (1.0, 3.0)
+    with pytest.raises(PromqlError, match="avg/sum/count/last"):
+        eval_instant(empty, "stddev_over_time(h[3m:1m])", 260,
+                     hist_rel=hrel)
+
+
+def test_hist_over_time_range_mode(spark):
+    """Range-mode grid lowering of over-time aggregates over histogram
+    windows: per-eval-point component merges (grid_hist_over_time)."""
+    hrel = _two_sample_hist(spark)
+    empty = spark.createDataFrame(
+        [], "labels map<string,string>, ts long, value double")
+
+    out = eval_range(empty, "histogram_count(sum_over_time(h[3m]))",
+                     260, 320, 60, hist_rel=hrel).collect()
+    got = {(r.ts, r.value) for r in out}
+    # 260: both samples in (80,260] → 1+2; 320: only ts200 in (140,320]
+    assert got == {(260, 3.0), (320, 2.0)}
+
+    cnt = eval_range(empty, "count_over_time(h[3m:1m])",
+                     260, 320, 60, hist_rel=hrel).collect()
+    # pseudo-samples at aligned minutes: 260 covers 120/180/240 → 3,
+    # 320 covers 180/240/300 → 3
+    assert {(r.ts, r.value) for r in cnt} == {(260, 3.0), (320, 3.0)}
+
+    l = eval_range(empty, "histogram_sum(last_over_time(h[3m:1m]))",
+                   260, 320, 60, hist_rel=hrel).collect()
+    assert {(r.ts, r.value) for r in l} == {(260, 4.0), (320, 4.0)}
+    with pytest.raises(PromqlError, match="avg/sum/count/last"):
+        eval_range(empty, "min_over_time(h[3m])", 260, 320, 60,
+                   hist_rel=hrel)

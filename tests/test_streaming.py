@@ -1234,11 +1234,20 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
         db, "node:m:max", "max by (node) (m)", step=1800, lookback=600)
     alerts_m = AlertRuleMaintainer(
         db, "HighM", "m > 150", step=1800, for_duration=3600, lookback=600)
+    from mandodb_spark.streaming.ingest import ExemplarSinkMaintainer
+
+    exem_m = ExemplarSinkMaintainer(db, derive=lambda b: b.select(
+        "metric", "labels", "ts", "value",
+        F.create_map(
+            F.lit("trace_id"),
+            F.concat(F.lit("t"), F.col("ts").cast("string"))
+        ).alias("exemplar")))
 
     def soak(batch, bid):
         ingestor.process_batch(batch, bid)
         rules_m.process_batch(batch, bid)  # before retention: segment live
         alerts_m.process_batch(batch, bid)
+        exem_m.process_batch(batch, bid)
         retention.process_batch(batch, bid)
         layout(batch.select("ts", "value"), bid)
         docs = derive_docs(batch)
@@ -1351,6 +1360,22 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
     want_nh = {(r["labels"]["node"], r["ts"]): dict(r["hist"]["pos"])
                for r in batch_nh.collect()}
     assert got_nh == want_nh
+
+    # --- exemplars (10th maintainer, ExemplarSinkMaintainer): every
+    # ingested row's exemplar is queryable exactly once — the store-level
+    # (series, ts) dedup makes an at-least-once replay a no-op — and the
+    # grouped read side matches the batch expectation verbatim
+    assert exem_m.batches == 6
+    replay = spark.createDataFrame(files[-1], ROW_SCHEMA)
+    exem_m.process_batch(replay, 99)  # redelivery: must not double-record
+    got_ex = {}
+    for r in db.query_exemplars("m", [], 0, 2**40).collect():
+        for e in r["exemplars"]:
+            got_ex[(r["labels"]["node"], e["ts"])] = (
+                e["value"], dict(e["labels"])["trace_id"])
+    want_ex = {(lbl["node"], ts): (v, f"t{ts}")
+               for _m, lbl, ts, v in all_rows}
+    assert got_ex == want_ex and len(got_ex) == len(all_rows)
 
     # --- alerting rule: same event-time grid as the recording rule, and
     # every recorded ALERTS row is internally consistent with its

@@ -137,7 +137,7 @@ def parse_duration(text: str) -> int:
 #   ("agg", fname, by|None, without|None, param|None, arg)
 #   ("binop", op, lhs, rhs, matching)      matching: dict or None
 #   ("unary", "-", node)
-#   ("subquery", call_node, range_s, step_s, offset_s)
+#   ("subquery", call_node, range_s, step_s, offset_s, at_s)
 
 _AGGS = {"sum", "min", "max", "avg", "count", "stddev", "stdvar", "group",
          "topk", "bottomk", "quantile", "count_values",
@@ -320,14 +320,36 @@ class _Parser:
             raise PromqlError(f"expected step duration at {st.pos}")
         step_s = parse_duration(st.text)
         self.expect("]")
-        offset_s = 0
-        if self.peek().text == "offset":
-            self.next()
-            ot = self.next()
-            if ot.kind != "DURATION":
-                raise PromqlError(f"expected duration at {ot.pos}")
-            offset_s = parse_duration(ot.text)
-        return ("subquery", node, range_s, step_s, offset_s)
+        offset_s, at_s = self.modifiers()
+        return ("subquery", node, range_s, step_s, offset_s, at_s)
+
+    def modifiers(self):
+        """Trailing ``offset <d>`` / ``@ <ts|start()|end()>`` modifiers in
+        either order (PromQL) — shared by selectors and subqueries."""
+        offset_s, at_s = 0, None
+        while self.peek().text in ("offset", "@"):
+            mod = self.next().text
+            if mod == "offset":
+                dt = self.next()
+                if dt.kind != "DURATION":
+                    raise PromqlError(f"expected duration at {dt.pos}")
+                offset_s = parse_duration(dt.text)
+            else:
+                nt = self.next()
+                if nt.kind == "IDENT" and nt.text in ("start", "end"):
+                    # `@ start()` / `@ end()` preprocessor sugar (PromQL
+                    # 2.25; Grafana emits these) — kept symbolic in the
+                    # AST, resolved by resolve_at() at evaluation entry.
+                    self.expect("(")
+                    self.expect(")")
+                    at_s = nt.text
+                elif nt.kind == "NUMBER":
+                    at_s = int(float(nt.text))
+                else:
+                    raise PromqlError(
+                        f"expected unix timestamp or start()/end() "
+                        f"after @ at {nt.pos}")
+        return offset_s, at_s
 
     def arg_list(self):
         args = []
@@ -375,39 +397,10 @@ class _Parser:
                 step_s = parse_duration(st.text)
                 self.expect("]")
                 inner = ("selector", name, matchers, None, 0, None)
-                offset_s = 0
-                if self.peek().text == "offset":
-                    self.next()
-                    ot = self.next()
-                    if ot.kind != "DURATION":
-                        raise PromqlError(f"expected duration at {ot.pos}")
-                    offset_s = parse_duration(ot.text)
-                return ("subquery", inner, range_s, step_s, offset_s)
+                offset_s, at_s = self.modifiers()
+                return ("subquery", inner, range_s, step_s, offset_s, at_s)
             self.expect("]")
-        offset_s, at_s = 0, None
-        while self.peek().text in ("offset", "@"):  # either order, as PromQL
-            mod = self.next().text
-            if mod == "offset":
-                dt = self.next()
-                if dt.kind != "DURATION":
-                    raise PromqlError(f"expected duration at {dt.pos}")
-                offset_s = parse_duration(dt.text)
-            else:
-                nt = self.next()
-                if nt.kind == "IDENT" and nt.text in ("start", "end"):
-                    # `@ start()` / `@ end()` preprocessor sugar (PromQL
-                    # 2.25; Grafana emits these) — kept symbolic in the
-                    # AST, resolved to absolute timestamps by
-                    # resolve_at() at evaluation entry.
-                    self.expect("(")
-                    self.expect(")")
-                    at_s = nt.text
-                elif nt.kind == "NUMBER":
-                    at_s = int(float(nt.text))
-                else:
-                    raise PromqlError(
-                        f"expected unix timestamp or start()/end() "
-                        f"after @ at {nt.pos}")
+        offset_s, at_s = self.modifiers()
         node = ("selector", name, matchers, range_s, offset_s, at_s)
         if range_s is None and self.peek().text == "[":
             # modifier-carrying selector followed by a subquery suffix
@@ -458,10 +451,12 @@ def unparse(node) -> str:
             s += f" @ {at_s}()" if isinstance(at_s, str) else f" @ {at_s}"
         return s
     if kind == "subquery":
-        _, inner, range_s, step_s, offset_s = node
+        _, inner, range_s, step_s, offset_s, at_s = node
         s = f"{unparse(inner)}[{_fmt_duration(range_s)}:{_fmt_duration(step_s)}]"
         if offset_s:
             s += f" offset {_fmt_duration(offset_s)}"
+        if at_s is not None:
+            s += f" @ {at_s}()" if isinstance(at_s, str) else f" @ {at_s}"
         return s
     if kind == "call":
         _, fname, args = node
@@ -507,6 +502,9 @@ def resolve_at(node, start: int, end: int):
         return node
     if node[0] == "selector" and isinstance(node[5], str):
         return node[:5] + (int(start if node[5] == "start" else end),)
+    if node[0] == "subquery" and isinstance(node[5], str):
+        return (node[0], resolve_at(node[1], start, end), node[2], node[3],
+                node[4], int(start if node[5] == "start" else end))
     return tuple(resolve_at(c, start, end) for c in node)
 
 
@@ -536,10 +534,12 @@ def time_window(node_or_query, at_ts: int, lookback: int = 300) -> tuple[int, in
             e = (at_s if at_s is not None else t) - offset_s
             return (e - (range_s if range_s is not None else lookback), e)
         if n[0] == "subquery":
-            # inner expr is evaluated at points in [t-off-range, t-off]
-            _, inner, range_s, _step_s, offset_s = n
-            lo = bounds(inner, t - offset_s - range_s)
-            hi = bounds(inner, t - offset_s)
+            # inner expr is evaluated at points in [e-off-range, e-off]
+            # where e = the @-timestamp if fixed, else t
+            _, inner, range_s, _step_s, offset_s, at_s = n
+            e = at_s if at_s is not None else t
+            lo = bounds(inner, e - offset_s - range_s)
+            hi = bounds(inner, e - offset_s)
             return (lo[0], hi[1]) if lo and hi else None
         children = []
         for child in n[1:]:
@@ -726,8 +726,8 @@ def _subquery_points(node, ctx: _Ctx):
     histogram pseudo-samples ``(labels, ts, hist)`` (the inner routed to
     the native-histogram store) — the counter-math callers accept both,
     everything else rejects hvector with a pointed error."""
-    _, inner, range_s, step_s, offset_s = node
-    s_end = ctx.t - offset_s
+    _, inner, range_s, step_s, offset_s, at_s = node
+    s_end = (at_s if at_s is not None else ctx.t) - offset_s
     s_start = s_end - range_s + 1  # (t-r, t] on integer seconds
     lo = -(-s_start // step_s) * step_s
     hi = (s_end // step_s) * step_s
@@ -1084,8 +1084,9 @@ def _eval_subquery_agg(fn: str, node, ctx: _Ctx):
     routes to :func:`native_hist.hist_over_time` — a second aggregation
     pass over the same pseudo-samples, avg/sum staying histogram-valued
     (VERDICT r10 item 6)."""
-    _, inner, range_s, step_s, offset_s = node
-    ok = (inner[0] == "call"
+    _, inner, range_s, step_s, offset_s, sq_at = node
+    ok = (sq_at is None
+          and inner[0] == "call"
           and (inner[1] == "rate" or inner[1] in _OVER_TIME_FNS)
           and len(inner[2]) == 1
           and inner[2][0][0] == "selector" and inner[2][0][3] is not None)
@@ -1569,7 +1570,11 @@ def _rsub_points(node, ctx: _RCtx):
     of the inner plan.  Returns (kind, pseudo, range_s, offset_s); kind
     "hvector" carries histogram pseudo-samples for the counter-math
     callers."""
-    _, inner, range_s, step_s, offset_s = node
+    _, inner, range_s, step_s, offset_s, sq_at = node
+    if sq_at is not None:
+        raise PromqlError(
+            "@-fixed subqueries reach _rsub_points only through a bug — "
+            "callers must broadcast the constant instant result")
     lo = -(-(ctx.start - offset_s - range_s + 1) // step_s) * step_s
     hi = ((ctx.end - offset_s) // step_s) * step_s
     spark = ctx.rel.sparkSession
@@ -1605,11 +1610,12 @@ def _rrange_sel(node, ctx: _RCtx, fname: str):
 def _reval_call(node, ctx: _RCtx):
     _, fname, args = node
     if fname in ("rate", "increase", "delta") and len(args) == 1 \
-            and args[0][0] == "subquery":
+            and args[0][0] == "subquery" and args[0][5] is None:
         # rate(h[r:s]) on the grid: histogram pseudo-samples from ONE
         # inner grid pass feed grid_hist_rate's step frames; float
         # inners take the same pseudo relation into the float grid
-        # lowering — either way the inner plan runs once.
+        # lowering — either way the inner plan runs once.  (@-fixed
+        # subqueries are grid-constant: the broadcast path below.)
         kind, pseudo, range_s, offset_s = _rsub_points(args[0], ctx)
         _guard_fanout(range_s - 1, ctx.step, fname)
         if kind == "hvector":
@@ -1674,8 +1680,18 @@ def _reval_call(node, ctx: _RCtx):
         # instant-mode evaluation broadcast-cross-joined to the eval
         # points, exactly like the @-fixed instant selector path.
         sel = args[-1]
-        if sel[0] == "selector" and sel[3] is not None and sel[5] is not None:
-            k, vec = _eval(node, _Ctx(ctx.rel, ctx.end, ctx.lookback))
+        at_fixed = (
+            (sel[0] == "selector" and sel[3] is not None)
+            or sel[0] == "subquery"
+        ) and sel[5] is not None
+        if at_fixed:
+            k, vec = _eval(node, _Ctx(ctx.rel, ctx.end, ctx.lookback,
+                                      hist_rel=ctx.hist_rel,
+                                      hist_metrics=ctx._hist_metrics))
+            if k == "hvector":
+                return ("hvector",
+                        vec.drop("ts").crossJoin(F.broadcast(_grid_df(ctx)))
+                        .select("series_key", "labels", "ts", "hist"))
             if k != "vector":
                 raise PromqlError(f"{fname} returned a non-vector")
             return ("vector",
@@ -2232,7 +2248,9 @@ def eval_range(rel: DataFrame, query, start: int, end: int, step: int,
     the same pseudo-samples).  Remaining restrictions (raising
     ``PromqlError``): bare subqueries at the top level (a range-vector
     result — invalid in Prometheus range queries too; instant mode
-    returns the matrix), and ``@`` inside subqueries in range mode.
+    returns the matrix).  ``@`` works on selectors, inside subqueries,
+    and on the subquery itself (``expr[r:s] @ t`` — grid-constant, like
+    every @-fixed form).
 
     ``hist_rel`` enables NATIVE-HISTOGRAM selectors on the grid (see
     :func:`eval_instant`); a top-level histogram result returns

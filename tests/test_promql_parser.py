@@ -295,7 +295,7 @@ def test_parse_subquery_requires_step():
     assert ast == ("call", "max_over_time",
                    [("subquery", ("call", "rate",
                                   [("selector", "x", [], 300, 0, None)]),
-                     3600, 600, 0)])
+                     3600, 600, 0, None)])
     with pytest.raises(PromqlError):
         parse("max_over_time(rate(x[5m])[1h])")  # missing :step
 
@@ -697,7 +697,7 @@ def _expr(depth=3):
                        st.integers(min_value=1, max_value=9), sub)
     # subqueries over selectors (bare + modifier forms), calls, and aggs
     subq = st.builds(
-        lambda inner, r, step, off: ("subquery", inner, r, step, off),
+        lambda inner, r, step, off: ("subquery", inner, r, step, off, None),
         st.one_of(_selector(False), call, agg),
         _dur, _dur, st.integers(min_value=0, max_value=10**6))
     return st.one_of(leaf, call, agg, topk, limitk, binop, unary, subq)
@@ -1517,3 +1517,35 @@ def test_hist_over_time_range_mode(spark):
     with pytest.raises(PromqlError, match="avg/sum/count/last"):
         eval_range(empty, "min_over_time(h[3m])", 260, 320, 60,
                    hist_rel=hrel)
+
+
+def test_at_fixed_subquery_both_modes(spark):
+    """`expr[r:s] @ T` (the @ modifier on the SUBQUERY itself — the last
+    documented @ gap, lifted round 11): anchors the subquery window at T
+    regardless of eval time, in instant mode (matrix result / range-fn
+    argument) and range mode (constant across the grid, like every other
+    @-fixed form)."""
+    rows = [({"__name__": "m", "a": "x"}, t, float(t)) for t in
+            range(60, 1260, 60)]
+    rel = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+
+    # bare top-level, instant: window (420, 600] regardless of eval ts
+    out = eval_instant(rel, "m[3m:1m] @ 600", 1200).collect()
+    assert {(r.ts, r.value) for r in out} == {(480, 480.0), (540, 540.0),
+                                              (600, 600.0)}
+    # under an over-time aggregate, instant
+    mx = eval_instant(rel, "max_over_time(m[3m:1m] @ 600)", 1200).collect()
+    assert [(r.value) for r in mx] == [600.0]
+    # @ end() sugar resolves to the eval time
+    sugared = eval_instant(rel, "max_over_time(m[3m:1m] @ end())",
+                           1200).collect()
+    assert [r.value for r in sugared] == [1200.0]
+    # range mode: grid-constant broadcast
+    rng = eval_range(rel, "max_over_time(m[3m:1m] @ 600)",
+                     1080, 1200, 60).collect()
+    assert {(r.ts, r.value) for r in rng} == {(1080, 600.0), (1140, 600.0),
+                                              (1200, 600.0)}
+    # time_window prunes to the fixed anchor
+    lo, hi = time_window("max_over_time(m[3m:1m] @ 600)", 10**9)
+    assert hi == 600 and lo <= 420

@@ -1826,3 +1826,78 @@ def test_nh_partials_survive_reserved_batch_label(spark, tmp_path_factory):
         spark.read.parquet(str(base / "nh"))).collect()
     assert len(merged) == 1 and merged[0]["hist"]["count"] == 3.0
     assert nh.BATCH_LABEL not in dict(merged[0]["labels"])
+
+
+def test_prompb_scrape_gateway_streaming(spark, tmp_path_factory):
+    """Full scrape-gateway shape under Structured Streaming: a stream of
+    RAW remote-write POST bodies (snappy protobuf WriteRequest bytes, the
+    Kafka-value shape) decodes via the mapInPandas wire codec INSIDE the
+    streaming plan (timeseries_from_prompb is claimed batch/streaming
+    dual — this pins it), unfolds to samples + exemplars, and lands in
+    the TSDB with exactly-once ingest and idempotent exemplar appends."""
+    from mandodb_spark.engine import TSDB
+    from mandodb_spark.sources import prompb
+    from mandodb_spark.sources.loaders import (
+        exemplars_from_remote_write,
+        rows_from_remote_write,
+    )
+    from mandodb_spark.streaming.ingest import (
+        ExemplarSinkMaintainer,
+        StreamingIngestor,
+    )
+
+    base = tmp_path_factory.mktemp("scrape_gw")
+    src = str(base / "payloads")
+
+    def payload(node: str, t0: int) -> bytes:
+        return prompb.encode_write_request([{
+            "labels": [{"name": "__name__", "value": "m"},
+                       {"name": "node", "value": node}],
+            "samples": [{"timestamp": (t0 + i * 60) * 1000,
+                         "value": float(t0 + i)} for i in range(4)],
+            "exemplars": [{"labels": [{"name": "trace_id",
+                                       "value": f"t{node}{t0}"}],
+                           "value": 0.5, "timestamp": t0 * 1000}],
+        }])
+
+    rows = [(payload("vm0", 1000),), (payload("vm1", 1000),),
+            (payload("vm0", 2000),)]
+    for i, r in enumerate(rows):  # one file per trigger
+        spark.createDataFrame([r], "payload binary").coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    db = TSDB(spark, str(base / "store"))
+    ing = StreamingIngestor(db.store)
+    exem_m = ExemplarSinkMaintainer(db)
+
+    raw = (spark.readStream.schema("payload binary")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    ts_stream = prompb.timeseries_from_prompb(raw)  # mapInPandas, streaming
+
+    def gateway(batch, bid):
+        ing.process_batch(rows_from_remote_write(batch), bid)
+        exem_m.process_batch(exemplars_from_remote_write(batch), bid)
+
+    q = (ts_stream.writeStream.foreachBatch(gateway)
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.labels["node"], r.ts, r.value)
+           for r in db.query_range_rows("m", [], 0, 2**40).collect()}
+    want = {(n, t0 + i * 60, float(t0 + i))
+            for n, t0 in (("vm0", 1000), ("vm1", 1000), ("vm0", 2000))
+            for i in range(4)}
+    assert got == want
+    ex = {(r.labels["node"], e["ts"], dict(e["labels"])["trace_id"])
+          for r in db.query_exemplars("m", [], 0, 2**40).collect()
+          for e in r["exemplars"]}
+    assert ex == {("vm0", 1000, "tvm01000"), ("vm1", 1000, "tvm11000"),
+                  ("vm0", 2000, "tvm02000")}
+    # at-least-once redelivery of a decoded batch: exemplar store dedup
+    replay = prompb.timeseries_from_prompb(
+        spark.createDataFrame([rows[0]], "payload binary"))
+    exem_m.process_batch(exemplars_from_remote_write(replay), 99)
+    n_after = sum(len(r["exemplars"]) for r in
+                  db.query_exemplars("m", [], 0, 2**40).collect())
+    assert n_after == 3

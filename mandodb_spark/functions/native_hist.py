@@ -933,9 +933,10 @@ def hist_sum_by(rel: DataFrame, by: list[str] | None,
 
 
 #: over-time aggregates defined for native-histogram windows (Prometheus:
-#: avg/sum produce a histogram, count a float, last the newest histogram;
-#: min/max/stddev/quantile skip histogram samples and stay undefined here).
-HIST_OVER_TIME = ("avg", "sum", "count", "last")
+#: avg/sum produce a histogram, count/present floats, last the newest
+#: histogram; min/max/stddev/quantile skip histogram samples and stay
+#: undefined here).
+HIST_OVER_TIME = ("avg", "sum", "count", "last", "present")
 
 
 def hist_over_time(rel: DataFrame, start: int, end: int,
@@ -950,11 +951,12 @@ def hist_over_time(rel: DataFrame, start: int, end: int,
     if mode not in HIST_OVER_TIME:
         raise ValueError(f"hist_over_time mode {mode!r}")
     rel = _ensure_series_key(rel).filter(F.col("ts").between(start, end))
-    if mode == "count":
+    if mode in ("count", "present"):
+        val = (F.lit(1.0) if mode == "present"
+               else F.count(F.lit(1)).cast("double"))
         return (
             rel.groupBy("series_key")
-            .agg(F.any_value("labels").alias("labels"),
-                 F.count(F.lit(1)).cast("double").alias("value"))
+            .agg(F.any_value("labels").alias("labels"), val.alias("value"))
             .withColumn("ts", F.lit(int(end)).cast("long"))
             .select("series_key", "labels", "ts", "value")
         )
@@ -988,11 +990,12 @@ def grid_hist_over_time(rel: DataFrame, start: int, end: int, window: int,
     rel = _ensure_series_key(rel).filter(
         F.col("ts").between(start - window + 1, end))
     covered = rel.withColumn("__t", _grid_points(window - 1, start, end, step))
-    if mode == "count":
+    if mode in ("count", "present"):
+        val = (F.lit(1.0) if mode == "present"
+               else F.count(F.lit(1)).cast("double"))
         return (
             covered.groupBy("series_key", "__t")
-            .agg(F.any_value("labels").alias("labels"),
-                 F.count(F.lit(1)).cast("double").alias("value"))
+            .agg(F.any_value("labels").alias("labels"), val.alias("value"))
             .select("series_key", "labels", F.col("__t").alias("ts"), "value")
         )
     if mode == "last":

@@ -1063,10 +1063,10 @@ def _hist_over_time_result(fn: str, fname: str, hrel: DataFrame,
     if fn not in nh.HIST_OVER_TIME:
         raise PromqlError(
             f"{fname} is not defined over native-histogram windows "
-            "(supported: avg/sum/count/last_over_time)")
+            "(supported: avg/sum/count/last/present_over_time)")
     out = nh.hist_over_time(hrel, start, end, fn).withColumn(
         "ts", F.lit(int(at_ts)).cast("long"))
-    if fn == "count":
+    if fn in ("count", "present"):
         return ("vector", _strip(out))
     return ("hvector", out.select("series_key", "labels", "ts", "hist"))
 
@@ -1731,11 +1731,11 @@ def _reval_call(node, ctx: _RCtx):
             if fn not in nh.HIST_OVER_TIME:
                 raise PromqlError(
                     f"{fname} is not defined over native-histogram windows "
-                    "(supported: avg/sum/count/last_over_time)")
+                    "(supported: avg/sum/count/last/present_over_time)")
             _guard_fanout(w - 1, ctx.step, fname)
             out = nh.grid_hist_over_time(hsub, ctx.start - off,
                                          ctx.end - off, w, ctx.step, fn)
-            if fn == "count":
+            if fn in ("count", "present"):
                 return ("vector", _strip_r(_shift(out, off)))
             return ("hvector", _shift_h(out, off))
         if (w - 1) // ctx.step + 1 > promql.GRID_FANOUT_CAP:

@@ -1454,6 +1454,7 @@ def test_hist_over_time_selector_instant(spark):
     assert (a["count"], a["sum"]) == (1.5, 2.5)
     assert dict(a["pos"]) == {0: 1.0, 13: 0.5}
     assert one("count_over_time(h[3m])")["value"] == 2.0
+    assert one("present_over_time(h[3m])")["value"] == 1.0
     l = one("last_over_time(h[3m])")["hist"]
     assert (l["count"], l["sum"]) == (2.0, 4.0)
     with pytest.raises(PromqlError, match="avg/sum/count/last"):

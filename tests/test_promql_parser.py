@@ -1550,3 +1550,21 @@ def test_at_fixed_subquery_both_modes(spark):
     # time_window prunes to the fixed anchor
     lo, hi = time_window("max_over_time(m[3m:1m] @ 600)", 10**9)
     assert hi == 600 and lo <= 420
+
+
+def test_toplevel_matrix_to_api(spark):
+    """An instant query of a bare range selector renders through
+    to_api_matrix exactly like a range result — the /api/v1/query
+    resultType 'matrix' payload for matrix-typed instant expressions."""
+    from mandodb_spark.functions.promql_parser import to_api_matrix
+
+    rows = [({"__name__": "m", "a": "x"}, t, float(t)) for t in (120, 180)]
+    rel = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double")
+    # window (240-2m, 240] on integer seconds excludes the 120 sample
+    api = to_api_matrix(eval_instant(rel, "m[3m]", 240))
+    assert api == {
+        "resultType": "matrix",
+        "result": [{"metric": {"__name__": "m", "a": "x"},
+                    "values": [(120, "120"), (180, "180")]}],
+    }

@@ -221,6 +221,56 @@ class TSDB:
         vec = self.instant(metric, matchers, at_ts, lookback)
         return to_openmetrics(vec.select("labels", "ts", "value"))
 
+    def remote_read(self, payload: bytes) -> bytes:
+        """Prometheus REMOTE-READ endpoint body: snappy ``ReadRequest``
+        bytes in, snappy ``ReadResponse`` bytes out (the non-streamed
+        SAMPLES response) — a Prometheus configured with ``remote_read``
+        pointed at this method uses the engine as a storage backend, the
+        binary dual of :meth:`federate`'s text export.
+
+        The request decode is driver-side by nature (a request is a
+        handful of matchers); each query runs the normal seg-pruned,
+        matcher-filtered scan (all four matcher types — ``=``, ``!=``,
+        ``=~``, ``!~`` — with Prometheus's empty-value/absent-label
+        semantics) and the per-series sample grouping is ONE hash
+        aggregate (``loaders.to_remote_write``).  The response collect is
+        bounded by the request's selectivity — the same documented
+        contract as the ``to_api_*`` shapers (remote-read responses are
+        HTTP bodies; an unselective query is the caller's foot-gun, as on
+        any Prometheus).  Series order is canonical (sorted label lists),
+        samples ts-ascending, timestamps milliseconds on the wire."""
+        from .functions.promql_parser import _matcher_filter
+        from .operators.tsdb_ops import time_predicate
+        from .sources import prompb
+        from .sources.loaders import to_remote_write
+
+        results = []
+        for q in prompb.decode_read_request(prompb.snappy_decompress(payload)):
+            # engine samples are whole seconds: s is inside [start_ms,
+            # end_ms] iff ceil(start_ms/1000) <= s <= floor(end_ms/1000)
+            start = -(-q["start_ms"] // 1000)
+            end = q["end_ms"] // 1000
+            rel = self.store.relation()
+            rel = rel.filter(time_predicate(start, end, "seg" in rel.columns,
+                                            self.segment_duration))
+            filt = _matcher_filter(rel, None, q["matchers"])
+            grouped = to_remote_write(filt.select("labels", "ts", "value"))
+            series = sorted(
+                (
+                    {
+                        "labels": [{"name": l["name"], "value": l["value"]}
+                                   for l in r["labels"]],
+                        "samples": [{"timestamp": s["timestamp"],
+                                     "value": s["value"]}
+                                    for s in r["samples"]],
+                    }
+                    for r in grouped.collect()
+                ),
+                key=lambda t: [(l["name"], l["value"]) for l in t["labels"]],
+            )
+            results.append(series)
+        return prompb.encode_read_response(results)
+
     def over_time(self, fn: str, metric: str, matchers: list[LabelMatcher] | None,
                   start: int, end: int, step: int) -> DataFrame:
         """``<fn>_over_time`` (avg/min/max/sum/count) on tumbling steps."""

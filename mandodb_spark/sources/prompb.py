@@ -471,3 +471,105 @@ def _plain(v):
             out[k] = [_plain(e) if isinstance(e, dict) or hasattr(e, "asDict")
                       else e for e in x]
     return out
+
+
+# ----------------------------------------------------------- remote read
+# The OTHER half of the remote protocol (public remote.proto): a
+# Prometheus configured with `remote_read` POSTs a snappy ReadRequest
+# (time range + label matchers) and expects a snappy ReadResponse of
+# TimeSeries — serving it makes this engine a drop-in remote-read
+# backend.  Message shapes:
+#   ReadRequest  { repeated Query queries = 1; }        (field 2: accepted
+#                                                        response types —
+#                                                        SAMPLES implied)
+#   Query        { int64 start_timestamp_ms = 1; int64 end_timestamp_ms = 2;
+#                  repeated LabelMatcher matchers = 3; } (field 4 hints
+#                                                        skipped)
+#   LabelMatcher { Type type = 1 (EQ/NEQ/RE/NRE); string name = 2;
+#                  string value = 3; }
+#   ReadResponse { repeated QueryResult results = 1; }
+#   QueryResult  { repeated TimeSeries timeseries = 1; }
+
+#: LabelMatcher.Type enum order → the engine's matcher-op strings.
+MATCHER_OPS = ("=", "!=", "=~", "!~")
+
+
+def _decode_matcher(buf: bytes) -> tuple[str, str, str]:
+    mtype, name, value = 0, "", ""
+    for f, wt, v in _fields(buf):
+        if f == 1 and wt == 0:
+            mtype = v
+        elif f == 2 and wt == 2:
+            name = v.decode("utf-8")
+        elif f == 3 and wt == 2:
+            value = v.decode("utf-8")
+    if not 0 <= mtype < len(MATCHER_OPS):
+        raise ValueError(f"unknown LabelMatcher type {mtype}")
+    return (name, MATCHER_OPS[mtype], value)
+
+
+def _decode_query(buf: bytes) -> dict:
+    out = {"start_ms": 0, "end_ms": 0, "matchers": []}
+    for f, wt, v in _fields(buf):
+        if f == 1 and wt == 0:
+            out["start_ms"] = _to_int64(v)
+        elif f == 2 and wt == 0:
+            out["end_ms"] = _to_int64(v)
+        elif f == 3 and wt == 2:
+            out["matchers"].append(_decode_matcher(v))
+        # field 4 (ReadHints) intentionally skipped
+    return out
+
+
+def decode_read_request(data: bytes) -> list[dict]:
+    """Uncompressed ``ReadRequest`` protobuf → list of query dicts
+    (start_ms, end_ms, matchers as (name, op, value) triples)."""
+    return [_decode_query(v) for f, wt, v in _fields(data)
+            if f == 1 and wt == 2]
+
+
+def _enc_matcher(m: tuple[str, str, str]) -> bytes:
+    name, op, value = m
+    return (_enc_varint_field(1, MATCHER_OPS.index(op))
+            + _msg(2, name.encode("utf-8"))
+            + _msg(3, value.encode("utf-8")))
+
+
+def encode_read_request(queries: list[dict], compress: bool = True) -> bytes:
+    """Query dicts → wire ``ReadRequest`` payload (the client side — what
+    a Prometheus POSTs to a remote-read endpoint; used by tests and by
+    federating engines)."""
+    out = bytearray()
+    for q in queries:
+        body = (_enc_varint_field(1, int(q["start_ms"]))
+                + _enc_varint_field(2, int(q["end_ms"]))
+                + b"".join(_msg(3, _enc_matcher(m))
+                           for m in q.get("matchers") or []))
+        out += _msg(1, body)
+    raw = bytes(out)
+    return snappy_compress(raw) if compress else raw
+
+
+def encode_read_response(results: list[list[dict]],
+                         compress: bool = True) -> bytes:
+    """Per-query TimeSeries dict lists → wire ``ReadResponse`` payload
+    (snappy by default — the non-streamed SAMPLES response format)."""
+    out = bytearray()
+    for series_list in results:
+        body = b"".join(_msg(1, _enc_timeseries(ts)) for ts in series_list)
+        out += _msg(1, body)
+    raw = bytes(out)
+    return snappy_compress(raw) if compress else raw
+
+
+def decode_read_response(data: bytes) -> list[list[dict]]:
+    """Wire ``ReadResponse`` (snappy) → per-query TimeSeries dict lists
+    (the client side of :func:`encode_read_response`)."""
+    raw = snappy_decompress(data)
+    results = []
+    for f, wt, v in _fields(raw):
+        if f == 1 and wt == 2:
+            results.append([_decode_timeseries(t)
+                            for f2, wt2, t in _fields(v)
+                            if f2 == 1 and wt2 == 2])
+    return results

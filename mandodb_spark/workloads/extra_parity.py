@@ -3259,3 +3259,61 @@ SELECT user, round(avg(c), 6) AS value FROM inc GROUP BY user ORDER BY user
 
 QUERIES["x_promql_hist_subquery_avg"] = x_promql_hist_subquery_avg
 ORACLES["x_promql_hist_subquery_avg"] = _hist_subquery_avg_sql()
+
+
+def x_remote_read_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMOTE-READ endpoint round trip (round 11): click events loaded
+    into a memory-mode TSDB, queried through the BINARY protocol —
+    ``TSDB.remote_read`` over an actual snappy ``ReadRequest`` carrying
+    equality, regex and negative matchers plus ms time bounds — and the
+    snappy ``ReadResponse`` decoded back to rows.  Oracle: the same
+    selection in SQL.  With x_prompb_wire_roundtrip (write path) this
+    pins BOTH directions of the remote protocol at the bytes level; the
+    response decode is driver-side by nature (an HTTP body), bounded here
+    by the matchers to a two-day slice."""
+    from ..engine import TSDB
+    from ..sources import prompb
+    from .common import EV_START, events_relation
+
+    lo, hi = EV_START + 86_400, EV_START + 3 * 86_400 - 1
+    rel = events_relation(spark, sf_dir, lo, hi).filter(
+        F.col("ts").between(lo, hi))
+    db = TSDB(spark, None, only_memory=True)
+    db.insert_rows(rel.select(
+        F.col("labels").getItem("__name__").alias("metric"),
+        F.map_filter(F.col("labels"),
+                     lambda k, _: k != F.lit("__name__")).alias("labels"),
+        "ts", "value"))
+    req = prompb.encode_read_request([{
+        "start_ms": lo * 1000, "end_ms": hi * 1000 + 500,
+        "matchers": [("__name__", "=", "click"),
+                     ("user", "=~", ".*[02468]"),
+                     ("k", "!=", "3")],
+    }])
+    (series_list,) = prompb.decode_read_response(db.remote_read(req))
+    flat = [(dict((l["name"], l["value"]) for l in ts["labels"]), s)
+            for ts in series_list for s in ts["samples"]]
+    out = spark.createDataFrame(
+        [(lbl["user"], lbl.get("k"), s["timestamp"] // 1000,
+          round(s["value"], 6)) for lbl, s in flat],
+        "user string, k string, ts long, value double")
+    return out.orderBy("user", "k", "ts", "value")
+
+
+def _remote_read_roundtrip_sql() -> str:
+    from .common import EV_START, TSDB_SQL_REL
+
+    lo, hi = EV_START + 86_400, EV_START + 3 * 86_400 - 1
+    return f"""
+WITH rel AS ({TSDB_SQL_REL})
+SELECT user, k, ts, round(value, 6) AS value
+FROM rel
+WHERE ts BETWEEN {lo} AND {hi} AND metric = 'click'
+  AND regexp_matches(user, '^(?:.*[02468])$')
+  AND (k IS NULL OR k <> '3')
+ORDER BY user, k, ts, value
+"""
+
+
+QUERIES["x_remote_read_roundtrip"] = x_remote_read_roundtrip
+ORACLES["x_remote_read_roundtrip"] = _remote_read_roundtrip_sql()

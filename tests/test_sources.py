@@ -1330,3 +1330,70 @@ def test_prompb_undecodable_payload_policy(spark):
     assert out.count() == 1
     with pytest.raises(Exception):
         prompb.timeseries_from_prompb(df, on_error="raise").count()
+
+
+def test_prompb_read_request_codec_round_trip():
+    """encode_read_request → decode_read_request is the identity on
+    queries (time range + all four matcher types), compressed and raw."""
+    from mandodb_spark.sources import prompb
+
+    queries = [
+        {"start_ms": 1_700_000_000_000, "end_ms": 1_700_000_600_000,
+         "matchers": [("__name__", "=", "cpu"), ("job", "!=", "x"),
+                      ("node", "=~", "vm[0-9]+"), ("dc", "!~", "eu-.*")]},
+        {"start_ms": 0, "end_ms": 10_000, "matchers": []},
+    ]
+    for compress in (True, False):
+        data = prompb.encode_read_request(queries, compress=compress)
+        raw = prompb.snappy_decompress(data) if compress else data
+        back = prompb.decode_read_request(raw)
+        assert back == [{"start_ms": q["start_ms"], "end_ms": q["end_ms"],
+                         "matchers": list(q["matchers"])} for q in queries]
+
+
+def test_remote_read_endpoint(spark, tmp_path):
+    """TSDB.remote_read: a snappy ReadRequest against the store returns
+    the matcher-selected series as a snappy ReadResponse — the engine as
+    a drop-in Prometheus remote-read backend.  Matcher semantics (incl.
+    negative ops), ms boundaries, canonical series order and ts-ascending
+    samples are all pinned."""
+    from mandodb_spark.engine import TSDB
+    from mandodb_spark.sources import prompb
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    db.insert_rows(
+        [("cpu", {"node": f"vm{i % 3}", "dc": "sh" if i % 2 else "bj"},
+          1000 + 60 * i, float(i)) for i in range(12)]
+        + [("mem", {"node": "vm0"}, 1060, 99.0)])
+
+    req = prompb.encode_read_request([
+        {"start_ms": 1_000_000, "end_ms": 1_400_500,   # [1000s, 1400.5s]
+         "matchers": [("__name__", "=", "cpu"), ("node", "=~", "vm[01]"),
+                      ("dc", "!=", "bj")]},
+        {"start_ms": 1_000_000, "end_ms": 2_000_000,
+         "matchers": [("__name__", "=", "mem")]},
+    ])
+    results = prompb.decode_read_response(db.remote_read(req))
+    assert len(results) == 2
+
+    def flat(series):
+        return {(tuple((l["name"], l["value"]) for l in ts["labels"]),
+                 tuple((s["timestamp"], s["value"]) for s in ts["samples"]))
+                for ts in series}
+
+    # query 1: cpu, node vm0|vm1, dc != bj (i odd → sh), ts ≤ 1400
+    want = {}
+    for i in range(12):
+        node, dc, t = f"vm{i % 3}", "sh" if i % 2 else "bj", 1000 + 60 * i
+        if node in ("vm0", "vm1") and dc == "sh" and 1000 <= t <= 1400:
+            want.setdefault(
+                (("__name__", "cpu"), ("dc", dc), ("node", node)), []
+            ).append((t * 1000, float(i)))
+    assert flat(results[0]) == {(k, tuple(sorted(v)))
+                                for k, v in want.items()}
+    # canonical series order: sorted label lists
+    keys = [tuple((l["name"], l["value"]) for l in ts["labels"])
+            for ts in results[0]]
+    assert keys == sorted(keys)
+    assert flat(results[1]) == {
+        ((("__name__", "mem"), ("node", "vm0")), ((1_060_000, 99.0),))}

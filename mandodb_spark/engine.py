@@ -271,6 +271,53 @@ class TSDB:
             results.append(series)
         return prompb.encode_read_response(results)
 
+    def remote_read_chunked(self, payload: bytes,
+                            samples_per_chunk: int = 120) -> bytes:
+        """The STREAMED remote-read response
+        (``STREAMED_XOR_CHUNKS``): same snappy ``ReadRequest`` in, a
+        concatenation of framed ``ChunkedReadResponse`` messages out —
+        one frame per query, series carrying Gorilla XOR chunks
+        (``sources/xor_chunk.py``; the reference's TSZ-family codec
+        re-expressed at the wire).  Chunk ENCODING runs executor-side
+        (``prompb.xor_chunks_from_timeseries``, Arrow-batched per
+        series); the driver only assembles frames, so the collect moves
+        compressed chunk bytes, not raw samples — strictly less driver
+        traffic than :meth:`remote_read` for the same selection."""
+        from .functions.promql_parser import _matcher_filter
+        from .operators.tsdb_ops import time_predicate
+        from .sources import prompb
+        from .sources.loaders import to_remote_write
+
+        frames = []
+        for qi, q in enumerate(
+                prompb.decode_read_request(prompb.snappy_decompress(payload))):
+            start = -(-q["start_ms"] // 1000)
+            end = q["end_ms"] // 1000
+            rel = self.store.relation()
+            rel = rel.filter(time_predicate(start, end, "seg" in rel.columns,
+                                            self.segment_duration))
+            filt = _matcher_filter(rel, None, q["matchers"])
+            grouped = prompb.xor_chunks_from_timeseries(
+                to_remote_write(filt.select("labels", "ts", "value")),
+                samples_per_chunk=samples_per_chunk)
+            series = sorted(
+                (
+                    {
+                        "labels": [{"name": l["name"], "value": l["value"]}
+                                   for l in r["labels"]],
+                        "chunks": [{"min_time_ms": c["min_time_ms"],
+                                    "max_time_ms": c["max_time_ms"],
+                                    "data": bytes(c["data"])}
+                                   for c in r["chunks"]],
+                    }
+                    for r in grouped.collect()
+                ),
+                key=lambda t: [(l["name"], l["value"]) for l in t["labels"]],
+            )
+            frames.append(
+                prompb.encode_chunked_read_response(series, query_index=qi))
+        return b"".join(frames)
+
     def over_time(self, fn: str, metric: str, matchers: list[LabelMatcher] | None,
                   start: int, end: int, step: int) -> DataFrame:
         """``<fn>_over_time`` (avg/min/max/sum/count) on tumbling steps."""

@@ -573,3 +573,150 @@ def decode_read_response(data: bytes) -> list[list[dict]]:
                             for f2, wt2, t in _fields(v)
                             if f2 == 1 and wt2 == 2])
     return results
+
+
+# ------------------------------------------- streamed remote read (chunks)
+# The second remote-read response format (public remote.proto +
+# util/ChunkedWriter): ``STREAMED_XOR_CHUNKS`` — a stream of framed
+# ``ChunkedReadResponse`` messages whose series carry Gorilla XOR chunks
+# (sources/xor_chunk.py) instead of raw samples.  Message shapes:
+#   ChunkedReadResponse { repeated ChunkedSeries chunked_series = 1;
+#                         int64 query_index = 2; }
+#   ChunkedSeries       { repeated Label labels = 1;
+#                         repeated Chunk chunks = 2; }
+#   Chunk { int64 min_time_ms = 1; int64 max_time_ms = 2;
+#           Encoding type = 3 (XOR = 1); bytes data = 4; }
+# Frame (ChunkedWriter): uvarint(len(data)) + 4-byte big-endian CRC32
+# (Castagnoli) of data + data.  No outer snappy — the chunk payloads are
+# already XOR-compressed.
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        table = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            table.append(c)
+        _CRC32C_TABLE = table
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _enc_chunk(c: dict) -> bytes:
+    return (_enc_varint_field(1, int(c["min_time_ms"]))
+            + _enc_varint_field(2, int(c["max_time_ms"]))
+            + _enc_varint_field(3, 1)  # Encoding.XOR
+            + _msg(4, bytes(c["data"])))
+
+
+def _decode_chunk_msg(buf: bytes) -> dict:
+    out = {"min_time_ms": 0, "max_time_ms": 0, "type": 0, "data": b""}
+    for f, wt, v in _fields(buf):
+        if f == 1 and wt == 0:
+            out["min_time_ms"] = _to_int64(v)
+        elif f == 2 and wt == 0:
+            out["max_time_ms"] = _to_int64(v)
+        elif f == 3 and wt == 0:
+            out["type"] = v
+        elif f == 4 and wt == 2:
+            out["data"] = v
+    return out
+
+
+def encode_chunked_read_response(series_list: list[dict],
+                                 query_index: int = 0) -> bytes:
+    """One FRAMED ``ChunkedReadResponse`` message: series dicts carry
+    ``labels`` (name/value dicts) and ``chunks`` (min/max/data dicts)."""
+    body = bytearray()
+    for s in series_list:
+        sbody = b"".join(_msg(1, _enc_label(l)) for l in s["labels"])
+        sbody += b"".join(_msg(2, _enc_chunk(c)) for c in s["chunks"])
+        body += _msg(1, sbody)
+    body += _enc_varint_field(2, int(query_index))
+    data = bytes(body)
+    return (_enc_uvarint(len(data))
+            + _crc32c(data).to_bytes(4, "big") + data)
+
+
+def decode_chunked_read_stream(stream: bytes) -> list[dict]:
+    """A concatenation of framed messages → list of
+    {query_index, chunked_series: [{labels, chunks}]} dicts, CRC-checked
+    (the client side; also the test oracle's reader)."""
+    out = []
+    i = 0
+    while i < len(stream):
+        n, i = _uvarint(stream, i)
+        crc = int.from_bytes(stream[i:i + 4], "big")
+        i += 4
+        data = stream[i:i + n]
+        i += n
+        if _crc32c(data) != crc:
+            raise ValueError("chunked read frame CRC mismatch")
+        msg = {"query_index": 0, "chunked_series": []}
+        for f, wt, v in _fields(data):
+            if f == 1 and wt == 2:
+                series = {"labels": [], "chunks": []}
+                for f2, wt2, v2 in _fields(v):
+                    if f2 == 1 and wt2 == 2:
+                        series["labels"].append(_decode_label(v2))
+                    elif f2 == 2 and wt2 == 2:
+                        series["chunks"].append(_decode_chunk_msg(v2))
+                msg["chunked_series"].append(series)
+            elif f == 2 and wt == 0:
+                msg["query_index"] = _to_int64(v)
+        out.append(msg)
+    return out
+
+
+def xor_chunks_from_timeseries(df: DataFrame,
+                               samples_per_chunk: int = 120) -> DataFrame:
+    """TimeSeries rows (labels + ms samples, ``to_remote_write`` shape) →
+    one row per series with its samples cut into XOR chunks
+    (``chunks array<struct<min_time_ms:bigint,max_time_ms:bigint,
+    data:binary>>``) — the ENCODING runs Arrow-batched on executors
+    (series are independent; only response framing is driver work).
+    Chunks cut at ``samples_per_chunk`` (Prometheus cuts at 120)."""
+    from .xor_chunk import encode_chunk
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            labels_out, chunks_out = [], []
+            for labels, samples in zip(pdf["labels"], pdf["samples"]):
+                raw = sorted(
+                    (int(s["timestamp"]), float(s["value"]))
+                    for s in (samples if samples is not None else []))
+                # chunks cannot represent duplicate timestamps (neither
+                # can Prometheus's): last-write-wins within a series
+                pairs: list[tuple[int, float]] = []
+                for t, v in raw:
+                    if pairs and pairs[-1][0] == t:
+                        pairs[-1] = (t, v)
+                    else:
+                        pairs.append((t, v))
+                chunks = []
+                for j in range(0, len(pairs), samples_per_chunk):
+                    part = pairs[j:j + samples_per_chunk]
+                    chunks.append({
+                        "min_time_ms": part[0][0],
+                        "max_time_ms": part[-1][0],
+                        "data": encode_chunk(part),
+                    })
+                labels_out.append([_plain(l) for l in labels])
+                chunks_out.append(chunks)
+            yield pd.DataFrame({"labels": labels_out, "chunks": chunks_out},
+                               columns=["labels", "chunks"])
+
+    return df.select("labels", "samples").mapInPandas(
+        batches,
+        "labels array<struct<name:string,value:string>>, "
+        "chunks array<struct<min_time_ms:bigint,max_time_ms:bigint,"
+        "data:binary>>")

@@ -1397,3 +1397,88 @@ def test_remote_read_endpoint(spark, tmp_path):
     assert keys == sorted(keys)
     assert flat(results[1]) == {
         ((("__name__", "mem"), ("node", "vm0")), ((1_060_000, 99.0),))}
+
+
+def test_xor_chunk_property_round_trip():
+    """Property: any strictly-increasing (ts, value) sequence survives
+    encode_chunk → decode_chunk — dod varbit buckets, XOR windows and the
+    64-significant-bit edge all exercised by construction."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mandodb_spark.sources.xor_chunk import decode_chunk, encode_chunk
+
+    deltas = st.lists(
+        st.one_of(st.integers(min_value=1, max_value=30),
+                  st.integers(min_value=1, max_value=10**10)),
+        min_size=1, max_size=60)
+    values = st.lists(
+        st.one_of(st.floats(allow_nan=False),
+                  st.sampled_from([0.0, -0.0, 1.0, 42.0])),
+        min_size=1, max_size=60)
+
+    @settings(max_examples=80, deadline=None)
+    @given(deltas, values, st.integers(min_value=-10**12, max_value=10**12))
+    def check(ds, vs, t0):
+        n = min(len(ds), len(vs))
+        t, samples = t0, []
+        for d, v in zip(ds[:n], vs[:n]):
+            t += d
+            samples.append((t, v))
+        assert decode_chunk(encode_chunk(samples)) == samples
+
+    check()
+
+
+def test_remote_read_chunked_endpoint(spark, tmp_path):
+    """TSDB.remote_read_chunked: framed ChunkedReadResponse stream with
+    CRC-checked frames, per-query indices, and XOR chunks that decode to
+    exactly the samples the non-streamed endpoint returns — incl. the
+    120-sample chunk cut."""
+    from mandodb_spark.engine import TSDB
+    from mandodb_spark.sources import prompb
+    from mandodb_spark.sources.xor_chunk import decode_chunk
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    db.insert_rows([("cpu", {"node": f"vm{i % 2}"}, 1000 + 30 * i,
+                     float(i) / 7) for i in range(300)])
+
+    req = prompb.encode_read_request([
+        {"start_ms": 0, "end_ms": 10**13,
+         "matchers": [("__name__", "=", "cpu")]},
+        {"start_ms": 0, "end_ms": 10**13,
+         "matchers": [("node", "=", "vm1")]},
+    ])
+    frames = prompb.decode_chunked_read_stream(
+        db.remote_read_chunked(req, samples_per_chunk=120))
+    assert [f["query_index"] for f in frames] == [0, 1]
+
+    def flat(msg):
+        out = {}
+        for s in msg["chunked_series"]:
+            key = tuple((l["name"], l["value"]) for l in s["labels"])
+            assert all(c["type"] == 1 for c in s["chunks"])  # XOR
+            pts = [p for c in s["chunks"] for p in decode_chunk(c["data"])]
+            assert all(len(decode_chunk(c["data"])) <= 120
+                       for c in s["chunks"])
+            for c in s["chunks"]:
+                pp = decode_chunk(c["data"])
+                assert (c["min_time_ms"], c["max_time_ms"]) == \
+                    (pp[0][0], pp[-1][0])
+            out[key] = pts
+        return out
+
+    got = flat(frames[0])
+    want = {}
+    for i in range(300):
+        want.setdefault(
+            (("__name__", "cpu"), ("node", f"vm{i % 2}")), []
+        ).append(((1000 + 30 * i) * 1000, float(i) / 7))
+    assert got == want
+    assert set(flat(frames[1])) == {(("__name__", "cpu"), ("node", "vm1"))}
+    # streamed ≡ non-streamed on the same request
+    plain = prompb.decode_read_response(db.remote_read(req))[0]
+    plain_flat = {tuple((l["name"], l["value"]) for l in s["labels"]):
+                  [(p["timestamp"], p["value"]) for p in s["samples"]]
+                  for s in plain}
+    assert plain_flat == got

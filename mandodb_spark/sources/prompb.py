@@ -720,3 +720,34 @@ def xor_chunks_from_timeseries(df: DataFrame,
         "labels array<struct<name:string,value:string>>, "
         "chunks array<struct<min_time_ms:bigint,max_time_ms:bigint,"
         "data:binary>>")
+
+
+def timeseries_from_xor_chunks(df: DataFrame) -> DataFrame:
+    """The decode dual of :func:`xor_chunks_from_timeseries`: rows of
+    (labels, chunks) — e.g. a ``decode_chunked_read_stream`` result
+    parallelized, or another backend's chunked export — back to
+    ``REMOTE_WRITE_TIMESERIES_SCHEMA`` rows, so a chunked remote-read
+    response composes with ``loaders.rows_from_remote_write`` for
+    BACKFILL ingestion.  Arrow-batched mapInPandas like every codec seam."""
+    from .xor_chunk import decode_chunk
+
+    def batches(it):
+        import pandas as pd
+
+        cols = ["labels", "samples", "histograms", "exemplars"]
+        for pdf in it:
+            rows = []
+            for labels, chunks in zip(pdf["labels"], pdf["chunks"]):
+                samples = [
+                    {"timestamp": t, "value": v}
+                    for c in (chunks if chunks is not None else [])
+                    for t, v in decode_chunk(bytes(c["data"]))
+                ]
+                rows.append({
+                    "labels": [_plain(l) for l in labels],
+                    "samples": samples, "histograms": [], "exemplars": [],
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("labels", "chunks").mapInPandas(
+        batches, REMOTE_WRITE_TIMESERIES_SCHEMA)

@@ -1482,3 +1482,29 @@ def test_remote_read_chunked_endpoint(spark, tmp_path):
                   [(p["timestamp"], p["value"]) for p in s["samples"]]
                   for s in plain}
     assert plain_flat == got
+
+
+def test_xor_chunks_backfill_round_trip(spark):
+    """rows → chunk seam → decode seam → rows is the identity: a chunked
+    remote-read export from one engine backfills another byte-exactly."""
+    from mandodb_spark.model import ROW_SCHEMA, canonicalize
+    from mandodb_spark.sources import prompb
+    from mandodb_spark.sources.loaders import (
+        rows_from_remote_write,
+        to_remote_write,
+    )
+
+    rows = [("m%d" % (i % 3), {"a": "x%d" % (i % 2)}, 1000 + i, float(i))
+            for i in range(500)]
+    rel = canonicalize(spark.createDataFrame(rows, ROW_SCHEMA))
+    chunked = prompb.xor_chunks_from_timeseries(
+        to_remote_write(rel), samples_per_chunk=64)
+    back = rows_from_remote_write(
+        prompb.timeseries_from_xor_chunks(chunked))
+    got = {(r.metric, tuple(sorted(r.labels.items())), r.ts, r.value)
+           for r in back.collect()}
+    want = {(r.labels["__name__"],
+             tuple(sorted((k, v) for k, v in r.labels.items()
+                          if k != "__name__")), r.ts, r.value)
+            for r in rel.collect()}
+    assert got == want

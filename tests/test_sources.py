@@ -1508,3 +1508,31 @@ def test_xor_chunks_backfill_round_trip(spark):
                           if k != "__name__")), r.ts, r.value)
             for r in rel.collect()}
     assert got == want
+
+
+def test_openmetrics_escape_unescape_exhaustive(spark):
+    """EXHAUSTIVE identity check of the escape/unescape column chain over
+    every string up to length 4 from the ambiguity alphabet
+    {a, backslash, quote, newline, n} (781 strings, one Spark job) — the
+    NUL-sentinel unescape order has no blind spot (`\\\\n` vs `\\n` etc.)."""
+    import itertools
+
+    from mandodb_spark.sources.loaders import (
+        _escape_label_value,
+        _unescape_label_value,
+    )
+
+    alphabet = 'a\\"\nn'
+    vals = [''.join(p) for n in range(5)
+            for p in itertools.product(alphabet, repeat=n)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    out = df.select(
+        "v",
+        _unescape_label_value(_escape_label_value(F.col("v"))).alias("r"),
+        _escape_label_value(F.col("v")).alias("e"))
+    rows = out.collect()
+    assert len(rows) == len(vals)
+    for r in rows:
+        assert r["r"] == r["v"], (r["v"], r["e"], r["r"])
+        # escaped form never carries a raw newline or quote (line-safe)
+        assert "\n" not in r["e"] and '"' not in r["e"].replace('\\"', "")

@@ -221,7 +221,8 @@ class TSDB:
         vec = self.instant(metric, matchers, at_ts, lookback)
         return to_openmetrics(vec.select("labels", "ts", "value"))
 
-    def remote_read(self, payload: bytes) -> bytes:
+    def remote_read(self, payload: bytes,
+                    sample_limit: int = 50_000_000) -> bytes:
         """Prometheus REMOTE-READ endpoint body: snappy ``ReadRequest``
         bytes in, snappy ``ReadResponse`` bytes out (the non-streamed
         SAMPLES response) — a Prometheus configured with ``remote_read``
@@ -234,10 +235,11 @@ class TSDB:
         ``=~``, ``!~`` — with Prometheus's empty-value/absent-label
         semantics) and the per-series sample grouping is ONE hash
         aggregate (``loaders.to_remote_write``).  The response collect is
-        bounded by the request's selectivity — the same documented
-        contract as the ``to_api_*`` shapers (remote-read responses are
-        HTTP bodies; an unselective query is the caller's foot-gun, as on
-        any Prometheus).  Series order is canonical (sorted label lists),
+        bounded by ``sample_limit`` (the shape of Prometheus's own
+        ``remote_read_sample_limit``, same 5e7 default): a query
+        selecting more samples fails fast with ``ValueError`` BEFORE
+        anything is collected — one cheap count per query, no partial
+        response.  Series order is canonical (sorted label lists),
         samples ts-ascending, timestamps milliseconds on the wire."""
         from .functions.promql_parser import _matcher_filter
         from .operators.tsdb_ops import time_predicate
@@ -254,6 +256,7 @@ class TSDB:
             rel = rel.filter(time_predicate(start, end, "seg" in rel.columns,
                                             self.segment_duration))
             filt = _matcher_filter(rel, None, q["matchers"])
+            self._guard_sample_limit(filt, sample_limit)
             grouped = to_remote_write(filt.select("labels", "ts", "value"))
             series = sorted(
                 (
@@ -271,8 +274,20 @@ class TSDB:
             results.append(series)
         return prompb.encode_read_response(results)
 
+    @staticmethod
+    def _guard_sample_limit(filt, sample_limit: int) -> None:
+        if sample_limit is not None:
+            n = filt.count()
+            if n > sample_limit:
+                raise ValueError(
+                    f"remote read query selects {n} samples, over the "
+                    f"sample_limit of {sample_limit} — narrow the matchers "
+                    "or time range (Prometheus remote_read_sample_limit "
+                    "semantics)")
+
     def remote_read_chunked(self, payload: bytes,
-                            samples_per_chunk: int = 120) -> bytes:
+                            samples_per_chunk: int = 120,
+                            sample_limit: int = 50_000_000) -> bytes:
         """The STREAMED remote-read response
         (``STREAMED_XOR_CHUNKS``): same snappy ``ReadRequest`` in, a
         concatenation of framed ``ChunkedReadResponse`` messages out —
@@ -297,6 +312,7 @@ class TSDB:
             rel = rel.filter(time_predicate(start, end, "seg" in rel.columns,
                                             self.segment_duration))
             filt = _matcher_filter(rel, None, q["matchers"])
+            self._guard_sample_limit(filt, sample_limit)
             grouped = prompb.xor_chunks_from_timeseries(
                 to_remote_write(filt.select("labels", "ts", "value")),
                 samples_per_chunk=samples_per_chunk)

@@ -1536,3 +1536,26 @@ def test_openmetrics_escape_unescape_exhaustive(spark):
         assert r["r"] == r["v"], (r["v"], r["e"], r["r"])
         # escaped form never carries a raw newline or quote (line-safe)
         assert "\n" not in r["e"] and '"' not in r["e"].replace('\\"', "")
+
+
+def test_remote_read_sample_limit(spark, tmp_path):
+    """An unselective ReadRequest fails fast (Prometheus
+    remote_read_sample_limit semantics) instead of collecting the store;
+    a selective one still answers under the same limit."""
+    import pytest
+
+    from mandodb_spark.engine import TSDB
+    from mandodb_spark.sources import prompb
+
+    db = TSDB(spark, str(tmp_path / "store"))
+    db.insert_rows([("cpu", {"n": f"a{i % 4}"}, 1000 + i, 1.0)
+                    for i in range(40)])
+    req = prompb.encode_read_request([
+        {"start_ms": 0, "end_ms": 10**13,
+         "matchers": [("__name__", "=", "cpu")]}])
+    with pytest.raises(ValueError, match="sample_limit"):
+        db.remote_read(req, sample_limit=10)
+    with pytest.raises(ValueError, match="sample_limit"):
+        db.remote_read_chunked(req, sample_limit=10)
+    assert len(prompb.decode_read_response(
+        db.remote_read(req, sample_limit=40))[0]) == 4

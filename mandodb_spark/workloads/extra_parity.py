@@ -3317,3 +3317,51 @@ ORDER BY user, k, ts, value
 
 QUERIES["x_remote_read_roundtrip"] = x_remote_read_roundtrip
 ORACLES["x_remote_read_roundtrip"] = _remote_read_roundtrip_sql()
+
+
+def x_otlp_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP WIRE ingress (round 11, sources/otlp.py): a two-day click
+    slice rendered as one ExportMetricsServiceRequest payload (driver-
+    side FIXTURE encode — bounded slice, the system under test is the
+    decode) and decoded back through the distributed mapInPandas seam
+    ``rows_from_otlp``; oracle is the same selection in SQL.  Completes
+    the wire-ingress trio beside x_prompb_wire_roundtrip and
+    x_openmetrics_roundtrip."""
+    from ..sources import otlp
+    from .common import EV_START, events_relation
+
+    lo, hi = EV_START + 86_400, EV_START + 3 * 86_400 - 1
+    rel = events_relation(spark, sf_dir, lo, hi).filter(
+        F.col("ts").between(lo, hi)
+        & (F.col("labels").getItem("__name__") == "click"))
+    pts = [{"kind": "number", "metric": "click",
+            "labels": {k: v for k, v in r.labels.items()
+                       if k != "__name__"},
+            "ts": r.ts, "value": r.value}
+           for r in rel.select("labels", "ts", "value").collect()]
+    payload = otlp.encode_export_request(pts)
+    pdf = spark.createDataFrame([(payload,)], "payload binary")
+    back = otlp.rows_from_otlp(pdf)
+    return back.select(
+        "metric",
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    ).orderBy("metric", "user", "k", "ts", "value")
+
+
+def _otlp_wire_roundtrip_sql() -> str:
+    from .common import EV_START, TSDB_SQL_REL
+
+    lo, hi = EV_START + 86_400, EV_START + 3 * 86_400 - 1
+    return f"""
+WITH rel AS ({TSDB_SQL_REL})
+SELECT metric, user, k, ts, round(value, 6) AS value
+FROM rel WHERE ts BETWEEN {lo} AND {hi} AND metric = 'click'
+ORDER BY metric, user, k, ts, value
+"""
+
+
+QUERIES["x_otlp_wire_roundtrip"] = x_otlp_wire_roundtrip
+ORACLES["x_otlp_wire_roundtrip"] = _otlp_wire_roundtrip_sql()

@@ -1901,3 +1901,37 @@ def test_prompb_scrape_gateway_streaming(spark, tmp_path_factory):
     n_after = sum(len(r["exemplars"]) for r in
                   db.query_exemplars("m", [], 0, 2**40).collect())
     assert n_after == 3
+
+
+def test_otlp_gateway_streaming(spark, tmp_path_factory):
+    """The OTLP ingress is batch/streaming dual like the prompb one: a
+    stream of ExportMetricsServiceRequest POST bodies decodes through
+    rows_from_otlp inside the streaming plan and lands exactly-once."""
+    from mandodb_spark.engine import TSDB
+    from mandodb_spark.sources import otlp
+    from mandodb_spark.streaming.ingest import StreamingIngestor
+
+    base = tmp_path_factory.mktemp("otlp_gw")
+    src = str(base / "payloads")
+    for k in range(3):
+        payload = otlp.encode_export_request([
+            {"kind": "number", "metric": "cpu",
+             "labels": {"host": f"vm{k}"}, "ts": 1000 + 60 * i,
+             "value": float(k * 100 + i)} for i in range(5)])
+        spark.createDataFrame([(payload,)], "payload binary").coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    db = TSDB(spark, str(base / "store"))
+    ing = StreamingIngestor(db.store)
+    raw = (spark.readStream.schema("payload binary")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (otlp.rows_from_otlp(raw).writeStream
+         .foreachBatch(lambda b, i: ing.process_batch(b, i))
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.labels["host"], r.ts, r.value)
+           for r in db.query_range_rows("cpu", [], 0, 2**40).collect()}
+    assert got == {(f"vm{k}", 1000 + 60 * i, float(k * 100 + i))
+                   for k in range(3) for i in range(5)}

@@ -69,7 +69,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     extra = "--extra" in sys.argv[1:]
-    only = [a for a in sys.argv[1:] if "/" not in a and a != "--extra"]
+    no_record = "--no-record" in sys.argv[1:]
+    only = [a for a in sys.argv[1:]
+            if "/" not in a and a not in ("--extra", "--no-record")]
 
     import __spark_entry__ as entry_mod
     from mandodb_spark.session import get_spark
@@ -117,7 +119,12 @@ def main() -> int:
             passed.append(name)
             print(f"PASS {name} ({len(sdf)} rows, {dt:.1f}s)")
     print(f"\n{n_pass} pass / {n_fail} fail / {len(names)} total")
-    _record_extra_passes(passed, sf_dir)
+    # Ledger stamping is evidence of a FULL extra-tier sweep: partial runs
+    # (an explicit query list) and --no-record verification runs must be
+    # side-effect-free (round-11 verdict #7 — judge spot-checks were
+    # mutating EXTRA_LEDGER.json).
+    if not no_record and not only:
+        _record_extra_passes(passed, sf_dir)
     return 1 if n_fail else 0
 
 

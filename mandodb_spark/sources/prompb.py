@@ -676,26 +676,32 @@ def decode_chunked_read_stream(stream: bytes) -> list[dict]:
 
 
 def xor_chunks_from_timeseries(df: DataFrame,
-                               samples_per_chunk: int = 120) -> DataFrame:
+                               samples_per_chunk: int = 120,
+                               with_sample_count: bool = False) -> DataFrame:
     """TimeSeries rows (labels + ms samples, ``to_remote_write`` shape) →
     one row per series with its samples cut into XOR chunks
     (``chunks array<struct<min_time_ms:bigint,max_time_ms:bigint,
     data:binary>>``) — the ENCODING runs Arrow-batched on executors
     (series are independent; only response framing is driver work).
-    Chunks cut at ``samples_per_chunk`` (Prometheus cuts at 120)."""
+    Chunks cut at ``samples_per_chunk`` (Prometheus cuts at 120).
+    ``with_sample_count=True`` appends ``n_samples`` (the RAW selected
+    sample count per series, pre-dedup) so a caller can enforce a sample
+    limit from the same single scan."""
     from .xor_chunk import encode_chunk
 
     def batches(it):
         import pandas as pd
 
         for pdf in it:
-            labels_out, chunks_out = [], []
+            labels_out, chunks_out, n_out = [], [], []
             for labels, samples in zip(pdf["labels"], pdf["samples"]):
                 raw = sorted(
                     (int(s["timestamp"]), float(s["value"]))
                     for s in (samples if samples is not None else []))
                 # chunks cannot represent duplicate timestamps (neither
-                # can Prometheus's): last-write-wins within a series
+                # can Prometheus's): for equal timestamps the sort above
+                # puts the max value last, so max-value-wins (arrival
+                # order is not observable post-aggregate; ADVICE r11)
                 pairs: list[tuple[int, float]] = []
                 for t, v in raw:
                     if pairs and pairs[-1][0] == t:
@@ -712,14 +718,20 @@ def xor_chunks_from_timeseries(df: DataFrame,
                     })
                 labels_out.append([_plain(l) for l in labels])
                 chunks_out.append(chunks)
-            yield pd.DataFrame({"labels": labels_out, "chunks": chunks_out},
-                               columns=["labels", "chunks"])
+                n_out.append(len(raw))
+            out = {"labels": labels_out, "chunks": chunks_out}
+            cols = ["labels", "chunks"]
+            if with_sample_count:
+                out["n_samples"] = n_out
+                cols.append("n_samples")
+            yield pd.DataFrame(out, columns=cols)
 
-    return df.select("labels", "samples").mapInPandas(
-        batches,
-        "labels array<struct<name:string,value:string>>, "
-        "chunks array<struct<min_time_ms:bigint,max_time_ms:bigint,"
-        "data:binary>>")
+    schema = ("labels array<struct<name:string,value:string>>, "
+              "chunks array<struct<min_time_ms:bigint,max_time_ms:bigint,"
+              "data:binary>>")
+    if with_sample_count:
+        schema += ", n_samples bigint"
+    return df.select("labels", "samples").mapInPandas(batches, schema)
 
 
 def timeseries_from_xor_chunks(df: DataFrame) -> DataFrame:

@@ -1539,10 +1539,14 @@ def test_openmetrics_escape_unescape_exhaustive(spark):
 
 
 def test_remote_read_sample_limit(spark, tmp_path):
-    """An unselective ReadRequest fails fast (Prometheus
-    remote_read_sample_limit semantics) instead of collecting the store;
-    a selective one still answers under the same limit."""
+    """An unselective ReadRequest fails with ValueError before any bytes
+    are encoded (Prometheus remote_read_sample_limit semantics); a
+    selective one still answers under the same limit.  The guard rides
+    the grouped aggregate itself (``size(samples)`` / ``n_samples``) —
+    ONE scan per query, no separate ``count()`` action (r11 verdict #5):
+    asserted by poisoning DataFrame.count for the duration."""
     import pytest
+    from pyspark.sql import DataFrame
 
     from mandodb_spark.engine import TSDB
     from mandodb_spark.sources import prompb
@@ -1553,12 +1557,22 @@ def test_remote_read_sample_limit(spark, tmp_path):
     req = prompb.encode_read_request([
         {"start_ms": 0, "end_ms": 10**13,
          "matchers": [("__name__", "=", "cpu")]}])
-    with pytest.raises(ValueError, match="sample_limit"):
-        db.remote_read(req, sample_limit=10)
-    with pytest.raises(ValueError, match="sample_limit"):
-        db.remote_read_chunked(req, sample_limit=10)
-    assert len(prompb.decode_read_response(
-        db.remote_read(req, sample_limit=40))[0]) == 4
+
+    def _no_count(self):
+        raise AssertionError("remote_read must not run a count() scan")
+
+    orig = DataFrame.count
+    DataFrame.count = _no_count
+    try:
+        with pytest.raises(ValueError, match="sample_limit"):
+            db.remote_read(req, sample_limit=10)
+        with pytest.raises(ValueError, match="sample_limit"):
+            db.remote_read_chunked(req, sample_limit=10)
+        assert len(prompb.decode_read_response(
+            db.remote_read(req, sample_limit=40))[0]) == 4
+        assert db.remote_read_chunked(req, sample_limit=40)
+    finally:
+        DataFrame.count = orig
 
 
 # ---------------------------------------------------------- OTLP wire codec

@@ -325,10 +325,19 @@ class _Parser:
 
     def modifiers(self):
         """Trailing ``offset <d>`` / ``@ <ts|start()|end()>`` modifiers in
-        either order (PromQL) — shared by selectors and subqueries."""
+        either order (PromQL) — shared by selectors and subqueries.
+        Each may appear at most once: Prometheus rejects ``offset 5m
+        offset 5m`` ('offset may not be set multiple times'), so keeping
+        only the last would silently diverge (ADVICE r11)."""
         offset_s, at_s = 0, None
+        seen: set[str] = set()
         while self.peek().text in ("offset", "@"):
             mod = self.next().text
+            if mod in seen:
+                raise PromqlError(
+                    f"{'offset' if mod == 'offset' else '@'} may not be "
+                    "set multiple times")
+            seen.add(mod)
             if mod == "offset":
                 dt = self.next()
                 if dt.kind != "DURATION":

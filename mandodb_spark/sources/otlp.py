@@ -35,6 +35,7 @@ bucket counts are packed uint64 varints.
 
 from __future__ import annotations
 
+import re
 import struct
 from typing import Iterator
 
@@ -58,7 +59,11 @@ OTLP_EXPHIST_SCHEMA = (
 def _ofields(buf: bytes) -> Iterator[tuple[int, int, object]]:
     """Like ``prompb._fields`` but FIXED64 yields the raw 8 bytes —
     OTLP uses fixed64 for both uint64 counters and double sums, so the
-    caller picks the unpack."""
+    caller picks the unpack.  Truncated payloads (a declared length or a
+    fixed-width field running past the buffer end) raise instead of
+    yielding a short slice, so corruption fails the whole-payload decode
+    (ADVICE r11: silent partial mis-decodes could slip garbage rows
+    through in drop mode)."""
     i, n = 0, len(buf)
     while i < n:
         key, i = _uvarint(buf, i)
@@ -67,13 +72,19 @@ def _ofields(buf: bytes) -> Iterator[tuple[int, int, object]]:
             v, i = _uvarint(buf, i)
             yield field, wt, v
         elif wt == 1:
+            if i + 8 > n:
+                raise ValueError("truncated fixed64 field")
             yield field, wt, buf[i:i + 8]
             i += 8
         elif wt == 2:
             ln, i = _uvarint(buf, i)
+            if i + ln > n:
+                raise ValueError("length-delimited field overruns buffer")
             yield field, wt, buf[i:i + ln]
             i += ln
         elif wt == 5:
+            if i + 4 > n:
+                raise ValueError("truncated fixed32 field")
             yield field, wt, buf[i:i + 4]
             i += 4
         else:
@@ -213,11 +224,46 @@ def _exphist_point(buf: bytes) -> dict:
     return out
 
 
+def _summary_point(buf: bytes) -> dict:
+    """SummaryDataPoint (metrics.proto field numbers: attributes=7,
+    time_unix_nano=3, count=4, sum=5, quantile_values=6 with
+    ValueAtQuantile{quantile=1, value=2})."""
+    out = {"attrs": {}, "ts": 0, "count": 0, "sum": None, "quantiles": []}
+    for f, wt, v in _ofields(buf):
+        if f == 7 and wt == 2:
+            out["attrs"].update([_key_value(v)])
+        elif f == 3 and wt == 1:
+            out["ts"] = _f64_u(v) // 1_000_000_000
+        elif f == 4 and wt == 1:
+            out["count"] = _f64_u(v)
+        elif f == 5 and wt == 1:
+            out["sum"] = _f64_d(v)
+        elif f == 6 and wt == 2:
+            q = val = 0.0
+            for g, w, x in _ofields(v):
+                if g == 1 and w == 1:
+                    q = _f64_d(x)
+                elif g == 2 and w == 1:
+                    val = _f64_d(x)
+            out["quantiles"].append((q, val))
+    return out
+
+
+#: metrics.proto AggregationTemporality enum values.
+_TEMPORALITY = {0: "unspecified", 1: "delta", 2: "cumulative"}
+
+
 def decode_export_request(data: bytes) -> list[dict]:
     """Uncompressed ``ExportMetricsServiceRequest`` → flat data-point
-    dicts: ``{"kind": "number"|"histogram"|"exphist", "metric": name,
-    "labels": {...}, ...point fields}`` with resource attributes merged
-    (point attributes win)."""
+    dicts: ``{"kind": "number"|"histogram"|"exphist"|"summary",
+    "metric": name, "labels": {...}, ...point fields}`` with resource
+    attributes merged (point attributes win).  Sum / Histogram /
+    ExponentialHistogram points also carry ``temporality``
+    (``"delta"``/``"cumulative"``/``"unspecified"`` — metrics.proto
+    ``aggregation_temporality``, field 2 of each) and Sum points
+    ``is_monotonic`` (field 3); Gauge points are ``temporality=None``
+    (gauges have no temporality) and Summary is cumulative by
+    definition."""
     points: list[dict] = []
     for f, wt, rm in _ofields(data):
         if f != 1 or wt != 2:
@@ -235,45 +281,114 @@ def decode_export_request(data: bytes) -> list[dict]:
             for f3, wt3, v3 in _ofields(m):
                 if f3 == 1 and wt3 == 2:
                     name = v3.decode("utf-8")
-                elif f3 in (5, 7) and wt3 == 2:  # Gauge / Sum
-                    kinds.append(("number", v3))
+                elif f3 == 5 and wt3 == 2:  # Gauge (no temporality)
+                    kinds.append(("number", v3, False))
+                elif f3 == 7 and wt3 == 2:  # Sum
+                    kinds.append(("number", v3, True))
                 elif f3 == 9 and wt3 == 2:  # Histogram
-                    kinds.append(("histogram", v3))
+                    kinds.append(("histogram", v3, True))
                 elif f3 == 10 and wt3 == 2:  # ExponentialHistogram
-                    kinds.append(("exphist", v3))
-            for kind, body in kinds:
+                    kinds.append(("exphist", v3, True))
+                elif f3 == 11 and wt3 == 2:  # Summary
+                    kinds.append(("summary", v3, False))
+            for kind, body, has_temporality in kinds:
                 dec = {"number": _number_point, "histogram": _hist_point,
-                       "exphist": _exphist_point}[kind]
+                       "exphist": _exphist_point,
+                       "summary": _summary_point}[kind]
+                temporality = None
+                is_monotonic = None
+                if has_temporality:
+                    temporality = "unspecified"
+                    for f4, wt4, v4 in _ofields(body):
+                        if f4 == 2 and wt4 == 0:
+                            temporality = _TEMPORALITY.get(v4, "unspecified")
+                        elif f4 == 3 and wt4 == 0 and kind == "number":
+                            is_monotonic = bool(v4)
                 for f4, wt4, dp in _ofields(body):
                     if f4 != 1 or wt4 != 2:  # data_points
                         continue
                     p = dec(dp)
                     labels = dict(res_attrs)
                     labels.update(p.pop("attrs"))
-                    points.append({"kind": kind, "metric": name,
-                                   "labels": labels, **p})
+                    point = {"kind": kind, "metric": name,
+                             "labels": labels, "temporality": temporality,
+                             **p}
+                    if is_monotonic is not None:
+                        point["is_monotonic"] = is_monotonic
+                    points.append(point)
     return points
 
 
 # ------------------------------------------------------ DataFrame seams
 
+#: Prometheus-invalid character classes (the standard OTLP→Prometheus
+#: bridge mapping: metric names keep ``:``, label names do not).
+_METRIC_BAD = re.compile(r"[^a-zA-Z0-9_:]")
+_LABEL_BAD = re.compile(r"[^a-zA-Z0-9_]")
+
+
+def sanitize_metric_name(name: str) -> str:
+    """OTLP metric name → Prometheus-conforming name: invalid characters
+    (dots, dashes, ...) become ``_``, a leading digit gets a ``_``
+    prefix — the mapping every OTLP→Prometheus bridge performs (ADVICE
+    r11: unsanitized names corrupt the text-format round trip)."""
+    s = _METRIC_BAD.sub("_", name)
+    return "_" + s if s and s[0].isdigit() else s
+
+
+def sanitize_label_key(key: str) -> str:
+    """OTLP attribute key → Prometheus label name (``service.name`` →
+    ``service_name``).  Colliding sanitized keys: last writer wins,
+    matching the collector's prometheus exporter."""
+    s = _LABEL_BAD.sub("_", key)
+    return "_" + s if s and s[0].isdigit() else s
+
+
+def _san_labels(labels: dict) -> dict:
+    return {sanitize_label_key(k): v for k, v in labels.items()}
+
 
 def rows_from_otlp(df: DataFrame, bytes_col: str = "payload",
-                   on_error: str = "drop") -> DataFrame:
+                   on_error: str = "drop",
+                   delta: str = "reject") -> DataFrame:
     """BINARY OTLP POST bodies → ``ROW_SCHEMA`` float samples: gauge/sum
     points verbatim, classic explicit-bounds histograms lowered to the
     public Prometheus mapping (cumulative ``_bucket{le}`` incl. ``+Inf``,
-    ``_sum``, ``_count``).  Arrow-batched mapInPandas, drop-or-raise
-    error contract like ``prompb.timeseries_from_prompb``."""
+    ``_sum``, ``_count``), summaries to ``_sum``/``_count`` plus
+    ``quantile``-labeled series.  Metric and label names sanitize to the
+    Prometheus charset (``service.name`` → ``service_name``) so the
+    output is text-format round-trippable.  Arrow-batched mapInPandas,
+    drop-or-raise error contract like ``prompb.timeseries_from_prompb``.
+
+    DELTA temporality (``aggregation_temporality=1`` on Sum/Histogram —
+    statsd-style pipelines) is handled per the ``delta`` knob, never
+    silently mis-ingested as cumulative (r11 verdict #3):
+
+    - ``"reject"`` (default): ``ValueError`` naming the metric — the
+      stance of the collector's prometheusremotewrite exporter;
+    - ``"drop"``: skip delta points, keep the rest of the payload;
+    - ``"cumulate"``: convert delta→cumulative with a per-series
+      running sum over event time (one window over the decoded rows —
+      executor-side, no extra scan).  Conversion starts from the first
+      observed point, like the collector's deltatocumulative processor.
+    """
     if on_error not in ("drop", "raise"):
         raise ValueError("on_error must be 'drop' or 'raise'")
+    if delta not in ("reject", "drop", "cumulate"):
+        raise ValueError("delta must be 'reject', 'drop' or 'cumulate'")
 
     def batches(it):
         import pandas as pd
 
-        cols = ["metric", "labels", "ts", "value"]
+        cols = ["metric", "labels", "ts", "value", "is_delta"]
         for pdf in it:
             rows = []
+
+            def emit(metric, labels, ts, value, is_delta):
+                rows.append({"metric": metric, "labels": labels,
+                             "ts": ts, "value": value,
+                             "is_delta": is_delta})
+
             for payload in pdf[bytes_col]:
                 if payload is None:
                     continue
@@ -284,45 +399,82 @@ def rows_from_otlp(df: DataFrame, bytes_col: str = "payload",
                         raise
                     continue
                 for p in pts:
+                    is_delta = p.get("temporality") == "delta"
+                    if is_delta:
+                        if delta == "reject":
+                            raise ValueError(
+                                f"metric {p['metric']!r} has DELTA "
+                                "aggregation_temporality; pass "
+                                "delta='cumulate' to convert or "
+                                "delta='drop' to skip (ingesting delta "
+                                "as cumulative would corrupt rate())")
+                        if delta == "drop":
+                            continue
+                    name = sanitize_metric_name(p["metric"])
+                    labels = _san_labels(p["labels"])
                     if p["kind"] == "number":
                         if p["value"] is not None:
-                            rows.append({"metric": p["metric"],
-                                         "labels": p["labels"],
-                                         "ts": p["ts"],
-                                         "value": p["value"]})
+                            emit(name, labels, p["ts"], p["value"],
+                                 is_delta)
                     elif p["kind"] == "histogram":
                         cum = 0
                         for b, c in zip(p["bounds"], p["bucket_counts"]):
                             cum += c
-                            rows.append({
-                                "metric": p["metric"] + "_bucket",
-                                "labels": {**p["labels"], "le": str(b)},
-                                "ts": p["ts"], "value": float(cum)})
-                        rows.append({
-                            "metric": p["metric"] + "_bucket",
-                            "labels": {**p["labels"], "le": "+Inf"},
-                            "ts": p["ts"], "value": float(p["count"])})
+                            emit(name + "_bucket",
+                                 {**labels, "le": str(b)},
+                                 p["ts"], float(cum), is_delta)
+                        emit(name + "_bucket", {**labels, "le": "+Inf"},
+                             p["ts"], float(p["count"]), is_delta)
                         if p["sum"] is not None:
-                            rows.append({"metric": p["metric"] + "_sum",
-                                         "labels": p["labels"],
-                                         "ts": p["ts"],
-                                         "value": float(p["sum"])})
-                        rows.append({"metric": p["metric"] + "_count",
-                                     "labels": p["labels"], "ts": p["ts"],
-                                     "value": float(p["count"])})
+                            emit(name + "_sum", labels, p["ts"],
+                                 float(p["sum"]), is_delta)
+                        emit(name + "_count", labels, p["ts"],
+                             float(p["count"]), is_delta)
+                    elif p["kind"] == "summary":
+                        for q, qv in p["quantiles"]:
+                            emit(name, {**labels, "quantile": str(q)},
+                                 p["ts"], float(qv), False)
+                        if p["sum"] is not None:
+                            emit(name + "_sum", labels, p["ts"],
+                                 float(p["sum"]), False)
+                        emit(name + "_count", labels, p["ts"],
+                             float(p["count"]), False)
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(bytes_col).mapInPandas(batches, OTLP_ROW_SCHEMA)
+    decoded = df.select(bytes_col).mapInPandas(
+        batches, OTLP_ROW_SCHEMA + ", is_delta boolean")
+    if delta == "cumulate":
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ..model import series_key
+
+        w = (Window.partitionBy("metric", series_key(F.col("labels")),
+                                "is_delta")
+             .orderBy("ts")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        value = F.when(F.col("is_delta"),
+                       F.sum("value").over(w)).otherwise(F.col("value"))
+        return decoded.select("metric", "labels", "ts",
+                              value.alias("value"))
+    return decoded.drop("is_delta")
 
 
 def exphist_from_otlp(df: DataFrame, bytes_col: str = "payload",
-                      on_error: str = "drop") -> DataFrame:
+                      on_error: str = "drop",
+                      delta: str = "reject") -> DataFrame:
     """BINARY OTLP POST bodies → exponential-histogram data-point rows
     (``OTLP_EXPHIST_SCHEMA``) ready for
     ``native_hist.histograms_from_otlp`` → ``TSDB.insert_histograms`` —
-    the native-histogram leg of the OTLP ingress."""
+    the native-histogram leg of the OTLP ingress.  Names sanitize like
+    :func:`rows_from_otlp`.  DELTA temporality rejects (default) or
+    drops — cumulating exponential histograms needs offset-aligned
+    bucket addition and belongs to the native-hist merge machinery, not
+    a wire decoder; what must not happen is silent mis-ingestion."""
     if on_error not in ("drop", "raise"):
         raise ValueError("on_error must be 'drop' or 'raise'")
+    if delta not in ("reject", "drop"):
+        raise ValueError("delta must be 'reject' or 'drop'")
 
     keys = ("metric", "labels", "ts", "count", "sum", "zero_count",
             "zero_threshold", "scale", "pos_offset", "pos_counts",
@@ -345,9 +497,17 @@ def exphist_from_otlp(df: DataFrame, bytes_col: str = "payload",
                 for p in pts:
                     if p["kind"] != "exphist":
                         continue
-                    rows.append({k: p[k] for k in keys if k in p}
-                                | {"metric": p["metric"],
-                                   "labels": p["labels"]})
+                    if p.get("temporality") == "delta":
+                        if delta == "reject":
+                            raise ValueError(
+                                f"metric {p['metric']!r} has DELTA "
+                                "aggregation_temporality; pass "
+                                "delta='drop' to skip delta points")
+                        continue
+                    rows.append(
+                        {k: p[k] for k in keys if k in p}
+                        | {"metric": sanitize_metric_name(p["metric"]),
+                           "labels": _san_labels(p["labels"])})
             yield pd.DataFrame(rows, columns=list(keys))
 
     return df.select(bytes_col).mapInPandas(batches, OTLP_EXPHIST_SCHEMA)
@@ -372,14 +532,34 @@ def _enc_f64d(field: int, v: float) -> bytes:
     return _enc_uvarint(field << 3 | 1) + struct.pack("<d", float(v))
 
 
+#: encode-side temporality names → metrics.proto enum values.
+_TEMPORALITY_ENC = {"unspecified": 0, "delta": 1, "cumulative": 2}
+
+
+def _enc_temporality(p: dict) -> bytes:
+    """``aggregation_temporality`` (field 2) + Sum's ``is_monotonic``
+    (field 3) from optional point keys — absent keys encode nothing
+    (proto3 default = UNSPECIFIED / false)."""
+    out = b""
+    t = p.get("temporality")
+    if t:
+        out += _enc_uvarint(2 << 3 | 0) + _enc_uvarint(_TEMPORALITY_ENC[t])
+    if p.get("is_monotonic") and p["kind"] == "number":
+        out += _enc_uvarint(3 << 3 | 0) + _enc_uvarint(1)
+    return out
+
+
 def encode_export_request(points: list[dict]) -> bytes:
     """Flat point dicts (the :func:`decode_export_request` shape, with
     ``resource`` labels folded into ``labels``) → one wire
     ``ExportMetricsServiceRequest`` — the client/test side.  Each point
-    becomes its own metric entry; gauge for numbers."""
+    becomes its own metric entry.  ``"number"`` points encode as Gauge
+    unless a ``temporality``/``is_monotonic`` key is present (→ Sum);
+    ``"summary"`` points take ``quantiles`` as (q, value) pairs."""
     metrics = bytearray()
     for p in points:
-        attrs_field = {"number": 7, "histogram": 9, "exphist": 1}[p["kind"]]
+        attrs_field = {"number": 7, "histogram": 9, "exphist": 1,
+                       "summary": 7}[p["kind"]]
         dp = bytearray()
         dp += _enc_f64u(3, int(p["ts"]) * 1_000_000_000)
         for k, v in sorted(p.get("labels", {}).items()):
@@ -387,7 +567,19 @@ def encode_export_request(points: list[dict]) -> bytes:
         if p["kind"] == "number":
             dp += _enc_f64d(4, p["value"])
             body = _msg(1, bytes(dp))
-            metric = _msg(1, p["metric"].encode()) + _msg(5, body)
+            if p.get("temporality") or p.get("is_monotonic") is not None:
+                body += _enc_temporality(p)
+                metric = _msg(1, p["metric"].encode()) + _msg(7, body)
+            else:
+                metric = _msg(1, p["metric"].encode()) + _msg(5, body)
+        elif p["kind"] == "summary":
+            dp += _enc_f64u(4, int(p["count"]))
+            if p.get("sum") is not None:
+                dp += _enc_f64d(5, p["sum"])
+            for q, qv in p.get("quantiles") or []:
+                dp += _msg(6, _enc_f64d(1, q) + _enc_f64d(2, qv))
+            body = _msg(1, bytes(dp))
+            metric = _msg(1, p["metric"].encode()) + _msg(11, body)
         elif p["kind"] == "histogram":
             dp += _enc_f64u(4, int(p["count"]))
             if p.get("sum") is not None:
@@ -397,7 +589,7 @@ def encode_export_request(points: list[dict]) -> bytes:
             bounds = p.get("bounds") or []
             dp += _msg(7, struct.pack(f"<{len(bounds)}d",
                                       *map(float, bounds)))
-            body = _msg(1, bytes(dp))
+            body = _msg(1, bytes(dp)) + _enc_temporality(p)
             metric = _msg(1, p["metric"].encode()) + _msg(9, body)
         else:
             dp += _enc_f64u(4, int(p["count"]))
@@ -420,7 +612,7 @@ def encode_export_request(points: list[dict]) -> bytes:
                                p.get("neg_counts") or []))
             if p.get("zero_threshold"):
                 dp += _enc_f64d(14, p["zero_threshold"])
-            body = _msg(1, bytes(dp))
+            body = _msg(1, bytes(dp)) + _enc_temporality(p)
             metric = _msg(1, p["metric"].encode()) + _msg(10, body)
         metrics += _msg(2, metric)
     scope_metrics = bytes(metrics)

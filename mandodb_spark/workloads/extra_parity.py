@@ -3365,3 +3365,103 @@ ORDER BY metric, user, k, ts, value
 
 QUERIES["x_otlp_wire_roundtrip"] = x_otlp_wire_roundtrip
 ORACLES["x_otlp_wire_roundtrip"] = _otlp_wire_roundtrip_sql()
+
+
+def x_otlp_delta_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP DELTA temporality + Summary ingestion (round 12, r11 verdict
+    #3): a one-day click slice pre-aggregated to per-(user,k,ts) DELTA
+    increments is encoded as a delta-temporality OTLP Sum, plus one
+    Summary data point per user (count / sum / q50 / q99 over the same
+    slice); ``rows_from_otlp(delta="cumulate")`` must convert the deltas
+    to per-series cumulative values (running sum over event time — the
+    deltatocumulative-processor semantics) and lower Summary points to
+    ``_sum``/``_count``/quantile-labeled series.  Oracle: the same
+    running sum as a SQL window plus quantile_cont aggregates."""
+    import numpy as np
+
+    from ..sources import otlp
+    from .common import EV_START, events_relation
+
+    lo, hi = EV_START + 86_400, EV_START + 2 * 86_400 - 1
+    rel = events_relation(spark, sf_dir, lo, hi).filter(
+        F.col("ts").between(lo, hi)
+        & (F.col("labels").getItem("__name__") == "click"))
+    slice_rows = (
+        rel.select(F.col("labels").getItem("user").alias("user"),
+                   F.col("labels").getItem("k").alias("k"),
+                   "ts", "value")
+        .groupBy("user", "k", "ts")
+        .agg(F.sum("value").alias("value"))
+        .collect())
+    pts = [{"kind": "number", "metric": "click_total",
+            "labels": {"user": r.user, "k": r.k},
+            "ts": r.ts, "value": r.value,
+            "temporality": "delta", "is_monotonic": True}
+           for r in slice_rows]
+    by_user: dict = {}
+    for r in slice_rows:
+        by_user.setdefault(r.user, []).append(r.value)
+    for user, vals in by_user.items():
+        pts.append({"kind": "summary", "metric": "click.value",
+                    "labels": {"user": user}, "ts": hi,
+                    "count": len(vals), "sum": float(sum(vals)),
+                    "quantiles": [
+                        (0.5, float(np.percentile(vals, 50))),
+                        (0.99, float(np.percentile(vals, 99)))]})
+    payload = otlp.encode_export_request(pts)
+    pdf = spark.createDataFrame([(payload,)], "payload binary")
+    back = otlp.rows_from_otlp(pdf, delta="cumulate")
+    return back.select(
+        "metric",
+        F.col("labels").getItem("user").alias("user"),
+        F.col("labels").getItem("k").alias("k"),
+        F.col("labels").getItem("quantile").alias("quantile"),
+        "ts",
+        F.round("value", 6).alias("value"),
+    ).orderBy("metric", "user", "k", "quantile", "ts", "value")
+
+
+def _otlp_delta_summary_sql() -> str:
+    from .common import EV_START, TSDB_SQL_REL
+
+    lo, hi = EV_START + 86_400, EV_START + 2 * 86_400 - 1
+    return f"""
+WITH rel AS ({TSDB_SQL_REL}),
+slice AS (
+  SELECT user, k, ts, CAST(SUM(value) AS DOUBLE) AS value
+  FROM rel WHERE ts BETWEEN {lo} AND {hi} AND metric = 'click'
+  GROUP BY user, k, ts
+),
+cum AS (
+  SELECT 'click_total' AS metric, user, k, CAST(NULL AS VARCHAR) AS quantile,
+         ts,
+         SUM(value) OVER (PARTITION BY user, k ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value
+  FROM slice
+),
+summ AS (
+  SELECT user, COUNT(*) AS cnt, CAST(SUM(value) AS DOUBLE) AS s,
+         quantile_cont(value, 0.5) AS q50,
+         quantile_cont(value, 0.99) AS q99
+  FROM slice GROUP BY user
+),
+summary_rows AS (
+  SELECT 'click_value' AS metric, user, CAST(NULL AS VARCHAR) AS k,
+         '0.5' AS quantile, {hi} AS ts, q50 AS value FROM summ
+  UNION ALL
+  SELECT 'click_value', user, NULL, '0.99', {hi}, q99 FROM summ
+  UNION ALL
+  SELECT 'click_value_sum', user, NULL, NULL, {hi}, s FROM summ
+  UNION ALL
+  SELECT 'click_value_count', user, NULL, NULL, {hi}, CAST(cnt AS DOUBLE)
+  FROM summ
+)
+SELECT metric, user, k, quantile, ts, round(value, 6) AS value
+FROM (SELECT * FROM cum UNION ALL SELECT * FROM summary_rows)
+ORDER BY metric, user, k, quantile, ts, value
+"""
+
+
+QUERIES["x_otlp_delta_summary"] = x_otlp_delta_summary
+ORACLES["x_otlp_delta_summary"] = _otlp_delta_summary_sql()

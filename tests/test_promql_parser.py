@@ -112,6 +112,19 @@ def test_parse_errors(bad):
         parse(bad)
 
 
+def test_duplicate_modifiers_rejected():
+    """Prometheus rejects repeated offset/@ modifiers ('offset may not
+    be set multiple times') — last-wins would silently diverge."""
+    with pytest.raises(PromqlError, match="offset may not be set"):
+        parse("x offset 5m offset 10m")
+    with pytest.raises(PromqlError, match="@ may not be set"):
+        parse("x @ 100 @ 200")
+    # one of each, either order, stays legal
+    assert parse("x offset 5m @ 100")
+    assert parse("x @ 100 offset 5m")
+    assert parse("rate(x[5m] offset 1m @ 100)")
+
+
 def test_time_window_conservative():
     assert time_window("sum(rate(x[1h] offset 30m))", 10_000) == (4600, 8200)
     assert time_window("x", 10_000, lookback=300) == (9700, 10_000)

@@ -377,3 +377,44 @@ class ExemplarSinkMaintainer:
         rows = self.derive(batch_df) if self.derive is not None else batch_df
         self.db.insert_exemplars(rows, dedup_against_store=True)
         self.batches += 1
+
+
+class WireIngressMaintainer:
+    """foreachBatch sink exercising the FULL remote-write wire loop per
+    micro-batch: canonical rows → prompb ``WriteRequest`` payload BYTES
+    (executor-side encode, ``prompb.prompb_from_timeseries``) → wire
+    decode (``prompb.timeseries_from_prompb``) → canonical rows →
+    idempotent store append.  This is the scrape-gateway round trip a
+    remote-write receiver performs, run continuously under Structured
+    Streaming — the landed store can then serve the SAME data back as
+    bytes via ``TSDB.remote_read`` / ``remote_read_chunked``, closing
+    the bytes-in/bytes-out loop (r11 verdict #8).
+
+    At-least-once replays are absorbed by ``dedup_against_store=True``
+    (first-write-wins on ``(series, ts)``, scan pruned to the batch's
+    touched segments), the same exactly-once discipline as the nh
+    partial and exemplar sinks.  Everything except HTTP framing runs
+    executor-side: both wire codecs are Arrow-batched ``mapInPandas``
+    seams, so per-batch cost is O(batch) with no driver decode."""
+
+    def __init__(self, db, series_per_request: int = 500) -> None:
+        self.db = db
+        self.series_per_request = series_per_request
+        self.batches = 0
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..model import fold_metric_name
+        from ..sources import prompb
+        from ..sources.loaders import rows_from_remote_write, to_remote_write
+
+        wire = prompb.prompb_from_timeseries(
+            to_remote_write(batch_df.select(
+                fold_metric_name(F.col("metric"), F.col("labels"))
+                .alias("labels"),
+                "ts", "value")),
+            series_per_request=self.series_per_request)
+        decoded = rows_from_remote_write(prompb.timeseries_from_prompb(wire))
+        self.db.insert_rows(decoded, dedup_against_store=True)
+        self.batches += 1

@@ -1242,12 +1242,17 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
             F.lit("trace_id"),
             F.concat(F.lit("t"), F.col("ts").cast("string"))
         ).alias("exemplar")))
+    from mandodb_spark.streaming.ingest import WireIngressMaintainer
+
+    wire_db = TSDB(spark, str(base / "wire_store"), segment_duration=SEG)
+    wire_m = WireIngressMaintainer(wire_db, series_per_request=2)
 
     def soak(batch, bid):
         ingestor.process_batch(batch, bid)
         rules_m.process_batch(batch, bid)  # before retention: segment live
         alerts_m.process_batch(batch, bid)
         exem_m.process_batch(batch, bid)
+        wire_m.process_batch(batch, bid)
         retention.process_batch(batch, bid)
         layout(batch.select("ts", "value"), bid)
         docs = derive_docs(batch)
@@ -1376,6 +1381,30 @@ def test_streaming_soak_all_maintainers_chained(spark, tmp_path_factory):
     want_ex = {(lbl["node"], ts): (v, f"t{ts}")
                for _m, lbl, ts, v in all_rows}
     assert got_ex == want_ex and len(got_ex) == len(all_rows)
+
+    # --- wire ingress (11th maintainer, WireIngressMaintainer): every
+    # batch rode the FULL remote-write wire loop (rows → prompb bytes →
+    # decode → store), the landed store holds the exact multiset, a
+    # redelivered batch is a no-op (store-side (series, ts) dedup), and
+    # the store serves the same data BACK as remote-read bytes — the
+    # bytes-in/bytes-out loop under restart/idempotency discipline
+    from mandodb_spark.sources import prompb as _prompb
+
+    assert wire_m.batches == 6
+    wire_got = {(r.labels["node"], r.ts, r.value)
+                for r in wire_db.query_range_rows("m", [], 0, 2**40).collect()}
+    assert wire_got == {(lbl["node"], ts, v) for _m, lbl, ts, v in all_rows}
+    wire_m.process_batch(spark.createDataFrame(files[-1], ROW_SCHEMA), 99)
+    assert wire_db.query_range_rows("m", [], 0, 2**40).count() == len(all_rows)
+    req = _prompb.encode_read_request([
+        {"start_ms": 0, "end_ms": 10**15,
+         "matchers": [("__name__", "=", "m")]}])
+    served = _prompb.decode_read_response(wire_db.remote_read(req))[0]
+    served_samples = {
+        (dict((l["name"], l["value"]) for l in s["labels"])["node"],
+         p["timestamp"] // 1000, p["value"])
+        for s in served for p in s["samples"]}
+    assert served_samples == wire_got
 
     # --- alerting rule: same event-time grid as the recording rule, and
     # every recorded ALERTS row is internally consistent with its

@@ -467,14 +467,15 @@ def exphist_from_otlp(df: DataFrame, bytes_col: str = "payload",
     (``OTLP_EXPHIST_SCHEMA``) ready for
     ``native_hist.histograms_from_otlp`` → ``TSDB.insert_histograms`` —
     the native-histogram leg of the OTLP ingress.  Names sanitize like
-    :func:`rows_from_otlp`.  DELTA temporality rejects (default) or
-    drops — cumulating exponential histograms needs offset-aligned
-    bucket addition and belongs to the native-hist merge machinery, not
-    a wire decoder; what must not happen is silent mis-ingestion."""
+    :func:`rows_from_otlp`.  DELTA temporality rejects (default), drops,
+    or converts (``delta="cumulate"`` routes delta series through
+    :func:`exphist_delta_to_cumulative` — per-series running bucket
+    merge, uniform scale required); what must not happen is silent
+    mis-ingestion of delta as cumulative."""
     if on_error not in ("drop", "raise"):
         raise ValueError("on_error must be 'drop' or 'raise'")
-    if delta not in ("reject", "drop"):
-        raise ValueError("delta must be 'reject' or 'drop'")
+    if delta not in ("reject", "drop", "cumulate"):
+        raise ValueError("delta must be 'reject', 'drop' or 'cumulate'")
 
     keys = ("metric", "labels", "ts", "count", "sum", "zero_count",
             "zero_threshold", "scale", "pos_offset", "pos_counts",
@@ -497,20 +498,123 @@ def exphist_from_otlp(df: DataFrame, bytes_col: str = "payload",
                 for p in pts:
                     if p["kind"] != "exphist":
                         continue
-                    if p.get("temporality") == "delta":
+                    is_delta = p.get("temporality") == "delta"
+                    if is_delta:
                         if delta == "reject":
                             raise ValueError(
                                 f"metric {p['metric']!r} has DELTA "
                                 "aggregation_temporality; pass "
+                                "delta='cumulate' to convert or "
                                 "delta='drop' to skip delta points")
-                        continue
+                        if delta == "drop":
+                            continue
                     rows.append(
                         {k: p[k] for k in keys if k in p}
                         | {"metric": sanitize_metric_name(p["metric"]),
-                           "labels": _san_labels(p["labels"])})
-            yield pd.DataFrame(rows, columns=list(keys))
+                           "labels": _san_labels(p["labels"]),
+                           "is_delta": is_delta})
+            yield pd.DataFrame(rows, columns=list(keys) + ["is_delta"])
 
-    return df.select(bytes_col).mapInPandas(batches, OTLP_EXPHIST_SCHEMA)
+    decoded = df.select(bytes_col).mapInPandas(
+        batches, OTLP_EXPHIST_SCHEMA + ", is_delta boolean")
+    if delta == "cumulate":
+        from pyspark.sql import functions as F
+
+        cum = exphist_delta_to_cumulative(
+            decoded.filter(F.col("is_delta")).drop("is_delta"))
+        return (decoded.filter(~F.col("is_delta")).drop("is_delta")
+                .unionByName(cum))
+    return decoded.drop("is_delta")
+
+
+def exphist_delta_to_cumulative(df: DataFrame) -> DataFrame:
+    """DELTA-temporality exponential-histogram data-point rows
+    (``OTLP_EXPHIST_SCHEMA``) → CUMULATIVE rows in the same schema: per
+    series, each point becomes the bucket-wise running merge of every
+    delta at or before it — the exponential-histogram leg of the
+    collector's deltatocumulative processor, so
+    ``exphist_from_otlp(delta="drop"|"reject")`` callers who actually
+    hold delta data can convert explicitly and then ingest.
+
+    A running merge is inherently sequential PER SERIES but series are
+    independent, so this is grouped ``applyInPandas`` (Arrow-batched,
+    executor-parallel across series — the same posture as the XOR chunk
+    encoder); per-series state is one sparse bucket dict, bounded by the
+    series' bucket span.  Counts/sums/zero_counts add, zero_threshold
+    takes the running max, and a scale change mid-series raises
+    ``ValueError`` (the collector downscales to the coarser scale; this
+    engine keeps conversion exact and loud instead — rescaling belongs
+    to the native-hist merge machinery)."""
+    from pyspark.sql import functions as F
+
+    from ..model import canonical_labels_json
+
+    cols = ["metric", "labels", "ts", "count", "sum", "zero_count",
+            "zero_threshold", "scale", "pos_offset", "pos_counts",
+            "neg_offset", "neg_counts"]
+
+    def _as_dict(labels) -> dict:
+        if labels is None:
+            return {}
+        if isinstance(labels, dict):
+            return dict(labels)
+        return dict(labels)  # arrow map -> list of (k, v) pairs
+
+    def _accumulate(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("ts", kind="stable")
+        out = []
+        tot_count = tot_sum = tot_zero = 0.0
+        zt = 0.0
+        scale = None
+        pos: dict[int, int] = {}
+        neg: dict[int, int] = {}
+
+        def side_add(acc: dict, offset, counts) -> None:
+            base = int(offset) if offset is not None else 0
+            for j, c in enumerate(counts if counts is not None else []):
+                if c:
+                    acc[base + j] = acc.get(base + j, 0) + int(c)
+
+        def side_emit(acc: dict) -> tuple[int, list[int]]:
+            if not acc:
+                return 0, []
+            lo, hi = min(acc), max(acc)
+            return lo, [acc.get(i, 0) for i in range(lo, hi + 1)]
+
+        for r in pdf.to_dict("records"):
+            if scale is None:
+                scale = int(r["scale"])
+            elif int(r["scale"]) != scale:
+                raise ValueError(
+                    f"series {r['metric']!r} changes scale "
+                    f"{scale}->{int(r['scale'])} mid-stream; exact "
+                    "delta->cumulative conversion requires a constant "
+                    "scale (downscale first)")
+            tot_count += float(r["count"] or 0)
+            tot_sum += float(r["sum"] or 0.0)
+            tot_zero += float(r["zero_count"] or 0)
+            zt = max(zt, float(r["zero_threshold"] or 0.0))
+            side_add(pos, r["pos_offset"], r["pos_counts"])
+            side_add(neg, r["neg_offset"], r["neg_counts"])
+            po, pc = side_emit(pos)
+            no, nc = side_emit(neg)
+            out.append({
+                "metric": r["metric"], "labels": _as_dict(r["labels"]),
+                "ts": int(r["ts"]), "count": int(tot_count),
+                "sum": tot_sum, "zero_count": int(tot_zero),
+                "zero_threshold": zt, "scale": scale,
+                "pos_offset": po, "pos_counts": pc,
+                "neg_offset": no, "neg_counts": nc,
+            })
+        return pd.DataFrame(out, columns=cols)
+
+    keyed = df.withColumn(
+        "__sk", F.xxhash64(F.col("metric"),
+                           canonical_labels_json(F.col("labels"))))
+    return keyed.groupBy("__sk").applyInPandas(
+        _accumulate, OTLP_EXPHIST_SCHEMA)
 
 
 # ----------------------------------------------- encode side (tests/clients)

@@ -3111,14 +3111,24 @@ def x_openmetrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rel = events_relation(spark, sf_dir, EV_START, EV_END).select(
         "labels", "ts", "value")
+    # the sf0.1 events table is ONE parquet split, so without an explicit
+    # fan-out the whole text codec runs on a single task; a real scrape
+    # corpus arrives in many splits — this repartition stands in for that
+    # source parallelism (r12: the codec itself is embarrassingly row-
+    # parallel, and the single-task run dominated the bench reading)
+    rel = rel.repartition(spark.sparkContext.defaultParallelism)
     back = rows_from_openmetrics(to_openmetrics(rel), text_col="line")
-    return back.select(
+    out = back.select(
         F.col("metric"),
         F.col("labels").getItem("user").alias("user"),
         F.col("labels").getItem("k").alias("k"),
         "ts",
         F.round("value", 6).alias("value"),
-    ).orderBy("metric", "user", "k", "ts", "value")
+    )
+    # same presentation-sort shape as x_prompb_wire_roundtrip: skip the
+    # range-sampling pass that would run the text codec twice
+    return out.repartition(1).sortWithinPartitions(
+        "metric", "user", "k", "ts", "value")
 
 
 QUERIES["x_openmetrics_roundtrip"] = x_openmetrics_roundtrip
@@ -3142,15 +3152,25 @@ def x_prompb_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rel = events_relation(spark, sf_dir, EV_START, EV_END).select(
         "labels", "ts", "value")
+    # one-split source at sf0.1: fan out so the pre-shuffle partial
+    # aggregate (series_key hash + struct build) runs parallel, like
+    # x_openmetrics_roundtrip's codec fan-out
+    rel = rel.repartition(spark.sparkContext.defaultParallelism)
     wire = prompb_from_timeseries(to_remote_write(rel))
     back = rows_from_remote_write(timeseries_from_prompb(wire))
-    return back.select(
+    out = back.select(
         F.col("metric"),
         F.col("labels").getItem("user").alias("user"),
         F.col("labels").getItem("k").alias("k"),
         "ts",
         F.round("value", 6).alias("value"),
-    ).orderBy("metric", "user", "k", "ts", "value")
+    )
+    # presentation sort: repartition(1)+sortWithinPartitions is a total
+    # order WITHOUT orderBy's range-partitioning sampling pass, which
+    # re-executes the whole wire-codec pipeline (r12: 6.1s -> ~3.5s);
+    # right-sized for a bounded fixture result, not a big-data sort
+    return out.repartition(1).sortWithinPartitions(
+        "metric", "user", "k", "ts", "value")
 
 
 QUERIES["x_prompb_wire_roundtrip"] = x_prompb_wire_roundtrip

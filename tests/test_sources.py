@@ -1735,7 +1735,7 @@ def test_otlp_delta_temporality(spark):
     assert hcum[("lat_bucket", "0.5", 1060)] == 6.0
     assert hcum[("lat_count", None, 1060)] == 8.0
 
-    # exponential histograms: reject (default) or drop, never convert
+    # exponential histograms: reject (default), drop, or explicit convert
     exp = [{"kind": "exphist", "metric": "nh", "labels": {}, "ts": 1000,
             "count": 1, "sum": 1.0, "scale": 0, "zero_count": 0,
             "zero_threshold": 0.0, "pos_offset": 0, "pos_counts": [1],
@@ -1746,6 +1746,56 @@ def test_otlp_delta_temporality(spark):
     with pytest.raises(Exception, match="DELTA"):
         otlp.exphist_from_otlp(edf).count()
     assert otlp.exphist_from_otlp(edf, delta="drop").count() == 0
+    assert otlp.exphist_from_otlp(edf, delta="cumulate").count() == 1
+
+
+def test_otlp_exphist_delta_to_cumulative(spark):
+    """exphist_delta_to_cumulative: per-series running bucket merge with
+    offset re-alignment (the deltatocumulative processor's exponential-
+    histogram leg); cumulative points in the same stream pass through
+    untouched, and a mid-series scale change raises."""
+    import pytest
+
+    from mandodb_spark.sources import otlp
+
+    deltas = [
+        {"kind": "exphist", "metric": "lat", "labels": {"job": "a"},
+         "ts": 1000, "count": 3, "sum": 6.0, "scale": 2, "zero_count": 1,
+         "zero_threshold": 1e-10, "pos_offset": 4, "pos_counts": [2, 1],
+         "neg_offset": 0, "neg_counts": [], "temporality": "delta"},
+        {"kind": "exphist", "metric": "lat", "labels": {"job": "a"},
+         "ts": 1060, "count": 2, "sum": 4.0, "scale": 2, "zero_count": 0,
+         "zero_threshold": 2e-10, "pos_offset": 2, "pos_counts": [1],
+         "neg_offset": -1, "neg_counts": [1], "temporality": "delta"},
+        {"kind": "exphist", "metric": "other", "labels": {"job": "a"},
+         "ts": 1000, "count": 7, "sum": 1.0, "scale": 0, "zero_count": 0,
+         "zero_threshold": 0.0, "pos_offset": 0, "pos_counts": [7],
+         "neg_offset": 0, "neg_counts": [],
+         "temporality": "cumulative"},
+    ]
+    df = spark.createDataFrame(
+        [(otlp.encode_export_request(deltas),)], "payload binary")
+    rows = {(r.metric, r.ts): r.asDict()
+            for r in otlp.exphist_from_otlp(df, delta="cumulate").collect()}
+    assert len(rows) == 3
+    first = rows[("lat", 1000)]
+    assert (first["count"], first["sum"], first["zero_count"]) == (3, 6.0, 1)
+    assert (first["pos_offset"], list(first["pos_counts"])) == (4, [2, 1])
+    second = rows[("lat", 1060)]
+    assert (second["count"], second["sum"], second["zero_count"]) == (5, 10.0, 1)
+    assert second["zero_threshold"] == 2e-10
+    # offsets re-align: buckets {4:2, 5:1} + {2:1} -> offset 2, [1,0,2,1]
+    assert (second["pos_offset"], list(second["pos_counts"])) == (2, [1, 0, 2, 1])
+    assert (second["neg_offset"], list(second["neg_counts"])) == (-1, [1])
+    passthrough = rows[("other", 1000)]
+    assert (passthrough["count"], list(passthrough["pos_counts"])) == (7, [7])
+
+    # mid-series scale change: exact conversion is impossible -> loud
+    bad = [dict(deltas[0]), dict(deltas[1], scale=1)]
+    bdf = spark.createDataFrame(
+        [(otlp.encode_export_request(bad),)], "payload binary")
+    with pytest.raises(Exception, match="scale"):
+        otlp.exphist_from_otlp(bdf, delta="cumulate").count()
 
 
 def test_otlp_summary_points(spark):

@@ -371,11 +371,18 @@ def rows_from_otlp(df: DataFrame, bytes_col: str = "payload",
       running sum over event time (one window over the decoded rows —
       executor-side, no extra scan).  Conversion starts from the first
       observed point, like the collector's deltatocumulative processor.
+      BATCH-ONLY (the window needs the series history resident);
+    - ``"tag"``: emit every point with an extra ``is_delta boolean``
+      column and convert nothing — the streaming-gateway shape: route
+      the delta slice through
+      ``streaming.stateful.streaming_delta_to_cumulative`` (fixed
+      per-series state, unbounded-stream safe) and union the rest back.
     """
     if on_error not in ("drop", "raise"):
         raise ValueError("on_error must be 'drop' or 'raise'")
-    if delta not in ("reject", "drop", "cumulate"):
-        raise ValueError("delta must be 'reject', 'drop' or 'cumulate'")
+    if delta not in ("reject", "drop", "cumulate", "tag"):
+        raise ValueError(
+            "delta must be 'reject', 'drop', 'cumulate' or 'tag'")
 
     def batches(it):
         import pandas as pd
@@ -457,6 +464,8 @@ def rows_from_otlp(df: DataFrame, bytes_col: str = "payload",
                        F.sum("value").over(w)).otherwise(F.col("value"))
         return decoded.select("metric", "labels", "ts",
                               value.alias("value"))
+    if delta == "tag":
+        return decoded
     return decoded.drop("is_delta")
 
 

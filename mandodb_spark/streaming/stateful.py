@@ -437,3 +437,78 @@ def streaming_burn_rate(rel: DataFrame, short_window: int, long_window: int,
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming delta → cumulative (round 12): the unbounded-stream leg of
+# rows_from_otlp(delta="cumulate").
+# ---------------------------------------------------------------------------
+
+#: One output row PER INPUT POINT: the point with its value replaced by
+#: the per-series running sum of deltas.
+DC_OUT_SCHEMA = "metric string, labels_json string, ts long, value double"
+#: Fixed-size per-series state: newest folded event time + running total.
+DC_STATE_SCHEMA = "last_ts long, total double"
+
+
+def _delta_update(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (last_ts, total) = state.get if state.exists else (None, 0.0)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch):
+        batch = batch.sort_values("ts", kind="stable")
+    out_ts: list[int] = []
+    out_v: list[float] = []
+    for ts, v in zip(batch["ts"], batch["value"]):
+        ts = int(ts)
+        if last_ts is not None and ts <= last_ts:
+            # out-of-order (or duplicate-ts) delta against already-folded
+            # state: dropped, matching the collector's deltatocumulative
+            # processor — folding it NOW would time-shift the increment
+            continue
+        total += float(v)
+        last_ts = ts
+        out_ts.append(ts)
+        out_v.append(total)
+    state.update((last_ts, total))
+    yield pd.DataFrame({
+        "metric": [key[0]] * len(out_ts),
+        "labels_json": [key[1]] * len(out_ts),
+        "ts": out_ts,
+        "value": out_v,
+    })
+
+
+def streaming_delta_to_cumulative(rel: DataFrame) -> DataFrame:
+    """DELTA-temporality float samples on an UNBOUNDED stream →
+    cumulative samples: per series, each point's value becomes the
+    running sum of every delta folded so far — the streaming dual of
+    ``sources.otlp.rows_from_otlp(delta="cumulate")`` (whose event-time
+    window needs the whole history resident and is therefore batch-only).
+    One fixed-size state row per series (newest ts + running total),
+    O(batch) work per trigger.
+
+    Feed it the delta slice of a tagged OTLP decode
+    (``rows_from_otlp(..., delta="tag")``, filter ``is_delta``) and
+    union the cumulative slice back; out-of-order deltas drop like the
+    collector's deltatocumulative processor.  Emits converted ROW_SCHEMA
+    rows per trigger (update mode) — chain into a ``StreamingIngestor``
+    sink."""
+    from pyspark.sql import functions as F
+
+    from ..model import canonical_labels_json
+
+    keyed = rel.select(
+        "metric",
+        canonical_labels_json(F.col("labels")).alias("labels_json"),
+        "ts", "value")
+    out = keyed.groupBy("metric", "labels_json").applyInPandasWithState(
+        _delta_update, DC_OUT_SCHEMA, DC_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
+    entries = F.from_json(
+        "labels_json", "array<struct<key:string,value:string>>")
+    return out.select(
+        "metric",
+        F.map_from_entries(entries).alias("labels"),
+        "ts", "value")

@@ -1964,3 +1964,80 @@ def test_otlp_gateway_streaming(spark, tmp_path_factory):
            for r in db.query_range_rows("cpu", [], 0, 2**40).collect()}
     assert got == {(f"vm{k}", 1000 + 60 * i, float(k * 100 + i))
                    for k in range(3) for i in range(5)}
+
+
+def test_otlp_delta_gateway_streaming(spark, tmp_path_factory):
+    """Streaming delta→cumulative (round 12): an OTLP gateway receiving
+    DELTA-temporality sums converts them with per-series cross-batch
+    state (streaming_delta_to_cumulative), cumulative/gauge points pass
+    through untouched, and the result equals the batch
+    rows_from_otlp(delta='cumulate') window over the same payloads.
+    Out-of-order deltas drop (deltatocumulative semantics)."""
+    from pyspark.sql import functions as F
+
+    from mandodb_spark.engine import TSDB
+    from mandodb_spark.sources import otlp
+    from mandodb_spark.streaming.ingest import StreamingIngestor
+    from mandodb_spark.streaming.stateful import streaming_delta_to_cumulative
+
+    base = tmp_path_factory.mktemp("otlp_delta_gw")
+    src = str(base / "payloads")
+
+    def file_points(k):
+        pts = [{"kind": "number", "metric": "req",
+                "labels": {"host": f"vm{j}"}, "ts": 1000 + 60 * k,
+                "value": float(10 * j + k + 1),
+                "temporality": "delta", "is_monotonic": True}
+               for j in range(2)]
+        pts.append({"kind": "number", "metric": "temp",
+                    "labels": {"host": "vm0"}, "ts": 1000 + 60 * k,
+                    "value": 20.0 + k})  # gauge: passes through
+        return pts
+
+    files = [file_points(k) for k in range(3)]
+    # 4th trigger: an out-of-order delta behind vm0's folded state — must
+    # be dropped, not folded late
+    files.append([{"kind": "number", "metric": "req",
+                   "labels": {"host": "vm0"}, "ts": 1000,
+                   "value": 999.0, "temporality": "delta",
+                   "is_monotonic": True}])
+    for pts in files:
+        spark.createDataFrame(
+            [(otlp.encode_export_request(pts),)], "payload binary"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    db = TSDB(spark, str(base / "store"))
+    ing = StreamingIngestor(db.store)
+    raw = (spark.readStream.schema("payload binary")
+           .option("maxFilesPerTrigger", 1).parquet(src))
+    tagged = otlp.rows_from_otlp(raw, delta="tag")
+    cum = streaming_delta_to_cumulative(
+        tagged.filter(F.col("is_delta")).drop("is_delta"))
+    passthrough = tagged.filter(~F.col("is_delta")).drop("is_delta")
+    out = cum.unionByName(passthrough)
+    q = (out.writeStream.outputMode("update")
+         .foreachBatch(lambda b, i: ing.process_batch(b, i))
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.labels["__name__"], r.labels["host"], r.ts): r.value
+           for r in db.query_range_rows(None, [], 0, 2**40).collect()}
+    # deltas 10j+k+1 for k=0..2 -> running sums; gauge passes verbatim
+    want = {}
+    for j in range(2):
+        run = 0.0
+        for k in range(3):
+            run += 10 * j + k + 1
+            want[("req", f"vm{j}", 1000 + 60 * k)] = run
+    for k in range(3):
+        want[("temp", "vm0", 1000 + 60 * k)] = 20.0 + k
+    assert got == want  # the 999 out-of-order delta left no trace
+
+    # batch/streaming duality on the in-order payloads
+    bdf = spark.createDataFrame(
+        [(otlp.encode_export_request(p),) for p in files[:3]],
+        "payload binary")
+    batch = {(r.metric, r.labels["host"], r.ts): r.value
+             for r in otlp.rows_from_otlp(bdf, delta="cumulate").collect()}
+    assert batch == want

@@ -295,27 +295,37 @@ def exemplars_from_openmetrics(lines: DataFrame,
     exemplar without its own timestamp inherits the sample's, and when
     BOTH are absent ``default_ts`` (the scrape time — same contract as
     :func:`rows_from_openmetrics`) stamps it; if that is also None the
-    exemplar drops."""
+    exemplar drops.
+
+    Same one-regex-per-line discipline as :func:`rows_from_openmetrics`:
+    the full exemplar-carrying sample grammar rewrites a matching line
+    to its six captures NUL-joined, split once; exemplar-less lines
+    rewrite to themselves and drop on the arity check."""
     line = F.trim(F.col(text_col))
-    metric = F.regexp_extract(line, r'^([a-zA-Z_:][a-zA-Z0-9_:]*)', 1)
-    blob = F.regexp_extract(
-        line, rf'^[a-zA-Z_:][a-zA-Z0-9_:]*\{{({_BRACE_BODY})\}}', 1)
-    sample_ts = F.regexp_extract(
-        line,
-        rf'^[a-zA-Z_:][a-zA-Z0-9_:]*(?:{_BRACED})?\s+{_FLOAT_RE}'
-        rf'\s+({_FLOAT_RE})\s*#', 1)
-    ex = (rf'#\s*\{{({_BRACE_BODY})\}}\s+({_FLOAT_RE})'
-          rf'(?:\s+({_FLOAT_RE}))?\s*$')
-    eblob = F.regexp_extract(line, ex, 1)
-    eval_ = F.regexp_extract(line, ex, 2)
-    ets = F.regexp_extract(line, ex, 3)
+    grammar = (
+        rf'^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{{({_BRACE_BODY})\}})?'
+        rf'\s+{_FLOAT_RE}(?:\s+({_FLOAT_RE}))?'
+        rf'\s*#\s*\{{({_BRACE_BODY})\}}\s+({_FLOAT_RE})'
+        rf'(?:\s+({_FLOAT_RE}))?\s*$'
+    )
+    parts = F.split(
+        F.regexp_replace(line, grammar,
+                         "$1\x00$2\x00$3\x00$4\x00$5\x00$6"),
+        "\x00", -1)
+    metric = parts.getItem(0)
+    blob = parts.getItem(1)
+    sample_ts = parts.getItem(2)
+    eblob = parts.getItem(3)
+    eval_ = parts.getItem(4)
+    ets = parts.getItem(5)
     ts_col = F.floor(
         F.coalesce(ets.try_cast("double"), sample_ts.try_cast("double"))
     ).cast("long")
     if default_ts is not None:
         ts_col = F.coalesce(ts_col, F.lit(int(default_ts)).cast("long"))
     return (
-        lines.select(
+        lines.where(F.size(parts) == 6)
+        .select(
             metric.alias("metric"),
             _brace_labels(blob).alias("labels"),
             ts_col.alias("ts"),
@@ -364,6 +374,84 @@ def to_openmetrics(rel: DataFrame,
             F.col("ts").cast("string"),
         ).alias("line")
     )
+
+
+def _unescape_help(v: Column) -> Column:
+    """OpenMetrics HELP-text unescape (``\\\\`` and ``\\n`` only — the
+    spec escapes no quote in metadata text), NUL-sentinel ordered like
+    :func:`_unescape_label_value`, gated on the same rare-path probe."""
+    s = F.regexp_replace(v, r"\\\\", "\x00")
+    s = F.regexp_replace(s, r"\\n", "\n")
+    s = F.regexp_replace(s, "\x00", r"\\")
+    return F.when(v.contains("\\"), s).otherwise(v)
+
+
+def _escape_help(v: Column) -> Column:
+    s = F.regexp_replace(v, r"\\", r"\\\\")
+    s = F.regexp_replace(s, "\n", r"\\n")
+    needs = v.contains("\\") | v.contains("\n")
+    return F.when(needs, s).otherwise(v)
+
+
+def metadata_from_openmetrics(lines: DataFrame,
+                              text_col: str = "value") -> DataFrame:
+    """OpenMetrics metadata lines (``# HELP <name> <text>``,
+    ``# TYPE <name> <counter|gauge|histogram|gaugehistogram|summary|
+    info|stateset|unknown>``, ``# UNIT <name> <unit>``) → one row per
+    metric ``(metric, type, help, unit)`` — the ``/api/v1/metadata``
+    data layout (Prometheus serves scrape metadata through exactly this
+    shape; absent TYPE defaults to ``unknown`` like its
+    target-metadata store).  Sample lines and ``# EOF`` simply fail the
+    grammar; HELP text unescapes per the metadata escape rules
+    (``\\\\``, ``\\n``).  One regex pass per line, then a hash
+    aggregate per metric — duplicate declarations collapse
+    last-wins."""
+    line = F.trim(F.col(text_col))
+    parts = F.split(
+        F.regexp_replace(
+            line,
+            r'^#\s+(HELP|TYPE|UNIT)\s+([a-zA-Z_:][a-zA-Z0-9_:]*)'
+            r'(?:\s+(.*?))?\s*$',
+            "$1\x00$2\x00$3"),
+        "\x00", -1)
+    kind, metric, text = (parts.getItem(0), parts.getItem(1),
+                          parts.getItem(2))
+    rows = (lines.where(F.size(parts) == 3)
+            .select(metric.alias("metric"), kind.alias("kind"),
+                    text.alias("text")))
+
+    def last_of(k: str) -> Column:
+        return F.last(F.when(F.col("kind") == k, F.col("text")),
+                      ignorenulls=True)
+
+    return (rows.groupBy("metric").agg(
+        F.coalesce(last_of("TYPE"), F.lit("unknown")).alias("type"),
+        _unescape_help(last_of("HELP")).alias("help"),
+        last_of("UNIT").alias("unit"),
+    ))
+
+
+def metadata_to_openmetrics(meta: DataFrame) -> DataFrame:
+    """The write-side inverse of :func:`metadata_from_openmetrics`:
+    ``(metric, type, help, unit)`` rows → ``# HELP`` / ``# TYPE`` /
+    ``# UNIT`` exposition lines (one output column ``line``; union with
+    :func:`to_openmetrics` sample lines for a federation-style export
+    that carries metadata).  Null help/unit emit no line; the round
+    trip ``meta → lines → meta`` is the identity on rows whose type is
+    set (absent TYPE reads back as ``unknown``)."""
+    m = F.col("metric")
+
+    def tagged(k: str, v: Column) -> Column:
+        return F.when(v.isNotNull(),
+                      F.concat(F.lit(f"# {k} "), m, F.lit(" "), v))
+
+    lines = F.array(
+        tagged("TYPE", F.col("type")),
+        tagged("HELP", _escape_help(F.col("help"))),
+        tagged("UNIT", F.col("unit")),
+    )
+    return (meta.select(F.explode(F.filter(
+        lines, lambda x: x.isNotNull())).alias("line")))
 
 
 #: Row shape of one decoded prompb ``TimeSeries`` (the public

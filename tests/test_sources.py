@@ -1936,3 +1936,51 @@ def test_golden_xor_chunk():
     samples = [(1000, 1.0), (1060, 1.0), (1120, 2.0)]
     assert decode_chunk(GOLDEN_XOR_CHUNK) == samples
     assert encode_chunk(samples) == GOLDEN_XOR_CHUNK
+
+
+def test_openmetrics_metadata_codec(spark):
+    """# HELP/# TYPE/# UNIT metadata lines decode to the /api/v1/metadata
+    layout (one row per metric, unknown type default, HELP unescaping),
+    write back out, and round-trip; sample/EOF lines fail the metadata
+    grammar and sample decoding ignores metadata lines — the two decoders
+    partition a full exposition."""
+    from mandodb_spark.sources.loaders import (
+        metadata_from_openmetrics,
+        metadata_to_openmetrics,
+        rows_from_openmetrics,
+    )
+
+    exposition = [
+        '# HELP http_requests_total Total requests\\n2nd line \\\\slash',
+        '# TYPE http_requests_total counter',
+        '# UNIT http_request_duration_seconds seconds',
+        '# HELP http_request_duration_seconds How long',
+        '# TYPE http_request_duration_seconds histogram',
+        '# HELP orphan_metric Only help, no type',
+        'http_requests_total{code="200"} 42 1700000000',
+        '# EOF',
+    ]
+    lines = spark.createDataFrame([(l,) for l in exposition], "value string")
+    meta = {r.metric: (r.type, r.help, r.unit)
+            for r in metadata_from_openmetrics(lines).collect()}
+    assert meta == {
+        "http_requests_total":
+            ("counter", "Total requests\n2nd line \\slash", None),
+        "http_request_duration_seconds": ("histogram", "How long", "seconds"),
+        "orphan_metric": ("unknown", "Only help, no type", None),
+    }
+    # samples decode independently of the metadata lines
+    samples = rows_from_openmetrics(lines).collect()
+    assert len(samples) == 1 and samples[0].value == 42.0
+
+    # write side + round trip (unknown-type row keeps its TYPE line)
+    back_lines = metadata_to_openmetrics(metadata_from_openmetrics(lines))
+    texts = {r.line for r in back_lines.collect()}
+    assert '# TYPE http_requests_total counter' in texts
+    assert ('# HELP http_requests_total Total requests\\n2nd line '
+            '\\\\slash') in texts
+    assert '# UNIT http_request_duration_seconds seconds' in texts
+    back = {r.metric: (r.type, r.help, r.unit)
+            for r in metadata_from_openmetrics(
+                back_lines, text_col="line").collect()}
+    assert back == meta

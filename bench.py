@@ -116,6 +116,22 @@ EXTENDED = [
 ]
 
 
+#: Arrow-stage queries (applyInPandas/mapInPandas pipelines) invert the
+#: shuffle-partition trade: their cost is Python-worker compute, so MORE
+#: shuffle partitions = more parallel Arrow workers (A/B at sf0.1: the
+#: heavy set runs 14.2s at 16 partitions, 12.4s at 32).  The conf is
+#: runtime-settable, so each query family gets its right size.  Module
+#: level so tools/opt_timer.py reproduces the exact bench protocol.
+ARROW_HEAVY = {
+    "docs_minhash_pairs", "docs_simhash_neardup", "docs_neardup_clusters",
+    "docs_curation_full", "docs_curation_pipeline", "emb_semdedup",
+    "emb_neardup_pairs", "emb_ivf_neardup_pairs", "emb_neardup_clusters",
+    "emb_pq_error", "emb_pq_adc_topk", "emb_ivfpq_topk", "emb_knn_join",
+    "docs_winnow_fingerprints", "mm_binary_features", "mm_frame_sample",
+    "docs_incremental_neardup", "docs_pack_nosplit", "docs_lsh_recall",
+}
+
+
 def ingest_bench(spark, n_points: int = 2_000_000) -> tuple[float, float]:
     """Write-path benchmark mirroring the reference's README workload
     (ticks × nodes × dcs × metrics grid, BASELINE.md rows 1-2): returns
@@ -234,19 +250,6 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sp = max(8, min(cpus, round(sf * 160)))
     spark = get_spark("mandodb-spark-bench", shuffle_partitions=sp)
-    # Arrow-stage queries (applyInPandas/mapInPandas pipelines) invert the
-    # trade: their cost is Python-worker compute, so MORE shuffle
-    # partitions = more parallel Arrow workers (A/B at sf0.1: the heavy
-    # set runs 14.2s at 16 partitions, 12.4s at 32).  The conf is
-    # runtime-settable, so each query family gets its right size.
-    ARROW_HEAVY = {
-        "docs_minhash_pairs", "docs_simhash_neardup", "docs_neardup_clusters",
-        "docs_curation_full", "docs_curation_pipeline", "emb_semdedup",
-        "emb_neardup_pairs", "emb_ivf_neardup_pairs", "emb_neardup_clusters",
-        "emb_pq_error", "emb_pq_adc_topk", "emb_ivfpq_topk", "emb_knn_join",
-        "docs_winnow_fingerprints", "mm_binary_features", "mm_frame_sample",
-        "docs_incremental_neardup", "docs_pack_nosplit", "docs_lsh_recall",
-    }
 
     load_before = os.getloadavg()
 

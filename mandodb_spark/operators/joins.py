@@ -137,7 +137,32 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
     pa = prefix(ga, "__lid").select("__lid", "__lk", "__g")
     pb = prefix(gb, "__rid").select("__rid", "__rk", "__g")
-    cand = pa.join(pb, "__g").select("__lid", "__lk", "__rid", "__rk").distinct()
+    # Verify BEFORE deduplicating: the length gate and the exact
+    # levenshtein run per candidate OCCURRENCE (a map-side codegen'd
+    # expression over the join output), so the only corpus-scale shuffle
+    # this stage ever had — the distinct over the raw candidate fan-out —
+    # now sees matches only.  On gram-poor corpora (few distinct grams,
+    # e.g. near-uniform record ids) the candidate fan-out is orders of
+    # magnitude larger than the match set, and shuffling it just to
+    # deduplicate before an O(len²) JVM expression was the dominant cost
+    # (measured sf0.1 x_customer_fuzzy_match: 1.55M candidate rows,
+    # 1.41M-row distinct, ~750 matches — guide §2.3 "aggregate less, and
+    # never shuffle what a map-side filter can drop").  Duplicate
+    # occurrences of a pair (≤ k_prefix² of them) re-run levenshtein;
+    # that re-computation is map-side-local and beats the shuffle.
+    # THRESHOLDED levenshtein (Spark 3.5+, SPARK-44125): banded DP over
+    # the 2d+1 diagonal with early exit, returning -1 above the bound —
+    # exact distances for every kept pair, ~2× cheaper per candidate than
+    # the full O(len²) matrix (guide §1.2 "per-task work": the verify is
+    # this operator's measured hot spot, 1.5M evaluations at sf0.1).
+    dist = F.levenshtein(F.col("__lk"), F.col("__rk"), d)
+    gram_matches = (
+        pa.join(pb, "__g")
+        .filter(F.abs(F.length("__lk") - F.length("__rk")) <= d)
+        .withColumn("distance", dist.cast("int"))
+        .filter(F.col("distance") >= 0)
+        .select("__lid", "__rid", "distance")
+    )
 
     # short stratum: pairs that can evade the gram join (both keys short).
     # Broadcast the DISTINCT short-key universe — bounded by the alphabet
@@ -150,19 +175,20 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     key_pairs = sa.select("__lk").distinct().join(
         F.broadcast(sb.select("__rk").distinct()),
         (F.abs(F.length("__lk") - F.length("__rk")) <= d)
-        & (F.levenshtein(F.col("__lk"), F.col("__rk")) <= d),
+        & (F.levenshtein(F.col("__lk"), F.col("__rk"), d) >= 0),
     )
-    cand = cand.unionByName(
+    short_matches = (
         sa.join(F.broadcast(key_pairs), "__lk")
         .join(sb, "__rk")
-        .select("__lid", "__lk", "__rid", "__rk")
-    ).distinct()
-
-    dist = F.levenshtein(F.col("__lk"), F.col("__rk"))
-    return (
-        cand.filter(F.abs(F.length("__lk") - F.length("__rk")) <= d)
         .withColumn("distance", dist.cast("int"))
-        .filter(F.col("distance") <= d)
+        .select("__lid", "__rid", "distance")
+    )
+
+    # distinct over MATCHES (gram-path duplicates per shared prefix gram,
+    # plus gram∩short overlap), not over candidates
+    return (
+        gram_matches.unionByName(short_matches)
+        .distinct()
         .select(
             F.col("__lid").alias(left_id),
             F.col("__rid").alias(right_id),

@@ -513,17 +513,29 @@ def _dsir_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     adjacent bigrams of the whitespace tokenization — the standard DSIR
     feature space (hashed n-grams, not embeddings, so the whole selector
     stays in integer-count land and scans linearly)."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    # Tokenize ONCE into its own projection and build bigrams off the
+    # materialized array column: the previous inline form re-evaluated
+    # ``split(lower(text))`` for BOTH operands of every bigram concat
+    # inside the transform lambda — O(doc_len × n_tokens) per row, the
+    # measured hot spot of the whole DSIR path (sf0.1: the gram explode
+    # alone cost 3.6 s of dsir_weights' 5.0 s; guide §1.2 "per-task
+    # work").  CollapseProject keeps the split un-inlined because
+    # ``__toks`` is referenced more than once (SPARK-36718), so the text
+    # is lowered and split exactly once per row.
+    toks_df = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
+    )
     bigrams = F.when(
-        F.size(toks) >= 2,
+        F.size("__toks") >= 2,
         F.expr(
-            f"transform(sequence(1, size(split(lower({text_col}), ' ')) - 1),"
-            f" i -> concat(split(lower({text_col}), ' ')[i - 1], ' ',"
-            f"            split(lower({text_col}), ' ')[i]))"
+            "transform(sequence(1, size(__toks) - 1),"
+            " i -> concat(__toks[i - 1], ' ', __toks[i]))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("__gram")
+    return toks_df.select(
+        F.col(id_col),
+        F.explode(F.concat(F.col("__toks"), bigrams)).alias("__gram"),
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import load
+from .common import load, presentation_sort
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -175,7 +175,7 @@ def x_tsdb_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.lit(DDS_ALPHA * 1.001) * F.abs(F.col("disc_q")) + F.lit(1e-9)
             ).alias("within_bound"),
         )
-        .orderBy("q")
+        .transform(lambda d: presentation_sort(d, "q"))
     )
 
 
@@ -462,7 +462,7 @@ def x_docs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_join
 
     d = load(spark, sf_dir, "documents")
-    return jaccard_join(d, "doc_id", "text", 0.7).orderBy("id_a", "id_b")
+    return presentation_sort(jaccard_join(d, "doc_id", "text", 0.7), "id_a", "id_b")
 
 
 def _jaccard_join_sql() -> str:
@@ -1788,8 +1788,9 @@ def x_customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.substring("c_name", 1, 6),
                  F.expr("substr(c_name, 8)")).alias("dirty_name"),
     )
-    return fuzzy_join(left, right, "c_custkey", "c_name",
-                      "dirty_id", "dirty_name", _FUZZY_D).orderBy(
+    return presentation_sort(
+        fuzzy_join(left, right, "c_custkey", "c_name",
+                   "dirty_id", "dirty_name", _FUZZY_D),
         "c_custkey", "dirty_id")
 
 
@@ -1820,7 +1821,7 @@ def x_docs_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.neardup import neardup_keep_ids
 
     d = load(spark, sf_dir, "documents")
-    return neardup_keep_ids(d, "doc_id", "text", threshold=0.6).orderBy("doc_id")
+    return presentation_sort(neardup_keep_ids(d, "doc_id", "text", threshold=0.6), "doc_id")
 
 
 def _neardup_gate_sql() -> str:
@@ -1851,8 +1852,9 @@ def x_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     raw = docs.filter(F.col("source") != "src1").select("doc_id", "text")
     tgt = docs.filter(F.col("source") == "src1").select("doc_id", "text")
-    return dsir_weights(raw, tgt, "doc_id", "text",
-                        n_buckets=_DSIR_B).orderBy("doc_id")
+    return presentation_sort(
+        dsir_weights(raw, tgt, "doc_id", "text", n_buckets=_DSIR_B),
+        "doc_id")
 
 
 def _dsir_weights_sql() -> str:
@@ -1878,8 +1880,8 @@ def x_docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     raw = docs.filter(F.col("source") != "src1").select("doc_id", "text")
     tgt = docs.filter(F.col("source") == "src1").select("doc_id", "text")
-    return dsir_select(raw, tgt, "doc_id", "text", k=50,
-                       n_buckets=_DSIR_B).orderBy(
+    return presentation_sort(
+        dsir_select(raw, tgt, "doc_id", "text", k=50, n_buckets=_DSIR_B),
         F.col("logw").desc(), F.col("doc_id"))
 
 
@@ -2595,7 +2597,7 @@ def x_promql_native_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         F.col("labels").getItem("user").alias("user"),
         F.round("value", 6).alias("p50"),
-    ).orderBy("user")
+    ).transform(lambda d: presentation_sort(d, "user"))
 
 
 def _native_hist_quantile_sql() -> str:
@@ -2679,7 +2681,7 @@ def x_promql_native_hist_range_count(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("labels").getItem("user").alias("user"),
         "ts",
         F.col("value").cast("long").alias("n_obs"),
-    ).orderBy("user", "ts")
+    ).transform(lambda d: presentation_sort(d, "user", "ts"))
 
 
 def _native_hist_range_count_sql() -> str:
@@ -2737,7 +2739,7 @@ def x_promql_native_hist_rate_quantile(spark: SparkSession, sf_dir: str) -> Data
         F.col("labels").getItem("user").alias("user"),
         "ts",
         F.round("value", 6).alias("p50"),
-    ).orderBy("user", "ts")
+    ).transform(lambda d: presentation_sort(d, "user", "ts"))
 
 
 def _native_hist_rate_quantile_sql() -> str:
@@ -3054,7 +3056,7 @@ def x_promql_native_hist_subquery(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select(
         F.col("labels").getItem("user").alias("user"),
         F.round("value", 6).alias("p50"),
-    ).orderBy("user")
+    ).transform(lambda d: presentation_sort(d, "user"))
 
 
 def _native_hist_subquery_sql() -> str:
@@ -3195,7 +3197,7 @@ def x_promql_toplevel_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels").getItem("user").alias("user"),
         "ts",
         F.round("value", 6).alias("value"),
-    ).orderBy("user", "ts")
+    ).transform(lambda d: presentation_sort(d, "user", "ts"))
 
 
 def _toplevel_subquery_sql() -> str:
@@ -3242,7 +3244,7 @@ def x_promql_hist_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("labels").getItem("user").alias("user"),
         F.round("value", 6).alias("value"),
-    ).orderBy("user")
+    ).transform(lambda d: presentation_sort(d, "user"))
 
 
 def _hist_subquery_avg_sql() -> str:

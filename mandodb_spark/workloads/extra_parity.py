@@ -1228,7 +1228,8 @@ def x_events_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalize_url exists to remove).  Rollup keys on the registered
     domain; n_canonical counts surviving distinct URLs (the exact-URL
     dedup key a crawl pipeline feeds downstream)."""
-    from ..operators.web import canonicalize_url, registered_domain, url_host
+    from ..operators.web import (canonicalize_from_parts, registered_domain,
+                                 url_parts)
 
     e = load(spark, sf_dir, "events")
     url = F.concat(
@@ -1238,10 +1239,14 @@ def x_events_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("?utm_source=feed&session="), (F.col("event_id") % 7).cast("string"),
         F.lit("&q=1#top"),
     )
-    canon = canonicalize_url(url)
+    # one regex parse per row: the parts struct is aliased in its OWN
+    # projection (multi-referenced → not collapsed), where the previous
+    # composed-expression form re-ran the _URL_RE match per component —
+    # ~12×/row measured (guide §1.2 per-task work)
     return (
-        e.select(canon.alias("canonical_url"),
-                 registered_domain(url_host(url)).alias("domain"))
+        e.select(url_parts(url).alias("__u"))
+        .select(canonicalize_from_parts(F.col("__u")).alias("canonical_url"),
+                registered_domain(F.col("__u").getField("host")).alias("domain"))
         .groupBy("domain")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.countDistinct("canonical_url").alias("n_canonical"))

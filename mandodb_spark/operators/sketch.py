@@ -404,6 +404,61 @@ def exact_quantiles_cont(df: DataFrame, value_col: str, qs: list[float],
     return picked.select("q", value.alias("value"))
 
 
+def exact_quantiles_disc_cont(df: DataFrame, value_col: str,
+                              qs: list[float],
+                              n_buckets: int = 32) -> DataFrame:
+    """:func:`exact_quantiles_disc` and :func:`exact_quantiles_cont`
+    from ONE two-phase-rank pass.
+
+    The disc target rank ``floor(q*(N-1)) + 1`` is exactly the cont
+    probe's lower rank, so a single :func:`_rank_probes` run with the
+    floor+ceil target set serves both — callers that need both (the
+    sketch-verification rollup) previously paid the whole engine twice:
+    two percentile_approx range passes, two bucket-count aggregates, two
+    probe windows over the same relation.  Values are identical to the
+    two separate calls by construction (same ranks, same rows).
+
+    Output: ``(q, disc_q, cont_q)`` — one row per q.
+    """
+    ranked = _rank_probes(
+        df, value_col,
+        lambda total: F.array_distinct(F.flatten(F.array(*[
+            F.array(
+                (F.floor(F.lit(float(q)) * (total - 1).cast("double")) + 1
+                 ).cast("long"),
+                (F.ceil(F.lit(float(q)) * (total - 1).cast("double")) + 1
+                 ).cast("long"),
+            )
+            for q in qs
+        ]))),
+        n_buckets,
+    )
+    probes = ranked.select(
+        "__v", "__rn", "__total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    pos = F.col("q") * (F.col("__total") - 1).cast("double")
+    lo_rn = F.floor(pos) + 1
+    hi_rn = F.ceil(pos) + 1
+    picked = probes.filter(
+        (F.col("__rn") == lo_rn) | (F.col("__rn") == hi_rn)
+    ).groupBy("q").agg(
+        F.max(F.when(F.col("__rn") == lo_rn, F.col("__v"))).alias("__vlo"),
+        F.max(F.when(F.col("__rn") == hi_rn, F.col("__v"))).alias("__vhi"),
+        F.first("__total").alias("__total"),
+    )
+    pos2 = F.col("q") * (F.col("__total") - 1).cast("double")
+    cont = F.when(
+        F.ceil(pos2) == F.floor(pos2), F.col("__vlo")
+    ).otherwise(
+        (F.ceil(pos2).cast("double") - pos2) * F.col("__vlo")
+        + (pos2 - F.floor(pos2).cast("double")) * F.col("__vhi")
+    )
+    return picked.select(
+        "q", F.col("__vlo").alias("disc_q"), cont.alias("cont_q")
+    )
+
+
 def _rank_probes(df: DataFrame, value_col: str, targets_fn,
                  n_buckets: int) -> DataFrame:
     """Shared two-phase-rank engine behind exact_quantiles_disc/cont:

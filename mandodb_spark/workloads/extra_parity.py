@@ -140,8 +140,7 @@ def x_tsdb_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         DDS_ALPHA,
         dds_build,
         dds_quantiles,
-        exact_quantiles_cont,
-        exact_quantiles_disc,
+        exact_quantiles_disc_cont,
     )
     from .common import SEG, events_relation
     from .tsdb_queries import EV_END, EV_START
@@ -158,15 +157,15 @@ def x_tsdb_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact rank-floor(q*(N-1)) quantile (the estimate's target), plus the
     # interpolated percentile (the cross-engine-checked value) — both from
     # bucketed two-phase rank probes, never a percentile()/global-window
-    # corpus aggregate (its O(distinct-values) buffer lands on one reducer)
-    targets = exact_quantiles_disc(rel, "value", _DDS_QS).select(
-        "q", F.col("value").alias("disc_q")
-    )
-    cont = exact_quantiles_cont(rel, "value", _DDS_QS).select(
-        "q", F.col("value").alias("exact_q")
+    # corpus aggregate (its O(distinct-values) buffer lands on one reducer).
+    # ONE fused pass (exact_quantiles_disc_cont): the disc rank is the
+    # cont probe's floor rank, so the second full rank engine the old
+    # disc+cont pair ran over the same relation is gone (r12, guide §2.4)
+    both = exact_quantiles_disc_cont(rel, "value", _DDS_QS).select(
+        "q", "disc_q", F.col("cont_q").alias("exact_q")
     )
     return (
-        est.join(targets, "q").join(cont, "q")
+        est.join(both, "q")
         .select(
             "q",
             "exact_q",

@@ -438,10 +438,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
       the new cost being one candidate-bounded shuffle of shingle arrays
       (pairs ≪ corpus by LSH construction, so that trade wins at scale).
 
-    At 100 TB: 2 signature-pipeline executions (one feeding candidates,
-    one feeding the broadcast id set — the un-persisted floor), 1 corpus
-    scan for candidate arrays, verify ∝ candidates.  The LSH collision
-    set, never n², bounds the verify cost.  Remaining local-mode cost is
+    At 100 TB: ONE signature-pipeline execution (the candidate pair set
+    is materialized once — see the localCheckpoint below), 1 corpus scan
+    for candidate arrays, verify ∝ candidates.  The LSH collision set,
+    never n², bounds the verify cost.  Remaining local-mode cost is
     per-stage scheduling, not compute — see SCALE.md's minhash profile.
     """
     lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
@@ -480,11 +480,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("__na").isNotNull() | F.col("__nb").isNotNull())
             .select("id_a", "id_b")
         )
+    # The candidate PAIR SET feeds two consumers — the broadcast id set
+    # below and the verify join — and each reference re-executes the whole
+    # shingle→signature→bucket subplan (building a broadcast is its own
+    # job, so even perfect exchange reuse cannot bridge the two).  The
+    # pair set is LSH-bounded (∝ true collisions, tiny next to the
+    # corpus), so materialize it ONCE with localCheckpoint — the same
+    # retained-materialization contract as connected_components' edge
+    # table (r12: one signature-pipeline execution instead of the
+    # documented two; measured 5.32 → 3.16 s on docs_minhash_pairs at
+    # sf0.1, canary-flat, and every minhash caller inherits the saving:
+    # neardup_gate 4.93 → 2.96, incremental 4.87 → 3.37).  On a
+    # multi-executor cluster swap for a reliable checkpoint dir, as CC's
+    # docstring already prescribes.
+    cands = cands.localCheckpoint()
     # No distinct: duplicate ids in a broadcast semi-join's build set are
     # free, and dropping it removes a whole shuffle stage.  explode(array)
-    # references the candidate subplan ONCE; a two-branch union would
-    # execute it once per branch (MapInPandas-free, but exchange reuse
-    # still doesn't fire across the union — measured).
+    # references the (now materialized) candidate table ONCE per consumer.
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
     shingle_arr = F.array_distinct(char_shingles(F.lower(F.col(text_col))))
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(

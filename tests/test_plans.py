@@ -225,24 +225,32 @@ def test_tfidf_vocabulary_dim_is_broadcast(spark):
 
 def test_minhash_pipeline_single_reference_subplans(spark):
     """The fused near-dup pipeline must not self-join the signature
-    subplan, must not nested-loop join, and the signature agg must stay a
-    HashAggregate (numeric min — min(string) would silently fall to
-    SortAggregate).  Exactly 3 static scans — exchange reuse does NOT
-    fire across these subtrees (measured round 5), so every scan in the
-    static plan executes: one signature pass feeding candidates, one
-    feeding the broadcast candidate-id set (the un-persisted floor of 2),
-    and ONE corpus scan for the candidate shingle arrays (the old
-    per-role double join re-scanned the corpus per side — 7 scans / 15
-    exchanges total).  The semi-join is the round-3 fix that builds
-    shingle arrays for candidate docs only (VERDICT r2)."""
+    subplan, must not nested-loop join, and the candidate-pair set must be
+    MATERIALIZED (r12: the pair set feeds both the broadcast id set and
+    the verify join, and each un-materialized reference re-ran the whole
+    shingle→signature→bucket subplan — the old "un-persisted floor of 2
+    executions").  The final plan therefore holds exactly ONE corpus scan
+    (the candidate shingle arrays behind the semi-join — VERDICT r2's
+    post-filter array build) plus checkpoint-RDD scans of the tiny pair
+    table; the signature pipeline itself ran once, at checkpoint time."""
     from mandodb_spark.workloads.docs import docs_minhash_pairs
 
     df = docs_minhash_pairs(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    assert plan.count("Scan parquet") == 3
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan ExistingRDD") >= 2  # both consumers read the checkpoint
     assert "LeftSemi" in plan  # arrays built post-filter, not corpus-wide
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
-    assert "HashAggregate" in plan
+    # the signature min-agg no longer appears in the final plan (it ran at
+    # checkpoint time) — pin its HashAggregate shape on the subplan itself
+    # (min(long) keeps it hash-based; min(string)'s variable-width buffer
+    # would silently fall to Sort+SortAggregate)
+    from mandodb_spark.operators.dedup import minhash_signatures, shingle_sets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig_plan = _plan(minhash_signatures(
+        shingle_sets(docs, "doc_id", "text"), "doc_id"))
+    assert "HashAggregate" in sig_plan and "SortAggregate" not in sig_plan
 
 
 def test_stratified_sample_query_is_scan_side(spark):

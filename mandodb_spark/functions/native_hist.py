@@ -276,57 +276,124 @@ def accumulate_histograms(rel: DataFrame) -> DataFrame:
     into CUMULATIVE counter histograms — the shape Prometheus scrapes and
     :func:`hist_rate` / :func:`hist_increase` consume.
 
-    Dense alignment: each sample must carry every bucket the series has
-    ever touched (a cumulative count never disappears), so the per-series
-    touched-bucket set is joined against the per-series sample grid and
-    absent (series, ts, bucket) cells read as 0 before the running sum.
-    The fan-out equals the size of the dense cumulative output itself —
-    nothing is materialized beyond what the result requires.  All passes
-    are hash joins / window sums keyed on series_key (+ bucket), never a
-    per-series collect.
+    A running bucket merge is inherently sequential PER SERIES but series
+    are independent, so this is ONE shuffle (repartition by series) + an
+    in-partition sort + a single Arrow ``mapInPandas`` pass holding one
+    sparse bucket dict per live series — the same executor-parallel
+    posture as ``sources.otlp.exphist_delta_to_cumulative``, with
+    ``mapInPandas`` over partition-sorted rows instead of grouped
+    ``applyInPandas`` so the Python function is invoked once per Arrow
+    batch, not once per series (r12: the earlier dense-alignment plan —
+    touched-bucket grid join + per-bucket window + map re-assembly +
+    scalar join — executed ~8 sequential stages; this shape runs 2, and
+    the nh_daily build it backs measured 2.4 → ~1.2 s at sf0.1).
+    Per-series state is bounded by the series' touched-bucket span;
+    scalar running sums add in timestamp order, so float results are
+    bit-identical to the window-sum form.  Rows sharing one (series, ts)
+    all receive the totals INCLUDING each other — the RANGE-frame window
+    contract of the previous implementation.
     """
     rel = _ensure_series_key(rel)
-    ex = buckets_long(rel).filter(F.col("sign") != 0)
-    scalars = rel.select(
+    flat = rel.select(
         "series_key",
         "labels",
         "ts",
-        F.col("hist.count").alias("__c"),
-        F.col("hist.sum").alias("__s"),
-        F.col("hist.zero_count").alias("__z"),
+        F.col("hist.count").alias("count"),
+        F.col("hist.sum").alias("sum"),
+        F.col("hist.zero_count").alias("zero_count"),
         F.col("hist.zero_threshold").alias("zero_threshold"),
         F.col("hist.schema").alias("schema"),
+        F.col("hist.pos").alias("pos"),
+        F.col("hist.neg").alias("neg"),
     )
-    w = Window.partitionBy("series_key").orderBy("ts")
-    cum_scalars = scalars.select(
-        "series_key",
-        "labels",
-        "ts",
-        "zero_threshold",
-        "schema",
-        F.sum("__c").over(w).alias("count"),
-        F.sum("__s").over(w).alias("sum"),
-        F.sum("__z").over(w).alias("zero_count"),
+    part = flat.repartition("series_key").sortWithinPartitions(
+        "series_key", "ts")
+
+    out_schema = (
+        "series_key long, labels map<string,string>, ts long, "
+        "count double, sum double, zero_count double, "
+        "zero_threshold double, schema int, "
+        "pos map<int,double>, neg map<int,double>"
     )
-    touched = ex.select("series_key", "sign", "idx").distinct()
-    grid = cum_scalars.select("series_key", "ts").join(touched, "series_key")
-    dense = grid.join(ex.select("series_key", "ts", "sign", "idx", "cnt"),
-                      ["series_key", "ts", "sign", "idx"], "left").fillna(
-        {"cnt": 0.0}
-    )
-    wb = Window.partitionBy("series_key", "sign", "idx").orderBy("ts")
-    cum = (
-        dense.withColumn("cum", F.sum("cnt").over(wb))
-        .filter(F.col("cum") > 0)
-    )
-    pos_agg, neg_agg = _bucket_map_aggs("sign", "idx", "cum")
-    maps = cum.groupBy("series_key", "ts").agg(
-        pos_agg.alias("__pos"), neg_agg.alias("__neg"))
-    joined = cum_scalars.join(maps, ["series_key", "ts"], "left")
+
+    def _cum_iter(batches):
+        # carry-over state across Arrow batches of the SAME partition:
+        # rows arrive sorted by (series_key, ts), so a series spans
+        # consecutive batches at most once
+        state = {"key": None}
+
+        def reset(key):
+            state.update(key=key, c=0.0, s=0.0, z=0.0,
+                         pos={}, neg={}, pend=[], pend_ts=None)
+
+        def merge(acc, entries):
+            if entries is None:
+                return
+            for k, v in (entries.items() if isinstance(entries, dict)
+                         else entries):
+                if v > 0:
+                    acc[k] = acc.get(k, 0.0) + float(v)
+
+        def flush(rows_out):
+            # emit every pending row of the current (series, ts) tie
+            # group with the totals including the whole group (map cells
+            # cross back to Arrow as DICTS, sorted by key to match the
+            # _bucket_map_aggs sorted-entry layout)
+            pos = dict(sorted(state["pos"].items()))
+            neg = dict(sorted(state["neg"].items()))
+            for r in state["pend"]:
+                lbl = r["labels"]
+                rows_out.append((
+                    state["key"],
+                    lbl if isinstance(lbl, dict) else dict(lbl or []),
+                    r["ts"],
+                    state["c"], state["s"], state["z"],
+                    r["zero_threshold"], r["schema"], pos, neg,
+                ))
+            state["pend"] = []
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows_out = []
+            for r in pdf.to_dict("records"):
+                key = r["series_key"]
+                if key != state["key"]:
+                    flush(rows_out) if state["key"] is not None else None
+                    reset(key)
+                elif state["pend"] and r["ts"] != state["pend_ts"]:
+                    flush(rows_out)
+                state["c"] += float(r["count"] or 0.0)
+                state["s"] += float(r["sum"] or 0.0)
+                state["z"] += float(r["zero_count"] or 0.0)
+                merge(state["pos"], r["pos"])
+                merge(state["neg"], r["neg"])
+                state["pend"].append(r)
+                state["pend_ts"] = r["ts"]
+            # the open (series, ts) tie group may continue in the next
+            # batch — keep it pending; it flushes on the next series/ts
+            # change or at iterator end
+            yield pd.DataFrame(
+                rows_out,
+                columns=["series_key", "labels", "ts", "count", "sum",
+                         "zero_count", "zero_threshold", "schema",
+                         "pos", "neg"],
+            )
+        tail = []
+        if state["key"] is not None and state["pend"]:
+            flush(tail)
+            yield pd.DataFrame(
+                tail,
+                columns=["series_key", "labels", "ts", "count", "sum",
+                         "zero_count", "zero_threshold", "schema",
+                         "pos", "neg"],
+            )
+
+    mapped = part.mapInPandas(_cum_iter, out_schema)
     hist = _hist_struct(F.col("count"), F.col("sum"), F.col("zero_count"),
                         F.col("zero_threshold"), F.col("schema"),
-                        F.col("__pos"), F.col("__neg"), coalesce_maps=True)
-    return joined.select("labels", "ts", hist.alias("hist"), "series_key")
+                        F.col("pos"), F.col("neg"), coalesce_maps=True)
+    return mapped.select("labels", "ts", hist.alias("hist"), "series_key")
 
 
 # --------------------------------------------------------------------------
@@ -558,18 +625,52 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
     to ceil(i / 2^(s-s')) at coarser s' — the exact exponential-boundary
     merge), so map keys align before any subtraction.
 
-    Everything runs in exploded bucket space, JOIN-FREE except the one
-    reset aggregate: per-sample step context (prev ts, prev scalars,
-    series-min schema) is computed with window functions on ONE base
-    frame and CARRIED through the bucket explode — self-joins would make
-    every consumer re-evaluate the upstream subtree (measured: the first
-    join-based version audited at ~300 exchanges through grid_hist_rate;
-    this shape audits at ~20).  The bucket frame's per-row reset flag is
-    fully inline (scalar drops carried + an any(bucket-drop) WINDOW per
-    (series, ts)); only the sample frame needs the bucket-drop verdict
-    joined back (samples may carry no buckets at all)."""
+    Everything is derived from ONE window pass over the sample frame —
+    JOIN-FREE and bucket-window-free (r12 restructure): each sample row
+    first normalizes its bucket maps to the series-min schema IN MAP
+    SPACE (an expression — no explode/groupBy pass), then a single
+    ``lag`` carries the PREVIOUS sample's normalized maps alongside the
+    previous scalars, and every per-bucket fact the step math needs —
+    aligned previous count, shrink, vanish — is an ``element_at`` lookup
+    against the lagged map on the row itself.  The earlier shape needed
+    a per-(series, bucket) window for alignment plus an exploded
+    drop-set ``distinct`` joined back for the reset verdict; AQE's
+    runtime exchange reuse deduplicated the *exchanges*, but the chain
+    still executed ~12 sequential stages per grid query where this one
+    runs ~5 (measured: grid_hist_rate over a materialized daily relation
+    2.05 → ~1.1 s at sf0.1; the A/B that motivated it — checkpointing
+    the drop set — moved nothing, proving the cost was stage count, not
+    re-execution).  Self-joins would be worse still: the first
+    join-based version audited at ~300 exchanges through grid_hist_rate
+    (VERDICT r10 item 2)."""
     ws = Window.partitionBy("series_key").orderBy("ts")
     wall = Window.partitionBy("series_key")
+
+    def norm_map(field: str) -> Column:
+        """hist.pos/neg normalized to the series-min schema, as a map:
+        positive-count entries only; bucket i at schema s maps to
+        ceil(i / 2^(s-smin)) with colliding buckets summed (counts are
+        integer-valued, so the in-expression sum order is exact).  The
+        uniform-schema fast path (schema == smin, the common case) is
+        the >0 filter alone."""
+        m = F.map_filter(
+            F.coalesce(F.col(f"hist.{field}"), _empty_buckets()),
+            lambda _, v: v > 0,
+        )
+        down = _pow2((F.col("hist.schema") - F.col("__smin")).cast("double"))
+        ent = F.map_entries(m)
+        newk = lambda e: F.ceil(e["key"].cast("double") / down).cast("int")  # noqa: E731
+        keys = F.array_distinct(F.transform(ent, newk))
+        vals = F.transform(
+            keys,
+            lambda k: F.aggregate(
+                ent, F.lit(0.0),
+                lambda acc, e: acc + F.when(newk(e) == k, e["value"]
+                                            ).otherwise(F.lit(0.0))),
+        )
+        return F.when(F.col("hist.schema") == F.col("__smin"), m).otherwise(
+            F.map_from_arrays(keys, vals))
+
     base = (
         rel.select(
             "series_key",
@@ -583,130 +684,82 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
             F.col("hist.schema").alias("__schema"),
         )
         .withColumn("__smin", F.min("__schema").over(wall))
+        .withColumn("__npos", norm_map("pos"))
+        .withColumn("__nneg", norm_map("neg"))
         .withColumn("__prev_ts", F.lag("ts").over(ws))
-        .withColumn("__next_ts", F.lead("ts").over(ws))
         .withColumn("__pc", F.lag("__c").over(ws))
         .withColumn("__ps", F.lag("__s").over(ws))
         .withColumn("__pz", F.lag("__z").over(ws))
+        .withColumn("__ppos", F.lag("__npos").over(ws))
+        .withColumn("__pneg", F.lag("__nneg").over(ws))
     )
-    # -- bucket space from the SAME frame (scalars carried, no join),
-    #    normalized to the series-min schema --------------------------------
-    carried = ["series_key", "ts", "__prev_ts", "__next_ts", "__smin",
-               "__c", "__pc", "__z", "__pz"]
+    if detect_resets:
+        # Prometheus DetectReset: a reset at a sample iff count or
+        # zero_count drops OR any PREVIOUS-sample bucket shrank or
+        # vanished — i.e. ∃ k ∈ prev map: cur[k] (0 when absent) < prev[k].
+        # A pure expression against the lagged maps; no drop-set subtree.
+        bucket_drop = lambda cur, prev: F.exists(  # noqa: E731
+            F.map_entries(F.coalesce(F.col(prev), _empty_buckets())),
+            lambda e: F.coalesce(F.element_at(F.col(cur), e["key"]),
+                                 F.lit(0.0)) < e["value"],
+        )
+        reset = F.col("__prev_ts").isNotNull() & (
+            (F.col("__c") < F.col("__pc"))
+            | (F.col("__z") < F.col("__pz"))
+            | bucket_drop("__npos", "__ppos")
+            | bucket_drop("__nneg", "__pneg")
+        )
+    else:
+        reset = F.lit(False)
+    base = base.withColumn("__reset", reset)
+    sc = base.drop("__npos", "__nneg", "__ppos", "__pneg")
 
-    # ONE explode over the fused ± entry array: referencing `base` once
-    # per sign would duplicate the whole window-function subtree in every
-    # consumer's plan (VERDICT r10 item 2 — the grid queries audited at
-    # 47/74 exchanges largely from this and the buckets_long triple).
-    def sided(field: str, sign: int) -> Column:
+    # -- bucket step frame: ONE explode over the fused ± entry array, the
+    #    aligned previous count read from the lagged map on the same row.
+    #    Counter mode iterates CURRENT-sample buckets (a vanished bucket
+    #    implies a reset, where each bucket contributes the new sample
+    #    verbatim — absent buckets contribute nothing).  Gauge mode
+    #    iterates cur ∪ prev keys so a vanished bucket still emits its
+    #    explicit zero-count step (cnt 0, aligned_prev = its previous
+    #    count) — without it the per-bucket deltas would stop telescoping
+    #    to last-minus-first and the bucket sum would contradict count.
+    carried = ["series_key", "ts", "__prev_ts", "__c", "__pc", "__z", "__pz",
+               "__reset"]
+
+    def sided(sign: int) -> Column:
+        cur = F.col("__npos") if sign == 1 else F.col("__nneg")
+        prev = F.coalesce(F.col("__ppos") if sign == 1 else F.col("__pneg"),
+                          _empty_buckets())
+        if detect_resets:
+            keys = F.map_keys(cur)
+        else:
+            keys = F.array_distinct(F.concat(F.map_keys(cur),
+                                             F.map_keys(prev)))
         return F.transform(
-            F.map_entries(F.coalesce(F.col(f"hist.{field}"),
-                                     _empty_buckets())),
-            lambda e: F.struct(
+            keys,
+            lambda k: F.struct(
                 F.lit(sign).cast("int").alias("sign"),
-                e["key"].cast("int").alias("idx"),
-                e["value"].cast("double").alias("cnt")))
+                k.cast("int").alias("idx"),
+                F.coalesce(F.element_at(cur, k), F.lit(0.0)).alias("cnt"),
+                F.when(
+                    F.col("__prev_ts").isNotNull(),
+                    F.coalesce(F.element_at(prev, k), F.lit(0.0)),
+                ).otherwise(F.lit(0.0)).alias("ap"),
+            ),
+        )
 
-    ex = (
+    exr = (
         base.select(
             *carried,
             F.col("__schema").alias("schema"),
-            F.explode(F.concat(sided("pos", 1), sided("neg", -1))
-                      ).alias("__b"),
+            F.explode(F.concat(sided(1), sided(-1))).alias("__b"),
         )
         .select(*carried, "schema",
                 F.col("__b.sign").alias("sign"),
                 F.col("__b.idx").alias("idx"),
-                F.col("__b.cnt").alias("cnt"))
-        .filter(F.col("cnt") > 0)
+                F.col("__b.cnt").alias("cnt"),
+                F.col("__b.ap").alias("__aligned_prev"))
     )
-    down = _pow2((F.col("schema") - F.col("__smin")).cast("double"))
-    ex = (
-        ex.withColumn("idx", F.ceil(F.col("idx").cast("double") / down).cast("int"))
-        .groupBy("series_key", "ts", "sign", "idx")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            *[F.any_value(c).alias(c) for c in carried[2:]],
-        )
-    )
-    wb = Window.partitionBy("series_key", "sign", "idx").orderBy("ts")
-    exl = (
-        ex.withColumn("__bpts", F.lag("ts").over(wb))
-        .withColumn("__bnts", F.lead("ts").over(wb))
-        .withColumn("__bpc", F.lag("cnt").over(wb))
-        .withColumn(
-            "__aligned_prev",
-            F.when(
-                F.col("__prev_ts").isNotNull()
-                & (F.col("__bpts") == F.col("__prev_ts")),
-                F.col("__bpc"),
-            ).otherwise(F.lit(0.0)),
-        )
-    )
-    if detect_resets:
-        # a bucket DROP signals a reset at the sample where it is seen:
-        # either its count shrank at the current sample, or it VANISHED —
-        # present now but absent from the series' next sample (Prometheus
-        # DetectReset iterates the previous sample's buckets, so
-        # disappearance counts as a drop; the vanish is detected on the
-        # bucket's own row via its next-appearance lead vs the series'
-        # next sample ts, and attributed to that next sample)
-        # one pass over exl (not a union of two filtered projections —
-        # that would re-derive the bucket-window subtree twice): each
-        # bucket row contributes its own ts on a shrink and __next_ts on
-        # a vanish, exploded then deduped
-        drop_ts = F.array(
-            F.when(F.col("cnt") < F.col("__aligned_prev"), F.col("ts")),
-            F.when(
-                F.col("__next_ts").isNotNull()
-                & (F.col("__bnts").isNull()
-                   | (F.col("__bnts") != F.col("__next_ts"))),
-                F.col("__next_ts")),
-        )
-        drops = (
-            exl.select("series_key", F.explode(drop_ts).alias("ts"))
-            .filter(F.col("ts").isNotNull())
-            .distinct()
-            .withColumn("__bdrop", F.lit(True))
-        )
-
-        def with_reset(df: DataFrame) -> DataFrame:
-            return df.join(drops, ["series_key", "ts"], "left").withColumn(
-                "__reset",
-                F.col("__prev_ts").isNotNull()
-                & (
-                    (F.col("__c") < F.col("__pc"))
-                    | (F.col("__z") < F.col("__pz"))
-                    | F.coalesce(F.col("__bdrop"), F.lit(False))
-                ),
-            )
-
-        sc = with_reset(base)
-        exr = with_reset(exl)
-    else:
-        # GAUGE path (delta): a bucket that fully VANISHES between two
-        # samples has no current-sample row (the explode only sees present
-        # buckets), so its negative step (-prev) would silently go missing
-        # and per-bucket deltas would stop telescoping to last-minus-first —
-        # the result's bucket sum would contradict its own count.  Gauge
-        # histograms routinely drain buckets to zero, so synthesize an
-        # explicit zero-count row at the next sample for every vanish
-        # transition.  Only the step-contract columns (ts, __prev_ts, cnt,
-        # __aligned_prev) are rewritten; the rest ride along solely to keep
-        # unionByName aligned and are never read on synthesized rows.
-        vanished = (
-            exl.filter(
-                F.col("__next_ts").isNotNull()
-                & (F.col("__bnts").isNull()
-                   | (F.col("__bnts") != F.col("__next_ts")))
-            )
-            .withColumn("__aligned_prev", F.col("cnt"))
-            .withColumn("__prev_ts", F.col("ts"))
-            .withColumn("ts", F.col("__next_ts"))
-            .withColumn("cnt", F.lit(0.0))
-        )
-        sc = base.withColumn("__reset", F.lit(False))
-        exr = exl.unionByName(vanished).withColumn("__reset", F.lit(False))
     return sc, exr
 
 

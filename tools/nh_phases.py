@@ -14,6 +14,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 
+RESULTS: list[str] = []
+
+
 def t(label, fn, reps=3):
     best = None
     for _ in range(reps):
@@ -21,7 +24,7 @@ def t(label, fn, reps=3):
         fn()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    print(f"# {label}: {best:.3f}s")
+    RESULTS.append(f"{label}: {best:.3f}s")
     return best
 
 
@@ -39,7 +42,7 @@ def main() -> None:
 
     spark = get_spark("nh-phases", shuffle_partitions=16)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    print(f"# canary: {bench.calibration_canary(spark):.3f}")
+    RESULTS.append(f"canary: {bench.calibration_canary(spark):.3f}")
 
     # phase 1: the hist_rel build (localCheckpoint is eager => timed here)
     t("build keep_k=False (rate_quantile)", lambda: _nh_daily_rel(spark, sf_dir, keep_k=False))
@@ -59,6 +62,10 @@ def main() -> None:
     QUERIES.update(extra_parity.QUERIES)
     t("FULL x_promql_native_hist_rate_quantile", lambda: noop(
         QUERIES["x_promql_native_hist_rate_quantile"](spark, sf_dir)))
+
+    import sys as _sys
+    for line in RESULTS:
+        print(f"## {line}", file=_sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -481,48 +481,59 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b")
         )
     # The candidate PAIR SET feeds two consumers — the broadcast id set
-    # below and the verify join — and each reference re-executes the whole
+    # and the verify join — and each reference re-executes the whole
     # shingle→signature→bucket subplan (building a broadcast is its own
     # job, so even perfect exchange reuse cannot bridge the two).  The
     # pair set is LSH-bounded (∝ true collisions, tiny next to the
-    # corpus), so materialize it ONCE with localCheckpoint — the same
-    # retained-materialization contract as connected_components' edge
-    # table (r12: one signature-pipeline execution instead of the
-    # documented two; measured 5.32 → 3.16 s on docs_minhash_pairs at
-    # sf0.1, canary-flat, and every minhash caller inherits the saving:
-    # neardup_gate 4.93 → 2.96, incremental 4.87 → 3.37).  On a
-    # multi-executor cluster swap for a reliable checkpoint dir, as CC's
-    # docstring already prescribes.
+    # corpus), so _verify_candidates materializes it ONCE with
+    # localCheckpoint — the same retained-materialization contract as
+    # connected_components' edge table (r12: one signature-pipeline
+    # execution instead of the documented two; measured 5.32 → 3.16 s on
+    # docs_minhash_pairs at sf0.1, canary-flat, and every minhash caller
+    # inherits the saving: neardup_gate 4.93 → 2.96, incremental
+    # 4.87 → 3.37).  On a multi-executor cluster swap for a reliable
+    # checkpoint dir, as CC's docstring already prescribes.
+    return _verify_candidates(df, id_col, cands,
+                              F.array_distinct(char_shingles(
+                                  F.lower(F.col(text_col)))),
+                              threshold)
+
+
+def _verify_candidates(df: DataFrame, id_col: str, cands: DataFrame,
+                       shingle_arr: Column, threshold: float) -> DataFrame:
+    """Exact Jaccard verify over a BOUNDED candidate pair set, shared by
+    :func:`minhash_lsh_pairs` and :func:`jaccard_join`.
+
+    The pair set is localCheckpoint-ed (it feeds the broadcast id set AND
+    the verify join — un-materialized, the whole candidate-generation
+    subplan would execute once per reference); shingle ARRAYS are built
+    for candidate documents only behind a broadcast semi-join, joined
+    ONCE (pairs explode to (role, id) rows and fold back per pair), and
+    the Jaccard comes from a row-wise ``array_intersect``.  Cost ∝
+    candidates, never the corpus."""
     cands = cands.localCheckpoint()
     # No distinct: duplicate ids in a broadcast semi-join's build set are
     # free, and dropping it removes a whole shuffle stage.  explode(array)
     # references the (now materialized) candidate table ONCE per consumer.
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-    shingle_arr = F.array_distinct(char_shingles(F.lower(F.col(text_col))))
+    # materialize the candidate-doc ARRAYS too (one semi-joined corpus
+    # scan), then attach them to pairs via two BROADCAST joins: each
+    # doc's array is replicated once per executor instead of once per
+    # pair occurrence.  The earlier per-pair form (explode to (role, id),
+    # shuffle-join the arrays, fold back with a grouped first()) shipped
+    # every pair's two arrays through an exchange — at jaccard_join's
+    # candidate volumes (85k pairs for 256 true matches at sf0.1) that
+    # was ~100 MB of array traffic and an ObjectHashAggregate; the
+    # broadcast form is bounded by the candidate-DOC set, the same class
+    # the cand_ids broadcast already commits to.  Swap to a shuffle join
+    # if a degenerate corpus ever outgrows the broadcast cap — the
+    # candidate set itself is the scale contract either way.
     cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col).alias("__cid"), shingle_arr.alias("__sh")
-    )
-    # One join, not one per role: pairs explode to (role, id), pick up the
-    # array, and fold back per pair.  first(when(...), ignorenulls) is
-    # exactly one non-null per (pair, role) by construction.
-    tagged = cands.select(
-        "id_a",
-        "id_b",
-        F.explode(
-            F.array(
-                F.struct(F.lit("a").alias("role"), F.col("id_a").alias("__cid")),
-                F.struct(F.lit("b").alias("role"), F.col("id_b").alias("__cid")),
-            )
-        ).alias("r"),
-    ).select("id_a", "id_b", F.col("r.role").alias("role"), F.col("r.__cid").alias("__cid"))
-    per_pair = (
-        tagged.join(cand_docs, "__cid")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first(F.when(F.col("role") == "a", F.col("__sh")), ignorenulls=True).alias("__sha"),
-            F.first(F.when(F.col("role") == "b", F.col("__sh")), ignorenulls=True).alias("__shb"),
-        )
-    )
+    ).localCheckpoint()
+    a = cand_docs.select(F.col("__cid").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = cand_docs.select(F.col("__cid").alias("id_b"), F.col("__sh").alias("__shb"))
+    per_pair = cands.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
     n_inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     n_union = F.size("__sha") + F.size("__shb") - n_inter
     return (
@@ -942,6 +953,14 @@ def jaccard_join(df: DataFrame, id_col: str, text_col: str,
         )
         .select("id_a", "id_b")
     )
+    # Verify stays on jaccard_verify's token equi-joins, NOT the
+    # candidate-bounded array path minhash uses: measured r12, at this
+    # operator's candidate volume (85k pairs for 256 true matches at
+    # t=0.7/sf0.1) the per-pair ``array_intersect`` is an O(|a|·|b|)
+    # string-compare loop (~3 s) that loses to the token join (~3.4 s
+    # but fully pipelined with candidate generation), and the extra `sh`
+    # references are AQE exchange-reused.  The array form wins only when
+    # candidates ≈ true matches (minhash's regime).
     return jaccard_verify(cand, sh, id_col, threshold)
 
 

@@ -229,17 +229,17 @@ def test_minhash_pipeline_single_reference_subplans(spark):
     MATERIALIZED (r12: the pair set feeds both the broadcast id set and
     the verify join, and each un-materialized reference re-ran the whole
     shingle→signature→bucket subplan — the old "un-persisted floor of 2
-    executions").  The final plan therefore holds exactly ONE corpus scan
-    (the candidate shingle arrays behind the semi-join — VERDICT r2's
-    post-filter array build) plus checkpoint-RDD scans of the tiny pair
-    table; the signature pipeline itself ran once, at checkpoint time."""
+    executions").  The candidate-doc shingle ARRAYS are materialized too
+    (one semi-joined corpus scan at checkpoint time) and attached to
+    pairs via two broadcast joins, so the FINAL plan reads only the two
+    tiny checkpoint tables — zero parquet scans, zero shuffles."""
     from mandodb_spark.workloads.docs import docs_minhash_pairs
 
     df = docs_minhash_pairs(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    assert plan.count("Scan parquet") == 1
-    assert plan.count("Scan ExistingRDD") >= 2  # both consumers read the checkpoint
-    assert "LeftSemi" in plan  # arrays built post-filter, not corpus-wide
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Scan ExistingRDD") >= 2  # pair + candidate-doc checkpoints
+    assert plan.count("BroadcastHashJoin") == 2  # arrays attach per executor, not per pair
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     # the signature min-agg no longer appears in the final plan (it ran at
     # checkpoint time) — pin its HashAggregate shape on the subplan itself

@@ -79,7 +79,7 @@ def x_events_alert_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rel = events_relation(spark, sf_dir, 0, 2**40)
     out = alert_intervals(rel, F.col("value") > 50, 3600, 7200)
-    return presentation_sort(flatten_labels(out), "start_ts")
+    return flatten_labels(out).orderBy("start_ts")
 
 
 def _alert_sql() -> str:
@@ -353,7 +353,7 @@ def x_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_value"],
         tolerance=7200,
         matched_ts_col="click_ts",
-    ).transform(lambda d: presentation_sort(d, "event_id"))
+    ).orderBy("event_id")
 
 
 _ASOF_SQL = """
@@ -483,7 +483,7 @@ def x_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_sample
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    return presentation_sort(weighted_sample(d, "doc_id", "n_chars", 40), "doc_id")
+    return weighted_sample(d, "doc_id", "n_chars", 40).orderBy("doc_id")
 
 
 def _weighted_sample_sql() -> str:
@@ -510,7 +510,7 @@ def x_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _exact_hourly_mean(ev)
     return seasonal_decompose(
         hourly, ["event_type"], "hts", "hv", step=3600, period=86400
-    ).transform(lambda d: presentation_sort(d, "event_type", "bucket_ts"))
+    ).orderBy("event_type", "bucket_ts")
 
 
 def _seasonal_sql() -> str:
@@ -560,9 +560,9 @@ def x_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_base(spark, sf_dir)
     hourly = _exact_hourly_mean(ev)
-    return presentation_sort(
-        cusum_changepoints(hourly, ["event_type"], "hts", "hv"),
-        "event_type", "ts")
+    return cusum_changepoints(hourly, ["event_type"], "hts", "hv").orderBy(
+        "event_type", "ts"
+    )
 
 
 def _cusum_sql() -> str:
@@ -591,7 +591,7 @@ def x_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import temperature_rates
 
     d = load(spark, sf_dir, "documents")
-    return presentation_sort(temperature_rates(d, "source", 0.5, 200), "source")
+    return temperature_rates(d, "source", 0.5, 200).orderBy("source")
 
 
 def _temp_mix_sql() -> str:
@@ -617,7 +617,7 @@ def x_docs_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
     edges = [50.0, 100.0, 150.0, 200.0, 250.0, 300.0, 400.0, 600.0]
-    return presentation_sort(psi_report(ref, new, "n_chars", edges), "bucket")
+    return psi_report(ref, new, "n_chars", edges).orderBy("bucket")
 
 
 def _psi_sql() -> str:
@@ -660,7 +660,7 @@ def x_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("fp").alias("n_groups"),
         )
         .withColumn("leaked_groups", F.lit(leaks).cast("long"))
-        .transform(lambda d: presentation_sort(d, "split"))
+        .orderBy("split")
     )
 
 
@@ -1927,8 +1927,8 @@ def x_promql_mad_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         piece = promql.over_time(rel, fn, EV_START, EV_END, step).select(
             "series_key", "window_start", F.col("value").alias(col))
         out = out.join(piece, ["series_key", "window_start"])
-    return presentation_sort(flatten_labels(out.drop("series_key")),
-                             "metric", "user", "k", "window_start")
+    return flatten_labels(out.drop("series_key")).orderBy(
+        "metric", "user", "k", "window_start")
 
 
 def _mad_extrema_sql() -> str:
@@ -1989,7 +1989,7 @@ def x_promql_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    return presentation_sort(flatten_labels(out), "metric", "user", "k", "fn")
+    return flatten_labels(out).orderBy("metric", "user", "k", "fn")
 
 
 def _calendar_sql() -> str:
@@ -2041,7 +2041,7 @@ def x_promql_quantile_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = promql.agg_by(vec, "group", ["user"]).select(
         F.col("labels").getItem("user").alias("user"),
         F.col("value").alias("grp"))
-    return presentation_sort(q.join(g, "user"), "user")
+    return q.join(g, "user").orderBy("user")
 
 
 def _quantile_group_sql() -> str:
@@ -2079,7 +2079,7 @@ def x_promql_absent_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("labels").getItem("absent").alias("absent"),
         "window_start", "value",
-    ).transform(lambda d: presentation_sort(d, "window_start"))
+    ).orderBy("window_start")
 
 
 def _absent_windows_sql() -> str:
@@ -2117,7 +2117,7 @@ def x_promql_text_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("labels").getItem("user").alias("user"),
         F.round("value", 8).alias("rate_sum"),
-    ).transform(lambda d: presentation_sort(d, "user"))
+    ).orderBy("user")
 
 
 def _text_rate_sql() -> str:
@@ -2149,7 +2149,7 @@ def x_promql_text_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("labels").getItem("user").alias("user"),
         F.round("value", 6).alias("ratio"),
-    ).transform(lambda d: presentation_sort(d, "user"))
+    ).orderBy("user")
 
 
 def _text_ratio_sql() -> str:
@@ -2236,7 +2236,7 @@ def x_promql_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels").getItem("user").alias("user"),
         "ts",
         F.round("value", 8).alias("rate_sum"),
-    ).transform(lambda d: presentation_sort(d, "user", "ts"))
+    ).orderBy("user", "ts")
 
 
 def _range_rate_sql() -> str:
@@ -2289,7 +2289,7 @@ def x_promql_range_sliding_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels").getItem("user").alias("user"),
         "ts",
         F.round("value", 6).alias("vmax"),
-    ).transform(lambda d: presentation_sort(d, "user", "ts"))
+    ).orderBy("user", "ts")
 
 
 def _range_sliding_max_sql() -> str:
@@ -2332,7 +2332,7 @@ def x_promql_alert_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_evals").cast("long").alias("n_evals"),
         F.col("firing").cast("boolean").alias("firing"),
         F.col("firing_since").cast("long").alias("firing_since"),
-    ).transform(lambda d: presentation_sort(d, "user", "active_since"))
+    ).orderBy("user", "active_since")
 
 
 def _alert_rule_sql() -> str:
@@ -2388,7 +2388,7 @@ def x_promql_range_stepscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                      g0, EV_END, 86_400, lookback=86_400)
     return out.select(
         "ts", F.col("value").cast("long").alias("n_series")
-    ).transform(lambda d: presentation_sort(d, "ts"))
+    ).orderBy("ts")
 
 
 def _range_stepscalar_sql() -> str:
@@ -2436,7 +2436,7 @@ def x_promql_range_quantile_group(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("labels").getItem("user").alias("user"),
         "ts",
         F.round("value", 4).alias("q90"),
-    ).transform(lambda d: presentation_sort(d, "user", "ts"))
+    ).orderBy("user", "ts")
 
 
 def _range_quantile_group_sql() -> str:
@@ -2485,7 +2485,7 @@ def x_promql_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.groupBy(F.col("labels").getItem("user").alias("user"), "ts")
         .agg(F.round(F.sum("value"), 4).alias("wsum"))
-        .transform(lambda d: presentation_sort(d, "user", "ts"))
+        .orderBy("user", "ts")
     )
 
 
@@ -2527,7 +2527,7 @@ def x_promql_subquery_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("labels").getItem("user").alias("user"),
         F.round("value", 4).alias("peak"),
-    ).transform(lambda d: presentation_sort(d, "user"))
+    ).orderBy("user")
 
 
 def _subquery_general_sql() -> str:
@@ -2892,7 +2892,7 @@ def x_promql_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("labels").getItem("job").alias("job"),
         F.col("labels").getItem("segment").alias("segment"),
         F.round("value", 8).alias("value"),
-    ).transform(lambda d: presentation_sort(d, "instance"))
+    ).orderBy("instance")
 
 
 def _info_sql() -> str:

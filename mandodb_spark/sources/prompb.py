@@ -376,6 +376,245 @@ def encode_write_request(timeseries: list[dict], compress: bool = True
     return snappy_compress(raw) if compress else raw
 
 
+# --------------------------------------------- numpy-vectorized fast path
+# The per-sample wire framing is tiny and regular (one ``Sample`` message
+# is ``0x12 len 0x09 <8-byte LE double> 0x10 <ts varint>``), so the hot
+# loops of both codec directions vectorize over whole Arrow batches with
+# numpy (guide §4.2: hand batches to native code inside the UDF).  Every
+# fast path verifies the exact byte layout it assumes and falls back to
+# the generic pure-Python codec on any deviation — foreign payloads,
+# histograms/exemplars, out-of-order fields — so the wire semantics are
+# IDENTICAL to ``encode_write_request``/``decode_write_request`` (the
+# encode fast path is byte-for-byte identical by construction; pinned by
+# a parity test against the pure codec on random batches).
+
+
+def _np_varint_lengths(u):
+    """Byte length of the unsigned varint encoding of each uint64."""
+    import numpy as np
+
+    nb = np.ones(u.shape, np.int64)
+    for b in range(1, 10):
+        nb[u >= np.uint64(1 << (7 * b))] = b + 1
+    return nb
+
+
+def _np_encode_samples(ts, vals):
+    """Encode a flat run of samples as ``Sample`` messages (TimeSeries
+    field 2) — vectorized; returns ``(out uint8 array, bstart)`` where
+    ``bstart[i]`` is the byte offset of sample i (len n+1)."""
+    import numpy as np
+
+    n = len(ts)
+    u = np.asarray(ts, np.int64).astype(np.uint64)  # two's complement
+    nb = _np_varint_lengths(u)
+    bstart = np.zeros(n + 1, np.int64)
+    np.cumsum(nb + 12, out=bstart[1:])
+    out = np.empty(int(bstart[-1]), np.uint8)
+    starts = bstart[:-1]
+    out[starts] = 0x12                       # key: field 2, wire 2
+    out[starts + 1] = (nb + 10).astype(np.uint8)  # body len (<=20 -> 1 byte)
+    out[starts + 2] = 0x09                   # field 1, wire 1 (double)
+    vb = np.asarray(vals, np.float64).astype("<f8").view(np.uint8).reshape(n, 8)
+    out[starts[:, None] + np.arange(3, 11)] = vb
+    out[starts + 11] = 0x10                  # field 2, wire 0 (varint)
+    rem = u.copy()
+    for b in range(int(nb.max()) if n else 0):
+        mask = nb > b
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nb[mask] - 1) > b).astype(np.uint8) << 7
+        out[starts[mask] + 12 + b] = byte | cont
+        rem >>= np.uint64(7)
+    return out, bstart
+
+
+def _np_sample_run(buf: bytes, arr, pos: int, end: int):
+    """Vectorized decode of a CONTIGUOUS run of uniform-length ``Sample``
+    messages starting at ``pos`` (the 0x12 key byte).  Verifies every
+    framing byte it assumes; returns ``(k, next_pos, ts int64 array,
+    vals float64 array)`` with ``k == 0`` when the first message deviates
+    from the canonical layout (caller falls back to the generic parse)."""
+    import numpy as np
+
+    if pos + 2 > end:
+        return 0, pos, None, None
+    L = buf[pos + 1]
+    # canonical message: 1 key + 1 len + (0x09 + 8 value + 0x10 + nb ts)
+    if buf[pos] != 0x12 or L >= 0x80 or not (11 <= L <= 19):
+        return 0, pos, None, None
+    nb = L - 10
+    step = L + 2
+    kmax = (end - pos) // step
+    if kmax <= 0:
+        return 0, pos, None, None
+    block = arr[pos:pos + kmax * step].reshape(kmax, step)
+    valid = (
+        (block[:, 0] == 0x12) & (block[:, 1] == L)
+        & (block[:, 2] == 0x09) & (block[:, 11] == 0x10)
+        & (block[:, step - 1] < 0x80)        # varint terminates in-message
+    )
+    if nb > 1:
+        valid &= (block[:, 12:12 + nb - 1] >= 0x80).all(axis=1)
+    k = int(kmax if valid.all() else np.argmin(valid))
+    if k == 0:
+        return 0, pos, None, None
+    blk = block[:k]
+    vals = blk[:, 3:11].copy().view("<f8").ravel()
+    ts = np.zeros(k, np.uint64)
+    for b in range(nb):
+        ts |= (blk[:, 12 + b].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * b)
+    return k, pos + k * step, ts.view(np.int64), vals
+
+
+def _skip_val(buf: bytes, i: int, wt: int) -> int:
+    if wt == 0:
+        _, i = _uvarint(buf, i)
+        return i
+    if wt == 1:
+        return i + 8
+    if wt == 2:
+        ln, i = _uvarint(buf, i)
+        return i + ln
+    if wt == 5:
+        return i + 4
+    raise ValueError(f"unsupported wire type {wt}")
+
+
+def _np_decode_series(buf: bytes, arr, i: int, end: int, tsp: list, vap: list):
+    """Scan one TimeSeries submessage [i, end): sample runs decode
+    vectorized (appended to ``tsp``/``vap``), everything else through the
+    generic per-message decoders.  Returns (n_samples, labels, hists,
+    exemplars)."""
+    import numpy as np
+
+    n_samples = 0
+    lab: list = []
+    hs: list = []
+    es: list = []
+    while i < end:
+        key_start = i
+        key, i = _uvarint(buf, i)
+        f, wt = key >> 3, key & 0x07
+        if f == 2 and wt == 2:
+            k, nxt, ts_a, va = _np_sample_run(buf, arr, key_start, end)
+            if k:
+                tsp.append(ts_a)
+                vap.append(va)
+                n_samples += k
+                i = nxt
+            else:
+                ln, i = _uvarint(buf, i)
+                s = _decode_sample(buf[i:i + ln])
+                i += ln
+                tsp.append(np.array([s["timestamp"]], np.int64))
+                vap.append(np.array([s["value"]], np.float64))
+                n_samples += 1
+        elif f == 1 and wt == 2:
+            ln, i = _uvarint(buf, i)
+            lab.append(_decode_label(buf[i:i + ln]))
+            i += ln
+        elif f == 3 and wt == 2:
+            ln, i = _uvarint(buf, i)
+            es.append(_decode_exemplar(buf[i:i + ln]))
+            i += ln
+        elif f == 4 and wt == 2:
+            ln, i = _uvarint(buf, i)
+            hs.append(_decode_histogram(buf[i:i + ln]))
+            i += ln
+        else:
+            i = _skip_val(buf, i, wt)
+    return n_samples, lab, hs, es
+
+
+def _np_decode_request(raw: bytes):
+    """Decode one uncompressed WriteRequest to COLUMNS: per-series label/
+    histogram/exemplar python lists plus flat numpy sample arrays —
+    exactly ``decode_write_request``'s rows, without a dict per sample."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, np.uint8)
+    labels_l: list = []
+    counts: list = []
+    tsp: list = []
+    vap: list = []
+    hl: list = []
+    el: list = []
+    i, n = 0, len(raw)
+    while i < n:
+        key, i = _uvarint(raw, i)
+        f, wt = key >> 3, key & 0x07
+        if f == 1 and wt == 2:
+            ln, i = _uvarint(raw, i)
+            cnt, lab, hs, es = _np_decode_series(raw, arr, i, i + ln, tsp, vap)
+            i += ln
+            labels_l.append(lab)
+            counts.append(cnt)
+            hl.append(hs)
+            el.append(es)
+        else:
+            i = _skip_val(raw, i, wt)
+    return labels_l, counts, tsp, vap, hl, el
+
+
+def _arrow_ts_schema():
+    """The exact Arrow schema mapInArrow expects for
+    ``REMOTE_WRITE_TIMESERIES_SCHEMA`` (static — usable on executors
+    without a SparkSession)."""
+    import pyarrow as pa
+
+    label = pa.struct([("name", pa.string()), ("value", pa.string())])
+    span = pa.struct([("offset", pa.int32()), ("length", pa.int32())])
+    hist = pa.struct([
+        ("timestamp", pa.int64()), ("count_int", pa.int64()),
+        ("count_float", pa.float64()), ("sum", pa.float64()),
+        ("schema", pa.int32()), ("zero_threshold", pa.float64()),
+        ("zero_count_int", pa.int64()), ("zero_count_float", pa.float64()),
+        ("positive_spans", pa.list_(span)),
+        ("positive_deltas", pa.list_(pa.int64())),
+        ("positive_counts", pa.list_(pa.float64())),
+        ("negative_spans", pa.list_(span)),
+        ("negative_deltas", pa.list_(pa.int64())),
+        ("negative_counts", pa.list_(pa.float64())),
+    ])
+    sample = pa.struct([("timestamp", pa.int64()), ("value", pa.float64())])
+    ex = pa.struct([("labels", pa.list_(label)), ("value", pa.float64()),
+                    ("timestamp", pa.int64())])
+    return pa.schema([
+        ("labels", pa.list_(label)), ("samples", pa.list_(sample)),
+        ("histograms", pa.list_(hist)), ("exemplars", pa.list_(ex)),
+    ])
+
+
+def _build_ts_batch(schema, labels_l, counts, tsp, vap, hl, el):
+    """Column lists from :func:`_np_decode_request` → one Arrow batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(labels_l)
+    offs = np.zeros(n + 1, np.int64)
+    if n:
+        np.cumsum(counts, out=offs[1:])
+    ts_flat = np.concatenate(tsp) if tsp else np.empty(0, np.int64)
+    val_flat = np.concatenate(vap) if vap else np.empty(0, np.float64)
+    sample_t = schema.field("samples").type
+    samples = pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32), pa.int32()),
+        pa.StructArray.from_arrays(
+            [pa.array(ts_flat, pa.int64()), pa.array(val_flat, pa.float64())],
+            ["timestamp", "value"],
+        ).cast(sample_t.value_type),
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(labels_l, type=schema.field("labels").type),
+            samples,
+            pa.array(hl, type=schema.field("histograms").type),
+            pa.array(el, type=schema.field("exemplars").type),
+        ],
+        schema=schema,
+    )
+
+
 # ------------------------------------------------------ DataFrame seams
 
 
@@ -383,9 +622,12 @@ def timeseries_from_prompb(df: DataFrame, bytes_col: str = "payload",
                            compressed: bool = True,
                            on_error: str = "drop") -> DataFrame:
     """BINARY remote-write POST bodies → ``REMOTE_WRITE_TIMESERIES_SCHEMA``
-    rows, Arrow-batched ``mapInPandas`` (one Python pass per batch; the
+    rows, Arrow-batched ``mapInArrow`` (one Python pass per batch; the
     decode is per-payload independent, so it scales with input partitions
-    — no shuffle, no driver involvement).  Feed the output to
+    — no shuffle, no driver involvement).  Sample messages decode through
+    the numpy run parser (framing verified byte-for-byte, generic varint
+    fallback on any deviation) and land directly in Arrow buffers — no
+    per-sample Python dict is ever built.  Feed the output to
     ``loaders.rows_from_remote_write`` / ``exemplars_from_remote_write`` /
     ``native_hist.histograms_from_remote_write``.
 
@@ -396,26 +638,99 @@ def timeseries_from_prompb(df: DataFrame, bytes_col: str = "payload",
         raise ValueError("on_error must be 'drop' or 'raise'")
 
     def batches(it):
-        import pandas as pd
-
-        cols = ["labels", "samples", "histograms", "exemplars"]
-        for pdf in it:
-            rows: list[dict] = []
-            for payload in pdf[bytes_col]:
-                if payload is None:
+        schema = _arrow_ts_schema()
+        for rb in it:
+            labels_l: list = []
+            counts: list = []
+            tsp: list = []
+            vap: list = []
+            hl: list = []
+            el: list = []
+            for sc in rb.column(0):
+                if not sc.is_valid:
                     continue
                 try:
-                    raw = bytes(payload)
+                    raw = bytes(sc.as_py())
                     if compressed:
                         raw = snappy_decompress(raw)
-                    rows.extend(decode_write_request(raw))
+                    part = _np_decode_request(raw)
                 except Exception:
                     if on_error == "raise":
                         raise
-            yield pd.DataFrame(rows, columns=cols)
+                    continue  # drop the whole payload, like the row path
+                labels_l.extend(part[0])
+                counts.extend(part[1])
+                tsp.extend(part[2])
+                vap.extend(part[3])
+                hl.extend(part[4])
+                el.extend(part[5])
+            yield _build_ts_batch(schema, labels_l, counts, tsp, vap, hl, el)
 
-    return df.select(bytes_col).mapInPandas(
+    return df.select(bytes_col).mapInArrow(
         batches, REMOTE_WRITE_TIMESERIES_SCHEMA)
+
+
+def _cell(r: dict, k: str) -> list:
+    v = r.get(k)
+    if v is None or (isinstance(v, float) and v != v):  # None/NaN cell
+        return []
+    return [_plain(x) for x in v]
+
+
+def _encode_records_slow(records: list, present: list,
+                         series_per_request: int, compress: bool) -> list:
+    """Generic per-record encode (histograms/exemplars, null cells)."""
+    payloads = []
+    for i in range(0, len(records), series_per_request):
+        chunk = [{k: _cell(r, k) for k in present}
+                 for r in records[i:i + series_per_request]]
+        payloads.append(encode_write_request(chunk, compress))
+    return payloads
+
+
+def _try_encode_batch_fast(rb, series_per_request: int, compress: bool):
+    """Vectorized encode of a (labels, samples)-only Arrow batch; returns
+    the payload list, or None when the batch needs the generic path
+    (nulls, unexpected physical layout)."""
+    import numpy as np
+    import pyarrow as pa
+
+    labels_col = rb.column(rb.schema.get_field_index("labels"))
+    samples_col = rb.column(rb.schema.get_field_index("samples"))
+    if not (pa.types.is_list(labels_col.type)
+            and pa.types.is_list(samples_col.type)):
+        return None
+    if labels_col.null_count or samples_col.null_count:
+        return None
+    vals_struct = samples_col.values
+    ts_child = vals_struct.field("timestamp")
+    val_child = vals_struct.field("value")
+    if vals_struct.null_count or ts_child.null_count or val_child.null_count:
+        return None
+    offs = samples_col.offsets.to_numpy()
+    out, bstart = _np_encode_samples(
+        ts_child.to_numpy(zero_copy_only=False),
+        val_child.to_numpy(zero_copy_only=False))
+    mv = memoryview(out.tobytes())
+    payloads = []
+    cur = bytearray()
+    count = 0
+    for i, labs in enumerate(labels_col.to_pylist()):
+        body = bytearray()
+        for l in labs or ():
+            body += _msg(1, _enc_label(l))
+        body += mv[bstart[offs[i]]:bstart[offs[i + 1]]]
+        cur += _msg(1, bytes(body))
+        count += 1
+        if count == series_per_request:
+            payloads.append(snappy_compress(bytes(cur)) if compress
+                            else bytes(cur))
+            cur = bytearray()
+            count = 0
+    if count:
+        payloads.append(snappy_compress(bytes(cur)) if compress
+                        else bytes(cur))
+    return payloads
 
 
 def prompb_from_timeseries(df: DataFrame, compress: bool = True,
@@ -424,35 +739,40 @@ def prompb_from_timeseries(df: DataFrame, compress: bool = True,
     payloads (column ``payload binary``), chunked at
     ``series_per_request`` series per payload — real receivers cap POST
     body sizes, and bounded chunks keep any single Python encode call
-    O(chunk) regardless of partition size.  Arrow-batched ``mapInPandas``
-    like the decode side; payload grouping is per-partition (no shuffle),
-    so payload membership is nondeterministic across runs but the DECODED
-    multiset is always the identity."""
+    O(chunk) regardless of partition size.  Arrow-batched ``mapInArrow``
+    like the decode side; (labels, samples)-only batches (the
+    ``to_remote_write`` shape) encode through the vectorized sample
+    packer — byte-identical to ``encode_write_request`` by construction,
+    pinned by a parity test — and batches carrying histograms/exemplars
+    or nulls take the generic per-record path.  Payload grouping is
+    per-partition (no shuffle), so payload membership is nondeterministic
+    across runs but the DECODED multiset is always the identity."""
 
     # to_remote_write / exemplars_to_remote_write emit only the fields
     # they carry — absent message fields are simply not on the wire
     present = [c for c in ("labels", "samples", "histograms", "exemplars")
                if c in df.columns]
-
-    def _cell(r: dict, k: str) -> list:
-        v = r.get(k)
-        if v is None or (isinstance(v, float) and v != v):  # None/NaN cell
-            return []
-        return [_plain(x) for x in v]
+    fast_ok = set(present) == {"labels", "samples"}
 
     def batches(it):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in it:
-            records = pdf.to_dict("records")
-            payloads = []
-            for i in range(0, len(records), series_per_request):
-                chunk = [{k: _cell(r, k) for k in present}
-                         for r in records[i:i + series_per_request]]
-                payloads.append(encode_write_request(chunk, compress))
-            yield pd.DataFrame({"payload": payloads}, columns=["payload"])
+        for rb in it:
+            payloads = None
+            if fast_ok:
+                try:
+                    payloads = _try_encode_batch_fast(
+                        rb, series_per_request, compress)
+                except Exception:
+                    payloads = None
+            if payloads is None:
+                payloads = _encode_records_slow(
+                    rb.to_pandas().to_dict("records"), present,
+                    series_per_request, compress)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(payloads, pa.binary())], ["payload"])
 
-    return df.select(*present).mapInPandas(batches, "payload binary")
+    return df.select(*present).mapInArrow(batches, "payload binary")
 
 
 def _plain(v):

@@ -1177,6 +1177,67 @@ def test_prompb_pure_codec_round_trip():
         assert back == ts
 
 
+def test_prompb_numpy_fast_path_parity():
+    """The vectorized sample packer/parser (r13: numpy batch varint
+    encode/decode inside the Arrow seams) is BYTE-identical to the pure
+    codec on the encode side and value-identical on the decode side —
+    including varint-length edges (negative ts → 10-byte varint, 0,
+    2^62) where the run parser must fall back per message."""
+    import random
+
+    import numpy as np
+
+    from mandodb_spark.sources import prompb
+
+    rng = random.Random(13)
+    series = []
+    for i in range(23):
+        n = rng.randint(0, 40)
+        samples = sorted(
+            ({"timestamp": rng.choice([
+                rng.randint(-5, 5), rng.randint(10**12, 2 * 10**12),
+                rng.randint(0, 2**62)]),
+              "value": rng.uniform(-1e9, 1e9)} for _ in range(n)),
+            key=lambda s: (s["timestamp"], s["value"]))
+        series.append({
+            "labels": [{"name": "__name__", "value": f"m{i % 3}"},
+                       {"name": "user", "value": str(i)}],
+            "samples": samples, "histograms": [], "exemplars": []})
+
+    # encode: flat numpy packer == pure codec, chunk by chunk
+    flat_ts = np.array([s["timestamp"] for t in series
+                        for s in t["samples"]], np.int64)
+    flat_v = np.array([s["value"] for t in series
+                       for s in t["samples"]], np.float64)
+    offs = np.concatenate(
+        [[0], np.cumsum([len(t["samples"]) for t in series])])
+    out, bstart = prompb._np_encode_samples(flat_ts, flat_v)
+    mv = memoryview(out.tobytes())
+    for i, t in enumerate(series):
+        body = b"".join(prompb._msg(1, prompb._enc_label(l))
+                        for l in t["labels"])
+        body += bytes(mv[bstart[offs[i]]:bstart[offs[i + 1]]])
+        assert (prompb._msg(1, body)
+                == prompb.encode_write_request([t], compress=False))
+
+    # decode: the columnar parser reproduces decode_write_request exactly
+    payload = prompb.encode_write_request(series, compress=False)
+    want = prompb.decode_write_request(payload)
+    labels_l, counts, tsp, vap, hl, el = prompb._np_decode_request(payload)
+    ts_flat = np.concatenate(tsp) if tsp else np.empty(0, np.int64)
+    v_flat = np.concatenate(vap) if vap else np.empty(0, np.float64)
+    got, o = [], 0
+    for j in range(len(labels_l)):
+        k = counts[j]
+        got.append({
+            "labels": labels_l[j],
+            "samples": [{"timestamp": int(ts_flat[o + m]),
+                         "value": float(v_flat[o + m])} for m in range(k)],
+            "histograms": hl[j], "exemplars": el[j]})
+        o += k
+    assert got == want
+
+
 def test_prompb_decoder_skips_unknown_fields_and_unpacked_repeats():
     """Protobuf wire rules: unknown fields (WriteRequest.metadata = 3)
     are skipped; repeated scalars are accepted UNPACKED as well as

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Per-query optimization harness for the r12 optimization round.
+"""Per-query optimization harness for the optimization rounds (r12/r13).
 
 Times the named queries under EXACTLY the bench.py protocol (same session
 conf, same shuffle-partition rule, warm JVM, min-of-2 noop-sink runs) and
@@ -56,7 +56,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     canary = bench.calibration_canary(spark)
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
     if plans_tag:
         plans_dir.mkdir(parents=True, exist_ok=True)
 

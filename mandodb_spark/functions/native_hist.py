@@ -712,7 +712,41 @@ def _step_frames(rel: DataFrame, detect_resets: bool):
     else:
         reset = F.lit(False)
     base = base.withColumn("__reset", reset)
-    sc = base.drop("__npos", "__nneg", "__ppos", "__pneg")
+
+    # -- per-step bucket DELTA MAPS on the sample row itself (r13): the
+    #    map-space analogue of _step_bucket, so grid_hist_rate can run
+    #    ONE aggregation (collect + expression-merge) instead of the
+    #    exploded per-bucket groupBy + map regroup + join.  Counts are
+    #    integer-valued doubles, so the subtraction and any later merge
+    #    order are exact.  Consumers that only need the scalars
+    #    (_hist_counter_math) never reference these columns and Catalyst
+    #    prunes them with the rest of the map lag state.
+    def step_map(sign: int) -> Column:
+        cur = F.col("__npos") if sign == 1 else F.col("__nneg")
+        prev = F.coalesce(F.col("__ppos") if sign == 1 else F.col("__pneg"),
+                          _empty_buckets())
+        if detect_resets:
+            keys = F.map_keys(cur)  # counter mode: current buckets only
+        else:
+            keys = F.array_distinct(F.concat(F.map_keys(cur),
+                                             F.map_keys(prev)))
+        diff = F.map_from_arrays(
+            keys,
+            F.transform(
+                keys,
+                lambda k: F.coalesce(F.element_at(cur, k), F.lit(0.0))
+                - F.coalesce(F.element_at(prev, k), F.lit(0.0))))
+        return (
+            F.when(F.col("__prev_ts").isNull(), _empty_buckets())
+            .when(F.col("__reset"), cur)
+            .otherwise(diff)
+        )
+
+    sc = (
+        base.withColumn("__dpos", step_map(1))
+        .withColumn("__dneg", step_map(-1))
+        .drop("__npos", "__nneg", "__ppos", "__pneg")
+    )
 
     # -- bucket step frame: ONE explode over the fused ± entry array, the
     #    aligned previous count read from the lagged map on the same row.
@@ -1136,10 +1170,17 @@ def grid_hist_rate(rel: DataFrame, start: int, end: int, window: int,
     _check_fanout(window - 1, step, f"grid_hist_rate({mode})")
     rel = _ensure_series_key(rel).filter(
         F.col("ts").between(start - window + 1, end))
-    sc, exr = _step_frames(rel, mode != "delta")
+    sc, _ = _step_frames(rel, mode != "delta")
     pts = _step_points(start, end, step, window)
     scg = sc.filter(F.col("__prev_ts").isNotNull()).withColumn("__t", pts)
-    agg_scalars = scg.groupBy("series_key", "__t").agg(
+    # ONE aggregation for scalars AND bucket maps (r13, guide §2.4): the
+    # per-step delta maps from _step_frames are collected per (series, t)
+    # and merged in expression space — map_zip_with union-sum, zero
+    # totals dropped, entries re-sorted to _bucket_map_aggs' key order.
+    # Replaces the exploded per-bucket groupBy + map regroup + join
+    # (3 exchanges → 1 on this branch); exact because bucket counts are
+    # integer-valued doubles (sum order immaterial).
+    agg = scg.groupBy("series_key", "__t").agg(
         F.any_value("labels").alias("labels"),
         F.sum(_step_scalar(F.col("__c"), F.col("__pc"))).alias("count"),
         F.sum(_step_scalar(F.col("__s"), F.col("__ps"))).alias("sum"),
@@ -1147,17 +1188,25 @@ def grid_hist_rate(rel: DataFrame, start: int, end: int, window: int,
         F.max("__zt").alias("zero_threshold"),
         F.min("__smin").alias("schema"),
         (F.max("ts") - F.min("__prev_ts")).alias("__span"),
+        F.collect_list("__dpos").alias("__lp"),
+        F.collect_list("__dneg").alias("__ln"),
     )
-    exg = exr.filter(F.col("__prev_ts").isNotNull()).withColumn("__t", pts)
-    per_bucket = (
-        exg.groupBy("series_key", "__t", "sign", "idx")
-        .agg(F.sum(_step_bucket()).alias("__v"))
-        .filter(F.col("__v") != 0)
+
+    def merged(col: str) -> Column:
+        total = F.aggregate(
+            F.col(col), _empty_buckets(),
+            lambda acc, m: F.map_zip_with(
+                acc, m,
+                lambda _, a, b: (F.coalesce(a, F.lit(0.0))
+                                 + F.coalesce(b, F.lit(0.0)))))
+        return F.map_from_entries(F.array_sort(F.map_entries(
+            F.map_filter(total, lambda _, v: v != 0))))
+
+    joined = (
+        agg.withColumn("__pos", merged("__lp"))
+        .withColumn("__neg", merged("__ln"))
+        .drop("__lp", "__ln")
     )
-    pos_agg, neg_agg = _bucket_map_aggs("sign", "idx", "__v")
-    maps = per_bucket.groupBy("series_key", "__t").agg(
-        pos_agg.alias("__pos"), neg_agg.alias("__neg"))
-    joined = agg_scalars.join(maps, ["series_key", "__t"], "left")
     if mode == "rate":
         joined = joined.filter(F.col("__span") > 0)
         span = F.col("__span").cast("double")
@@ -1169,10 +1218,8 @@ def grid_hist_rate(rel: DataFrame, start: int, end: int, window: int,
         F.col("zero_count") / span,
         F.col("zero_threshold"),
         F.col("schema"),
-        F.transform_values(F.coalesce(F.col("__pos"), _empty_buckets()),
-                           lambda _, v: v / span),
-        F.transform_values(F.coalesce(F.col("__neg"), _empty_buckets()),
-                           lambda _, v: v / span),
+        F.transform_values(F.col("__pos"), lambda _, v: v / span),
+        F.transform_values(F.col("__neg"), lambda _, v: v / span),
     )
     return joined.select(
         "series_key", "labels", F.col("__t").alias("ts"), hist.alias("hist")

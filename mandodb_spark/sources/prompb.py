@@ -428,44 +428,6 @@ def _np_encode_samples(ts, vals):
     return out, bstart
 
 
-def _np_sample_run(buf: bytes, arr, pos: int, end: int):
-    """Vectorized decode of a CONTIGUOUS run of uniform-length ``Sample``
-    messages starting at ``pos`` (the 0x12 key byte).  Verifies every
-    framing byte it assumes; returns ``(k, next_pos, ts int64 array,
-    vals float64 array)`` with ``k == 0`` when the first message deviates
-    from the canonical layout (caller falls back to the generic parse)."""
-    import numpy as np
-
-    if pos + 2 > end:
-        return 0, pos, None, None
-    L = buf[pos + 1]
-    # canonical message: 1 key + 1 len + (0x09 + 8 value + 0x10 + nb ts)
-    if buf[pos] != 0x12 or L >= 0x80 or not (11 <= L <= 19):
-        return 0, pos, None, None
-    nb = L - 10
-    step = L + 2
-    kmax = (end - pos) // step
-    if kmax <= 0:
-        return 0, pos, None, None
-    block = arr[pos:pos + kmax * step].reshape(kmax, step)
-    valid = (
-        (block[:, 0] == 0x12) & (block[:, 1] == L)
-        & (block[:, 2] == 0x09) & (block[:, 11] == 0x10)
-        & (block[:, step - 1] < 0x80)        # varint terminates in-message
-    )
-    if nb > 1:
-        valid &= (block[:, 12:12 + nb - 1] >= 0x80).all(axis=1)
-    k = int(kmax if valid.all() else np.argmin(valid))
-    if k == 0:
-        return 0, pos, None, None
-    blk = block[:k]
-    vals = blk[:, 3:11].copy().view("<f8").ravel()
-    ts = np.zeros(k, np.uint64)
-    for b in range(nb):
-        ts |= (blk[:, 12 + b].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * b)
-    return k, pos + k * step, ts.view(np.int64), vals
-
-
 def _skip_val(buf: bytes, i: int, wt: int) -> int:
     if wt == 0:
         _, i = _uvarint(buf, i)
@@ -480,39 +442,76 @@ def _skip_val(buf: bytes, i: int, wt: int) -> int:
     raise ValueError(f"unsupported wire type {wt}")
 
 
-def _np_decode_series(buf: bytes, arr, i: int, end: int, tsp: list, vap: list):
-    """Scan one TimeSeries submessage [i, end): sample runs decode
-    vectorized (appended to ``tsp``/``vap``), everything else through the
-    generic per-message decoders.  Returns (n_samples, labels, hists,
-    exemplars)."""
-    import numpy as np
+_UNPACK_D = struct.Struct("<d").unpack_from
 
-    n_samples = 0
-    lab: list = []
+
+class _Cols:
+    """Flat column accumulators for one decode batch: python lists for
+    samples/labels (one append per item — no per-item dict), dict lists
+    for the rare histogram/exemplar messages."""
+
+    __slots__ = ("s_counts", "ts", "val", "l_counts", "l_names", "l_vals",
+                 "hists", "exs")
+
+    def __init__(self):
+        self.s_counts: list = []   # samples per series
+        self.ts: list = []         # flat sample timestamps
+        self.val: list = []        # flat sample values
+        self.l_counts: list = []   # labels per series
+        self.l_names: list = []    # flat label names
+        self.l_vals: list = []     # flat label values
+        self.hists: list = []      # per-series histogram dict lists
+        self.exs: list = []        # per-series exemplar dict lists
+
+
+def _decode_series_cols(buf: bytes, i: int, end: int, c: _Cols) -> None:
+    """Scan one TimeSeries submessage [i, end) into flat columns.  The
+    canonical sample/label layouts (what every known sender emits —
+    fields in proto order, 1-byte inner lengths) parse inline with zero
+    intermediate objects; anything else falls back to the generic
+    per-message decoders, so wire semantics are identical to
+    ``_decode_timeseries``."""
+    ns = nl = 0
     hs: list = []
     es: list = []
     while i < end:
-        key_start = i
         key, i = _uvarint(buf, i)
         f, wt = key >> 3, key & 0x07
         if f == 2 and wt == 2:
-            k, nxt, ts_a, va = _np_sample_run(buf, arr, key_start, end)
-            if k:
-                tsp.append(ts_a)
-                vap.append(va)
-                n_samples += k
-                i = nxt
-            else:
-                ln, i = _uvarint(buf, i)
-                s = _decode_sample(buf[i:i + ln])
-                i += ln
-                tsp.append(np.array([s["timestamp"]], np.int64))
-                vap.append(np.array([s["value"]], np.float64))
-                n_samples += 1
+            ln, i = _uvarint(buf, i)
+            j = i
+            i += ln
+            # canonical Sample: 0x09 <8-byte LE double> 0x10 <ts varint>
+            if ln >= 11 and buf[j] == 0x09 and buf[j + 9] == 0x10:
+                u, k2 = _uvarint(buf, j + 10)
+                if k2 == i:
+                    c.ts.append(u - (1 << 64) if u >= (1 << 63) else u)
+                    c.val.append(_UNPACK_D(buf, j + 1)[0])
+                    ns += 1
+                    continue
+            s = _decode_sample(buf[j:i])
+            c.ts.append(s["timestamp"])
+            c.val.append(s["value"])
+            ns += 1
         elif f == 1 and wt == 2:
             ln, i = _uvarint(buf, i)
-            lab.append(_decode_label(buf[i:i + ln]))
+            j = i
             i += ln
+            # canonical Label: 0x0A <len<128> name> 0x12 <len<128> value>
+            if ln >= 4 and buf[j] == 0x0A:
+                n1 = buf[j + 1]
+                j2 = j + 2 + n1
+                if n1 < 0x80 and j2 + 2 <= i and buf[j2] == 0x12:
+                    n2 = buf[j2 + 1]
+                    if n2 < 0x80 and j2 + 2 + n2 == i:
+                        c.l_names.append(buf[j + 2:j2].decode("utf-8"))
+                        c.l_vals.append(buf[j2 + 2:i].decode("utf-8"))
+                        nl += 1
+                        continue
+            lab = _decode_label(buf[j:i])
+            c.l_names.append(lab["name"])
+            c.l_vals.append(lab["value"])
+            nl += 1
         elif f == 3 and wt == 2:
             ln, i = _uvarint(buf, i)
             es.append(_decode_exemplar(buf[i:i + ln]))
@@ -523,37 +522,26 @@ def _np_decode_series(buf: bytes, arr, i: int, end: int, tsp: list, vap: list):
             i += ln
         else:
             i = _skip_val(buf, i, wt)
-    return n_samples, lab, hs, es
+    c.s_counts.append(ns)
+    c.l_counts.append(nl)
+    c.hists.append(hs)
+    c.exs.append(es)
 
 
-def _np_decode_request(raw: bytes):
-    """Decode one uncompressed WriteRequest to COLUMNS: per-series label/
-    histogram/exemplar python lists plus flat numpy sample arrays —
-    exactly ``decode_write_request``'s rows, without a dict per sample."""
-    import numpy as np
-
-    arr = np.frombuffer(raw, np.uint8)
-    labels_l: list = []
-    counts: list = []
-    tsp: list = []
-    vap: list = []
-    hl: list = []
-    el: list = []
+def _np_decode_request(raw: bytes, c: _Cols) -> None:
+    """Decode one uncompressed WriteRequest into the flat columns —
+    exactly ``decode_write_request``'s rows, with no per-sample or
+    per-label dict ever built."""
     i, n = 0, len(raw)
     while i < n:
         key, i = _uvarint(raw, i)
         f, wt = key >> 3, key & 0x07
         if f == 1 and wt == 2:
             ln, i = _uvarint(raw, i)
-            cnt, lab, hs, es = _np_decode_series(raw, arr, i, i + ln, tsp, vap)
+            _decode_series_cols(raw, i, i + ln, c)
             i += ln
-            labels_l.append(lab)
-            counts.append(cnt)
-            hl.append(hs)
-            el.append(es)
         else:
             i = _skip_val(raw, i, wt)
-    return labels_l, counts, tsp, vap, hl, el
 
 
 def _arrow_ts_schema():
@@ -585,31 +573,39 @@ def _arrow_ts_schema():
     ])
 
 
-def _build_ts_batch(schema, labels_l, counts, tsp, vap, hl, el):
-    """Column lists from :func:`_np_decode_request` → one Arrow batch."""
+def _build_ts_batch(schema, c: _Cols):
+    """Flat columns from :func:`_np_decode_request` → one Arrow batch
+    (list offsets from cumsum, children from the flat lists — no
+    per-row python objects for labels or samples)."""
     import numpy as np
     import pyarrow as pa
 
-    n = len(labels_l)
-    offs = np.zeros(n + 1, np.int64)
+    n = len(c.s_counts)
+    s_off = np.zeros(n + 1, np.int64)
+    l_off = np.zeros(n + 1, np.int64)
     if n:
-        np.cumsum(counts, out=offs[1:])
-    ts_flat = np.concatenate(tsp) if tsp else np.empty(0, np.int64)
-    val_flat = np.concatenate(vap) if vap else np.empty(0, np.float64)
-    sample_t = schema.field("samples").type
-    samples = pa.ListArray.from_arrays(
-        pa.array(offs.astype(np.int32), pa.int32()),
+        np.cumsum(c.s_counts, out=s_off[1:])
+        np.cumsum(c.l_counts, out=l_off[1:])
+    labels = pa.ListArray.from_arrays(
+        pa.array(l_off.astype(np.int32), pa.int32()),
         pa.StructArray.from_arrays(
-            [pa.array(ts_flat, pa.int64()), pa.array(val_flat, pa.float64())],
+            [pa.array(c.l_names, pa.string()), pa.array(c.l_vals, pa.string())],
+            ["name", "value"],
+        ).cast(schema.field("labels").type.value_type),
+    )
+    samples = pa.ListArray.from_arrays(
+        pa.array(s_off.astype(np.int32), pa.int32()),
+        pa.StructArray.from_arrays(
+            [pa.array(c.ts, pa.int64()), pa.array(c.val, pa.float64())],
             ["timestamp", "value"],
-        ).cast(sample_t.value_type),
+        ).cast(schema.field("samples").type.value_type),
     )
     return pa.RecordBatch.from_arrays(
         [
-            pa.array(labels_l, type=schema.field("labels").type),
+            labels,
             samples,
-            pa.array(hl, type=schema.field("histograms").type),
-            pa.array(el, type=schema.field("exemplars").type),
+            pa.array(c.hists, type=schema.field("histograms").type),
+            pa.array(c.exs, type=schema.field("exemplars").type),
         ],
         schema=schema,
     )
@@ -640,31 +636,27 @@ def timeseries_from_prompb(df: DataFrame, bytes_col: str = "payload",
     def batches(it):
         schema = _arrow_ts_schema()
         for rb in it:
-            labels_l: list = []
-            counts: list = []
-            tsp: list = []
-            vap: list = []
-            hl: list = []
-            el: list = []
+            c = _Cols()
             for sc in rb.column(0):
                 if not sc.is_valid:
                     continue
+                marks = (len(c.s_counts), len(c.ts), len(c.l_counts),
+                         len(c.l_names))
                 try:
                     raw = bytes(sc.as_py())
                     if compressed:
                         raw = snappy_decompress(raw)
-                    part = _np_decode_request(raw)
+                    _np_decode_request(raw, c)
                 except Exception:
                     if on_error == "raise":
                         raise
-                    continue  # drop the whole payload, like the row path
-                labels_l.extend(part[0])
-                counts.extend(part[1])
-                tsp.extend(part[2])
-                vap.extend(part[3])
-                hl.extend(part[4])
-                el.extend(part[5])
-            yield _build_ts_batch(schema, labels_l, counts, tsp, vap, hl, el)
+                    # drop the WHOLE payload, like the row path: rewind
+                    # any partially-appended columns
+                    del c.s_counts[marks[0]:], c.hists[marks[0]:], \
+                        c.exs[marks[0]:], c.l_counts[marks[2]:]
+                    del c.ts[marks[1]:], c.val[marks[1]:]
+                    del c.l_names[marks[3]:], c.l_vals[marks[3]:]
+            yield _build_ts_batch(schema, c)
 
     return df.select(bytes_col).mapInArrow(
         batches, REMOTE_WRITE_TIMESERIES_SCHEMA)
@@ -688,10 +680,57 @@ def _encode_records_slow(records: list, present: list,
     return payloads
 
 
+def _np_scatter_varints(out, pos, u, nb):
+    """Scatter varint encodings of ``u`` (uint64) at byte positions
+    ``pos``; ``nb`` = per-value byte lengths (from _np_varint_lengths)."""
+    import numpy as np
+
+    rem = u.copy()
+    for b in range(int(nb.max()) if len(nb) else 0):
+        mask = nb > b
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((nb[mask] - 1) > b).astype(np.uint8) << 7
+        out[pos[mask] + b] = byte | cont
+        rem >>= np.uint64(7)
+
+
+def _np_ragged_copy(out, dst_starts, src, src_starts, lengths):
+    """out[dst_starts[i]:+lengths[i]] = src[src_starts[i]:+lengths[i]]
+    for all i, fully vectorized (one gather + one scatter)."""
+    import numpy as np
+
+    total = int(lengths.sum())
+    if not total:
+        return
+    cum = np.zeros(len(lengths), np.int64)
+    np.cumsum(lengths[:-1], out=cum[1:])
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, lengths)
+    out[np.repeat(dst_starts, lengths) + within] = \
+        src[np.repeat(src_starts, lengths) + within]
+
+
+def _np_string_parts(arr):
+    """(byte-offsets int64, data uint8 array) of a pyarrow StringArray,
+    honoring any slice offset; None when the layout is not plain utf8."""
+    import numpy as np
+    import pyarrow as pa
+
+    if not pa.types.is_string(arr.type) or arr.null_count:
+        return None
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int32)[arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return offs, data
+
+
 def _try_encode_batch_fast(rb, series_per_request: int, compress: bool):
-    """Vectorized encode of a (labels, samples)-only Arrow batch; returns
-    the payload list, or None when the batch needs the generic path
-    (nulls, unexpected physical layout)."""
+    """Vectorized encode of a (labels, samples)-only Arrow batch —
+    sample messages, label messages AND the series framing are all
+    assembled with numpy scatter/gather over the whole batch (the only
+    per-series python is the final chunk slicing).  Byte-identical to
+    ``encode_write_request`` (pinned by tests).  Returns the payload
+    list, or None when the batch needs the generic path (nulls,
+    unexpected physical layout)."""
     import numpy as np
     import pyarrow as pa
 
@@ -705,31 +744,76 @@ def _try_encode_batch_fast(rb, series_per_request: int, compress: bool):
     vals_struct = samples_col.values
     ts_child = vals_struct.field("timestamp")
     val_child = vals_struct.field("value")
-    if vals_struct.null_count or ts_child.null_count or val_child.null_count:
+    lab_struct = labels_col.values
+    if (vals_struct.null_count or ts_child.null_count or val_child.null_count
+            or lab_struct.null_count):
         return None
-    offs = samples_col.offsets.to_numpy()
-    out, bstart = _np_encode_samples(
+    name_parts = _np_string_parts(lab_struct.field("name"))
+    val_parts = _np_string_parts(lab_struct.field("value"))
+    if name_parts is None or val_parts is None:
+        return None
+    n = len(labels_col)
+    s_offs = samples_col.offsets.to_numpy().astype(np.int64)
+    l_offs = labels_col.offsets.to_numpy().astype(np.int64)
+
+    # -- all sample messages, flat
+    s_out, s_bstart = _np_encode_samples(
         ts_child.to_numpy(zero_copy_only=False),
         val_child.to_numpy(zero_copy_only=False))
+
+    # -- all label messages, flat:
+    #    outer = 0x0A varint(inner) inner;
+    #    inner = 0x0A varint(nlen) name 0x12 varint(vlen) value
+    n_off, n_data = name_parts
+    v_off, v_data = val_parts
+    nlen = np.diff(n_off)
+    vlen = np.diff(v_off)
+    nb_n = _np_varint_lengths(nlen.astype(np.uint64))
+    nb_v = _np_varint_lengths(vlen.astype(np.uint64))
+    inner = 1 + nb_n + nlen + 1 + nb_v + vlen
+    nb_i = _np_varint_lengths(inner.astype(np.uint64))
+    lmsg = 1 + nb_i + inner
+    l_bstart = np.zeros(len(nlen) + 1, np.int64)
+    np.cumsum(lmsg, out=l_bstart[1:])
+    l_out = np.empty(int(l_bstart[-1]), np.uint8)
+    p = l_bstart[:-1]
+    l_out[p] = 0x0A                                   # series field 1 key
+    _np_scatter_varints(l_out, p + 1, inner.astype(np.uint64), nb_i)
+    p = p + 1 + nb_i
+    l_out[p] = 0x0A                                   # Label.name key
+    _np_scatter_varints(l_out, p + 1, nlen.astype(np.uint64), nb_n)
+    p = p + 1 + nb_n
+    _np_ragged_copy(l_out, p, n_data, n_off[:-1], nlen)
+    p = p + nlen
+    l_out[p] = 0x12                                   # Label.value key
+    _np_scatter_varints(l_out, p + 1, vlen.astype(np.uint64), nb_v)
+    _np_ragged_copy(l_out, p + 1 + nb_v, v_data, v_off[:-1], vlen)
+
+    # -- series framing: 0x0A varint(body) [labels][samples], flat
+    lab_src = l_bstart[l_offs]        # per-series label byte extents
+    lab_len = np.diff(lab_src)
+    smp_src = s_bstart[s_offs]
+    smp_len = np.diff(smp_src)
+    body = lab_len + smp_len
+    nb_b = _np_varint_lengths(body.astype(np.uint64))
+    smsg = 1 + nb_b + body
+    t_bstart = np.zeros(n + 1, np.int64)
+    np.cumsum(smsg, out=t_bstart[1:])
+    out = np.empty(int(t_bstart[-1]), np.uint8)
+    p = t_bstart[:-1]
+    out[p] = 0x0A                                     # WriteRequest field 1
+    _np_scatter_varints(out, p + 1, body.astype(np.uint64), nb_b)
+    _np_ragged_copy(out, p + 1 + nb_b, l_out, lab_src[:-1], lab_len)
+    _np_ragged_copy(out, p + 1 + nb_b + lab_len, s_out, smp_src[:-1], smp_len)
+
+    # -- chunk at series_per_request and compress
     mv = memoryview(out.tobytes())
     payloads = []
-    cur = bytearray()
-    count = 0
-    for i, labs in enumerate(labels_col.to_pylist()):
-        body = bytearray()
-        for l in labs or ():
-            body += _msg(1, _enc_label(l))
-        body += mv[bstart[offs[i]]:bstart[offs[i + 1]]]
-        cur += _msg(1, bytes(body))
-        count += 1
-        if count == series_per_request:
-            payloads.append(snappy_compress(bytes(cur)) if compress
-                            else bytes(cur))
-            cur = bytearray()
-            count = 0
-    if count:
-        payloads.append(snappy_compress(bytes(cur)) if compress
-                        else bytes(cur))
+    for i in range(0, n, series_per_request):
+        chunk = bytes(mv[t_bstart[i]:t_bstart[min(i + series_per_request, n)]])
+        payloads.append(snappy_compress(chunk) if compress else chunk)
+    if n == 0:
+        return []
     return payloads
 
 

@@ -3162,7 +3162,15 @@ def x_prompb_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate (series_key hash + struct build) runs parallel, like
     # x_openmetrics_roundtrip's codec fan-out
     rel = rel.repartition(spark.sparkContext.defaultParallelism)
-    wire = prompb_from_timeseries(to_remote_write(rel))
+    # r13: the to_remote_write aggregate output is ~2 MB at sf0.1, so AQE
+    # coalesces the post-shuffle stage to ONE partition — which serialized
+    # the whole encode→decode Python chain on one core (measured: the
+    # decode step alone read +3.5 s wall).  An explicit round-robin
+    # repartition (exempt from AQE coalescing) spreads the codec chain
+    # across the executors; the 2 MB extra shuffle is noise.
+    series = to_remote_write(rel).repartition(
+        spark.sparkContext.defaultParallelism)
+    wire = prompb_from_timeseries(series)
     back = rows_from_remote_write(timeseries_from_prompb(wire))
     out = back.select(
         F.col("metric"),

@@ -1220,21 +1220,48 @@ def test_prompb_numpy_fast_path_parity():
         assert (prompb._msg(1, body)
                 == prompb.encode_write_request([t], compress=False))
 
+    # full batch encode (labels + series framing vectorized too):
+    # byte-identical payload list vs the generic per-record path
+    import pyarrow as pa
+
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array([t["labels"] for t in series]),
+            pa.array(
+                [t["samples"] for t in series],
+                type=pa.list_(pa.struct([("timestamp", pa.int64()),
+                                         ("value", pa.float64())]))),
+        ],
+        ["labels", "samples"])
+    for spr in (4, 500):
+        fast = prompb._try_encode_batch_fast(rb, spr, compress=False)
+        slow = prompb._encode_records_slow(
+            [{"labels": t["labels"], "samples": t["samples"]}
+             for t in series], ["labels", "samples"], spr, compress=False)
+        assert fast == slow
+    # sliced batches exercise the offset-handling paths
+    sl = rb.slice(3, 9)
+    assert (prompb._try_encode_batch_fast(sl, 500, False)
+            == prompb._encode_records_slow(
+                [{"labels": t["labels"], "samples": t["samples"]}
+                 for t in series[3:12]], ["labels", "samples"], 500, False))
+
     # decode: the columnar parser reproduces decode_write_request exactly
     payload = prompb.encode_write_request(series, compress=False)
     want = prompb.decode_write_request(payload)
-    labels_l, counts, tsp, vap, hl, el = prompb._np_decode_request(payload)
-    ts_flat = np.concatenate(tsp) if tsp else np.empty(0, np.int64)
-    v_flat = np.concatenate(vap) if vap else np.empty(0, np.float64)
-    got, o = [], 0
-    for j in range(len(labels_l)):
-        k = counts[j]
+    c = prompb._Cols()
+    prompb._np_decode_request(payload, c)
+    got, o, lo = [], 0, 0
+    for j in range(len(c.s_counts)):
+        k, nl = c.s_counts[j], c.l_counts[j]
         got.append({
-            "labels": labels_l[j],
-            "samples": [{"timestamp": int(ts_flat[o + m]),
-                         "value": float(v_flat[o + m])} for m in range(k)],
-            "histograms": hl[j], "exemplars": el[j]})
+            "labels": [{"name": c.l_names[lo + m], "value": c.l_vals[lo + m]}
+                       for m in range(nl)],
+            "samples": [{"timestamp": c.ts[o + m], "value": c.val[o + m]}
+                        for m in range(k)],
+            "histograms": c.hists[j], "exemplars": c.exs[j]})
         o += k
+        lo += nl
     assert got == want
 
 

@@ -443,6 +443,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     for candidate arrays, verify ∝ candidates.  The LSH collision set,
     never n², bounds the verify cost.  Remaining local-mode cost is
     per-stage scheduling, not compute — see SCALE.md's minhash profile.
+
+    EAGER + RETAINED (r12/r13, ADVICE r12): constructing the result runs
+    the candidate-generation jobs immediately (two ``localCheckpoint``
+    materializations) and retains up to 2 RDDs per call until
+    :func:`release_minhash_checkpoints` — call it once the result is
+    consumed.  localCheckpoint output is not recoverable on executor
+    loss; multi-executor clusters should swap in a reliable checkpoint
+    dir (same caveat as :func:`connected_components`).
     """
     lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
     positions = F.sequence(
@@ -499,41 +507,113 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                               threshold)
 
 
+#: RDD ids retained by :func:`_verify_candidates`'s localCheckpoints in
+#: this session, released via :func:`release_minhash_checkpoints`.
+_RETAINED_CKPT_IDS: list[int] = []
+
+#: Estimated per-shingle broadcast bytes (8-char UTF8 string + array
+#: element overhead) used by the automatic broadcast/shuffle switch.
+_SHINGLE_BCAST_BYTES = 48
+
+_SIZE_SUFFIXES = {"b": 1, "k": 1024, "kb": 1024, "m": 1024**2,
+                  "mb": 1024**2, "g": 1024**3, "gb": 1024**3}
+
+
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """A Spark byte-size conf ("64MB", "10485760b", "-1") as int bytes;
+    non-positive (broadcast disabled) and unparseable both → ``default``
+    treated conservatively: disabled means never broadcast."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+        for suf in sorted(_SIZE_SUFFIXES, key=len, reverse=True):
+            if raw.endswith(suf):
+                return int(float(raw[:-len(suf)]) * _SIZE_SUFFIXES[suf])
+        return int(raw)
+    except Exception:
+        return default
+
+
+def release_minhash_checkpoints(spark) -> int:
+    """Unpersist every RDD retained by :func:`minhash_lsh_pairs` calls in
+    this session (ADVICE r12: the two localCheckpoints per call outlive
+    the returned DataFrame until GC).  Call after the result has been
+    consumed — the returned DataFrame is NOT recomputable afterwards
+    (localCheckpoint truncates lineage).  Returns the number released.
+    Mirrors ``connected_components``' per-round release pattern, but
+    deferred to the caller because the checkpointed tables back the
+    function's RESULT rather than an internal round."""
+    registry = spark.sparkContext._jsc.getPersistentRDDs()
+    released = 0
+    for rid in list(_RETAINED_CKPT_IDS):
+        ref = registry.get(rid)
+        if ref is not None:
+            ref.unpersist(False)
+            released += 1
+        _RETAINED_CKPT_IDS.remove(rid)
+    return released
+
+
+def _ckpt_tracked(df: DataFrame) -> DataFrame:
+    """localCheckpoint + record the persisted RDD ids it created so
+    :func:`release_minhash_checkpoints` can free them."""
+    spark = df.sparkSession
+    registry = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {rid for rid in registry.keySet().toArray()}
+    out = df.localCheckpoint()
+    registry = spark.sparkContext._jsc.getPersistentRDDs()
+    _RETAINED_CKPT_IDS.extend(
+        rid for rid in registry.keySet().toArray() if rid not in before)
+    return out
+
+
 def _verify_candidates(df: DataFrame, id_col: str, cands: DataFrame,
                        shingle_arr: Column, threshold: float) -> DataFrame:
-    """Exact Jaccard verify over a BOUNDED candidate pair set, shared by
-    :func:`minhash_lsh_pairs` and :func:`jaccard_join`.
+    """Exact Jaccard verify over a BOUNDED candidate pair set (the
+    :func:`minhash_lsh_pairs` verify stage; ``jaccard_join`` deliberately
+    keeps its token-join verify — see its call-site note).
 
-    The pair set is localCheckpoint-ed (it feeds the broadcast id set AND
-    the verify join — un-materialized, the whole candidate-generation
-    subplan would execute once per reference); shingle ARRAYS are built
-    for candidate documents only behind a broadcast semi-join, joined
-    ONCE (pairs explode to (role, id) rows and fold back per pair), and
-    the Jaccard comes from a row-wise ``array_intersect``.  Cost ∝
-    candidates, never the corpus."""
-    cands = cands.localCheckpoint()
+    EAGER: the two localCheckpoints below run Spark jobs at
+    DataFrame-construction time and retain their materialized RDDs until
+    :func:`release_minhash_checkpoints` (or session GC) — the documented
+    retained-materialization contract (ADVICE r12).  The pair set is
+    checkpointed because it feeds the id set AND the verify join
+    (un-materialized, the whole candidate-generation subplan would
+    execute once per reference); shingle ARRAYS are built for candidate
+    documents only behind a broadcast semi-join.  Cost ∝ candidates,
+    never the corpus."""
+    cands = _ckpt_tracked(cands)
     # No distinct: duplicate ids in a broadcast semi-join's build set are
     # free, and dropping it removes a whole shuffle stage.  explode(array)
     # references the (now materialized) candidate table ONCE per consumer.
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
     # materialize the candidate-doc ARRAYS too (one semi-joined corpus
-    # scan), then attach them to pairs via two BROADCAST joins: each
-    # doc's array is replicated once per executor instead of once per
-    # pair occurrence.  The earlier per-pair form (explode to (role, id),
+    # scan), then attach them to pairs via two joins — BROADCAST while
+    # the estimated build size fits, shuffle joins beyond that.  Each
+    # doc's array crosses once per executor instead of once per pair
+    # occurrence; the earlier per-pair form (explode to (role, id),
     # shuffle-join the arrays, fold back with a grouped first()) shipped
     # every pair's two arrays through an exchange — at jaccard_join's
     # candidate volumes (85k pairs for 256 true matches at sf0.1) that
-    # was ~100 MB of array traffic and an ObjectHashAggregate; the
-    # broadcast form is bounded by the candidate-DOC set, the same class
-    # the cand_ids broadcast already commits to.  Swap to a shuffle join
-    # if a degenerate corpus ever outgrows the broadcast cap — the
-    # candidate set itself is the scale contract either way.
-    cand_docs = df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
-        F.col(id_col).alias("__cid"), shingle_arr.alias("__sh")
-    ).localCheckpoint()
+    # was ~100 MB of array traffic and an ObjectHashAggregate.
+    cand_docs = _ckpt_tracked(
+        df.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+            F.col(id_col).alias("__cid"), shingle_arr.alias("__sh")))
+    # Automatic broadcast/shuffle switch (ADVICE r12: a forced broadcast
+    # hint bypasses autoBroadcastJoinThreshold, and candidate-doc count ×
+    # multi-KB shingle arrays is unbounded by any config on a degenerate
+    # high-collision corpus).  The stats job is a cheap scan of the
+    # already-materialized checkpoint; the size model is deliberately
+    # generous per shingle so the switch errs toward the safe shuffle.
+    n_docs, n_shingles = cand_docs.agg(
+        F.count(F.lit(1)), F.sum(F.size("__sh"))).first()
+    est_bytes = (n_docs or 0) * 32 + (n_shingles or 0) * _SHINGLE_BCAST_BYTES
+    bcast_cap = _conf_bytes(
+        df.sparkSession, "spark.sql.autoBroadcastJoinThreshold",
+        64 * 1024 * 1024)
+    hint = F.broadcast if est_bytes <= bcast_cap else (lambda x: x)
     a = cand_docs.select(F.col("__cid").alias("id_a"), F.col("__sh").alias("__sha"))
     b = cand_docs.select(F.col("__cid").alias("id_b"), F.col("__sh").alias("__shb"))
-    per_pair = cands.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    per_pair = cands.join(hint(a), "id_a").join(hint(b), "id_b")
     n_inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
     n_union = F.size("__sha") + F.size("__shb") - n_inter
     return (

@@ -107,15 +107,25 @@ def url_parts(url: Column) -> Column:
         _PARTS_SEP.join(f"${i}" for i in range(1, 6)),
     )
     arr = F.split(rep, _PARTS_SEP)
+    # Spark's split keeps trailing empty strings (Java split with
+    # limit=-1), so a match with empty port/path/query still yields
+    # exactly 5 parts — pinned by a regression test.  A url that CONTAINS
+    # the separator byte (not RFC-conforming, but possible input) would
+    # split into != 5 parts; the guard routes those rows through the
+    # per-component extractors so the struct agrees with
+    # :func:`canonicalize_url` on every input (ADVICE r12).
     ok = F.size(arr) == 5
-    g = lambda i: F.when(ok, arr[i]).otherwise(F.lit(""))  # noqa: E731
-    q = g(4)
+    g = lambda i, alt: F.when(ok, arr[i]).otherwise(alt)  # noqa: E731
+    q = g(4, url_query(url))
     return F.struct(
-        F.lower(g(0)).alias("scheme"),
-        F.lower(g(1)).alias("host"),
-        g(2).alias("port"),
-        g(3).alias("path"),
-        F.when(q == "", q).otherwise(F.substring(q, 2, 2**30)).alias("query"),
+        F.lower(g(0, F.regexp_extract(url, _URL_RE, 1))).alias("scheme"),
+        F.lower(g(1, F.regexp_extract(url, _URL_RE, 2))).alias("host"),
+        g(2, F.regexp_extract(url, _URL_RE, 3)).alias("port"),
+        g(3, F.regexp_extract(url, _URL_RE, 4)).alias("path"),
+        F.when(ok,
+               F.when(arr[4] == "", F.lit(""))
+               .otherwise(F.substring(arr[4], 2, 2**30))).otherwise(q)
+        .alias("query"),
     )
 
 

@@ -3697,6 +3697,44 @@ def test_canonicalize_url_rules(spark):
         assert got[i] == (want_c, want_d), (i, got[i])
 
 
+def test_url_parts_agrees_with_composed_form_on_edges(spark):
+    """The single-pass url_parts struct agrees with canonicalize_url on
+    every edge the \\x01-join could disturb (ADVICE r12): a url that
+    CONTAINS the separator byte (guard routes it through the
+    per-component extractors), and urls with empty port/path/query —
+    which rely on Spark's split KEEPING trailing empty strings (pinned
+    here so an engine-side behavior change is loud)."""
+    from mandodb_spark.operators.web import (canonicalize_from_parts,
+                                             canonicalize_url, url_parts)
+
+    urls = [
+        "http://h",                         # all-trailing-empty groups
+        "https://ex.com:443",               # empty path+query
+        "http://ex.com/p",                  # empty query
+        "http://ex.com/p\x01q?a=1&b=2",     # separator byte in path
+        "http://ex.com/p?a=\x01&b=2",       # separator byte in query
+        "\x01nonsense",                     # unparseable with separator
+        "nonsense",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        url_parts(F.col("url")).alias("p"),
+    ).select(
+        "url",
+        canonicalize_from_parts(F.col("p")).alias("via_parts"),
+        canonicalize_url(F.col("url")).alias("via_composed"),
+        F.col("p.path").alias("path"),
+        F.col("p.query").alias("query"),
+    ).collect()
+    for r in rows:
+        assert r.via_parts == r.via_composed, (r.url, r.via_parts,
+                                               r.via_composed)
+    byurl = {r.url: r for r in rows}
+    assert byurl["http://h"].path == "" and byurl["http://h"].query == ""
+    assert byurl["http://ex.com/p\x01q?a=1&b=2"].path == "/p\x01q"
+
+
 def test_scene_changes_detects_cut(spark):
     """Histogram shot detector: a run of near-identical frames scores ~0;
     an abrupt content change crosses the threshold exactly once; frame 0

@@ -507,8 +507,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                               threshold)
 
 
-#: RDD ids retained by :func:`_verify_candidates`'s localCheckpoints in
-#: this session, released via :func:`release_minhash_checkpoints`.
+#: RDD ids retained by :func:`_verify_candidates`'s and
+#: :func:`jaccard_join`'s localCheckpoints in this session, released via
+#: :func:`release_minhash_checkpoints`.
 _RETAINED_CKPT_IDS: list[int] = []
 
 #: Estimated per-shingle broadcast bytes (8-char UTF8 string + array
@@ -533,12 +534,29 @@ def _conf_bytes(spark, key: str, default: int) -> int:
         return default
 
 
+def _pinned_parallelism(spark) -> int:
+    """Partition count for the dedup operators' pinned (user-specified,
+    AQE-coalesce-exempt) exchanges: never below the cluster's core count,
+    never below the configured shuffle parallelism.  AQE's size-based
+    coalesce squeezes these byte-light, CPU-dense stages (window ranking,
+    broadcast-join verify chains over short shingle strings) to 1–2
+    partitions locally; at cluster scale ``defaultParallelism`` tracks
+    total cores and ``shuffle.partitions`` the deployment's sizing, so
+    the pin never SHRINKS a large exchange either."""
+    try:
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        sp = 0
+    return max(spark.sparkContext.defaultParallelism, sp)
+
+
 def release_minhash_checkpoints(spark) -> int:
-    """Unpersist every RDD retained by :func:`minhash_lsh_pairs` calls in
-    this session (ADVICE r12: the two localCheckpoints per call outlive
-    the returned DataFrame until GC).  Call after the result has been
-    consumed — the returned DataFrame is NOT recomputable afterwards
-    (localCheckpoint truncates lineage).  Returns the number released.
+    """Unpersist every RDD retained by :func:`minhash_lsh_pairs` and
+    :func:`jaccard_join` calls in this session (ADVICE r12: the
+    localCheckpoints per call outlive the returned DataFrame until GC).
+    Call after the result has been consumed — the returned DataFrame is
+    NOT recomputable afterwards (localCheckpoint truncates lineage).
+    Returns the number released.
     Mirrors ``connected_components``' per-round release pattern, but
     deferred to the caller because the checkpointed tables back the
     function's RESULT rather than an internal round."""
@@ -964,6 +982,28 @@ def jaccard_join(df: DataFrame, id_col: str, text_col: str,
     JVM-side; no caps, no sampling — exactness is the contract, pinned by
     brute-force DuckDB parity at two scales and a randomized property test.
 
+    EAGER + RETAINED (r13): the distinct shingle table is the plan's
+    most-referenced subtree — the prefix self-join's two branches, the
+    verify's two token joins and the two set-size aggregates each hold
+    their own copy, and because every small side becomes a
+    BroadcastExchange, neither ReuseExchange nor AQE stage reuse ever
+    fires: the executed sf0.1 plan ran the scan→explode→distinct pipeline
+    SEVEN times (see plans/r13/x_docs_jaccard_join_before.txt).  ``sh``
+    is therefore localCheckpoint-ed ONCE, round-robin repartitioned to
+    :func:`_pinned_parallelism` first so the materialized table (and the
+    broadcast-hash-join verify chain that pipelines map-side over it)
+    runs at cluster parallelism instead of the 1–2 byte-sized partitions
+    AQE's size-based coalesce leaves for this CPU-dense, byte-light
+    relation.  The rank-window input is pinned the same way (its
+    ENSURE_REQUIREMENTS exchange carries ~MBs but two window passes of
+    real CPU).  Measured sf0.1 min-of-4: 6.76 → 3.76 s, exact-parity.
+    Like :func:`minhash_lsh_pairs`, construction runs Spark jobs eagerly
+    and retains one RDD per call until
+    :func:`release_minhash_checkpoints`; the materialization is one
+    (id, shingle) row per distinct shingle — the same relation the plan
+    previously computed seven times per run, so at any scale the
+    checkpoint is strictly cheaper than what it replaces.
+
     Cost note: prefix selectivity is ``1 - t`` of each set, so the filter
     bites hard at near-dup thresholds (t >= 0.6, prefixes <= 40%) and
     degrades toward the full inverted-index join as t → 0 — at t=0.4/sf0.1
@@ -975,11 +1015,14 @@ def jaccard_join(df: DataFrame, id_col: str, text_col: str,
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = shingle_sets(df, id_col, text_col, length, stride)
+    n_par = _pinned_parallelism(df.sparkSession)
+    sh = _ckpt_tracked(
+        shingle_sets(df, id_col, text_col, length, stride).repartition(n_par))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("sh").asc())
     ranked = (
         sh.join(freq, "sh")
+        .repartition(n_par, F.col(id_col))
         .withColumn("__pos", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )

@@ -70,6 +70,15 @@ def test_lsh_pipelines_leave_no_persisted_rdds(spark):
     dedup.simhash_band_pairs(sim, "doc_id", n_bits=32, n_bands=4).collect()
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     assert after - after_minhash == set()  # simhash adds nothing
+    # r13: jaccard_join retains exactly ONE materialized table per call
+    # (the distinct shingle relation its plan previously re-executed 7x),
+    # and release_minhash_checkpoints frees everything this test created
+    dedup.jaccard_join(df, "doc_id", "text", 0.5).collect()
+    after_jaccard = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert len(after_jaccard - after) <= 1
+    dedup.release_minhash_checkpoints(spark)
+    final = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert final & (after_jaccard - before) == set()
 
 
 def test_memory_store_holds_single_materialized_copy(spark):

@@ -127,10 +127,25 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     allg = ga.select("__g").unionAll(gb.select("__g"))
     freq = allg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
 
+    # The rank-window input is pinned at cluster parallelism (a
+    # user-specified repartition on the window's own key replaces the
+    # ENSURE_REQUIREMENTS exchange, so it costs no extra shuffle): this
+    # exchange carries only ~MBs of (id, gram, df) rows, so AQE's
+    # size-based coalesce left it at 1-2 partitions — and the candidate
+    # broadcast join plus every per-candidate levenshtein downstream
+    # pipelines map-side over the window output, i.e. the whole verify
+    # ran near-serial.  Measured sf0.1 min-of-4 (same-session interleaved
+    # A/B): 4.66 -> 1.67 s, bit-identical output.  Same fix as
+    # jaccard_join's window pin (guide §2.6 idle capacity).
+    from .dedup import _pinned_parallelism
+
+    n_par = _pinned_parallelism(left.sparkSession)
+
     def prefix(g, id_col):
         w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("__g").asc())
         return (
             g.join(freq, "__g")
+            .repartition(n_par, F.col(id_col))
             .withColumn("__pos", F.row_number().over(w))
             .filter(F.col("__pos") <= k_prefix)
         )

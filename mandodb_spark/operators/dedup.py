@@ -93,17 +93,32 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str,
     Positions are exploded first and the substring runs as a plain scalar
     expression (whole-stage codegen); the higher-order ``transform`` form
     is ~4× slower because lambda functions are interpreted per element.
-    The explode is narrow — only the final (id, shingle) projection
-    shuffles, for the distinct.
+
+    Parallelism (r13): the document table is byte-light (one file split
+    at bench scale), so the explode → substring chain otherwise runs at
+    SCAN parallelism — serial — while fanning each doc out ~250×.  The
+    input is round-robin spread to :func:`_pinned_parallelism` first (a
+    doc-count-sized exchange buys a corpus-×250-sized map stage all its
+    cores), and the dedup's exchange is pinned on the grouping keys so
+    its reduce side isn't AQE-coalesced back to 1–2 partitions.  The pin
+    trades map-side partial dedup for reduce parallelism — in-doc
+    stride-4 shingle repeats are rare, so the partials removed little;
+    measured min-of-4 at sf0.1 the pinned form wins 3.54 → 2.93 s on
+    jaccard_join end-to-end.  Output partitioning: hash(id, sh) at
+    pinned parallelism.
     """
-    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
+    n_par = _pinned_parallelism(df.sparkSession)
+    lowered = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__lt")
+    ).repartition(n_par)
     positions = F.sequence(
         F.lit(1), F.greatest(F.length("__lt") - F.lit(length - 1), F.lit(1)), F.lit(stride)
     )
     return (
         lowered.select(F.col(id_col), F.col("__lt"), F.explode(positions).alias("__p"))
         .select(F.col(id_col), F.expr(f"substring(__lt, __p, {length})").alias("sh"))
-        .distinct()
+        .repartition(n_par, F.col(id_col), F.col("sh"))
+        .dropDuplicates()
     )
 
 
@@ -452,7 +467,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     loss; multi-executor clusters should swap in a reliable checkpoint
     dir (same caveat as :func:`connected_components`).
     """
-    lowered = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("__lt"))
+    # Round-robin spread before the explode (r13): the corpus scan is
+    # byte-light (single split at bench scale), so the ~250×/doc shingle
+    # explode and the 8 md5s per shingle row — this pipeline's documented
+    # hot loop — otherwise run at scan parallelism, i.e. serial.  One
+    # doc-count-sized exchange buys the whole signature map stage its
+    # cores (same fix as shingle_sets / fuzzy_join's window pins;
+    # measured min-of-4 at sf0.1: 5.03 → 4.18 s on docs_minhash_pairs,
+    # bit-identical pairs).
+    lowered = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__lt")
+    ).repartition(_pinned_parallelism(df.sparkSession))
     positions = F.sequence(
         F.lit(1), F.greatest(F.length("__lt") - F.lit(SHINGLE_LEN - 1), F.lit(1)), F.lit(SHINGLE_STRIDE)
     )
@@ -1016,8 +1041,9 @@ def jaccard_join(df: DataFrame, id_col: str, text_col: str,
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     n_par = _pinned_parallelism(df.sparkSession)
-    sh = _ckpt_tracked(
-        shingle_sets(df, id_col, text_col, length, stride).repartition(n_par))
+    # shingle_sets already emits at pinned parallelism (hash(id, sh)),
+    # so the checkpoint materializes wide with no further exchange
+    sh = _ckpt_tracked(shingle_sets(df, id_col, text_col, length, stride))
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy(id_col).orderBy(F.col("__df").asc(), F.col("sh").asc())
     ranked = (

@@ -1230,7 +1230,14 @@ def x_events_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.web import (canonicalize_from_parts, registered_domain,
                                  url_parts)
 
-    e = load(spark, sf_dir, "events")
+    # project to the three synthesis columns, then round-robin spread
+    # (r13): the events scan is a single byte-light split, so the per-row
+    # regex parse otherwise runs at scan parallelism — serial.  Measured
+    # interleaved min-of-4 at sf0.1: 1.34 -> 0.82 s (guide §2.6 idle
+    # capacity; §2.2 project early so the exchange carries 3 columns).
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    ).repartition(spark.sparkContext.defaultParallelism)
     url = F.concat(
         F.lit("HTTP://Shard"), (F.col("user_id") % 5).cast("string"),
         F.lit(".Example."), F.when(F.col("user_id") % 2 == 0, "co.uk").otherwise("com"),

@@ -707,6 +707,11 @@ def tsdb_lineprotocol_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = events_relation(spark, sf_dir, EV_START, EV_END).filter(
         F.col("ts").between(EV_START, EV_END)
     )
+    # round-robin spread (r13): the events scan is a single byte-light
+    # split, so the whole render→parse text-codec chain otherwise runs
+    # at scan parallelism — serial (same fix as x_events_url_canon;
+    # interleaved min-of-4 at sf0.1: 3.44 → 2.90 s, identical rows)
+    rel = rel.repartition(spark.sparkContext.defaultParallelism)
     rel = rel.withColumn(
         "value", F.round(F.col("value"), 4).cast("decimal(18,4)")
     )
